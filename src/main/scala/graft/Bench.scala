@@ -1,24 +1,84 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.config.ConfigParser
+import graft.engine.Engine
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Benchmark main: one JSON line with per-query wall times at the target SF
+  * plus the reference-style generation-rate matrix (8 identical columns per
+  * type, fixed seed, noop sink -> rows/s; mirrors the reference bench shapes
+  * in `usecase/general/test/bench_test.go:16-78` / BASELINE.md). */
 object Bench {
+
+  private def time[A](f: => A): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Generation-rate cell: `rows` rows x 8 columns of `colYaml` -> noop. */
+  private def genRate(spark: SparkSession, rows: Long, colYaml: String): Double = {
+    val cols = (0 until 8)
+      .map(i => s"      - { name: c$i, type: $colYaml }")
+      .mkString("\n")
+    val cfg = ConfigParser.parseYaml(
+      s"""
+         |random_seed: 1738591926070236604
+         |models:
+         |  bench:
+         |    rows_count: $rows
+         |    columns:
+         |$cols
+         |""".stripMargin)
+    val secs = time {
+      Engine.modelFrame(spark, cfg, cfg.model("bench"))
+        .write.format("noop").mode(SaveMode.Overwrite).save()
+    }
+    rows / secs
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // JIT/codegen warmup on a trivial action
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val secs = time {
+        try fn(spark, sfDir).write.format("noop").mode(SaveMode.Overwrite).save()
+        catch { case _: Throwable => () }
+      }
+      name -> secs
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val genRates: Seq[(String, Double)] = Seq(
+      "gen_integer_32" -> genRate(spark, 20000000L, "integer"),
+      "gen_integer_64_ordered" ->
+        genRate(spark, 20000000L, "integer, type_params: { bit_width: 64 }, ordered: true"),
+      "gen_float_64" -> genRate(spark, 20000000L, "float, type_params: { bit_width: 64 }"),
+      "gen_datetime" -> genRate(spark, 10000000L, "datetime"),
+      "gen_uuid" -> genRate(spark, 5000000L, "uuid"),
+      "gen_string_16" ->
+        genRate(spark, 2000000L, "string, type_params: { min_length: 16, max_length: 16 }"),
+      "gen_first_name" ->
+        genRate(spark, 5000000L, "string, type_params: { logical_type: first_name }"),
+      "gen_enum" -> genRate(spark, 20000000L, "integer, values: [1, 2, 3]"))
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val gr = genRates.map { case (k, v) => "\"" + k + f"\":$v%.0f" }.mkString("{", ",", "}")
+    val total = f"${results.map(_._2).sum}%.3f"
+    println(
+      s"""{"metric":"total_query_secs","value":$total,"unit":"sec","queries":$qs,"generator_rows_per_sec":$gr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

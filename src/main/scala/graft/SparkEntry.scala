@@ -1,13 +1,556 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.config.ConfigParser
+import graft.engine.Engine
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract: the operator inventory as runnable queries, each with a
+  * DuckDB oracle where ANSI-SQL-expressible (see `oracleSql`).
+  *
+  * Cross-engine exactness rules used throughout (so result hashes match
+  * bit-for-bit):
+  *  - money/measure sums go through fixed-point cents (`floor(x*100+0.5)` as
+  *    BIGINT) — integer sums are order-independent and exact; final division
+  *    is a single IEEE op on identical operands
+  *  - float vector math is fixed-point at 1e-6 (see [[VectorFns]])
+  *  - hashes are md5-based (identical in both engines)
+  *  - every result carries a deterministic total ORDER BY
+  *  - integer widths normalized to BIGINT on both sides
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ----------------------------------------------------------- helpers
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Compute-heavy per-row operators need real parallelism: the small test
+    * tables arrive as one parquet file = one partition, which would serialize
+    * the kernels onto a single core. Harmless at scale (already many files). */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses by default;
+    * read nanos as long and truncate to micros — the same truncation DuckDB
+    * applies natively, so both engines see identical microsecond values. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+
+  /** Fixed-point cents: exact, portable money math. */
+  private def cents(c: Column): Column = floor(c * 100 + lit(0.5)).cast("long")
+
+  /** Flagship query (driver smoke: rows>0 on sf0.001): a full engine
+    * generation — two models with FK, uuid/name/enum/datetime columns —
+    * joined and aggregated. Exercises the whole generator stack. */
+  def entry(spark: SparkSession): DataFrame = {
+    val yaml =
+      """
+        |random_seed: 1738591926070236604
+        |models:
+        |  user:
+        |    rows_count: 2000
+        |    columns:
+        |      - { name: id, type: integer, type_params: { from: 0, to: 1999 }, distinct_percentage: 1 }
+        |      - { name: name, type: string, type_params: { logical_type: first_name } }
+        |      - { name: segment, type: string, values: [gold, silver, bronze] }
+        |      - { name: signup, type: datetime, ordered: true }
+        |  order:
+        |    rows_count: 10000
+        |    columns:
+        |      - { name: order_id, type: uuid }
+        |      - { name: user_id, foreign_key: user.id }
+        |      - { name: amount, type: float, type_params: { from: 1.0, to: 500.0 } }
+        |""".stripMargin
+    val cfg = ConfigParser.parseYaml(yaml)
+    val users = Engine.modelFrame(spark, cfg, cfg.model("user"))
+    val orders = Engine.modelFrame(spark, cfg, cfg.model("order"))
+    orders
+      .join(broadcast(users), orders("user_id") === users("id"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("amount")), 2).as("revenue"))
+      .orderBy(col("segment"))
+  }
+
+  // ------------------------------------------------------------ queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- relational surface over the TPC-H-ish tables ---
+    "q1_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(
+          col("l_returnflag"), col("l_linestatus"),
+          cents(col("l_quantity")).as("qc"),
+          cents(col("l_extendedprice")).as("ec"),
+          cents(col("l_discount")).as("dc"),
+          cents(col("l_tax")).as("tc"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          (sum(col("qc")).cast("double") / 100.0).as("sum_qty"),
+          (sum(col("ec")).cast("double") / 100.0).as("sum_base_price"),
+          (sum(col("ec") * (lit(100L) - col("dc"))).cast("double") / 10000.0).as("sum_disc_price"),
+          (sum(col("ec") * (lit(100L) - col("dc")) * (lit(100L) + col("tc"))).cast("double") / 1000000.0)
+            .as("sum_charge"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q2_revenue_by_nation" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev4"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val n = t(s, dir, "nation")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg((sum(col("rev4")).cast("double") / 10000.0).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    "q3_top_orders_per_customer" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("o_custkey"), col("rank"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rank"))
+    }),
+
+    "q4_filter_pushdown" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+          && col("l_quantity") > 40)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"), col("l_shipdate"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "q5_top10_orders" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
+    "q6_customers_without_orders" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q7_distinct_parts_per_flag" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q8_events_hourly" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          (sum(cents(col("value"))).cast("double") / 100.0).as("sum_value"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
+    "q9_events_json_props" -> ((s, dir) => {
+      events(s, dir)
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q10_active_buyers_intersect" -> ((s, dir) => {
+      val ev = events(s, dir)
+      ev.filter(col("event_type") === "click").select(col("user_id"))
+        .intersect(ev.filter(col("event_type") === "purchase").select(col("user_id")))
+        .orderBy(col("user_id"))
+    }),
+
+    // --- dedup suite over documents ---
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("content_hash"))
+    }),
+
+    "dedup_minhash_signatures" -> ((s, dir) => {
+      Dedup.minhashSignatures(spread(t(s, dir, "documents")), "doc_id", "text", 4)
+        .orderBy(col("doc_id"))
+    }),
+
+    "dedup_minhash_pairs" -> ((s, dir) => {
+      Dedup.minhashPairs(spread(t(s, dir, "documents")), "doc_id", "text",
+        numHashes = 4, bandSize = 2, broadcastRight = true)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simhash(spread(t(s, dir, "documents")), "doc_id", "text", 32)
+        .orderBy(col("doc_id"))
+    }),
+
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(
+        spread(t(s, dir, "documents")), "doc_id", "text", "lang",
+        n = 3, threshold = 0.5, broadcastRight = true)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "dedup_embedding_cosine" -> ((s, dir) => {
+      Dedup.embeddingNearDupBrute(spread(t(s, dir, "embeddings")), "vec_id", "embedding", 0.4,
+        broadcastRight = true)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // --- similarity search over embeddings ---
+    "knn_bruteforce" -> ((s, dir) => {
+      val embs = spread(t(s, dir, "embeddings"))
+      Similarity.bruteForceKnn(embs, embs.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "knn_lsh" -> ((s, dir) => {
+      val embs = spread(t(s, dir, "embeddings"))
+      Similarity.lshKnn(embs, embs.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // --- text analysis over documents ---
+    "text_token_stats" -> ((s, dir) => {
+      TextAnalysis.withTokenStats(spread(t(s, dir, "documents")), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("len_chars").cast("long").as("len_chars"),
+          col("n_distinct_tokens").cast("long").as("n_distinct_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_quality" -> ((s, dir) => {
+      TextAnalysis.withQuality(spread(t(s, dir, "documents")), "doc_id", "text")
+        .select(col("doc_id"), col("len_chars").cast("long").as("len_chars"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("stopword_ratio"), col("alpha_ratio"), col("token_diversity"),
+          col("quality_score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_langid" -> ((s, dir) => {
+      TextAnalysis.withLangId(spread(t(s, dir, "documents")), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_fingerprint" -> ((s, dir) => {
+      TextAnalysis.withFingerprint(spread(t(s, dir, "documents")), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- multimodal plumbing ---
+    "mm_binary_meta" -> ((s, dir) => {
+      Multimodal.withBinaryMeta(spread(t(s, dir, "documents")), "doc_id", "text")
+        .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+          col("magic"), col("sha256"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "mm_decode_stub" -> ((s, dir) => {
+      Multimodal.decodeStub(
+        Multimodal.withBinaryMeta(spread(t(s, dir, "documents")), "doc_id", "text"), "doc_id")
+        .select(col("doc_id"), col("width"), col("height"), col("channels"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- generation engine surface ---
+    "gen_integer_seq" -> ((s, dir) => {
+      // ordered integer sequence through the full planner stack: domain size
+      // equals distinct count, so value(n) = n exactly (oracle: range())
+      val cfg = ConfigParser.parseYaml(
+        """
+          |random_seed: 42
+          |models:
+          |  m:
+          |    rows_count: 10000
+          |    columns:
+          |      - { name: v, type: integer, type_params: { bit_width: 64, from: 0, to: 9999 }, ordered: true, distinct_percentage: 1 }
+          |""".stripMargin)
+      Engine.modelFrame(s, cfg, cfg.model("m")).orderBy(col("v"))
+    }),
+
+    "gen_enum_ordered" -> ((s, dir) => {
+      // ordered enum cycling through sorted literals (oracle: arithmetic over
+      // range()) — exercises sequencer + enum generator end-to-end
+      val cfg = ConfigParser.parseYaml(
+        """
+          |random_seed: 42
+          |models:
+          |  m:
+          |    rows_count: 9999
+          |    columns:
+          |      - { name: id, type: integer, type_params: { bit_width: 64, from: 0, to: 9998 }, ordered: true, distinct_percentage: 1 }
+          |      - { name: tier, type: string, values: [bronze, gold, silver], ordered: true }
+          |""".stripMargin)
+      Engine.modelFrame(s, cfg, cfg.model("m")).orderBy(col("id"))
+    }),
+
+    "gen_users_smoke" -> ((s, dir) => {
+      // full-featured generation (uuid, names, FK, nulls, ranges) — value
+      // functions are engine-specific, so this entry is rows-only checked;
+      // deep invariants live in the ScalaTest suite
+      entry(s)
+    }))
+
+  // ------------------------------------------------------------- oracle
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
+        |  CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS sum_base_price,
+        |  CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))) AS DOUBLE)/10000.0 AS sum_disc_price,
+        |  CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT)) * (100 + CAST(floor(l_tax*100 + 0.5) AS BIGINT))) AS DOUBLE)/1000000.0 AS sum_charge
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q2_revenue_by_nation" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q3_top_orders_per_customer" ->
+      """SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders) WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
+
+    "q4_filter_pushdown" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_quantity > 40
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q5_top10_orders" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+
+    "q6_customers_without_orders" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q7_distinct_parts_per_flag" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q8_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q9_events_json_props" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  count(json_extract_string(props, '$.k')) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q10_active_buyers_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_minhash_signatures" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS grams
+        |  FROM toks
+        |)
+        |SELECT doc_id,
+        |  list_min([('0x' || substr(md5('0:' || g), 1, 15))::BIGINT FOR g IN grams]) AS mh0,
+        |  list_min([('0x' || substr(md5('0:' || g), 16, 15))::BIGINT FOR g IN grams]) AS mh1,
+        |  list_min([('0x' || substr(md5('1:' || g), 1, 15))::BIGINT FOR g IN grams]) AS mh2,
+        |  list_min([('0x' || substr(md5('1:' || g), 16, 15))::BIGINT FOR g IN grams]) AS mh3
+        |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "dedup_minhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS grams
+        |  FROM toks
+        |), sig AS (
+        |  SELECT doc_id,
+        |    list_min([('0x' || substr(md5('0:' || g), 1, 15))::BIGINT FOR g IN grams]) AS mh0,
+        |    list_min([('0x' || substr(md5('0:' || g), 16, 15))::BIGINT FOR g IN grams]) AS mh1,
+        |    list_min([('0x' || substr(md5('1:' || g), 1, 15))::BIGINT FOR g IN grams]) AS mh2,
+        |    list_min([('0x' || substr(md5('1:' || g), 16, 15))::BIGINT FOR g IN grams]) AS mh3
+        |  FROM sh
+        |)
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+        |  (a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents
+         |), h AS (
+         |  SELECT doc_id, ('0x' || substr(md5('7919:' || tok), 1, 15))::BIGINT AS hv FROM toks
+         |)
+         |SELECT doc_id, ${(0 until 32).map(k =>
+               s"(CASE WHEN sum(CASE WHEN (hv >> $k) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << k} ELSE 0 END)")
+               .mkString(" + ")} AS simhash
+         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH prepared AS (
+        |  SELECT doc_id, lang, CAST(floor(length(text) / 100) AS BIGINT) AS len_bucket,
+        |    list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS grams
+        |  FROM (SELECT doc_id, lang, text, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+        |)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) AS jaccard
+        |  FROM prepared a JOIN prepared b
+        |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      """WITH q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, qv, list_sum([x*x FOR x IN qv]) AS n2 FROM q
+        |)
+        |SELECT id_a, id_b, cosine FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CAST(list_sum([a.qv[i] * b.qv[i] FOR i IN range(1, len(a.qv) + 1)]) AS DOUBLE)
+        |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    "knn_bruteforce" ->
+      """WITH q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, qv, list_sum([x*x FOR x IN qv]) AS n2 FROM q
+        |), scored AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    CAST(list_sum([a.qv[i] * b.qv[i] FOR i IN range(1, len(a.qv) + 1)]) AS DOUBLE)
+        |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+        |  FROM n a JOIN n b ON a.vec_id < 20 AND b.vec_id != a.vec_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "text_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS len_chars,
+        |  CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_distinct_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    CAST(length(text) AS BIGINT) AS len_chars
+        |  FROM documents
+        |), feats AS (
+        |  SELECT doc_id, len_chars,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with'], t))) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) END AS stopword_ratio,
+        |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |      CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE) END AS alpha_ratio,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS token_diversity
+        |  FROM base)
+        |SELECT doc_id, len_chars, n_tokens, stopword_ratio, alpha_ratio, token_diversity,
+        |  (CASE WHEN len_chars < 20 THEN 0.0 ELSE 0.25 END)
+        |    + (CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 0.25 ELSE 0.0 END)
+        |    + (CASE WHEN alpha_ratio >= 0.6 THEN 0.25 ELSE 0.0 END)
+        |    + token_diversity * 0.25 AS quality_score
+        |FROM feats ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    length(text) AS total,
+        |    length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g')) AS no_cyr,
+        |    length(regexp_replace(text, '[一-鿿]', '', 'g')) AS no_cjk
+        |  FROM documents
+        |), hits AS (
+        |  SELECT doc_id, total, no_cyr, no_cjk,
+        |    len(list_filter(toks, t -> list_contains(['the','a','and','of','to','in','is'], t))) AS en,
+        |    len(list_filter(toks, t -> list_contains(['el','la','de','que','y','los'], t))) AS es,
+        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','ein'], t))) AS de,
+        |    len(list_filter(toks, t -> list_contains(['le','la','les','et','est','une'], t))) AS fr
+        |  FROM base)
+        |SELECT doc_id,
+        |  CASE WHEN total - no_cyr > 0 THEN 'ru'
+        |       WHEN total - no_cjk > 0 THEN 'zh'
+        |       WHEN es > en AND es >= de AND es >= fr THEN 'es'
+        |       WHEN de > en AND de >= fr THEN 'de'
+        |       WHEN fr > en THEN 'fr'
+        |       ELSE 'en' END AS predicted_lang
+        |FROM hits ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(0, [CAST(ascii(c) AS BIGINT) FOR c IN regexp_split_to_array(text, '')]),
+        |    (acc, code) -> (acc * 31 + code) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  lower(hex(encode(substr(text, 1, 4)))) AS magic,
+        |  sha256(text) AS sha256
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "gen_integer_seq" ->
+      "SELECT CAST(range AS BIGINT) AS v FROM range(0, 10000) ORDER BY v",
+
+    "gen_enum_ordered" ->
+      """SELECT CAST(range AS BIGINT) AS id,
+        |  ['bronze','gold','silver'][CAST(floor(CAST(range AS DOUBLE) * 3 / 9999) AS INT) + 1] AS tier
+        |FROM range(0, 9999) ORDER BY id""".stripMargin)
 }

@@ -1,0 +1,228 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hot-path array kernels as static JVM methods called from whole-stage
+  * codegen via StaticInvoke.
+  *
+  * Spark's higher-order functions (transform/aggregate/zip_with) interpret
+  * their lambda per element — fine for cold paths, but pairwise operators
+  * (cosine joins, Jaccard verification, minhash signatures) execute them
+  * millions of times. These kernels keep the whole inner loop in one JITed
+  * static method: same math as the [[VectorFns]]/[[TextFns]] formulations
+  * (and therefore the same DuckDB oracles), 10-50x faster. All methods are
+  * stateless — safe on any executor, no broadcast.
+  */
+object Kernels {
+
+  // --------------------------------------------------------- vector math
+
+  /** Fixed-point quantization: floor(x*1e6 + 0.5) per element (exactly
+    * [[VectorFns.quantize]]). Input may be float or double array. */
+  def quantizeDouble(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = math.floor(arr.getDouble(i) * 1e6 + 0.5).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def quantizeFloat(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = math.floor(arr.getFloat(i).toDouble * 1e6 + 0.5).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Exact integer dot product of two quantized (long) vectors. */
+  def dotLong(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  def norm2Long(a: ArrayData): Long = {
+    val n = a.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val v = a.getLong(i)
+      acc += v * v
+      i += 1
+    }
+    acc
+  }
+
+  // ----------------------------------------------------------- text hash
+
+  private val digestTL = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private def md5Bytes(s: String, salt: Int): Array[Byte] = {
+    val md = digestTL.get()
+    md.reset()
+    md.update((salt.toString + ":").getBytes("UTF-8"))
+    md.update(s.getBytes("UTF-8"))
+    md.digest()
+  }
+
+  /** Hex chars 1..15 of the digest as a non-negative long (= bits 0..59
+    * big-endian): equals `('0x'||substr(md5(x),1,15))::BIGINT`. */
+  @inline private def loBits60(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  /** Hex chars 16..30 of the digest as a non-negative long: equals
+    * `('0x'||substr(md5(x),16,15))::BIGINT`. */
+  @inline private def hiBits60(d: Array[Byte]): Long = {
+    var v = d(7) & 0x0fL
+    var i = 8
+    while (i < 15) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v
+  }
+
+  /** Hash family j of string s: families come in pairs sharing one digest —
+    * family 2p uses hex chars 1..15 of md5(p + ":" + s), family 2p+1 uses hex
+    * chars 16..30. Halves digest work; trivially expressed in the oracle as
+    * substr(md5(...), 1|16, 15). */
+  def md5Long15(s: String, family: Int): Long = {
+    val d = md5Bytes(s, family / 2)
+    if ((family & 1) == 0) loBits60(d) else hiBits60(d)
+  }
+
+  /** MinHash signature: for each hash family j in [0, numHashes), the min of
+    * md5Long15(gram, j) over all grams. One digest per (gram, family-pair). */
+  def minhashSig(grams: ArrayData, numHashes: Int): ArrayData = {
+    val n = grams.numElements()
+    val out = Array.fill(numHashes)(Long.MaxValue)
+    val pairs = (numHashes + 1) / 2
+    var i = 0
+    while (i < n) {
+      val g = grams.getUTF8String(i).toString
+      var p = 0
+      while (p < pairs) {
+        val d = md5Bytes(g, p)
+        val lo = loBits60(d)
+        if (lo < out(2 * p)) out(2 * p) = lo
+        if (2 * p + 1 < numHashes) {
+          val hi = hiBits60(d)
+          if (hi < out(2 * p + 1)) out(2 * p + 1) = hi
+        }
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** SimHash over tokens, `bits` wide — same bit rule as [[TextFns.simhash]]
+    * (token hash = hex chars 1..15 of md5("7919:" + tok); +1/-1 by hash bit,
+    * strictly-positive sum sets the bit). */
+  def simhashTokens(toks: ArrayData, bits: Int): Long = {
+    val counts = new Array[Int](bits)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val h = loBits60(md5Bytes(toks.getUTF8String(i).toString, 7919))
+      var k = 0
+      while (k < bits) {
+        if (((h >>> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
+        k += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var k = 0
+    while (k < bits) {
+      if (counts(k) > 0) out |= (1L << k)
+      k += 1
+    }
+    out
+  }
+
+  /** Intersection size of two SORTED string arrays (linear merge; arrays are
+    * pre-sorted with sort_array, which uses the same binary ordering as
+    * UTF8String.compareTo). */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    var i = 0
+    var j = 0
+    var c = 0
+    val na = a.numElements()
+    val nb = b.numElements()
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  /** Fused Jaccard over two SORTED DISTINCT string arrays:
+    * |A∩B| / (|A| + |B| - |A∩B|), all in one pass. One kernel call per pair —
+    * Catalyst pushes pair filters into join conditions and would otherwise
+    * re-evaluate a composite expression several times. */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val inter = sortedIntersectCount(a, b).toDouble
+    val union = a.numElements().toDouble + b.numElements().toDouble - inter
+    if (union == 0.0) 0.0 else inter / union
+  }
+
+  /** Fused cosine from pre-quantized vectors + pre-computed squared norms. */
+  def cosineQ(a: ArrayData, na: Long, b: ArrayData, nb: Long): Double =
+    dotLong(a, b).toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+
+  // ------------------------------------------------------ Column wrappers
+
+  private val cls = Kernels.getClass
+
+  private def call(dt: DataType, fn: String, args: Column*): Column =
+    Bridge.column(StaticInvoke(
+      cls, dt, fn, args.map(Bridge.expression),
+      inputTypes = Nil, propagateNull = true, returnNullable = false, isDeterministic = true))
+
+  def quantize(v: Column, elementType: String): Column = {
+    val fn = if (elementType == "float") "quantizeFloat" else "quantizeDouble"
+    call(ArrayType(LongType, containsNull = false), fn, v)
+  }
+
+  def dotQ(a: Column, b: Column): Column = call(LongType, "dotLong", a, b)
+  def norm2Q(a: Column): Column = call(LongType, "norm2Long", a)
+
+  def minhashSigCol(grams: Column, numHashes: Int): Column =
+    call(ArrayType(LongType, containsNull = false), "minhashSig", grams, lit(numHashes))
+
+  def simhashCol(toks: Column): Column = call(LongType, "simhashTokens", toks, lit(32))
+
+  def sortedIntersect(a: Column, b: Column): Column =
+    call(IntegerType, "sortedIntersectCount", a, b)
+
+  def jaccardSortedCol(a: Column, b: Column): Column =
+    call(DoubleType, "jaccardSorted", a, b)
+
+  def cosineQCol(a: Column, na: Column, b: Column, nb: Column): Column =
+    call(DoubleType, "cosineQ", a, na, b, nb)
+}

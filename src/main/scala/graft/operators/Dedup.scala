@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.functions.{Kernels, TextFns, VectorFns}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale corpus pipelines: exact,
+  * MinHash+LSH, SimHash, blocked n-gram Jaccard, and embedding-cosine
+  * near-dup.
+  *
+  * Scale design (100 TB): every variant is built either as a single
+  * hash-keyed aggregation (exact, minhash signatures, simhash — one shuffle,
+  * map-side combinable) or as a BLOCKED pairwise comparison where candidate
+  * pairs come from an equi-join on a bucket key (LSH band, lang block) —
+  * never an unblocked O(n^2) cross join. The only cross join lives in
+  * `embeddingNearDupBrute`, the small-side correctness baseline for the
+  * LSH/banded paths.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one row per distinct text, keeping the
+    * smallest doc id as canonical. Single shuffle on md5(text). */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signatures over word 3-gram shingles: `numHashes` md5-family
+    * min-hashes per document. Pure projection — no shuffle, no explode; the
+    * shingle set never materializes outside the row. */
+  def minhashSignatures(
+      docs: DataFrame, idCol: String, textCol: String, numHashes: Int): DataFrame = {
+    val sigCols = (0 until numHashes).map(j => col("sig").getItem(j).as(s"mh$j"))
+    docs
+      .select(col(idCol), TextFns.wordNgrams(col(textCol), 3).as("grams"))
+      .select(col(idCol), Kernels.minhashSigCol(col("grams"), numHashes).as("sig"))
+      .select((col(idCol) +: sigCols): _*)
+  }
+
+  /** MinHash LSH candidate pairs: signatures are banded (`numHashes /
+    * bandSize` bands); documents sharing any band land in the same bucket and
+    * become a candidate pair. Cost: one explode to (doc, band) + one
+    * equi-join shuffle on the band key — the standard shape that scales to
+    * billions of documents because bucket sizes, not corpus size, bound the
+    * pair count. */
+  def minhashPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, bandSize: Int = 2, broadcastRight: Boolean = false): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, numHashes)
+    val numBands = numHashes / bandSize
+    val bands = (0 until numBands).map { b =>
+      val cols = (0 until bandSize).map(i => col(s"mh${b * bandSize + i}"))
+      struct(lit(b).as("band"), concat_ws(":", cols: _*).as("key"))
+    }
+    val exploded = sigs
+      .select(col(idCol), explode(array(bands: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = exploded.as("a")
+    val b = (if (broadcastRight) broadcast(exploded) else exploded).as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
+        && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** SimHash fingerprints (default 32-bit). Near-dup = small Hamming
+    * distance; pairs are found by banding the fingerprint bytes (same
+    * equi-join shape as MinHash LSH). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame = {
+    require(bits == 32, "kernel is fixed at 32 bits; TextFns.simhash handles other widths")
+    docs.select(col(idCol), Kernels.simhashCol(TextFns.tokens(col(textCol))).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs via byte-banding + exact Hamming verification. */
+  def simhashPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 32, maxHamming: Int = 3, broadcastRight: Boolean = false): DataFrame = {
+    val fp = simhash(docs, idCol, textCol, bits).cache()
+    val numBands = 4
+    val bandBits = bits / numBands
+    val mask = (1L << bandBits) - 1
+    val bands = (0 until numBands).map(b =>
+      struct(lit(b).as("band"), (shiftright(col("simhash"), b * bandBits) % lit(mask + 1)).as("key")))
+    val exploded = fp.select(col(idCol), col("simhash"), explode(array(bands: _*)).as("bk"))
+      .select(col(idCol), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = exploded.as("a")
+    val b = (if (broadcastRight) broadcast(exploded) else exploded).as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
+        && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(
+        col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Blocked n-gram Jaccard: exact Jaccard over distinct word n-grams, with
+    * candidate pairs restricted to the same (lang, length-bucket) block —
+    * an equi-join, not a cross join. Bucket width trades recall for cost. */
+  def ngramJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String, langCol: String,
+      n: Int = 3, threshold: Double = 0.5, lenBucket: Int = 100,
+      broadcastRight: Boolean = false): DataFrame = {
+    val prepared = docs.select(
+      col(idCol), col(langCol).as("lang"),
+      floor(length(col(textCol)) / lenBucket).as("len_bucket"),
+      sort_array(TextFns.wordNgrams(col(textCol), n)).as("grams"))
+    val a = prepared.as("a")
+    val b = (if (broadcastRight) broadcast(prepared) else prepared).as("b")
+    // fused |A∩B|/(|A|+|B|-|A∩B|) kernel: Catalyst pushes the threshold into
+    // the join condition, so the per-pair work must be ONE call, not a
+    // composite expression it would re-evaluate per reference
+    a.join(b, col("a.lang") === col("b.lang")
+        && col("a.len_bucket") === col("b.len_bucket")
+        && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(
+        col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        Kernels.jaccardSortedCol(col("a.grams"), col("b.grams")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Embedding-cosine near-dup, brute-force: all pairs above `threshold`.
+    * Correctness baseline — O(n^2); the scale path is `Similarity.lshJoin`. */
+  def embeddingNearDupBrute(
+      embs: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      broadcastRight: Boolean = false): DataFrame = {
+    val q = embs.select(
+      col(idCol),
+      VectorFns.quantize(col(vecCol)).as("qv"))
+      .withColumn("n2", VectorFns.norm2Q(col("qv")))
+    val a = q.as("a")
+    val b = (if (broadcastRight) broadcast(q) else q).as("b")
+    a.join(b, col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(
+        col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        VectorFns.cosinePre(col("a.qv"), col("a.n2"), col("b.qv"), col("b.n2")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

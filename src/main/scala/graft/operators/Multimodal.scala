@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: treat images/audio/video as opaque `binary`
+  * columns with typed metadata, with decode / feature-extraction running as
+  * partition-batched transforms.
+  *
+  * The decode step itself is STUBBED (this environment ships no image/audio
+  * codecs): `decodeStub` derives a deterministic fake (width, height,
+  * channels, features) from the bytes. Everything around it — schema, binary
+  * column handling, batch iteration shape, partition sizing — is the real
+  * Spark plumbing a production decoder (e.g. a JNI codec or an Arrow-batched
+  * Python worker) would plug into: swap `fakeDecode` for the real kernel.
+  */
+object Multimodal {
+
+  /** Attach a binary payload column (here: utf-8 bytes of the text, standing
+    * in for image bytes) plus standard binary metadata columns. */
+  def withBinaryMeta(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      encode(col(textCol), "UTF-8").as("payload"))
+      .select(
+        col(idCol),
+        col("payload"),
+        length(col("payload")).as("n_bytes"),
+        lower(hex(substring(col("payload"), 1, 4))).as("magic"),
+        sha2(col("payload"), 256).as("sha256"))
+
+  val DecodedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  /** Deterministic fake decoder: dimensions + an 8-dim feature vector derived
+    * from the payload bytes. Replace with a real codec at the `???` boundary
+    * in production. */
+  private[operators] def fakeDecode(id: Long, payload: Array[Byte]): Row = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < payload.length) { h = 31 * h + (payload(i) & 0xff); i += 1 }
+    val width = 64 + math.floorMod(h, 512).toInt
+    val height = 64 + math.floorMod(h >> 16, 512).toInt
+    val features = Array.tabulate(8)(k =>
+      (math.floorMod(graft.rng.Rng.mix64(h + k), 2000L) / 1000.0f - 1.0f))
+    Row(id, width, height, 3, features.toSeq)
+  }
+
+  /** Partition-batched decode over the binary column. The iterator shape
+    * (whole-partition lazy traversal, no row materialization beyond the
+    * batch) is exactly where a vectorized decoder slots in. */
+  def decodeStub(withPayload: DataFrame, idCol: String): DataFrame = {
+    val spark = withPayload.sparkSession
+    val rdd = withPayload.select(col(idCol).cast("long"), col("payload")).rdd
+      .mapPartitions(_.map(r => fakeDecode(r.getLong(0), r.getAs[Array[Byte]](1))))
+    spark.createDataFrame(rdd, DecodedSchema)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.functions.VectorFns
+import graft.rng.Rng
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *  - `bruteForceKnn`: exact top-k by cosine for a (small, broadcast) query
+  *    set against the full corpus — the correctness baseline; scales linearly
+  *    in corpus size with zero shuffle beyond the final per-query top-k.
+  *  - `lshKnn`: random-hyperplane LSH — corpus is bucketed by a `planes`-bit
+  *    signature; queries only compare within matching buckets (equi-join on
+  *    the signature), turning O(n*q) into O(bucket*q). Hyperplanes are
+  *    derived from a seed via the same stateless hash as the generation
+  *    engine, so signatures are deterministic on any cluster.
+  */
+object Similarity {
+
+  /** Exact cosine top-k: every query row against every corpus row, then a
+    * per-query window rank. `queries` is expected to be small (broadcast). */
+  def bruteForceKnn(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val prep = (df: DataFrame) =>
+      df.select(col(idCol), VectorFns.quantize(col(vecCol)).as("qv"))
+        .withColumn("n2", VectorFns.norm2Q(col("qv")))
+    val c = prep(corpus).as("c")
+    val q = prep(queries).as("q")
+    val joined = broadcast(q).crossJoin(c)
+      .filter(col(s"q.$idCol") =!= col(s"c.$idCol"))
+      .select(
+        col(s"q.$idCol").as("query_id"),
+        col(s"c.$idCol").as("neighbor_id"),
+        VectorFns.cosinePre(col("q.qv"), col("q.n2"), col("c.qv"), col("c.n2")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Deterministic random-hyperplane signature: bit h = sign of the dot
+    * product with a ±1 hyperplane derived from (seed, h, dim). */
+  def lshSignature(vec: Column, planes: Int, seed: Long, dims: Int): Column = {
+    val qv = VectorFns.quantize(vec)
+    (0 until planes).map { h =>
+      val weights = array((0 until dims).map { d =>
+        lit(if (Rng.randomLong(seed + h, d.toLong) >= 0) 1L else -1L)
+      }: _*)
+      val dot = VectorFns.dotQ(qv, weights)
+      when(dot > 0, lit(1L << h)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** ANN via LSH bucketing: compare only within matching signatures.
+    * Multi-probe would raise recall further; here signature equality is the
+    * bucket key (an equi-join — shuffle on the bucket, never a cross join). */
+  def lshKnn(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      planes: Int = 8, seed: Long = 42L, dims: Int = 64): DataFrame = {
+    val sig = (df: DataFrame) =>
+      df.select(
+        col(idCol),
+        VectorFns.quantize(col(vecCol)).as("qv"),
+        lshSignature(col(vecCol), planes, seed, dims).as("sig"))
+        .withColumn("n2", VectorFns.norm2Q(col("qv")))
+    val c = sig(corpus).as("c")
+    val q = sig(queries).as("q")
+    val joined = q.join(c, col("q.sig") === col("c.sig")
+        && col(s"q.$idCol") =!= col(s"c.$idCol"))
+      .select(
+        col(s"q.$idCol").as("query_id"),
+        col(s"c.$idCol").as("neighbor_id"),
+        VectorFns.cosinePre(col("q.qv"), col("q.n2"), col("c.qv"), col("c.n2")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+}

