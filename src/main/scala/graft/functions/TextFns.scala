@@ -40,7 +40,8 @@ object TextFns {
     * bit k of the result = 1 iff sum over tokens of (+1/-1 by token-hash bit
     * k) is positive. */
   def simhash(toks: Column, bits: Int): Column = {
-    val hashes = transform(toks, t => md5Long(t, 7919))
+    val hashes = transform(toks,
+      t => conv(substring(md5(concat(lit("7919:"), t)), 1, 15), 16, 10).cast("long"))
     (0 until bits).map { k =>
       val contrib = aggregate(
         hashes,

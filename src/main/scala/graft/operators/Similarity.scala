@@ -72,7 +72,14 @@ object Similarity {
         lshSignature(col(vecCol), planes, seed, dims).as("sig"))
         .withColumn("n2", VectorFns.norm2Q(col("qv")))
     val c = sig(corpus).as("c")
-    val q = sig(queries).as("q")
+    // multi-probe: each query also probes the `planes` buckets at Hamming
+    // distance 1 from its own signature — the standard recall/cost knob
+    // (probe count scales the equi-join fanout, never a cross join)
+    val probeSigs = array((lit(0L) +: (0 until planes).map(h => lit(1L << h))): _*)
+    val q = sig(queries)
+      .withColumn("probe", explode(probeSigs))
+      .withColumn("sig", col("sig").bitwiseXOR(col("probe")))
+      .as("q")
     val joined = q.join(c, col("q.sig") === col("c.sig")
         && col(s"q.$idCol") =!= col(s"c.$idCol"))
       .select(
@@ -82,6 +89,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     joined
+      .distinct() // a neighbor can match via several probes
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))

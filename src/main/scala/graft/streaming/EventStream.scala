@@ -37,11 +37,13 @@ object EventStream {
         col("w.start").as("window_start"), col("event_type"), col("n_events"), col("sum_value"))
 
   /** Streaming read of an events directory -> hourly agg -> memory sink;
-    * returns the materialized result after draining available input. */
+    * returns the materialized result after draining available input.
+    * Complete mode so trailing windows (not yet past the watermark) are
+    * included — append mode would hold them back until later input. */
   def runHourlyBatchOverStream(spark: SparkSession, dir: String, name: String): DataFrame = {
     val stream = spark.readStream.schema(EventSchema).parquet(dir)
     val q = hourlyAgg(stream).writeStream
-      .outputMode(OutputMode.Append)
+      .outputMode(OutputMode.Complete)
       .format("memory")
       .queryName(name)
       .start()

@@ -1,0 +1,140 @@
+package graft
+
+import graft.operators._
+import graft.functions.{Kernels, TextFns, VectorFns}
+
+import org.apache.spark.sql.functions._
+
+/** Invariant tests for the pipeline operators, independent of the DuckDB
+  * oracle: planted duplicates are found, similarity metrics behave at their
+  * fixed points, language ID recognizes scripts, ANN recall is sane. */
+class OperatorsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet").cache()
+  private lazy val embs = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+
+  test("exact dedup groups identical texts and keeps min id") {
+    val planted = docs.select($"doc_id" + 100000L as "doc_id", $"text").limit(5)
+    val d = docs.select($"doc_id", $"text").union(planted)
+    val res = Dedup.exact(d, "doc_id", "text")
+    assert(res.filter($"n_copies" === 2).count() == 5)
+    // canonical id is the original (smaller) one
+    assert(res.filter($"n_copies" === 2).filter($"keep_id" >= 100000L).count() == 0)
+  }
+
+  test("minhash: identical docs share full signature; pairs found") {
+    val planted = docs.select($"doc_id" + 100000L as "doc_id", $"text").limit(3)
+    val d = docs.select($"doc_id", $"text").union(planted)
+    val pairs = Dedup.minhashPairs(d, "doc_id", "text", numHashes = 4, bandSize = 2).collect()
+    val exactPairs = pairs.filter(r => r.getLong(1) - r.getLong(0) == 100000L)
+    assert(exactPairs.length == 3, s"expected 3 planted pairs, got ${pairs.length} total")
+  }
+
+  test("simhash of identical docs is equal; near-identical within hamming 3") {
+    val fp = Dedup.simhash(docs.limit(10), "doc_id", "text")
+    val fp2 = Dedup.simhash(docs.limit(10), "doc_id", "text")
+    assert(fp.collect().toSeq == fp2.collect().toSeq)
+    val planted = docs.select($"doc_id" + 100000L as "doc_id",
+      concat($"text", lit(" extra")) as "text").limit(3)
+    val d = docs.select($"doc_id", $"text").union(planted)
+    val pairs = Dedup.simhashPairs(d, "doc_id", "text").collect()
+    assert(pairs.count(r => r.getLong(1) - r.getLong(0) == 100000L) >= 2)
+  }
+
+  test("ngram jaccard: identical texts give 1.0") {
+    val planted = docs.select($"doc_id" + 100000L as "doc_id", $"text",
+      $"lang").limit(3)
+    val d = docs.select($"doc_id", $"text", $"lang").union(planted)
+    val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", "lang", threshold = 0.99)
+    assert(pairs.filter($"jaccard" === 1.0).count() >= 3)
+  }
+
+  test("embedding near-dup: identical vectors give cosine 1.0") {
+    val planted = embs.select($"vec_id" + 100000L as "vec_id", $"embedding").limit(3)
+    val e = embs.select($"vec_id", $"embedding").union(planted)
+    val pairs = Dedup.embeddingNearDupBrute(e, "vec_id", "embedding", 0.999)
+    assert(pairs.filter($"id_b" - $"id_a" === 100000L).count() == 3)
+  }
+
+  test("knn: nearest neighbor of a duplicated vector is its twin") {
+    val planted = embs.select($"vec_id" + 100000L as "vec_id", $"embedding").limit(5)
+    val corpus = embs.select($"vec_id", $"embedding").union(planted)
+    val res = Similarity.bruteForceKnn(corpus, planted, "vec_id", "embedding", 1).collect()
+    res.foreach { r =>
+      assert(r.getLong(2) == r.getLong(0) - 100000L,
+        s"query ${r.getLong(0)} nearest was ${r.getLong(2)}")
+    }
+  }
+
+  test("lsh ann achieves reasonable recall vs brute force") {
+    val queries = embs.filter($"vec_id" < 20)
+    val brute = Similarity.bruteForceKnn(embs, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshKnn(embs, queries, "vec_id", "embedding", 5, planes = 4)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.2, s"recall $recall too low") // 4 planes, single probe
+    assert(lsh.nonEmpty)
+  }
+
+  test("token stats are exact on known input") {
+    val d = Seq((1L, "the quick brown fox the end")).toDF("doc_id", "text")
+    val row = TextAnalysis.withTokenStats(d, "doc_id", "text").collect()(0)
+    assert(row.getInt(1) == 6) // n_tokens
+    assert(row.getInt(2) == 27) // len_chars
+    assert(row.getInt(3) == 5) // distinct (the repeated)
+  }
+
+  test("language id recognizes scripts and stopword families") {
+    val d = Seq(
+      (1L, "привет мир это русский текст"),
+      (2L, "这是 一段 中文 文本"),
+      (3L, "the cat sat on the mat and it is fine"),
+      (4L, "el perro y la casa de los amigos"),
+      (5L, "der hund und die katze ist ein tier"),
+      (6L, "le chien et le chat est une bête")).toDF("doc_id", "text")
+    val got = TextAnalysis.withLangId(d, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    assert(got == Seq("ru", "zh", "en", "es", "de", "fr"))
+  }
+
+  test("fingerprint is deterministic and content-sensitive") {
+    val d = Seq((1L, "hello world"), (2L, "hello world"), (3L, "hello worlD")).toDF("doc_id", "text")
+    val fps = TextAnalysis.withFingerprint(d, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  test("multimodal meta + stub decode are deterministic and schema-correct") {
+    val meta = Multimodal.withBinaryMeta(docs.limit(20), "doc_id", "text")
+    val m = meta.collect()
+    assert(m.forall(r => r.getAs[Array[Byte]]("payload").length == r.getInt(r.fieldIndex("n_bytes"))))
+    val dec = Multimodal.decodeStub(meta, "doc_id")
+    assert(dec.schema == Multimodal.DecodedSchema)
+    val d1 = dec.orderBy("doc_id").collect().toSeq
+    val d2 = Multimodal.decodeStub(meta, "doc_id").orderBy("doc_id").collect().toSeq
+    assert(d1 == d2)
+    assert(d1.forall(r => r.getInt(1) >= 64 && r.getInt(1) < 576))
+    assert(d1.forall(_.getSeq[Float](4).length == 8))
+  }
+
+  test("kernel hash equals the interpreted Catalyst formulation") {
+    val d = docs.limit(50).select($"doc_id", TextFns.tokens($"text").as("toks"))
+    val kernel = d.select($"doc_id", Kernels.simhashCol($"toks").as("s"))
+    val hof = d.select($"doc_id", TextFns.simhash($"toks", 32).as("s"))
+    assert(kernel.orderBy("doc_id").collect().toSeq == hof.orderBy("doc_id").collect().toSeq)
+    val grams = docs.limit(50).select($"doc_id", TextFns.wordNgrams($"text", 3).as("g"))
+    val k2 = grams.select($"doc_id", Kernels.minhashSigCol($"g", 4).getItem(3).as("m"))
+    val h2 = grams.select($"doc_id", TextFns.minhash($"g", 3).as("m"))
+    assert(k2.orderBy("doc_id").collect().toSeq == h2.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("quantized cosine is symmetric, 1.0 on self, in [-1,1]") {
+    val sample = embs.limit(50)
+    val self = sample.select(VectorFns.cosine($"embedding", $"embedding").as("c"))
+    assert(self.collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import graft.streaming.EventStream
+
+import org.apache.spark.sql.functions._
+
+/** Structured-streaming surface: the streaming hourly aggregation must agree
+  * with its batch form over the same input, and sessionization must split on
+  * gaps. */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("streaming hourly agg equals batch hourly agg") {
+    // write a ns-free copy of events (streaming schema uses TimestampType)
+    val dir = java.nio.file.Files.createTempDirectory("events_us").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    ev.write.mode("overwrite").parquet(dir)
+
+    val batch = EventStream.hourlyAgg(spark.read.parquet(dir))
+      .orderBy("window_start", "event_type").collect().toSeq
+    val stream = EventStream.runHourlyBatchOverStream(spark, dir, "hourly_test")
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(batch.nonEmpty)
+    assert(batch == stream)
+  }
+
+  test("sessionize splits on gaps and aggregates values") {
+    val t0 = 1700000000000L
+    val events = Seq(
+      EventStream.Event(1, new java.sql.Timestamp(t0), 1L, "click", 1.0),
+      EventStream.Event(2, new java.sql.Timestamp(t0 + 60000), 1L, "view", 2.0),
+      EventStream.Event(3, new java.sql.Timestamp(t0 + 10000000), 1L, "click", 5.0),
+      EventStream.Event(4, new java.sql.Timestamp(t0), 2L, "view", 7.0)).toDS()
+    val sessions = EventStream.sessionize(events, gapMillis = 30 * 60 * 1000)
+      .collect().sortBy(s => (s.user_id, s.started.getTime))
+    assert(sessions.length == 3)
+    val u1 = sessions.filter(_.user_id == 1L)
+    assert(u1(0).n_events == 2 && u1(0).total_value == 3.0)
+    assert(u1(1).n_events == 1 && u1(1).total_value == 5.0)
+    assert(sessions.count(_.user_id == 2L) == 1)
+  }
+}
