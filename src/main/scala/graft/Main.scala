@@ -36,7 +36,7 @@ object Main {
       try {
         val cfg = if (resume) Engine.resumedConfig(spark, parsed) else parsed
         val t0 = System.nanoTime()
-        val counts = Engine.run(spark, cfg, force)
+        val counts = Engine.run(spark, cfg, force, resume)
         val secs = (System.nanoTime() - t0) / 1e9
         counts.toSeq.sortBy(_._1).foreach { case (m, n) =>
           println(f"model $m: $n%d rows written")

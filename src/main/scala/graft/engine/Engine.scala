@@ -48,13 +48,19 @@ object Engine {
   }
 
   /** Run the whole generation job: plan, conflict-check, write every model,
-    * write checkpoint metadata. Returns per-model row counts. */
-  def run(spark: SparkSession, cfg: GenerationConfig, force: Boolean = false): Map[String, Long] = {
-    Output.preflight(cfg, force)
-    val counts = frames(spark, cfg).map { case (model, df) =>
-      Output.writeModel(spark, cfg, model, df)
-      model.name -> (model.generateTo - model.generateFrom)
-    }.toMap
+    * write checkpoint metadata. Returns per-model row counts.
+    * `resume = true` skips the conflict pre-flight (output is appended after
+    * the recomputed generate_from slice — reference "continue generation"). */
+  def run(
+      spark: SparkSession, cfg: GenerationConfig,
+      force: Boolean = false, resume: Boolean = false): Map[String, Long] = {
+    if (!resume) Output.preflight(cfg, force)
+    val counts = frames(spark, cfg)
+      .filter { case (m, _) => m.generateTo > m.generateFrom }
+      .map { case (model, df) =>
+        Output.writeModel(spark, cfg, model, df)
+        model.name -> (model.generateTo - model.generateFrom)
+      }.toMap
     Output.writeBackup(cfg)
     counts
   }

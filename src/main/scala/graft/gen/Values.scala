@@ -96,9 +96,12 @@ object Values {
     var index = number / total
     var i = 0
     while (i < 16) {
-      val (pos, next) = orderedPosStep(255, index)
-      bytes(i) = pos
-      index = next
+      // inlined orderedPosStep(255, index) — no tuple allocation on this path
+      val floatPos = 255.0 * index
+      val intPos = math.floor(floatPos)
+      bytes(i) = intPos.toInt
+      index = floatPos - intPos
+      if (index < 0) index = 0
       i += 1
     }
     bytes(6) = (bytes(6) & 0x0f) | 0x40

@@ -1,0 +1,69 @@
+package graft
+
+import graft.config.ConfigParser
+import graft.engine.Engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions: these encode the scale contract — filters reach
+  * the parquet scan, column pruning happens, small dims broadcast, and the
+  * generation projection is shuffle-free. A regression here is a performance
+  * bug even when results stay correct. */
+class PlanSpec extends SparkSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("filter pushdown reaches the parquet scan with pruned schema") {
+    val p = plan(SparkEntry.queries("q4_filter_pushdown")(spark, sfDir))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan(l_quantity,40.0)"), p)
+    // only the 4 selected columns are read
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_shipdate:timestamp"), p)
+  }
+
+  test("dimension joins broadcast (no shuffle of the big fact side for dims)") {
+    val p = plan(SparkEntry.queries("q2_revenue_by_nation")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("generation plan is a single shuffle-free projection over range") {
+    val cfg = ConfigParser.parseYaml(
+      """
+        |random_seed: 42
+        |models:
+        |  m:
+        |    rows_count: 100000
+        |    columns:
+        |      - { name: id, type: uuid }
+        |      - { name: v, type: integer, distinct_percentage: 1, type_params: { to: 1000000 } }
+        |      - { name: name, type: string, type_params: { logical_type: first_name } }
+        |      - { name: fk, type: integer, values: [1, 2, 3], null_percentage: 0.1 }
+        |""".stripMargin)
+    val df = Engine.modelFrame(spark, cfg, cfg.model("m"))
+    val p = plan(df)
+    assert(!p.contains("Exchange"), s"generation must not shuffle:\n$p")
+    // whole-stage codegen active: operators carry a [codegen id : n] tag
+    assert(p.contains("codegen id"), s"generation must stay in codegen:\n$p")
+    assert(p.contains("Range"), p)
+  }
+
+  test("brute-force knn broadcasts the small query side") {
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val p = plan(graft.operators.Similarity.bruteForceKnn(
+      embs, embs.limit(5), "vec_id", "embedding", 3))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("exact dedup is one partial-aggregated shuffle") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = plan(graft.operators.Dedup.exact(docs, "doc_id", "text"))
+    // partial agg before the exchange (map-side combine), final after;
+    // the tree + detail sections each name the single Exchange once
+    assert(p.contains("HashAggregate"), p)
+    assert(p.split("Exchange", -1).length <= 3, s"expected exactly one shuffle:\n$p")
+  }
+}

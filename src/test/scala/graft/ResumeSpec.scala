@@ -1,0 +1,81 @@
+package graft
+
+import graft.config.ConfigParser
+import graft.engine.{Engine, Output}
+
+/** End-to-end continue/force semantics over real file output (reference
+  * `output/general/test/unit_test.go:70-171`, fixture F5): an interrupted run
+  * resumed with `--continue` lands on exactly the full dataset; `--force`
+  * wipes conflicting output. */
+class ResumeSpec extends SparkSuite {
+
+  private def cfgYaml(dir: String, generateTo: Option[Long]): String =
+    s"""
+       |random_seed: 42
+       |output: { type: parquet, dir: $dir }
+       |models:
+       |  m:
+       |    rows_count: 1000
+       |${generateTo.map(t => s"    generate_to: $t").getOrElse("")}
+       |    columns:
+       |      - { name: id, type: integer, type_params: { bit_width: 64, from: 0, to: 999 }, ordered: true, distinct_percentage: 1 }
+       |      - { name: u, type: uuid }
+       |      - { name: grp, type: integer, values: [1, 2, 3] }
+       |""".stripMargin
+
+  test("continue generation resumes to the exact full dataset") {
+    val dir = java.nio.file.Files.createTempDirectory("resume").toString
+    // partial run: first 400 rows
+    Engine.run(spark, ConfigParser.parseYaml(cfgYaml(dir, Some(400L))))
+    assert(spark.read.parquet(s"$dir/m").count() == 400)
+    // resume: recompute generate_from from committed output, append the rest
+    val full = ConfigParser.parseYaml(cfgYaml(dir, None))
+    val resumed = Engine.resumedConfig(spark, full)
+    assert(resumed.model("m").generateFrom == 400)
+    Engine.run(spark, resumed, resume = true)
+    val got = spark.read.parquet(s"$dir/m")
+    assert(got.count() == 1000)
+    // content identical to a clean full run
+    val cleanDir = java.nio.file.Files.createTempDirectory("clean").toString
+    Engine.run(spark, ConfigParser.parseYaml(cfgYaml(cleanDir, None)))
+    val clean = spark.read.parquet(s"$cleanDir/m")
+    assert(got.orderBy("id").collect().toSeq == clean.orderBy("id").collect().toSeq)
+    // resuming a complete run writes nothing more
+    val again = Engine.resumedConfig(spark, full)
+    assert(again.model("m").generateFrom == 1000)
+    Engine.run(spark, again, resume = true)
+    assert(spark.read.parquet(s"$dir/m").count() == 1000)
+  }
+
+  test("force wipes conflicting output; without force it refuses") {
+    val dir = java.nio.file.Files.createTempDirectory("force").toString
+    val cfg = ConfigParser.parseYaml(cfgYaml(dir, None))
+    Engine.run(spark, cfg)
+    intercept[IllegalStateException] { Engine.run(spark, cfg) }
+    Engine.run(spark, cfg, force = true)
+    assert(spark.read.parquet(s"$dir/m").count() == 1000)
+  }
+
+  test("hive-partitioned write produces partition dirs readable back") {
+    val dir = java.nio.file.Files.createTempDirectory("part").toString
+    val yaml =
+      s"""
+         |random_seed: 42
+         |output: { type: parquet, dir: $dir }
+         |models:
+         |  m:
+         |    rows_count: 1000
+         |    columns:
+         |      - { name: v, type: integer, type_params: { bit_width: 64 } }
+         |      - { name: grp, type: integer, values: [1, 2, 3] }
+         |    partition_columns:
+         |      - { name: grp }
+         |""".stripMargin
+    Engine.run(spark, ConfigParser.parseYaml(yaml))
+    val dirs = new java.io.File(s"$dir/m").listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("grp=1", "grp=2", "grp=3"))
+    val back = spark.read.parquet(s"$dir/m")
+    assert(back.count() == 1000)
+    assert(back.select("grp").distinct().count() == 3)
+  }
+}
