@@ -181,6 +181,52 @@ object Kernels {
     c
   }
 
+  /** Java-regex \s equivalence for the tokenizers: space, \t, \n, \x0B (VT),
+    * \f, \r — matching both Spark's `split(_, "\\s+")` and DuckDB/RE2 `\s`. */
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Sorted distinct word n-grams of a text in ONE pass.
+    *
+    * Semantics identical to `sort_array(array_distinct(transform(split(
+    * trim(text), "\\s+"), ...)))` — but that HOF formulation re-evaluates the
+    * `split` expression per element (the lambda body references the outer
+    * expression), making it O(tokens^2) per document. This kernel tokenizes
+    * once. Sort order = UTF8String binary order (same as sort_array). */
+  def wordNgramsSorted(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString.trim
+    // tokenize (Java \s+ split of trimmed text; empty text -> one empty token,
+    // which yields no n-grams for n > 1, matching the HOF/SQL behavior)
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && isWs(s.charAt(i))) i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && !isWs(s.charAt(i))) i += 1
+        toks.add(s.substring(start, i))
+      }
+    }
+    val m = toks.size()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val set = new java.util.TreeSet[UTF8String]()
+    val sb = new java.lang.StringBuilder(64)
+    var t = 0
+    while (t <= m - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks.get(t + k))
+        k += 1
+      }
+      set.add(UTF8String.fromString(sb.toString))
+      t += 1
+    }
+    new GenericArrayData(set.toArray())
+  }
+
   /** Fused Jaccard over two SORTED DISTINCT string arrays:
     * |A∩B| / (|A| + |B| - |A∩B|), all in one pass. One kernel call per pair —
     * Catalyst pushes pair filters into join conditions and would otherwise
@@ -222,6 +268,9 @@ object Kernels {
 
   def jaccardSortedCol(a: Column, b: Column): Column =
     call(DoubleType, "jaccardSorted", a, b)
+
+  def wordNgramsSortedCol(text: Column, n: Int): Column =
+    call(ArrayType(StringType, containsNull = false), "wordNgramsSorted", text, lit(n))
 
   def cosineQCol(a: Column, na: Column, b: Column, nb: Column): Column =
     call(DoubleType, "cosineQ", a, na, b, nb)

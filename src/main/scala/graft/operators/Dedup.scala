@@ -33,7 +33,7 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String, numHashes: Int): DataFrame = {
     val sigCols = (0 until numHashes).map(j => col("sig").getItem(j).as(s"mh$j"))
     docs
-      .select(col(idCol), TextFns.wordNgrams(col(textCol), 3).as("grams"))
+      .select(col(idCol), Kernels.wordNgramsSortedCol(col(textCol), 3).as("grams"))
       .select(col(idCol), Kernels.minhashSigCol(col("grams"), numHashes).as("sig"))
       .select((col(idCol) +: sigCols): _*)
   }
@@ -105,7 +105,7 @@ object Dedup {
     val prepared = docs.select(
       col(idCol), col(langCol).as("lang"),
       floor(length(col(textCol)) / lenBucket).as("len_bucket"),
-      sort_array(TextFns.wordNgrams(col(textCol), n)).as("grams"))
+      Kernels.wordNgramsSortedCol(col(textCol), n).as("grams"))
     val a = prepared.as("a")
     val b = (if (broadcastRight) broadcast(prepared) else prepared).as("b")
     // fused |A∩B|/(|A|+|B|-|A∩B|) kernel: Catalyst pushes the threshold into
