@@ -54,6 +54,20 @@ object Main {
           sys.exit(1)
       }
 
+    case "generate-config" :: mode :: in :: out :: Nil =>
+      val spark = buildSession("graft-config")
+      spark.sparkContext.setLogLevel("ERROR")
+      try {
+        val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(in)), "UTF-8")
+        val yaml = mode match {
+          case "sql-query" => graft.config.ConfigAuthoring.fromDdl(spark, text)
+          case "data-sample" => graft.config.ConfigAuthoring.fromSample(spark, in)
+          case other => sys.error(s"unknown generate-config mode $other (sql-query | data-sample)")
+        }
+        java.nio.file.Files.write(java.nio.file.Paths.get(out), yaml.getBytes("UTF-8"))
+        println(s"wrote $out")
+      } finally spark.stop()
+
     case "serve" :: rest =>
       val port = rest.headOption.map(_.toInt).getOrElse(8080)
       val spark = buildSession("graft-serve")

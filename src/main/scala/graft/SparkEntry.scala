@@ -180,6 +180,32 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "q11_events_hourly_stream" -> ((s, dir) => {
+      // the SAME hourly aggregation as q8, but executed through Structured
+      // Streaming (readStream -> watermark -> windowed agg -> memory sink);
+      // hash-checked against the same DuckDB oracle — streaming == batch
+      val tmp = java.nio.file.Files.createTempDirectory("events_stream").toString
+      events(s, dir).write.mode("overwrite").parquet(tmp)
+      graft.streaming.EventStream.runHourlyBatchOverStream(s, tmp, s"evs_${System.nanoTime()}")
+        .select(
+          col("window_start").as("hour"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
+    "q12_rollup_order_stats" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          (sum(cents(col("o_totalprice"))).cast("double") / 100.0).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n_orders"), col("total"))
+        .orderBy(col("status"), col("priority"))
+    }),
+
     "q10_active_buyers_intersect" -> ((s, dir) => {
       val ev = events(s, dir)
       ev.filter(col("event_type") === "click").select(col("user_id"))
@@ -376,6 +402,19 @@ object SparkEntry {
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(json_extract_string(props, '$.k')) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q11_events_hourly_stream" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q12_rollup_order_stats" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |  coalesce(o_orderpriority, '(all)') AS priority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
 
     "q10_active_buyers_intersect" ->
       """SELECT user_id FROM events WHERE event_type = 'click'

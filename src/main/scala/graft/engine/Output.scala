@@ -62,6 +62,14 @@ object Output {
             .option("compression", o.compression)
             .option("maxRecordsPerFile", model.rowsPerFile)
             .mode(SaveMode.Append)
+          // per-column encoding config (best-effort, SURVEY §7: parquet-mr
+          // picks concrete encodings; dictionary on/off is controllable)
+          model.columns.flatMap(c => c.parquet.map(c.name -> _)).foreach { case (name, p) =>
+            if (p.encoding.nonEmpty) {
+              val dict = p.encoding.toUpperCase.contains("DICT")
+              w = w.option(s"parquet.enable.dictionary#$name", dict.toString)
+            }
+          }
           if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
           w.parquet(modelPath(cfg, model))
         } finally prev match {

@@ -32,7 +32,9 @@ object EventStream {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        // fixed-point cents (exact, order-independent, engine-portable sums)
+        (sum(floor(col("value") * 100 + lit(0.5)).cast("long")).cast("double") / 100.0)
+          .as("sum_value"))
       .select(
         col("w.start").as("window_start"), col("event_type"), col("n_events"), col("sum_value"))
 
