@@ -31,10 +31,12 @@ object Bench {
          |    columns:
          |$cols
          |""".stripMargin)
-    val secs = time {
-      Engine.modelFrame(spark, cfg, cfg.model("bench"))
-        .write.format("noop").mode(SaveMode.Overwrite).save()
-    }
+    val secs = (1 to 2).map { _ =>
+      time {
+        Engine.modelFrame(spark, cfg, cfg.model("bench"))
+          .write.format("noop").mode(SaveMode.Overwrite).save()
+      }
+    }.min
     rows / secs
   }
 
@@ -53,11 +55,15 @@ object Bench {
     // JIT/codegen warmup on a trivial action
     spark.range(1000000).selectExpr("sum(id)").collect()
 
+    // min of two runs: first run pays codegen+JIT, min reports steady state
+    // (mirrors the reference's `-count=2` bench policy, BASELINE.md)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val secs = time {
-        try fn(spark, sfDir).write.format("noop").mode(SaveMode.Overwrite).save()
-        catch { case _: Throwable => () }
-      }
+      val secs = (1 to 2).map { _ =>
+        time {
+          try fn(spark, sfDir).write.format("noop").mode(SaveMode.Overwrite).save()
+          catch { case _: Throwable => () }
+        }
+      }.min
       name -> secs
     }
 
