@@ -46,8 +46,20 @@ object Output {
     Files.deleteIfExists(p)
   }
 
-  def writeModel(spark: SparkSession, cfg: GenerationConfig, model: ModelConfig, df: DataFrame): Unit = {
-    val partitionCols = model.partitionColumns.map(_.name)
+  /** Shadow-column prefix for `write_to_output: true` partition columns:
+    * Spark's `partitionBy` always removes partition columns from file
+    * payloads, but the reference keeps them in BOTH the hive directory and
+    * the file (`model_writer.go:167-233` + `PartitionColumn.WriteToOutput`).
+    * We partition by a prefixed duplicate and rename the directories after
+    * commit, so payload and directory layout both match. */
+  private val ShadowPrefix = "__p_"
+
+  def writeModel(spark: SparkSession, cfg: GenerationConfig, model: ModelConfig, df0: DataFrame): Unit = {
+    val written = model.partitionColumns.filter(_.writeToOutput).map(_.name)
+    val df = written.foldLeft(df0)((acc, n) =>
+      acc.withColumn(s"$ShadowPrefix$n", org.apache.spark.sql.functions.col(n)))
+    val partitionCols = model.partitionColumns.map(pc =>
+      if (pc.writeToOutput) s"$ShadowPrefix${pc.name}" else pc.name)
     cfg.output match {
       case _: DevNullOutput =>
         df.write.format("noop").mode(SaveMode.Overwrite).save()
@@ -76,6 +88,7 @@ object Output {
           case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
           case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
         }
+        renameShadowPartitionDirs(spark, modelPath(cfg, model))
         writeCheckpoint(cfg, model)
 
       case o: CsvOutput =>
@@ -100,11 +113,35 @@ object Output {
           w = w.option("timestampFormat", o.datetimeFormat)
         if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
         w.csv(modelPath(cfg, model))
+        renameShadowPartitionDirs(spark, modelPath(cfg, model))
         writeCheckpoint(cfg, model)
 
       case o: HttpOutput =>
         HttpSink.write(df, model.name, o)
     }
+  }
+
+  /** Post-commit rename of `__p_col=v` hive dirs to `col=v` (recursively; a
+    * dir level per partition column). Uses the Hadoop FileSystem API so it
+    * works on any supported filesystem (rename is O(1) on HDFS/local;
+    * copy-based on object stores — a documented cost of write_to_output). */
+  private def renameShadowPartitionDirs(spark: SparkSession, root: String): Unit = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(root)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hadoopPath)) return
+    def walk(p: org.apache.hadoop.fs.Path): Unit = {
+      fs.listStatus(p).filter(_.isDirectory).foreach { st =>
+        val name = st.getPath.getName
+        val target =
+          if (name.startsWith(ShadowPrefix)) {
+            val renamed = new org.apache.hadoop.fs.Path(p, name.stripPrefix(ShadowPrefix))
+            fs.rename(st.getPath, renamed)
+            renamed
+          } else st.getPath
+        walk(target)
+      }
+    }
+    walk(hadoopPath)
   }
 
   /** Rows already committed for `model` (resume support). */

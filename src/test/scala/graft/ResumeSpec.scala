@@ -56,6 +56,32 @@ class ResumeSpec extends SparkSuite {
     assert(spark.read.parquet(s"$dir/m").count() == 1000)
   }
 
+  test("write_to_output: true keeps the column in BOTH dirs and payload (F5)") {
+    val dir = java.nio.file.Files.createTempDirectory("wto").toString
+    val yaml =
+      s"""
+         |random_seed: 42
+         |output: { type: parquet, dir: $dir }
+         |models:
+         |  m:
+         |    rows_count: 300
+         |    columns:
+         |      - { name: v, type: integer, type_params: { bit_width: 64 } }
+         |      - { name: grp, type: integer, values: [1, 2, 3] }
+         |    partition_columns:
+         |      - { name: grp, write_to_output: true }
+         |""".stripMargin
+    Engine.run(spark, ConfigParser.parseYaml(yaml))
+    val dirs = new java.io.File(s"$dir/m").listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("grp=1", "grp=2", "grp=3"), dirs.toSeq)
+    // the payload files themselves still contain the column
+    val oneFile = new java.io.File(s"$dir/m/grp=1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val payload = spark.read.parquet(oneFile.toString)
+    assert(payload.columns.contains("grp"), payload.columns.toSeq)
+    assert(payload.select("grp").distinct().collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("hive-partitioned write produces partition dirs readable back") {
     val dir = java.nio.file.Files.createTempDirectory("part").toString
     val yaml =
