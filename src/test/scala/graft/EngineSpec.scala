@@ -253,6 +253,28 @@ class EngineSpec extends SparkSuite {
     assert(df1.collect().toSeq == df32.collect().toSeq)
   }
 
+  test("partition-count invariance across the full column matrix") {
+    // ranges + FK + nulls + strings: content must not depend on parallelism
+    val yaml =
+      s"""
+         |random_seed: $seed
+         |models:
+         |  test:
+         |    rows_count: 500
+         |    columns:
+         |      - { name: a, type: integer, ranges: [ { type_params: { from: 0, to: 9 } }, { values: [99] } ] }
+         |      - { name: b, type: string, type_params: { logical_type: text, min_length: 10, max_length: 20 } }
+         |      - { name: c, type: datetime, null_percentage: 0.2 }
+         |      - { name: d, type: float, ordered: true }
+         |""".stripMargin
+    val cfg = ConfigParser.parseYaml(yaml)
+    val plans = graft.gen.Planner.planModel(cfg, cfg.model("test"))
+    def run(parts: Int) = spark.range(0, 500, 1, parts)
+      .select(plans.map(_.expr(org.apache.spark.sql.functions.col("id"))): _*)
+      .collect().toSeq
+    assert(run(1) == run(7) && run(7) == run(32))
+  }
+
   test("seed 0 gives non-idempotent runs") {
     val yaml = oneCol("uuid").replace(s"random_seed: $seed", "random_seed: 0")
     val a = collectCol(yaml)
