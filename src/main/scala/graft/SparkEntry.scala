@@ -518,6 +518,45 @@ object SparkEntry {
         |SELECT query_id, rank, neighbor_id, cosine FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    "knn_lsh" ->
+      """WITH w AS (
+        |  SELECT h.range AS h, d.range AS d,
+        |    CASE WHEN ('0x' || substr(md5('lsh:42:' || h.range || ':' || d.range), 1, 15))::BIGINT & 1 = 1
+        |         THEN 1 ELSE -1 END AS wt
+        |  FROM range(0, 8) h, range(0, 64) d
+        |), q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, qv, list_sum([x*x FOR x IN qv]) AS n2 FROM q
+        |), dots AS (
+        |  SELECT q.vec_id, w.h, sum(w.wt * q.qv[w.d + 1]) AS dot
+        |  FROM q CROSS JOIN w GROUP BY q.vec_id, w.h
+        |), sigs AS (
+        |  SELECT vec_id, CAST(sum(CASE WHEN dot > 0 THEN 1 << h ELSE 0 END) AS BIGINT) AS sig
+        |  FROM dots GROUP BY vec_id
+        |), probes AS (
+        |  SELECT vec_id, sig AS probe FROM sigs WHERE vec_id < 20
+        |  UNION ALL
+        |  SELECT s.vec_id, xor(s.sig, CAST(1 << h.range AS BIGINT)) AS probe
+        |  FROM sigs s CROSS JOIN range(0, 8) h WHERE s.vec_id < 20
+        |), cand AS (
+        |  SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM probes p JOIN sigs c ON c.sig = p.probe AND c.vec_id != p.vec_id
+        |), scored AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |    CAST(list_sum([a.qv[i] * b.qv[i] FOR i IN range(1, len(a.qv) + 1)]) AS DOUBLE)
+        |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+        |  FROM cand
+        |  JOIN n a ON a.vec_id = cand.query_id
+        |  JOIN n b ON b.vec_id = cand.neighbor_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "text_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
@@ -584,6 +623,15 @@ object SparkEntry {
         |  lower(hex(encode(substr(text, 1, 4)))) AS magic,
         |  sha256(text) AS sha256
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_decode_stub" ->
+      """SELECT doc_id,
+        |  CAST(64 + h % 512 AS INT) AS width,
+        |  CAST(64 + (h >> 16) % 512 AS INT) AS height,
+        |  3 AS channels
+        |FROM (
+        |  SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "gen_integer_seq" ->
       "SELECT CAST(range AS BIGINT) AS v FROM range(0, 10000) ORDER BY v",

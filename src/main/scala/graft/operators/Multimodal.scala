@@ -38,14 +38,20 @@ object Multimodal {
     StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
 
   /** Deterministic fake decoder: dimensions + an 8-dim feature vector derived
-    * from the payload bytes. Replace with a real codec at the `???` boundary
-    * in production. */
+    * from an md5 of the payload bytes (md5 so an external engine can verify
+    * the plumbing end-to-end: width = 64 + hash%512 is plain SQL over
+    * md5(payload)). Replace with a real codec at this boundary in production. */
   private[operators] def fakeDecode(id: Long, payload: Array[Byte]): Row = {
-    var h = 1125899906842597L
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(payload)
+    // hex chars 1..15 as a non-negative long — same formulation as the text
+    // hash kernels (equals ('0x'||substr(md5(payload),1,15))::BIGINT)
+    var h = 0L
     var i = 0
-    while (i < payload.length) { h = 31 * h + (payload(i) & 0xff); i += 1 }
-    val width = 64 + math.floorMod(h, 512).toInt
-    val height = 64 + math.floorMod(h >> 16, 512).toInt
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h = (h << 4) | ((d(7) & 0xf0L) >> 4)
+    val width = 64 + (h % 512).toInt
+    val height = 64 + ((h >> 16) % 512).toInt
     val features = Array.tabulate(8)(k =>
       (math.floorMod(graft.rng.Rng.mix64(h + k), 2000L) / 1000.0f - 1.0f))
     Row(id, width, height, 3, features.toSeq)

@@ -45,14 +45,27 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** ±1 hyperplane weight for (seed, plane, dim): bit 0 of the md5-derived
+    * 60-bit hash of "lsh:seed:h:d" — deterministic on any cluster AND
+    * expressible in plain SQL (`('0x'||substr(md5(...),1,15))::BIGINT & 1`),
+    * so LSH bucketing itself is oracle-checkable. */
+  def hyperplaneWeight(seed: Long, h: Int, d: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dig = md.digest(s"lsh:$seed:$h:$d".getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+    v = (v << 4) | ((dig(7) & 0xf0L) >> 4)
+    if ((v & 1L) == 1L) 1L else -1L
+  }
+
   /** Deterministic random-hyperplane signature: bit h = sign of the dot
-    * product with a ±1 hyperplane derived from (seed, h, dim). */
+    * product with a ±1 hyperplane derived from (seed, h, dim). Weights are
+    * driver-computed literals — pure config, nothing shipped. */
   def lshSignature(vec: Column, planes: Int, seed: Long, dims: Int): Column = {
     val qv = VectorFns.quantize(vec)
     (0 until planes).map { h =>
-      val weights = array((0 until dims).map { d =>
-        lit(if (Rng.randomLong(seed + h, d.toLong) >= 0) 1L else -1L)
-      }: _*)
+      val weights = array((0 until dims).map(d => lit(hyperplaneWeight(seed, h, d))): _*)
       val dot = VectorFns.dotQ(qv, weights)
       when(dot > 0, lit(1L << h)).otherwise(lit(0L))
     }.reduce(_ + _)
