@@ -438,6 +438,30 @@ object Values {
     org.apache.spark.unsafe.types.UTF8String.fromString(out)
   }
 
-  def uuidStringU(number: Double, total: Double): org.apache.spark.unsafe.types.UTF8String =
-    org.apache.spark.unsafe.types.UTF8String.fromString(uuidString(number, total))
+  private val HexDigits = "0123456789abcdef".getBytes("US-ASCII")
+
+  /** uuid as UTF8String built byte-level (canonical text is pure ASCII, so
+    * the UTF-16 String + re-encode round-trip is skipped on the hot path).
+    * Same value as [[uuidString]]. */
+  def uuidStringU(number: Double, total: Double): org.apache.spark.unsafe.types.UTF8String = {
+    val out = new Array[Byte](36)
+    var index = number / total
+    var i = 0
+    var pos = 0
+    while (i < 16) {
+      val floatPos = 255.0 * index
+      val intPos = math.floor(floatPos)
+      index = floatPos - intPos
+      if (index < 0) index = 0
+      var b = intPos.toInt
+      if (i == 6) b = (b & 0x0f) | 0x40
+      else if (i == 8) b = (b & 0x3f) | 0x80
+      if (i == 4 || i == 6 || i == 8 || i == 10) { out(pos) = '-'; pos += 1 }
+      out(pos) = HexDigits((b >> 4) & 0xf)
+      out(pos + 1) = HexDigits(b & 0xf)
+      pos += 2
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(out)
+  }
 }

@@ -76,7 +76,7 @@ object Dedup {
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       bits: Int = 32, maxHamming: Int = 3, broadcastRight: Boolean = false): DataFrame = {
-    val fp = simhash(docs, idCol, textCol, bits).cache()
+    val fp = simhash(docs, idCol, textCol, bits)
     val numBands = 4
     val bandBits = bits / numBands
     val mask = (1L << bandBits) - 1
