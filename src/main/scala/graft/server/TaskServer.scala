@@ -79,6 +79,10 @@ object TaskServer {
           pool.submit(new Runnable {
             def run(): Unit =
               try {
+                // job-group = task id so /status can read live progress from
+                // the status tracker (the reference polls per-model progress
+                // counters — `handlers.go:131-183`)
+                spark.sparkContext.setJobGroup(id, s"graft task $id", interruptOnCancel = true)
                 val counts = Engine.run(spark, cfg, force = true)
                 task.message = counts.map { case (m, n) => s""""$m":$n""" }.mkString("{", ",", "}")
                 task.state = "done"
@@ -86,7 +90,10 @@ object TaskServer {
                 case e: Exception =>
                   task.message = "\"" + String.valueOf(e.getMessage).replace("\"", "'") + "\""
                   task.state = "failed"
-              } finally task.finishedAt = System.currentTimeMillis()
+              } finally {
+                spark.sparkContext.clearJobGroup()
+                task.finishedAt = System.currentTimeMillis()
+              }
           })
           respond(ex, 200, s"""{"task_id":"$id"}""")
         }
@@ -100,7 +107,19 @@ object TaskServer {
       Option(tasks.get(id)) match {
         case None => respond(ex, 404, """{"error":"task not found"}""")
         case Some(t) =>
-          respond(ex, 200, s"""{"task_id":"${t.id}","state":"${t.state}","result":${
+          // live progress: completed/total Spark tasks across the task's jobs
+          val progress =
+            if (t.state != "running") 1.0
+            else {
+              val tracker = spark.sparkContext.statusTracker
+              val jobs = tracker.getJobIdsForGroup(t.id)
+              val infos = jobs.flatMap(j => tracker.getJobInfo(j))
+                .flatMap(_.stageIds().flatMap(sid => tracker.getStageInfo(sid)))
+              val total = infos.map(_.numTasks()).sum
+              val done = infos.map(_.numCompletedTasks()).sum
+              if (total == 0) 0.0 else done.toDouble / total
+            }
+          respond(ex, 200, f"""{"task_id":"${t.id}","state":"${t.state}","progress":$progress%.3f,"result":${
             if (t.message.isEmpty) "null" else t.message}}""")
       }
     })
