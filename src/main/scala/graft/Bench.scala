@@ -31,7 +31,7 @@ object Bench {
          |    columns:
          |$cols
          |""".stripMargin)
-    val secs = (1 to 2).map { _ =>
+    val secs = (1 to 3).map { _ =>
       time {
         Engine.modelFrame(spark, cfg, cfg.model("bench"))
           .write.format("noop").mode(SaveMode.Overwrite).save()
@@ -55,10 +55,12 @@ object Bench {
     // JIT/codegen warmup on a trivial action
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    // min of two runs: first run pays codegen+JIT, min reports steady state
-    // (mirrors the reference's `-count=2` bench policy, BASELINE.md)
+    // min of three runs: first run pays codegen+JIT, min reports steady state
+    // (reference uses `-count=2`, BASELINE.md; one extra sample hardens the
+    // number against transient machine contention, which on this box can
+    // inflate a single run by >10x)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val secs = (1 to 2).map { _ =>
+      val secs = (1 to 3).map { _ =>
         time {
           try fn(spark, sfDir).write.format("noop").mode(SaveMode.Overwrite).save()
           catch { case _: Throwable => () }

@@ -182,11 +182,11 @@ object SparkEntry {
 
     "q11_events_hourly_stream" -> ((s, dir) => {
       // the SAME hourly aggregation as q8, but executed through Structured
-      // Streaming (readStream -> watermark -> windowed agg -> memory sink);
+      // Streaming (readStream -> watermark -> windowed agg -> memory sink)
+      // directly over the raw nanos parquet — no temp rewrite of the source;
       // hash-checked against the same DuckDB oracle — streaming == batch
-      val tmp = java.nio.file.Files.createTempDirectory("events_stream").toString
-      events(s, dir).write.mode("overwrite").parquet(tmp)
-      graft.streaming.EventStream.runHourlyBatchOverStream(s, tmp, s"evs_${System.nanoTime()}")
+      graft.streaming.EventStream
+        .runHourlyOverRawEvents(s, s"$dir/events.parquet", s"evs_${System.nanoTime()}")
         .select(
           col("window_start").as("hour"), col("event_type"),
           col("n_events"), col("sum_value"))
@@ -242,6 +242,25 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "dedup_ngram_jaccard_prefix" -> ((s, dir) => {
+      // the 100 TB path: identical semantics to dedup_ngram_jaccard (shares
+      // its oracle SQL verbatim) but candidates come from the prefix-filter
+      // inverted index instead of all in-block pairs
+      Dedup.ngramJaccardPairsPrefix(
+        spread(t(s, dir, "documents")), "doc_id", "text", "lang",
+        n = 3, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "dedup_clusters" -> ((s, dir) => {
+      // pairwise dup evidence -> canonical cluster ids (min reachable id)
+      Dedup.connectedComponents(
+        Dedup.minhashPairs(spread(t(s, dir, "documents")), "doc_id", "text",
+          numHashes = 4, bandSize = 2, broadcastRight = true),
+        "id_a", "id_b")
+        .orderBy(col("id"))
+    }),
+
     "dedup_embedding_cosine" -> ((s, dir) => {
       Dedup.embeddingNearDupBrute(spread(t(s, dir, "embeddings")), "vec_id", "embedding", 0.4,
         broadcastRight = true)
@@ -258,6 +277,12 @@ object SparkEntry {
     "knn_lsh" -> ((s, dir) => {
       val embs = spread(t(s, dir, "embeddings"))
       Similarity.lshKnn(embs, embs.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "knn_ivf" -> ((s, dir) => {
+      val embs = spread(t(s, dir, "embeddings"))
+      Similarity.ivfKnn(embs, embs.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -286,6 +311,17 @@ object SparkEntry {
 
     "text_fingerprint" -> ((s, dir) => {
       TextAnalysis.withFingerprint(spread(t(s, dir, "documents")), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_topk_ngrams" -> ((s, dir) => {
+      TextAnalysis.topkNgrams(spread(t(s, dir, "documents")), "text", n = 3, k = 20)
+    }),
+
+    "text_pii_redact" -> ((s, dir) => {
+      TextAnalysis.withPiiRedaction(spread(t(s, dir, "documents")), "doc_id", "text")
+        .select(col("doc_id"), col("n_emails").cast("long").as("n_emails"),
+          col("n_numbers").cast("long").as("n_numbers"), col("redacted"))
         .orderBy(col("doc_id"))
     }),
 
@@ -486,6 +522,49 @@ object SparkEntry {
         |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
 
+    // same semantics as dedup_ngram_jaccard — the prefix-filter path must
+    // produce the identical pair set, so it shares the oracle verbatim
+    "dedup_ngram_jaccard_prefix" ->
+      """WITH prepared AS (
+        |  SELECT doc_id, lang, CAST(floor(length(text) / 100) AS BIGINT) AS len_bucket,
+        |    list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS grams
+        |  FROM (SELECT doc_id, lang, text, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+        |)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) AS jaccard
+        |  FROM prepared a JOIN prepared b
+        |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS grams
+        |  FROM toks
+        |), sig AS (
+        |  SELECT doc_id,
+        |    list_min([('0x' || substr(md5('0:' || g), 1, 15))::BIGINT FOR g IN grams]) AS mh0,
+        |    list_min([('0x' || substr(md5('0:' || g), 16, 15))::BIGINT FOR g IN grams]) AS mh1,
+        |    list_min([('0x' || substr(md5('1:' || g), 1, 15))::BIGINT FOR g IN grams]) AS mh2,
+        |    list_min([('0x' || substr(md5('1:' || g), 16, 15))::BIGINT FOR g IN grams]) AS mh3
+        |  FROM sh
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+        |    (a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))
+        |), edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs
+        |), reach(u, r) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT e.u, r.r FROM edges e JOIN reach r ON r.u = e.v
+        |)
+        |SELECT u AS id, least(u, min(r)) AS component FROM reach GROUP BY u ORDER BY id""".stripMargin,
+
     "dedup_embedding_cosine" ->
       """WITH q AS (
         |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
@@ -556,6 +635,63 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, cosine FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "knn_ivf" ->
+      """WITH w AS (
+        |  SELECT c.range AS c, d.range AS d,
+        |    ('0x' || substr(md5('ivf:42:' || c.range || ':' || d.range), 1, 15))::BIGINT % 2001 - 1000 AS wt
+        |  FROM range(0, 16) c, range(0, 64) d
+        |), q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, qv, list_sum([x*x FOR x IN qv]) AS n2 FROM q
+        |), dots AS (
+        |  SELECT q.vec_id, w.c, sum(w.wt * q.qv[w.d + 1]) AS dot
+        |  FROM q CROSS JOIN w GROUP BY q.vec_id, w.c
+        |), ranked_cells AS (
+        |  SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS cr
+        |  FROM dots
+        |), assign AS (
+        |  SELECT vec_id, c AS cell FROM ranked_cells WHERE cr = 1
+        |), probes AS (
+        |  SELECT vec_id, c AS cell FROM ranked_cells WHERE cr <= 4 AND vec_id < 20
+        |), cand AS (
+        |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+        |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id != p.vec_id
+        |), scored AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |    CAST(list_sum([a.qv[i] * b.qv[i] FOR i IN range(1, len(a.qv) + 1)]) AS DOUBLE)
+        |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+        |  FROM cand
+        |  JOIN n a ON a.vec_id = cand.query_id
+        |  JOIN n b ON b.vec_id = cand.neighbor_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "text_topk_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)])) AS gram
+        |  FROM toks
+        |)
+        |SELECT gram, count(*) AS doc_freq FROM g
+        |GROUP BY gram ORDER BY doc_freq DESC, gram LIMIT 20""".stripMargin,
+
+    "text_pii_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{7,}')) AS BIGINT) AS n_numbers,
+        |  regexp_replace(
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{7,}', '<NUM>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_token_stats" ->
       """SELECT doc_id,

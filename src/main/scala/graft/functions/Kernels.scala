@@ -227,6 +227,44 @@ object Kernels {
     new GenericArrayData(set.toArray())
   }
 
+  /** Prefix-filter prefix of a SORTED DISTINCT gram array for a Jaccard
+    * threshold `t`: the `|G| - ceil(t*|G|) + 1` grams that come first in the
+    * GLOBAL total order (md5-hash of the gram, ties by the gram itself).
+    *
+    * Losslessness (Chaudhuri et al. SSJoin / Bayardo et al. all-pairs): if
+    * Jaccard(A,B) >= t then |A∩B| >= ceil(t*max(|A|,|B|)), and two sets whose
+    * prefixes (under one global order) are disjoint can intersect in at most
+    * min(ceil(t|A|), ceil(t|B|)) - 1 elements — contradiction. So every
+    * qualifying pair shares at least one prefix gram, and an equi-join on
+    * prefix grams generates a candidate superset. The hash order is a
+    * data-independent stand-in for the classic rarest-first frequency order:
+    * no corpus-statistics pass, still deterministic and oracle-expressible. */
+  def jaccardPrefix(grams: ArrayData, threshold: Double): ArrayData = {
+    val n = grams.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val k = math.min(n - math.ceil(threshold * n).toInt + 1, n)
+    val hashes = new Array[Long](n)
+    val strs = new Array[UTF8String](n)
+    val idx = new Array[Integer](n)
+    var i = 0
+    while (i < n) {
+      strs(i) = grams.getUTF8String(i)
+      hashes(i) = loBits60(md5Bytes(strs(i).toString, -1))
+      idx(i) = i
+      i += 1
+    }
+    java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+      def compare(a: Integer, b: Integer): Int = {
+        val c = java.lang.Long.compare(hashes(a), hashes(b))
+        if (c != 0) c else strs(a).compareTo(strs(b))
+      }
+    })
+    val out = new Array[Any](k)
+    i = 0
+    while (i < k) { out(i) = strs(idx(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Fused Jaccard over two SORTED DISTINCT string arrays:
     * |A∩B| / (|A| + |B| - |A∩B|), all in one pass. One kernel call per pair —
     * Catalyst pushes pair filters into join conditions and would otherwise
@@ -268,6 +306,9 @@ object Kernels {
 
   def jaccardSortedCol(a: Column, b: Column): Column =
     call(DoubleType, "jaccardSorted", a, b)
+
+  def jaccardPrefixCol(grams: Column, threshold: Double): Column =
+    call(ArrayType(StringType, containsNull = false), "jaccardPrefix", grams, lit(threshold))
 
   def wordNgramsSortedCol(text: Column, n: Int): Column =
     call(ArrayType(StringType, containsNull = false), "wordNgramsSorted", text, lit(n))

@@ -106,18 +106,112 @@ object Dedup {
       col(idCol), col(langCol).as("lang"),
       floor(length(col(textCol)) / lenBucket).as("len_bucket"),
       Kernels.wordNgramsSortedCol(col(textCol), n).as("grams"))
+      .withColumn("n_grams", size(col("grams")))
     val a = prepared.as("a")
     val b = (if (broadcastRight) broadcast(prepared) else prepared).as("b")
-    // fused |A∩B|/(|A|+|B|-|A∩B|) kernel: Catalyst pushes the threshold into
-    // the join condition, so the per-pair work must be ONE call, not a
-    // composite expression it would re-evaluate per reference
+    // Lossless size prune BEFORE the merge kernel: Jaccard >= t forces
+    // min(|A|,|B|) >= t * max(|A|,|B|) — cheap long arithmetic that skips the
+    // O(|A|+|B|) string merge for most in-block pairs. The fused
+    // |A∩B|/(|A|+|B|-|A∩B|) kernel stays ONE call (Catalyst pushes the
+    // threshold into the join condition and would re-evaluate a composite
+    // expression per reference).
     a.join(b, col("a.lang") === col("b.lang")
         && col("a.len_bucket") === col("b.len_bucket")
-        && col(s"a.$idCol") < col(s"b.$idCol"))
+        && col(s"a.$idCol") < col(s"b.$idCol")
+        && least(col("a.n_grams"), col("b.n_grams")).cast("double")
+          >= lit(threshold) * greatest(col("a.n_grams"), col("b.n_grams")).cast("double"))
       .select(
         col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         Kernels.jaccardSortedCol(col("a.grams"), col("b.grams")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact prefix-filtered Jaccard pairs — the 100 TB shape for the same
+    * semantics as [[ngramJaccardPairs]] (identical output, same blocks, same
+    * threshold; a ScalaTest spec and a shared DuckDB oracle pin the
+    * equivalence).
+    *
+    * The blocked path compares all O(block²) in-block pairs — fine while
+    * blocks are small, quadratic when a language dominates a corpus (en-block
+    * pairs grew 91x for 10x docs on the test tables). This variant generates
+    * candidates by the classic prefix-filter inverted index (SSJoin /
+    * all-pairs, see [[Kernels.jaccardPrefix]]): each doc emits only the
+    * `|G| - ceil(t|G|) + 1` globally-first grams; docs sharing a prefix gram
+    * in the same block become candidates (equi-join on the gram — candidate
+    * count scales with gram-posting-list sizes, not block²), are deduped, and
+    * only then pay the exact merge-verify. Three shuffles, all equi-keyed:
+    * explode-join, pair distinct, verify join-back. */
+  def ngramJaccardPairsPrefix(
+      docs: DataFrame, idCol: String, textCol: String, langCol: String,
+      n: Int = 3, threshold: Double = 0.5, lenBucket: Int = 100): DataFrame = {
+    val prepared = docs.select(
+      col(idCol), col(langCol).as("lang"),
+      floor(length(col(textCol)) / lenBucket).as("len_bucket"),
+      Kernels.wordNgramsSortedCol(col(textCol), n).as("grams"))
+      .withColumn("n_grams", size(col("grams")))
+    val pref = prepared.select(
+      col(idCol), col("lang"), col("len_bucket"), col("n_grams"),
+      explode(Kernels.jaccardPrefixCol(col("grams"), threshold)).as("pg"))
+    val pa = pref.as("a")
+    val pb = pref.as("b")
+    val cand = pa.join(pb, col("a.pg") === col("b.pg")
+        && col("a.lang") === col("b.lang")
+        && col("a.len_bucket") === col("b.len_bucket")
+        && col(s"a.$idCol") < col(s"b.$idCol")
+        && least(col("a.n_grams"), col("b.n_grams")).cast("double")
+          >= lit(threshold) * greatest(col("a.n_grams"), col("b.n_grams")).cast("double"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val g = prepared.select(col(idCol), col("grams"))
+    cand
+      .join(g.as("ga"), col("id_a") === col(s"ga.$idCol"))
+      .join(g.as("gb"), col("id_b") === col(s"gb.$idCol"))
+      .select(col("id_a"), col("id_b"),
+        Kernels.jaccardSortedCol(col("ga.grams"), col("gb.grams")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Connected components over a near-dup pair list: assigns every doc id
+    * appearing in `pairs` the MINIMUM id reachable through the dup graph —
+    * the canonical "cluster id" step that turns pairwise dup evidence into
+    * keep/drop decisions.
+    *
+    * Algorithm: iterative min-label propagation (label(v) := min over
+    * neighborhood), converging in O(graph diameter) rounds — near-dup
+    * clusters are shallow (stars/cliques), so this settles in a handful of
+    * rounds. Each round is one equi-join + one map-side-combinable min
+    * aggregation; `localCheckpoint` truncates the growing lineage so round k
+    * does not replay rounds 0..k-1 (on a real cluster swap in
+    * `checkpoint()` against a reliable store). Convergence is detected by
+    * counting changed labels — deterministic, independent of partitioning. */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 30): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .union(pairs.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.groupBy(col("u").as("id"))
+      .agg(min(col("v")).as("mv"))
+      .select(col("id"), least(col("id"), col("mv")).as("component"))
+      .localCheckpoint()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val prop = edges.join(labels, edges("v") === labels("id"))
+        .groupBy(col("u")).agg(min(col("component")).as("ncomp"))
+      val next = labels.join(prop, labels("id") === prop("u"), "left")
+        .select(labels("id"),
+          least(labels("component"), coalesce(col("ncomp"), labels("component"))).as("component"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.component") =!= col("o.component"))
+        .isEmpty
+      labels = next
+      it += 1
+    }
+    labels
   }
 
   /** Embedding-cosine near-dup, brute-force: all pairs above `threshold`.

@@ -71,6 +71,78 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** Integer centroid weight for (seed, cell, dim) in [-1000, 1000]: derived
+    * from the 60-bit md5 hash of "ivf:seed:c:d" — deterministic on any
+    * cluster and oracle-expressible
+    * (`('0x'||substr(md5(...),1,15))::BIGINT % 2001 - 1000`). */
+  def centroidWeight(seed: Long, c: Int, d: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dig = md.digest(s"ivf:$seed:$c:$d".getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+    v = (v << 4) | ((dig(7) & 0xf0L) >> 4)
+    v % 2001L - 1000L
+  }
+
+  /** Exact integer dot of a quantized vector against centroid `c` —
+    * driver-computed literal weights, nothing shipped. */
+  private def centroidDot(qv: Column, seed: Long, c: Int, dims: Int): Column = {
+    val weights = array((0 until dims).map(d => lit(centroidWeight(seed, c, d))): _*)
+    VectorFns.dotQ(qv, weights)
+  }
+
+  /** Per-row cell ranking by centroid dot product: rank 0 = best cell (max
+    * dot, ties to the smallest cell id). Returns the top `take` cell ids. */
+  private def rankedCells(qv: Column, cells: Int, seed: Long, dims: Int, take: Int): Column = {
+    // sortable key: dot DESC then cell ASC, packed so array_sort gives the
+    // centroid ranking without a per-row loop in the driver
+    val keyed = array((0 until cells).map { c =>
+      struct((-centroidDot(qv, seed, c, dims)).as("negdot"), lit(c.toLong).as("cell"))
+    }: _*)
+    slice(transform(array_sort(keyed), e => e.getField("cell")), 1, take)
+  }
+
+  /** ANN via an IVF-style inverted file index: the embedding space is
+    * partitioned into `cells` Voronoi cells of deterministic pseudo-random
+    * integer centroids; every corpus vector is assigned to its best cell (one
+    * shuffle on the cell id — the "inverted file"), and a query scans only
+    * its `nprobe` best cells (equi-join on the cell id). The recall/cost knob
+    * is `nprobe`; candidate count scales with cell sizes, never corpus².
+    *
+    * This is the data-INDEPENDENT flavor (fixed centroids, no Lloyd
+    * iterations): assignment is a pure function of the vector, so the index
+    * needs no training pass, is reproducible on any cluster, and — unlike
+    * trained centroids — is exactly expressible in the DuckDB oracle. At
+    * 100 TB the cell assignment becomes the partition/bucket key of the
+    * stored index, making probes partition-pruned scans. */
+  def ivfKnn(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      cells: Int = 16, nprobe: Int = 4, seed: Long = 42L, dims: Int = 64): DataFrame = {
+    val prep = (df: DataFrame) =>
+      df.select(col(idCol), VectorFns.quantize(col(vecCol)).as("qv"))
+        .withColumn("n2", VectorFns.norm2Q(col("qv")))
+    val c = prep(corpus)
+      .withColumn("cell", element_at(rankedCells(col("qv"), cells, seed, dims, 1), 1))
+      .as("c")
+    val q = prep(queries)
+      .withColumn("cell", explode(rankedCells(col("qv"), cells, seed, dims, nprobe)))
+      .as("q")
+    val joined = q.join(c, col("q.cell") === col("c.cell")
+        && col(s"q.$idCol") =!= col(s"c.$idCol"))
+      .select(
+        col(s"q.$idCol").as("query_id"),
+        col(s"c.$idCol").as("neighbor_id"),
+        VectorFns.cosinePre(col("q.qv"), col("q.n2"), col("c.qv"), col("c.n2")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** ANN via LSH bucketing: compare only within matching signatures.
     * Multi-probe would raise recall further; here signature equality is the
     * bucket key (an equi-join — shuffle on the bucket, never a cross join). */

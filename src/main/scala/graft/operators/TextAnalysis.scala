@@ -50,4 +50,34 @@ object TextAnalysis {
 
   def withFingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), TextFns.fingerprint(col(textCol)).as("fingerprint"))
+
+  /** Corpus-wide top-k word n-grams by DOCUMENT frequency (each doc counts a
+    * gram once — `wordNgramsSorted` emits distinct grams per doc). Shape:
+    * explode -> hash-partial count (map-side combine absorbs the explosion
+    * before the single shuffle) -> global top-k. At 100 TB the shuffle
+    * carries one row per distinct (partition, gram), not per occurrence. */
+  def topkNgrams(docs: DataFrame, textCol: String, n: Int = 3, k: Int = 20): DataFrame =
+    docs
+      .select(explode(graft.functions.Kernels.wordNgramsSortedCol(col(textCol), n)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("gram"))
+      .limit(k)
+
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongNumberPattern = "[0-9]{7,}"
+
+  /** PII scrubbing for training corpora: redacts email addresses and long
+    * digit runs (phone/account numbers) and reports match counts. Patterns
+    * are kept to the regex subset with identical semantics in Java regex and
+    * RE2, so the redaction is oracle-checkable cross-engine. Pure per-row
+    * projection — scan speed, no shuffle. */
+  def withPiiRedaction(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(LongNumberPattern), lit(0))).as("n_numbers"),
+      regexp_replace(
+        regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+        LongNumberPattern, "<NUM>").as("redacted"))
 }

@@ -44,14 +44,37 @@ object EventStream {
     * included — append mode would hold them back until later input. */
   def runHourlyBatchOverStream(spark: SparkSession, dir: String, name: String): DataFrame = {
     val stream = spark.readStream.schema(EventSchema).parquet(dir)
-    val q = hourlyAgg(stream).writeStream
+    drainToMemory(hourlyAgg(stream), name)
+  }
+
+  /** Same as [[runHourlyBatchOverStream]] but streaming DIRECTLY over raw
+    * TIMESTAMP(NANOS) parquet (the `events` table's physical type): ts is
+    * surfaced as a nanos long via the legacy reader conf and truncated to
+    * microseconds in-stream — no temp rewrite of the source. At scale this
+    * matters: re-materializing the input to change a timestamp unit would
+    * double the IO of every backfill. */
+  def runHourlyOverRawEvents(spark: SparkSession, path: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nanosSchema = StructType(EventSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = LongType)
+      case f => f
+    })
+    // "*" turns a single-FILE path into a glob: FileStreamSource accepts
+    // globs but rejects a bare file as basePath (directories only)
+    val stream = spark.readStream.schema(nanosSchema).parquet(path + "*")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    drainToMemory(hourlyAgg(stream), name)
+  }
+
+  private def drainToMemory(agg: DataFrame, name: String): DataFrame = {
+    val q = agg.writeStream
       .outputMode(OutputMode.Complete)
       .format("memory")
       .queryName(name)
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.table(name)
+    agg.sparkSession.table(name)
   }
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

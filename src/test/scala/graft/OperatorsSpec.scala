@@ -52,6 +52,31 @@ class OperatorsSpec extends SparkSuite {
     assert(pairs.filter($"jaccard" === 1.0).count() >= 3)
   }
 
+  test("prefix-filtered jaccard pairs equal the blocked-exact pairs") {
+    // the prefix inverted index is a lossless candidate generator: output
+    // must be SET-IDENTICAL to the all-in-block comparison at any threshold
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val blocked = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val prefix = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", "lang", threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(prefix == blocked, s"threshold $t: prefix path diverged")
+    }
+  }
+
+  test("connected components: planted chain and clique collapse to min id") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), // chain 1-2-3-4
+      (10L, 11L), (10L, 12L), (11L, 12L), // clique 10,11,12
+      (20L, 21L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(comp(_) == 10L))
+    assert(Seq(20L, 21L).forall(comp(_) == 20L))
+    assert(comp.size == 9)
+  }
+
   test("embedding near-dup: identical vectors give cosine 1.0") {
     val planted = embs.select($"vec_id" + 100000L as "vec_id", $"embedding").limit(3)
     val e = embs.select($"vec_id", $"embedding").union(planted)
@@ -78,6 +103,42 @@ class OperatorsSpec extends SparkSuite {
     val recall = (brute & lsh).size.toDouble / brute.size
     assert(recall >= 0.2, s"recall $recall too low") // 4 planes, single probe
     assert(lsh.nonEmpty)
+  }
+
+  test("ivf ann: cells partition the corpus; twin vectors land in one cell; recall sane") {
+    val queries = embs.filter($"vec_id" < 20)
+    val brute = Similarity.bruteForceKnn(embs, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfKnn(embs, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall $recall too low for nprobe=4/16 cells")
+    // a duplicated vector is assigned to the same cell, so its twin is always found
+    val planted = embs.select($"vec_id" + 100000L as "vec_id", $"embedding").limit(5)
+    val corpus = embs.select($"vec_id", $"embedding").union(planted)
+    val res = Similarity.ivfKnn(corpus, planted, "vec_id", "embedding", 1)
+    res.collect().foreach(r => assert(r.getLong(2) == r.getLong(0) - 100000L))
+  }
+
+  test("topk ngrams: counts are document frequency and deterministic") {
+    val d = Seq(
+      (1L, "a b c a b c"), // distinct grams: "a b c", "b c a", "c a b"
+      (2L, "a b c"),
+      (3L, "x y z")).toDF("doc_id", "text")
+    val top = TextAnalysis.topkNgrams(d, "text", n = 3, k = 2).collect()
+    assert(top(0).getString(0) == "a b c" && top(0).getLong(1) == 2)
+    assert(top(1).getLong(1) == 1)
+  }
+
+  test("pii redaction replaces emails and long numbers, counts match") {
+    val d = Seq(
+      (1L, "mail me at jane.doe+x@example.org or call 5551234567 now"),
+      (2L, "no pii here, just words and 123")).toDF("doc_id", "text")
+    val r = TextAnalysis.withPiiRedaction(d, "doc_id", "text").orderBy("doc_id").collect()
+    assert(r(0).getInt(1) == 1 && r(0).getInt(2) == 1)
+    assert(r(0).getString(3) == "mail me at <EMAIL> or call <NUM> now")
+    assert(r(1).getInt(1) == 0 && r(1).getInt(2) == 0)
+    assert(r(1).getString(3) == "no pii here, just words and 123")
   }
 
   test("token stats are exact on known input") {
