@@ -37,11 +37,14 @@ object SparkEntry {
 
   /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses by default;
     * read nanos as long and truncate to micros — the same truncation DuckDB
-    * applies natively, so both engines see identical microsecond values. */
+    * applies natively, so both engines see identical microsecond values.
+    * MUST be integer `div`: `/` on longs is IEEE double division, and at
+    * nano-epoch magnitude (~1.7e18) the quotient rounds UP by 1 µs on ~half
+    * the inputs. */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(s, dir, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Fixed-point cents: exact, portable money math. */
@@ -204,6 +207,22 @@ object SparkEntry {
           coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
           col("n_orders"), col("total"))
         .orderBy(col("status"), col("priority"))
+    }),
+
+    "q13_user_sessions" -> ((s, dir) => {
+      // gap-based sessionization (30 min) through flatMapGroupsWithState —
+      // the custom-state extension point, hash-checked against the classic
+      // gaps-and-islands SQL formulation in DuckDB
+      import s.implicits._
+      val ev = events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        .as[graft.streaming.EventStream.MicroEvent]
+      graft.streaming.EventStream.sessionizeByGap(ev, 30L * 60 * 1000000)
+        .toDF()
+        .select(col("user_id"), col("n_events"),
+          timestamp_micros(col("started_us")).as("started"),
+          timestamp_micros(col("ended_us")).as("ended"))
+        .orderBy(col("user_id"), col("started"))
     }),
 
     "q10_active_buyers_intersect" -> ((s, dir) => {
@@ -451,6 +470,23 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+
+    "q13_user_sessions" ->
+      """WITH e AS (
+        |  -- TIMESTAMP_NS -> microsecond TIMESTAMP (same truncation Spark applies)
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |), marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) <= INTERVAL 30 MINUTE
+        |         THEN 0 ELSE 1 END AS new_sess
+        |  FROM e
+        |), grp AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM marked
+        |)
+        |SELECT user_id, count(*) AS n_events, min(ts) AS started, max(ts) AS ended
+        |FROM grp GROUP BY user_id, sess ORDER BY user_id, started""".stripMargin,
 
     "q10_active_buyers_intersect" ->
       """SELECT user_id FROM events WHERE event_type = 'click'

@@ -61,8 +61,10 @@ object EventStream {
     })
     // "*" turns a single-FILE path into a glob: FileStreamSource accepts
     // globs but rejects a bare file as basePath (directories only)
+    // integer `div`, not `/`: double division of nano-epoch longs rounds
+    // the microsecond quotient up on ~half the inputs
     val stream = spark.readStream.schema(nanosSchema).parquet(path + "*")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     drainToMemory(hourlyAgg(stream), name)
   }
 
@@ -82,6 +84,42 @@ object EventStream {
   final case class Session(user_id: Long, n_events: Long, total_value: Double,
       started: java.sql.Timestamp, ended: java.sql.Timestamp)
   private final case class SessionState(n: Long, total: Double, start: Long, last: Long)
+
+  final case class MicroEvent(user_id: Long, ts_us: Long)
+  final case class MicroSession(user_id: Long, n_events: Long, started_us: Long, ended_us: Long)
+
+  /** Gap-based sessionization at FULL microsecond precision (timestamps as
+    * micros longs end-to-end, so session bounds survive a cross-engine
+    * comparison exactly — `java.sql.Timestamp.getTime` would truncate to
+    * millis). Same `flatMapGroupsWithState` machinery as [[sessionize]];
+    * this variant is the one under the DuckDB oracle gate
+    * (`q13_user_sessions`), where the oracle is the classic gaps-and-islands
+    * lag/cumsum formulation. */
+  def sessionizeByGap(events: Dataset[MicroEvent], gapMicros: Long): Dataset[MicroSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, MicroSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[MicroEvent], state: GroupState[SessionState]) =>
+          val sorted = rows.map(_.ts_us).toArray
+          java.util.Arrays.sort(sorted)
+          val out = scala.collection.mutable.ArrayBuffer.empty[MicroSession]
+          var n = 0L
+          var start = 0L
+          var last = 0L
+          sorted.foreach { t =>
+            if (n == 0L) { n = 1L; start = t; last = t }
+            else if (t - last <= gapMicros) { n += 1L; last = t }
+            else {
+              out += MicroSession(userId, n, start, last)
+              n = 1L; start = t; last = t
+            }
+          }
+          if (n > 0L) out += MicroSession(userId, n, start, last)
+          out.iterator
+      }
+  }
 
   /** Stateful sessionization with a processing-time gap timeout —
     * `flatMapGroupsWithState` over `KeyValueGroupedDataset`, the Spark-native

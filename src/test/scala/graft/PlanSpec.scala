@@ -66,4 +66,55 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("HashAggregate"), p)
     assert(p.split("Exchange", -1).length <= 3, s"expected exactly one shuffle:\n$p")
   }
+
+  test("pairwise dedup/ann paths are equi-joins, never cartesian") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    for ((name, df) <- Seq(
+        "ngram blocked" -> graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang"),
+        "ngram prefix" -> graft.operators.Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", "lang"),
+        "minhash pairs" -> graft.operators.Dedup.minhashPairs(docs, "doc_id", "text"),
+        "ivf knn" -> graft.operators.Similarity.ivfKnn(
+          embs, embs.limit(5), "vec_id", "embedding", 3))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$name must stay equi-keyed:\n$p")
+    }
+  }
+
+  test("corpus top-k ngrams partial-aggregates before its single shuffle") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = plan(graft.operators.TextAnalysis.topkNgrams(docs, "text"))
+    // map-side combine collapses the gram explosion before the exchange:
+    // two HashAggregates around one Exchange, then the global TakeOrdered
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("co-bucketed tables join without a shuffle") {
+    import org.apache.spark.sql.functions.col
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      graft.operators.Bucketing.writeBucketed(orders, "b_orders", "o_orderkey", 8)
+      graft.operators.Bucketing.writeBucketed(lineitem, "b_lineitem", "l_orderkey", 8)
+      val joined = graft.operators.Bucketing.colocatedJoin(
+        spark, "b_lineitem", "b_orders", "l_orderkey", "o_orderkey")
+      val p = plan(joined)
+      assert(!p.contains("Exchange"), s"co-bucketed join must not shuffle:\n$p")
+      // correctness: same row count as the plain join
+      val expected = lineitem.join(orders,
+        lineitem("l_orderkey") === orders("o_orderkey")).count()
+      assert(joined.count() == expected)
+      // single-side aggregation on the bucket key also avoids the shuffle
+      val agg = spark.table("b_lineitem").groupBy(col("l_orderkey")).count()
+      assert(!plan(agg).contains("Exchange"), s"bucketed groupBy must not shuffle:\n${plan(agg)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
 }

@@ -15,7 +15,7 @@ class StreamingSpec extends SparkSuite {
     val dir = java.nio.file.Files.createTempDirectory("events_us").toString
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     ev.write.mode("overwrite").parquet(dir)
 
     val batch = EventStream.hourlyAgg(spark.read.parquet(dir))
@@ -24,6 +24,30 @@ class StreamingSpec extends SparkSuite {
       .orderBy("window_start", "event_type").collect().toSeq
     assert(batch.nonEmpty)
     assert(batch == stream)
+  }
+
+  test("sessionizeByGap: micros precision, inclusive gap boundary, raw-stream parity") {
+    val g = 30L * 60 * 1000000 // 30 min in micros
+    val ev = Seq(
+      EventStream.MicroEvent(1L, 0L),
+      EventStream.MicroEvent(1L, g), // exactly the gap -> same session (inclusive)
+      EventStream.MicroEvent(1L, 2 * g + 1), // one micro past -> new session
+      EventStream.MicroEvent(2L, 5L)).toDS()
+    val sessions = EventStream.sessionizeByGap(ev, g)
+      .collect().sortBy(s => (s.user_id, s.started_us))
+    assert(sessions.map(s => (s.user_id, s.n_events, s.started_us, s.ended_us)).toSeq ==
+      Seq((1L, 2L, 0L, g), (1L, 1L, 2 * g + 1, 2 * g + 1), (2L, 1L, 5L, 5L)))
+
+    // streaming the raw nanos parquet equals the batch aggregation over it
+    val raw = "/root/testdata/sf0.001/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchEv = spark.read.parquet(raw)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batch = EventStream.hourlyAgg(batchEv)
+      .orderBy("window_start", "event_type").collect().toSeq
+    val stream = EventStream.runHourlyOverRawEvents(spark, raw, "raw_hourly_test")
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(batch.nonEmpty && batch == stream)
   }
 
   test("sessionize splits on gaps and aggregates values") {
