@@ -286,6 +286,17 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "dedup_pipeline_keep" -> ((s, dir) => {
+      // the full dedup pipeline end-to-end: shingle -> minhash -> banded LSH
+      // pairs -> connected components -> drop non-canonical cluster members
+      val docs = spread(t(s, dir, "documents"))
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        numHashes = 4, bandSize = 2, broadcastRight = true)
+      Dedup.keepCanonical(docs, "doc_id", Dedup.connectedComponents(pairs, "id_a", "id_b"))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- similarity search over embeddings ---
     "knn_bruteforce" -> ((s, dir) => {
       val embs = spread(t(s, dir, "embeddings"))
@@ -357,6 +368,12 @@ object SparkEntry {
         Multimodal.withBinaryMeta(spread(t(s, dir, "documents")), "doc_id", "text"), "doc_id")
         .select(col("doc_id"), col("width"), col("height"), col("channels"))
         .orderBy(col("doc_id"))
+    }),
+
+    "mm_frame_sample" -> ((s, dir) => {
+      Multimodal.frameSample(
+        Multimodal.withBinaryMeta(spread(t(s, dir, "documents")), "doc_id", "text"), "doc_id", 4)
+        .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
     // --- generation engine surface ---
@@ -601,6 +618,35 @@ object SparkEntry {
         |)
         |SELECT u AS id, least(u, min(r)) AS component FROM reach GROUP BY u ORDER BY id""".stripMargin,
 
+    "dedup_pipeline_keep" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS grams
+        |  FROM toks
+        |), sig AS (
+        |  SELECT doc_id,
+        |    list_min([('0x' || substr(md5('0:' || g), 1, 15))::BIGINT FOR g IN grams]) AS mh0,
+        |    list_min([('0x' || substr(md5('0:' || g), 16, 15))::BIGINT FOR g IN grams]) AS mh1,
+        |    list_min([('0x' || substr(md5('1:' || g), 1, 15))::BIGINT FOR g IN grams]) AS mh2,
+        |    list_min([('0x' || substr(md5('1:' || g), 16, 15))::BIGINT FOR g IN grams]) AS mh3
+        |  FROM sh
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+        |    (a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))
+        |), edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs
+        |), reach(u, r) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT e.u, r.r FROM edges e JOIN reach r ON r.u = e.v
+        |)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT u FROM reach GROUP BY u HAVING min(r) < u)
+        |ORDER BY doc_id""".stripMargin,
+
     "dedup_embedding_cosine" ->
       """WITH q AS (
         |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
@@ -804,6 +850,20 @@ object SparkEntry {
         |FROM (
         |  SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    ('0x' || substr(md5(text), 1, 15))::BIGINT % 60000 + 1000 AS duration_ms
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, n_bytes, duration_ms, k.range AS frame_idx
+        |  FROM m CROSS JOIN range(0, 4) k
+        |)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(duration_ms * frame_idx // 4 AS BIGINT) AS frame_ts_ms,
+        |  CAST(n_bytes * frame_idx // 4 AS BIGINT) AS frame_offset
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
     "gen_integer_seq" ->
       "SELECT CAST(range AS BIGINT) AS v FROM range(0, 10000) ORDER BY v",

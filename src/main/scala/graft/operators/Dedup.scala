@@ -214,6 +214,16 @@ object Dedup {
     labels
   }
 
+  /** End-of-pipeline keep list: drop every doc whose cluster id differs from
+    * its own id (the cluster minimum is the canonical survivor). `components`
+    * is [[connectedComponents]] output; docs never seen in a dup pair pass
+    * through untouched. One left-anti equi-join — broadcastable when the dup
+    * set is small relative to the corpus (the common case). */
+  def keepCanonical(docs: DataFrame, idCol: String, components: DataFrame): DataFrame = {
+    val drop = components.filter(col("id") =!= col("component")).select(col("id"))
+    docs.join(drop, docs(idCol) === drop("id"), "left_anti")
+  }
+
   /** Embedding-cosine near-dup, brute-force: all pairs above `threshold`.
     * Correctness baseline — O(n^2); the scale path is `Similarity.lshJoin`. */
   def embeddingNearDupBrute(

@@ -57,6 +57,25 @@ object Multimodal {
     Row(id, width, height, 3, features.toSeq)
   }
 
+  /** Frame sampling for "video" payloads: `nFrames` evenly-spaced sample
+    * points per document, exploded to one row per frame — the standard
+    * video -> frame-batch shape a real pipeline feeds to a vision encoder.
+    * Container-metadata parsing is stubbed (duration is md5-derived from the
+    * payload, like [[fakeDecode]]); the Spark side — pure projection +
+    * explode, no shuffle, frame offsets computable WITHOUT decoding — is the
+    * production shape. Integer `div` keeps the arithmetic engine-portable. */
+  def frameSample(withMeta: DataFrame, idCol: String, nFrames: Int = 4): DataFrame =
+    withMeta
+      .select(
+        col(idCol), col("n_bytes").cast("long").as("n_bytes"),
+        (conv(substring(md5(col("payload")), 1, 15), 16, 10).cast("long") % 60000L + 1000L)
+          .as("duration_ms"))
+      .withColumn("frame_idx", explode(sequence(lit(0L), lit(nFrames - 1L))))
+      .select(
+        col(idCol), col("frame_idx"),
+        expr(s"duration_ms * frame_idx div $nFrames").as("frame_ts_ms"),
+        expr(s"n_bytes * frame_idx div $nFrames").as("frame_offset"))
+
   /** Partition-batched decode over the binary column. The iterator shape
     * (whole-partition lazy traversal, no row materialization beyond the
     * batch) is exactly where a vectorized decoder slots in. */

@@ -85,6 +85,17 @@ object EventStream {
       started: java.sql.Timestamp, ended: java.sql.Timestamp)
   private final case class SessionState(n: Long, total: Double, start: Long, last: Long)
 
+  /** Streaming exact dedup: drop repeated `event_id`s arriving within the
+    * watermark horizon — the streaming counterpart of `Dedup.exact` for
+    * at-least-once upstream sources (file redelivery, replayed Kafka
+    * offsets). `dropDuplicatesWithinWatermark` keeps only `idCols` state and
+    * evicts it once the watermark passes, so state stays bounded at any
+    * scale (a plain `dropDuplicates` on a stream retains ALL keys forever). */
+  def dedupStream(events: DataFrame, idCols: Seq[String], watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   final case class MicroEvent(user_id: Long, ts_us: Long)
   final case class MicroSession(user_id: Long, n_events: Long, started_us: Long, ended_us: Long)
 

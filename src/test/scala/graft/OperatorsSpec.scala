@@ -77,6 +77,32 @@ class OperatorsSpec extends SparkSuite {
     assert(comp.size == 9)
   }
 
+  test("keepCanonical drops exactly the non-minimum cluster members") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val corpus = Seq(1L, 2L, 3L, 5L, 10L, 11L, 12L).toDF("doc_id")
+    val kept = Dedup.keepCanonical(corpus, "doc_id",
+      Dedup.connectedComponents(pairs, "id_a", "id_b"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // 2,3 fold into 1; 11 folds into 10; untouched docs 5 and 12 survive
+    assert(kept == Seq(1L, 5L, 10L, 12L))
+  }
+
+  test("frame sample: n rows per doc, monotone offsets within payload bounds") {
+    val f = Multimodal.frameSample(
+      Multimodal.withBinaryMeta(docs.limit(20), "doc_id", "text"), "doc_id", 4)
+    val rows = f.collect()
+    assert(rows.length == 80)
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.values.foreach { fr =>
+      val sorted = fr.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 3L))
+      val offs = sorted.map(_.getLong(3))
+      assert(offs.head == 0L && offs.sameElements(offs.sorted))
+      val ts = sorted.map(_.getLong(2))
+      assert(ts.forall(_ >= 0L) && ts.sameElements(ts.sorted))
+    }
+  }
+
   test("embedding near-dup: identical vectors give cosine 1.0") {
     val planted = embs.select($"vec_id" + 100000L as "vec_id", $"embedding").limit(3)
     val e = embs.select($"vec_id", $"embedding").union(planted)

@@ -50,6 +50,27 @@ class StreamingSpec extends SparkSuite {
     assert(batch.nonEmpty && batch == stream)
   }
 
+  test("streaming dedup drops redelivered event ids within the watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("events_dup").toString
+    val t0 = 1700000000000L
+    val ev = Seq(
+      (1L, new java.sql.Timestamp(t0), "click"),
+      (2L, new java.sql.Timestamp(t0 + 1000), "view"),
+      (1L, new java.sql.Timestamp(t0), "click"), // redelivery of event 1
+      (3L, new java.sql.Timestamp(t0 + 2000), "click"))
+      .toDF("event_id", "ts", "event_type")
+    ev.write.mode("overwrite").parquet(dir)
+    val schema = ev.schema
+    val stream = EventStream.dedupStream(
+      spark.readStream.schema(schema).parquet(dir), Seq("event_id"), "1 hour")
+    val q = stream.writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_test").select("event_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("sessionize splits on gaps and aggregates values") {
     val t0 = 1700000000000L
     val events = Seq(
