@@ -54,23 +54,32 @@ object Engine {
   def run(
       spark: SparkSession, cfg: GenerationConfig,
       force: Boolean = false, resume: Boolean = false): Map[String, Long] = {
-    if (!resume) Output.preflight(cfg, force)
+    if (!resume) Output.preflight(spark, cfg, force)
     val counts = frames(spark, cfg)
       .filter { case (m, _) => m.generateTo > m.generateFrom }
       .map { case (model, df) =>
         Output.writeModel(spark, cfg, model, df)
         model.name -> (model.generateTo - model.generateFrom)
       }.toMap
-    Output.writeBackup(cfg)
+    Output.writeBackup(spark, cfg)
     counts
   }
 
-  /** Resume support: recompute generate_from for every model from committed
-    * output (reference re-reads CSV line counts / parquet footers —
-    * `csv.go:160-245`, `parquet.go:341-456`; we read committed files back
-    * with Spark, which only sees fully committed output). */
+  /** Resume ("continue generation"): recompute generate_from for every model
+    * from its post-commit checkpoint. Three guarantees the reference's
+    * sequential writer gets for free and a distributed job must build
+    * (reference `backup/backup.go:63-86`, `backup/compare.go`):
+    *  1. refuse to continue under a config that differs from the backup
+    *     snapshot — silently mixing datasets is the worst failure mode;
+    *  2. trust only the transactional checkpoint for saved rows — Spark
+    *     commits task files independently, so a raw row count over a
+    *     crashed job's dir is NOT a prefix of the id range;
+    *  3. drop data files the checkpoint manifest doesn't know about
+    *     (partial commits of the crashed job) before appending. */
   def resumedConfig(spark: SparkSession, cfg: GenerationConfig): GenerationConfig = {
+    Output.checkBackup(spark, cfg)
     val models = cfg.models.map { case (name, m) =>
+      Output.cleanUncommitted(spark, cfg, m)
       val saved = Output.savedRows(spark, cfg, m)
       name -> m.copy(generateFrom = math.max(m.generateFrom, math.min(saved, m.generateTo)))
     }

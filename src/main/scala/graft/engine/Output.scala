@@ -2,11 +2,14 @@ package graft.engine
 
 import graft.config._
 
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, FloatType, TimestampType}
 
-import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.nio.charset.StandardCharsets
 
 /** Sinks: csv / parquet / devnull / http, partitioned-write routing, conflict
   * pre-flight, backup + checkpoint metadata.
@@ -25,26 +28,78 @@ object Output {
     if (base.isEmpty) model.modelDir else s"$base/${model.modelDir}"
   }
 
-  /** Conflict pre-flight (reference `output/general/conflicts.go:25-96`):
-    * refuse to touch directories holding previous model output unless forced. */
-  def preflight(cfg: GenerationConfig, force: Boolean): Unit = cfg.output match {
-    case _: DevNullOutput | _: HttpOutput => ()
-    case out =>
-      cfg.activeModels.foreach { m =>
-        val dir = Paths.get(modelPath(cfg, m))
-        if (Files.exists(dir)) {
-          if (force) deleteRecursively(dir)
-          else if (Files.list(dir).findFirst().isPresent)
-            throw new IllegalStateException(
-              s"output dir $dir already contains data; use force to overwrite")
-        }
-      }
+  // ---- filesystem helpers ---------------------------------------------
+  // All output metadata goes through the Hadoop FileSystem API so checkpoint
+  // / backup / preflight behave identically for file://, hdfs:// and s3a://
+  // output dirs — a 100 TB job writes to a distributed store, not the
+  // driver's local disk (reference keeps everything on one node; we don't).
+
+  private def fileSystem(spark: SparkSession, path: String): (FileSystem, HPath) = {
+    val p = new HPath(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p)) Files.list(p).forEach(deleteRecursively(_))
-    Files.deleteIfExists(p)
+  /** Write small metadata atomically: temp file + rename. A reader never
+    * observes a half-written checkpoint even if the driver dies mid-write. */
+  private def writeStringAtomic(fs: FileSystem, target: HPath, content: String): Unit = {
+    fs.mkdirs(target.getParent)
+    val tmp = new HPath(target.getParent, s".${target.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(target)) fs.delete(target, false)
+    fs.rename(tmp, target)
   }
+
+  private def readString(fs: FileSystem, p: HPath): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(bytes.toByteArray, StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+
+  /** Committed data files under a model dir, as root-relative paths —
+    * excludes Spark/Hadoop bookkeeping (`_SUCCESS`, `_temporary`, `.crc`). */
+  private def dataFiles(fs: FileSystem, root: HPath): Seq[String] = {
+    if (!fs.exists(root)) return Nil
+    val rootUri = root.toUri.getPath
+    def walk(p: HPath): Seq[String] =
+      fs.listStatus(p).toSeq.filterNot(st => st.getPath.getName.startsWith("_")
+          || st.getPath.getName.startsWith(".")).flatMap { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else Seq(st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/"))
+      }
+    walk(root).sorted
+  }
+
+  /** Conflict pre-flight (reference `output/general/conflicts.go:25-96`):
+    * refuse to touch directories holding previous model output unless forced. */
+  def preflight(spark: SparkSession, cfg: GenerationConfig, force: Boolean): Unit =
+    cfg.output match {
+      case _: DevNullOutput | _: HttpOutput => ()
+      case _ =>
+        cfg.activeModels.foreach { m =>
+          val (fs, dir) = fileSystem(spark, modelPath(cfg, m))
+          if (fs.exists(dir)) {
+            if (force) {
+              fs.delete(dir, true)
+              if (cfg.output.dir.nonEmpty) {
+                // stale checkpoint would poison a later resume
+                val (cfs, cp) = fileSystem(spark, checkpointPath(cfg, m))
+                if (cfs.exists(cp)) cfs.delete(cp, false)
+              }
+            } else if (fs.listStatus(dir).nonEmpty)
+              throw new IllegalStateException(
+                s"output dir $dir already contains data; use force to overwrite")
+          }
+        }
+    }
 
   /** Shadow-column prefix for `write_to_output: true` partition columns:
     * Spark's `partitionBy` always removes partition columns from file
@@ -89,7 +144,7 @@ object Output {
           case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
         }
         renameShadowPartitionDirs(spark, modelPath(cfg, model))
-        writeCheckpoint(cfg, model)
+        writeCheckpoint(spark, cfg, model)
 
       case o: CsvOutput =>
         // float precision + datetime formatting parity with the reference CSV
@@ -114,7 +169,7 @@ object Output {
         if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
         w.csv(modelPath(cfg, model))
         renameShadowPartitionDirs(spark, modelPath(cfg, model))
-        writeCheckpoint(cfg, model)
+        writeCheckpoint(spark, cfg, model)
 
       case o: HttpOutput =>
         HttpSink.write(df, model.name, o)
@@ -144,43 +199,103 @@ object Output {
     walk(hadoopPath)
   }
 
-  /** Rows already committed for `model` (resume support). */
+  private val mapper = new ObjectMapper()
+
+  private def checkpointPath(cfg: GenerationConfig, model: ModelConfig): String =
+    s"${cfg.output.dir}/${model.name}_checkpoint.json"
+
+  /** Rows already committed for `model`, read from the transactional
+    * checkpoint — NEVER from a raw row count. Spark commits task files
+    * independently, so after a mid-job failure the data dir holds an
+    * arbitrary subset of partitions, not rows [0, count): counting them
+    * (what the reference's sequential Syncer allows — `csv.go:160-245`,
+    * `parquet.go:341-456`) would resume into duplicates and gaps. The
+    * checkpoint is written only after a fully successful action, so its
+    * `saved_rows` is a true prefix by construction. */
   def savedRows(spark: SparkSession, cfg: GenerationConfig, model: ModelConfig): Long = {
-    val path = modelPath(cfg, model)
-    if (!Files.exists(Paths.get(path))) return 0L
-    try cfg.output match {
-      case _: ParquetOutput => spark.read.parquet(path).count()
-      case o: CsvOutput => spark.read.option("header", !o.withoutHeaders).csv(path).count()
-      case _ => 0L
-    } catch { case _: Exception => 0L }
+    if (cfg.output.dir.isEmpty) return 0L
+    val (fs, p) = fileSystem(spark, checkpointPath(cfg, model))
+    readString(fs, p).map(s => mapper.readTree(s).path("saved_rows").asLong(0L)).getOrElse(0L)
   }
 
-  /** Post-commit checkpoint `<model>_checkpoint.json{"saved_rows":n}`
-    * (reference `model_writer.go:120-164`). With Spark's atomic commit there
-    * are no partial files, so the checkpoint is written once per action. */
-  private def writeCheckpoint(cfg: GenerationConfig, model: ModelConfig): Unit = {
-    val dir = Paths.get(cfg.output.dir)
-    if (cfg.output.dir.nonEmpty) {
-      Files.createDirectories(dir)
-      Files.write(
-        dir.resolve(s"${model.name}_checkpoint.json"),
-        s"""{"saved_rows":${model.generateTo}}""".getBytes("UTF-8"),
-        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  /** Delete data files not recorded in the last checkpoint's manifest —
+    * leftovers of a job that died after committing some tasks. Called before
+    * a `--continue` append so the resumed dataset is exactly
+    * rows [0, saved_rows) + the new slice (no dups, no gaps). With no
+    * checkpoint at all, nothing was ever fully committed: wipe the dir. */
+  def cleanUncommitted(spark: SparkSession, cfg: GenerationConfig, model: ModelConfig): Unit = {
+    if (cfg.output.dir.isEmpty) return
+    cfg.output match {
+      case _: DevNullOutput | _: HttpOutput => return
+      case _ => ()
+    }
+    val (fs, root) = fileSystem(spark, modelPath(cfg, model))
+    if (!fs.exists(root)) return
+    val (cfs, cp) = fileSystem(spark, checkpointPath(cfg, model))
+    val committed: Set[String] = readString(cfs, cp) match {
+      case None => Set.empty
+      case Some(json) =>
+        val files = mapper.readTree(json).path("files")
+        (0 until files.size()).map(files.get(_).asText()).toSet
+    }
+    dataFiles(fs, root).filterNot(committed.contains).foreach { rel =>
+      fs.delete(new HPath(root, rel), false)
     }
   }
 
-  /** Config snapshot for resume comparison (reference `backup/backup.go:29-40`
-    * writes the `backup:"true"` field subset; we snapshot the resolved config). */
-  def writeBackup(cfg: GenerationConfig): Unit = {
+  /** Transactional post-commit checkpoint
+    * `<model>_checkpoint.json{"saved_rows":n,"files":[...]}` (reference
+    * `model_writer.go:120-164`). Written via temp+rename only after the
+    * Spark action commits; the manifest lists every committed data file so a
+    * later resume can drop stragglers from a failed follow-up job. */
+  private def writeCheckpoint(spark: SparkSession, cfg: GenerationConfig, model: ModelConfig): Unit = {
     if (cfg.output.dir.isEmpty) return
-    val dir = Paths.get(cfg.output.dir)
-    Files.createDirectories(dir)
+    val (fs, root) = fileSystem(spark, modelPath(cfg, model))
+    val files = dataFiles(fs, root)
+      .map(f => mapper.writeValueAsString(f)).mkString("[", ",", "]")
+    val (cfs, cp) = fileSystem(spark, checkpointPath(cfg, model))
+    writeStringAtomic(cfs, cp, s"""{"saved_rows":${model.generateTo},"files":$files}""")
+  }
+
+  /** Stable digest of the data-shaping config subset (what the reference
+    * marks `backup:"true"` — `backup/extract.go:15-25`): seed + per-model
+    * row counts, layout and full column specs. generate_from/to are
+    * normalized OUT — a resume legitimately changes the slice bounds. */
+  def fingerprint(cfg: GenerationConfig): String = {
+    val src = cfg.models.toSeq.sortBy(_._1)
+      .map { case (_, m) => m.copy(generateFrom = 0L, generateTo = 0L).toString }
+      .mkString(s"seed=${cfg.randomSeed};", "|", "")
+    val d = java.security.MessageDigest.getInstance("SHA-1")
+    d.digest(src.getBytes(StandardCharsets.UTF_8)).map("%02x".format(_)).mkString
+  }
+
+  /** Config snapshot for resume comparison (reference `backup/backup.go:29-40`
+    * writes the `backup:"true"` field subset; we snapshot a digest plus
+    * human-readable summary of the resolved config). */
+  def writeBackup(spark: SparkSession, cfg: GenerationConfig): Unit = {
+    if (cfg.output.dir.isEmpty) return
     val models = cfg.models.toSeq.sortBy(_._1).map { case (n, m) =>
       s""""$n":{"rows_count":${m.rowsCount},"rows_per_file":${m.rowsPerFile},"columns":${m.columns.size}}"""
     }.mkString("{", ",", "}")
-    Files.write(
-      dir.resolve("backup.json"),
-      s"""{"random_seed":${cfg.randomSeed},"models":$models}""".getBytes("UTF-8"),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    val (fs, p) = fileSystem(spark, s"${cfg.output.dir}/backup.json")
+    writeStringAtomic(fs, p,
+      s"""{"fingerprint":"${fingerprint(cfg)}","random_seed":${cfg.randomSeed},"models":$models}""")
+  }
+
+  /** Refuse to continue into output generated from a DIFFERENT config
+    * (reference `backup/compare.go:1-438` walks the config graph; we compare
+    * the digest of the same field subset). No backup present -> nothing to
+    * compare (fresh or pre-upgrade output dir). */
+  def checkBackup(spark: SparkSession, cfg: GenerationConfig): Unit = {
+    if (cfg.output.dir.isEmpty) return
+    val (fs, p) = fileSystem(spark, s"${cfg.output.dir}/backup.json")
+    readString(fs, p).foreach { json =>
+      val saved = mapper.readTree(json).path("fingerprint").asText("")
+      if (saved.nonEmpty && saved != fingerprint(cfg))
+        throw new IllegalStateException(
+          "config differs from the one that produced this output " +
+            s"(backup.json fingerprint $saved != ${fingerprint(cfg)}); " +
+            "continue-generation would mix datasets — use force to regenerate")
+    }
   }
 }

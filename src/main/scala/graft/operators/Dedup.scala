@@ -176,14 +176,20 @@ object Dedup {
     * the canonical "cluster id" step that turns pairwise dup evidence into
     * keep/drop decisions.
     *
-    * Algorithm: iterative min-label propagation (label(v) := min over
-    * neighborhood), converging in O(graph diameter) rounds — near-dup
-    * clusters are shallow (stars/cliques), so this settles in a handful of
-    * rounds. Each round is one equi-join + one map-side-combinable min
-    * aggregation; `localCheckpoint` truncates the growing lineage so round k
-    * does not replay rounds 0..k-1 (on a real cluster swap in
-    * `checkpoint()` against a reliable store). Convergence is detected by
-    * counting changed labels — deterministic, independent of partitioning. */
+    * Algorithm: min-label propagation fused with pointer jumping. Each round
+    * (a) pulls the min label across every edge and (b) compresses one level
+    * of indirection (label(v) := label(label(v))), so the known-min doubles
+    * its reach per round — O(log diameter) rounds instead of the O(diameter)
+    * of plain propagation, which matters for long near-dup chains in
+    * templated corpora. Each round is two equi-joins + one
+    * map-side-combinable min aggregation, materialized by ONE job (the eager
+    * `localCheckpoint`, which also truncates lineage so round k does not
+    * replay rounds 0..k-1; on a real cluster swap in `checkpoint()` against
+    * a reliable store). Convergence is read off a `changed` flag computed
+    * inside that same job — checking it is a cheap scan of the checkpointed
+    * blocks, not a second join. Superseded per-round checkpoints are
+    * unpersisted immediately: a long-lived session runs this repeatedly and
+    * must not accumulate storage memory. */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 30): DataFrame = {
     val edges = pairs
@@ -197,21 +203,41 @@ object Dedup {
       .localCheckpoint()
     var it = 0
     var converged = false
-    while (!converged && it < maxIter) {
-      val prop = edges.join(labels, edges("v") === labels("id"))
-        .groupBy(col("u")).agg(min(col("component")).as("ncomp"))
-      val next = labels.join(prop, labels("id") === prop("u"), "left")
-        .select(labels("id"),
-          least(labels("component"), coalesce(col("ncomp"), labels("component"))).as("component"))
-        .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.component") =!= col("o.component"))
-        .isEmpty
-      labels = next
-      it += 1
+    try {
+      while (!converged && it < maxIter) {
+        // (a) edge propagation: min label over each node's neighborhood.
+        val prop = edges.join(labels, edges("v") === labels("id"))
+          .groupBy(col("u")).agg(min(col("component")).as("ncomp"))
+        val propagated = labels.join(prop, labels("id") === prop("u"), "left")
+          .select(labels("id").as("id"), labels("component").as("old_component"),
+            least(labels("component"), coalesce(col("ncomp"), labels("component"))).as("propc"))
+        // (b) pointer jumping: follow the label one hop (labels are node ids,
+        // so every label resolves via `labels` itself; left join keeps roots).
+        val hop = labels.select(col("id").as("h_id"), col("component").as("h_component"))
+        val next = propagated.join(hop, col("propc") === col("h_id"), "left")
+          .select(col("id"),
+            least(col("propc"), coalesce(col("h_component"), col("propc"))).as("component"),
+            (least(col("propc"), coalesce(col("h_component"), col("propc")))
+              =!= col("old_component")).as("changed"))
+          .localCheckpoint() // ONE job per round; convergence flag rides along
+        converged = next.filter(col("changed")).isEmpty // cheap scan of cached blocks
+        labels.unpersist()
+        labels = next
+        it += 1
+      }
+    } finally {
+      edges.unpersist()
     }
-    labels
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIter pointer-jumping rounds " +
+          "(component min-reach doubles per round); raise maxIter")
+    }
+    // Plain projection over the final cached round — no extra cache entry.
+    // The result stays localCheckpoint-backed (one small cached DF per call);
+    // everything superseded was unpersisted above.
+    labels.select(col("id"), col("component"))
   }
 
   /** End-of-pipeline keep list: drop every doc whose cluster id differs from

@@ -77,6 +77,20 @@ class OperatorsSpec extends SparkSuite {
     assert(comp.size == 9)
   }
 
+  test("connected components: 200-hop chain converges (pointer jumping) without leaking cache") {
+    // Diameter 200 would need 200 rounds of plain min-label propagation;
+    // pointer jumping must settle within the default maxIter=30 (2^30 reach).
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val comp = Dedup.connectedComponents(chain, "id_a", "id_b")
+    val rows = comp.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.length == 201 && rows.forall(_._2 == 0L))
+    // Leak check: the run may add at most the returned result's own
+    // checkpoint — every per-round intermediate must be unpersisted.
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1, s"leaked ${after - before} cached RDDs in one run")
+  }
+
   test("keepCanonical drops exactly the non-minimum cluster members") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val corpus = Seq(1L, 2L, 3L, 5L, 10L, 11L, 12L).toDF("doc_id")

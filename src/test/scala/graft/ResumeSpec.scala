@@ -47,6 +47,54 @@ class ResumeSpec extends SparkSuite {
     assert(spark.read.parquet(s"$dir/m").count() == 1000)
   }
 
+  test("resume after a simulated mid-job failure is prefix-safe (no dups, no gaps)") {
+    val dir = java.nio.file.Files.createTempDirectory("crash").toString
+    Engine.run(spark, ConfigParser.parseYaml(cfgYaml(dir, Some(400L))))
+    // Simulate a follow-up job that died after committing SOME task files:
+    // Spark commits per task, so a crash leaves extra part files holding an
+    // arbitrary row subset. Model it by duplicating a committed part file.
+    val modelDir = new java.io.File(s"$dir/m")
+    val part = modelDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(modelDir, "part-99999-deadbeef-c000.snappy.parquet").toPath)
+    assert(spark.read.parquet(s"$dir/m").count() > 400) // dir is now corrupted
+    // A raw row count would set generate_from past 400 AND keep the dup rows.
+    // The checkpoint-manifest resume must drop the stray file and append 400..1000.
+    val resumed = Engine.resumedConfig(spark, ConfigParser.parseYaml(cfgYaml(dir, None)))
+    assert(resumed.model("m").generateFrom == 400)
+    Engine.run(spark, resumed, resume = true)
+    val got = spark.read.parquet(s"$dir/m")
+    assert(got.count() == 1000)
+    val cleanDir = java.nio.file.Files.createTempDirectory("clean2").toString
+    Engine.run(spark, ConfigParser.parseYaml(cfgYaml(cleanDir, None)))
+    assert(got.orderBy("id").collect().toSeq
+      == spark.read.parquet(s"$cleanDir/m").orderBy("id").collect().toSeq)
+  }
+
+  test("continue refuses when the config changed since the backup snapshot") {
+    val dir = java.nio.file.Files.createTempDirectory("backupcmp").toString
+    Engine.run(spark, ConfigParser.parseYaml(cfgYaml(dir, Some(400L))))
+    // same model, edited rows_count -> different data-shaping fingerprint
+    val edited = cfgYaml(dir, None).replace("rows_count: 1000", "rows_count: 2000")
+    val ex = intercept[IllegalStateException] {
+      Engine.resumedConfig(spark, ConfigParser.parseYaml(edited))
+    }
+    assert(ex.getMessage.contains("config differs"))
+    // unchanged config still resumes to completion
+    Engine.run(spark,
+      Engine.resumedConfig(spark, ConfigParser.parseYaml(cfgYaml(dir, None))), resume = true)
+    assert(spark.read.parquet(s"$dir/m").count() == 1000)
+  }
+
+  test("resume works against a file:-qualified URI (Hadoop FS metadata path)") {
+    val dir = "file://" + java.nio.file.Files.createTempDirectory("fsuri").toString
+    Engine.run(spark, ConfigParser.parseYaml(cfgYaml(dir, Some(300L))))
+    val resumed = Engine.resumedConfig(spark, ConfigParser.parseYaml(cfgYaml(dir, None)))
+    assert(resumed.model("m").generateFrom == 300)
+    Engine.run(spark, resumed, resume = true)
+    assert(spark.read.parquet(s"$dir/m").count() == 1000)
+  }
+
   test("force wipes conflicting output; without force it refuses") {
     val dir = java.nio.file.Files.createTempDirectory("force").toString
     val cfg = ConfigParser.parseYaml(cfgYaml(dir, None))
