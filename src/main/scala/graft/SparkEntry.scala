@@ -35,17 +35,13 @@ object SparkEntry {
   private def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses by default;
-    * read nanos as long and truncate to micros — the same truncation DuckDB
-    * applies natively, so both engines see identical microsecond values.
-    * MUST be integer `div`: `/` on longs is IEEE double division, and at
-    * nano-epoch magnitude (~1.7e18) the quotient rounds UP by 1 µs on ~half
-    * the inputs. */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4's schema inference
+    * refuses; [[graft.streaming.EventStream.rawEvents]] declares the schema
+    * (ts as nanos long) so no session conf is touched, and truncates to
+    * micros — the same truncation DuckDB applies natively, so both engines
+    * see identical microsecond values. */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.rawEvents(s, s"$dir/events.parquet")
 
   /** Fixed-point cents: exact, portable money math. */
   private def cents(c: Column): Column = floor(c * 100 + lit(0.5)).cast("long")

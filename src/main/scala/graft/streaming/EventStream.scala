@@ -24,6 +24,26 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** The `events` table's physical shape: ts is TIMESTAMP(NANOS) parquet,
+    * which Spark 4 cannot infer (schema inference throws). Declaring the
+    * schema with ts as LongType sidesteps inference entirely — the INT64
+    * column reads as raw nano-epoch longs with NO session conf
+    * (`spark.sql.legacy.parquet.nanosAsLong` is only consulted by the
+    * inference path), so query builders stop mutating session state. */
+  val NanosEventSchema: StructType = StructType(EventSchema.map {
+    case f if f.name == "ts" => f.copy(dataType = LongType)
+    case f => f
+  })
+
+  /** Batch read of raw TIMESTAMP(NANOS) events with ts truncated to
+    * microseconds — the same truncation DuckDB applies natively.
+    * MUST be integer `div`: `/` on longs is IEEE double division, and at
+    * nano-epoch magnitude (~1.7e18) the quotient rounds UP by 1 µs on ~half
+    * the inputs. */
+  def rawEvents(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(NanosEventSchema).parquet(path)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
   /** The shared logical plan: tumbling hourly window per event type.
     * Works for both batch and streaming inputs. */
   def hourlyAgg(events: DataFrame): DataFrame =
@@ -54,18 +74,24 @@ object EventStream {
     * matters: re-materializing the input to change a timestamp unit would
     * double the IO of every backfill. */
   def runHourlyOverRawEvents(spark: SparkSession, path: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val nanosSchema = StructType(EventSchema.map {
-      case f if f.name == "ts" => f.copy(dataType = LongType)
-      case f => f
-    })
-    // "*" turns a single-FILE path into a glob: FileStreamSource accepts
-    // globs but rejects a bare file as basePath (directories only)
     // integer `div`, not `/`: double division of nano-epoch longs rounds
     // the microsecond quotient up on ~half the inputs
-    val stream = spark.readStream.schema(nanosSchema).parquet(path + "*")
+    val stream = spark.readStream.schema(NanosEventSchema).parquet(anchoredGlob(spark, path))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     drainToMemory(hourlyAgg(stream), name)
+  }
+
+  /** FileStreamSource accepts globs but rejects a bare FILE as basePath
+    * (directories only). A naive `path + "*"` glob matches ANY sibling whose
+    * name merely starts with the file name (`events.parquet_old`,
+    * `events.parquet2`) and silently ingests extra rows; `{name}` is an
+    * exact-match alternation, so only the named file qualifies. Directories
+    * pass through untouched. */
+  private def anchoredGlob(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.getFileStatus(p).isFile) new org.apache.hadoop.fs.Path(p.getParent, "{" + p.getName + "}").toString
+    else path
   }
 
   private def drainToMemory(agg: DataFrame, name: String): DataFrame = {
@@ -105,7 +131,13 @@ object EventStream {
     * millis). Same `flatMapGroupsWithState` machinery as [[sessionize]];
     * this variant is the one under the DuckDB oracle gate
     * (`q13_user_sessions`), where the oracle is the classic gaps-and-islands
-    * lag/cumsum formulation. */
+    * lag/cumsum formulation.
+    *
+    * BATCH-ONLY CONTRACT: in batch execution each group arrives complete in
+    * one invocation, so sorting it and ignoring `GroupState` is exact. On a
+    * real stream this function would split sessions at every micro-batch
+    * boundary — use [[sessionizeStream]] there, which carries open sessions
+    * in `GroupState` with an event-time timeout. */
   def sessionizeByGap(events: Dataset[MicroEvent], gapMicros: Long): Dataset[MicroSession] = {
     import events.sparkSession.implicits._
     events
@@ -132,9 +164,70 @@ object EventStream {
       }
   }
 
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, ts_us: Long)
+
+  /** STREAMING gap-based sessionization: open sessions live in `GroupState`
+    * with an EVENT-TIME timeout, so a session spanning micro-batches is ONE
+    * session (the batch-only variants above would split it at every batch
+    * boundary).
+    *
+    * Protocol per micro-batch and user:
+    *  - merge the batch's events (sorted — bounded by the micro-batch, never
+    *    the user's full history) into the open session carried in state;
+    *  - emit sessions closed by an in-batch gap immediately;
+    *  - keep the trailing open session in state and arm a timeout at
+    *    `last + gap`; when the watermark passes it, Spark calls back with
+    *    `hasTimedOut` and the session is emitted and the state freed.
+    *
+    * State is O(1) per active user (one open session — n/start/last), and
+    * eviction is watermark-driven, so state size is bounded by the number of
+    * users active inside one gap window — the property that makes this safe
+    * on an unbounded stream. Events later than the watermark are dropped by
+    * Spark before reaching the function (standard late-data contract).
+    *
+    * `ts` (TimestampType) drives the watermark; `ts_us` carries the exact
+    * microsecond value so session bounds match the batch variant bit-for-bit. */
+  def sessionizeStream(
+      events: Dataset[SessionEvent], gapMicros: Long, watermark: String): Dataset[MicroSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, MicroSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(MicroSession(userId, s.n, s.start, s.last))
+          } else {
+            val batch = rows.map(_.ts_us).toArray // one micro-batch, not full history
+            java.util.Arrays.sort(batch)
+            val out = scala.collection.mutable.ArrayBuffer.empty[MicroSession]
+            var cur = state.getOption.orNull
+            batch.foreach { t =>
+              if (cur == null) cur = SessionState(1L, 0.0, t, t)
+              else if (t - cur.last <= gapMicros) cur = cur.copy(n = cur.n + 1, last = t)
+              else {
+                out += MicroSession(userId, cur.n, cur.start, cur.last)
+                cur = SessionState(1L, 0.0, t, t)
+              }
+            }
+            if (cur != null) {
+              state.update(cur)
+              // timeout must land strictly past the current watermark
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1, cur.last / 1000 + gapMicros / 1000 + 1))
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Stateful sessionization with a processing-time gap timeout —
     * `flatMapGroupsWithState` over `KeyValueGroupedDataset`, the Spark-native
-    * custom-state extension point (SURVEY §2.8/§2.9). */
+    * custom-state extension point (SURVEY §2.8/§2.9). BATCH-ONLY, like
+    * [[sessionizeByGap]] — see [[sessionizeStream]] for the streaming form. */
   def sessionize(events: Dataset[Event], gapMillis: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
     events

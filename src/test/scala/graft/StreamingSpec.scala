@@ -13,9 +13,7 @@ class StreamingSpec extends SparkSuite {
   test("streaming hourly agg equals batch hourly agg") {
     // write a ns-free copy of events (streaming schema uses TimestampType)
     val dir = java.nio.file.Files.createTempDirectory("events_us").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = EventStream.rawEvents(spark, "/root/testdata/sf0.001/events.parquet")
     ev.write.mode("overwrite").parquet(dir)
 
     val batch = EventStream.hourlyAgg(spark.read.parquet(dir))
@@ -38,16 +36,71 @@ class StreamingSpec extends SparkSuite {
     assert(sessions.map(s => (s.user_id, s.n_events, s.started_us, s.ended_us)).toSeq ==
       Seq((1L, 2L, 0L, g), (1L, 1L, 2 * g + 1, 2 * g + 1), (2L, 1L, 5L, 5L)))
 
-    // streaming the raw nanos parquet equals the batch aggregation over it
+    // streaming the raw nanos parquet equals the batch aggregation over it —
+    // and neither path leaks session conf (the nanos schema is declared, not
+    // conf-switched)
     val raw = "/root/testdata/sf0.001/events.parquet"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batchEv = spark.read.parquet(raw)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val batch = EventStream.hourlyAgg(batchEv)
+    val confBefore = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    val batch = EventStream.hourlyAgg(EventStream.rawEvents(spark, raw))
       .orderBy("window_start", "event_type").collect().toSeq
     val stream = EventStream.runHourlyOverRawEvents(spark, raw, "raw_hourly_test")
       .orderBy("window_start", "event_type").collect().toSeq
     assert(batch.nonEmpty && batch == stream)
+    assert(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong") == confBefore)
+  }
+
+  test("raw-file stream glob is anchored: prefixed sibling files are NOT ingested") {
+    // a bare file path needs a glob for FileStreamSource; `path*` would also
+    // match `events.parquet_extra` — the anchored `{name}` form must not
+    val dir = java.nio.file.Files.createTempDirectory("events_glob")
+    val src = Seq((1L, 1700000000L * 1000000000L, 10L, "click", 1.0, "{}"),
+      (2L, 1700000100L * 1000000000L, 11L, "view", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val extra = Seq((99L, 1700009999L * 1000000000L, 99L, "click", 9.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    def asFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("part").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, dir.resolve(name))
+    }
+    asFile(src, "events.parquet")
+    asFile(extra, "events.parquet_extra")
+    val got = EventStream.runHourlyOverRawEvents(
+      spark, dir.resolve("events.parquet").toString, "glob_test")
+    assert(got.agg(sum("n_events")).collect()(0).getLong(0) == 2L,
+      "anchored glob must read exactly the named file, not prefixed siblings")
+  }
+
+  test("sessionizeStream: one session survives micro-batch boundaries, closes on watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val gapUs = 30L * 60 * 1000000
+    val t0 = 1700000000L * 1000000L // micros
+    def ev(user: Long, us: Long) =
+      EventStream.SessionEvent(user, new java.sql.Timestamp(us / 1000), us)
+    val input = MemoryStream[EventStream.SessionEvent]
+    val sessions = EventStream.sessionizeStream(input.toDS(), gapUs, "10 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    try {
+      // one user session deliberately SPLIT across two micro-batches
+      input.addData(ev(1L, t0), ev(1L, t0 + 60L * 1000000))
+      q.processAllAvailable()
+      input.addData(ev(1L, t0 + 120L * 1000000))
+      q.processAllAvailable()
+      assert(spark.table("sess_stream").count() == 0, "session still open — nothing emitted yet")
+      // advance the watermark far past user 1's gap, then one more batch so
+      // the armed event-time timeout fires
+      input.addData(ev(2L, t0 + 10L * 3600L * 1000000))
+      q.processAllAvailable()
+      input.addData(ev(2L, t0 + 11L * 3600L * 1000000))
+      q.processAllAvailable()
+      val got = spark.table("sess_stream").as[EventStream.MicroSession].collect()
+        .filter(_.user_id == 1L)
+      assert(got.toSeq == Seq(EventStream.MicroSession(1L, 3L, t0, t0 + 120L * 1000000)),
+        s"expected ONE merged session for user 1, got ${got.toSeq}")
+    } finally q.stop()
   }
 
   test("streaming dedup drops redelivered event ids within the watermark") {
