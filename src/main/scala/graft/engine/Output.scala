@@ -39,16 +39,30 @@ object Output {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  /** Write small metadata atomically: temp file + rename. A reader never
-    * observes a half-written checkpoint even if the driver dies mid-write. */
+  /** Write small metadata atomically: temp file + rename-with-OVERWRITE. A
+    * reader never observes a half-written checkpoint, and — unlike a
+    * delete-then-rename — there is no window where NO checkpoint exists (a
+    * driver crash there would make a later resume treat the dir as
+    * uncommitted and wipe it). `FileContext.rename(OVERWRITE)` is atomic on
+    * HDFS and local file://; on object stores (s3a) rename is copy+delete and
+    * this remains best-effort — the documented caveat of metadata-on-object-
+    * store layouts. */
   private def writeStringAtomic(fs: FileSystem, target: HPath, content: String): Unit = {
     fs.mkdirs(target.getParent)
-    val tmp = new HPath(target.getParent, s".${target.getName}.tmp")
+    val qTarget = fs.makeQualified(target)
+    val tmp = fs.makeQualified(new HPath(target.getParent, s".${target.getName}.tmp"))
     val out = fs.create(tmp, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (fs.exists(target)) fs.delete(target, false)
-    fs.rename(tmp, target)
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+      fc.rename(tmp, qTarget, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        // FS with no FileContext binding: fall back to the non-atomic form
+        if (fs.exists(qTarget)) fs.delete(qTarget, false)
+        fs.rename(tmp, qTarget)
+    }
   }
 
   private def readString(fs: FileSystem, p: HPath): Option[String] =
@@ -64,18 +78,22 @@ object Output {
       } finally in.close()
     }
 
-  /** Committed data files under a model dir, as root-relative paths —
-    * excludes Spark/Hadoop bookkeeping (`_SUCCESS`, `_temporary`, `.crc`). */
-  private def dataFiles(fs: FileSystem, root: HPath): Seq[String] = {
-    if (!fs.exists(root)) return Nil
-    val rootUri = root.toUri.getPath
-    def walk(p: HPath): Seq[String] =
-      fs.listStatus(p).toSeq.filterNot(st => st.getPath.getName.startsWith("_")
-          || st.getPath.getName.startsWith(".")).flatMap { st =>
-        if (st.isDirectory) walk(st.getPath)
-        else Seq(st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/"))
+  /** Streams every committed data file under a model dir through `f` —
+    * excludes Spark/Hadoop bookkeeping (`_SUCCESS`, `_temporary`, `.crc`).
+    * Fold-style so callers can compute bounded summaries (count, max mtime)
+    * or delete selectively WITHOUT materializing a million-entry path list on
+    * the driver — at 100 TB the file listing must be O(1) memory. */
+  private def foreachDataFile(fs: FileSystem, root: HPath)(
+      f: org.apache.hadoop.fs.FileStatus => Unit): Unit = {
+    if (!fs.exists(root)) return
+    def walk(p: HPath): Unit =
+      fs.listStatus(p).foreach { st =>
+        val name = st.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) {
+          if (st.isDirectory) walk(st.getPath) else f(st)
+        }
       }
-    walk(root).sorted
+    walk(root)
   }
 
   /** Conflict pre-flight (reference `output/general/conflicts.go:25-96`):
@@ -98,6 +116,13 @@ object Output {
               throw new IllegalStateException(
                 s"output dir $dir already contains data; use force to overwrite")
           }
+        }
+        // force also invalidates the backup snapshot: if the forced run dies
+        // before writeBackup rewrites it, a stale fingerprint would refuse a
+        // legitimate resume of the NEW config even though the old data is gone
+        if (force && cfg.output.dir.nonEmpty) {
+          val (bfs, bp) = fileSystem(spark, s"${cfg.output.dir}/backup.json")
+          if (bfs.exists(bp)) bfs.delete(bp, false)
         }
     }
 
@@ -218,11 +243,29 @@ object Output {
     readString(fs, p).map(s => mapper.readTree(s).path("saved_rows").asLong(0L)).getOrElse(0L)
   }
 
-  /** Delete data files not recorded in the last checkpoint's manifest —
+  /** Delete data files newer than the last checkpoint's commit watermark —
     * leftovers of a job that died after committing some tasks. Called before
     * a `--continue` append so the resumed dataset is exactly
     * rows [0, saved_rows) + the new slice (no dups, no gaps). With no
-    * checkpoint at all, nothing was ever fully committed: wipe the dir. */
+    * checkpoint at all, nothing was ever fully committed: wipe the dir.
+    *
+    * The checkpoint is BOUNDED (file count + max committed mtime), never a
+    * full path manifest: at 100 TB a model dir holds millions of files, and
+    * a driver-held path list (the previous format) is a driver-memory and
+    * metadata-stall bottleneck. Stragglers from a failed follow-up job were
+    * necessarily written AFTER the checkpoint, so `mtime > max_mtime`
+    * identifies them with O(1) driver memory; the surviving-file count is
+    * then cross-checked against the recorded count and the resume REFUSES on
+    * mismatch rather than risking dups/gaps.
+    *
+    * Format compatibility: a v1 checkpoint (`{"saved_rows":n}` only — no
+    * watermark, no manifest) means the data was committed by an engine that
+    * could not record one. Treating its absence as "nothing committed" would
+    * delete every file while `savedRows` still returns n — resuming would
+    * then append rows [n, total) into an emptied dir, a silent permanent gap
+    * of rows [0, n). So: skip the cleanup entirely and trust saved_rows (the
+    * v1 writer only checkpointed after full success). A v2 checkpoint
+    * (`"files"` list) cleans by the recorded set as before. */
   def cleanUncommitted(spark: SparkSession, cfg: GenerationConfig, model: ModelConfig): Unit = {
     if (cfg.output.dir.isEmpty) return
     cfg.output match {
@@ -232,29 +275,58 @@ object Output {
     val (fs, root) = fileSystem(spark, modelPath(cfg, model))
     if (!fs.exists(root)) return
     val (cfs, cp) = fileSystem(spark, checkpointPath(cfg, model))
-    val committed: Set[String] = readString(cfs, cp) match {
-      case None => Set.empty
+    readString(cfs, cp) match {
+      case None =>
+        // no checkpoint: nothing was ever fully committed — wipe
+        foreachDataFile(fs, root)(st => fs.delete(st.getPath, false))
       case Some(json) =>
-        val files = mapper.readTree(json).path("files")
-        (0 until files.size()).map(files.get(_).asText()).toSet
-    }
-    dataFiles(fs, root).filterNot(committed.contains).foreach { rel =>
-      fs.delete(new HPath(root, rel), false)
+        val node = mapper.readTree(json)
+        if (node.has("max_mtime")) {
+          val maxMtime = node.path("max_mtime").asLong(Long.MaxValue)
+          val expected = node.path("file_count").asLong(-1L)
+          var kept = 0L
+          foreachDataFile(fs, root) { st =>
+            if (st.getModificationTime > maxMtime) fs.delete(st.getPath, false)
+            else kept += 1
+          }
+          if (expected >= 0L && kept != expected)
+            throw new IllegalStateException(
+              s"resume safety check failed for ${root}: checkpoint records " +
+                s"$expected committed data files but $kept survive the commit " +
+                "watermark; refusing to resume into an inconsistent dir — " +
+                "use force to regenerate")
+        } else if (node.has("files")) {
+          // v2 format: full path manifest
+          val files = node.path("files")
+          val committed = (0 until files.size()).map(files.get(_).asText()).toSet
+          val rootUri = fs.makeQualified(root).toUri.getPath
+          foreachDataFile(fs, root) { st =>
+            val rel = st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+            if (!committed.contains(rel)) fs.delete(st.getPath, false)
+          }
+        }
+        // v1 format ({"saved_rows":n} only): skip cleanup — see scaladoc
     }
   }
 
   /** Transactional post-commit checkpoint
-    * `<model>_checkpoint.json{"saved_rows":n,"files":[...]}` (reference
-    * `model_writer.go:120-164`). Written via temp+rename only after the
-    * Spark action commits; the manifest lists every committed data file so a
-    * later resume can drop stragglers from a failed follow-up job. */
+    * `<model>_checkpoint.json{"saved_rows":n,"file_count":k,"max_mtime":t}`
+    * (reference `model_writer.go:120-164`). Written via temp+rename only
+    * after the Spark action commits. Bounded bookkeeping — count + commit
+    * watermark, O(1) regardless of file count — replaces the full path
+    * manifest; see [[cleanUncommitted]] for how a resume uses it. */
   private def writeCheckpoint(spark: SparkSession, cfg: GenerationConfig, model: ModelConfig): Unit = {
     if (cfg.output.dir.isEmpty) return
     val (fs, root) = fileSystem(spark, modelPath(cfg, model))
-    val files = dataFiles(fs, root)
-      .map(f => mapper.writeValueAsString(f)).mkString("[", ",", "]")
+    var count = 0L
+    var maxMtime = 0L
+    foreachDataFile(fs, root) { st =>
+      count += 1
+      if (st.getModificationTime > maxMtime) maxMtime = st.getModificationTime
+    }
     val (cfs, cp) = fileSystem(spark, checkpointPath(cfg, model))
-    writeStringAtomic(cfs, cp, s"""{"saved_rows":${model.generateTo},"files":$files}""")
+    writeStringAtomic(cfs, cp,
+      s"""{"saved_rows":${model.generateTo},"file_count":$count,"max_mtime":$maxMtime}""")
   }
 
   /** Stable digest of the data-shaping config subset (what the reference

@@ -191,7 +191,30 @@ object Dedup {
     * unpersisted immediately: a long-lived session runs this repeatedly and
     * must not accumulate storage memory. */
   def connectedComponents(
-      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 30): DataFrame = {
+      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 30): DataFrame =
+    componentsCore(pairs, aCol, bCol, maxIter).select(col("id"), col("component"))
+
+  /** Scoped variant: computes components, applies `f`, then RELEASES the
+    * backing cache (blocking) — zero net cached RDDs after return. Use this
+    * from long-lived pipelines that cluster shard after shard; the plain
+    * [[connectedComponents]] necessarily leaves its result cached (the
+    * caller holds a lazy DataFrame over it) with no release handle.
+    * `f` must MATERIALIZE whatever it needs (collect/write/count) — the
+    * DataFrame it receives dies with the scope. */
+  def withConnectedComponents[T](
+      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 30)(
+      f: DataFrame => T): T = {
+    val labels = componentsCore(pairs, aCol, bCol, maxIter)
+    try f(labels.select(col("id"), col("component")))
+    finally labels.unpersist(blocking = true)
+  }
+
+  /** The min-label + pointer-jumping loop; returns the final CACHED round
+    * (columns id, component, changed). All unpersists are BLOCKING: a lazy
+    * release would let per-round blocks overlap across rounds (or calls),
+    * exactly the storage-memory creep this loop exists to avoid. */
+  private def componentsCore(
+      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int): DataFrame = {
     val edges = pairs
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .union(pairs.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
@@ -213,31 +236,35 @@ object Dedup {
             least(labels("component"), coalesce(col("ncomp"), labels("component"))).as("propc"))
         // (b) pointer jumping: follow the label one hop (labels are node ids,
         // so every label resolves via `labels` itself; left join keeps roots).
-        val hop = labels.select(col("id").as("h_id"), col("component").as("h_component"))
-        val next = propagated.join(hop, col("propc") === col("h_id"), "left")
-          .select(col("id"),
-            least(col("propc"), coalesce(col("h_component"), col("propc"))).as("component"),
-            (least(col("propc"), coalesce(col("h_component"), col("propc")))
-              =!= col("old_component")).as("changed"))
-          .localCheckpoint() // ONE job per round; convergence flag rides along
+        // Round 0 skips the hop: its labels ARE the direct neighborhood mins,
+        // so the hop join would re-derive the propagation it just did — one
+        // join and one shuffle saved on the round every call pays for.
+        val next = (if (it == 0) {
+          propagated.select(col("id"), col("propc").as("component"),
+            (col("propc") =!= col("old_component")).as("changed"))
+        } else {
+          val hop = labels.select(col("id").as("h_id"), col("component").as("h_component"))
+          propagated.join(hop, col("propc") === col("h_id"), "left")
+            .select(col("id"),
+              least(col("propc"), coalesce(col("h_component"), col("propc"))).as("component"),
+              (least(col("propc"), coalesce(col("h_component"), col("propc")))
+                =!= col("old_component")).as("changed"))
+        }).localCheckpoint() // ONE job per round; convergence flag rides along
         converged = next.filter(col("changed")).isEmpty // cheap scan of cached blocks
-        labels.unpersist()
+        labels.unpersist(blocking = true)
         labels = next
         it += 1
       }
     } finally {
-      edges.unpersist()
+      edges.unpersist(blocking = true)
     }
     if (!converged) {
-      labels.unpersist()
+      labels.unpersist(blocking = true)
       throw new IllegalStateException(
         s"connectedComponents did not converge after $maxIter pointer-jumping rounds " +
           "(component min-reach doubles per round); raise maxIter")
     }
-    // Plain projection over the final cached round — no extra cache entry.
-    // The result stays localCheckpoint-backed (one small cached DF per call);
-    // everything superseded was unpersisted above.
-    labels.select(col("id"), col("component"))
+    labels
   }
 
   /** End-of-pipeline keep list: drop every doc whose cluster id differs from

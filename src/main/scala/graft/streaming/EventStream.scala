@@ -5,6 +5,16 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
+/** Open-session accumulator carried in `GroupState` across micro-batches.
+  *
+  * MUST be a top-level public case class: Spark's state-store encoder
+  * resolves bean-style accessors via Janino-generated code, and a `private`
+  * class nested in an object (the previous shape) fails accessor resolution
+  * at runtime with a `CompileException` on the first micro-batch. The field
+  * is `lastUs` (not `last`) for the same reason — `last` collides with
+  * `Traversable.last` during the generated-code method lookup. */
+final case class SessionState(n: Long, total: Double, startUs: Long, lastUs: Long)
+
 /** Structured-Streaming surface over the `events` table shape:
   * watermarked tumbling-window aggregation and stateful sessionization.
   *
@@ -90,8 +100,14 @@ object EventStream {
   private def anchoredGlob(spark: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.getFileStatus(p).isFile) new org.apache.hadoop.fs.Path(p.getParent, "{" + p.getName + "}").toString
-    else path
+    if (!fs.exists(p))
+      throw new java.io.FileNotFoundException(s"events path does not exist: $path")
+    if (fs.getFileStatus(p).isFile) {
+      // escape Hadoop glob metacharacters so a literal name like `a[1].parquet`
+      // builds an exact-match pattern instead of a malformed/over-matching one
+      val escaped = p.getName.replaceAll("([{}\\[\\]*?,\\\\])", "\\\\$1")
+      new org.apache.hadoop.fs.Path(p.getParent, "{" + escaped + "}").toString
+    } else path
   }
 
   private def drainToMemory(agg: DataFrame, name: String): DataFrame = {
@@ -109,7 +125,6 @@ object EventStream {
       event_type: String, value: Double)
   final case class Session(user_id: Long, n_events: Long, total_value: Double,
       started: java.sql.Timestamp, ended: java.sql.Timestamp)
-  private final case class SessionState(n: Long, total: Double, start: Long, last: Long)
 
   /** Streaming exact dedup: drop repeated `event_id`s arriving within the
     * watermark horizon — the streaming counterpart of `Dedup.exact` for
@@ -199,7 +214,7 @@ object EventStream {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(MicroSession(userId, s.n, s.start, s.last))
+            Iterator.single(MicroSession(userId, s.n, s.startUs, s.lastUs))
           } else {
             val batch = rows.map(_.ts_us).toArray // one micro-batch, not full history
             java.util.Arrays.sort(batch)
@@ -207,9 +222,14 @@ object EventStream {
             var cur = state.getOption.orNull
             batch.foreach { t =>
               if (cur == null) cur = SessionState(1L, 0.0, t, t)
-              else if (t - cur.last <= gapMicros) cur = cur.copy(n = cur.n + 1, last = t)
+              // gap is measured against the session's MAX timestamp; an event
+              // earlier than lastUs (out-of-order within the watermark) merges
+              // without rewinding the bounds — min/max keeps ended_us and the
+              // armed timeout monotone
+              else if (t - cur.lastUs <= gapMicros) cur = cur.copy(n = cur.n + 1,
+                startUs = math.min(cur.startUs, t), lastUs = math.max(cur.lastUs, t))
               else {
-                out += MicroSession(userId, cur.n, cur.start, cur.last)
+                out += MicroSession(userId, cur.n, cur.startUs, cur.lastUs)
                 cur = SessionState(1L, 0.0, t, t)
               }
             }
@@ -217,7 +237,7 @@ object EventStream {
               state.update(cur)
               // timeout must land strictly past the current watermark
               state.setTimeoutTimestamp(
-                math.max(state.getCurrentWatermarkMs() + 1, cur.last / 1000 + gapMicros / 1000 + 1))
+                math.max(state.getCurrentWatermarkMs() + 1, cur.lastUs / 1000 + gapMicros / 1000 + 1))
             }
             out.iterator
           }
@@ -242,18 +262,18 @@ object EventStream {
           sorted.foreach { e =>
             val t = e.ts.getTime
             cur match {
-              case Some(s) if t - s.last <= gapMillis =>
-                cur = Some(s.copy(n = s.n + 1, total = s.total + e.value, last = t))
+              case Some(s) if t - s.lastUs <= gapMillis =>
+                cur = Some(s.copy(n = s.n + 1, total = s.total + e.value, lastUs = t))
               case Some(s) =>
                 out += Session(userId, s.n, s.total,
-                  new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last))
+                  new java.sql.Timestamp(s.startUs), new java.sql.Timestamp(s.lastUs))
                 cur = Some(SessionState(1, e.value, t, t))
               case None =>
                 cur = Some(SessionState(1, e.value, t, t))
             }
           }
           cur.foreach(s => out += Session(userId, s.n, s.total,
-            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last)))
+            new java.sql.Timestamp(s.startUs), new java.sql.Timestamp(s.lastUs)))
           out.iterator
       }
   }

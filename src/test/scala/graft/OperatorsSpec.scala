@@ -91,6 +91,18 @@ class OperatorsSpec extends SparkSuite {
     assert(after - before <= 1, s"leaked ${after - before} cached RDDs in one run")
   }
 
+  test("withConnectedComponents: cluster+keep pipeline leaves ZERO net cached RDDs") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val corpus = Seq(1L, 2L, 3L, 5L, 10L, 11L, 12L).toDF("doc_id")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val kept = Dedup.withConnectedComponents(pairs, "id_a", "id_b") { comp =>
+      Dedup.keepCanonical(corpus, "doc_id", comp).collect().map(_.getLong(0)).sorted.toSeq
+    }
+    assert(kept == Seq(1L, 5L, 10L, 12L))
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before == 0, s"scoped pipeline leaked ${after - before} cached RDDs")
+  }
+
   test("keepCanonical drops exactly the non-minimum cluster members") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val corpus = Seq(1L, 2L, 3L, 5L, 10L, 11L, 12L).toDF("doc_id")

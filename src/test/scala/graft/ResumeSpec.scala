@@ -95,6 +95,56 @@ class ResumeSpec extends SparkSuite {
     assert(spark.read.parquet(s"$dir/m").count() == 1000)
   }
 
+  test("legacy v1 checkpoint (saved_rows only) resumes WITHOUT wiping committed data") {
+    val dir = java.nio.file.Files.createTempDirectory("legacy").toString
+    Engine.run(spark, ConfigParser.parseYaml(cfgYaml(dir, Some(400L))))
+    // rewrite the checkpoint to the pre-manifest format: no files/watermark
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/m_checkpoint.json"),
+      """{"saved_rows":400}""".getBytes)
+    // drop the Hadoop checksum sidecar invalidated by the raw rewrite
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$dir/.m_checkpoint.json.crc"))
+    val resumed = Engine.resumedConfig(spark, ConfigParser.parseYaml(cfgYaml(dir, None)))
+    assert(resumed.model("m").generateFrom == 400,
+      "legacy checkpoint's saved_rows must be honored")
+    // the committed 400 rows MUST survive (treating the missing manifest as
+    // 'nothing committed' would wipe them and leave a permanent row gap)
+    assert(spark.read.parquet(s"$dir/m").count() == 400)
+    Engine.run(spark, resumed, resume = true)
+    assert(spark.read.parquet(s"$dir/m").count() == 1000)
+    val cleanDir = java.nio.file.Files.createTempDirectory("legacyclean").toString
+    Engine.run(spark, ConfigParser.parseYaml(cfgYaml(cleanDir, None)))
+    assert(spark.read.parquet(s"$dir/m").orderBy("id").collect().toSeq
+      == spark.read.parquet(s"$cleanDir/m").orderBy("id").collect().toSeq)
+  }
+
+  test("checkpoint stays bounded: no per-file manifest regardless of file count") {
+    val dir = java.nio.file.Files.createTempDirectory("bounded").toString
+    // 1000 rows / 50 per file -> ~20 data files
+    val yaml = cfgYaml(dir, None).replace("rows_count: 1000",
+      "rows_count: 1000\n    rows_per_file: 50")
+    Engine.run(spark, ConfigParser.parseYaml(yaml))
+    val cp = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/m_checkpoint.json")))
+    assert(!cp.contains("part-"), s"checkpoint must not embed file paths: $cp")
+    assert(cp.length < 200, s"checkpoint must be O(1) in size, got ${cp.length} bytes")
+    assert(cp.contains("\"file_count\"") && cp.contains("\"max_mtime\""))
+  }
+
+  test("force invalidates backup.json so a crashed forced run doesn't block the new config") {
+    val dir = java.nio.file.Files.createTempDirectory("forcebackup").toString
+    Engine.run(spark, ConfigParser.parseYaml(cfgYaml(dir, None)))
+    // force-preflight under an EDITED config (as a forced rerun would), then
+    // simulate the run dying before writeBackup: backup.json must be gone,
+    // so resuming the new config is not refused by the old fingerprint
+    val edited = ConfigParser.parseYaml(
+      cfgYaml(dir, None).replace("rows_count: 1000", "rows_count: 500"))
+    Output.preflight(spark, edited, force = true)
+    assert(!new java.io.File(s"$dir/backup.json").exists(),
+      "stale backup.json must not survive a force wipe")
+    Engine.run(spark, Engine.resumedConfig(spark, edited), resume = true)
+    assert(spark.read.parquet(s"$dir/m").count() == 500)
+  }
+
   test("force wipes conflicting output; without force it refuses") {
     val dir = java.nio.file.Files.createTempDirectory("force").toString
     val cfg = ConfigParser.parseYaml(cfgYaml(dir, None))

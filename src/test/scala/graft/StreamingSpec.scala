@@ -103,6 +103,39 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("sessionizeStream: out-of-order event within watermark never rewinds session bounds") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val gapUs = 30L * 60 * 1000000
+    val t0 = 1700000000L * 1000000L
+    def ev(user: Long, us: Long) =
+      EventStream.SessionEvent(user, new java.sql.Timestamp(us / 1000), us)
+    val input = MemoryStream[EventStream.SessionEvent]
+    val sessions = EventStream.sessionizeStream(input.toDS(), gapUs, "2 hours")
+    val q = sessions.writeStream.format("memory").queryName("sess_ooo")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(1L, t0 + 60L * 1000000))
+      q.processAllAvailable()
+      // LATE but within-watermark event, earlier than the open session's
+      // start: must merge via min/max, not rewind `last` (which would arm the
+      // timeout too early and split the session)
+      input.addData(ev(1L, t0))
+      q.processAllAvailable()
+      input.addData(ev(1L, t0 + 120L * 1000000))
+      q.processAllAvailable()
+      // push the watermark far past the gap, then once more to fire timeouts
+      input.addData(ev(2L, t0 + 10L * 3600L * 1000000))
+      q.processAllAvailable()
+      input.addData(ev(2L, t0 + 11L * 3600L * 1000000))
+      q.processAllAvailable()
+      val got = spark.table("sess_ooo").as[EventStream.MicroSession].collect()
+        .filter(_.user_id == 1L)
+      assert(got.toSeq == Seq(EventStream.MicroSession(1L, 3L, t0, t0 + 120L * 1000000)),
+        s"expected one session spanning [t0, t0+120s] despite out-of-order arrival, got ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops redelivered event ids within the watermark") {
     val dir = java.nio.file.Files.createTempDirectory("events_dup").toString
     val t0 = 1700000000000L
