@@ -55,18 +55,19 @@ object Bench {
     // JIT/codegen warmup on a trivial action
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    // min of three runs: first run pays codegen+JIT, min reports steady state
-    // (reference uses `-count=2`, BASELINE.md; one extra sample hardens the
-    // number against transient machine contention, which on this box can
-    // inflate a single run by >10x)
+    // Three samples per query; headline stays the MIN (first run pays
+    // codegen+JIT; reference uses `-count=2`, BASELINE.md) but ALL three are
+    // reported as [min, median, max] — run-to-run variance in this sandbox
+    // reaches ~2x, and without the spread a real 2x regression is
+    // indistinguishable from noise (round-3 verdict, dedup block).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val secs = (1 to 3).map { _ =>
+      val samples = (1 to 3).map { _ =>
         time {
           try fn(spark, sfDir).write.format("noop").mode(SaveMode.Overwrite).save()
           catch { case _: Throwable => () }
         }
-      }.min
-      name -> secs
+      }.sorted
+      name -> samples
     }
 
     val genRates: Seq[(String, Double)] = Seq(
@@ -82,11 +83,14 @@ object Bench {
         genRate(spark, 5000000L, "string, type_params: { logical_type: first_name }"),
       "gen_enum" -> genRate(spark, 20000000L, "integer, values: [1, 2, 3]"))
 
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v) => "\"" + k + f"\":${v.head}%.3f" }.mkString("{", ",", "}")
+    val spread = results
+      .map { case (k, v) => "\"" + k + f"\":[${v(0)}%.3f,${v(1)}%.3f,${v(2)}%.3f]" }
+      .mkString("{", ",", "}")
     val gr = genRates.map { case (k, v) => "\"" + k + f"\":$v%.0f" }.mkString("{", ",", "}")
-    val total = f"${results.map(_._2).sum}%.3f"
+    val total = f"${results.map(_._2.head).sum}%.3f"
     println(
-      s"""{"metric":"total_query_secs","value":$total,"unit":"sec","queries":$qs,"generator_rows_per_sec":$gr,"sf":"$sfDir"}""")
+      s"""{"metric":"total_query_secs","value":$total,"unit":"sec","queries":$qs,"query_samples_min_med_max":$spread,"generator_rows_per_sec":$gr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -46,6 +46,24 @@ object SparkEntry {
   /** Fixed-point cents: exact, portable money math. */
   private def cents(c: Column): Column = floor(c * 100 + lit(0.5)).cast("long")
 
+  /** Ensure co-bucketed lineitem/orders tables exist for `dir` (written once
+    * per session per SF; bucket count matches so the orderkey join is
+    * Exchange-free). Returns (lineitemTable, ordersTable). The write is the
+    * one-time cost that bucketing trades for the per-query fact-fact shuffle
+    * at 100 TB — see [[graft.operators.Bucketing]]. */
+  private[graft] def bucketedOrderTables(s: SparkSession, dir: String): (String, String) = {
+    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val (liT, oT) = (s"graft_bkt_lineitem_$suffix", s"graft_bkt_orders_$suffix")
+    if (!s.catalog.tableExists(liT))
+      graft.operators.Bucketing.writeBucketed(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        liT, "l_orderkey", 8)
+    if (!s.catalog.tableExists(oT))
+      graft.operators.Bucketing.writeBucketed(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")), oT, "o_orderkey", 8)
+    (liT, oT)
+  }
+
   /** Flagship query (driver smoke: rows>0 on sf0.001): a full engine
     * generation — two models with FK, uuid/name/enum/datetime columns —
     * joined and aggregated. Exercises the whole generator stack. */
@@ -106,6 +124,28 @@ object SparkEntry {
         .select(col("l_orderkey"),
           (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev4"))
       val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val n = t(s, dir, "nation")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg((sum(col("rev4")).cast("double") / 10000.0).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    "q2_revenue_by_nation_bucketed" -> ((s, dir) => {
+      // same query, same oracle — but the lineitem x orders fact-fact join
+      // runs over co-bucketed tables: the orderkey shuffle was paid ONCE at
+      // write time, so the join itself needs no Exchange (PlanSpec pins it).
+      // This is the layout a 100 TB deployment would use for every
+      // orders-grain query; the dims stay broadcast.
+      val (liT, oT) = bucketedOrderTables(s, dir)
+      val li = s.table(liT)
+        .select(col("l_orderkey"),
+          (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev4"))
+      val o = s.table(oT)
       val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
       val n = t(s, dir, "nation")
       li.join(o, li("l_orderkey") === o("o_orderkey"))
@@ -293,6 +333,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- dedup shuffle-path variants: broadcastRight = false ---
+    // Identical semantics and oracles to their broadcast twins. At sf0.1 the
+    // broadcast plan wins; at 100 TB no side fits in an executor and the
+    // sort-merge/shuffle-hash plan IS the real plan — these rows make the
+    // gate measure it instead of assuming it.
+    "dedup_minhash_pairs_shuffle" -> ((s, dir) => {
+      Dedup.minhashPairs(spread(t(s, dir, "documents")), "doc_id", "text",
+        numHashes = 4, bandSize = 2, broadcastRight = false)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "dedup_ngram_jaccard_shuffle" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(
+        spread(t(s, dir, "documents")), "doc_id", "text", "lang",
+        n = 3, threshold = 0.5, broadcastRight = false)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "dedup_clusters_shuffle" -> ((s, dir) => {
+      Dedup.connectedComponents(
+        Dedup.minhashPairs(spread(t(s, dir, "documents")), "doc_id", "text",
+          numHashes = 4, bandSize = 2, broadcastRight = false),
+        "id_a", "id_b")
+        .orderBy(col("id"))
+    }),
+
     // --- similarity search over embeddings ---
     "knn_bruteforce" -> ((s, dir) => {
       val embs = spread(t(s, dir, "embeddings"))
@@ -413,7 +479,16 @@ object SparkEntry {
 
   // ------------------------------------------------------------- oracle
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    // shuffle-path gate variants produce IDENTICAL output to their broadcast
+    // twins — they share the oracle verbatim
+    "dedup_minhash_pairs_shuffle" -> oracleSqlBase("dedup_minhash_pairs"),
+    "dedup_ngram_jaccard_shuffle" -> oracleSqlBase("dedup_ngram_jaccard"),
+    "dedup_clusters_shuffle" -> oracleSqlBase("dedup_clusters"),
+    // the bucketed layout must not change a single output byte
+    "q2_revenue_by_nation_bucketed" -> oracleSqlBase("q2_revenue_by_nation"))
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  count(*) AS n_rows,

@@ -117,4 +117,25 @@ class PlanSpec extends SparkSuite {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("bucketed q2 gate query: fact-fact join has no Exchange, result matches plain q2") {
+    import org.apache.spark.sql.functions.col
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // forbid broadcast so the orderkey join MUST be sort-merge — proving the
+    // bucketed layout (not a lucky broadcast) is what kills the Exchange
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (liT, oT) = SparkEntry.bucketedOrderTables(spark, sfDir)
+      val li = spark.table(liT)
+      val o = spark.table(oT)
+      val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      val p = plan(joined)
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"), s"bucketed orderkey join must not shuffle:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // end-to-end: identical rows to the non-bucketed q2 (shared oracle)
+    val plainQ2 = SparkEntry.queries("q2_revenue_by_nation")(spark, sfDir).collect().toSeq
+    val bucketed = SparkEntry.queries("q2_revenue_by_nation_bucketed")(spark, sfDir).collect().toSeq
+    assert(bucketed == plainQ2)
+  }
 }
