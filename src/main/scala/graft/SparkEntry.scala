@@ -54,14 +54,29 @@ object SparkEntry {
   private[graft] def bucketedOrderTables(s: SparkSession, dir: String): (String, String) = {
     val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
     val (liT, oT) = (s"graft_bkt_lineitem_$suffix", s"graft_bkt_orders_$suffix")
-    if (!s.catalog.tableExists(liT))
+    if (!s.catalog.tableExists(liT)) {
+      dropStale(s, liT)
       graft.operators.Bucketing.writeBucketed(
         t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
         liT, "l_orderkey", 8)
-    if (!s.catalog.tableExists(oT))
+    }
+    if (!s.catalog.tableExists(oT)) {
+      dropStale(s, oT)
       graft.operators.Bucketing.writeBucketed(
         t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")), oT, "o_orderkey", 8)
+    }
     (liT, oT)
+  }
+
+  /** A managed table's warehouse dir can survive the (in-memory) catalog that
+    * created it — a fresh session then refuses `saveAsTable` over the stale
+    * location. Clear both the catalog entry and the leftover dir. */
+  private def dropStale(s: SparkSession, table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = new org.apache.hadoop.fs.Path(
+      s.sessionState.conf.warehousePath, table.toLowerCase)
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.delete(wh, true)
   }
 
   /** Flagship query (driver smoke: rows>0 on sf0.001): a full engine

@@ -53,12 +53,19 @@ object Engine {
     * the recomputed generate_from slice — reference "continue generation"). */
   def run(
       spark: SparkSession, cfg: GenerationConfig,
-      force: Boolean = false, resume: Boolean = false): Map[String, Long] = {
+      force: Boolean = false, resume: Boolean = false,
+      onModelStart: String => Unit = _ => (),
+      onModelDone: String => Unit = _ => ()): Map[String, Long] = {
     if (!resume) Output.preflight(spark, cfg, force)
     val counts = frames(spark, cfg)
       .filter { case (m, _) => m.generateTo > m.generateFrom }
       .map { case (model, df) =>
+        // per-model hooks let a driver (the task server) scope job groups /
+        // progress counters to ONE model — the reference reports generation
+        // progress as a per-model percentage map, not one job-wide number
+        onModelStart(model.name)
         Output.writeModel(spark, cfg, model, df)
+        onModelDone(model.name)
         model.name -> (model.generateTo - model.generateFrom)
       }.toMap
     Output.writeBackup(spark, cfg)

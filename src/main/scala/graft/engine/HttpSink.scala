@@ -32,12 +32,13 @@ object HttpSink {
     val template = out.template
     val batchSize = math.max(1L, out.batchSize).toInt
     val timeoutMs = out.timeoutMillis
+    val workers = math.max(1, out.workersCount)
 
     df.foreachPartition { (rows: Iterator[Row]) =>
       val client = HttpClient.newBuilder()
         .connectTimeout(Duration.ofMillis(timeoutMs))
         .build()
-      rows.grouped(batchSize).foreach { batch =>
+      def post(batch: Seq[Row]): Unit = {
         val json = rowsJson(batch, schema)
         val body = template
           .replace("{{ .ModelName }}", modelName)
@@ -45,6 +46,23 @@ object HttpSink {
           .replace("{{ json .Rows }}", json)
           .replace("{{json .Rows}}", json)
         postWithRetry(client, endpoint, headers, body, timeoutMs)
+      }
+      if (workers == 1) rows.grouped(batchSize).foreach(post)
+      else {
+        // `workers_count` writer threads PER TASK (reference runs N writer
+        // goroutines per output — http.go:35-326): request latency overlaps
+        // instead of serializing the partition on one in-flight POST. A
+        // bounded queue keeps at most `workers` batches materialized; a post
+        // failure (after its own retry policy) fails the task.
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(workers)
+        val pending = new java.util.ArrayDeque[java.util.concurrent.Future[_]]()
+        try {
+          rows.grouped(batchSize).foreach { batch =>
+            while (pending.size >= workers) pending.poll().get() // propagate failures
+            pending.add(pool.submit(new Runnable { def run(): Unit = post(batch) }))
+          }
+          while (!pending.isEmpty) pending.poll().get()
+        } finally pool.shutdownNow()
       }
     }
   }

@@ -206,8 +206,21 @@ object Dedup {
       f: DataFrame => T): T = {
     val labels = componentsCore(pairs, aCol, bCol, maxIter)
     try f(labels.select(col("id"), col("component")))
-    finally labels.unpersist(blocking = true)
+    finally releaseCheckpoint(labels)
   }
+
+  /** Release the block-manager storage behind a `localCheckpoint`-backed
+    * DataFrame NOW (blocking). `Dataset.unpersist` only consults the SQL
+    * cache manager, which knows nothing about checkpoint RDDs — relying on
+    * it leaves the blocks to the GC-driven ContextCleaner, i.e. unbounded
+    * storage creep until some later GC happens to run. The checkpointed RDD
+    * sits in the plan's `LogicalRDD` leaf (public API); unpersisting it
+    * directly is deterministic. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = true)
+      case _ => ()
+    }
 
   /** The min-label + pointer-jumping loop; returns the final CACHED round
     * (columns id, component, changed). All unpersists are BLOCKING: a lazy
@@ -251,15 +264,15 @@ object Dedup {
                 =!= col("old_component")).as("changed"))
         }).localCheckpoint() // ONE job per round; convergence flag rides along
         converged = next.filter(col("changed")).isEmpty // cheap scan of cached blocks
-        labels.unpersist(blocking = true)
+        releaseCheckpoint(labels)
         labels = next
         it += 1
       }
     } finally {
-      edges.unpersist(blocking = true)
+      releaseCheckpoint(edges)
     }
     if (!converged) {
-      labels.unpersist(blocking = true)
+      releaseCheckpoint(labels)
       throw new IllegalStateException(
         s"connectedComponents did not converge after $maxIter pointer-jumping rounds " +
           "(component min-reach doubles per round); raise maxIter")

@@ -30,9 +30,12 @@ object TaskServer {
 
   private final case class Task(
       id: String,
+      models: Seq[String],
       @volatile var state: String, // running | done | failed
       @volatile var message: String,
-      @volatile var finishedAt: Long)
+      @volatile var finishedAt: Long) {
+    val completedModels = ConcurrentHashMap.newKeySet[String]()
+  }
 
   final class Handle(server: HttpServer) {
     def join(): Unit = Thread.currentThread().join()
@@ -74,16 +77,19 @@ object TaskServer {
           val body = readBody(ex)
           val cfg = ConfigParser.parseJson(body)
           val id = UUID.randomUUID().toString
-          val task = Task(id, "running", "", 0L)
+          val task = Task(id, cfg.activeModels.map(_.name), "running", "", 0L)
           tasks.put(id, task)
           pool.submit(new Runnable {
             def run(): Unit =
               try {
-                // job-group = task id so /status can read live progress from
-                // the status tracker (the reference polls per-model progress
-                // counters — `handlers.go:131-183`)
-                spark.sparkContext.setJobGroup(id, s"graft task $id", interruptOnCancel = true)
-                val counts = Engine.run(spark, cfg, force = true)
+                // one job group PER MODEL (`<task>::<model>`) so /status can
+                // read live per-model progress from the status tracker — the
+                // reference reports a {model: percent} map per task
+                // (`handlers.go:131-183`), not one aggregate fraction
+                val counts = Engine.run(spark, cfg, force = true,
+                  onModelStart = m => spark.sparkContext.setJobGroup(
+                    s"$id::$m", s"graft task $id model $m", interruptOnCancel = true),
+                  onModelDone = m => task.completedModels.add(m))
                 task.message = counts.map { case (m, n) => s""""$m":$n""" }.mkString("{", ",", "}")
                 task.state = "done"
               } catch {
@@ -107,19 +113,24 @@ object TaskServer {
       Option(tasks.get(id)) match {
         case None => respond(ex, 404, """{"error":"task not found"}""")
         case Some(t) =>
-          // live progress: completed/total Spark tasks across the task's jobs
-          val progress =
-            if (t.state != "running") 1.0
+          // live per-model progress: completed/total Spark tasks of each
+          // model's job group; finished models pin to 100 (the tracker
+          // forgets old jobs, so group math alone would regress to 0)
+          def modelPct(m: String): Double =
+            if (t.state != "running" || t.completedModels.contains(m)) 100.0
             else {
               val tracker = spark.sparkContext.statusTracker
-              val jobs = tracker.getJobIdsForGroup(t.id)
+              val jobs = tracker.getJobIdsForGroup(s"${t.id}::$m")
               val infos = jobs.flatMap(j => tracker.getJobInfo(j))
                 .flatMap(_.stageIds().flatMap(sid => tracker.getStageInfo(sid)))
               val total = infos.map(_.numTasks()).sum
               val done = infos.map(_.numCompletedTasks()).sum
-              if (total == 0) 0.0 else done.toDouble / total
+              if (total == 0) 0.0 else done.toDouble * 100.0 / total
             }
-          respond(ex, 200, f"""{"task_id":"${t.id}","state":"${t.state}","progress":$progress%.3f,"result":${
+          val pcts = t.models.map(m => m -> modelPct(m))
+          val models = pcts.map { case (m, p) => f""""$m":$p%.1f""" }.mkString("{", ",", "}")
+          val progress = if (pcts.isEmpty) 1.0 else pcts.map(_._2).sum / (100.0 * pcts.size)
+          respond(ex, 200, f"""{"task_id":"${t.id}","state":"${t.state}","progress":$progress%.3f,"models":$models,"result":${
             if (t.message.isEmpty) "null" else t.message}}""")
       }
     })

@@ -69,6 +69,34 @@ class HttpSinkSpec extends SparkSuite {
     }
   }
 
+  test("http sink workers_count posts batches CONCURRENTLY within a partition") {
+    val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    server.createContext("/ingest", ex => {
+      val now = inFlight.incrementAndGet()
+      maxInFlight.updateAndGet(m => math.max(m, now))
+      Thread.sleep(150) // hold the request open so overlap is observable
+      inFlight.decrementAndGet()
+      ex.sendResponseHeaders(200, 2L)
+      ex.getResponseBody.write("ok".getBytes)
+      ex.close()
+    })
+    server.start()
+    try {
+      val endpoint = s"http://localhost:${server.getAddress.getPort}/ingest"
+      val out = HttpOutput("", endpoint, 10L, 4, 2000L, Map.empty,
+        graft.config.Defaults.HttpTemplate)
+      import spark.implicits._
+      // ONE partition, 8 batches of 10: serial would hold 1 request in
+      // flight; 4 workers must overlap them
+      HttpSink.write((0L until 80L).toDF("id").coalesce(1), "m", out)
+      assert(maxInFlight.get() >= 2,
+        s"workers_count=4 never overlapped posts (max in flight ${maxInFlight.get()})")
+    } finally server.stop(0)
+  }
+
   test("task server: async generate + status + validate-config") {
     val handle = graft.server.TaskServer.start(spark, 0)
     val base = s"http://localhost:${handle.port}"
@@ -90,23 +118,37 @@ class HttpSinkSpec extends SparkSuite {
       val (vc, vb) = post("/validate-config", """{"models":{}}""")
       assert(vc == 400, vb)
       val dir = java.nio.file.Files.createTempDirectory("serve").toString
+      // TWO models: /status must report a per-model percentage map (the
+      // reference returns {model: percent} per task, handlers.go:131-183)
       val cfgJson =
         s"""{"random_seed": 7, "output": {"type": "parquet", "dir": "$dir"},
-           |"models": {"m": {"rows_count": 100,
-           |  "columns": [{"name": "id", "type": "uuid"}]}}}""".stripMargin
+           |"models": {"m1": {"rows_count": 100,
+           |  "columns": [{"name": "id", "type": "uuid"}]},
+           |"m2": {"rows_count": 200000,
+           |  "columns": [{"name": "id", "type": "uuid"},
+           |    {"name": "name", "type": "string", "type_params": {"logical_type": "first_name"}}]}}}""".stripMargin
       val (okV, _) = post("/validate-config", cfgJson)
       assert(okV == 200)
       val (c, b) = post("/generate", cfgJson)
       assert(c == 200, b)
       val id = "\"task_id\":\"([0-9a-f-]+)\"".r.findFirstMatchIn(b).get.group(1)
       var state = ""
+      var last = ""
+      val polled = scala.collection.mutable.ArrayBuffer.empty[String]
       val deadline = System.currentTimeMillis() + 60000
       while (state != "done" && state != "failed" && System.currentTimeMillis() < deadline) {
-        Thread.sleep(200)
-        state = "\"state\":\"(\\w+)\"".r.findFirstMatchIn(get(s"/status/$id")._2).get.group(1)
+        Thread.sleep(100)
+        last = get(s"/status/$id")._2
+        polled += last
+        state = "\"state\":\"(\\w+)\"".r.findFirstMatchIn(last).get.group(1)
       }
-      assert(state == "done", s"task ended in $state")
-      assert(spark.read.parquet(s"$dir/m").count() == 100)
+      assert(state == "done", s"task ended in $state: $last")
+      // every poll carries BOTH models' percentages; the final one pins 100
+      assert(polled.forall(p => p.contains("\"m1\":") && p.contains("\"m2\":")),
+        s"per-model map missing from status: ${polled.headOption}")
+      assert(last.contains("\"m1\":100.0") && last.contains("\"m2\":100.0"), last)
+      assert(spark.read.parquet(s"$dir/m1").count() == 100)
+      assert(spark.read.parquet(s"$dir/m2").count() == 200000)
       assert(get("/status/nope")._1 == 404)
     } finally handle.stop()
   }

@@ -94,13 +94,17 @@ class OperatorsSpec extends SparkSuite {
   test("withConnectedComponents: cluster+keep pipeline leaves ZERO net cached RDDs") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val corpus = Seq(1L, 2L, 3L, 5L, 10L, 11L, 12L).toDF("doc_id")
-    val before = spark.sparkContext.getPersistentRDDs.size
+    // set-diff, not count-diff: the shared test SparkContext may be cleaning
+    // OTHER suites' stale blocks in the background, which must not mask (or
+    // fake) a leak from THIS call
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val kept = Dedup.withConnectedComponents(pairs, "id_a", "id_b") { comp =>
       Dedup.keepCanonical(corpus, "doc_id", comp).collect().map(_.getLong(0)).sorted.toSeq
     }
     assert(kept == Seq(1L, 5L, 10L, 12L))
-    val after = spark.sparkContext.getPersistentRDDs.size
-    assert(after - before == 0, s"scoped pipeline leaked ${after - before} cached RDDs")
+    val leaked = spark.sparkContext.getPersistentRDDs -- before
+    assert(leaked.isEmpty,
+      s"scoped pipeline leaked cached RDDs: ${leaked.values.map(r => s"${r.id}:${r.name}").mkString(", ")}")
   }
 
   test("keepCanonical drops exactly the non-minimum cluster members") {
