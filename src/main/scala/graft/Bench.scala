@@ -61,6 +61,10 @@ object Bench {
     // reaches ~2x, and without the spread a real 2x regression is
     // indistinguishable from noise (round-3 verdict, dedup block).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // GC fence between queries: a heavy predecessor's garbage otherwise
+      // bleeds collection pauses into THIS query's samples (measured: q2
+      // doubled when run after the pre-salting skew-join monsters)
+      System.gc()
       val samples = (1 to 3).map { _ =>
         time {
           try fn(spark, sfDir).write.format("noop").mode(SaveMode.Overwrite).save()

@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** Single-query benchmark harness: `runMain graft.MicroBench <query>...`
+  * times 3 samples of each named [[SparkEntry.queries]] entry in a FRESH
+  * session at sf0.1. Bench.scala answers "how fast is the suite"; this
+  * answers "is THIS query slow, or is it inheriting a dirty JVM" — the
+  * distinction that separated real regressions from GC bleed in round 4. */
+object MicroBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    for (q <- args) {
+      val secs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, sfDir).write.format("noop").mode(SaveMode.Overwrite).save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"MICRO $q%s ${secs.map(s => f"$s%.2f").mkString(" ")}")
+    }
+    spark.stop()
+  }
+}

@@ -276,6 +276,19 @@ object SparkEntry {
         .orderBy(col("user_id"), col("started"))
     }),
 
+    "q14_user_sessions_stream" -> ((s, dir) => {
+      // STREAMING sessionization end-to-end (GroupState + event-time
+      // timeout), oracle-gated: emitted sessions are exactly those whose
+      // timeout fired before the final watermark — the oracle applies the
+      // same closing rule to the gaps-and-islands formulation
+      graft.streaming.EventStream.runSessionsOverRawEvents(
+        s, s"$dir/events.parquet", 30L * 60 * 1000000, "0 seconds", "q14_sessions")
+        .select(col("user_id"), col("n_events"),
+          timestamp_micros(col("started_us")).as("started"),
+          timestamp_micros(col("ended_us")).as("ended"))
+        .orderBy(col("user_id"), col("started"))
+    }),
+
     "q10_active_buyers_intersect" -> ((s, dir) => {
       val ev = events(s, dir)
       ev.filter(col("event_type") === "click").select(col("user_id"))
@@ -360,9 +373,12 @@ object SparkEntry {
     }),
 
     "dedup_ngram_jaccard_shuffle" -> ((s, dir) => {
+      // salted replicated join: without it the sort-merge join serializes
+      // the dominant language block into one task (measured 20-30x slower
+      // at sf0.1 — a single key group is beyond AQE's skew splitting)
       Dedup.ngramJaccardPairs(
         spread(t(s, dir, "documents")), "doc_id", "text", "lang",
-        n = 3, threshold = 0.5, broadcastRight = false)
+        n = 3, threshold = 0.5, broadcastRight = false, saltBuckets = 16)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -590,6 +606,31 @@ object SparkEntry {
         |)
         |SELECT user_id, count(*) AS n_events, min(ts) AS started, max(ts) AS ended
         |FROM grp GROUP BY user_id, sess ORDER BY user_id, started""".stripMargin,
+
+    // q13's gaps-and-islands sessions, minus those still OPEN at the final
+    // watermark: with delay 0 the watermark lands on max(ts) in ms, and a
+    // session's event-time timeout (armed at ended_ms + gap_ms + 1) fires
+    // only if strictly before it — the exact Spark timeout rule
+    "q14_user_sessions_stream" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |), marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) <= INTERVAL 30 MINUTE
+        |         THEN 0 ELSE 1 END AS new_sess
+        |  FROM e
+        |), grp AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM marked
+        |), sessions AS (
+        |  SELECT user_id, count(*) AS n_events, min(ts) AS started, max(ts) AS ended
+        |  FROM grp GROUP BY user_id, sess
+        |)
+        |SELECT user_id, n_events, started, ended FROM sessions
+        |WHERE epoch_us(ended) // 1000 + 30 * 60 * 1000 + 1
+        |      < (SELECT max(epoch_us(CAST(ts AS TIMESTAMP)) // 1000) FROM e)
+        |ORDER BY user_id, started""".stripMargin,
 
     "q10_active_buyers_intersect" ->
       """SELECT user_id FROM events WHERE event_type = 'click'

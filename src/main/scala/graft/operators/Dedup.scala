@@ -97,29 +97,51 @@ object Dedup {
 
   /** Blocked n-gram Jaccard: exact Jaccard over distinct word n-grams, with
     * candidate pairs restricted to the same (lang, length-bucket) block —
-    * an equi-join, not a cross join. Bucket width trades recall for cost. */
+    * an equi-join, not a cross join. Bucket width trades recall for cost.
+    *
+    * Skew: blocks follow corpus language distribution, so one block usually
+    * dominates (english). Under a shuffle join (`broadcastRight = false`) a
+    * sort-merge join serializes each block's O(block²) pair work into the ONE
+    * task owning that join-key group — measured 20-30x slower than the
+    * broadcast plan at sf0.1, and AQE cannot split a single key group. Set
+    * `saltBuckets > 1` for the salted replicated join: the left side is
+    * salted by `hash(id) % R`, the right side replicated R times, the salt
+    * joins as an extra equi-key — the hot block's pair work then spreads
+    * across R tasks for an R-fold replication of the right shuffle volume.
+    * Every (a, b) pair still appears exactly once (a lands in exactly one
+    * salt bucket; b is present in all). */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String, langCol: String,
       n: Int = 3, threshold: Double = 0.5, lenBucket: Int = 100,
-      broadcastRight: Boolean = false): DataFrame = {
-    val prepared = docs.select(
+      broadcastRight: Boolean = false, saltBuckets: Int = 1): DataFrame = {
+    val salted = !broadcastRight && saltBuckets > 1
+    val prepared0 = docs.select(
       col(idCol), col(langCol).as("lang"),
       floor(length(col(textCol)) / lenBucket).as("len_bucket"),
       Kernels.wordNgramsSortedCol(col(textCol), n).as("grams"))
       .withColumn("n_grams", size(col("grams")))
-    val a = prepared.as("a")
-    val b = (if (broadcastRight) broadcast(prepared) else prepared).as("b")
+    val aSide = if (salted)
+      prepared0.withColumn("salt", pmod(hash(col(idCol)), lit(saltBuckets)))
+    else prepared0
+    val bSide = if (salted)
+      prepared0.withColumn("salt",
+        explode(array((0 until saltBuckets).map(lit(_)): _*)))
+    else prepared0
+    val a = aSide.as("a")
+    val b = (if (broadcastRight) broadcast(bSide) else bSide).as("b")
     // Lossless size prune BEFORE the merge kernel: Jaccard >= t forces
     // min(|A|,|B|) >= t * max(|A|,|B|) — cheap long arithmetic that skips the
     // O(|A|+|B|) string merge for most in-block pairs. The fused
     // |A∩B|/(|A|+|B|-|A∩B|) kernel stays ONE call (Catalyst pushes the
     // threshold into the join condition and would re-evaluate a composite
     // expression per reference).
-    a.join(b, col("a.lang") === col("b.lang")
-        && col("a.len_bucket") === col("b.len_bucket")
-        && col(s"a.$idCol") < col(s"b.$idCol")
-        && least(col("a.n_grams"), col("b.n_grams")).cast("double")
-          >= lit(threshold) * greatest(col("a.n_grams"), col("b.n_grams")).cast("double"))
+    val blockCond = (col("a.lang") === col("b.lang"))
+      .and(col("a.len_bucket") === col("b.len_bucket"))
+    val joinCond = (if (salted) blockCond && col("a.salt") === col("b.salt") else blockCond)
+      .and(col(s"a.$idCol") < col(s"b.$idCol"))
+      .and(least(col("a.n_grams"), col("b.n_grams")).cast("double")
+        >= lit(threshold) * greatest(col("a.n_grams"), col("b.n_grams")).cast("double"))
+    a.join(b, joinCond)
       .select(
         col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         Kernels.jaccardSortedCol(col("a.grams"), col("b.grams")).as("jaccard"))

@@ -244,6 +244,33 @@ object EventStream {
       }
   }
 
+  /** End-to-end [[sessionizeStream]] over raw TIMESTAMP(NANOS) events
+    * parquet, drained through a memory sink: the file source reads all files
+    * in ONE micro-batch (watermark 0 while it runs, so nothing is late),
+    * the watermark then advances to `max(ts) - delay`, and Spark runs the
+    * required follow-up batch in which event-time timeouts fire. Emitted =
+    * sessions whose timeout (`last_ms + gap_ms + 1`) lies before that final
+    * watermark; trailing still-open sessions remain in state — the streaming
+    * contract, mirrored exactly by the `q14` oracle's closing filter. */
+  def runSessionsOverRawEvents(
+      spark: SparkSession, path: String, gapMicros: Long,
+      watermark: String, name: String): DataFrame = {
+    import spark.implicits._
+    val stream = spark.readStream.schema(NanosEventSchema).parquet(anchoredGlob(spark, path))
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .select(col("user_id"), col("ts"), col("ts_us"))
+      .as[SessionEvent]
+    val q = sessionizeStream(stream, gapMicros, watermark).toDF().writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Stateful sessionization with a processing-time gap timeout —
     * `flatMapGroupsWithState` over `KeyValueGroupedDataset`, the Spark-native
     * custom-state extension point (SURVEY §2.8/§2.9). BATCH-ONLY, like

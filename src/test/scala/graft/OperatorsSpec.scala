@@ -61,6 +61,11 @@ class OperatorsSpec extends SparkSuite {
       val prefix = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", "lang", threshold = t)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(prefix == blocked, s"threshold $t: prefix path diverged")
+      // the anti-skew salted replicated join must be pair-for-pair lossless
+      val salted = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", threshold = t,
+        broadcastRight = false, saltBuckets = 7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(salted == blocked, s"threshold $t: salted path diverged")
     }
   }
 
