@@ -289,6 +289,19 @@ object SparkEntry {
         .orderBy(col("user_id"), col("started"))
     }),
 
+    "q15_events_asof_orders" -> ((s, dir) => {
+      // point-in-time join: each event annotated with the user's most recent
+      // order AT THAT MOMENT — the feature-pipeline primitive Spark lacks
+      // natively, composed as union + one window pass (no join explosion);
+      // oracle is DuckDB's native ASOF LEFT JOIN
+      val ev = events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+      val ord = graft.operators.AsOf.latestPerKeyTime(
+        t(s, dir, "orders"), "o_custkey", "o_orderdate", "o_orderkey")
+      graft.operators.AsOf.asofJoin(ev, ord,
+        "user_id", "o_custkey", "ts", "o_orderdate", Seq("o_orderkey", "o_totalprice"))
+        .orderBy(col("event_id"))
+    }),
+
     "q10_active_buyers_intersect" -> ((s, dir) => {
       val ev = events(s, dir)
       ev.filter(col("event_type") === "click").select(col("user_id"))
@@ -631,6 +644,20 @@ object SparkEntry {
         |WHERE epoch_us(ended) // 1000 + 30 * 60 * 1000 + 1
         |      < (SELECT max(epoch_us(CAST(ts AS TIMESTAMP)) // 1000) FROM e)
         |ORDER BY user_id, started""".stripMargin,
+
+    "q15_events_asof_orders" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |), o AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS ot, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+        |  FROM orders
+        |), o1 AS (
+        |  SELECT o_custkey, ot, o_orderkey, o_totalprice FROM o WHERE rn = 1
+        |)
+        |SELECT e.event_id, e.user_id, e.ts, o1.o_orderkey, o1.o_totalprice
+        |FROM e ASOF LEFT JOIN o1 ON e.user_id = o1.o_custkey AND e.ts >= o1.ot
+        |ORDER BY event_id""".stripMargin,
 
     "q10_active_buyers_intersect" ->
       """SELECT user_id FROM events WHERE event_type = 'click'

@@ -112,6 +112,35 @@ class OperatorsSpec extends SparkSuite {
       s"scoped pipeline leaked cached RDDs: ${leaked.values.map(r => s"${r.id}:${r.name}").mkString(", ")}")
   }
 
+  test("asofJoin: inclusive boundary, no value resurrection across NULL fields, unmatched -> NULL") {
+    import graft.operators.AsOf
+    val left = Seq((1L, 1L, 5L), (2L, 1L, 10L), (3L, 1L, 25L), (4L, 2L, 50L))
+      .toDF("event_id", "k", "t")
+    // newest right row at t=20 carries a NULL price: the as-of result at
+    // t=25 must keep that NULL, not resurrect t=10's 100.0
+    val right = Seq((1L, 10L, 7L, Some(100.0)), (1L, 20L, 9L, None))
+      .toDF("k", "t", "ok", "price")
+    val got = AsOf.asofJoin(left, right, "k", "k", "t", "t", Seq("ok", "price"))
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(got.toSeq == Seq(
+      (1L, None, None), // before any right row
+      (2L, Some(7L), Some(100.0)), // EQUAL timestamp is visible (inclusive)
+      (3L, Some(9L), None), // newest row wins field-for-field
+      (4L, None, None))) // key never matched
+  }
+
+  test("latestPerKeyTime keeps exactly the highest-tiebreak row per (key, time)") {
+    import graft.operators.AsOf
+    val right = Seq((1L, 10L, 7L), (1L, 10L, 9L), (1L, 20L, 3L), (2L, 10L, 1L))
+      .toDF("k", "t", "ok")
+    val got = AsOf.latestPerKeyTime(right, "k", "t", "ok")
+      .orderBy("k", "t").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 10L, 9L), (1L, 20L, 3L), (2L, 10L, 1L)))
+  }
+
   test("keepCanonical drops exactly the non-minimum cluster members") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val corpus = Seq(1L, 2L, 3L, 5L, 10L, 11L, 12L).toDF("doc_id")
