@@ -302,6 +302,25 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q16_price_band_rangejoin" -> ((s, dir) => {
+      // interval join with NO equi key (the case where naive Spark falls
+      // into BroadcastNestedLoopJoin): overlapping irregular price bands,
+      // derived arithmetically from nation so both engines build the exact
+      // same intervals; the operator buckets them into an equi-join.
+      // PlanSpec pins the no-BNLJ/no-cartesian shape.
+      val bands = t(s, dir, "nation").select(
+        col("n_nationkey").as("band_id"),
+        (col("n_nationkey") * 3777.0).as("lo"),
+        (col("n_nationkey") * 3777.0 + 2000.0 + (col("n_nationkey") % 7) * 1500.0).as("hi"))
+      graft.operators.RangeJoin.bucketed(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        "o_totalprice", bands, "lo", "hi", bucketWidth = 4000.0)
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(cents(col("o_totalprice"))).cast("double") / 100.0).as("sum_price"))
+        .orderBy(col("band_id"))
+    }),
+
     "q10_active_buyers_intersect" -> ((s, dir) => {
       val ev = events(s, dir)
       ev.filter(col("event_type") === "click").select(col("user_id"))
@@ -658,6 +677,18 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, e.ts, o1.o_orderkey, o1.o_totalprice
         |FROM e ASOF LEFT JOIN o1 ON e.user_id = o1.o_custkey AND e.ts >= o1.ot
         |ORDER BY event_id""".stripMargin,
+
+    "q16_price_band_rangejoin" ->
+      """WITH bands AS (
+        |  SELECT n_nationkey AS band_id,
+        |    n_nationkey * 3777.0 AS lo,
+        |    n_nationkey * 3777.0 + 2000.0 + (n_nationkey % 7) * 1500.0 AS hi
+        |  FROM nation
+        |)
+        |SELECT band_id, count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+        |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin,
 
     "q10_active_buyers_intersect" ->
       """SELECT user_id FROM events WHERE event_type = 'click'

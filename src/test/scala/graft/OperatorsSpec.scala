@@ -141,6 +141,26 @@ class OperatorsSpec extends SparkSuite {
     assert(got.toSeq == Seq((1L, 10L, 9L), (1L, 20L, 3L), (2L, 10L, 1L)))
   }
 
+  test("rangeJoin.bucketed equals the naive inequality join (overlaps, bounds, multi-bucket spans)") {
+    import graft.operators.RangeJoin
+    val points = Seq((1L, 5.0), (2L, 10.0), (3L, 15.0), (4L, 99.0), (5L, 20.0))
+      .toDF("pid", "v")
+    // overlapping intervals; one spans many buckets; hi is exclusive
+    val intervals = Seq((10L, 0.0, 12.0), (20L, 8.0, 16.0), (30L, 4.0, 90.0), (40L, 20.0, 20.0))
+      .toDF("iid", "lo", "hi")
+    for (w <- Seq(1.0, 3.0, 100.0)) {
+      val got = RangeJoin.bucketed(points, "v", intervals, "lo", "hi", w)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val naive = points.crossJoin(intervals)
+        .filter($"v" >= $"lo" && $"v" < $"hi")
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == naive, s"bucketWidth $w diverged from naive join")
+    }
+    // pid=2 at v=10: inside [0,12), [8,16), [4,90) — 3 matches; empty [20,20) matches nothing
+    assert(RangeJoin.bucketed(points, "v", intervals, "lo", "hi", 3.0)
+      .filter($"pid" === 2L).count() == 3)
+  }
+
   test("keepCanonical drops exactly the non-minimum cluster members") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val corpus = Seq(1L, 2L, 3L, 5L, 10L, 11L, 12L).toDF("doc_id")

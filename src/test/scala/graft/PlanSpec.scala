@@ -118,6 +118,18 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("range join buckets into an equi-join: no BroadcastNestedLoopJoin, no cartesian") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(SparkEntry.queries("q16_price_band_rangejoin")(spark, sfDir))
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"range join must not fall back to nested loop:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("bucketed q2 gate query: fact-fact join has no Exchange, result matches plain q2") {
     import org.apache.spark.sql.functions.col
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
