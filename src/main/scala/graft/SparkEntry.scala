@@ -422,6 +422,15 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "sketch_kmv_distinct" -> ((s, dir) => {
+      // deterministic KMV distinct sketch (custom bounded-state Aggregator):
+      // same md5-derived hashes on both engines -> the ESTIMATE itself
+      // hash-matches the DuckDB oracle, not just a tolerance band
+      graft.operators.Sketches.kmvDistinct(
+        t(s, dir, "lineitem"), Seq("l_returnflag"), "l_partkey", 64)
+        .orderBy(col("l_returnflag"))
+    }),
+
     // --- similarity search over embeddings ---
     "knn_bruteforce" -> ((s, dir) => {
       val embs = spread(t(s, dir, "embeddings"))
@@ -549,7 +558,24 @@ object SparkEntry {
     "dedup_ngram_jaccard_shuffle" -> oracleSqlBase("dedup_ngram_jaccard"),
     "dedup_clusters_shuffle" -> oracleSqlBase("dedup_clusters"),
     // the bucketed layout must not change a single output byte
-    "q2_revenue_by_nation_bucketed" -> oracleSqlBase("q2_revenue_by_nation"))
+    "q2_revenue_by_nation_bucketed" -> oracleSqlBase("q2_revenue_by_nation"),
+
+    "sketch_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT l_returnflag,
+        |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+        |  FROM lineitem
+        |), ranked AS (
+        |  SELECT l_returnflag, hv,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS m
+        |  FROM h
+        |)
+        |SELECT l_returnflag,
+        |  CASE WHEN max(m) < 64 THEN CAST(max(m) AS DOUBLE)
+        |       ELSE 63.0 * 1152921504606846976.0
+        |            / CAST(max(CASE WHEN rn = 64 THEN hv END) AS DOUBLE) END AS est_distinct
+        |FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q1_pricing_summary" ->

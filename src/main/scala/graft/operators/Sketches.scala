@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Deterministic distinct-count sketch: K-Minimum-Values over a 60-bit
+  * md5-derived hash.
+  *
+  * Unlike HLL (`approx_count_distinct`), KMV over a FIXED hash is exactly
+  * reproducible across engines — the estimate is a pure function of the data,
+  * so a DuckDB oracle can hash-match it. The estimator is the classic
+  * (k-1) * H / h_(k) for uniform hashes on [0, H); groups with fewer than k
+  * distinct hashes report the exact count.
+  *
+  * Scale shape: the aggregation state is a SORTED ARRAY OF AT MOST K LONGS,
+  * merged map-side like any partial aggregate — each task ships k longs per
+  * group, never the distinct set itself (a `collect_set`-based rewrite
+  * shuffles every distinct value and OOMs on high-cardinality groups). This
+  * is the custom-`Aggregator` extension point: bounded-state algebraic
+  * aggregation that Spark's built-ins don't cover.
+  */
+object Sketches {
+
+  /** 60-bit hash space: 15 hex chars of md5, identical to
+    * `('0x' || substr(md5(x), 1, 15))::BIGINT` in DuckDB. */
+  private val HashSpace = 1152921504606846976.0 // 2^60 as an exact double
+
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Typed aggregator keeping the k smallest DISTINCT input values in a
+    * sorted array — O(k) state, O(log k) probe + O(k) insert per new small
+    * value (values above the current k-th are rejected in O(log k)). */
+  final class KMinValues(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(k > 0)
+
+    override def zero: Array[Long] = Array.empty[Long]
+
+    override def reduce(b: Array[Long], a: Long): Array[Long] = {
+      val pos = java.util.Arrays.binarySearch(b, a)
+      if (pos >= 0) b // already present
+      else {
+        val ins = -pos - 1
+        if (b.length >= k && ins >= k) b // larger than the current k-th
+        else {
+          val n = math.min(b.length + 1, k)
+          val out = new Array[Long](n)
+          System.arraycopy(b, 0, out, 0, ins)
+          out(ins) = a
+          System.arraycopy(b, ins, out, ins + 1, n - ins - 1)
+          out
+        }
+      }
+    }
+
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      // sorted-unique merge, truncated at k
+      val out = new Array[Long](math.min(b1.length + b2.length, k))
+      var i = 0; var j = 0; var n = 0
+      while (n < out.length && (i < b1.length || j < b2.length)) {
+        val take =
+          if (i >= b1.length) { j += 1; b2(j - 1) }
+          else if (j >= b2.length) { i += 1; b1(i - 1) }
+          else if (b1(i) < b2(j)) { i += 1; b1(i - 1) }
+          else if (b2(j) < b1(i)) { j += 1; b2(j - 1) }
+          else { i += 1; j += 1; b1(i - 1) }
+        out(n) = take
+        n += 1
+      }
+      if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+    }
+
+    override def finish(b: Array[Long]): Array[Long] = b
+
+    override def bufferEncoder = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder = ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Per-group approximate distinct count of `valueCol`, exact below k.
+    * Output: groupCols ++ (est_distinct: Double). Deterministic — same
+    * estimate on every engine computing the same md5. */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String, k: Int): DataFrame = {
+    val kmv = udaf(new KMinValues(k))
+    df.select((groupCols.map(col) :+ hash60(col(valueCol)).as("__hv")): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(kmv(col("__hv")).as("__mins"))
+      .select((groupCols.map(col) :+
+        when(size(col("__mins")) < k, size(col("__mins")).cast("double"))
+          .otherwise(lit((k - 1).toDouble * HashSpace)
+            / element_at(col("__mins"), k).cast("double"))
+          .as("est_distinct")): _*)
+  }
+}

@@ -161,6 +161,26 @@ class OperatorsSpec extends SparkSuite {
       .filter($"pid" === 2L).count() == 3)
   }
 
+  test("KMV sketch: exact below k, bounded state, merge == k-min of union") {
+    import graft.operators.Sketches
+    val agg = new Sketches.KMinValues(8)
+    val xs = Seq(50L, 10L, 30L, 10L, 90L, 20L, 70L, 40L, 60L, 80L, 5L, 100L)
+    val reduced = xs.foldLeft(agg.zero)(agg.reduce)
+    assert(reduced.toSeq == xs.distinct.sorted.take(8), "reduce must keep the k smallest distinct")
+    val (l, r) = xs.splitAt(5)
+    val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    assert(merged.toSeq == reduced.toSeq, "merge must equal single-pass reduce")
+    assert(merged.length <= 8)
+
+    // exact when distinct < k; ~1/sqrt(k-2) accuracy above it
+    val df = (0 until 5000).map(i => (if (i < 10) "small" else "big", i.toLong))
+      .toDF("g", "v")
+    val est = Sketches.kmvDistinct(df, Seq("g"), "v", 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(est("small") == 10.0, s"small group must be exact, got ${est("small")}")
+    assert(math.abs(est("big") - 4990.0) / 4990.0 < 0.5, s"big group estimate off: ${est("big")}")
+  }
+
   test("keepCanonical drops exactly the non-minimum cluster members") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val corpus = Seq(1L, 2L, 3L, 5L, 10L, 11L, 12L).toDF("doc_id")
