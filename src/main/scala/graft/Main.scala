@@ -54,6 +54,27 @@ object Main {
           sys.exit(1)
       }
 
+    case "generate-config" :: "description" :: in :: out :: Nil =>
+      // LLM prose mode: no Spark session needed. Endpoint/credentials come
+      // from env (reference reads them from CLI options):
+      //   GRAFT_OPENAI_BASE_URL, GRAFT_OPENAI_API_KEY, GRAFT_OPENAI_MODEL
+      import graft.config.ProseAuthoring
+      val baseUrl = sys.env.getOrElse("GRAFT_OPENAI_BASE_URL",
+        sys.error("GRAFT_OPENAI_BASE_URL not set"))
+      val api = new ProseAuthoring.OpenAiHttpApi(
+        baseUrl,
+        sys.env.getOrElse("GRAFT_OPENAI_API_KEY", ""),
+        sys.env.getOrElse("GRAFT_OPENAI_MODEL", "gpt-4o-mini"))
+      ProseAuthoring.ping(api)
+      val desc = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(in)), "UTF-8")
+      val format = if (out.endsWith(".json")) "json" else "yaml"
+      val result = ProseAuthoring.tryGenerate(api, format, desc)
+      java.nio.file.Files.write(java.nio.file.Paths.get(out), result.content.getBytes("UTF-8"))
+      if (!result.valid)
+        System.err.println("warning: generated config still has validation errors " +
+          s"after ${result.attempts} attempts: ${result.lastError.getOrElse("")}")
+      println(s"wrote $out (attempts: ${result.attempts})")
+
     case "generate-config" :: mode :: in :: out :: Nil =>
       val spark = buildSession("graft-config")
       spark.sparkContext.setLogLevel("ERROR")
@@ -62,7 +83,7 @@ object Main {
         val yaml = mode match {
           case "sql-query" => graft.config.ConfigAuthoring.fromDdl(spark, text)
           case "data-sample" => graft.config.ConfigAuthoring.fromSample(spark, in)
-          case other => sys.error(s"unknown generate-config mode $other (sql-query | data-sample)")
+          case other => sys.error(s"unknown generate-config mode $other (description | sql-query | data-sample)")
         }
         java.nio.file.Files.write(java.nio.file.Paths.get(out), yaml.getBytes("UTF-8"))
         println(s"wrote $out")
