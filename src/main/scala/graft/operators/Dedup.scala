@@ -99,53 +99,91 @@ object Dedup {
     * candidate pairs restricted to the same (lang, length-bucket) block —
     * an equi-join, not a cross join. Bucket width trades recall for cost.
     *
+    * Two physical shapes behind identical semantics:
+    *
+    *  - `broadcastRight = true`: ONE fused broadcast join — the b-side
+    *    (with gram arrays) broadcasts, the size prune and merge kernel run
+    *    inside the probe. Zero shuffles; the right plan while one side fits
+    *    in an executor.
+    *  - `broadcastRight = false` (the 100 TB shape): SLIM candidate
+    *    generation, then verify. The block join carries only (id, block
+    *    keys, |grams|) — gram arrays never enter it — producing candidate
+    *    id pairs; the pairs then join the gram table back (equi-join on id)
+    *    for the exact merge kernel. Gram arrays cross the network exactly
+    *    twice (once per join side), independent of `saltBuckets` — the
+    *    earlier fused-shuffle variant replicated them `saltBuckets` times
+    *    through the salted join, which at corpus scale is the dominant
+    *    byte volume. The two extra map-side kernel evaluations this costs
+    *    (slim sides re-tokenize) are scan-local CPU, the cheap currency.
+    *
     * Skew: blocks follow corpus language distribution, so one block usually
-    * dominates (english). Under a shuffle join (`broadcastRight = false`) a
-    * sort-merge join serializes each block's O(block²) pair work into the ONE
-    * task owning that join-key group — measured 20-30x slower than the
-    * broadcast plan at sf0.1, and AQE cannot split a single key group. Set
-    * `saltBuckets > 1` for the salted replicated join: the left side is
-    * salted by `hash(id) % R`, the right side replicated R times, the salt
-    * joins as an extra equi-key — the hot block's pair work then spreads
-    * across R tasks for an R-fold replication of the right shuffle volume.
+    * dominates (english). Under a shuffle join a sort-merge join serializes
+    * each block's O(block²) pair enumeration into the ONE task owning that
+    * join-key group — measured 20-30x slower than the broadcast plan at
+    * sf0.1, and AQE cannot split a single key group. Set `saltBuckets > 1`
+    * for the salted replicated join: the left side is salted by
+    * `hash(id) % R`, the right side replicated R times, the salt joins as an
+    * extra equi-key — the hot block's pair work then spreads across R tasks,
+    * and with slim rows the R-fold replication is a few dozen bytes per doc.
     * Every (a, b) pair still appears exactly once (a lands in exactly one
     * salt bucket; b is present in all). */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String, langCol: String,
       n: Int = 3, threshold: Double = 0.5, lenBucket: Int = 100,
       broadcastRight: Boolean = false, saltBuckets: Int = 1): DataFrame = {
-    val salted = !broadcastRight && saltBuckets > 1
-    val prepared0 = docs.select(
+    val prepared = docs.select(
       col(idCol), col(langCol).as("lang"),
       floor(length(col(textCol)) / lenBucket).as("len_bucket"),
       Kernels.wordNgramsSortedCol(col(textCol), n).as("grams"))
       .withColumn("n_grams", size(col("grams")))
-    val aSide = if (salted)
-      prepared0.withColumn("salt", pmod(hash(col(idCol)), lit(saltBuckets)))
-    else prepared0
-    val bSide = if (salted)
-      prepared0.withColumn("salt",
-        explode(array((0 until saltBuckets).map(lit(_)): _*)))
-    else prepared0
-    val a = aSide.as("a")
-    val b = (if (broadcastRight) broadcast(bSide) else bSide).as("b")
-    // Lossless size prune BEFORE the merge kernel: Jaccard >= t forces
-    // min(|A|,|B|) >= t * max(|A|,|B|) — cheap long arithmetic that skips the
-    // O(|A|+|B|) string merge for most in-block pairs. The fused
-    // |A∩B|/(|A|+|B|-|A∩B|) kernel stays ONE call (Catalyst pushes the
-    // threshold into the join condition and would re-evaluate a composite
-    // expression per reference).
-    val blockCond = (col("a.lang") === col("b.lang"))
-      .and(col("a.len_bucket") === col("b.len_bucket"))
-    val joinCond = (if (salted) blockCond && col("a.salt") === col("b.salt") else blockCond)
-      .and(col(s"a.$idCol") < col(s"b.$idCol"))
-      .and(least(col("a.n_grams"), col("b.n_grams")).cast("double")
-        >= lit(threshold) * greatest(col("a.n_grams"), col("b.n_grams")).cast("double"))
-    a.join(b, joinCond)
-      .select(
-        col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        Kernels.jaccardSortedCol(col("a.grams"), col("b.grams")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    // Lossless size prune in every variant, BEFORE the merge kernel:
+    // Jaccard >= t forces min(|A|,|B|) >= t * max(|A|,|B|) — cheap long
+    // arithmetic that skips the O(|A|+|B|) string merge for most in-block
+    // pairs. The fused |A∩B|/(|A|+|B|-|A∩B|) kernel stays ONE call
+    // (Catalyst pushes the threshold into the join condition and would
+    // re-evaluate a composite expression per reference).
+    def prune(aSize: Column, bSize: Column): Column =
+      least(aSize, bSize).cast("double") >= lit(threshold) * greatest(aSize, bSize).cast("double")
+    if (broadcastRight) {
+      val a = prepared.as("a")
+      val b = broadcast(prepared).as("b")
+      val joinCond = (col("a.lang") === col("b.lang"))
+        .and(col("a.len_bucket") === col("b.len_bucket"))
+        .and(col(s"a.$idCol") < col(s"b.$idCol"))
+        .and(prune(col("a.n_grams"), col("b.n_grams")))
+      a.join(b, joinCond)
+        .select(
+          col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+          Kernels.jaccardSortedCol(col("a.grams"), col("b.grams")).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    } else {
+      val slim = prepared.select(col(idCol), col("lang"), col("len_bucket"), col("n_grams"))
+      val salted = saltBuckets > 1
+      val aSide = if (salted)
+        slim.withColumn("salt", pmod(hash(col(idCol)), lit(saltBuckets)))
+      else slim
+      val bSide = if (salted)
+        slim.withColumn("salt", explode(array((0 until saltBuckets).map(lit(_)): _*)))
+      else slim
+      val a = aSide.as("a")
+      val b = bSide.as("b")
+      val blockCond = (col("a.lang") === col("b.lang"))
+        .and(col("a.len_bucket") === col("b.len_bucket"))
+      val joinCond = (if (salted) blockCond && col("a.salt") === col("b.salt") else blockCond)
+        .and(col(s"a.$idCol") < col(s"b.$idCol"))
+        .and(prune(col("a.n_grams"), col("b.n_grams")))
+      // Each pair appears exactly once (one salt bucket per a-row), so no
+      // dedup shuffle is needed before the verify join-back.
+      val cand = a.join(b, joinCond)
+        .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      val g = prepared.select(col(idCol), col("grams"))
+      cand
+        .join(g.as("ga"), col("id_a") === col(s"ga.$idCol"))
+        .join(g.as("gb"), col("id_b") === col(s"gb.$idCol"))
+        .select(col("id_a"), col("id_b"),
+          Kernels.jaccardSortedCol(col("ga.grams"), col("gb.grams")).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    }
   }
 
   /** Exact prefix-filtered Jaccard pairs — the 100 TB shape for the same
