@@ -489,6 +489,70 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- corpus curation: repetition/salience/contamination/stats ---
+    "text_repetition" -> ((s, dir) => {
+      TextAnalysis.withRepetition(spread(t(s, dir, "documents")), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_tfidf_top_terms" -> ((s, dir) => {
+      TextAnalysis.tfidfTopTerms(spread(t(s, dir, "documents")), "doc_id", "text", k = 3)
+        .select(col("doc_id"), col("rank").cast("long").as("rank"),
+          col("term"), col("tf"), col("df"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    "text_contamination" -> ((s, dir) => {
+      // decontamination pass: benchmark = every 37th doc, corpus = the rest
+      val docs = spread(t(s, dir, "documents"))
+      TextAnalysis.ngramOverlap(
+        docs.filter(col("doc_id") % 37 =!= 0), docs.filter(col("doc_id") % 37 === 0),
+        "doc_id", "text", n = 4)
+        .orderBy(col("doc_id"))
+    }),
+
+    "corpus_stats" -> ((s, dir) => {
+      TextAnalysis.corpusStats(t(s, dir, "documents"), "lang", "source", "n_chars", "doc_id")
+        .orderBy(col("lang"), col("source"))
+    }),
+
+    // --- corpus curation: deterministic sampling / splitting / mixing ---
+    "sample_split_assign" -> ((s, dir) => {
+      graft.operators.Sampling.splitAssign(
+        t(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "sample_stratified" -> ((s, dir) => {
+      graft.operators.Sampling
+        .sampleStratified(t(s, dir, "documents"), "doc_id", "source", 0.25)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "sample_mix_weighted" -> ((s, dir) => {
+      graft.operators.Sampling.mixWeighted(
+        t(s, dir, "documents"), "doc_id", "source",
+        Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25), 0.1)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- embedding maintenance ---
+    "emb_normalized" -> ((s, dir) => {
+      graft.operators.Embeddings
+        .normalizedQ(spread(t(s, dir, "embeddings")), "vec_id", "embedding")
+        .orderBy(col("vec_id"), col("dim"))
+    }),
+
+    "emb_int8" -> ((s, dir) => {
+      graft.operators.Embeddings
+        .quantizeInt8(spread(t(s, dir, "embeddings")), "vec_id", "embedding")
+        .orderBy(col("vec_id"), col("dim"))
+    }),
+
     // --- multimodal plumbing ---
     "mm_binary_meta" -> ((s, dir) => {
       Multimodal.withBinaryMeta(spread(t(s, dir, "documents")), "doc_id", "text")
@@ -721,6 +785,118 @@ object SparkEntry {
         |INTERSECT
         |SELECT user_id FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), r AS (
+        |  SELECT doc_id,
+        |    CAST(GREATEST(len(w) - 1, 0) AS BIGINT) AS n_bigrams,
+        |    CAST(len(list_distinct([array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))])) AS BIGINT) AS n_distinct_bigrams
+        |  FROM toks
+        |)
+        |SELECT doc_id, n_bigrams, n_distinct_bigrams,
+        |  CASE WHEN n_bigrams = 0 THEN 0.0
+        |       ELSE CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE) END AS dup_bigram_frac
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "text_tfidf_top_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+        |), dfq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), ranked AS (
+        |  SELECT doc_id, term, tf, df,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, df ASC, term ASC) AS rank
+        |  FROM tf JOIN dfq USING (term)
+        |)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+        |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "text_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+3], ' ') FOR i IN range(1, len(w) - 2)]) AS grams
+        |  FROM toks
+        |), bg AS (
+        |  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 37 = 0
+        |), cg AS (
+        |  SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 37 <> 0
+        |), m AS (
+        |  SELECT cg.doc_id AS doc_id, count(*) AS n_matched FROM cg JOIN bg USING (gram) GROUP BY 1
+        |)
+        |SELECT g.doc_id AS doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(n_matched, 0) AS BIGINT) AS n_matched,
+        |  CASE WHEN len(grams) = 0 THEN 0.0
+        |       ELSE CAST(coalesce(n_matched, 0) AS DOUBLE) / CAST(len(grams) AS DOUBLE) END AS overlap_frac
+        |FROM g LEFT JOIN m ON g.doc_id = m.doc_id
+        |WHERE g.doc_id % 37 <> 0 ORDER BY doc_id""".stripMargin,
+
+    "corpus_stats" ->
+      """WITH r AS (
+        |  SELECT lang, source, n_chars, doc_id,
+        |    row_number() OVER (PARTITION BY lang, source ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang, source) AS m
+        |  FROM documents
+        |)
+        |SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  max(CASE WHEN rn = (m + 1) // 2 THEN n_chars END) AS median_chars
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "sample_split_assign" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+        |ORDER BY doc_id""".stripMargin,
+
+    "sample_mix_weighted" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8) <
+        |  CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN 'c0000000'
+        |       WHEN 'src2' THEN '80000000' WHEN 'src3' THEN '40000000'
+        |       ELSE '19999999' END
+        |ORDER BY doc_id""".stripMargin,
+
+    "emb_normalized" ->
+      """WITH q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(e AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR e IN embedding] AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, qv, CAST(list_sum([x*x FOR x IN qv]) AS BIGINT) AS n2 FROM q
+        |), u AS (
+        |  SELECT vec_id, n2, unnest(range(1, len(qv)+1)) AS dim, unnest(qv) AS qval FROM n
+        |)
+        |SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+        |  CASE WHEN n2 = 0 THEN 0
+        |       ELSE CAST(floor(qval*1000000.0 / sqrt(CAST(n2 AS DOUBLE))) AS BIGINT) END AS nq
+        |FROM u ORDER BY vec_id, dim""".stripMargin,
+
+    "emb_int8" ->
+      """WITH q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(e AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR e IN embedding] AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, qv, list_max([abs(x) FOR x IN qv]) AS mq FROM q
+        |), u AS (
+        |  SELECT vec_id, mq, unnest(range(1, len(qv)+1)) AS dim, unnest(qv) AS qval FROM n
+        |)
+        |SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+        |  CASE WHEN mq = 0 THEN 0
+        |       ELSE CAST(floor(qval*127.0 / CAST(mq AS DOUBLE) + 0.5) AS BIGINT) END AS q8,
+        |  CAST(mq AS BIGINT) AS scale_q
+        |FROM u ORDER BY vec_id, dim""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.functions.VectorFns
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Embedding-column maintenance ops for vector corpora: L2 normalization and
+  * int8 quantization — the two standard preprocessing steps before ANN
+  * indexing / storage (normalized vectors make cosine = dot; int8 cuts
+  * vector bytes 4x for the index shuffle).
+  *
+  * Both are pure per-row projections (scan speed, no shuffle) emitted in
+  * EXPLODED form — (vec_id, dim, value) — with all arithmetic in the fixed
+  * point of [[VectorFns]] plus single IEEE ops (`sqrt`, one divide, `floor`)
+  * that are bit-identical across engines, so the results hash-match a SQL
+  * oracle exactly. The explode happens AFTER the vector-level math: the
+  * per-element work downstream of it is plain codegen'd column arithmetic,
+  * not an interpreted lambda.
+  */
+object Embeddings {
+
+  /** L2-normalized vector in 1e-6 fixed point: for each dimension,
+    * `floor(q_i * 1e6 / sqrt(sum q_j^2))` where `q` is the 1e-6-quantized
+    * input. Zero vectors normalize to zero. Output: (id, dim [1-based],
+    * nq [normalized component in 1e-6 units]). */
+  def normalizedQ(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val q = embs.select(col(idCol), VectorFns.quantize(col(vecCol)).as("qv"))
+      .withColumn("n2", VectorFns.norm2Q(col("qv")))
+    q.select(col(idCol), col("n2"), posexplode(col("qv")).as(Seq("pos", "qval")))
+      .select(
+        col(idCol), (col("pos") + 1).cast("long").as("dim"),
+        when(col("n2") === 0, lit(0L))
+          .otherwise(floor(col("qval") * lit(1000000.0) / sqrt(col("n2").cast("double")))
+            .cast("long"))
+          .as("nq"))
+  }
+
+  /** Symmetric int8 quantization against the per-vector abs-max:
+    * `floor(q_i * 127 / max|q_j| + 0.5)` (round-half-up; exact in both
+    * engines). Output: (id, dim [1-based], q8, scale_q [the abs-max in 1e-6
+    * units — the dequantization factor]). */
+  def quantizeInt8(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val q = embs.select(col(idCol), VectorFns.quantize(col(vecCol)).as("qv"))
+      .withColumn("mq", array_max(transform(col("qv"), x => abs(x))))
+    q.select(col(idCol), col("mq"), posexplode(col("qv")).as(Seq("pos", "qval")))
+      .select(
+        col(idCol), (col("pos") + 1).cast("long").as("dim"),
+        when(col("mq") === 0, lit(0L))
+          .otherwise(floor(col("qval") * lit(127.0) / col("mq").cast("double") + lit(0.5))
+            .cast("long"))
+          .as("q8"),
+        col("mq").as("scale_q"))
+  }
+}

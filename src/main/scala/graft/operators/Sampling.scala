@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, shuffle-free sampling and dataset-splitting for training
+  * corpora: hash-based train/val/test assignment, per-stratum Bernoulli
+  * sampling, and weighted source mixing.
+  *
+  * All three are pure per-row projections/filters over `md5(key)` — no
+  * shuffle, no RNG state, no driver coordination — so they run at scan speed
+  * on any corpus size, are reproducible across runs/clusters/engines (md5 is
+  * md5 everywhere), and remain STABLE under corpus growth: a document's
+  * split/keep decision depends only on its own key, so appending new data
+  * never reshuffles existing assignments (the property that keeps eval sets
+  * uncontaminated across dataset versions).
+  *
+  * Selection uses the first hex chars of the digest compared against a
+  * precomputed hex threshold: lowercase-hex lexicographic order equals
+  * numeric order, so the comparison is engine-portable without any
+  * hex-to-int conversion.
+  */
+object Sampling {
+
+  /** Hex threshold for fraction `f` over `digits` leading md5 hex chars:
+    * keep/branch when `substr(md5, 1, digits) < threshold`. */
+  private[operators] def hexThreshold(f: Double, digits: Int): String = {
+    val space = 1L << (4 * digits)
+    val t = math.min(space, math.max(0L, math.floor(f * space).toLong))
+    // A full-space threshold needs digits+1 chars so every value compares <.
+    if (t == space) "g" // '>' every hex char; simpler than widening
+    else s"%0${digits}x".format(t)
+  }
+
+  private def bucket(key: Column, digits: Int): Column =
+    substring(md5(key.cast("string")), 1, digits)
+
+  /** Assign each row a split label ("train"/"val"/"test"/...) from cumulative
+    * md5-bucket thresholds. `fractions` must sum to <= 1 (any remainder falls
+    * into the last label). Deterministic per id, order-free, no shuffle. */
+  def splitAssign(
+      df: DataFrame, idCol: String, fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty && fractions.map(_._2).sum <= 1.0 + 1e-9,
+      "fractions must be non-empty and sum to <= 1")
+    val digits = 4
+    val h = bucket(col(idCol), digits)
+    val cum = fractions.scanLeft(0.0)(_ + _._2).tail
+    // CASE h < t1 -> l1 WHEN h < t2 -> l2 ... ELSE lastLabel
+    val cases = fractions.map(_._1).zip(cum.map(hexThreshold(_, digits)))
+    val expr = cases.dropRight(1).foldRight(lit(cases.last._1): Column) {
+      case ((label, threshold), rest) => when(h < lit(threshold), lit(label)).otherwise(rest)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Per-stratum deterministic Bernoulli sample: keep a row iff
+    * md5(stratum:id) falls under the stratum's threshold. One digest compare
+    * per row — at 100 TB this is a scan-speed filter that composes with
+    * partition pruning (no repartition, no per-stratum pass). */
+  def sampleStratified(
+      df: DataFrame, idCol: String, strataCol: String, fraction: Double): DataFrame =
+    mixWeighted(df, idCol, strataCol, Map.empty, fraction)
+
+  /** Weighted source mixing: per-stratum keep fractions (e.g. upweight
+    * curated sources, downsample crawl) with `default` for strata not in
+    * `weights`. The standard corpus-mixing step expressed as one
+    * deterministic filter. */
+  def mixWeighted(
+      df: DataFrame, idCol: String, strataCol: String,
+      weights: Map[String, Double], default: Double): DataFrame = {
+    val digits = 8
+    val h = bucket(concat_ws(":", col(strataCol), col(idCol).cast("string")), digits)
+    val thr = weights.toSeq.sortBy(_._1).foldRight(lit(hexThreshold(default, digits)): Column) {
+      case ((stratum, f), rest) =>
+        when(col(strataCol) === lit(stratum), lit(hexThreshold(f, digits))).otherwise(rest)
+    }
+    df.filter(h < thr)
+  }
+}

@@ -64,6 +64,107 @@ object TextAnalysis {
       .orderBy(col("doc_freq").desc, col("gram"))
       .limit(k)
 
+  /** Repetition quality signal (the "duplicate n-gram fraction" used to flag
+    * boilerplate/spam in corpus filtering): share of a document's word
+    * bigrams that are repeats of an earlier bigram. All-integer counts and
+    * one final exact division — bit-reproducible. Pure projection, scan
+    * speed; composes with the existing kernels (`tokenCount`,
+    * `wordNgramsSorted`) so no new per-row pass is paid. */
+  def withRepetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val total = greatest(TextFns.tokenCount(col(textCol)) - 1, lit(0L)).cast("long")
+    val distinctBigrams =
+      size(graft.functions.Kernels.wordNgramsSortedCol(col(textCol), 2)).cast("long")
+    docs.select(
+      col(idCol),
+      total.as("n_bigrams"),
+      distinctBigrams.as("n_distinct_bigrams"))
+      .withColumn(
+        "dup_bigram_frac",
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise((col("n_bigrams") - col("n_distinct_bigrams")).cast("double")
+            / col("n_bigrams").cast("double")))
+  }
+
+  /** Per-document salient terms — the TF-IDF shape with an exact-integer
+    * ranking: terms are ordered by (tf DESC, df ASC, term ASC), which is the
+    * tf·idf order whenever tf ties break by rarity, without a
+    * cross-engine-flaky float `log`. Two map-side-combinable aggregations
+    * (doc-term counts, term document-frequencies) + one join + one bounded
+    * per-doc window. At 100 TB: the (doc, term) agg pre-combines before its
+    * shuffle; the df table is corpus-vocabulary-sized — broadcast it while
+    * it fits (`broadcastDf`), shuffle-join otherwise. */
+  def tfidfTopTerms(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, broadcastDf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs.select(col(idCol), explode(TextFns.tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val d = if (broadcastDf) broadcast(dfreq) else dfreq
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(d, "term")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"))
+  }
+
+  /** Benchmark-contamination check: for every corpus document, how many of
+    * its distinct word n-grams appear anywhere in `benchmark` (an eval set
+    * that must not leak into training data). The classic n-gram-overlap
+    * decontamination pass.
+    *
+    * Shape: benchmark explodes to a distinct gram set (eval sets are tiny
+    * next to the corpus — broadcast by default); the corpus explodes to
+    * (doc, gram) and inner-joins it — an equi-join on the gram, never a
+    * cross join — then counts matches per doc. Docs with zero overlap are
+    * restored by a left join against the slim corpus (id, n_grams)
+    * projection. At 100 TB the corpus side streams map-only when the
+    * benchmark broadcasts; with `broadcastBench = false` the same plan runs
+    * as a shuffle equi-join for oversized benchmark suites. */
+  def ngramOverlap(
+      corpus: DataFrame, benchmark: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, broadcastBench: Boolean = true): DataFrame = {
+    val grams = graft.functions.Kernels.wordNgramsSortedCol(col(textCol), n)
+    val bg0 = benchmark.select(explode(grams).as("gram")).distinct()
+    val bg = if (broadcastBench) broadcast(bg0) else bg0
+    val cg = corpus.select(col(idCol), explode(grams).as("gram"))
+    val matched = cg.join(bg, "gram").groupBy(col(idCol)).agg(count(lit(1)).as("m"))
+    corpus.select(col(idCol), size(grams).cast("long").as("n_grams"))
+      .join(matched, Seq(idCol), "left")
+      .select(
+        col(idCol), col("n_grams"),
+        coalesce(col("m"), lit(0L)).as("n_matched"))
+      .withColumn(
+        "overlap_frac",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(col("n_matched").cast("double") / col("n_grams").cast("double")))
+  }
+
+  /** Per-(lang, source) corpus shape statistics with an EXACT lower median —
+    * rank statistics are what corpus curation dashboards read, and the exact
+    * median keeps the result hash-comparable (percentile_approx would not
+    * be). One shuffle on the group key + one window pass; at 100 TB the
+    * heavy reduction (counts/sums) is map-side combined and only the
+    * rank pass touches sorted groups. */
+  def corpusStats(docs: DataFrame, langCol: String, srcCol: String,
+      lenCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(langCol), col(srcCol))
+    val ordered = w.orderBy(col(lenCol).asc, col(idCol).asc)
+    docs.select(col(langCol), col(srcCol), col(lenCol), col(idCol))
+      .withColumn("rn", row_number().over(ordered))
+      .withColumn("m", count(lit(1)).over(w))
+      .groupBy(col(langCol), col(srcCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(lenCol)).as("sum_chars"),
+        min(col(lenCol)).as("min_chars"),
+        max(col(lenCol)).as("max_chars"),
+        max(when(col("rn") === ((col("m") + 1) / 2).cast("int"), col(lenCol)))
+          .as("median_chars"))
+  }
+
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val LongNumberPattern = "[0-9]{7,}"
 

@@ -1,0 +1,116 @@
+package graft
+
+import graft.operators.{Embeddings, Sampling, TextAnalysis}
+
+import org.apache.spark.sql.functions._
+
+/** Invariant tests for the corpus-curation operators added in round 5:
+  * deterministic sampling/splitting, repetition and salience signals,
+  * benchmark contamination, corpus stats, and embedding maintenance. */
+class CurationSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet").cache()
+  private lazy val embs = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+
+  test("splitAssign covers every row with a label and is deterministic") {
+    val r = Sampling.splitAssign(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(r.count() == docs.count())
+    val labels = r.select("split").distinct().as[String].collect().toSet
+    assert(labels.subsetOf(Set("train", "val", "test")))
+    // deterministic: same assignment on re-run
+    val r2 = Sampling.splitAssign(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(r.orderBy("doc_id").collect().toSeq == r2.orderBy("doc_id").collect().toSeq)
+    // roughly proportional (md5 is uniform; 500 docs -> generous bounds)
+    val train = r.filter($"split" === "train").count().toDouble / docs.count()
+    assert(train > 0.7 && train < 0.9, s"train fraction $train")
+  }
+
+  test("split assignment of a doc is stable under corpus growth") {
+    val half = docs.filter($"doc_id" % 2 === 0)
+    val fromHalf = Sampling.splitAssign(half, "doc_id", Seq("train" -> 0.5, "val" -> 0.5))
+      .select("doc_id", "split")
+    val fromAll = Sampling.splitAssign(docs, "doc_id", Seq("train" -> 0.5, "val" -> 0.5))
+      .select("doc_id", "split").filter($"doc_id" % 2 === 0)
+    assert(fromHalf.orderBy("doc_id").collect().toSeq ==
+      fromAll.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("mixWeighted honors per-stratum fractions incl. 0 and 1") {
+    val r = Sampling.mixWeighted(docs, "doc_id", "source",
+      Map("src0" -> 1.0, "src1" -> 0.0), 0.5)
+    val bySrc = r.groupBy("source").count().as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc("src0") == totals("src0"), "fraction 1.0 keeps every row")
+    assert(!bySrc.contains("src1"), "fraction 0.0 keeps none")
+    // stratified = uniform map; subset of source rows
+    val s = Sampling.sampleStratified(docs, "doc_id", "source", 0.25)
+    assert(s.count() > 0 && s.count() < docs.count())
+  }
+
+  test("withRepetition: a doc with repeated bigrams scores the exact fraction") {
+    val d = Seq((1L, "a b a b c"), (2L, "x y z w")).toDF("doc_id", "text")
+    val r = TextAnalysis.withRepetition(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // "a b a b c": bigrams [a b, b a, a b, b c] -> 4 total, 3 distinct
+    assert(r(0).getLong(1) == 4 && r(0).getLong(2) == 3)
+    assert(math.abs(r(0).getDouble(3) - 0.25) < 1e-12)
+    assert(r(1).getDouble(3) == 0.0)
+  }
+
+  test("tfidfTopTerms ranks by tf desc then rarity, bounded by k") {
+    val d = Seq(
+      (1L, "apple apple apple banana common"),
+      (2L, "banana banana cherry common"),
+      (3L, "cherry common common")).toDF("doc_id", "text")
+    val r = TextAnalysis.tfidfTopTerms(d, "doc_id", "text", k = 2)
+    assert(r.groupBy("doc_id").count().filter($"count" > 2).count() == 0)
+    val doc1 = r.filter($"doc_id" === 1).orderBy("rank").select("term").as[String].collect()
+    assert(doc1.head == "apple") // tf=3 wins
+  }
+
+  test("ngramOverlap flags exactly the docs sharing an n-gram with the benchmark") {
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a contaminated doc has the quick brown fox inside it"),
+      (2L, "totally clean document with different words entirely")).toDF("doc_id", "text")
+    val r = TextAnalysis.ngramOverlap(corpus, bench, "doc_id", "text", n = 4)
+      .orderBy("doc_id").collect()
+    assert(r(0).getLong(2) > 0 && r(1).getLong(2) == 0)
+    assert(r(0).getDouble(3) > 0.0)
+  }
+
+  test("corpusStats median is the exact lower median") {
+    val d = Seq(
+      ("en", "s", 10L, 1L), ("en", "s", 20L, 2L), ("en", "s", 30L, 3L), ("en", "s", 40L, 4L),
+      ("de", "s", 7L, 5L)).toDF("lang", "source", "n_chars", "doc_id")
+    val r = TextAnalysis.corpusStats(d, "lang", "source", "n_chars", "doc_id")
+      .orderBy("lang").collect()
+    assert(r(0).getAs[Long]("median_chars") == 7L)   // de: single row
+    assert(r(1).getAs[Long]("median_chars") == 20L)  // en: lower median of 4
+    assert(r(1).getAs[Long]("n_docs") == 4L)
+  }
+
+  test("normalizedQ vectors have unit norm in fixed point") {
+    val r = Embeddings.normalizedQ(embs, "vec_id", "embedding")
+      .groupBy("vec_id")
+      .agg(sum($"nq" * $"nq").as("n2"))
+      .select(sqrt($"n2" / 1e12).as("norm"))
+      .agg(min("norm"), max("norm")).collect()(0)
+    // floor() moves each dim by <1e-6 (toward -inf: negatives GAIN up to
+    // 1e-6 of magnitude) -> norm lands in [1 - 1e-3, 1 + 1e-3]
+    assert(r.getDouble(0) > 0.999 && r.getDouble(1) < 1.001)
+  }
+
+  test("quantizeInt8 peaks at +/-127 and stays in int8 range") {
+    val r = Embeddings.quantizeInt8(embs, "vec_id", "embedding")
+    val mm = r.agg(min("q8"), max("q8")).collect()(0)
+    assert(mm.getLong(0) >= -127 && mm.getLong(1) <= 127)
+    // every vector's abs-max dim maps to exactly +/-127
+    val peaks = r.groupBy("vec_id").agg(max(abs($"q8")).as("peak"))
+    assert(peaks.filter($"peak" =!= 127).count() == 0)
+  }
+}
