@@ -540,6 +540,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- corpus curation: training-batch construction ---
+    "batch_epoch_order" -> ((s, dir) => {
+      graft.operators.Batching.epochOrderKey(t(s, dir, "documents"), "doc_id", seed = 7)
+        .select(col("doc_id"), col("order_key"))
+        .orderBy(col("order_key"), col("doc_id"))
+    }),
+
+    "batch_interleave" -> ((s, dir) => {
+      graft.operators.Batching.interleaveKey(t(s, dir, "documents"), "doc_id", "source", seed = 7)
+        .select(col("doc_id"), col("source"), col("rr_rank"))
+        .orderBy(col("rr_rank"), col("source"), col("doc_id"))
+    }),
+
+    "batch_pack_tokens" -> ((s, dir) => {
+      graft.operators.Batching
+        .packByTokenBudget(spread(t(s, dir, "documents")), "doc_id", "text", budget = 512)
+        .orderBy(col("doc_id"))
+    }),
+
     // --- embedding maintenance ---
     "emb_normalized" -> ((s, dir) => {
       graft.operators.Embeddings
@@ -868,6 +887,29 @@ object SparkEntry {
         |       WHEN 'src2' THEN '80000000' WHEN 'src3' THEN '40000000'
         |       ELSE '19999999' END
         |ORDER BY doc_id""".stripMargin,
+
+    "batch_epoch_order" ->
+      """SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS order_key
+        |FROM documents ORDER BY order_key, doc_id""".stripMargin,
+
+    "batch_interleave" ->
+      """SELECT doc_id, source,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rr_rank
+        |FROM documents ORDER BY rr_rank, source, doc_id""".stripMargin,
+
+    "batch_pack_tokens" ->
+      """WITH t AS (
+        |  SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST(floor(CAST(sum(n_tokens) OVER (
+        |      PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens
+        |    AS DOUBLE) / 512.0) AS BIGINT) AS bin
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "emb_normalized" ->
       """WITH q AS (

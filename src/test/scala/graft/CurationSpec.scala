@@ -94,6 +94,41 @@ class CurationSpec extends SparkSuite {
     assert(r(1).getAs[Long]("n_docs") == 4L)
   }
 
+  test("epochOrderKey: deterministic, seed-sensitive, keys distinct") {
+    val k1 = graft.operators.Batching.epochOrderKey(docs, "doc_id", 1)
+      .select("doc_id", "order_key").orderBy("order_key").collect().toSeq
+    val k1b = graft.operators.Batching.epochOrderKey(docs, "doc_id", 1)
+      .select("doc_id", "order_key").orderBy("order_key").collect().toSeq
+    val k2 = graft.operators.Batching.epochOrderKey(docs, "doc_id", 2)
+      .select("doc_id", "order_key").orderBy("order_key").collect().toSeq
+    assert(k1 == k1b, "same seed -> same permutation")
+    assert(k1.map(_.getLong(0)) != k2.map(_.getLong(0)), "different seed -> different order")
+    assert(k1.map(_.getString(1)).distinct.size == k1.size)
+  }
+
+  test("interleaveKey ranks are a 1..n permutation within each source") {
+    val r = graft.operators.Batching.interleaveKey(docs, "doc_id", "source", 7)
+    val bad = r.groupBy("source")
+      .agg(count(lit(1)).as("n"), max("rr_rank").as("mx"), countDistinct("rr_rank").as("d"))
+      .filter($"n" =!= $"mx" || $"n" =!= $"d")
+    assert(bad.count() == 0)
+  }
+
+  test("packByTokenBudget matches a sequential replay of the binning rule") {
+    val budget = 512L
+    val r = graft.operators.Batching.packByTokenBudget(docs, "doc_id", "text", budget)
+      .collect().map(x => (x.getString(1), x.getLong(0), x.getLong(2), x.getLong(3)))
+    // replay per shard: bin = floor(exclusive-cumsum / budget) in doc_id order
+    r.groupBy(_._1).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).foreach { case (_, _, n, bin) =>
+        assert(bin == cum / budget, s"bin mismatch at cum=$cum n=$n")
+        cum += n
+      }
+    }
+    assert(r.map(_._1).distinct.length > 1, "multiple shards in play")
+  }
+
   test("normalizedQ vectors have unit norm in fixed point") {
     val r = Embeddings.normalizedQ(embs, "vec_id", "embedding")
       .groupBy("vec_id")
