@@ -68,6 +68,21 @@ object SparkEntry {
     (liT, oT)
   }
 
+  private val ivfIndexWritten = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Write the IVF index for `dir`'s embeddings once per JVM (fresh each
+    * session — quantization/centroid changes must not read a stale layout).
+    * Returns the index path. */
+  private[graft] def ivfIndexPath(s: SparkSession, dir: String): String = {
+    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_$suffix"
+    if (ivfIndexWritten.add(path)) {
+      graft.operators.Similarity.writeIvfIndex(
+        t(s, dir, "embeddings"), "vec_id", "embedding", path)
+    }
+    path
+  }
+
   /** A managed table's warehouse dir can survive the (in-memory) catalog that
     * created it — a fresh session then refuses `saveAsTable` over the stale
     * location. Clear both the catalog entry and the leftover dir. */
@@ -450,6 +465,17 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "knn_ivf_indexed" -> ((s, dir) => {
+      // the persisted-index serving path: same parameters and output as
+      // knn_ivf (shares its oracle) but probing the hive-partitioned
+      // on-disk inverted file with static partition pruning
+      val embs = spread(t(s, dir, "embeddings"))
+      val path = ivfIndexPath(s, dir)
+      Similarity.ivfIndexKnn(
+        s.read.parquet(path), embs.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // --- text analysis over documents ---
     "text_token_stats" -> ((s, dir) => {
       TextAnalysis.withTokenStats(spread(t(s, dir, "documents")), "doc_id", "text")
@@ -509,6 +535,12 @@ object SparkEntry {
         docs.filter(col("doc_id") % 37 =!= 0), docs.filter(col("doc_id") % 37 === 0),
         "doc_id", "text", n = 4)
         .orderBy(col("doc_id"))
+    }),
+
+    "corpus_quantiles" -> ((s, dir) => {
+      TextAnalysis.groupedQuantiles(
+        t(s, dir, "documents"), "lang", "n_chars", Seq(0.25, 0.5, 0.75, 0.95))
+        .orderBy(col("lang"))
     }),
 
     "corpus_stats" -> ((s, dir) => {
@@ -642,6 +674,8 @@ object SparkEntry {
     "dedup_clusters_shuffle" -> oracleSqlBase("dedup_clusters"),
     // the bucketed layout must not change a single output byte
     "q2_revenue_by_nation_bucketed" -> oracleSqlBase("q2_revenue_by_nation"),
+    // the persisted partition-pruned index must reproduce the in-memory IVF
+    "knn_ivf_indexed" -> oracleSqlBase("knn_ivf"),
 
     "sketch_kmv_distinct" ->
       """WITH h AS (
@@ -855,6 +889,12 @@ object SparkEntry {
         |       ELSE CAST(coalesce(n_matched, 0) AS DOUBLE) / CAST(len(grams) AS DOUBLE) END AS overlap_frac
         |FROM g LEFT JOIN m ON g.doc_id = m.doc_id
         |WHERE g.doc_id % 37 <> 0 ORDER BY doc_id""".stripMargin,
+
+    "corpus_quantiles" ->
+      """SELECT lang,
+        |  quantile_cont(n_chars, 0.25) AS q25, quantile_cont(n_chars, 0.5) AS q50,
+        |  quantile_cont(n_chars, 0.75) AS q75, quantile_cont(n_chars, 0.95) AS q95
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "corpus_stats" ->
       """WITH r AS (

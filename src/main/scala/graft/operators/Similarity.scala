@@ -143,6 +143,53 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Persist the IVF inverted file as a hive-partitioned parquet layout:
+    * one directory per Voronoi cell, rows pre-quantized with their squared
+    * norms so probes skip the prep pass. This is the serving-side shape of
+    * [[ivfKnn]]: at 100 TB the index is written once and every query batch
+    * reads ONLY its probed cells' directories (partition pruning), turning
+    * probe I/O into `nprobe/cells` of the index instead of a full scan. */
+  def writeIvfIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, path: String,
+      cells: Int = 16, seed: Long = 42L, dims: Int = 64): Unit =
+    corpus
+      .select(col(idCol), VectorFns.quantize(col(vecCol)).as("qv"))
+      .withColumn("n2", VectorFns.norm2Q(col("qv")))
+      .withColumn("cell", element_at(rankedCells(col("qv"), cells, seed, dims, 1), 1))
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+
+  /** Probe a persisted IVF index ([[writeIvfIndex]]) — identical results to
+    * [[ivfKnn]] with the same parameters, but reading the on-disk layout.
+    * The probed cell ids are resolved first and pushed as a STATIC partition
+    * filter (`cell IN (...)`), so the scan provably touches only those
+    * directories; the resolve step materializes `queries × nprobe` cell ids
+    * — bounded by the query batch, the right trade for query serving. */
+  def ivfIndexKnn(
+      index: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      cells: Int = 16, nprobe: Int = 4, seed: Long = 42L, dims: Int = 64): DataFrame = {
+    val q = queries
+      .select(col(idCol), VectorFns.quantize(col(vecCol)).as("qv"))
+      .withColumn("n2", VectorFns.norm2Q(col("qv")))
+      .withColumn("cell", explode(rankedCells(col("qv"), cells, seed, dims, nprobe)))
+      .as("q")
+    val probed = q.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val c = index.filter(col("cell").isin(probed: _*)).as("c")
+    val joined = broadcast(q.toDF()).join(c, col("q.cell") === col("c.cell")
+        && col(s"q.$idCol") =!= col(s"c.$idCol"))
+      .select(
+        col(s"q.$idCol").as("query_id"),
+        col(s"c.$idCol").as("neighbor_id"),
+        VectorFns.cosinePre(col("q.qv"), col("q.n2"), col("c.qv"), col("c.n2")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** ANN via LSH bucketing: compare only within matching signatures.
     * Multi-probe would raise recall further; here signature equality is the
     * bucket key (an equi-join — shuffle on the bucket, never a cross join). */

@@ -165,6 +165,24 @@ object TextAnalysis {
           .as("median_chars"))
   }
 
+  /** Exact grouped quantiles with linear interpolation (the `quantile_cont`
+    * definition; Spark's exact `percentile` computes the identical
+    * `a + (b-a)*frac` on the two neighboring order statistics, so results
+    * hash-match other engines bit-for-bit on integer inputs). Output column
+    * `q<percent>` per requested quantile.
+    *
+    * Scale caveat, stated honestly: exact percentile buffers each GROUP's
+    * values on its reducer. Right for bounded groups (per-language doc-length
+    * distributions — millions of longs per group at worst); for unbounded
+    * groups switch to `percentile_approx`, which trades the oracle-exact
+    * guarantee for fixed memory. */
+  def groupedQuantiles(
+      df: DataFrame, groupCol: String, valueCol: String, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1))
+    val aggs = qs.map(q => expr(s"percentile($valueCol, $q)").as(s"q${(q * 100).round}"))
+    df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val LongNumberPattern = "[0-9]{7,}"
 

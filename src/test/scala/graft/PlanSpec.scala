@@ -82,6 +82,22 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("persisted IVF index probes read only the probed cells (partition pruning)") {
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/idx"
+    graft.operators.Similarity.writeIvfIndex(embs, "vec_id", "embedding", path)
+    val res = graft.operators.Similarity.ivfIndexKnn(
+      spark.read.parquet(path), embs.filter(embs("vec_id") < 3), "vec_id", "embedding", 3)
+    val p = plan(res)
+    // the scan carries a static partition filter on the cell column...
+    assert(p.contains("PartitionFilters: [cell"), p)
+    // ...and matches the in-memory IVF bit-for-bit
+    val mem = graft.operators.Similarity.ivfKnn(
+      embs, embs.filter(embs("vec_id") < 3), "vec_id", "embedding", 3)
+    assert(res.orderBy("query_id", "rank").collect().toSeq ==
+      mem.orderBy("query_id", "rank").collect().toSeq)
+  }
+
   test("corpus top-k ngrams partial-aggregates before its single shuffle") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val p = plan(graft.operators.TextAnalysis.topkNgrams(docs, "text"))
