@@ -365,6 +365,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "dedup_simhash_sql" -> ((s, dir) => {
+      // the same simhash fingerprints through the SQL function surface
+      // (GraftExtensions/FunctionRegistry) — pure SQL text, same kernels,
+      // same oracle as dedup_simhash
+      graft.plans.GraftFunctions.register(s)
+      spread(t(s, dir, "documents")).createOrReplaceTempView("graft_documents_sql")
+      s.sql("""SELECT doc_id, graft_simhash(graft_tokens(text)) AS simhash
+               FROM graft_documents_sql ORDER BY doc_id""")
+    }),
+
     "dedup_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(
         spread(t(s, dir, "documents")), "doc_id", "text", "lang",
@@ -676,6 +686,8 @@ object SparkEntry {
     "q2_revenue_by_nation_bucketed" -> oracleSqlBase("q2_revenue_by_nation"),
     // the persisted partition-pruned index must reproduce the in-memory IVF
     "knn_ivf_indexed" -> oracleSqlBase("knn_ivf"),
+    // the SQL function surface must reproduce the DataFrame kernels exactly
+    "dedup_simhash_sql" -> oracleSqlBase("dedup_simhash"),
 
     "sketch_kmv_distinct" ->
       """WITH h AS (

@@ -284,9 +284,18 @@ object Kernels {
   private val cls = Kernels.getClass
 
   private def call(dt: DataType, fn: String, args: Column*): Column =
-    Bridge.column(StaticInvoke(
-      cls, dt, fn, args.map(Bridge.expression),
-      inputTypes = Nil, propagateNull = true, returnNullable = false, isDeterministic = true))
+    Bridge.column(invokeExpr(dt, fn, args.map(Bridge.expression)))
+
+  /** Raw StaticInvoke builder over these kernels — the hook
+    * [[graft.plans.GraftExtensions]] uses to register them as SQL functions
+    * (FunctionRegistry builders receive Expressions, not Columns). */
+  private[graft] def invokeExpr(
+      dt: DataType, fn: String,
+      args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    StaticInvoke(
+      cls, dt, fn, args,
+      inputTypes = Nil, propagateNull = true, returnNullable = false, isDeterministic = true)
 
   def quantize(v: Column, elementType: String): Column = {
     val fn = if (elementType == "float") "quantizeFloat" else "quantizeDouble"
