@@ -98,6 +98,15 @@ final case class ParquetOutput(
     compression: String, // snappy|gzip|zstd|lz4|uncompressed|...
     timestampUnit: String) // "ms" | "us"
     extends OutputConfig { val typ = "parquet" }
+
+/** Newline-delimited JSON — the corpus-interchange format LLM-data pipelines
+  * exchange (one document object per line, gzip-friendly, streamable).
+  * Beyond-reference surface: sdvg stops at csv/parquet/http. */
+final case class JsonlOutput(
+    dir: String,
+    compression: String, // none|gzip|zstd|bzip2|...
+    ignoreNullFields: Boolean)
+    extends OutputConfig { val typ = "jsonl" }
 final case class HttpOutput(
     dir: String, // unused; kept for config-shape parity
     endpoint: String,

@@ -340,6 +340,11 @@ object ConfigParser {
           params.flatMap(optText(_, "compression_codec")).orElse(params.flatMap(optText(_, "compression")))
             .getOrElse("snappy").toLowerCase,
           params.flatMap(optText(_, "datetime_unit")).getOrElse("us").toLowerCase)
+      case "jsonl" =>
+        JsonlOutput(
+          dir,
+          params.flatMap(optText(_, "compression")).getOrElse("none").toLowerCase,
+          params.flatMap(optBool(_, "ignore_null_fields")).getOrElse(false))
       case "http" | "tcs" =>
         val endpoint = params.flatMap(optText(_, "endpoint")).getOrElse("")
         if (endpoint.isEmpty) errs += "output: http endpoint required"

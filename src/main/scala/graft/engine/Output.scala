@@ -196,6 +196,21 @@ object Output {
         renameShadowPartitionDirs(spark, modelPath(cfg, model))
         writeCheckpoint(spark, cfg, model)
 
+      case o: JsonlOutput =>
+        // newline-delimited JSON: Spark's json writer is already one object
+        // per line, splittable per partition — the natural corpus layout.
+        // ignoreNullFields=false by default so every line carries the full
+        // schema (downstream readers need not infer across files).
+        var w = df.write
+          .option("compression", o.compression)
+          .option("ignoreNullFields", o.ignoreNullFields)
+          .option("maxRecordsPerFile", model.rowsPerFile)
+          .mode(SaveMode.Append)
+        if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
+        w.json(modelPath(cfg, model))
+        renameShadowPartitionDirs(spark, modelPath(cfg, model))
+        writeCheckpoint(spark, cfg, model)
+
       case o: HttpOutput =>
         HttpSink.write(df, model.name, o)
     }
