@@ -336,6 +336,28 @@ object SparkEntry {
         .orderBy(col("band_id"))
     }),
 
+    "q17_urgent_revenue_bloom" -> ((s, dir) => {
+      // semi-join reduction: the URGENT filter keeps ~20% of orders, so ~80%
+      // of lineitem rows are dead on arrival at the join. BloomJoin builds a
+      // bloom filter over the surviving orderkeys (one small agg) and prunes
+      // the fact scan BEFORE its shuffle — the plan a 100 TB fact join needs
+      // (Catalyst's InjectRuntimeFilter does this only above its 10 GB probe
+      // threshold; this operator is the same shape, explicit). Join stays
+      // non-broadcast on purpose: the pruned shuffle IS the point.
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_returnflag"),
+        (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev4"))
+      graft.operators.BloomJoin
+        .bloomPrunedJoin(li, o, "l_orderkey", "o_orderkey", expectedKeys = o.count())
+        .groupBy(col("l_returnflag"))
+        .agg((sum(col("rev4")).cast("double") / 10000.0).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "q10_active_buyers_intersect" -> ((s, dir) => {
       val ev = events(s, dir)
       ev.filter(col("event_type") === "click").select(col("user_id"))
@@ -832,6 +854,14 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, e.ts, o1.o_orderkey, o1.o_totalprice
         |FROM e ASOF LEFT JOIN o1 ON e.user_id = o1.o_custkey AND e.ts >= o1.ot
         |ORDER BY event_id""".stripMargin,
+
+    "q17_urgent_revenue_bloom" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q16_price_band_rangejoin" ->
       """WITH bands AS (

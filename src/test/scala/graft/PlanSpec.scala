@@ -166,4 +166,35 @@ class PlanSpec extends SparkSuite {
     val bucketed = SparkEntry.queries("q2_revenue_by_nation_bucketed")(spark, sfDir).collect().toSeq
     assert(bucketed == plainQ2)
   }
+
+  test("bloom-pruned join: might_contain filters the probe scan below its shuffle") {
+    import org.apache.spark.sql.functions.col
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // forbid broadcast: the whole point of the bloom is pruning a SHUFFLE
+    // join's probe side — with a broadcast join the question is moot
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val joined = graft.operators.BloomJoin
+        .bloomPrunedJoin(li, o, "l_orderkey", "o_orderkey", expectedKeys = 1000L)
+      val p = plan(joined)
+      assert(p.contains("might_contain"), s"probe side must carry the bloom predicate:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      // the predicate must sit BELOW the exchange: in formatted explain the
+      // probe-side Filter node appears before (deeper than) the Exchange that
+      // feeds the join — cheap structural proxy: the simple plan string shows
+      // Filter(might_contain) as a child of Exchange, never the reverse
+      val simple = joined.queryExecution.executedPlan.toString
+      val exIdx = simple.indexOf("Exchange")
+      val bloomIdx = simple.indexOf("might_contain")
+      assert(exIdx >= 0 && bloomIdx > exIdx,
+        s"bloom filter must be under the probe-side Exchange:\n$simple")
+      // exactness: bloom false positives die in the join
+      val expected = li.join(o, li("l_orderkey") === o("o_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
