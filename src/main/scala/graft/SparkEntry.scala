@@ -382,6 +382,18 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "dedup_incremental" -> ((s, dir) => {
+      // continuous ingestion: every 7th doc is "today's increment", the rest
+      // are the indexed corpus whose signatures were persisted at index time
+      val docs = spread(t(s, dir, "documents"))
+      val corpusSigs = Dedup.minhashSignatures(
+        docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text", numHashes = 4)
+      Dedup.minhashPairsAgainst(
+        docs.filter(col("doc_id") % 7 === 0), corpusSigs, "doc_id", "text",
+        numHashes = 4, bandSize = 2)
+        .orderBy(col("incoming_id"), col("corpus_id"))
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       Dedup.simhash(spread(t(s, dir, "documents")), "doc_id", "text", 32)
         .orderBy(col("doc_id"))
@@ -544,6 +556,22 @@ object SparkEntry {
       TextAnalysis.withPiiRedaction(spread(t(s, dir, "documents")), "doc_id", "text")
         .select(col("doc_id"), col("n_emails").cast("long").as("n_emails"),
           col("n_numbers").cast("long").as("n_numbers"), col("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_normalize" -> ((s, dir) => {
+      TextAnalysis.withNormalized(spread(t(s, dir, "documents")), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    "curation_keep" -> ((s, dir) => {
+      // thresholds chosen to split this corpus (~p25 quality, ~p66 dup):
+      // the decision column must actually discriminate for the oracle to
+      // prove anything
+      TextAnalysis.curationKeep(
+        spread(t(s, dir, "documents")), "doc_id", "text",
+        minQuality = 0.85, allowedLangs = Seq("en", "es", "de", "fr"), maxDupFrac = 0.04)
+        .withColumn("keep", col("keep").cast("long"))
         .orderBy(col("doc_id"))
     }),
 
@@ -881,6 +909,63 @@ object SparkEntry {
         |SELECT user_id FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id""".stripMargin,
 
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+        |    '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS normalized
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "curation_keep" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    CAST(length(text) AS BIGINT) AS len_chars,
+        |    length(text) AS total,
+        |    length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g')) AS no_cyr,
+        |    length(regexp_replace(text, '[一-鿿]', '', 'g')) AS no_cjk
+        |  FROM documents
+        |), feats AS (
+        |  SELECT doc_id, len_chars,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with'], t))) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) END AS stopword_ratio,
+        |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |      CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE) END AS alpha_ratio,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS token_diversity,
+        |    CAST(GREATEST(len(toks) - 1, 0) AS BIGINT) AS n_bigrams,
+        |    CAST(len(list_distinct([array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))])) AS BIGINT) AS n_distinct_bigrams
+        |  FROM base
+        |), lang AS (
+        |  SELECT doc_id,
+        |    CASE WHEN total - no_cyr > 0 THEN 'ru'
+        |         WHEN total - no_cjk > 0 THEN 'zh'
+        |         WHEN es > en AND es >= de AND es >= fr THEN 'es'
+        |         WHEN de > en AND de >= fr THEN 'de'
+        |         WHEN fr > en THEN 'fr'
+        |         ELSE 'en' END AS predicted_lang
+        |  FROM (
+        |    SELECT doc_id, total, no_cyr, no_cjk,
+        |      len(list_filter(toks, t -> list_contains(['the','a','and','of','to','in','is'], t))) AS en,
+        |      len(list_filter(toks, t -> list_contains(['el','la','de','que','y','los'], t))) AS es,
+        |      len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','ein'], t))) AS de,
+        |      len(list_filter(toks, t -> list_contains(['le','la','les','et','est','une'], t))) AS fr
+        |    FROM base)
+        |), scored AS (
+        |  SELECT f.doc_id,
+        |    (CASE WHEN len_chars < 20 THEN 0.0 ELSE 0.25 END)
+        |      + (CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 0.25 ELSE 0.0 END)
+        |      + (CASE WHEN alpha_ratio >= 0.6 THEN 0.25 ELSE 0.0 END)
+        |      + token_diversity * 0.25 AS quality_score,
+        |    predicted_lang,
+        |    CASE WHEN n_bigrams = 0 THEN 0.0
+        |         ELSE CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE) END AS dup_bigram_frac
+        |  FROM feats f JOIN lang l ON f.doc_id = l.doc_id
+        |)
+        |SELECT doc_id, quality_score, predicted_lang, dup_bigram_frac,
+        |  CAST(quality_score >= 0.85 AND predicted_lang IN ('en','es','de','fr') AND dup_bigram_frac <= 0.04 AS BIGINT) AS keep
+        |FROM scored ORDER BY doc_id""".stripMargin,
+
     "text_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
@@ -1060,6 +1145,26 @@ object SparkEntry {
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
         |  (a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS grams
+        |  FROM toks
+        |), sig AS (
+        |  SELECT doc_id,
+        |    list_min([('0x' || substr(md5('0:' || g), 1, 15))::BIGINT FOR g IN grams]) AS mh0,
+        |    list_min([('0x' || substr(md5('0:' || g), 16, 15))::BIGINT FOR g IN grams]) AS mh1,
+        |    list_min([('0x' || substr(md5('1:' || g), 1, 15))::BIGINT FOR g IN grams]) AS mh2,
+        |    list_min([('0x' || substr(md5('1:' || g), 16, 15))::BIGINT FOR g IN grams]) AS mh3
+        |  FROM sh
+        |)
+        |SELECT DISTINCT n.doc_id AS incoming_id, c.doc_id AS corpus_id
+        |FROM sig n JOIN sig c ON n.doc_id % 7 = 0 AND c.doc_id % 7 <> 0 AND (
+        |  (n.mh0 = c.mh0 AND n.mh1 = c.mh1) OR (n.mh2 = c.mh2 AND n.mh3 = c.mh3))
+        |ORDER BY incoming_id, corpus_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH toks AS (

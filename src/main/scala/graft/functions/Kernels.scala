@@ -279,6 +279,36 @@ object Kernels {
   def cosineQ(a: ArrayData, na: Long, b: ArrayData, nb: Long): Double =
     dotLong(a, b).toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
 
+  // ------------------------------------------------------- normalization
+
+  /** Corpus text normalization, the canonical pre-tokenization pass:
+    * Unicode NFC -> lowercase (root locale) -> strip non-whitespace C0/DEL
+    * controls -> collapse `[ \t\n\v\f\r]+` runs to one space -> trim. The
+    * char classes are spelled out (not `\s` / `isWhitespace`) so the
+    * semantics are identical in Java and RE2 — the DuckDB oracle applies the
+    * same five steps with `nfc_normalize`/`lower`/`regexp_replace`. Single
+    * fused pass after NFC; scan speed inside codegen. */
+  def normalizeText(s: UTF8String): UTF8String = {
+    val nfc = java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC)
+    val lower = nfc.toLowerCase(java.util.Locale.ROOT)
+    val len = lower.length
+    val sb = new java.lang.StringBuilder(len)
+    var pendingSpace = false
+    var i = 0
+    while (i < len) {
+      val c = lower.charAt(i)
+      val isWs = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+      val isCtl = c < '\t' || (c >= '\u000E' && c < ' ') || c == '\u007F'
+      if (isWs) { if (sb.length() > 0) pendingSpace = true }
+      else if (!isCtl) {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   // ------------------------------------------------------ Column wrappers
 
   private val cls = Kernels.getClass
@@ -324,4 +354,6 @@ object Kernels {
 
   def cosineQCol(a: Column, na: Column, b: Column, nb: Column): Column =
     call(DoubleType, "cosineQ", a, na, b, nb)
+
+  def normalizeTextCol(text: Column): Column = call(StringType, "normalizeText", text)
 }

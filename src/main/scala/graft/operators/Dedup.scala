@@ -64,6 +64,38 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental (continuous-ingestion) near-dup check: which INCOMING
+    * documents LSH-collide with an already-indexed corpus?
+    *
+    * The corpus side arrives as a persisted signature table (the
+    * [[minhashSignatures]] layout, computed once at index build and extended
+    * per increment) — so a daily ingest pays signature hashing only for the
+    * increment and NEVER re-reads corpus text. Same banded equi-join as
+    * [[minhashPairs]] across the two tables; the small increment side
+    * broadcasts by default (one map-side pass over corpus signatures — at
+    * 100 TB this is a broadcast-join over a few-GB signature table, not a
+    * corpus scan). Set `broadcastIncoming = false` for bulk backfills.
+    * Returns distinct (incoming_id, corpus_id) collision pairs. */
+  def minhashPairsAgainst(
+      incoming: DataFrame, corpusSigs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, bandSize: Int = 2, broadcastIncoming: Boolean = true): DataFrame = {
+    val numBands = numHashes / bandSize
+    def explodeBands(sigs: DataFrame): DataFrame = {
+      val bands = (0 until numBands).map { b =>
+        val cols = (0 until bandSize).map(i => col(s"mh${b * bandSize + i}"))
+        struct(lit(b).as("band"), concat_ws(":", cols: _*).as("key"))
+      }
+      sigs.select(col(idCol), explode(array(bands: _*)).as("bk"))
+        .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    }
+    val inc0 = explodeBands(minhashSignatures(incoming, idCol, textCol, numHashes))
+    val inc = (if (broadcastIncoming) broadcast(inc0) else inc0).as("n")
+    val corpus = explodeBands(corpusSigs).as("c")
+    inc.join(corpus, col("n.band") === col("c.band") && col("n.key") === col("c.key"))
+      .select(col(s"n.$idCol").as("incoming_id"), col(s"c.$idCol").as("corpus_id"))
+      .distinct()
+  }
+
   /** SimHash fingerprints (default 32-bit). Near-dup = small Hamming
     * distance; pairs are found by banding the fingerprint bytes (same
     * equi-join shape as MinHash LSH). */

@@ -37,13 +37,17 @@ object TextAnalysis {
       TextFns.stopwordRatio(col(textCol), EnStopwords).as("stopword_ratio"),
       TextFns.charRatio(col(textCol), "[a-zA-Z]").as("alpha_ratio"),
       diversity.as("token_diversity"))
-      .withColumn(
-        "quality_score",
-        when(col("len_chars") < 20, lit(0.0)).otherwise(lit(0.25))
-          + when(col("stopword_ratio").between(0.01, 0.6), lit(0.25)).otherwise(lit(0.0))
-          + when(col("alpha_ratio") >= 0.6, lit(0.25)).otherwise(lit(0.0))
-          + col("token_diversity") * lit(0.25))
+      .withColumn("quality_score", qualityScore(
+        col("len_chars"), col("stopword_ratio"), col("alpha_ratio"), col("token_diversity")))
   }
+
+  private def qualityScore(lenChars: org.apache.spark.sql.Column,
+      stopRatio: org.apache.spark.sql.Column, alphaRatio: org.apache.spark.sql.Column,
+      diversity: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(lenChars < 20, lit(0.0)).otherwise(lit(0.25)) +
+      when(stopRatio.between(0.01, 0.6), lit(0.25)).otherwise(lit(0.0)) +
+      when(alphaRatio >= 0.6, lit(0.25)).otherwise(lit(0.0)) +
+      diversity * lit(0.25)
 
   def withLangId(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), TextFns.langId(col(textCol)).as("predicted_lang"))
@@ -181,6 +185,51 @@ object TextAnalysis {
     require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1))
     val aggs = qs.map(q => expr(s"percentile($valueCol, $q)").as(s"q${(q * 100).round}"))
     df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Canonical pre-tokenization normalization: Unicode NFC, lowercase,
+    * control strip, whitespace collapse, trim — one fused codegen kernel
+    * ([[graft.functions.Kernels.normalizeText]]). Run BEFORE hashing /
+    * shingling so byte-level variants of the same text dedup together.
+    * Pure projection, scan speed. */
+  def withNormalized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      graft.functions.Kernels.normalizeTextCol(col(textCol)).as("normalized"))
+
+  /** End-to-end curation decision: one scan computes every per-document
+    * signal (quality score, language, bigram repetition) and folds them into
+    * a boolean `keep` under the given thresholds. This is the filter pass a
+    * training pipeline runs corpus-wide — one projection, NO joins between
+    * the signal operators (they all read the same row), so at 100 TB it is
+    * exactly one pass over the text column. */
+  def curationKeep(
+      docs: DataFrame, idCol: String, textCol: String,
+      minQuality: Double = 0.5,
+      allowedLangs: Seq[String] = Seq("en", "es", "de", "fr"),
+      maxDupFrac: Double = 0.2): DataFrame = {
+    val toks = TextFns.tokens(col(textCol))
+    val diversity = when(size(toks) === 0, lit(0.0))
+      .otherwise(size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+    val score = qualityScore(
+      length(col(textCol)),
+      TextFns.stopwordRatio(col(textCol), EnStopwords),
+      TextFns.charRatio(col(textCol), "[a-zA-Z]"),
+      diversity)
+    val nBigrams = greatest(TextFns.tokenCount(col(textCol)) - 1, lit(0L)).cast("long")
+    val nDistinct = size(graft.functions.Kernels.wordNgramsSortedCol(col(textCol), 2)).cast("long")
+    val dupFrac = when(nBigrams === 0, lit(0.0))
+      .otherwise((nBigrams - nDistinct).cast("double") / nBigrams.cast("double"))
+    docs.select(
+      col(idCol),
+      score.as("quality_score"),
+      TextFns.langId(col(textCol)).as("predicted_lang"),
+      dupFrac.as("dup_bigram_frac"))
+      .withColumn(
+        "keep",
+        col("quality_score") >= minQuality &&
+          col("predicted_lang").isin(allowedLangs: _*) &&
+          col("dup_bigram_frac") <= maxDupFrac)
   }
 
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

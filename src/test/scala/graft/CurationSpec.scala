@@ -148,4 +148,54 @@ class CurationSpec extends SparkSuite {
     val peaks = r.groupBy("vec_id").agg(max(abs($"q8")).as("peak"))
     assert(peaks.filter($"peak" =!= 127).count() == 0)
   }
+
+  test("withNormalized: NFC composition, casefold, control strip, ws collapse") {
+    val in = Seq(
+      (1L, "  Hello\t\tWORLD  "),
+      (2L, "cafe\u0301 CAFE\u0301"), // e + combining acute -> \u00e9 under NFC
+      (3L, "a\u0000b\u0001c"), // controls stripped, no space introduced
+      (4L, "x \u000B \r\n y"),
+      (5L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.withNormalized(in, "doc_id", "text")
+      .orderBy("doc_id").select("normalized").as[String].collect()
+    assert(out(0) == "hello world")
+    assert(out(1) == "caf\u00e9 caf\u00e9")
+    assert(out(2) == "abc")
+    assert(out(3) == "x y")
+    assert(out(4) == "")
+  }
+
+  test("curationKeep discriminates and equals manual signal conjunction") {
+    val r = TextAnalysis.curationKeep(docs, "doc_id", "text",
+      minQuality = 0.85, allowedLangs = Seq("en", "es", "de", "fr"), maxDupFrac = 0.04)
+      .cache()
+    val kept = r.filter($"keep").count()
+    assert(kept > 0 && kept < docs.count(), s"keep must split the corpus, got $kept")
+    // conjunction law: keep == (each threshold holds)
+    val bad = r.filter(
+      $"keep" =!= ($"quality_score" >= 0.85 &&
+        $"predicted_lang".isin("en", "es", "de", "fr") && $"dup_bigram_frac" <= 0.04))
+    assert(bad.count() == 0)
+    r.unpersist()
+  }
+
+  test("minhashPairsAgainst finds exactly the cross-increment collisions of minhashPairs") {
+    import graft.operators.Dedup
+    val inc = docs.filter($"doc_id" % 7 === 0)
+    val corpus = docs.filter($"doc_id" % 7 =!= 0)
+    val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text", numHashes = 4)
+    val got = Dedup.minhashPairsAgainst(inc, sigs, "doc_id", "text", numHashes = 4, bandSize = 2)
+      .select($"incoming_id", $"corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference: full-corpus pair generator, restricted to cross pairs
+    val all = Dedup.minhashPairs(docs, "doc_id", "text", numHashes = 4, bandSize = 2,
+      broadcastRight = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = all.flatMap { case (a, b) =>
+      if (a % 7 == 0 && b % 7 != 0) Some((a, b))
+      else if (b % 7 == 0 && a % 7 != 0) Some((b, a))
+      else None
+    }.toSet
+    assert(got == expected)
+  }
 }
