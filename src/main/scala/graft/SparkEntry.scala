@@ -3,7 +3,7 @@ package graft
 import graft.config.ConfigParser
 import graft.engine.Engine
 import graft.functions.{TextFns, VectorFns}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Layout, Multimodal, Similarity, TextAnalysis}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -559,6 +559,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "layout_zorder" -> ((s, dir) => {
+      // Morton z-values over (partkey, suppkey) rank buckets — the clustering
+      // key writeZOrdered lays files out by. Exact ntile buckets here for the
+      // oracle; the write path uses approx boundaries (no global window).
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))
+      val ties = Seq(col("l_orderkey"), col("l_linenumber"))
+      li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        Layout.zValue(Seq(
+          Layout.rankBucket(col("l_partkey"), ties, 256),
+          Layout.rankBucket(col("l_suppkey"), ties, 256)), bits = 8).as("zval"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     "text_normalize" -> ((s, dir) => {
       TextAnalysis.withNormalized(spread(t(s, dir, "documents")), "doc_id", "text")
         .orderBy(col("doc_id"))
@@ -908,6 +924,17 @@ object SparkEntry {
         |INTERSECT
         |SELECT user_id FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id""".stripMargin,
+
+    "layout_zorder" ->
+      """WITH b AS (
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    CAST(ntile(256) OVER (ORDER BY l_partkey, l_orderkey, l_linenumber) - 1 AS BIGINT) AS b0,
+        |    CAST(ntile(256) OVER (ORDER BY l_suppkey, l_orderkey, l_linenumber) - 1 AS BIGINT) AS b1
+        |  FROM lineitem
+        |)
+        |SELECT l_orderkey, l_linenumber,
+        |  CAST(list_sum([(((b0 >> k) & 1) << (2*k)) + (((b1 >> k) & 1) << (2*k + 1)) FOR k IN range(0, 8)]) AS BIGINT) AS zval
+        |FROM b ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "text_normalize" ->
       """SELECT doc_id,

@@ -279,6 +279,28 @@ object Kernels {
   def cosineQ(a: ArrayData, na: Long, b: ArrayData, nb: Long): Double =
     dotLong(a, b).toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
 
+  // ------------------------------------------------------- bit interleave
+
+  /** Morton interleave: bit k of dimension j lands at position k*d + j of the
+    * result (d = number of dimensions, lowest dims in lowest bits). Inputs
+    * must already be bucket ranks in [0, 2^bits); `bits*d` must fit in 63.
+    * Oracle-expressible: sum over (j,k) of ((v_j >> k) & 1) << (k*d + j). */
+  def interleaveBits(dims: ArrayData, bits: Int): Long = {
+    val d = dims.numElements()
+    var out = 0L
+    var j = 0
+    while (j < d) {
+      val v = dims.getLong(j)
+      var k = 0
+      while (k < bits) {
+        out |= ((v >>> k) & 1L) << (k * d + j)
+        k += 1
+      }
+      j += 1
+    }
+    out
+  }
+
   // ------------------------------------------------------- normalization
 
   /** Corpus text normalization, the canonical pre-tokenization pass:
@@ -356,4 +378,7 @@ object Kernels {
     call(DoubleType, "cosineQ", a, na, b, nb)
 
   def normalizeTextCol(text: Column): Column = call(StringType, "normalizeText", text)
+
+  def interleaveBitsCol(dims: Column, bits: Int): Column =
+    call(LongType, "interleaveBits", dims, lit(bits))
 }

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.functions.Kernels
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) data layout: cluster a table on the interleaved
+  * bits of several dimensions so parquet min/max (row-group / file) statistics
+  * prune multi-dimensional range queries.
+  *
+  * A table range-partitioned and sorted on ONE column prunes filters on that
+  * column only; filters on any other dimension read everything. Interleaving
+  * the bits of d rank-normalized dimensions gives every file a tight
+  * bounding box in ALL of them — a `WHERE x BETWEEN .. AND y BETWEEN ..` box
+  * query touches only the files whose boxes intersect it (the classic
+  * Z-order/Hilbert layout every lakehouse table format exposes; built here
+  * from Spark primitives: rank-bucketing, a codegen'd interleave kernel,
+  * `repartitionByRange` + `sortWithinPartitions`).
+  *
+  * Scale path: ranks come from `ntile` over a GLOBAL window — fine to
+  * thousands of buckets but a single-reducer sort at extreme cardinality; for
+  * 100 TB use `zValueApprox` (quantile-boundary buckets from `approx
+  * _percentile`, one scan, no window) — same layout quality, bounded memory.
+  */
+object Layout {
+
+  /** Morton z-value of pre-bucketed dimension columns (each in [0, 2^bits)).
+    * Pure arithmetic — interleave in codegen via the shared kernel. */
+  def zValue(bucketCols: Seq[Column], bits: Int = 16): Column =
+    Kernels.interleaveBitsCol(array(bucketCols.map(_.cast("long")): _*), bits)
+
+  /** Equi-depth rank buckets of a dimension: ntile over the global order
+    * (ties broken by `tieCols` so the bucketing is deterministic). Exact and
+    * oracle-friendly; see scaladoc for the approx variant at scale. */
+  def rankBucket(valueCol: Column, tieCols: Seq[Column], buckets: Int): Column = {
+    import org.apache.spark.sql.expressions.Window
+    (ntile(buckets).over(Window.orderBy(valueCol +: tieCols: _*)) - 1).cast("long")
+  }
+
+  /** Bucket a dimension by FIXED quantile boundaries computed in one
+    * aggregation pass (`approx_percentile`) — the 100 TB path: no global
+    * window, no full sort; boundaries broadcast as a literal array. */
+  def approxBoundaries(df: DataFrame, valueCol: String, buckets: Int): Array[Double] = {
+    val probs = (1 until buckets).map(i => i.toDouble / buckets)
+    df.select(expr(
+      s"approx_percentile($valueCol, array(${probs.mkString(",")}), 10000)")).head()
+      .getSeq[Any](0).map {
+        case d: java.lang.Number => d.doubleValue()
+      }.toArray
+  }
+
+  def boundaryBucket(valueCol: Column, boundaries: Array[Double]): Column = {
+    // boundaries sorted ascending; bucket = #boundaries below value
+    val arr = array(boundaries.map(lit(_)): _*)
+    size(filter(arr, b => b <= valueCol.cast("double"))).cast("long")
+  }
+
+  /** Write `df` z-ordered on `dims` into `path` (parquet): bucket each dim by
+    * approx quantile boundaries, interleave, range-partition on the z-value
+    * into `numFiles` output tasks and sort rows by z inside each — so each
+    * file owns a contiguous z-range = a tight box in every dimension. */
+  def writeZOrdered(
+      df: DataFrame, dims: Seq[String], path: String,
+      numFiles: Int = 32, bits: Int = 16): Unit = {
+    val bucketed = dims.foldLeft(df) { (acc, d) =>
+      val bs = approxBoundaries(df, d, 1 << math.min(bits, 12))
+      acc.withColumn(s"__zb_$d", boundaryBucket(col(d), bs))
+    }
+    bucketed
+      .withColumn("__z", zValue(dims.map(d => col(s"__zb_$d")), bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop((dims.map(d => s"__zb_$d") :+ "__z"): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+}

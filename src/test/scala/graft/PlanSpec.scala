@@ -197,4 +197,38 @@ class PlanSpec extends SparkSuite {
       assert(joined.count() == expected)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("z-ordered layout: tight per-file boxes, box queries touch few files") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString + "/li"
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    graft.operators.Layout.writeZOrdered(
+      li, Seq("l_partkey", "l_suppkey"), dir, numFiles = 16, bits = 8)
+    val back = spark.read.parquet(dir).withColumn("f", input_file_name()).cache()
+    val nFiles = back.select("f").distinct().count()
+    assert(nFiles > 8, s"expected ~16 files, got $nFiles")
+    // per-file bounding box area as a fraction of the global domain: a
+    // z-ordered file covers a small box in BOTH dims; a random layout
+    // covers ~the full domain in each (area ~1)
+    val g = li.agg(
+      (max(col("l_partkey")) - min(col("l_partkey"))).cast("double").as("gp"),
+      (max(col("l_suppkey")) - min(col("l_suppkey"))).cast("double").as("gs")).head()
+    val (gp, gs) = (g.getDouble(0), g.getDouble(1))
+    val avgArea = back.groupBy("f").agg(
+      ((max(col("l_partkey")) - min(col("l_partkey"))).cast("double") / gp *
+        ((max(col("l_suppkey")) - min(col("l_suppkey"))).cast("double") / gs)).as("area"))
+      .agg(avg(col("area"))).head().getDouble(0)
+    assert(avgArea < 0.3, s"avg per-file box area $avgArea — layout not clustering")
+    // a ~20% x 20% box query touches a minority of files
+    val pLo = li.stat.approxQuantile("l_partkey", Array(0.4), 0.001)(0)
+    val pHi = li.stat.approxQuantile("l_partkey", Array(0.6), 0.001)(0)
+    val sLo = li.stat.approxQuantile("l_suppkey", Array(0.4), 0.001)(0)
+    val sHi = li.stat.approxQuantile("l_suppkey", Array(0.6), 0.001)(0)
+    val touched = back.filter(
+      col("l_partkey").between(pLo, pHi) && col("l_suppkey").between(sLo, sHi))
+      .select("f").distinct().count()
+    assert(touched * 2 <= nFiles, s"box query touched $touched of $nFiles files")
+    back.unpersist()
+  }
 }
