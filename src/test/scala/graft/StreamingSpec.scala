@@ -172,4 +172,38 @@ class StreamingSpec extends SparkSuite {
     assert(u1(1).n_events == 1 && u1(1).total_value == 5.0)
     assert(sessions.count(_.user_id == 2L) == 1)
   }
+
+  test("jsonl corpus ingest: incremental, exactly-once across runs, transform applied") {
+    import graft.streaming.CorpusIngest
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("ingest").toString
+    val landing = s"$root/landing"
+    val table = s"$root/corpus"
+    val ckpt = s"$root/ckpt"
+    new java.io.File(landing).mkdirs()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def drop(name: String, ids: Range): Unit = {
+      val w = new java.io.PrintWriter(s"$landing/$name")
+      try ids.foreach(i => w.println(s"""{"doc_id":$i,"text":"doc number $i"}"""))
+      finally w.close()
+    }
+    // keep only even doc_ids: the curation-at-ingest hook
+    val evenOnly = (df: org.apache.spark.sql.DataFrame) => df.filter(col("doc_id") % 2 === 0)
+
+    drop("batch1a.jsonl", 0 until 10)
+    drop("batch1b.jsonl", 10 until 30)
+    val n1 = CorpusIngest.ingestJsonlOnce(spark, landing, schema, table, ckpt, evenOnly)
+    assert(n1 == 15, s"first drain: $n1")
+    // second run with nothing new: zero rows, no re-ingestion
+    assert(CorpusIngest.ingestJsonlOnce(spark, landing, schema, table, ckpt, evenOnly) == 0L)
+    // a later file lands; only IT is processed
+    drop("batch2.jsonl", 30 until 40)
+    val n2 = CorpusIngest.ingestJsonlOnce(spark, landing, schema, table, ckpt, evenOnly)
+    assert(n2 == 5, s"incremental drain: $n2")
+    // committed table: exactly the even ids, once each
+    val got = spark.read.parquet(table).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (0L until 40L by 2).toSeq)
+  }
 }
