@@ -37,6 +37,30 @@ object Engine {
   def frames(spark: SparkSession, cfg: GenerationConfig): Seq[(ModelConfig, DataFrame)] =
     cfg.activeModels.map(m => m -> modelFrame(spark, cfg, m))
 
+  /** The same model as a rate-limited LIVE STREAM (SURVEY §2.8's declared
+    * extension): the identical column expressions applied to the rate
+    * source's monotonically increasing `value`, wrapped modulo `rows_count`
+    * so the stream cycles through the model's exact value space forever.
+    * A stream row with row_id = v is bit-identical to batch row id = v —
+    * one logical plan builder, two execution modes. With `includeRowId` the
+    * absolute id rides along for downstream keying/verification.
+    *
+    * Feeds load tests and live demo sinks the reference cannot: its pipeline
+    * is strictly bounded; here the SAME generators run unbounded because
+    * they were pure id->value functions from the start. */
+  def modelStream(
+      spark: SparkSession, cfg: GenerationConfig, model: ModelConfig,
+      rowsPerSecond: Long, includeRowId: Boolean = false): DataFrame = {
+    val plans = Planner.planModel(cfg, model)
+    val src = spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+    val id = col("value") % lit(math.max(model.rowsCount, 1L))
+    val cols =
+      if (includeRowId) id.as("row_id") +: plans.map(_.expr(id))
+      else plans.map(_.expr(id))
+    src.select(cols: _*)
+  }
+
   private def choosePartitions(spark: SparkSession, rows: Long, model: ModelConfig): Int = {
     val cores = spark.sparkContext.defaultParallelism
     // target ~file-sized tasks: rows_per_file caps rows per task where set,

@@ -206,4 +206,44 @@ class StreamingSpec extends SparkSuite {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(got == (0L until 40L by 2).toSeq)
   }
+
+  test("modelStream: live-stream rows are bit-identical to batch rows at the same id") {
+    import graft.config.ConfigParser
+    import graft.engine.Engine
+    val cfg = ConfigParser.parseYaml(
+      """
+        |random_seed: 42
+        |models:
+        |  m:
+        |    rows_count: 1000
+        |    columns:
+        |      - { name: u, type: uuid }
+        |      - { name: v, type: integer, type_params: { bit_width: 64, from: 0, to: 999 }, distinct_percentage: 1 }
+        |      - { name: seg, type: string, values: [a, b, c], null_percentage: 0.1 }
+        |""".stripMargin)
+    val m = cfg.model("m")
+    val q = Engine.modelStream(spark, cfg, m, rowsPerSecond = 5000, includeRowId = true)
+      .writeStream.format("memory").queryName("gen_stream").outputMode("append").start()
+    try {
+      // let a couple of micro-batches land
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (spark.table("gen_stream").isEmpty && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+      }
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("gen_stream")
+    assert(!streamed.isEmpty, "no stream rows arrived")
+    // every streamed row equals the batch row with the same id
+    val plans = graft.gen.Planner.planModel(cfg, m)
+    val batch = spark.range(0, m.rowsCount)
+      .select(col("id").as("row_id") +: plans.map(_.expr(col("id"))): _*)
+      .select(col("row_id"), col("u").as("bu"), col("v").as("bv"), col("seg").as("bseg"))
+    val joined = streamed.join(batch, "row_id")
+    assert(joined.count() == streamed.count())
+    val mismatches = joined.filter(
+      col("u") =!= col("bu") || col("v") =!= col("bv") ||
+        !(col("seg") <=> col("bseg")))
+    assert(mismatches.count() == 0)
+  }
 }
