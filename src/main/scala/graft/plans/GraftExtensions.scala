@@ -27,13 +27,15 @@ import org.apache.spark.sql.types._
   * Spark-first: extending the ENGINE's function surface, not bolting a UDF
   * registry onto it. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(Kernels.getClass.getName, name),
         builder))
     }
+    RewriteRules.all.foreach(r => ext.injectOptimizerRule(_ => r))
+  }
 }
 
 object GraftFunctions {
@@ -76,6 +78,9 @@ object GraftFunctions {
     },
     "graft_cosine_q" -> { args =>
       Kernels.invokeExpr(DoubleType, "cosineQ", args)
+    },
+    "graft_normalize" -> { args =>
+      Kernels.invokeExpr(StringType, "normalizeText", args)
     })
 
   /** Register on an already-running session (the non-extension path). */

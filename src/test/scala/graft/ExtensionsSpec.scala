@@ -64,4 +64,26 @@ class ExtensionsSpec extends SparkSuite {
     ext(e) // must not throw; builder wiring is exercised via register() above
     assert(GraftFunctions.all.map(_._1).distinct.size == GraftFunctions.all.size)
   }
+
+  test("CollapseNormalize rule rewrites nested normalizeText to one pass") {
+    graft.plans.RewriteRules.register(spark)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(20)
+    val once = docs.select(col("doc_id"),
+      Kernels.normalizeTextCol(col("text")).as("n"))
+    val twice = docs.select(col("doc_id"),
+      Kernels.normalizeTextCol(Kernels.normalizeTextCol(col("text"))).as("n"))
+    val optimized = twice.queryExecution.optimizedPlan.toString
+    val occurrences = "normalizeText".r.findAllIn(optimized).size
+    assert(occurrences == 1, s"nested normalize must collapse:\n$optimized")
+    // semantics unchanged (idempotence — the property the rule relies on)
+    assert(twice.orderBy("doc_id").collect().toSeq ==
+      once.orderBy("doc_id").collect().toSeq)
+    // SQL surface composes with the rule too
+    GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("norm_docs")
+    val sqlPlan = spark.sql(
+      "SELECT graft_normalize(graft_normalize(text)) AS n FROM norm_docs")
+      .queryExecution.optimizedPlan.toString
+    assert("normalizeText".r.findAllIn(sqlPlan).size == 1, sqlPlan)
+  }
 }
