@@ -640,6 +640,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "sample_cap_per_source" -> ((s, dir) => {
+      graft.operators.Sampling
+        .capPerStratum(t(s, dir, "documents"), "doc_id", "source", k = 15)
+        .select(col("doc_id"), col("source"), col("sample_rank"))
+        .orderBy(col("doc_id"))
+    }),
+
     "sample_mix_weighted" -> ((s, dir) => {
       graft.operators.Sampling.mixWeighted(
         t(s, dir, "documents"), "doc_id", "source",
@@ -1081,6 +1088,14 @@ object SparkEntry {
         |       WHEN 'src2' THEN '80000000' WHEN 'src3' THEN '40000000'
         |       ELSE '19999999' END
         |ORDER BY doc_id""".stripMargin,
+
+    "sample_cap_per_source" ->
+      """SELECT doc_id, source, sample_rank FROM (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(source || ':' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS sample_rank
+        |  FROM documents)
+        |WHERE sample_rank <= 15 ORDER BY doc_id""".stripMargin,
 
     "batch_epoch_order" ->
       """SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS order_key

@@ -76,4 +76,24 @@ object Sampling {
     }
     df.filter(h < thr)
   }
+
+  /** EXACTLY k rows per stratum (deterministic reservoir): rank rows inside
+    * each stratum by md5(stratum:id) — a uniform, reproducible order — and
+    * keep rank <= k. Where [[mixWeighted]] keeps a FRACTION (count varies
+    * with stratum size), this enforces a hard per-source quota, the cap a
+    * mixture spec needs for oversized crawl sources.
+    *
+    * Plan shape: one shuffle on the stratum key + a rank; Spark's
+    * WindowGroupLimit pushes the `<= k` bound INTO the sort (partial top-k
+    * per map task before the shuffle), so no stratum ever materializes fully
+    * sorted — the 100 TB-safe form of "sample k per group". Fully
+    * oracle-expressible (row_number over md5 order). */
+  def capPerStratum(
+      df: DataFrame, idCol: String, strataCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat_ws(":", col(strataCol), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(strataCol)).orderBy(h, col(idCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+  }
 }

@@ -149,6 +149,23 @@ class CurationSpec extends SparkSuite {
     assert(peaks.filter($"peak" =!= 127).count() == 0)
   }
 
+  test("capPerStratum: exact quota per source, deterministic, top-k pushed down") {
+    val r = Sampling.capPerStratum(docs, "doc_id", "source", k = 30).cache()
+    val perSrc = r.groupBy("source").count().as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    totals.foreach { case (src, n) =>
+      assert(perSrc(src) == math.min(30L, n), s"$src: ${perSrc(src)} vs total $n")
+    }
+    // deterministic across runs
+    val r2 = Sampling.capPerStratum(docs, "doc_id", "source", k = 30)
+    assert(r.orderBy("doc_id").collect().toSeq == r2.orderBy("doc_id").collect().toSeq)
+    // rank bound is pushed into the sort (partial per-map top-k, no full
+    // stratum sort) — the WindowGroupLimit node must appear
+    val plan = r2.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    r.unpersist()
+  }
+
   test("withNormalized: NFC composition, casefold, control strip, ws collapse") {
     val in = Seq(
       (1L, "  Hello\t\tWORLD  "),
