@@ -232,6 +232,25 @@ object TextAnalysis {
           col("dup_bigram_frac") <= maxDupFrac)
   }
 
+  /** Bounded-memory twin of [[groupedQuantiles]] + distinct counting for
+    * unbounded groups: `approx_percentile` (KLL-style sketch, `accuracy`
+    * controls error ~1/accuracy) and HLL++ `approx_count_distinct`
+    * (`rsd` relative error). NOT oracle-gated — sketch internals are
+    * engine-specific — but CurationSpec pins both against the exact
+    * operators within their published error bounds. This is what replaces
+    * the exact rank pass when a group stops fitting on one reducer. */
+  def corpusStatsApprox(
+      df: DataFrame, groupCol: String, valueCol: String, distinctCol: String,
+      qs: Seq[Double], accuracy: Int = 10000, rsd: Double = 0.05): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1))
+    val qAggs = qs.map(q =>
+      expr(s"approx_percentile($valueCol, ${q}d, $accuracy)").as(s"q${(q * 100).round}"))
+    val aggs = qAggs :+
+      approx_count_distinct(col(distinctCol), rsd).as("approx_distinct") :+
+      count(lit(1)).as("n_rows")
+    df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val LongNumberPattern = "[0-9]{7,}"
 

@@ -149,6 +149,31 @@ class CurationSpec extends SparkSuite {
     assert(peaks.filter($"peak" =!= 127).count() == 0)
   }
 
+  test("corpusStatsApprox stays inside sketch error bounds of the exact operators") {
+    val approx = TextAnalysis.corpusStatsApprox(
+      docs, "lang", "n_chars", "doc_id", Seq(0.5), accuracy = 10000, rsd = 0.05)
+      .orderBy("lang").collect()
+    val exact = TextAnalysis.groupedQuantiles(docs, "lang", "n_chars", Seq(0.5))
+      .orderBy("lang").collect()
+    val exactDistinct = docs.groupBy("lang").agg(countDistinct("doc_id").as("d"))
+      .orderBy("lang").collect()
+    approx.zip(exact).zip(exactDistinct).foreach { case ((a, e), d) =>
+      assert(a.getString(0) == e.getString(0))
+      // approx_percentile returns a REAL value of the group; with accuracy
+      // 10000 on groups this small it must land within the group's range and
+      // near the exact interpolated median
+      val exactMedian = e.getDouble(1)
+      val approxMedian = a.getAs[Number]("q50").doubleValue()
+      assert(math.abs(approxMedian - exactMedian) <= math.max(2.0, exactMedian * 0.05),
+        s"${a.getString(0)}: approx $approxMedian vs exact $exactMedian")
+      // HLL++ rsd 5%: generous 3-sigma bound
+      val ed = d.getLong(1).toDouble
+      val ad = a.getAs[Long]("approx_distinct")
+      assert(math.abs(ad - ed) <= math.max(2.0, ed * 0.15),
+        s"${a.getString(0)}: approx_distinct $ad vs exact $ed")
+    }
+  }
+
   test("capPerStratum: exact quota per source, deterministic, top-k pushed down") {
     val r = Sampling.capPerStratum(docs, "doc_id", "source", k = 30).cache()
     val perSrc = r.groupBy("source").count().as[(String, Long)].collect().toMap

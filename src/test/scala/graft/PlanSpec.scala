@@ -198,6 +198,34 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("dynamic partition pruning fires on a hive-partitioned fact join") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dpp").toString + "/li"
+    spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .write.partitionBy("l_returnflag").mode("overwrite").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // dim with a selective filter on the partition key: at plan time Spark
+    // cannot know WHICH flags survive, so a static plan scans all partitions;
+    // DPP injects the dim's keys as a runtime partition filter instead —
+    // at 100 TB this is the difference between one partition and the table.
+    // (The dim must be a real source: a LocalRelation constant-folds its
+    // filter away and DPP sees no selective predicate.)
+    val dimDir = java.nio.file.Files.createTempDirectory("dpp_dim").toString + "/flags"
+    Seq(("A", "keep"), ("X", "drop")).toDF("flag", "tag")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter($"tag" === "keep")
+    val q = fact.join(dim, fact("l_returnflag") === dim("flag"))
+      .agg(sum($"l_quantity"))
+    val p = plan(q)
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"partition filter must be runtime-injected:\n$p")
+    // and it actually prunes: only flag A rows are read
+    val exact = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .filter($"l_returnflag" === "A").agg(sum($"l_quantity")).head().getDouble(0)
+    assert(math.abs(q.head().getDouble(0) - exact) < 1e-6)
+  }
+
   test("z-ordered layout: tight per-file boxes, box queries touch few files") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("zorder").toString + "/li"
