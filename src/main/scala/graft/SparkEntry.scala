@@ -575,6 +575,12 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    "text_chunks" -> ((s, dir) => {
+      TextAnalysis.chunkByTokens(
+        spread(t(s, dir, "documents")), "doc_id", "text", chunkSize = 32, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     "text_normalize" -> ((s, dir) => {
       TextAnalysis.withNormalized(spread(t(s, dir, "documents")), "doc_id", "text")
         .orderBy(col("doc_id"))
@@ -942,6 +948,19 @@ object SparkEntry {
         |SELECT l_orderkey, l_linenumber,
         |  CAST(list_sum([(((b0 >> k) & 1) << (2*k)) + (((b1 >> k) & 1) << (2*k + 1)) FOR k IN range(0, 8)]) AS BIGINT) AS zval
         |FROM b ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "text_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), chunks AS (
+        |  SELECT doc_id,
+        |    unnest([{'chunk_idx': i, 'chunk': array_to_string(w[i*24+1:i*24+32], ' ')}
+        |            FOR i IN range(0, greatest(CAST(ceil((len(w) - 8) / 24.0) AS BIGINT), 1))],
+        |           recursive := true)
+        |  FROM toks
+        |)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk
+        |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "text_normalize" ->
       """SELECT doc_id,

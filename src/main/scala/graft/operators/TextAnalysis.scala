@@ -251,6 +251,34 @@ object TextAnalysis {
     df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Overlapping token-window chunking — the document→passage step of an
+    * embed/index pipeline. Chunk i covers tokens [i*stride, i*stride +
+    * chunkSize) (stride = chunkSize - overlap); every non-empty document
+    * yields >= 1 chunk and every token lands in some chunk. One projection +
+    * one explode, no shuffle: at 100 TB this runs at scan speed and the
+    * explosion factor is ~n_tokens/stride per doc. Tokens are materialized
+    * into a bound column BEFORE the per-chunk lambda so the tokenizer runs
+    * once per document, not once per chunk (the HOF re-evaluation trap). */
+  def chunkByTokens(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    val withToks = docs.select(col(idCol), TextFns.tokens(col(textCol)).as("__w"))
+    val n = size(col("__w"))
+    val nChunks = greatest(
+      ceil((n - lit(overlap)).cast("double") / lit(stride)).cast("long"), lit(1L))
+    withToks
+      .select(col(idCol), explode(transform(
+        sequence(lit(0L), nChunks - 1),
+        i => struct(
+          i.as("chunk_idx"),
+          concat_ws(" ", slice(col("__w"), (i * stride + 1).cast("int"), lit(chunkSize)))
+            .as("chunk")))).as("c"))
+      .select(col(idCol), col("c.chunk_idx"), col("c.chunk"))
+  }
+
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val LongNumberPattern = "[0-9]{7,}"
 

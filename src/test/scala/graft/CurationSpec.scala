@@ -174,6 +174,27 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("chunkByTokens: full token coverage, declared overlap, one chunk minimum") {
+    val d = Seq(
+      (1L, (1 to 50).map(i => s"t$i").mkString(" ")),
+      (2L, "a b"),
+      (3L, "solo")).toDF("doc_id", "text")
+    val r = TextAnalysis.chunkByTokens(d, "doc_id", "text", chunkSize = 16, overlap = 4)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val doc1 = r.filter(_.getLong(0) == 1L).map(_.getString(2))
+    // stride 12 over 50 tokens: ceil(46/12) = 4 chunks starting at 0,12,24,36
+    assert(doc1.length == 4)
+    assert(doc1(0).startsWith("t1 ") && doc1(1).startsWith("t13 ") &&
+      doc1(2).startsWith("t25 ") && doc1(3).startsWith("t37 "))
+    // consecutive chunks share exactly `overlap` tokens
+    assert(doc1(0).split(" ").takeRight(4).toSeq == doc1(1).split(" ").take(4).toSeq)
+    // every token appears in some chunk
+    assert(doc1.flatMap(_.split(" ")).toSet == (1 to 50).map(i => s"t$i").toSet)
+    // short docs produce exactly one whole-doc chunk
+    assert(r.filter(_.getLong(0) == 2L).map(_.getString(2)).toSeq == Seq("a b"))
+    assert(r.filter(_.getLong(0) == 3L).map(_.getString(2)).toSeq == Seq("solo"))
+  }
+
   test("capPerStratum: exact quota per source, deterministic, top-k pushed down") {
     val r = Sampling.capPerStratum(docs, "doc_id", "source", k = 30).cache()
     val perSrc = r.groupBy("source").count().as[(String, Long)].collect().toMap
