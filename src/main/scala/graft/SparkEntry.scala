@@ -382,6 +382,19 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "dedup_keep_best" -> ((s, dir) => {
+      // canonical selection policy: keep the HIGHEST-QUALITY doc per
+      // near-dup cluster (min-id keep is dedup_pipeline_keep)
+      val docs = spread(t(s, dir, "documents"))
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        numHashes = 4, bandSize = 2, broadcastRight = true)
+      val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val scored = TextAnalysis.withQuality(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality_score"))
+      Dedup.keepBest(scored, "doc_id", comps, "quality_score")
+        .orderBy(col("doc_id"))
+    }),
+
     "dedup_incremental" -> ((s, dir) => {
       // continuous ingestion: every 7th doc is "today's increment", the rest
       // are the indexed corpus whose signatures were persisted at index time
@@ -1206,6 +1219,53 @@ object SparkEntry {
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
         |  (a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_keep_best" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS grams
+        |  FROM toks
+        |), sig AS (
+        |  SELECT doc_id,
+        |    list_min([('0x' || substr(md5('0:' || g), 1, 15))::BIGINT FOR g IN grams]) AS mh0,
+        |    list_min([('0x' || substr(md5('0:' || g), 16, 15))::BIGINT FOR g IN grams]) AS mh1,
+        |    list_min([('0x' || substr(md5('1:' || g), 1, 15))::BIGINT FOR g IN grams]) AS mh2,
+        |    list_min([('0x' || substr(md5('1:' || g), 16, 15))::BIGINT FOR g IN grams]) AS mh3
+        |  FROM sh
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+        |    (a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))
+        |), edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs
+        |), reach(u, r) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT e.u, r.r FROM edges e JOIN reach r ON r.u = e.v
+        |), comp AS (
+        |  SELECT d.doc_id, least(d.doc_id, coalesce(m.mr, d.doc_id)) AS c
+        |  FROM documents d LEFT JOIN (SELECT u, min(r) AS mr FROM reach GROUP BY u) m
+        |    ON d.doc_id = m.u
+        |), q AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN length(text) < 20 THEN 0.0 ELSE 0.25 END)
+        |      + (CASE WHEN (CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0 ELSE
+        |          CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with'], t))) AS DOUBLE)
+        |          / len(regexp_split_to_array(trim(text), '\s+')) END) BETWEEN 0.01 AND 0.6 THEN 0.25 ELSE 0.0 END)
+        |      + (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |          CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) END) >= 0.6 THEN 0.25 ELSE 0.0 END)
+        |      + (CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0 ELSE
+        |          CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+        |          / len(regexp_split_to_array(trim(text), '\s+')) END) * 0.25 AS quality_score
+        |  FROM documents
+        |), ranked AS (
+        |  SELECT c2.doc_id, q.quality_score,
+        |    row_number() OVER (PARTITION BY c2.c ORDER BY q.quality_score DESC, c2.doc_id) AS rk
+        |  FROM comp c2 JOIN q ON c2.doc_id = q.doc_id
+        |)
+        |SELECT doc_id, quality_score FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin,
 
     "dedup_incremental" ->
       """WITH toks AS (

@@ -382,6 +382,32 @@ object Dedup {
     docs.join(drop, docs(idCol) === drop("id"), "left_anti")
   }
 
+  /** Canonical selection by QUALITY: inside every duplicate cluster keep the
+    * highest-`scoreCol` document (ties -> lowest id). [[keepCanonical]]'s
+    * min-id policy is cheap but arbitrary; a real pipeline keeps the best
+    * representative of each near-dup family. Docs in no cluster are their
+    * own singleton and always survive.
+    *
+    * Cost over keepCanonical: one broadcast-join of the (tiny) label table
+    * plus one window per CLUSTER key — WindowGroupLimit turns the rank-1
+    * filter into a running-max per partition, so no cluster ever fully
+    * sorts. Input `docs` must carry `scoreCol`. */
+  def keepBest(
+      docs: DataFrame, idCol: String, components: DataFrame,
+      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = components.withColumnRenamed("id", "__cc_id")
+    val labeled = docs.join(
+        broadcast(comp), docs(idCol) === comp("__cc_id"), "left")
+      .withColumn("__comp", coalesce(col("component"), docs(idCol)))
+    val w = Window.partitionBy(col("__comp"))
+      .orderBy(col(scoreCol).desc, docs(idCol).asc)
+    labeled
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__cc_id", "component", "__comp", "__rk")
+  }
+
   /** Embedding-cosine near-dup, brute-force: all pairs above `threshold`.
     * Correctness baseline — O(n^2); the scale path is `Similarity.lshJoin`. */
   def embeddingNearDupBrute(

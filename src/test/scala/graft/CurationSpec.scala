@@ -174,6 +174,20 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("keepBest keeps the top-quality doc per cluster, not the min id") {
+    import graft.operators.Dedup
+    // cluster {1,2}: doc 2 has higher score; singleton 3 always survives
+    val scored = Seq((1L, 0.2), (2L, 0.9), (3L, 0.5)).toDF("doc_id", "quality_score")
+    val comps = Seq((1L, 1L), (2L, 1L)).toDF("id", "component")
+    val kept = Dedup.keepBest(scored, "doc_id", comps, "quality_score")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 3L))
+    // min-id policy on the same input keeps 1, proving the policies differ
+    val minId = Dedup.keepCanonical(scored, "doc_id", comps)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(minId == Seq(1L, 3L))
+  }
+
   test("chunkByTokens: full token coverage, declared overlap, one chunk minimum") {
     val d = Seq(
       (1L, (1 to 50).map(i => s"t$i").mkString(" ")),
