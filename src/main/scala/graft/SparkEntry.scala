@@ -371,6 +371,18 @@ object SparkEntry {
         .orderBy(col("content_hash"))
     }),
 
+    "dedup_exact_normalized" -> ((s, dir) => {
+      // the composition real pipelines run: normalize FIRST (NFC, casefold,
+      // ws collapse), then hash — byte-level variants of one document dedup
+      // together where raw md5(text) treats them as distinct
+      val docs = t(s, dir, "documents")
+      Dedup.exact(
+        docs.select(col("doc_id"),
+          graft.functions.Kernels.normalizeTextCol(col("text")).as("text")),
+        "doc_id", "text")
+        .orderBy(col("content_hash"))
+    }),
+
     "dedup_minhash_signatures" -> ((s, dir) => {
       Dedup.minhashSignatures(spread(t(s, dir, "documents")), "doc_id", "text", 4)
         .orderBy(col("doc_id"))
@@ -1183,6 +1195,12 @@ object SparkEntry {
 
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_exact_normalized" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+        |    '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS content_hash,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_minhash_signatures" ->
