@@ -606,6 +606,20 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    "text_chunk_dedup" -> ((s, dir) => {
+      // passage-level dedup: chunk every document, hash chunks, keep the
+      // repeated ones — the cross-document boilerplate/citation detector
+      // document-level dedup cannot see. Chunking is a projection; the one
+      // shuffle is the hash groupBy with map-side combine.
+      TextAnalysis.chunkByTokens(
+        spread(t(s, dir, "documents")), "doc_id", "text", chunkSize = 32, overlap = 8)
+        .groupBy(md5(col("chunk")).as("chunk_hash"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("n_occurrences") > 1)
+        .orderBy(col("chunk_hash"))
+    }),
+
     "text_normalize" -> ((s, dir) => {
       TextAnalysis.withNormalized(spread(t(s, dir, "documents")), "doc_id", "text")
         .orderBy(col("doc_id"))
@@ -986,6 +1000,18 @@ object SparkEntry {
         |)
         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk
         |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "text_chunk_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), chunks AS (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(w[i*24+1:i*24+32], ' ')
+        |            FOR i IN range(0, greatest(CAST(ceil((len(w) - 8) / 24.0) AS BIGINT), 1))]) AS chunk
+        |  FROM toks
+        |)
+        |SELECT md5(chunk) AS chunk_hash, count(*) AS n_occurrences, min(doc_id) AS first_doc
+        |FROM chunks GROUP BY 1 HAVING count(*) > 1 ORDER BY chunk_hash""".stripMargin,
 
     "text_normalize" ->
       """SELECT doc_id,
