@@ -466,6 +466,15 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "dedup_semantic" -> ((s, dir) => {
+      // SemDeDup: cluster-then-compare semantic prune — pairwise cosine runs
+      // ONLY within deterministic IVF Voronoi cells (equi-join on the cell
+      // id), never corpus²; drops any doc with a smaller-id tau-close
+      // neighbor in its cell
+      Dedup.semanticDedup(spread(t(s, dir, "embeddings")), "vec_id", "embedding", 0.4)
+        .orderBy(col("vec_id"))
+    }),
+
     "dedup_pipeline_keep" -> ((s, dir) => {
       // the full dedup pipeline end-to-end: shingle -> minhash -> banded LSH
       // pairs -> connected components -> drop non-canonical cluster members
@@ -1441,6 +1450,38 @@ object SparkEntry {
         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_semantic" ->
+      """WITH w AS (
+        |  SELECT c.range AS c, d.range AS d,
+        |    ('0x' || substr(md5('ivf:42:' || c.range || ':' || d.range), 1, 15))::BIGINT % 2001 - 1000 AS wt
+        |  FROM range(0, 16) c, range(0, 64) d
+        |), q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, qv, list_sum([x*x FOR x IN qv]) AS n2 FROM q
+        |), dots AS (
+        |  SELECT q.vec_id, w.c, sum(w.wt * q.qv[w.d + 1]) AS dot
+        |  FROM q CROSS JOIN w GROUP BY q.vec_id, w.c
+        |), assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, c AS cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS cr
+        |    FROM dots)
+        |  WHERE cr = 1
+        |), dropped AS (
+        |  SELECT DISTINCT pb.vec_id
+        |  FROM assign pa JOIN assign pb ON pa.cell = pb.cell AND pa.vec_id < pb.vec_id
+        |  JOIN n a ON a.vec_id = pa.vec_id
+        |  JOIN n b ON b.vec_id = pb.vec_id
+        |  WHERE CAST(list_sum([a.qv[i] * b.qv[i] FOR i IN range(1, len(a.qv) + 1)]) AS DOUBLE)
+        |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= 0.4
+        |)
+        |SELECT s.vec_id, CAST(s.cell AS BIGINT) AS cell,
+        |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM assign s LEFT JOIN dropped d ON d.vec_id = s.vec_id
+        |ORDER BY s.vec_id""".stripMargin,
 
     "knn_bruteforce" ->
       """WITH q AS (

@@ -425,4 +425,50 @@ object Dedup {
         VectorFns.cosinePre(col("a.qv"), col("a.n2"), col("b.qv"), col("b.n2")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication"):
+    * prune documents whose EMBEDDINGS are near-identical — catches
+    * paraphrases and templated rewrites that exact/MinHash dedup (which see
+    * only surface text) cannot. The scalable trick is the paper's: cluster
+    * first, compare only within a cluster.
+    *
+    * Clusters are the deterministic Voronoi cells shared with
+    * [[Similarity.ivfKnn]] (pseudo-random integer centroids — no training
+    * pass, reproducible on any cluster, exactly expressible in the SQL
+    * oracle). Pair generation is an equi-join on the cell id, so the work is
+    * O(Σ cell²) instead of O(n²) and the ONLY shuffle keys on the cell.
+    * Policy: a document is dropped when a smaller-id document in the same
+    * cell sits within `tau` cosine (fixed-point dot, single final IEEE
+    * division — cross-engine exact).
+    *
+    * Returns one row per input: (idCol, cell, keep∈{0,1}).
+    *
+    * 100 TB: cell assignment is a pure projection (scan-speed); centroid
+    * count scales with corpus size so cell populations stay bounded; the
+    * persisted form of the clustering is exactly the hive `cell=` layout of
+    * [[Similarity.writeIvfIndex]], making re-dedup of a grown corpus a
+    * partition-local job over only the cells that received new documents.
+    * Cross-cell near-dups are missed by design — the paper's recall trade;
+    * raise `cells`' probe count via [[embeddingNearDupBrute]] spot audits. */
+  def semanticDedup(
+      corpus: DataFrame, idCol: String, vecCol: String, tau: Double,
+      cells: Int = 16, seed: Long = 42L, dims: Int = 64): DataFrame = {
+    val prep = corpus
+      .select(col(idCol), VectorFns.quantize(col(vecCol)).as("qv"))
+      .withColumn("n2", VectorFns.norm2Q(col("qv")))
+      .withColumn("cell", Similarity.cellOf(col("qv"), cells, seed, dims))
+    val a = prep.as("a")
+    val b = prep.as("b")
+    val dropped = a.join(b, col("a.cell") === col("b.cell")
+        && col(s"a.$idCol") < col(s"b.$idCol"))
+      .filter(VectorFns.cosinePre(col("a.qv"), col("a.n2"), col("b.qv"), col("b.n2"))
+        >= tau)
+      .select(col(s"b.$idCol").as(idCol))
+      .distinct()
+      .withColumn("__drop", lit(1L))
+    prep.join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cell"),
+        when(col("__drop").isNull, lit(1L)).otherwise(lit(0L)).as("keep"))
+  }
 }

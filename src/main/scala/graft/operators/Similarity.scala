@@ -94,7 +94,7 @@ object Similarity {
 
   /** Per-row cell ranking by centroid dot product: rank 0 = best cell (max
     * dot, ties to the smallest cell id). Returns the top `take` cell ids. */
-  private def rankedCells(qv: Column, cells: Int, seed: Long, dims: Int, take: Int): Column = {
+  private[operators] def rankedCells(qv: Column, cells: Int, seed: Long, dims: Int, take: Int): Column = {
     // sortable key: dot DESC then cell ASC, packed so array_sort gives the
     // centroid ranking without a per-row loop in the driver
     val keyed = array((0 until cells).map { c =>
@@ -102,6 +102,12 @@ object Similarity {
     }: _*)
     slice(transform(array_sort(keyed), e => e.getField("cell")), 1, take)
   }
+
+  /** Best Voronoi cell for an already-quantized vector — the single-cell
+    * form of [[rankedCells]], shared with [[graft.operators.Dedup.semanticDedup]]
+    * so dedup clusters and the ANN inverted file use the SAME partitioning. */
+  private[operators] def cellOf(qv: Column, cells: Int, seed: Long, dims: Int): Column =
+    element_at(rankedCells(qv, cells, seed, dims, 1), 1)
 
   /** ANN via an IVF-style inverted file index: the embedding space is
     * partitioned into `cells` Voronoi cells of deterministic pseudo-random

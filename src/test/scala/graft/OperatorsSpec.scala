@@ -214,6 +214,22 @@ class OperatorsSpec extends SparkSuite {
     assert(pairs.filter($"id_b" - $"id_a" === 100000L).count() == 3)
   }
 
+  test("semantic dedup: planted twin is dropped, its original kept, decisions consistent") {
+    val planted = embs.select($"vec_id" + 100000L as "vec_id", $"embedding").limit(3)
+    val e = embs.select($"vec_id", $"embedding").union(planted)
+    val res = Dedup.semanticDedup(e, "vec_id", "embedding", 0.999).collect()
+    assert(res.length == e.count())
+    val keep = res.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // a planted twin shares its original's cell (identical vector) and has
+    // the larger id, so it must be dropped while the original survives
+    val twins = res.map(_.getLong(0)).filter(_ >= 100000L)
+    assert(twins.length == 3)
+    twins.foreach { id =>
+      assert(keep(id) == 0L, s"twin $id not dropped")
+      assert(keep(id - 100000L) == 1L, s"original ${id - 100000L} not kept")
+    }
+  }
+
   test("knn: nearest neighbor of a duplicated vector is its twin") {
     val planted = embs.select($"vec_id" + 100000L as "vec_id", $"embedding").limit(5)
     val corpus = embs.select($"vec_id", $"embedding").union(planted)
