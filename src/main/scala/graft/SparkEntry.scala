@@ -658,6 +658,15 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("rank"))
     }),
 
+    "text_bm25" -> ((s, dir) => {
+      // BM25 ranked retrieval: top-20 docs for a 3-term query mixing the
+      // corpus's one rare term (positive idf) with two common ones
+      // (negative idf); scores quantized per-term to 1e-6 (see scaladoc)
+      TextAnalysis.bm25TopK(spread(t(s, dir, "documents")), "doc_id", "text",
+        Seq("dup", "scan", "window"), k = 20)
+        .orderBy(col("rank"))
+    }),
+
     "text_contamination" -> ((s, dir) => {
       // decontamination pass: benchmark = every 37th doc, corpus = the rest
       val docs = spread(t(s, dir, "documents"))
@@ -1108,6 +1117,39 @@ object SparkEntry {
         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
         |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "text_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), dl AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks
+        |), stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+        |    SELECT doc_id, unnest(w) AS term FROM toks)
+        |  WHERE term IN ('dup', 'scan', 'window') GROUP BY doc_id, term
+        |), dfq AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+        |), per_term AS (
+        |  SELECT tf.doc_id,
+        |    CAST(floor(
+        |      ln((CAST(s.n_docs - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+        |      * ((2.2 * CAST(tf.tf AS DOUBLE))
+        |         / (CAST(tf.tf AS DOUBLE) + 0.3
+        |            + 0.9 * (CAST(dl.dl * s.n_docs AS DOUBLE) / CAST(s.total_tokens AS DOUBLE))))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS si_q
+        |  FROM tf JOIN dfq d USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+        |), byd AS (
+        |  SELECT doc_id, CAST(sum(si_q) AS BIGINT) AS score_q,
+        |    CAST(count(*) AS BIGINT) AS n_terms
+        |  FROM per_term GROUP BY doc_id
+        |), ranked AS (
+        |  SELECT doc_id, score_q, n_terms,
+        |    row_number() OVER (ORDER BY score_q DESC, doc_id) AS rank
+        |  FROM byd)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, score_q, n_terms
+        |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     "text_contamination" ->
       """WITH toks AS (

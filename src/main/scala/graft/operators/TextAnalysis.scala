@@ -113,6 +113,62 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"))
   }
 
+  /** BM25 ranked retrieval: top-k documents for a bag-of-terms query —
+    * the classic lexical search scorer (Robertson/Walker Okapi BM25,
+    * k1 = 1.2, b = 0.75) that backs retrieval/RAG source selection over a
+    * training corpus.
+    *
+    * score(d) = Σ_t ln((N − df_t + 0.5)/(df_t + 0.5))
+    *            · tf · (k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * Cross-engine exactness: every intermediate is exact integer math
+    * (tf/df/dl/N/T counts; dl/avgdl carried as dl·N/T) except `ln` and a
+    * handful of IEEE ops written in an identical association order on both
+    * engines; each per-term score is then quantized to 1e-6
+    * (`floor(x·1e6 + 0.5)`) BEFORE the per-document sum, so the final score
+    * is an order-free integer sum — a 1-ulp `ln` divergence would need to
+    * land exactly on a quantization boundary to flip a result. The k1/b
+    * constants appear as the pre-multiplied literals 2.2 / 0.3 / 0.9 in both
+    * engines (decimal literals parse to identical doubles; computing
+    * 1.2·0.25 at runtime would NOT equal the literal 0.3).
+    *
+    * Scale shape: (doc,term) tf agg pre-combines map-side before its single
+    * shuffle; df and corpus stats are vocabulary-/scalar-sized broadcasts;
+    * the final top-k is TakeOrdered (orderBy+limit), never a global sort. */
+  def bm25TopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol), TextFns.tokens(col(textCol)).as("w"))
+    val dl = toks.select(col(idCol), size(col("w")).cast("long").as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+    val qTerms = terms.distinct
+    val tf = toks.select(col(idCol), explode(col("w")).as("term"))
+      .filter(col("term").isin(qTerms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // per-term BM25 contribution, quantized to 1e-6 before summation
+    val r = (col("dl") * col("n_docs")).cast("double") / col("total_tokens").cast("double")
+    val comp = (lit(2.2) * col("tf").cast("double")) /
+      (col("tf").cast("double") + lit(0.3) + lit(0.9) * r)
+    val lnIdf = log(((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)))
+    val perTerm = tf
+      .join(broadcast(dfreq), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("si_q", floor(lnIdf * comp * lit(1000000.0) + lit(0.5)).cast("long"))
+    val byDoc = perTerm.groupBy(col(idCol))
+      .agg(sum(col("si_q")).as("score_q"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score_q").desc, col(idCol).asc)
+      .limit(k)
+    byDoc
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score_q").desc, col(idCol).asc)).cast("long"))
+      .select(col(idCol), col("rank"), col("score_q"), col("n_terms"))
+  }
+
   /** Benchmark-contamination check: for every corpus document, how many of
     * its distinct word n-grams appear anywhere in `benchmark` (an eval set
     * that must not leak into training data). The classic n-gram-overlap

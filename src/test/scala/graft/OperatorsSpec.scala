@@ -214,6 +214,20 @@ class OperatorsSpec extends SparkSuite {
     assert(pairs.filter($"id_b" - $"id_a" === 100000L).count() == 3)
   }
 
+  test("bm25: ranks contiguous, scores non-increasing, rare term dominates") {
+    val res = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      Seq("dup", "scan", "window"), k = 10).collect()
+    assert(res.nonEmpty && res.length <= 10)
+    assert(res.map(_.getLong(1)).toSeq == (1L to res.length))
+    val scores = res.map(_.getLong(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // the rare term has strongly positive idf, common terms negative: the
+    // top-ranked doc must contain the rare term
+    val topDoc = docs.filter($"doc_id" === res.head.getLong(0))
+      .select($"text").head().getString(0)
+    assert(topDoc.split("\\s+").contains("dup"))
+  }
+
   test("semantic dedup: planted twin is dropped, its original kept, decisions consistent") {
     val planted = embs.select($"vec_id" + 100000L as "vec_id", $"embedding").limit(3)
     val e = embs.select($"vec_id", $"embedding").union(planted)
