@@ -358,6 +358,24 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    "q18_purchase_attribution" -> ((s, dir) => {
+      // interval join, batch form: clicks within 30 min before each purchase
+      val ev = events(s, dir)
+      graft.streaming.EventStream.attributionJoin(
+        graft.streaming.EventStream.purchaseSide(ev),
+        graft.streaming.EventStream.clickSide(ev), lookbackMin = 30)
+        .orderBy(col("purchase_id"), col("click_id"))
+    }),
+
+    "q19_purchase_attribution_stream" -> ((s, dir) => {
+      // the SAME plan as a stream-stream inner join: two watermarked file
+      // streams, time-range-bounded state, append sink — shares q18's oracle
+      // because inner-join matches emit as both rows arrive (none withheld)
+      graft.streaming.EventStream.runAttributionOverRawEvents(
+        s, s"$dir/events.parquet", lookbackMin = 30, "0 seconds", "q19_attr")
+        .orderBy(col("purchase_id"), col("click_id"))
+    }),
+
     "q10_active_buyers_intersect" -> ((s, dir) => {
       val ev = events(s, dir)
       ev.filter(col("event_type") === "click").select(col("user_id"))
@@ -822,6 +840,8 @@ object SparkEntry {
     "q2_revenue_by_nation_bucketed" -> oracleSqlBase("q2_revenue_by_nation"),
     // the persisted partition-pruned index must reproduce the in-memory IVF
     "knn_ivf_indexed" -> oracleSqlBase("knn_ivf"),
+    // stream-stream inner join drains to exactly the batch join's rows
+    "q19_purchase_attribution_stream" -> oracleSqlBase("q18_purchase_attribution"),
     // the SQL function surface must reproduce the DataFrame kernels exactly
     "dedup_simhash_sql" -> oracleSqlBase("dedup_simhash"),
 
@@ -968,6 +988,18 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, e.ts, o1.o_orderkey, o1.o_totalprice
         |FROM e ASOF LEFT JOIN o1 ON e.user_id = o1.o_custkey AND e.ts >= o1.ot
         |ORDER BY event_id""".stripMargin,
+
+    "q18_purchase_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |)
+        |SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+        |  p.ts AS purchase_ts, c.ts AS click_ts
+        |FROM e p JOIN e c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.user_id = p.user_id
+        | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin,
 
     "q17_urgent_revenue_bloom" ->
       """SELECT l_returnflag,

@@ -271,6 +271,66 @@ object EventStream {
     spark.table(name)
   }
 
+  /** Purchase side of the attribution join: renamed so each side owns its
+    * event-time column (a stream-stream join needs a watermark per side). */
+  def purchaseSide(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase").select(
+      col("event_id").as("purchase_id"),
+      col("user_id").as("p_user"),
+      col("ts").as("purchase_ts"))
+
+  def clickSide(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "click").select(
+      col("event_id").as("click_id"),
+      col("user_id").as("c_user"),
+      col("ts").as("click_ts"))
+
+  /** Per-user purchase←click attribution: every (purchase, click) pair of
+    * the same user where the click landed within `lookbackMin` minutes
+    * before (or at) the purchase — the classic ad-attribution /
+    * feature-generation interval join, as ONE shared logical plan for batch
+    * and streaming inputs.
+    *
+    * On a stream (both inputs from `readStream`, each side watermarked on
+    * its own event-time column) this is a Spark stream-stream INNER join:
+    * the equi-key (user) partitions state, and the time-range condition is
+    * what makes unbounded-input state bounded — Spark derives a state
+    * watermark from it and evicts buffered clicks once the purchase-side
+    * watermark passes `click_ts + lookback`, and buffered purchases once the
+    * click-side watermark passes `purchase_ts`. Without the range bound the
+    * join would buffer both streams forever; with it, state is O(events per
+    * user per lookback window) — safe at any scale. Inner-join matches emit
+    * as soon as both rows arrive (nothing is withheld for the watermark), so
+    * draining a bounded input yields exactly the batch join's rows. */
+  def attributionJoin(purchases: DataFrame, clicks: DataFrame, lookbackMin: Int): DataFrame =
+    purchases.join(clicks,
+      col("p_user") === col("c_user")
+        && col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $lookbackMin MINUTES")
+        && col("click_ts") <= col("purchase_ts"))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("click_ts"))
+
+  /** End-to-end STREAMING [[attributionJoin]] over raw TIMESTAMP(NANOS)
+    * events parquet: two watermarked file streams over the same source,
+    * joined, drained through an append-mode memory sink. */
+  def runAttributionOverRawEvents(
+      spark: SparkSession, path: String, lookbackMin: Int,
+      watermark: String, name: String): DataFrame = {
+    def raw(): DataFrame =
+      spark.readStream.schema(NanosEventSchema).parquet(anchoredGlob(spark, path))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val p = purchaseSide(raw()).withWatermark("purchase_ts", watermark)
+    val c = clickSide(raw()).withWatermark("click_ts", watermark)
+    val q = attributionJoin(p, c, lookbackMin).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Stateful sessionization with a processing-time gap timeout —
     * `flatMapGroupsWithState` over `KeyValueGroupedDataset`, the Spark-native
     * custom-state extension point (SURVEY §2.8/§2.9). BATCH-ONLY, like

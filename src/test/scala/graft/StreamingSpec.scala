@@ -136,6 +136,19 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join drains to exactly the batch join's rows") {
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val ev = EventStream.rawEvents(spark, path)
+    val batch = EventStream.attributionJoin(
+        EventStream.purchaseSide(ev), EventStream.clickSide(ev), lookbackMin = 120)
+      .orderBy("purchase_id", "click_id").collect().toSeq
+    val stream = EventStream.runAttributionOverRawEvents(
+        spark, path, lookbackMin = 120, "0 seconds", "attr_parity_test")
+      .orderBy("purchase_id", "click_id").collect().toSeq
+    assert(batch.nonEmpty, "no purchase-click pairs in fixture")
+    assert(batch == stream)
+  }
+
   test("streaming dedup drops redelivered event ids within the watermark") {
     val dir = java.nio.file.Files.createTempDirectory("events_dup").toString
     val t0 = 1700000000000L
