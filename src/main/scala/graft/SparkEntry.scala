@@ -714,6 +714,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "sample_split_safe" -> ((s, dir) => {
+      // leakage-safe split: the key is the NORMALIZED text, so byte-level
+      // variants of one document always share a split (no eval contamination)
+      graft.operators.Sampling.contentSafeSplit(
+        t(s, dir, "documents"), "text",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     "sample_stratified" -> ((s, dir) => {
       graft.operators.Sampling
         .sampleStratified(t(s, dir, "documents"), "doc_id", "source", 0.25)
@@ -1228,6 +1238,19 @@ object SparkEntry {
         |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "sample_split_safe" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    substr(md5(trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+        |      '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'), '[ \t\n\x0B\f\r]+', ' ', 'g'))), 1, 4) AS h
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN h < 'cccc' THEN 'train'
+        |       WHEN h < 'e666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     "sample_stratified" ->
       """SELECT doc_id, source FROM documents

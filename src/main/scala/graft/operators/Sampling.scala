@@ -39,11 +39,18 @@ object Sampling {
     * md5-bucket thresholds. `fractions` must sum to <= 1 (any remainder falls
     * into the last label). Deterministic per id, order-free, no shuffle. */
   def splitAssign(
-      df: DataFrame, idCol: String, fractions: Seq[(String, Double)]): DataFrame = {
+      df: DataFrame, idCol: String, fractions: Seq[(String, Double)]): DataFrame =
+    splitAssignByKey(df, col(idCol), fractions)
+
+  /** [[splitAssign]] generalized to an arbitrary key expression: the split
+    * is a pure function of the KEY, so any rows sharing the key land in the
+    * same split — the hook the leakage-safe variants below build on. */
+  def splitAssignByKey(
+      df: DataFrame, key: Column, fractions: Seq[(String, Double)]): DataFrame = {
     require(fractions.nonEmpty && fractions.map(_._2).sum <= 1.0 + 1e-9,
       "fractions must be non-empty and sum to <= 1")
     val digits = 4
-    val h = bucket(col(idCol), digits)
+    val h = bucket(key, digits)
     val cum = fractions.scanLeft(0.0)(_ + _._2).tail
     // CASE h < t1 -> l1 WHEN h < t2 -> l2 ... ELSE lastLabel
     val cases = fractions.map(_._1).zip(cum.map(hexThreshold(_, digits)))
@@ -51,6 +58,35 @@ object Sampling {
       case ((label, threshold), rest) => when(h < lit(threshold), lit(label)).otherwise(rest)
     }
     df.withColumn("split", expr)
+  }
+
+  /** Leakage-safe train/val/test split, content form: the assignment key is
+    * the NORMALIZED document text, so byte-level variants of one document
+    * (casing, whitespace, unicode form) can never straddle the train/eval
+    * boundary — the split-time counterpart of normalized exact dedup, and
+    * the cheap fix for the classic eval-contamination failure where a dup
+    * of a test document trains the model. Still a pure per-row projection:
+    * group identity IS the content hash, so no join, no shuffle, and
+    * appending data never moves existing assignments. */
+  def contentSafeSplit(
+      docs: DataFrame, textCol: String, fractions: Seq[(String, Double)]): DataFrame =
+    splitAssignByKey(docs,
+      graft.functions.Kernels.normalizeTextCol(col(textCol)), fractions)
+
+  /** Leakage-safe split, cluster form: assignment key is the NEAR-DUP
+    * cluster label (`components` from [[Dedup.connectedComponents]] over any
+    * pair generator — MinHash, SimHash, semantic). Every member of a cluster
+    * gets the cluster representative's split, so paraphrases and fuzzy
+    * copies can't leak across the boundary either. One broadcast join
+    * against the cluster table (dup clusters are a small fraction of a
+    * corpus; docs without a cluster fall back to their own id). */
+  def clusterSafeSplit(
+      docs: DataFrame, idCol: String, components: DataFrame,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    val comp = components.withColumnRenamed("id", "__cc_id")
+    val labeled = docs.join(broadcast(comp), docs(idCol) === comp("__cc_id"), "left")
+    splitAssignByKey(labeled, coalesce(col("component"), docs(idCol)), fractions)
+      .drop("__cc_id", "component")
   }
 
   /** Per-stratum deterministic Bernoulli sample: keep a row iff

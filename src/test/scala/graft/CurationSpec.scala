@@ -39,6 +39,36 @@ class CurationSpec extends SparkSuite {
       fromAll.orderBy("doc_id").collect().toSeq)
   }
 
+  test("contentSafeSplit: byte-level variants of one doc share a split") {
+    // plant a case/whitespace variant of each doc under a new id
+    val variants = docs.select($"doc_id" + 100000L as "doc_id",
+      upper(concat($"text", lit("  "))) as "text")
+    val d = docs.select($"doc_id", $"text").union(variants)
+    val r = Sampling.contentSafeSplit(d, "text",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select($"doc_id", $"split").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    docs.select($"doc_id").as[Long].collect().foreach { id =>
+      assert(r(id) == r(id + 100000L), s"doc $id and its variant split apart")
+    }
+  }
+
+  test("clusterSafeSplit: every cluster member gets the representative's split") {
+    import graft.operators.Dedup
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val r = Sampling.clusterSafeSplit(docs, "doc_id", comps,
+      Seq("train" -> 0.5, "val" -> 0.5))
+      .select($"doc_id", $"split").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1L) == r(2L) && r(2L) == r(3L))
+    assert(r(10L) == r(11L))
+    // an unclustered doc falls back to its own-id assignment
+    val own = Sampling.splitAssign(docs, "doc_id", Seq("train" -> 0.5, "val" -> 0.5))
+      .filter($"doc_id" === 100L).select($"split").as[String].head()
+    assert(r(100L) == own)
+  }
+
   test("mixWeighted honors per-stratum fractions incl. 0 and 1") {
     val r = Sampling.mixWeighted(docs, "doc_id", "source",
       Map("src0" -> 1.0, "src1" -> 0.0), 0.5)
