@@ -75,11 +75,26 @@ class PlanSpec extends SparkSuite {
         "ngram prefix" -> graft.operators.Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", "lang"),
         "minhash pairs" -> graft.operators.Dedup.minhashPairs(docs, "doc_id", "text"),
         "ivf knn" -> graft.operators.Similarity.ivfKnn(
-          embs, embs.limit(5), "vec_id", "embedding", 3))) {
+          embs, embs.limit(5), "vec_id", "embedding", 3),
+        "semantic dedup" -> graft.operators.Dedup.semanticDedup(
+          embs, "vec_id", "embedding", 0.4),
+        "interval join" -> graft.streaming.EventStream.attributionJoin(
+          graft.streaming.EventStream.purchaseSide(
+            graft.streaming.EventStream.rawEvents(spark, s"$sfDir/events.parquet")),
+          graft.streaming.EventStream.clickSide(
+            graft.streaming.EventStream.rawEvents(spark, s"$sfDir/events.parquet")),
+          lookbackMin = 30))) {
       val p = plan(df)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
         s"$name must stay equi-keyed:\n$p")
     }
+  }
+
+  test("bm25 top-k is TakeOrdered, never a global sort") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = plan(graft.operators.TextAnalysis.bm25TopK(
+      docs, "doc_id", "text", Seq("dup", "scan", "window"), k = 20))
+    assert(p.contains("TakeOrderedAndProject"), p)
   }
 
   test("persisted IVF index probes read only the probed cells (partition pruning)") {
