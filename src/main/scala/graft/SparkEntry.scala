@@ -484,6 +484,13 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "dedup_spans" -> ((s, dir) => {
+      // exact substring dedup: maximal token spans shared across documents
+      // (stride-1 rolling window hashes -> cross-doc marks -> island merge)
+      Dedup.dupSpans(spread(t(s, dir, "documents")), "doc_id", "text", window = 8)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     "dedup_semantic" -> ((s, dir) => {
       // SemDeDup: cluster-then-compare semantic prune — pairwise cosine runs
       // ONLY within deterministic IVF Voronoi cells (equi-join on the cell
@@ -1547,6 +1554,34 @@ object SparkEntry {
         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), pos AS (
+        |  SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS p FROM toks
+        |), wins AS (
+        |  SELECT doc_id, CAST(p AS BIGINT) AS pos,
+        |    substr(md5(array_to_string(w[p:p+7], ' ')), 1, 16) AS h
+        |  FROM pos
+        |), duph AS (
+        |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM wins)
+        |  GROUP BY h HAVING count(*) >= 2
+        |), marked AS (
+        |  SELECT wins.doc_id, wins.pos FROM wins JOIN duph USING (h)
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM marked
+        |), grp AS (
+        |  SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM isl
+        |)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
+        |  CAST(count(*) AS BIGINT) AS n_windows
+        |FROM grp GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
 
     "dedup_semantic" ->
       """WITH w AS (

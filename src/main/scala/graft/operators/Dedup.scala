@@ -426,6 +426,58 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Duplicated-span detection — exact SUBSTRING dedup in the style of Lee
+    * et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"): find every maximal token span that some OTHER document also
+    * contains, so pipelines can excise repeated boilerplate from otherwise
+    * unique documents (whole-doc and chunk dedup both miss these; the
+    * suffix-array of the paper is replaced by the shuffle-native rolling
+    * window form).
+    *
+    * Mechanics: stride-1 windows of `window` tokens are hashed; a window
+    * hash seen in ≥ 2 distinct documents marks all its positions; per
+    * document, marked positions within `window` of each other merge into
+    * maximal spans (gaps-and-islands). Returns (idCol, span_start, span_end,
+    * n_windows) with 1-based token positions, `span_end` exclusive.
+    *
+    * Scale shape: the only corpus-wide shuffles key on the 64-bit window
+    * hash (rows are (hash, doc) pairs — slim, map-side pre-distincted); the
+    * duplicated-hash set is a small fraction of the corpus (broadcast while
+    * it fits, `broadcastRight = false` for the equi-shuffle plan); span
+    * merging is one per-document window pass whose partition is bounded by
+    * document length, never corpus size. */
+  def dupSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, broadcastRight: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = docs
+      .select(col(idCol), TextFns.tokens(col(textCol)).as("__w"))
+      .withColumn("pos", explode(
+        when(size(col("__w")) >= window,
+          sequence(lit(1), size(col("__w")) - lit(window - 1)))
+          .otherwise(array().cast("array<int>"))))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        substring(md5(concat_ws(" ", slice(col("__w"), col("pos"), lit(window)))), 1, 16)
+          .as("h"))
+    val dupH = wins.select(col(idCol), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val marked = wins.join(if (broadcastRight) broadcast(dupH) else dupH, "h")
+      .select(col(idCol), col("pos"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val brk = when(col("pos") > lag(col("pos"), 1).over(w) + lit(window), lit(1L))
+      .otherwise(lit(0L))
+    marked
+      .withColumn("brk", brk)
+      .withColumn("island",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(window.toLong)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_windows"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
     * Data-efficient learning at web-scale through semantic deduplication"):
     * prune documents whose EMBEDDINGS are near-identical — catches

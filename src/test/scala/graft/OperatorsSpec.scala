@@ -214,6 +214,23 @@ class OperatorsSpec extends SparkSuite {
     assert(pairs.filter($"id_b" - $"id_a" === 100000L).count() == 3)
   }
 
+  test("dupSpans: planted shared run yields one maximal span in each doc") {
+    // doc 1: 20 unique tokens; doc 2 embeds doc 1's tokens 5..14 (10 tokens)
+    // between unique context -> with window 4, windows 5..11 are shared in
+    // both docs and must merge into ONE span [5, 15) per doc
+    val t1 = (1 to 20).map(i => s"a$i").mkString(" ")
+    val t2 = (Seq("b1", "b2", "b3", "b4") ++ (5 to 14).map(i => s"a$i")
+      ++ Seq("c1", "c2")).mkString(" ")
+    val d = Seq((1L, t1), (2L, t2)).toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(d, "doc_id", "text", window = 4)
+      .orderBy($"doc_id").collect()
+    assert(spans.length == 2, spans.mkString("; "))
+    spans.foreach { r =>
+      assert(r.getLong(1) == 5L && r.getLong(2) == 15L && r.getLong(3) == 7L,
+        s"unexpected span $r")
+    }
+  }
+
   test("bm25: ranks contiguous, scores non-increasing, rare term dominates") {
     val res = TextAnalysis.bm25TopK(docs, "doc_id", "text",
       Seq("dup", "scan", "window"), k = 10).collect()
