@@ -588,6 +588,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "text_tokens_bpe" -> ((s, dir) => {
+      // subword-style (BPE pre-tokenizer) token counts next to whitespace
+      // word counts — the budget unit packing/cost estimates actually use
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.TextFns.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"),
+        graft.functions.TextFns.tokenCount(col("text")).cast("long").as("n_ws_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_quality" -> ((s, dir) => {
       TextAnalysis.withQuality(spread(t(s, dir, "documents")), "doc_id", "text")
         .select(col("doc_id"), col("len_chars").cast("long").as("len_chars"),
@@ -1734,6 +1743,13 @@ object SparkEntry {
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
         |  CAST(length(text) AS BIGINT) AS len_chars,
         |  CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_distinct_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_tokens_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '''(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->

@@ -15,6 +15,21 @@ object TextFns {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** GPT-2-style pre-tokenizer pattern, restricted to the regex subset with
+    * identical semantics in Java regex and RE2 (no lookahead — the original
+    * pattern's `\s+(?!\S)` trailing-space rule is dropped; contractions,
+    * space-prefixed letter runs, digit runs, punctuation runs, whitespace
+    * runs are kept). Both engines match leftmost-first over the same
+    * alternation order, so token boundaries agree by construction. */
+  val BpeTokenPattern: String =
+    "'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+"
+
+  /** Subword-style token count: how many BPE pre-tokens a tokenizer would
+    * see — the budget unit of sequence packing and training-cost estimates,
+    * vs [[tokenCount]]'s whitespace words. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
+
   /** Distinct word n-grams, joined by a single space. */
   def wordNgrams(text: Column, n: Int): Column = {
     val toks = tokens(text)

@@ -231,6 +231,15 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("bpeTokenCount splits contractions, digit runs and punctuation runs") {
+    val d = Seq((1L, "it's 123 foo-bar!"), (2L, "")).toDF("doc_id", "text")
+    val r = d.select($"doc_id", TextFns.bpeTokenCount($"text").as("n"))
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    // it | 's | " 123" | " foo" | - | bar | !  => 7 pre-tokens
+    assert(r(1L) == 7, s"got ${r(1L)}")
+    assert(r(2L) == 0)
+  }
+
   test("bm25: ranks contiguous, scores non-increasing, rare term dominates") {
     val res = TextAnalysis.bm25TopK(docs, "doc_id", "text",
       Seq("dup", "scan", "window"), k = 10).collect()
