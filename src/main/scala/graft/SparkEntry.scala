@@ -549,6 +549,15 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    "sketch_kmv_rollup" -> ((s, dir) => {
+      // mergeable-sketch rollup: per-(lang, source) sketches merged into
+      // per-lang estimates WITHOUT re-scanning raw data; the merge is
+      // lossless, so this shares the direct per-lang oracle verbatim
+      graft.operators.Sketches.kmvRollup(
+        t(s, dir, "documents"), Seq("lang", "source"), Seq("lang"), "doc_id", 64)
+        .orderBy(col("lang"))
+    }),
+
     // --- similarity search over embeddings ---
     "knn_bruteforce" -> ((s, dir) => {
       val embs = spread(t(s, dir, "embeddings"))
@@ -886,7 +895,26 @@ object SparkEntry {
         |  CASE WHEN max(m) < 64 THEN CAST(max(m) AS DOUBLE)
         |       ELSE 63.0 * 1152921504606846976.0
         |            / CAST(max(CASE WHEN rn = 64 THEN hv END) AS DOUBLE) END AS est_distinct
-        |FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the rolled-up (merged) sketch is lossless, so its oracle is the
+    // DIRECT per-lang sketch — merging must not change a single bit
+    "sketch_kmv_rollup" ->
+      """WITH h AS (
+        |  SELECT DISTINCT lang,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+        |  FROM documents
+        |), ranked AS (
+        |  SELECT lang, hv,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS m
+        |  FROM h
+        |)
+        |SELECT lang,
+        |  CASE WHEN max(m) < 64 THEN CAST(max(m) AS DOUBLE)
+        |       ELSE 63.0 * 1152921504606846976.0
+        |            / CAST(max(CASE WHEN rn = 64 THEN hv END) AS DOUBLE) END AS est_distinct
+        |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin)
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q1_pricing_summary" ->

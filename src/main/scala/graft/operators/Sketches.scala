@@ -78,6 +78,13 @@ object Sketches {
     override def outputEncoder = ExpressionEncoder[Array[Long]]()
   }
 
+  /** The KMV estimate from a k-min array: exact count below k, else
+    * (k-1)·H/h_(k). */
+  private def estimate(mins: Column, k: Int): Column =
+    when(size(mins) < k, size(mins).cast("double"))
+      .otherwise(lit((k - 1).toDouble * HashSpace)
+        / element_at(mins, k).cast("double"))
+
   /** Per-group approximate distinct count of `valueCol`, exact below k.
     * Output: groupCols ++ (est_distinct: Double). Deterministic — same
     * estimate on every engine computing the same md5. */
@@ -86,10 +93,43 @@ object Sketches {
     df.select((groupCols.map(col) :+ hash60(col(valueCol)).as("__hv")): _*)
       .groupBy(groupCols.map(col): _*)
       .agg(kmv(col("__hv")).as("__mins"))
-      .select((groupCols.map(col) :+
-        when(size(col("__mins")) < k, size(col("__mins")).cast("double"))
-          .otherwise(lit((k - 1).toDouble * HashSpace)
-            / element_at(col("__mins"), k).cast("double"))
-          .as("est_distinct")): _*)
+      .select((groupCols.map(col) :+ estimate(col("__mins"), k).as("est_distinct")): _*)
+  }
+
+  /** Merges ALREADY-BUILT k-min sketches — the second level of a rollup. */
+  final class KMinValuesMerge(k: Int) extends Aggregator[Array[Long], Array[Long], Array[Long]] {
+    private val inner = new KMinValues(k)
+    override def zero: Array[Long] = Array.empty[Long]
+    override def reduce(b: Array[Long], a: Array[Long]): Array[Long] = inner.merge(b, a)
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = inner.merge(b1, b2)
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder = ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Two-level sketch rollup: build per-fine-group sketches once, then MERGE
+    * the stored sketches into coarser-group estimates WITHOUT re-scanning
+    * raw data. The merge is lossless — every coarse-group k-min hash is by
+    * definition among its own fine group's k smallest — so the rolled-up
+    * estimate is bit-identical to sketching the coarse group directly
+    * (pinned by spec and by sharing the direct oracle).
+    *
+    * This is the property that makes sketches the right aggregate shape for
+    * layered rollups (source → corpus, day → month) at 100 TB: the second
+    * level aggregates k longs per fine group instead of re-reading the
+    * corpus, so incremental/maintained rollups become metadata-sized jobs. */
+  def kmvRollup(
+      df: DataFrame, fineCols: Seq[String], coarseCols: Seq[String],
+      valueCol: String, k: Int): DataFrame = {
+    val kmv = udaf(new KMinValues(k))
+    val kmvMerge = udaf(new KMinValuesMerge(k))
+    val fine = df
+      .select((fineCols.map(col) :+ hash60(col(valueCol)).as("__hv")): _*)
+      .groupBy(fineCols.map(col): _*)
+      .agg(kmv(col("__hv")).as("__sketch"))
+    fine
+      .groupBy(coarseCols.map(col): _*)
+      .agg(kmvMerge(col("__sketch")).as("__mins"))
+      .select((coarseCols.map(col) :+ estimate(col("__mins"), k).as("est_distinct")): _*)
   }
 }

@@ -179,6 +179,16 @@ class CurationSpec extends SparkSuite {
     assert(peaks.filter($"peak" =!= 127).count() == 0)
   }
 
+  test("kmvRollup: merged fine-group sketches equal the direct coarse sketch bit-for-bit") {
+    import graft.operators.Sketches
+    val direct = Sketches.kmvDistinct(docs, Seq("lang"), "doc_id", 16)
+      .orderBy("lang").collect().toSeq
+    val rolled = Sketches.kmvRollup(docs, Seq("lang", "source"), Seq("lang"), "doc_id", 16)
+      .orderBy("lang").collect().toSeq
+    assert(direct.nonEmpty)
+    assert(direct == rolled)
+  }
+
   test("corpusStatsApprox stays inside sketch error bounds of the exact operators") {
     val approx = TextAnalysis.corpusStatsApprox(
       docs, "lang", "n_chars", "doc_id", Seq(0.5), accuracy = 10000, rsd = 0.05)
