@@ -615,6 +615,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "curation_quality_band" -> ((s, dir) => {
+      // per-lang quantile-band filter: drop the junk tail and the
+      // suspiciously-perfect top relative to each group's own distribution
+      TextAnalysis.qualityBand(spread(t(s, dir, "documents")), "doc_id", "text",
+        "lang", lo = 0.1, hi = 0.9)
+        .orderBy(col("doc_id"))
+    }),
+
     "text_langid" -> ((s, dir) => {
       TextAnalysis.withLangId(spread(t(s, dir, "documents")), "doc_id", "text")
         .orderBy(col("doc_id"))
@@ -1803,6 +1811,45 @@ object SparkEntry {
         |    + (CASE WHEN alpha_ratio >= 0.6 THEN 0.25 ELSE 0.0 END)
         |    + token_diversity * 0.25 AS quality_score
         |FROM feats ORDER BY doc_id""".stripMargin,
+
+    "curation_quality_band" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, text, regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    CAST(length(text) AS BIGINT) AS len_chars
+        |  FROM documents
+        |), feats AS (
+        |  SELECT doc_id, lang, len_chars,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with'], t))) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) END AS stopword_ratio,
+        |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |      CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE) END AS alpha_ratio,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS token_diversity
+        |  FROM base
+        |), scored AS (
+        |  SELECT doc_id, lang,
+        |    CAST(floor((
+        |      (CASE WHEN len_chars < 20 THEN 0.0 ELSE 0.25 END)
+        |      + (CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 0.25 ELSE 0.0 END)
+        |      + (CASE WHEN alpha_ratio >= 0.6 THEN 0.25 ELSE 0.0 END)
+        |      + token_diversity * 0.25) * 1000000000.0 + 0.5) AS BIGINT) AS score_q9,
+        |    (CASE WHEN len_chars < 20 THEN 0.0 ELSE 0.25 END)
+        |      + (CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 0.25 ELSE 0.0 END)
+        |      + (CASE WHEN alpha_ratio >= 0.6 THEN 0.25 ELSE 0.0 END)
+        |      + token_diversity * 0.25 AS quality_score
+        |  FROM feats
+        |), th AS (
+        |  SELECT lang,
+        |    CAST(floor(quantile_cont(quality_score, 0.1) * 1000000000.0 + 0.5) AS BIGINT) AS lo_q9,
+        |    CAST(floor(quantile_cont(quality_score, 0.9) * 1000000000.0 + 0.5) AS BIGINT) AS hi_q9
+        |  FROM scored GROUP BY lang
+        |)
+        |SELECT s.doc_id, s.lang, s.score_q9
+        |FROM scored s JOIN th USING (lang)
+        |WHERE s.score_q9 >= th.lo_q9 AND s.score_q9 <= th.hi_q9
+        |ORDER BY s.doc_id""".stripMargin,
 
     "text_langid" ->
       """WITH base AS (

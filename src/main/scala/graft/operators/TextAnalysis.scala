@@ -25,18 +25,19 @@ object TextAnalysis {
   /** Quality features + a composite score: length band, stopword share,
     * alphabetic share, token diversity. Score is built from exact
     * divisions and power-of-two weights so it is bit-reproducible everywhere. */
-  def withQuality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def withQuality(
+      docs: DataFrame, idCol: String, textCol: String,
+      carry: Seq[String] = Nil): DataFrame = {
     val toks = TextFns.tokens(col(textCol))
     val nToks = size(toks).cast("double")
     val diversity = when(size(toks) === 0, lit(0.0))
       .otherwise(size(array_distinct(toks)).cast("double") / nToks)
-    docs.select(
-      col(idCol),
+    docs.select((col(idCol) +: carry.map(col)) ++ Seq(
       length(col(textCol)).as("len_chars"),
       size(toks).as("n_tokens"),
       TextFns.stopwordRatio(col(textCol), EnStopwords).as("stopword_ratio"),
       TextFns.charRatio(col(textCol), "[a-zA-Z]").as("alpha_ratio"),
-      diversity.as("token_diversity"))
+      diversity.as("token_diversity")): _*)
       .withColumn("quality_score", qualityScore(
         col("len_chars"), col("stopword_ratio"), col("alpha_ratio"), col("token_diversity")))
   }
@@ -48,6 +49,33 @@ object TextAnalysis {
       when(stopRatio.between(0.01, 0.6), lit(0.25)).otherwise(lit(0.0)) +
       when(alphaRatio >= 0.6, lit(0.25)).otherwise(lit(0.0)) +
       diversity * lit(0.25)
+
+  /** Quantile-band quality filter: keep documents whose composite quality
+    * score lies inside the per-group [lo, hi] quantile band — the standard
+    * curation step that drops the junk tail AND the degenerate top (boiler-
+    * plate scoring suspiciously perfectly) relative to each group's own
+    * distribution, not a global constant.
+    *
+    * Composition of [[withQuality]] and the exact `percentile` aggregate;
+    * thresholds are one group-count-sized aggregate broadcast back over the
+    * scan. Scores and thresholds are quantized to 1e-9 before comparison
+    * (and the quantized score is what's returned), so the band decision is
+    * robust to sub-ulp interpolation differences between engines. */
+  def qualityBand(
+      docs: DataFrame, idCol: String, textCol: String, groupCol: String,
+      lo: Double, hi: Double): DataFrame = {
+    val scored = withQuality(docs, idCol, textCol, carry = Seq(groupCol))
+      .withColumn("score_q9",
+        floor(col("quality_score") * lit(1.0e9) + lit(0.5)).cast("long"))
+    val th = scored.groupBy(col(groupCol)).agg(
+      floor(expr(s"percentile(quality_score, $lo)") * lit(1.0e9) + lit(0.5))
+        .cast("long").as("lo_q9"),
+      floor(expr(s"percentile(quality_score, $hi)") * lit(1.0e9) + lit(0.5))
+        .cast("long").as("hi_q9"))
+    scored.join(broadcast(th), groupCol)
+      .filter(col("score_q9") >= col("lo_q9") && col("score_q9") <= col("hi_q9"))
+      .select(col(idCol), col(groupCol), col("score_q9"))
+  }
 
   def withLangId(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), TextFns.langId(col(textCol)).as("predicted_lang"))

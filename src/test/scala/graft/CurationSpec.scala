@@ -179,6 +179,18 @@ class CurationSpec extends SparkSuite {
     assert(peaks.filter($"peak" =!= 127).count() == 0)
   }
 
+  test("qualityBand: [0,1] keeps everything, narrower bands nest") {
+    val all = TextAnalysis.qualityBand(docs, "doc_id", "text", "lang", 0.0, 1.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(all.size == docs.count())
+    val wide = TextAnalysis.qualityBand(docs, "doc_id", "text", "lang", 0.1, 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    val narrow = TextAnalysis.qualityBand(docs, "doc_id", "text", "lang", 0.25, 0.75)
+      .select("doc_id").as[Long].collect().toSet
+    assert(narrow.nonEmpty && narrow.subsetOf(wide) && wide.subsetOf(all))
+    assert(wide.size < all.size, "0.1-0.9 band should drop the tails")
+  }
+
   test("kmvRollup: merged fine-group sketches equal the direct coarse sketch bit-for-bit") {
     import graft.operators.Sketches
     val direct = Sketches.kmvDistinct(docs, Seq("lang"), "doc_id", 16)
