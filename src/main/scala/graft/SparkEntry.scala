@@ -83,6 +83,22 @@ object SparkEntry {
     path
   }
 
+  /** Build-once path for the APPENDED IVF index: base index from the first
+    * 250 vectors, then an incremental append of the rest — the grown index
+    * must probe bit-identically to the full rebuild (`knn_ivf` oracle). */
+  private[graft] def ivfAppendedIndexPath(s: SparkSession, dir: String): String = {
+    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_app_$suffix"
+    if (ivfIndexWritten.add(path)) {
+      val embs = t(s, dir, "embeddings")
+      graft.operators.Similarity.writeIvfIndex(
+        embs.filter(col("vec_id") < 250), "vec_id", "embedding", path)
+      graft.operators.Similarity.appendIvfIndex(
+        embs.filter(col("vec_id") >= 250), "vec_id", "embedding", path)
+    }
+    path
+  }
+
   /** A managed table's warehouse dir can survive the (in-memory) catalog that
     * created it — a fresh session then refuses `saveAsTable` over the stale
     * location. Clear both the catalog entry and the leftover dir. */
@@ -588,6 +604,17 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "knn_ivf_appended" -> ((s, dir) => {
+      // incremental index maintenance: base index + partition-local append
+      // must probe bit-identically to the full rebuild (shares knn_ivf's
+      // oracle); the untouched-cells property is pinned in OperatorsSpec
+      val embs = spread(t(s, dir, "embeddings"))
+      val path = ivfAppendedIndexPath(s, dir)
+      Similarity.ivfIndexKnn(
+        s.read.parquet(path), embs.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // --- text analysis over documents ---
     "text_token_stats" -> ((s, dir) => {
       TextAnalysis.withTokenStats(spread(t(s, dir, "documents")), "doc_id", "text")
@@ -883,6 +910,8 @@ object SparkEntry {
     "q2_revenue_by_nation_bucketed" -> oracleSqlBase("q2_revenue_by_nation"),
     // the persisted partition-pruned index must reproduce the in-memory IVF
     "knn_ivf_indexed" -> oracleSqlBase("knn_ivf"),
+    // ...and so must the incrementally-appended index (base + delta)
+    "knn_ivf_appended" -> oracleSqlBase("knn_ivf"),
     // stream-stream inner join drains to exactly the batch join's rows
     "q19_purchase_attribution_stream" -> oracleSqlBase("q18_purchase_attribution"),
     // the SQL function surface must reproduce the DataFrame kernels exactly

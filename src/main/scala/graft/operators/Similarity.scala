@@ -155,14 +155,36 @@ object Similarity {
     * [[ivfKnn]]: at 100 TB the index is written once and every query batch
     * reads ONLY its probed cells' directories (partition pruning), turning
     * probe I/O into `nprobe/cells` of the index instead of a full scan. */
-  def writeIvfIndex(
-      corpus: DataFrame, idCol: String, vecCol: String, path: String,
-      cells: Int = 16, seed: Long = 42L, dims: Int = 64): Unit =
+  private def indexRows(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cells: Int, seed: Long, dims: Int): DataFrame =
     corpus
       .select(col(idCol), VectorFns.quantize(col(vecCol)).as("qv"))
       .withColumn("n2", VectorFns.norm2Q(col("qv")))
       .withColumn("cell", element_at(rankedCells(col("qv"), cells, seed, dims, 1), 1))
+
+  def writeIvfIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, path: String,
+      cells: Int = 16, seed: Long = 42L, dims: Int = 64): Unit =
+    indexRows(corpus, idCol, vecCol, cells, seed, dims)
       .write.partitionBy("cell").mode("overwrite").parquet(path)
+
+  /** Append a batch of NEW vectors to a persisted IVF index
+    * ([[writeIvfIndex]]) — partition-LOCAL maintenance: part-files are
+    * written only under the `cell=` directories the delta's vectors land
+    * in; every other cell is untouched (no read, no rewrite, no shuffle of
+    * the existing index — pinned by spec). Because cell assignment is a
+    * pure function of the vector, probing the grown index is bit-identical
+    * to probing a full rebuild, which is what turns continuous
+    * embedding-index ingestion into a delta-sized job instead of a corpus
+    * re-cluster. Centroid DRIFT (enough new data to warrant new cells) is
+    * the one event that forces a rebuild — by design, so reads never see a
+    * half-migrated layout. */
+  def appendIvfIndex(
+      delta: DataFrame, idCol: String, vecCol: String, path: String,
+      cells: Int = 16, seed: Long = 42L, dims: Int = 64): Unit =
+    indexRows(delta, idCol, vecCol, cells, seed, dims)
+      .write.partitionBy("cell").mode("append").parquet(path)
 
   /** Probe a persisted IVF index ([[writeIvfIndex]]) — identical results to
     * [[ivfKnn]] with the same parameters, but reading the on-disk layout.

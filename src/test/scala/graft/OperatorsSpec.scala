@@ -280,6 +280,34 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("appendIvfIndex is partition-local and probes like a full rebuild") {
+    val base = embs.filter($"vec_id" < 150)
+    val delta = embs.filter($"vec_id" >= 150 && $"vec_id" < 160)
+    val dirApp = java.nio.file.Files.createTempDirectory("ivf_app").toString
+    val dirFull = java.nio.file.Files.createTempDirectory("ivf_full").toString
+    Similarity.writeIvfIndex(base, "vec_id", "embedding", dirApp)
+    def listing(): Map[String, Set[String]] =
+      new java.io.File(dirApp).listFiles().filter(_.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    val before = listing()
+    Similarity.appendIvfIndex(delta, "vec_id", "embedding", dirApp)
+    val after = listing()
+    // the delta landed in a strict subset of cells; every untouched cell's
+    // file listing is byte-for-byte the same (no rewrite of existing data)
+    val touched = after.keySet.filter(k => !before.contains(k) || before(k) != after(k))
+    assert(touched.nonEmpty && touched.size < after.size, s"touched=$touched")
+    (after.keySet -- touched).foreach(k => assert(before(k) == after(k), k))
+    // the grown index answers probes exactly like a full rebuild
+    val corpus = base.union(delta)
+    Similarity.writeIvfIndex(corpus, "vec_id", "embedding", dirFull)
+    val q = corpus.filter($"vec_id" < 10)
+    val a = Similarity.ivfIndexKnn(spark.read.parquet(dirApp), q, "vec_id", "embedding", 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    val b = Similarity.ivfIndexKnn(spark.read.parquet(dirFull), q, "vec_id", "embedding", 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   test("lsh ann achieves reasonable recall vs brute force") {
     val queries = embs.filter($"vec_id" < 20)
     val brute = Similarity.bruteForceKnn(embs, queries, "vec_id", "embedding", 5)
