@@ -392,6 +392,17 @@ object SparkEntry {
         .orderBy(col("purchase_id"), col("click_id"))
     }),
 
+    "q20_purchase_attribution_outer_stream" -> ((s, dir) => {
+      // stream-stream LEFT OUTER join: unmatched purchases surface with
+      // null click columns only after the watermark proves no future click
+      // can match; the oracle applies the same closing rule to the batch
+      // left join (trailing purchases not yet cleared stay buffered)
+      graft.streaming.EventStream.runAttributionOverRawEvents(
+        s, s"$dir/events.parquet", lookbackMin = 30, "0 seconds", "q20_attr",
+        leftOuter = true)
+        .orderBy(col("purchase_id"), col("click_id"))
+    }),
+
     "q10_active_buyers_intersect" -> ((s, dir) => {
       val ev = events(s, dir)
       ev.filter(col("event_type") === "click").select(col("user_id"))
@@ -1079,6 +1090,32 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, e.ts, o1.o_orderkey, o1.o_totalprice
         |FROM e ASOF LEFT JOIN o1 ON e.user_id = o1.o_custkey AND e.ts >= o1.ot
         |ORDER BY event_id""".stripMargin,
+
+    "q20_purchase_attribution_outer_stream" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |), wm AS (
+        |  SELECT least(
+        |    (SELECT max(epoch_us(ts) // 1000) FROM e WHERE event_type = 'purchase'),
+        |    (SELECT max(epoch_us(ts) // 1000) FROM e WHERE event_type = 'click')) AS w_ms
+        |), matched AS (
+        |  SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+        |    p.ts AS purchase_ts, c.ts AS click_ts
+        |  FROM e p JOIN e c
+        |    ON p.event_type = 'purchase' AND c.event_type = 'click'
+        |   AND c.user_id = p.user_id
+        |   AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+        |), unmatched AS (
+        |  SELECT p.event_id AS purchase_id, CAST(NULL AS BIGINT) AS click_id, p.user_id,
+        |    p.ts AS purchase_ts, CAST(NULL AS TIMESTAMP) AS click_ts
+        |  FROM e p, wm
+        |  WHERE p.event_type = 'purchase'
+        |    AND p.event_id NOT IN (SELECT purchase_id FROM matched)
+        |    AND epoch_us(p.ts) < wm.w_ms * 1000
+        |)
+        |SELECT * FROM matched
+        |UNION ALL SELECT * FROM unmatched
+        |ORDER BY purchase_id, click_id""".stripMargin,
 
     "q18_purchase_attribution" ->
       """WITH e AS (

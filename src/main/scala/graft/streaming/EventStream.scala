@@ -310,18 +310,43 @@ object EventStream {
       .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
         col("purchase_ts"), col("click_ts"))
 
+  /** LEFT OUTER form of [[attributionJoin]]: purchases with no qualifying
+    * click still appear, with null click columns. On a stream this is the
+    * semantic that needs the watermark most: a null row can only be emitted
+    * once the watermark PROVES no future click can match (click_ts <=
+    * purchase_ts bounds the wait), so unmatched purchases surface with a
+    * watermark's delay rather than never or too early. Spark requires
+    * exactly the watermark + time-range condition this plan carries. */
+  def attributionJoinLeftOuter(
+      purchases: DataFrame, clicks: DataFrame, lookbackMin: Int): DataFrame =
+    purchases.join(clicks,
+      col("p_user") === col("c_user")
+        && col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $lookbackMin MINUTES")
+        && col("click_ts") <= col("purchase_ts"),
+      "left_outer")
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("click_ts"))
+
   /** End-to-end STREAMING [[attributionJoin]] over raw TIMESTAMP(NANOS)
     * events parquet: two watermarked file streams over the same source,
-    * joined, drained through an append-mode memory sink. */
+    * joined, drained through an append-mode memory sink. With
+    * `leftOuter = true`, the drained result additionally contains the
+    * null-click rows for unmatched purchases whose state the final
+    * watermark evicted (trailing purchases the watermark has not yet
+    * cleared stay buffered — the streaming contract, mirrored by the
+    * oracle's closing rule). */
   def runAttributionOverRawEvents(
       spark: SparkSession, path: String, lookbackMin: Int,
-      watermark: String, name: String): DataFrame = {
+      watermark: String, name: String, leftOuter: Boolean = false): DataFrame = {
     def raw(): DataFrame =
       spark.readStream.schema(NanosEventSchema).parquet(anchoredGlob(spark, path))
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val p = purchaseSide(raw()).withWatermark("purchase_ts", watermark)
     val c = clickSide(raw()).withWatermark("click_ts", watermark)
-    val q = attributionJoin(p, c, lookbackMin).writeStream
+    val joined =
+      if (leftOuter) attributionJoinLeftOuter(p, c, lookbackMin)
+      else attributionJoin(p, c, lookbackMin)
+    val q = joined.writeStream
       .outputMode(OutputMode.Append)
       .format("memory")
       .queryName(name)

@@ -149,6 +149,29 @@ class StreamingSpec extends SparkSuite {
     assert(batch == stream)
   }
 
+  test("left-outer stream-stream join: null rows emitted exactly below the min watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("outer_probe").toString
+    val base = 1700000000000000000L // ns epoch
+    val min = 60L * 1000000000L
+    // purchases every minute for 120 min, all users distinct (no matches);
+    // one unmatchable click at +60 min pins the click-side watermark
+    val purchases = (0 until 120).map { i =>
+      (1000L + i, base + i * min, 10000L + i, "purchase", 1.0, "{}")
+    }
+    val click = Seq((9999L, base + 60 * min, 99999L, "click", 1.0, "{}"))
+    (purchases ++ click)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir)
+    val res = EventStream.runAttributionOverRawEvents(
+      spark, dir, lookbackMin = 30, "0 seconds", "outer_boundary_pin", leftOuter = true)
+    val emitted = res.filter($"click_id".isNull).select($"purchase_id")
+      .as[Long].collect().map(_ - 1000L).sorted.toSeq
+    // query watermark = min(purchase max +119, click max +60) = +60; an
+    // unmatched purchase surfaces iff purchase_ts < watermark (STRICT: the
+    // +60 purchase stays buffered) — the rule the q20 oracle mirrors
+    assert(emitted == (0L until 60L), s"emitted=$emitted")
+  }
+
   test("streaming dedup drops redelivered event ids within the watermark") {
     val dir = java.nio.file.Files.createTempDirectory("events_dup").toString
     val t0 = 1700000000000L
