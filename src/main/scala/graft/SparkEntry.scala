@@ -615,6 +615,21 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "layout_compacted" -> ((s, dir) => {
+      // small-file compaction round-trip: fragment the table into 64 tiny
+      // files, compact back to ~2000-row range-clustered files — content
+      // must be byte-identical to the source table (plain-scan oracle)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_compact_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val docs = t(s, dir, "documents")
+      docs.repartition(64).write.mode("overwrite").parquet(s"$tmp/frag")
+      graft.operators.Layout.compact(
+        s.read.parquet(s"$tmp/frag"), s"$tmp/compacted", "doc_id", 2000L)
+      s.read.parquet(s"$tmp/compacted")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     "knn_ivf_appended" -> ((s, dir) => {
       // incremental index maintenance: base index + partition-local append
       // must probe bit-identically to the full rebuild (shares knn_ivf's
@@ -1154,6 +1169,10 @@ object SparkEntry {
         |INTERSECT
         |SELECT user_id FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id""".stripMargin,
+
+    "layout_compacted" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "layout_zorder" ->
       """WITH b AS (

@@ -74,4 +74,26 @@ object Layout {
       .drop((dims.map(d => s"__zb_$d") :+ "__z"): _*)
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Small-file compaction: rewrite a dataset into ~`targetRowsPerFile`-sized
+    * files, preserving content byte-for-byte. Streaming/incremental
+    * pipelines at 100 TB accrete millions of KB-scale part files whose
+    * metadata and open() overhead come to dominate scans; compaction
+    * bin-packs them back to scan-efficient sizes. `repartitionByRange` on
+    * `sortCol` (+ in-file sort) keeps the data clustered, so parquet min/max
+    * pruning on the sort key SURVIVES the rewrite — a plain `coalesce` would
+    * destroy it. One count pass sizes the job; at scale run per partition
+    * (the unit streaming appends dirty) rather than per table. */
+  def compact(
+      df: DataFrame, path: String, sortCol: String,
+      targetRowsPerFile: Long): Int = {
+    val rows = df.count()
+    val numFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    df.repartitionByRange(numFiles, col(sortCol))
+      .sortWithinPartitions(col(sortCol))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRowsPerFile)
+      .parquet(path)
+    numFiles
+  }
 }

@@ -241,6 +241,34 @@ class PlanSpec extends SparkSuite {
     assert(math.abs(q.head().getDouble(0) - exact) < 1e-6)
   }
 
+  test("compact: fewer files, bounded rows per file, disjoint key ranges, content kept") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("compact_spec").toString
+    docs.repartition(40).write.mode("overwrite").parquet(s"$tmp/frag")
+    val fragFiles = new java.io.File(s"$tmp/frag").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    graft.operators.Layout.compact(
+      spark.read.parquet(s"$tmp/frag"), s"$tmp/out", "doc_id", 60L)
+    val outFiles = new java.io.File(s"$tmp/out").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(outFiles.length < fragFiles, s"${outFiles.length} vs $fragFiles")
+    // per-file row bound and DISJOINT doc_id ranges (range clustering means
+    // min/max pruning on the sort key survives the rewrite)
+    val ranges = outFiles.map { f =>
+      val d = spark.read.parquet(f.getAbsolutePath)
+        .selectExpr("min(doc_id)", "max(doc_id)", "count(1)").head()
+      assert(d.getLong(2) <= 60L, s"file ${f.getName} has ${d.getLong(2)} rows")
+      (d.getLong(0), d.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, s"overlap: $hi >= $lo2")
+      case _ =>
+    }
+    // content byte-identical
+    assert(spark.read.parquet(s"$tmp/out").orderBy("doc_id").collect().toSeq ==
+      docs.orderBy("doc_id").collect().toSeq)
+  }
+
   test("z-ordered layout: tight per-file boxes, box queries touch few files") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("zorder").toString + "/li"
