@@ -819,6 +819,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "sample_token_budget" -> ((s, dir) => {
+      // per-source token budget: hash-ranked greedy prefix, at most 20k
+      // chars of each source (the "N tokens of source X" mixture rule)
+      graft.operators.Sampling.capTokenBudget(
+        t(s, dir, "documents"), "doc_id", "source", "n_chars", budget = 20000L)
+        .select(col("doc_id"), col("source"), col("cost_cum"))
+        .orderBy(col("doc_id"))
+    }),
+
     "sample_stratified" -> ((s, dir) => {
       graft.operators.Sampling
         .sampleStratified(t(s, dir, "documents"), "doc_id", "source", 0.25)
@@ -1384,6 +1393,17 @@ object SparkEntry {
         |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "sample_token_budget" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY source
+        |      ORDER BY md5(source || ':' || CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cost_cum
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, CAST(cost_cum AS BIGINT) AS cost_cum
+        |FROM ranked WHERE cost_cum <= 20000 ORDER BY doc_id""".stripMargin,
 
     "sample_split_safe" ->
       """WITH k AS (

@@ -132,4 +132,29 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w).cast("long"))
       .filter(col("sample_rank") <= k)
   }
+
+  /** TOKEN-budget quota per stratum: where [[capPerStratum]] caps the
+    * document COUNT, this caps the summed cost column — the mixture step a
+    * training recipe actually specifies ("at most N tokens of source X").
+    * Docs are hash-ranked (uniform, reproducible, growth-stable) and kept
+    * while the running cost total stays within `budget` (greedy prefix: a
+    * doc that would overflow the budget is dropped, later smaller docs are
+    * NOT back-filled — the deterministic, engine-portable rule). Returns
+    * kept rows with their `cost_cum` running total.
+    *
+    * Plan: one shuffle on the stratum + a per-stratum ordered cumsum. Unlike
+    * the rank-k cap there is no WindowGroupLimit pushdown (the cutoff
+    * depends on the sum, not a row count), so each stratum sorts fully —
+    * bounded by stratum size; pre-filter with [[mixWeighted]] if a stratum
+    * is corpus-scale. */
+  def capTokenBudget(
+      df: DataFrame, idCol: String, strataCol: String, costCol: String,
+      budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat_ws(":", col(strataCol), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(strataCol)).orderBy(h, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cost_cum", sum(col(costCol)).over(w).cast("long"))
+      .filter(col("cost_cum") <= budget)
+  }
 }

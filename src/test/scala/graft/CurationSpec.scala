@@ -179,6 +179,25 @@ class CurationSpec extends SparkSuite {
     assert(peaks.filter($"peak" =!= 127).count() == 0)
   }
 
+  test("capTokenBudget matches a sequential replay of the greedy prefix rule") {
+    val budget = 5000L
+    val got = Sampling.capTokenBudget(docs, "doc_id", "source", "n_chars", budget)
+      .select($"doc_id", $"cost_cum").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val md = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = docs.select($"doc_id", $"source", $"n_chars")
+      .as[(Long, String, Long)].collect()
+    val expect = rows.groupBy(_._2).toSeq.flatMap { case (src, rs) =>
+      var cum = 0L
+      rs.toSeq.sortBy(r => (md(s"$src:${r._1}"), r._1)).flatMap { r =>
+        cum += r._3
+        if (cum <= budget) Some(r._1 -> cum) else None
+      }
+    }.toMap
+    assert(got.nonEmpty && got == expect)
+  }
+
   test("qualityBand: [0,1] keeps everything, narrower bands nest") {
     val all = TextAnalysis.qualityBand(docs, "doc_id", "text", "lang", 0.0, 1.0)
       .select("doc_id").as[Long].collect().toSet
