@@ -576,6 +576,20 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    "sketch_cms_freq" -> ((s, dir) => {
+      // Count-Min frequency sketch over all corpus tokens (4x64 counters),
+      // probed for 5 words next to their exact counts — est >= true always
+      val toks = t(s, dir, "documents")
+        .select(explode(graft.functions.TextFns.tokens(col("text"))).as("w"))
+      val words = Seq("dup", "scan", "window", "join", "hash")
+      val cms = graft.operators.Sketches.cmsBuild(toks, "w", 4, 64)
+      val tru = toks.groupBy(col("w").as("word")).agg(count(lit(1)).as("true_cnt"))
+      graft.operators.Sketches.cmsEstimate(cms, words, 4, 64)
+        .join(tru, Seq("word"), "left")
+        .select(col("word"), col("est"), coalesce(col("true_cnt"), lit(0L)).as("true_cnt"))
+        .orderBy(col("word"))
+    }),
+
     "sketch_kmv_rollup" -> ((s, dir) => {
       // mergeable-sketch rollup: per-(lang, source) sketches merged into
       // per-lang estimates WITHOUT re-scanning raw data; the merge is
@@ -977,6 +991,34 @@ object SparkEntry {
         |       ELSE 63.0 * 1152921504606846976.0
         |            / CAST(max(CASE WHEN rn = 64 THEN hv END) AS DOUBLE) END AS est_distinct
         |FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "sketch_cms_freq" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents
+        |), fam AS (
+        |  SELECT range AS family FROM range(0, 4)
+        |), cms AS (
+        |  SELECT f.family,
+        |    ('0x' || substr(md5(CAST(f.family // 2 AS VARCHAR) || ':' || t.w),
+        |      1 + 15 * (f.family % 2), 15))::BIGINT % 64 AS bucket,
+        |    count(*) AS cnt
+        |  FROM toks t CROSS JOIN fam f GROUP BY 1, 2
+        |), q AS (
+        |  SELECT unnest(['dup', 'scan', 'window', 'join', 'hash']) AS word
+        |), probe AS (
+        |  SELECT q.word, f.family,
+        |    ('0x' || substr(md5(CAST(f.family // 2 AS VARCHAR) || ':' || q.word),
+        |      1 + 15 * (f.family % 2), 15))::BIGINT % 64 AS bucket
+        |  FROM q CROSS JOIN fam f
+        |), est AS (
+        |  SELECT word, min(coalesce(cnt, 0)) AS est
+        |  FROM probe LEFT JOIN cms USING (family, bucket) GROUP BY word
+        |), tru AS (
+        |  SELECT w AS word, count(*) AS true_cnt FROM toks GROUP BY w
+        |)
+        |SELECT e.word, CAST(e.est AS BIGINT) AS est,
+        |  CAST(coalesce(t.true_cnt, 0) AS BIGINT) AS true_cnt
+        |FROM est e LEFT JOIN tru t USING (word) ORDER BY word""".stripMargin,
 
     // the rolled-up (merged) sketch is lossless, so its oracle is the
     // DIRECT per-lang sketch — merging must not change a single bit

@@ -118,6 +118,42 @@ object Sketches {
     * layered rollups (source → corpus, day → month) at 100 TB: the second
     * level aggregates k longs per fine group instead of re-reading the
     * corpus, so incremental/maintained rollups become metadata-sized jobs. */
+  /** Count-Min frequency sketch, build side: `depth` hash families ×
+    * `width` buckets of plain COUNTERS. Counters are order-free sums, so —
+    * unlike Misra-Gries/space-saving, whose state depends on arrival order —
+    * the sketch is deterministic, mergeable (bucket-wise addition), and
+    * exactly oracle-expressible. Completes the sketch family next to KMV
+    * (distinct counts) and the approx-percentile twin (quantiles).
+    *
+    * Build is ONE map-side-combined aggregation into depth×width cells
+    * (bounded state regardless of cardinality); at 100 TB per-day/per-source
+    * sketches add bucket-wise, the same layered-rollup shape as
+    * [[kmvRollup]]. */
+  def cmsBuild(df: DataFrame, valueCol: String, depth: Int, width: Int): DataFrame =
+    df.select(explode(array((0 until depth).map(i =>
+        struct(lit(i).as("family"),
+          (graft.functions.TextFns.md5Long(col(valueCol), i) % width).as("bucket"))): _*))
+      .as("fb"))
+      .groupBy(col("fb.family").as("family"), col("fb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Probe a built CMS for `words`: est(w) = min over families of the probed
+    * counter — the classic overestimate bound (est >= true count;
+    * est - true <= corpus/width w.h.p. per family). */
+  def cmsEstimate(cms: DataFrame, words: Seq[String], depth: Int, width: Int): DataFrame = {
+    val spark = cms.sparkSession
+    import spark.implicits._
+    val probe = words.toDF("word")
+      .select(col("word"), explode(array((0 until depth).map(i =>
+        struct(lit(i).as("family"),
+          (graft.functions.TextFns.md5Long(col("word"), i) % width).as("bucket"))): _*))
+        .as("fb"))
+      .select(col("word"), col("fb.family").as("family"), col("fb.bucket").as("bucket"))
+    probe.join(cms, Seq("family", "bucket"), "left")
+      .groupBy(col("word"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
   def kmvRollup(
       df: DataFrame, fineCols: Seq[String], coarseCols: Seq[String],
       valueCol: String, k: Int): DataFrame = {

@@ -210,6 +210,23 @@ class CurationSpec extends SparkSuite {
     assert(wide.size < all.size, "0.1-0.9 band should drop the tails")
   }
 
+  test("CMS: estimates never undercount; narrow sketch collides, wide one is exact") {
+    import graft.operators.Sketches
+    import graft.functions.TextFns
+    val toks = docs.select(explode(TextFns.tokens($"text")).as("w")).cache()
+    val words = Seq("dup", "scan", "window")
+    val tru = toks.groupBy($"w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val narrow = Sketches.cmsEstimate(Sketches.cmsBuild(toks, "w", 4, 4), words, 4, 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    words.foreach(w => assert(narrow(w) >= tru(w), s"$w undercounted"))
+    assert(words.exists(w => narrow(w) > tru(w)), "4 buckets over a 31-word vocab must collide")
+    val wide = Sketches.cmsEstimate(Sketches.cmsBuild(toks, "w", 4, 4096), words, 4, 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    words.foreach(w => assert(wide(w) == tru(w), s"$w inexact in the wide sketch"))
+    toks.unpersist()
+  }
+
   test("kmvRollup: merged fine-group sketches equal the direct coarse sketch bit-for-bit") {
     import graft.operators.Sketches
     val direct = Sketches.kmvDistinct(docs, Seq("lang"), "doc_id", 16)
