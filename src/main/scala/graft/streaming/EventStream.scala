@@ -337,9 +337,19 @@ object EventStream {
     * oracle's closing rule). */
   def runAttributionOverRawEvents(
       spark: SparkSession, path: String, lookbackMin: Int,
-      watermark: String, name: String, leftOuter: Boolean = false): DataFrame = {
+      watermark: String, name: String, leftOuter: Boolean = false,
+      statePartitions: Int = 8): DataFrame = {
+    // A stream-stream join keeps one state store per shuffle partition PER
+    // SIDE and pays open/commit on each per micro-batch — cost ~linear in
+    // partition count while this query's state is tiny. An isolated child
+    // session (shared SparkContext, own conf — NOT a mutation of the
+    // caller's session) pins the stateful operator's partition count: the
+    // per-job knob for sizing state parallelism to state volume. Results
+    // are partition-count-independent; only parallelism changes.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     def raw(): DataFrame =
-      spark.readStream.schema(NanosEventSchema).parquet(anchoredGlob(spark, path))
+      s2.readStream.schema(NanosEventSchema).parquet(anchoredGlob(s2, path))
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val p = purchaseSide(raw()).withWatermark("purchase_ts", watermark)
     val c = clickSide(raw()).withWatermark("click_ts", watermark)
@@ -353,7 +363,7 @@ object EventStream {
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.table(name)
+    s2.table(name)
   }
 
   /** Stateful sessionization with a processing-time gap timeout —
