@@ -911,6 +911,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "mm_resize_plan" -> ((s, dir) => {
+      // integer-exact resize geometry (fit-within-224, no upscale) over the
+      // decoded dims — the auditable planning half of a resize pipeline
+      Multimodal.resizePlan(Multimodal.decodeStub(
+        Multimodal.withBinaryMeta(spread(t(s, dir, "documents")), "doc_id", "text"),
+        "doc_id"), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     "mm_frame_sample" -> ((s, dir) => {
       Multimodal.frameSample(
         Multimodal.withBinaryMeta(spread(t(s, dir, "documents")), "doc_id", "text"), "doc_id", 4)
@@ -2078,6 +2087,20 @@ object SparkEntry {
         |FROM (
         |  SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "mm_resize_plan" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(64 + h % 512 AS BIGINT) AS width,
+        |    CAST(64 + (h >> 16) % 512 AS BIGINT) AS height
+        |  FROM (SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h FROM documents)
+        |)
+        |SELECT doc_id, width, height,
+        |  CASE WHEN greatest(width, height) <= 224 THEN width
+        |       ELSE width * 224 // greatest(width, height) END AS out_w,
+        |  CASE WHEN greatest(width, height) <= 224 THEN height
+        |       ELSE height * 224 // greatest(width, height) END AS out_h
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH m AS (

@@ -76,6 +76,25 @@ object Multimodal {
         expr(s"duration_ms * frame_idx div $nFrames").as("frame_ts_ms"),
         expr(s"n_bytes * frame_idx div $nFrames").as("frame_offset"))
 
+  /** Resize PLANNING over decoded dimensions: fit-within-`maxDim` preserving
+    * aspect ratio, never upscaling — all integer arithmetic (`div`), so the
+    * plan is engine-portable and verifiable without any codec. This is the
+    * split a production pipeline wants: the (cheap, exact) geometry planning
+    * runs as a Catalyst projection over the whole corpus and can be audited/
+    * aggregated (e.g. total output pixels = GPU budget) BEFORE the
+    * (expensive, stubbed-here) pixel resampling runs partition-batched next
+    * to the decoder at this same boundary. */
+  def resizePlan(decoded: DataFrame, idCol: String, maxDim: Int = 224): DataFrame = {
+    val long = (c: String) => col(c).cast("long")
+    val m = greatest(long("width"), long("height"))
+    val fit = (c: String) => when(m <= maxDim, long(c)).otherwise(
+      expr(s"CAST($c AS BIGINT) * $maxDim div " +
+        "greatest(CAST(width AS BIGINT), CAST(height AS BIGINT))"))
+    decoded.select(
+      col(idCol), long("width").as("width"), long("height").as("height"),
+      fit("width").as("out_w"), fit("height").as("out_h"))
+  }
+
   /** Partition-batched decode over the binary column. The iterator shape
     * (whole-partition lazy traversal, no row materialization beyond the
     * batch) is exactly where a vectorized decoder slots in. */

@@ -280,6 +280,22 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("resizePlan: fit-within bound, no upscale, aspect preserved in integer math") {
+    val r = Multimodal.resizePlan(Multimodal.decodeStub(
+      Multimodal.withBinaryMeta(docs, "doc_id", "text"), "doc_id"), "doc_id").collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val (w, h, ow, oh) = (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))
+      assert(ow <= w && oh <= h, "upscaled")
+      assert(math.max(ow, oh) <= 224)
+      if (math.max(w, h) > 224) {
+        assert(math.max(ow, oh) == 224, s"downscale must hit the bound: $x")
+        // integer floor of the exact ratio
+        assert(ow == w * 224 / math.max(w, h) && oh == h * 224 / math.max(w, h))
+      } else assert(ow == w && oh == h)
+    }
+  }
+
   test("appendIvfIndex is partition-local and probes like a full rebuild") {
     val base = embs.filter($"vec_id" < 150)
     val delta = embs.filter($"vec_id" >= 150 && $"vec_id" < 160)
