@@ -653,6 +653,90 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "layout_skipping" -> ((s, dir) => {
+      // lakehouse-style zone-map data skipping: range-cluster documents into
+      // ~50-row files, build a per-file min/max manifest, then answer a
+      // doc_id range query opening ONLY the intersecting files (the pruning
+      // ratio is pinned in PlanSpec); content must equal the plain filter
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_zonemap_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.operators.Layout.compact(t(s, dir, "documents"), tmp, "doc_id", 50L)
+      val zm = graft.operators.Layout.buildZoneMap(s, tmp, "doc_id")
+      val (pruned, _, _) = graft.operators.Layout.skippingRead(
+        s, tmp, zm, "doc_id", 100L, 300L)
+      pruned.select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "sketch_hll_distinct" -> ((s, dir) => {
+      // deterministic HyperLogLog (m=32 over a 40-bit md5 hash): integer
+      // registers and an integer-scaled harmonic mean make the ESTIMATE
+      // bit-portable — the oracle hash-matches the sketch internals AND the
+      // estimate, not a tolerance band
+      graft.operators.Sketches.hllDistinct(
+        t(s, dir, "lineitem"), Seq("l_returnflag"), "l_partkey")
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // register max is associative -> merging per-(flag, status) register
+    // files into per-flag estimates is lossless; shares the direct oracle
+    "sketch_hll_rollup" -> ((s, dir) => {
+      graft.operators.Sketches.hllRollup(
+        t(s, dir, "lineitem"), Seq("l_returnflag", "l_linestatus"),
+        Seq("l_returnflag"), "l_partkey")
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "graph_pagerank" -> ((s, dir) => {
+      // damped PageRank (3 iterations, fixed-point 1e9) over the symmetrized
+      // customer—supplier trade graph; integer arithmetic end to end makes
+      // an iterative "ML-ish" graph computation exactly oracle-checkable
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val pairs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select((col("o_custkey") * 2).as("cust_node"),
+          (col("l_suppkey") * 2 + 1).as("supp_node"))
+      val edges = pairs.select(col("cust_node").as("src"), col("supp_node").as("dst"))
+        .union(pairs.select(col("supp_node").as("src"), col("cust_node").as("dst")))
+      graft.operators.Graph.pagerank(edges, "src", "dst", iters = 3)
+        .orderBy(col("node"))
+    }),
+
+    "funnel_stages" -> ((s, dir) => {
+      // strict-sequence conversion funnel view -> click -> purchase: per
+      // user, each stage's earliest qualifying timestamp and how far they got
+      graft.operators.Behavior.funnel(
+        events(s, dir), "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+        .select(col("user").as("user_id"), col("ts_0").as("ts_view"),
+          col("ts_1").as("ts_click"), col("ts_2").as("ts_purchase"),
+          col("stage_reached"))
+        .orderBy(col("user_id"))
+    }),
+
+    "funnel_summary" -> ((s, dir) => {
+      graft.operators.Behavior.funnelSummary(
+        events(s, dir), "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+        .orderBy(col("stage"))
+    }),
+
+    "cohort_retention" -> ((s, dir) => {
+      // classic retention triangle: cohort = first-activity day, retained at
+      // offset d iff any event on cohort_day + d
+      graft.operators.Behavior.retention(events(s, dir), "user_id", "ts")
+        // DATE surfaces as python-object in the compare; timestamp is typed
+        .withColumn("cohort_day", col("cohort_day").cast("timestamp"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
+    "sample_weighted" -> ((s, dir) => {
+      // sequential Poisson weighted sampling without replacement: 100 docs,
+      // inclusion odds ~ n_chars, integer-exact priorities (no ln/pow)
+      graft.operators.Sampling.weightedSample(
+        t(s, dir, "documents"), "doc_id", "n_chars", 100)
+        .select(col("doc_id"), col("n_chars"), col("priority"))
+        .orderBy(col("priority"), col("doc_id"))
+    }),
+
     "knn_ivf_appended" -> ((s, dir) => {
       // incremental index maintenance: base index + partition-local append
       // must probe bit-identically to the full rebuild (shares knn_ivf's
@@ -967,6 +1051,31 @@ object SparkEntry {
 
   // ------------------------------------------------------------- oracle
 
+  /** Shared HLL oracle (direct sketch == lossless register-max rollup). */
+  private val hllDistinctSql =
+    """WITH h AS (
+      |  SELECT l_returnflag,
+      |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 10))::BIGINT AS hv
+      |  FROM lineitem
+      |), reg AS (
+      |  SELECT l_returnflag, hv >> 35 AS bucket,
+      |    max(CASE WHEN (hv & 34359738367) = 0 THEN 36
+      |             ELSE 36 - length(bin(hv & 34359738367)) END) AS register
+      |  FROM h GROUP BY 1, 2
+      |), agg AS (
+      |  SELECT l_returnflag, count(*) AS v_filled,
+      |    CAST(sum(CAST(1 AS BIGINT) << CAST(36 - register AS INT)) AS BIGINT)
+      |      + (32 - count(*)) * 68719476736 AS s_scaled
+      |  FROM reg GROUP BY 1
+      |)
+      |SELECT l_returnflag, CAST(v_filled AS BIGINT) AS v_filled,
+      |  CAST(s_scaled AS BIGINT) AS s_scaled,
+      |  floor((CASE WHEN 0.697 * 1024 * 68719476736 / s_scaled <= 80.0 AND v_filled < 32
+      |              THEN 32.0 * ln(32.0 / CAST(32 - v_filled AS DOUBLE))
+      |              ELSE 0.697 * 1024 * 68719476736 / s_scaled END) * 1e6 + 0.5) / 1e6
+      |    AS est_distinct
+      |FROM agg ORDER BY l_returnflag""".stripMargin
+
   def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
     // shuffle-path gate variants produce IDENTICAL output to their broadcast
     // twins — they share the oracle verbatim
@@ -1046,7 +1155,108 @@ object SparkEntry {
         |  CASE WHEN max(m) < 64 THEN CAST(max(m) AS DOUBLE)
         |       ELSE 63.0 * 1152921504606846976.0
         |            / CAST(max(CASE WHEN rn = 64 THEN hv END) AS DOUBLE) END AS est_distinct
-        |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin)
+        |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the zone-map pruned read must return exactly the plain filter's rows
+    "layout_skipping" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE doc_id >= 100 AND doc_id <= 300 ORDER BY doc_id""".stripMargin,
+
+    // deterministic HLL: registers from the 40-bit md5 hash (5 index bits /
+    // 35 rank bits), integer-scaled harmonic mean, alpha_32 = 0.697; the
+    // m = 32 power of two keeps the alpha*m^2*2^36 numerator bit-identical
+    "sketch_hll_distinct" -> hllDistinctSql,
+    // register max is associative: the rolled-up sketch must be bit-identical
+    // to sketching the coarse group directly — shares the direct oracle
+    "sketch_hll_rollup" -> hllDistinctSql,
+
+    // fixed-point PageRank, 3 unrolled iterations — every step integer
+    // division + order-free integer sums, so the ranks are bit-identical
+    "graph_pagerank" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), e AS (
+        |  SELECT cn AS src, sn AS dst FROM pairs
+        |  UNION ALL SELECT sn AS src, cn AS dst FROM pairs
+        |), deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |n AS (SELECT count(*) AS n FROM deg),
+        |r0 AS (SELECT src AS node, 1000000000 // (SELECT n FROM n) AS rank FROM deg),
+        |r1 AS (
+        |  SELECT e.dst AS node,
+        |    150000000 // (SELECT n FROM n) + 85 * sum(r0.rank // deg.deg) // 100 AS rank
+        |  FROM e JOIN deg ON e.src = deg.src JOIN r0 ON r0.node = e.src GROUP BY e.dst
+        |), r2 AS (
+        |  SELECT e.dst AS node,
+        |    150000000 // (SELECT n FROM n) + 85 * sum(r1.rank // deg.deg) // 100 AS rank
+        |  FROM e JOIN deg ON e.src = deg.src JOIN r1 ON r1.node = e.src GROUP BY e.dst
+        |), r3 AS (
+        |  SELECT e.dst AS node,
+        |    150000000 // (SELECT n FROM n) + 85 * sum(r2.rank // deg.deg) // 100 AS rank
+        |  FROM e JOIN deg ON e.src = deg.src JOIN r2 ON r2.node = e.src GROUP BY e.dst
+        |)
+        |SELECT node, CAST(rank AS BIGINT) AS rank_scaled FROM r3 ORDER BY node""".stripMargin,
+
+    "funnel_stages" ->
+      """WITH s0 AS (
+        |  SELECT user_id AS u, min(ts) AS ts_0 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), s1 AS (
+        |  SELECT s0.u, s0.ts_0, min(e.ts) AS ts_1
+        |  FROM s0 LEFT JOIN events e
+        |    ON e.user_id = s0.u AND e.event_type = 'click' AND e.ts > s0.ts_0
+        |  GROUP BY 1, 2
+        |), s2 AS (
+        |  SELECT s1.u, s1.ts_0, s1.ts_1, min(e.ts) AS ts_2
+        |  FROM s1 LEFT JOIN events e
+        |    ON e.user_id = s1.u AND e.event_type = 'purchase' AND e.ts > s1.ts_1
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT u AS user_id, ts_0 AS ts_view, ts_1 AS ts_click, ts_2 AS ts_purchase,
+        |  CAST(1 + CASE WHEN ts_1 IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN ts_2 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage_reached
+        |FROM s2 ORDER BY user_id""".stripMargin,
+
+    "funnel_summary" ->
+      """WITH s0 AS (
+        |  SELECT user_id AS u, min(ts) AS ts_0 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), s1 AS (
+        |  SELECT s0.u, s0.ts_0, min(e.ts) AS ts_1
+        |  FROM s0 LEFT JOIN events e
+        |    ON e.user_id = s0.u AND e.event_type = 'click' AND e.ts > s0.ts_0
+        |  GROUP BY 1, 2
+        |), s2 AS (
+        |  SELECT s1.u, s1.ts_1, min(e.ts) AS ts_2
+        |  FROM s1 LEFT JOIN events e
+        |    ON e.user_id = s1.u AND e.event_type = 'purchase' AND e.ts > s1.ts_1
+        |  GROUP BY 1, 2
+        |)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name,
+        |  CAST(count(*) AS BIGINT) AS n_users FROM s2
+        |UNION ALL SELECT 2, 'click', CAST(count(ts_1) AS BIGINT) FROM s2
+        |UNION ALL SELECT 3, 'purchase', CAST(count(ts_2) AS BIGINT) FROM s2
+        |ORDER BY stage""".stripMargin,
+
+    "cohort_retention" ->
+      """WITH c AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY 1
+        |), a AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS act_day FROM events
+        |)
+        |SELECT CAST(c.cohort_day AS TIMESTAMP) AS cohort_day,
+        |  CAST(a.act_day - c.cohort_day AS BIGINT) AS day_offset,
+        |  count(*) AS n_users
+        |FROM c JOIN a USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // sequential Poisson sampling: integer priorities (hash div weight) make
+    // the weighted draw itself hash-comparable
+    "sample_weighted" ->
+      """SELECT doc_id, n_chars,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT // n_chars
+        |    AS priority
+        |FROM documents ORDER BY priority, doc_id LIMIT 100""".stripMargin)
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q1_pricing_summary" ->

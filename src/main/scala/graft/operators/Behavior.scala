@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over an event log — classic OLAP surface
+  * (funnels, cohort retention) expressed as ordinary aggregates + joins so
+  * Catalyst keeps every step declarative.
+  *
+  * Scale shape: every stage is a groupBy(user) aggregate — all stages hash-
+  * partition on the SAME key, so AQE/Exchange reuse keeps the per-stage
+  * joins co-partitioned; the event scan is re-read per stage with the
+  * event_type filter PUSHED DOWN (a 100 TB log with type-partitioned or
+  * type-clustered layout reads only each stage's slice). No window over the
+  * whole log, no per-user collect_list — state per user is one timestamp
+  * per stage.
+  */
+object Behavior {
+
+  /** Strict-sequence funnel: stage i is reached at the EARLIEST event of
+    * `stages(i)` strictly after the user's stage-(i-1) time. Returns one row
+    * per user who reached stage 0, with each stage's timestamp (null once
+    * the sequence breaks) and `stage_reached` = how many stages completed.
+    */
+  def funnel(
+      events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty)
+    val u = col(userCol)
+    var acc = events.filter(col(typeCol) === stages.head)
+      .groupBy(u.as("user"))
+      .agg(min(col(tsCol)).as("ts_0"))
+    for (i <- 1 until stages.length) {
+      val next = events.filter(col(typeCol) === stages(i))
+        .select(u.as("__nu"), col(tsCol).as("__t"))
+      // "strictly after" lives in the JOIN condition: a user with no
+      // qualifying stage-i event (or a broken sequence, ts_{i-1} null) keeps
+      // their row with a null match instead of dropping out
+      acc = acc
+        .join(next, col("user") === col("__nu") && col("__t") > col(s"ts_${i - 1}"), "left")
+        .groupBy((col("user") +: (0 until i).map(j => col(s"ts_$j"))): _*)
+        .agg(min(col("__t")).as(s"ts_$i"))
+    }
+    val reached = stages.indices.map(i => when(col(s"ts_$i").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    acc.withColumn("stage_reached", reached.cast("long"))
+  }
+
+  /** Stage-level funnel summary: (stage index, stage name, users remaining). */
+  def funnelSummary(
+      events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      stages: Seq[String]): DataFrame = {
+    val f = funnel(events, userCol, typeCol, tsCol, stages)
+    val spark = f.sparkSession
+    import spark.implicits._
+    val names = stages.zipWithIndex.map { case (nm, i) => (i.toLong + 1, nm) }
+      .toDF("stage", "stage_name")
+    f.groupBy().agg(
+        array(stages.indices.map(i =>
+          sum(when(col(s"ts_$i").isNotNull, 1L).otherwise(0L))): _*).as("counts"))
+      .select(posexplode(col("counts")).as(Seq("pos", "n_users")))
+      .select((col("pos") + 1).cast("long").as("stage"), col("n_users"))
+      .join(names, "stage")
+      .select(col("stage"), col("stage_name"), col("n_users"))
+  }
+
+  /** Cohort retention: cohort = calendar day of the user's FIRST event;
+    * a user is retained at offset d if they had any event on cohort_day + d.
+    * Returns (cohort_day, day_offset, n_users) — the classic retention
+    * triangle. Two aggregates and one co-partitioned join, all on user_id.
+    */
+  def retention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val u = col(userCol)
+    val day = to_date(col(tsCol))
+    val cohort = events
+      .groupBy(u.as("user"))
+      .agg(min(day).as("cohort_day"))
+    val active = events
+      .select(u.as("user"), day.as("act_day"))
+      .distinct()
+    cohort.join(active, "user")
+      .groupBy(col("cohort_day"), datediff(col("act_day"), col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("day_offset", col("day_offset").cast("long"))
+  }
+}

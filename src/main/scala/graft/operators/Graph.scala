@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge lists — the fixed-iteration
+  * complement to [[Dedup.connectedComponents]]'s converge-until-stable
+  * pointer jumping.
+  *
+  * PageRank here is FIXED-POINT INTEGER arithmetic end to end: ranks are
+  * scaled by 1e9 and every per-iteration step is integer division + an
+  * order-free integer sum, so the result is a pure function of the graph —
+  * bit-identical across engines, partitionings, and retries. (A double-
+  * accumulated PageRank cannot be oracle-gated: float sums are
+  * order-dependent.) Truncation error is bounded by out-degree rounding,
+  * ~1e-9·deg per node per iteration — irrelevant for ranking, essential for
+  * determinism.
+  *
+  * Scale shape: each iteration is ONE equi-join of the rank vector with the
+  * edge list on src (both sides hash-partitioned on their join key) plus ONE
+  * aggregation shuffle on dst. Degrees are computed once. At 100 TB the edge
+  * list is the big side; pre-partitioning edges by src lets every iteration
+  * reuse that layout (Exchange reuse), and the rank vector — one long per
+  * node — is the only thing that moves.
+  */
+object Graph {
+
+  /** Scaled rank space: 1.0 == 1e9. */
+  val Scale = 1000000000L
+
+  /** `iters` rounds of damped PageRank (d = 0.85) over a DIRECTED edge list
+    * with no dangling nodes (callers symmetrize undirected graphs; every
+    * node must appear as a source). Returns (node, rank_scaled).
+    *
+    * r_{k+1}(v) = (0.15·Scale) div N  +  (85 · Σ_{u→v} r_k(u) div deg(u)) div 100
+    *
+    * — all `div` are truncating integer division (Spark `div` == DuckDB `//`
+    * on non-negative operands).
+    */
+  def pagerank(edges: DataFrame, srcCol: String, dstCol: String, iters: Int): DataFrame = {
+    require(iters >= 1, "pagerank needs at least one iteration")
+    val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // every node appears as a src (no dangling): nodes == distinct srcs
+    val n = deg.count()
+    val base = (Scale * 15L / 100L) / n // exact: both factors integer literals
+
+    var ranks = deg.select(col("src").as("node"), lit(Scale / n).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(deg, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("rank div deg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("inflow"))
+      ranks = contrib.select(
+        col("dst").as("node"),
+        (lit(base) + expr("85 * inflow div 100")).as("rank"))
+    }
+    ranks.select(col("node"), col("rank").as("rank_scaled"))
+  }
+}

@@ -96,4 +96,50 @@ object Layout {
       .parquet(path)
     numFiles
   }
+
+  // ------------------------------------------------------- zone-map skipping
+
+  /** Build a zone map for a parquet dataset: one row per FILE with the min
+    * and max of `keyCol` — the same metadata lakehouse formats (Delta,
+    * Iceberg) keep in their transaction log to skip files without opening
+    * them. One scan builds it (projected to the key column only); it is
+    * metadata-sized (a few values per file), so persist it next to the data
+    * and maintain it incrementally on append. */
+  def buildZoneMap(spark: org.apache.spark.sql.SparkSession, path: String,
+      keyCol: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
+        count(lit(1)).as("n_rows"))
+
+  /** Read only the files whose [min,max] zone intersects [lo,hi], then apply
+    * the residual row filter. On a range-clustered layout ([[compact]] /
+    * [[writeZOrdered]]) a selective range predicate opens a small fraction
+    * of the files; the zone map is tiny, so the pruning decision is a
+    * driver-side metadata operation — exactly how lakehouse data skipping
+    * works, built from Spark primitives. Returns (pruned reader, files
+    * kept, files total) so callers/tests can assert skipping happened. */
+  def skippingRead(
+      spark: org.apache.spark.sql.SparkSession, path: String, zoneMap: DataFrame,
+      keyCol: String, lo: Any, hi: Any): (DataFrame, Int, Int) = {
+    val zones = zoneMap.select(col("file"), col("min_key"), col("max_key")).collect()
+    val kept = zones.filter { r =>
+      val mn = r.get(1); val mx = r.get(2)
+      cmpAny(mx, lo) >= 0 && cmpAny(mn, hi) <= 0 // zone intersects [lo, hi]
+    }.map(_.getString(0))
+    val df =
+      if (kept.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(kept.toIndexedSeq: _*)
+    (df.filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi)),
+      kept.length, zones.length)
+  }
+
+  private def cmpAny(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Int, y: Int) => Integer.compare(x, y)
+    case (x: Number, y: Number) => java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+    case (x: String, y: String) => x.compareTo(y)
+    case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y)
+    case _ => throw new IllegalArgumentException(s"unsupported zone key type: $a / $b")
+  }
 }

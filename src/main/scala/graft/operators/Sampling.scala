@@ -147,6 +147,32 @@ object Sampling {
     * depends on the sum, not a row count), so each stratum sorts fully —
     * bounded by stratum size; pre-filter with [[mixWeighted]] if a stratum
     * is corpus-scale. */
+  /** Weighted sampling WITHOUT replacement, k rows, inclusion probability
+    * increasing in `weightCol`: sequential Poisson sampling (Ohlsson 1998) —
+    * rank every row by priority = hash(id) / weight ascending and keep the k
+    * smallest. Heavier rows draw proportionally smaller priorities, giving
+    * the classic pps-without-replacement approximation, and the whole draw
+    * is ONE expression + a distributed top-k (TakeOrdered — no full sort).
+    *
+    * The priority is `hash60(id) div weight` — TRUNCATING INTEGER division,
+    * so unlike the textbook u^(1/w) / -ln(u)/w keys there is no
+    * transcendental and no float: the ranking is bit-identical on every
+    * engine (DuckDB `//`), which is what lets a hash-compare oracle gate a
+    * "random" sample. Collisions (two rows truncating to the same quotient,
+    * ~2^-49 per pair in a 60-bit space) break by id.
+    *
+    * Weights must be >= 1 (caller rescales); rows with larger weight get
+    * smaller priorities ~ w times more often, matching pps intuition.
+    */
+  def weightedSample(
+      df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
+    df.withColumn("__h", graft.operators.Sketches.hash60(col(idCol)))
+      .withColumn("priority", expr(s"__h div $weightCol"))
+      .drop("__h")
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+  }
+
   def capTokenBudget(
       df: DataFrame, idCol: String, strataCol: String, costCol: String,
       budget: Long): DataFrame = {

@@ -154,6 +154,87 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  // ------------------------------------------------------------------ HLL
+
+  /** HyperLogLog parameters chosen for cross-engine exactness: m = 32
+    * buckets over a 40-bit md5-derived hash. The 40-bit space keeps every
+    * intermediate an exact BIGINT: the scaled harmonic-mean denominator
+    * Σ 2^(36-register) is at most 32·2^36 = 2^41 — integer addition is
+    * order-free, so unlike a float Σ 2^-register the sketch is bit-identical
+    * on any engine and any partitioning. */
+  private val HllM = 32          // buckets (5 index bits)
+  private val HllRestBits = 35   // 40 - 5
+  private val HllRestMask = (1L << HllRestBits) - 1
+  private val HllAlpha = 0.697   // published alpha_32 constant
+
+  /** 40-bit hash = first 10 hex chars of md5 — same as DuckDB's
+    * ('0x' || substr(md5(x), 1, 10))::BIGINT. */
+  private def hash40(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 10), 16, 10).cast("long")
+
+  /** Per-(group, bucket) max rank-of-first-set-bit — the HLL register file.
+    * rho = (leading zeros of the 35-bit rest) + 1, via bin() string length
+    * (identical semantics in Spark and DuckDB, incl. bin(0) = "0").
+    * Registers are integer MAXes: order-free, mergeable, partial-aggregated
+    * map-side like any algebraic aggregate — the sketch state is at most
+    * m = 32 small longs per group no matter the cardinality. */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    val h = hash40(col(valueCol))
+    val rest = h.bitwiseAND(lit(HllRestMask))
+    val rho = when(rest === 0, lit(HllRestBits + 1))
+      .otherwise(lit(HllRestBits + 1) - length(bin(rest)))
+    df.select((groupCols.map(col) :+ shiftright(h, HllRestBits).as("bucket")
+      :+ rho.cast("long").as("rho")): _*)
+      .groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(max(col("rho")).as("register"))
+  }
+
+  /** Collapse a register file to the HLL estimate. All arithmetic before the
+    * single final division is exact BIGINT; the raw estimate applies the
+    * standard small-range (linear counting) correction. The estimate is
+    * quantized to 1e-6 so the one transcendental (ln in the linear-counting
+    * branch) cannot surface a sub-ulp libm difference in the hash compare. */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val scaledTerm = expr(
+      s"shiftleft(CAST(1 AS BIGINT), CAST(${HllRestBits + 1} - register AS INT))")
+    val scaleF = (1L << (HllRestBits + 1)).toDouble
+    registers
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(scaledTerm).as("s_present"), count(lit(1)).as("v_filled"))
+      // empty buckets contribute 2^-0 = 1 → 2^36 scaled
+      .withColumn("s_scaled",
+        col("s_present") + (lit(HllM.toLong) - col("v_filled")) * (1L << (HllRestBits + 1)))
+      .withColumn("est_distinct", {
+        val empty = lit(HllM.toLong) - col("v_filled")
+        val raw = lit(HllAlpha * HllM * HllM * scaleF) / col("s_scaled").cast("double")
+        val corrected = when(raw <= lit(2.5 * HllM) && empty > 0,
+          lit(HllM.toDouble) * log(lit(HllM.toDouble) / empty.cast("double"))).otherwise(raw)
+        floor(corrected * 1e6 + lit(0.5)) / 1e6
+      })
+      .select((groupCols.map(col) :+ col("v_filled") :+ col("s_scaled") :+ col("est_distinct")): _*)
+  }
+
+  /** Per-group HLL distinct estimate: build registers, collapse. One
+    * map-side-combined aggregation end to end. */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
+    hllEstimate(hllRegisters(df, groupCols, valueCol), groupCols)
+
+  /** Rollup of STORED register files into coarser groups. Register max is
+    * associative, so merging fine-grained sketches is lossless — the rolled-
+    * up estimate is bit-identical to sketching the coarse group directly
+    * (shares the direct oracle, like [[kmvRollup]]). At 100 TB this turns
+    * source→corpus / day→month distinct-count rollups into metadata-sized
+    * jobs over m longs per fine group. */
+  def hllRollup(
+      df: DataFrame, fineCols: Seq[String], coarseCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val fine = hllRegisters(df, fineCols, valueCol)
+    val merged = fine
+      .groupBy((coarseCols.map(col) :+ col("bucket")): _*)
+      .agg(max(col("register")).as("register"))
+    hllEstimate(merged, coarseCols)
+  }
+
   def kmvRollup(
       df: DataFrame, fineCols: Seq[String], coarseCols: Seq[String],
       valueCol: String, k: Int): DataFrame = {

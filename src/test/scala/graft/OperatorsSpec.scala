@@ -447,4 +447,109 @@ class OperatorsSpec extends SparkSuite {
     val self = sample.select(VectorFns.cosine($"embedding", $"embedding").as("c"))
     assert(self.collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
   }
+
+  test("hll: estimate within sketch error of truth; rollup bit-equal to direct") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val est = Sketches.hllDistinct(li, Seq("l_returnflag"), "l_partkey")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val tru = li.groupBy($"l_returnflag").agg(countDistinct($"l_partkey").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // m = 32 gives ~1.04/sqrt(32) ~ 18% standard error; accept 3 sigma
+    tru.foreach { case (k, d) =>
+      assert(math.abs(est(k) - d) / d < 0.55, s"$k: est ${est(k)} vs true $d") }
+    // lossless rollup: merging per-(flag,status) registers == direct sketch
+    val direct = Sketches.hllDistinct(li, Seq("l_returnflag"), "l_partkey")
+      .orderBy("l_returnflag").collect().toSeq
+    val rolled = Sketches.hllRollup(li, Seq("l_returnflag", "l_linestatus"),
+      Seq("l_returnflag"), "l_partkey").orderBy("l_returnflag").collect().toSeq
+    assert(direct == rolled)
+  }
+
+  test("hll: tiny cardinality takes the linear-counting branch and stays near-exact") {
+    val tiny = (1 to 12).map(i => ("g", i)).toDF("g", "v")
+    val r = Sketches.hllDistinct(tiny, Seq("g"), "v").collect().head
+    val est = r.getDouble(3)
+    assert(r.getLong(1) <= 12) // at most 12 filled buckets
+    assert(est > 6 && est < 25, s"linear-counting estimate off: $est")
+  }
+
+  test("pagerank: mass conserved within truncation, hubs outrank leaves, deterministic") {
+    // star + chain: hub 0 <-> {2,4,6,8}, plus 10 <-> 2 (symmetrized)
+    val edges = Seq((0L, 2L), (2L, 0L), (0L, 4L), (4L, 0L), (0L, 6L), (6L, 0L),
+      (0L, 8L), (8L, 0L), (10L, 2L), (2L, 10L)).toDF("src", "dst")
+    val r = Graph.pagerank(edges, "src", "dst", iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.size == 6)
+    // total mass ~ Scale, lost only to integer truncation
+    val total = r.values.sum
+    assert(total <= Graph.Scale && total > (Graph.Scale * 95) / 100, s"mass $total")
+    // the degree-4 hub outranks every leaf; leaves {4,6,8} are symmetric
+    assert(r(0L) > r(4L) && r(0L) > r(10L))
+    assert(r(4L) == r(6L) && r(6L) == r(8L))
+    val r2 = Graph.pagerank(edges, "src", "dst", iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == r2)
+  }
+
+  test("funnel: strict ordering honored, broken sequences keep their row") {
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val ev = Seq(
+      (1L, "view", ts(0)), (1L, "click", ts(1)), (1L, "purchase", ts(2)), // full
+      (2L, "view", ts(0)), (2L, "click", ts(1)),                          // no purchase
+      (3L, "click", ts(0)), (3L, "view", ts(1)),                          // click BEFORE view
+      (4L, "purchase", ts(0)), (4L, "view", ts(1)), (4L, "click", ts(2)), // purchase too early
+      (5L, "click", ts(0))                                                // never viewed
+    ).toDF("user_id", "event_type", "ts")
+    val f = Behavior.funnel(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(f == Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 2L)) // 5 absent: no view
+    val s = Behavior.funnelSummary(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(s == Map(1L -> 4L, 2L -> 3L, 3L -> 1L))
+  }
+
+  test("retention: cohort day = first event; offsets count distinct active days") {
+    import java.sql.Timestamp
+    def ts(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-${d}%02d $h%02d:00:00")
+    val ev = Seq(
+      (1L, ts(1, 10)), (1L, ts(1, 20)), (1L, ts(3, 5)), // cohort d1, offsets 0,2
+      (2L, ts(2, 1)), (2L, ts(3, 1))                     // cohort d2, offsets 0,1
+    ).toDF("user_id", "ts")
+    val r = Behavior.retention(ev, "user_id", "ts")
+      .collect().map(x => (x.getDate(0).toString, x.getLong(1)) -> x.getLong(2)).toMap
+    assert(r == Map(("2024-01-01", 0L) -> 1L, ("2024-01-01", 2L) -> 1L,
+      ("2024-01-02", 0L) -> 1L, ("2024-01-02", 1L) -> 1L))
+  }
+
+  test("weighted sample: deterministic, k rows, heavy rows overrepresented") {
+    val s1 = Sampling.weightedSample(docs, "doc_id", "n_chars", 50)
+      .select($"doc_id").collect().map(_.getLong(0)).toSeq
+    val s2 = Sampling.weightedSample(docs, "doc_id", "n_chars", 50)
+      .select($"doc_id").collect().map(_.getLong(0)).toSeq
+    assert(s1 == s2 && s1.size == 50)
+    // pps pull: mean weight in the sample exceeds the corpus mean
+    val sampleMean = docs.filter($"doc_id".isin(s1: _*))
+      .agg(avg($"n_chars")).head().getDouble(0)
+    val corpusMean = docs.agg(avg($"n_chars")).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean should exceed corpus mean $corpusMean")
+  }
+
+  test("zone-map skipping prunes files and returns exactly the filtered rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("zonemap").toString
+    Layout.compact(docs, tmp, "doc_id", 20L)
+    val zm = Layout.buildZoneMap(spark, tmp, "doc_id")
+    val (pruned, kept, total) = Layout.skippingRead(spark, tmp, zm, "doc_id", 40L, 80L)
+    assert(total >= 5, s"expected several files, got $total")
+    assert(kept < total, s"no pruning: kept $kept of $total")
+    val expect = docs.filter($"doc_id" >= 40 && $"doc_id" <= 80)
+      .orderBy("doc_id").collect().toSeq
+    assert(pruned.orderBy("doc_id").collect().toSeq == expect)
+    // empty-intersection range reads zero files
+    val (none, kept0, _) = Layout.skippingRead(spark, tmp, zm, "doc_id", -100L, -50L)
+    assert(kept0 == 0 && none.count() == 0)
+  }
 }
