@@ -278,6 +278,19 @@ object SparkEntry {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    "q21_hourly_distinct_stream" -> ((s, dir) => {
+      // windowed COUNT DISTINCT as a STREAMING HLL sketch: per-hour distinct
+      // users estimated from a 32-long register file per window — bounded
+      // state under the watermark no matter the cardinality; the register
+      // Aggregator + shared finalize make stream == batch == DuckDB oracle
+      graft.streaming.EventStream
+        .runHourlyDistinctOverRawEvents(s, s"$dir/events.parquet", s"hll_${System.nanoTime()}")
+        .withColumn("hour", col("window_start"))
+        .drop("window_start")
+        .select(col("hour"), col("v_filled"), col("s_scaled"), col("est_distinct"))
+        .orderBy(col("hour"))
+    }),
+
     "q12_rollup_order_stats" -> ((s, dir) => {
       t(s, dir, "orders")
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
@@ -726,6 +739,43 @@ object SparkEntry {
         // DATE surfaces as python-object in the compare; timestamp is typed
         .withColumn("cohort_day", col("cohort_day").cast("timestamp"))
         .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
+    "events_rolling_7d" -> ((s, dir) => {
+      // trailing-7-day activity features per user-day: daily aggregate
+      // first, RANGE-frame window over the collapsed rows second
+      graft.operators.Behavior.rollingDaily(
+        events(s, dir), "user_id", "ts", cents(col("value")), windowDays = 7)
+        .select(col("user").as("user_id"), col("day"), col("n_events"),
+          col("value_cents"), col("n_events_window"), col("value_cents_window"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
+    "corpus_upsert" -> ((s, dir) => {
+      // MERGE-style incremental maintenance: every 10th doc re-scored (text
+      // revised), every 17th taken down, 20 new docs appended — one
+      // anti-join + union, the lakehouse copy-on-write write path
+      val docs = t(s, dir, "documents")
+      val mods = docs
+        .filter(col("doc_id") % 17 === 0 || col("doc_id") % 10 === 0)
+        .withColumn("op", when(col("doc_id") % 17 === 0, lit("delete")).otherwise(lit("upsert")))
+        .withColumn("text",
+          when(col("op") === "upsert", concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      val ins = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("new "), col("text")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .withColumn("op", lit("upsert"))
+      graft.operators.Upsert.mergeUpsert(docs, mods.unionByName(ins), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    "emb_kmeans_refine" -> ((s, dir) => {
+      // one Lloyd step over the deterministic IVF seeding: integer-mean
+      // centroids keep even the TRAINED assignment oracle-exact
+      graft.operators.Similarity.kmeansRefine(
+        spread(t(s, dir, "embeddings")), "vec_id", "embedding")
+        .orderBy(col("vec_id"))
     }),
 
     "sample_weighted" -> ((s, dir) => {
@@ -1249,6 +1299,100 @@ object SparkEntry {
         |  count(*) AS n_users
         |FROM c JOIN a USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // streaming HLL: same register/estimate math as sketch_hll_distinct but
+    // per event-hour over user_id
+    "q21_hourly_distinct_stream" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS hour,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 10))::BIGINT AS hv
+        |  FROM events
+        |), reg AS (
+        |  SELECT hour, hv >> 35 AS bucket,
+        |    max(CASE WHEN (hv & 34359738367) = 0 THEN 36
+        |             ELSE 36 - length(bin(hv & 34359738367)) END) AS register
+        |  FROM h GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT hour, count(*) AS v_filled,
+        |    CAST(sum(CAST(1 AS BIGINT) << CAST(36 - register AS INT)) AS BIGINT)
+        |      + (32 - count(*)) * 68719476736 AS s_scaled
+        |  FROM reg GROUP BY 1
+        |)
+        |SELECT hour, CAST(v_filled AS BIGINT) AS v_filled,
+        |  CAST(s_scaled AS BIGINT) AS s_scaled,
+        |  floor((CASE WHEN 0.697 * 1024 * 68719476736 / s_scaled <= 80.0 AND v_filled < 32
+        |              THEN 32.0 * ln(32.0 / CAST(32 - v_filled AS DOUBLE))
+        |              ELSE 0.697 * 1024 * 68719476736 / s_scaled END) * 1e6 + 0.5) / 1e6
+        |    AS est_distinct
+        |FROM agg ORDER BY hour""".stripMargin,
+
+    "events_rolling_7d" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events,
+        |    CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT user_id, CAST(day AS TIMESTAMP) AS day, n_events, value_cents,
+        |  CAST(sum(n_events) OVER w AS BIGINT) AS n_events_window,
+        |  CAST(sum(value_cents) OVER w AS BIGINT) AS value_cents_window
+        |FROM daily
+        |WINDOW w AS (PARTITION BY user_id ORDER BY day - DATE '1970-01-01'
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, day""".stripMargin,
+
+    "corpus_upsert" ->
+      """WITH changes AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 0 THEN text ELSE text || ' v2' END AS text,
+        |    lang, source, n_chars,
+        |    CASE WHEN doc_id % 17 = 0 THEN 'delete' ELSE 'upsert' END AS op
+        |  FROM documents WHERE doc_id % 17 = 0 OR doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, 'new ' || text, lang, source, n_chars, 'upsert'
+        |  FROM documents WHERE doc_id < 20
+        |)
+        |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM changes)
+        |UNION ALL
+        |SELECT doc_id, text, lang, source, n_chars FROM changes WHERE op = 'upsert'
+        |ORDER BY doc_id""".stripMargin,
+
+    // one Lloyd refinement step: initial cells from the md5 centroids (same
+    // CTEs as knn_ivf), new centroids = per-(cell, dim) truncating integer
+    // mean, re-assignment by max dot (ties to the smaller cell id)
+    "emb_kmeans_refine" ->
+      """WITH w AS (
+        |  SELECT c.range AS c, d.range AS d,
+        |    ('0x' || substr(md5('ivf:42:' || c.range || ':' || d.range), 1, 15))::BIGINT % 2001 - 1000 AS wt
+        |  FROM range(0, 16) c, range(0, 64) d
+        |), q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), dots0 AS (
+        |  SELECT q.vec_id, w.c, sum(w.wt * q.qv[w.d + 1]) AS dot
+        |  FROM q CROSS JOIN w GROUP BY 1, 2
+        |), a0 AS (
+        |  SELECT vec_id, c AS cell0 FROM (
+        |    SELECT vec_id, c,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS rn
+        |    FROM dots0) WHERE rn = 1
+        |), cent AS (
+        |  SELECT a0.cell0 AS cell, d.range AS d,
+        |    CAST(sum(q.qv[d.range + 1]) AS BIGINT) // count(*) AS wt
+        |  FROM q JOIN a0 USING (vec_id) CROSS JOIN range(0, 64) d
+        |  GROUP BY 1, 2
+        |), dots1 AS (
+        |  SELECT q.vec_id, cent.cell AS c, sum(cent.wt * q.qv[cent.d + 1]) AS dot
+        |  FROM q CROSS JOIN cent GROUP BY 1, 2
+        |), a1 AS (
+        |  SELECT vec_id, c AS cell1 FROM (
+        |    SELECT vec_id, c,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS rn
+        |    FROM dots1) WHERE rn = 1
+        |)
+        |SELECT a0.vec_id, CAST(a0.cell0 AS BIGINT) AS cell_init,
+        |  CAST(a1.cell1 AS BIGINT) AS cell_refined
+        |FROM a0 JOIN a1 USING (vec_id) ORDER BY vec_id""".stripMargin,
 
     // sequential Poisson sampling: integer priorities (hash div weight) make
     // the weighted draw itself hash-comparable

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Event-sequence analytics over an event log — classic OLAP surface
@@ -62,6 +62,35 @@ object Behavior {
       .select((col("pos") + 1).cast("long").as("stage"), col("n_users"))
       .join(names, "stage")
       .select(col("stage"), col("stage_name"), col("n_users"))
+  }
+
+  /** Per-(user, day) activity with TRAILING-WINDOW rollups: event count and
+    * summed value for the day, plus the running `windowDays`-day totals — the
+    * standard feature-engineering shape ("7-day activity") for churn/usage
+    * models. `valueCents` must already be an exact integer measure (cents) so
+    * the windowed sums are order-free.
+    *
+    * Plan: one groupBy(user, day) aggregate collapses the log to at most one
+    * row per user-day BEFORE the window (the window then slides over tiny
+    * per-user partitions, never raw events), with a RANGE frame on the
+    * integer day number — no self-join, no explode of the window. */
+  def rollingDaily(
+      events: DataFrame, userCol: String, tsCol: String, valueCents: Column,
+      windowDays: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = col(userCol)
+    val daily = events
+      .groupBy(u.as("user"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"), sum(valueCents).as("value_cents"))
+      .withColumn("day_num", datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+    val w = Window.partitionBy(col("user")).orderBy(col("day_num"))
+      .rangeBetween(-(windowDays - 1).toLong, 0L)
+    daily
+      .withColumn("n_events_window", sum(col("n_events")).over(w))
+      .withColumn("value_cents_window", sum(col("value_cents")).over(w))
+      .select(col("user"), col("day").cast("timestamp").as("day"),
+        col("n_events"), col("value_cents"),
+        col("n_events_window"), col("value_cents_window"))
   }
 
   /** Cohort retention: cohort = calendar day of the user's FIRST event;

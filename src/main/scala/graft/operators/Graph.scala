@@ -39,17 +39,25 @@ object Graph {
     */
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String, iters: Int): DataFrame = {
     require(iters >= 1, "pagerank needs at least one iteration")
-    val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    // Persist the edge list WITH degrees attached: every iteration re-reads
+    // it, and without the persist each of the k iterations replays the whole
+    // upstream lineage (source scan + distinct) — measured 3x the scan cost
+    // at 3 iterations. One degree join here instead of one per iteration.
+    // Stays cached for the caller's lifetime like connectedComponents'
+    // labels (documented residual; metadata-sized relative to the input).
+    val e0 = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val e = e0.join(deg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // every node appears as a src (no dangling): nodes == distinct srcs
     val n = deg.count()
     val base = (Scale * 15L / 100L) / n // exact: both factors integer literals
 
-    var ranks = deg.select(col("src").as("node"), lit(Scale / n).as("rank"))
+    var ranks = e.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(Scale / n).as("rank"))
     for (_ <- 1 to iters) {
       val contrib = e
-        .join(deg, "src")
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst"), expr("rank div deg").as("c"))
         .groupBy(col("dst"))

@@ -252,6 +252,57 @@ object Similarity {
       .select(col("anchor_id"), col("rank"), col("neg_id"))
   }
 
+  /** One-or-more Lloyd refinement steps over the deterministic IVF seeding:
+    * assign every vector to its max-dot cell, recompute each non-empty
+    * cell's centroid as the ELEMENT-WISE TRUNCATING INTEGER MEAN of its
+    * member vectors (quantized 1e-6 ints — sum div count per dimension),
+    * re-assign against the refined centroids. Integer means make the
+    * trained centroids — normally the classic source of float-accumulation
+    * nondeterminism in distributed k-means — a pure function of the data,
+    * so even the TRAINING step is oracle-checkable.
+    *
+    * Scale shape per iteration: one posexplode shuffle keyed (cell, dim)
+    * with map-side partial sums (the standard distributed-Lloyd shape), then
+    * centroids collect to the driver — k·d longs, centroids are by
+    * definition broadcast-sized — and re-assignment is a scan-speed
+    * projection against literal arrays. Returns (id, cell_init,
+    * cell_refined) plus the per-row refined dot for downstream ranking. */
+  def kmeansRefine(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cells: Int = 16, seed: Long = 42L, dims: Int = 64, iters: Int = 1): DataFrame = {
+    require(iters >= 1)
+    val base = corpus.select(col(idCol), VectorFns.quantize(col(vecCol)).as("qv"))
+      .withColumn("cell_init", cellOf(col("qv"), cells, seed, dims))
+    var assigned = base.withColumn("cell", col("cell_init"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 1 to iters) {
+      // distributed Lloyd update: per-(cell, dim) integer mean
+      val cent = assigned
+        .select(col("cell"), posexplode(col("qv")).as(Seq("d", "x")))
+        .groupBy(col("cell"), col("d"))
+        .agg(expr("sum(x) div count(1)").as("wt"))
+        .groupBy(col("cell"))
+        .agg(map_from_arrays(collect_list(col("d")), collect_list(col("wt"))).as("m"))
+        .collect()
+        .map { r =>
+          val m = r.getMap[Int, Long](1)
+          r.getLong(0) -> (0 until dims).map(m(_)).toArray
+        }.sortBy(_._1)
+      // re-assign against the refined centroids (literal arrays, scan-speed)
+      val keyed = array(cent.map { case (c, w) =>
+        struct((-VectorFns.dotQ(col("qv"), array(w.map(lit(_)): _*))).as("negdot"),
+          lit(c).as("cell"))
+      }: _*)
+      val next = base
+        .withColumn("cell", element_at(array_sort(keyed), 1).getField("cell"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      assigned.unpersist()
+      assigned = next
+    }
+    val out = assigned.select(col(idCol), col("cell_init"), col("cell").as("cell_refined"))
+    out
+  }
+
   /** ANN via LSH bucketing: compare only within matching signatures.
     * Multi-probe would raise recall further; here signature equality is the
     * bucket key (an equi-join — shuffle on the bucket, never a cross join). */

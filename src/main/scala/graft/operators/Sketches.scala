@@ -169,7 +169,7 @@ object Sketches {
 
   /** 40-bit hash = first 10 hex chars of md5 — same as DuckDB's
     * ('0x' || substr(md5(x), 1, 10))::BIGINT. */
-  private def hash40(c: Column): Column =
+  private[graft] def hash40(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 10), 16, 10).cast("long")
 
   /** Per-(group, bucket) max rank-of-first-set-bit — the HLL register file.
@@ -218,6 +218,56 @@ object Sketches {
     * map-side-combined aggregation end to end. */
   def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
     hllEstimate(hllRegisters(df, groupCols, valueCol), groupCols)
+
+  /** The register file as a single custom `Aggregator` (state = one array of
+    * m longs): the form STRUCTURED STREAMING needs — a streaming query allows
+    * exactly ONE aggregation, so the two-level groupBy of [[hllRegisters]] +
+    * [[hllEstimate]] cannot run on a stream, but group→udaf→projection can.
+    * Same math, bit-identical output; per-window state is m longs regardless
+    * of cardinality, which is the whole point of sketches under watermarked
+    * windows. */
+  final class HllRegisterAgg extends Aggregator[Long, Array[Long], Array[Long]] {
+    override def zero: Array[Long] = new Array[Long](HllM)
+    override def reduce(b: Array[Long], h: Long): Array[Long] = {
+      val bucket = (h >>> HllRestBits).toInt
+      val rest = h & HllRestMask
+      val rho = HllRestBits + 1 - (if (rest == 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(rest))
+      if (rho > b(bucket)) b(bucket) = rho.toLong
+      b
+    }
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < HllM) { if (b2(i) > b1(i)) b1(i) = b2(i); i += 1 }
+      b1
+    }
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder = ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Post-aggregation projection collapsing a register ARRAY column (from
+    * [[HllRegisterAgg]]) to the same (v_filled, s_scaled, est_distinct)
+    * triple as [[hllEstimate]] — bit-identical by construction, pinned by
+    * spec. HOF lambdas run per OUTPUT row over m elements: interpreted
+    * evaluation is irrelevant at that cardinality. */
+  def hllFinalize(df: DataFrame, regsCol: String): DataFrame = {
+    val emptyTerm = 1L << (HllRestBits + 1)
+    df
+      .withColumn("v_filled",
+        expr(s"CAST(size(filter($regsCol, r -> r > 0)) AS BIGINT)"))
+      .withColumn("s_scaled",
+        expr(s"""aggregate($regsCol, CAST(0 AS BIGINT), (acc, r) -> acc +
+                |  CASE WHEN r > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(${HllRestBits + 1} - r AS INT))
+                |       ELSE CAST($emptyTerm AS BIGINT) END)""".stripMargin))
+      .withColumn("est_distinct", {
+        val empty = lit(HllM.toLong) - col("v_filled")
+        val raw = lit(HllAlpha * HllM * HllM * emptyTerm.toDouble) / col("s_scaled").cast("double")
+        val corrected = when(raw <= lit(2.5 * HllM) && empty > 0,
+          lit(HllM.toDouble) * log(lit(HllM.toDouble) / empty.cast("double"))).otherwise(raw)
+        floor(corrected * 1e6 + lit(0.5)) / 1e6
+      })
+      .drop(regsCol)
+  }
 
   /** Rollup of STORED register files into coarser groups. Register max is
     * associative, so merging fine-grained sketches is lossless — the rolled-

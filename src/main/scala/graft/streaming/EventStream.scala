@@ -83,6 +83,35 @@ object EventStream {
     * microseconds in-stream — no temp rewrite of the source. At scale this
     * matters: re-materializing the input to change a timestamp unit would
     * double the IO of every backfill. */
+  /** Hourly DISTINCT-USER estimates as a streaming HLL sketch: one
+    * watermarked window aggregation whose state per window is m = 32 longs
+    * (the register file) no matter how many users appear — the sketch shape
+    * that keeps windowed COUNT DISTINCT bounded-state at 100 TB. Uses the
+    * single-Aggregator register form ([[graft.operators.Sketches.HllRegisterAgg]])
+    * because streaming allows exactly one aggregation; the finalize
+    * projection is shared with the batch sketch, so stream == batch ==
+    * DuckDB oracle bit-for-bit. */
+  def hourlyDistinctUsers(events: DataFrame): DataFrame = {
+    val hll = udaf(new graft.operators.Sketches.HllRegisterAgg)
+    val agg = events
+      .withWatermark("ts", "1 hour")
+      .withColumn("h", graft.operators.Sketches.hash40(col("user_id")))
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(hll(col("h")).as("regs"))
+    graft.operators.Sketches.hllFinalize(agg, "regs")
+      .select(col("w.start").as("window_start"),
+        col("v_filled"), col("s_scaled"), col("est_distinct"))
+  }
+
+  /** Streaming drive of [[hourlyDistinctUsers]] directly over the raw
+    * TIMESTAMP(NANOS) parquet (same harness as [[runHourlyOverRawEvents]]). */
+  def runHourlyDistinctOverRawEvents(spark: SparkSession, path: String, name: String): DataFrame = {
+    val s2 = statePinnedSession(spark)
+    val stream = s2.readStream.schema(NanosEventSchema).parquet(anchoredGlob(s2, path))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    drainToMemory(hourlyDistinctUsers(stream), name)
+  }
+
   def runHourlyOverRawEvents(spark: SparkSession, path: String, name: String): DataFrame = {
     // isolated child session pins stateful-operator parallelism to the
     // (tiny) state volume — see runAttributionOverRawEvents

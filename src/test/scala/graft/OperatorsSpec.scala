@@ -538,6 +538,41 @@ class OperatorsSpec extends SparkSuite {
       s"weighted sample mean $sampleMean should exceed corpus mean $corpusMean")
   }
 
+  test("rollingDaily: range frame counts gap days correctly") {
+    import java.sql.Timestamp
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // days 1, 2, 9: the 7-day window at day 9 must NOT reach days 1-2
+    val ev = Seq((1L, ts(1), 100L), (1L, ts(2), 100L), (1L, ts(9), 100L))
+      .toDF("user_id", "ts", "cents")
+    val r = Behavior.rollingDaily(ev, "user_id", "ts", $"cents", 7)
+      .orderBy("day").collect()
+    assert(r.map(_.getLong(4)).toSeq == Seq(1L, 2L, 1L)) // n_events_window
+    assert(r.map(_.getLong(5)).toSeq == Seq(100L, 200L, 100L))
+  }
+
+  test("mergeUpsert: deletes removed, updates applied, inserts appended") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val changes = Seq((2L, "B", "upsert"), (3L, "c", "delete"), (4L, "d", "upsert"))
+      .toDF("id", "v", "op")
+    val r = Upsert.mergeUpsert(base, changes, "id")
+      .orderBy("id").collect().map(x => (x.getLong(0), x.getString(1))).toSeq
+    assert(r == Seq((1L, "a"), (2L, "B"), (4L, "d")))
+  }
+
+  test("kmeansRefine: deterministic, twins co-assigned, refinement non-trivial") {
+    val twin = embs.filter($"vec_id" === 7)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding", $"label")
+    val d = embs.select($"vec_id", $"embedding", $"label").union(twin)
+    val r1 = Similarity.kmeansRefine(d, "vec_id", "embedding")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    val r2 = Similarity.kmeansRefine(d, "vec_id", "embedding")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r1 == r2 && r1.size == d.count())
+    assert(r1(7L) == r1(100007L)) // identical vectors: same init and refined cell
+    // Lloyd moved something (data-dependent centroids differ from seeding)
+    assert(r1.exists { case (_, (i, f)) => i != f })
+  }
+
   test("zone-map skipping prunes files and returns exactly the filtered rows") {
     val tmp = java.nio.file.Files.createTempDirectory("zonemap").toString
     Layout.compact(docs, tmp, "doc_id", 20L)

@@ -24,6 +24,18 @@ class StreamingSpec extends SparkSuite {
     assert(batch == stream)
   }
 
+  test("streaming HLL distinct-users equals the batch register/finalize path") {
+    val raw = "/root/testdata/sf0.001/events.parquet"
+    val batch = EventStream.hourlyDistinctUsers(EventStream.rawEvents(spark, raw))
+      .orderBy("window_start").collect().toSeq
+    val stream = EventStream.runHourlyDistinctOverRawEvents(spark, raw, "hll_parity_test")
+      .orderBy("window_start").collect().toSeq
+    assert(batch.nonEmpty)
+    assert(batch == stream)
+    // per-window state really is bounded: v_filled can never exceed m = 32
+    assert(batch.forall(_.getLong(1) <= 32L))
+  }
+
   test("sessionizeByGap: micros precision, inclusive gap boundary, raw-stream parity") {
     val g = 30L * 60 * 1000000 // 30 min in micros
     val ev = Seq(
