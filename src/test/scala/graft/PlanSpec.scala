@@ -302,4 +302,45 @@ class PlanSpec extends SparkSuite {
     assert(touched * 2 <= nFiles, s"box query touched $touched of $nFiles files")
     back.unpersist()
   }
+
+  test("pagerank iterations are equi-joins over the persisted edge relation") {
+    val p = plan(SparkEntry.queries("graph_pagerank")(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the edge+degree relation is read from cache, not recomputed per iteration
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
+  test("funnel stages join on the user key only — no cartesian, type filters pushed") {
+    val p = plan(SparkEntry.queries("funnel_stages")(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // each stage's event_type filter reaches the scan
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,view)")
+      || p.contains("EqualTo(event_type,view)"), p)
+  }
+
+  test("rollingDaily: window slides over the collapsed daily aggregate, not raw events") {
+    val df = SparkEntry.queries("events_rolling_7d")(spark, sfDir)
+    val p = plan(df)
+    // exactly one aggregate below the window (count+sum fused), window above
+    assert(p.contains("Window"), p)
+    val aggIdx = p.indexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0, p)
+    // no self-join / range explode: a single scan of events feeds the plan
+    assert(!p.contains("Join"), s"rolling window must not self-join:\n$p")
+  }
+
+  test("mergeUpsert: change keys broadcast against the base (anti-join), no shuffle of base") {
+    val p = plan(SparkEntry.queries("corpus_upsert")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") && p.toLowerCase.contains("leftanti"), p)
+  }
+
+  test("streaming HLL register file: single aggregation, hash partitioned by window") {
+    val raw = graft.streaming.EventStream.rawEvents(spark, s"$sfDir/events.parquet")
+    val p = plan(graft.streaming.EventStream.hourlyDistinctUsers(raw))
+    // ObjectHashAggregate (udaf) with a partial_ pass before the exchange:
+    // the register file combines map-side like any algebraic aggregate
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_"), p)
+  }
 }
