@@ -838,6 +838,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "text_lm_score" -> ((s, dir) => {
+      // unigram LM corpus-fit (perplexity-style quality signal): per-term
+      // bits quantized to 1e-6 before the order-free per-doc integer sum
+      TextAnalysis.lmFitScore(spread(t(s, dir, "documents")), "doc_id", "text")
+        .select(col("doc_id"), col("dl"), col("nll_scaled"), col("avg_nll"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_fingerprint" -> ((s, dir) => {
       TextAnalysis.withFingerprint(spread(t(s, dir, "documents")), "doc_id", "text")
         .orderBy(col("doc_id"))
@@ -1325,6 +1333,28 @@ object SparkEntry {
         |              ELSE 0.697 * 1024 * 68719476736 / s_scaled END) * 1e6 + 0.5) / 1e6
         |    AS est_distinct
         |FROM agg ORDER BY hour""".stripMargin,
+
+    "text_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+        |), vocab AS (
+        |  SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS t FROM vocab
+        |), q AS (
+        |  SELECT term,
+        |    CAST(floor(ln(CAST((SELECT t FROM tot) AS DOUBLE) / cnt) * 1e6 + 0.5) AS BIGINT) AS qv
+        |  FROM vocab
+        |), d AS (
+        |  SELECT tf.doc_id, CAST(sum(tf.tf * q.qv) AS BIGINT) AS nll_scaled,
+        |    CAST(sum(tf.tf) AS BIGINT) AS dl
+        |  FROM tf JOIN q USING (term) GROUP BY 1
+        |)
+        |SELECT doc_id, dl, nll_scaled, CAST(nll_scaled AS DOUBLE) / 1e6 / dl AS avg_nll
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "events_rolling_7d" ->
       """WITH daily AS (

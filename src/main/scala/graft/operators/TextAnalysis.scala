@@ -141,6 +141,39 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"))
   }
 
+  /** Unigram LM corpus-fit score (the CCNet-style quality/outlier filter):
+    * train a unigram model ON the corpus itself — term counts over total
+    * tokens — and score every document by its average negative log
+    * likelihood under that model. Common, fluent text scores low; gibberish,
+    * boilerplate-of-rare-tokens and off-domain docs score high, giving the
+    * classic perplexity-band curation signal next to [[withQuality]]'s
+    * heuristics and [[qualityBand]]'s distribution filter.
+    *
+    * Cross-engine exactness: per-TERM bits ln(T/cnt_t) are quantized to 1e-6
+    * integers BEFORE the per-document Σ tf·q — the same order-free-integer-
+    * sum pattern as BM25 — and the final average is one division chain on
+    * identical operands. No smoothing is needed: every scored token exists
+    * in the vocabulary it was trained from.
+    *
+    * Scale shape: one (doc, term) tf aggregation (map-side combined), a
+    * vocabulary-sized broadcast join, one per-doc aggregation. The model
+    * "training" is itself just the vocabulary aggregate — at 100 TB train on
+    * a hash sample ([[Sampling.mixWeighted]]) and broadcast the vocab. */
+  def lmFitScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), explode(TextFns.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val tot = vocab.agg(sum(col("cnt")).as("t"))
+    val q = vocab.crossJoin(broadcast(tot))
+      .select(col("term"),
+        floor(log(col("t").cast("double") / col("cnt")) * 1e6 + lit(0.5))
+          .cast("long").as("qv"))
+    tf.join(broadcast(q), "term")
+      .groupBy(col(idCol))
+      .agg(sum(col("tf") * col("qv")).as("nll_scaled"), sum(col("tf")).as("dl"))
+      .withColumn("avg_nll", col("nll_scaled").cast("double") / 1e6 / col("dl"))
+  }
+
   /** BM25 ranked retrieval: top-k documents for a bag-of-terms query —
     * the classic lexical search scorer (Robertson/Walker Okapi BM25,
     * k1 = 1.2, b = 0.75) that backs retrieval/RAG source selection over a

@@ -538,6 +538,18 @@ class OperatorsSpec extends SparkSuite {
       s"weighted sample mean $sampleMean should exceed corpus mean $corpusMean")
   }
 
+  test("lmFitScore: frequent-token docs score lower than rare-token docs") {
+    val corpus = Seq(
+      (1L, "the the the the the the the the"),
+      (2L, "the cat sat on the mat"),
+      (3L, "zyzzyva qoph")).toDF("doc_id", "text")
+    val r = TextAnalysis.lmFitScore(corpus, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(r(1L) < r(2L) && r(2L) < r(3L), r.toString)
+    // avg_nll is an average of per-token bits: non-negative, finite
+    assert(r.values.forall(v => v >= 0 && !v.isNaN && !v.isInfinite))
+  }
+
   test("rollingDaily: range frame counts gap days correctly") {
     import java.sql.Timestamp
     def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
