@@ -681,6 +681,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "layout_bloom_skipping" -> ((s, dir) => {
+      // per-file Bloom index: the EQUALITY complement to the zone map —
+      // cluster by source, then an equality probe opens only the files whose
+      // bloom contains the probe bits (false positives re-filtered exactly)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_bloom_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.operators.Layout.compact(t(s, dir, "documents"), tmp, "source", 50L)
+      val idx = graft.operators.Layout.buildBloomIndex(s, tmp, "source")
+      val (pruned, _, _) = graft.operators.Layout.bloomSkippingRead(
+        s, tmp, idx, "source", "src7")
+      pruned.select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     "sketch_hll_distinct" -> ((s, dir) => {
       // deterministic HyperLogLog (m=32 over a 40-bit md5 hash): integer
       // registers and an integer-scaled harmonic mean make the ESTIMATE
@@ -730,6 +744,16 @@ object SparkEntry {
       graft.operators.Behavior.funnelSummary(
         events(s, dir), "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
         .orderBy(col("stage"))
+    }),
+
+    "events_decayed_value" -> ((s, dir) => {
+      // recency-weighted user value: exponential half-life decay as a
+      // LITERAL quantized weight table (same longs embedded in the oracle
+      // SQL), so no runtime pow enters the compared result
+      graft.operators.Behavior.decayedValue(
+        events(s, dir), "user_id", "ts", cents(col("value")), halfLifeDays = 7.0)
+        .select(col("user").as("user_id"), col("score_scaled"), col("score"))
+        .orderBy(col("user_id"))
     }),
 
     "cohort_retention" -> ((s, dir) => {
@@ -1220,6 +1244,11 @@ object SparkEntry {
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         |WHERE doc_id >= 100 AND doc_id <= 300 ORDER BY doc_id""".stripMargin,
 
+    // ...and so must the bloom-pruned equality read
+    "layout_bloom_skipping" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE source = 'src7' ORDER BY doc_id""".stripMargin,
+
     // deterministic HLL: registers from the 40-bit md5 hash (5 index bits /
     // 35 rank bits), integer-scaled harmonic mean, alpha_32 = 0.697; the
     // m = 32 power of two keeps the alpha*m^2*2^36 numerator bit-identical
@@ -1295,6 +1324,23 @@ object SparkEntry {
         |UNION ALL SELECT 2, 'click', CAST(count(ts_1) AS BIGINT) FROM s2
         |UNION ALL SELECT 3, 'purchase', CAST(count(ts_2) AS BIGINT) FROM s2
         |ORDER BY stage""".stripMargin,
+
+    // the decay weight table is generated from the SAME Scala constants the
+    // Spark plan embeds — the curve is data, not computation, in both engines
+    "events_decayed_value" ->
+      s"""WITH w AS (
+         |  SELECT [${graft.operators.Behavior.decayWeights(7.0, 366).mkString(", ")}] AS wts
+         |), ref AS (
+         |  SELECT max(CAST(ts AS DATE)) AS ref_day FROM events
+         |)
+         |SELECT e.user_id,
+         |  CAST(sum(CAST(floor(e.value*100 + 0.5) AS BIGINT)
+         |    * w.wts[(ref.ref_day - CAST(e.ts AS DATE)) + 1]) AS BIGINT) AS score_scaled,
+         |  CAST(CAST(sum(CAST(floor(e.value*100 + 0.5) AS BIGINT)
+         |    * w.wts[(ref.ref_day - CAST(e.ts AS DATE)) + 1]) AS BIGINT) AS DOUBLE)
+         |    / 1e9 / 100.0 AS score
+         |FROM events e, ref, w
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "cohort_retention" ->
       """WITH c AS (

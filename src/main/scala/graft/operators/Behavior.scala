@@ -93,6 +93,39 @@ object Behavior {
         col("n_events_window"), col("value_cents_window"))
   }
 
+  /** Quantized exponential-decay weights for integer day ages 0..maxAge:
+    * w(d) = floor(2^(-d/halfLife) · 1e9 + 0.5). Computed ONCE driver-side
+    * and embedded as literals in both the Spark plan and any oracle SQL —
+    * the half-life curve becomes a lookup table, so no runtime `pow` (whose
+    * last-ulp behavior is libm-specific) ever enters a compared result. */
+  def decayWeights(halfLifeDays: Double, maxAge: Int): Array[Long] =
+    (0 to maxAge).map(d =>
+      math.floor(math.pow(2.0, -d / halfLifeDays) * 1e9 + 0.5).toLong).toArray
+
+  /** Recency-weighted per-user value: Σ over events of value · 2^(-age/hl),
+    * where age = whole days between the event and the corpus's LAST day —
+    * the standard freshness weighting for sampling/retention features.
+    * All integer: cents × quantized weight summed order-free; one final
+    * double division by 1e9 descales. One tiny max-aggregate fixes the
+    * reference day; the weighting itself is a scan-speed projection feeding
+    * one groupBy(user). */
+  def decayedValue(
+      events: DataFrame, userCol: String, tsCol: String, valueCents: Column,
+      halfLifeDays: Double): DataFrame = {
+    val day = to_date(col(tsCol))
+    val ref = events.agg(max(day).as("ref_day"))
+    val maxAge = events.crossJoin(broadcast(ref))
+      .agg(max(datediff(col("ref_day"), day))).head().getInt(0)
+    val w = decayWeights(halfLifeDays, maxAge)
+    val weights = array(w.map(lit(_)).toIndexedSeq: _*)
+    events.crossJoin(broadcast(ref))
+      .select(col(userCol).as("user"),
+        (valueCents * element_at(weights, datediff(col("ref_day"), day) + 1)).as("wv"))
+      .groupBy(col("user"))
+      .agg(sum(col("wv")).as("score_scaled"))
+      .withColumn("score", col("score_scaled").cast("double") / 1e9 / 100.0)
+  }
+
   /** Cohort retention: cohort = calendar day of the user's FIRST event;
     * a user is retained at offset d if they had any event on cohort_day + d.
     * Returns (cohort_day, day_offset, n_users) — the classic retention

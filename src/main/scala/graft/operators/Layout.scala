@@ -134,6 +134,52 @@ object Layout {
       kept.length, zones.length)
   }
 
+  // -------------------------------------------------- bloom file skipping
+
+  /** Per-file Bloom filter over `keyCol` — the EQUALITY complement to
+    * [[buildZoneMap]]'s range pruning: a zone map only skips files when the
+    * probe column is what the layout is clustered on; a per-file bloom
+    * skips equality probes on ANY column (Parquet column indexes / Delta
+    * bloom files do exactly this). The index row is (file, set bit
+    * positions): `collect_set` state is bounded by `bits`, so index size is
+    * files × bits booleans at worst — metadata-sized. */
+  def buildBloomIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      keyCol: String, bits: Int = 1024, hashes: Int = 2): DataFrame =
+    spark.read.parquet(path)
+      .select(input_file_name().as("file"),
+        explode(array((0 until hashes).map(i =>
+          pmod(graft.functions.TextFns.md5Long(col(keyCol).cast("string"), i), lit(bits))): _*))
+          .as("bit"))
+      .groupBy(col("file"))
+      .agg(collect_set(col("bit")).as("bits"))
+
+  /** Driver-side twin of [[graft.functions.TextFns.md5Long]] (same digest,
+    * same family split) so a probe value's bit positions are computed
+    * without a Spark job. */
+  private def md5LongDriver(s: String, family: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${family / 2}:$s".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(15 * (family % 2), 15 * (family % 2) + 15), 16)
+  }
+
+  /** Read only the files whose bloom filter contains every probe bit, then
+    * apply the exact equality filter (bloom hits may be false positives,
+    * never false negatives). Returns (reader, kept, total). */
+  def bloomSkippingRead(
+      spark: org.apache.spark.sql.SparkSession, path: String, index: DataFrame,
+      keyCol: String, value: String, bits: Int = 1024, hashes: Int = 2): (DataFrame, Int, Int) = {
+    val probeBits = (0 until hashes)
+      .map(i => (md5LongDriver(value, i) % bits + bits) % bits).toSet
+    val files = index.select(col("file"), col("bits")).collect()
+    val kept = files.filter(r => probeBits.subsetOf(r.getSeq[Long](1).toSet))
+      .map(_.getString(0))
+    val df =
+      if (kept.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(kept.toIndexedSeq: _*)
+    (df.filter(col(keyCol) === lit(value)), kept.length, files.length)
+  }
+
   private def cmpAny(a: Any, b: Any): Int = (a, b) match {
     case (x: Long, y: Long) => java.lang.Long.compare(x, y)
     case (x: Int, y: Int) => Integer.compare(x, y)

@@ -585,6 +585,34 @@ class OperatorsSpec extends SparkSuite {
     assert(r1.exists { case (_, (i, f)) => i != f })
   }
 
+  test("decayedValue: half-life halves the weight, older events count less") {
+    val w = Behavior.decayWeights(7.0, 21)
+    assert(w(0) == 1000000000L && w(7) == 500000000L && w(14) == 250000000L)
+    assert(w.sliding(2).forall(p => p(1) < p(0)))
+    import java.sql.Timestamp
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // same cents on the last day vs 7 days earlier: exactly 2x the score
+    val ev = Seq((1L, ts(8), 100.0), (2L, ts(1), 100.0)).toDF("user_id", "ts", "value")
+    val r = Behavior.decayedValue(ev, "user_id", "ts",
+      floor($"value" * 100 + lit(0.5)).cast("long"), 7.0)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) == 2 * r(2L), r.toString)
+  }
+
+  test("bloom skipping: equality probe opens few files, exact rows, no false negatives") {
+    val tmp = java.nio.file.Files.createTempDirectory("bloomidx").toString
+    Layout.compact(docs, tmp, "source", 50L)
+    val idx = Layout.buildBloomIndex(spark, tmp, "source")
+    val (pruned, kept, total) = Layout.bloomSkippingRead(spark, tmp, idx, "source", "src7")
+    assert(total >= 5, s"expected several files, got $total")
+    assert(kept < total, s"no pruning: kept $kept of $total")
+    val expect = docs.filter($"source" === "src7").orderBy("doc_id").collect().toSeq
+    assert(pruned.orderBy("doc_id").collect().toSeq == expect)
+    // a value absent from the table returns no rows regardless of bloom FPs
+    val (none, _, _) = Layout.bloomSkippingRead(spark, tmp, idx, "source", "no_such_source")
+    assert(none.count() == 0)
+  }
+
   test("zone-map skipping prunes files and returns exactly the filtered rows") {
     val tmp = java.nio.file.Files.createTempDirectory("zonemap").toString
     Layout.compact(docs, tmp, "doc_id", 20L)
