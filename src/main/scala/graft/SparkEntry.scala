@@ -775,6 +775,15 @@ object SparkEntry {
         .orderBy(col("user_id"), col("day"))
     }),
 
+    "drift_psi" -> ((s, dir) => {
+      // distribution-drift check between the corpus and a (deterministic)
+      // length-biased re-curation: Population Stability Index over
+      // fixed-width n_chars buckets, Laplace-smoothed, integer-exact
+      val docs = t(s, dir, "documents")
+      val cur = docs.filter(col("n_chars") >= 150 || col("doc_id") % 3 === 0)
+      graft.operators.Drift.psiOf(docs, cur, "n_chars", width = 50L, buckets = 12)
+    }),
+
     "corpus_upsert" -> ((s, dir) => {
       // MERGE-style incremental maintenance: every 10th doc re-scored (text
       // revised), every 17th taken down, 20 new docs appended — one
@@ -1415,6 +1424,34 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY day - DATE '1970-01-01'
         |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, day""".stripMargin,
+
+    "drift_psi" ->
+      """WITH bks AS (SELECT range AS bucket FROM range(0, 12)),
+        |b AS (
+        |  SELECT least(CAST(floor(n_chars / 50) AS BIGINT), 11) AS bucket,
+        |    count(*) AS n_base
+        |  FROM documents GROUP BY 1
+        |), c AS (
+        |  SELECT least(CAST(floor(n_chars / 50) AS BIGINT), 11) AS bucket,
+        |    count(*) AS n_cur
+        |  FROM documents WHERE n_chars >= 150 OR doc_id % 3 = 0 GROUP BY 1
+        |), j AS (
+        |  SELECT bks.bucket, coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+        |  FROM bks LEFT JOIN b USING (bucket) LEFT JOIN c USING (bucket)
+        |), tot AS (
+        |  SELECT CAST(sum(n_base) AS BIGINT) AS tb, CAST(sum(n_cur) AS BIGINT) AS tc FROM j
+        |), terms AS (
+        |  SELECT tb, tc,
+        |    CAST(floor(ln(CAST((n_base + 1) * (tc + 12) AS DOUBLE)
+        |      / CAST((n_cur + 1) * (tb + 12) AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS qln,
+        |    ((n_base + 1) * (tc + 12) - (n_cur + 1) * (tb + 12)) AS pq_num
+        |  FROM j, tot
+        |)
+        |SELECT tb AS n_base, tc AS n_cur,
+        |  CAST(sum(pq_num * qln) AS BIGINT) AS psi_scaled,
+        |  CAST(CAST(sum(pq_num * qln) AS BIGINT) AS DOUBLE)
+        |    / CAST(tb + 12 AS DOUBLE) / CAST(tc + 12 AS DOUBLE) / 1e9 AS psi
+        |FROM terms GROUP BY 1, 2""".stripMargin,
 
     "corpus_upsert" ->
       """WITH changes AS (

@@ -48,14 +48,14 @@ object Graph {
     val e0 = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
     val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val e = e0.join(deg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // every node appears as a src (no dangling): nodes == distinct srcs
     val n = deg.count()
     val base = (Scale * 15L / 100L) / n // exact: both factors integer literals
 
-    var ranks = e.select(col("src").as("node")).distinct()
-      .select(col("node"), lit(Scale / n).as("rank"))
+    var ranks = deg.select(col("src").as("node"), lit(Scale / n).as("rank"))
     for (_ <- 1 to iters) {
       val contrib = e
         .join(ranks.withColumnRenamed("node", "src"), "src")

@@ -585,6 +585,18 @@ class OperatorsSpec extends SparkSuite {
     assert(r1.exists { case (_, (i, f)) => i != f })
   }
 
+  test("psi: zero on identical snapshots, positive and larger under stronger shift") {
+    val self = Drift.psiOf(docs, docs, "n_chars", 50L, 12).head()
+    assert(self.getLong(2) == 0L && self.getDouble(3) == 0.0)
+    val mild = Drift.psiOf(docs, docs.filter($"doc_id" % 3 === 0), "n_chars", 50L, 12)
+      .head().getDouble(3)
+    val strong = Drift.psiOf(docs, docs.filter($"n_chars" >= 200), "n_chars", 50L, 12)
+      .head().getDouble(3)
+    // unbiased 1/3 subsample barely moves the mix; a hard length cut shifts it
+    assert(mild >= 0 && mild < 0.05, s"mild drift $mild")
+    assert(strong > mild && strong > 0.1, s"strong drift $strong")
+  }
+
   test("decayedValue: half-life halves the weight, older events count less") {
     val w = Behavior.decayWeights(7.0, 21)
     assert(w(0) == 1000000000L && w(7) == 500000000L && w(14) == 250000000L)
