@@ -278,6 +278,28 @@ object SparkEntry {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    "q22_session_stats" -> ((s, dir) => {
+      // per-user engagement rollup COMPOSED over the sessionization
+      // operator: durations stay integer micros through the sums, one final
+      // division chain — the downstream-feature proof that custom-state
+      // output is a first-class relational input
+      import s.implicits._
+      val ev = events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        .as[graft.streaming.EventStream.MicroEvent]
+      graft.streaming.EventStream.sessionizeByGap(ev, 30L * 60 * 1000000)
+        .toDF()
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          sum(col("ended_us") - col("started_us")).as("total_dur_us"),
+          max(col("n_events")).as("max_session_events"))
+        .withColumn("avg_session_secs",
+          col("total_dur_us").cast("double") / col("n_sessions") / 1e6)
+        .orderBy(col("user_id"))
+    }),
+
     "q21_hourly_distinct_stream" -> ((s, dir) => {
       // windowed COUNT DISTINCT as a STREAMING HLL sketch: per-hour distinct
       // users estimated from a 32-long register file per window — bounded
@@ -1585,6 +1607,31 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+
+    // q13's sessions aggregated to per-user engagement features
+    "q22_session_stats" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |), marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) <= INTERVAL 30 MINUTE
+        |         THEN 0 ELSE 1 END AS new_sess
+        |  FROM e
+        |), grp AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM marked
+        |), sessions AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+        |  FROM grp GROUP BY user_id, sess
+        |)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  CAST(sum(n_events) AS BIGINT) AS n_events,
+        |  CAST(sum(dur_us) AS BIGINT) AS total_dur_us,
+        |  CAST(max(n_events) AS BIGINT) AS max_session_events,
+        |  CAST(CAST(sum(dur_us) AS BIGINT) AS DOUBLE) / count(*) / 1e6 AS avg_session_secs
+        |FROM sessions GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q13_user_sessions" ->
       """WITH e AS (
