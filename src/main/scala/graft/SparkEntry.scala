@@ -313,6 +313,34 @@ object SparkEntry {
         .orderBy(col("hour"))
     }),
 
+    "q23_pivot_status_by_priority" -> ((s, dir) => {
+      // pivot: order counts + exact cents revenue per status x priority —
+      // fixed pivot values so the plan is a single aggregate, no
+      // distinct-value discovery pass
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          cents(col("o_totalprice")).as("tc"))
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)).as("n"), (sum(col("tc")).cast("double") / 100.0).as("rev"))
+        .na.fill(0L)
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    "q24_cube_order_stats" -> ((s, dir) => {
+      // cube: all four grouping-set combinations of (status, priority) with
+      // exact sums; grouping_id disambiguates the null super-aggregate rows
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(cents(col("o_totalprice"))).cast("double") / 100.0).as("revenue"),
+          grouping_id().as("gid"))
+        .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n_orders"), col("revenue"), col("gid"))
+        .orderBy(col("gid"), col("status"), col("priority"))
+    }),
+
     "q12_rollup_order_stats" -> ((s, dir) => {
       t(s, dir, "orders")
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
@@ -1632,6 +1660,29 @@ object SparkEntry {
         |  CAST(max(n_events) AS BIGINT) AS max_session_events,
         |  CAST(CAST(sum(dur_us) AS BIGINT) AS DOUBLE) / count(*) / 1e6 AS avg_session_secs
         |FROM sessions GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q23_pivot_status_by_priority" ->
+      """SELECT o_orderstatus,
+        |  count(*) FILTER (o_orderpriority = '1-URGENT') AS "1-URGENT_n",
+        |  coalesce(CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) FILTER (o_orderpriority = '1-URGENT') AS DOUBLE)/100.0, 0.0) AS "1-URGENT_rev",
+        |  count(*) FILTER (o_orderpriority = '2-HIGH') AS "2-HIGH_n",
+        |  coalesce(CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) FILTER (o_orderpriority = '2-HIGH') AS DOUBLE)/100.0, 0.0) AS "2-HIGH_rev",
+        |  count(*) FILTER (o_orderpriority = '3-MEDIUM') AS "3-MEDIUM_n",
+        |  coalesce(CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) FILTER (o_orderpriority = '3-MEDIUM') AS DOUBLE)/100.0, 0.0) AS "3-MEDIUM_rev",
+        |  count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED_n",
+        |  coalesce(CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS DOUBLE)/100.0, 0.0) AS "4-NOT SPECIFIED_rev",
+        |  count(*) FILTER (o_orderpriority = '5-LOW') AS "5-LOW_n",
+        |  coalesce(CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) FILTER (o_orderpriority = '5-LOW') AS DOUBLE)/100.0, 0.0) AS "5-LOW_rev"
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q24_cube_order_stats" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |  coalesce(o_orderpriority, '(all)') AS priority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS revenue,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, status, priority""".stripMargin,
 
     "q13_user_sessions" ->
       """WITH e AS (
