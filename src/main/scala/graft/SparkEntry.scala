@@ -653,6 +653,16 @@ object SparkEntry {
         .orderBy(col("word"))
     }),
 
+    "sketch_kmv_overlap" -> ((s, dir) => {
+      // theta-style set operations from sketches alone: en/de vocabulary
+      // union, intersection and Jaccard estimated WITHOUT joining the
+      // corpora — each side scanned once, independently
+      val docs = t(s, dir, "documents")
+      def toks(lang: String) = docs.filter(col("lang") === lang)
+        .select(explode(graft.functions.TextFns.tokens(col("text"))).as("w"))
+      graft.operators.Sketches.kmvOverlap(toks("en"), toks("de"), "w", 64)
+    }),
+
     "sketch_kmv_rollup" -> ((s, dir) => {
       // mergeable-sketch rollup: per-(lang, source) sketches merged into
       // per-lang estimates WITHOUT re-scanning raw data; the merge is
@@ -1278,6 +1288,38 @@ object SparkEntry {
         |SELECT e.word, CAST(e.est AS BIGINT) AS est,
         |  CAST(coalesce(t.true_cnt, 0) AS BIGINT) AS true_cnt
         |FROM est e LEFT JOIN tru t USING (word) ORDER BY word""".stripMargin,
+
+    "sketch_kmv_overlap" ->
+      """WITH ta AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |    FROM documents WHERE lang = 'en')
+        |), ka AS (SELECT hv FROM ta ORDER BY hv LIMIT 64),
+        |tb AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |    FROM documents WHERE lang = 'de')
+        |), kb AS (SELECT hv FROM tb ORDER BY hv LIMIT 64),
+        |ud AS (SELECT DISTINCT hv FROM (SELECT hv FROM ka UNION ALL SELECT hv FROM kb)),
+        |ku AS (SELECT hv FROM ud ORDER BY hv LIMIT 64),
+        |sz AS (SELECT (SELECT count(*) FROM ka) AS sa, (SELECT count(*) FROM kb) AS sb,
+        |              (SELECT count(*) FROM ud) AS su),
+        |cb AS (SELECT CASE WHEN (SELECT sa FROM sz) < 64 AND (SELECT sb FROM sz) < 64
+        |  THEN (SELECT count(*) FROM ud
+        |        WHERE hv IN (SELECT hv FROM ka) AND hv IN (SELECT hv FROM kb))
+        |  ELSE (SELECT count(*) FROM ku
+        |        WHERE hv IN (SELECT hv FROM ka) AND hv IN (SELECT hv FROM kb)) END AS c)
+        |SELECT CAST(sz.su AS BIGINT) AS u_size, CAST(cb.c AS BIGINT) AS c_both,
+        |  CASE WHEN sz.sa < 64 AND sz.sb < 64 THEN CAST(sz.su AS DOUBLE)
+        |       ELSE 63.0 * 1152921504606846976.0
+        |            / CAST((SELECT max(hv) FROM ku) AS DOUBLE) END AS est_union,
+        |  CASE WHEN sz.sa < 64 AND sz.sb < 64 THEN CAST(cb.c AS DOUBLE)
+        |       ELSE CAST(cb.c AS DOUBLE) * (63.0 * 1152921504606846976.0
+        |            / CAST((SELECT max(hv) FROM ku) AS DOUBLE)) / 64.0 END AS est_inter,
+        |  CASE WHEN sz.sa < 64 AND sz.sb < 64
+        |       THEN CAST(cb.c AS DOUBLE) / CAST(sz.su AS DOUBLE)
+        |       ELSE CAST(cb.c AS DOUBLE) / 64.0 END AS est_jaccard
+        |FROM sz, cb""".stripMargin,
 
     // the rolled-up (merged) sketch is lossless, so its oracle is the
     // DIRECT per-lang sketch — merging must not change a single bit

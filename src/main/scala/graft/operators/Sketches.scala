@@ -285,6 +285,44 @@ object Sketches {
     hllEstimate(merged, coarseCols)
   }
 
+  /** KMV set operations (theta-sketch style): estimate the union size,
+    * intersection size and Jaccard of TWO SETS from their k-min sketches
+    * alone — no join between the corpora ever happens. Key property: the
+    * k smallest hashes of A ∪ B are a subset of sketchA ∪ sketchB, so the
+    * union sketch derives from the two k-long arrays; the fraction of the
+    * union sketch present in both sides estimates Jaccard, and
+    * intersection ≈ jaccard · union. When both sketches are under k they
+    * ARE their sets and every figure is exact (the small-set fast path).
+    *
+    * At 100 TB this answers "how much does corpus A overlap corpus B"
+    * (vocabulary contamination, source dedup planning) from two
+    * metadata-sized sketch rows — each side scanned once, independently,
+    * possibly on different days. All integer until the final divisions. */
+  def kmvOverlap(a: DataFrame, b: DataFrame, valueCol: String, k: Int): DataFrame = {
+    val kmv = udaf(new KMinValues(k))
+    val sa = a.select(hash60(col(valueCol)).as("h")).agg(kmv(col("h")).as("ka"))
+    val sb = b.select(hash60(col(valueCol)).as("h")).agg(kmv(col("h")).as("kb"))
+    val both = (arr: Column) => size(filter(arr,
+      x => array_contains(col("ka"), x) && array_contains(col("kb"), x))).cast("long")
+    sa.crossJoin(sb)
+      .withColumn("ud", array_sort(array_distinct(concat(col("ka"), col("kb")))))
+      .withColumn("exact", size(col("ka")) < k && size(col("kb")) < k)
+      .withColumn("ku", slice(col("ud"), 1, k))
+      .withColumn("u_size", size(col("ud")).cast("long"))
+      .withColumn("c_both", when(col("exact"), both(col("ud"))).otherwise(both(col("ku"))))
+      .withColumn("est_union",
+        when(col("exact"), col("u_size").cast("double"))
+          .otherwise(lit((k - 1).toDouble * HashSpace) / element_at(col("ku"), k).cast("double")))
+      .withColumn("est_jaccard",
+        when(col("exact"), col("c_both").cast("double") / col("u_size").cast("double"))
+          .otherwise(col("c_both").cast("double") / k.toDouble))
+      .withColumn("est_inter",
+        when(col("exact"), col("c_both").cast("double"))
+          .otherwise(col("c_both").cast("double") * col("est_union") / k.toDouble))
+      .select(col("u_size"), col("c_both"), col("est_union"), col("est_inter"),
+        col("est_jaccard"))
+  }
+
   def kmvRollup(
       df: DataFrame, fineCols: Seq[String], coarseCols: Seq[String],
       valueCol: String, k: Int): DataFrame = {

@@ -585,6 +585,27 @@ class OperatorsSpec extends SparkSuite {
     assert(r1.exists { case (_, (i, f)) => i != f })
   }
 
+  test("kmvOverlap: exact under k, estimator within sketch error above k") {
+    // tiny sets -> exact path: A={1..10}, B={6..15}: union 15, inter 5
+    val a = (1 to 10).toDF("v"); val b = (6 to 15).toDF("v")
+    val ex = Sketches.kmvOverlap(a, b, "v", 64).head()
+    assert(ex.getLong(0) == 15L && ex.getLong(1) == 5L)
+    assert(ex.getDouble(2) == 15.0 && ex.getDouble(3) == 5.0)
+    assert(math.abs(ex.getDouble(4) - 5.0 / 15.0) < 1e-12)
+    // big sets -> estimator: en/de vocab overlap vs exact figures
+    def toks(lang: String) = docs.filter($"lang" === lang)
+      .select(explode(graft.functions.TextFns.tokens($"text")).as("w"))
+    val est = Sketches.kmvOverlap(toks("en"), toks("de"), "w", 64).head()
+    val ta = toks("en").distinct().collect().map(_.getString(0)).toSet
+    val tb = toks("de").distinct().collect().map(_.getString(0)).toSet
+    val (tu, ti) = ((ta ++ tb).size, (ta & tb).size)
+    assert(math.abs(est.getDouble(2) - tu) / tu < 0.5,
+      s"union est ${est.getDouble(2)} vs true $tu")
+    // intersection is small; allow union-scaled absolute error (k=64 sketch)
+    assert(math.abs(est.getDouble(3) - ti) < 0.25 * tu,
+      s"inter est ${est.getDouble(3)} vs true $ti")
+  }
+
   test("psi: zero on identical snapshots, positive and larger under stronger shift") {
     val self = Drift.psiOf(docs, docs, "n_chars", 50L, 12).head()
     assert(self.getLong(2) == 0L && self.getDouble(3) == 0.0)
