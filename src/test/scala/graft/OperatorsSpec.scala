@@ -571,6 +571,20 @@ class OperatorsSpec extends SparkSuite {
     assert(r == Seq((1L, "a"), (2L, "B"), (4L, "d")))
   }
 
+  test("touchedFiles: copy-on-write rewrite set is bounded by zone intersection") {
+    val tmp = java.nio.file.Files.createTempDirectory("cowzone").toString
+    Layout.compact(docs, tmp, "doc_id", 50L)
+    val zm = Layout.buildZoneMap(spark, tmp, "doc_id")
+    val changes = Seq(3L, 7L, 451L).toDF("doc_id")
+    val touched = Upsert.touchedFiles(zm, changes, "doc_id")
+    val (t, total) = (touched.count(), zm.count())
+    assert(t < total, s"rewrite set $t not smaller than table $total")
+    // every change key is covered by some touched file
+    val ranges = touched.collect().map(r =>
+      (r.getAs[Long]("min_key"), r.getAs[Long]("max_key")))
+    assert(Seq(3L, 7L, 451L).forall(k => ranges.exists { case (lo, hi) => k >= lo && k <= hi }))
+  }
+
   test("kmeansRefine: deterministic, twins co-assigned, refinement non-trivial") {
     val twin = embs.filter($"vec_id" === 7)
       .select(($"vec_id" + 100000L).as("vec_id"), $"embedding", $"label")
