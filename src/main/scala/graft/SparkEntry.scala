@@ -800,6 +800,18 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    "funnel_stages_windowed" -> ((s, dir) => {
+      // conversion-window funnel: each stage must land within 24 hours of
+      // the previous one — the form a marketing/product funnel actually uses
+      graft.operators.Behavior.funnel(
+        events(s, dir), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), maxGap = Some("24 HOURS"))
+        .select(col("user").as("user_id"), col("ts_0").as("ts_view"),
+          col("ts_1").as("ts_click"), col("ts_2").as("ts_purchase"),
+          col("stage_reached"))
+        .orderBy(col("user_id"))
+    }),
+
     "funnel_summary" -> ((s, dir) => {
       graft.operators.Behavior.funnelSummary(
         events(s, dir), "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
@@ -1398,6 +1410,28 @@ object SparkEntry {
         |  SELECT s1.u, s1.ts_0, s1.ts_1, min(e.ts) AS ts_2
         |  FROM s1 LEFT JOIN events e
         |    ON e.user_id = s1.u AND e.event_type = 'purchase' AND e.ts > s1.ts_1
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT u AS user_id, ts_0 AS ts_view, ts_1 AS ts_click, ts_2 AS ts_purchase,
+        |  CAST(1 + CASE WHEN ts_1 IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN ts_2 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage_reached
+        |FROM s2 ORDER BY user_id""".stripMargin,
+
+    "funnel_stages_windowed" ->
+      """WITH s0 AS (
+        |  SELECT user_id AS u, min(ts) AS ts_0 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), s1 AS (
+        |  SELECT s0.u, s0.ts_0, min(e.ts) AS ts_1
+        |  FROM s0 LEFT JOIN events e
+        |    ON e.user_id = s0.u AND e.event_type = 'click' AND e.ts > s0.ts_0
+        |    AND e.ts <= s0.ts_0 + INTERVAL 24 HOURS
+        |  GROUP BY 1, 2
+        |), s2 AS (
+        |  SELECT s1.u, s1.ts_0, s1.ts_1, min(e.ts) AS ts_2
+        |  FROM s1 LEFT JOIN events e
+        |    ON e.user_id = s1.u AND e.event_type = 'purchase' AND e.ts > s1.ts_1
+        |    AND e.ts <= s1.ts_1 + INTERVAL 24 HOURS
         |  GROUP BY 1, 2, 3
         |)
         |SELECT u AS user_id, ts_0 AS ts_view, ts_1 AS ts_click, ts_2 AS ts_purchase,

@@ -24,7 +24,7 @@ object Behavior {
     */
   def funnel(
       events: DataFrame, userCol: String, typeCol: String, tsCol: String,
-      stages: Seq[String]): DataFrame = {
+      stages: Seq[String], maxGap: Option[String] = None): DataFrame = {
     require(stages.nonEmpty)
     val u = col(userCol)
     var acc = events.filter(col(typeCol) === stages.head)
@@ -33,11 +33,18 @@ object Behavior {
     for (i <- 1 until stages.length) {
       val next = events.filter(col(typeCol) === stages(i))
         .select(u.as("__nu"), col(tsCol).as("__t"))
-      // "strictly after" lives in the JOIN condition: a user with no
-      // qualifying stage-i event (or a broken sequence, ts_{i-1} null) keeps
-      // their row with a null match instead of dropping out
+      // "strictly after" (and the optional conversion window — "within
+      // maxGap of the previous stage") lives in the JOIN condition: a user
+      // with no qualifying stage-i event (or a broken sequence, ts_{i-1}
+      // null) keeps their row with a null match instead of dropping out
+      val within = maxGap match {
+        case Some(g) => col("__t") <= col(s"ts_${i - 1}") + expr(s"INTERVAL $g")
+        case None => lit(true)
+      }
       acc = acc
-        .join(next, col("user") === col("__nu") && col("__t") > col(s"ts_${i - 1}"), "left")
+        .join(next,
+          col("user") === col("__nu") && col("__t") > col(s"ts_${i - 1}") && within,
+          "left")
         .groupBy((col("user") +: (0 until i).map(j => col(s"ts_$j"))): _*)
         .agg(min(col("__t")).as(s"ts_$i"))
     }

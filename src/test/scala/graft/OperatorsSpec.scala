@@ -511,6 +511,23 @@ class OperatorsSpec extends SparkSuite {
     assert(s == Map(1L -> 4L, 2L -> 3L, 3L -> 1L))
   }
 
+  test("windowed funnel: a stage past the conversion window does not count") {
+    import java.sql.Timestamp
+    def ts(h: Int) = new Timestamp(1700000000000L + h * 3600000L)
+    val ev = Seq(
+      (1L, "view", ts(0)), (1L, "click", ts(2)),   // within 24h -> counts
+      (2L, "view", ts(0)), (2L, "click", ts(30))   // 30h later -> outside
+    ).toDF("user_id", "event_type", "ts")
+    val f = Behavior.funnel(ev, "user_id", "event_type", "ts",
+      Seq("view", "click"), maxGap = Some("24 HOURS"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(f == Map(1L -> 2L, 2L -> 1L), f.toString)
+    // no window: both convert
+    val g = Behavior.funnel(ev, "user_id", "event_type", "ts", Seq("view", "click"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(g == Map(1L -> 2L, 2L -> 2L))
+  }
+
   test("retention: cohort day = first event; offsets count distinct active days") {
     import java.sql.Timestamp
     def ts(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-${d}%02d $h%02d:00:00")
