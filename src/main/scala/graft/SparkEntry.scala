@@ -1383,17 +1383,29 @@ object SparkEntry {
         |n AS (SELECT count(*) AS n FROM deg),
         |r0 AS (SELECT src AS node, 1000000000 // (SELECT n FROM n) AS rank FROM deg),
         |r1 AS (
-        |  SELECT e.dst AS node,
-        |    150000000 // (SELECT n FROM n) + 85 * sum(r0.rank // deg.deg) // 100 AS rank
-        |  FROM e JOIN deg ON e.src = deg.src JOIN r0 ON r0.node = e.src GROUP BY e.dst
+        |  SELECT nodes.src AS node, 150000000 // (SELECT n FROM n)
+        |    + 85 * coalesce(sum(r0.rank // d2.deg), 0) // 100 AS rank
+        |  FROM deg nodes
+        |  LEFT JOIN e ON e.dst = nodes.src
+        |  LEFT JOIN deg d2 ON d2.src = e.src
+        |  LEFT JOIN r0 ON r0.node = e.src
+        |  GROUP BY nodes.src
         |), r2 AS (
-        |  SELECT e.dst AS node,
-        |    150000000 // (SELECT n FROM n) + 85 * sum(r1.rank // deg.deg) // 100 AS rank
-        |  FROM e JOIN deg ON e.src = deg.src JOIN r1 ON r1.node = e.src GROUP BY e.dst
+        |  SELECT nodes.src AS node, 150000000 // (SELECT n FROM n)
+        |    + 85 * coalesce(sum(r1.rank // d2.deg), 0) // 100 AS rank
+        |  FROM deg nodes
+        |  LEFT JOIN e ON e.dst = nodes.src
+        |  LEFT JOIN deg d2 ON d2.src = e.src
+        |  LEFT JOIN r1 ON r1.node = e.src
+        |  GROUP BY nodes.src
         |), r3 AS (
-        |  SELECT e.dst AS node,
-        |    150000000 // (SELECT n FROM n) + 85 * sum(r2.rank // deg.deg) // 100 AS rank
-        |  FROM e JOIN deg ON e.src = deg.src JOIN r2 ON r2.node = e.src GROUP BY e.dst
+        |  SELECT nodes.src AS node, 150000000 // (SELECT n FROM n)
+        |    + 85 * coalesce(sum(r2.rank // d2.deg), 0) // 100 AS rank
+        |  FROM deg nodes
+        |  LEFT JOIN e ON e.dst = nodes.src
+        |  LEFT JOIN deg d2 ON d2.src = e.src
+        |  LEFT JOIN r2 ON r2.node = e.src
+        |  GROUP BY nodes.src
         |)
         |SELECT node, CAST(rank AS BIGINT) AS rank_scaled FROM r3 ORDER BY node""".stripMargin,
 
@@ -1554,11 +1566,11 @@ object SparkEntry {
     "drift_psi" ->
       """WITH bks AS (SELECT range AS bucket FROM range(0, 12)),
         |b AS (
-        |  SELECT least(CAST(floor(n_chars / 50) AS BIGINT), 11) AS bucket,
+        |  SELECT greatest(least(CAST(floor(n_chars / 50) AS BIGINT), 11), 0) AS bucket,
         |    count(*) AS n_base
         |  FROM documents GROUP BY 1
         |), c AS (
-        |  SELECT least(CAST(floor(n_chars / 50) AS BIGINT), 11) AS bucket,
+        |  SELECT greatest(least(CAST(floor(n_chars / 50) AS BIGINT), 11), 0) AS bucket,
         |    count(*) AS n_cur
         |  FROM documents WHERE n_chars >= 150 OR doc_id % 3 = 0 GROUP BY 1
         |), j AS (

@@ -34,8 +34,12 @@ object Drift {
       width: Long, buckets: Int): DataFrame = {
     require(width > 0 && buckets > 1)
     val spark = base.sparkSession
+    // clamp BOTH tails: values below 0 land in bucket 0, above the range in
+    // the last bucket — otherwise negative scores fall outside the bucket
+    // frame join and silently vanish from counts AND totals
     def side(df: DataFrame, name: String): DataFrame =
-      df.select(least(floor(col(valueCol) / width), lit(buckets - 1)).cast("long").as("bucket"))
+      df.select(greatest(least(floor(col(valueCol) / width), lit(buckets - 1)), lit(0))
+          .cast("long").as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as(name))
     val b = side(base, "n_base")
     val c = side(current, "n_cur")

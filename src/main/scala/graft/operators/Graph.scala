@@ -55,16 +55,21 @@ object Graph {
     val n = deg.count()
     val base = (Scale * 15L / 100L) / n // exact: both factors integer literals
 
-    var ranks = deg.select(col("src").as("node"), lit(Scale / n).as("rank"))
+    val nodes = deg.select(col("src").as("node"))
+    var ranks = nodes.select(col("node"), lit(Scale / n).as("rank"))
     for (_ <- 1 to iters) {
       val contrib = e
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst"), expr("rank div deg").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("inflow"))
-      ranks = contrib.select(
-        col("dst").as("node"),
-        (lit(base) + expr("85 * inflow div 100")).as("rank"))
+      // left join from the node universe: a node with out-edges but no
+      // in-edges keeps its base-rank row (inflow 0) instead of vanishing
+      // and taking its outgoing contributions with it
+      ranks = nodes
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr("85 * coalesce(inflow, CAST(0 AS BIGINT)) div 100")).as("rank"))
     }
     ranks.select(col("node"), col("rank").as("rank_scaled"))
   }

@@ -125,7 +125,10 @@ object Layout {
     val zones = zoneMap.select(col("file"), col("min_key"), col("max_key")).collect()
     val kept = zones.filter { r =>
       val mn = r.get(1); val mx = r.get(2)
-      cmpAny(mx, lo) >= 0 && cmpAny(mn, hi) <= 0 // zone intersects [lo, hi]
+      // a file whose key column is entirely null has null min/max: its rows
+      // can never satisfy the range filter, so it is always prunable
+      mn != null && mx != null &&
+        cmpAny(mx, lo) >= 0 && cmpAny(mn, hi) <= 0 // zone intersects [lo, hi]
     }.map(_.getString(0))
     val df =
       if (kept.isEmpty) spark.read.parquet(path).filter(lit(false))

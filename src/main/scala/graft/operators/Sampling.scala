@@ -147,6 +147,17 @@ object Sampling {
     * depends on the sum, not a row count), so each stratum sorts fully —
     * bounded by stratum size; pre-filter with [[mixWeighted]] if a stratum
     * is corpus-scale. */
+  def capTokenBudget(
+      df: DataFrame, idCol: String, strataCol: String, costCol: String,
+      budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat_ws(":", col(strataCol), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(strataCol)).orderBy(h, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cost_cum", sum(col(costCol)).over(w).cast("long"))
+      .filter(col("cost_cum") <= budget)
+  }
+
   /** Weighted sampling WITHOUT replacement, k rows, inclusion probability
     * increasing in `weightCol`: sequential Poisson sampling (Ohlsson 1998) —
     * rank every row by priority = hash(id) / weight ascending and keep the k
@@ -171,16 +182,5 @@ object Sampling {
       .drop("__h")
       .orderBy(col("priority"), col(idCol))
       .limit(k)
-  }
-
-  def capTokenBudget(
-      df: DataFrame, idCol: String, strataCol: String, costCol: String,
-      budget: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val h = md5(concat_ws(":", col(strataCol), col(idCol).cast("string")))
-    val w = Window.partitionBy(col(strataCol)).orderBy(h, col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("cost_cum", sum(col(costCol)).over(w).cast("long"))
-      .filter(col("cost_cum") <= budget)
   }
 }

@@ -489,6 +489,15 @@ class OperatorsSpec extends SparkSuite {
     val r2 = Graph.pagerank(edges, "src", "dst", iters = 3)
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(r == r2)
+    // DIRECTED graph: a node with out-edges but no in-edges must keep its
+    // base-rank row through every iteration, not vanish after the first
+    val directed = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val d = Graph.pagerank(directed, "src", "dst", iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(d.keySet == Set(1L, 2L, 3L), d.toString)
+    val base = (Graph.Scale * 15L / 100L) / 3L
+    assert(d(3L) == base, s"no-inflow node should hold base rank: $d")
+    assert(d(1L) > d(2L), "node 1 receives node 3's contribution too")
   }
 
   test("funnel: strict ordering honored, broken sequences keep their row") {
@@ -647,6 +656,12 @@ class OperatorsSpec extends SparkSuite {
     // unbiased 1/3 subsample barely moves the mix; a hard length cut shifts it
     assert(mild >= 0 && mild < 0.05, s"mild drift $mild")
     assert(strong > mild && strong > 0.1, s"strong drift $strong")
+    // negative values clamp into bucket 0 instead of silently vanishing
+    val neg = Seq(-100L, -1L, 5L, 60L).toDF("v")
+    val nb = Drift.psiBuckets(neg, neg, "v", 50L, 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(nb(0L) == ((3L, 3L)) && nb(1L) == ((1L, 1L)), nb.toString)
+    assert(nb.values.map(_._1).sum == 4L, "all rows must be counted")
   }
 
   test("decayedValue: half-life halves the weight, older events count less") {

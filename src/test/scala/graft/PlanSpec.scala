@@ -326,6 +326,10 @@ class PlanSpec extends SparkSuite {
     val aggIdx = p.indexOf("HashAggregate")
     val winIdx = p.indexOf("Window")
     assert(aggIdx >= 0 && winIdx >= 0, p)
+    // formatted explain prints root-first: the Window (consumer) must appear
+    // BEFORE the aggregate that feeds it — i.e. the window slides over the
+    // collapsed rows, not the other way round
+    assert(winIdx < aggIdx, s"Window must sit above the daily aggregate:\n$p")
     // no self-join / range explode: a single scan of events feeds the plan
     assert(!p.contains("Join"), s"rolling window must not self-join:\n$p")
   }
