@@ -847,6 +847,16 @@ object SparkEntry {
         .orderBy(col("user_id"), col("day"))
     }),
 
+    "basket_part_pairs" -> ((s, dir) => {
+      // market-basket association: parts co-ordered more than chance — one
+      // self equi-join on the order key (never cartesian), integer counts,
+      // lift as a single division chain
+      graft.operators.Basket.coOccurrence(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L)
+        .orderBy(col("lift").desc, col("item_a"), col("item_b"))
+        .limit(100)
+    }),
+
     "drift_psi" -> ((s, dir) => {
       // distribution-drift check between the corpus and a (deterministic)
       // length-biased re-curation: Population Stability Index over
@@ -1562,6 +1572,20 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY day - DATE '1970-01-01'
         |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, day""".stripMargin,
+
+    "basket_part_pairs" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |n AS (SELECT count(DISTINCT b) AS n FROM bi),
+        |ic AS (SELECT i, count(*) AS n_i FROM bi GROUP BY 1),
+        |p AS (
+        |  SELECT a.i AS item_a, c.i AS item_b, count(*) AS n_ab
+        |  FROM bi a JOIN bi c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |)
+        |SELECT p.item_a, p.item_b, p.n_ab, ia.n_i AS n_a, ib.n_i AS n_b,
+        |  CAST((SELECT n FROM n) AS DOUBLE) * p.n_ab / ia.n_i / ib.n_i AS lift
+        |FROM p JOIN ic ia ON ia.i = p.item_a JOIN ic ib ON ib.i = p.item_b
+        |ORDER BY lift DESC, item_a, item_b LIMIT 100""".stripMargin,
 
     "drift_psi" ->
       """WITH bks AS (SELECT range AS bucket FROM range(0, 12)),

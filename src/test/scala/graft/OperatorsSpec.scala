@@ -646,6 +646,25 @@ class OperatorsSpec extends SparkSuite {
       s"inter est ${est.getDouble(3)} vs true $ti")
   }
 
+  test("basket co-occurrence: pair counts dedup within basket, lift above chance") {
+    val rows = Seq(
+      (1L, "A"), (1L, "B"), (1L, "B"), // B twice in basket 1: one co-occurrence
+      (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "C"),
+      (4L, "C")).toDF("basket", "item")
+    val r = Basket.coOccurrence(rows, "basket", "item", minSupport = 1L)
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getDouble(5))).toMap
+    // n_ab(A,B) = 2 despite B's duplicate; lift = 4*2/(3*2) = 1.333...
+    assert(r(("A", "B"))._1 == 2L)
+    assert(math.abs(r(("A", "B"))._2 - 4.0 * 2 / 3 / 2) < 1e-12)
+    // A-C co-occur once by chance: lift = 4*1/(3*2) = 0.666...
+    assert(math.abs(r(("A", "C"))._2 - 4.0 * 1 / 3 / 2) < 1e-12)
+    // minSupport prunes: with threshold 2 only (A,B) survives
+    val pruned = Basket.coOccurrence(rows, "basket", "item", minSupport = 2L)
+    assert(pruned.count() == 1L)
+  }
+
   test("psi: zero on identical snapshots, positive and larger under stronger shift") {
     val self = Drift.psiOf(docs, docs, "n_chars", 50L, 12).head()
     assert(self.getLong(2) == 0L && self.getDouble(3) == 0.0)
