@@ -828,6 +828,14 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    "events_transitions" -> ((s, dir) => {
+      // first-order journey transitions: P(next event type | current), lag
+      // windows per user with (ts, event_id) tie-broken ordering
+      graft.operators.Behavior.transitionMatrix(
+        events(s, dir), "user_id", "event_type", "ts", "event_id")
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
     "cohort_retention" -> ((s, dir) => {
       // classic retention triangle: cohort = first-activity day, retained at
       // offset d iff any event on cohort_day + d
@@ -864,6 +872,16 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val cur = docs.filter(col("n_chars") >= 150 || col("doc_id") % 3 === 0)
       graft.operators.Drift.psiOf(docs, cur, "n_chars", width = 50L, buckets = 12)
+    }),
+
+    "drift_psi_by_lang" -> ((s, dir) => {
+      // stratified drift: the same re-curation scored per language — the
+      // monitor that answers WHICH slice moved, not just whether the mix did
+      val docs = t(s, dir, "documents")
+      val cur = docs.filter(col("n_chars") >= 150 || col("doc_id") % 3 === 0)
+      graft.operators.Drift.psiByGroup(docs, cur, "lang", "n_chars",
+        width = 50L, buckets = 12)
+        .orderBy(col("lang"))
     }),
 
     "corpus_upsert" -> ((s, dir) => {
@@ -1499,6 +1517,22 @@ object SparkEntry {
          |FROM events e, ref, w
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "events_transitions" ->
+      """WITH nxt AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events
+        |), pairs AS (
+        |  SELECT from_type, to_type, count(*) AS n_ab
+        |  FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT from_type, CAST(sum(n_ab) AS BIGINT) AS n_a FROM pairs GROUP BY 1
+        |)
+        |SELECT p.from_type, p.to_type, p.n_ab, t.n_a,
+        |  CAST(p.n_ab AS DOUBLE) / t.n_a AS p
+        |FROM pairs p JOIN tot t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+
     "cohort_retention" ->
       """WITH c AS (
         |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY 1
@@ -1614,6 +1648,38 @@ object SparkEntry {
         |  CAST(CAST(sum(pq_num * qln) AS BIGINT) AS DOUBLE)
         |    / CAST(tb + 12 AS DOUBLE) / CAST(tc + 12 AS DOUBLE) / 1e9 AS psi
         |FROM terms GROUP BY 1, 2""".stripMargin,
+
+    "drift_psi_by_lang" ->
+      """WITH bks AS (SELECT range AS bucket FROM range(0, 12)),
+        |gs AS (SELECT DISTINCT lang FROM documents),
+        |frame AS (SELECT gs.lang, bks.bucket FROM gs CROSS JOIN bks),
+        |b AS (
+        |  SELECT lang, greatest(least(CAST(floor(n_chars / 50) AS BIGINT), 11), 0) AS bucket,
+        |    count(*) AS n_base
+        |  FROM documents GROUP BY 1, 2
+        |), c AS (
+        |  SELECT lang, greatest(least(CAST(floor(n_chars / 50) AS BIGINT), 11), 0) AS bucket,
+        |    count(*) AS n_cur
+        |  FROM documents WHERE n_chars >= 150 OR doc_id % 3 = 0 GROUP BY 1, 2
+        |), j AS (
+        |  SELECT frame.lang, frame.bucket,
+        |    coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+        |  FROM frame LEFT JOIN b USING (lang, bucket) LEFT JOIN c USING (lang, bucket)
+        |), tot AS (
+        |  SELECT lang, CAST(sum(n_base) AS BIGINT) AS tb,
+        |    CAST(sum(n_cur) AS BIGINT) AS tc FROM j GROUP BY 1
+        |), terms AS (
+        |  SELECT j.lang, tot.tb, tot.tc,
+        |    CAST(floor(ln(CAST((n_base + 1) * (tc + 12) AS DOUBLE)
+        |      / CAST((n_cur + 1) * (tb + 12) AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS qln,
+        |    ((n_base + 1) * (tc + 12) - (n_cur + 1) * (tb + 12)) AS pq_num
+        |  FROM j JOIN tot USING (lang)
+        |)
+        |SELECT lang, tb AS n_base, tc AS n_cur,
+        |  CAST(sum(pq_num * qln) AS BIGINT) AS psi_scaled,
+        |  CAST(CAST(sum(pq_num * qln) AS BIGINT) AS DOUBLE)
+        |    / CAST(tb + 12 AS DOUBLE) / CAST(tc + 12 AS DOUBLE) / 1e9 AS psi
+        |FROM terms GROUP BY 1, 2, 3 ORDER BY lang""".stripMargin,
 
     "corpus_upsert" ->
       """WITH changes AS (

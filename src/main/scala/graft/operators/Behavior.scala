@@ -100,6 +100,33 @@ object Behavior {
         col("n_events_window"), col("value_cents_window"))
   }
 
+  /** First-order event-transition matrix (the Markov view of user
+    * journeys): for every consecutive event pair inside a user's stream,
+    * count (from_type, to_type) and estimate P(to | from) — the
+    * journey-analytics complement to [[funnel]]'s fixed-sequence view
+    * (funnels answer "how many complete A→B→C"; transitions answer "where
+    * do users actually go after A").
+    *
+    * Ordering inside a user is (ts, tie-break id) so duplicate timestamps
+    * cannot make the lag nondeterministic. Counts are integers; the
+    * probability is one division on identical operands. Plan: one window
+    * over per-user partitions (shuffle on user only) + one pair count. */
+  def transitionMatrix(
+      events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n_ab"))
+    val fromTotals = pairs.groupBy(col("from_type")).agg(sum(col("n_ab")).as("n_a"))
+    pairs.join(broadcast(fromTotals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n_ab"), col("n_a"),
+        (col("n_ab").cast("double") / col("n_a")).as("p"))
+  }
+
   /** Quantized exponential-decay weights for integer day ages 0..maxAge:
     * w(d) = floor(2^(-d/halfLife) · 1e9 + 0.5). Computed ONCE driver-side
     * and embedded as literals in both the Spark plan and any oracle SQL —

@@ -76,4 +76,45 @@ object Drift {
   def psiOf(base: DataFrame, current: DataFrame, valueCol: String,
       width: Long, buckets: Int): DataFrame =
     psi(psiBuckets(base, current, valueCol, width, buckets), buckets)
+
+  /** Per-GROUP PSI — the form a stratified corpus monitor actually runs
+    * ("which language/source drifted?"): the same smoothed integer algebra
+    * computed independently inside each group, one row per group. The
+    * bucket frame is (groups present on either side) × buckets, so a group
+    * that vanished from the current snapshot still reports (its PSI is
+    * driven entirely by the smoothing floor — loud, not absent). */
+  def psiByGroup(
+      base: DataFrame, current: DataFrame, groupCol: String, valueCol: String,
+      width: Long, buckets: Int): DataFrame = {
+    require(width > 0 && buckets > 1)
+    val spark = base.sparkSession
+    def side(df: DataFrame, name: String): DataFrame =
+      df.select(col(groupCol).as("g"),
+        greatest(least(floor(col(valueCol) / width), lit(buckets - 1)), lit(0))
+          .cast("long").as("bucket"))
+        .groupBy(col("g"), col("bucket")).agg(count(lit(1)).as(name))
+    val groups = base.select(col(groupCol).as("g"))
+      .union(current.select(col(groupCol).as("g"))).distinct()
+    val frame = groups.crossJoin(spark.range(buckets).select(col("id").as("bucket")))
+    val j = frame
+      .join(side(base, "n_base"), Seq("g", "bucket"), "left")
+      .join(side(current, "n_cur"), Seq("g", "bucket"), "left")
+      .na.fill(0L, Seq("n_base", "n_cur"))
+    val tot = j.groupBy(col("g"))
+      .agg(sum(col("n_base")).as("tb"), sum(col("n_cur")).as("tc"))
+    j.join(tot, "g")
+      .select(col("g"), col("tb"), col("tc"),
+        floor(log(((col("n_base") + 1) * (col("tc") + buckets)).cast("double")
+            / ((col("n_cur") + 1) * (col("tb") + buckets)).cast("double")) * 1e9 + lit(0.5))
+          .cast("long").as("qln"),
+        ((col("n_base") + 1) * (col("tc") + buckets)
+          - (col("n_cur") + 1) * (col("tb") + buckets)).as("pq_num"))
+      .groupBy(col("g"), col("tb"), col("tc"))
+      .agg(sum(col("pq_num") * col("qln")).as("psi_scaled"))
+      .select(col("g").as(groupCol), col("tb").as("n_base"), col("tc").as("n_cur"),
+        col("psi_scaled"),
+        (col("psi_scaled").cast("double")
+          / (col("tb") + buckets).cast("double")
+          / (col("tc") + buckets).cast("double") / 1e9).as("psi"))
+  }
 }

@@ -646,6 +646,37 @@ class OperatorsSpec extends SparkSuite {
       s"inter est ${est.getDouble(3)} vs true $ti")
   }
 
+  test("transition matrix: lag pairs per user, probabilities sum to 1 per from-state") {
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val ev = Seq(
+      (1L, 10L, "A", ts(0)), (1L, 11L, "B", ts(1)), (1L, 12L, "A", ts(2)),
+      (2L, 20L, "A", ts(0)), (2L, 21L, "C", ts(1)),
+      (3L, 30L, "Z", ts(5))). // single event: no transition
+      toDF("user_id", "event_id", "event_type", "ts")
+    val r = Behavior.transitionMatrix(ev, "user_id", "event_type", "ts", "event_id")
+      .collect().map(x => (x.getString(0), x.getString(1)) -> (x.getLong(2), x.getDouble(4))).toMap
+    assert(r.keySet == Set(("A", "B"), ("A", "C"), ("B", "A")))
+    assert(r(("A", "B")) == ((1L, 0.5)) && r(("A", "C")) == ((1L, 0.5)))
+    assert(r(("B", "A")) == ((1L, 1.0)))
+    // duplicate-timestamp determinism: tie broken by event_id
+    val dup = Seq((1L, 1L, "X", ts(0)), (1L, 2L, "Y", ts(0)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val d = Behavior.transitionMatrix(dup, "user_id", "event_type", "ts", "event_id")
+      .collect().map(x => (x.getString(0), x.getString(1))).toSeq
+    assert(d == Seq(("X", "Y")))
+  }
+
+  test("psiByGroup: zero for unchanged groups, vanished group stays present") {
+    val base = Seq(("en", 10L), ("en", 60L), ("de", 10L), ("de", 60L)).toDF("lang", "v")
+    val cur = Seq(("en", 10L), ("en", 60L)).toDF("lang", "v") // de vanished
+    val r = Drift.psiByGroup(base, cur, "lang", "v", 50L, 4)
+      .collect().map(x => x.getString(0) -> (x.getLong(2), x.getDouble(4))).toMap
+    assert(r.keySet == Set("en", "de"))
+    assert(r("en")._2 == 0.0, s"unchanged group must read 0: $r")
+    assert(r("de")._1 == 0L && r("de")._2 > 0.0, s"vanished group must be loud: $r")
+  }
+
   test("basket co-occurrence: pair counts dedup within basket, lift above chance") {
     val rows = Seq(
       (1L, "A"), (1L, "B"), (1L, "B"), // B twice in basket 1: one co-occurrence
