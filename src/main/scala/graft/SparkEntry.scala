@@ -828,6 +828,13 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    "events_top_paths" -> ((s, dir) => {
+      // journey path mining: most common 3-step event sequences; one window
+      // serves both lead offsets, top-k is TakeOrdered
+      graft.operators.Behavior.topPaths(
+        events(s, dir), "user_id", "event_type", "ts", "event_id", k = 20)
+    }),
+
     "events_transitions" -> ((s, dir) => {
       // first-order journey transitions: P(next event type | current), lag
       // windows per user with (ts, event_id) tie-broken ordering
@@ -1516,6 +1523,18 @@ object SparkEntry {
          |    / 1e9 / 100.0 AS score
          |FROM events e, ref, w
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_top_paths" ->
+      """WITH seq3 AS (
+        |  SELECT event_type AS step1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step3
+        |  FROM events
+        |)
+        |SELECT step1, step2, step3, count(*) AS n_paths
+        |FROM seq3 WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n_paths DESC, step1, step2, step3 LIMIT 20""".stripMargin,
 
     "events_transitions" ->
       """WITH nxt AS (

@@ -127,6 +127,25 @@ object Behavior {
         (col("n_ab").cast("double") / col("n_a")).as("p"))
   }
 
+  /** Top event PATHS of length 3 (journey mining): consecutive triples
+    * inside each user's tie-broken stream, counted corpus-wide. Same single
+    * window as [[transitionMatrix]] — two lead() offsets reuse one sort —
+    * then a count and a TakeOrdered top-k, never a global sort. */
+  def topPaths(
+      events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      tieCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    events
+      .withColumn("__s2", lead(col(typeCol), 1).over(w))
+      .withColumn("__s3", lead(col(typeCol), 2).over(w))
+      .filter(col("__s2").isNotNull && col("__s3").isNotNull)
+      .groupBy(col(typeCol).as("step1"), col("__s2").as("step2"), col("__s3").as("step3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("step1"), col("step2"), col("step3"))
+      .limit(k)
+  }
+
   /** Quantized exponential-decay weights for integer day ages 0..maxAge:
     * w(d) = floor(2^(-d/halfLife) · 1e9 + 0.5). Computed ONCE driver-side
     * and embedded as literals in both the Spark plan and any oracle SQL —

@@ -667,6 +667,19 @@ class OperatorsSpec extends SparkSuite {
     assert(d == Seq(("X", "Y")))
   }
 
+  test("topPaths: triples stay inside one user's stream and count exactly") {
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val ev = Seq(
+      (1L, 1L, "A", ts(0)), (1L, 2L, "B", ts(1)), (1L, 3L, "C", ts(2)), (1L, 4L, "B", ts(3)),
+      (2L, 5L, "A", ts(0)), (2L, 6L, "B", ts(1)), (2L, 7L, "C", ts(2))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val r = Behavior.topPaths(ev, "user_id", "event_type", "ts", "event_id", 10)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getString(2)) -> x.getLong(3)).toMap
+    // A>B>C twice (both users), B>C>B once (user 1 only); user boundary not crossed
+    assert(r == Map(("A", "B", "C") -> 2L, ("B", "C", "B") -> 1L), r.toString)
+  }
+
   test("psiByGroup: zero for unchanged groups, vanished group stays present") {
     val base = Seq(("en", 10L), ("en", 60L), ("de", 10L), ("de", 60L)).toDF("lang", "v")
     val cur = Seq(("en", 10L), ("en", 60L)).toDF("lang", "v") // de vanished
