@@ -1670,7 +1670,11 @@ object SparkEntry {
 
     "drift_psi_by_lang" ->
       """WITH bks AS (SELECT range AS bucket FROM range(0, 12)),
-        |gs AS (SELECT DISTINCT lang FROM documents),
+        |gs AS (
+        |  SELECT DISTINCT lang FROM documents
+        |  UNION
+        |  SELECT DISTINCT lang FROM documents WHERE n_chars >= 150 OR doc_id % 3 = 0
+        |),
         |frame AS (SELECT gs.lang, bks.bucket FROM gs CROSS JOIN bks),
         |b AS (
         |  SELECT lang, greatest(least(CAST(floor(n_chars / 50) AS BIGINT), 11), 0) AS bucket,

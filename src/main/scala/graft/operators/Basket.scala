@@ -27,7 +27,12 @@ object Basket {
     * (item_a, item_b, n_ab, n_a, n_b, lift) for pairs with n_ab >= minSupport. */
   def coOccurrence(
       df: DataFrame, basketCol: String, itemCol: String, minSupport: Long): DataFrame = {
+    // persisted: the distinct (basket, item) relation feeds the basket
+    // count, the item counts AND both self-join sides — without the cache
+    // the scan+distinct replays up to four times. Stays cached for the
+    // caller's lifetime (same residual contract as connectedComponents).
     val bi = df.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = bi.select(col("b")).distinct().count()
     val itemCounts = bi.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
     val a = bi.as("a")

@@ -121,8 +121,11 @@ object Behavior {
       .filter(col("__next").isNotNull)
       .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
       .agg(count(lit(1)).as("n_ab"))
-    val fromTotals = pairs.groupBy(col("from_type")).agg(sum(col("n_ab")).as("n_a"))
-    pairs.join(broadcast(fromTotals), "from_type")
+    // row-count totals via a window over the (tiny) pair table — a self-join
+    // with an aggregate of `pairs` would replay the full event window twice
+    val wFrom = Window.partitionBy(col("from_type"))
+    pairs
+      .withColumn("n_a", sum(col("n_ab")).over(wFrom))
       .select(col("from_type"), col("to_type"), col("n_ab"), col("n_a"),
         (col("n_ab").cast("double") / col("n_a")).as("p"))
   }

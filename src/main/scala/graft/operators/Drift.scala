@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distribution-drift monitoring between two corpus snapshots — the
@@ -16,61 +16,90 @@ import org.apache.spark.sql.functions._
   * common denominator (Nb+B)(Nc+B) — so the statistic hash-matches a SQL
   * oracle despite being "floating-point" math on paper.
   *
+  * The corpus-level and per-group (stratified) forms share ONE
+  * implementation — the ungrouped form is the grouped form with zero group
+  * columns — so the smoothing/quantization algebra exists exactly once.
+  *
   * Scale shape: one map-side-combined count aggregation per snapshot (B
-  * bucket rows each), a B-row join, a B-row sum. The corpus is scanned
-  * once per side regardless of B; everything after the counts is
+  * bucket rows per group), a frame join, a per-group sum. The corpus is
+  * scanned once per side regardless of B; everything after the counts is
   * metadata-sized. Conventional read: PSI < 0.1 stable, 0.1–0.25 drifting,
   * > 0.25 shifted.
   */
 object Drift {
 
-  /** Per-bucket smoothed PSI terms plus totals. Buckets are fixed-width
-    * (`width`) with the last bucket catching the tail — fixed boundaries
-    * (not quantiles) so the bucketing is a pure function of the value and
-    * two snapshots bucket identically. Returns one row per bucket id
-    * 0..buckets-1 with both counts and the 1e-9-scaled term. */
-  def psiBuckets(
-      base: DataFrame, current: DataFrame, valueCol: String,
+  /** Fixed-width bucket id with BOTH tails clamped: values below 0 land in
+    * bucket 0, above the range in the last bucket — otherwise out-of-range
+    * values fall outside the bucket-frame join and silently vanish from
+    * counts AND totals. Fixed boundaries (not quantiles) so two snapshots
+    * bucket identically. */
+  private def bucketOf(valueCol: String, width: Long, buckets: Int): Column =
+    greatest(least(floor(col(valueCol) / width), lit(buckets - 1)), lit(0))
+      .cast("long").as("bucket")
+
+  /** Per-(group, bucket) smoothed counts over the full bucket frame. The
+    * frame spans groups present on EITHER side × all bucket ids, so a group
+    * that vanished from one snapshot still reports (its PSI is driven by
+    * the smoothing floor — loud, not absent). Ungrouped when `groupCols`
+    * is empty. */
+  def psiBucketsBy(
+      base: DataFrame, current: DataFrame, groupCols: Seq[String], valueCol: String,
       width: Long, buckets: Int): DataFrame = {
     require(width > 0 && buckets > 1)
     val spark = base.sparkSession
-    // clamp BOTH tails: values below 0 land in bucket 0, above the range in
-    // the last bucket — otherwise negative scores fall outside the bucket
-    // frame join and silently vanish from counts AND totals
+    val g = groupCols.map(col)
     def side(df: DataFrame, name: String): DataFrame =
-      df.select(greatest(least(floor(col(valueCol) / width), lit(buckets - 1)), lit(0))
-          .cast("long").as("bucket"))
-        .groupBy(col("bucket")).agg(count(lit(1)).as(name))
-    val b = side(base, "n_base")
-    val c = side(current, "n_cur")
-    spark.range(buckets).select(col("id").as("bucket"))
-      .join(b, Seq("bucket"), "left")
-      .join(c, Seq("bucket"), "left")
+      df.select((g :+ bucketOf(valueCol, width, buckets)): _*)
+        .groupBy((g :+ col("bucket")): _*).agg(count(lit(1)).as(name))
+    val bucketFrame = spark.range(buckets).select(col("id").as("bucket"))
+    val frame =
+      if (groupCols.isEmpty) bucketFrame
+      else base.select(g: _*).union(current.select(g: _*)).distinct()
+        .crossJoin(bucketFrame)
+    frame
+      .join(side(base, "n_base"), groupCols :+ "bucket", "left")
+      .join(side(current, "n_cur"), groupCols :+ "bucket", "left")
       .na.fill(0L, Seq("n_base", "n_cur"))
   }
 
-  /** The PSI statistic from [[psiBuckets]] output: single row
-    * (n_base, n_cur, psi_scaled, psi). */
-  def psi(bucketCounts: DataFrame, buckets: Int): DataFrame = {
-    val tot = bucketCounts.agg(
-      sum(col("n_base")).as("tb"), sum(col("n_cur")).as("tc"))
-    bucketCounts.crossJoin(broadcast(tot))
-      .select(col("n_base"), col("n_cur"), col("tb"), col("tc"),
+  /** Collapse [[psiBucketsBy]] output to one PSI row per group:
+    * groupCols ++ (n_base, n_cur, psi_scaled, psi). The single home of the
+    * smoothed qln / exact-numerator algebra. */
+  def psiFrom(bucketCounts: DataFrame, groupCols: Seq[String], buckets: Int): DataFrame = {
+    val g = groupCols.map(col)
+    val tot = bucketCounts.groupBy(g: _*)
+      .agg(sum(col("n_base")).as("tb"), sum(col("n_cur")).as("tc"))
+    val joined =
+      if (groupCols.isEmpty) bucketCounts.crossJoin(broadcast(tot))
+      else bucketCounts.join(tot, groupCols)
+    joined
+      .select((g ++ Seq(col("tb"), col("tc"),
         // smoothed ratio p/q = (cb+1)(tc+B) / ((cc+1)(tb+B)); ln quantized
         floor(log(((col("n_base") + 1) * (col("tc") + buckets)).cast("double")
             / ((col("n_cur") + 1) * (col("tb") + buckets)).cast("double")) * 1e9 + lit(0.5))
           .cast("long").as("qln"),
         // exact integer numerator of (p - q) over (tb+B)(tc+B)
         ((col("n_base") + 1) * (col("tc") + buckets)
-          - (col("n_cur") + 1) * (col("tb") + buckets)).as("pq_num"))
-      .groupBy(col("tb"), col("tc"))
+          - (col("n_cur") + 1) * (col("tb") + buckets)).as("pq_num"))): _*)
+      .groupBy((g ++ Seq(col("tb"), col("tc"))): _*)
       .agg(sum(col("pq_num") * col("qln")).as("psi_scaled"))
-      .select(col("tb").as("n_base"), col("tc").as("n_cur"),
+      .select((g ++ Seq(col("tb").as("n_base"), col("tc").as("n_cur"),
         col("psi_scaled"),
         (col("psi_scaled").cast("double")
           / (col("tb") + buckets).cast("double")
-          / (col("tc") + buckets).cast("double") / 1e9).as("psi"))
+          / (col("tc") + buckets).cast("double") / 1e9).as("psi"))): _*)
   }
+
+  /** Ungrouped bucket counts (kept for callers/tests of the corpus form). */
+  def psiBuckets(
+      base: DataFrame, current: DataFrame, valueCol: String,
+      width: Long, buckets: Int): DataFrame =
+    psiBucketsBy(base, current, Nil, valueCol, width, buckets)
+
+  /** The PSI statistic from ungrouped [[psiBuckets]] output: single row
+    * (n_base, n_cur, psi_scaled, psi). */
+  def psi(bucketCounts: DataFrame, buckets: Int): DataFrame =
+    psiFrom(bucketCounts, Nil, buckets)
 
   /** One-call form: PSI of `valueCol` between two snapshots. */
   def psiOf(base: DataFrame, current: DataFrame, valueCol: String,
@@ -78,43 +107,10 @@ object Drift {
     psi(psiBuckets(base, current, valueCol, width, buckets), buckets)
 
   /** Per-GROUP PSI — the form a stratified corpus monitor actually runs
-    * ("which language/source drifted?"): the same smoothed integer algebra
-    * computed independently inside each group, one row per group. The
-    * bucket frame is (groups present on either side) × buckets, so a group
-    * that vanished from the current snapshot still reports (its PSI is
-    * driven entirely by the smoothing floor — loud, not absent). */
+    * ("which language/source drifted?"): one row per group. */
   def psiByGroup(
       base: DataFrame, current: DataFrame, groupCol: String, valueCol: String,
-      width: Long, buckets: Int): DataFrame = {
-    require(width > 0 && buckets > 1)
-    val spark = base.sparkSession
-    def side(df: DataFrame, name: String): DataFrame =
-      df.select(col(groupCol).as("g"),
-        greatest(least(floor(col(valueCol) / width), lit(buckets - 1)), lit(0))
-          .cast("long").as("bucket"))
-        .groupBy(col("g"), col("bucket")).agg(count(lit(1)).as(name))
-    val groups = base.select(col(groupCol).as("g"))
-      .union(current.select(col(groupCol).as("g"))).distinct()
-    val frame = groups.crossJoin(spark.range(buckets).select(col("id").as("bucket")))
-    val j = frame
-      .join(side(base, "n_base"), Seq("g", "bucket"), "left")
-      .join(side(current, "n_cur"), Seq("g", "bucket"), "left")
-      .na.fill(0L, Seq("n_base", "n_cur"))
-    val tot = j.groupBy(col("g"))
-      .agg(sum(col("n_base")).as("tb"), sum(col("n_cur")).as("tc"))
-    j.join(tot, "g")
-      .select(col("g"), col("tb"), col("tc"),
-        floor(log(((col("n_base") + 1) * (col("tc") + buckets)).cast("double")
-            / ((col("n_cur") + 1) * (col("tb") + buckets)).cast("double")) * 1e9 + lit(0.5))
-          .cast("long").as("qln"),
-        ((col("n_base") + 1) * (col("tc") + buckets)
-          - (col("n_cur") + 1) * (col("tb") + buckets)).as("pq_num"))
-      .groupBy(col("g"), col("tb"), col("tc"))
-      .agg(sum(col("pq_num") * col("qln")).as("psi_scaled"))
-      .select(col("g").as(groupCol), col("tb").as("n_base"), col("tc").as("n_cur"),
-        col("psi_scaled"),
-        (col("psi_scaled").cast("double")
-          / (col("tb") + buckets).cast("double")
-          / (col("tc") + buckets).cast("double") / 1e9).as("psi"))
-  }
+      width: Long, buckets: Int): DataFrame =
+    psiFrom(psiBucketsBy(base, current, Seq(groupCol), valueCol, width, buckets),
+      Seq(groupCol), buckets)
 }
