@@ -978,6 +978,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "text_freq_spectrum" -> ((s, dir) => {
+      // corpus-health frequency spectrum (frequency-of-frequencies): how
+      // many vocabulary types occur exactly k times, k <= 10, plus the tail
+      // bucket — hapax share and Zipf shape in one tiny aggregate
+      val toks = t(s, dir, "documents")
+        .select(explode(graft.functions.TextFns.tokens(col("text"))).as("w"))
+      toks.groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .select(least(expr("n div 100"), lit(10L)).as("occ_hundreds"))
+        .groupBy(col("occ_hundreds"))
+        .agg(count(lit(1)).as("n_types"))
+        .orderBy(col("occ_hundreds"))
+    }),
+
+    "text_token_pmi" -> ((s, dir) => {
+      // token-pair association via REUSE of the market-basket operator:
+      // documents are baskets, mid-frequency tokens are items (df bounds
+      // cap the per-basket fanout), PMI = ln(lift) quantized 1e-6
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(graft.functions.TextFns.tokens(col("text"))).as("w"))
+      graft.operators.Basket.coOccurrence(toks, "doc_id", "w", minSupport = 50L)
+        .withColumn("pmi", floor(log(col("lift")) * 1e6 + lit(0.5)) / 1e6)
+        .orderBy(col("lift").desc, col("item_a"), col("item_b"))
+        .limit(50)
+    }),
+
     "text_lm_score" -> ((s, dir) => {
       // unigram LM corpus-fit (perplexity-style quality signal): per-term
       // bits quantized to 1e-6 before the order-free per-doc integer sum
@@ -1589,6 +1614,32 @@ object SparkEntry {
         |              ELSE 0.697 * 1024 * 68719476736 / s_scaled END) * 1e6 + 0.5) / 1e6
         |    AS est_distinct
         |FROM agg ORDER BY hour""".stripMargin,
+
+    "text_freq_spectrum" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents
+        |), vc AS (
+        |  SELECT w, count(*) AS n FROM toks GROUP BY 1
+        |)
+        |SELECT least(n // 100, 10) AS occ_hundreds, count(*) AS n_types
+        |FROM vc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_token_pmi" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT doc_id AS b, unnest(regexp_split_to_array(trim(text), '\s+')) AS i
+        |  FROM documents
+        |), n AS (SELECT count(DISTINCT b) AS n FROM bi),
+        |ic AS (SELECT i, count(*) AS n_i FROM bi GROUP BY 1),
+        |p AS (
+        |  SELECT a.i AS item_a, c.i AS item_b, count(*) AS n_ab
+        |  FROM bi a JOIN bi c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 50
+        |)
+        |SELECT p.item_a, p.item_b, p.n_ab, ia.n_i AS n_a, ib.n_i AS n_b,
+        |  CAST((SELECT n FROM n) AS DOUBLE) * p.n_ab / ia.n_i / ib.n_i AS lift,
+        |  floor(ln(CAST((SELECT n FROM n) AS DOUBLE) * p.n_ab / ia.n_i / ib.n_i) * 1e6 + 0.5) / 1e6 AS pmi
+        |FROM p JOIN ic ia ON ia.i = p.item_a JOIN ic ib ON ib.i = p.item_b
+        |ORDER BY lift DESC, item_a, item_b LIMIT 50""".stripMargin,
 
     "text_lm_score" ->
       """WITH toks AS (
