@@ -993,11 +993,15 @@ object SparkEntry {
 
     "text_token_pmi" -> ((s, dir) => {
       // token-pair association via REUSE of the market-basket operator:
-      // documents are baskets, mid-frequency tokens are items (df bounds
-      // cap the per-basket fanout), PMI = ln(lift) quantized 1e-6
+      // documents are baskets, tokens are items. The df band
+      // [minDf=50, n*900 div 1000] is applied BEFORE the self-join
+      // (broadcast semi-join against the banded vocabulary) — the fanout
+      // bound that makes this survive stopwords at corpus scale.
+      // PMI = ln(lift) quantized 1e-6.
       val toks = t(s, dir, "documents")
         .select(col("doc_id"), explode(graft.functions.TextFns.tokens(col("text"))).as("w"))
-      graft.operators.Basket.coOccurrence(toks, "doc_id", "w", minSupport = 50L)
+      graft.operators.Basket.coOccurrenceBanded(toks, "doc_id", "w",
+          minSupport = 50L, minDf = 50L, maxDfPerMille = 900L)
         .withColumn("pmi", floor(log(col("lift")) * 1e6 + lit(0.5)) / 1e6)
         .orderBy(col("lift").desc, col("item_a"), col("item_b"))
         .limit(50)
@@ -1625,12 +1629,16 @@ object SparkEntry {
         |FROM vc GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_token_pmi" ->
-      """WITH bi AS (
+      """WITH bi0 AS (
         |  SELECT DISTINCT doc_id AS b, unnest(regexp_split_to_array(trim(text), '\s+')) AS i
         |  FROM documents
-        |), n AS (SELECT count(DISTINCT b) AS n FROM bi),
-        |ic AS (SELECT i, count(*) AS n_i FROM bi GROUP BY 1),
-        |p AS (
+        |), n AS (SELECT count(DISTINCT b) AS n FROM bi0),
+        |vocab AS (
+        |  SELECT i, count(*) AS n_i FROM bi0 GROUP BY 1
+        |  HAVING count(*) >= 50 AND count(*) <= (SELECT n FROM n) * 900 // 1000
+        |), bi AS (
+        |  SELECT bi0.b, bi0.i FROM bi0 JOIN vocab ON vocab.i = bi0.i
+        |), p AS (
         |  SELECT a.i AS item_a, c.i AS item_b, count(*) AS n_ab
         |  FROM bi a JOIN bi c ON a.b = c.b AND a.i < c.i
         |  GROUP BY 1, 2 HAVING count(*) >= 50
@@ -1638,7 +1646,7 @@ object SparkEntry {
         |SELECT p.item_a, p.item_b, p.n_ab, ia.n_i AS n_a, ib.n_i AS n_b,
         |  CAST((SELECT n FROM n) AS DOUBLE) * p.n_ab / ia.n_i / ib.n_i AS lift,
         |  floor(ln(CAST((SELECT n FROM n) AS DOUBLE) * p.n_ab / ia.n_i / ib.n_i) * 1e6 + 0.5) / 1e6 AS pmi
-        |FROM p JOIN ic ia ON ia.i = p.item_a JOIN ic ib ON ib.i = p.item_b
+        |FROM p JOIN vocab ia ON ia.i = p.item_a JOIN vocab ib ON ib.i = p.item_b
         |ORDER BY lift DESC, item_a, item_b LIMIT 50""".stripMargin,
 
     "text_lm_score" ->

@@ -35,6 +35,39 @@ object Basket {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = bi.select(col("b")).distinct().count()
     val itemCounts = bi.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
+    liftJoin(bi, itemCounts, n, minSupport)
+  }
+
+  /** Document-frequency-banded variant for vocabulary-as-items workloads
+    * (documents are baskets, tokens are items). Plain `coOccurrence`'s
+    * Σ basket² fanout is bounded by basket size only when baskets are small
+    * (orders); when baskets are documents, stopwords pair each document's
+    * ENTIRE vocabulary — the quadratic blowup at corpus scale. This variant
+    * prunes the (basket, item) stream to items whose document frequency lies
+    * in [minDf, n·maxDfPerMille div 1000] BEFORE the self-join, via a
+    * broadcast semi-join against the vocabulary-sized band.
+    *
+    * The relation is distinct per (basket, item), so per-item count == df
+    * and the lift denominators come straight from the banded vocabulary.
+    * `n` (lift's corpus size) stays the FULL basket count, band-independent.
+    * A pair with n_ab >= minSupport has df >= minSupport on both items, so
+    * minDf <= minSupport is a pure pruning win (cannot change the result);
+    * the maxDf cut is the deliberate stopword exclusion. */
+  def coOccurrenceBanded(
+      df: DataFrame, basketCol: String, itemCol: String, minSupport: Long,
+      minDf: Long, maxDfPerMille: Long): DataFrame = {
+    val bi = df.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = bi.select(col("b")).distinct().count()
+    val maxDf = n * maxDfPerMille / 1000 // driver Long div == DuckDB `//`
+    val vocab = bi.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
+      .filter(col("n_i") >= minDf && col("n_i") <= maxDf)
+    val banded = bi.join(broadcast(vocab.select(col("i"))), Seq("i"), "left_semi")
+    liftJoin(banded, vocab, n, minSupport)
+  }
+
+  private def liftJoin(
+      bi: DataFrame, itemCounts: DataFrame, n: Long, minSupport: Long): DataFrame = {
     val a = bi.as("a")
     val c = bi.as("c")
     val pairs = a.join(c, col("a.b") === col("c.b") && col("a.i") < col("c.i"))

@@ -709,6 +709,26 @@ class OperatorsSpec extends SparkSuite {
     assert(pruned.count() == 1L)
   }
 
+  test("banded co-occurrence: stopwords excluded BEFORE the self-join, pairs vocab-bounded") {
+    // 40 docs; 'stop' in all 40 (df 100%), 'mid1'/'mid2' co-occur in 20,
+    // 'rare' in 1. Band [minDf=5, 900‰ → df<=36]: only mid1/mid2 survive.
+    val rows = (1L to 40L).flatMap { d =>
+      Seq((d, "stop")) ++
+        (if (d <= 20) Seq((d, "mid1"), (d, "mid2")) else Nil) ++
+        (if (d == 7) Seq((d, "rare")) else Nil)
+    }.toDF("basket", "item")
+    val r = Basket.coOccurrenceBanded(rows, "basket", "item",
+      minSupport = 1L, minDf = 5L, maxDfPerMille = 900L).collect()
+    val items = r.flatMap(x => Seq(x.getString(0), x.getString(1))).toSet
+    assert(!items.contains("stop"), s"stopword must not reach the pair join: $items")
+    assert(!items.contains("rare"), s"sub-minDf item must be pruned: $items")
+    // banded vocabulary has 2 items → at most C(2,2)=1 pair, exactly (mid1,mid2)
+    assert(r.length == 1 && r.head.getString(0) == "mid1" && r.head.getString(1) == "mid2")
+    assert(r.head.getLong(2) == 20L && r.head.getLong(3) == 20L)
+    // lift n stays the FULL basket count (40), not the banded one
+    assert(math.abs(r.head.getDouble(5) - 40.0 * 20 / 20 / 20) < 1e-12)
+  }
+
   test("psi: zero on identical snapshots, positive and larger under stronger shift") {
     val self = Drift.psiOf(docs, docs, "n_chars", 50L, 12).head()
     assert(self.getLong(2) == 0L && self.getDouble(3) == 0.0)
