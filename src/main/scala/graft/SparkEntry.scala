@@ -1716,15 +1716,15 @@ object SparkEntry {
         |  SELECT CAST(sum(n_base) AS BIGINT) AS tb, CAST(sum(n_cur) AS BIGINT) AS tc FROM j
         |), terms AS (
         |  SELECT tb, tc,
-        |    CAST(floor(ln(CAST((n_base + 1) * (tc + 12) AS DOUBLE)
-        |      / CAST((n_cur + 1) * (tb + 12) AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS qln,
-        |    ((n_base + 1) * (tc + 12) - (n_cur + 1) * (tb + 12)) AS pq_num
+        |    CAST(floor(ln(CAST(n_base + 1 AS DOUBLE) * CAST(tc + 12 AS DOUBLE)
+        |      / (CAST(n_cur + 1 AS DOUBLE) * CAST(tb + 12 AS DOUBLE))) * 1e9 + 0.5) AS BIGINT) AS qln,
+        |    CAST(floor((CAST(n_base + 1 AS DOUBLE) / CAST(tb + 12 AS DOUBLE)
+        |      - CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 12 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS qpq
         |  FROM j, tot
         |)
         |SELECT tb AS n_base, tc AS n_cur,
-        |  CAST(sum(pq_num * qln) AS BIGINT) AS psi_scaled,
-        |  CAST(CAST(sum(pq_num * qln) AS BIGINT) AS DOUBLE)
-        |    / CAST(tb + 12 AS DOUBLE) / CAST(tc + 12 AS DOUBLE) / 1e9 AS psi
+        |  CAST(sum(qpq * qln) AS BIGINT) AS psi_scaled,
+        |  CAST(CAST(sum(qpq * qln) AS BIGINT) AS DOUBLE) / 1e15 AS psi
         |FROM terms GROUP BY 1, 2""".stripMargin,
 
     "drift_psi_by_lang" ->
@@ -1752,15 +1752,15 @@ object SparkEntry {
         |    CAST(sum(n_cur) AS BIGINT) AS tc FROM j GROUP BY 1
         |), terms AS (
         |  SELECT j.lang, tot.tb, tot.tc,
-        |    CAST(floor(ln(CAST((n_base + 1) * (tc + 12) AS DOUBLE)
-        |      / CAST((n_cur + 1) * (tb + 12) AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS qln,
-        |    ((n_base + 1) * (tc + 12) - (n_cur + 1) * (tb + 12)) AS pq_num
+        |    CAST(floor(ln(CAST(n_base + 1 AS DOUBLE) * CAST(tc + 12 AS DOUBLE)
+        |      / (CAST(n_cur + 1 AS DOUBLE) * CAST(tb + 12 AS DOUBLE))) * 1e9 + 0.5) AS BIGINT) AS qln,
+        |    CAST(floor((CAST(n_base + 1 AS DOUBLE) / CAST(tb + 12 AS DOUBLE)
+        |      - CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 12 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS qpq
         |  FROM j JOIN tot USING (lang)
         |)
         |SELECT lang, tb AS n_base, tc AS n_cur,
-        |  CAST(sum(pq_num * qln) AS BIGINT) AS psi_scaled,
-        |  CAST(CAST(sum(pq_num * qln) AS BIGINT) AS DOUBLE)
-        |    / CAST(tb + 12 AS DOUBLE) / CAST(tc + 12 AS DOUBLE) / 1e9 AS psi
+        |  CAST(sum(qpq * qln) AS BIGINT) AS psi_scaled,
+        |  CAST(CAST(sum(qpq * qln) AS BIGINT) AS DOUBLE) / 1e15 AS psi
         |FROM terms GROUP BY 1, 2, 3 ORDER BY lang""".stripMargin,
 
     "corpus_upsert" ->

@@ -10,11 +10,18 @@ import org.apache.spark.sql.functions._
   * Population Stability Index over fixed-width buckets:
   *   PSI = Σ_i (p_i − q_i) · ln(p_i / q_i)
   * with Laplace(+1) smoothing so empty buckets stay defined. All inputs are
-  * integer counts; each bucket's ln is quantized to 1e-9 BEFORE the
-  * order-free integer sum (the repo's standard exactness pattern), and the
-  * (p−q) difference is carried as the exact integer numerator over the
-  * common denominator (Nb+B)(Nc+B) — so the statistic hash-matches a SQL
-  * oracle despite being "floating-point" math on paper.
+  * integer counts; each bucket's ln is quantized to 1e-9 and its (p−q)
+  * difference to 1e-6 BEFORE the order-free integer sum (the repo's
+  * standard exactness pattern) — so the statistic hash-matches a SQL oracle
+  * despite being "floating-point" math on paper.
+  *
+  * Overflow safety at corpus scale: |qpq| ≤ 1e6 by construction and
+  * Σ_i |p_i − q_i| ≤ 2, so Σ |qpq·qln| ≤ ~2e6 · max|qln| ≈ 1e17 < 2^63
+  * for ANY snapshot size and bucket count (the earlier exact-numerator
+  * algebra carried O(Nb·Nc) per-bucket terms that wrapped Long silently
+  * once snapshots reached ~1e6 rows — precisely when drift is large).
+  * Ratio/probability arguments cast each factor to double BEFORE
+  * multiplying, so no integer intermediate can overflow either.
   *
   * The corpus-level and per-group (stratified) forms share ONE
   * implementation — the ungrouped form is the grouped form with zero group
@@ -74,20 +81,24 @@ object Drift {
       else bucketCounts.join(tot, groupCols)
     joined
       .select((g ++ Seq(col("tb"), col("tc"),
-        // smoothed ratio p/q = (cb+1)(tc+B) / ((cc+1)(tb+B)); ln quantized
-        floor(log(((col("n_base") + 1) * (col("tc") + buckets)).cast("double")
-            / ((col("n_cur") + 1) * (col("tb") + buckets)).cast("double")) * 1e9 + lit(0.5))
+        // smoothed ratio p/q = (cb+1)(tc+B) / ((cc+1)(tb+B)); each factor
+        // cast to double BEFORE the multiply (no integer intermediate),
+        // ln quantized to 1e-9
+        floor(log(((col("n_base") + 1).cast("double") * (col("tc") + buckets).cast("double"))
+            / ((col("n_cur") + 1).cast("double") * (col("tb") + buckets).cast("double"))) * 1e9
+            + lit(0.5))
           .cast("long").as("qln"),
-        // exact integer numerator of (p - q) over (tb+B)(tc+B)
-        ((col("n_base") + 1) * (col("tc") + buckets)
-          - (col("n_cur") + 1) * (col("tb") + buckets)).as("pq_num"))): _*)
+        // p - q quantized to 1e-6: bounded by ±(1e6+1), so the qpq·qln
+        // products and their sum stay far below 2^63 at any corpus size
+        floor(((col("n_base") + 1).cast("double") / (col("tb") + buckets).cast("double")
+            - (col("n_cur") + 1).cast("double") / (col("tc") + buckets).cast("double")) * 1e6
+            + lit(0.5))
+          .cast("long").as("qpq"))): _*)
       .groupBy((g ++ Seq(col("tb"), col("tc"))): _*)
-      .agg(sum(col("pq_num") * col("qln")).as("psi_scaled"))
+      .agg(sum(col("qpq") * col("qln")).as("psi_scaled"))
       .select((g ++ Seq(col("tb").as("n_base"), col("tc").as("n_cur"),
         col("psi_scaled"),
-        (col("psi_scaled").cast("double")
-          / (col("tb") + buckets).cast("double")
-          / (col("tc") + buckets).cast("double") / 1e9).as("psi"))): _*)
+        (col("psi_scaled").cast("double") / 1e15).as("psi"))): _*)
   }
 
   /** Ungrouped bucket counts (kept for callers/tests of the corpus form). */

@@ -729,6 +729,22 @@ class OperatorsSpec extends SparkSuite {
     assert(math.abs(r.head.getDouble(5) - 40.0 * 20 / 20 / 20) < 1e-12)
   }
 
+  test("psi: million-row snapshots stay in 64-bit range (no silent overflow)") {
+    // 90/10 vs 10/90 mix at 2M rows/side: PSI = 1.6·ln(9) ≈ 3.5155. The
+    // pre-fix exact-numerator algebra produced pq_num·qln ≈ 7e21 here,
+    // wrapping Long and flipping signs exactly when drift is large.
+    val counts = Seq((0L, 1800000L, 200000L), (1L, 200000L, 1800000L))
+      .toDF("bucket", "n_base", "n_cur")
+    val r = Drift.psi(counts, 2).head()
+    val expected = 1.6 * math.log(9.0)
+    assert(r.getLong(0) == 2000000L && r.getLong(1) == 2000000L)
+    assert(math.abs(r.getDouble(3) - expected) < 1e-3,
+      s"psi ${r.getDouble(3)} vs expected $expected")
+    // per-term bound: |qpq| <= 1e6+1, so even a 10^12-row snapshot cannot
+    // push |psi_scaled| past ~2e6 * max|qln| << 2^63
+    assert(math.abs(r.getLong(2)) < 4e15.toLong, s"psi_scaled ${r.getLong(2)}")
+  }
+
   test("psi: zero on identical snapshots, positive and larger under stronger shift") {
     val self = Drift.psiOf(docs, docs, "n_chars", 50L, 12).head()
     assert(self.getLong(2) == 0L && self.getDouble(3) == 0.0)
