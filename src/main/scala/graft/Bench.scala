@@ -93,8 +93,15 @@ object Bench {
       .mkString("{", ",", "}")
     val gr = genRates.map { case (k, v) => "\"" + k + f"\":$v%.0f" }.mkString("{", ",", "}")
     val total = f"${results.map(_._2.head).sum}%.3f"
-    println(
-      s"""{"metric":"total_query_secs","value":$total,"unit":"sec","queries":$qs,"query_samples_min_med_max":$spread,"generator_rows_per_sec":$gr,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total_query_secs","value":$total,"unit":"sec","queries":$qs,"query_samples_min_med_max":$spread,"generator_rows_per_sec":$gr,"sf":"$sfDir"}"""
+    println(line)
+    // full per-query record survives the driver's 2000-char stdout tail:
+    // committed each round as bench_full_r{N}.json for round-over-round diffs
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full_latest.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Exception => System.err.println(s"[bench] archive write failed: $e") }
     spark.stop()
   }
 }

@@ -1546,9 +1546,9 @@ object SparkEntry {
          |)
          |SELECT e.user_id,
          |  CAST(sum(CAST(floor(e.value*100 + 0.5) AS BIGINT)
-         |    * w.wts[(ref.ref_day - CAST(e.ts AS DATE)) + 1]) AS BIGINT) AS score_scaled,
+         |    * w.wts[least(ref.ref_day - CAST(e.ts AS DATE), 366) + 1]) AS BIGINT) AS score_scaled,
          |  CAST(CAST(sum(CAST(floor(e.value*100 + 0.5) AS BIGINT)
-         |    * w.wts[(ref.ref_day - CAST(e.ts AS DATE)) + 1]) AS BIGINT) AS DOUBLE)
+         |    * w.wts[least(ref.ref_day - CAST(e.ts AS DATE), 366) + 1]) AS BIGINT) AS DOUBLE)
          |    / 1e9 / 100.0 AS score
          |FROM events e, ref, w
          |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -1823,7 +1823,8 @@ object SparkEntry {
       """SELECT doc_id, n_chars,
         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT // n_chars
         |    AS priority
-        |FROM documents ORDER BY priority, doc_id LIMIT 100""".stripMargin)
+        |FROM documents WHERE n_chars >= 1
+        |ORDER BY priority, doc_id LIMIT 100""".stripMargin)
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q1_pricing_summary" ->

@@ -164,19 +164,24 @@ object Behavior {
     * All integer: cents × quantized weight summed order-free; one final
     * double division by 1e9 descales. One tiny max-aggregate fixes the
     * reference day; the weighting itself is a scan-speed projection feeding
-    * one groupBy(user). */
+    * one groupBy(user).
+    *
+    * The weight table has a FIXED, data-independent length `maxAge` and the
+    * age is clamped into it on lookup — so any oracle embedding the same
+    * literal table can never index past the list end no matter how far the
+    * data spans (weights beyond ~52 half-lives quantize to 0 anyway), and
+    * no extra pass over the events is needed to size the table. */
   def decayedValue(
       events: DataFrame, userCol: String, tsCol: String, valueCents: Column,
-      halfLifeDays: Double): DataFrame = {
+      halfLifeDays: Double, maxAge: Int = 366): DataFrame = {
     val day = to_date(col(tsCol))
     val ref = events.agg(max(day).as("ref_day"))
-    val maxAge = events.crossJoin(broadcast(ref))
-      .agg(max(datediff(col("ref_day"), day))).head().getInt(0)
     val w = decayWeights(halfLifeDays, maxAge)
     val weights = array(w.map(lit(_)).toIndexedSeq: _*)
+    val age = least(datediff(col("ref_day"), day), lit(maxAge))
     events.crossJoin(broadcast(ref))
       .select(col(userCol).as("user"),
-        (valueCents * element_at(weights, datediff(col("ref_day"), day) + 1)).as("wv"))
+        (valueCents * element_at(weights, age + 1)).as("wv"))
       .groupBy(col("user"))
       .agg(sum(col("wv")).as("score_scaled"))
       .withColumn("score", col("score_scaled").cast("double") / 1e9 / 100.0)

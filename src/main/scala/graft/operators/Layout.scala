@@ -183,9 +183,19 @@ object Layout {
     (df.filter(col(keyCol) === lit(value)), kept.length, files.length)
   }
 
-  private def cmpAny(a: Any, b: Any): Int = (a, b) match {
-    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
-    case (x: Int, y: Int) => Integer.compare(x, y)
+  /** Mixed integral types compare via longValue — doubleValue loses
+    * precision above 2^53, which could wrongly prune a zone whose long
+    * min/max exceeds 2^53 when probed with Int bounds. The double path is
+    * reserved for genuine floating types. */
+  private def isIntegral(n: Number): Boolean = n match {
+    case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+         _: java.lang.Byte => true
+    case _ => false
+  }
+
+  private[graft] def cmpAny(a: Any, b: Any): Int = (a, b) match {
+    case (x: Number, y: Number) if isIntegral(x) && isIntegral(y) =>
+      java.lang.Long.compare(x.longValue(), y.longValue())
     case (x: Number, y: Number) => java.lang.Double.compare(x.doubleValue(), y.doubleValue())
     case (x: String, y: String) => x.compareTo(y)
     case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y)

@@ -174,10 +174,14 @@ object Sampling {
     *
     * Weights must be >= 1 (caller rescales); rows with larger weight get
     * smaller priorities ~ w times more often, matching pps intuition.
+    * Rows with null / zero / negative weight are EXCLUDED up front — a null
+    * weight makes `div` null and Spark orders nulls FIRST ascending, so
+    * without the filter invalid-weight rows would be guaranteed selected.
     */
   def weightedSample(
       df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
-    df.withColumn("__h", graft.operators.Sketches.hash60(col(idCol)))
+    df.filter(col(weightCol) >= 1)
+      .withColumn("__h", graft.operators.Sketches.hash60(col(idCol)))
       .withColumn("priority", expr(s"__h div $weightCol"))
       .drop("__h")
       .orderBy(col("priority"), col(idCol))

@@ -564,6 +564,17 @@ class OperatorsSpec extends SparkSuite {
       s"weighted sample mean $sampleMean should exceed corpus mean $corpusMean")
   }
 
+  test("weighted sample: null/zero/negative weights are excluded, not guaranteed-first") {
+    // null priority would sort FIRST ascending — without the weight>=1
+    // filter, the invalid rows would crowd out every valid one
+    val rows = Seq((1L, java.lang.Long.valueOf(5L)), (2L, null: java.lang.Long),
+      (3L, java.lang.Long.valueOf(0L)), (4L, java.lang.Long.valueOf(-7L)),
+      (5L, java.lang.Long.valueOf(3L))).toDF("id", "w")
+    val got = Sampling.weightedSample(rows, "id", "w", 3)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 5L), s"only valid-weight rows may be sampled: $got")
+  }
+
   test("lmFitScore: frequent-token docs score lower than rare-token docs") {
     val corpus = Seq(
       (1L, "the the the the the the the the"),
@@ -804,5 +815,16 @@ class OperatorsSpec extends SparkSuite {
     // empty-intersection range reads zero files
     val (none, kept0, _) = Layout.skippingRead(spark, tmp, zm, "doc_id", -100L, -50L)
     assert(kept0 == 0 && none.count() == 0)
+  }
+
+  test("zone compare: integral types compare exactly above 2^53, mixed widths widen to long") {
+    val big = (1L << 53) + 1L // indistinguishable from 2^53 as a double
+    assert(Layout.cmpAny(big, 1L << 53) > 0, "adjacent >2^53 longs must not compare equal")
+    assert(Layout.cmpAny(java.lang.Long.valueOf(big),
+      java.lang.Integer.valueOf(42)) > 0)
+    assert(Layout.cmpAny(java.lang.Integer.valueOf(7),
+      java.lang.Long.valueOf(7L)) == 0)
+    assert(Layout.cmpAny(java.lang.Double.valueOf(2.5),
+      java.lang.Integer.valueOf(2)) > 0, "float probes keep the double path")
   }
 }
