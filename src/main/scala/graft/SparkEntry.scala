@@ -741,6 +741,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "layout_skipping_dist" -> ((s, dir) => {
+      // manifest-as-DataFrame pruning: identical semantics to layout_skipping
+      // but the prune decision runs as a distributed filter over the zone
+      // map (only surviving file names are collected) — the path for
+      // manifests beyond driver scale
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_zonemap_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_dist"
+      graft.operators.Layout.compact(t(s, dir, "documents"), tmp, "doc_id", 50L)
+      val zm = graft.operators.Layout.buildZoneMap(s, tmp, "doc_id")
+      val (pruned, _, _) = graft.operators.Layout.skippingReadDistributed(
+        s, tmp, zm, "doc_id", 100L, 300L)
+      pruned.select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     "layout_bloom_skipping" -> ((s, dir) => {
       // per-file Bloom index: the EQUALITY complement to the zone map —
       // cluster by source, then an equality probe opens only the files whose
@@ -1418,6 +1433,10 @@ object SparkEntry {
 
     // the zone-map pruned read must return exactly the plain filter's rows
     "layout_skipping" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE doc_id >= 100 AND doc_id <= 300 ORDER BY doc_id""".stripMargin,
+
+    "layout_skipping_dist" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         |WHERE doc_id >= 100 AND doc_id <= 300 ORDER BY doc_id""".stripMargin,
 

@@ -308,7 +308,7 @@ object Dedup {
     * storage creep until some later GC happens to run. The checkpointed RDD
     * sits in the plan's `LogicalRDD` leaf (public API); unpersisting it
     * directly is deterministic. */
-  private def releaseCheckpoint(df: DataFrame): Unit =
+  private[operators] def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = true)
       case _ => ()

@@ -36,9 +36,22 @@ object Graph {
     *
     * — all `div` are truncating integer division (Spark `div` == DuckDB `//`
     * on non-negative operands).
+    *
+    * Every `checkpointEvery` rounds the rank vector is `localCheckpoint`ed
+    * and the previous checkpoint released (blocking) — without it the plan
+    * chains one join per iteration, Catalyst re-optimizes the whole deepening
+    * chain each round, and long runs (tens of iterations) slow superlinearly.
+    * Checkpoint blocks are one long per node; the last one outlives the call
+    * (same documented residual as the persisted edge relation). Results are
+    * checkpoint-placement independent: each round is pure integer algebra.
+    * (kmeansRefine needs no such knob: its centroids collect to the driver
+    * each round and re-assignment re-projects from the SAME base relation
+    * with literal arrays, so its plan depth is constant by construction.)
     */
-  def pagerank(edges: DataFrame, srcCol: String, dstCol: String, iters: Int): DataFrame = {
+  def pagerank(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
+      checkpointEvery: Int = 8): DataFrame = {
     require(iters >= 1, "pagerank needs at least one iteration")
+    require(checkpointEvery >= 1, "checkpointEvery must be positive")
     // Persist the edge list WITH degrees attached: every iteration re-reads
     // it, and without the persist each of the k iterations replays the whole
     // upstream lineage (source scan + distinct) — measured 3x the scan cost
@@ -57,7 +70,8 @@ object Graph {
 
     val nodes = deg.select(col("src").as("node"))
     var ranks = nodes.select(col("node"), lit(Scale / n).as("rank"))
-    for (_ <- 1 to iters) {
+    var lastCk: Option[DataFrame] = None
+    for (i <- 1 to iters) {
       val contrib = e
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst"), expr("rank div deg").as("c"))
@@ -70,6 +84,12 @@ object Graph {
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"),
           (lit(base) + expr("85 * coalesce(inflow, CAST(0 AS BIGINT)) div 100")).as("rank"))
+      if (i % checkpointEvery == 0 && i < iters) {
+        val ck = ranks.localCheckpoint() // eager: materialized before release
+        lastCk.foreach(Dedup.releaseCheckpoint)
+        lastCk = Some(ck)
+        ranks = ck
+      }
     }
     ranks.select(col("node"), col("rank").as("rank_scaled"))
   }

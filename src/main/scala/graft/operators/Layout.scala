@@ -137,6 +137,30 @@ object Layout {
       kept.length, zones.length)
   }
 
+  /** [[skippingRead]] with the prune decision DISTRIBUTED: the probe range
+    * is filtered against the zone map as a DataFrame (Spark SQL comparison
+    * semantics, no driver-side type dispatch) and only the SURVIVING file
+    * names are collected — the unavoidable driver cost, since the reader
+    * takes paths. Use when the manifest outgrows comfortable driver memory
+    * (millions of files); [[skippingRead]] stays the fast default, whose
+    * whole-manifest collect is the same design as Delta's driver-side log
+    * replay. Returns (pruned reader, files kept, files total). */
+  def skippingReadDistributed(
+      spark: org.apache.spark.sql.SparkSession, path: String, zoneMap: DataFrame,
+      keyCol: String, lo: Any, hi: Any): (DataFrame, Long, Long) = {
+    val total = zoneMap.count()
+    // all-null-key files have null min/max: never a range match, prunable
+    val kept = zoneMap
+      .filter(col("min_key").isNotNull && col("max_key").isNotNull
+        && col("max_key") >= lit(lo) && col("min_key") <= lit(hi))
+      .select(col("file")).collect().map(_.getString(0))
+    val df =
+      if (kept.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(kept.toIndexedSeq: _*)
+    (df.filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi)),
+      kept.length.toLong, total)
+  }
+
   // -------------------------------------------------- bloom file skipping
 
   /** Per-file Bloom filter over `keyCol` — the EQUALITY complement to

@@ -363,4 +363,43 @@ class CurationSpec extends SparkSuite {
     }.toSet
     assert(got == expected)
   }
+
+  test("ivfKnn recall@10 vs brute force: pinned floor, monotone in nprobe, exact at full probe") {
+    import graft.operators.Similarity
+    // the documented IVF trade (recall vs probed fraction) — measured 0.46
+    // at nprobe=4/16 on this fixture; the floor pins it so future centroid
+    // changes can't silently degrade it
+    val queries = embs.orderBy($"vec_id").limit(32)
+    def topsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(2))
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val brute = topsOf(Similarity.bruteForceKnn(embs, queries, "vec_id", "embedding", k = 10))
+    def recallAt(nprobe: Int): Double = {
+      val ivf = topsOf(Similarity.ivfKnn(embs, queries, "vec_id", "embedding", k = 10,
+        cells = 16, nprobe = nprobe))
+      brute.map { case (q, truth) =>
+        ivf.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+      }.sum / brute.size
+    }
+    val r4 = recallAt(4); val r8 = recallAt(8); val r16 = recallAt(16)
+    assert(r4 >= 0.4, f"ivf recall@10 degraded: $r4%.3f (floor 0.4)")
+    assert(r8 >= r4, f"recall must not fall as nprobe grows: r4=$r4%.3f r8=$r8%.3f")
+    assert(r16 == 1.0, f"probing every cell must reproduce brute force exactly: $r16%.3f")
+  }
+
+  test("semanticDedup drop-set recall vs brute near-dup pairs above the pinned floor") {
+    import graft.operators.Dedup
+    val tau = 0.4 // fixture max pairwise cosine is ~0.48; the gate query's tau
+    val bruteDropped = Dedup.embeddingNearDupBrute(embs, "vec_id", "embedding", tau)
+      .select($"id_b").distinct().collect().map(_.getLong(0)).toSet
+    val semDropped = Dedup.semanticDedup(embs, "vec_id", "embedding", tau)
+      .filter($"keep" === 0L).select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(bruteDropped.nonEmpty, "fixture must contain near-dup pairs at tau=0.4")
+    // SemDeDup misses cross-cell pairs by design; everything it DOES drop
+    // must be a true near-dup, and within-cell recall must hold the floor
+    assert(semDropped.subsetOf(bruteDropped),
+      s"semanticDedup dropped non-near-dups: ${semDropped.diff(bruteDropped)}")
+    val recall = semDropped.size.toDouble / bruteDropped.size
+    assert(recall >= 0.2, f"semantic dedup recall degraded: $recall%.3f (floor 0.2)")
+  }
 }

@@ -500,6 +500,22 @@ class OperatorsSpec extends SparkSuite {
     assert(d(1L) > d(2L), "node 1 receives node 3's contribution too")
   }
 
+  test("pagerank: plan depth bounded at 25 iterations, result checkpoint-placement independent") {
+    val edges = Seq((0L, 2L), (2L, 0L), (0L, 4L), (4L, 0L), (0L, 6L), (6L, 0L),
+      (0L, 8L), (8L, 0L), (10L, 2L), (2L, 10L)).toDF("src", "dst")
+    def planNodes(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case p => p }.size
+    val ck = Graph.pagerank(edges, "src", "dst", iters = 25, checkpointEvery = 5)
+    val noCk = Graph.pagerank(edges, "src", "dst", iters = 25, checkpointEvery = 100)
+    // checkpointed: plan holds at most checkpointEvery iterations above a
+    // LogicalRDD leaf; unchecked: 25 chained join rounds
+    assert(planNodes(ck) * 2 < planNodes(noCk),
+      s"lineage not truncated: ck=${planNodes(ck)} noCk=${planNodes(noCk)}")
+    val a = ck.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val b = noCk.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(a == b, "checkpoint placement must not change the integer ranks")
+  }
+
   test("funnel: strict ordering honored, broken sequences keep their row") {
     import java.sql.Timestamp
     def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
@@ -815,6 +831,15 @@ class OperatorsSpec extends SparkSuite {
     // empty-intersection range reads zero files
     val (none, kept0, _) = Layout.skippingRead(spark, tmp, zm, "doc_id", -100L, -50L)
     assert(kept0 == 0 && none.count() == 0)
+    // the distributed-manifest variant prunes to the SAME file set and rows
+    val (prunedD, keptD, totalD) = Layout.skippingReadDistributed(
+      spark, tmp, zm, "doc_id", 40L, 80L)
+    assert(keptD == kept.toLong && totalD == total.toLong,
+      s"distributed prune diverged: ($keptD,$totalD) vs ($kept,$total)")
+    assert(prunedD.orderBy("doc_id").collect().toSeq == expect)
+    val (noneD, keptD0, _) = Layout.skippingReadDistributed(
+      spark, tmp, zm, "doc_id", -100L, -50L)
+    assert(keptD0 == 0L && noneD.count() == 0)
   }
 
   test("zone compare: integral types compare exactly above 2^53, mixed widths widen to long") {
