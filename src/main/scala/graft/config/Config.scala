@@ -36,7 +36,14 @@ final case class ModelConfig(
     rowsPerFile: Long,
     modelDir: String,
     columns: Seq[ColumnConfig],
-    partitionColumns: Seq[PartitionColumn])
+    partitionColumns: Seq[PartitionColumn],
+    /** Intra-model checkpoint stride: > 0 splits the model into ranged
+      * sub-writes of at most this many rows, checkpointing after each —
+      * a crash mid-model resumes from the last completed slice instead of
+      * restarting the whole model (the reference's 5s-ticker granularity,
+      * `model_writer.go:120-164`, in deterministic row strides). 0 = one
+      * write per model. */
+    checkpointRows: Long = 0L)
 
 final case class PartitionColumn(name: String, writeToOutput: Boolean)
 

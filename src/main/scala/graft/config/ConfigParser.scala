@@ -122,6 +122,7 @@ object ConfigParser {
     if (to > rows) errs += s"models[$name]: generate_to must be <= rows_count"
     if (from > to) errs += s"models[$name]: generate_from must be <= generate_to"
     val rowsPerFile = optLong(n, "rows_per_file").filter(_ > 0).getOrElse(rows)
+    val checkpointRows = optLong(n, "checkpoint_rows").filter(_ > 0).getOrElse(0L)
     val modelDir = optText(n, "model_dir").filter(_.nonEmpty).getOrElse(name)
 
     var columns = opt(n, "columns").toSeq
@@ -148,7 +149,8 @@ object ConfigParser {
     val nonWritten = partCols.filterNot(_.writeToOutput).map(_.name).toSet
     columns = columns.filterNot(c => nonWritten(c.name)) ++ columns.filter(c => nonWritten(c.name))
 
-    ModelConfig(name, rows, from, to, rowsPerFile, modelDir, columns, partCols)
+    ModelConfig(name, rows, from, to, rowsPerFile, modelDir, columns, partCols,
+      checkpointRows)
   }
 
   private def parseColumn(model: String, n: JsonNode, errs: ArrayBuffer[String]): ColumnConfig = {

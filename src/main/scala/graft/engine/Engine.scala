@@ -79,7 +79,8 @@ object Engine {
       spark: SparkSession, cfg: GenerationConfig,
       force: Boolean = false, resume: Boolean = false,
       onModelStart: String => Unit = _ => (),
-      onModelDone: String => Unit = _ => ()): Map[String, Long] = {
+      onModelDone: String => Unit = _ => (),
+      onSliceDone: (String, Long) => Unit = (_, _) => ()): Map[String, Long] = {
     if (!resume) Output.preflight(spark, cfg, force)
     val counts = frames(spark, cfg)
       .filter { case (m, _) => m.generateTo > m.generateFrom }
@@ -88,7 +89,24 @@ object Engine {
         // progress counters to ONE model — the reference reports generation
         // progress as a per-model percentage map, not one job-wide number
         onModelStart(model.name)
-        Output.writeModel(spark, cfg, model, df)
+        if (model.checkpointRows > 0
+            && model.generateTo - model.generateFrom > model.checkpointRows) {
+          // intra-model checkpointing: ranged sub-writes, one transactional
+          // checkpoint per slice. Values are pure functions of the absolute
+          // row id, so the slice boundaries never change content — only how
+          // much a crash mid-model costs to redo (one slice, not the model).
+          var a = model.generateFrom
+          while (a < model.generateTo) {
+            val b = math.min(a + model.checkpointRows, model.generateTo)
+            val slice = model.copy(generateFrom = a, generateTo = b)
+            Output.writeModel(spark, cfg, slice, modelFrame(spark, cfg, slice))
+            onSliceDone(model.name, b)
+            a = b
+          }
+        } else {
+          Output.writeModel(spark, cfg, model, df)
+          onSliceDone(model.name, model.generateTo)
+        }
         onModelDone(model.name)
         model.name -> (model.generateTo - model.generateFrom)
       }.toMap

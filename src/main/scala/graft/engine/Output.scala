@@ -346,11 +346,13 @@ object Output {
 
   /** Stable digest of the data-shaping config subset (what the reference
     * marks `backup:"true"` — `backup/extract.go:15-25`): seed + per-model
-    * row counts, layout and full column specs. generate_from/to are
-    * normalized OUT — a resume legitimately changes the slice bounds. */
+    * row counts, layout and full column specs. generate_from/to AND
+    * checkpoint_rows are normalized OUT — a resume legitimately changes the
+    * slice bounds, and checkpoint granularity does not shape data. */
   def fingerprint(cfg: GenerationConfig): String = {
     val src = cfg.models.toSeq.sortBy(_._1)
-      .map { case (_, m) => m.copy(generateFrom = 0L, generateTo = 0L).toString }
+      .map { case (_, m) =>
+        m.copy(generateFrom = 0L, generateTo = 0L, checkpointRows = 0L).toString }
       .mkString(s"seed=${cfg.randomSeed};", "|", "")
     val d = java.security.MessageDigest.getInstance("SHA-1")
     d.digest(src.getBytes(StandardCharsets.UTF_8)).map("%02x".format(_)).mkString

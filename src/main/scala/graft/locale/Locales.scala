@@ -8,12 +8,22 @@ package graft.locale
   * charsets `locale/consts.go:5-8`). We reproduce the *interface contract*
   * (small/large letters, gendered name lists filtered by length, phone
   * patterns, word lists with one-letter words, bytes-per-char) with our own
-  * compact corpora — the reference's tests assert only length bounds,
-  * determinism and set-membership, never specific strings, so corpus content
-  * is free to differ.
+  * corpora — the reference's tests assert only length bounds, determinism and
+  * set-membership, never specific strings, so corpus content is free to
+  * differ.
+  *
+  * Corpus size: the reference ships thousands of entries per list (its
+  * `locale/en/strings.yml` / `ru/strings.yml` raw corpora). To give generated
+  * columns a comparable VALUE DOMAIN without copying those files, each
+  * curated core list below is deterministically expanded through the
+  * morphology its domain really has — English surnames are root+suffix
+  * compounds (Ash+ley, Black+wood), Russian surnames take gendered suffix
+  * pairs (-ов/-ова, -ский/-ская), English content words inflect (-s, -ed,
+  * -ing, -er) — yielding name-shaped, locale-valid strings. The lists are
+  * own-authored + rule-expanded, NOT reference content.
   *
   * All data is immutable and executor-local (referenced from generated code /
-  * UDF closures); a few KB per JVM, no broadcast needed.
+  * UDF closures); tens of KB per JVM, no broadcast needed.
   */
 final case class LocaleBundle(
     name: String,
@@ -43,6 +53,131 @@ object Locales {
 
   private def sorted(xs: Seq[String]): Array[String] = xs.distinct.sorted.toArray
 
+  // ---------------------------------------------------------- en expansion
+
+  /** English given-name morphology: onset stems × traditional endings,
+    * filtered to name-shaped lengths. Cores like Mar+ia/Mar+lene or
+    * Ed+win/Ed+mund are real formations; the product inevitably contains
+    * some names nobody bears — acceptable for synthetic data, the contract
+    * is a large, deterministic, name-shaped value domain. */
+  private val enFemaleStems = Array(
+    "Ad", "Al", "Am", "An", "Ar", "Bel", "Bern", "Cal", "Car", "Cat", "Cel",
+    "Clar", "Cor", "Dan", "Dar", "Del", "Dor", "El", "Em", "Er", "Est", "Ev",
+    "Fel", "Fern", "Gabri", "Gen", "Georg", "Ger", "Hel", "Id", "Is", "Jan",
+    "Jul", "Kar", "Kat", "Lar", "Laur", "Len", "Lil", "Lor", "Luc", "Mad",
+    "Magd", "Mar", "Marg", "Maril", "Mel", "Mir", "Nat", "Nel", "Nor", "Ol",
+    "Pam", "Pat", "Paul", "Phil", "Reb", "Ros", "Sab", "Sam", "Ser", "Sus",
+    "Tal", "Ter", "Theod", "Val", "Ver", "Vict", "Viv", "Wilhelm", "Yol", "Zar")
+  private val enFemaleEnds = Array(
+    "a", "ia", "ina", "ine", "issa", "ella", "ette", "elle", "een", "ene",
+    "ara", "ora", "ilda", "anna", "enna", "etta", "inda", "is", "ita", "lene")
+  private val enMaleStems = Array(
+    "Ald", "Alv", "And", "Ans", "Arn", "Bald", "Bart", "Benn", "Bert", "Carl",
+    "Ced", "Clar", "Clem", "Conr", "Dav", "Don", "Ed", "Eld", "Elm", "Ern",
+    "Ferd", "Fred", "Gar", "Ger", "Gil", "God", "Hal", "Har", "Herb", "Hub",
+    "Hug", "Jar", "Jer", "Kend", "Lam", "Land", "Leon", "Lor", "Mal", "Marv",
+    "Mel", "Merv", "Nath", "Norm", "Orv", "Osw", "Ray", "Reg", "Rich", "Rob",
+    "Rod", "Rol", "Ron", "Roll", "Sher", "Stan", "Ted", "Theo", "Vern", "Vict",
+    "Wald", "Walt", "War", "Wend", "Wil", "Win", "Wood", "Zach")
+  private val enMaleEnds = Array(
+    "an", "en", "in", "on", "ard", "ald", "bert", "fred", "mond", "mund",
+    "ton", "win", "ric", "ley", "don", "ford", "ell", "is", "us", "er")
+  private def enNameExpansion: Seq[String] =
+    ((for (s <- enFemaleStems; e <- enFemaleEnds) yield s + e) ++
+      (for (s <- enMaleStems; e <- enMaleEnds) yield s + e))
+      .filter(n => n.length >= 3 && n.length <= 12).toSeq
+
+  /** English surname morphology: topographic/occupational roots × the
+    * suffixes that actually built English surnames (Ash→Ashley, Whit→Whitfield). */
+  private val enSurnameRoots = Array(
+    "Ash", "Att", "Bex", "Black", "Brad", "Brent", "Brook", "Burn", "Carl",
+    "Clay", "Cliff", "Cole", "Crane", "Dale", "Day", "East", "Elm", "Fair",
+    "Farn", "Fern", "Field", "Ford", "Fox", "Gold", "Grant", "Gray", "Green",
+    "Grove", "Hale", "Hart", "Hawk", "Hay", "Hazel", "Heath", "Hill", "Holt",
+    "Horn", "Hunt", "Kirk", "Lake", "Lane", "Leaf", "Lock", "Long", "Marsh",
+    "May", "Mead", "Mill", "Moor", "Moss", "New", "North", "Nor", "Oak",
+    "Park", "Pember", "Pine", "Rad", "Rain", "Ravens", "Red", "Reed", "Ridge",
+    "River", "Rock", "Rose", "Rush", "Ruther", "Sand", "Shaw", "Sher", "Short",
+    "Silver", "Snow", "South", "Spring", "Stan", "Stone", "Summer", "Sutter",
+    "Swift", "Thorn", "Under", "Vale", "Wake", "Ward", "Water", "Weather",
+    "Well", "West", "Whit", "Wick", "Wild", "Win", "Winter", "Wolf", "Wood",
+    "Wool", "Wort", "York")
+  private val enSurnameEnds = Array(
+    "s", "er", "ers", "man", "ley", "ton", "field", "wood", "ford", "worth",
+    "bury", "well", "stone", "brook", "gate", "shaw", "croft", "by", "ham", "wick")
+  private def enSurnameExpansion: Seq[String] =
+    (for (r <- enSurnameRoots; e <- enSurnameEnds) yield r + e)
+      .filter(n => n.length >= 4 && n.length <= 14)
+
+  /** Regular inflections over the content-word subset: plural/verbal forms
+    * are real English words, which multiplies the text generator's
+    * vocabulary without inventing strings. */
+  private def enInflections(base: Seq[String]): Seq[String] = {
+    val vowels = "aeiou"
+    val content = base.filter(w => w.length >= 3 && !w.endsWith("s"))
+    val plurals = content.map { w =>
+      if (w.endsWith("y") && !vowels.contains(w(w.length - 2))) w.dropRight(1) + "ies"
+      else w + "s"
+    }
+    // verbal forms only for words long enough that the naive rule can't
+    // produce mangled short forms (cut -> cuting); -e drops before -ing
+    val verbal = content.filter(_.length >= 4)
+    val ing = verbal.map(w => if (w.endsWith("e")) w.dropRight(1) + "ing" else w + "ing")
+    val ed = verbal.collect {
+      case w if w.endsWith("e") => w + "d"
+      case w if !w.endsWith("y") && !w.endsWith("w") => w + "ed"
+    }
+    val er = verbal.collect { case w if !w.endsWith("e") && !w.endsWith("y") => w + "er" }
+    plurals ++ ing ++ ed ++ er
+  }
+
+  // ---------------------------------------------------------- ru expansion
+
+  /** Russian surname morphology: root × gendered suffix pair — the actual
+    * formation rule of the overwhelming majority of Russian surnames. */
+  private val ruSurnameRoots = Array(
+    "Агафон", "Аким", "Аник", "Архип", "Афанас", "Богдан",
+    "Бобр", "Бород", "Бык", "Вешняк", "Винокур", "Власт", "Волк", "Ворон",
+    "Гаврил", "Глух", "Голов", "Горшк", "Гром", "Демид", "Добрын", "Дрозд",
+    "Ерш", "Ефрем", "Жар", "Журавл", "Зим", "Злат", "Зубк", "Игнат", "Истом",
+    "Калачн", "Капуст", "Кисел", "Ключн", "Ковал", "Кожевн", "Колесн",
+    "Колокол", "Коршун", "Кочерг", "Кравц", "Крылат", "Кудр", "Кузнец",
+    "Кукушк", "Лапт", "Ласточк", "Лебед", "Лис", "Лукьян", "Луч", "Мамонт",
+    "Медвед", "Мельн", "Мешк", "Мороз", "Мух", "Найден", "Некрас",
+    "Овчинн", "Одинц", "Окун", "Пастух", "Перепелк", "Пирог",
+    "Плотн", "Полтор", "Прохор", "Пчелк", "Рыбак", "Рябин",
+    "Сазон", "Самсон", "Сапожн", "Свирид", "Селезн", "Серг",
+    "Скворц", "Сокол", "Солом", "Стрельц", "Сыч", "Терех", "Токар", "Третьяк",
+    "Трофим", "Утк", "Фадд", "Филат", "Хомяк", "Цапл",
+    "Чайк", "Шапошн", "Шепел", "Шишк", "Щегл", "Щук", "Ясен")
+  /** Toponymic/clerical stems: the second big Russian surname family,
+    * -ский/-ская. */
+  private val ruSkiRoots = Array(
+    "Белозер", "Бережан", "Богуслав", "Введен", "Вишнев", "Вознесен",
+    "Волын", "Высоц", "Горян", "Дубров", "Заречан", "Звенигород", "Зелен",
+    "Иллар", "Каменев", "Краснояр", "Крутояр", "Левитан",
+    "Лугов", "Майор", "Малинов", "Можай", "Нагор", "Невер", "Озер",
+    "Остров", "Покров", "Полян", "Преображен", "Рождествен", "Садов",
+    "Светлогор", "Соснов", "Троиц", "Успен", "Холм", "Черномор", "Шуй",
+    "Юрьев", "Ясногор")
+  private def ruSurnameExpansion: Seq[String] = {
+    val ovIn = ruSurnameRoots.toSeq.flatMap { r =>
+      // gendered suffix pairs: soft/iotated stems take -ев/-ева, hard -ов/-ова;
+      // every root also forms the -ин/-ина pair
+      val (m, f) = if ("ьйеёиюя".contains(r.last)) ("ев", "ева") else ("ов", "ова")
+      val stem = r.stripSuffix("ь")
+      Seq(stem + m, stem + f, stem + "ин", stem + "ина")
+    }
+    val ski = ruSkiRoots.toSeq.flatMap(r => Seq(r + "ский", r + "ская"))
+    ovIn ++ ski
+  }
+
+  /** Feminine forms of a masculine -ов/-ев/-ин surname list (+а); -ий → -ая. */
+  private def ruFeminine(masc: Seq[String]): Seq[String] = masc.collect {
+    case s if s.endsWith("ов") || s.endsWith("ев") || s.endsWith("ин") => s + "а"
+    case s if s.endsWith("ий") => s.dropRight(2) + "ая"
+  }
+
   val en: LocaleBundle = LocaleBundle(
     name = "en",
     smallLetters = ('a' to 'z').toArray,
@@ -60,7 +195,8 @@ object Locales {
       "George", "Henry", "Hugo", "Ian", "Isaac", "Jack", "Jacob", "James", "Jason", "John",
       "Jordan", "Joseph", "Kevin", "Kyle", "Leo", "Liam", "Logan", "Lucas", "Luke", "Mark",
       "Mason", "Max", "Miles", "Nathan", "Noah", "Oliver", "Oscar", "Owen", "Patrick", "Paul",
-      "Peter", "Ryan", "Samuel", "Scott", "Sean", "Simon", "Thomas", "Tyler", "Victor", "Wade")),
+      "Peter", "Ryan", "Samuel", "Scott", "Sean", "Simon", "Thomas", "Tyler", "Victor", "Wade")
+      ++ enNameExpansion),
     lastNamesAll = sorted(Seq(
       "Adams", "Allen", "Anderson", "Bailey", "Baker", "Barnes", "Bell", "Bennett", "Brooks", "Brown",
       "Bryant", "Butler", "Campbell", "Carter", "Clark", "Coleman", "Collins", "Cook", "Cooper", "Cox",
@@ -71,13 +207,17 @@ object Locales {
       "Patterson", "Perez", "Perry", "Peterson", "Phillips", "Powell", "Price", "Reed", "Richardson", "Rivera",
       "Roberts", "Robinson", "Rogers", "Ross", "Russell", "Sanders", "Scott", "Simmons", "Smith", "Stewart",
       "Taylor", "Thomas", "Thompson", "Torres", "Turner", "Walker", "Ward", "Watson", "White", "Wilson",
-      "Wood", "Wright", "Young")),
+      "Wood", "Wright", "Young")
+      ++ enSurnameExpansion),
     phonePatterns = Array(
       "+1 (###) ###-####",
       "+1-###-###-####",
       "(###) ###-####",
-      "###-###-####"),
-    words = sorted(Seq(
+      "###-###-####",
+      "1-###-###-####",
+      "+1 ###.###.####"),
+    words = {
+      val base = Seq(
       "a", "i",
       "air", "all", "and", "any", "arm", "art", "ask", "bad", "bag", "ball", "band", "bank",
       "base", "bear", "bed", "big", "bird", "blue", "boat", "body", "book", "born", "both",
@@ -115,7 +255,9 @@ object Locales {
       "watch", "water", "wave", "way", "we", "wear", "week", "well", "west", "what", "wheel",
       "when", "where", "white", "who", "why", "wide", "wild", "will", "wind", "window", "wing",
       "winter", "wish", "with", "wood", "word", "work", "world", "write", "yard", "year", "yes",
-      "yet", "you", "young")),
+      "yet", "you", "young")
+      sorted(base ++ enInflections(base))
+    },
     bytesPerChar = 1
   )
 
@@ -132,8 +274,17 @@ object Locales {
       "Василий", "Виктор", "Виталий", "Владимир", "Владислав", "Геннадий", "Георгий", "Глеб", "Григорий", "Даниил",
       "Денис", "Дмитрий", "Евгений", "Егор", "Иван", "Игорь", "Илья", "Кирилл", "Константин", "Леонид",
       "Максим", "Матвей", "Михаил", "Никита", "Николай", "Олег", "Павел", "Пётр", "Роман", "Руслан",
-      "Семён", "Сергей", "Станислав", "Степан", "Тимофей", "Фёдор", "Юрий", "Ярослав")),
-    lastNamesAll = sorted(Seq(
+      "Семён", "Сергей", "Станислав", "Степан", "Тимофей", "Фёдор", "Юрий", "Ярослав",
+      // diminutive / informal forms — real given-name register in data
+      "Саша", "Маша", "Катя", "Наташа", "Оля", "Таня", "Лена", "Света", "Ира", "Юля",
+      "Аня", "Галя", "Даша", "Женя", "Зина", "Клава", "Лида", "Люда", "Мила", "Надя",
+      "Настя", "Нюра", "Поля", "Рая", "Соня", "Тома", "Шура", "Валя", "Вика", "Алла",
+      "Дима", "Коля", "Петя", "Ваня", "Миша", "Гриша", "Толя", "Костя", "Лёша", "Серёжа",
+      "Боря", "Вася", "Витя", "Володя", "Гена", "Гоша", "Данила", "Егорка", "Жора", "Захар",
+      "Игорёк", "Кеша", "Лёва", "Макар", "Марат", "Мирон", "Назар", "Остап", "Платон", "Прохор",
+      "Родион", "Савва", "Тарас", "Тимур", "Филипп", "Эдуард", "Эльдар", "Юра", "Яша", "Артур")),
+    lastNamesAll = {
+      val masc = Seq(
       "Абрамов", "Александров", "Алексеев", "Андреев", "Антонов", "Баранов", "Белов", "Богданов", "Борисов", "Васильев",
       "Виноградов", "Волков", "Воробьёв", "Герасимов", "Голубев", "Гончаров", "Горбунов", "Гусев", "Давыдов", "Данилов",
       "Дмитриев", "Егоров", "Ефимов", "Жуков", "Зайцев", "Захаров", "Иванов", "Ильин", "Исаев", "Казаков",
@@ -142,11 +293,15 @@ object Locales {
       "Назаров", "Никитин", "Николаев", "Новиков", "Орлов", "Осипов", "Павлов", "Петров", "Поляков", "Попов",
       "Романов", "Рябов", "Савельев", "Семёнов", "Сергеев", "Сидоров", "Смирнов", "Соболев", "Соколов", "Соловьёв",
       "Сорокин", "Степанов", "Тарасов", "Тимофеев", "Титов", "Тихонов", "Фёдоров", "Филиппов", "Фомин", "Фролов",
-      "Цветков", "Чернов", "Шестаков", "Широков", "Щербаков", "Яковлев")),
+      "Цветков", "Чернов", "Шестаков", "Широков", "Щербаков", "Яковлев")
+      sorted(masc ++ ruFeminine(masc) ++ ruSurnameExpansion)
+    },
     phonePatterns = Array(
       "+7 (###) ###-##-##",
       "+7-###-###-##-##",
-      "8 (###) ###-##-##"),
+      "8 (###) ###-##-##",
+      "8-###-###-##-##",
+      "+7##########"),
     words = sorted(Seq(
       "а", "в", "и", "к", "о", "с", "у", "я",
       "без", "белый", "берег", "боль", "брат", "быть", "вверх", "вода", "воздух", "война",
@@ -157,7 +312,19 @@ object Locales {
       "окно", "осень", "отец", "песня", "поле", "правда", "птица", "путь", "работа", "радость",
       "река", "рука", "рыба", "сад", "свет", "семья", "сердце", "сила", "слово", "смех",
       "снег", "солнце", "сон", "стол", "страна", "сын", "театр", "тело", "тень", "труд",
-      "улица", "утро", "хлеб", "холод", "цвет", "час", "человек", "число", "школа", "яблоко")),
+      "улица", "утро", "хлеб", "холод", "цвет", "час", "человек", "число", "школа", "яблоко",
+      "берёза", "ветер", "вечер", "волна", "воля", "вкус", "глаз", "голос", "гость", "гриб",
+      "губа", "дача", "девочка", "дед", "доктор", "доля", "дым", "еда", "ёж", "ёлка",
+      "жар", "железо", "жук", "забор", "завод", "запах", "звезда", "зверь", "звук", "зерно",
+      "камень", "капля", "карта", "каша", "ключ", "кожа", "колесо", "кольцо", "корень", "корова",
+      "кот", "кровь", "крыло", "крыша", "куст", "лампа", "лёд", "лист", "ложка", "лошадь",
+      "мальчик", "мёд", "мел", "металл", "мех", "молоко", "мука", "мышь", "нож", "нора",
+      "облако", "овца", "озеро", "орёл", "печь", "письмо", "плечо", "плод", "площадь", "повар",
+      "погода", "пол", "полка", "порог", "порт", "посуда", "похвала", "право", "праздник", "пыль",
+      "роса", "рот", "рубль", "ручей", "сахар", "свеча", "север", "сено", "скала", "сказка",
+      "сокол", "соль", "сосна", "стекло", "стена", "стул", "суп", "трава", "туман", "туча",
+      "угол", "уголь", "узел", "ухо", "флаг", "форма", "царь", "цена", "цепь", "чашка",
+      "честь", "шаг", "шум", "щека", "юг", "язык", "якорь", "яма", "ясень", "ящик")),
     bytesPerChar = 2
   )
 

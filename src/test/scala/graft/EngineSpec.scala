@@ -80,6 +80,28 @@ class EngineSpec extends SparkSuite {
     assert(vals.forall { case s: String => re.matches(s) })
   }
 
+  test("locale corpora are rich enough to matter as a value domain") {
+    import graft.locale.Locales
+    // the reference ships thousands-of-entries corpora; the rule-expanded
+    // lists must stay in that league so a first_name/last_name/text column
+    // has a realistic distinct-value count, not a 100-name loop
+    assert(Locales.en.firstNamesAll.length >= 2000, Locales.en.firstNamesAll.length.toString)
+    assert(Locales.en.lastNamesAll.length >= 1500, Locales.en.lastNamesAll.length.toString)
+    assert(Locales.en.words.length >= 1200, Locales.en.words.length.toString)
+    assert(Locales.ru.firstNamesAll.length >= 140, Locales.ru.firstNamesAll.length.toString)
+    assert(Locales.ru.lastNamesAll.length >= 500, Locales.ru.lastNamesAll.length.toString)
+    assert(Locales.ru.words.length >= 200, Locales.ru.words.length.toString)
+    // expansion must never break the locale contract: capitalized names,
+    // words inside the locale charset, everything deduped and sorted
+    for (l <- Seq(Locales.en, Locales.ru)) {
+      assert(l.firstNamesAll.forall(n => n.nonEmpty && n.head.isUpper))
+      assert(l.lastNamesAll.forall(n => n.nonEmpty && n.head.isUpper))
+      assert(l.words.forall(w => w.nonEmpty && w.forall(l.smallLetters.contains(_))))
+      assert(l.firstNamesAll.toSeq == l.firstNamesAll.toSeq.distinct.sorted)
+      assert(l.words.toSeq == l.words.toSeq.distinct.sorted)
+    }
+  }
+
   test("names and phones come from locale corpora with length bounds") {
     for (locale <- Seq("en", "ru")) {
       val first = collectCol(oneCol(

@@ -71,6 +71,35 @@ class ResumeSpec extends SparkSuite {
       == spark.read.parquet(s"$cleanDir/m").orderBy("id").collect().toSeq)
   }
 
+  test("intra-model checkpointing: a kill mid-model resumes from the last slice, bit-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("midmodel").toString
+    val sliced = cfgYaml(dir, None).replace("rows_count: 1000",
+      "rows_count: 1000\n    checkpoint_rows: 250")
+    // die after the second 250-row slice commits — mid-model, not mid-job
+    val boom = intercept[RuntimeException] {
+      Engine.run(spark, ConfigParser.parseYaml(sliced),
+        onSliceDone = (_, upTo) => if (upTo >= 500L) throw new RuntimeException("kill"))
+    }
+    assert(boom.getMessage == "kill")
+    val cfg = ConfigParser.parseYaml(sliced)
+    assert(Output.savedRows(spark, cfg, cfg.model("m")) == 500L,
+      "checkpoint must sit at the last completed slice, not 0 or 1000")
+    // resume restarts at row 500 — the crash cost one slice, not the model
+    val resumed = Engine.resumedConfig(spark, cfg)
+    assert(resumed.model("m").generateFrom == 500)
+    Engine.run(spark, resumed, resume = true)
+    val got = spark.read.parquet(s"$dir/m")
+    assert(got.count() == 1000)
+    // rows bit-identical to an uninterrupted, unsliced run
+    val cleanDir = java.nio.file.Files.createTempDirectory("midclean").toString
+    Engine.run(spark, ConfigParser.parseYaml(cfgYaml(cleanDir, None)))
+    assert(got.orderBy("id").collect().toSeq
+      == spark.read.parquet(s"$cleanDir/m").orderBy("id").collect().toSeq)
+    // checkpoint granularity is not data-shaping: the sliced dir resumes
+    // cleanly under a config with no checkpoint_rows at all
+    Engine.resumedConfig(spark, ConfigParser.parseYaml(cfgYaml(dir, None)))
+  }
+
   test("continue refuses when the config changed since the backup snapshot") {
     val dir = java.nio.file.Files.createTempDirectory("backupcmp").toString
     Engine.run(spark, ConfigParser.parseYaml(cfgYaml(dir, Some(400L))))
