@@ -11,6 +11,31 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * in `usecase/general/test/bench_test.go:16-78` / BASELINE.md). */
 object Bench {
 
+  /** Queries whose min regressed more than `factor` vs a committed floor.
+    * The floor file is the previous round's full bench record
+    * (`bench_full_r{N}.json` — its "queries" map of per-query min seconds).
+    * Enforcement is OPT-IN (SPARK_GRAFT_BENCH_ENFORCE=1): this box's
+    * run-to-run variance reaches ~2x, so the default bench run only REPORTS
+    * regressions; a CI-style caller turns them into a nonzero exit. */
+  private[graft] def regressions(
+      current: Map[String, Double], floors: Map[String, Double],
+      factor: Double = 2.0): Seq[String] =
+    floors.toSeq.sortBy(_._1).flatMap { case (q, f) =>
+      current.get(q).collect {
+        case c if f > 0 && c > f * factor =>
+          f"$q: $c%.3f s vs floor $f%.3f s (${c / f}%.2fx)"
+      }
+    }
+
+  private[graft] def parseFloors(json: String): Map[String, Double] = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(json).path("queries")
+    val it = node.fields()
+    val b = Map.newBuilder[String, Double]
+    while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+    b.result()
+  }
+
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()
     f
@@ -102,6 +127,23 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] archive write failed: $e") }
+    // perf self-gate vs the committed previous-round floor (report-only by
+    // default; SPARK_GRAFT_BENCH_ENFORCE=1 makes regressions fatal)
+    val floorsPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOORS", "bench_floors.json")
+    val regs =
+      try {
+        val p = java.nio.file.Paths.get(floorsPath)
+        if (java.nio.file.Files.exists(p))
+          regressions(
+            results.map { case (k, v) => k -> v.head }.toMap,
+            parseFloors(new String(java.nio.file.Files.readAllBytes(p), "UTF-8")))
+        else Seq.empty
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] floor compare failed: $e"); Seq.empty
+      }
+    regs.foreach(r => System.err.println(s"[bench] REGRESSION $r"))
     spark.stop()
+    if (regs.nonEmpty && sys.env.get("SPARK_GRAFT_BENCH_ENFORCE").contains("1"))
+      sys.exit(1)
   }
 }

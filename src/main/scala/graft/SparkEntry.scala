@@ -804,6 +804,65 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    "graph_ppr" -> ((s, dir) => {
+      // personalized PageRank: teleport restarts only onto a seed set (every
+      // 10th customer) — the graph-expansion ranking behind seed-corpus
+      // curation; same integer fixed point as graph_pagerank
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val pairs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select((col("o_custkey") * 2).as("cust_node"),
+          (col("l_suppkey") * 2 + 1).as("supp_node"))
+      val edges = pairs.select(col("cust_node").as("src"), col("supp_node").as("dst"))
+        .union(pairs.select(col("supp_node").as("src"), col("cust_node").as("dst")))
+      val seeds = pairs.select(col("cust_node").as("node"))
+        .filter(col("node") % 20 === 0).distinct()
+      graft.operators.Graph.pagerankPersonalized(
+        edges, "src", "dst", seeds, "node", iters = 3)
+        .orderBy(col("node"))
+    }),
+
+    "graph_triangles" -> ((s, dir) => {
+      // exact triangle counts over the supplier co-supply graph (suppliers
+      // sharing a part): degeneracy orientation bounds the wedge fanout by
+      // O(sqrt(m)) per node — the only triangle-count plan that survives
+      // skewed degree distributions at corpus scale
+      val ls = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+      val a = ls.as("a")
+      val b = ls.as("b")
+      val edges = a.join(b, col("a.p") === col("b.p") && col("a.sk") =!= col("b.sk"))
+        .select(col("a.sk").as("src"), col("b.sk").as("dst"))
+      graft.operators.Graph.triangles(edges, "src", "dst")
+        .orderBy(col("node"))
+    }),
+
+    "feature_quantile_bins" -> ((s, dir) => {
+      // equi-depth binning WITHOUT ntile's global sort: k-1 exact percentile
+      // thresholds (one aggregate; Spark percentile == DuckDB quantile_cont
+      // bit-for-bit on BIGINT) + a scan-speed comparison assignment
+      graft.operators.Features.binByQuantiles(t(s, dir, "documents"), "n_chars", k = 8)
+        .orderBy(col("bin"))
+    }),
+
+    "profile_documents" -> ((s, dir) => {
+      // one-pass table profiler (ANALYZE TABLE for the corpus): per-column
+      // row/null/exact-distinct counts and min/max, one scan via Expand
+      graft.operators.Features.profile(
+        t(s, dir, "documents"), Seq("doc_id", "lang", "source", "n_chars"))
+        .orderBy(col("column"))
+    }),
+
+    "text_heavy_hitters" -> ((s, dir) => {
+      // EXACT heavy hitters by sketch-then-verify: broadcast Count-Min
+      // literals prefilter candidate occurrences at scan speed (CMS never
+      // underestimates -> no false negatives), the exact count runs over
+      // candidates only — output provably equals the plain GROUP BY/HAVING
+      graft.operators.TextAnalysis.heavyHitters(
+        t(s, dir, "documents"), "text", threshold = 900L)
+        .orderBy(col("w"))
+    }),
+
     "funnel_stages" -> ((s, dir) => {
       // strict-sequence conversion funnel view -> click -> purchase: per
       // user, each stage's earliest qualifying timestamp and how far they got
@@ -1491,6 +1550,136 @@ object SparkEntry {
         |  GROUP BY nodes.src
         |)
         |SELECT node, CAST(rank AS BIGINT) AS rank_scaled FROM r3 ORDER BY node""".stripMargin,
+
+    // personalized variant: same fixed point, restart vector on the seed set
+    "graph_ppr" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), e AS (
+        |  SELECT cn AS src, sn AS dst FROM pairs
+        |  UNION ALL SELECT sn AS src, cn AS dst FROM pairs
+        |), deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |seeds AS (SELECT DISTINCT cn AS node FROM pairs WHERE cn % 20 = 0),
+        |ns AS (SELECT count(*) AS ns FROM seeds),
+        |r0 AS (
+        |  SELECT src AS node,
+        |    CASE WHEN src IN (SELECT node FROM seeds)
+        |      THEN 1000000000 // (SELECT ns FROM ns) ELSE 0 END AS rank
+        |  FROM deg),
+        |r1 AS (
+        |  SELECT nodes.src AS node,
+        |    CASE WHEN nodes.src IN (SELECT node FROM seeds)
+        |      THEN 150000000 // (SELECT ns FROM ns) ELSE 0 END
+        |    + 85 * coalesce(sum(r0.rank // d2.deg), 0) // 100 AS rank
+        |  FROM deg nodes
+        |  LEFT JOIN e ON e.dst = nodes.src
+        |  LEFT JOIN deg d2 ON d2.src = e.src
+        |  LEFT JOIN r0 ON r0.node = e.src
+        |  GROUP BY nodes.src
+        |), r2 AS (
+        |  SELECT nodes.src AS node,
+        |    CASE WHEN nodes.src IN (SELECT node FROM seeds)
+        |      THEN 150000000 // (SELECT ns FROM ns) ELSE 0 END
+        |    + 85 * coalesce(sum(r1.rank // d2.deg), 0) // 100 AS rank
+        |  FROM deg nodes
+        |  LEFT JOIN e ON e.dst = nodes.src
+        |  LEFT JOIN deg d2 ON d2.src = e.src
+        |  LEFT JOIN r1 ON r1.node = e.src
+        |  GROUP BY nodes.src
+        |), r3 AS (
+        |  SELECT nodes.src AS node,
+        |    CASE WHEN nodes.src IN (SELECT node FROM seeds)
+        |      THEN 150000000 // (SELECT ns FROM ns) ELSE 0 END
+        |    + 85 * coalesce(sum(r2.rank // d2.deg), 0) // 100 AS rank
+        |  FROM deg nodes
+        |  LEFT JOIN e ON e.dst = nodes.src
+        |  LEFT JOIN deg d2 ON d2.src = e.src
+        |  LEFT JOIN r2 ON r2.node = e.src
+        |  GROUP BY nodes.src
+        |)
+        |SELECT node, CAST(rank AS BIGINT) AS rank_scaled FROM r3 ORDER BY node""".stripMargin,
+
+    "graph_triangles" ->
+      """WITH ls AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
+        |e0 AS (
+        |  SELECT a.sk AS u, b.sk AS v FROM ls a JOIN ls b ON a.p = b.p AND a.sk <> b.sk
+        |),
+        |und AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM e0),
+        |deg AS (
+        |  SELECT n, count(*) AS deg FROM (
+        |    SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und) q GROUP BY 1
+        |),
+        |o AS (
+        |  SELECT
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND und.a < und.b)
+        |      THEN und.a ELSE und.b END AS s,
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND und.a < und.b)
+        |      THEN und.b ELSE und.a END AS t
+        |  FROM und JOIN deg da ON da.n = und.a JOIN deg db ON db.n = und.b
+        |),
+        |tri AS (
+        |  SELECT e1.s AS x, e1.t AS y, e2.t AS z
+        |  FROM o e1 JOIN o e2 ON e1.t = e2.s
+        |  JOIN o e3 ON e3.s = e1.s AND e3.t = e2.t
+        |)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        |  SELECT x AS node FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri) q
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "feature_quantile_bins" ->
+      """WITH t AS (
+        |  SELECT quantile_cont(n_chars, 0.125) AS t1, quantile_cont(n_chars, 0.25) AS t2,
+        |    quantile_cont(n_chars, 0.375) AS t3, quantile_cont(n_chars, 0.5) AS t4,
+        |    quantile_cont(n_chars, 0.625) AS t5, quantile_cont(n_chars, 0.75) AS t6,
+        |    quantile_cont(n_chars, 0.875) AS t7
+        |  FROM documents
+        |)
+        |SELECT CAST(1 + CASE WHEN n_chars > t1 THEN 1 ELSE 0 END
+        |  + CASE WHEN n_chars > t2 THEN 1 ELSE 0 END
+        |  + CASE WHEN n_chars > t3 THEN 1 ELSE 0 END
+        |  + CASE WHEN n_chars > t4 THEN 1 ELSE 0 END
+        |  + CASE WHEN n_chars > t5 THEN 1 ELSE 0 END
+        |  + CASE WHEN n_chars > t6 THEN 1 ELSE 0 END
+        |  + CASE WHEN n_chars > t7 THEN 1 ELSE 0 END AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n, min(n_chars) AS min_v, max(n_chars) AS max_v
+        |FROM documents, t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "profile_documents" ->
+      """SELECT * FROM (
+        |  SELECT 'doc_id' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+        |    CAST(min(doc_id) AS VARCHAR) AS min_s, CAST(max(doc_id) AS VARCHAR) AS max_s
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT lang) AS BIGINT),
+        |    CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'source', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT source) AS BIGINT),
+        |    CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT n_chars) AS BIGINT),
+        |    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        |  FROM documents
+        |) q ORDER BY "column"""".stripMargin,
+
+    "text_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents
+        |)
+        |SELECT w, CAST(count(*) AS BIGINT) AS n FROM toks
+        |GROUP BY 1 HAVING count(*) >= 900 ORDER BY w""".stripMargin,
 
     "funnel_stages" ->
       """WITH s0 AS (

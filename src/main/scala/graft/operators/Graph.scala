@@ -93,4 +93,99 @@ object Graph {
     }
     ranks.select(col("node"), col("rank").as("rank_scaled"))
   }
+
+  /** Personalized PageRank: teleport mass restarts ONLY onto the seed set —
+    * the "relevance to these documents/users" ranking behind graph-based
+    * curation (expand a trusted seed corpus along a similarity/interaction
+    * graph). Identical integer fixed-point algebra to [[pagerank]]; the only
+    * change is the restart vector: seeds carry base (0.15·Scale) div |S| and
+    * start with Scale div |S|, everything else starts (and restarts) at 0.
+    * Same per-iteration shape (one equi-join + one agg shuffle), same
+    * checkpointEvery lineage truncation. */
+  def pagerankPersonalized(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, iters: Int,
+      checkpointEvery: Int = 8): DataFrame = {
+    require(iters >= 1, "needs at least one iteration")
+    val e0 = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+    val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = e0.join(deg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val s = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+    val nSeeds = s.count()
+    require(nSeeds > 0, "seed set must be non-empty")
+    val base = (Scale * 15L / 100L) / nSeeds
+    // seed flag rides on the node universe (broadcast: seed sets are small
+    // relative to the graph by definition of "personalized")
+    val nodes = deg.select(col("src").as("node"))
+      .join(broadcast(s.withColumn("__seed", lit(1L))), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__seed"), lit(0L)).as("is_seed"))
+    var ranks = nodes.select(col("node"),
+      (col("is_seed") * lit(Scale / nSeeds)).as("rank"))
+    var lastCk: Option[DataFrame] = None
+    for (i <- 1 to iters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("rank div deg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("inflow"))
+      ranks = nodes
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (col("is_seed") * lit(base)
+            + expr("85 * coalesce(inflow, CAST(0 AS BIGINT)) div 100")).as("rank"))
+      if (i % checkpointEvery == 0 && i < iters) {
+        val ck = ranks.localCheckpoint()
+        lastCk.foreach(Dedup.releaseCheckpoint)
+        lastCk = Some(ck)
+        ranks = ck
+      }
+    }
+    ranks.select(col("node"), col("rank").as("rank_scaled"))
+  }
+
+  /** Exact per-node triangle counts via DEGENERACY ORIENTATION — the trick
+    * that makes distributed triangle counting survive skew. Every undirected
+    * edge is oriented from its smaller endpoint to its larger under the
+    * (degree, id) total order; a triangle a–b–c then materializes exactly
+    * once, as the wedge s→t1, t1→t2 closed by s→t2. Out-degree under this
+    * orientation is O(√m) for ANY graph (arboricity bound), so the
+    * wedge-generation join fanout Σ outdeg² stays bounded even when a
+    * celebrity node's raw degree² would explode — orienting by plain node id
+    * instead would leave a hub with millions of out-neighbors.
+    *
+    * Scale shape: two equi-joins (wedge build on the middle node, closure
+    * probe on the (s,t) pair) over the oriented edge relation, persisted
+    * once and reused by all three roles. Everything is integer/equi-join —
+    * exactly oracle-expressible. Returns (node, n_triangles) for nodes in
+    * at least one triangle. */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    val und = e0
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("n")).union(und.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("s"), col("b").as("t")))
+          .otherwise(struct(col("b").as("s"), col("a").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e1 = oriented.as("e1")
+    val e2 = oriented.as("e2")
+    val e3 = oriented.as("e3")
+    val tri = e1.join(e2, col("e1.t") === col("e2.s"))
+      .join(e3, col("e1.s") === col("e3.s") && col("e2.t") === col("e3.t"))
+      .select(col("e1.s").as("x"), col("e1.t").as("y"), col("e2.t").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
 }

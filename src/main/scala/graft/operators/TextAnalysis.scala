@@ -412,4 +412,34 @@ object TextAnalysis {
       regexp_replace(
         regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
         LongNumberPattern, "<NUM>").as("redacted"))
+
+  /** EXACT heavy hitters by sketch-then-verify — the two-pass shape that
+    * finds frequent tokens at corpus scale without a full-vocabulary
+    * aggregation dominating the job. Pass 1 builds a Count-Min sketch
+    * (bounded depth×width state, one map-side-combined aggregation); the
+    * sketch is collected (≤ depth·width longs) and embedded as LITERAL
+    * arrays, so pass 2's candidate filter `est(w) >= threshold` is a
+    * SCAN-SPEED projection — no join, no shuffle. CMS only overestimates,
+    * so the filter has NO false negatives; the exact count then runs over
+    * candidate occurrences alone (true heavies + the sketch's few false
+    * positives) and the final `n >= threshold` makes the output EXACT —
+    * which is why a plain GROUP BY/HAVING oracle hash-matches it. */
+  def heavyHitters(
+      docs: DataFrame, textCol: String, threshold: Long,
+      depth: Int = 4, width: Int = 64): DataFrame = {
+    val toks = docs.select(explode(TextFns.tokens(col(textCol))).as("w"))
+    val counters = Array.fill(depth, width)(0L)
+    Sketches.cmsBuild(toks, "w", depth, width).collect().foreach { r =>
+      counters(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2)
+    }
+    val est = least((0 until depth).map { i =>
+      element_at(
+        array(counters(i).toIndexedSeq.map(lit(_)): _*),
+        (TextFns.md5Long(col("w"), i) % width + 1).cast("int"))
+    }: _*)
+    toks.filter(est >= threshold)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= threshold)
+  }
 }

@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The perf self-gate: an injected slowdown against a committed floor file
+  * must surface as a regression (CI-style failure when enforcement is on);
+  * noise inside the 2x band must not. */
+class BenchGateSpec extends AnyFunSuite {
+
+  test("regressions flags >2x minima and only those") {
+    val floors = Map("q1" -> 1.0, "q2" -> 0.5, "q3" -> 2.0, "gone" -> 1.0)
+    val current = Map(
+      "q1" -> 2.5, // 2.5x — regression
+      "q2" -> 0.9, // 1.8x — inside the documented noise band
+      "q3" -> 2.0, // 1.0x — flat
+      "new" -> 9.9) // no floor — never flagged
+    val regs = Bench.regressions(current, floors)
+    assert(regs.size == 1 && regs.head.startsWith("q1:"), regs.toString)
+  }
+
+  test("regressions honors a custom factor and zero/absent floors") {
+    val regs = Bench.regressions(Map("q" -> 1.6), Map("q" -> 1.0), factor = 1.5)
+    assert(regs.size == 1)
+    assert(Bench.regressions(Map("q" -> 100.0), Map("q" -> 0.0)).isEmpty,
+      "a zero floor must not divide-by-zero into a false positive")
+  }
+
+  test("parseFloors reads the bench_full record's per-query minima") {
+    val json = """{"metric":"total_query_secs","value":3.0,"unit":"sec",
+      |"queries":{"q1":1.25,"q2":0.75},"sf":"/x"}""".stripMargin
+    assert(Bench.parseFloors(json) == Map("q1" -> 1.25, "q2" -> 0.75))
+    assert(Bench.parseFloors("""{"no_queries":1}""").isEmpty)
+  }
+}

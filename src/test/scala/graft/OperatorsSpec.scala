@@ -516,6 +516,67 @@ class OperatorsSpec extends SparkSuite {
     assert(a == b, "checkpoint placement must not change the integer ranks")
   }
 
+  test("triangles: exact counts, orientation-invariant, bipartite graphs have none") {
+    // K4 minus one edge on {1,2,3,4}: triangles {1,2,3} and {1,2,4} only
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      // duplicates, reversed copies and self-loops must not change counts
+      (3L, 2L), (2L, 2L)).toDF("src", "dst")
+    val r = Graph.triangles(edges, "src", "dst")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L), r.toString)
+    // a bipartite graph (the customer-supplier shape) has zero triangles
+    val bip = Seq((0L, 1L), (0L, 3L), (2L, 1L), (2L, 3L)).toDF("src", "dst")
+    assert(Graph.triangles(bip, "src", "dst").count() == 0)
+  }
+
+  test("personalized pagerank: non-seed-reachable mass is zero, seeds hold restart mass") {
+    // two components: {1,2} (seeded) and {3,4} (unseeded)
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val r = Graph.pagerankPersonalized(edges, "src", "dst", seeds, "node", iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(3L) == 0L && r(4L) == 0L, s"unseeded component must hold zero mass: $r")
+    assert(r(1L) > 0L && r(2L) > 0L)
+    // the seed always holds at least its restart mass (0.15·Scale/|S|)
+    assert(r(1L) >= Graph.Scale * 15L / 100L, r.toString)
+    // all mass stays in the seeded component, lost only to truncation
+    val total = r(1L) + r(2L)
+    assert(total <= Graph.Scale && total > (Graph.Scale * 95) / 100, s"mass $total")
+  }
+
+  test("binByQuantiles: bins cover all rows, are ordered and roughly even") {
+    val r = Features.binByQuantiles(docs, "n_chars", k = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+      .sortBy(_._1)
+    assert(r.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(r.map(_._2).sum == docs.count())
+    // value ranges must not overlap across increasing bins
+    r.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._4 <= hi._3, s"bin ranges overlap: $lo vs $hi")
+    }
+    // equi-depth: no bin more than 2x the ideal share on this smooth fixture
+    val ideal = docs.count() / 4.0
+    r.foreach(b => assert(b._2 < ideal * 2, s"bin $b far from equi-depth"))
+  }
+
+  test("profile: counts and extremes match direct aggregation, nulls counted") {
+    val df = Seq((1L, "a"), (2L, null), (3L, "c"), (3L, "a")).toDF("id", "s")
+    val p = Features.profile(df, Seq("id", "s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(p("id") == ((4L, 0L, 3L, "1", "3")), p.toString)
+    assert(p("s") == ((4L, 1L, 2L, "a", "c")), p.toString)
+  }
+
+  test("heavyHitters: exact output equals the plain group-by, sketch FPs filtered") {
+    // tight sketch (width 2) forces collisions -> false-positive candidates
+    // must be removed by the exact verify pass
+    val docs = Seq((1L, "x x x y z"), (2L, "x y w"), (3L, "x v")).toDF("doc_id", "text")
+    val got = TextAnalysis.heavyHitters(docs, "text", threshold = 2L, depth = 2, width = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("x" -> 5L, "y" -> 2L), got.toString)
+  }
+
   test("funnel: strict ordering honored, broken sequences keep their row") {
     import java.sql.Timestamp
     def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)

@@ -310,6 +310,22 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("InMemoryTableScan"), p)
   }
 
+  test("heavy hitters prefilter is join-free: CMS literals gate the scan before the agg") {
+    val p = plan(SparkEntry.queries("text_heavy_hitters")(spark, sfDir))
+    // the sketch is embedded as literal arrays — candidate filtering must
+    // happen in the projection, NOT via a join against the sketch relation
+    assert(!p.contains("Join"), p)
+    // exact verify = one aggregation over the filtered occurrences
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
+  }
+
+  test("triangle counting joins stay equi-joins over the oriented relation") {
+    val p = plan(SparkEntry.queries("graph_triangles")(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the oriented edge list is cached and reused by all three join roles
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
   test("funnel stages join on the user key only — no cartesian, type filters pushed") {
     val p = plan(SparkEntry.queries("funnel_stages")(spark, sfDir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
