@@ -853,6 +853,25 @@ object SparkEntry {
         .orderBy(col("column"))
     }),
 
+    "emb_rp_project" -> ((s, dir) => {
+      // Johnson-Lindenstrauss random projection 64 -> 16 dims: deterministic
+      // md5-derived ±1 sign matrix as literals, integer dot products over
+      // the quantized vectors — the cheap dim reduction in front of ANN
+      graft.operators.Embeddings.randomProject(
+        spread(t(s, dir, "embeddings")), "vec_id", "embedding", outDims = 16)
+        .orderBy(col("vec_id"), col("dim"))
+    }),
+
+    "events_value_outliers" -> ((s, dir) => {
+      // per-type value anomalies via the sqrt-free z-test ((x-mean)^2 vs
+      // z^2 * variance, all integer cents / dollar^2 units)
+      graft.operators.Behavior.valueOutliers(
+        events(s, dir), "event_id", "event_type", cents(col("value")))
+        .select(col("id").as("event_id"), col("g").as("event_type"),
+          col("xc").as("value_c"), col("dev_c"), col("is_outlier"))
+        .orderBy(col("event_id"))
+    }),
+
     "text_heavy_hitters" -> ((s, dir) => {
       // EXACT heavy hitters by sketch-then-verify: broadcast Count-Min
       // literals prefilter candidate occurrences at scan speed (CMS never
@@ -1673,6 +1692,38 @@ object SparkEntry {
         |    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
         |  FROM documents
         |) q ORDER BY "column"""".stripMargin,
+
+    "emb_rp_project" ->
+      """WITH w AS (
+        |  SELECT j.range AS j, d.range AS d,
+        |    CASE WHEN ('0x' || substr(md5('lsh:42:' || j.range || ':' || d.range), 1, 15))::BIGINT & 1 = 1
+        |         THEN 1 ELSE -1 END AS wt
+        |  FROM range(0, 16) j, range(0, 64) d
+        |), q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |)
+        |SELECT q.vec_id, CAST(w.j + 1 AS BIGINT) AS dim,
+        |  CAST(sum(w.wt * q.qv[w.d + 1]) AS BIGINT) AS y
+        |FROM q CROSS JOIN w GROUP BY 1, 2 ORDER BY vec_id, dim""".stripMargin,
+
+    "events_value_outliers" ->
+      """WITH b AS (
+        |  SELECT event_id AS id, event_type AS g,
+        |    CAST(floor(value*100 + 0.5) AS BIGINT) AS xc FROM events
+        |), m AS (
+        |  SELECT g, count(*) AS n, CAST(sum(xc) AS BIGINT) // count(*) AS mean_c
+        |  FROM b GROUP BY 1
+        |), d AS (
+        |  SELECT b.id, b.g, b.xc, b.xc - m.mean_c AS dev_c,
+        |    (b.xc - m.mean_c) * (b.xc - m.mean_c) // 10000 AS dev_d2
+        |  FROM b JOIN m USING (g)
+        |), v AS (
+        |  SELECT g, CAST(sum(dev_d2) AS BIGINT) // count(*) AS var_d2 FROM d GROUP BY 1
+        |)
+        |SELECT d.id AS event_id, d.g AS event_type, d.xc AS value_c, d.dev_c,
+        |  CAST(CASE WHEN d.dev_d2 > 9 * v.var_d2 THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+        |FROM d JOIN v USING (g) ORDER BY event_id""".stripMargin,
 
     "text_heavy_hitters" ->
       """WITH toks AS (

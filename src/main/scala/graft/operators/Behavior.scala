@@ -187,6 +187,41 @@ object Behavior {
       .withColumn("score", col("score_scaled").cast("double") / 1e9 / 100.0)
   }
 
+  /** Per-group outlier flags via a SQRT-FREE z-test: x is an outlier in its
+    * group iff (x−μ)² > z²·σ² — squaring both sides removes the one
+    * transcendental (sqrt) that would break cross-engine exactness, so the
+    * flag is pure integer algebra on cents.
+    *
+    * Overflow discipline (the PSI lesson): the mean stays in cents
+    * (`sum div n`), but squared deviations are accumulated in whole
+    * DOLLARS² (`dev² div 10000`) — per-row terms ≤ ~4e6 for values up to
+    * ~$10k, so the per-group sum stays inside BIGINT up to ~10^12 rows.
+    * The truncation is identical in both engines and costs sub-dollar
+    * variance resolution only, irrelevant to a z>3 flag.
+    *
+    * Scale shape: one map-side-combined stats aggregation per group, one
+    * deviation aggregation, and a broadcast join of the group-count-sized
+    * stats back onto the stream — the corpus is scanned twice, shuffled
+    * never (group stats are metadata-sized). */
+  def valueOutliers(
+      events: DataFrame, idCol: String, groupCol: String, valueCents: Column,
+      z: Int = 3): DataFrame = {
+    val base = events.select(col(idCol).as("id"), col(groupCol).as("g"),
+      valueCents.as("xc"))
+    val stats = base.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("xc")).as("sum_c"))
+      .select(col("g"), col("n"), expr("sum_c div n").as("mean_c"))
+    val withDev = base.join(broadcast(stats), "g")
+      .withColumn("dev_c", col("xc") - col("mean_c"))
+      .withColumn("dev_d2", expr("dev_c * dev_c div 10000"))
+    val vars = withDev.groupBy(col("g"))
+      .agg(expr("sum(dev_d2) div count(1)").as("var_d2"))
+    withDev.join(broadcast(vars), "g")
+      .select(col("id"), col("g"), col("xc"), col("dev_c"),
+        when(col("dev_d2") > lit(z.toLong * z) * col("var_d2"), lit(1L))
+          .otherwise(lit(0L)).as("is_outlier"))
+  }
+
   /** Cohort retention: cohort = calendar day of the user's FIRST event;
     * a user is retained at offset d if they had any event on cohort_day + d.
     * Returns (cohort_day, day_offset, n_users) — the classic retention

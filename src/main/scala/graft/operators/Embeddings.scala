@@ -36,6 +36,32 @@ object Embeddings {
           .as("nq"))
   }
 
+  /** Johnson-Lindenstrauss random projection to `outDims` dimensions with a
+    * DETERMINISTIC ±1 projection matrix (Achlioptas-style sign matrix,
+    * derived per (seed, j, i) from the same md5 scheme as
+    * [[Similarity.hyperplaneWeight]] — pure config, reproducible on any
+    * cluster AND re-derivable in plain SQL). Components are integer dot
+    * products over the 1e-6-quantized input: y_j = Σ_i w_ji · q_i — no
+    * float accumulation, so the projected vectors hash-match an oracle.
+    *
+    * This is the standard cheap dim-reduction in front of ANN / clustering
+    * at corpus scale: distances are preserved within (1±ε) w.h.p. while the
+    * shuffle payload shrinks dims/outDims ×. Scan-speed projection — the
+    * matrix is outDims×dims literal ±1s, never shipped as data. Output:
+    * (id, dim [1-based], y) exploded like the other embedding ops. */
+  def randomProject(
+      embs: DataFrame, idCol: String, vecCol: String,
+      outDims: Int, seed: Long = 42L, dims: Int = 64): DataFrame = {
+    val q = embs.select(col(idCol), VectorFns.quantize(col(vecCol)).as("qv"))
+    val projected = array((0 until outDims).map { j =>
+      val weights = array((0 until dims).map(i =>
+        lit(Similarity.hyperplaneWeight(seed, j, i))): _*)
+      VectorFns.dotQ(col("qv"), weights)
+    }: _*)
+    q.select(col(idCol), posexplode(projected).as(Seq("pos", "y")))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("dim"), col("y"))
+  }
+
   /** Symmetric int8 quantization against the per-vector abs-max:
     * `floor(q_i * 127 / max|q_j| + 0.5)` (round-half-up; exact in both
     * engines). Output: (id, dim [1-based], q8, scale_q [the abs-max in 1e-6

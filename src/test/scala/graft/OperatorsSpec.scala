@@ -577,6 +577,42 @@ class OperatorsSpec extends SparkSuite {
     assert(got == Map("x" -> 5L, "y" -> 2L), got.toString)
   }
 
+  test("randomProject: deterministic, linear, preserves the zero vector") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def proj(df: org.apache.spark.sql.DataFrame) =
+      Embeddings.randomProject(df, "vec_id", "embedding", outDims = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val p1 = proj(embs.limit(20))
+    val p2 = proj(embs.limit(20))
+    assert(p1 == p2 && p1.size == 20 * 8)
+    // linearity of the sign matrix: doubling the input doubles the output
+    // (2x on the 1e-6-quantized ints is exact)
+    val doubled = embs.limit(20).select($"vec_id",
+      transform($"embedding", x => x * 2.0f).as("embedding"))
+    val pd = proj(doubled)
+    // tolerance: floor(2v+0.5) vs 2*floor(v+0.5) differ by <=1 per dim,
+    // 64 dims of ±1 weights
+    p1.foreach { case (k, v) =>
+      assert(math.abs(pd(k) - 2 * v) <= 64,
+        s"projection not linear at $k: ${pd(k)} vs ${2 * v}")
+    }
+    val zero = Seq((0L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding")
+    assert(proj(zero).values.forall(_ == 0L))
+  }
+
+  test("valueOutliers: constructed spike flagged, uniform group silent") {
+    val rows = (1L to 40L).map(i => (i, "a", 100.0)) ++
+      Seq((41L, "a", 5000.0)) ++ // the spike
+      (50L to 60L).map(i => (i, "b", 7.0)) // constant group: variance 0
+    val df = rows.toDF("event_id", "event_type", "value")
+    val r = Behavior.valueOutliers(df, "event_id", "event_type",
+      floor(col("value") * 100 + lit(0.5)).cast("long"))
+      .collect().map(x => x.getLong(0) -> x.getLong(4)).toMap
+    assert(r(41L) == 1L, s"spike must flag: $r")
+    assert((1L to 40L).forall(r(_) == 0L), "bulk must stay silent")
+    assert((50L to 60L).forall(r(_) == 0L), "zero-variance group must not flag its members")
+  }
+
   test("funnel: strict ordering honored, broken sequences keep their row") {
     import java.sql.Timestamp
     def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
