@@ -313,6 +313,19 @@ object SparkEntry {
         .orderBy(col("hour"))
     }),
 
+    "q25_hourly_cms_stream" -> ((s, dir) => {
+      // STREAMING Count-Min: per-hour frequency counters over event types —
+      // depth×width state per window regardless of cardinality, the
+      // frequency complement to q21's streaming HLL; plain order-free
+      // counters mean stream == batch == DuckDB oracle
+      graft.streaming.EventStream
+        .runHourlyCmsOverRawEvents(s, s"$dir/events.parquet", s"cms_${System.nanoTime()}")
+        .withColumn("hour", col("window_start"))
+        .drop("window_start")
+        .select(col("hour"), col("family"), col("bucket"), col("cnt"))
+        .orderBy(col("hour"), col("family"), col("bucket"))
+    }),
+
     "q23_pivot_status_by_priority" -> ((s, dir) => {
       // pivot: order counts + exact cents revenue per status x priority —
       // fixed pivot values so the plan is a single aggregate, no
@@ -851,6 +864,36 @@ object SparkEntry {
       graft.operators.Features.profile(
         t(s, dir, "documents"), Seq("doc_id", "lang", "source", "n_chars"))
         .orderBy(col("column"))
+    }),
+
+    "quality_check" -> ((s, dir) => {
+      // declarative data-quality expectations, ALL evaluated in one
+      // aggregation pass: nullability, uniqueness, range, accepted values.
+      // The in_range(n_chars, 1, 500) rule intentionally FAILS on this
+      // corpus (max 553) so the gate covers both verdicts.
+      graft.operators.Quality.check(t(s, dir, "documents"), Seq(
+        graft.operators.Quality.notNull("doc_id"),
+        graft.operators.Quality.unique("doc_id"),
+        graft.operators.Quality.inRange("n_chars", 1L, 500L),
+        graft.operators.Quality.acceptedValues("lang",
+          Seq("de", "en", "es", "fr", "zh"))))
+        .orderBy(col("rule"))
+    }),
+
+    "corpus_snapshot_diff" -> ((s, dir) => {
+      // ingest audit: row-level added/removed/changed/unchanged between two
+      // snapshots — one full-outer equi-join on the key, null-safe column
+      // compare. The "current" snapshot is derived deterministically:
+      // every 11th doc dropped, every 7th n_chars bumped, 20 new keys.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+      val cur = docs.filter(col("doc_id") % 11 =!= 0)
+        .withColumn("n_chars",
+          when(col("doc_id") % 7 === 0, col("n_chars") + 1).otherwise(col("n_chars")))
+        .unionByName(docs.filter(col("doc_id") < 20)
+          .withColumn("doc_id", col("doc_id") + 1000000))
+      graft.operators.Quality.snapshotDiff(docs, cur, "doc_id", Seq("n_chars", "lang"))
+        .orderBy(col("doc_id"))
     }),
 
     "emb_rp_project" -> ((s, dir) => {
@@ -1692,6 +1735,64 @@ object SparkEntry {
         |    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
         |  FROM documents
         |) q ORDER BY "column"""".stripMargin,
+
+    "quality_check" ->
+      """SELECT * FROM (
+        |  SELECT 'not_null(doc_id)' AS rule,
+        |    CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+        |    CAST(CASE WHEN sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) = 0
+        |      THEN 1 ELSE 0 END AS BIGINT) AS passed
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'unique(doc_id)',
+        |    CAST(count(doc_id) - count(DISTINCT doc_id) AS BIGINT),
+        |    CAST(CASE WHEN count(doc_id) = count(DISTINCT doc_id) THEN 1 ELSE 0 END AS BIGINT)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'in_range(n_chars,1,500)',
+        |    CAST(sum(CASE WHEN n_chars IS NOT NULL AND (n_chars < 1 OR n_chars > 500)
+        |      THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(CASE WHEN sum(CASE WHEN n_chars IS NOT NULL AND (n_chars < 1 OR n_chars > 500)
+        |      THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'accepted_values(lang)',
+        |    CAST(sum(CASE WHEN lang IS NOT NULL
+        |      AND lang NOT IN ('de', 'en', 'es', 'fr', 'zh') THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(CASE WHEN sum(CASE WHEN lang IS NOT NULL
+        |      AND lang NOT IN ('de', 'en', 'es', 'fr', 'zh') THEN 1 ELSE 0 END) = 0
+        |      THEN 1 ELSE 0 END AS BIGINT)
+        |  FROM documents
+        |) q ORDER BY rule""".stripMargin,
+
+    "corpus_snapshot_diff" ->
+      """WITH b AS (SELECT doc_id, n_chars, lang FROM documents),
+        |cur AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars, lang
+        |  FROM documents WHERE doc_id % 11 != 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, n_chars, lang FROM documents WHERE doc_id < 20
+        |)
+        |SELECT coalesce(b.doc_id, cur.doc_id) AS doc_id,
+        |  CASE WHEN b.doc_id IS NULL THEN 'added'
+        |       WHEN cur.doc_id IS NULL THEN 'removed'
+        |       WHEN (b.n_chars IS DISTINCT FROM cur.n_chars)
+        |         OR (b.lang IS DISTINCT FROM cur.lang) THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM b FULL OUTER JOIN cur ON b.doc_id = cur.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q25_hourly_cms_stream" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type FROM events
+        |), fam AS (SELECT range AS family FROM range(0, 4))
+        |SELECT h.hour, CAST(f.family AS BIGINT) AS family,
+        |  ('0x' || substr(md5(CAST(f.family // 2 AS VARCHAR) || ':' || h.event_type),
+        |    1 + 15 * (f.family % 2), 15))::BIGINT % 16 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM h CROSS JOIN fam f
+        |GROUP BY 1, 2, 3 ORDER BY hour, family, bucket""".stripMargin,
 
     "emb_rp_project" ->
       """WITH w AS (

@@ -112,6 +112,34 @@ object EventStream {
     drainToMemory(hourlyDistinctUsers(stream), name)
   }
 
+  /** Streaming Count-Min sketch: per-hour (family, bucket) frequency
+    * counters over the event-type stream. State per window is bounded by
+    * depth×width REGARDLESS of type cardinality — the frequency complement
+    * to [[hourlyDistinctUsers]]'s HLL registers, and like it a plain
+    * order-free aggregation, so batch and stream share one shape and one
+    * DuckDB oracle. Counters are bucket-wise mergeable: per-hour sketches
+    * roll up to day/month without re-reading events. */
+  def hourlyTypeCms(events: DataFrame, depth: Int = 4, width: Int = 16): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("ts"), explode(array((0 until depth).map(i =>
+        struct(lit(i).as("family"),
+          (graft.functions.TextFns.md5Long(col("event_type"), i) % width).as("bucket"))): _*))
+        .as("fb"))
+      .groupBy(window(col("ts"), "1 hour").as("w"),
+        col("fb.family").as("family"), col("fb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("window_start"), col("family").cast("long").as("family"),
+        col("bucket"), col("cnt"))
+
+  /** Streaming drive of [[hourlyTypeCms]] (same raw-parquet harness). */
+  def runHourlyCmsOverRawEvents(spark: SparkSession, path: String, name: String): DataFrame = {
+    val s2 = statePinnedSession(spark)
+    val stream = s2.readStream.schema(NanosEventSchema).parquet(anchoredGlob(s2, path))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    drainToMemory(hourlyTypeCms(stream), name)
+  }
+
   def runHourlyOverRawEvents(spark: SparkSession, path: String, name: String): DataFrame = {
     // isolated child session pins stateful-operator parallelism to the
     // (tiny) state volume — see runAttributionOverRawEvents

@@ -613,6 +613,36 @@ class OperatorsSpec extends SparkSuite {
     assert((50L to 60L).forall(r(_) == 0L), "zero-variance group must not flag its members")
   }
 
+  test("quality rules: one pass, exact violation counts, null handling per rule") {
+    val df = Seq(
+      (Some(1L), Some("en"), Some(10L)), (Some(2L), Some("xx"), Some(999L)),
+      (Some(2L), None, None), (None, Some("de"), Some(-5L)))
+      .toDF("id", "lang", "n")
+    val r = Quality.check(df, Seq(
+      Quality.notNull("id"), Quality.unique("id"),
+      Quality.inRange("n", 0L, 100L), Quality.acceptedValues("lang", Seq("en", "de"))))
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r("not_null(id)") == ((1L, 0L)), r.toString)
+    assert(r("unique(id)") == ((1L, 0L)), "one duplicate row beyond the first")
+    // nulls are NOT range/membership violations (notNull owns them)
+    assert(r("in_range(n,0,100)") == ((2L, 0L)), r.toString)
+    assert(r("accepted_values(lang)") == ((1L, 0L)), r.toString)
+    val clean = Quality.check(df.filter($"id" === 1L), Seq(Quality.notNull("id")))
+      .head()
+    assert(clean.getLong(1) == 0L && clean.getLong(2) == 1L)
+  }
+
+  test("snapshotDiff: added/removed/changed/unchanged, null-safe column compare") {
+    val base = Seq((1L, Some("a")), (2L, Some("b")), (3L, None: Option[String]),
+      (4L, Some("d"))).toDF("k", "v")
+    val cur = Seq((1L, Some("a")), (2L, Some("B")), (3L, None: Option[String]),
+      (5L, Some("e"))).toDF("k", "v")
+    val r = Quality.snapshotDiff(base, cur, "k", Seq("v"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "unchanged", 4L -> "removed", 5L -> "added"), r.toString)
+  }
+
   test("funnel: strict ordering honored, broken sequences keep their row") {
     import java.sql.Timestamp
     def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)

@@ -36,6 +36,19 @@ class StreamingSpec extends SparkSuite {
     assert(batch.forall(_.getLong(1) <= 32L))
   }
 
+  test("streaming CMS equals the batch counters and stays depth×width-bounded per window") {
+    val raw = "/root/testdata/sf0.001/events.parquet"
+    val batch = EventStream.hourlyTypeCms(EventStream.rawEvents(spark, raw))
+      .orderBy("window_start", "family", "bucket").collect().toSeq
+    val stream = EventStream.runHourlyCmsOverRawEvents(spark, raw, "cms_parity_test")
+      .orderBy("window_start", "family", "bucket").collect().toSeq
+    assert(batch.nonEmpty)
+    assert(batch == stream)
+    // bounded state: at most depth×width = 64 counter rows per window
+    val perWindow = batch.groupBy(_.getTimestamp(0)).map(_._2.size)
+    assert(perWindow.forall(_ <= 64), perWindow.toString)
+  }
+
   test("sessionizeByGap: micros precision, inclusive gap boundary, raw-stream parity") {
     val g = 30L * 60 * 1000000 // 30 min in micros
     val ev = Seq(
