@@ -915,6 +915,15 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "text_bpe_merges" -> ((s, dir) => {
+      // BPE tokenizer training, oracle-exact: 3 greedy merges of the most
+      // frequent adjacent symbol pair over the frequency-weighted word
+      // vocabulary; space-delimited segments + left-to-right replace make
+      // each round reproducible as an unrolled SQL CTE
+      graft.operators.TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", rounds = 3)
+        .orderBy(col("round"))
+    }),
+
     "text_heavy_hitters" -> ((s, dir) => {
       // EXACT heavy hitters by sketch-then-verify: broadcast Count-Min
       // literals prefilter candidate occurrences at scan speed (CMS never
@@ -1825,6 +1834,39 @@ object SparkEntry {
         |SELECT d.id AS event_id, d.g AS event_type, d.xc AS value_c, d.dev_c,
         |  CAST(CASE WHEN d.dev_d2 > 9 * v.var_d2 THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
         |FROM d JOIN v USING (g) ORDER BY event_id""".stripMargin,
+
+    "text_bpe_merges" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents
+        |), w AS (SELECT word, count(*) AS n FROM toks GROUP BY 1),
+        |s0 AS (SELECT trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS segs, n FROM w),
+        |p1 AS (
+        |  SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+        |    SELECT n, unnest([l[i] || ' ' || l[i+1] FOR i IN range(1, len(l))]) AS pair
+        |    FROM (SELECT string_split(segs, ' ') AS l, n FROM s0) q WHERE len(l) >= 2
+        |  ) GROUP BY 1
+        |), m1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+        |s1 AS (SELECT replace(segs, (SELECT pair FROM m1),
+        |  replace((SELECT pair FROM m1), ' ', '')) AS segs, n FROM s0),
+        |p2 AS (
+        |  SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+        |    SELECT n, unnest([l[i] || ' ' || l[i+1] FOR i IN range(1, len(l))]) AS pair
+        |    FROM (SELECT string_split(segs, ' ') AS l, n FROM s1) q WHERE len(l) >= 2
+        |  ) GROUP BY 1
+        |), m2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+        |s2 AS (SELECT replace(segs, (SELECT pair FROM m2),
+        |  replace((SELECT pair FROM m2), ' ', '')) AS segs, n FROM s1),
+        |p3 AS (
+        |  SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+        |    SELECT n, unnest([l[i] || ' ' || l[i+1] FOR i IN range(1, len(l))]) AS pair
+        |    FROM (SELECT string_split(segs, ' ') AS l, n FROM s2) q WHERE len(l) >= 2
+        |  ) GROUP BY 1
+        |), m3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS round, pair, replace(pair, ' ', '') AS merged, cnt AS n FROM m1
+        |  UNION ALL SELECT 2, pair, replace(pair, ' ', ''), cnt FROM m2
+        |  UNION ALL SELECT 3, pair, replace(pair, ' ', ''), cnt FROM m3
+        |) q ORDER BY round""".stripMargin,
 
     "text_heavy_hitters" ->
       """WITH toks AS (

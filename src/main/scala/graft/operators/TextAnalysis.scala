@@ -413,6 +413,59 @@ object TextAnalysis {
         regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
         LongNumberPattern, "<NUM>").as("redacted"))
 
+  /** BPE vocabulary induction — the tokenizer-training core: `rounds`
+    * greedy merges of the most frequent adjacent symbol pair, starting from
+    * characters. Returns one row per round: (round, pair, merged, n).
+    *
+    * Exactness: symbol sequences are SPACE-DELIMITED STRINGS ("t h e"),
+    * a merge is a plain left-to-right non-overlapping string replace —
+    * identical semantics in Java and DuckDB `replace()` — and the winning
+    * pair is argmax by (count desc, pair asc), a deterministic tie-break.
+    * So k unrolled CTE rounds in SQL reproduce the merge table bit-for-bit:
+    * tokenizer training itself becomes oracle-checkable.
+    *
+    * Scale shape: the working relation is the WORD VOCABULARY with counts
+    * (one groupBy of the corpus up front), not the corpus — pair statistics
+    * are frequency-weighted over unique words, the standard BPE trick.
+    * Each round is one map-side-combined pair aggregation + a 1-row argmax
+    * collect (the merge decision is global by definition); the rewritten
+    * vocabulary is re-persisted and the previous round released. */
+  def bpeMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = docs.select(explode(TextFns.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .select(trim(regexp_replace(col("word"), "(.)", "$1 ")).as("segs"), col("n"))
+    var cur = vocab.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (round <- 1 to rounds) {
+      // single-symbol words carry no pairs — filter BEFORE the explode
+      // (also dodges the sequence(1, 0) descending-sequence trap)
+      val pairs = cur
+        .filter(size(split(col("segs"), " ")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(split(segs, ' ')) - 1), " +
+            "i -> concat(element_at(split(segs, ' '), i), ' ', element_at(split(segs, ' '), i + 1)))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
+      val top = pairs.orderBy(col("cnt").desc, col("pair")).limit(1).collect()
+      if (top.nonEmpty) {
+        val pair = top.head.getString(0)
+        val cnt = top.head.getLong(1)
+        val merged = pair.replace(" ", "")
+        merges += ((round.toLong, pair, merged, cnt))
+        val next = cur.select(replace(col("segs"), lit(pair), lit(merged)).as("segs"), col("n"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before releasing the parent
+        cur.unpersist()
+        cur = next
+      }
+    }
+    cur.unpersist()
+    merges.result().toDF("round", "pair", "merged", "n")
+  }
+
   /** EXACT heavy hitters by sketch-then-verify — the two-pass shape that
     * finds frequent tokens at corpus scale without a full-vocabulary
     * aggregation dominating the job. Pass 1 builds a Count-Min sketch

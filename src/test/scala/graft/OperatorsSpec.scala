@@ -613,6 +613,19 @@ class OperatorsSpec extends SparkSuite {
     assert((50L to 60L).forall(r(_) == 0L), "zero-variance group must not flag its members")
   }
 
+  test("bpeMerges: textbook low/lower/newest merges, ties break lexicographically") {
+    val docs = Seq((1L, "low low low lower lower newest")).toDF("doc_id", "text")
+    val r = TextAnalysis.bpeMerges(docs, "text", rounds = 3)
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getString(2), x.getLong(3)))
+      .sortBy(_._1)
+    // round 1: "l o" and "o w" tie at 5; lexicographic tie-break picks "l o"
+    assert(r(0) == ((1L, "l o", "lo", 5L)), r.mkString(";"))
+    // round 2: the new symbol participates in the next pair ("lo w")
+    assert(r(1) == ((2L, "lo w", "low", 5L)), r.mkString(";"))
+    // round 3: "e r" and "low e" tie at 2; "e r" wins lexicographically
+    assert(r(2) == ((3L, "e r", "er", 2L)), r.mkString(";"))
+  }
+
   test("quality rules: one pass, exact violation counts, null handling per rule") {
     val df = Seq(
       (Some(1L), Some("en"), Some(10L)), (Some(2L), Some("xx"), Some(999L)),
