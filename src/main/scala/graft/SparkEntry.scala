@@ -409,6 +409,18 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q26_events_asof_forward" -> ((s, dir) => {
+      // forward as-of: each event annotated with the user's NEXT order at
+      // or after that moment ("what happened next") — mirror window pass of
+      // q15, no join explosion; oracle via min-over-qualifying + re-join
+      val ev = events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+      val ord = graft.operators.AsOf.latestPerKeyTime(
+        t(s, dir, "orders"), "o_custkey", "o_orderdate", "o_orderkey")
+      graft.operators.AsOf.asofJoinForward(ev, ord,
+        "user_id", "o_custkey", "ts", "o_orderdate", Seq("o_orderkey", "o_totalprice"))
+        .orderBy(col("event_id"))
+    }),
+
     "q16_price_band_rangejoin" -> ((s, dir) => {
       // interval join with NO equi key (the case where naive Spark falls
       // into BroadcastNestedLoopJoin): overlapping irregular price bands,
@@ -836,16 +848,16 @@ object SparkEntry {
     }),
 
     "graph_triangles" -> ((s, dir) => {
-      // exact triangle counts over the supplier co-supply graph (suppliers
-      // sharing a part): degeneracy orientation bounds the wedge fanout by
-      // O(sqrt(m)) per node — the only triangle-count plan that survives
-      // skewed degree distributions at corpus scale
-      val ls = t(s, dir, "lineitem")
-        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
-      val a = ls.as("a")
-      val b = ls.as("b")
-      val edges = a.join(b, col("a.p") === col("b.p") && col("a.sk") =!= col("b.sk"))
-        .select(col("a.sk").as("src"), col("b.sk").as("dst"))
+      // exact triangle counts with degeneracy orientation (wedge fanout
+      // bounded O(sqrt(m)) per node). The gate graph is a sparse chord
+      // graph over supplier keys (k -> k+1, k -> k+2, a kNN-similarity-graph
+      // shape): the natural co-supply graph at this SF is the COMPLETE
+      // graph on 1000 suppliers — every triple a triangle, 166M output
+      // rows — which gates nothing and benchmarks only row explosion
+      val sk = t(s, dir, "supplier").select(col("s_suppkey").cast("long").as("k"))
+      val edges = sk.select(col("k").as("src"), (col("k") + 1).as("dst"))
+        .union(sk.select(col("k").as("src"), (col("k") + 2).as("dst")))
+        .join(sk.withColumnRenamed("k", "dst"), Seq("dst"), "left_semi")
       graft.operators.Graph.triangles(edges, "src", "dst")
         .orderBy(col("node"))
     }),
@@ -1672,9 +1684,11 @@ object SparkEntry {
         |SELECT node, CAST(rank AS BIGINT) AS rank_scaled FROM r3 ORDER BY node""".stripMargin,
 
     "graph_triangles" ->
-      """WITH ls AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
+      """WITH sk AS (SELECT s_suppkey AS k FROM supplier),
         |e0 AS (
-        |  SELECT a.sk AS u, b.sk AS v FROM ls a JOIN ls b ON a.p = b.p AND a.sk <> b.sk
+        |  SELECT k AS u, k + 1 AS v FROM sk WHERE k + 1 IN (SELECT k FROM sk)
+        |  UNION ALL
+        |  SELECT k AS u, k + 2 AS v FROM sk WHERE k + 2 IN (SELECT k FROM sk)
         |),
         |und AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM e0),
         |deg AS (
@@ -2401,6 +2415,25 @@ object SparkEntry {
         |)
         |SELECT e.event_id, e.user_id, e.ts, o1.o_orderkey, o1.o_totalprice
         |FROM e ASOF LEFT JOIN o1 ON e.user_id = o1.o_custkey AND e.ts >= o1.ot
+        |ORDER BY event_id""".stripMargin,
+
+    "q26_events_asof_forward" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |), o AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS ot, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+        |  FROM orders
+        |), o1 AS (
+        |  SELECT o_custkey, ot, o_orderkey, o_totalprice FROM o WHERE rn = 1
+        |), nxt AS (
+        |  SELECT e.event_id, min(o1.ot) AS nt
+        |  FROM e LEFT JOIN o1 ON o1.o_custkey = e.user_id AND o1.ot >= e.ts
+        |  GROUP BY e.event_id
+        |)
+        |SELECT e.event_id, e.user_id, e.ts, o1.o_orderkey, o1.o_totalprice
+        |FROM e JOIN nxt USING (event_id)
+        |LEFT JOIN o1 ON o1.o_custkey = e.user_id AND o1.ot = nxt.nt
         |ORDER BY event_id""".stripMargin,
 
     "q20_purchase_attribution_outer_stream" ->

@@ -71,4 +71,34 @@ object AsOf {
       .filter(col("__side") === 1)
       .select(leftCols.map(col) ++ rightPayload.map(c => col(s"__c.$c").as(c)): _*)
   }
+
+  /** Forward as-of join: attach the EARLIEST right row with rt >= lt —
+    * "what happened next" (next order after the event, next deploy after
+    * the alert). Mirror image of [[asofJoin]]: same union + one window
+    * pass, but the frame looks FORWARD (`first(ignoreNulls)` over
+    * currentRow..unboundedFollowing) and left rows sort before right rows
+    * at equal timestamps so a same-instant right row is still visible
+    * (inclusive >=). Same scale shape: one shuffle of |L|+|R| rows by key,
+    * no join explosion. */
+  def asofJoinForward(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightPayload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__k", col(leftKey)).withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(0))
+    val r = right.select(
+      col(rightKey).as("__k"), col(rightTime).as("__t"), lit(1).as("__side"),
+      struct(rightPayload.map(col): _*).as("__p"))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = unioned.withColumn("__c", first(col("__p"), ignoreNulls = true).over(w))
+    carried
+      .filter(col("__side") === 0)
+      .select(leftCols.map(col) ++ rightPayload.map(c => col(s"__c.$c").as(c)): _*)
+  }
 }

@@ -60,8 +60,11 @@ object Basket {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = bi.select(col("b")).distinct().count()
     val maxDf = n * maxDfPerMille / 1000 // driver Long div == DuckDB `//`
+    // persisted: the banded vocabulary feeds the semi-join AND both lift
+    // denominators — without the cache each broadcast re-aggregates bi
     val vocab = bi.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
       .filter(col("n_i") >= minDf && col("n_i") <= maxDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = bi.join(broadcast(vocab.select(col("i"))), Seq("i"), "left_semi")
     liftJoin(banded, vocab, n, minSupport)
   }

@@ -132,6 +132,22 @@ class OperatorsSpec extends SparkSuite {
       (4L, None, None))) // key never matched
   }
 
+  test("asofJoinForward: earliest future row, inclusive equal timestamp, trailing -> NULL") {
+    import graft.operators.AsOf
+    val left = Seq((1L, 1L, 5L), (2L, 1L, 10L), (3L, 1L, 25L), (4L, 2L, 50L))
+      .toDF("event_id", "k", "t")
+    val right = Seq((1L, 10L, 7L), (1L, 20L, 9L)).toDF("k", "t", "ok")
+    val got = AsOf.asofJoinForward(left, right, "k", "k", "t", "t", Seq("ok"))
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(got.toSeq == Seq(
+      (1L, Some(7L)), // next row is t=10
+      (2L, Some(7L)), // EQUAL timestamp is visible (inclusive >=)
+      (3L, None), // nothing after t=25
+      (4L, None))) // key never matched
+  }
+
   test("latestPerKeyTime keeps exactly the highest-tiebreak row per (key, time)") {
     import graft.operators.AsOf
     val right = Seq((1L, 10L, 7L), (1L, 10L, 9L), (1L, 20L, 3L), (2L, 10L, 1L))
