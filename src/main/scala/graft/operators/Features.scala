@@ -47,7 +47,9 @@ object Features {
     * Expand — k× the rows map-side, still one pass over storage, no second
     * read of a 100 TB table); the unpivot to one row per column is
     * metadata-sized. */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  /** The profiler's single aggregation — exposed so plan tests can pin the
+    * one-scan property ([[profile]]'s returned frame is literal). */
+  private[graft] def profileAgg(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(
         count(lit(1)).as(s"${c}__n"),
@@ -56,9 +58,13 @@ object Features {
         min(col(c)).cast("string").as(s"${c}__min"),
         max(col(c)).cast("string").as(s"${c}__max"))
     }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     // ONE action; the per-column unpivot is built from the collected row
     // (6 values per column — metadata), not by re-running the aggregate
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val row = profileAgg(df, cols).head()
     val spark = df.sparkSession
     import spark.implicits._
     cols.zipWithIndex.map { case (c, i) =>

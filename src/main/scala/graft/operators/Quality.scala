@@ -38,12 +38,19 @@ object Quality {
     Rule(s"accepted_values($c)",
       sum(when(col(c).isNotNull && !col(c).isInCollection(values), 1L).otherwise(0L)))
 
+  /** The single aggregation all rules share — exposed so plan tests can
+    * pin the one-scan property (the returned frame of [[check]] is built
+    * from the collected row and carries no scan). */
+  private[graft] def checkAgg(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val aggs = rules.map(r => r.violations.cast("long").as(r.label))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Evaluate every rule in ONE pass. Returns (rule, violations, passed)
     * with passed as 0/1 BIGINT (cross-engine-stable instead of boolean). */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty)
-    val aggs = rules.map(r => r.violations.cast("long").as(r.label))
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val row = checkAgg(df, rules).head()
     val spark = df.sparkSession
     import spark.implicits._
     rules.zipWithIndex.map { case (r, i) =>

@@ -310,6 +310,26 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("InMemoryTableScan"), p)
   }
 
+  test("quality expectations cost ONE scan: N rules, one read of the table") {
+    import graft.operators.Quality
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = plan(Quality.checkAgg(docs, Seq(
+      Quality.notNull("doc_id"), Quality.unique("doc_id"),
+      Quality.inRange("n_chars", 1L, 500L),
+      Quality.acceptedValues("lang", Seq("en", "de")))))
+    // four rules (incl. a distinct-count) must not become four table reads
+    // (formatted explain names each node twice: tree + numbered details)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1, p)
+  }
+
+  test("profiler is one Expand-planned scan, not one aggregate per column") {
+    import graft.operators.Features
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = plan(Features.profileAgg(docs, Seq("doc_id", "lang", "source", "n_chars")))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Expand"), "multiple distinct aggregates should plan via Expand")
+  }
+
   test("heavy hitters prefilter is join-free: CMS literals gate the scan before the agg") {
     val p = plan(SparkEntry.queries("text_heavy_hitters")(spark, sfDir))
     // the sketch is embedded as literal arrays — candidate filtering must

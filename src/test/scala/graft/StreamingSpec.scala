@@ -36,6 +36,43 @@ class StreamingSpec extends SparkSuite {
     assert(batch.forall(_.getLong(1) <= 32L))
   }
 
+  test("checkpointed restart: appended windows are never re-emitted, values match batch") {
+    // the crash/redeploy contract of a production streaming job: stop the
+    // query, add data, restart from the SAME checkpoint — finalized windows
+    // must come out exactly once, with batch-identical values
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val src = tmp("restart_src"); val out = tmp("restart_out"); val ck = tmp("restart_ck")
+    val ev = EventStream.rawEvents(spark, "/root/testdata/sf0.001/events.parquet")
+    val cut = ev.selectExpr("percentile(CAST(ts AS DOUBLE), 0.5)").head().getDouble(0)
+    ev.filter(col("ts").cast("double") <= cut).write.parquet(s"$src/p1")
+    def runPhase(): Unit = {
+      val stream = spark.readStream.schema(EventStream.EventSchema)
+        .option("pathGlobFilter", "*.parquet").parquet(s"$src/p*")
+      val q = EventStream.hourlyAgg(stream).writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    runPhase()
+    val phase1 = spark.read.parquet(out).count()
+    assert(phase1 > 0, "phase 1 must finalize at least one window")
+    ev.filter(col("ts").cast("double") > cut).write.parquet(s"$src/p2")
+    runPhase() // restart from the same checkpoint
+    val got = spark.read.parquet(out)
+    assert(got.count() > phase1, "restart must emit the newly finalized windows")
+    // exactly-once across the restart: no window/type appears twice
+    assert(got.count() == got.select($"window_start", $"event_type").distinct().count(),
+      "restart re-emitted already-finalized windows")
+    // every emitted row matches the batch twin bit-for-bit
+    val batch = EventStream.hourlyAgg(ev)
+      .withColumnRenamed("n_events", "b_n").withColumnRenamed("sum_value", "b_sum")
+    val joined = got.join(batch, Seq("window_start", "event_type"), "left")
+    assert(joined.filter($"b_n".isNull || $"n_events" =!= $"b_n"
+      || $"sum_value" =!= $"b_sum").isEmpty,
+      "emitted window diverges from the batch twin")
+  }
+
   test("streaming CMS equals the batch counters and stays depth×width-bounded per window") {
     val raw = "/root/testdata/sf0.001/events.parquet"
     val batch = EventStream.hourlyTypeCms(EventStream.rawEvents(spark, raw))
