@@ -908,6 +908,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "emb_meanpool" -> ((s, dir) => {
+      // chunk -> document pooling: element-wise truncating integer mean of
+      // the quantized member vectors per group (vec_id div 10 stands in for
+      // the chunk->doc mapping) — the pooling step between chunk encoding
+      // and document retrieval, oracle-exact like kmeans centroids
+      graft.operators.Embeddings.meanPool(
+        spread(t(s, dir, "embeddings")), expr("vec_id div 10"), "embedding")
+        .orderBy(col("grp"), col("dim"))
+    }),
+
     "emb_rp_project" -> ((s, dir) => {
       // Johnson-Lindenstrauss random projection 64 -> 16 dims: deterministic
       // md5-derived ±1 sign matrix as literals, integer dot products over
@@ -1816,6 +1826,19 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS cnt
         |FROM h CROSS JOIN fam f
         |GROUP BY 1, 2, 3 ORDER BY hour, family, bucket""".stripMargin,
+
+    "emb_meanpool" ->
+      """WITH q AS (
+        |  SELECT vec_id // 10 AS grp,
+        |    [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), e AS (
+        |  SELECT grp, d.range AS pos, qv[d.range + 1] AS x
+        |  FROM q CROSS JOIN range(0, 64) d
+        |)
+        |SELECT grp, CAST(pos + 1 AS BIGINT) AS dim,
+        |  CAST(sum(x) AS BIGINT) // count(*) AS pooled
+        |FROM e GROUP BY 1, 2 ORDER BY grp, dim""".stripMargin,
 
     "emb_rp_project" ->
       """WITH w AS (

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.VectorFns
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Embedding-column maintenance ops for vector corpora: L2 normalization and
@@ -35,6 +35,21 @@ object Embeddings {
             .cast("long"))
           .as("nq"))
   }
+
+  /** Mean-pool member vectors into one group vector — chunk embeddings →
+    * document embedding, the standard pooling step between chunk-level
+    * encoding and document-level retrieval. Element-wise TRUNCATING INTEGER
+    * MEAN of the 1e-6-quantized vectors (`sum div count` per (group, dim) —
+    * the same exactness trick as kmeansRefine's centroids), so the pooled
+    * vectors hash-match a SQL oracle. One posexplode shuffle keyed
+    * (group, dim) with map-side partial sums; output exploded
+    * (group, dim [1-based], pooled). */
+  def meanPool(
+      embs: DataFrame, groupCol: Column, vecCol: String): DataFrame =
+    embs
+      .select(groupCol.as("grp"), posexplode(VectorFns.quantize(col(vecCol))).as(Seq("pos", "x")))
+      .groupBy(col("grp"), (col("pos") + 1).cast("long").as("dim"))
+      .agg(expr("sum(x) div count(1)").as("pooled"))
 
   /** Johnson-Lindenstrauss random projection to `outDims` dimensions with a
     * DETERMINISTIC ±1 projection matrix (Achlioptas-style sign matrix,

@@ -616,6 +616,18 @@ class OperatorsSpec extends SparkSuite {
     assert(proj(zero).values.forall(_ == 0L))
   }
 
+  test("meanPool: truncating integer mean per (group, dim), negatives toward zero") {
+    val embs = Seq(
+      (0L, Array(1.0f, -1.0f)), (1L, Array(2.0f, -2.0f)), // group 0
+      (10L, Array(5.0f, 0.5f))) // group 1, single member
+      .toDF("vec_id", "embedding")
+    val r = Embeddings.meanPool(embs, expr("vec_id div 10"), "embedding")
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    // (1e6 + 2e6) div 2 = 1_500_000; (-1e6 + -2e6) div 2 = -1_500_000
+    assert(r((0L, 1L)) == 1500000L && r((0L, 2L)) == -1500000L, r.toString)
+    assert(r((1L, 1L)) == 5000000L && r((1L, 2L)) == 500000L, r.toString)
+  }
+
   test("valueOutliers: constructed spike flagged, uniform group silent") {
     val rows = (1L to 40L).map(i => (i, "a", 100.0)) ++
       Seq((41L, "a", 5000.0)) ++ // the spike
