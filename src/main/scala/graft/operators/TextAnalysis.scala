@@ -413,7 +413,7 @@ object TextAnalysis {
         regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
         LongNumberPattern, "<NUM>").as("redacted"))
 
-  /** BPE vocabulary induction — the tokenizer-training core: `rounds`
+  /** BPE-style vocabulary induction — the tokenizer-training core: `rounds`
     * greedy merges of the most frequent adjacent symbol pair, starting from
     * characters. Returns one row per round: (round, pair, merged, n).
     *
@@ -423,6 +423,18 @@ object TextAnalysis {
     * pair is argmax by (count desc, pair asc), a deterministic tie-break.
     * So k unrolled CTE rounds in SQL reproduce the merge table bit-for-bit:
     * tokenizer training itself becomes oracle-checkable.
+    *
+    * DOCUMENTED DIVERGENCE from textbook BPE: merge application is
+    * string-level, so a pair whose first element is the SUFFIX of a longer
+    * symbol (or whose second is a PREFIX of the next) can merge across a
+    * symbol boundary — e.g. applying ("x","y") to segments "zx y" yields
+    * "zxy", where array-based BPE would leave it untouched (the adjacency
+    * there is ("zx","y")). Pair COUNTING is symbol-exact (it splits on the
+    * delimiter); only the rewrite can cross boundaries, which requires a
+    * same-round suffix/prefix collision and is rare at small round counts.
+    * The exact array-based rewrite is the upgrade path if merge tables are
+    * consumed by a real tokenizer; this form exists to make the TRAINING
+    * LOOP cross-engine-checkable.
     *
     * Scale shape: the working relation is the WORD VOCABULARY with counts
     * (one groupBy of the corpus up front), not the corpus — pair statistics

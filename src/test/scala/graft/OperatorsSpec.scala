@@ -654,6 +654,19 @@ class OperatorsSpec extends SparkSuite {
     assert(r(2) == ((3L, "e r", "er", 2L)), r.mkString(";"))
   }
 
+  test("bpeMerges: pair counting is symbol-exact even when a symbol SUFFIX matches") {
+    // corpus: "xy" repeated (chars x,y adjacent) plus "zx y"-shaped words.
+    // The pair table must count ("x","y") from "x y" adjacency ONLY —
+    // "z x" / "x y" inside "zxy"'s segments are their own pairs
+    val docs = Seq((1L, "xy xy xy zxy zxy")).toDF("doc_id", "text")
+    val r = TextAnalysis.bpeMerges(docs, "text", rounds = 1)
+      .collect().map(x => (x.getString(1), x.getLong(3)))
+    // "x y" occurs in both words' segment strings: "x y" (from xy) and
+    // "z x y" (from zxy) — symbol-level adjacency, count = 2 word types
+    // weighted 3 + 2 = 5
+    assert(r.head == (("x y", 5L)), r.mkString(";"))
+  }
+
   test("quality rules: one pass, exact violation counts, null handling per rule") {
     val df = Seq(
       (Some(1L), Some("en"), Some(10L)), (Some(2L), Some("xx"), Some(999L)),
