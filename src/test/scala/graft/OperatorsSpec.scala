@@ -584,6 +584,26 @@ class OperatorsSpec extends SparkSuite {
     assert(p("s") == ((4L, 1L, 2L, "a", "c")), p.toString)
   }
 
+  test("heavyHitters: randomized equivalence with plain group-by (collision-heavy sketches)") {
+    // the operator's whole claim is EXACTNESS for any corpus/threshold —
+    // width=2 forces pervasive CMS collisions, the verify pass must still
+    // make the output identical to the direct aggregation
+    val rnd = new scala.util.Random(7)
+    val words = Vector("a", "b", "c", "dd", "ee", "ff", "ggg")
+    for (_ <- 1 to 3; width <- Seq(2, 64)) {
+      val docs = (1 to 25).map(i => (i.toLong,
+        Seq.fill(rnd.nextInt(8) + 1)(words(rnd.nextInt(words.size))).mkString(" ")))
+        .toDF("doc_id", "text")
+      val t = rnd.nextInt(8) + 1
+      val got = TextAnalysis.heavyHitters(docs, "text", t, depth = 2, width = width)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = docs.select(explode(TextFns.tokens($"text")).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("n")).filter($"n" >= t)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == exact, s"t=$t width=$width: $got vs $exact")
+    }
+  }
+
   test("heavyHitters: exact output equals the plain group-by, sketch FPs filtered") {
     // tight sketch (width 2) forces collisions -> false-positive candidates
     // must be removed by the exact verify pass
