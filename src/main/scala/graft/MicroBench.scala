@@ -18,9 +18,23 @@ object MicroBench {
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect()
     for (q <- args) {
+      // bpe_deep<N>: realistic-merge-count tokenizer training (not a gated
+      // query — 200 unrolled CTE rounds have no sane oracle); times the
+      // batched loop the r7 verdict asked to prove out, e.g. bpe_deep200
+      val run: () => Unit =
+        if (q.startsWith("bpe_deep")) { () =>
+          val rounds = q.stripPrefix("bpe_deep").toInt
+          val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          val r = graft.operators.TextAnalysis.bpeMerges(docs, "text", rounds)
+          val n = r.count()
+          println(s"  bpe rounds=$n cycles=${graft.operators.TextAnalysis.lastBpeBatchRounds}")
+        }
+        else { () =>
+          SparkEntry.queries(q)(spark, sfDir).write.format("noop").mode(SaveMode.Overwrite).save()
+        }
       val secs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(q)(spark, sfDir).write.format("noop").mode(SaveMode.Overwrite).save()
+        run()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"MICRO $q%s ${secs.map(s => f"$s%.2f").mkString(" ")}")

@@ -940,8 +940,9 @@ object SparkEntry {
     "text_bpe_merges" -> ((s, dir) => {
       // BPE tokenizer training, oracle-exact: 3 greedy merges of the most
       // frequent adjacent symbol pair over the frequency-weighted word
-      // vocabulary; space-delimited segments + left-to-right replace make
-      // each round reproducible as an unrolled SQL CTE
+      // vocabulary; the doubled-space canonical form makes the replace
+      // symbol-aligned (true array BPE) and each round reproducible as an
+      // unrolled SQL CTE — the batched merge loop must match sequential SQL
       graft.operators.TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", rounds = 3)
         .orderBy(col("round"))
     }),
@@ -1883,16 +1884,22 @@ object SparkEntry {
         |    FROM (SELECT string_split(segs, ' ') AS l, n FROM s0) q WHERE len(l) >= 2
         |  ) GROUP BY 1
         |), m1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
-        |s1 AS (SELECT replace(segs, (SELECT pair FROM m1),
-        |  replace((SELECT pair FROM m1), ' ', '')) AS segs, n FROM s0),
+        |s1 AS (SELECT trim(replace(replace(
+        |    ' ' || replace(segs, ' ', '  ') || ' ',
+        |    ' ' || replace((SELECT pair FROM m1), ' ', '  ') || ' ',
+        |    ' ' || replace((SELECT pair FROM m1), ' ', '') || ' '),
+        |  '  ', ' ')) AS segs, n FROM s0),
         |p2 AS (
         |  SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
         |    SELECT n, unnest([l[i] || ' ' || l[i+1] FOR i IN range(1, len(l))]) AS pair
         |    FROM (SELECT string_split(segs, ' ') AS l, n FROM s1) q WHERE len(l) >= 2
         |  ) GROUP BY 1
         |), m2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
-        |s2 AS (SELECT replace(segs, (SELECT pair FROM m2),
-        |  replace((SELECT pair FROM m2), ' ', '')) AS segs, n FROM s1),
+        |s2 AS (SELECT trim(replace(replace(
+        |    ' ' || replace(segs, ' ', '  ') || ' ',
+        |    ' ' || replace((SELECT pair FROM m2), ' ', '  ') || ' ',
+        |    ' ' || replace((SELECT pair FROM m2), ' ', '') || ' '),
+        |  '  ', ' ')) AS segs, n FROM s1),
         |p3 AS (
         |  SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
         |    SELECT n, unnest([l[i] || ' ' || l[i+1] FOR i IN range(1, len(l))]) AS pair

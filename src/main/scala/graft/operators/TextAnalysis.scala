@@ -415,43 +415,81 @@ object TextAnalysis {
 
   /** BPE-style vocabulary induction — the tokenizer-training core: `rounds`
     * greedy merges of the most frequent adjacent symbol pair, starting from
-    * characters. Returns one row per round: (round, pair, merged, n).
+    * characters. Returns one row per round: (round, pair, merged, n) —
+    * bit-identical to merging one global argmax pair at a time.
     *
-    * Exactness: symbol sequences are SPACE-DELIMITED STRINGS ("t h e"),
-    * a merge is a plain left-to-right non-overlapping string replace —
-    * identical semantics in Java and DuckDB `replace()` — and the winning
-    * pair is argmax by (count desc, pair asc), a deterministic tie-break.
-    * So k unrolled CTE rounds in SQL reproduce the merge table bit-for-bit:
-    * tokenizer training itself becomes oracle-checkable.
+    * Exactness: symbol sequences are SPACE-DELIMITED STRINGS ("t h e") and
+    * a merge rewrite is SYMBOL-ALIGNED: the string is lifted to a doubled-
+    * space canonical form (single-space sentinels at the ends, two spaces
+    * between symbols) so a plain left-to-right non-overlapping `replace` of
+    * " a  b " can only match a whole adjacent symbol pair, never a suffix/
+    * prefix inside a longer symbol (the old string-level divergence: pair
+    * ("x","y") applied to "zx y" must NOT produce "zxy"). A match consumes
+    * one space of each flanking double and the replacement " ab " restores
+    * it, so the canonical form is closed under merges; collapsing doubles
+    * and trimming recovers the plain form. `replace` semantics are
+    * identical in Java and DuckDB, so this IS greedy array-based BPE
+    * application expressed in the one string primitive both engines share,
+    * and the winning pair — argmax by (count desc, pair asc), a
+    * deterministic tie-break — makes k unrolled CTE rounds in SQL
+    * reproduce the merge table bit-for-bit: tokenizer training itself is
+    * oracle-checkable.
     *
-    * DOCUMENTED DIVERGENCE from textbook BPE: merge application is
-    * string-level, so a pair whose first element is the SUFFIX of a longer
-    * symbol (or whose second is a PREFIX of the next) can merge across a
-    * symbol boundary — e.g. applying ("x","y") to segments "zx y" yields
-    * "zxy", where array-based BPE would leave it untouched (the adjacency
-    * there is ("zx","y")). Pair COUNTING is symbol-exact (it splits on the
-    * delimiter); only the rewrite can cross boundaries, which requires a
-    * same-round suffix/prefix collision and is rare at small round counts.
-    * The exact array-based rewrite is the upgrade path if merge tables are
-    * consumed by a real tokenizer; this form exists to make the TRAINING
-    * LOOP cross-engine-checkable.
-    *
-    * Scale shape: the working relation is the WORD VOCABULARY with counts
-    * (one groupBy of the corpus up front), not the corpus — pair statistics
-    * are frequency-weighted over unique words, the standard BPE trick.
-    * Each round is one map-side-combined pair aggregation + a 1-row argmax
-    * collect (the merge decision is global by definition); the rewritten
-    * vocabulary is re-persisted and the previous round released. */
-  def bpeMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
-    require(rounds >= 1)
+    * Scale shape — the tokenizer-trainer split. The DATA-scale work is the
+    * one corpus groupBy up front: pair statistics are frequency-weighted
+    * over the WORD VOCABULARY with counts, not the corpus (the standard
+    * BPE trick), so the merge loop's working set is vocabulary-bounded at
+    * any corpus size. The ROUNDS-scale work then takes one of two paths:
+    *  - Vocabulary fits the driver (`localVocabLimit`, the same bounded-
+    *    collect budget as IVF centroids): the merge loop runs IN MEMORY
+    *    with incremental pair-count deltas — merging pair P re-scans only
+    *    the words that contain P, via a pair→words index, with a lazy-
+    *    invalidation max-heap for the argmax — which is how production
+    *    tokenizer trainers work and makes a realistic 32k-merge run a few
+    *    seconds of driver CPU after TWO Spark jobs (count + collect),
+    *    independent of `rounds`. Tie-breaks compare UTF-8 BYTES (Spark
+    *    UTF8String and DuckDB binary collation agree; Java's UTF-16
+    *    compareTo diverges on supplementary chars), so the in-memory loop
+    *    is bit-identical to the SQL rounds.
+    *  - Vocabulary beyond the driver: a distributed loop that BATCHES
+    *    merges. Each recount collects the top `topK` (+1 bounding
+    *    sentinel) pairs once and applies the longest sorted prefix that is
+    *    provably order-equivalent to sequential argmax in ONE rewrite
+    *    pass. The batch rule is exact, not a heuristic: a prefix pair is
+    *    admitted only while (a) it shares no symbol — nor its
+    *    concatenation, which an earlier merge could mint as a new symbol —
+    *    with any earlier batch member, so its count is invariant under the
+    *    earlier merges, and (b) its count is STRICTLY above the first
+    *    conflicting (or off-window) count: every pair CREATED by an
+    *    earlier batch merge is bounded by some conflicting original pair's
+    *    count, so strict dominance means nothing can overtake it mid-
+    *    batch, and unchanged non-batch pairs lose ties to it by pair-asc
+    *    order. When the rule admits nothing, a plain 1-pair argmax round
+    *    runs — worst case degrades to the sequential loop, never to wrong
+    *    output. [[lastBpeBatchRounds]] exposes the cycle count for the
+    *    sublinearity spec. */
+  def bpeMerges(docs: DataFrame, textCol: String, rounds: Int, topK: Int = 64,
+      localVocabLimit: Long = 2000000L): DataFrame = {
+    require(rounds >= 1 && topK >= 1)
     val spark = docs.sparkSession
     import spark.implicits._
     val vocab = docs.select(explode(TextFns.tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
       .select(trim(regexp_replace(col("word"), "(.)", "$1 ")).as("segs"), col("n"))
-    var cur = vocab.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (eager), not persist: every cycle would otherwise
+    // nest the previous InMemoryRelation's whole plan — at realistic merge
+    // counts the lineage alone OOMs the driver (the Graph.scala lesson)
+    var cur = vocab.localCheckpoint()
+    if (cur.count() <= localVocabLimit) {
+      val rows = cur.collect().map(r => (r.getString(0), r.getLong(1)))
+      Dedup.releaseCheckpoint(cur)
+      lastBpeBatchRounds = 1
+      return bpeTrainLocal(rows, rounds).toDF("round", "pair", "merged", "n")
+    }
     val merges = Seq.newBuilder[(Long, String, String, Long)]
-    for (round <- 1 to rounds) {
+    var round = 1
+    var cycles = 0
+    while (round <= rounds) {
       // single-symbol words carry no pairs — filter BEFORE the explode
       // (also dodges the sequence(1, 0) descending-sequence trap)
       val pairs = cur
@@ -461,21 +499,168 @@ object TextAnalysis {
             "i -> concat(element_at(split(segs, ' '), i), ' ', element_at(split(segs, ' '), i + 1)))"))
           .as("pair"))
         .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
-      val top = pairs.orderBy(col("cnt").desc, col("pair")).limit(1).collect()
-      if (top.nonEmpty) {
-        val pair = top.head.getString(0)
-        val cnt = top.head.getLong(1)
-        val merged = pair.replace(" ", "")
-        merges += ((round.toLong, pair, merged, cnt))
-        val next = cur.select(replace(col("segs"), lit(pair), lit(merged)).as("segs"), col("n"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize before releasing the parent
-        cur.unpersist()
+      val top = pairs.orderBy(col("cnt").desc, col("pair")).limit(topK + 1).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      if (top.isEmpty) {
+        round = rounds + 1 // vocabulary fully merged — nothing left to do
+      } else {
+        val batch = bpeSelectBatch(top, topK, rounds - round + 1)
+        batch.foreach { case (pair, cnt) =>
+          merges += ((round.toLong, pair, pair.replace(" ", ""), cnt))
+          round += 1
+        }
+        // one symbol-aligned rewrite applies the whole batch, in priority
+        // order — a later merge may mint a symbol equal to an earlier
+        // pair's member, and that new symbol must NOT re-match
+        val doubled =
+          concat(lit(" "), replace(col("segs"), lit(" "), lit("  ")), lit(" "))
+        val rewritten = batch.foldLeft(doubled) { case (acc, (pair, _)) =>
+          replace(acc,
+            lit(" " + pair.replace(" ", "  ") + " "),
+            lit(" " + pair.replace(" ", "") + " "))
+        }
+        val next = cur
+          .select(trim(replace(rewritten, lit("  "), lit(" "))).as("segs"), col("n"))
+          .localCheckpoint() // eager: materialized before releasing the parent
+        Dedup.releaseCheckpoint(cur)
         cur = next
+        cycles += 1
       }
     }
-    cur.unpersist()
+    Dedup.releaseCheckpoint(cur)
+    lastBpeBatchRounds = cycles
     merges.result().toDF("round", "pair", "merged", "n")
+  }
+
+  /** Recount+rewrite cycles of the last [[bpeMerges]] call — the
+    * jobs-sublinear-in-rounds property OperatorsSpec pins. */
+  @volatile var lastBpeBatchRounds: Int = 0
+
+  /** The exact sequential-equivalence batch rule (rationale in
+    * [[bpeMerges]]): longest (cnt desc, pair asc) prefix whose members are
+    * pairwise disjoint over {first, second, concatenation}, cut to counts
+    * strictly above the first conflicting — or off-window — count, capped
+    * at `want`. Falls back to the bare argmax when the rule admits none. */
+  private def bpeSelectBatch(
+      top: Array[(String, Long)], scanned: Int, want: Int): Seq[(String, Long)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val prefix = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var bound = if (top.length > scanned) top(scanned)._2 else 0L
+    var i = 0
+    var open = true
+    while (open && i < math.min(top.length, scanned)) {
+      val (pair, cnt) = top(i)
+      val parts = pair.split(" ", 2)
+      if (used(parts(0)) || used(parts(1)) || used(parts(0) + parts(1))) {
+        open = false
+        bound = math.max(bound, cnt)
+      } else {
+        prefix += ((pair, cnt))
+        used += parts(0); used += parts(1); used += parts(0) + parts(1)
+        i += 1
+      }
+    }
+    val safe = prefix.takeWhile(_._2 > bound)
+    (if (safe.isEmpty) prefix.take(1) else safe).take(want).toSeq
+  }
+
+  /** Spark UTF8String / DuckDB binary-collation string order: unsigned
+    * UTF-8 byte comparison. Java's String.compareTo (UTF-16 code units)
+    * sorts supplementary characters differently — argmax tie-breaks must
+    * use THIS order to stay bit-identical to the SQL rounds. */
+  private def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** In-memory BPE merge loop over the collected (segs, n) vocabulary —
+    * sequential argmax with incremental pair-count deltas: merging pair P
+    * re-scans only words containing P (pair→words index) and the argmax is
+    * a lazy-invalidation max-heap (stale entries are re-enqueued with
+    * their live count on pop), so total work is proportional to text
+    * actually rewritten, not rounds × vocabulary. Count semantics mirror
+    * the SQL rounds exactly: every adjacency is counted (overlaps
+    * included), the rewrite is greedy left-to-right non-overlapping, and
+    * ties break on UTF-8 bytes. */
+  private def bpeTrainLocal(
+      vocab: Array[(String, Long)], rounds: Int): Seq[(Long, String, String, Long)] = {
+    import scala.collection.mutable
+    val words = vocab.map(_._1.split(" "))
+    val wn = vocab.map(_._2)
+    // max-first: higher count wins; ties go to the byte-smaller pair
+    val ord = new Ordering[(Long, String)] {
+      def compare(p: (Long, String), q: (Long, String)): Int =
+        if (p._1 != q._1) java.lang.Long.compare(p._1, q._1)
+        else if (p._2 == q._2) 0
+        else if (utf8Lt(p._2, q._2)) 1 else -1
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, String)](ord)
+    val pc = mutable.HashMap.empty[String, Long]
+    val where = mutable.HashMap.empty[String, mutable.Set[Int]]
+    def scanWord(wi: Int, syms: Array[String], sign: Long): Unit = {
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = syms(i) + " " + syms(i + 1)
+        val nv = pc.getOrElse(p, 0L) + sign * wn(wi)
+        if (nv == 0L) pc.remove(p) else pc.update(p, nv)
+        if (sign > 0L) {
+          where.getOrElseUpdate(p, mutable.Set.empty) += wi
+          heap.enqueue((nv, p))
+        }
+        i += 1
+      }
+    }
+    words.indices.foreach(wi => scanWord(wi, words(wi), 1L))
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var round = 1
+    var done = false
+    while (round <= rounds && !done) {
+      if (heap.isEmpty) done = true
+      else {
+        val (c, p) = heap.dequeue()
+        val live = pc.getOrElse(p, 0L)
+        if (live != c) { if (live > 0L) heap.enqueue((live, p)) } // stale entry
+        else {
+          val parts = p.split(" ", 2)
+          val m = parts(0) + parts(1)
+          merges += ((round.toLong, p, m, c))
+          // the index only grows, so entries may be stale — the rewrite
+          // no-ops (same length) on words that no longer hold the pair
+          where.getOrElse(p, mutable.Set.empty).foreach { wi =>
+            val ns = bpeRewrite(words(wi), parts(0), parts(1), m)
+            if (ns.length != words(wi).length) {
+              scanWord(wi, words(wi), -1L)
+              words(wi) = ns
+              scanWord(wi, ns, 1L)
+            }
+          }
+          where.remove(p)
+          round += 1
+        }
+      }
+    }
+    merges.result()
+  }
+
+  /** Greedy left-to-right non-overlapping merge of (a, b) → m — exactly
+    * the doubled-space `replace` the distributed path and the SQL oracle
+    * apply. */
+  private def bpeRewrite(syms: Array[String], a: String, b: String, m: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) { out += m; i += 2 }
+      else { out += syms(i); i += 1 }
+    }
+    out.toArray
   }
 
   /** EXACT heavy hitters by sketch-then-verify — the two-pass shape that

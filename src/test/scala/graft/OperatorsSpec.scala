@@ -687,6 +687,47 @@ class OperatorsSpec extends SparkSuite {
     assert(r.head == (("x y", 5L)), r.mkString(";"))
   }
 
+  test("bpeMerges: rewrite is symbol-aligned — a suffix collision cannot merge across a boundary") {
+    // words: zx(3), zxy(1), xy(1). Round 1 merges ("z","x") → segments
+    // "zx"(3) "zx y"(1) "x y"(1). Round 2 merges ("x","y") — applying it
+    // to "zx y" must NOT produce "zxy" (the old string-level replace did):
+    // the adjacency there is ("zx","y"), preserved for round 3.
+    val docs = Seq((1L, "zx zx zx zxy xy")).toDF("doc_id", "text")
+    val r = TextAnalysis.bpeMerges(docs, "text", rounds = 3)
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getString(2), x.getLong(3)))
+      .sortBy(_._1)
+    assert(r(0) == ((1L, "z x", "zx", 4L)), r.mkString(";"))
+    assert(r(1) == ((2L, "x y", "xy", 1L)), r.mkString(";"))
+    // present iff "zx y" survived round 2 un-crossed
+    assert(r(2) == ((3L, "zx y", "zxy", 1L)), r.mkString(";"))
+  }
+
+  test("bpeMerges: in-memory and batched paths are bit-identical to sequential argmax") {
+    // deterministic varied corpus (base-36 words off a Weyl sequence) so
+    // batches of symbol-disjoint pairs actually form
+    val words = (1 to 400).map(i =>
+      java.lang.Long.toString((i * 2654435761L) % 100000000L, 36))
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    // default: vocabulary fits the driver → incremental in-memory trainer
+    val local = TextAnalysis.bpeMerges(docs, "text", rounds = 30)
+      .collect().map(_.toSeq).toSeq
+    val localCycles = TextAnalysis.lastBpeBatchRounds
+    // beyond-driver fallback: distributed exact-batched loop
+    val batched = TextAnalysis.bpeMerges(docs, "text", rounds = 30, localVocabLimit = 0L)
+      .collect().map(_.toSeq).toSeq
+    val batchedCycles = TextAnalysis.lastBpeBatchRounds
+    // ground truth: one argmax merge per cycle
+    val sequential = TextAnalysis.bpeMerges(docs, "text", rounds = 30, topK = 1,
+      localVocabLimit = 0L).collect().map(_.toSeq).toSeq
+    val sequentialCycles = TextAnalysis.lastBpeBatchRounds
+    assert(local == sequential, s"local=$local\nsequential=$sequential")
+    assert(batched == sequential, s"batched=$batched\nsequential=$sequential")
+    assert(sequentialCycles == 30, s"topK=1 must degrade to one cycle per round: $sequentialCycles")
+    assert(batchedCycles < 30,
+      s"batched job count must be sublinear in rounds: $batchedCycles cycles for 30 merges")
+    assert(localCycles == 1, s"in-memory path must cost O(1) jobs: $localCycles")
+  }
+
   test("quality rules: one pass, exact violation counts, null handling per rule") {
     val df = Seq(
       (Some(1L), Some("en"), Some(10L)), (Some(2L), Some("xx"), Some(999L)),
