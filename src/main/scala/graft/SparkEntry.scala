@@ -1986,15 +1986,18 @@ object SparkEntry {
     // Spark plan embeds — the curve is data, not computation, in both engines
     "events_decayed_value" ->
       s"""WITH w AS (
-         |  SELECT [${graft.operators.Behavior.decayWeights(7.0, 366).mkString(", ")}] AS wts
+         |  SELECT [${graft.operators.Behavior.decayWeights(7.0,
+              graft.operators.Behavior.defaultMaxAge(7.0)).mkString(", ")}] AS wts
          |), ref AS (
          |  SELECT max(CAST(ts AS DATE)) AS ref_day FROM events
          |)
          |SELECT e.user_id,
          |  CAST(sum(CAST(floor(e.value*100 + 0.5) AS BIGINT)
-         |    * w.wts[least(ref.ref_day - CAST(e.ts AS DATE), 366) + 1]) AS BIGINT) AS score_scaled,
+         |    * w.wts[least(ref.ref_day - CAST(e.ts AS DATE),
+         |        ${graft.operators.Behavior.defaultMaxAge(7.0)}) + 1]) AS BIGINT) AS score_scaled,
          |  CAST(CAST(sum(CAST(floor(e.value*100 + 0.5) AS BIGINT)
-         |    * w.wts[least(ref.ref_day - CAST(e.ts AS DATE), 366) + 1]) AS BIGINT) AS DOUBLE)
+         |    * w.wts[least(ref.ref_day - CAST(e.ts AS DATE),
+         |        ${graft.operators.Behavior.defaultMaxAge(7.0)}) + 1]) AS BIGINT) AS DOUBLE)
          |    / 1e9 / 100.0 AS score
          |FROM events e, ref, w
          |GROUP BY 1 ORDER BY 1""".stripMargin,

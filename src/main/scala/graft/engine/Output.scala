@@ -349,10 +349,22 @@ object Output {
     * row counts, layout and full column specs. generate_from/to AND
     * checkpoint_rows are normalized OUT — a resume legitimately changes the
     * slice bounds, and checkpoint granularity does not shape data. */
+  /** Resume fingerprint over an EXPLICIT list of the data-shaping model
+    * fields — not the case-class toString, which changes whenever ANY
+    * field is added and silently invalidated every pre-existing backup
+    * when checkpointRows landed (adding a data-NEUTRAL knob must never
+    * refuse an old resume again). generateFrom/generateTo (row slicing)
+    * and checkpointRows (checkpoint stride) are deliberately absent:
+    * values are pure functions of the absolute row id, so neither shapes
+    * output. Column/partition configs ARE data-shaping end to end and
+    * hash whole. */
   def fingerprint(cfg: GenerationConfig): String = {
     val src = cfg.models.toSeq.sortBy(_._1)
       .map { case (_, m) =>
-        m.copy(generateFrom = 0L, generateTo = 0L, checkpointRows = 0L).toString }
+        Seq(m.name, m.rowsCount, m.rowsPerFile, m.modelDir,
+          m.columns.mkString("[", ",", "]"),
+          m.partitionColumns.mkString("[", ",", "]")).mkString(" ")
+      }
       .mkString(s"seed=${cfg.randomSeed};", "|", "")
     val d = java.security.MessageDigest.getInstance("SHA-1")
     d.digest(src.getBytes(StandardCharsets.UTF_8)).map("%02x".format(_)).mkString

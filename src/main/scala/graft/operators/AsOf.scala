@@ -43,7 +43,12 @@ object AsOf {
 
   /** Left as-of join. `rightPayload` are the right columns to carry onto
     * left rows (NULL when no right row at or before the left time). Column
-    * name collisions between sides are the caller's to resolve beforehand. */
+    * name collisions between sides are the caller's to resolve beforehand.
+    *
+    * PRECONDITION: `right` must be unique per (key, time) — the window
+    * orders only by (__t, __side), so duplicate same-instant right rows
+    * would make the carried payload nondeterministic across runs. Reduce
+    * with [[latestPerKeyTime]] first. */
   def asofJoin(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
@@ -79,7 +84,9 @@ object AsOf {
     * currentRow..unboundedFollowing) and left rows sort before right rows
     * at equal timestamps so a same-instant right row is still visible
     * (inclusive >=). Same scale shape: one shuffle of |L|+|R| rows by key,
-    * no join explosion. */
+    * no join explosion. Same PRECONDITION as [[asofJoin]]: `right` must be
+    * unique per (key, time) ([[latestPerKeyTime]]) or the chosen payload
+    * among same-instant duplicates is nondeterministic. */
   def asofJoinForward(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,

@@ -158,6 +158,13 @@ object Behavior {
     (0 to maxAge).map(d =>
       math.floor(math.pow(2.0, -d / halfLifeDays) * 1e9 + 0.5).toLong).toArray
 
+  /** Default weight-table length for [[decayedValue]]: 52 half-lives, the
+    * point where the 1e9-quantized weight is exactly 0 (2^-52·1e9 ≈ 2e-7
+    * floors to 0 after the +0.5 rounding), so the age clamp cannot retain
+    * residual weight for arbitrarily old events. */
+  def defaultMaxAge(halfLifeDays: Double): Int =
+    math.max(1, math.ceil(52.0 * halfLifeDays).toInt)
+
   /** Recency-weighted per-user value: Σ over events of value · 2^(-age/hl),
     * where age = whole days between the event and the corpus's LAST day —
     * the standard freshness weighting for sampling/retention features.
@@ -166,19 +173,24 @@ object Behavior {
     * reference day; the weighting itself is a scan-speed projection feeding
     * one groupBy(user).
     *
-    * The weight table has a FIXED, data-independent length `maxAge` and the
-    * age is clamped into it on lookup — so any oracle embedding the same
-    * literal table can never index past the list end no matter how far the
-    * data spans (weights beyond ~52 half-lives quantize to 0 anyway), and
-    * no extra pass over the events is needed to size the table. */
+    * The weight table has a FIXED, data-independent length and the age is
+    * clamped into it on lookup — so any oracle embedding the same literal
+    * table can never index past the list end no matter how far the data
+    * spans, and no extra pass over the events is needed to size the table.
+    * The default length DERIVES from the half-life ([[defaultMaxAge]], 52
+    * half-lives) because clamping is only sound once the clamped weight
+    * has quantized to 0 — a fixed 366 silently kept ~6% weight forever at
+    * halfLifeDays = 90. Callers overriding `maxAge` own that invariant
+    * (decayWeights(hl, maxAge).last == 0). */
   def decayedValue(
       events: DataFrame, userCol: String, tsCol: String, valueCents: Column,
-      halfLifeDays: Double, maxAge: Int = 366): DataFrame = {
+      halfLifeDays: Double, maxAge: Int = 0): DataFrame = {
+    val m = if (maxAge > 0) maxAge else defaultMaxAge(halfLifeDays)
     val day = to_date(col(tsCol))
     val ref = events.agg(max(day).as("ref_day"))
-    val w = decayWeights(halfLifeDays, maxAge)
+    val w = decayWeights(halfLifeDays, m)
     val weights = array(w.map(lit(_)).toIndexedSeq: _*)
-    val age = least(datediff(col("ref_day"), day), lit(maxAge))
+    val age = least(datediff(col("ref_day"), day), lit(m))
     events.crossJoin(broadcast(ref))
       .select(col(userCol).as("user"),
         (valueCents * element_at(weights, age + 1)).as("wv"))

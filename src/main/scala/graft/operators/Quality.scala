@@ -22,8 +22,12 @@ object Quality {
   def notNull(c: String): Rule =
     Rule(s"not_null($c)", sum(when(col(c).isNull, 1L).otherwise(0L)))
 
-  /** `col` values must be unique (violations = rows beyond the first of
-    * each value; counts each duplicate row, not each duplicated value). */
+  /** `col` values must be unique (violations = non-null rows beyond the
+    * first of each value; counts each duplicate row, not each duplicated
+    * value). NULLs are ignored — both `count(col)` and `count_distinct`
+    * skip them, so duplicate NULL keys are never violations and an all-
+    * NULL column passes; pair with [[notNull]] for key columns, same as
+    * the [[inRange]]/[[acceptedValues]] convention. */
   def unique(c: String): Rule =
     Rule(s"unique($c)", count(col(c)) - count_distinct(col(c)))
 

@@ -67,11 +67,15 @@ class PropertySpec extends AnyFunSuite {
     val hlGen = Gen.chooseNum(1, 60)
     check("decay", Prop.forAll(hlGen, Gen.chooseNum(1, 365)) { (hl, maxAge) =>
       val w = Behavior.decayWeights(hl.toDouble, maxAge)
+      // the derived table length must always END at a zero weight — the
+      // age-clamp soundness invariant decayedValue's default relies on
+      val derived = Behavior.decayWeights(hl.toDouble, Behavior.defaultMaxAge(hl.toDouble))
       w.length == maxAge + 1 &&
         w(0) == 1000000000L &&
         w.forall(x => x >= 0 && x <= 1000000000L) &&
         w.sliding(2).forall(p => p.length < 2 || p(1) <= p(0)) &&
-        (maxAge < hl || w(hl) == 500000000L)
+        (maxAge < hl || w(hl) == 500000000L) &&
+        derived.last == 0L
     })
   }
 }
