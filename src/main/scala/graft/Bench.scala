@@ -27,6 +27,16 @@ object Bench {
       }
     }
 
+  /** Symmetric difference between the benched set and the live query set —
+    * nonempty means the committed bench archive predates (or outlives) the
+    * current `SparkEntry.queries`, i.e. some operator has no bench cell
+    * (the r7 `emb_meanpool` gap). BenchGateSpec enforces parity at test
+    * time so a round can't end with an un-benched query. */
+  private[graft] def missingQueries(
+      benched: Set[String], queries: Set[String]): Seq[String] =
+    (queries -- benched).toSeq.sorted.map(q => s"unbenched: $q") ++
+      (benched -- queries).toSeq.sorted.map(q => s"benched but gone: $q")
+
   private[graft] def parseFloors(json: String): Map[String, Double] = {
     val node = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(json).path("queries")

@@ -25,6 +25,25 @@ class BenchGateSpec extends AnyFunSuite {
       "a zero floor must not divide-by-zero into a false positive")
   }
 
+  test("missingQueries flags both unbenched queries and stale bench keys") {
+    val diff = Bench.missingQueries(Set("a", "b", "gone"), Set("a", "b", "new"))
+    assert(diff == Seq("unbenched: new", "benched but gone: gone"), diff.toString)
+    assert(Bench.missingQueries(Set("a"), Set("a")).isEmpty)
+  }
+
+  test("committed bench archive covers every SparkEntry query (bench/queries parity)") {
+    // the r7 lesson: emb_meanpool landed after the final bench run and had
+    // no r7 cell. This test makes that state fail `sbt test`: after adding
+    // a query, re-run Bench (writes bench_full_latest.json) before shipping.
+    val p = java.nio.file.Paths.get("bench_full_latest.json")
+    assume(java.nio.file.Files.exists(p), "no bench archive yet — first round")
+    val benched = Bench.parseFloors(
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8")).keySet
+    val diff = Bench.missingQueries(benched, SparkEntry.queries.keySet)
+    assert(diff.isEmpty,
+      s"bench archive and SparkEntry.queries diverge — re-run graft.Bench:\n${diff.mkString("\n")}")
+  }
+
   test("parseFloors reads the bench_full record's per-query minima") {
     val json = """{"metric":"total_query_secs","value":3.0,"unit":"sec",
       |"queries":{"q1":1.25,"q2":0.75},"sf":"/x"}""".stripMargin

@@ -383,4 +383,79 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("ObjectHashAggregate"), p)
     assert(p.contains("partial_"), p)
   }
+
+  // --- iterative graph jobs: the per-iteration movement contract ---------
+
+  /** The persisted edges⋈degrees relation (src, dst, deg). */
+  private def isEdgeScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+    case t: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+      t.output.map(_.name) == Seq("src", "dst", "deg")
+    case _ => false
+  }
+
+  /** In the shuffle-join (100 TB) regime — broadcast off, AQE off for plan
+    * determinism — a k-iteration PageRank plan must (a) never put an
+    * Exchange between the persisted edge relation's scan and the join that
+    * consumes it (the build join already hash-partitioned it on `src`),
+    * and (b) move data exactly once per iteration: the inflow aggregation.
+    * The rank side inherits hash(node) through alias-aware projections,
+    * so even it re-enters the join Exchange-free. */
+  private def assertIterationMovement(df: DataFrame, iters: Int, what: String): Unit = {
+    val phys = df.queryExecution.executedPlan
+    val joins = phys.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    // the edge⋈ranks join is the one whose edge-side child holds the scan
+    // DIRECTLY (no nested join) — outer joins see the scan transitively
+    val contribJoins = joins.filter(_.children.exists { c =>
+      c.collect { case s if isEdgeScan(s) => s }.nonEmpty &&
+        c.collect {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+          case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+        }.isEmpty
+    })
+    assert(contribJoins.size == iters,
+      s"$what: expected one edge⋈ranks join per iteration, got ${contribJoins.size}:\n$phys")
+    contribJoins.foreach { j =>
+      val edgeSide = j.children.find(c => c.collect { case s if isEdgeScan(s) => s }.nonEmpty).get
+      val reshuffles = edgeSide.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(reshuffles.isEmpty,
+        s"$what: persisted edge relation re-shuffled inside an iteration:\n$edgeSide")
+    }
+    val allExchanges = phys.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // one-time setup shuffles inside broadcast builds (ppr's seed-set
+    // distinct) are not per-iteration movement
+    val inBroadcast = phys.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }.flatMap(_.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }).toSet
+    val perIteration = allExchanges.filterNot(inBroadcast)
+    assert(perIteration.size == iters,
+      s"$what: expected exactly one Exchange (inflow agg) per iteration, " +
+        s"got ${perIteration.size}:\n$phys")
+  }
+
+  test("pagerank/ppr iterations reuse the persisted edge partitioning — one Exchange per round") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    import s2.implicits._
+    // every dst also appears as src (no dangling nodes)
+    val edges = (1 to 500)
+      .flatMap(i => Seq((i.toLong, (i % 97).toLong), ((i % 89).toLong, i.toLong)))
+      .toDF("s", "d")
+    assertIterationMovement(
+      graft.operators.Graph.pagerank(edges, "s", "d", iters = 3), 3, "pagerank")
+    val seeds = Seq(1L, 2L, 3L).toDF("node")
+    assertIterationMovement(
+      graft.operators.Graph.pagerankPersonalized(edges, "s", "d", seeds, "node", iters = 3),
+      3, "ppr")
+  }
 }
