@@ -1405,6 +1405,17 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    "mm_decode_bmp" -> ((s, dir) => {
+      // REAL pixel decode: deterministic 24-bit BMP fixtures (dims and
+      // channel values are integer functions of doc_id/x/y), decoded from
+      // the BYTES by the pure-JVM parser; the oracle recomputes every stat
+      // from the FORMULA via a range cross join — any header/stride/flip/
+      // BGR defect in the decoder breaks the hash
+      Multimodal.decodeBmp(
+        Multimodal.bmpFixtures(spread(t(s, dir, "documents")), "doc_id"), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // --- generation engine surface ---
     "gen_integer_seq" -> ((s, dir) => {
       // ordered integer sequence through the full planner stack: domain size
@@ -3409,6 +3420,27 @@ object SparkEntry {
         |  CAST(duration_ms * frame_idx // 4 AS BIGINT) AS frame_ts_ms,
         |  CAST(n_bytes * frame_idx // 4 AS BIGINT) AS frame_offset
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // the decoder reads BYTES; this recomputes from the pixel FORMULA over
+    // a bounded range cross join (dims <= 32) — row-weighted wsum_r pins
+    // the bottom-up flip, distinct per-channel formulas pin BGR order
+    "mm_decode_bmp" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(8 + doc_id % 25 AS BIGINT) AS width,
+        |    CAST(8 + (doc_id * 7) % 25 AS BIGINT) AS height
+        |  FROM documents
+        |), px AS (
+        |  SELECT d.doc_id, d.width, d.height, xs.range AS x, ys.range AS y
+        |  FROM d CROSS JOIN range(0, 33) xs CROSS JOIN range(0, 33) ys
+        |  WHERE xs.range < d.width AND ys.range < d.height
+        |)
+        |SELECT doc_id, width, height, CAST(3 AS BIGINT) AS channels,
+        |  CAST(sum((x + 3*y + doc_id) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((2*x + y) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((x + y + doc_id) % 256) AS BIGINT) AS sum_b,
+        |  CAST(sum((y + 1) * ((x + 3*y + doc_id) % 256)) AS BIGINT) AS wsum_r
+        |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
 
     "gen_integer_seq" ->
       "SELECT CAST(range AS BIGINT) AS v FROM range(0, 10000) ORDER BY v",

@@ -447,6 +447,41 @@ class OperatorsSpec extends SparkSuite {
     assert(d1.forall(_.getSeq[Float](4).length == 8))
   }
 
+  test("bmpDecode: exact pixel math on a hand-built padded bottom-up BMP") {
+    // w=3 → raw row 9 bytes, stride pads to 12: decoder must skip padding.
+    // Pixel (x,y)=top-down coords; R=10x+y makes every stat row-sensitive.
+    val bytes = Multimodal.bmpEncode(3, 2, (x, y) => (10 * x + y, 7, x + 100 * y))
+    val s = Multimodal.bmpDecode(bytes)
+    assert(s.width == 3 && s.height == 2 && s.channels == 3)
+    // R values: y=0: 0,10,20; y=1: 1,11,21 → sum 63
+    assert(s.sumR == 63L, s.toString)
+    assert(s.sumG == 7L * 6, s.toString)
+    // B values: y=0: 0,1,2; y=1: 100,101,102 → 306
+    assert(s.sumB == 306L, s.toString)
+    // wsumR = 1*(0+10+20) + 2*(1+11+21) = 30 + 66 = 96; a decoder that
+    // forgets the bottom-up flip would compute 1*33 + 2*30 = 93
+    assert(s.wsumR == 96L, s.toString)
+  }
+
+  test("bmpDecode: honors negative-height top-down storage and rejects junk") {
+    val bottomUp = Multimodal.bmpEncode(4, 3, (x, y) => (x + 4 * y, 0, 0))
+    val s1 = Multimodal.bmpDecode(bottomUp)
+    // flip the height sign AND the row order: decode must be identical
+    val topDown = bottomUp.clone()
+    val stride = 12
+    topDown(22) = (-3 & 0xff).toByte; topDown(23) = 0xff.toByte
+    topDown(24) = 0xff.toByte; topDown(25) = 0xff.toByte
+    for (y <- 0 until 3; i <- 0 until stride)
+      topDown(54 + y * stride + i) = bottomUp(54 + (2 - y) * stride + i)
+    val s2 = Multimodal.bmpDecode(topDown)
+    assert(s1 == s2, s"$s1 vs $s2")
+    intercept[IllegalArgumentException] {
+      Multimodal.bmpDecode("not an image".getBytes("UTF-8"))
+    }
+    val bad8bit = bottomUp.clone(); bad8bit(28) = 8
+    intercept[IllegalArgumentException](Multimodal.bmpDecode(bad8bit))
+  }
+
   test("kernel hash equals the interpreted Catalyst formulation") {
     val d = docs.limit(50).select($"doc_id", TextFns.tokens($"text").as("toks"))
     val kernel = d.select($"doc_id", Kernels.simhashCol($"toks").as("s"))
