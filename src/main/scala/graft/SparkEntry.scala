@@ -99,6 +99,33 @@ object SparkEntry {
     path
   }
 
+  /** Build-once versioned documents table for the lake_* gates: init the
+    * corpus as v1, commit corpus_upsert's exact change set as a copy-on-write
+    * v2 through the manifest protocol ([[graft.operators.VersionedTable]]).
+    * Rebuilt fresh per JVM so stale layouts never leak across sessions. */
+  private[graft] def lakeTable(s: SparkSession, dir: String, tag: String): String = {
+    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_lake_${tag}_$suffix"
+    if (ivfIndexWritten.add(path)) {
+      val vt = graft.operators.VersionedTable
+      vt.destroy(s, path)
+      val docs = t(s, dir, "documents")
+      vt.init(s, path, docs, "doc_id", targetRowsPerFile = 500L)
+      val mods = docs
+        .filter(col("doc_id") % 17 === 0 || col("doc_id") % 10 === 0)
+        .withColumn("op", when(col("doc_id") % 17 === 0, lit("delete")).otherwise(lit("upsert")))
+        .withColumn("text",
+          when(col("op") === "upsert", concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      val ins = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("new "), col("text")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .withColumn("op", lit("upsert"))
+      vt.upsert(s, path, mods.unionByName(ins), targetRowsPerFile = 500L)
+    }
+    path
+  }
+
   /** A managed table's warehouse dir can survive the (in-memory) catalog that
     * created it — a fresh session then refuses `saveAsTable` over the stale
     * location. Clear both the catalog entry and the leftover dir. */
@@ -1076,6 +1103,23 @@ object SparkEntry {
         .withColumn("op", lit("upsert"))
       graft.operators.Upsert.mergeUpsert(docs, mods.unionByName(ins), "doc_id")
         .orderBy(col("doc_id"))
+    }),
+
+    "lake_versioned_merge" -> ((s, dir) => {
+      // the corpus_upsert MERGE as a TRANSACTION: init documents as table v1,
+      // commit the change set as a copy-on-write v2 (only key-intersecting
+      // files rewritten, manifest renamed atomically), read v2 back — content
+      // must equal the relational merge, through the manifest protocol
+      val tmp = lakeTable(s, dir, "merge")
+      graft.operators.VersionedTable.read(s, tmp, 2L).orderBy(col("doc_id"))
+    }),
+
+    "lake_time_travel" -> ((s, dir) => {
+      // same table AFTER the v2 merge commit: reading at version 1 must
+      // return the original corpus bit-exactly — old manifests reference
+      // only immutable files, so history survives every later commit
+      val tmp = lakeTable(s, dir, "travel")
+      graft.operators.VersionedTable.read(s, tmp, 1L).orderBy(col("doc_id"))
     }),
 
     "emb_kmeans_refine" -> ((s, dir) => {
@@ -2238,6 +2282,30 @@ object SparkEntry {
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM changes)
         |UNION ALL
         |SELECT doc_id, text, lang, source, n_chars FROM changes WHERE op = 'upsert'
+        |ORDER BY doc_id""".stripMargin,
+
+    // same MERGE semantics as corpus_upsert — but executed through the
+    // versioned-manifest commit protocol (v1 init + copy-on-write v2)
+    "lake_versioned_merge" ->
+      """WITH changes AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 0 THEN text ELSE text || ' v2' END AS text,
+        |    lang, source, n_chars,
+        |    CASE WHEN doc_id % 17 = 0 THEN 'delete' ELSE 'upsert' END AS op
+        |  FROM documents WHERE doc_id % 17 = 0 OR doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, 'new ' || text, lang, source, n_chars, 'upsert'
+        |  FROM documents WHERE doc_id < 20
+        |)
+        |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM changes)
+        |UNION ALL
+        |SELECT doc_id, text, lang, source, n_chars FROM changes WHERE op = 'upsert'
+        |ORDER BY doc_id""".stripMargin,
+
+    // reading v1 AFTER the v2 merge commit must return the original corpus
+    "lake_time_travel" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
 
     // one Lloyd refinement step: initial cells from the md5 centroids (same

@@ -1,0 +1,295 @@
+package graft.operators
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import java.nio.charset.StandardCharsets
+
+/** Versioned-manifest commit protocol: compose [[Upsert]] / [[Layout]]-style
+  * copy-on-write rewrites into a TABLE with atomic versions and time travel —
+  * the transaction-log shape every lakehouse format (Delta, Iceberg, Hudi)
+  * uses, built from the same primitives the engine's checkpoint path already
+  * trusts (temp file + atomic rename, `engine/Output.scala`).
+  *
+  * Layout on disk:
+  * {{{
+  *   <dir>/data/v00000001/part-*.parquet   // immutable once committed
+  *   <dir>/data/v00000002/part-*.parquet
+  *   <dir>/_manifests/manifest-v00000001.json
+  *   <dir>/_manifests/manifest-v00000002.json
+  * }}}
+  *
+  * A manifest is the COMPLETE file list of its version (paths relative to the
+  * table dir) plus per-file key stats (rows, min/max of the integral key
+  * column) — so read-at-version, zone-map range pruning and
+  * [[Upsert.touchedFiles]]-style copy-on-write planning all come straight
+  * from the manifest with zero data-file listing.
+  *
+  * The commit protocol is the whole point:
+  *  1. write the new version's data files under `data/v{N+1}/` (a retry of a
+  *     crashed attempt simply overwrites that staging dir — committed
+  *     versions never live there);
+  *  2. write the manifest JSON to a temp name;
+  *  3. `FileContext.rename(tmp, manifest-v{N+1}, Rename.NONE)` — atomic, and
+  *     FAILS if the manifest already exists, which is the optimistic-
+  *     concurrency check: two writers racing to commit N+1 cannot both win.
+  * A reader resolves `latestVersion` by listing `_manifests/` only; data
+  * files not referenced by any manifest (a crashed writer's leftovers) are
+  * invisible until [[vacuum]] reclaims them. Killing a writer at ANY point
+  * before step 3 leaves version N exactly readable — pinned in LakeSpec by a
+  * beforeCommit hook that throws.
+  *
+  * Scale: the manifest is file-count-sized metadata (the same driver-scale
+  * contract as Delta's log replay — and the documented watch-item of
+  * [[Layout.skippingRead]]); the data rewrite cost of [[upsert]] is bounded
+  * by the files whose key range intersects the change set, not the table.
+  * Key column must be integral (BIGINT stats in the manifest).
+  */
+object VersionedTable {
+
+  final case class FileEntry(path: String, rows: Long, minKey: Long, maxKey: Long)
+  final case class Manifest(version: Long, parent: Long, action: String,
+      keyCol: String, schemaDdl: String, files: Seq[FileEntry])
+
+  /** Commit lost the optimistic-concurrency race: another writer created the
+    * same manifest version first. Re-read latest and retry the operation. */
+  final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+  private val mapper = new ObjectMapper()
+
+  private def hfs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def manifestName(v: Long): String = f"manifest-v$v%08d.json"
+
+  /** Highest committed version (0 = no table yet): one listing of
+    * `_manifests/`, no data-file access. */
+  def latestVersion(spark: SparkSession, dir: String): Long = {
+    val (fs, p) = hfs(spark, s"$dir/_manifests")
+    if (!fs.exists(p)) return 0L
+    fs.listStatus(p).iterator.map(_.getPath.getName)
+      .collect { case n if n.startsWith("manifest-v") && n.endsWith(".json") =>
+        n.stripPrefix("manifest-v").stripSuffix(".json").toLong
+      }.foldLeft(0L)(math.max)
+  }
+
+  def readManifest(spark: SparkSession, dir: String, version: Long): Manifest = {
+    val (fs, p) = hfs(spark, s"$dir/_manifests/${manifestName(version)}")
+    if (!fs.exists(p))
+      throw new NoSuchElementException(s"no manifest for version $version at $dir")
+    val in = fs.open(p)
+    val json = try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    val node = mapper.readTree(json)
+    val files = node.path("files")
+    Manifest(
+      node.path("version").asLong(), node.path("parent").asLong(),
+      node.path("action").asText(), node.path("key_col").asText(),
+      node.path("schema_ddl").asText(),
+      (0 until files.size()).map { i =>
+        val f = files.get(i)
+        FileEntry(f.path("path").asText(), f.path("rows").asLong(),
+          f.path("min_key").asLong(), f.path("max_key").asLong())
+      })
+  }
+
+  /** Atomic, exclusive manifest commit — rename WITHOUT overwrite so a
+    * concurrent commit of the same version loses deterministically.
+    * (private[graft] so LakeSpec can replay a losing racer directly.) */
+  private[graft] def commitManifest(spark: SparkSession, dir: String, m: Manifest): Unit = {
+    val node = mapper.createObjectNode()
+    node.put("version", m.version).put("parent", m.parent)
+      .put("action", m.action).put("key_col", m.keyCol)
+      .put("schema_ddl", m.schemaDdl)
+    val arr = node.putArray("files")
+    m.files.foreach { f =>
+      arr.addObject().put("path", f.path).put("rows", f.rows)
+        .put("min_key", f.minKey).put("max_key", f.maxKey)
+    }
+    val (fs, target) = hfs(spark, s"$dir/_manifests/${manifestName(m.version)}")
+    fs.mkdirs(target.getParent)
+    val qTarget = fs.makeQualified(target)
+    val tmp = fs.makeQualified(new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}.${java.util.UUID.randomUUID()}.tmp"))
+    val out = fs.create(tmp, true)
+    try out.write(mapper.writeValueAsString(node).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+      fc.rename(tmp, qTarget, org.apache.hadoop.fs.Options.Rename.NONE)
+    } catch {
+      case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                _: java.nio.file.FileAlreadyExistsException) =>
+        fs.delete(tmp, false)
+        throw new CommitConflictException(
+          s"version ${m.version} was committed concurrently: $e")
+    }
+  }
+
+  /** Write one version's data files (deterministic layout: range-partitioned
+    * and sorted on the key, fixed file-size target — a retried attempt
+    * reproduces the same content) and return their manifest entries with
+    * stats from ONE metadata-sized scan. */
+  private def writeVersionData(spark: SparkSession, dir: String, version: Long,
+      df: DataFrame, keyCol: String, targetRowsPerFile: Long): Seq[FileEntry] = {
+    val rel = f"data/v$version%08d"
+    val stage = s"$dir/$rel"
+    val rows = df.count()
+    if (rows == 0L) {
+      // nothing to stage (e.g. an upsert that only deletes): empty entry list
+      val (fs, p) = hfs(spark, stage)
+      if (fs.exists(p)) fs.delete(p, true)
+      return Seq.empty
+    }
+    val numFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    df.repartitionByRange(numFiles, col(keyCol))
+      .sortWithinPartitions(col(keyCol))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRowsPerFile)
+      .parquet(stage)
+    spark.read.parquet(stage)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("rows"),
+        min(col(keyCol)).cast("long").as("min_key"),
+        max(col(keyCol)).cast("long").as("max_key"))
+      .collect().toIndexedSeq
+      .map { r =>
+        val uri = r.getString(0)
+        FileEntry(s"$rel/${uri.substring(uri.lastIndexOf('/') + 1)}",
+          r.getLong(1), r.getLong(2), r.getLong(3))
+      }.sortBy(_.path)
+  }
+
+  /** Create version 1 from `df`. Refuses if the table already has commits. */
+  def init(spark: SparkSession, dir: String, df: DataFrame, keyCol: String,
+      targetRowsPerFile: Long = 5000L): Long = {
+    val cur = latestVersion(spark, dir)
+    require(cur == 0L, s"table at $dir already at version $cur")
+    val entries = writeVersionData(spark, dir, 1L, df, keyCol, targetRowsPerFile)
+    commitManifest(spark, dir, Manifest(1L, 0L, "init", keyCol,
+      df.schema.toDDL, entries))
+    1L
+  }
+
+  /** Read the table at `version` (latest when -1). Exactly the manifest's
+    * file list — uncommitted staging files are invisible by construction. */
+  def read(spark: SparkSession, dir: String, version: Long = -1L): DataFrame = {
+    val v = if (version < 0) latestVersion(spark, dir) else version
+    val m = readManifest(spark, dir, v)
+    if (m.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType.fromDDL(m.schemaDdl))
+    else spark.read.parquet(m.files.map(f => s"$dir/${f.path}"): _*)
+  }
+
+  /** Range read with manifest-stat pruning — the zone map IS the manifest.
+    * Returns (pruned reader with the residual filter applied, files kept,
+    * files total). */
+  def readRange(spark: SparkSession, dir: String, lo: Long, hi: Long,
+      version: Long = -1L): (DataFrame, Int, Int) = {
+    val v = if (version < 0) latestVersion(spark, dir) else version
+    val m = readManifest(spark, dir, v)
+    val kept = m.files.filter(f => f.maxKey >= lo && f.minKey <= hi)
+    val df =
+      if (kept.isEmpty) read(spark, dir, v).filter(lit(false))
+      else spark.read.parquet(kept.map(f => s"$dir/${f.path}"): _*)
+    (df.filter(col(m.keyCol) >= lit(lo) && col(m.keyCol) <= lit(hi)),
+      kept.length, m.files.length)
+  }
+
+  /** Copy-on-write MERGE commit: rewrite ONLY the files whose key range
+    * intersects the change set (manifest stats decide — [[Upsert.touchedFiles]]
+    * semantics), carry every other file into version N+1 by reference, apply
+    * [[Upsert.mergeUpsert]] to the touched slice. `changes` carries the base
+    * schema plus `op` ('upsert' | 'delete'). `beforeCommit` runs after the
+    * data write and before the manifest rename (crash-injection seam — the
+    * same hook pattern as the engine's onSliceDone). Returns the new version. */
+  def upsert(spark: SparkSession, dir: String, changes: DataFrame,
+      targetRowsPerFile: Long = 5000L, beforeCommit: () => Unit = () => ()): Long = {
+    import spark.implicits._
+    val base = latestVersion(spark, dir)
+    require(base > 0L, s"no table at $dir — init first")
+    val m = readManifest(spark, dir, base)
+    val zoneMap = m.files.toDF()
+      .select(col("path"), col("minKey").as("min_key"), col("maxKey").as("max_key"))
+    val touched = Upsert.touchedFiles(zoneMap, changes, m.keyCol)
+      .select(col("path")).collect().map(_.getString(0)).toSet
+    val touchedDf =
+      if (touched.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          StructType.fromDDL(m.schemaDdl))
+      else spark.read.parquet(m.files.collect {
+        case f if touched(f.path) => s"$dir/${f.path}" }: _*)
+    val merged = Upsert.mergeUpsert(touchedDf, changes, m.keyCol)
+    val newEntries =
+      writeVersionData(spark, dir, base + 1L, merged, m.keyCol, targetRowsPerFile)
+    beforeCommit()
+    commitManifest(spark, dir, Manifest(base + 1L, base, "upsert", m.keyCol,
+      m.schemaDdl, m.files.filterNot(f => touched(f.path)) ++ newEntries))
+    base + 1L
+  }
+
+  /** Compaction commit: rewrite the CURRENT content into
+    * `targetRowsPerFile`-sized range-clustered files as version N+1 —
+    * content-identical, layout renewed ([[Layout.compact]] as a transaction). */
+  def compact(spark: SparkSession, dir: String, targetRowsPerFile: Long,
+      beforeCommit: () => Unit = () => ()): Long = {
+    val base = latestVersion(spark, dir)
+    require(base > 0L, s"no table at $dir — init first")
+    val m = readManifest(spark, dir, base)
+    val entries = writeVersionData(spark, dir, base + 1L,
+      read(spark, dir, base), m.keyCol, targetRowsPerFile)
+    beforeCommit()
+    commitManifest(spark, dir, Manifest(base + 1L, base, "compact", m.keyCol,
+      m.schemaDdl, entries))
+    base + 1L
+  }
+
+  /** Reclaim data files referenced by NO manifest version >= `keepFrom`
+    * (crashed-writer leftovers and files superseded by compaction/upsert),
+    * and drop the manifests below `keepFrom`. Time travel to vacuumed
+    * versions stops working — the standard retention trade. Returns the
+    * number of data files deleted. */
+  def vacuum(spark: SparkSession, dir: String, keepFrom: Long): Int = {
+    val latest = latestVersion(spark, dir)
+    require(keepFrom <= latest, s"keepFrom $keepFrom beyond latest $latest")
+    val live = (keepFrom to latest)
+      .flatMap(v => readManifest(spark, dir, v).files.map(_.path)).toSet
+    val (fs, dataRoot) = hfs(spark, s"$dir/data")
+    var deleted = 0
+    if (fs.exists(dataRoot)) {
+      val rootUri = fs.makeQualified(new org.apache.hadoop.fs.Path(dir)).toUri.getPath
+      def walk(p: org.apache.hadoop.fs.Path): Unit =
+        fs.listStatus(p).foreach { st =>
+          val name = st.getPath.getName
+          if (st.isDirectory) walk(st.getPath)
+          else if (!name.startsWith("_") && !name.startsWith(".")) {
+            val rel = st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+            if (!live.contains(rel)) { fs.delete(st.getPath, false); deleted += 1 }
+          }
+        }
+      walk(dataRoot)
+    }
+    (1L until keepFrom).foreach { v =>
+      val (mfs, mp) = hfs(spark, s"$dir/_manifests/${manifestName(v)}")
+      if (mfs.exists(mp)) mfs.delete(mp, false)
+    }
+    deleted
+  }
+
+  /** Drop the whole table (test/gate setup helper). */
+  def destroy(spark: SparkSession, dir: String): Unit = {
+    val (fs, p) = hfs(spark, dir)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+}

@@ -1,0 +1,134 @@
+package graft
+
+import graft.operators.{Upsert, VersionedTable => VT}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The versioned-manifest commit protocol's contracts: atomic visibility
+  * (a killed writer leaves the prior version exactly readable), retry
+  * equivalence (a retried commit produces the same content the uninterrupted
+  * run would have), optimistic concurrency (racing commits of the same
+  * version cannot both win), time travel, manifest-stat range pruning, and
+  * vacuum reclaim. */
+class LakeSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_lake_$tag").toString
+    VT.destroy(spark, d)
+    d
+  }
+
+  private lazy val base: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars").cache()
+
+  // changes confined to doc_id < 200 so files covering higher key ranges are
+  // provably untouched by the copy-on-write rewrite
+  private def changeSet(df: DataFrame): DataFrame = {
+    val mods = df.filter($"doc_id" % 7 === 0 && $"doc_id" < 200)
+      .withColumn("op", when($"doc_id" % 14 === 0, lit("delete")).otherwise(lit("upsert")))
+      .withColumn("text", when($"op" === "upsert", concat($"text", lit(" v2"))).otherwise($"text"))
+    val ins = df.filter($"doc_id" < 5)
+      .select(($"doc_id" + 500000L).as("doc_id"), concat(lit("new "), $"text").as("text"),
+        $"lang", $"source", $"n_chars")
+      .withColumn("op", lit("upsert"))
+    mods.unionByName(ins)
+  }
+
+  private def sameContent(a: DataFrame, b: DataFrame): Boolean =
+    a.count() == b.count() && a.except(b).isEmpty && b.except(a).isEmpty
+
+  test("init + upsert: latest matches mergeUpsert; v1 time travel intact") {
+    val dir = freshDir("basic")
+    assert(VT.init(spark, dir, base, "doc_id", targetRowsPerFile = 50L) == 1L)
+    val v2 = VT.upsert(spark, dir, changeSet(base), targetRowsPerFile = 50L)
+    assert(v2 == 2L)
+    val expected = Upsert.mergeUpsert(base, changeSet(base), "doc_id")
+    assert(sameContent(VT.read(spark, dir), expected))
+    assert(sameContent(VT.read(spark, dir, 1L), base))
+    val m2 = VT.readManifest(spark, dir, 2L)
+    assert(m2.parent == 1L && m2.action == "upsert")
+    // copy-on-write actually carried untouched v1 files by reference
+    assert(m2.files.exists(_.path.startsWith("data/v00000001/")),
+      "expected at least one untouched v1 file carried into v2")
+    assert(m2.files.exists(_.path.startsWith("data/v00000002/")))
+  }
+
+  test("kill before manifest rename: v1 exactly readable; retry == uninterrupted") {
+    val dir = freshDir("crash")
+    val twin = freshDir("crash_twin")
+    VT.init(spark, dir, base, "doc_id", targetRowsPerFile = 50L)
+    VT.init(spark, twin, base, "doc_id", targetRowsPerFile = 50L)
+    // the uninterrupted twin commits v2 normally
+    VT.upsert(spark, twin, changeSet(base), targetRowsPerFile = 50L)
+    // the writer dies AFTER writing data files, BEFORE the manifest rename
+    intercept[RuntimeException] {
+      VT.upsert(spark, dir, changeSet(base), targetRowsPerFile = 50L,
+        beforeCommit = () => throw new RuntimeException("kill -9"))
+    }
+    assert(VT.latestVersion(spark, dir) == 1L, "crashed commit must be invisible")
+    assert(sameContent(VT.read(spark, dir), base), "v1 must read exactly")
+    // retry: same version number, same content as the uninterrupted twin,
+    // same per-file stats (deterministic staging layout)
+    assert(VT.upsert(spark, dir, changeSet(base), targetRowsPerFile = 50L) == 2L)
+    assert(sameContent(VT.read(spark, dir, 2L), VT.read(spark, twin, 2L)))
+    val statsOf = (d: String) => VT.readManifest(spark, d, 2L).files
+      .map(f => (f.rows, f.minKey, f.maxKey)).sorted
+    assert(statsOf(dir) == statsOf(twin))
+  }
+
+  test("optimistic concurrency: second commit of the same version fails") {
+    val dir = freshDir("race")
+    VT.init(spark, dir, base, "doc_id", targetRowsPerFile = 100L)
+    // writer A commits v2 first; writer B (same base) must lose at the rename
+    VT.compact(spark, dir, targetRowsPerFile = 200L)
+    val m1 = VT.readManifest(spark, dir, 1L)
+    intercept[VT.CommitConflictException] {
+      // replay writer B: hand-commit a manifest for the now-taken version 2
+      VT.commitManifest(spark, dir, m1.copy(version = 2L, parent = 1L))
+    }
+    assert(VT.latestVersion(spark, dir) == 2L)
+  }
+
+  test("readRange prunes files from manifest stats; content equals plain filter") {
+    val dir = freshDir("range")
+    VT.init(spark, dir, base, "doc_id", targetRowsPerFile = 50L)
+    val (pruned, kept, total) = VT.readRange(spark, dir, 100L, 200L)
+    assert(total > 1 && kept < total, s"expected pruning, kept $kept of $total")
+    assert(sameContent(pruned, base.filter($"doc_id".between(100L, 200L))))
+  }
+
+  test("vacuum reclaims superseded + orphaned files; survivors still read") {
+    val dir = freshDir("vacuum")
+    VT.init(spark, dir, base, "doc_id", targetRowsPerFile = 50L)
+    // orphan from a crashed v2 attempt...
+    intercept[RuntimeException] {
+      VT.compact(spark, dir, targetRowsPerFile = 200L,
+        beforeCommit = () => throw new RuntimeException("die"))
+    }
+    // ...then a successful v2 (overwrites the staging dir) and a v3
+    VT.compact(spark, dir, targetRowsPerFile = 200L)
+    VT.upsert(spark, dir, changeSet(base), targetRowsPerFile = 200L)
+    val deleted = VT.vacuum(spark, dir, keepFrom = 3L)
+    assert(deleted > 0, "v1 files (superseded by compact) must be reclaimed")
+    assert(sameContent(VT.read(spark, dir),
+      Upsert.mergeUpsert(base, changeSet(base), "doc_id")))
+    intercept[NoSuchElementException] { VT.readManifest(spark, dir, 1L) }
+  }
+
+  test("upsert rewrites only intersecting files: disjoint-key change leaves base files") {
+    val dir = freshDir("cow")
+    VT.init(spark, dir, base, "doc_id", targetRowsPerFile = 50L)
+    val far = base.limit(3)
+      .select(($"doc_id" + 900000L).as("doc_id"), $"text", $"lang", $"source", $"n_chars")
+      .withColumn("op", lit("upsert"))
+    VT.upsert(spark, dir, far, targetRowsPerFile = 50L)
+    val m2 = VT.readManifest(spark, dir, 2L)
+    val v1 = VT.readManifest(spark, dir, 1L)
+    // every original file survives untouched; exactly the new rows are new
+    assert(v1.files.toSet.subsetOf(m2.files.toSet))
+    assert(m2.files.map(_.rows).sum == v1.files.map(_.rows).sum + 3)
+  }
+}
