@@ -178,6 +178,152 @@ object Locales {
     case s if s.endsWith("ий") => s.dropRight(2) + "ая"
   }
 
+  // ------------------------------------------------- ru expansion, round 8
+  // The reference ru corpus is 1673/14651/9978 first/last/words
+  // (sdvg `internal/generator/usecase/general/locale/ru/strings.yml`). To
+  // reach a comparable value domain WITHOUT copying it, round 8 widens the
+  // morphology: every productive Russian surname paradigm (-ов/-ова,
+  // -ев/-ева, -ин/-ина, diminutive-interfix -ков/-кин, toponymic
+  // -овский/-евский, ungendered -енко/-ук/-юк/-чук, northern -ых/-их) is
+  // applied over stems drawn from our own curated roots, noun vocabulary and
+  // given names. Every rule below is a real formation rule of the language;
+  // the product is deterministic, deduped and sorted.
+
+  private val ruVowels = "аеёиоуыэюяАЕЁИОУЫЭЮЯ"
+
+  /** Strip trailing vowels / soft sign / й down to the consonant stem. */
+  private def ruStem(w: String): String = {
+    var s = w
+    while (s.nonEmpty && (ruVowels.indexOf(s.last) >= 0 || s.last == 'ь' || s.last == 'й'))
+      s = s.dropRight(1)
+    s
+  }
+
+  private val ruHushers = "чшщжц"
+
+  /** The four gendered base forms of one stem: -ов/-ова (hard) or -ев/-ева
+    * (husher/soft), plus the -ин/-ина pair every stem also takes. */
+  private def ruGendered(stem: String): Seq[String] = {
+    val (m, f) = if (ruHushers.indexOf(stem.last) >= 0) ("ев", "ева") else ("ов", "ова")
+    val in = if (stem.endsWith("ин")) Nil else Seq(stem + "ин", stem + "ина")
+    Seq(stem + m, stem + f) ++ in
+  }
+
+  /** Diminutive-interfix forms (Саша → Сашков/Сашкин): stem + к + gendered.
+    * Velars/hushers don't take the interfix (Волк → *Волкков). */
+  private def ruDiminutiveGendered(stem: String): Seq[String] =
+    if ("кгхчшщц".indexOf(stem.last) >= 0) Nil
+    else Seq(stem + "ков", stem + "кова", stem + "кин", stem + "кина")
+
+  /** Ungendered paradigms: -енко (Иваненко), -ук/-юк (Ковалюк, Петрук),
+    * -чук (Иванчук). */
+  private def ruUngendered(stem: String): Seq[String] = {
+    val enko = if ("кгх".indexOf(stem.last) >= 0) Nil else Seq(stem + "енко")
+    val uk = if (stem.last == 'л' || stem.last == 'н') stem + "юк" else stem + "ук"
+    val chuk = if (ruHushers.indexOf(stem.last) >= 0) Nil else Seq(stem + "чук")
+    enko ++ Seq(uk) ++ chuk
+  }
+
+  /** Toponymic/possessive -овский/-евский pairs (Морозовский). */
+  private def ruOvsky(stem: String): Seq[String] = {
+    val o = if (ruHushers.indexOf(stem.last) >= 0) "ев" else "ов"
+    Seq(stem + o + "ский", stem + o + "ская")
+  }
+
+  /** Additional own-authored surname roots (trades, animals, nature,
+    * objects, pre-Christian and church given names) beyond the r7 list. */
+  private val ruMoreRoots = Array(
+    "Алмаз", "Анис", "Бажен", "Балаш", "Барс", "Бел", "Берез", "Беркут",
+    "Блин", "Бобыл", "Богат", "Бойк", "Бор", "Борц", "Бочар", "Браг",
+    "Буян", "Вавил", "Варлам", "Вдов", "Верб", "Верест", "Ветр", "Вихр",
+    "Возн", "Волод", "Воропа", "Галк", "Глад", "Гнезд", "Голуб",
+    "Гончар", "Горох", "Груш", "Гуляй", "Дан", "Девят", "Дег",
+    "Дол", "Дуб", "Дьяк", "Елис", "Ерем", "Ермак", "Ермол", "Ждан",
+    "Желез", "Жемчуж", "Жереб", "Забав", "Завьял", "Зыр", "Калин",
+    "Карас", "Карп", "Кашир", "Клим", "Ковр", "Козыр", "Колос", "Кондрат",
+    "Копыл", "Кос", "Костром", "Кот", "Кочет", "Кругл",
+    "Крут", "Кулик", "Кур", "Лавр", "Лад", "Ларион", "Лыс", "Любим",
+    "Макс", "Мал", "Мамай", "Марк", "Мастер", "Мещер", "Мин", "Мирон",
+    "Молчан", "Мурав", "Мурз", "Нагиб", "Нежд", "Неклюд", "Нечай", "Нос",
+    "Овсян", "Огар", "Ожег", "Опар", "Ореш", "Осташ", "Павлуш",
+    "Палаш", "Панкрат", "Пантеле", "Пар", "Пахом", "Перв", "Перепел",
+    "Петух", "Пешк", "Плах", "Плеш", "Подков", "Позд", "Полушк",
+    "Пономар", "Потап", "Приход", "Пугач", "Пшениц", "Рак",
+    "Распут", "Ремез", "Реш", "Рог", "Род", "Романц", "Рубц",
+    "Руд", "Рудак", "Рыж", "Сабур", "Савв", "Салтык", "Сам",
+    "Сафон", "Свищ", "Сед", "Секир", "Селиван", "Серебр",
+    "Сидор", "Син", "Сит", "Скоморох", "Скор", "Смол", "Снегир", "Собол",
+    "Солов", "Сотник", "Стар", "Сторож", "Стрел", "Строг", "Субб",
+    "Сувор", "Суд", "Сурик", "Сухар", "Тарак", "Телег", "Тепл",
+    "Терент", "Тетер", "Тимош", "Тит", "Тороп", "Треть", "Туз",
+    "Тул", "Тур", "Угрим", "Улан", "Услад", "Ушак", "Фарафон", "Фатьян",
+    "Фетис", "Фирс", "Фок", "Фот", "Харитон", "Хитр", "Хлебн",
+    "Хмел", "Холод", "Хохл", "Храбр", "Хром", "Цар", "Целов",
+    "Чап", "Чебот", "Чекмар", "Черед", "Черкас", "Черн", "Чесн", "Чет",
+    "Чиж", "Чирк", "Чуд", "Чум", "Шалам", "Шатун", "Шевел", "Шемяк",
+    "Шерем", "Шест", "Шил", "Шуб", "Шульг", "Щедр", "Щепк", "Юд",
+    "Юрл", "Яков", "Ярц", "Яхонт")
+
+  /** Adjective stems taking the ungendered northern -ых/-их paradigm
+    * (Черных, Седых, Долгих). */
+  private val ruYkhStems = Array(
+    "Бел", "Больш", "Весел", "Гладк", "Глух", "Голодн", "Дик", "Долг",
+    "Жёлт", "Красн", "Кругл", "Крут", "Лёгк", "Мал",
+    "Мёрзл", "Молод", "Мудр", "Пьянк", "Ряб", "Сед", "Син",
+    "Слаб", "Смел", "Стар", "Сух", "Тих", "Толст", "Худ",
+    "Целик", "Черн", "Шир")
+
+  private def ruYkh(stem: String): String =
+    stem + (if ("кгх".indexOf(stem.last) >= 0) "их" else "ых")
+
+  /** All round-8 surname families over one stem set. */
+  private def ruExpandStems(stems: Seq[String]): Seq[String] =
+    stems.flatMap(s => ruGendered(s) ++ ruDiminutiveGendered(s) ++ ruUngendered(s))
+
+  /** Patronymic-style given-name forms (Петрович/Петровна) — recorded in
+    * real name fields and name-shaped by construction. */
+  private def ruPatronymics(mascNames: Seq[String]): Seq[String] =
+    mascNames.flatMap { n =>
+      val soft = n.last == 'й' || n.last == 'ь'
+      val s = ruStem(n)
+      if (s.length < 3) Nil
+      else if (soft) Seq(s + "ьевич", s + "ьевна")
+      else Seq(s + "ович", s + "овна")
+    }
+
+  /** Informal/diminutive given-name register (Сашка, Ирочка) — productive
+    * suffixes over name stems. */
+  private def ruNameDiminutives(names: Seq[String]): Seq[String] =
+    names.flatMap { n =>
+      val s = ruStem(n)
+      if (s.length < 3 || s.length > 8) Nil
+      else {
+        val ka = if ("кгхчшщц".indexOf(s.last) >= 0) Nil else Seq(s + "ка")
+        val ochka = if ("кгхчшщцжь".indexOf(s.last) >= 0) Nil else Seq(s + "очка")
+        val usha = if ("шжч".indexOf(s.last) >= 0) Nil else Seq(s + "уша")
+        ka ++ ochka ++ usha
+      }
+    }
+
+  /** Regular noun plurals over the ru word list (велar/husher stems take -и,
+    * the rest -ы; о-nouns take -а, soft stems -и). */
+  private def ruWordInflections(base: Seq[String]): Seq[String] = {
+    val velarHusher = "кгхчшщж"
+    base.filter(_.length >= 3).map { w =>
+      if (w.endsWith("а")) {
+        val st = w.dropRight(1)
+        st + (if (velarHusher.indexOf(st.last) >= 0) "и" else "ы")
+      } else if (w.endsWith("я") || w.endsWith("ь") || w.endsWith("й"))
+        w.dropRight(1) + "и"
+      else if (w.endsWith("о")) w.dropRight(1) + "а"
+      else if (w.endsWith("е")) {
+        val st = w.dropRight(1)
+        st + (if ("цчшщж".indexOf(st.last) >= 0) "а" else "я")
+      }
+      else w + (if (velarHusher.indexOf(w.last) >= 0) "и" else "ы")
+    }
+  }
+
   val en: LocaleBundle = LocaleBundle(
     name = "en",
     smallLetters = ('a' to 'z').toArray,
@@ -261,28 +407,34 @@ object Locales {
     bytesPerChar = 1
   )
 
+  private val ruFemCanonical = Seq(
+    "Анна", "Алёна", "Алина", "Алиса", "Варвара", "Вера", "Вероника", "Галина", "Дарья", "Ева",
+    "Екатерина", "Елена", "Жанна", "Зоя", "Инна", "Ирина", "Карина", "Кира", "Ксения", "Лариса",
+    "Лидия", "Любовь", "Людмила", "Марина", "Мария", "Надежда", "Наталья", "Нина", "Оксана", "Ольга",
+    "Полина", "Раиса", "Светлана", "София", "Тамара", "Татьяна", "Ульяна", "Юлия", "Яна")
+  private val ruMascCanonical = Seq(
+    "Александр", "Алексей", "Анатолий", "Андрей", "Антон", "Аркадий", "Артём", "Борис", "Вадим", "Валентин",
+    "Василий", "Виктор", "Виталий", "Владимир", "Владислав", "Геннадий", "Георгий", "Глеб", "Григорий", "Даниил",
+    "Денис", "Дмитрий", "Евгений", "Егор", "Иван", "Игорь", "Илья", "Кирилл", "Константин", "Леонид",
+    "Максим", "Матвей", "Михаил", "Никита", "Николай", "Олег", "Павел", "Пётр", "Роман", "Руслан",
+    "Семён", "Сергей", "Станислав", "Степан", "Тимофей", "Фёдор", "Юрий", "Ярослав")
+  // diminutive / informal forms — real given-name register in data
+  private val ruInformalFirst = Seq(
+    "Саша", "Маша", "Катя", "Наташа", "Оля", "Таня", "Лена", "Света", "Ира", "Юля",
+    "Аня", "Галя", "Даша", "Женя", "Зина", "Клава", "Лида", "Люда", "Мила", "Надя",
+    "Настя", "Нюра", "Поля", "Рая", "Соня", "Тома", "Шура", "Валя", "Вика", "Алла",
+    "Дима", "Коля", "Петя", "Ваня", "Миша", "Гриша", "Толя", "Костя", "Лёша", "Серёжа",
+    "Боря", "Вася", "Витя", "Володя", "Гена", "Гоша", "Данила", "Егорка", "Жора", "Захар",
+    "Игорёк", "Кеша", "Лёва", "Макар", "Марат", "Мирон", "Назар", "Остап", "Платон", "Прохор",
+    "Родион", "Савва", "Тарас", "Тимур", "Филипп", "Эдуард", "Эльдар", "Юра", "Яша", "Артур")
+  private val ruFirstBase = ruFemCanonical ++ ruMascCanonical ++ ruInformalFirst
+
   val ru: LocaleBundle = LocaleBundle(
     name = "ru",
     smallLetters = "абвгдеёжзийклмнопрстуфхцчшщъыьэюя".toCharArray,
     largeLetters = "АБВГДЕЁЖЗИЙКЛМНОПРСТУФХЦЧШЩЪЫЬЭЮЯ".toCharArray,
-    firstNamesAll = sorted(Seq(
-      "Анна", "Алёна", "Алина", "Алиса", "Варвара", "Вера", "Вероника", "Галина", "Дарья", "Ева",
-      "Екатерина", "Елена", "Жанна", "Зоя", "Инна", "Ирина", "Карина", "Кира", "Ксения", "Лариса",
-      "Лидия", "Любовь", "Людмила", "Марина", "Мария", "Надежда", "Наталья", "Нина", "Оксана", "Ольга",
-      "Полина", "Раиса", "Светлана", "София", "Тамара", "Татьяна", "Ульяна", "Юлия", "Яна",
-      "Александр", "Алексей", "Анатолий", "Андрей", "Антон", "Аркадий", "Артём", "Борис", "Вадим", "Валентин",
-      "Василий", "Виктор", "Виталий", "Владимир", "Владислав", "Геннадий", "Георгий", "Глеб", "Григорий", "Даниил",
-      "Денис", "Дмитрий", "Евгений", "Егор", "Иван", "Игорь", "Илья", "Кирилл", "Константин", "Леонид",
-      "Максим", "Матвей", "Михаил", "Никита", "Николай", "Олег", "Павел", "Пётр", "Роман", "Руслан",
-      "Семён", "Сергей", "Станислав", "Степан", "Тимофей", "Фёдор", "Юрий", "Ярослав",
-      // diminutive / informal forms — real given-name register in data
-      "Саша", "Маша", "Катя", "Наташа", "Оля", "Таня", "Лена", "Света", "Ира", "Юля",
-      "Аня", "Галя", "Даша", "Женя", "Зина", "Клава", "Лида", "Люда", "Мила", "Надя",
-      "Настя", "Нюра", "Поля", "Рая", "Соня", "Тома", "Шура", "Валя", "Вика", "Алла",
-      "Дима", "Коля", "Петя", "Ваня", "Миша", "Гриша", "Толя", "Костя", "Лёша", "Серёжа",
-      "Боря", "Вася", "Витя", "Володя", "Гена", "Гоша", "Данила", "Егорка", "Жора", "Захар",
-      "Игорёк", "Кеша", "Лёва", "Макар", "Марат", "Мирон", "Назар", "Остап", "Платон", "Прохор",
-      "Родион", "Савва", "Тарас", "Тимур", "Филипп", "Эдуард", "Эльдар", "Юра", "Яша", "Артур")),
+    firstNamesAll = sorted(
+      ruFirstBase ++ ruPatronymics(ruMascCanonical) ++ ruNameDiminutives(ruFirstBase)),
     lastNamesAll = {
       val masc = Seq(
       "Абрамов", "Александров", "Алексеев", "Андреев", "Антонов", "Баранов", "Белов", "Богданов", "Борисов", "Васильев",
@@ -294,7 +446,16 @@ object Locales {
       "Романов", "Рябов", "Савельев", "Семёнов", "Сергеев", "Сидоров", "Смирнов", "Соболев", "Соколов", "Соловьёв",
       "Сорокин", "Степанов", "Тарасов", "Тимофеев", "Титов", "Тихонов", "Фёдоров", "Филиппов", "Фомин", "Фролов",
       "Цветков", "Чернов", "Шестаков", "Широков", "Щербаков", "Яковлев")
-      sorted(masc ++ ruFeminine(masc) ++ ruSurnameExpansion)
+      // round-8 widening: every productive paradigm over stems drawn from
+      // hand roots, the noun vocabulary and given names (details above)
+      val handStems = (ruSurnameRoots ++ ruMoreRoots).toSeq.map(ruStem).filter(_.length >= 3)
+      val wordStems = ruWordsBase.map(w => ruStem(w.capitalize)).filter(s => s.length >= 3 && s.length <= 10)
+      val nameStems = ruFirstBase.map(ruStem).filter(_.length >= 3)
+      val allStems = (handStems ++ wordStems ++ nameStems).distinct
+      sorted(masc ++ ruFeminine(masc) ++ ruSurnameExpansion ++
+        ruExpandStems(allStems) ++
+        (handStems ++ nameStems).distinct.flatMap(ruOvsky) ++
+        ruYkhStems.toSeq.map(ruYkh))
     },
     phonePatterns = Array(
       "+7 (###) ###-##-##",
@@ -302,7 +463,11 @@ object Locales {
       "8 (###) ###-##-##",
       "8-###-###-##-##",
       "+7##########"),
-    words = sorted(Seq(
+    words = sorted(ruWordsBase ++ ruWordInflections(ruWordsBase)),
+    bytesPerChar = 2
+  )
+
+  private lazy val ruWordsBase: Seq[String] = Seq(
       "а", "в", "и", "к", "о", "с", "у", "я",
       "без", "белый", "берег", "боль", "брат", "быть", "вверх", "вода", "воздух", "война",
       "вопрос", "время", "город", "гора", "дверь", "дело", "день", "дерево", "дождь", "дом",
@@ -324,9 +489,7 @@ object Locales {
       "роса", "рот", "рубль", "ручей", "сахар", "свеча", "север", "сено", "скала", "сказка",
       "сокол", "соль", "сосна", "стекло", "стена", "стул", "суп", "трава", "туман", "туча",
       "угол", "уголь", "узел", "ухо", "флаг", "форма", "царь", "цена", "цепь", "чашка",
-      "честь", "шаг", "шум", "щека", "юг", "язык", "якорь", "яма", "ясень", "ящик")),
-    bytesPerChar = 2
-  )
+      "честь", "шаг", "шум", "щека", "юг", "язык", "якорь", "яма", "ясень", "ящик")
 
   def apply(name: String): LocaleBundle = name match {
     case "en" => en

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+
+/** Empirical scale-growth gate (round-7 verdict task #3): SCALE.md argues
+  * the fanout shapes in prose; this spec pins them. The worst-fanout
+  * operators run at sf0.01 AND sf0.1 (10x the data) in one harness and the
+  * wall-time growth must stay linear-ish: t(sf0.1) <= slack + c * 10 *
+  * t(sf0.01). A quadratic operator shows ~100x growth, far beyond any noise
+  * this box produces (documented ~2x run-to-run), so c = 3 with a small
+  * fixed slack separates the two regimes decisively while staying
+  * noise-proof: min-of-2 on both sides, one warmup run first so codegen/JIT
+  * is paid outside the measurement.
+  *
+  * The gated set is exactly the verdict's worst-fanout list: the basket
+  * self-join (sum of basket^2 fanout), token-pair PMI (df-banded vocabulary
+  * self-join), span dedup (per-row window explosion) and triangle counting
+  * (degeneracy-oriented wedge join).
+  */
+class ScaleSpec extends SparkSuite {
+
+  private val small = "/root/testdata/sf0.01"
+  private val big = "/root/testdata/sf0.1"
+
+  private def run(name: String, dir: String): Unit =
+    SparkEntry.queries(name)(spark, dir)
+      .write.format("noop").mode(SaveMode.Overwrite).save()
+
+  private def timeMinOf2(name: String, dir: String): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      run(name, dir)
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.min(once(), once())
+  }
+
+  for (q <- Seq("basket_part_pairs", "text_token_pmi", "dedup_spans", "graph_triangles"))
+    test(s"$q wall-time grows at most ~linearly from sf0.01 to sf0.1") {
+      run(q, small) // warmup: codegen + JIT + class-load outside the clock
+      val tSmall = timeMinOf2(q, small)
+      val tBig = timeMinOf2(q, big)
+      val bound = 1.0 + 3.0 * 10.0 * tSmall
+      info(f"$q: sf0.01 $tSmall%.2f s, sf0.1 $tBig%.2f s (${tBig / tSmall}%.1fx, bound ${bound}%.1f s)")
+      assert(
+        tBig <= bound,
+        f"$q grew superlinearly: $tSmall%.2f s -> $tBig%.2f s at 10x data (bound $bound%.2f s)")
+    }
+}
