@@ -754,6 +754,23 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "knn_pq" -> ((s, dir) => {
+      // product quantization + ADC + exact re-rank: the compressed-domain
+      // linear scan (32x smaller corpus bytes); shortlist fetches full
+      // vectors for re-ranking
+      val embs = spread(t(s, dir, "embeddings"))
+      Similarity.pqKnn(embs, embs.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "knn_ivfpq" -> ((s, dir) => {
+      // the faiss-style IVF+PQ serving architecture: Voronoi-cell prune,
+      // ADC shortlist over codes, exact re-rank of the shortlist only
+      val embs = spread(t(s, dir, "embeddings"))
+      Similarity.ivfPqKnn(embs, embs.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "emb_negatives" -> ((s, dir) => {
       // contrastive-training negative mining: per anchor, 3 deterministic
       // hash-ranked negatives from OUTSIDE the anchor's semantic cell
@@ -3312,6 +3329,138 @@ object SparkEntry {
         |  FROM cand
         |  JOIN n a ON a.vec_id = cand.query_id
         |  JOIN n b ON b.vec_id = cand.neighbor_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "knn_pq" ->
+      """WITH w0 AS (
+        |  SELECT m.range AS m, c.range AS c, d.range AS d,
+        |    ('0x' || substr(md5('pq:42:' || m.range || ':' || c.range || ':' || d.range), 1, 15))::BIGINT % 250001 - 125000 AS wt
+        |  FROM range(0, 8) m, range(0, 16) c, range(0, 8) d
+        |), q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, qv, list_sum([x*x FOR x IN qv]) AS n2 FROM q
+        |), sdist0 AS (
+        |  SELECT q.vec_id, w0.m, w0.c,
+        |    CAST(sum((q.qv[w0.m*8 + w0.d + 1] - w0.wt) * (q.qv[w0.m*8 + w0.d + 1] - w0.wt)) AS BIGINT) AS dist
+        |  FROM q CROSS JOIN w0 GROUP BY 1, 2, 3
+        |), codes0 AS (
+        |  SELECT vec_id, m, c AS code FROM (
+        |    SELECT vec_id, m, c, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn
+        |    FROM sdist0) WHERE rn = 1
+        |), trained AS (
+        |  SELECT co.m, co.code AS c, d.range AS d,
+        |    CAST(sum(q.qv[co.m*8 + d.range + 1]) AS BIGINT) // count(*) AS wt
+        |  FROM codes0 co JOIN q USING (vec_id) CROSS JOIN range(0, 8) d
+        |  GROUP BY 1, 2, 3
+        |), books AS (
+        |  SELECT w0.m, w0.c, w0.d, COALESCE(t.wt, w0.wt) AS wt
+        |  FROM w0 LEFT JOIN trained t ON t.m = w0.m AND t.c = w0.c AND t.d = w0.d
+        |), sdist AS (
+        |  SELECT q.vec_id, b.m, b.c,
+        |    CAST(sum((q.qv[b.m*8 + b.d + 1] - b.wt) * (q.qv[b.m*8 + b.d + 1] - b.wt)) AS BIGINT) AS dist
+        |  FROM q CROSS JOIN books b GROUP BY 1, 2, 3
+        |), codes AS (
+        |  SELECT vec_id, m, c AS code FROM (
+        |    SELECT vec_id, m, c, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn
+        |    FROM sdist) WHERE rn = 1
+        |), adist AS (
+        |  SELECT qd.vec_id AS query_id, co.vec_id AS neighbor_id, CAST(sum(qd.dist) AS BIGINT) AS ad
+        |  FROM codes co JOIN sdist qd ON qd.m = co.m AND qd.c = co.code
+        |  WHERE qd.vec_id < 20 AND qd.vec_id != co.vec_id
+        |  GROUP BY 1, 2
+        |), short AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY ad, neighbor_id) AS arank
+        |    FROM adist) WHERE arank <= 40
+        |), scored AS (
+        |  SELECT short.query_id, short.neighbor_id,
+        |    CAST(list_sum([a.qv[i] * b.qv[i] FOR i IN range(1, len(a.qv) + 1)]) AS DOUBLE)
+        |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+        |  FROM short
+        |  JOIN n a ON a.vec_id = short.query_id
+        |  JOIN n b ON b.vec_id = short.neighbor_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "knn_ivfpq" ->
+      """WITH cw AS (
+        |  SELECT c.range AS c, d.range AS d,
+        |    ('0x' || substr(md5('ivf:42:' || c.range || ':' || d.range), 1, 15))::BIGINT % 2001 - 1000 AS wt
+        |  FROM range(0, 16) c, range(0, 64) d
+        |), q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, qv, list_sum([x*x FOR x IN qv]) AS n2 FROM q
+        |), dots AS (
+        |  SELECT q.vec_id, cw.c, sum(cw.wt * q.qv[cw.d + 1]) AS dot
+        |  FROM q CROSS JOIN cw GROUP BY q.vec_id, cw.c
+        |), ranked_cells AS (
+        |  SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS cr
+        |  FROM dots
+        |), assign AS (
+        |  SELECT vec_id, c AS cell FROM ranked_cells WHERE cr = 1
+        |), probes AS (
+        |  SELECT vec_id, c AS cell FROM ranked_cells WHERE cr <= 4 AND vec_id < 20
+        |), w0 AS (
+        |  SELECT m.range AS m, c.range AS c, d.range AS d,
+        |    ('0x' || substr(md5('pq:42:' || m.range || ':' || c.range || ':' || d.range), 1, 15))::BIGINT % 250001 - 125000 AS wt
+        |  FROM range(0, 8) m, range(0, 16) c, range(0, 8) d
+        |), sdist0 AS (
+        |  SELECT q.vec_id, w0.m, w0.c,
+        |    CAST(sum((q.qv[w0.m*8 + w0.d + 1] - w0.wt) * (q.qv[w0.m*8 + w0.d + 1] - w0.wt)) AS BIGINT) AS dist
+        |  FROM q CROSS JOIN w0 GROUP BY 1, 2, 3
+        |), codes0 AS (
+        |  SELECT vec_id, m, c AS code FROM (
+        |    SELECT vec_id, m, c, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn
+        |    FROM sdist0) WHERE rn = 1
+        |), trained AS (
+        |  SELECT co.m, co.code AS c, d.range AS d,
+        |    CAST(sum(q.qv[co.m*8 + d.range + 1]) AS BIGINT) // count(*) AS wt
+        |  FROM codes0 co JOIN q USING (vec_id) CROSS JOIN range(0, 8) d
+        |  GROUP BY 1, 2, 3
+        |), books AS (
+        |  SELECT w0.m, w0.c, w0.d, COALESCE(t.wt, w0.wt) AS wt
+        |  FROM w0 LEFT JOIN trained t ON t.m = w0.m AND t.c = w0.c AND t.d = w0.d
+        |), sdist AS (
+        |  SELECT q.vec_id, b.m, b.c,
+        |    CAST(sum((q.qv[b.m*8 + b.d + 1] - b.wt) * (q.qv[b.m*8 + b.d + 1] - b.wt)) AS BIGINT) AS dist
+        |  FROM q CROSS JOIN books b GROUP BY 1, 2, 3
+        |), codes AS (
+        |  SELECT vec_id, m, c AS code FROM (
+        |    SELECT vec_id, m, c, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn
+        |    FROM sdist) WHERE rn = 1
+        |), adist AS (
+        |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id, CAST(sum(qd.dist) AS BIGINT) AS ad
+        |  FROM probes p
+        |  JOIN assign a ON a.cell = p.cell AND a.vec_id != p.vec_id
+        |  JOIN codes co ON co.vec_id = a.vec_id
+        |  JOIN sdist qd ON qd.vec_id = p.vec_id AND qd.m = co.m AND qd.c = co.code
+        |  GROUP BY 1, 2
+        |), short AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY ad, neighbor_id) AS arank
+        |    FROM adist) WHERE arank <= 40
+        |), scored AS (
+        |  SELECT short.query_id, short.neighbor_id,
+        |    CAST(list_sum([a.qv[i] * b.qv[i] FOR i IN range(1, len(a.qv) + 1)]) AS DOUBLE)
+        |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+        |  FROM short
+        |  JOIN n a ON a.vec_id = short.query_id
+        |  JOIN n b ON b.vec_id = short.neighbor_id
         |), ranked AS (
         |  SELECT query_id, neighbor_id, cosine,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank

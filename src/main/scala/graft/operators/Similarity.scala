@@ -303,6 +303,217 @@ object Similarity {
     out
   }
 
+  // ------------------------------------------------- product quantization
+
+  /** Integer PQ codebook SEED weight for (seed, subspace, code, sub-dim),
+    * scaled to ±125000 — about one standard deviation of the 1e-6-quantized
+    * unit-ish embeddings, so the Lloyd round starts inside the data cloud —
+    * derived from the 60-bit md5 hash of "pq:seed:m:c:d", deterministic on
+    * any cluster and oracle-expressible
+    * (`('0x'||substr(md5(...),1,15))::BIGINT % 250001 - 125000`). */
+  def pqWeight(seed: Long, m: Int, c: Int, d: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dig = md.digest(s"pq:$seed:$m:$c:$d".getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+    v = (v << 4) | ((dig(7) & 0xf0L) >> 4)
+    v % 250001L - 125000L
+  }
+
+  /** Exact integer L2 distance of subspace `m` of a quantized vector against
+    * a literal codeword — scan-speed projection. Magnitudes: |x - w| <= 2e6,
+    * squared 4e12, x 8 sub-dims = 3.2e13 — far inside BIGINT. */
+  private def pqSubDistLit(qv: Column, book: Array[Long], m: Int, sub: Int): Column =
+    (0 until sub).map { d =>
+      val diff = element_at(qv, m * sub + d + 1) - lit(book(d))
+      diff * diff
+    }.reduce(_ + _)
+
+  /** PQ code for subspace `m`: argmin codeword by integer L2 (ties to the
+    * smallest code id) — the packed-sort trick shared with [[rankedCells]]. */
+  private def pqCodeLit(qv: Column, book: Array[Array[Long]], m: Int, sub: Int): Column =
+    element_at(
+      array_sort(array(book.indices.map { c =>
+        struct(pqSubDistLit(qv, book(c), m, sub).as("dist"), lit(c.toLong).as("code"))
+      }: _*)), 1).getField("code")
+
+  /** Train the `mSub x ksub` PQ codebooks: md5-derived integer seeds pulled
+    * through `iters` Lloyd rounds where each codeword becomes the
+    * ELEMENT-WISE TRUNCATING INTEGER MEAN of its members (`sum div count`
+    * per sub-dim — the same cross-engine-exact update as [[kmeansRefine]];
+    * codewords that attract no members keep their previous weights). Per
+    * round: one scan assigning codes (literal-array projection), one
+    * aggregation keyed (subspace, code) with map-side partials, and a
+    * driver collect of at most `mSub·ksub·sub` longs (1 KB at the defaults
+    * — broadcast-sized by definition). Returns `[m][c][d]` weights. */
+  def pqTrainBooks(
+      corpus: DataFrame, vecCol: String,
+      mSub: Int = 8, ksub: Int = 16, seed: Long = 42L, dims: Int = 64,
+      iters: Int = 1): Array[Array[Array[Long]]] = {
+    require(dims % mSub == 0, s"dims=$dims must split evenly into mSub=$mSub subspaces")
+    val sub = dims / mSub
+    var books: Array[Array[Array[Long]]] =
+      Array.tabulate(mSub, ksub, sub)((m, c, d) => pqWeight(seed, m, c, d))
+    if (iters > 0) {
+      val base = corpus.select(VectorFns.quantize(col(vecCol)).as("qv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      for (_ <- 1 to iters) {
+        val codesCol = array((0 until mSub).map(m => pqCodeLit(col("qv"), books(m), m, sub)): _*)
+        val aggCols = (0 until sub).map(d =>
+          expr(s"sum(element_at(qv, m * $sub + $d + 1)) div count(1)").as(s"w$d"))
+        val rows = base
+          .select(col("qv"), posexplode(codesCol).as(Seq("m", "code")))
+          .groupBy(col("m"), col("code"))
+          .agg(aggCols.head, aggCols.tail: _*)
+          .collect()
+        val next = books.map(_.map(_.clone()))
+        rows.foreach { r =>
+          next(r.getInt(0))(r.getLong(1).toInt) =
+            Array.tabulate(sub)(d => r.getLong(2 + d))
+        }
+        books = next
+      }
+      base.unpersist()
+    }
+    books
+  }
+
+  /** Product-quantization encoding: `dims` is split into `mSub` contiguous
+    * subspaces; each subspace is vector-quantized against its own `ksub`-way
+    * codebook. A 64-dim float vector (256 B) compresses to `mSub` small ints
+    * (8 B at the defaults) — the 32x memory/IO reduction that makes
+    * billion-vector serving fit a cluster's RAM. Codebooks are trained
+    * integer literals ([[pqTrainBooks]] — reproducible, oracle-expressible);
+    * encoding is a scan-speed projection, no shuffle. */
+  def pqEncode(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      books: Array[Array[Array[Long]]]): DataFrame = {
+    val mSub = books.length
+    val sub = books.head.head.length
+    corpus
+      .select(col(idCol), VectorFns.quantize(col(vecCol)).as("qv"))
+      .withColumn("codes",
+        array((0 until mSub).map(m => pqCodeLit(col("qv"), books(m), m, sub)): _*))
+      .select(col(idCol), col("codes"))
+  }
+
+  /** ANN via PQ asymmetric distance computation (ADC) with exact re-rank:
+    * queries stay uncompressed and precompute their `mSub x ksub` table of
+    * subspace distances to every codeword; a corpus item's approximate
+    * distance is then `mSub` table lookups over its codes (8 adds instead of
+    * 64 multiplies, against an 8-byte code instead of a 256-byte vector).
+    * The ADC pass shortlists `shortlist` candidates per query; only those
+    * fetch their full vectors (a shortlist-sized equi-join back to the
+    * corpus) for exact cosine re-ranking — the standard PQ serving shape.
+    *
+    * The ADC scan itself is the compressed-domain LINEAR baseline (broadcast
+    * queries x corpus codes, same contract as [[bruteForceKnn]] — documented
+    * deliberately): the sublinear path is [[ivfPqKnn]], which prunes the
+    * scan to `nprobe` Voronoi cells first. */
+  def pqKnn(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      mSub: Int = 8, ksub: Int = 16, shortlist: Int = 40,
+      seed: Long = 42L, dims: Int = 64, iters: Int = 1): DataFrame = {
+    val sub = dims / mSub
+    val books = pqTrainBooks(corpus, vecCol, mSub, ksub, seed, dims, iters)
+    val codes = pqEncode(corpus, idCol, vecCol, books).as("c")
+    val q = queries
+      .select(col(idCol), VectorFns.quantize(col(vecCol)).as("qv"))
+      .withColumn("tab", array((0 until mSub).map { m =>
+        array((0 until ksub).map(c => pqSubDistLit(col("qv"), books(m)(c), m, sub)): _*)
+      }: _*))
+      .select(col(idCol), col("tab"))
+      .as("q")
+    val adist = (0 until mSub)
+      .map(m => element_at(
+        element_at(col("q.tab"), m + 1),
+        (element_at(col("c.codes"), m + 1) + lit(1L)).cast("int")))
+      .reduce(_ + _)
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    val short = broadcast(q.toDF().as("q")).crossJoin(codes)
+      .filter(col(s"q.$idCol") =!= col(s"c.$idCol"))
+      .select(
+        col(s"q.$idCol").as("query_id"),
+        col(s"c.$idCol").as("neighbor_id"),
+        adist.as("adist"))
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= shortlist)
+    rerank(corpus, queries, idCol, vecCol, k, short)
+  }
+
+  /** IVF + PQ: the faiss-style architecture for corpus-scale serving — the
+    * inverted file prunes the scan to `nprobe` Voronoi cells (equi-join on
+    * the cell id, the same deterministic cells as [[ivfKnn]]), ADC over the
+    * surviving codes shortlists candidates, and only the shortlist fetches
+    * full vectors for exact re-rank. At 100 TB: the codes relation is ~1/32
+    * the corpus bytes, partition-pruned by cell, and full vectors are read
+    * for `shortlist x queries` rows only. */
+  def ivfPqKnn(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      cells: Int = 16, nprobe: Int = 4, mSub: Int = 8, ksub: Int = 16,
+      shortlist: Int = 40, seed: Long = 42L, dims: Int = 64, iters: Int = 1): DataFrame = {
+    val sub = dims / mSub
+    val books = pqTrainBooks(corpus, vecCol, mSub, ksub, seed, dims, iters)
+    val codes = corpus
+      .select(col(idCol), VectorFns.quantize(col(vecCol)).as("qv"))
+      .withColumn("cell", cellOf(col("qv"), cells, seed, dims))
+      .withColumn("codes",
+        array((0 until mSub).map(m => pqCodeLit(col("qv"), books(m), m, sub)): _*))
+      .select(col(idCol), col("cell"), col("codes"))
+      .as("c")
+    val q = queries
+      .select(col(idCol), VectorFns.quantize(col(vecCol)).as("qv"))
+      .withColumn("tab", array((0 until mSub).map { m =>
+        array((0 until ksub).map(c => pqSubDistLit(col("qv"), books(m)(c), m, sub)): _*)
+      }: _*))
+      .withColumn("cell", explode(rankedCells(col("qv"), cells, seed, dims, nprobe)))
+      .select(col(idCol), col("tab"), col("cell"))
+      .as("q")
+    val adist = (0 until mSub)
+      .map(m => element_at(
+        element_at(col("q.tab"), m + 1),
+        (element_at(col("c.codes"), m + 1) + lit(1L)).cast("int")))
+      .reduce(_ + _)
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    val short = q.join(codes, col("q.cell") === col("c.cell")
+        && col(s"q.$idCol") =!= col(s"c.$idCol"))
+      .select(
+        col(s"q.$idCol").as("query_id"),
+        col(s"c.$idCol").as("neighbor_id"),
+        adist.as("adist"))
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= shortlist)
+    rerank(corpus, queries, idCol, vecCol, k, short)
+  }
+
+  /** Exact-cosine re-rank of an ADC shortlist: full vectors are fetched for
+    * shortlist rows ONLY (two id-keyed joins, shortlist-sized), never for
+    * the whole corpus. */
+  private def rerank(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, short: DataFrame): DataFrame = {
+    val prep = (df: DataFrame) =>
+      df.select(col(idCol), VectorFns.quantize(col(vecCol)).as("qv"))
+        .withColumn("n2", VectorFns.norm2Q(col("qv")))
+    val cv = prep(corpus).as("cv")
+    val qv = prep(queries).as("qv")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    short
+      .join(qv, col("query_id") === col(s"qv.$idCol"))
+      .join(cv, col("neighbor_id") === col(s"cv.$idCol"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFns.cosinePre(col("qv.qv"), col("qv.n2"), col("cv.qv"), col("cv.n2")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** ANN via LSH bucketing: compare only within matching signatures.
     * Multi-probe would raise recall further; here signature equality is the
     * bucket key (an equi-join — shuffle on the bucket, never a cross join). */

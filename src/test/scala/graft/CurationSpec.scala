@@ -387,6 +387,38 @@ class CurationSpec extends SparkSuite {
     assert(r16 == 1.0, f"probing every cell must reproduce brute force exactly: $r16%.3f")
   }
 
+  test("pqKnn: exact at full shortlist, recall floor at the gate shortlist, ivfPq within pq") {
+    import graft.operators.Similarity
+    val queries = embs.orderBy($"vec_id").limit(32)
+    def topsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(2))
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val brute = topsOf(Similarity.bruteForceKnn(embs, queries, "vec_id", "embedding", k = 10))
+    // shortlist >= corpus - 1 makes the exact re-rank see every candidate:
+    // PQ-ADC + re-rank must then reproduce brute force BIT-identically
+    val full = Similarity.pqKnn(embs, queries, "vec_id", "embedding", k = 10,
+      shortlist = 1000)
+    val bruteRows = Similarity.bruteForceKnn(embs, queries, "vec_id", "embedding", k = 10)
+      .collect().toSet
+    assert(full.collect().toSet == bruteRows,
+      "pqKnn with a corpus-sized shortlist must equal brute force exactly")
+    def recallOf(tops: Map[Long, Set[Long]]): Double =
+      brute.map { case (q, truth) =>
+        tops.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+      }.sum / brute.size
+    val pq = recallOf(topsOf(
+      Similarity.pqKnn(embs, queries, "vec_id", "embedding", k = 10, shortlist = 40)))
+    val ivfpq = recallOf(topsOf(
+      Similarity.ivfPqKnn(embs, queries, "vec_id", "embedding", k = 10, shortlist = 40)))
+    info(f"pq recall@10 = $pq%.3f, ivfpq recall@10 = $ivfpq%.3f")
+    assert(pq >= 0.5, f"pq recall@10 degraded: $pq%.3f (floor 0.5)")
+    // the IVF prune can only REMOVE candidates from the ADC scan, so its
+    // recall is bounded by the unpruned PQ recall (small slack: shortlist
+    // boundary effects can locally reorder which candidates get re-ranked)
+    assert(ivfpq <= pq + 0.05, f"ivfpq recall $ivfpq%.3f above pq recall $pq%.3f")
+    assert(ivfpq >= 0.25, f"ivfpq recall@10 degraded: $ivfpq%.3f (floor 0.25)")
+  }
+
   test("semanticDedup drop-set recall vs brute near-dup pairs above the pinned floor") {
     import graft.operators.Dedup
     val tau = 0.4 // fixture max pairwise cosine is ~0.48; the gate query's tau
