@@ -1477,6 +1477,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "mm_decode_wav" -> ((s, dir) => {
+      // REAL audio decode: deterministic PCM16 RIFF/WAVE fixtures (frame
+      // count, channels, rate and every sample are integer functions of
+      // doc_id/frame/channel), decoded from the BYTES by the pure-JVM
+      // chunk-walking parser; the oracle recomputes every stat from the
+      // FORMULA — any offset/sign/width/interleave defect breaks the hash
+      Multimodal.decodeWav(
+        Multimodal.wavFixtures(spread(t(s, dir, "documents")), "doc_id"), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // --- generation engine surface ---
     "gen_integer_seq" -> ((s, dir) => {
       // ordered integer sequence through the full planner stack: domain size
@@ -3658,6 +3669,27 @@ object SparkEntry {
         |  CAST(sum((x + y + doc_id) % 256) AS BIGINT) AS sum_b,
         |  CAST(sum((y + 1) * ((x + 3*y + doc_id) % 256)) AS BIGINT) AS wsum_r
         |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+
+    "mm_decode_wav" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        |    CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+        |    CAST(64 + doc_id % 193 AS BIGINT) AS n_frames
+        |  FROM documents
+        |), s AS (
+        |  SELECT d.doc_id, d.channels, d.sample_rate, d.n_frames,
+        |    i.range AS i, c.range AS ch,
+        |    (i.range * (3 + c.range) + d.doc_id * 11) % 4001 - 2000 AS v
+        |  FROM d CROSS JOIN range(0, 257) i CROSS JOIN range(0, 2) c
+        |  WHERE i.range < d.n_frames AND c.range < d.channels
+        |)
+        |SELECT doc_id, channels, sample_rate, n_frames,
+        |  CAST(n_frames * 1000 // sample_rate AS BIGINT) AS duration_ms,
+        |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+        |  CAST(sum(v * v) AS BIGINT) AS energy,
+        |  CAST(sum(CASE WHEN ch = 0 THEN (i + 1) * v ELSE 0 END) AS BIGINT) AS wsum_c0
+        |FROM s GROUP BY 1, 2, 3, 4 ORDER BY doc_id""".stripMargin,
 
     "gen_integer_seq" ->
       "SELECT CAST(range AS BIGINT) AS v FROM range(0, 10000) ORDER BY v",

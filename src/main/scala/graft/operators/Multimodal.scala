@@ -110,7 +110,7 @@ object Multimodal {
   // --- real codec: uncompressed 24-bit BMP ---------------------------------
 
   /** Little-endian int32 write. */
-  private def putLe32(b: Array[Byte], off: Int, v: Int): Unit = {
+  private[graft] def putLe32(b: Array[Byte], off: Int, v: Int): Unit = {
     b(off) = (v & 0xff).toByte
     b(off + 1) = ((v >> 8) & 0xff).toByte
     b(off + 2) = ((v >> 16) & 0xff).toByte
@@ -253,5 +253,163 @@ object Multimodal {
           s.sumR, s.sumG, s.sumB, s.wsumR)
       })
     spark.createDataFrame(rdd, BmpDecodedSchema)
+  }
+
+  // --- real codec: PCM16 WAV (RIFF) ----------------------------------------
+
+  private def putLe16(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte
+    b(off + 1) = ((v >> 8) & 0xff).toByte
+  }
+
+  /** Encode interleaved PCM16 samples as a canonical RIFF/WAVE file:
+    * 12-byte RIFF header, 16-byte PCM "fmt " chunk, "data" chunk with
+    * little-endian 16-bit two's-complement samples. Layout per the public
+    * RIFF/WAVE format specification. */
+  def wavEncode(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    require(channels > 0 && sampleRate > 0 && samples.length % channels == 0)
+    val dataSize = 2 * samples.length
+    val b = new Array[Byte](44 + dataSize)
+    b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'
+    putLe32(b, 4, 36 + dataSize)
+    b(8) = 'W'; b(9) = 'A'; b(10) = 'V'; b(11) = 'E'
+    b(12) = 'f'; b(13) = 'm'; b(14) = 't'; b(15) = ' '
+    putLe32(b, 16, 16) // PCM fmt chunk size
+    putLe16(b, 20, 1) // audio format: PCM
+    putLe16(b, 22, channels)
+    putLe32(b, 24, sampleRate)
+    putLe32(b, 28, sampleRate * channels * 2) // byte rate
+    putLe16(b, 32, channels * 2) // block align
+    putLe16(b, 34, 16) // bits per sample
+    b(36) = 'd'; b(37) = 'a'; b(38) = 't'; b(39) = 'a'
+    putLe32(b, 40, dataSize)
+    var i = 0
+    while (i < samples.length) {
+      putLe16(b, 44 + 2 * i, samples(i) & 0xffff)
+      i += 1
+    }
+    b
+  }
+
+  /** Decoded-audio statistics in integer space: exact absolute-amplitude and
+    * energy sums (order-free, exactly aggregatable) plus a frame-index-
+    * weighted channel-0 sum `wsumC0 = Σ (i+1)·s(i, 0)` that is both order-
+    * and interleave-SENSITIVE — a decoder that misreads the data offset,
+    * sample width, sign or channel interleaving cannot produce the right
+    * tuple. `durationMs = frames·1000 div rate` stays in integer division so
+    * the value is engine-portable. */
+  final case class WavStats(
+      channels: Int, sampleRate: Int, nFrames: Long, durationMs: Long,
+      sumAbs: Long, energy: Long, wsumC0: Long)
+
+  /** Real pure-JVM decode of a PCM16 RIFF/WAVE payload straight off the byte
+    * array: validates the RIFF/WAVE magic, then WALKS the chunk list (word-
+    * aligned sizes, unknown chunks skipped — real-world WAV files carry
+    * LIST/INFO chunks before data) until "fmt " and "data" are both seen.
+    * Rejects non-PCM and non-16-bit loudly rather than guessing. */
+  def wavDecode(bytes: Array[Byte]): WavStats = {
+    require(bytes.length >= 44 && bytes(0) == 'R' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
+      bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E',
+      "not a RIFF/WAVE payload")
+    var off = 12
+    var channels = -1
+    var sampleRate = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (off + 8 <= bytes.length && (channels < 0 || dataOff < 0)) {
+      val id = new String(bytes, off, 4, "US-ASCII")
+      val size = getLe32(bytes, off + 4)
+      require(size >= 0 && off + 8 + size <= bytes.length, s"truncated chunk $id")
+      id match {
+        case "fmt " =>
+          require(size >= 16, "fmt chunk too small")
+          require(getLe16(bytes, off + 8) == 1, "only PCM WAV supported")
+          channels = getLe16(bytes, off + 10)
+          sampleRate = getLe32(bytes, off + 12)
+          require(getLe16(bytes, off + 22) == 16, "only 16-bit WAV supported")
+        case "data" =>
+          dataOff = off + 8
+          dataLen = size
+        case _ => // skip unknown chunk (LIST, INFO, fact, ...)
+      }
+      off += 8 + size + (size & 1) // chunk sizes are word-aligned
+    }
+    require(channels > 0 && sampleRate > 0, "missing fmt chunk")
+    require(dataOff >= 0, "missing data chunk")
+    require(dataLen % (2 * channels) == 0, "data chunk not frame-aligned")
+    val nFrames = dataLen / (2 * channels)
+    var sumAbs = 0L; var energy = 0L; var wsumC0 = 0L
+    var f = 0
+    while (f < nFrames) {
+      var ch = 0
+      while (ch < channels) {
+        val o = dataOff + 2 * (f * channels + ch)
+        // little-endian int16, sign-extended
+        val v = ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort.toInt
+        sumAbs += math.abs(v)
+        energy += v.toLong * v
+        if (ch == 0) wsumC0 += (f + 1).toLong * v
+        ch += 1
+      }
+      f += 1
+    }
+    WavStats(channels, sampleRate, nFrames.toLong,
+      nFrames.toLong * 1000L / sampleRate, sumAbs, energy, wsumC0)
+  }
+
+  /** Deterministic WAV fixture per document: frame count, channel count,
+    * sample rate and every sample value are integer functions of
+    * (doc_id, frame, channel), so an external engine recomputes the decoded
+    * statistics from the FORMULA while Spark recomputes them from the BYTES.
+    *   frames = 64 + id % 193, channels = 1 + id % 2,
+    *   rate = 8000 + (id % 3)·4000,
+    *   s(i, ch) = (i·(3 + ch) + id·11) % 4001 − 2000 */
+  def wavFixtures(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col(idCol).cast("long")).rdd.mapPartitions(_.map { row =>
+      val id = row.getLong(0)
+      val frames = (64 + id % 193).toInt
+      val channels = (1 + id % 2).toInt
+      val rate = (8000 + (id % 3) * 4000).toInt
+      val samples = new Array[Short](frames * channels)
+      var f = 0
+      while (f < frames) {
+        var ch = 0
+        while (ch < channels) {
+          samples(f * channels + ch) =
+            ((f.toLong * (3 + ch) + id * 11L) % 4001L - 2000L).toShort
+          ch += 1
+        }
+        f += 1
+      }
+      Row(id, wavEncode(rate, channels, samples))
+    })
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false))))
+  }
+
+  val WavDecodedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("channels", LongType, nullable = false),
+    StructField("sample_rate", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("sum_abs", LongType, nullable = false),
+    StructField("energy", LongType, nullable = false),
+    StructField("wsum_c0", LongType, nullable = false)))
+
+  /** Partition-batched REAL decode over a WAV binary column — the audio twin
+    * of [[decodeBmp]], same iterator shape as [[decodeStub]]. */
+  def decodeWav(withPayload: DataFrame, idCol: String): DataFrame = {
+    val spark = withPayload.sparkSession
+    val rdd = withPayload.select(col(idCol).cast("long"), col("payload")).rdd
+      .mapPartitions(_.map { r =>
+        val s = wavDecode(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), s.channels.toLong, s.sampleRate.toLong, s.nFrames,
+          s.durationMs, s.sumAbs, s.energy, s.wsumC0)
+      })
+    spark.createDataFrame(rdd, WavDecodedSchema)
   }
 }

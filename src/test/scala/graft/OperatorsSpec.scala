@@ -482,6 +482,35 @@ class OperatorsSpec extends SparkSuite {
     intercept[IllegalArgumentException](Multimodal.bmpDecode(bad8bit))
   }
 
+  test("wavDecode: exact sample math, chunk walking, and loud rejects") {
+    // hand-built stereo file: s(f, ch=0) = 10f - 5, s(f, ch=1) = -3f
+    val samples = Array.tabulate(4 * 2) { i =>
+      val f = i / 2
+      (if (i % 2 == 0) 10 * f - 5 else -3 * f).toShort
+    }
+    val bytes = Multimodal.wavEncode(8000, 2, samples)
+    val s = Multimodal.wavDecode(bytes)
+    assert(s.channels == 2 && s.sampleRate == 8000 && s.nFrames == 4L)
+    // ch0: -5, 5, 15, 25; ch1: 0, -3, -6, -9 → sumAbs 50 + 18
+    assert(s.sumAbs == 68L, s.toString)
+    assert(s.energy == (25L + 25 + 225 + 625) + (0L + 9 + 36 + 81), s.toString)
+    // wsumC0 = 1*(-5) + 2*5 + 3*15 + 4*25 = 150; an interleave bug that
+    // reads ch1 as ch0 would give 1*0 + 2*(-3) + 3*(-6) + 4*(-9) = -60
+    assert(s.wsumC0 == 150L, s.toString)
+    // a LIST chunk (odd size → word-aligned skip) before data must be walked
+    val extra = Array[Byte]('L', 'I', 'S', 'T', 5, 0, 0, 0, 1, 2, 3, 4, 5, 0)
+    val withChunk = bytes.slice(0, 36) ++ extra ++ bytes.slice(36, bytes.length)
+    Multimodal.putLe32(withChunk, 4, withChunk.length - 8)
+    assert(Multimodal.wavDecode(withChunk) == s, "chunk walking changed stats")
+    intercept[IllegalArgumentException] {
+      Multimodal.wavDecode("not audio at all".getBytes("UTF-8"))
+    }
+    val bad8 = bytes.clone(); bad8(34) = 8 // bits-per-sample 8
+    intercept[IllegalArgumentException](Multimodal.wavDecode(bad8))
+    val alaw = bytes.clone(); alaw(20) = 6 // audio format A-law
+    intercept[IllegalArgumentException](Multimodal.wavDecode(alaw))
+  }
+
   test("kernel hash equals the interpreted Catalyst formulation") {
     val d = docs.limit(50).select($"doc_id", TextFns.tokens($"text").as("toks"))
     val kernel = d.select($"doc_id", Kernels.simhashCol($"toks").as("s"))
