@@ -18,10 +18,11 @@ import java.time.Duration
   * like the reference). Parallelism = partitions; no driver bottleneck, no
   * collected data.
   *
-  * Template surface: the two placeholders the default template uses —
-  * `{{ .ModelName }}` and `{{ json .Rows }}` (reference default template
-  * `models/generator_output.go:17`). Arbitrary Go-template programs are out of
-  * scope (documented divergence).
+  * Template surface: [[BodyTemplate]] — field paths, `json`/`len`,
+  * `range`/`end` and whitespace trimming, the surface the reference's
+  * `text/template` + custom funcs expose over `{ModelName, Rows}`
+  * (`writer/http/http.go:134-151`). Parsed once on the driver, so a
+  * malformed template fails the job before any generation runs.
   */
 object HttpSink {
 
@@ -29,7 +30,7 @@ object HttpSink {
     val schema = df.schema
     val endpoint = out.endpoint
     val headers = out.headers.toSeq
-    val template = out.template
+    val tmpl = BodyTemplate.parse(out.template)
     val batchSize = math.max(1L, out.batchSize).toInt
     val timeoutMs = out.timeoutMillis
     val workers = math.max(1, out.workersCount)
@@ -39,12 +40,7 @@ object HttpSink {
         .connectTimeout(Duration.ofMillis(timeoutMs))
         .build()
       def post(batch: Seq[Row]): Unit = {
-        val json = rowsJson(batch, schema)
-        val body = template
-          .replace("{{ .ModelName }}", modelName)
-          .replace("{{.ModelName}}", modelName)
-          .replace("{{ json .Rows }}", json)
-          .replace("{{json .Rows}}", json)
+        val body = BodyTemplate.render(tmpl, modelName, batch, schema)
         postWithRetry(client, endpoint, headers, body, timeoutMs)
       }
       if (workers == 1) rows.grouped(batchSize).foreach(post)
@@ -96,24 +92,34 @@ object HttpSink {
       case TimestampType =>
         sb.append('"').append(row.getTimestamp(i).toInstant.toString).append('"')
       case _ =>
-        sb.append('"')
-        val s = row.get(i).toString
-        var j = 0
-        while (j < s.length) {
-          val c = s.charAt(j)
-          c match {
-            case '"' => sb.append("\\\"")
-            case '\\' => sb.append("\\\\")
-            case '\n' => sb.append("\\n")
-            case '\r' => sb.append("\\r")
-            case '\t' => sb.append("\\t")
-            case x if x < ' ' => sb.append(f"\\u${x.toInt}%04x")
-            case x => sb.append(x)
-          }
-          j += 1
-        }
-        sb.append('"')
+        appendJsonString(sb, row.get(i).toString)
     }
+  }
+
+  private def appendJsonString(sb: java.lang.StringBuilder, s: String): Unit = {
+    sb.append('"')
+    var j = 0
+    while (j < s.length) {
+      val c = s.charAt(j)
+      c match {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case x if x < ' ' => sb.append(f"\\u${x.toInt}%04x")
+        case x => sb.append(x)
+      }
+      j += 1
+    }
+    sb.append('"')
+  }
+
+  /** JSON string literal (quoted + escaped) — shared with [[BodyTemplate]]. */
+  private[engine] def jsonString(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 2)
+    appendJsonString(sb, s)
+    sb.toString
   }
 
   /** Exponential backoff from 1 s, doubling, capped at 10 min total —

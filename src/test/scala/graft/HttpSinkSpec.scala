@@ -58,6 +58,67 @@ class HttpSinkSpec extends SparkSuite {
     }
   }
 
+  test("body template engine: paths, json/len, range/end, trimming, loud errors") {
+    import graft.engine.{BodyTemplate, HttpSink}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val rows = Seq(Row(1L, "a\"b"), Row(2L, null))
+    def r(t: String) = BodyTemplate.render(BodyTemplate.parse(t), "users", rows, schema)
+    // the reference's default template shape
+    assert(r("""{ "table_name": "{{ .ModelName }}", "rows": {{ json .Rows }} }""") ==
+      """{ "table_name": "users", "rows": [{"id":1,"name":"a\"b"},{"id":2,"name":null}] }""")
+    // the reference models_test.go custom-template shape: len + field paths
+    assert(r("""n={{ len .Rows }}""") == "n=2")
+    // range with per-row field access, json of a field, and trim markers
+    assert(r("""ids:{{ range .Rows }} {{- json .id }},{{ end }}""") == "ids:1,2,")
+    assert(r("""{{ range .Rows }}[{{ .id }}:{{ json .name }}]{{ end }}""") ==
+      """[1:"a\"b"][2:null]""")
+    // json of the row dot and of the whole payload
+    assert(r("""{{ range .Rows }}{{ json . }};{{ end }}""") ==
+      """{"id":1,"name":"a\"b"};{"id":2,"name":null};""")
+    assert(r("""{{ json . }}""") ==
+      """{"ModelName":"users","Rows":[{"id":1,"name":"a\"b"},{"id":2,"name":null}]}""")
+    // malformed templates fail at PARSE time with a clear message
+    intercept[IllegalArgumentException](BodyTemplate.parse("{{ range .Rows }}no end"))
+    intercept[IllegalArgumentException](BodyTemplate.parse("{{ if .X }}{{ end }}"))
+    intercept[IllegalArgumentException](BodyTemplate.parse("{{ printf .X }}"))
+    // unknown column fails at render with the standard schema error
+    intercept[IllegalArgumentException](r("""{{ range .Rows }}{{ .nope }}{{ end }}"""))
+  }
+
+  test("http sink renders a custom range template end-to-end") {
+    withServer(() => 200) { (endpoint, bodies) =>
+      val cfg = ConfigParser.parseYaml(
+        s"""
+           |random_seed: 42
+           |output:
+           |  type: http
+           |  params:
+           |    endpoint: "$endpoint"
+           |    batch_size: 100
+           |    format_template: '{ "n": {{ len .Rows }}, "ids": [{{ range .Rows }}{{ .id }},{{ end }}0] }'
+           |models:
+           |  users:
+           |    rows_count: 150
+           |    columns:
+           |      - { name: id, type: integer, type_params: { bit_width: 64, from: 0, to: 149 }, ordered: true, distinct_percentage: 1 }
+           |""".stripMargin)
+      Engine.run(spark, cfg)
+      val all = bodies.asScala.toSeq
+      assert(all.nonEmpty)
+      all.foreach(b => assert(b.matches("""\{ "n": \d+, "ids": \[(\d+,)*0\] \}"""), b.take(120)))
+      val ids = all.flatMap { b =>
+        val inner = "\"ids\": \\[([^\\]]*)\\]".r.findFirstMatchIn(b).get.group(1)
+        inner.split(',').toSeq.filter(_.nonEmpty).init.map(_.toLong)
+      }
+      assert(ids.sorted == (0L until 150L))
+      val ns = all.map(b => "\"n\": (\\d+)".r.findFirstMatchIn(b).get.group(1).toInt)
+      assert(ns.sum == 150)
+    }
+  }
+
   test("http sink retries failures until success") {
     val failures = new java.util.concurrent.atomic.AtomicInteger(2)
     withServer(() => if (failures.getAndDecrement() > 0) 500 else 200) { (endpoint, bodies) =>
