@@ -1318,6 +1318,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "text_gopher_repetition" -> ((s, dir) => {
+      // Gopher/MassiveText top-word / top-bigram occupancy — row-local
+      // kernel passes, no shuffle; oracle re-derives via explode+groupBy
+      TextAnalysis.gopherSignals(spread(t(s, dir, "documents")), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "text_tfidf_top_terms" -> ((s, dir) => {
       TextAnalysis.tfidfTopTerms(spread(t(s, dir, "documents")), "doc_id", "text", k = 3)
         .select(col("doc_id"), col("rank").cast("long").as("rank"),
@@ -2750,6 +2757,36 @@ object SparkEntry {
         |  CASE WHEN n_bigrams = 0 THEN 0.0
         |       ELSE CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE) END AS dup_bigram_frac
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "text_gopher_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), base AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks
+        |), wc AS (
+        |  SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top_word_n FROM (
+        |    SELECT doc_id, tok, count(*) AS cnt
+        |    FROM (SELECT doc_id, unnest(w) AS tok FROM toks) GROUP BY 1, 2)
+        |  GROUP BY 1
+        |), gc AS (
+        |  SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top_bigram_n FROM (
+        |    SELECT doc_id, gram, count(*) AS cnt
+        |    FROM (SELECT doc_id,
+        |            unnest([array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))]) AS gram
+        |          FROM toks) GROUP BY 1, 2)
+        |  GROUP BY 1
+        |)
+        |SELECT base.doc_id, base.n_tokens,
+        |  COALESCE(wc.top_word_n, 0) AS top_word_n,
+        |  COALESCE(gc.top_bigram_n, 0) AS top_bigram_n,
+        |  CASE WHEN base.n_tokens = 0 THEN 0.0
+        |       ELSE CAST(COALESCE(wc.top_word_n, 0) AS DOUBLE) / CAST(base.n_tokens AS DOUBLE) END AS top_word_frac,
+        |  CASE WHEN base.n_tokens <= 1 THEN 0.0
+        |       ELSE CAST(COALESCE(gc.top_bigram_n, 0) AS DOUBLE) / CAST(base.n_tokens - 1 AS DOUBLE) END AS top_bigram_frac
+        |FROM base
+        |LEFT JOIN wc ON wc.doc_id = base.doc_id
+        |LEFT JOIN gc ON gc.doc_id = base.doc_id
+        |ORDER BY base.doc_id""".stripMargin,
 
     "text_tfidf_top_terms" ->
       """WITH toks AS (

@@ -227,6 +227,45 @@ object Kernels {
     new GenericArrayData(set.toArray())
   }
 
+  /** Highest multiplicity of any word n-gram of the text (0 when the text
+    * has fewer than n tokens) — the integer core of the Gopher-style
+    * "fraction of tokens inside the most common n-gram" repetition signals.
+    * One tokenize pass + one hash map, row-local: the signal needs NO
+    * corpus shuffle, unlike the explode+groupBy formulation. */
+  def maxNgramMultiplicity(text: UTF8String, n: Int): Long = {
+    val s = text.toString.trim
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && isWs(s.charAt(i))) i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && !isWs(s.charAt(i))) i += 1
+        toks.add(s.substring(start, i))
+      }
+    }
+    val m = toks.size()
+    if (m < n) return 0L
+    val counts = new java.util.HashMap[String, Int]()
+    val sb = new java.lang.StringBuilder(64)
+    var best = 0
+    var t = 0
+    while (t <= m - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks.get(t + k))
+        k += 1
+      }
+      val c = counts.merge(sb.toString, 1, (a, b) => a + b)
+      if (c > best) best = c
+      t += 1
+    }
+    best.toLong
+  }
+
   /** Prefix-filter prefix of a SORTED DISTINCT gram array for a Jaccard
     * threshold `t`: the `|G| - ceil(t*|G|) + 1` grams that come first in the
     * GLOBAL total order (md5-hash of the gram, ties by the gram itself).
@@ -373,6 +412,9 @@ object Kernels {
 
   def wordNgramsSortedCol(text: Column, n: Int): Column =
     call(ArrayType(StringType, containsNull = false), "wordNgramsSorted", text, lit(n))
+
+  def maxNgramMultiplicityCol(text: Column, n: Int): Column =
+    call(LongType, "maxNgramMultiplicity", text, lit(n))
 
   def cosineQCol(a: Column, na: Column, b: Column, nb: Column): Column =
     call(DoubleType, "cosineQ", a, na, b, nb)

@@ -117,6 +117,28 @@ object TextAnalysis {
             / col("n_bigrams").cast("double")))
   }
 
+  /** Gopher-style repetition occupancy signals: the fraction of tokens
+    * claimed by the single most frequent word and bigram — the filters the
+    * Gopher/MassiveText quality rules apply on top of the duplicate-ngram
+    * fraction ([[withRepetition]]). The integer cores are row-LOCAL kernel
+    * passes (`Kernels.maxNgramMultiplicity` — one tokenize + one hash map
+    * per document, scan speed, no shuffle), unlike the explode+groupBy
+    * formulation that would shuffle every token of a 100 TB corpus; the
+    * fractions are single IEEE divisions of exact integers, so the signal
+    * is bit-reproducible across engines. */
+  def gopherSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      TextFns.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      graft.functions.Kernels.maxNgramMultiplicityCol(col(textCol), 1).as("top_word_n"),
+      graft.functions.Kernels.maxNgramMultiplicityCol(col(textCol), 2).as("top_bigram_n"))
+      .withColumn("top_word_frac",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("top_word_n").cast("double") / col("n_tokens").cast("double")))
+      .withColumn("top_bigram_frac",
+        when(col("n_tokens") <= 1, lit(0.0))
+          .otherwise(col("top_bigram_n").cast("double") / (col("n_tokens") - 1).cast("double")))
+
   /** Per-document salient terms — the TF-IDF shape with an exact-integer
     * ranking: terms are ordered by (tf DESC, df ASC, term ASC), which is the
     * tf·idf order whenever tf ties break by rarity, without a

@@ -482,6 +482,32 @@ class OperatorsSpec extends SparkSuite {
     intercept[IllegalArgumentException](Multimodal.bmpDecode(bad8bit))
   }
 
+  test("gopher occupancy signals: exact fractions on hand-built texts") {
+    val df = Seq(
+      (1L, "a a a b"), // top word a x3 of 4; bigrams "a a" x2 of 3
+      (2L, "x"), // single token: bigram count 0, frac 0
+      (3L, "p q p q p") // p x3 of 5; "p q" x2 of 4
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherSignals(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r(0).getLong(1) == 4 && r(0).getLong(2) == 3 && r(0).getLong(3) == 2)
+    assert(r(0).getDouble(4) == 0.75 && r(0).getDouble(5) == 2.0 / 3.0)
+    assert(r(1).getLong(2) == 1 && r(1).getLong(3) == 0 && r(1).getDouble(5) == 0.0)
+    assert(r(2).getDouble(4) == 0.6 && r(2).getDouble(5) == 0.5)
+    // kernel result equals the shuffle-based explode+groupBy formulation
+    val kernel = TextAnalysis.gopherSignals(docs.limit(100), "doc_id", "text")
+      .select($"doc_id", $"top_bigram_n")
+    val exploded = docs.limit(100)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(split(trim(text), '\\\\s+')) - 1), " +
+          "i -> concat(element_at(split(trim(text), '\\\\s+'), i), ' ', " +
+          "element_at(split(trim(text), '\\\\s+'), i + 1)))")).as("gram"))
+      .groupBy($"doc_id", $"gram").count()
+      .groupBy($"doc_id").agg(max($"count").as("top_bigram_n"))
+    assert(kernel.orderBy("doc_id").collect().toSeq ==
+      exploded.orderBy("doc_id").collect().toSeq)
+  }
+
   test("wavDecode: exact sample math, chunk walking, and loud rejects") {
     // hand-built stereo file: s(f, ch=0) = 10f - 5, s(f, ch=1) = -3f
     val samples = Array.tabulate(4 * 2) { i =>
