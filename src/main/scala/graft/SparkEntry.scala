@@ -991,6 +991,18 @@ object SparkEntry {
         .orderBy(col("round"))
     }),
 
+    "text_bpe_encode" -> ((s, dir) => {
+      // the APPLY side of tokenizer training: train 3 merges, then encode
+      // the whole corpus — per-word kernel over the distinct vocabulary,
+      // vocabulary-sized broadcast join back to (doc, word) counts; the
+      // oracle re-derives the merges AND re-applies them per word
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.TextAnalysis.bpeMerges(docs, "text", rounds = 3)
+        .orderBy(col("round")).collect().map(_.getString(1)).toSeq
+      graft.operators.TextAnalysis.bpeEncode(spread(docs), "doc_id", "text", merges)
+        .orderBy(col("doc_id"))
+    }),
+
     "text_heavy_hitters" -> ((s, dir) => {
       // EXACT heavy hitters by sketch-then-verify: broadcast Count-Min
       // literals prefilter candidate occurrences at scan speed (CMS never
@@ -2008,6 +2020,50 @@ object SparkEntry {
         |)
         |SELECT w, CAST(count(*) AS BIGINT) AS n FROM toks
         |GROUP BY 1 HAVING count(*) >= 900 ORDER BY w""".stripMargin,
+
+    "text_bpe_encode" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents
+        |), w AS (SELECT word, count(*) AS n FROM toks GROUP BY 1),
+        |s0 AS (SELECT word, trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS segs, n FROM w),
+        |p1 AS (
+        |  SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+        |    SELECT n, unnest([l[i] || ' ' || l[i+1] FOR i IN range(1, len(l))]) AS pair
+        |    FROM (SELECT string_split(segs, ' ') AS l, n FROM s0) q WHERE len(l) >= 2
+        |  ) GROUP BY 1
+        |), m1 AS (SELECT pair FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+        |s1 AS (SELECT word, trim(replace(replace(
+        |    ' ' || replace(segs, ' ', '  ') || ' ',
+        |    ' ' || replace((SELECT pair FROM m1), ' ', '  ') || ' ',
+        |    ' ' || replace((SELECT pair FROM m1), ' ', '') || ' '),
+        |  '  ', ' ')) AS segs, n FROM s0),
+        |p2 AS (
+        |  SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+        |    SELECT n, unnest([l[i] || ' ' || l[i+1] FOR i IN range(1, len(l))]) AS pair
+        |    FROM (SELECT string_split(segs, ' ') AS l, n FROM s1) q WHERE len(l) >= 2
+        |  ) GROUP BY 1
+        |), m2 AS (SELECT pair FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+        |s2 AS (SELECT word, trim(replace(replace(
+        |    ' ' || replace(segs, ' ', '  ') || ' ',
+        |    ' ' || replace((SELECT pair FROM m2), ' ', '  ') || ' ',
+        |    ' ' || replace((SELECT pair FROM m2), ' ', '') || ' '),
+        |  '  ', ' ')) AS segs, n FROM s1),
+        |p3 AS (
+        |  SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+        |    SELECT n, unnest([l[i] || ' ' || l[i+1] FOR i IN range(1, len(l))]) AS pair
+        |    FROM (SELECT string_split(segs, ' ') AS l, n FROM s2) q WHERE len(l) >= 2
+        |  ) GROUP BY 1
+        |), m3 AS (SELECT pair FROM p3 ORDER BY cnt DESC, pair LIMIT 1),
+        |s3 AS (SELECT word, trim(replace(replace(
+        |    ' ' || replace(segs, ' ', '  ') || ' ',
+        |    ' ' || replace((SELECT pair FROM m3), ' ', '  ') || ' ',
+        |    ' ' || replace((SELECT pair FROM m3), ' ', '') || ' '),
+        |  '  ', ' ')) AS segs FROM s2),
+        |encn AS (SELECT word, CAST(len(string_split(segs, ' ')) AS BIGINT) AS n_bpe FROM s3),
+        |dw AS (SELECT doc_id, word, count(*) AS k FROM toks GROUP BY 1, 2)
+        |SELECT dw.doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+        |  CAST(sum(k * n_bpe) AS BIGINT) AS n_bpe_segments
+        |FROM dw JOIN encn USING (word) GROUP BY 1 ORDER BY dw.doc_id""".stripMargin,
 
     "funnel_stages" ->
       """WITH s0 AS (

@@ -266,6 +266,44 @@ object Kernels {
     best.toLong
   }
 
+  /** Number of BPE segments a word tokenizes into under an ordered merge
+    * list (each entry "a b", symbols never contain spaces): the word is
+    * split into characters and every merge is applied as one left-to-right
+    * non-overlapping adjacent-pair pass — the exact apply-side semantics of
+    * the trained [[graft.operators.TextAnalysis.bpeMerges]] vocabulary.
+    * Row-local; callers dedupe words first so the cost is vocabulary-, not
+    * corpus-, sized. */
+  def bpeSegmentCount(word: UTF8String, merges: ArrayData): Long = {
+    val s = word.toString
+    if (s.isEmpty) return 0L
+    var syms = new Array[String](s.length)
+    var i = 0
+    while (i < s.length) { syms(i) = String.valueOf(s.charAt(i)); i += 1 }
+    var n = syms.length
+    val m = merges.numElements()
+    var mi = 0
+    while (mi < m && n > 1) {
+      val pair = merges.getUTF8String(mi).toString
+      val sp = pair.indexOf(' ')
+      val a = pair.substring(0, sp)
+      val b = pair.substring(sp + 1)
+      val out = new Array[String](n)
+      var w = 0
+      var r = 0
+      while (r < n) {
+        if (r + 1 < n && syms(r) == a && syms(r + 1) == b) {
+          out(w) = a + b; w += 1; r += 2
+        } else {
+          out(w) = syms(r); w += 1; r += 1
+        }
+      }
+      syms = out
+      n = w
+      mi += 1
+    }
+    n.toLong
+  }
+
   /** Prefix-filter prefix of a SORTED DISTINCT gram array for a Jaccard
     * threshold `t`: the `|G| - ceil(t*|G|) + 1` grams that come first in the
     * GLOBAL total order (md5-hash of the gram, ties by the gram itself).
@@ -415,6 +453,9 @@ object Kernels {
 
   def maxNgramMultiplicityCol(text: Column, n: Int): Column =
     call(LongType, "maxNgramMultiplicity", text, lit(n))
+
+  def bpeSegmentCountCol(word: Column, merges: Column): Column =
+    call(LongType, "bpeSegmentCount", word, merges)
 
   def cosineQCol(a: Column, na: Column, b: Column, nb: Column): Column =
     call(DoubleType, "cosineQ", a, na, b, nb)

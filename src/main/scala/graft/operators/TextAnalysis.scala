@@ -675,6 +675,33 @@ object TextAnalysis {
   /** Greedy left-to-right non-overlapping merge of (a, b) → m — exactly
     * the doubled-space `replace` the distributed path and the SQL oracle
     * apply. */
+  /** Distributed BPE ENCODE — apply an ordered, trained merge list
+    * ([[bpeMerges]] output pairs) to every document and report per-doc
+    * whitespace-token and BPE-segment counts. The apply side of tokenizer
+    * training: encoding is per-WORD, so the corpus first collapses to its
+    * (doc, word) counts and the merge loop runs once per DISTINCT word
+    * (`Kernels.bpeSegmentCount` — a row-local kernel with the exact
+    * left-to-right pair-pass semantics of the trainer's rewrite), then a
+    * vocabulary-sized broadcast join fans the segment counts back out.
+    * At 100 TB: work scales with vocabulary + one map-side-combined
+    * (doc, word) aggregation, never corpus x merges. */
+  def bpeEncode(
+      docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[String]): DataFrame = {
+    val mergesCol = array(merges.map(lit(_)): _*)
+    val dw = docs
+      .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("word"))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("k"))
+    val vocab = dw.select(col("word")).distinct()
+      .withColumn("n_bpe",
+        graft.functions.Kernels.bpeSegmentCountCol(col("word"), mergesCol))
+    dw.join(broadcast(vocab), "word")
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("k")).cast("long").as("n_tokens"),
+        sum(col("k") * col("n_bpe")).cast("long").as("n_bpe_segments"))
+  }
+
   private def bpeRewrite(syms: Array[String], a: String, b: String, m: String): Array[String] = {
     val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
     var i = 0

@@ -482,6 +482,20 @@ class OperatorsSpec extends SparkSuite {
     intercept[IllegalArgumentException](Multimodal.bmpDecode(bad8bit))
   }
 
+  test("bpeEncode kernel: merge order, left-to-right non-overlap, symbol bounds") {
+    def enc(word: String, merges: Seq[String]): Long =
+      spark.range(1).select(
+        Kernels.bpeSegmentCountCol(lit(word), array(merges.map(lit(_)): _*)).as("n"))
+        .head().getLong(0)
+    assert(enc("abc", Seq("a b", "ab c")) == 1) // cascading merges compose
+    assert(enc("abc", Seq("ab c", "a b")) == 2) // order matters: 'ab' not yet a symbol
+    assert(enc("aaaa", Seq("a a")) == 2) // one pass, non-overlapping: [aa][aa]
+    assert(enc("aaa", Seq("a a")) == 2) // [aa][a]
+    assert(enc("aaaa", Seq("a a", "aa aa")) == 1)
+    assert(enc("zxy", Seq("x y")) == 2) // [z][xy]: merges respect symbol bounds
+    assert(enc("z", Seq("q q")) == 1)
+  }
+
   test("gopher occupancy signals: exact fractions on hand-built texts") {
     val df = Seq(
       (1L, "a a a b"), // top word a x3 of 4; bigrams "a a" x2 of 3
