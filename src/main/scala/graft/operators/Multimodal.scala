@@ -169,11 +169,17 @@ object Multimodal {
       width: Int, height: Int, channels: Int,
       sumR: Long, sumG: Long, sumB: Long, wsumR: Long)
 
-  /** Real pure-JVM decode of an uncompressed 24-bit BMP (bottom-up or
-    * top-down via negative height) straight off the byte array — header
-    * offsets, row stride padding and BGR ordering per the public format
-    * spec. Rejects anything else loudly rather than guessing. */
-  def bmpDecode(bytes: Array[Byte]): BmpStats = {
+  /** Parsed-and-validated 24-bit BMP header geometry. */
+  private final case class BmpHeader(
+      pixelOff: Int, width: Int, height: Int, bottomUp: Boolean, stride: Int) {
+    /** Byte offset of pixel (x, y) in TOP-DOWN image coordinates. */
+    @inline def at(x: Int, y: Int): Int = {
+      val srcRow = if (bottomUp) height - 1 - y else y
+      pixelOff + srcRow * stride + 3 * x
+    }
+  }
+
+  private def bmpHeader(bytes: Array[Byte]): BmpHeader = {
     require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
       "not a BMP payload")
     val pixelOff = getLe32(bytes, 10)
@@ -187,6 +193,20 @@ object Multimodal {
     require(width > 0 && height > 0, "degenerate BMP dimensions")
     val stride = ((3 * width + 3) / 4) * 4
     require(bytes.length >= pixelOff + stride * height, "truncated BMP pixel data")
+    BmpHeader(pixelOff, width, height, bottomUp, stride)
+  }
+
+  /** Real pure-JVM decode of an uncompressed 24-bit BMP (bottom-up or
+    * top-down via negative height) straight off the byte array — header
+    * offsets, row stride padding and BGR ordering per the public format
+    * spec. Rejects anything else loudly rather than guessing. */
+  def bmpDecode(bytes: Array[Byte]): BmpStats = {
+    val hdr = bmpHeader(bytes)
+    val pixelOff = hdr.pixelOff
+    val width = hdr.width
+    val height = hdr.height
+    val bottomUp = hdr.bottomUp
+    val stride = hdr.stride
     var sumR = 0L; var sumG = 0L; var sumB = 0L; var wsumR = 0L
     var y = 0
     while (y < height) {
@@ -399,6 +419,70 @@ object Multimodal {
     StructField("sum_abs", LongType, nullable = false),
     StructField("energy", LongType, nullable = false),
     StructField("wsum_c0", LongType, nullable = false)))
+
+  /** Resized-image statistics: output geometry plus exact per-channel sums
+    * and a row-weighted red sum over the RESAMPLED pixels. */
+  final case class BmpResampleStats(
+      srcW: Int, srcH: Int, outW: Int, outH: Int,
+      sumR: Long, sumG: Long, sumB: Long, wsumR: Long)
+
+  /** REAL pixel resampling (the step [[resizePlan]] plans): nearest-neighbor
+    * fit-within-`maxDim` downscale of a 24-bit BMP, all-integer — source
+    * pixel of output (x, y) is (x·srcW div outW, y·srcH div outH), the
+    * truncating-division mapping both engines share — so the resampled
+    * image's statistics are exactly recomputable from the pixel formula.
+    * Never upscales (geometry identical to [[resizePlan]]). Reads only the
+    * sampled source rows/pixels off the byte array. */
+  def bmpResample(bytes: Array[Byte], maxDim: Int): BmpResampleStats = {
+    require(maxDim > 0)
+    val hdr = bmpHeader(bytes)
+    val m = math.max(hdr.width, hdr.height)
+    val outW = if (m <= maxDim) hdr.width else hdr.width * maxDim / m
+    val outH = if (m <= maxDim) hdr.height else hdr.height * maxDim / m
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var wsumR = 0L
+    var y = 0
+    while (y < outH) {
+      val sy = y * hdr.height / outH
+      var x = 0
+      while (x < outW) {
+        val sx = x * hdr.width / outW
+        val o = hdr.at(sx, sy)
+        sumB += bytes(o) & 0xff
+        sumG += bytes(o + 1) & 0xff
+        val r = bytes(o + 2) & 0xff
+        sumR += r
+        wsumR += (y + 1).toLong * r
+        x += 1
+      }
+      y += 1
+    }
+    BmpResampleStats(hdr.width, hdr.height, outW, outH, sumR, sumG, sumB, wsumR)
+  }
+
+  val BmpResampledSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("src_w", LongType, nullable = false),
+    StructField("src_h", LongType, nullable = false),
+    StructField("out_w", LongType, nullable = false),
+    StructField("out_h", LongType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false),
+    StructField("wsum_r", LongType, nullable = false)))
+
+  /** Partition-batched REAL resample over a BMP binary column — decode +
+    * nearest-neighbor downscale in one pass, same iterator shape as
+    * [[decodeBmp]]. */
+  def resampleBmp(withPayload: DataFrame, idCol: String, maxDim: Int = 16): DataFrame = {
+    val spark = withPayload.sparkSession
+    val rdd = withPayload.select(col(idCol).cast("long"), col("payload")).rdd
+      .mapPartitions(_.map { r =>
+        val s = bmpResample(r.getAs[Array[Byte]](1), maxDim)
+        Row(r.getLong(0), s.srcW.toLong, s.srcH.toLong, s.outW.toLong, s.outH.toLong,
+          s.sumR, s.sumG, s.sumB, s.wsumR)
+      })
+    spark.createDataFrame(rdd, BmpResampledSchema)
+  }
 
   /** Partition-batched REAL decode over a WAV binary column — the audio twin
     * of [[decodeBmp]], same iterator shape as [[decodeStub]]. */

@@ -551,6 +551,22 @@ class OperatorsSpec extends SparkSuite {
     intercept[IllegalArgumentException](Multimodal.wavDecode(alaw))
   }
 
+  test("bmpResample: identity within maxDim, exact nearest-neighbor mapping") {
+    // image already within maxDim: resample is the identity, stats == decode
+    val small = Multimodal.bmpEncode(4, 3, (x, y) => (10 * x + y, 7, x + 100 * y))
+    val rs = Multimodal.bmpResample(small, 16)
+    val dec = Multimodal.bmpDecode(small)
+    assert(rs.outW == 4 && rs.outH == 3)
+    assert(rs.sumR == dec.sumR && rs.sumG == dec.sumG &&
+      rs.sumB == dec.sumB && rs.wsumR == dec.wsumR)
+    // 4x4 -> 2x2 nearest-neighbor picks source pixels (0,0),(2,0),(0,2),(2,2)
+    val img = Multimodal.bmpEncode(4, 4, (x, y) => (16 * y + x, 0, 0))
+    val r2 = Multimodal.bmpResample(img, 2)
+    assert(r2.outW == 2 && r2.outH == 2)
+    assert(r2.sumR == 0 + 2 + 32 + 34, r2.toString)
+    assert(r2.wsumR == 1 * (0 + 2) + 2 * (32 + 34), r2.toString)
+  }
+
   test("kernel hash equals the interpreted Catalyst formulation") {
     val d = docs.limit(50).select($"doc_id", TextFns.tokens($"text").as("toks"))
     val kernel = d.select($"doc_id", Kernels.simhashCol($"toks").as("s"))
