@@ -1330,6 +1330,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "text_char_entropy" -> ((s, dir) => {
+      // Shannon char entropy in nats — gibberish/encoding detector; exact
+      // via per-count qln quantization before order-free integer sums
+      TextAnalysis.charEntropy(spread(t(s, dir, "documents")), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "text_gopher_repetition" -> ((s, dir) => {
       // Gopher/MassiveText top-word / top-bigram occupancy — row-local
       // kernel passes, no shuffle; oracle re-derives via explode+groupBy
@@ -2823,6 +2830,22 @@ object SparkEntry {
         |  CASE WHEN n_bigrams = 0 THEN 0.0
         |       ELSE CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE) END AS dup_bigram_frac
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "text_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+        |), cc AS (
+        |  SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars,
+        |    CAST(sum(n * CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_nlnn
+        |  FROM cc GROUP BY 1
+        |)
+        |SELECT doc_id, n_chars, sum_nlnn,
+        |  CASE WHEN n_chars = 0 THEN 0.0
+        |       ELSE CAST(CAST(floor(ln(CAST(n_chars AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) * n_chars - sum_nlnn AS DOUBLE)
+        |            / CAST(n_chars * 1000000 AS DOUBLE) END AS entropy_nats
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "text_gopher_repetition" ->
       """WITH toks AS (

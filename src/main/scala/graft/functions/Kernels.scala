@@ -266,6 +266,31 @@ object Kernels {
     best.toLong
   }
 
+  /** Character-entropy integer parts of a text: `[n_chars, Σ n_c·qln(n_c)]`
+    * where `qln(x) = floor(ln(x)·1e6 + 0.5)` — the per-term quantization of
+    * the transcendental BEFORE the order-free integer sum (the BM25/LM-fit
+    * pattern), so Shannon entropy in nats reduces to
+    * `(qln(N)·N − Σ n_c·qln(n_c)) / (N·1e6)`: exact integers up to one
+    * final IEEE division, bit-reproducible across engines. One pass, one
+    * small hash map per row. Counts are UTF-16 code units (the corpus is
+    * ASCII; callers on astral text should normalize first). */
+  def charEntropyParts(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val counts = new java.util.HashMap[Character, Int]()
+    var i = 0
+    while (i < s.length) {
+      counts.merge(s.charAt(i), 1, (a, b) => a + b)
+      i += 1
+    }
+    var sum = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val n = it.next().toLong
+      sum += n * math.floor(math.log(n.toDouble) * 1e6 + 0.5).toLong
+    }
+    new GenericArrayData(Array[Any](s.length.toLong, sum))
+  }
+
   /** Number of BPE segments a word tokenizes into under an ordered merge
     * list (each entry "a b", symbols never contain spaces): the word is
     * split into characters and every merge is applied as one left-to-right
@@ -456,6 +481,9 @@ object Kernels {
 
   def bpeSegmentCountCol(word: Column, merges: Column): Column =
     call(LongType, "bpeSegmentCount", word, merges)
+
+  def charEntropyPartsCol(text: Column): Column =
+    call(ArrayType(LongType, containsNull = false), "charEntropyParts", text)
 
   def cosineQCol(a: Column, na: Column, b: Column, nb: Column): Column =
     call(DoubleType, "cosineQ", a, na, b, nb)

@@ -139,6 +139,27 @@ object TextAnalysis {
         when(col("n_tokens") <= 1, lit(0.0))
           .otherwise(col("top_bigram_n").cast("double") / (col("n_tokens") - 1).cast("double")))
 
+  /** Per-document Shannon character entropy (nats) — the gibberish/encoding
+    * detector of the quality block: natural text sits in a stable entropy
+    * band, while base64 blobs, repeated padding and binary spills fall
+    * outside it. Cross-engine-exact via the quantize-the-transcendental
+    * pattern: `qln(x) = floor(ln(x)·1e6 + 0.5)` per distinct character
+    * count, order-free integer sums, one final IEEE division
+    * ([[graft.functions.Kernels.charEntropyParts]] — row-local, one hash
+    * map per doc, no shuffle). */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol),
+        graft.functions.Kernels.charEntropyPartsCol(col(textCol)).as("p"))
+      .select(col(idCol),
+        element_at(col("p"), 1).as("n_chars"),
+        element_at(col("p"), 2).as("sum_nlnn"))
+      .withColumn("entropy_nats",
+        when(col("n_chars") === 0, lit(0.0)).otherwise(
+          (floor(log(col("n_chars").cast("double")) * 1e6 + 0.5).cast("long")
+            * col("n_chars") - col("sum_nlnn")).cast("double")
+            / (col("n_chars") * lit(1000000L)).cast("double")))
+
   /** Per-document salient terms — the TF-IDF shape with an exact-integer
     * ranking: terms are ordered by (tf DESC, df ASC, term ASC), which is the
     * tf·idf order whenever tf ties break by rarity, without a

@@ -482,6 +482,16 @@ class OperatorsSpec extends SparkSuite {
     intercept[IllegalArgumentException](Multimodal.bmpDecode(bad8bit))
   }
 
+  test("charEntropy: zero for uniform runs, ln(k) for k distinct chars, quantized") {
+    val df = Seq((1L, "aaaa"), (2L, "abcd"), (3L, "aab"), (4L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.charEntropy(df, "doc_id", "text").orderBy("doc_id").collect()
+    assert(r(0).getDouble(3) == 0.0) // one symbol: no uncertainty
+    assert(math.abs(r(1).getDouble(3) - math.log(4)) < 1e-5) // uniform over 4
+    // H(2/3, 1/3) = ln(3) - (2 ln 2)/3, within quantization error
+    assert(math.abs(r(2).getDouble(3) - (math.log(3) - 2 * math.log(2) / 3)) < 1e-5)
+    assert(r(3).getLong(1) == 0 && r(3).getDouble(3) == 0.0)
+  }
+
   test("bpeEncode kernel: merge order, left-to-right non-overlap, symbol bounds") {
     def enc(word: String, merges: Seq[String]): Long =
       spark.range(1).select(
