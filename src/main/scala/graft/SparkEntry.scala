@@ -1096,6 +1096,15 @@ object SparkEntry {
         .limit(100)
     }),
 
+    "drift_ks" -> ((s, dir) => {
+      // binning-free drift twin of drift_psi: exact two-sample KS distance
+      // over the same deterministic re-curation — integer cumulative
+      // differences, one final division
+      val docs = t(s, dir, "documents")
+      val cur = docs.filter(col("n_chars") >= 150 || col("doc_id") % 3 === 0)
+      graft.operators.Drift.ksOf(docs, cur, "n_chars")
+    }),
+
     "drift_psi" -> ((s, dir) => {
       // distribution-drift check between the corpus and a (deterministic)
       // length-biased re-curation: Population Stability Index over
@@ -2310,6 +2319,28 @@ object SparkEntry {
         |  CAST((SELECT n FROM n) AS DOUBLE) * p.n_ab / ia.n_i / ib.n_i AS lift
         |FROM p JOIN ic ia ON ia.i = p.item_a JOIN ic ib ON ib.i = p.item_b
         |ORDER BY lift DESC, item_a, item_b LIMIT 100""".stripMargin,
+
+    "drift_ks" ->
+      """WITH b AS (SELECT n_chars AS v FROM documents),
+        |c AS (SELECT n_chars AS v FROM documents WHERE n_chars >= 150 OR doc_id % 3 = 0),
+        |u AS (
+        |  SELECT v, CAST(sum(c1) AS BIGINT) AS c1, CAST(sum(c2) AS BIGINT) AS c2 FROM (
+        |    SELECT v, 1 AS c1, 0 AS c2 FROM b
+        |    UNION ALL SELECT v, 0 AS c1, 1 AS c2 FROM c
+        |  ) q GROUP BY 1
+        |), cum AS (
+        |  SELECT v,
+        |    sum(c1) OVER (ORDER BY v) AS cum1,
+        |    sum(c2) OVER (ORDER BY v) AS cum2,
+        |    sum(c1) OVER () AS n1,
+        |    sum(c2) OVER () AS n2
+        |  FROM u
+        |)
+        |SELECT CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+        |  CAST(max(abs(n2*cum1 - n1*cum2)) AS BIGINT) AS d_num,
+        |  CAST(max(abs(n2*cum1 - n1*cum2)) AS DOUBLE)
+        |    / CAST(max(n1) * max(n2) AS DOUBLE) AS ks_d
+        |FROM cum""".stripMargin,
 
     "drift_psi" ->
       """WITH bks AS (SELECT range AS bucket FROM range(0, 12)),

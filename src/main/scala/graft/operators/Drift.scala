@@ -49,6 +49,44 @@ object Drift {
     * that vanished from one snapshot still reports (its PSI is driven by
     * the smoothing floor — loud, not absent). Ungrouped when `groupCols`
     * is empty. */
+  /** Exact two-sample Kolmogorov–Smirnov distance over an INTEGER value
+    * column: D = max_x |F1(x) − F2(x)| computed as
+    * `max |n2·cum1(x) − n1·cum2(x)| / (n1·n2)` — every term an exact
+    * integer, one final IEEE division, so the PSI complement (the
+    * binning-free, worst-single-point drift test) hash-matches its SQL
+    * re-derivation. Returns one row: (n1, n2, d_num, ks_d).
+    *
+    * Scale shape: one map-side-combined count aggregation keyed on the
+    * value, then the cumulative pass runs over the DISTINCT-VALUE relation
+    * — bounded by the value domain (quantize continuous scores first), not
+    * the corpus, so the unpartitioned window is a deliberately tiny tail
+    * step, the same trade as PSI's bucket frame. Exactness bound:
+    * n1·n2 < 2^63 (sample snapshots beyond ~3e9 rows each). */
+  def ksOf(base: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = base.select(col(valueCol).cast("long").as("v"),
+      lit(1L).as("c1"), lit(0L).as("c2"))
+    val b = cur.select(col(valueCol).cast("long").as("v"),
+      lit(0L).as("c1"), lit(1L).as("c2"))
+    val counts = a.unionAll(b).groupBy(col("v"))
+      .agg(sum(col("c1")).as("c1"), sum(col("c2")).as("c2"))
+    val cum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .withColumn("cum1", sum(col("c1")).over(cum))
+      .withColumn("cum2", sum(col("c2")).over(cum))
+      .withColumn("n1", sum(col("c1")).over(all))
+      .withColumn("n2", sum(col("c2")).over(all))
+      .agg(
+        max(col("n1")).as("n1"),
+        max(col("n2")).as("n2"),
+        max(abs(col("n2") * col("cum1") - col("n1") * col("cum2"))).as("d_num"))
+      .select(col("n1"), col("n2"), col("d_num"),
+        (col("d_num").cast("double") / (col("n1") * col("n2")).cast("double")).as("ks_d"))
+  }
+
   def psiBucketsBy(
       base: DataFrame, current: DataFrame, groupCols: Seq[String], valueCol: String,
       width: Long, buckets: Int): DataFrame = {

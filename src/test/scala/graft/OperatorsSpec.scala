@@ -482,6 +482,18 @@ class OperatorsSpec extends SparkSuite {
     intercept[IllegalArgumentException](Multimodal.bmpDecode(bad8bit))
   }
 
+  test("ksOf: exact hand-computed distance, zero on identical samples") {
+    import graft.operators.Drift
+    val a = Seq(1L, 2L, 3L, 4L).toDF("v")
+    val b = Seq(3L, 4L, 5L, 6L).toDF("v")
+    val r = Drift.ksOf(a, b, "v").head()
+    // F1-F2 peaks at 0.5 between v=2 and v=4: d_num = 4*max|cum1-cum2| = 8
+    assert(r.getLong(0) == 4 && r.getLong(1) == 4)
+    assert(r.getLong(2) == 8L && r.getDouble(3) == 0.5)
+    val same = Drift.ksOf(a, a, "v").head()
+    assert(same.getLong(2) == 0L && same.getDouble(3) == 0.0)
+  }
+
   test("charEntropy: zero for uniform runs, ln(k) for k distinct chars, quantized") {
     val df = Seq((1L, "aaaa"), (2L, "abcd"), (3L, "aab"), (4L, "")).toDF("doc_id", "text")
     val r = TextAnalysis.charEntropy(df, "doc_id", "text").orderBy("doc_id").collect()
