@@ -266,6 +266,80 @@ object Kernels {
     best.toLong
   }
 
+  /** PQ code assignment in ONE kernel call: for each of `mSub` subspaces,
+    * the argmin codeword by integer L2 (ties to the smallest code id)
+    * against a FLATTENED `[m][c][d]` codebook literal. One call per row —
+    * the Column-tree formulation (1024 element_at terms at the defaults)
+    * re-evaluates the upstream quantize kernel once per term after
+    * Catalyst's projection collapse, turning a scan into O(dims·ksub)
+    * quantize calls per row (measured 8 s on 5 000 vectors). */
+  def pqAssign(qv: ArrayData, books: ArrayData, mSub: Int, ksub: Int): ArrayData = {
+    val dims = qv.numElements()
+    val sub = dims / mSub
+    val out = new Array[Any](mSub)
+    var m = 0
+    while (m < mSub) {
+      var bestC = 0
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < ksub) {
+        val base = (m * ksub + c) * sub
+        var dist = 0L
+        var d = 0
+        while (d < sub) {
+          val diff = qv.getLong(m * sub + d) - books.getLong(base + d)
+          dist += diff * diff
+          d += 1
+        }
+        if (dist < bestD) { bestD = dist; bestC = c }
+        c += 1
+      }
+      out(m) = bestC.toLong
+      m += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Full `mSub·ksub` ADC distance table of a query vector against a
+    * flattened codebook — one kernel call per query row. */
+  def pqDistTable(qv: ArrayData, books: ArrayData, mSub: Int, ksub: Int): ArrayData = {
+    val dims = qv.numElements()
+    val sub = dims / mSub
+    val out = new Array[Any](mSub * ksub)
+    var m = 0
+    while (m < mSub) {
+      var c = 0
+      while (c < ksub) {
+        val base = (m * ksub + c) * sub
+        var dist = 0L
+        var d = 0
+        while (d < sub) {
+          val diff = qv.getLong(m * sub + d) - books.getLong(base + d)
+          dist += diff * diff
+          d += 1
+        }
+        out(m * ksub + c) = dist
+        c += 1
+      }
+      m += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ADC lookup sum: Σ_m table[m·ksub + codes[m]] — one call per
+    * (query, candidate) pair instead of mSub re-evaluations of the table
+    * column. */
+  def pqAdc(tab: ArrayData, codes: ArrayData, ksub: Int): Long = {
+    var s = 0L
+    var m = 0
+    val n = codes.numElements()
+    while (m < n) {
+      s += tab.getLong(m * ksub + codes.getLong(m).toInt)
+      m += 1
+    }
+    s
+  }
+
   /** Character-entropy integer parts of a text: `[n_chars, Σ n_c·qln(n_c)]`
     * where `qln(x) = floor(ln(x)·1e6 + 0.5)` — the per-term quantization of
     * the transcendental BEFORE the order-free integer sum (the BM25/LM-fit
@@ -484,6 +558,15 @@ object Kernels {
 
   def charEntropyPartsCol(text: Column): Column =
     call(ArrayType(LongType, containsNull = false), "charEntropyParts", text)
+
+  def pqAssignCol(qv: Column, booksFlat: Column, mSub: Int, ksub: Int): Column =
+    call(ArrayType(LongType, containsNull = false), "pqAssign", qv, booksFlat, lit(mSub), lit(ksub))
+
+  def pqDistTableCol(qv: Column, booksFlat: Column, mSub: Int, ksub: Int): Column =
+    call(ArrayType(LongType, containsNull = false), "pqDistTable", qv, booksFlat, lit(mSub), lit(ksub))
+
+  def pqAdcCol(tab: Column, codes: Column, ksub: Int): Column =
+    call(LongType, "pqAdc", tab, codes, lit(ksub))
 
   def cosineQCol(a: Column, na: Column, b: Column, nb: Column): Column =
     call(DoubleType, "cosineQ", a, na, b, nb)

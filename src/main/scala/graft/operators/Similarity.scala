@@ -321,22 +321,13 @@ object Similarity {
     v % 250001L - 125000L
   }
 
-  /** Exact integer L2 distance of subspace `m` of a quantized vector against
-    * a literal codeword — scan-speed projection. Magnitudes: |x - w| <= 2e6,
-    * squared 4e12, x 8 sub-dims = 3.2e13 — far inside BIGINT. */
-  private def pqSubDistLit(qv: Column, book: Array[Long], m: Int, sub: Int): Column =
-    (0 until sub).map { d =>
-      val diff = element_at(qv, m * sub + d + 1) - lit(book(d))
-      diff * diff
-    }.reduce(_ + _)
-
-  /** PQ code for subspace `m`: argmin codeword by integer L2 (ties to the
-    * smallest code id) — the packed-sort trick shared with [[rankedCells]]. */
-  private def pqCodeLit(qv: Column, book: Array[Array[Long]], m: Int, sub: Int): Column =
-    element_at(
-      array_sort(array(book.indices.map { c =>
-        struct(pqSubDistLit(qv, book(c), m, sub).as("dist"), lit(c.toLong).as("code"))
-      }: _*)), 1).getField("code")
+  /** Flattened `[m][c][d]` codebook as one literal array column — constant-
+    * folded to a single array Literal, referenced exactly once per kernel
+    * call. (The earlier per-term Column-tree formulation was a measured
+    * 15x slowdown: after Catalyst's projection collapse each of its ~1024
+    * element_at terms re-evaluated the upstream quantize kernel.) */
+  private def booksLit(books: Array[Array[Array[Long]]]): Column =
+    array(books.flatMap(_.flatMap(_.toSeq)).map(lit(_)).toIndexedSeq: _*)
 
   /** Train the `mSub x ksub` PQ codebooks: md5-derived integer seeds pulled
     * through `iters` Lloyd rounds where each codeword becomes the
@@ -359,7 +350,8 @@ object Similarity {
       val base = corpus.select(VectorFns.quantize(col(vecCol)).as("qv"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       for (_ <- 1 to iters) {
-        val codesCol = array((0 until mSub).map(m => pqCodeLit(col("qv"), books(m), m, sub)): _*)
+        val codesCol = graft.functions.Kernels.pqAssignCol(
+          col("qv"), booksLit(books), mSub, ksub)
         val aggCols = (0 until sub).map(d =>
           expr(s"sum(element_at(qv, m * $sub + $d + 1)) div count(1)").as(s"w$d"))
         val rows = base
@@ -390,11 +382,11 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       books: Array[Array[Array[Long]]]): DataFrame = {
     val mSub = books.length
-    val sub = books.head.head.length
+    val ksub = books.head.length
     corpus
       .select(col(idCol), VectorFns.quantize(col(vecCol)).as("qv"))
       .withColumn("codes",
-        array((0 until mSub).map(m => pqCodeLit(col("qv"), books(m), m, sub)): _*))
+        graft.functions.Kernels.pqAssignCol(col("qv"), booksLit(books), mSub, ksub))
       .select(col(idCol), col("codes"))
   }
 
@@ -416,21 +408,15 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       mSub: Int = 8, ksub: Int = 16, shortlist: Int = 40,
       seed: Long = 42L, dims: Int = 64, iters: Int = 1): DataFrame = {
-    val sub = dims / mSub
     val books = pqTrainBooks(corpus, vecCol, mSub, ksub, seed, dims, iters)
     val codes = pqEncode(corpus, idCol, vecCol, books).as("c")
     val q = queries
       .select(col(idCol), VectorFns.quantize(col(vecCol)).as("qv"))
-      .withColumn("tab", array((0 until mSub).map { m =>
-        array((0 until ksub).map(c => pqSubDistLit(col("qv"), books(m)(c), m, sub)): _*)
-      }: _*))
+      .withColumn("tab",
+        graft.functions.Kernels.pqDistTableCol(col("qv"), booksLit(books), mSub, ksub))
       .select(col(idCol), col("tab"))
       .as("q")
-    val adist = (0 until mSub)
-      .map(m => element_at(
-        element_at(col("q.tab"), m + 1),
-        (element_at(col("c.codes"), m + 1) + lit(1L)).cast("int")))
-      .reduce(_ + _)
+    val adist = graft.functions.Kernels.pqAdcCol(col("q.tab"), col("c.codes"), ksub)
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("neighbor_id").asc)
     val short = broadcast(q.toDF().as("q")).crossJoin(codes)
@@ -456,28 +442,22 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       cells: Int = 16, nprobe: Int = 4, mSub: Int = 8, ksub: Int = 16,
       shortlist: Int = 40, seed: Long = 42L, dims: Int = 64, iters: Int = 1): DataFrame = {
-    val sub = dims / mSub
     val books = pqTrainBooks(corpus, vecCol, mSub, ksub, seed, dims, iters)
     val codes = corpus
       .select(col(idCol), VectorFns.quantize(col(vecCol)).as("qv"))
       .withColumn("cell", cellOf(col("qv"), cells, seed, dims))
       .withColumn("codes",
-        array((0 until mSub).map(m => pqCodeLit(col("qv"), books(m), m, sub)): _*))
+        graft.functions.Kernels.pqAssignCol(col("qv"), booksLit(books), mSub, ksub))
       .select(col(idCol), col("cell"), col("codes"))
       .as("c")
     val q = queries
       .select(col(idCol), VectorFns.quantize(col(vecCol)).as("qv"))
-      .withColumn("tab", array((0 until mSub).map { m =>
-        array((0 until ksub).map(c => pqSubDistLit(col("qv"), books(m)(c), m, sub)): _*)
-      }: _*))
+      .withColumn("tab",
+        graft.functions.Kernels.pqDistTableCol(col("qv"), booksLit(books), mSub, ksub))
       .withColumn("cell", explode(rankedCells(col("qv"), cells, seed, dims, nprobe)))
       .select(col(idCol), col("tab"), col("cell"))
       .as("q")
-    val adist = (0 until mSub)
-      .map(m => element_at(
-        element_at(col("q.tab"), m + 1),
-        (element_at(col("c.codes"), m + 1) + lit(1L)).cast("int")))
-      .reduce(_ + _)
+    val adist = graft.functions.Kernels.pqAdcCol(col("q.tab"), col("c.codes"), ksub)
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("neighbor_id").asc)
     val short = q.join(codes, col("q.cell") === col("c.cell")
