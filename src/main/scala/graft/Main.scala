@@ -54,6 +54,28 @@ object Main {
           sys.exit(1)
       }
 
+    case "generate-config" :: "description" :: rest if rest.size <= 1 =>
+      // INTERACTIVE mode (reference `generate-config description` with no
+      // file args): prompt for save path / description / clarifications on
+      // the console; pipe-friendly (multi-line blocks end with a "." line)
+      import graft.config.{ConsoleMenu, ProseAuthoring}
+      val baseUrl = sys.env.getOrElse("GRAFT_OPENAI_BASE_URL",
+        sys.error("GRAFT_OPENAI_BASE_URL not set"))
+      val api = new ProseAuthoring.OpenAiHttpApi(
+        baseUrl,
+        sys.env.getOrElse("GRAFT_OPENAI_API_KEY", ""),
+        sys.env.getOrElse("GRAFT_OPENAI_MODEL", "gpt-4o-mini"))
+      ProseAuthoring.ping(api)
+      val menu = new ConsoleMenu(
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in)), System.out)
+      val (path, result) = ProseAuthoring.interactiveDescription(api, menu, rest.headOption)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path), result.content.getBytes("UTF-8"))
+      if (!result.valid)
+        System.err.println("warning: config accepted with validation errors: " +
+          result.lastError.getOrElse(""))
+      println(s"wrote $path (attempts: ${result.attempts})")
+
     case "generate-config" :: "description" :: in :: out :: Nil =>
       // LLM prose mode: no Spark session needed. Endpoint/credentials come
       // from env (reference reads them from CLI options):

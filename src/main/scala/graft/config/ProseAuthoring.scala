@@ -176,4 +176,37 @@ object ProseAuthoring {
     }
     AuthoringResult(content, err.isEmpty, attempts, err)
   }
+
+  /** The INTERACTIVE description flow (reference `cli/commands/config/
+    * common.go:100-179` + `generate:31-98`): prompt for the save path when
+    * not given, collect the multi-line description, run the
+    * generate→validate→retry loop, and — the clarification menu — while
+    * the result is still invalid, offer the user a choice of adding
+    * clarifying information (appended to the request, full regenerate) or
+    * accepting the config as-is. Returns (savePath, result). */
+  def interactiveDescription(
+      api: ChatApi, menu: Menu, savePath: Option[String]): (String, AuthoringResult) = {
+    val path = savePath.getOrElse(
+      menu.input("Enter path to save generation config", Menu.nonEmpty))
+    val format = if (path.endsWith(".json")) "json" else "yaml"
+    var request = menu.text(
+      """# Please provide a detailed description for generating a configuration.
+        |# Include any specific requirements, data types, formats, and any other
+        |# relevant information.""".stripMargin)
+    var result = tryGenerate(api, format, request)
+    var done = result.valid
+    while (!done) {
+      val choice = menu.selection(
+        s"generated config is still invalid: ${result.lastError.getOrElse("")}",
+        Seq("add clarifying information", "accept as-is"))
+      if (choice == "accept as-is") done = true
+      else {
+        val extra = menu.text("# Please provide clarifying information.")
+        request = request + "\nClarifying information\n" + extra
+        result = tryGenerate(api, format, request)
+        done = result.valid
+      }
+    }
+    (path, result)
+  }
 }

@@ -100,4 +100,64 @@ class ProseAuthoringSpec extends AnyFunSuite {
       assert(chat.contains(""""role":"system"""") && chat.contains(""""role":"user""""))
     } finally server.stop(0)
   }
+
+  /** Scripted Menu — the test double the reference builds with its
+    * generated renderer mock. */
+  private final class ScriptedMenu(
+      selections: Iterator[String], inputs: Iterator[String], texts: Iterator[String])
+      extends graft.config.Menu {
+    val titles = scala.collection.mutable.ArrayBuffer.empty[String]
+    def selection(title: String, items: Seq[String]): String = {
+      titles += title; val s = selections.next(); assert(items.contains(s)); s
+    }
+    def input(title: String, validate: String => Option[String]): String = {
+      titles += title; val v = inputs.next(); assert(validate(v).isEmpty); v
+    }
+    def text(title: String): String = { titles += title; texts.next() }
+  }
+
+  test("interactive description: clarification loop appends info and regenerates") {
+    val broken = "models: {user: {columns: []}}"
+    // attempt 1 (3 tries, all broken) -> user clarifies -> attempt 2 valid
+    val api = new Scripted(Seq(broken, broken, broken, ValidYaml))
+    val menu = new ScriptedMenu(
+      selections = Iterator("add clarifying information"),
+      inputs = Iterator("/tmp/out_cfg.yaml"),
+      texts = Iterator("a users table", "rows_count must be 100"))
+    val (path, r) = ProseAuthoring.interactiveDescription(api, menu, savePath = None)
+    assert(path == "/tmp/out_cfg.yaml")
+    assert(r.valid)
+    // the clarified request reaches the model verbatim
+    val last = api.calls.last(1).content
+    assert(last.contains("a users table") && last.contains("Clarifying information")
+      && last.contains("rows_count must be 100"))
+    // prompts fired in order: save path, description, invalid-choice, clarification
+    assert(menu.titles.size == 4)
+  }
+
+  test("interactive description: accept as-is keeps the invalid config") {
+    val broken = "models: {user: {columns: []}}"
+    val api = new Scripted(Seq(broken))
+    val menu = new ScriptedMenu(
+      selections = Iterator("accept as-is"),
+      inputs = Iterator.empty,
+      texts = Iterator("whatever"))
+    val (path, r) = ProseAuthoring.interactiveDescription(api, menu, savePath = Some("x.yaml"))
+    assert(path == "x.yaml" && !r.valid && r.content == broken)
+  }
+
+  test("console menu: selection by number, input validation retry, dot-terminated text") {
+    val in = new java.io.BufferedReader(new java.io.StringReader(
+      "5\nfirst\n\nvalue\nline one\nline two\n.\n"))
+    val bos = new java.io.ByteArrayOutputStream()
+    val menu = new graft.config.ConsoleMenu(in, new java.io.PrintStream(bos, true, "UTF-8"))
+    // "5" is out of range -> re-prompt -> literal item name accepted
+    assert(menu.selection("pick one", Seq("first", "second")) == "first")
+    // empty line fails nonEmpty -> re-prompt -> "value"
+    assert(menu.input("enter path", graft.config.Menu.nonEmpty) == "value")
+    assert(menu.text("describe") == "line one\nline two")
+    val out = bos.toString("UTF-8")
+    assert(out.contains("# pick one") && out.contains("1) first"))
+    assert(out.contains("value must not be empty"))
+  }
 }
