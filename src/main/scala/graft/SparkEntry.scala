@@ -906,6 +906,18 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    "graph_kcore" -> ((s, dir) => {
+      // 3 rounds of k=3 core peeling over the same sparse chord graph as
+      // graph_triangles: the chain unravels from its ends, so every round
+      // removes a fresh boundary layer — the cascade is what the gate pins
+      val sk = t(s, dir, "supplier").select(col("s_suppkey").cast("long").as("k"))
+      val edges = sk.select(col("k").as("src"), (col("k") + 1).as("dst"))
+        .union(sk.select(col("k").as("src"), (col("k") + 2).as("dst")))
+        .join(sk.withColumnRenamed("k", "dst"), Seq("dst"), "left_semi")
+      graft.operators.Graph.kCoreRounds(edges, "src", "dst", k = 3, rounds = 3)
+        .orderBy(col("node"))
+    }),
+
     "feature_quantile_bins" -> ((s, dir) => {
       // equi-depth binning WITHOUT ntile's global sort: k-1 exact percentile
       // thresholds (one aggregate; Spark percentile == DuckDB quantile_cont
@@ -1852,6 +1864,26 @@ object SparkEntry {
         |  UNION ALL SELECT y FROM tri
         |  UNION ALL SELECT z FROM tri) q
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "graph_kcore" ->
+      """WITH sk AS (SELECT s_suppkey AS k FROM supplier),
+        |base AS (
+        |  SELECT k AS a, k + 1 AS b FROM sk WHERE k + 1 IN (SELECT k FROM sk)
+        |  UNION ALL
+        |  SELECT k AS a, k + 2 AS b FROM sk WHERE k + 2 IN (SELECT k FROM sk)
+        |),
+        |e0 AS (SELECT a, b FROM base UNION SELECT b, a FROM base),
+        |k1 AS (SELECT a FROM e0 GROUP BY 1 HAVING count(*) >= 3),
+        |e1 AS (SELECT e0.a, e0.b FROM e0
+        |       JOIN k1 ka ON ka.a = e0.a JOIN k1 kb ON kb.a = e0.b),
+        |k2 AS (SELECT a FROM e1 GROUP BY 1 HAVING count(*) >= 3),
+        |e2 AS (SELECT e1.a, e1.b FROM e1
+        |       JOIN k2 ka ON ka.a = e1.a JOIN k2 kb ON kb.a = e1.b),
+        |k3 AS (SELECT a FROM e2 GROUP BY 1 HAVING count(*) >= 3),
+        |e3 AS (SELECT e2.a, e2.b FROM e2
+        |       JOIN k3 ka ON ka.a = e2.a JOIN k3 kb ON kb.a = e2.b)
+        |SELECT CAST(a AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS deg
+        |FROM e3 GROUP BY 1 ORDER BY node""".stripMargin,
 
     "feature_quantile_bins" ->
       """WITH t AS (

@@ -188,4 +188,49 @@ object Graph {
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** `rounds` rounds of k-core peeling: each round computes degrees over the
+    * surviving symmetrized edge set, drops every node with degree < k, and
+    * removes edges touching dropped nodes. The bounded-iteration form of
+    * k-core decomposition (same contract as [[pagerank]]'s fixed `iters`):
+    * run to a fixed round count for oracle parity, or keep applying rounds
+    * until the edge count stops changing for the true core — each extra
+    * round is one degree aggregation + two semi-joins on the shrinking
+    * relation, so cost DEcreases per round. Returns the surviving (node,
+    * deg) pairs after the final round.
+    *
+    * Scale shape per round: one map-side-combined count keyed on the node
+    * and two left-semi equi-joins of the edge relation against the
+    * (node-count-sized) keep set; the edge relation is persisted per round
+    * and released after use, `checkpointEvery` truncates lineage on long
+    * peels. */
+  def kCoreRounds(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int, checkpointEvery: Int = 8): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    var cur = e0.union(e0.select(col("b").as("a"), col("a").as("b"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var lastCk: Option[DataFrame] = None
+    for (i <- 1 to rounds) {
+      val keep = cur.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("a"))
+      val next = cur
+        .join(keep, Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("a", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+      val nextP =
+        if (i % checkpointEvery == 0 && i < rounds) {
+          val ck = next.localCheckpoint(true)
+          lastCk.foreach(Dedup.releaseCheckpoint)
+          lastCk = Some(ck)
+          ck
+        } else next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      nextP.count() // materialize before releasing the parent cache
+      cur.unpersist()
+      cur = nextP
+    }
+    cur.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+  }
 }

@@ -482,6 +482,22 @@ class OperatorsSpec extends SparkSuite {
     intercept[IllegalArgumentException](Multimodal.bmpDecode(bad8bit))
   }
 
+  test("kCoreRounds: pendant chain peels, clique survives, stable after convergence") {
+    import graft.operators.Graph
+    val clique = for { i <- 1 to 5; j <- (i + 1) to 5 } yield (i.toLong, j.toLong)
+    val pendant = Seq((5L, 6L), (6L, 7L), (7L, 8L))
+    val edges = (clique ++ pendant).toDF("src", "dst")
+    def run(rounds: Int): Map[Long, Long] =
+      Graph.kCoreRounds(edges, "src", "dst", k = 3, rounds = rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r1 = run(1)
+    // the whole pendant path has degree < 3 and peels in one round; the K5
+    // clique keeps internal degree 4
+    assert(r1 == (1L to 5L).map(_ -> 4L).toMap, r1.toString)
+    // extra rounds after convergence change nothing
+    assert(run(4) == r1)
+  }
+
   test("ksOf: exact hand-computed distance, zero on identical samples") {
     import graft.operators.Drift
     val a = Seq(1L, 2L, 3L, 4L).toDF("v")
