@@ -181,6 +181,14 @@ object VersionedTable {
     1L
   }
 
+  /** Scan `paths` under the manifest's DECLARED schema (not a sampled
+    * footer's): parquet fills columns a file predates (added by
+    * [[addColumn]] after it was written) with typed NULLs, column order
+    * follows the declaration, and no mergeSchema footer sweep is needed —
+    * Delta-style read-time schema alignment, no rewrite ever. */
+  private def readDeclared(spark: SparkSession, m: Manifest, paths: Seq[String]): DataFrame =
+    spark.read.schema(StructType.fromDDL(m.schemaDdl)).parquet(paths: _*)
+
   /** Read the table at `version` (latest when -1). Exactly the manifest's
     * file list — uncommitted staging files are invisible by construction. */
   def read(spark: SparkSession, dir: String, version: Long = -1L): DataFrame = {
@@ -189,7 +197,7 @@ object VersionedTable {
     if (m.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         StructType.fromDDL(m.schemaDdl))
-    else spark.read.parquet(m.files.map(f => s"$dir/${f.path}"): _*)
+    else readDeclared(spark, m, m.files.map(f => s"$dir/${f.path}"))
   }
 
   /** Range read with manifest-stat pruning — the zone map IS the manifest.
@@ -202,7 +210,7 @@ object VersionedTable {
     val kept = m.files.filter(f => f.maxKey >= lo && f.minKey <= hi)
     val df =
       if (kept.isEmpty) read(spark, dir, v).filter(lit(false))
-      else spark.read.parquet(kept.map(f => s"$dir/${f.path}"): _*)
+      else readDeclared(spark, m, kept.map(f => s"$dir/${f.path}"))
     (df.filter(col(m.keyCol) >= lit(lo) && col(m.keyCol) <= lit(hi)),
       kept.length, m.files.length)
   }
@@ -215,7 +223,8 @@ object VersionedTable {
     * data write and before the manifest rename (crash-injection seam — the
     * same hook pattern as the engine's onSliceDone). Returns the new version. */
   def upsert(spark: SparkSession, dir: String, changes: DataFrame,
-      targetRowsPerFile: Long = 5000L, beforeCommit: () => Unit = () => ()): Long = {
+      targetRowsPerFile: Long = 5000L, beforeCommit: () => Unit = () => (),
+      action: String = "upsert"): Long = {
     import spark.implicits._
     val base = latestVersion(spark, dir)
     require(base > 0L, s"no table at $dir — init first")
@@ -228,15 +237,70 @@ object VersionedTable {
       if (touched.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
           StructType.fromDDL(m.schemaDdl))
-      else spark.read.parquet(m.files.collect {
-        case f if touched(f.path) => s"$dir/${f.path}" }: _*)
+      else readDeclared(spark, m,
+        m.files.collect { case f if touched(f.path) => s"$dir/${f.path}" })
     val merged = Upsert.mergeUpsert(touchedDf, changes, m.keyCol)
     val newEntries =
       writeVersionData(spark, dir, base + 1L, merged, m.keyCol, targetRowsPerFile)
     beforeCommit()
-    commitManifest(spark, dir, Manifest(base + 1L, base, "upsert", m.keyCol,
+    commitManifest(spark, dir, Manifest(base + 1L, base, action, m.keyCol,
       m.schemaDdl, m.files.filterNot(f => touched(f.path)) ++ newEntries))
     base + 1L
+  }
+
+  /** Schema-evolution commit (Delta ADD COLUMN semantics): version N+1
+    * declares the widened schema over the SAME file list — zero rewrite.
+    * Files written before this version simply lack the column and read as
+    * typed NULLs through the read-time alignment; older versions keep their
+    * original schema (time travel shows the table as it was). */
+  def addColumn(spark: SparkSession, dir: String, name: String, ddlType: String): Long = {
+    val base = latestVersion(spark, dir)
+    require(base > 0L, s"no table at $dir — init first")
+    val m = readManifest(spark, dir, base)
+    val schema = StructType.fromDDL(m.schemaDdl)
+    require(!schema.fieldNames.contains(name), s"column $name already exists")
+    val widened = StructType.fromDDL(s"${m.schemaDdl}, $name $ddlType")
+    commitManifest(spark, dir, Manifest(base + 1L, base, s"add-column:$name",
+      m.keyCol, widened.toDDL, m.files))
+    base + 1L
+  }
+
+  /** Highest streaming batch id already committed (the Delta
+    * txnAppId/txnVersion idempotence ledger, kept in the manifest `action`
+    * as `stream:<batchId>`). One driver pass over the manifest chain —
+    * bounded by version count; [[vacuum]]'d histories stop the walk. */
+  def lastStreamBatchId(spark: SparkSession, dir: String): Long = {
+    var best = -1L
+    var v = latestVersion(spark, dir)
+    while (v >= 1L) {
+      val m = try readManifest(spark, dir, v) catch {
+        case _: NoSuchElementException => return best // vacuumed below here
+      }
+      if (m.action.startsWith("stream:")) {
+        val id = m.action.stripPrefix("stream:").toLong
+        if (id > best) best = id
+      }
+      v = m.parent
+    }
+    best
+  }
+
+  /** Exactly-once streaming ingest step for `foreachBatch`: a REPLAYED
+    * micro-batch (restart from checkpoint re-delivers the last batch) is
+    * detected by its batch id against the manifest ledger and skipped, so
+    * the version chain and content advance exactly once per batch. Returns
+    * true when the batch committed, false when it was a replay. Changes
+    * without an `op` column are treated as upserts. */
+  def ingestBatch(spark: SparkSession, dir: String, batch: DataFrame,
+      batchId: Long, targetRowsPerFile: Long = 5000L): Boolean = {
+    if (batchId <= lastStreamBatchId(spark, dir)) false
+    else {
+      val changes =
+        if (batch.columns.contains("op")) batch
+        else batch.withColumn("op", lit("upsert"))
+      upsert(spark, dir, changes, targetRowsPerFile, action = s"stream:$batchId")
+      true
+    }
   }
 
   /** Compaction commit: rewrite the CURRENT content into

@@ -131,4 +131,55 @@ class LakeSpec extends SparkSuite {
     assert(v1.files.toSet.subsetOf(m2.files.toSet))
     assert(m2.files.map(_.rows).sum == v1.files.map(_.rows).sum + 3)
   }
+
+  test("addColumn: zero-rewrite widening, NULL-filled history, time travel keeps old schema") {
+    val dir = freshDir("evolve")
+    VT.init(spark, dir, base, "doc_id", targetRowsPerFile = 50L)
+    val v2 = VT.addColumn(spark, dir, "quality", "DOUBLE")
+    assert(v2 == 2L)
+    // same files, widened declared schema
+    assert(VT.readManifest(spark, dir, 2L).files == VT.readManifest(spark, dir, 1L).files)
+    val widened = VT.read(spark, dir)
+    assert(widened.columns.last == "quality")
+    assert(widened.filter($"quality".isNotNull).count() == 0)
+    assert(widened.drop("quality").count() == base.count())
+    // new writes carry the column; old files still align
+    val upd = base.filter($"doc_id" < 5)
+      .withColumn("quality", lit(0.5)).withColumn("op", lit("upsert"))
+    VT.upsert(spark, dir, upd, targetRowsPerFile = 50L)
+    val cur = VT.read(spark, dir)
+    assert(cur.filter($"quality".isNotNull).count() == 5)
+    assert(cur.count() == base.count())
+    // range reads align too (pruned files predate the column)
+    val (ranged, _, _) = VT.readRange(spark, dir, 300L, 400L)
+    assert(ranged.columns.contains("quality"))
+    // time travel: version 1 shows the table as it was
+    assert(!VT.read(spark, dir, 1L).columns.contains("quality"))
+    // duplicate column refused loudly
+    intercept[IllegalArgumentException](VT.addColumn(spark, dir, "quality", "DOUBLE"))
+  }
+
+  test("streaming ingest ledger: replayed micro-batches commit exactly once") {
+    val dir = freshDir("stream")
+    VT.init(spark, dir, base, "doc_id", targetRowsPerFile = 50L)
+    val b0 = base.filter($"doc_id" < 3)
+      .withColumn("text", concat($"text", lit(" s0")))
+    assert(VT.ingestBatch(spark, dir, b0, batchId = 0L, targetRowsPerFile = 50L))
+    val vAfter = VT.latestVersion(spark, dir)
+    val contentAfter = VT.read(spark, dir).collect().toSet
+    // foreachBatch redelivers the last batch after a checkpoint restart:
+    // the ledger must turn the replay into a no-op
+    assert(!VT.ingestBatch(spark, dir, b0, batchId = 0L, targetRowsPerFile = 50L))
+    assert(VT.latestVersion(spark, dir) == vAfter)
+    assert(VT.read(spark, dir).collect().toSet == contentAfter)
+    // the next batch advances; interleaved non-stream commits don't reset
+    // the ledger (the walk follows parent links, not just the tip)
+    VT.upsert(spark, dir, changeSet(base), targetRowsPerFile = 50L)
+    assert(VT.lastStreamBatchId(spark, dir) == 0L)
+    val b1 = base.filter($"doc_id" < 3)
+      .withColumn("text", concat($"text", lit(" s1")))
+    assert(VT.ingestBatch(spark, dir, b1, batchId = 1L, targetRowsPerFile = 50L))
+    assert(VT.lastStreamBatchId(spark, dir) == 1L)
+    assert(VT.read(spark, dir).filter($"text".endsWith(" s1")).count() == 3)
+  }
 }
