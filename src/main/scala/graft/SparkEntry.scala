@@ -353,6 +353,17 @@ object SparkEntry {
         .orderBy(col("hour"), col("family"), col("bucket"))
     }),
 
+    "q27_enriched_nation_stream" -> ((s, dir) => {
+      // STREAM-STATIC enrichment join: the event stream joins a broadcast
+      // customer dimension (stateless, no watermark on the dim side), then
+      // one watermarked hourly aggregation per nation — the third join
+      // shape next to q18/q19/q20's stream-stream attribution
+      graft.streaming.EventStream
+        .runEnrichedHourlyOverRawEvents(s, s"$dir/events.parquet",
+          s"$dir/customer.parquet", s"enrich_${System.nanoTime()}")
+        .orderBy(col("window_start"), col("nation"))
+    }),
+
     "q23_pivot_status_by_priority" -> ((s, dir) => {
       // pivot: order counts + exact cents revenue per status x priority —
       // fixed pivot values so the plan is a single aggregate, no
@@ -2587,6 +2598,13 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events,
         |  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q27_enriched_nation_stream" ->
+      """SELECT date_trunc('hour', ts) AS window_start,
+        |  CAST(c_nationkey AS BIGINT) AS nation, count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+        |FROM events JOIN customer ON c_custkey = user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q12_rollup_order_stats" ->
       """SELECT coalesce(o_orderstatus, '(all)') AS status,

@@ -140,6 +140,35 @@ object EventStream {
     drainToMemory(hourlyTypeCms(stream), name)
   }
 
+  /** Stream-static enrichment: the third streaming join shape next to the
+    * inner/left-outer stream-stream attribution joins — the event stream
+    * joins a STATIC broadcast dimension (no watermarks or join state on the
+    * dim side; the standard "enrich clicks with account metadata" pattern),
+    * then one watermarked window aggregation per (hour, nation). Cents
+    * fixed-point keeps the value sum oracle-exact. */
+  def enrichedHourlyByNation(events: DataFrame, customers: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .join(broadcast(customers.select(
+        col("c_custkey").cast("long").as("user_id"),
+        col("c_nationkey").cast("long").as("nation"))), Seq("user_id"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("nation"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("cents"))
+      .select(col("w.start").as("window_start"), col("nation"),
+        col("n_events"), (col("cents").cast("double") / 100.0).as("sum_value"))
+
+  /** Streaming drive of [[enrichedHourlyByNation]] over the raw
+    * TIMESTAMP(NANOS) parquet (same harness as [[runHourlyOverRawEvents]]). */
+  def runEnrichedHourlyOverRawEvents(
+      spark: SparkSession, path: String, customersPath: String, name: String): DataFrame = {
+    val s2 = statePinnedSession(spark)
+    val stream = s2.readStream.schema(NanosEventSchema).parquet(anchoredGlob(s2, path))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    drainToMemory(
+      enrichedHourlyByNation(stream, s2.read.parquet(customersPath)), name)
+  }
+
   def runHourlyOverRawEvents(spark: SparkSession, path: String, name: String): DataFrame = {
     // isolated child session pins stateful-operator parallelism to the
     // (tiny) state volume — see runAttributionOverRawEvents
