@@ -305,11 +305,15 @@ object Locales {
       }
     }
 
-  /** Regular noun plurals over the ru word list (велar/husher stems take -и,
-    * the rest -ы; о-nouns take -а, soft stems -и). */
+  /** Regular noun inflections over the ru word list: plural (velar/husher
+    * stems take -и, the rest -ы; о-nouns -а, soft stems -и), genitive
+    * singular and instrumental singular — the three highest-frequency
+    * oblique forms, each by the regular declension rule of its stem
+    * class. */
   private def ruWordInflections(base: Seq[String]): Seq[String] = {
     val velarHusher = "кгхчшщж"
-    base.filter(_.length >= 3).map { w =>
+    val nouns = base.filter(_.length >= 3)
+    val plural = nouns.map { w =>
       if (w.endsWith("а")) {
         val st = w.dropRight(1)
         st + (if (velarHusher.indexOf(st.last) >= 0) "и" else "ы")
@@ -322,6 +326,26 @@ object Locales {
       }
       else w + (if (velarHusher.indexOf(w.last) >= 0) "и" else "ы")
     }
+    val genitive = nouns.map { w =>
+      if (w.endsWith("а")) {
+        val st = w.dropRight(1)
+        st + (if (velarHusher.indexOf(st.last) >= 0) "и" else "ы")
+      } else if (w.endsWith("я")) w.dropRight(1) + "и"
+      else if (w.endsWith("ь") || w.endsWith("й")) w.dropRight(1) + "я"
+      else if (w.endsWith("о") || w.endsWith("е")) w.dropRight(1) + "а"
+      else w + "а"
+    }
+    val instrumental = nouns.map { w =>
+      if (w.endsWith("а")) {
+        val st = w.dropRight(1)
+        st + (if ("цчшщж".indexOf(st.last) >= 0) "ей" else "ой")
+      } else if (w.endsWith("я")) w.dropRight(1) + "ей"
+      else if (w.endsWith("ь") || w.endsWith("й")) w.dropRight(1) + "ем"
+      else if (w.endsWith("о")) w.dropRight(1) + "ом"
+      else if (w.endsWith("е")) w.dropRight(1) + "ем"
+      else w + (if ("цчшщж".indexOf(w.last) >= 0) "ем" else "ом")
+    }
+    plural ++ genitive ++ instrumental
   }
 
   val en: LocaleBundle = LocaleBundle(

@@ -90,7 +90,7 @@ class EngineSpec extends SparkSuite {
     assert(Locales.en.words.length >= 1200, Locales.en.words.length.toString)
     assert(Locales.ru.firstNamesAll.length >= 500, Locales.ru.firstNamesAll.length.toString)
     assert(Locales.ru.lastNamesAll.length >= 5000, Locales.ru.lastNamesAll.length.toString)
-    assert(Locales.ru.words.length >= 400, Locales.ru.words.length.toString)
+    assert(Locales.ru.words.length >= 700, Locales.ru.words.length.toString)
     // expansion must never break the locale contract: capitalized names,
     // words inside the locale charset, everything deduped and sorted
     for (l <- Seq(Locales.en, Locales.ru)) {
