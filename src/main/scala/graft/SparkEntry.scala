@@ -1362,6 +1362,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "text_pii_luhn" -> ((s, dir) => {
+      // checksum-validated card-number detection: the corpus carries no
+      // digits, so each doc gets a deterministic 16-digit candidate
+      // ('4' + zero-padded doc_id) — ~10% Luhn-valid, split pinned by the
+      // oracle's own mod-10 re-derivation
+      val docs = spread(t(s, dir, "documents"))
+        .withColumn("text2",
+          concat(col("text"), lit(" 4"), lpad(col("doc_id").cast("string"), 15, "0")))
+      TextAnalysis.withCardPii(docs, "doc_id", "text2")
+        .orderBy(col("doc_id"))
+    }),
+
     "text_char_entropy" -> ((s, dir) => {
       // Shannon char entropy in nats — gibberish/encoding detector; exact
       // via per-count qln quantization before order-free integer sums
@@ -2911,6 +2923,30 @@ object SparkEntry {
         |  CASE WHEN n_bigrams = 0 THEN 0.0
         |       ELSE CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE) END AS dup_bigram_frac
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "text_pii_luhn" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || ' 4' || lpad(CAST(doc_id AS VARCHAR), 15, '0') AS t
+        |  FROM documents
+        |), runs AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(t, '[0-9]+')) AS run FROM d
+        |), cards AS (
+        |  SELECT doc_id, string_split(reverse(run), '') AS l FROM runs
+        |  WHERE len(run) BETWEEN 13 AND 19
+        |), luhn AS (
+        |  SELECT doc_id,
+        |    list_sum([CASE WHEN i % 2 = 1 THEN CAST(l[i] AS INT)
+        |                   ELSE CASE WHEN 2*CAST(l[i] AS INT) > 9
+        |                             THEN 2*CAST(l[i] AS INT) - 9
+        |                             ELSE 2*CAST(l[i] AS INT) END END
+        |              FOR i IN range(1, len(l) + 1)]) % 10 AS rem
+        |  FROM cards
+        |)
+        |SELECT d.doc_id,
+        |  CAST(count(luhn.rem) AS BIGINT) AS n_card_like,
+        |  CAST(COALESCE(sum(CASE WHEN luhn.rem = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_luhn_valid
+        |FROM d LEFT JOIN luhn ON luhn.doc_id = d.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_char_entropy" ->
       """WITH ch AS (

@@ -266,6 +266,40 @@ object Kernels {
     best.toLong
   }
 
+  /** Card-number PII detection parts: `[n_card_like, n_luhn_valid]` — the
+    * count of maximal digit runs of plausible card length (13–19) and how
+    * many of them pass the Luhn checksum (pure integer mod-10 arithmetic,
+    * so the classification is bit-identical in any engine). One scan per
+    * row, no allocation beyond the run buffer. */
+  def luhnCounts(text: UTF8String): ArrayData = {
+    val s = text.toString
+    var nCard = 0L
+    var nValid = 0L
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && !Character.isDigit(s.charAt(i))) i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && Character.isDigit(s.charAt(i))) i += 1
+        val runLen = i - start
+        if (runLen >= 13 && runLen <= 19) {
+          nCard += 1
+          // Luhn: from the RIGHT, double every second digit, fold > 9
+          var sum = 0
+          var j = 0
+          while (j < runLen) {
+            val d = s.charAt(i - 1 - j) - '0'
+            sum += (if (j % 2 == 1) { val t = 2 * d; if (t > 9) t - 9 else t } else d)
+            j += 1
+          }
+          if (sum % 10 == 0) nValid += 1
+        }
+      }
+    }
+    new GenericArrayData(Array[Any](nCard, nValid))
+  }
+
   /** PQ code assignment in ONE kernel call: for each of `mSub` subspaces,
     * the argmin codeword by integer L2 (ties to the smallest code id)
     * against a FLATTENED `[m][c][d]` codebook literal. One call per row —
@@ -567,6 +601,9 @@ object Kernels {
 
   def pqAdcCol(tab: Column, codes: Column, ksub: Int): Column =
     call(LongType, "pqAdc", tab, codes, lit(ksub))
+
+  def luhnCountsCol(text: Column): Column =
+    call(ArrayType(LongType, containsNull = false), "luhnCounts", text)
 
   def cosineQCol(a: Column, na: Column, b: Column, nb: Column): Column =
     call(DoubleType, "cosineQ", a, na, b, nb)

@@ -139,6 +139,21 @@ object TextAnalysis {
         when(col("n_tokens") <= 1, lit(0.0))
           .otherwise(col("top_bigram_n").cast("double") / (col("n_tokens") - 1).cast("double")))
 
+  /** Card-number PII signals — the checksum-validated tier above the plain
+    * digit-run redaction of [[withPiiRedaction]]: maximal digit runs of
+    * plausible card length (13–19) are counted and Luhn-checked, so a
+    * takedown/redaction pipeline can distinguish "digits that LOOK like a
+    * card" from "digits that checksum like one" (the false-positive
+    * control). Pure integer mod-10 arithmetic in a row-local kernel —
+    * scan-speed, shuffle-free, engine-exact. */
+  def withCardPii(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol),
+        graft.functions.Kernels.luhnCountsCol(col(textCol)).as("p"))
+      .select(col(idCol),
+        element_at(col("p"), 1).as("n_card_like"),
+        element_at(col("p"), 2).as("n_luhn_valid"))
+
   /** Per-document Shannon character entropy (nats) — the gibberish/encoding
     * detector of the quality block: natural text sits in a stable entropy
     * band, while base64 blobs, repeated padding and binary spills fall

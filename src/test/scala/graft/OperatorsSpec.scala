@@ -482,6 +482,22 @@ class OperatorsSpec extends SparkSuite {
     intercept[IllegalArgumentException](Multimodal.bmpDecode(bad8bit))
   }
 
+  test("withCardPii: Luhn classification on known numbers, length bounds respected") {
+    val df = Seq(
+      (1L, "pay 4532015112830366 now"), // known Luhn-valid 16-digit
+      (2L, "fake 4532015112830367 here"), // off-by-one fails the checksum
+      (3L, "short 123456789012 run"), // 12 digits: below card length
+      (4L, "twentydigits 12345678901234567890 x"), // 20 digits: above
+      (5L, "two 4532015112830366 and 79927398713 ok") // 16 valid + 11-digit ignored
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.withCardPii(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r(0).getLong(1) == 1 && r(0).getLong(2) == 1)
+    assert(r(1).getLong(1) == 1 && r(1).getLong(2) == 0)
+    assert(r(2).getLong(1) == 0 && r(3).getLong(1) == 0)
+    assert(r(4).getLong(1) == 1 && r(4).getLong(2) == 1)
+  }
+
   test("kCoreRounds: pendant chain peels, clique survives, stable after convergence") {
     import graft.operators.Graph
     val clique = for { i <- 1 to 5; j <- (i + 1) to 5 } yield (i.toLong, j.toLong)
