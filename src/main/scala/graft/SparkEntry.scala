@@ -421,6 +421,22 @@ object SparkEntry {
         .orderBy(col("user_id"), col("started"))
     }),
 
+    "q28_sessions_builtin" -> ((s, dir) => {
+      // the BUILT-IN session_window over the same 30-min gap — one
+      // aggregation, no custom state; window end is last_ts + gap by
+      // definition, so subtracting the gap reconstructs the last event ts
+      // and the output matches q13's custom-state sessionizer row for row
+      // (StreamingSpec pins empirically that the merge rule is inclusive
+      // at exactly-gap spacing on BOTH sides — no boundary divergence)
+      events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("n_events"),
+          col("w.start").as("started"),
+          (col("w.end") - expr("INTERVAL 30 MINUTES")).as("ended"))
+        .orderBy(col("user_id"), col("started"))
+    }),
+
     "q14_user_sessions_stream" -> ((s, dir) => {
       // STREAMING sessionization end-to-end (GroupState + event-time
       // timeout), oracle-gated: emitted sessions are exactly those whose
@@ -1648,6 +1664,9 @@ object SparkEntry {
     "knn_ivf_appended" -> oracleSqlBase("knn_ivf"),
     // stream-stream inner join drains to exactly the batch join's rows
     "q19_purchase_attribution_stream" -> oracleSqlBase("q18_purchase_attribution"),
+    // the built-in session_window must reproduce the custom-state
+    // sessionizer (window end minus gap = last event ts)
+    "q28_sessions_builtin" -> oracleSqlBase("q13_user_sessions"),
     // the SQL function surface must reproduce the DataFrame kernels exactly
     "dedup_simhash_sql" -> oracleSqlBase("dedup_simhash"),
 

@@ -111,6 +111,40 @@ class StreamingSpec extends SparkSuite {
     assert(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong") == confBefore)
   }
 
+  test("session_window vs custom sessionizer: identical sessions, incl. AT the gap boundary") {
+    // the q28 gate shares q13's oracle because the two sessionizers agree
+    // EVERYWHERE — including exactly-gap spacing: session_window's merge
+    // rule is inclusive (an event at last + gap extends the session), the
+    // same `t - last <= gap` the custom state machine applies. Verified
+    // here empirically rather than assumed — the analogous left-outer
+    // watermark boundary (q20) needed an empirical pin too.
+    val g = 30L * 60 * 1000000
+    def builtin(ts: Seq[Long]): Seq[(Long, Long, Long)] =
+      ts.map(t => (1L, t)).toDF("user_id", "ts_us")
+        .withColumn("ts", timestamp_micros($"ts_us"))
+        .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select($"n", unix_micros($"w.start").as("s"),
+          unix_micros($"w.end") - g as "e")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    def custom(ts: Seq[Long]): Seq[(Long, Long, Long)] =
+      EventStream.sessionizeByGap(
+        ts.map(EventStream.MicroEvent(1L, _)).toDS(), g)
+        .collect().map(s => (s.n_events, s.started_us, s.ended_us)).toSeq.sorted
+    // off-boundary: one micro inside the gap merges, one past it splits
+    val off = Seq(0L, g - 1, 3 * g)
+    assert(builtin(off) == custom(off))
+    assert(custom(off) == Seq((1L, 3 * g, 3 * g), (2L, 0L, g - 1)))
+    // AT the boundary both merge: inclusive semantics on both sides
+    val at = Seq(0L, g)
+    assert(custom(at) == Seq((2L, 0L, g)))
+    assert(builtin(at) == custom(at))
+    // one micro PAST the gap both split
+    val past = Seq(0L, g + 1)
+    assert(builtin(past) == custom(past))
+    assert(custom(past).size == 2)
+  }
+
   test("raw-file stream glob is anchored: prefixed sibling files are NOT ingested") {
     // a bare file path needs a glob for FileStreamSource; `path*` would also
     // match `events.parquet_extra` — the anchored `{name}` form must not
