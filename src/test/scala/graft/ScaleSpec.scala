@@ -35,7 +35,11 @@ class ScaleSpec extends SparkSuite {
     math.min(once(), once())
   }
 
-  for (q <- Seq("basket_part_pairs", "text_token_pmi", "dedup_spans", "graph_triangles"))
+  // the r7-verdict worst-fanout list, plus round 8's heaviest additions:
+  // PQ trains + encodes the corpus (vocabulary-of-codes work), BPE encode
+  // runs a kernel over the distinct vocabulary, k-core iterates semi-joins
+  for (q <- Seq("basket_part_pairs", "text_token_pmi", "dedup_spans", "graph_triangles",
+      "knn_pq", "text_bpe_encode", "graph_kcore"))
     test(s"$q wall-time grows at most ~linearly from sf0.01 to sf0.1") {
       run(q, small) // warmup: codegen + JIT + class-load outside the clock
       val tSmall = timeMinOf2(q, small)
