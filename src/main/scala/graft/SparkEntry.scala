@@ -1378,6 +1378,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "text_mixed_lang" -> ((s, dir) => {
+      // code-switching detection: per-chunk language vote rolled up per doc
+      // (chunking and langid are the already-gated operators; this gates
+      // their composition)
+      TextAnalysis.mixedLanguage(spread(t(s, dir, "documents")), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "text_pii_luhn" -> ((s, dir) => {
       // checksum-validated card-number detection: the corpus carries no
       // digits, so each doc gets a deterministic 16-digit candidate
@@ -2942,6 +2950,49 @@ object SparkEntry {
         |  CASE WHEN n_bigrams = 0 THEN 0.0
         |       ELSE CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE) END AS dup_bigram_frac
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "text_mixed_lang" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), chunks AS (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(w[i*24+1:i*24+32], ' ')
+        |            FOR i IN range(0, greatest(CAST(ceil((len(w) - 8) / 24.0) AS BIGINT), 1))]) AS chunk
+        |  FROM toks
+        |), base AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(chunk), '\s+') AS ct,
+        |    length(chunk) AS total,
+        |    length(regexp_replace(chunk, '[Ѐ-ӿ]', '', 'g')) AS no_cyr,
+        |    length(regexp_replace(chunk, '[一-鿿]', '', 'g')) AS no_cjk
+        |  FROM chunks
+        |), hits AS (
+        |  SELECT doc_id, total, no_cyr, no_cjk,
+        |    len(list_filter(ct, t -> list_contains(['the','a','and','of','to','in','is'], t))) AS en,
+        |    len(list_filter(ct, t -> list_contains(['el','la','de','que','y','los'], t))) AS es,
+        |    len(list_filter(ct, t -> list_contains(['der','die','das','und','ist','ein'], t))) AS de,
+        |    len(list_filter(ct, t -> list_contains(['le','la','les','et','est','une'], t))) AS fr
+        |  FROM base
+        |), pred AS (
+        |  SELECT doc_id,
+        |    CASE WHEN total - no_cyr > 0 THEN 'ru'
+        |         WHEN total - no_cjk > 0 THEN 'zh'
+        |         WHEN es > en AND es >= de AND es >= fr THEN 'es'
+        |         WHEN de > en AND de >= fr THEN 'de'
+        |         WHEN fr > en THEN 'fr'
+        |         ELSE 'en' END AS lang
+        |  FROM hits
+        |), lc AS (
+        |  SELECT doc_id, lang, count(*) AS n FROM pred GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT doc_id, lang, n,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, lang) AS rk
+        |  FROM lc
+        |)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chunks,
+        |  CAST(count(*) AS BIGINT) AS n_langs,
+        |  max(CASE WHEN rk = 1 THEN lang END) AS majority_lang,
+        |  CAST(CASE WHEN count(*) > 1 THEN 1 ELSE 0 END AS BIGINT) AS mixed
+        |FROM rk GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "text_pii_luhn" ->
       """WITH d AS (

@@ -454,6 +454,32 @@ object TextAnalysis {
       .select(col(idCol), col("c.chunk_idx"), col("c.chunk"))
   }
 
+  /** Chunk-level language segmentation — the code-switching detector: a
+    * document is chunked ([[chunkByTokens]]), each chunk language-ID'd
+    * ([[graft.functions.TextFns.langId]]), and the per-doc rollup reports
+    * how many distinct languages appear, the majority language (ties to the
+    * lexicographically smallest) and a mixed flag. Doc-level language ID
+    * alone mislabels interleaved bilingual documents; the chunk-level vote
+    * is the standard fix. Composition of two gated operators — one explode
+    * + one (doc, lang) aggregation, no new per-row machinery. */
+  def mixedLanguage(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 32, overlap: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perChunk = chunkByTokens(docs, idCol, textCol, chunkSize, overlap)
+      .select(col(idCol), TextFns.langId(col("chunk")).as("lang"))
+    val counts = perChunk.groupBy(col(idCol), col("lang")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("n").desc, col("lang").asc)
+    counts
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("n")).as("n_chunks"),
+        count(lit(1)).as("n_langs"),
+        max(when(col("rk") === 1, col("lang"))).as("majority_lang"))
+      .withColumn("mixed", (col("n_langs") > 1).cast("long"))
+  }
+
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val LongNumberPattern = "[0-9]{7,}"
 

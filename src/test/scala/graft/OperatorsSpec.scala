@@ -482,6 +482,21 @@ class OperatorsSpec extends SparkSuite {
     intercept[IllegalArgumentException](Multimodal.bmpDecode(bad8bit))
   }
 
+  test("mixedLanguage: interleaved bilingual doc flags mixed with the right majority") {
+    import graft.operators.TextAnalysis
+    val en = Seq.fill(8)("the cat is in the house and a dog").mkString(" ") // 64 en tokens
+    val ru = Seq.fill(4)("привет мир это русский текст да нет слово").mkString(" ") // 32 ru tokens
+    val df = Seq(
+      (1L, en + " " + ru), // 2 en-majority chunks + ru tail chunks
+      (2L, en) // monolingual
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.mixedLanguage(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r(0).getLong(2) >= 2 && r(0).getLong(4) == 1L, r(0).toString) // n_langs, mixed
+    assert(r(0).getString(3) == "en", "majority must be the dominant language")
+    assert(r(1).getLong(2) == 1 && r(1).getLong(4) == 0L && r(1).getString(3) == "en")
+  }
+
   test("withCardPii: Luhn classification on known numbers, length bounds respected") {
     val df = Seq(
       (1L, "pay 4532015112830366 now"), // known Luhn-valid 16-digit
