@@ -1135,6 +1135,15 @@ object SparkEntry {
         .limit(100)
     }),
 
+    "drift_embedding_shift" -> ((s, dir) => {
+      // embedding-cloud drift after a (deterministic) re-curation: L2 shift
+      // between per-dim truncating-integer-mean centroids; sqrt is the one
+      // non-integer op and IEEE requires it correctly rounded
+      val embs = t(s, dir, "embeddings")
+      graft.operators.Drift.embeddingShift(
+        embs, embs.filter(col("vec_id") % 3 =!= 0), "embedding")
+    }),
+
     "drift_ks" -> ((s, dir) => {
       // binning-free drift twin of drift_psi: exact two-sample KS distance
       // over the same deterministic re-curation — integer cumulative
@@ -1375,6 +1384,13 @@ object SparkEntry {
     // --- corpus curation: repetition/salience/contamination/stats ---
     "text_repetition" -> ((s, dir) => {
       TextAnalysis.withRepetition(spread(t(s, dir, "documents")), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_ngram_novelty" -> ((s, dir) => {
+      // fraction of each doc's distinct 3-grams appearing in NO other doc
+      // (df=1 ⇒ unique to its one containing doc — no self-join needed)
+      TextAnalysis.ngramNovelty(spread(t(s, dir, "documents")), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
 
@@ -2402,6 +2418,25 @@ object SparkEntry {
         |FROM p JOIN ic ia ON ia.i = p.item_a JOIN ic ib ON ib.i = p.item_b
         |ORDER BY lift DESC, item_a, item_b LIMIT 100""".stripMargin,
 
+    "drift_embedding_shift" ->
+      """WITH b AS (
+        |  SELECT [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), c AS (
+        |  SELECT [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings WHERE vec_id % 3 != 0
+        |), bm AS (
+        |  SELECT d.range AS d, CAST(sum(qv[d.range + 1]) AS BIGINT) // count(*) AS m1
+        |  FROM b CROSS JOIN range(0, 64) d GROUP BY 1
+        |), cm AS (
+        |  SELECT d.range AS d, CAST(sum(qv[d.range + 1]) AS BIGINT) // count(*) AS m2
+        |  FROM c CROSS JOIN range(0, 64) d GROUP BY 1
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_dims,
+        |  CAST(sum((m1 - m2) * (m1 - m2)) AS BIGINT) AS shift_sq_scaled,
+        |  sqrt(CAST(CAST(sum((m1 - m2) * (m1 - m2)) AS BIGINT) AS DOUBLE)) / 1000000.0 AS shift_l2
+        |FROM bm JOIN cm USING (d)""".stripMargin,
+
     "drift_ks" ->
       """WITH b AS (SELECT n_chars AS v FROM documents),
         |c AS (SELECT n_chars AS v FROM documents WHERE n_chars >= 150 OR doc_id % 3 = 0),
@@ -2950,6 +2985,22 @@ object SparkEntry {
         |  CASE WHEN n_bigrams = 0 THEN 0.0
         |       ELSE CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE) END AS dup_bigram_frac
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "text_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)])) AS gram
+        |  FROM toks
+        |), df AS (
+        |  SELECT gram, count(*) AS df FROM g GROUP BY 1
+        |)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |  CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS novelty
+        |FROM g JOIN df USING (gram) GROUP BY 1 ORDER BY g.doc_id""".stripMargin,
 
     "text_mixed_lang" ->
       """WITH toks AS (

@@ -87,6 +87,28 @@ object Drift {
         (col("d_num").cast("double") / (col("n1") * col("n2")).cast("double")).as("ks_d"))
   }
 
+  /** Embedding-space drift: L2 shift between the per-dimension TRUNCATING
+    * INTEGER MEANS of two snapshots' quantized vectors — the "did the
+    * encoder/corpus move the embedding cloud" check after a re-embed or
+    * ingest. The centroid update is the kmeansRefine algebra (sum div count
+    * per dim — cross-engine-exact), the shift is an integer sum of squared
+    * differences, and the only non-integer output is one `sqrt` — which
+    * IEEE 754 requires to be correctly rounded, so even it is bit-portable
+    * (unlike ln/exp). One posexplode aggregation per snapshot, dims-sized
+    * join, single-row output (n_dims, shift_sq_scaled, shift_l2). */
+  def embeddingShift(base: DataFrame, cur: DataFrame, vecCol: String): DataFrame = {
+    def centroid(df: DataFrame, tag: String): DataFrame =
+      df.select(posexplode(graft.functions.VectorFns.quantize(col(vecCol))).as(Seq("d", "x")))
+        .groupBy(col("d")).agg(expr("sum(x) div count(1)").as(tag))
+    val diffSq = (col("m1") - col("m2")) * (col("m1") - col("m2"))
+    centroid(base, "m1").join(centroid(cur, "m2"), "d")
+      .agg(
+        count(lit(1)).as("n_dims"),
+        sum(diffSq).as("shift_sq_scaled"))
+      .select(col("n_dims"), col("shift_sq_scaled"),
+        (sqrt(col("shift_sq_scaled").cast("double")) / 1000000.0).as("shift_l2"))
+  }
+
   def psiBucketsBy(
       base: DataFrame, current: DataFrame, groupCols: Seq[String], valueCol: String,
       width: Long, buckets: Int): DataFrame = {

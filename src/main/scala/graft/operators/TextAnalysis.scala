@@ -454,6 +454,31 @@ object TextAnalysis {
       .select(col(idCol), col("c.chunk_idx"), col("c.chunk"))
   }
 
+  /** N-gram novelty score — the inverse of contamination: the fraction of a
+    * document's distinct n-grams that appear in NO other document. High
+    * novelty marks unique content worth keeping (or hallucinated noise);
+    * near-zero novelty marks boilerplate already covered elsewhere. Shape:
+    * the per-doc distinct grams explode once, the corpus-wide document
+    * frequency aggregates map-side, and a df=1 gram is by construction
+    * unique to its single containing doc — so novelty needs ONE extra
+    * aggregation over the exploded grams, no self-join. The fraction is a
+    * single IEEE division of exact integer counts. */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    // grams derive twice (df pass + join pass) rather than holding a
+    // persisted corpus-sized explosion — the explode is scan-speed kernel
+    // output, so two passes beat caching it at 100 TB
+    def grams = docs.select(col(idCol),
+      explode(graft.functions.Kernels.wordNgramsSortedCol(col(textCol), n)).as("gram"))
+    val df = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    grams.join(df, "gram")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        col("n_unique").cast("double") / col("n_grams").cast("double"))
+  }
+
   /** Chunk-level language segmentation — the code-switching detector: a
     * document is chunked ([[chunkByTokens]]), each chunk language-ID'd
     * ([[graft.functions.TextFns.langId]]), and the per-doc rollup reports

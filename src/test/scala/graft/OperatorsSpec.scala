@@ -482,6 +482,31 @@ class OperatorsSpec extends SparkSuite {
     intercept[IllegalArgumentException](Multimodal.bmpDecode(bad8bit))
   }
 
+  test("ngramNovelty: unique doc scores 1.0, duplicated docs score 0.0") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "alpha beta gamma delta"), // grams unique to doc 1
+      (2L, "one two three four five"),
+      (3L, "one two three four five") // exact dup of doc 2: df=2 everywhere
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.ngramNovelty(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r(0).getLong(1) == 2 && r(0).getDouble(3) == 1.0)
+    assert(r(1).getDouble(3) == 0.0 && r(2).getDouble(3) == 0.0)
+  }
+
+  test("embeddingShift: zero on identical snapshots, exact on a hand case") {
+    import graft.operators.Drift
+    val base = Seq(Tuple1(Array(1.0f, 0.0f))).toDF("embedding")
+    val cur = Seq(Tuple1(Array(0.5f, 0.0f))).toDF("embedding")
+    val r = Drift.embeddingShift(base, cur, "embedding").head()
+    assert(r.getLong(0) == 2)
+    assert(r.getLong(1) == 500000L * 500000L, r.toString)
+    assert(r.getDouble(2) == 0.5)
+    val same = Drift.embeddingShift(base, base, "embedding").head()
+    assert(same.getLong(1) == 0L && same.getDouble(2) == 0.0)
+  }
+
   test("mixedLanguage: interleaved bilingual doc flags mixed with the right majority") {
     import graft.operators.TextAnalysis
     val en = Seq.fill(8)("the cat is in the house and a dog").mkString(" ") // 64 en tokens
