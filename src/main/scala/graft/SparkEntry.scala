@@ -1387,6 +1387,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "corpus_stats_incremental" -> ((s, dir) => {
+      // incremental stats maintenance: per-source stats of four ingest
+      // slices MERGED (metadata-sized aggregation) must equal the direct
+      // recompute the oracle runs over the whole corpus
+      val docs = spread(t(s, dir, "documents"))
+      val parts = (0 to 3).map(r =>
+        TextAnalysis.mergeableStats(
+          docs.filter(col("doc_id") % 4 === r), "source", "n_chars"))
+      TextAnalysis.mergeStats(parts, "source").orderBy(col("source"))
+    }),
+
     "text_ngram_novelty" -> ((s, dir) => {
       // fraction of each doc's distinct 3-grams appearing in NO other doc
       // (df=1 ⇒ unique to its one containing doc — no self-join needed)
@@ -2985,6 +2996,12 @@ object SparkEntry {
         |  CASE WHEN n_bigrams = 0 THEN 0.0
         |       ELSE CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE) END AS dup_bigram_frac
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "corpus_stats_incremental" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
 
     "text_ngram_novelty" ->
       """WITH toks AS (

@@ -344,6 +344,29 @@ object TextAnalysis {
           .as("median_chars"))
   }
 
+  /** Mergeable per-group statistics — the monoid half of incremental stats
+    * maintenance: count/sum/min/max are all associative-commutative, so a
+    * statistics table maintained by merging per-ingest deltas is provably
+    * equal to a full recompute ([[mergeStats]]; the gate query pins the
+    * equality against a direct-recompute oracle). The non-mergeable median
+    * stays in [[corpusStats]]; sketches cover its approximate maintenance. */
+  def mergeableStats(docs: DataFrame, groupCol: String, lenCol: String): DataFrame =
+    docs.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col(lenCol)).as("sum_chars"),
+      min(col(lenCol)).as("min_chars"),
+      max(col(lenCol)).as("max_chars"))
+
+  /** Merge independently-computed [[mergeableStats]] relations — a
+    * metadata-sized aggregation (group-cardinality rows per part), never a
+    * rescan of the underlying corpora. */
+  def mergeStats(parts: Seq[DataFrame], groupCol: String): DataFrame =
+    parts.reduce(_.unionByName(_)).groupBy(col(groupCol)).agg(
+      sum(col("n_docs")).as("n_docs"),
+      sum(col("sum_chars")).as("sum_chars"),
+      min(col("min_chars")).as("min_chars"),
+      max(col("max_chars")).as("max_chars"))
+
   /** Exact grouped quantiles with linear interpolation (the `quantile_cont`
     * definition; Spark's exact `percentile` computes the identical
     * `a + (b-a)*frac` on the two neighboring order statistics, so results
