@@ -120,6 +120,8 @@ object Bench {
         genRate(spark, 2000000L, "string, type_params: { min_length: 16, max_length: 16 }"),
       "gen_first_name" ->
         genRate(spark, 5000000L, "string, type_params: { logical_type: first_name }"),
+      "gen_text" ->
+        genRate(spark, 1000000L, "string, type_params: { logical_type: text, min_length: 32, max_length: 64 }"),
       "gen_enum" -> genRate(spark, 20000000L, "integer, values: [1, 2, 3]"))
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":${v.head}%.3f" }.mkString("{", ",", "}")

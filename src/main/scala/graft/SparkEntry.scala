@@ -1413,6 +1413,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "text_pii_ipv4" -> ((s, dir) => {
+      // octet-validated IPv4 detection/redaction; the corpus has no IPs, so
+      // each doc carries a synthesized candidate token (first octet ranges
+      // to 299 — ~15% of candidates are octet-INVALID and must not match)
+      val docs = spread(t(s, dir, "documents"))
+        .withColumn("text2", concat(col("text"), lit(" "),
+          (col("doc_id") % 300).cast("string"), lit("."),
+          ((col("doc_id") * 7) % 256).cast("string"), lit(".0."),
+          (col("doc_id") % 256).cast("string")))
+      TextAnalysis.withIpv4Pii(docs, "doc_id", "text2")
+        .orderBy(col("doc_id"))
+    }),
+
     "text_pii_luhn" -> ((s, dir) => {
       // checksum-validated card-number detection: the corpus carries no
       // digits, so each doc gets a deterministic 16-digit candidate
@@ -3061,6 +3074,23 @@ object SparkEntry {
         |  max(CASE WHEN rk = 1 THEN lang END) AS majority_lang,
         |  CAST(CASE WHEN count(*) > 1 THEN 1 ELSE 0 END AS BIGINT) AS mixed
         |FROM rk GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "text_pii_ipv4" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || ' ' ||
+        |    CAST(doc_id % 300 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+        |    || '.0.' || CAST(doc_id % 256 AS VARCHAR) AS t
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(t), '\s+') AS w FROM d
+        |)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(w, x -> regexp_matches(x,
+        |    '^(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$'))) AS BIGINT) AS n_ipv4,
+        |  array_to_string([CASE WHEN regexp_matches(x,
+        |    '^(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$')
+        |    THEN '<IP>' ELSE x END FOR x IN w], ' ') AS redacted
+        |FROM toks ORDER BY doc_id""".stripMargin,
 
     "text_pii_luhn" ->
       """WITH d AS (

@@ -531,6 +531,30 @@ object TextAnalysis {
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val LongNumberPattern = "[0-9]{7,}"
 
+  /** Octet-validated dotted-quad (0-255 each) — stays in the regex subset
+    * Java regex and RE2 share (no lookarounds), so the match set is
+    * engine-identical. Word-ish boundaries via explicit non-digit/non-dot
+    * context are handled by full-token extraction below. */
+  val Ipv4Octet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+  val Ipv4Pattern = s"$Ipv4Octet\\.$Ipv4Octet\\.$Ipv4Octet\\.$Ipv4Octet"
+
+  /** Network-identifier PII: counts and redacts octet-valid IPv4 addresses
+    * — the third PII tier next to [[withPiiRedaction]]'s emails/digit-runs
+    * and [[withCardPii]]'s checksum-validated cards. Token-anchored: the
+    * address must be a whole whitespace-delimited token, so version strings
+    * like "1.2.3.4.5" and embedded decimals don't false-positive. Pure
+    * per-row projection, scan speed. */
+  def withIpv4Pii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokMatch = filter(TextFns.tokens(col(textCol)),
+      t => t.rlike(s"^$Ipv4Pattern$$"))
+    docs.select(
+      col(idCol),
+      size(tokMatch).as("n_ipv4"),
+      concat_ws(" ", transform(TextFns.tokens(col(textCol)),
+        t => when(t.rlike(s"^$Ipv4Pattern$$"), lit("<IP>")).otherwise(t)))
+        .as("redacted"))
+  }
+
   /** PII scrubbing for training corpora: redacts email addresses and long
     * digit runs (phone/account numbers) and reports match counts. Patterns
     * are kept to the regex subset with identical semantics in Java regex and

@@ -482,6 +482,22 @@ class OperatorsSpec extends SparkSuite {
     intercept[IllegalArgumentException](Multimodal.bmpDecode(bad8bit))
   }
 
+  test("withIpv4Pii: octet validation, token anchoring, redaction") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "srv 10.0.0.1 up"), // valid
+      (2L, "bad 256.1.1.1 addr"), // octet out of range
+      (3L, "ver 1.2.3.4.5 tag"), // five groups: not a whole-token match
+      (4L, "edge 255.255.255.255 and 0.0.0.0 both")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.withIpv4Pii(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r(0).getLong(1) == 1 && r(0).getString(2) == "srv <IP> up")
+    assert(r(1).getLong(1) == 0 && r(1).getString(2).contains("256.1.1.1"))
+    assert(r(2).getLong(1) == 0)
+    assert(r(3).getLong(1) == 2)
+  }
+
   test("ngramNovelty: unique doc scores 1.0, duplicated docs score 0.0") {
     import graft.operators.TextAnalysis
     val df = Seq(
