@@ -549,7 +549,7 @@ object TextAnalysis {
       t => t.rlike(s"^$Ipv4Pattern$$"))
     docs.select(
       col(idCol),
-      size(tokMatch).as("n_ipv4"),
+      size(tokMatch).cast("long").as("n_ipv4"),
       concat_ws(" ", transform(TextFns.tokens(col(textCol)),
         t => when(t.rlike(s"^$Ipv4Pattern$$"), lit("<IP>")).otherwise(t)))
         .as("redacted"))
