@@ -1387,6 +1387,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "dedup_cdc_chunks" -> ((s, dir) => {
+      // content-defined chunking: boundaries from a 16-char rolling window
+      // hash (mod 64), so edited near-copies still share chunks; per doc,
+      // how many chunks appear in other documents
+      graft.operators.Dedup.cdcSharedChunks(
+        spread(t(s, dir, "documents")), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "corpus_stats_incremental" -> ((s, dir) => {
       // incremental stats maintenance: per-source stats of four ingest
       // slices MERGED (metadata-sized aggregation) must equal the direct
@@ -3009,6 +3018,39 @@ object SparkEntry {
         |  CASE WHEN n_bigrams = 0 THEN 0.0
         |       ELSE CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE) END AS dup_bigram_frac
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "dedup_cdc_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, text AS t, length(text) AS n FROM documents
+        |), cuts AS (
+        |  SELECT doc_id, t, n,
+        |    [p FOR p IN range(16, n + 1) IF
+        |       list_sum([CAST(ascii(substr(t, CAST(p AS INT) - 16 + k, 1)) AS BIGINT)
+        |                 * ([853136842, 188810867, 522219709, 274910315, 718545499,
+        |                     281243405, 621975598, 891031477, 512613922, 887503681,
+        |                     28629151, 923521, 29791, 961, 31, 1])[k]
+        |                 FOR k IN range(1, 17)]) % 1000000007 % 64 = 0] AS cuts
+        |  FROM d
+        |), segs AS (
+        |  SELECT doc_id,
+        |    list_prepend(CAST(0 AS BIGINT), cuts) AS s0,
+        |    list_append(cuts, CAST(n AS BIGINT)) AS e0, t
+        |  FROM cuts
+        |), ch AS (
+        |  SELECT doc_id, chunk FROM (
+        |    SELECT doc_id,
+        |      unnest([substr(t, CAST(s0[i] AS INT) + 1, CAST(e0[i] - s0[i] AS INT))
+        |              FOR i IN range(1, len(s0) + 1)]) AS chunk
+        |    FROM segs) q
+        |  WHERE chunk != ''
+        |), df AS (
+        |  SELECT chunk, count(DISTINCT doc_id) AS ndocs FROM ch GROUP BY 1
+        |)
+        |SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN df.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |  CAST(sum(CASE WHEN df.ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS shared_frac
+        |FROM ch JOIN df USING (chunk) GROUP BY 1 ORDER BY ch.doc_id""".stripMargin,
 
     "corpus_stats_incremental" ->
       """SELECT source, count(*) AS n_docs,

@@ -266,6 +266,42 @@ object Kernels {
     best.toLong
   }
 
+  /** Content-defined chunking (the rsync/LBFS/FastCDC boundary rule): a cut
+    * falls after every position whose trailing `w`-char window hashes to
+    * 0 mod `div` under a polynomial hash mod 1e9+7. Boundaries depend only
+    * on LOCAL content — inserting a prefix shifts every fixed-size chunk
+    * but leaves most CDC chunks identical, which is what makes chunk-level
+    * dedup robust to edits. Returns the non-empty chunk substrings.
+    * Windows deliberately DO look across previous cuts (the classic
+    * no-reset Rabin rule — resetting would couple a boundary to its
+    * predecessor and break shift resistance). */
+  def cdcChunks(text: UTF8String, w: Int, div: Int): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    val M = 1000000007L
+    val pw = new Array[Long](w + 1) // pw(k) = 31^(w-k) mod M, k = 1..w
+    pw(w) = 1L
+    var k = w - 1
+    while (k >= 1) { pw(k) = pw(k + 1) * 31L % M; k -= 1 }
+    val out = new java.util.ArrayList[UTF8String]()
+    var prev = 0
+    if (n >= w) {
+      var p = w
+      while (p <= n) {
+        var h = 0L
+        var j = 1
+        while (j <= w) { h = (h + s.charAt(p - w + j - 1).toLong * pw(j)) % M; j += 1 }
+        if (h % div == 0) {
+          if (p > prev) out.add(UTF8String.fromString(s.substring(prev, p)))
+          prev = p
+        }
+        p += 1
+      }
+    }
+    if (n > prev) out.add(UTF8String.fromString(s.substring(prev, n)))
+    new GenericArrayData(out.toArray)
+  }
+
   /** Card-number PII detection parts: `[n_card_like, n_luhn_valid]` — the
     * count of maximal digit runs of plausible card length (13–19) and how
     * many of them pass the Luhn checksum (pure integer mod-10 arithmetic,
@@ -604,6 +640,9 @@ object Kernels {
 
   def luhnCountsCol(text: Column): Column =
     call(ArrayType(LongType, containsNull = false), "luhnCounts", text)
+
+  def cdcChunksCol(text: Column, w: Int, div: Int): Column =
+    call(ArrayType(StringType, containsNull = false), "cdcChunks", text, lit(w), lit(div))
 
   def cosineQCol(a: Column, na: Column, b: Column, nb: Column): Column =
     call(DoubleType, "cosineQ", a, na, b, nb)

@@ -19,6 +19,31 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Content-defined chunk dedup signals: documents split at LOCAL-content
+    * boundaries (`Kernels.cdcChunks` — the rsync/LBFS rolling-hash rule),
+    * then each doc reports how many of its chunks also appear in OTHER
+    * documents. Because boundaries are content-local, an edited/prefixed
+    * near-copy still shares most chunks — where fixed-window chunking
+    * ([[graft.operators.TextAnalysis.chunkByTokens]]) loses alignment after
+    * the first edit (spec-pinned). Shape: one kernel explode, one chunk-
+    * keyed distinct-doc count (map-side combined), one join back — the
+    * novelty/df pattern. */
+  def cdcSharedChunks(
+      docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 16, div: Int = 64): DataFrame = {
+    def ch = docs.select(col(idCol),
+      explode(graft.functions.Kernels.cdcChunksCol(col(textCol), window, div)).as("chunk"))
+    val df = ch.groupBy(col("chunk"))
+      .agg(countDistinct(col(idCol)).as("ndocs"))
+    ch.join(df, "chunk")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_frac",
+        col("n_shared").cast("double") / col("n_chunks").cast("double"))
+  }
+
   /** Exact dedup by content hash: one row per distinct text, keeping the
     * smallest doc id as canonical. Single shuffle on md5(text). */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -482,6 +482,26 @@ class OperatorsSpec extends SparkSuite {
     intercept[IllegalArgumentException](Multimodal.bmpDecode(bad8bit))
   }
 
+  test("cdcChunks: shift resistance — a prefixed copy keeps most chunks intact") {
+    def chunksOf(s: String): Seq[String] =
+      spark.range(1).select(Kernels.cdcChunksCol(lit(s), 16, 64).as("c"))
+        .head().getSeq[String](0)
+    val base = Seq.tabulate(120)(i => s"w${i * 7919 % 997}").mkString(" ")
+    val cb = chunksOf(base)
+    assert(cb.size >= 4, s"fixture must produce several chunks, got ${cb.size}")
+    assert(cb.mkString == base, "chunks must reassemble the document exactly")
+    // a prefix edit shifts every byte; content-local boundaries mean all
+    // chunks except the FIRST survive identically
+    val cs = chunksOf("PREFIX EDIT " + base)
+    assert(cs.toSet.intersect(cb.toSet).size >= cb.size - 1,
+      s"CDC must keep shifted chunks: base=${cb.size} shared=${cs.toSet.intersect(cb.toSet).size}")
+    // the fixed-window contrast: same shift, zero aligned 32-char slices
+    val fixedB = base.grouped(32).toSeq
+    val fixedS = ("PREFIX EDIT " + base).grouped(32).toSeq
+    assert(fixedB.toSet.intersect(fixedS.toSet).size <= 1,
+      "fixed windows lose alignment under the same edit")
+  }
+
   test("withIpv4Pii: octet validation, token anchoring, redaction") {
     import graft.operators.TextAnalysis
     val df = Seq(
