@@ -781,6 +781,34 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "eval_rp_rank_tau" -> ((s, dir) => {
+      // rank-fidelity eval: per query, Kendall tau between full-dim cosine
+      // and JL-projected (16-dim ±1) cosine over the brute-force top-10 —
+      // the number that says whether the cheap projection preserves ORDER,
+      // not just distance bands
+      import graft.functions.VectorFns
+      import graft.operators.{Eval, Similarity}
+      val embs = spread(t(s, dir, "embeddings"))
+      val brute = Similarity.bruteForceKnn(
+        embs, embs.filter(col("vec_id") < 20), "vec_id", "embedding", 10)
+      val rp = embs
+        .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("qv"))
+        .withColumn("rq", array((0 until 16).map(j =>
+          VectorFns.dotQ(col("qv"), array((0 until 64).map(i =>
+            lit(Similarity.hyperplaneWeight(42L, j, i))): _*))): _*))
+        .withColumn("rn2", VectorFns.norm2Q(col("rq")))
+        .select(col("vec_id"), col("rq"), col("rn2"))
+      val scored = brute
+        .join(rp.select(col("vec_id").as("query_id"),
+          col("rq").as("qr"), col("rn2").as("qn")), "query_id")
+        .join(rp.select(col("vec_id").as("neighbor_id"),
+          col("rq").as("cr"), col("rn2").as("cn")), "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"), col("cosine").as("cos_full"),
+          VectorFns.cosinePre(col("qr"), col("qn"), col("cr"), col("cn")).as("cos_rp"))
+      Eval.kendallTau(scored, "query_id", "neighbor_id", "cos_full", "cos_rp")
+        .orderBy(col("query_id"))
+    }),
+
     "knn_pq" -> ((s, dir) => {
       // product quantization + ADC + exact re-rank: the compressed-domain
       // linear scan (32x smaller corpus bytes); shortlist fetches full
@@ -3799,6 +3827,61 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, cosine FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "eval_rp_rank_tau" ->
+      """WITH q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, qv, list_sum([x*x FOR x IN qv]) AS n2 FROM q
+        |), scored0 AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    CAST(list_sum([a.qv[i] * b.qv[i] FOR i IN range(1, len(a.qv) + 1)]) AS DOUBLE)
+        |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos_full
+        |  FROM n a CROSS JOIN n b
+        |  WHERE a.vec_id < 20 AND a.vec_id != b.vec_id
+        |), top AS (
+        |  SELECT query_id, neighbor_id, cos_full FROM (
+        |    SELECT query_id, neighbor_id, cos_full,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY cos_full DESC, neighbor_id) AS rank
+        |    FROM scored0) WHERE rank <= 10
+        |), w AS (
+        |  SELECT j.range AS j, d.range AS d,
+        |    CASE WHEN ('0x' || substr(md5('lsh:42:' || j.range || ':' || d.range), 1, 15))::BIGINT & 1 = 1
+        |         THEN 1 ELSE -1 END AS wt
+        |  FROM range(0, 16) j, range(0, 64) d
+        |), rq AS (
+        |  SELECT q.vec_id, w.j, CAST(sum(w.wt * q.qv[w.d + 1]) AS BIGINT) AS y
+        |  FROM q CROSS JOIN w GROUP BY 1, 2
+        |), rn AS (
+        |  SELECT vec_id, CAST(sum(y * y) AS BIGINT) AS rn2 FROM rq GROUP BY 1
+        |), rdot AS (
+        |  SELECT t.query_id, t.neighbor_id, t.cos_full,
+        |    CAST(sum(qa.y * qb.y) AS BIGINT) AS dt
+        |  FROM top t
+        |  JOIN rq qa ON qa.vec_id = t.query_id
+        |  JOIN rq qb ON qb.vec_id = t.neighbor_id AND qb.j = qa.j
+        |  GROUP BY 1, 2, 3
+        |), scored AS (
+        |  SELECT r.query_id, r.neighbor_id, r.cos_full,
+        |    CAST(r.dt AS DOUBLE) / (sqrt(CAST(na.rn2 AS DOUBLE)) * sqrt(CAST(nb.rn2 AS DOUBLE))) AS cos_rp
+        |  FROM rdot r
+        |  JOIN rn na ON na.vec_id = r.query_id
+        |  JOIN rn nb ON nb.vec_id = r.neighbor_id
+        |), pairs AS (
+        |  SELECT l.query_id,
+        |    (CASE WHEN l.cos_full > r.cos_full THEN 1 WHEN l.cos_full < r.cos_full THEN -1 ELSE 0 END)
+        |    * (CASE WHEN l.cos_rp > r.cos_rp THEN 1 WHEN l.cos_rp < r.cos_rp THEN -1 ELSE 0 END) AS sgn
+        |  FROM scored l JOIN scored r
+        |    ON l.query_id = r.query_id AND l.neighbor_id < r.neighbor_id
+        |)
+        |SELECT query_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN sgn > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+        |  CAST(sum(CASE WHEN sgn < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+        |  CAST(sum(CASE WHEN sgn > 0 THEN 1 ELSE 0 END)
+        |     - sum(CASE WHEN sgn < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS tau
+        |FROM pairs GROUP BY 1 ORDER BY query_id""".stripMargin,
 
     "knn_pq" ->
       """WITH w0 AS (

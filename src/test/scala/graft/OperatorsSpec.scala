@@ -482,6 +482,22 @@ class OperatorsSpec extends SparkSuite {
     intercept[IllegalArgumentException](Multimodal.bmpDecode(bad8bit))
   }
 
+  test("kendallTau: +1 on agreement, -1 on reversal, ties contribute zero") {
+    import graft.operators.Eval
+    def tau(b: Seq[Double]): (Long, Long, Long, Double) = {
+      val df = b.zipWithIndex.map { case (s, i) => (1L, i.toLong, (10 - i).toDouble, s) }
+        .toDF("q", "item", "a", "b")
+      val r = Eval.kendallTau(df, "q", "item", "a", "b").head()
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    }
+    assert(tau(Seq(4.0, 3.0, 2.0, 1.0)) == ((6L, 6L, 0L, 1.0))) // same order
+    assert(tau(Seq(1.0, 2.0, 3.0, 4.0)) == ((6L, 0L, 6L, -1.0))) // reversed
+    val (n, c, d, t) = tau(Seq(4.0, 3.0, 1.0, 2.0)) // one adjacent swap
+    assert(n == 6 && c == 5 && d == 1 && t == 4.0 / 6.0)
+    val (_, c2, d2, _) = tau(Seq(4.0, 4.0, 2.0, 1.0)) // tie: pair drops to 0
+    assert(c2 == 5 && d2 == 0)
+  }
+
   test("cdcChunks: shift resistance — a prefixed copy keeps most chunks intact") {
     def chunksOf(s: String): Seq[String] =
       spark.range(1).select(Kernels.cdcChunksCol(lit(s), 16, 64).as("c"))
