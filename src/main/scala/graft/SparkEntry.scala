@@ -781,6 +781,18 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "eval_ivf_recall" -> ((s, dir) => {
+      // recall@10 of IVF (nprobe=4) against brute force, per query — the
+      // CurationSpec floor as a first-class oracle-gated relation
+      import graft.operators.{Eval, Similarity}
+      val embs = spread(t(s, dir, "embeddings"))
+      val queries = embs.filter(col("vec_id") < 20)
+      val truth = Similarity.bruteForceKnn(embs, queries, "vec_id", "embedding", 10)
+      val cand = Similarity.ivfKnn(embs, queries, "vec_id", "embedding", 10)
+      Eval.recallAtK(truth, cand, "query_id", "neighbor_id")
+        .orderBy(col("query_id"))
+    }),
+
     "eval_rp_rank_tau" -> ((s, dir) => {
       // rank-fidelity eval: per query, Kendall tau between full-dim cosine
       // and JL-projected (16-dim ±1) cosine over the brute-force top-10 —
@@ -3827,6 +3839,55 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, cosine FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "eval_ivf_recall" ->
+      """WITH w AS (
+        |  SELECT c.range AS c, d.range AS d,
+        |    ('0x' || substr(md5('ivf:42:' || c.range || ':' || d.range), 1, 15))::BIGINT % 2001 - 1000 AS wt
+        |  FROM range(0, 16) c, range(0, 64) d
+        |), q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, qv, list_sum([x*x FOR x IN qv]) AS n2 FROM q
+        |), truth AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |        CAST(list_sum([a.qv[i] * b.qv[i] FOR i IN range(1, len(a.qv) + 1)]) AS DOUBLE)
+        |          / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) DESC, b.vec_id) AS rank
+        |    FROM n a CROSS JOIN n b
+        |    WHERE a.vec_id < 20 AND a.vec_id != b.vec_id) q WHERE rank <= 10
+        |), dots AS (
+        |  SELECT q.vec_id, w.c, sum(w.wt * q.qv[w.d + 1]) AS dot
+        |  FROM q CROSS JOIN w GROUP BY q.vec_id, w.c
+        |), ranked_cells AS (
+        |  SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS cr
+        |  FROM dots
+        |), assign AS (
+        |  SELECT vec_id, c AS cell FROM ranked_cells WHERE cr = 1
+        |), probes AS (
+        |  SELECT vec_id, c AS cell FROM ranked_cells WHERE cr <= 4 AND vec_id < 20
+        |), cand AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        |        CAST(list_sum([na.qv[i] * nb.qv[i] FOR i IN range(1, len(na.qv) + 1)]) AS DOUBLE)
+        |          / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) DESC, a.vec_id) AS rank
+        |    FROM probes p
+        |    JOIN assign a ON a.cell = p.cell AND a.vec_id != p.vec_id
+        |    JOIN n na ON na.vec_id = p.vec_id
+        |    JOIN n nb ON nb.vec_id = a.vec_id) q WHERE rank <= 10
+        |), hit AS (
+        |  SELECT t.query_id, count(*) AS n_hit
+        |  FROM truth t JOIN cand c ON c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id
+        |  GROUP BY 1
+        |)
+        |SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_truth,
+        |  CAST(COALESCE(max(hit.n_hit), 0) AS BIGINT) AS n_hit,
+        |  CAST(COALESCE(max(hit.n_hit), 0) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+        |FROM truth t LEFT JOIN hit ON hit.query_id = t.query_id
+        |GROUP BY 1 ORDER BY t.query_id""".stripMargin,
 
     "eval_rp_rank_tau" ->
       """WITH q AS (

@@ -9,6 +9,29 @@ import org.apache.spark.sql.functions._
   */
 object Eval {
 
+  /** Per-query recall@k of a candidate top-k list against a truth top-k
+    * list: |truth ∩ candidate| / |truth| — the completeness complement to
+    * [[kendallTau]]'s ordering fidelity (an ANN can find the right
+    * neighbors in the wrong order, or rank perfectly over the wrong
+    * candidates; monitoring needs both numbers). One equi-join on
+    * (query, item) + one count per side — fanout bounded by k·queries.
+    * Queries absent from `candidate` report recall 0 rather than
+    * disappearing. */
+  def recallAtK(
+      truth: DataFrame, candidate: DataFrame,
+      qCol: String, itemCol: String): DataFrame = {
+    val t = truth.select(col(qCol).as("query_id"), col(itemCol).as("i"))
+    val c = candidate.select(col(qCol).as("query_id"), col(itemCol).as("i"))
+    val hit = t.join(c, Seq("query_id", "i"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    t.groupBy(col("query_id")).agg(count(lit(1)).as("n_truth"))
+      .join(hit, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_truth"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_truth").cast("double"))
+  }
+
   /** Per-query Kendall tau-a between two score columns over the same item
     * set: every unordered item pair contributes +1 (both scores order it
     * the same way), −1 (opposite), or 0 (a tie in either score);

@@ -482,6 +482,19 @@ class OperatorsSpec extends SparkSuite {
     intercept[IllegalArgumentException](Multimodal.bmpDecode(bad8bit))
   }
 
+  test("recallAtK: hand-built hit fractions, absent queries report zero") {
+    import graft.operators.Eval
+    val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L), (3L, 30L))
+      .toDF("q", "item")
+    val cand = Seq((1L, 10L), (1L, 12L), (1L, 99L), (2L, 55L))
+      .toDF("q", "item")
+    val r = Eval.recallAtK(truth, cand, "q", "item")
+      .orderBy("query_id").collect()
+    assert(r(0).getLong(1) == 3 && r(0).getLong(2) == 2 && r(0).getDouble(3) == 2.0 / 3.0)
+    assert(r(1).getLong(2) == 0 && r(1).getDouble(3) == 0.0)
+    assert(r(2).getLong(2) == 0 && r(2).getDouble(3) == 0.0) // query absent from cand
+  }
+
   test("kendallTau: +1 on agreement, -1 on reversal, ties contribute zero") {
     import graft.operators.Eval
     def tau(b: Seq[Double]): (Long, Long, Long, Double) = {
