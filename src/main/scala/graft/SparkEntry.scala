@@ -1427,6 +1427,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "curation_pipeline" -> ((s, dir) => {
+      // config-driven curation: a YAML step list compiled onto the gated
+      // operators (normalize → length filter → exact dedup → per-source
+      // cap → split); the oracle re-derives the whole chain, so the
+      // pipeline COMPILER itself is correctness-gated
+      val yaml =
+        """steps:
+          |  - { op: normalize }
+          |  - { op: filter_length, min_chars: 50 }
+          |  - { op: dedup_exact }
+          |  - { op: cap_per_source, source_col: source, k: 200 }
+          |  - { op: split, train: 0.8, val: 0.1, test: 0.1 }
+          |""".stripMargin
+      graft.operators.CurationPipeline.runYaml(
+        spread(t(s, dir, "documents")), "doc_id", "text", yaml)
+        .orderBy(col("doc_id"))
+    }),
+
     "dedup_cdc_chunks" -> ((s, dir) => {
       // content-defined chunking: boundaries from a 16-char rolling window
       // hash (mod 64), so edited near-copies still share chunks; per doc,
@@ -3058,6 +3076,31 @@ object SparkEntry {
         |  CASE WHEN n_bigrams = 0 THEN 0.0
         |       ELSE CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE) END AS dup_bigram_frac
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "curation_pipeline" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+        |      '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS text,
+        |    lang, source, n_chars
+        |  FROM documents
+        |), flt AS (
+        |  SELECT * FROM norm WHERE length(text) >= 50
+        |), keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM flt GROUP BY md5(text)
+        |), dd AS (
+        |  SELECT flt.* FROM flt JOIN keep USING (doc_id)
+        |), capped AS (
+        |  SELECT doc_id, text, lang, source, n_chars FROM (
+        |    SELECT dd.*, row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(source || ':' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |    FROM dd) q WHERE rk <= 200
+        |)
+        |SELECT doc_id, text, lang, source, n_chars,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM capped ORDER BY doc_id""".stripMargin,
 
     "dedup_cdc_chunks" ->
       """WITH d AS (

@@ -1,0 +1,130 @@
+package graft.operators
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+
+/** Config-driven curation: a YAML step list compiled onto the gated
+  * operators, so a corpus pipeline is DATA (reviewable, diffable,
+  * replayable) instead of code — the same config-first product shape as the
+  * generation engine's model YAML. Each step maps 1:1 onto an operator this
+  * library already gates, so the pipeline inherits their oracle-checked
+  * semantics; the compiler validates every step and its parameters up
+  * front and fails with a step-indexed error list (the `validate-config`
+  * contract) before any Spark job runs.
+  *
+  * {{{
+  * steps:
+  *   - { op: normalize }                      # text := normalized text
+  *   - { op: filter_lang, keep: [en, ru] }    # langId-based
+  *   - { op: filter_quality, min_score: 0.5 }
+  *   - { op: dedup_exact }                    # first doc per normalized hash
+  *   - { op: filter_length, min_chars: 20, max_chars: 100000 }
+  *   - { op: cap_per_source, source_col: source, k: 1000 }
+  *   - { op: split, train: 0.9, val: 0.05, test: 0.05 }
+  * }}}
+  *
+  * Every step is a deterministic narrow/one-shuffle transform; composition
+  * order is the config's order. Returns the curated frame with whatever
+  * columns the steps added (`split` adds the assignment column).
+  */
+object CurationPipeline {
+
+  final case class Step(op: String, params: Map[String, JsonNode])
+
+  final class PipelineException(val errors: Seq[String])
+      extends RuntimeException(errors.mkString("; "))
+
+  private val yaml = new ObjectMapper(new YAMLFactory())
+
+  private val Known: Map[String, Set[String]] = Map(
+    "normalize" -> Set.empty,
+    "filter_lang" -> Set("keep"),
+    "filter_quality" -> Set("min_score"),
+    "filter_length" -> Set("min_chars", "max_chars"),
+    "dedup_exact" -> Set.empty,
+    "cap_per_source" -> Set("source_col", "k"),
+    "split" -> Set("train", "val", "test"))
+
+  def parse(src: String): Seq[Step] = {
+    val root = yaml.readTree(src)
+    val stepsNode = root.path("steps")
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (!stepsNode.isArray || stepsNode.size() == 0)
+      errors += "pipeline must declare a non-empty `steps` list"
+    val steps = (0 until stepsNode.size()).map { i =>
+      val n = stepsNode.get(i)
+      val op = n.path("op").asText("")
+      val params = n.fields().asScala
+        .filter(_.getKey != "op").map(e => e.getKey -> e.getValue).toMap
+      Known.get(op) match {
+        case None => errors += s"steps[$i]: unknown op '$op' (known: ${Known.keys.toSeq.sorted.mkString(", ")})"
+        case Some(allowed) =>
+          params.keys.filterNot(allowed).foreach(p =>
+            errors += s"steps[$i] ($op): unknown parameter '$p'")
+      }
+      op match {
+        case "filter_lang" if !n.path("keep").isArray || n.path("keep").size() == 0 =>
+          errors += s"steps[$i]: filter_lang needs a non-empty `keep` list"
+        case "cap_per_source" if n.path("k").asLong(0L) <= 0L =>
+          errors += s"steps[$i]: cap_per_source needs k > 0"
+        case "split" =>
+          val total = Seq("train", "val", "test").map(n.path(_).asDouble(0.0)).sum
+          if (math.abs(total - 1.0) > 1e-9)
+            errors += s"steps[$i]: split fractions must sum to 1, got $total"
+        case _ => ()
+      }
+      Step(op, params)
+    }
+    if (errors.nonEmpty) throw new PipelineException(errors.toSeq)
+    steps
+  }
+
+  /** Compile and run the parsed steps over (idCol, textCol) documents. */
+  def run(docs: DataFrame, idCol: String, textCol: String, steps: Seq[Step]): DataFrame =
+    steps.foldLeft(docs) { (df, s) =>
+      s.op match {
+        case "normalize" =>
+          df.withColumn(textCol,
+            graft.functions.Kernels.normalizeTextCol(col(textCol)))
+        case "filter_lang" =>
+          val keep = s.params("keep").elements().asScala.map(_.asText()).toSeq
+          df.filter(graft.functions.TextFns.langId(col(textCol))
+            .isin(keep.map(x => x: Any): _*))
+        case "filter_quality" =>
+          val min = s.params("min_score").asDouble()
+          val scored = TextAnalysis.withQuality(df, idCol, textCol)
+            .select(col(idCol), col("quality_score"))
+          df.join(scored.filter(col("quality_score") >= min).drop("quality_score"),
+            Seq(idCol), "left_semi")
+        case "filter_length" =>
+          val lo = s.params.get("min_chars").map(_.asLong()).getOrElse(0L)
+          val hi = s.params.get("max_chars").map(_.asLong()).getOrElse(Long.MaxValue)
+          df.filter(length(col(textCol)) >= lo && length(col(textCol)) <= hi)
+        case "dedup_exact" =>
+          // keep the smallest id per exact normalized-text hash — the
+          // Dedup.exact policy as a semi-join back onto the pipeline frame
+          val keyed = df.select(col(idCol),
+            md5(graft.functions.Kernels.normalizeTextCol(col(textCol))).as("h"))
+          val keep = keyed.groupBy(col("h")).agg(min(col(idCol)).as(idCol))
+            .select(col(idCol))
+          df.join(keep, Seq(idCol), "left_semi")
+        case "cap_per_source" =>
+          Sampling.capPerStratum(df, idCol, s.params("source_col").asText(),
+            s.params("k").asLong().toInt).drop("sample_rank")
+        case "split" =>
+          Sampling.splitAssign(df, idCol, Seq(
+            "train" -> s.params("train").asDouble(),
+            "val" -> s.params("val").asDouble(),
+            "test" -> s.params("test").asDouble()))
+        case other => throw new IllegalStateException(s"unvalidated op $other")
+      }
+    }
+
+  def runYaml(docs: DataFrame, idCol: String, textCol: String, src: String): DataFrame =
+    run(docs, idCol, textCol, parse(src))
+}

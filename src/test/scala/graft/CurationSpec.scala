@@ -364,6 +364,38 @@ class CurationSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("curation pipeline: step-indexed validation errors, composition equals manual chain") {
+    import graft.operators.CurationPipeline
+    // validation catches every defect at once, before any Spark job
+    val bad =
+      """steps:
+        |  - { op: normalise }
+        |  - { op: filter_lang, keep: [] }
+        |  - { op: cap_per_source, source_col: source, k: 0 }
+        |  - { op: split, train: 0.5, val: 0.1, test: 0.1 }
+        |  - { op: filter_length, min_words: 3 }
+        |""".stripMargin
+    val e = intercept[CurationPipeline.PipelineException](CurationPipeline.parse(bad))
+    assert(e.errors.size == 5, e.errors.mkString("\n"))
+    assert(e.errors.exists(_.contains("steps[0]: unknown op")))
+    assert(e.errors.exists(_.contains("steps[3]: split fractions")))
+    assert(e.errors.exists(_.contains("unknown parameter 'min_words'")))
+    // the compiled pipeline is exactly the hand-written chain
+    val yaml =
+      """steps:
+        |  - { op: normalize }
+        |  - { op: filter_length, min_chars: 50 }
+        |  - { op: split, train: 0.8, val: 0.1, test: 0.1 }
+        |""".stripMargin
+    val piped = CurationPipeline.runYaml(docs, "doc_id", "text", yaml)
+    val manual = Sampling.splitAssign(
+      docs.withColumn("text", graft.functions.Kernels.normalizeTextCol($"text"))
+        .filter(length($"text") >= 50),
+      "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(piped.orderBy("doc_id").collect().toSeq ==
+      manual.orderBy("doc_id").collect().toSeq)
+  }
+
   test("ivfKnn recall@10 vs brute force: pinned floor, monotone in nprobe, exact at full probe") {
     import graft.operators.Similarity
     // the documented IVF trade (recall vs probed fraction) — measured 0.46
