@@ -111,6 +111,32 @@ object Main {
         println(s"wrote $out")
       } finally spark.stop()
 
+    case "curate" :: cfgPath :: in :: out :: Nil =>
+      // config-driven curation over an existing corpus: YAML steps in,
+      // curated parquet/jsonl out — the read-side twin of `generate`
+      val yamlText = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(cfgPath)), "UTF-8")
+      val steps =
+        try graft.operators.CurationPipeline.parse(yamlText)
+        catch {
+          case e: graft.operators.CurationPipeline.PipelineException =>
+            System.err.println("failed to validate curation pipeline:")
+            e.errors.foreach(err => System.err.println(s"  $err"))
+            sys.exit(1)
+        }
+      val spark = buildSession("graft-curate")
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val docs =
+          if (in.endsWith(".jsonl") || in.endsWith(".json")) spark.read.json(in)
+          else spark.read.parquet(in)
+        val result = graft.operators.CurationPipeline.run(docs, "doc_id", "text", steps)
+        if (out.endsWith(".jsonl") || out.endsWith(".json"))
+          result.write.mode("overwrite").json(out)
+        else result.write.mode("overwrite").parquet(out)
+        println(s"curated ${result.count()} of ${docs.count()} docs -> $out")
+      } finally spark.stop()
+
     case "serve" :: rest =>
       val port = rest.headOption.map(_.toInt).getOrElse(8080)
       val spark = buildSession("graft-serve")
@@ -122,6 +148,9 @@ object Main {
         """usage:
           |  generate <config.yml|config.json> [--force] [--continue]
           |  validate-config <config>
+          |  generate-config description [save-path]           (interactive)
+          |  generate-config <description|sql-query|data-sample> <in> <out>
+          |  curate <pipeline.yml> <in.parquet|jsonl> <out>
           |  serve [port]""".stripMargin)
       sys.exit(2)
   }
