@@ -441,6 +441,26 @@ class PlanSpec extends SparkSuite {
         s"got ${perIteration.size}:\n$phys")
   }
 
+  test("round-8 operators: equi-joins only, PQ hot path is single kernel calls") {
+    // the PQ lesson (DEVNOTES r8): per-term Column trees re-evaluate the
+    // quantize kernel after projection collapse. Pin that encode plans ONE
+    // pqAssign kernel invocation and the ADC join scores via ONE pqAdc call
+    // per pair — not element_at trees
+    val pq = plan(SparkEntry.queries("knn_ivfpq")(spark, sfDir))
+    assert("pqAssign".r.findAllIn(pq).size >= 1, "codes must come from the pqAssign kernel")
+    assert("pqAdc".r.findAllIn(pq).size >= 1, "ADC must be the single-call kernel")
+    assert(!pq.contains("CartesianProduct"), pq) // the IVF prune is an equi-join
+    // the composition operators stay cartesian-free (the eval_* gates embed
+    // bruteForceKnn's DOCUMENTED broadcast cross join as their truth
+    // baseline, so they are exempt; the tau pair join itself is an equi-join)
+    for (q <- Seq("dedup_cdc_chunks", "text_ngram_novelty", "text_mixed_lang",
+        "graph_kcore", "curation_pipeline")) {
+      val p = plan(SparkEntry.queries(q)(spark, sfDir))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a cartesian/BNLJ:\n$p")
+    }
+  }
+
   test("pagerank/ppr iterations reuse the persisted edge partitioning — one Exchange per round") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")
