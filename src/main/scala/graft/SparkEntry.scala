@@ -1175,6 +1175,13 @@ object SparkEntry {
         .limit(100)
     }),
 
+    "events_hourly_spikes" -> ((s, dir) => {
+      // volume-spike monitor: each (type, hour) count z-tested against its
+      // trailing 24 present hours, sqrt-free integer algebra throughout
+      graft.operators.Behavior.hourlySpikes(events(s, dir), "ts", "event_type")
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
     "drift_embedding_shift" -> ((s, dir) => {
       // embedding-cloud drift after a (deterministic) re-curation: L2 shift
       // between per-dim truncating-integer-mean centroids; sqrt is the one
@@ -2508,6 +2515,25 @@ object SparkEntry {
         |  CAST((SELECT n FROM n) AS DOUBLE) * p.n_ab / ia.n_i / ib.n_i AS lift
         |FROM p JOIN ic ia ON ia.i = p.item_a JOIN ic ib ON ib.i = p.item_b
         |ORDER BY lift DESC, item_a, item_b LIMIT 100""".stripMargin,
+
+    "events_hourly_spikes" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), win AS (
+        |  SELECT hour, event_type, n,
+        |    count(*) OVER (PARTITION BY event_type ORDER BY hour
+        |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS m,
+        |    sum(n) OVER (PARTITION BY event_type ORDER BY hour
+        |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS s,
+        |    sum(n * n) OVER (PARTITION BY event_type ORDER BY hour
+        |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS q
+        |  FROM hourly
+        |)
+        |SELECT hour, event_type, n, CAST(COALESCE(m, 0) AS BIGINT) AS m,
+        |  CAST(CASE WHEN m >= 6 AND (m*n - s) * (m*n - s) > 9 * (m*q - s*s)
+        |            THEN 1 ELSE 0 END AS BIGINT) AS spike
+        |FROM win ORDER BY hour, event_type""".stripMargin,
 
     "drift_embedding_shift" ->
       """WITH b AS (

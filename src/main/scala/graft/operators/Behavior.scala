@@ -215,6 +215,38 @@ object Behavior {
     * deviation aggregation, and a broadcast join of the group-count-sized
     * stats back onto the stream — the corpus is scanned twice, shuffled
     * never (group stats are metadata-sized). */
+  /** Hourly volume-spike detection per event type — the pipeline-ops
+    * monitor ("did ingestion/traffic jump an order of magnitude this
+    * hour"): each hour's count is z-tested against its trailing window of
+    * up to `trailing` present hours, entirely in the sqrt-free integer
+    * algebra of [[valueOutliers]]: with trailing sum S, sum-of-squares Q
+    * over m hours, `spike ⇔ (m·n − S)² > z²·(m·Q − S²)` — exact integers,
+    * engine-portable (bound: hourly counts up to ~4e8 keep m·Q inside
+    * BIGINT; beyond that, pre-scale counts). Hours with fewer than
+    * `minHistory` trailing observations report 0 (cold start is not a
+    * spike). One aggregation + one bounded window over the per-(type, hour)
+    * rollup — the window slides over HOURS, never raw events. */
+  def hourlySpikes(
+      events: DataFrame, tsCol: String, typeCol: String,
+      z: Int = 3, trailing: Int = 24, minHistory: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events
+      .groupBy(date_trunc("hour", col(tsCol)).as("hour"), col(typeCol).as("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-trailing, -1)
+    hourly
+      .withColumn("m", count(lit(1)).over(w))
+      .withColumn("s", sum(col("n")).over(w))
+      .withColumn("q", sum(col("n") * col("n")).over(w))
+      .select(col("hour"), col("event_type"), col("n"),
+        coalesce(col("m"), lit(0L)).as("m"),
+        when(col("m") >= minHistory &&
+            (col("m") * col("n") - col("s")) * (col("m") * col("n") - col("s"))
+              > lit(z.toLong * z) * (col("m") * col("q") - col("s") * col("s")),
+          lit(1L)).otherwise(lit(0L)).as("spike"))
+  }
+
   def valueOutliers(
       events: DataFrame, idCol: String, groupCol: String, valueCents: Column,
       z: Int = 3): DataFrame = {

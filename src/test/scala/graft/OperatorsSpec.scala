@@ -482,6 +482,24 @@ class OperatorsSpec extends SparkSuite {
     intercept[IllegalArgumentException](Multimodal.bmpDecode(bad8bit))
   }
 
+  test("hourlySpikes: flags the jump hour, never the cold start or flat hours") {
+    import graft.operators.Behavior
+    // 12 hours of ~constant volume, then one 10x hour
+    val rows = (0 until 12).flatMap { h =>
+      val n = if (h == 11) 50 else 5 + (h % 2) // mild wobble, one spike
+      (0 until n).map(i => (java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:10:00"), "click"))
+    }
+    val df = rows.toDF("ts", "event_type")
+    val r = Behavior.hourlySpikes(df, "ts", "event_type")
+      .orderBy("hour").collect()
+    assert(r.length == 12)
+    // cold start: first 6 hours have m < 6 trailing observations
+    assert(r.take(6).forall(_.getLong(4) == 0L))
+    // steady hours never spike; the 10x hour does
+    assert(r.slice(6, 11).forall(_.getLong(4) == 0L), r.map(_.toSeq).mkString("\n"))
+    assert(r(11).getLong(2) == 50L && r(11).getLong(4) == 1L, r(11).toString)
+  }
+
   test("recallAtK: hand-built hit fractions, absent queries report zero") {
     import graft.operators.Eval
     val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L), (3L, 30L))
