@@ -134,7 +134,12 @@ object Main {
         if (out.endsWith(".jsonl") || out.endsWith(".json"))
           result.write.mode("overwrite").json(out)
         else result.write.mode("overwrite").parquet(out)
-        println(s"curated ${result.count()} of ${docs.count()} docs -> $out")
+        // count the WRITTEN output (metadata-speed) instead of re-running
+        // the whole pipeline a second time for a log line
+        val written =
+          if (out.endsWith(".jsonl") || out.endsWith(".json")) spark.read.json(out).count()
+          else spark.read.parquet(out).count()
+        println(s"curated $written docs -> $out")
       } finally spark.stop()
 
     case "serve" :: rest =>

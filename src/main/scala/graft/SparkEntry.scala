@@ -2532,7 +2532,8 @@ object SparkEntry {
         |)
         |SELECT hour, event_type, n, CAST(COALESCE(m, 0) AS BIGINT) AS m,
         |  CAST(CASE WHEN m >= 6 AND (m*n - s) * (m*n - s) > 9 * (m*q - s*s)
-        |            THEN 1 ELSE 0 END AS BIGINT) AS spike
+        |            THEN CASE WHEN m*n - s > 0 THEN 1 WHEN m*n - s < 0 THEN -1 ELSE 0 END
+        |            ELSE 0 END AS BIGINT) AS spike
         |FROM win ORDER BY hour, event_type""".stripMargin,
 
     "drift_embedding_shift" ->

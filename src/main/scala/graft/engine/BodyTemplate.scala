@@ -60,7 +60,9 @@ object BodyTemplate {
       }
     }
     def parsePath(tok: String, action: String): List[String] = {
-      require(tok == "." || (tok.startsWith(".") && tok.length > 1 &&
+      // String.split drops TRAILING empty segments, so '.id.' would parse
+      // as '.id' silently — reject trailing dots explicitly
+      require(tok == "." || (tok.startsWith(".") && tok.length > 1 && !tok.endsWith(".") &&
         tok.split('.').drop(1).forall(p => p.nonEmpty && p.forall(c => c.isLetterOrDigit || c == '_'))),
         s"unsupported path '$tok' in action '$action'")
       if (tok == ".") Nil else tok.split('.').drop(1).toList

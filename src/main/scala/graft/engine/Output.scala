@@ -344,11 +344,6 @@ object Output {
       s"""{"saved_rows":${model.generateTo},"file_count":$count,"max_mtime":$maxMtime}""")
   }
 
-  /** Stable digest of the data-shaping config subset (what the reference
-    * marks `backup:"true"` — `backup/extract.go:15-25`): seed + per-model
-    * row counts, layout and full column specs. generate_from/to AND
-    * checkpoint_rows are normalized OUT — a resume legitimately changes the
-    * slice bounds, and checkpoint granularity does not shape data. */
   /** Resume fingerprint over an EXPLICIT list of the data-shaping model
     * fields — not the case-class toString, which changes whenever ANY
     * field is added and silently invalidated every pre-existing backup

@@ -215,17 +215,20 @@ object Behavior {
     * deviation aggregation, and a broadcast join of the group-count-sized
     * stats back onto the stream — the corpus is scanned twice, shuffled
     * never (group stats are metadata-sized). */
-  /** Hourly volume-spike detection per event type — the pipeline-ops
-    * monitor ("did ingestion/traffic jump an order of magnitude this
-    * hour"): each hour's count is z-tested against its trailing window of
+  /** Hourly volume-anomaly detection per event type — the pipeline-ops
+    * monitor for BOTH failure modes ("did traffic surge" and "did the feed
+    * die"): each hour's count is z-tested against its trailing window of
     * up to `trailing` present hours, entirely in the sqrt-free integer
     * algebra of [[valueOutliers]]: with trailing sum S, sum-of-squares Q
-    * over m hours, `spike ⇔ (m·n − S)² > z²·(m·Q − S²)` — exact integers,
-    * engine-portable (bound: hourly counts up to ~4e8 keep m·Q inside
-    * BIGINT; beyond that, pre-scale counts). Hours with fewer than
-    * `minHistory` trailing observations report 0 (cold start is not a
-    * spike). One aggregation + one bounded window over the per-(type, hour)
-    * rollup — the window slides over HOURS, never raw events. */
+    * over m hours, anomalous ⇔ `(m·n − S)² > z²·(m·Q − S²)`, and `spike`
+    * reports the signed direction: +1 surge, −1 drop, 0 normal. Exact
+    * integers, engine-portable. Overflow bound: the squared terms reach
+    * ~(trailing·n)² and z²·trailing²·n², so hourly counts must stay under
+    * ~4e7 at the defaults (trailing=24, z=3) to keep both inside BIGINT —
+    * pre-scale counts (e.g. div 100) beyond that. Hours with fewer than
+    * `minHistory` trailing observations report 0 (cold start is not an
+    * anomaly). One aggregation + one bounded window over the per-(type,
+    * hour) rollup — the window slides over HOURS, never raw events. */
   def hourlySpikes(
       events: DataFrame, tsCol: String, typeCol: String,
       z: Int = 3, trailing: Int = 24, minHistory: Int = 6): DataFrame = {
@@ -244,7 +247,8 @@ object Behavior {
         when(col("m") >= minHistory &&
             (col("m") * col("n") - col("s")) * (col("m") * col("n") - col("s"))
               > lit(z.toLong * z) * (col("m") * col("q") - col("s") * col("s")),
-          lit(1L)).otherwise(lit(0L)).as("spike"))
+          signum(col("m") * col("n") - col("s")).cast("long"))
+          .otherwise(lit(0L)).as("spike"))
   }
 
   def valueOutliers(

@@ -50,6 +50,14 @@ object CurationPipeline {
     "cap_per_source" -> Set("source_col", "k"),
     "split" -> Set("train", "val", "test"))
 
+  /** Parameters that must be present (filter_length's bounds are each
+    * optional — one of them alone is meaningful). */
+  private val Required: Map[String, Set[String]] = Map(
+    "filter_lang" -> Set("keep"),
+    "filter_quality" -> Set("min_score"),
+    "cap_per_source" -> Set("source_col", "k"),
+    "split" -> Set("train", "val", "test"))
+
   def parse(src: String): Seq[Step] = {
     val root = yaml.readTree(src)
     val stepsNode = root.path("steps")
@@ -67,6 +75,10 @@ object CurationPipeline {
           params.keys.filterNot(allowed).foreach(p =>
             errors += s"steps[$i] ($op): unknown parameter '$p'")
       }
+      // required parameters must be PRESENT — the fail-before-any-job
+      // contract covers missing keys, not just unknown/invalid ones
+      Required.getOrElse(op, Set.empty).filterNot(params.contains).foreach(p =>
+        errors += s"steps[$i] ($op): missing required parameter '$p'")
       op match {
         case "filter_lang" if !n.path("keep").isArray || n.path("keep").size() == 0 =>
           errors += s"steps[$i]: filter_lang needs a non-empty `keep` list"

@@ -35,8 +35,19 @@ class BenchGateSpec extends AnyFunSuite {
     // the r7 lesson: emb_meanpool landed after the final bench run and had
     // no r7 cell. This test makes that state fail `sbt test`: after adding
     // a query, re-run Bench (writes bench_full_latest.json) before shipping.
-    val p = java.nio.file.Paths.get("bench_full_latest.json")
-    assume(java.nio.file.Files.exists(p), "no bench archive yet — first round")
+    // prefer the machine-local latest record (gitignored); fall back to the
+    // newest COMMITTED per-round archive so the guard also fires on a fresh
+    // checkout instead of assume-skipping
+    val latest = java.nio.file.Paths.get("bench_full_latest.json")
+    val p =
+      if (java.nio.file.Files.exists(latest)) latest
+      else {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(java.nio.file.Paths.get(".")).iterator().asScala
+          .filter(_.getFileName.toString.matches("bench_full_r\\d+\\.json"))
+          .toSeq.sortBy(_.getFileName.toString).lastOption.orNull
+      }
+    assume(p != null, "no bench archive yet — first round")
     val benched = Bench.parseFloors(
       new String(java.nio.file.Files.readAllBytes(p), "UTF-8")).keySet
     val diff = Bench.missingQueries(benched, SparkEntry.queries.keySet)

@@ -374,12 +374,14 @@ class CurationSpec extends SparkSuite {
         |  - { op: cap_per_source, source_col: source, k: 0 }
         |  - { op: split, train: 0.5, val: 0.1, test: 0.1 }
         |  - { op: filter_length, min_words: 3 }
+        |  - { op: filter_quality }
         |""".stripMargin
     val e = intercept[CurationPipeline.PipelineException](CurationPipeline.parse(bad))
-    assert(e.errors.size == 5, e.errors.mkString("\n"))
+    assert(e.errors.size == 6, e.errors.mkString("\n"))
     assert(e.errors.exists(_.contains("steps[0]: unknown op")))
     assert(e.errors.exists(_.contains("steps[3]: split fractions")))
     assert(e.errors.exists(_.contains("unknown parameter 'min_words'")))
+    assert(e.errors.exists(_.contains("steps[5] (filter_quality): missing required parameter 'min_score'")))
     // the compiled pipeline is exactly the hand-written chain
     val yaml =
       """steps:

@@ -84,6 +84,7 @@ class HttpSinkSpec extends SparkSuite {
     intercept[IllegalArgumentException](BodyTemplate.parse("{{ range .Rows }}no end"))
     intercept[IllegalArgumentException](BodyTemplate.parse("{{ if .X }}{{ end }}"))
     intercept[IllegalArgumentException](BodyTemplate.parse("{{ printf .X }}"))
+    intercept[IllegalArgumentException](BodyTemplate.parse("{{ .id. }}")) // trailing dot
     // unknown column fails at render with the standard schema error
     intercept[IllegalArgumentException](r("""{{ range .Rows }}{{ .nope }}{{ end }}"""))
   }

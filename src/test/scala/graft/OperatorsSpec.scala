@@ -482,22 +482,27 @@ class OperatorsSpec extends SparkSuite {
     intercept[IllegalArgumentException](Multimodal.bmpDecode(bad8bit))
   }
 
-  test("hourlySpikes: flags the jump hour, never the cold start or flat hours") {
+  test("hourlySpikes: signed surge/drop detection, never cold start or flat hours") {
     import graft.operators.Behavior
-    // 12 hours of ~constant volume, then one 10x hour
-    val rows = (0 until 12).flatMap { h =>
-      val n = if (h == 11) 50 else 5 + (h % 2) // mild wobble, one spike
-      (0 until n).map(i => (java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:10:00"), "click"))
-    }
-    val df = rows.toDF("ts", "event_type")
+    // two independent series: one ends in a 10x surge, one in an outage
+    // (separate types — a surge inside the trailing window would inflate
+    // the variance and mask the drop, which is correct behavior)
+    def series(tpe: String, lastN: Int): Seq[(java.sql.Timestamp, String)] =
+      (0 until 12).flatMap { h =>
+        val n = if (h == 11) lastN else 5 + (h % 2)
+        (0 until n).map(_ => (java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:10:00"), tpe))
+      }
+    val df = (series("surge", 50) ++ series("drop", 1)).toDF("ts", "event_type")
     val r = Behavior.hourlySpikes(df, "ts", "event_type")
-      .orderBy("hour").collect()
-    assert(r.length == 12)
-    // cold start: first 6 hours have m < 6 trailing observations
-    assert(r.take(6).forall(_.getLong(4) == 0L))
-    // steady hours never spike; the 10x hour does
-    assert(r.slice(6, 11).forall(_.getLong(4) == 0L), r.map(_.toSeq).mkString("\n"))
-    assert(r(11).getLong(2) == 50L && r(11).getLong(4) == 1L, r(11).toString)
+      .orderBy("event_type", "hour").collect()
+    val (drop, surge) = r.splitAt(12)
+    // cold start: first 6 hours of each series have m < 6 trailing hours
+    assert((drop.take(6) ++ surge.take(6)).forall(_.getLong(4) == 0L))
+    // steady hours never flag; the 10x hour flags +1, the outage hour -1
+    assert((drop.slice(6, 11) ++ surge.slice(6, 11)).forall(_.getLong(4) == 0L),
+      r.map(_.toSeq).mkString("\n"))
+    assert(surge(11).getLong(2) == 50L && surge(11).getLong(4) == 1L, surge(11).toString)
+    assert(drop(11).getLong(2) == 1L && drop(11).getLong(4) == -1L, drop(11).toString)
   }
 
   test("recallAtK: hand-built hit fractions, absent queries report zero") {
