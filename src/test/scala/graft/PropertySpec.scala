@@ -63,6 +63,84 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("CDC chunks: lossless reassembly, no empty chunks, on arbitrary ascii") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val textGen = Gen.chooseNum(0, 400).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    check("cdc-lossless", Prop.forAll(textGen) { s =>
+      val arr = graft.functions.Kernels.cdcChunks(UTF8String.fromString(s), 16, 64)
+      val chunks = (0 until arr.numElements()).map(arr.getUTF8String(_).toString)
+      chunks.mkString == s && chunks.forall(_.nonEmpty)
+    })
+  }
+
+  test("Luhn kernel agrees with a reference implementation on random digit runs") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def refLuhn(run: String): Boolean =
+      run.reverse.zipWithIndex.map { case (c, i) =>
+        val d = c - '0'
+        if (i % 2 == 1) { val t = 2 * d; if (t > 9) t - 9 else t } else d
+      }.sum % 10 == 0
+    val runGen = Gen.chooseNum(10, 21).flatMap(n =>
+      Gen.listOfN(n, Gen.numChar).map(_.mkString))
+    check("luhn-ref", Prop.forAll(Gen.listOfN(4, runGen)) { runs =>
+      val text = runs.mkString(" x ")
+      val parts = graft.functions.Kernels.luhnCounts(UTF8String.fromString(text))
+      val cards = runs.filter(r => r.length >= 13 && r.length <= 19)
+      parts.getLong(0) == cards.size &&
+        parts.getLong(1) == cards.count(refLuhn)
+    })
+  }
+
+  test("BPE segment count: bounded by word length, non-increasing as merges append") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val wordGen = Gen.chooseNum(1, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val mergeGen = Gen.listOfN(2, Gen.oneOf("a", "b", "c", "ab", "bc"))
+      .map(p => s"${p.head} ${p(1)}")
+    check("bpe-bounds", Prop.forAll(wordGen, Gen.listOfN(5, mergeGen)) { (w, ms) =>
+      def count(merges: Seq[String]): Long =
+        graft.functions.Kernels.bpeSegmentCount(UTF8String.fromString(w),
+          new GenericArrayData(merges.map(UTF8String.fromString).toArray[Any]))
+      val counts = ms.indices.map(i => count(ms.take(i + 1)))
+      val full = count(ms)
+      full >= 1 && full <= w.length &&
+        counts.sliding(2).forall(p => p.length < 2 || p(1) <= p(0))
+    })
+  }
+
+  test("char entropy parts: totals exact, entropy within [0, ln(distinct)]") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val textGen = Gen.chooseNum(1, 300).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd', ' ')).map(_.mkString))
+    check("entropy-bounds", Prop.forAll(textGen) { s =>
+      val parts = graft.functions.Kernels.charEntropyParts(UTF8String.fromString(s))
+      val n = parts.getLong(0)
+      val h = (math.floor(math.log(n.toDouble) * 1e6 + 0.5) * n - parts.getLong(1)) / (n * 1e6)
+      val bound = math.log(s.distinct.length.toDouble)
+      n == s.length && h >= -1e-5 && h <= bound + 1e-5
+    })
+  }
+
+  test("PQ: ADC of a vector's own assignment equals the per-subspace minima") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val mSub = 4; val ksub = 4; val sub = 4
+    val vGen = Gen.listOfN(mSub * sub, Gen.chooseNum(-1000000L, 1000000L))
+    val bGen = Gen.listOfN(mSub * ksub * sub, Gen.chooseNum(-125000L, 125000L))
+    check("pq-adc-min", Prop.forAll(vGen, bGen) { (v, b) =>
+      val qv = new GenericArrayData(v.toArray[Any])
+      val books = new GenericArrayData(b.toArray[Any])
+      val codes = graft.functions.Kernels.pqAssign(qv, books, mSub, ksub)
+      val tab = graft.functions.Kernels.pqDistTable(qv, books, mSub, ksub)
+      val adc = graft.functions.Kernels.pqAdc(tab, codes, ksub)
+      val minSum = (0 until mSub).map(m =>
+        (0 until ksub).map(c => tab.getLong(m * ksub + c)).min).sum
+      adc == minSum
+    })
+  }
+
   test("decay weights: bounded, monotone non-increasing, exact at whole half-lives") {
     val hlGen = Gen.chooseNum(1, 60)
     check("decay", Prop.forAll(hlGen, Gen.chooseNum(1, 365)) { (hl, maxAge) =>
