@@ -35,11 +35,12 @@ object SparkEntry {
   private def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4's schema inference
-    * refuses; [[graft.streaming.EventStream.rawEvents]] declares the schema
-    * (ts as nanos long) so no session conf is touched, and truncates to
-    * micros — the same truncation DuckDB applies natively, so both engines
-    * see identical microsecond values. */
+  /** events.ts has shipped as both TIMESTAMP(NANOS) and TIMESTAMP_MICROS
+    * parquet across fixture generations; [[graft.streaming.EventStream.rawEvents]]
+    * probes the footer and branches (nanos -> declared long schema + µs
+    * truncation, the same truncation DuckDB applies natively; micros/millis
+    * -> native TimestampType read), so both engines always see identical
+    * microsecond values regardless of fixture drift. */
   private def events(s: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStream.rawEvents(s, s"$dir/events.parquet")
 

@@ -15,6 +15,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Input self-protection (round-8 lesson): fingerprint every table and
+    // abort before the first query if any time column decodes outside the
+    // plausible epoch window — fixture drift must fail LOUDLY, not produce
+    // a full round of silently-wrong output.
+    Fingerprints.report(spark, sfDir)
     // SPARK_GRAFT_ONLY=a,b,c restricts the dump to named queries — local
     // iteration aid; the driver never sets it, so the gate always runs all
     val only = sys.env.get("SPARK_GRAFT_ONLY")

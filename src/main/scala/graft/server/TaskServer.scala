@@ -13,11 +13,16 @@ import java.util.concurrent.{ConcurrentHashMap, Executors}
 import scala.jdk.CollectionConverters._
 
 /** Async HTTP task API, mirroring the reference server surface
-  * (sdvg `cli/commands/serve/handlers.go:20-27,58-183`, `serve.go:31-60`):
+  * (sdvg `cli/commands/serve/handlers.go:20-27,58-264`, `serve.go:31-60`):
   *
   *   POST /generate        config JSON -> {"task_id": uuid} (async)
   *   GET  /status/<uuid>   -> per-model progress map or final message
   *   POST /validate-config -> {"valid": true} | errors
+  *   POST /generate-config -> config authoring over HTTP: description mode
+  *                            (LLM loop, needs a ChatApi — 503 otherwise,
+  *                            like the reference's OpenAI ping gate at
+  *                            `handlers.go:230-243`), or the deterministic
+  *                            sql_query / sample_path modes
   *
   * Implementation: JDK HttpServer on the driver; each task is a Future
   * running the Spark actions; progress comes from Spark's job tracking.
@@ -27,6 +32,9 @@ object TaskServer {
 
   private val MaxBody = 1 << 20 // 1 MB body limit, like the reference
   private val TtlMillis = 5L * 60 * 1000
+
+  /** Control-flow marker: the handler already sent its response. */
+  private case object Handled extends RuntimeException with scala.util.control.NoStackTrace
 
   private final case class Task(
       id: String,
@@ -43,7 +51,8 @@ object TaskServer {
     def port: Int = server.getAddress.getPort
   }
 
-  def start(spark: SparkSession, port: Int): Handle = {
+  def start(spark: SparkSession, port: Int,
+      chatApi: Option[graft.config.ProseAuthoring.ChatApi] = None): Handle = {
     val tasks = new ConcurrentHashMap[String, Task]()
     val pool = Executors.newFixedThreadPool(4)
     val server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -148,6 +157,68 @@ object TaskServer {
           respond(ex, 400, s"""{"valid":false,"errors":[${errs.mkString(",")}]}""")
         case e: Exception =>
           respond(ex, 400, s"""{"valid":false,"errors":["${String.valueOf(e.getMessage).replace("\"", "'")}"]}""")
+      }
+    })
+
+    server.createContext("/generate-config", (ex: HttpExchange) => {
+      def esc(s: String): String = s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case '\r' => "\\r"; case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+      try {
+        if (ex.getRequestMethod != "POST") respond(ex, 405, """{"error":"method not allowed"}""")
+        else {
+          val body = new com.fasterxml.jackson.databind.ObjectMapper().readTree(readBody(ex))
+          val format = Option(body.path("format").asText(null)).map(_.toLowerCase)
+            .filter(_.nonEmpty).getOrElse("yaml")
+          if (!Seq("json", "yaml", "yml").contains(format))
+            respond(ex, 400, s"""{"message":"Unsupported format","error":"format $format"}""")
+          else {
+            def field(n: String): Option[String] =
+              Option(body.path(n).asText(null)).filter(_.nonEmpty)
+            (field("sql_query"), field("sample_path"), field("description")) match {
+              case (Some(ddl), _, _) =>
+                // deterministic DDL translator — strictly stronger than the
+                // reference's LLM round-trip for this mode (SURVEY §2.10)
+                val cfg = graft.config.ConfigAuthoring.fromDdl(spark, ddl)
+                respond(ex, 200, s"""{"config":"${esc(cfg)}","valid":true,"attempts":1}""")
+              case (None, Some(path), _) =>
+                val cfg = graft.config.ConfigAuthoring.fromSample(spark, path)
+                respond(ex, 200, s"""{"config":"${esc(cfg)}","valid":true,"attempts":1}""")
+              case (None, None, Some(desc0)) =>
+                chatApi match {
+                  case None =>
+                    respond(ex, 503, """{"message":"OpenAI is not available","error":"no chat api configured"}""")
+                  case Some(api) =>
+                    try graft.config.ProseAuthoring.ping(api)
+                    catch {
+                      case e: Exception =>
+                        respond(ex, 503, s"""{"message":"OpenAI is not available","error":"${esc(String.valueOf(e.getMessage))}"}""")
+                        throw Handled
+                    }
+                    // reference prepends the bolded description type
+                    val desc = field("description_type")
+                      .map(t => s"**$t**\n$desc0").getOrElse(desc0)
+                    val r = graft.config.ProseAuthoring.tryGenerate(
+                      api, if (format == "yml") "yaml" else format, desc)
+                    val errs = r.lastError
+                      .map(e => s""","errors":["${esc(e)}"]""").getOrElse("")
+                    respond(ex, 200,
+                      s"""{"config":"${esc(r.content)}","valid":${r.valid},"attempts":${r.attempts}$errs}""")
+                }
+              case _ =>
+                respond(ex, 400,
+                  """{"message":"Invalid request body","error":"one of description, sql_query, sample_path is required"}""")
+            }
+          }
+        }
+      } catch {
+        case Handled => // response already sent
+        case e: Exception =>
+          respond(ex, 400, s"""{"message":"Unable to generate config","error":"${
+            String.valueOf(e.getMessage).replace("\\", "\\\\").replace("\"", "'").replace("\n", " ")}"}""")
       }
     })
 

@@ -34,10 +34,10 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** The `events` table's physical shape: ts is TIMESTAMP(NANOS) parquet,
-    * which Spark 4 cannot infer (schema inference throws). Declaring the
-    * schema with ts as LongType sidesteps inference entirely — the INT64
-    * column reads as raw nano-epoch longs with NO session conf
+  /** Schema used for the TIMESTAMP(NANOS) branch: Spark 4 cannot infer
+    * nanos parquet (schema inference throws). Declaring the schema with ts
+    * as LongType sidesteps inference entirely — the INT64 column reads as
+    * raw nano-epoch longs with NO session conf
     * (`spark.sql.legacy.parquet.nanosAsLong` is only consulted by the
     * inference path), so query builders stop mutating session state. */
   val NanosEventSchema: StructType = StructType(EventSchema.map {
@@ -45,14 +45,103 @@ object EventStream {
     case f => f
   })
 
-  /** Batch read of raw TIMESTAMP(NANOS) events with ts truncated to
-    * microseconds — the same truncation DuckDB applies natively.
-    * MUST be integer `div`: `/` on longs is IEEE double division, and at
-    * nano-epoch magnitude (~1.7e18) the quotient rounds UP by 1 µs on ~half
-    * the inputs. */
-  def rawEvents(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(NanosEventSchema).parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  // One footer probe + one first-row epoch check per distinct path per JVM.
+  // Both are O(one file's metadata / first row group) regardless of table
+  // size, so the preflight cost stays constant at any scale.
+  private val tsNanosCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private val epochChecked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** True iff the parquet footer under `path` declares `ts` as
+    * TIMESTAMP(NANOS). MICROS/MILLIS read natively as TimestampType; any
+    * other physical encoding (e.g. an unannotated INT64) fails LOUDLY here
+    * instead of being misinterpreted downstream — a wrong timestamp unit
+    * produces silently-garbage 1970-era data, the one failure mode this
+    * probe exists to prevent. */
+  def tsIsNanos(spark: SparkSession, path: String): Boolean =
+    tsNanosCache.computeIfAbsent(path, _ => Boolean.box(detectTsNanos(spark, path))).booleanValue()
+
+  private def detectTsNanos(spark: SparkSession, path: String): Boolean = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val hConf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hConf)
+    val file =
+      if (fs.getFileStatus(p).isFile) p
+      else fs.listStatus(p)
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+          && !s.getPath.getName.startsWith("."))
+        .sortBy(_.getPath.getName.toString)
+        .headOption
+        .getOrElse(throw new IllegalStateException(s"no data files under events path $path"))
+        .getPath
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, hConf))
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      require(schema.containsField("ts"), s"events parquet at $path has no `ts` column")
+      val prim = schema.getType(Seq("ts"): _*).asPrimitiveType()
+      prim.getLogicalTypeAnnotation match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+        // Spark's legacy INT96 timestamp: unannotated but self-describing
+        // (julian day + nanos-of-day) — Spark decodes it natively
+        case null if prim.getPrimitiveTypeName ==
+          org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96 => false
+        case other =>
+          throw new IllegalStateException(
+            s"events `ts` at $path has parquet logical type $other " +
+              s"(${prim.getPrimitiveTypeName}); expected TIMESTAMP(MILLIS|MICROS|NANOS) " +
+              "or INT96 — refusing to guess the epoch unit")
+      }
+    } finally reader.close()
+  }
+
+  /** Loud preflight against epoch-unit drift: the first row's ts must land
+    * in a plausible epoch window. A wrong unit shifts EVERY timestamp by
+    * ~1000x (ns read as µs -> year 1970; µs read as ns -> year ~1970 too
+    * after div), so one row decides — no full min(ts) scan needed. */
+  private def preflightEpoch(df: DataFrame, path: String): Unit =
+    if (!epochChecked.contains(path)) {
+      df.select(col("ts")).limit(1).collect().headOption.foreach { r =>
+        val ms = r.getTimestamp(0).getTime
+        val lo = java.sql.Timestamp.valueOf("1990-01-01 00:00:00").getTime
+        val hi = java.sql.Timestamp.valueOf("2100-01-01 00:00:00").getTime
+        require(ms >= lo && ms < hi,
+          s"events `ts` at $path decodes to ${r.getTimestamp(0)} — outside the " +
+            "plausible [1990, 2100) epoch window; the parquet timestamp unit was " +
+            "almost certainly misdetected (fixture drift?)")
+      }
+      epochChecked.add(path)
+    }
+
+  /** Batch read of the events table with ts normalized to TimestampType
+    * (µs precision) WHATEVER the file's physical unit: the footer probe
+    * picks the branch, so a fixture that changes between TIMESTAMP(NANOS)
+    * and TIMESTAMP_MICROS keeps reading correctly. The nanos branch
+    * truncates to microseconds — the same truncation DuckDB applies
+    * natively. MUST be integer `div`: `/` on longs is IEEE double division,
+    * and at nano-epoch magnitude (~1.7e18) the quotient rounds UP by 1 µs
+    * on ~half the inputs. */
+  def rawEvents(spark: SparkSession, path: String): DataFrame = {
+    val df =
+      if (tsIsNanos(spark, path))
+        spark.read.schema(NanosEventSchema).parquet(path)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else
+        spark.read.schema(EventSchema).parquet(path)
+    preflightEpoch(df, path)
+    df
+  }
+
+  /** Streaming twin of [[rawEvents]]: same footer-probe branch, same
+    * normalized output schema, over `readStream`. */
+  private def rawEventsStream(s2: SparkSession, path: String): DataFrame =
+    if (tsIsNanos(s2, path))
+      s2.readStream.schema(NanosEventSchema).parquet(anchoredGlob(s2, path))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else
+      s2.readStream.schema(EventSchema).parquet(anchoredGlob(s2, path))
 
   /** The shared logical plan: tumbling hourly window per event type.
     * Works for both batch and streaming inputs. */
@@ -77,12 +166,6 @@ object EventStream {
     drainToMemory(hourlyAgg(stream), name)
   }
 
-  /** Same as [[runHourlyBatchOverStream]] but streaming DIRECTLY over raw
-    * TIMESTAMP(NANOS) parquet (the `events` table's physical type): ts is
-    * surfaced as a nanos long via the legacy reader conf and truncated to
-    * microseconds in-stream — no temp rewrite of the source. At scale this
-    * matters: re-materializing the input to change a timestamp unit would
-    * double the IO of every backfill. */
   /** Hourly DISTINCT-USER estimates as a streaming HLL sketch: one
     * watermarked window aggregation whose state per window is m = 32 longs
     * (the register file) no matter how many users appear — the sketch shape
@@ -104,12 +187,10 @@ object EventStream {
   }
 
   /** Streaming drive of [[hourlyDistinctUsers]] directly over the raw
-    * TIMESTAMP(NANOS) parquet (same harness as [[runHourlyOverRawEvents]]). */
+    * events parquet (same harness as [[runHourlyOverRawEvents]]). */
   def runHourlyDistinctOverRawEvents(spark: SparkSession, path: String, name: String): DataFrame = {
     val s2 = statePinnedSession(spark)
-    val stream = s2.readStream.schema(NanosEventSchema).parquet(anchoredGlob(s2, path))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    drainToMemory(hourlyDistinctUsers(stream), name)
+    drainToMemory(hourlyDistinctUsers(rawEventsStream(s2, path)), name)
   }
 
   /** Streaming Count-Min sketch: per-hour (family, bucket) frequency
@@ -135,9 +216,7 @@ object EventStream {
   /** Streaming drive of [[hourlyTypeCms]] (same raw-parquet harness). */
   def runHourlyCmsOverRawEvents(spark: SparkSession, path: String, name: String): DataFrame = {
     val s2 = statePinnedSession(spark)
-    val stream = s2.readStream.schema(NanosEventSchema).parquet(anchoredGlob(s2, path))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    drainToMemory(hourlyTypeCms(stream), name)
+    drainToMemory(hourlyTypeCms(rawEventsStream(s2, path)), name)
   }
 
   /** Stream-static enrichment: the third streaming join shape next to the
@@ -158,26 +237,20 @@ object EventStream {
       .select(col("w.start").as("window_start"), col("nation"),
         col("n_events"), (col("cents").cast("double") / 100.0).as("sum_value"))
 
-  /** Streaming drive of [[enrichedHourlyByNation]] over the raw
-    * TIMESTAMP(NANOS) parquet (same harness as [[runHourlyOverRawEvents]]). */
+  /** Streaming drive of [[enrichedHourlyByNation]] over the raw events
+    * parquet (same harness as [[runHourlyOverRawEvents]]). */
   def runEnrichedHourlyOverRawEvents(
       spark: SparkSession, path: String, customersPath: String, name: String): DataFrame = {
     val s2 = statePinnedSession(spark)
-    val stream = s2.readStream.schema(NanosEventSchema).parquet(anchoredGlob(s2, path))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     drainToMemory(
-      enrichedHourlyByNation(stream, s2.read.parquet(customersPath)), name)
+      enrichedHourlyByNation(rawEventsStream(s2, path), s2.read.parquet(customersPath)), name)
   }
 
   def runHourlyOverRawEvents(spark: SparkSession, path: String, name: String): DataFrame = {
     // isolated child session pins stateful-operator parallelism to the
     // (tiny) state volume — see runAttributionOverRawEvents
     val s2 = statePinnedSession(spark)
-    // integer `div`, not `/`: double division of nano-epoch longs rounds
-    // the microsecond quotient up on ~half the inputs
-    val stream = s2.readStream.schema(NanosEventSchema).parquet(anchoredGlob(s2, path))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    drainToMemory(hourlyAgg(stream), name)
+    drainToMemory(hourlyAgg(rawEventsStream(s2, path)), name)
   }
 
   /** Child session (shared SparkContext, own conf) with the shuffle/state
@@ -342,8 +415,8 @@ object EventStream {
       }
   }
 
-  /** End-to-end [[sessionizeStream]] over raw TIMESTAMP(NANOS) events
-    * parquet, drained through a memory sink: the file source reads all files
+  /** End-to-end [[sessionizeStream]] over the raw events parquet
+    * (unit-normalized via [[rawEventsStream]]), drained through a memory sink: the file source reads all files
     * in ONE micro-batch (watermark 0 while it runs, so nothing is late),
     * the watermark then advances to `max(ts) - delay`, and Spark runs the
     * required follow-up batch in which event-time timeouts fire. Emitted =
@@ -355,9 +428,10 @@ object EventStream {
       watermark: String, name: String): DataFrame = {
     val s2 = statePinnedSession(spark)
     import s2.implicits._
-    val stream = s2.readStream.schema(NanosEventSchema).parquet(anchoredGlob(s2, path))
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("ts", timestamp_micros(col("ts_us")))
+    // unix_micros(timestamp_micros(x)) == x exactly, so ts_us carries the
+    // same microsecond value on both the nanos and native branches
+    val stream = rawEventsStream(s2, path)
+      .withColumn("ts_us", unix_micros(col("ts")))
       .select(col("user_id"), col("ts"), col("ts_us"))
       .as[SessionEvent]
     val q = sessionizeStream(stream, gapMicros, watermark).toDF().writeStream
@@ -426,8 +500,8 @@ object EventStream {
       .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
         col("purchase_ts"), col("click_ts"))
 
-  /** End-to-end STREAMING [[attributionJoin]] over raw TIMESTAMP(NANOS)
-    * events parquet: two watermarked file streams over the same source,
+  /** End-to-end STREAMING [[attributionJoin]] over the raw events parquet
+    * (unit-normalized): two watermarked file streams over the same source,
     * joined, drained through an append-mode memory sink. With
     * `leftOuter = true`, the drained result additionally contains the
     * null-click rows for unmatched purchases whose state the final
@@ -447,9 +521,7 @@ object EventStream {
     // are partition-count-independent; only parallelism changes.
     // (q19 at sf0.1: 7.9 s -> 2.9 s steady-state from this alone.)
     val s2 = statePinnedSession(spark, statePartitions)
-    def raw(): DataFrame =
-      s2.readStream.schema(NanosEventSchema).parquet(anchoredGlob(s2, path))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def raw(): DataFrame = rawEventsStream(s2, path)
     val p = purchaseSide(raw()).withWatermark("purchase_ts", watermark)
     val c = clickSide(raw()).withWatermark("click_ts", watermark)
     val joined =

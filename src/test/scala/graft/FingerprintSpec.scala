@@ -1,0 +1,29 @@
+package graft
+
+/** Input-fingerprint self-protection: the gate must refuse epoch-drifted
+  * fixtures (the round-8 silent-garbage class) and pass the live ones. */
+class FingerprintSpec extends SparkSuite {
+
+  test("live fixtures fingerprint clean and the events unit branch is reported") {
+    val fps = Fingerprints.report(spark, "/root/testdata/sf0.001")
+    assert(fps.nonEmpty)
+    val ev = fps.find(_.table == "events").get
+    assert(ev.rows > 0)
+    val ts = ev.cols.find(_.name == "ts").get
+    assert(ts.min.take(4).toInt >= 1990 && ts.max.take(4).toInt < 2100)
+  }
+
+  test("an epoch-drifted time column fails the sanity gate loudly") {
+    val drifted = Seq(Fingerprints.TableFp("events", 10L, Seq(
+      Fingerprints.ColFp("event_id", "bigint", "1", "10"),
+      Fingerprints.ColFp("ts", "timestamp",
+        "1970-01-20 03:21:07.654", "1970-01-20 03:38:12.001"))))
+    val e = intercept[IllegalArgumentException](Fingerprints.assertSane(drifted))
+    assert(e.getMessage.contains("FINGERPRINT FAILURE"))
+    // sane ranges pass, null-range (empty table) passes
+    Fingerprints.assertSane(Seq(Fingerprints.TableFp("events", 0L, Seq(
+      Fingerprints.ColFp("ts", "timestamp", "null", "null")))))
+    Fingerprints.assertSane(Seq(Fingerprints.TableFp("events", 2L, Seq(
+      Fingerprints.ColFp("ts", "timestamp", "2024-01-01 00:00:00", "2024-12-31 23:59:59")))))
+  }
+}

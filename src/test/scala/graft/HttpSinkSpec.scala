@@ -214,4 +214,65 @@ class HttpSinkSpec extends SparkSuite {
       assert(get("/status/nope")._1 == 404)
     } finally handle.stop()
   }
+
+  test("task server: POST /generate-config round-trips all three authoring modes") {
+    // scripted ChatApi: first reply is broken YAML, second is valid — the
+    // validation loop's error feedback must drive the retry, like the
+    // reference's generate -> validate -> regenerate cycle
+    val good =
+      """models:
+        |  users:
+        |    rows_count: 10
+        |    columns:
+        |      - { name: id, type: uuid }
+        |""".stripMargin
+    val scripted = new graft.config.ProseAuthoring.ChatApi {
+      val baseUrl = "scripted://"
+      private var calls = 0
+      def models(): Seq[String] = Seq("m")
+      def chat(messages: Seq[graft.config.ProseAuthoring.ChatMessage]): String = {
+        calls += 1
+        if (calls == 1) "models: {}" else s"```yaml\n$good```"
+      }
+    }
+    val handle = graft.server.TaskServer.start(spark, 0, chatApi = Some(scripted))
+    val base = s"http://localhost:${handle.port}"
+    val client = java.net.http.HttpClient.newHttpClient()
+    def post(body: String): (Int, String) = {
+      val resp = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(s"$base/generate-config"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    }
+    try {
+      // description mode: invalid first attempt -> retry -> valid
+      val (dc, db) = post("""{"format":"yaml","description":"a users table"}""")
+      assert(dc == 200, db)
+      assert(db.contains("\"valid\":true") && db.contains("\"attempts\":2"), db)
+      // sql-query mode: deterministic DDL translation, config parses back
+      val (sc, sb) = post(
+        """{"format":"yaml","sql_query":"CREATE TABLE t (id BIGINT, name STRING)"}""")
+      assert(sc == 200, sb)
+      assert(sb.contains("\"valid\":true") && sb.contains("rows_count"), sb)
+      // data-sample mode
+      val csv = java.nio.file.Files.createTempFile("sample", ".csv")
+      java.nio.file.Files.writeString(csv, "id,score\n1,0.5\n2,0.9\n")
+      val (pc, pb) = post(s"""{"format":"yaml","sample_path":"$csv"}""")
+      assert(pc == 200, pb)
+      assert(pb.contains("\"valid\":true") && pb.contains("score"), pb)
+      // errors: bad format, empty request, method
+      assert(post("""{"format":"xml","description":"x"}""")._1 == 400)
+      assert(post("""{"format":"yaml"}""")._1 == 400)
+      // no-api server answers description mode 503 (reference's OpenAI gate)
+      val bare = graft.server.TaskServer.start(spark, 0)
+      try assert(client.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://localhost:${bare.port}/generate-config"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+            """{"format":"yaml","description":"x"}""")).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode() == 503)
+      finally bare.stop()
+    } finally handle.stop()
+  }
 }

@@ -1028,6 +1028,12 @@ class OperatorsSpec extends SparkSuite {
     assert(batchedCycles < 30,
       s"batched job count must be sublinear in rounds: $batchedCycles cycles for 30 merges")
     assert(localCycles == 1, s"in-memory path must cost O(1) jobs: $localCycles")
+    // realistic merge-count scaling: 64+ merges stay O(1) Spark jobs on the
+    // in-memory path (the production shape — a 32k vocabulary is the same
+    // two jobs + driver CPU)
+    val big = TextAnalysis.bpeMerges(docs, "text", rounds = 64).collect()
+    assert(big.length == 64, s"expected 64 merges, got ${big.length}")
+    assert(TextAnalysis.lastBpeBatchRounds == 1)
   }
 
   test("quality rules: one pass, exact violation counts, null handling per rule") {

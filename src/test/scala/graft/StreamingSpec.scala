@@ -73,6 +73,81 @@ class StreamingSpec extends SparkSuite {
       "emitted window diverges from the batch twin")
   }
 
+  /** Writes a genuinely TIMESTAMP(NANOS)-annotated events file (the old
+    * fixture generation's physical type). Spark cannot write nanos parquet,
+    * so this goes through the parquet-mr example writer. */
+  private def writeNanosEventsFile(
+      file: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    val schema = Types.buildMessage()
+      .addField(Types.optional(PrimitiveTypeName.INT64).named("event_id"))
+      .addField(Types.optional(PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(true, LogicalTypeAnnotation.TimeUnit.NANOS))
+        .named("ts"))
+      .addField(Types.optional(PrimitiveTypeName.INT64).named("user_id"))
+      .addField(Types.optional(PrimitiveTypeName.BINARY)
+        .as(LogicalTypeAnnotation.stringType()).named("event_type"))
+      .addField(Types.optional(PrimitiveTypeName.DOUBLE).named("value"))
+      .addField(Types.optional(PrimitiveTypeName.BINARY)
+        .as(LogicalTypeAnnotation.stringType()).named("props"))
+      .named("events")
+    val w = ExampleParquetWriter.builder(
+        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+          new org.apache.hadoop.fs.Path(file), spark.sparkContext.hadoopConfiguration))
+      .withType(schema).build()
+    val gf = new SimpleGroupFactory(schema)
+    rows.foreach { case (id, ns, uid, et, v, p) =>
+      w.write(gf.newGroup().append("event_id", id).append("ts", ns)
+        .append("user_id", uid).append("event_type", et).append("value", v)
+        .append("props", p))
+    }
+    w.close()
+  }
+
+  test("events ts unit is footer-detected: nanos truncates, micros reads native, junk refuses") {
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+
+    // 1. the live fixture (currently TIMESTAMP_MICROS) must take the native
+    //    branch and decode into the plausible epoch window
+    val fixture = "/root/testdata/sf0.001/events.parquet"
+    assert(!EventStream.tsIsNanos(spark, fixture))
+    val firstMs = EventStream.rawEvents(spark, fixture)
+      .select($"ts").head().getTimestamp(0).getTime
+    assert(firstMs > java.sql.Timestamp.valueOf("1990-01-01 00:00:00").getTime)
+
+    // 2. a synthetic TIMESTAMP(NANOS) file must take the div-1000
+    //    truncating branch
+    val nanosDir = tmp("ev_nanos")
+    val baseNs = java.time.Instant.parse("2024-03-01T00:00:00Z").getEpochSecond * 1000000000L
+    val nsVals = Seq(baseNs + 123456789L, baseNs + 999L) // sub-µs tails must truncate
+    writeNanosEventsFile(s"$nanosDir/part-0.parquet",
+      nsVals.zipWithIndex.map { case (ns, i) => (i.toLong, ns, 1L, "click", 1.0, "{}") })
+    assert(EventStream.tsIsNanos(spark, nanosDir))
+    val gotUs = EventStream.rawEvents(spark, nanosDir)
+      .select(unix_micros($"ts")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(gotUs == nsVals.map(_ / 1000L).sorted, "nanos branch must floor-truncate to µs")
+
+    // 3. an unannotated INT64 ts (no timestamp logical type) must fail
+    //    LOUDLY instead of being read under a guessed unit
+    val junkDir = tmp("ev_junk")
+    Seq(1L, 2L).toDF("ts").write.mode("overwrite").parquet(junkDir)
+    val refusal = intercept[IllegalStateException](EventStream.rawEvents(spark, junkDir))
+    assert(refusal.getMessage.contains("refusing to guess"))
+
+    // 4. a correctly-annotated µs file whose VALUES sit in 1970 (the silent
+    //    garbage signature of unit drift) must trip the epoch preflight
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val driftDir = tmp("ev_drift")
+    s2.range(1).select(timestamp_micros(lit(1234567L)).as("ts"))
+      .write.mode("overwrite").parquet(driftDir)
+    val drift = intercept[IllegalArgumentException](EventStream.rawEvents(spark, driftDir))
+    assert(drift.getMessage.contains("epoch window"))
+  }
+
   test("streaming CMS equals the batch counters and stays depth×width-bounded per window") {
     val raw = "/root/testdata/sf0.001/events.parquet"
     val batch = EventStream.hourlyTypeCms(EventStream.rawEvents(spark, raw))
@@ -149,19 +224,12 @@ class StreamingSpec extends SparkSuite {
     // a bare file path needs a glob for FileStreamSource; `path*` would also
     // match `events.parquet_extra` — the anchored `{name}` form must not
     val dir = java.nio.file.Files.createTempDirectory("events_glob")
-    val src = Seq((1L, 1700000000L * 1000000000L, 10L, "click", 1.0, "{}"),
-      (2L, 1700000100L * 1000000000L, 11L, "view", 2.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-    val extra = Seq((99L, 1700009999L * 1000000000L, 99L, "click", 9.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-    def asFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("part").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.copy(part.toPath, dir.resolve(name))
-    }
-    asFile(src, "events.parquet")
-    asFile(extra, "events.parquet_extra")
+    // nanos-annotated files: the glob test doubles as nanos-branch coverage
+    writeNanosEventsFile(dir.resolve("events.parquet").toString,
+      Seq((1L, 1700000000L * 1000000000L, 10L, "click", 1.0, "{}"),
+        (2L, 1700000100L * 1000000000L, 11L, "view", 2.0, "{}")))
+    writeNanosEventsFile(dir.resolve("events.parquet_extra").toString,
+      Seq((99L, 1700009999L * 1000000000L, 99L, "click", 9.0, "{}")))
     val got = EventStream.runHourlyOverRawEvents(
       spark, dir.resolve("events.parquet").toString, "glob_test")
     assert(got.agg(sum("n_events")).collect()(0).getLong(0) == 2L,
@@ -255,9 +323,7 @@ class StreamingSpec extends SparkSuite {
       (1000L + i, base + i * min, 10000L + i, "purchase", 1.0, "{}")
     }
     val click = Seq((9999L, base + 60 * min, 99999L, "click", 1.0, "{}"))
-    (purchases ++ click)
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .write.mode("overwrite").parquet(dir)
+    writeNanosEventsFile(s"$dir/part-0.parquet", purchases ++ click)
     val res = EventStream.runAttributionOverRawEvents(
       spark, dir, lookbackMin = 30, "0 seconds", "outer_boundary_pin", leftOuter = true)
     val emitted = res.filter($"click_id".isNull).select($"purchase_id")
