@@ -76,9 +76,14 @@ object Fingerprints {
   def report(spark: SparkSession, sfDir: String): Seq[TableFp] = {
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
+    // Existence goes through Hadoop FS (same as every reader) so the
+    // preflight still guards object-store paths — java.io.File would skip
+    // every table on s3a:// and the gate would pass vacuously.
+    val hConf = spark.sessionState.newHadoopConf()
     val fps = tables.flatMap { t =>
       val path = s"$sfDir/$t.parquet"
-      if (!new java.io.File(path).exists()) None
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      if (!hPath.getFileSystem(hConf).exists(hPath)) None
       else {
         // events goes through the unit-normalizing reader — the fingerprint
         // must see the same bytes the queries will
@@ -96,6 +101,10 @@ object Fingerprints {
         Some(fp)
       }
     }
+    require(fps.nonEmpty,
+      s"FINGERPRINT FAILURE: zero input tables found under $sfDir — the gate " +
+        "would pass vacuously. Wrong directory, or a filesystem the configured " +
+        "Hadoop FS cannot see.")
     assertSane(fps)
     fps
   }

@@ -86,7 +86,25 @@ object BodyTemplate {
             scala.collection.mutable.ArrayBuffer.empty[Node]) :: stack
           case List("json", p) => sink += Action("json", parsePath(p, a))
           case List("len", p) => sink += Action("len", parsePath(p, a))
-          case List(p) => sink += Action("field", parsePath(p, a))
+          case List(p) if !p.startsWith("$") => sink += Action("field", parsePath(p, a))
+          // Recognize the rest of Go text/template's grammar BY NAME so a
+          // user porting a reference template learns exactly which feature
+          // to rewrite, not just "unsupported".
+          case ("if" | "else" | "with" | "define" | "template" | "block") :: _ =>
+            throw new IllegalArgumentException(
+              s"Go text/template '${toks.head}' actions are not supported by this " +
+                s"HTTP-sink template engine (got '{{ $a }}'); supported actions: " +
+                "field paths, json/len, range/end, {{- -}} trimming")
+          case _ if toks.exists(t => t.startsWith("$")) =>
+            throw new IllegalArgumentException(
+              s"Go text/template variables ($$var) are not supported by this " +
+                s"HTTP-sink template engine (got '{{ $a }}'); supported actions: " +
+                "field paths, json/len, range/end, {{- -}} trimming")
+          case _ if a.contains("|") =>
+            throw new IllegalArgumentException(
+              s"Go text/template function pipelines (x | f) are not supported by " +
+                s"this HTTP-sink template engine (got '{{ $a }}'); supported actions: " +
+                "field paths, json/len, range/end, {{- -}} trimming")
           case _ => throw new IllegalArgumentException(
             s"unsupported template action '{{ $a }}' (supported: paths, json/len, range/end)")
         }

@@ -153,20 +153,32 @@ object TaskServer {
         }
       } catch {
         case e: ConfigParser.ConfigException =>
-          val errs = e.errors.map(m => "\"" + m.replace("\\", "\\\\").replace("\"", "'") + "\"")
+          val errs = e.errors.map(m => "\"" + esc(m) + "\"")
           respond(ex, 400, s"""{"valid":false,"errors":[${errs.mkString(",")}]}""")
         case e: Exception =>
-          respond(ex, 400, s"""{"valid":false,"errors":["${String.valueOf(e.getMessage).replace("\"", "'")}"]}""")
+          respond(ex, 400, s"""{"valid":false,"errors":["${esc(String.valueOf(e.getMessage))}"]}""")
       }
     })
 
+    // Full JSON string escaping (incl. \r, \t and all other control chars) —
+    // every handler's error path must use THIS, not ad-hoc replace chains: a
+    // control character in an exception message would otherwise emit invalid
+    // JSON.
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+    // DELIBERATE API DIFFERENCE from the reference server (handlers.go
+    // returns the raw generated config document as the 200 body): this
+    // endpoint returns a JSON envelope {"config":...,"valid":...,
+    // "attempts":...[,"errors":[...]]} so a client can see whether the
+    // generated document passed validation and how many LLM attempts it
+    // took WITHOUT re-posting it to /validate-config. Clients wanting the
+    // reference shape read just the "config" field.
     server.createContext("/generate-config", (ex: HttpExchange) => {
-      def esc(s: String): String = s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-        case '\r' => "\\r"; case '\t' => "\\t"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      }
       try {
         if (ex.getRequestMethod != "POST") respond(ex, 405, """{"error":"method not allowed"}""")
         else {
@@ -217,8 +229,8 @@ object TaskServer {
       } catch {
         case Handled => // response already sent
         case e: Exception =>
-          respond(ex, 400, s"""{"message":"Unable to generate config","error":"${
-            String.valueOf(e.getMessage).replace("\\", "\\\\").replace("\"", "'").replace("\n", " ")}"}""")
+          respond(ex, 400,
+            s"""{"message":"Unable to generate config","error":"${esc(String.valueOf(e.getMessage))}"}""")
       }
     })
 

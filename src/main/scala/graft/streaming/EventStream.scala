@@ -67,34 +67,51 @@ object EventStream {
     val hConf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(hConf)
-    val file =
-      if (fs.getFileStatus(p).isFile) p
+    val files =
+      if (fs.getFileStatus(p).isFile) Seq(p)
       else fs.listStatus(p)
         .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
           && !s.getPath.getName.startsWith("."))
         .sortBy(_.getPath.getName.toString)
-        .headOption
-        .getOrElse(throw new IllegalStateException(s"no data files under events path $path"))
-        .getPath
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, hConf))
-    try {
-      val schema = reader.getFooter.getFileMetaData.getSchema
-      require(schema.containsField("ts"), s"events parquet at $path has no `ts` column")
-      val prim = schema.getType(Seq("ts"): _*).asPrimitiveType()
-      prim.getLogicalTypeAnnotation match {
-        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-          t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
-        // Spark's legacy INT96 timestamp: unannotated but self-describing
-        // (julian day + nanos-of-day) — Spark decodes it natively
-        case null if prim.getPrimitiveTypeName ==
-          org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96 => false
-        case other =>
-          throw new IllegalStateException(
-            s"events `ts` at $path has parquet logical type $other " +
-              s"(${prim.getPrimitiveTypeName}); expected TIMESTAMP(MILLIS|MICROS|NANOS) " +
-              "or INT96 — refusing to guess the epoch unit")
-      }
-    } finally reader.close()
+        .map(_.getPath)
+        .toSeq
+    require(files.nonEmpty, s"no data files under events path $path")
+    // Probe EVERY data file's footer and require they agree on the unit: a
+    // directory where one writer appended micros next to nanos files would
+    // otherwise read the minority files under the wrong branch and only the
+    // probed file's first row would ever be epoch-checked. Footer-only reads,
+    // O(#files) metadata — the same cost class as Spark's own schema
+    // inference over the directory, and a one-time cached probe per JVM.
+    val units = files.map { file =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, hConf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        require(schema.containsField("ts"),
+          s"events parquet file $file has no `ts` column")
+        val prim = schema.getType(Seq("ts"): _*).asPrimitiveType()
+        val isNanos = prim.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+          // Spark's legacy INT96 timestamp: unannotated but self-describing
+          // (julian day + nanos-of-day) — Spark decodes it natively
+          case null if prim.getPrimitiveTypeName ==
+            org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96 => false
+          case other =>
+            throw new IllegalStateException(
+              s"events `ts` in $file has parquet logical type $other " +
+                s"(${prim.getPrimitiveTypeName}); expected TIMESTAMP(MILLIS|MICROS|NANOS) " +
+                "or INT96 — refusing to guess the epoch unit")
+        }
+        file -> isNanos
+      } finally reader.close()
+    }
+    val (nanoFiles, nativeFiles) = units.partition(_._2)
+    require(nanoFiles.isEmpty || nativeFiles.isEmpty,
+      s"events directory $path mixes timestamp units: " +
+        s"NANOS in ${nanoFiles.map(_._1.getName).mkString(",")} vs " +
+        s"native in ${nativeFiles.map(_._1.getName).mkString(",")} — a single " +
+        "read branch cannot decode both; rewrite the minority files")
+    nanoFiles.nonEmpty
   }
 
   /** Loud preflight against epoch-unit drift: the first row's ts must land
@@ -103,7 +120,9 @@ object EventStream {
     * after div), so one row decides — no full min(ts) scan needed. */
   private def preflightEpoch(df: DataFrame, path: String): Unit =
     if (!epochChecked.contains(path)) {
-      df.select(col("ts")).limit(1).collect().headOption.foreach { r =>
+      // ts is nullable in EventSchema: probe the first NON-NULL value, or
+      // pass trivially if none exists (an all-null column has no epoch).
+      df.select(col("ts")).where(col("ts").isNotNull).limit(1).collect().headOption.foreach { r =>
         val ms = r.getTimestamp(0).getTime
         val lo = java.sql.Timestamp.valueOf("1990-01-01 00:00:00").getTime
         val hi = java.sql.Timestamp.valueOf("2100-01-01 00:00:00").getTime

@@ -13,6 +13,17 @@ class FingerprintSpec extends SparkSuite {
     assert(ts.min.take(4).toInt >= 1990 && ts.max.take(4).toInt < 2100)
   }
 
+  test("existence probe goes through Hadoop FS: file:-scheme paths work and an empty dir fails loudly") {
+    // A URI-scheme path java.io.File cannot see — must still fingerprint,
+    // because the probe rides the same Hadoop FileSystem as the readers.
+    val fps = Fingerprints.report(spark, "file:///root/testdata/sf0.001")
+    assert(fps.nonEmpty)
+    // A directory with no known tables must FAIL, not pass vacuously.
+    val empty = java.nio.file.Files.createTempDirectory("fp_empty").toString
+    val e = intercept[IllegalArgumentException](Fingerprints.report(spark, empty))
+    assert(e.getMessage.contains("zero input tables"))
+  }
+
   test("an epoch-drifted time column fails the sanity gate loudly") {
     val drifted = Seq(Fingerprints.TableFp("events", 10L, Seq(
       Fingerprints.ColFp("event_id", "bigint", "1", "10"),

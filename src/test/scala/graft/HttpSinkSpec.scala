@@ -82,9 +82,18 @@ class HttpSinkSpec extends SparkSuite {
       """{"ModelName":"users","Rows":[{"id":1,"name":"a\"b"},{"id":2,"name":null}]}""")
     // malformed templates fail at PARSE time with a clear message
     intercept[IllegalArgumentException](BodyTemplate.parse("{{ range .Rows }}no end"))
-    intercept[IllegalArgumentException](BodyTemplate.parse("{{ if .X }}{{ end }}"))
     intercept[IllegalArgumentException](BodyTemplate.parse("{{ printf .X }}"))
     intercept[IllegalArgumentException](BodyTemplate.parse("{{ .id. }}")) // trailing dot
+    // unsupported Go-template features are named in the error, so a user
+    // porting a reference template knows exactly what to rewrite
+    assert(intercept[IllegalArgumentException](
+      BodyTemplate.parse("{{ if .X }}{{ end }}")).getMessage.contains("'if' actions"))
+    assert(intercept[IllegalArgumentException](
+      BodyTemplate.parse("{{ with .Rows }}{{ end }}")).getMessage.contains("'with' actions"))
+    assert(intercept[IllegalArgumentException](
+      BodyTemplate.parse("{{ $x := .Rows }}")).getMessage.contains("variables"))
+    assert(intercept[IllegalArgumentException](
+      BodyTemplate.parse("{{ .name | upper }}")).getMessage.contains("pipelines"))
     // unknown column fails at render with the standard schema error
     intercept[IllegalArgumentException](r("""{{ range .Rows }}{{ .nope }}{{ end }}"""))
   }

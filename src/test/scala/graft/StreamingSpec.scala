@@ -146,6 +146,17 @@ class StreamingSpec extends SparkSuite {
       .write.mode("overwrite").parquet(driftDir)
     val drift = intercept[IllegalArgumentException](EventStream.rawEvents(spark, driftDir))
     assert(drift.getMessage.contains("epoch window"))
+
+    // 5. a directory mixing NANOS and native-unit files must refuse: one
+    //    read branch cannot decode both, and the probe checks EVERY footer
+    val mixedDir = tmp("ev_mixed")
+    writeNanosEventsFile(s"$mixedDir/part-0.parquet",
+      Seq((0L, baseNs + 1L, 1L, "click", 1.0, "{}")))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(fixture),
+      java.nio.file.Paths.get(s"$mixedDir/part-1.parquet"))
+    val mixed = intercept[IllegalArgumentException](EventStream.tsIsNanos(spark, mixedDir))
+    assert(mixed.getMessage.contains("mixes timestamp units"))
   }
 
   test("streaming CMS equals the batch counters and stays depth×width-bounded per window") {
