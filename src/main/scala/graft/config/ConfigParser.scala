@@ -161,9 +161,15 @@ object ConfigParser {
     val fkOrder = optBool(n, "foreign_key_order").getOrElse(false)
     val ordered = optBool(n, "ordered").getOrElse(false)
     val parquetParams = opt(n, "parquet").map { p =>
-      ParquetColumnParams(
-        optText(p, "encoding").getOrElse(""),
-        optText(p, "compression").getOrElse(""))
+      val enc = optText(p, "encoding").getOrElse("")
+      // the reference's accepted encoding names (writer/parquet/parquet.go
+      // encodingsByName + the two dictionary spellings); unknown names fail
+      // HERE, before any generation runs
+      val known = Set("", "PLAIN", "RLE", "DELTA_BINARY_PACKED", "DELTA_BYTE_ARRAY",
+        "DELTA_LENGTH_BYTE_ARRAY", "BYTE_STREAM_SPLIT", "PLAIN_DICT", "RLE_DICTIONARY")
+      if (!known.contains(enc.toUpperCase))
+        errs += s"$where: unknown parquet encoding '$enc' (expected one of ${known.filter(_.nonEmpty).toSeq.sorted.mkString(", ")})"
+      ParquetColumnParams(enc, optText(p, "compression").getOrElse(""))
     }
 
     val inlineFields =

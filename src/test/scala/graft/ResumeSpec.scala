@@ -263,4 +263,46 @@ class ResumeSpec extends SparkSuite {
     assert(back.count() == 500)
     assert(back.select("id").distinct().count() == 500)
   }
+
+  test("per-column parquet dictionary control reaches the file footer") {
+    // Two low-cardinality string columns that parquet-mr would BOTH
+    // dictionary-encode by default; the PLAIN column's config must turn its
+    // dictionary OFF while the RLE_DICTIONARY column keeps it (reference
+    // parquet.go:123,178-189: WithDictionaryDefault(false) +
+    // WithDictionaryFor on *_DICT encodings — our default follows Spark,
+    // the per-column toggle is the contract under test).
+    val dir = java.nio.file.Files.createTempDirectory("pqenc").toString
+    val yaml =
+      s"""
+         |random_seed: 42
+         |output: { type: parquet, dir: $dir }
+         |models:
+         |  m:
+         |    rows_count: 2000
+         |    columns:
+         |      - { name: id, type: integer, type_params: { bit_width: 64, from: 0, to: 1999 }, ordered: true, distinct_percentage: 1 }
+         |      - { name: s_plain, type: string, values: [aaaa, bbbb, cccc], parquet: { encoding: PLAIN } }
+         |      - { name: s_dict, type: string, values: [dddd, eeee, ffff], parquet: { encoding: RLE_DICTIONARY } }
+         |""".stripMargin
+    Engine.run(spark, ConfigParser.parseYaml(yaml))
+    val file = new java.io.File(s"$dir/m").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.getAbsolutePath),
+        spark.sessionState.newHadoopConf()))
+    try {
+      import scala.jdk.CollectionConverters._
+      val cols = reader.getFooter.getBlocks.asScala.head.getColumns.asScala
+        .map(c => c.getPath.toDotString -> c.getEncodings.asScala.map(_.name).toSet).toMap
+      def hasDict(c: String) =
+        cols(c).exists(e => e.contains("DICTIONARY")) // PLAIN_DICTIONARY or RLE_DICTIONARY
+      assert(hasDict("s_dict"), s"s_dict should be dictionary-encoded: ${cols("s_dict")}")
+      assert(!hasDict("s_plain"), s"s_plain dictionary must be disabled: ${cols("s_plain")}")
+    } finally reader.close()
+    // unknown encoding names fail at CONFIG time, not mid-write
+    val bad = intercept[ConfigParser.ConfigException](ConfigParser.parseYaml(
+      yaml.replace("PLAIN", "FANCY_ENC")))
+    assert(bad.errors.exists(_.contains("unknown parquet encoding")), bad.errors.toString)
+  }
 }
