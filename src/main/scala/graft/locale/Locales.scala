@@ -345,7 +345,33 @@ object Locales {
       else if (w.endsWith("е")) w.dropRight(1) + "ем"
       else w + (if ("цчшщж".indexOf(w.last) >= 0) "ем" else "ом")
     }
-    plural ++ genitive ++ instrumental
+    // round-10 widening: dative and prepositional singular (the remaining
+    // high-frequency oblique cases) and the three plural oblique cases,
+    // which are uniform -ам/-ами/-ах (hard) / -ям/-ями/-ях (soft) over the
+    // plural stem — the most regular corner of the whole declension system
+    val dative = nouns.collect {
+      case w if w.endsWith("а") || w.endsWith("я") => w.dropRight(1) + "е"
+      case w if w.endsWith("о") || w.endsWith("е") => w.dropRight(1) + "у"
+      case w if !w.endsWith("ь") && !w.endsWith("й") => w + "у"
+      // ь/й stems skipped: gender decides -ю vs -и there and the word list
+      // carries no gender tags — no guessed non-forms
+    }
+    val prepositional = nouns.collect {
+      case w if "аяое".indexOf(w.last) >= 0 => w.dropRight(1) + "е"
+      case w if !w.endsWith("ь") && !w.endsWith("й") => w + "е"
+    }
+    val pluralOblique = nouns.zip(plural).flatMap { case (w, pl) =>
+      val st = pl.dropRight(1)
+      if (st.length < 2) Nil
+      else {
+        val soft = (w.endsWith("ь") && "чшщж".indexOf(st.last) < 0) ||
+          w.endsWith("я") || w.endsWith("й") ||
+          (w.endsWith("е") && "цчшщж".indexOf(st.last) < 0)
+        val sfx = if (soft) Seq("ям", "ями", "ях") else Seq("ам", "ами", "ах")
+        sfx.map(st + _)
+      }
+    }
+    plural ++ genitive ++ instrumental ++ dative ++ prepositional ++ pluralOblique
   }
 
   val en: LocaleBundle = LocaleBundle(
@@ -426,10 +452,136 @@ object Locales {
       "when", "where", "white", "who", "why", "wide", "wild", "will", "wind", "window", "wing",
       "winter", "wish", "with", "wood", "word", "work", "world", "write", "yard", "year", "yes",
       "yet", "you", "young")
-      sorted(base ++ enInflections(base))
+      sorted(base ++ enWordsMore ++ enInflections(base ++ enWordsMore))
     },
     bytesPerChar = 1
   )
+
+  /** Round-10 vocabulary widening toward the reference's ~10k-word text
+    * domain: more common English vocabulary (own-authored, 3–9 letters,
+    * everyday register) feeding the same regular-inflection expansion. */
+  private lazy val enWordsMore: Seq[String] = Seq(
+    "about", "above", "accept", "account", "across", "act", "action", "active", "actor", "add",
+    "admit", "adult", "advice", "affect", "afraid", "after", "again", "against", "age", "agent",
+    "agree", "ahead", "aim", "alarm", "alive", "alone", "along", "aloud", "always", "among",
+    "amount", "anchor", "angle", "angry", "animal", "answer", "apart", "apple", "apply", "area",
+    "argue", "around", "arrive", "arrow", "aside", "attack", "aunt", "autumn", "avoid", "awake",
+    "award", "away", "baby", "back", "bake", "ban", "bar", "bare", "bark", "barn",
+    "basic", "basin", "basket", "bath", "battle", "beach", "bean", "beat", "become", "beef",
+    "been", "before", "begin", "behind", "being", "bell", "belong", "below", "belt", "bench",
+    "bend", "berry", "best", "better", "between", "beyond", "bill", "bind", "bit", "bite",
+    "bitter", "black", "blade", "blame", "blank", "blast", "blend", "bless", "blind", "block",
+    "blood", "bloom", "blow", "board", "bone", "bonus", "boot", "border", "borrow", "boss",
+    "bottle", "bottom", "bound", "bowl", "brain", "branch", "brand", "brave", "break", "breath",
+    "brick", "bridge", "brief", "bright", "bring", "broad", "brother", "brown", "brush", "bubble",
+    "budget", "build", "bulb", "bulk", "bull", "bundle", "burn", "burst", "bury", "bus",
+    "bush", "busy", "butter", "button", "buy", "cabin", "cable", "cage", "cake", "calm",
+    "camp", "can", "canal", "candle", "cap", "cape", "carbon", "cargo", "carry", "cart",
+    "carve", "castle", "catch", "cattle", "cause", "cave", "cell", "cent", "center", "chain",
+    "chair", "chalk", "chance", "change", "charge", "charm", "chart", "chase", "cheap", "check",
+    "cheek", "cheer", "cheese", "chest", "chief", "child", "chill", "chin", "choice", "choose",
+    "chop", "circle", "claim", "clay", "clerk", "click", "client", "cliff", "climb", "clock",
+    "close", "cloth", "cloud", "clown", "club", "clue", "coach", "coal", "coast", "coat",
+    "code", "coffee", "coin", "collar", "color", "column", "comb", "comet", "common", "copy",
+    "coral", "cord", "core", "cork", "corner", "cotton", "couch", "count", "course", "court",
+    "cousin", "cover", "cow", "crack", "craft", "crash", "crawl", "crazy", "cream", "create",
+    "credit", "creek", "crew", "crime", "crisp", "crop", "cross", "crowd", "crown", "cruel",
+    "crush", "cry", "cube", "cup", "cure", "curl", "current", "curve", "custom", "cycle",
+    "daily", "dairy", "dance", "danger", "dare", "date", "dawn", "deal", "dear", "debate",
+    "debt", "decade", "decide", "deck", "deed", "deer", "degree", "delay", "demand", "den",
+    "dense", "deny", "depend", "depth", "desert", "design", "detail", "device", "dig", "dinner",
+    "direct", "dirt", "dish", "divide", "dock", "doctor", "dollar", "done", "dot", "double",
+    "doubt", "dozen", "draft", "drag", "drain", "drama", "dress", "drift", "drill", "drink",
+    "drop", "drum", "duck", "due", "dull", "dust", "duty", "eager", "eagle", "ear",
+    "earn", "effect", "effort", "eight", "either", "elbow", "elder", "elect", "eleven", "else",
+    "empty", "energy", "engine", "enjoy", "enough", "enter", "entire", "equal", "error", "escape",
+    "estate", "event", "exact", "exam", "except", "exist", "exit", "expand", "expect", "expert",
+    "extra", "fabric", "fade", "fail", "fair", "faith", "false", "fame", "family", "fan",
+    "fancy", "fault", "favor", "feast", "fee", "feed", "fence", "fetch", "fever", "fiber",
+    "fifty", "fight", "figure", "file", "fill", "film", "filter", "final", "finger", "finish",
+    "firm", "fit", "fix", "flag", "flame", "flash", "flavor", "flee", "flesh", "flight",
+    "float", "flock", "flood", "flour", "flow", "flower", "fluid", "foam", "fog", "fold",
+    "follow", "fond", "force", "forest", "forget", "fork", "fort", "forty", "forward", "found",
+    "fox", "frame", "fresh", "friend", "frog", "front", "frost", "fruit", "fuel", "funny",
+    "fur", "future", "gain", "gap", "garden", "gas", "gather", "gaze", "gear", "gentle",
+    "ghost", "giant", "gift", "glad", "glance", "globe", "glory", "glove", "glow", "glue",
+    "goal", "goat", "grab", "grace", "grade", "grain", "grand", "grant", "grape", "grass",
+    "grave", "graze", "grief", "grip", "ground", "guard", "guess", "guest", "guide", "gulf",
+    "habit", "hall", "hammer", "happy", "harbor", "harm", "harsh", "haste", "hat", "hate",
+    "hawk", "hay", "heal", "health", "heap", "heat", "hello", "hen", "herd", "hero",
+    "hide", "hint", "hire", "hit", "hobby", "hole", "hollow", "honest", "honey", "honor",
+    "hook", "horn", "host", "hotel", "huge", "human", "humor", "hunger", "hunt", "hurry",
+    "hurt", "image", "impact", "inch", "income", "indeed", "index", "indoor", "inner", "input",
+    "insect", "inside", "invite", "island", "issue", "item", "ivory", "jacket", "jar", "jaw",
+    "jewel", "joke", "joy", "judge", "juice", "jungle", "junior", "jury", "keen", "kettle",
+    "kick", "kid", "kiss", "kite", "knee", "knife", "knock", "knot", "label", "labor",
+    "lace", "lack", "ladder", "lady", "lamb", "lamp", "lane", "lap", "laugh", "launch",
+    "law", "lawn", "layer", "lazy", "leader", "league", "lean", "leap", "lease", "least",
+    "leave", "lemon", "lend", "length", "lesson", "level", "lever", "lid", "limit", "link",
+    "lion", "lip", "liquid", "little", "load", "loaf", "loan", "local", "lock", "lodge",
+    "log", "loop", "loose", "lord", "lose", "loss", "lost", "lot", "lower", "luck",
+    "lump", "lunch", "lung", "mad", "magic", "mail", "major", "manage", "manner", "maple",
+    "marble", "march", "margin", "market", "marry", "mask", "mass", "master", "match", "matter",
+    "meadow", "meal", "meat", "medal", "media", "medium", "melt", "member", "memory", "mend",
+    "mental", "menu", "mercy", "merry", "mess", "metal", "meter", "method", "middle", "might",
+    "mild", "mill", "minor", "minute", "mirror", "mix", "model", "modern", "moment", "money",
+    "monkey", "month", "mood", "motion", "motor", "mount", "mouse", "mouth", "mud", "muscle",
+    "museum", "nail", "narrow", "nation", "native", "nature", "navy", "neat", "neck", "needle",
+    "nephew", "nerve", "nest", "net", "never", "news", "niece", "noble", "nod", "noise",
+    "noon", "normal", "nose", "notice", "novel", "number", "nurse", "nut", "oak", "object",
+    "ocean", "offer", "office", "often", "oil", "olive", "onion", "orange", "orbit", "organ",
+    "origin", "ounce", "outer", "output", "oven", "owl", "owner", "oxygen", "pace", "pack",
+    "packet", "paint", "pair", "palace", "pale", "palm", "pan", "panel", "panic", "parade",
+    "pardon", "parent", "party", "paste", "pat", "patch", "pause", "paw", "pearl", "pen",
+    "pencil", "penny", "people", "pepper", "period", "permit", "person", "pet", "phase", "phone",
+    "photo", "phrase", "piano", "picnic", "piece", "pig", "pile", "pillow", "pilot", "pin",
+    "pine", "pink", "pipe", "pitch", "pity", "plain", "planet", "plate", "please", "plenty",
+    "plot", "plow", "pocket", "poem", "poet", "poison", "pole", "police", "policy", "polish",
+    "polite", "pond", "pony", "pool", "poor", "pop", "port", "post", "pot", "pound",
+    "pour", "powder", "power", "praise", "pray", "prefer", "press", "pretty", "price", "pride",
+    "prime", "prince", "print", "prison", "prize", "profit", "proof", "proper", "proud", "prove",
+    "public", "pump", "pupil", "pure", "purple", "purse", "puzzle", "queen", "quest", "quick",
+    "quiet", "quite", "rabbit", "race", "rack", "radio", "raft", "rail", "raise", "rank",
+    "rapid", "rare", "rate", "rather", "raw", "ray", "razor", "ready", "reason", "recall",
+    "record", "refuse", "region", "relax", "relief", "remain", "remark", "remedy", "remind", "remote",
+    "remove", "rent", "repair", "repeat", "reply", "report", "rescue", "result", "return", "reveal",
+    "reward", "rhythm", "ribbon", "rice", "rid", "riddle", "ridge", "rifle", "rim", "ripe",
+    "risk", "rival", "roar", "roast", "rob", "robe", "robin", "rod", "role", "rope",
+    "rough", "route", "row", "royal", "rub", "rubber", "rude", "rug", "ruin", "rumor",
+    "rush", "rust", "sack", "sad", "saddle", "sail", "salad", "sale", "sample", "saw",
+    "scale", "scare", "scene", "scent", "school", "score", "scrap", "scream", "screen", "screw",
+    "script", "search", "season", "second", "secret", "secure", "seek", "seem", "seize", "seldom",
+    "select", "senior", "sense", "serve", "settle", "severe", "sew", "shade", "shadow", "shake",
+    "shall", "shame", "share", "shark", "sheep", "sheet", "shelf", "shell", "shield", "shift",
+    "shine", "shirt", "shock", "shoe", "shoot", "shore", "shout", "shower", "shut", "sick",
+    "sight", "silent", "silk", "silly", "silver", "simple", "since", "single", "sink", "sister",
+    "skill", "skin", "skirt", "sled", "slice", "slide", "slight", "slip", "slope", "smart",
+    "smell", "smoke", "smooth", "snake", "snap", "soap", "social", "sock", "sofa", "solar",
+    "sold", "solid", "solve", "sort", "soul", "soup", "sour", "source", "spade", "spare",
+    "spark", "spear", "spice", "spider", "spill", "spin", "spirit", "spite", "splash", "split",
+    "spoil", "spoon", "sport", "spray", "spread", "square", "stable", "stack", "staff", "stage",
+    "stair", "stake", "stamp", "stare", "state", "status", "steady", "steal", "steam", "steel",
+    "steep", "steer", "stem", "stick", "stiff", "sting", "stir", "stitch", "stock", "stool",
+    "storm", "stove", "strain", "strap", "straw", "stream", "stress", "strict", "strike", "string",
+    "stripe", "stroke", "study", "stuff", "style", "sudden", "sugar", "suit", "summer", "supper",
+    "supply", "surf", "survey", "swamp", "swan", "swear", "sweat", "sweep", "sweet", "swell",
+    "swim", "swing", "switch", "sword", "symbol", "system", "tail", "tailor", "tale", "tank",
+    "tap", "tape", "target", "task", "taste", "tax", "tea", "teach", "tear", "tease",
+    "temper", "temple", "tend", "tender", "tent", "term", "text", "thank", "theme", "theory",
+    "thick", "thief", "thin", "third", "thirst", "thirty", "thorn", "thread", "threat", "throat",
+    "throne", "throw", "thumb", "ticket", "tide", "tidy", "tie", "tiger", "tight", "tile",
+    "till", "timber", "tin", "tiny", "tip", "tire", "title", "toast", "toe", "tongue",
+    "tool", "tooth", "total", "touch", "tough", "tour", "toward", "tower", "toy", "trace",
+    "track", "trade", "trail", "train", "trap", "travel", "tray", "treat", "trend", "trial",
+    "tribe", "trick", "troop", "truck", "trunk", "trust", "truth", "tube", "tune", "tunnel",
+    "twelve", "twenty", "twice", "twin", "twist", "type", "ugly", "uncle", "union", "until",
+    "upon", "upper", "upset", "urban", "urge", "usual", "valley", "value", "vapor", "vast",
+    "vein", "verse", "vessel", "vine", "visit", "vital", "vivid", "vote", "vowel", "voyage",
+    "wagon", "waist", "wake", "wander", "war", "wash", "waste", "weak", "wealth", "weapon",
+    "weather", "weave", "web", "weed", "weigh", "weight", "welcome", "wet", "whale", "wheat",
+    "while", "whip", "whole", "wife", "win", "wine", "wipe", "wire", "wise", "wit",
+    "witness", "woman", "wonder", "wool", "worry", "worth", "wound", "wrap", "wreck", "wrist",
+    "wrong", "yawn", "yellow", "yield", "youth", "zero", "zone")
 
   private val ruFemCanonical = Seq(
     "Анна", "Алёна", "Алина", "Алиса", "Варвара", "Вера", "Вероника", "Галина", "Дарья", "Ева",
@@ -513,7 +665,30 @@ object Locales {
       "роса", "рот", "рубль", "ручей", "сахар", "свеча", "север", "сено", "скала", "сказка",
       "сокол", "соль", "сосна", "стекло", "стена", "стул", "суп", "трава", "туман", "туча",
       "угол", "уголь", "узел", "ухо", "флаг", "форма", "царь", "цена", "цепь", "чашка",
-      "честь", "шаг", "шум", "щека", "юг", "язык", "якорь", "яма", "ясень", "ящик")
+      "честь", "шаг", "шум", "щека", "юг", "язык", "якорь", "яма", "ясень", "ящик",
+      // round-10 widening: more everyday nouns (own-authored), feeding the
+      // same declension expansion
+      "весна", "ветка", "вишня", "внук", "волос", "врач", "выбор", "глина", "гнездо", "год",
+      "голубь", "гром", "груша", "дар", "дыня", "жена", "жемчуг", "забота", "залив", "заяц",
+      "здание", "зеркало", "зонт", "изба", "камыш", "капуста", "карман", "картина", "клетка", "ковш",
+      "колено", "колос", "комната", "корабль", "корзина", "корм", "короб", "костёр", "кость", "краска",
+      "кресло", "круг", "крупа", "кувшин", "кукла", "курица", "лавка", "ладонь", "лимон", "линия",
+      "лодка", "локоть", "луг", "лук", "магазин", "малина", "мастер", "машина", "медаль", "мешок",
+      "минута", "молот", "монета", "мрамор", "муравей", "мыло", "мясо", "набор", "награда", "неделя",
+      "нить", "обед", "овёс", "огурец", "опыт", "орех", "осина", "остров", "ответ", "отдых",
+      "охота", "очаг", "палец", "палка", "пальто", "память", "пар", "парус", "перо", "песок",
+      "печаль", "пирог", "платок", "платье", "плита", "победа", "подарок", "подвал", "поезд", "пожар",
+      "покой", "полоса", "помощь", "поток", "почта", "пояс", "прибор", "привет", "природа", "провод",
+      "пруд", "пчела", "пшеница", "радуга", "разум", "рассказ", "ремень", "рецепт", "рис", "рисунок",
+      "родина", "рой", "рынок", "рысь", "сапог", "сарай", "свинья", "свобода", "секрет", "село",
+      "серебро", "сестра", "сирень", "слава", "слеза", "слон", "смола", "собака", "совет", "солома",
+      "сорока", "сосед", "союз", "спина", "спор", "способ", "стадо", "сталь", "старик", "степь",
+      "стрела", "строка", "судьба", "сумка", "сундук", "схема", "счастье", "тайна", "танец", "тарелка",
+      "телега", "телефон", "тетрадь", "тишина", "товар", "топор", "торт", "точка", "тропа", "труба",
+      "тыква", "удача", "ужин", "узор", "улыбка", "урок", "успех", "утка", "ферма", "фонарь",
+      "хозяин", "холм", "цветок", "церковь", "чай", "чемодан", "черта", "чудо", "шапка", "шар",
+      "шахта", "шея", "шкаф", "шляпа", "щит", "экран", "этаж", "юбка", "юноша", "яблоня",
+      "ягода", "яйцо", "янтарь", "ярмарка")
 
   def apply(name: String): LocaleBundle = name match {
     case "en" => en

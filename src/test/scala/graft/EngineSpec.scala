@@ -87,10 +87,10 @@ class EngineSpec extends SparkSuite {
     // has a realistic distinct-value count, not a 100-name loop
     assert(Locales.en.firstNamesAll.length >= 2000, Locales.en.firstNamesAll.length.toString)
     assert(Locales.en.lastNamesAll.length >= 1500, Locales.en.lastNamesAll.length.toString)
-    assert(Locales.en.words.length >= 1200, Locales.en.words.length.toString)
+    assert(Locales.en.words.length >= 6000, Locales.en.words.length.toString)
     assert(Locales.ru.firstNamesAll.length >= 500, Locales.ru.firstNamesAll.length.toString)
-    assert(Locales.ru.lastNamesAll.length >= 5000, Locales.ru.lastNamesAll.length.toString)
-    assert(Locales.ru.words.length >= 700, Locales.ru.words.length.toString)
+    assert(Locales.ru.lastNamesAll.length >= 8500, Locales.ru.lastNamesAll.length.toString)
+    assert(Locales.ru.words.length >= 3000, Locales.ru.words.length.toString)
     // expansion must never break the locale contract: capitalized names,
     // words inside the locale charset, everything deduped and sorted
     for (l <- Seq(Locales.en, Locales.ru)) {
@@ -121,6 +121,64 @@ class EngineSpec extends SparkSuite {
       assert(
         vals.forall { case s: String => s.length >= min && s.length <= max },
         s"bad lengths for ($min,$max): ${vals.collect { case s: String if s.length < min || s.length > max => s.length }.take(5)}")
+    }
+  }
+
+  test("text word selection by binary search is bit-identical to the linear scan") {
+    // ground truth: the pre-r10 O(words) lex-order scan, reimplemented here
+    def linearText(s: gen.Values.StringSpec, num: Double): String = {
+      val words = s.locale.words
+      val oneLetter = s.locale.oneLetterWords
+      val lengthSpread = s.maxLength - s.minLength + 1
+      val wantedLen = s.minLength + (math.abs(num.toLong) % lengthSpread).toInt
+      val maxComputed = s.completions.length - 1
+      var remaining = math.min(wantedLen + 1, maxComputed)
+      if (remaining < 0) remaining = 0
+      var number: Long =
+        if (remaining >= 0 && s.completions(remaining) > 0)
+          math.floor((s.completions(remaining) - 1).toDouble * (num / s.total)).toLong
+        else 0L
+      val sb = new java.lang.StringBuilder(wantedLen + 8)
+      var textLen = 0
+      var ok = true
+      while (remaining > 0 && ok) {
+        if (remaining == 1) {
+          if (oneLetter.nonEmpty) {
+            sb.append(oneLetter((number % oneLetter.length).toInt)); textLen += 1
+          }
+          remaining = 0
+        } else {
+          var w = 0; var found = false
+          while (w < words.length && !found) {
+            val wLen = words(w).length + 1
+            if (wLen <= remaining) {
+              val count = s.completions(remaining - wLen)
+              if (number < count) {
+                sb.append(words(w)).append(" "); textLen += wLen
+                remaining -= wLen; found = true
+              } else number -= count
+            }
+            w += 1
+          }
+          if (!found) ok = false
+        }
+      }
+      var k = math.abs(num.toLong)
+      while (textLen < wantedLen) {
+        val w = words((k % math.max(1, words.length - 1)).toInt)
+        sb.append(w).append(" "); textLen += w.length + 1; k += 1
+      }
+      val res = sb.toString
+      if (res.length > wantedLen) res.substring(0, wantedLen) else res
+    }
+    for (locale <- Seq("en", "ru"); (min, max) <- Seq((3, 5), (32, 64), (200, 256))) {
+      val s = gen.Values.spec(gen.Values.specKey(
+        locale, min, max, "text", "", false, false, false, false, 1e9))
+      val rnd = new scala.util.Random(7)
+      val nums = (0 until 500).map(_ => rnd.nextDouble() * 1e9) ++ Seq(0.0, 1.0, 999999999.0)
+      nums.foreach { n =>
+        assert(gen.Values.text(s, n) == linearText(s, n), s"diverged at locale=$locale num=$n ($min,$max)")
+      }
     }
   }
 
