@@ -1,0 +1,559 @@
+package graft
+
+import graft.config.ConfigParser
+import graft.engine.Engine
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.{Dedup, Layout, Multimodal, Similarity, TextAnalysis}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus curation: stats, quantiles, sampling/splitting/mixing, batch construction, profiling, quality rules, pipeline compiler.
+  *
+  * One registry of [[SparkEntry]]'s query/oracle surface — split per family
+  * in round 10 (the single 4.4k-line object was becoming unreviewable).
+  * Exactness patterns are documented on [[SparkEntry]].
+  */
+private[graft] trait CurationQueries extends QueryHelpers {
+
+  protected def curationQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "feature_quantile_bins" -> ((s, dir) => {
+      // equi-depth binning WITHOUT ntile's global sort: k-1 exact percentile
+      // thresholds (one aggregate; Spark percentile == DuckDB quantile_cont
+      // bit-for-bit on BIGINT) + a scan-speed comparison assignment
+      graft.operators.Features.binByQuantiles(t(s, dir, "documents"), "n_chars", k = 8)
+        .orderBy(col("bin"))
+    }),
+
+
+    "profile_documents" -> ((s, dir) => {
+      // one-pass table profiler (ANALYZE TABLE for the corpus): per-column
+      // row/null/exact-distinct counts and min/max, one scan via Expand
+      graft.operators.Features.profile(
+        t(s, dir, "documents"), Seq("doc_id", "lang", "source", "n_chars"))
+        .orderBy(col("column"))
+    }),
+
+
+    "quality_check" -> ((s, dir) => {
+      // declarative data-quality expectations, ALL evaluated in one
+      // aggregation pass: nullability, uniqueness, range, accepted values.
+      // The in_range(n_chars, 1, 500) rule intentionally FAILS on this
+      // corpus (max 553) so the gate covers both verdicts.
+      graft.operators.Quality.check(t(s, dir, "documents"), Seq(
+        graft.operators.Quality.notNull("doc_id"),
+        graft.operators.Quality.unique("doc_id"),
+        graft.operators.Quality.inRange("n_chars", 1L, 500L),
+        graft.operators.Quality.acceptedValues("lang",
+          Seq("de", "en", "es", "fr", "zh"))))
+        .orderBy(col("rule"))
+    }),
+
+
+    "corpus_snapshot_diff" -> ((s, dir) => {
+      // ingest audit: row-level added/removed/changed/unchanged between two
+      // snapshots — one full-outer equi-join on the key, null-safe column
+      // compare. The "current" snapshot is derived deterministically:
+      // every 11th doc dropped, every 7th n_chars bumped, 20 new keys.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+      val cur = docs.filter(col("doc_id") % 11 =!= 0)
+        .withColumn("n_chars",
+          when(col("doc_id") % 7 === 0, col("n_chars") + 1).otherwise(col("n_chars")))
+        .unionByName(docs.filter(col("doc_id") < 20)
+          .withColumn("doc_id", col("doc_id") + 1000000))
+      graft.operators.Quality.snapshotDiff(docs, cur, "doc_id", Seq("n_chars", "lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+
+    "sample_weighted" -> ((s, dir) => {
+      // sequential Poisson weighted sampling without replacement: 100 docs,
+      // inclusion odds ~ n_chars, integer-exact priorities (no ln/pow)
+      graft.operators.Sampling.weightedSample(
+        t(s, dir, "documents"), "doc_id", "n_chars", 100)
+        .select(col("doc_id"), col("n_chars"), col("priority"))
+        .orderBy(col("priority"), col("doc_id"))
+    }),
+
+
+    "curation_quality_band" -> ((s, dir) => {
+      // per-lang quantile-band filter: drop the junk tail and the
+      // suspiciously-perfect top relative to each group's own distribution
+      TextAnalysis.qualityBand(spread(t(s, dir, "documents")), "doc_id", "text",
+        "lang", lo = 0.1, hi = 0.9)
+        .orderBy(col("doc_id"))
+    }),
+
+
+    "curation_keep" -> ((s, dir) => {
+      // thresholds chosen to split this corpus (~p25 quality, ~p66 dup):
+      // the decision column must actually discriminate for the oracle to
+      // prove anything
+      TextAnalysis.curationKeep(
+        spread(t(s, dir, "documents")), "doc_id", "text",
+        minQuality = 0.85, allowedLangs = Seq("en", "es", "de", "fr"), maxDupFrac = 0.04)
+        .withColumn("keep", col("keep").cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
+
+    "curation_pipeline" -> ((s, dir) => {
+      // config-driven curation: a YAML step list compiled onto the gated
+      // operators (normalize → length filter → exact dedup → per-source
+      // cap → split); the oracle re-derives the whole chain, so the
+      // pipeline COMPILER itself is correctness-gated
+      val yaml =
+        """steps:
+          |  - { op: normalize }
+          |  - { op: filter_length, min_chars: 50 }
+          |  - { op: dedup_exact }
+          |  - { op: cap_per_source, source_col: source, k: 200 }
+          |  - { op: split, train: 0.8, val: 0.1, test: 0.1 }
+          |""".stripMargin
+      graft.operators.CurationPipeline.runYaml(
+        spread(t(s, dir, "documents")), "doc_id", "text", yaml)
+        .orderBy(col("doc_id"))
+    }),
+
+
+    "corpus_stats_incremental" -> ((s, dir) => {
+      // incremental stats maintenance: per-source stats of four ingest
+      // slices MERGED (metadata-sized aggregation) must equal the direct
+      // recompute the oracle runs over the whole corpus
+      val docs = spread(t(s, dir, "documents"))
+      val parts = (0 to 3).map(r =>
+        TextAnalysis.mergeableStats(
+          docs.filter(col("doc_id") % 4 === r), "source", "n_chars"))
+      TextAnalysis.mergeStats(parts, "source").orderBy(col("source"))
+    }),
+
+
+    "corpus_quantiles" -> ((s, dir) => {
+      TextAnalysis.groupedQuantiles(
+        t(s, dir, "documents"), "lang", "n_chars", Seq(0.25, 0.5, 0.75, 0.95))
+        .orderBy(col("lang"))
+    }),
+
+
+    "corpus_stats" -> ((s, dir) => {
+      TextAnalysis.corpusStats(t(s, dir, "documents"), "lang", "source", "n_chars", "doc_id")
+        .orderBy(col("lang"), col("source"))
+    }),
+
+
+    // --- corpus curation: deterministic sampling / splitting / mixing ---
+    "sample_split_assign" -> ((s, dir) => {
+      graft.operators.Sampling.splitAssign(
+        t(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+
+    "sample_split_safe" -> ((s, dir) => {
+      // leakage-safe split: the key is the NORMALIZED text, so byte-level
+      // variants of one document always share a split (no eval contamination)
+      graft.operators.Sampling.contentSafeSplit(
+        t(s, dir, "documents"), "text",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+
+    "sample_token_budget" -> ((s, dir) => {
+      // per-source token budget: hash-ranked greedy prefix, at most 20k
+      // chars of each source (the "N tokens of source X" mixture rule)
+      graft.operators.Sampling.capTokenBudget(
+        t(s, dir, "documents"), "doc_id", "source", "n_chars", budget = 20000L)
+        .select(col("doc_id"), col("source"), col("cost_cum"))
+        .orderBy(col("doc_id"))
+    }),
+
+
+    "sample_stratified" -> ((s, dir) => {
+      graft.operators.Sampling
+        .sampleStratified(t(s, dir, "documents"), "doc_id", "source", 0.25)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+
+    "sample_cap_per_source" -> ((s, dir) => {
+      graft.operators.Sampling
+        .capPerStratum(t(s, dir, "documents"), "doc_id", "source", k = 15)
+        .select(col("doc_id"), col("source"), col("sample_rank"))
+        .orderBy(col("doc_id"))
+    }),
+
+
+    "sample_mix_weighted" -> ((s, dir) => {
+      graft.operators.Sampling.mixWeighted(
+        t(s, dir, "documents"), "doc_id", "source",
+        Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25), 0.1)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+
+    // --- corpus curation: training-batch construction ---
+    "batch_epoch_order" -> ((s, dir) => {
+      graft.operators.Batching.epochOrderKey(t(s, dir, "documents"), "doc_id", seed = 7)
+        .select(col("doc_id"), col("order_key"))
+        .orderBy(col("order_key"), col("doc_id"))
+    }),
+
+
+    "batch_interleave" -> ((s, dir) => {
+      graft.operators.Batching.interleaveKey(t(s, dir, "documents"), "doc_id", "source", seed = 7)
+        .select(col("doc_id"), col("source"), col("rr_rank"))
+        .orderBy(col("rr_rank"), col("source"), col("doc_id"))
+    }),
+
+
+    "batch_pack_tokens" -> ((s, dir) => {
+      graft.operators.Batching
+        .packByTokenBudget(spread(t(s, dir, "documents")), "doc_id", "text", budget = 512)
+        .orderBy(col("doc_id"))
+    }))
+
+  protected def curationOracles: Map[String, String] = Map(
+
+    "curation_keep" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    CAST(length(text) AS BIGINT) AS len_chars,
+        |    length(text) AS total,
+        |    length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g')) AS no_cyr,
+        |    length(regexp_replace(text, '[一-鿿]', '', 'g')) AS no_cjk
+        |  FROM documents
+        |), feats AS (
+        |  SELECT doc_id, len_chars,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with'], t))) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) END AS stopword_ratio,
+        |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |      CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE) END AS alpha_ratio,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS token_diversity,
+        |    CAST(GREATEST(len(toks) - 1, 0) AS BIGINT) AS n_bigrams,
+        |    CAST(len(list_distinct([array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))])) AS BIGINT) AS n_distinct_bigrams
+        |  FROM base
+        |), lang AS (
+        |  SELECT doc_id,
+        |    CASE WHEN total - no_cyr > 0 THEN 'ru'
+        |         WHEN total - no_cjk > 0 THEN 'zh'
+        |         WHEN es > en AND es >= de AND es >= fr THEN 'es'
+        |         WHEN de > en AND de >= fr THEN 'de'
+        |         WHEN fr > en THEN 'fr'
+        |         ELSE 'en' END AS predicted_lang
+        |  FROM (
+        |    SELECT doc_id, total, no_cyr, no_cjk,
+        |      len(list_filter(toks, t -> list_contains(['the','a','and','of','to','in','is'], t))) AS en,
+        |      len(list_filter(toks, t -> list_contains(['el','la','de','que','y','los'], t))) AS es,
+        |      len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','ein'], t))) AS de,
+        |      len(list_filter(toks, t -> list_contains(['le','la','les','et','est','une'], t))) AS fr
+        |    FROM base)
+        |), scored AS (
+        |  SELECT f.doc_id,
+        |    (CASE WHEN len_chars < 20 THEN 0.0 ELSE 0.25 END)
+        |      + (CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 0.25 ELSE 0.0 END)
+        |      + (CASE WHEN alpha_ratio >= 0.6 THEN 0.25 ELSE 0.0 END)
+        |      + token_diversity * 0.25 AS quality_score,
+        |    predicted_lang,
+        |    CASE WHEN n_bigrams = 0 THEN 0.0
+        |         ELSE CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE) END AS dup_bigram_frac
+        |  FROM feats f JOIN lang l ON f.doc_id = l.doc_id
+        |)
+        |SELECT doc_id, quality_score, predicted_lang, dup_bigram_frac,
+        |  CAST(quality_score >= 0.85 AND predicted_lang IN ('en','es','de','fr') AND dup_bigram_frac <= 0.04 AS BIGINT) AS keep
+        |FROM scored ORDER BY doc_id""".stripMargin,
+
+
+    "curation_pipeline" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+        |      '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS text,
+        |    lang, source, n_chars
+        |  FROM documents
+        |), flt AS (
+        |  SELECT * FROM norm WHERE length(text) >= 50
+        |), keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM flt GROUP BY md5(text)
+        |), dd AS (
+        |  SELECT flt.* FROM flt JOIN keep USING (doc_id)
+        |), capped AS (
+        |  SELECT doc_id, text, lang, source, n_chars FROM (
+        |    SELECT dd.*, row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(source || ':' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |    FROM dd) q WHERE rk <= 200
+        |)
+        |SELECT doc_id, text, lang, source, n_chars,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM capped ORDER BY doc_id""".stripMargin,
+
+
+    "corpus_stats_incremental" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
+
+
+    "corpus_quantiles" ->
+      """SELECT lang,
+        |  quantile_cont(n_chars, 0.25) AS q25, quantile_cont(n_chars, 0.5) AS q50,
+        |  quantile_cont(n_chars, 0.75) AS q75, quantile_cont(n_chars, 0.95) AS q95
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "corpus_stats" ->
+      """WITH r AS (
+        |  SELECT lang, source, n_chars, doc_id,
+        |    row_number() OVER (PARTITION BY lang, source ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang, source) AS m
+        |  FROM documents
+        |)
+        |SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  max(CASE WHEN rn = (m + 1) // 2 THEN n_chars END) AS median_chars
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+
+    "sample_split_assign" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+
+    "sample_token_budget" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY source
+        |      ORDER BY md5(source || ':' || CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cost_cum
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, CAST(cost_cum AS BIGINT) AS cost_cum
+        |FROM ranked WHERE cost_cum <= 20000 ORDER BY doc_id""".stripMargin,
+
+
+    "sample_split_safe" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    substr(md5(trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+        |      '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'), '[ \t\n\x0B\f\r]+', ' ', 'g'))), 1, 4) AS h
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN h < 'cccc' THEN 'train'
+        |       WHEN h < 'e666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM k ORDER BY doc_id""".stripMargin,
+
+
+    "sample_stratified" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+        |ORDER BY doc_id""".stripMargin,
+
+
+    "sample_mix_weighted" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8) <
+        |  CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN 'c0000000'
+        |       WHEN 'src2' THEN '80000000' WHEN 'src3' THEN '40000000'
+        |       ELSE '19999999' END
+        |ORDER BY doc_id""".stripMargin,
+
+
+    "sample_cap_per_source" ->
+      """SELECT doc_id, source, sample_rank FROM (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(source || ':' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS sample_rank
+        |  FROM documents)
+        |WHERE sample_rank <= 15 ORDER BY doc_id""".stripMargin,
+
+
+    "batch_epoch_order" ->
+      """SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS order_key
+        |FROM documents ORDER BY order_key, doc_id""".stripMargin,
+
+
+    "batch_interleave" ->
+      """SELECT doc_id, source,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rr_rank
+        |FROM documents ORDER BY rr_rank, source, doc_id""".stripMargin,
+
+
+    "batch_pack_tokens" ->
+      """WITH t AS (
+        |  SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST(floor(CAST(sum(n_tokens) OVER (
+        |      PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens
+        |    AS DOUBLE) / 512.0) AS BIGINT) AS bin
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+
+    "curation_quality_band" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, text, regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    CAST(length(text) AS BIGINT) AS len_chars
+        |  FROM documents
+        |), feats AS (
+        |  SELECT doc_id, lang, len_chars,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with'], t))) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) END AS stopword_ratio,
+        |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |      CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE) END AS alpha_ratio,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS token_diversity
+        |  FROM base
+        |), scored AS (
+        |  SELECT doc_id, lang,
+        |    CAST(floor((
+        |      (CASE WHEN len_chars < 20 THEN 0.0 ELSE 0.25 END)
+        |      + (CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 0.25 ELSE 0.0 END)
+        |      + (CASE WHEN alpha_ratio >= 0.6 THEN 0.25 ELSE 0.0 END)
+        |      + token_diversity * 0.25) * 1000000000.0 + 0.5) AS BIGINT) AS score_q9,
+        |    (CASE WHEN len_chars < 20 THEN 0.0 ELSE 0.25 END)
+        |      + (CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 0.25 ELSE 0.0 END)
+        |      + (CASE WHEN alpha_ratio >= 0.6 THEN 0.25 ELSE 0.0 END)
+        |      + token_diversity * 0.25 AS quality_score
+        |  FROM feats
+        |), th AS (
+        |  SELECT lang,
+        |    CAST(floor(quantile_cont(quality_score, 0.1) * 1000000000.0 + 0.5) AS BIGINT) AS lo_q9,
+        |    CAST(floor(quantile_cont(quality_score, 0.9) * 1000000000.0 + 0.5) AS BIGINT) AS hi_q9
+        |  FROM scored GROUP BY lang
+        |)
+        |SELECT s.doc_id, s.lang, s.score_q9
+        |FROM scored s JOIN th USING (lang)
+        |WHERE s.score_q9 >= th.lo_q9 AND s.score_q9 <= th.hi_q9
+        |ORDER BY s.doc_id""".stripMargin,
+
+
+    "feature_quantile_bins" ->
+      """WITH t AS (
+        |  SELECT quantile_cont(n_chars, 0.125) AS t1, quantile_cont(n_chars, 0.25) AS t2,
+        |    quantile_cont(n_chars, 0.375) AS t3, quantile_cont(n_chars, 0.5) AS t4,
+        |    quantile_cont(n_chars, 0.625) AS t5, quantile_cont(n_chars, 0.75) AS t6,
+        |    quantile_cont(n_chars, 0.875) AS t7
+        |  FROM documents
+        |)
+        |SELECT CAST(1 + CASE WHEN n_chars > t1 THEN 1 ELSE 0 END
+        |  + CASE WHEN n_chars > t2 THEN 1 ELSE 0 END
+        |  + CASE WHEN n_chars > t3 THEN 1 ELSE 0 END
+        |  + CASE WHEN n_chars > t4 THEN 1 ELSE 0 END
+        |  + CASE WHEN n_chars > t5 THEN 1 ELSE 0 END
+        |  + CASE WHEN n_chars > t6 THEN 1 ELSE 0 END
+        |  + CASE WHEN n_chars > t7 THEN 1 ELSE 0 END AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n, min(n_chars) AS min_v, max(n_chars) AS max_v
+        |FROM documents, t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "profile_documents" ->
+      """SELECT * FROM (
+        |  SELECT 'doc_id' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+        |    CAST(min(doc_id) AS VARCHAR) AS min_s, CAST(max(doc_id) AS VARCHAR) AS max_s
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT lang) AS BIGINT),
+        |    CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'source', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT source) AS BIGINT),
+        |    CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT n_chars) AS BIGINT),
+        |    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        |  FROM documents
+        |) q ORDER BY "column"""".stripMargin,
+
+
+    "quality_check" ->
+      """SELECT * FROM (
+        |  SELECT 'not_null(doc_id)' AS rule,
+        |    CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+        |    CAST(CASE WHEN sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) = 0
+        |      THEN 1 ELSE 0 END AS BIGINT) AS passed
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'unique(doc_id)',
+        |    CAST(count(doc_id) - count(DISTINCT doc_id) AS BIGINT),
+        |    CAST(CASE WHEN count(doc_id) = count(DISTINCT doc_id) THEN 1 ELSE 0 END AS BIGINT)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'in_range(n_chars,1,500)',
+        |    CAST(sum(CASE WHEN n_chars IS NOT NULL AND (n_chars < 1 OR n_chars > 500)
+        |      THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(CASE WHEN sum(CASE WHEN n_chars IS NOT NULL AND (n_chars < 1 OR n_chars > 500)
+        |      THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'accepted_values(lang)',
+        |    CAST(sum(CASE WHEN lang IS NOT NULL
+        |      AND lang NOT IN ('de', 'en', 'es', 'fr', 'zh') THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(CASE WHEN sum(CASE WHEN lang IS NOT NULL
+        |      AND lang NOT IN ('de', 'en', 'es', 'fr', 'zh') THEN 1 ELSE 0 END) = 0
+        |      THEN 1 ELSE 0 END AS BIGINT)
+        |  FROM documents
+        |) q ORDER BY rule""".stripMargin,
+
+
+    "corpus_snapshot_diff" ->
+      """WITH b AS (SELECT doc_id, n_chars, lang FROM documents),
+        |cur AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars, lang
+        |  FROM documents WHERE doc_id % 11 != 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, n_chars, lang FROM documents WHERE doc_id < 20
+        |)
+        |SELECT coalesce(b.doc_id, cur.doc_id) AS doc_id,
+        |  CASE WHEN b.doc_id IS NULL THEN 'added'
+        |       WHEN cur.doc_id IS NULL THEN 'removed'
+        |       WHEN (b.n_chars IS DISTINCT FROM cur.n_chars)
+        |         OR (b.lang IS DISTINCT FROM cur.lang) THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM b FULL OUTER JOIN cur ON b.doc_id = cur.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+
+    // sequential Poisson sampling: integer priorities (hash div weight) make
+    // the weighted draw itself hash-comparable
+    "sample_weighted" ->
+      """SELECT doc_id, n_chars,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT // n_chars
+        |    AS priority
+        |FROM documents WHERE n_chars >= 1
+        |ORDER BY priority, doc_id LIMIT 100""".stripMargin)
+}

@@ -1,0 +1,537 @@
+package graft
+
+import graft.config.ConfigParser
+import graft.engine.Engine
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.{Dedup, Layout, Multimodal, Similarity, TextAnalysis}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite over documents (exact, MinHash/LSH, SimHash, n-gram Jaccard, semantic, spans, CDC) incl. shuffle-path variants.
+  *
+  * One registry of [[SparkEntry]]'s query/oracle surface — split per family
+  * in round 10 (the single 4.4k-line object was becoming unreviewable).
+  * Exactness patterns are documented on [[SparkEntry]].
+  */
+private[graft] trait DedupQueries extends QueryHelpers {
+
+  protected def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- dedup suite over documents ---
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("content_hash"))
+    }),
+
+
+    "dedup_exact_normalized" -> ((s, dir) => {
+      // the composition real pipelines run: normalize FIRST (NFC, casefold,
+      // ws collapse), then hash — byte-level variants of one document dedup
+      // together where raw md5(text) treats them as distinct
+      val docs = t(s, dir, "documents")
+      Dedup.exact(
+        docs.select(col("doc_id"),
+          graft.functions.Kernels.normalizeTextCol(col("text")).as("text")),
+        "doc_id", "text")
+        .orderBy(col("content_hash"))
+    }),
+
+
+    "dedup_minhash_signatures" -> ((s, dir) => {
+      Dedup.minhashSignatures(spread(t(s, dir, "documents")), "doc_id", "text", 4)
+        .orderBy(col("doc_id"))
+    }),
+
+
+    "dedup_minhash_pairs" -> ((s, dir) => {
+      Dedup.minhashPairs(spread(t(s, dir, "documents")), "doc_id", "text",
+        numHashes = 4, bandSize = 2, broadcastRight = true)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+
+    "dedup_keep_best" -> ((s, dir) => {
+      // canonical selection policy: keep the HIGHEST-QUALITY doc per
+      // near-dup cluster (min-id keep is dedup_pipeline_keep)
+      val docs = spread(t(s, dir, "documents"))
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        numHashes = 4, bandSize = 2, broadcastRight = true)
+      val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val scored = TextAnalysis.withQuality(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality_score"))
+      Dedup.keepBest(scored, "doc_id", comps, "quality_score")
+        .orderBy(col("doc_id"))
+    }),
+
+
+    "dedup_incremental" -> ((s, dir) => {
+      // continuous ingestion: every 7th doc is "today's increment", the rest
+      // are the indexed corpus whose signatures were persisted at index time
+      val docs = spread(t(s, dir, "documents"))
+      val corpusSigs = Dedup.minhashSignatures(
+        docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text", numHashes = 4)
+      Dedup.minhashPairsAgainst(
+        docs.filter(col("doc_id") % 7 === 0), corpusSigs, "doc_id", "text",
+        numHashes = 4, bandSize = 2)
+        .orderBy(col("incoming_id"), col("corpus_id"))
+    }),
+
+
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simhash(spread(t(s, dir, "documents")), "doc_id", "text", 32)
+        .orderBy(col("doc_id"))
+    }),
+
+
+    "dedup_simhash_sql" -> ((s, dir) => {
+      // the same simhash fingerprints through the SQL function surface
+      // (GraftExtensions/FunctionRegistry) — pure SQL text, same kernels,
+      // same oracle as dedup_simhash
+      graft.plans.GraftFunctions.register(s)
+      spread(t(s, dir, "documents")).createOrReplaceTempView("graft_documents_sql")
+      s.sql("""SELECT doc_id, graft_simhash(graft_tokens(text)) AS simhash
+               FROM graft_documents_sql ORDER BY doc_id""")
+    }),
+
+
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(
+        spread(t(s, dir, "documents")), "doc_id", "text", "lang",
+        n = 3, threshold = 0.5, broadcastRight = true)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+
+    "dedup_ngram_jaccard_prefix" -> ((s, dir) => {
+      // the 100 TB path: identical semantics to dedup_ngram_jaccard (shares
+      // its oracle SQL verbatim) but candidates come from the prefix-filter
+      // inverted index instead of all in-block pairs
+      Dedup.ngramJaccardPairsPrefix(
+        spread(t(s, dir, "documents")), "doc_id", "text", "lang",
+        n = 3, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+
+    "dedup_clusters" -> ((s, dir) => {
+      // pairwise dup evidence -> canonical cluster ids (min reachable id)
+      Dedup.connectedComponents(
+        Dedup.minhashPairs(spread(t(s, dir, "documents")), "doc_id", "text",
+          numHashes = 4, bandSize = 2, broadcastRight = true),
+        "id_a", "id_b")
+        .orderBy(col("id"))
+    }),
+
+
+    "dedup_embedding_cosine" -> ((s, dir) => {
+      Dedup.embeddingNearDupBrute(spread(t(s, dir, "embeddings")), "vec_id", "embedding", 0.4,
+        broadcastRight = true)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+
+    "dedup_spans" -> ((s, dir) => {
+      // exact substring dedup: maximal token spans shared across documents
+      // (stride-1 rolling window hashes -> cross-doc marks -> island merge)
+      Dedup.dupSpans(spread(t(s, dir, "documents")), "doc_id", "text", window = 8)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
+
+    "dedup_semantic" -> ((s, dir) => {
+      // SemDeDup: cluster-then-compare semantic prune — pairwise cosine runs
+      // ONLY within deterministic IVF Voronoi cells (equi-join on the cell
+      // id), never corpus²; drops any doc with a smaller-id tau-close
+      // neighbor in its cell
+      Dedup.semanticDedup(spread(t(s, dir, "embeddings")), "vec_id", "embedding", 0.4)
+        .orderBy(col("vec_id"))
+    }),
+
+
+    "dedup_pipeline_keep" -> ((s, dir) => {
+      // the full dedup pipeline end-to-end: shingle -> minhash -> banded LSH
+      // pairs -> connected components -> drop non-canonical cluster members
+      val docs = spread(t(s, dir, "documents"))
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        numHashes = 4, bandSize = 2, broadcastRight = true)
+      Dedup.keepCanonical(docs, "doc_id", Dedup.connectedComponents(pairs, "id_a", "id_b"))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+
+    // --- dedup shuffle-path variants: broadcastRight = false ---
+    // Identical semantics and oracles to their broadcast twins. At sf0.1 the
+    // broadcast plan wins; at 100 TB no side fits in an executor and the
+    // sort-merge/shuffle-hash plan IS the real plan — these rows make the
+    // gate measure it instead of assuming it.
+    "dedup_minhash_pairs_shuffle" -> ((s, dir) => {
+      Dedup.minhashPairs(spread(t(s, dir, "documents")), "doc_id", "text",
+        numHashes = 4, bandSize = 2, broadcastRight = false)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+
+    "dedup_ngram_jaccard_shuffle" -> ((s, dir) => {
+      // salted replicated join: without it the sort-merge join serializes
+      // the dominant language block into one task (measured 20-30x slower
+      // at sf0.1 — a single key group is beyond AQE's skew splitting)
+      Dedup.ngramJaccardPairs(
+        spread(t(s, dir, "documents")), "doc_id", "text", "lang",
+        n = 3, threshold = 0.5, broadcastRight = false, saltBuckets = 16)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+
+    "dedup_clusters_shuffle" -> ((s, dir) => {
+      Dedup.connectedComponents(
+        Dedup.minhashPairs(spread(t(s, dir, "documents")), "doc_id", "text",
+          numHashes = 4, bandSize = 2, broadcastRight = false),
+        "id_a", "id_b")
+        .orderBy(col("id"))
+    }),
+
+
+    "dedup_cdc_chunks" -> ((s, dir) => {
+      // content-defined chunking: boundaries from a 16-char rolling window
+      // hash (mod 64), so edited near-copies still share chunks; per doc,
+      // how many chunks appear in other documents
+      graft.operators.Dedup.cdcSharedChunks(
+        spread(t(s, dir, "documents")), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }))
+
+  protected def dedupOracles: Map[String, String] = Map(
+
+    "dedup_cdc_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, text AS t, length(text) AS n FROM documents
+        |), cuts AS (
+        |  SELECT doc_id, t, n,
+        |    [p FOR p IN range(16, n + 1) IF
+        |       list_sum([CAST(ascii(substr(t, CAST(p AS INT) - 16 + k, 1)) AS BIGINT)
+        |                 * ([853136842, 188810867, 522219709, 274910315, 718545499,
+        |                     281243405, 621975598, 891031477, 512613922, 887503681,
+        |                     28629151, 923521, 29791, 961, 31, 1])[k]
+        |                 FOR k IN range(1, 17)]) % 1000000007 % 64 = 0] AS cuts
+        |  FROM d
+        |), segs AS (
+        |  SELECT doc_id,
+        |    list_prepend(CAST(0 AS BIGINT), cuts) AS s0,
+        |    list_append(cuts, CAST(n AS BIGINT)) AS e0, t
+        |  FROM cuts
+        |), ch AS (
+        |  SELECT doc_id, chunk FROM (
+        |    SELECT doc_id,
+        |      unnest([substr(t, CAST(s0[i] AS INT) + 1, CAST(e0[i] - s0[i] AS INT))
+        |              FOR i IN range(1, len(s0) + 1)]) AS chunk
+        |    FROM segs) q
+        |  WHERE chunk != ''
+        |), df AS (
+        |  SELECT chunk, count(DISTINCT doc_id) AS ndocs FROM ch GROUP BY 1
+        |)
+        |SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN df.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |  CAST(sum(CASE WHEN df.ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS shared_frac
+        |FROM ch JOIN df USING (chunk) GROUP BY 1 ORDER BY ch.doc_id""".stripMargin,
+
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "dedup_exact_normalized" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+        |    '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS content_hash,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "dedup_minhash_signatures" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS grams
+        |  FROM toks
+        |)
+        |SELECT doc_id,
+        |  list_min([('0x' || substr(md5('0:' || g), 1, 15))::BIGINT FOR g IN grams]) AS mh0,
+        |  list_min([('0x' || substr(md5('0:' || g), 16, 15))::BIGINT FOR g IN grams]) AS mh1,
+        |  list_min([('0x' || substr(md5('1:' || g), 1, 15))::BIGINT FOR g IN grams]) AS mh2,
+        |  list_min([('0x' || substr(md5('1:' || g), 16, 15))::BIGINT FOR g IN grams]) AS mh3
+        |FROM sh ORDER BY doc_id""".stripMargin,
+
+
+    "dedup_minhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS grams
+        |  FROM toks
+        |), sig AS (
+        |  SELECT doc_id,
+        |    list_min([('0x' || substr(md5('0:' || g), 1, 15))::BIGINT FOR g IN grams]) AS mh0,
+        |    list_min([('0x' || substr(md5('0:' || g), 16, 15))::BIGINT FOR g IN grams]) AS mh1,
+        |    list_min([('0x' || substr(md5('1:' || g), 1, 15))::BIGINT FOR g IN grams]) AS mh2,
+        |    list_min([('0x' || substr(md5('1:' || g), 16, 15))::BIGINT FOR g IN grams]) AS mh3
+        |  FROM sh
+        |)
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+        |  (a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))
+        |ORDER BY id_a, id_b""".stripMargin,
+
+
+    "dedup_keep_best" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS grams
+        |  FROM toks
+        |), sig AS (
+        |  SELECT doc_id,
+        |    list_min([('0x' || substr(md5('0:' || g), 1, 15))::BIGINT FOR g IN grams]) AS mh0,
+        |    list_min([('0x' || substr(md5('0:' || g), 16, 15))::BIGINT FOR g IN grams]) AS mh1,
+        |    list_min([('0x' || substr(md5('1:' || g), 1, 15))::BIGINT FOR g IN grams]) AS mh2,
+        |    list_min([('0x' || substr(md5('1:' || g), 16, 15))::BIGINT FOR g IN grams]) AS mh3
+        |  FROM sh
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+        |    (a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))
+        |), edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs
+        |), reach(u, r) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT e.u, r.r FROM edges e JOIN reach r ON r.u = e.v
+        |), comp AS (
+        |  SELECT d.doc_id, least(d.doc_id, coalesce(m.mr, d.doc_id)) AS c
+        |  FROM documents d LEFT JOIN (SELECT u, min(r) AS mr FROM reach GROUP BY u) m
+        |    ON d.doc_id = m.u
+        |), q AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN length(text) < 20 THEN 0.0 ELSE 0.25 END)
+        |      + (CASE WHEN (CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0 ELSE
+        |          CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with'], t))) AS DOUBLE)
+        |          / len(regexp_split_to_array(trim(text), '\s+')) END) BETWEEN 0.01 AND 0.6 THEN 0.25 ELSE 0.0 END)
+        |      + (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |          CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) END) >= 0.6 THEN 0.25 ELSE 0.0 END)
+        |      + (CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0 ELSE
+        |          CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+        |          / len(regexp_split_to_array(trim(text), '\s+')) END) * 0.25 AS quality_score
+        |  FROM documents
+        |), ranked AS (
+        |  SELECT c2.doc_id, q.quality_score,
+        |    row_number() OVER (PARTITION BY c2.c ORDER BY q.quality_score DESC, c2.doc_id) AS rk
+        |  FROM comp c2 JOIN q ON c2.doc_id = q.doc_id
+        |)
+        |SELECT doc_id, quality_score FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+
+    "dedup_incremental" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS grams
+        |  FROM toks
+        |), sig AS (
+        |  SELECT doc_id,
+        |    list_min([('0x' || substr(md5('0:' || g), 1, 15))::BIGINT FOR g IN grams]) AS mh0,
+        |    list_min([('0x' || substr(md5('0:' || g), 16, 15))::BIGINT FOR g IN grams]) AS mh1,
+        |    list_min([('0x' || substr(md5('1:' || g), 1, 15))::BIGINT FOR g IN grams]) AS mh2,
+        |    list_min([('0x' || substr(md5('1:' || g), 16, 15))::BIGINT FOR g IN grams]) AS mh3
+        |  FROM sh
+        |)
+        |SELECT DISTINCT n.doc_id AS incoming_id, c.doc_id AS corpus_id
+        |FROM sig n JOIN sig c ON n.doc_id % 7 = 0 AND c.doc_id % 7 <> 0 AND (
+        |  (n.mh0 = c.mh0 AND n.mh1 = c.mh1) OR (n.mh2 = c.mh2 AND n.mh3 = c.mh3))
+        |ORDER BY incoming_id, corpus_id""".stripMargin,
+
+
+    "dedup_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents
+         |), h AS (
+         |  SELECT doc_id, ('0x' || substr(md5('7919:' || tok), 1, 15))::BIGINT AS hv FROM toks
+         |)
+         |SELECT doc_id, ${(0 until 32).map(k =>
+               s"(CASE WHEN sum(CASE WHEN (hv >> $k) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << k} ELSE 0 END)")
+               .mkString(" + ")} AS simhash
+         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+
+    "dedup_ngram_jaccard" ->
+      """WITH prepared AS (
+        |  SELECT doc_id, lang, CAST(floor(length(text) / 100) AS BIGINT) AS len_bucket,
+        |    list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS grams
+        |  FROM (SELECT doc_id, lang, text, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+        |)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) AS jaccard
+        |  FROM prepared a JOIN prepared b
+        |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+
+    // same semantics as dedup_ngram_jaccard — the prefix-filter path must
+    // produce the identical pair set, so it shares the oracle verbatim
+    "dedup_ngram_jaccard_prefix" ->
+      """WITH prepared AS (
+        |  SELECT doc_id, lang, CAST(floor(length(text) / 100) AS BIGINT) AS len_bucket,
+        |    list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS grams
+        |  FROM (SELECT doc_id, lang, text, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+        |)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) AS jaccard
+        |  FROM prepared a JOIN prepared b
+        |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+
+    "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS grams
+        |  FROM toks
+        |), sig AS (
+        |  SELECT doc_id,
+        |    list_min([('0x' || substr(md5('0:' || g), 1, 15))::BIGINT FOR g IN grams]) AS mh0,
+        |    list_min([('0x' || substr(md5('0:' || g), 16, 15))::BIGINT FOR g IN grams]) AS mh1,
+        |    list_min([('0x' || substr(md5('1:' || g), 1, 15))::BIGINT FOR g IN grams]) AS mh2,
+        |    list_min([('0x' || substr(md5('1:' || g), 16, 15))::BIGINT FOR g IN grams]) AS mh3
+        |  FROM sh
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+        |    (a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))
+        |), edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs
+        |), reach(u, r) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT e.u, r.r FROM edges e JOIN reach r ON r.u = e.v
+        |)
+        |SELECT u AS id, least(u, min(r)) AS component FROM reach GROUP BY u ORDER BY id""".stripMargin,
+
+
+    "dedup_pipeline_keep" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS grams
+        |  FROM toks
+        |), sig AS (
+        |  SELECT doc_id,
+        |    list_min([('0x' || substr(md5('0:' || g), 1, 15))::BIGINT FOR g IN grams]) AS mh0,
+        |    list_min([('0x' || substr(md5('0:' || g), 16, 15))::BIGINT FOR g IN grams]) AS mh1,
+        |    list_min([('0x' || substr(md5('1:' || g), 1, 15))::BIGINT FOR g IN grams]) AS mh2,
+        |    list_min([('0x' || substr(md5('1:' || g), 16, 15))::BIGINT FOR g IN grams]) AS mh3
+        |  FROM sh
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+        |    (a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))
+        |), edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs
+        |), reach(u, r) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT e.u, r.r FROM edges e JOIN reach r ON r.u = e.v
+        |)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT u FROM reach GROUP BY u HAVING min(r) < u)
+        |ORDER BY doc_id""".stripMargin,
+
+
+    "dedup_embedding_cosine" ->
+      """WITH q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, qv, list_sum([x*x FOR x IN qv]) AS n2 FROM q
+        |)
+        |SELECT id_a, id_b, cosine FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CAST(list_sum([a.qv[i] * b.qv[i] FOR i IN range(1, len(a.qv) + 1)]) AS DOUBLE)
+        |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+
+    "dedup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), pos AS (
+        |  SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS p FROM toks
+        |), wins AS (
+        |  SELECT doc_id, CAST(p AS BIGINT) AS pos,
+        |    substr(md5(array_to_string(w[p:p+7], ' ')), 1, 16) AS h
+        |  FROM pos
+        |), duph AS (
+        |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM wins)
+        |  GROUP BY h HAVING count(*) >= 2
+        |), marked AS (
+        |  SELECT wins.doc_id, wins.pos FROM wins JOIN duph USING (h)
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM marked
+        |), grp AS (
+        |  SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM isl
+        |)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
+        |  CAST(count(*) AS BIGINT) AS n_windows
+        |FROM grp GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+
+
+    "dedup_semantic" ->
+      """WITH w AS (
+        |  SELECT c.range AS c, d.range AS d,
+        |    ('0x' || substr(md5('ivf:42:' || c.range || ':' || d.range), 1, 15))::BIGINT % 2001 - 1000 AS wt
+        |  FROM range(0, 16) c, range(0, 64) d
+        |), q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, qv, list_sum([x*x FOR x IN qv]) AS n2 FROM q
+        |), dots AS (
+        |  SELECT q.vec_id, w.c, sum(w.wt * q.qv[w.d + 1]) AS dot
+        |  FROM q CROSS JOIN w GROUP BY q.vec_id, w.c
+        |), assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, c AS cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS cr
+        |    FROM dots)
+        |  WHERE cr = 1
+        |), dropped AS (
+        |  SELECT DISTINCT pb.vec_id
+        |  FROM assign pa JOIN assign pb ON pa.cell = pb.cell AND pa.vec_id < pb.vec_id
+        |  JOIN n a ON a.vec_id = pa.vec_id
+        |  JOIN n b ON b.vec_id = pb.vec_id
+        |  WHERE CAST(list_sum([a.qv[i] * b.qv[i] FOR i IN range(1, len(a.qv) + 1)]) AS DOUBLE)
+        |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= 0.4
+        |)
+        |SELECT s.vec_id, CAST(s.cell AS BIGINT) AS cell,
+        |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM assign s LEFT JOIN dropped d ON d.vec_id = s.vec_id
+        |ORDER BY s.vec_id""".stripMargin)
+}

@@ -1,0 +1,482 @@
+package graft
+
+import graft.config.ConfigParser
+import graft.engine.Engine
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.{Dedup, Layout, Multimodal, Similarity, TextAnalysis}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics: funnels, cohorts, rolling features, decay, transitions, spikes, baskets, drift monitors.
+  *
+  * One registry of [[SparkEntry]]'s query/oracle surface — split per family
+  * in round 10 (the single 4.4k-line object was becoming unreviewable).
+  * Exactness patterns are documented on [[SparkEntry]].
+  */
+private[graft] trait EventsQueries extends QueryHelpers {
+
+  protected def eventsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "events_value_outliers" -> ((s, dir) => {
+      // per-type value anomalies via the sqrt-free z-test ((x-mean)^2 vs
+      // z^2 * variance, all integer cents / dollar^2 units)
+      graft.operators.Behavior.valueOutliers(
+        events(s, dir), "event_id", "event_type", cents(col("value")))
+        .select(col("id").as("event_id"), col("g").as("event_type"),
+          col("xc").as("value_c"), col("dev_c"), col("is_outlier"))
+        .orderBy(col("event_id"))
+    }),
+
+
+    "funnel_stages" -> ((s, dir) => {
+      // strict-sequence conversion funnel view -> click -> purchase: per
+      // user, each stage's earliest qualifying timestamp and how far they got
+      graft.operators.Behavior.funnel(
+        events(s, dir), "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+        .select(col("user").as("user_id"), col("ts_0").as("ts_view"),
+          col("ts_1").as("ts_click"), col("ts_2").as("ts_purchase"),
+          col("stage_reached"))
+        .orderBy(col("user_id"))
+    }),
+
+
+    "funnel_stages_windowed" -> ((s, dir) => {
+      // conversion-window funnel: each stage must land within 24 hours of
+      // the previous one — the form a marketing/product funnel actually uses
+      graft.operators.Behavior.funnel(
+        events(s, dir), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), maxGap = Some("24 HOURS"))
+        .select(col("user").as("user_id"), col("ts_0").as("ts_view"),
+          col("ts_1").as("ts_click"), col("ts_2").as("ts_purchase"),
+          col("stage_reached"))
+        .orderBy(col("user_id"))
+    }),
+
+
+    "funnel_summary" -> ((s, dir) => {
+      graft.operators.Behavior.funnelSummary(
+        events(s, dir), "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+        .orderBy(col("stage"))
+    }),
+
+
+    "events_decayed_value" -> ((s, dir) => {
+      // recency-weighted user value: exponential half-life decay as a
+      // LITERAL quantized weight table (same longs embedded in the oracle
+      // SQL), so no runtime pow enters the compared result
+      graft.operators.Behavior.decayedValue(
+        events(s, dir), "user_id", "ts", cents(col("value")), halfLifeDays = 7.0)
+        .select(col("user").as("user_id"), col("score_scaled"), col("score"))
+        .orderBy(col("user_id"))
+    }),
+
+
+    "events_top_paths" -> ((s, dir) => {
+      // journey path mining: most common 3-step event sequences; one window
+      // serves both lead offsets, top-k is TakeOrdered
+      graft.operators.Behavior.topPaths(
+        events(s, dir), "user_id", "event_type", "ts", "event_id", k = 20)
+    }),
+
+
+    "events_transitions" -> ((s, dir) => {
+      // first-order journey transitions: P(next event type | current), lag
+      // windows per user with (ts, event_id) tie-broken ordering
+      graft.operators.Behavior.transitionMatrix(
+        events(s, dir), "user_id", "event_type", "ts", "event_id")
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
+
+    "cohort_retention" -> ((s, dir) => {
+      // classic retention triangle: cohort = first-activity day, retained at
+      // offset d iff any event on cohort_day + d
+      graft.operators.Behavior.retention(events(s, dir), "user_id", "ts")
+        // DATE surfaces as python-object in the compare; timestamp is typed
+        .withColumn("cohort_day", col("cohort_day").cast("timestamp"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
+
+    "events_rolling_7d" -> ((s, dir) => {
+      // trailing-7-day activity features per user-day: daily aggregate
+      // first, RANGE-frame window over the collapsed rows second
+      graft.operators.Behavior.rollingDaily(
+        events(s, dir), "user_id", "ts", cents(col("value")), windowDays = 7)
+        .select(col("user").as("user_id"), col("day"), col("n_events"),
+          col("value_cents"), col("n_events_window"), col("value_cents_window"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
+
+    "basket_part_pairs" -> ((s, dir) => {
+      // market-basket association: parts co-ordered more than chance — one
+      // self equi-join on the order key (never cartesian), integer counts,
+      // lift as a single division chain
+      graft.operators.Basket.coOccurrence(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L)
+        .orderBy(col("lift").desc, col("item_a"), col("item_b"))
+        .limit(100)
+    }),
+
+
+    "events_hourly_spikes" -> ((s, dir) => {
+      // volume-spike monitor: each (type, hour) count z-tested against its
+      // trailing 24 present hours, sqrt-free integer algebra throughout
+      graft.operators.Behavior.hourlySpikes(events(s, dir), "ts", "event_type")
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
+
+    "drift_embedding_shift" -> ((s, dir) => {
+      // embedding-cloud drift after a (deterministic) re-curation: L2 shift
+      // between per-dim truncating-integer-mean centroids; sqrt is the one
+      // non-integer op and IEEE requires it correctly rounded
+      val embs = t(s, dir, "embeddings")
+      graft.operators.Drift.embeddingShift(
+        embs, embs.filter(col("vec_id") % 3 =!= 0), "embedding")
+    }),
+
+
+    "drift_ks" -> ((s, dir) => {
+      // binning-free drift twin of drift_psi: exact two-sample KS distance
+      // over the same deterministic re-curation — integer cumulative
+      // differences, one final division
+      val docs = t(s, dir, "documents")
+      val cur = docs.filter(col("n_chars") >= 150 || col("doc_id") % 3 === 0)
+      graft.operators.Drift.ksOf(docs, cur, "n_chars")
+    }),
+
+
+    "drift_psi" -> ((s, dir) => {
+      // distribution-drift check between the corpus and a (deterministic)
+      // length-biased re-curation: Population Stability Index over
+      // fixed-width n_chars buckets, Laplace-smoothed, integer-exact
+      val docs = t(s, dir, "documents")
+      val cur = docs.filter(col("n_chars") >= 150 || col("doc_id") % 3 === 0)
+      graft.operators.Drift.psiOf(docs, cur, "n_chars", width = 50L, buckets = 12)
+    }),
+
+
+    "drift_psi_by_lang" -> ((s, dir) => {
+      // stratified drift: the same re-curation scored per language — the
+      // monitor that answers WHICH slice moved, not just whether the mix did
+      val docs = t(s, dir, "documents")
+      val cur = docs.filter(col("n_chars") >= 150 || col("doc_id") % 3 === 0)
+      graft.operators.Drift.psiByGroup(docs, cur, "lang", "n_chars",
+        width = 50L, buckets = 12)
+        .orderBy(col("lang"))
+    }))
+
+  protected def eventsOracles: Map[String, String] = Map(
+
+    "events_value_outliers" ->
+      """WITH b AS (
+        |  SELECT event_id AS id, event_type AS g,
+        |    CAST(floor(value*100 + 0.5) AS BIGINT) AS xc FROM events
+        |), m AS (
+        |  SELECT g, count(*) AS n, CAST(sum(xc) AS BIGINT) // count(*) AS mean_c
+        |  FROM b GROUP BY 1
+        |), d AS (
+        |  SELECT b.id, b.g, b.xc, b.xc - m.mean_c AS dev_c,
+        |    (b.xc - m.mean_c) * (b.xc - m.mean_c) // 10000 AS dev_d2
+        |  FROM b JOIN m USING (g)
+        |), v AS (
+        |  SELECT g, CAST(sum(dev_d2) AS BIGINT) // count(*) AS var_d2 FROM d GROUP BY 1
+        |)
+        |SELECT d.id AS event_id, d.g AS event_type, d.xc AS value_c, d.dev_c,
+        |  CAST(CASE WHEN d.dev_d2 > 9 * v.var_d2 THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+        |FROM d JOIN v USING (g) ORDER BY event_id""".stripMargin,
+
+
+    "funnel_stages" ->
+      """WITH s0 AS (
+        |  SELECT user_id AS u, min(ts) AS ts_0 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), s1 AS (
+        |  SELECT s0.u, s0.ts_0, min(e.ts) AS ts_1
+        |  FROM s0 LEFT JOIN events e
+        |    ON e.user_id = s0.u AND e.event_type = 'click' AND e.ts > s0.ts_0
+        |  GROUP BY 1, 2
+        |), s2 AS (
+        |  SELECT s1.u, s1.ts_0, s1.ts_1, min(e.ts) AS ts_2
+        |  FROM s1 LEFT JOIN events e
+        |    ON e.user_id = s1.u AND e.event_type = 'purchase' AND e.ts > s1.ts_1
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT u AS user_id, ts_0 AS ts_view, ts_1 AS ts_click, ts_2 AS ts_purchase,
+        |  CAST(1 + CASE WHEN ts_1 IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN ts_2 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage_reached
+        |FROM s2 ORDER BY user_id""".stripMargin,
+
+
+    "funnel_stages_windowed" ->
+      """WITH s0 AS (
+        |  SELECT user_id AS u, min(ts) AS ts_0 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), s1 AS (
+        |  SELECT s0.u, s0.ts_0, min(e.ts) AS ts_1
+        |  FROM s0 LEFT JOIN events e
+        |    ON e.user_id = s0.u AND e.event_type = 'click' AND e.ts > s0.ts_0
+        |    AND e.ts <= s0.ts_0 + INTERVAL 24 HOURS
+        |  GROUP BY 1, 2
+        |), s2 AS (
+        |  SELECT s1.u, s1.ts_0, s1.ts_1, min(e.ts) AS ts_2
+        |  FROM s1 LEFT JOIN events e
+        |    ON e.user_id = s1.u AND e.event_type = 'purchase' AND e.ts > s1.ts_1
+        |    AND e.ts <= s1.ts_1 + INTERVAL 24 HOURS
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT u AS user_id, ts_0 AS ts_view, ts_1 AS ts_click, ts_2 AS ts_purchase,
+        |  CAST(1 + CASE WHEN ts_1 IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN ts_2 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage_reached
+        |FROM s2 ORDER BY user_id""".stripMargin,
+
+
+    "funnel_summary" ->
+      """WITH s0 AS (
+        |  SELECT user_id AS u, min(ts) AS ts_0 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), s1 AS (
+        |  SELECT s0.u, s0.ts_0, min(e.ts) AS ts_1
+        |  FROM s0 LEFT JOIN events e
+        |    ON e.user_id = s0.u AND e.event_type = 'click' AND e.ts > s0.ts_0
+        |  GROUP BY 1, 2
+        |), s2 AS (
+        |  SELECT s1.u, s1.ts_1, min(e.ts) AS ts_2
+        |  FROM s1 LEFT JOIN events e
+        |    ON e.user_id = s1.u AND e.event_type = 'purchase' AND e.ts > s1.ts_1
+        |  GROUP BY 1, 2
+        |)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name,
+        |  CAST(count(*) AS BIGINT) AS n_users FROM s2
+        |UNION ALL SELECT 2, 'click', CAST(count(ts_1) AS BIGINT) FROM s2
+        |UNION ALL SELECT 3, 'purchase', CAST(count(ts_2) AS BIGINT) FROM s2
+        |ORDER BY stage""".stripMargin,
+
+
+    // the decay weight table is generated from the SAME Scala constants the
+    // Spark plan embeds — the curve is data, not computation, in both engines
+    "events_decayed_value" ->
+      s"""WITH w AS (
+         |  SELECT [${graft.operators.Behavior.decayWeights(7.0,
+              graft.operators.Behavior.defaultMaxAge(7.0)).mkString(", ")}] AS wts
+         |), ref AS (
+         |  SELECT max(CAST(ts AS DATE)) AS ref_day FROM events
+         |)
+         |SELECT e.user_id,
+         |  CAST(sum(CAST(floor(e.value*100 + 0.5) AS BIGINT)
+         |    * w.wts[least(ref.ref_day - CAST(e.ts AS DATE),
+         |        ${graft.operators.Behavior.defaultMaxAge(7.0)}) + 1]) AS BIGINT) AS score_scaled,
+         |  CAST(CAST(sum(CAST(floor(e.value*100 + 0.5) AS BIGINT)
+         |    * w.wts[least(ref.ref_day - CAST(e.ts AS DATE),
+         |        ${graft.operators.Behavior.defaultMaxAge(7.0)}) + 1]) AS BIGINT) AS DOUBLE)
+         |    / 1e9 / 100.0 AS score
+         |FROM events e, ref, w
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "events_top_paths" ->
+      """WITH seq3 AS (
+        |  SELECT event_type AS step1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step3
+        |  FROM events
+        |)
+        |SELECT step1, step2, step3, count(*) AS n_paths
+        |FROM seq3 WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n_paths DESC, step1, step2, step3 LIMIT 20""".stripMargin,
+
+
+    "events_transitions" ->
+      """WITH nxt AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events
+        |), pairs AS (
+        |  SELECT from_type, to_type, count(*) AS n_ab
+        |  FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT from_type, CAST(sum(n_ab) AS BIGINT) AS n_a FROM pairs GROUP BY 1
+        |)
+        |SELECT p.from_type, p.to_type, p.n_ab, t.n_a,
+        |  CAST(p.n_ab AS DOUBLE) / t.n_a AS p
+        |FROM pairs p JOIN tot t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+
+
+    "cohort_retention" ->
+      """WITH c AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY 1
+        |), a AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS act_day FROM events
+        |)
+        |SELECT CAST(c.cohort_day AS TIMESTAMP) AS cohort_day,
+        |  CAST(a.act_day - c.cohort_day AS BIGINT) AS day_offset,
+        |  count(*) AS n_users
+        |FROM c JOIN a USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+
+    "events_rolling_7d" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events,
+        |    CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT user_id, CAST(day AS TIMESTAMP) AS day, n_events, value_cents,
+        |  CAST(sum(n_events) OVER w AS BIGINT) AS n_events_window,
+        |  CAST(sum(value_cents) OVER w AS BIGINT) AS value_cents_window
+        |FROM daily
+        |WINDOW w AS (PARTITION BY user_id ORDER BY day - DATE '1970-01-01'
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, day""".stripMargin,
+
+
+    "basket_part_pairs" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |n AS (SELECT count(DISTINCT b) AS n FROM bi),
+        |ic AS (SELECT i, count(*) AS n_i FROM bi GROUP BY 1),
+        |p AS (
+        |  SELECT a.i AS item_a, c.i AS item_b, count(*) AS n_ab
+        |  FROM bi a JOIN bi c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |)
+        |SELECT p.item_a, p.item_b, p.n_ab, ia.n_i AS n_a, ib.n_i AS n_b,
+        |  CAST((SELECT n FROM n) AS DOUBLE) * p.n_ab / ia.n_i / ib.n_i AS lift
+        |FROM p JOIN ic ia ON ia.i = p.item_a JOIN ic ib ON ib.i = p.item_b
+        |ORDER BY lift DESC, item_a, item_b LIMIT 100""".stripMargin,
+
+
+    "events_hourly_spikes" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), win AS (
+        |  SELECT hour, event_type, n,
+        |    count(*) OVER (PARTITION BY event_type ORDER BY hour
+        |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS m,
+        |    sum(n) OVER (PARTITION BY event_type ORDER BY hour
+        |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS s,
+        |    sum(n * n) OVER (PARTITION BY event_type ORDER BY hour
+        |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS q
+        |  FROM hourly
+        |)
+        |SELECT hour, event_type, n, CAST(COALESCE(m, 0) AS BIGINT) AS m,
+        |  CAST(CASE WHEN m >= 6 AND (m*n - s) * (m*n - s) > 9 * (m*q - s*s)
+        |            THEN CASE WHEN m*n - s > 0 THEN 1 WHEN m*n - s < 0 THEN -1 ELSE 0 END
+        |            ELSE 0 END AS BIGINT) AS spike
+        |FROM win ORDER BY hour, event_type""".stripMargin,
+
+
+    "drift_embedding_shift" ->
+      """WITH b AS (
+        |  SELECT [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), c AS (
+        |  SELECT [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings WHERE vec_id % 3 != 0
+        |), bm AS (
+        |  SELECT d.range AS d, CAST(sum(qv[d.range + 1]) AS BIGINT) // count(*) AS m1
+        |  FROM b CROSS JOIN range(0, 64) d GROUP BY 1
+        |), cm AS (
+        |  SELECT d.range AS d, CAST(sum(qv[d.range + 1]) AS BIGINT) // count(*) AS m2
+        |  FROM c CROSS JOIN range(0, 64) d GROUP BY 1
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_dims,
+        |  CAST(sum((m1 - m2) * (m1 - m2)) AS BIGINT) AS shift_sq_scaled,
+        |  sqrt(CAST(CAST(sum((m1 - m2) * (m1 - m2)) AS BIGINT) AS DOUBLE)) / 1000000.0 AS shift_l2
+        |FROM bm JOIN cm USING (d)""".stripMargin,
+
+
+    "drift_ks" ->
+      """WITH b AS (SELECT n_chars AS v FROM documents),
+        |c AS (SELECT n_chars AS v FROM documents WHERE n_chars >= 150 OR doc_id % 3 = 0),
+        |u AS (
+        |  SELECT v, CAST(sum(c1) AS BIGINT) AS c1, CAST(sum(c2) AS BIGINT) AS c2 FROM (
+        |    SELECT v, 1 AS c1, 0 AS c2 FROM b
+        |    UNION ALL SELECT v, 0 AS c1, 1 AS c2 FROM c
+        |  ) q GROUP BY 1
+        |), cum AS (
+        |  SELECT v,
+        |    sum(c1) OVER (ORDER BY v) AS cum1,
+        |    sum(c2) OVER (ORDER BY v) AS cum2,
+        |    sum(c1) OVER () AS n1,
+        |    sum(c2) OVER () AS n2
+        |  FROM u
+        |)
+        |SELECT CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+        |  CAST(max(abs(n2*cum1 - n1*cum2)) AS BIGINT) AS d_num,
+        |  CAST(max(abs(n2*cum1 - n1*cum2)) AS DOUBLE)
+        |    / CAST(max(n1) * max(n2) AS DOUBLE) AS ks_d
+        |FROM cum""".stripMargin,
+
+
+    "drift_psi" ->
+      """WITH bks AS (SELECT range AS bucket FROM range(0, 12)),
+        |b AS (
+        |  SELECT greatest(least(CAST(floor(n_chars / 50) AS BIGINT), 11), 0) AS bucket,
+        |    count(*) AS n_base
+        |  FROM documents GROUP BY 1
+        |), c AS (
+        |  SELECT greatest(least(CAST(floor(n_chars / 50) AS BIGINT), 11), 0) AS bucket,
+        |    count(*) AS n_cur
+        |  FROM documents WHERE n_chars >= 150 OR doc_id % 3 = 0 GROUP BY 1
+        |), j AS (
+        |  SELECT bks.bucket, coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+        |  FROM bks LEFT JOIN b USING (bucket) LEFT JOIN c USING (bucket)
+        |), tot AS (
+        |  SELECT CAST(sum(n_base) AS BIGINT) AS tb, CAST(sum(n_cur) AS BIGINT) AS tc FROM j
+        |), terms AS (
+        |  SELECT tb, tc,
+        |    CAST(floor(ln(CAST(n_base + 1 AS DOUBLE) * CAST(tc + 12 AS DOUBLE)
+        |      / (CAST(n_cur + 1 AS DOUBLE) * CAST(tb + 12 AS DOUBLE))) * 1e9 + 0.5) AS BIGINT) AS qln,
+        |    CAST(floor((CAST(n_base + 1 AS DOUBLE) / CAST(tb + 12 AS DOUBLE)
+        |      - CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 12 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS qpq
+        |  FROM j, tot
+        |)
+        |SELECT tb AS n_base, tc AS n_cur,
+        |  CAST(sum(qpq * qln) AS BIGINT) AS psi_scaled,
+        |  CAST(CAST(sum(qpq * qln) AS BIGINT) AS DOUBLE) / 1e15 AS psi
+        |FROM terms GROUP BY 1, 2""".stripMargin,
+
+
+    "drift_psi_by_lang" ->
+      """WITH bks AS (SELECT range AS bucket FROM range(0, 12)),
+        |gs AS (
+        |  SELECT DISTINCT lang FROM documents
+        |  UNION
+        |  SELECT DISTINCT lang FROM documents WHERE n_chars >= 150 OR doc_id % 3 = 0
+        |),
+        |frame AS (SELECT gs.lang, bks.bucket FROM gs CROSS JOIN bks),
+        |b AS (
+        |  SELECT lang, greatest(least(CAST(floor(n_chars / 50) AS BIGINT), 11), 0) AS bucket,
+        |    count(*) AS n_base
+        |  FROM documents GROUP BY 1, 2
+        |), c AS (
+        |  SELECT lang, greatest(least(CAST(floor(n_chars / 50) AS BIGINT), 11), 0) AS bucket,
+        |    count(*) AS n_cur
+        |  FROM documents WHERE n_chars >= 150 OR doc_id % 3 = 0 GROUP BY 1, 2
+        |), j AS (
+        |  SELECT frame.lang, frame.bucket,
+        |    coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+        |  FROM frame LEFT JOIN b USING (lang, bucket) LEFT JOIN c USING (lang, bucket)
+        |), tot AS (
+        |  SELECT lang, CAST(sum(n_base) AS BIGINT) AS tb,
+        |    CAST(sum(n_cur) AS BIGINT) AS tc FROM j GROUP BY 1
+        |), terms AS (
+        |  SELECT j.lang, tot.tb, tot.tc,
+        |    CAST(floor(ln(CAST(n_base + 1 AS DOUBLE) * CAST(tc + 12 AS DOUBLE)
+        |      / (CAST(n_cur + 1 AS DOUBLE) * CAST(tb + 12 AS DOUBLE))) * 1e9 + 0.5) AS BIGINT) AS qln,
+        |    CAST(floor((CAST(n_base + 1 AS DOUBLE) / CAST(tb + 12 AS DOUBLE)
+        |      - CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 12 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS qpq
+        |  FROM j JOIN tot USING (lang)
+        |)
+        |SELECT lang, tb AS n_base, tc AS n_cur,
+        |  CAST(sum(qpq * qln) AS BIGINT) AS psi_scaled,
+        |  CAST(CAST(sum(qpq * qln) AS BIGINT) AS DOUBLE) / 1e15 AS psi
+        |FROM terms GROUP BY 1, 2, 3 ORDER BY lang""".stripMargin)
+}

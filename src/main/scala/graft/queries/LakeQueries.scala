@@ -1,0 +1,218 @@
+package graft
+
+import graft.config.ConfigParser
+import graft.engine.Engine
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.{Dedup, Layout, Multimodal, Similarity, TextAnalysis}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lakehouse layout: compaction, zone-map/bloom skipping, Z-order, versioned manifest tables, MERGE, time travel.
+  *
+  * One registry of [[SparkEntry]]'s query/oracle surface — split per family
+  * in round 10 (the single 4.4k-line object was becoming unreviewable).
+  * Exactness patterns are documented on [[SparkEntry]].
+  */
+private[graft] trait LakeQueries extends QueryHelpers {
+
+  protected def lakeQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "layout_compacted" -> ((s, dir) => {
+      // small-file compaction round-trip: fragment the table into 64 tiny
+      // files, compact back to ~2000-row range-clustered files — content
+      // must be byte-identical to the source table (plain-scan oracle)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_compact_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val docs = t(s, dir, "documents")
+      docs.repartition(64).write.mode("overwrite").parquet(s"$tmp/frag")
+      graft.operators.Layout.compact(
+        s.read.parquet(s"$tmp/frag"), s"$tmp/compacted", "doc_id", 2000L)
+      s.read.parquet(s"$tmp/compacted")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+
+    "layout_skipping" -> ((s, dir) => {
+      // lakehouse-style zone-map data skipping: range-cluster documents into
+      // ~50-row files, build a per-file min/max manifest, then answer a
+      // doc_id range query opening ONLY the intersecting files (the pruning
+      // ratio is pinned in PlanSpec); content must equal the plain filter
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_zonemap_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.operators.Layout.compact(t(s, dir, "documents"), tmp, "doc_id", 50L)
+      val zm = graft.operators.Layout.buildZoneMap(s, tmp, "doc_id")
+      val (pruned, _, _) = graft.operators.Layout.skippingRead(
+        s, tmp, zm, "doc_id", 100L, 300L)
+      pruned.select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+
+    "layout_skipping_dist" -> ((s, dir) => {
+      // manifest-as-DataFrame pruning: identical semantics to layout_skipping
+      // but the prune decision runs as a distributed filter over the zone
+      // map (only surviving file names are collected) — the path for
+      // manifests beyond driver scale
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_zonemap_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_dist"
+      graft.operators.Layout.compact(t(s, dir, "documents"), tmp, "doc_id", 50L)
+      val zm = graft.operators.Layout.buildZoneMap(s, tmp, "doc_id")
+      val (pruned, _, _) = graft.operators.Layout.skippingReadDistributed(
+        s, tmp, zm, "doc_id", 100L, 300L)
+      pruned.select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+
+    "layout_bloom_skipping" -> ((s, dir) => {
+      // per-file Bloom index: the EQUALITY complement to the zone map —
+      // cluster by source, then an equality probe opens only the files whose
+      // bloom contains the probe bits (false positives re-filtered exactly)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_bloom_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.operators.Layout.compact(t(s, dir, "documents"), tmp, "source", 50L)
+      val idx = graft.operators.Layout.buildBloomIndex(s, tmp, "source")
+      val (pruned, _, _) = graft.operators.Layout.bloomSkippingRead(
+        s, tmp, idx, "source", "src7")
+      pruned.select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+
+    "corpus_upsert" -> ((s, dir) => {
+      // MERGE-style incremental maintenance: every 10th doc re-scored (text
+      // revised), every 17th taken down, 20 new docs appended — one
+      // anti-join + union, the lakehouse copy-on-write write path
+      val docs = t(s, dir, "documents")
+      val mods = docs
+        .filter(col("doc_id") % 17 === 0 || col("doc_id") % 10 === 0)
+        .withColumn("op", when(col("doc_id") % 17 === 0, lit("delete")).otherwise(lit("upsert")))
+        .withColumn("text",
+          when(col("op") === "upsert", concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      val ins = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("new "), col("text")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .withColumn("op", lit("upsert"))
+      graft.operators.Upsert.mergeUpsert(docs, mods.unionByName(ins), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+
+    "lake_versioned_merge" -> ((s, dir) => {
+      // the corpus_upsert MERGE as a TRANSACTION: init documents as table v1,
+      // commit the change set as a copy-on-write v2 (only key-intersecting
+      // files rewritten, manifest renamed atomically), read v2 back — content
+      // must equal the relational merge, through the manifest protocol
+      val tmp = lakeTable(s, dir, "merge")
+      graft.operators.VersionedTable.read(s, tmp, 2L).orderBy(col("doc_id"))
+    }),
+
+
+    "lake_time_travel" -> ((s, dir) => {
+      // same table AFTER the v2 merge commit: reading at version 1 must
+      // return the original corpus bit-exactly — old manifests reference
+      // only immutable files, so history survives every later commit
+      val tmp = lakeTable(s, dir, "travel")
+      graft.operators.VersionedTable.read(s, tmp, 1L).orderBy(col("doc_id"))
+    }),
+
+
+    "layout_zorder" -> ((s, dir) => {
+      // Morton z-values over (partkey, suppkey) rank buckets — the clustering
+      // key writeZOrdered lays files out by. Exact ntile buckets here for the
+      // oracle; the write path uses approx boundaries (no global window).
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))
+      val ties = Seq(col("l_orderkey"), col("l_linenumber"))
+      li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        Layout.zValue(Seq(
+          Layout.rankBucket(col("l_partkey"), ties, 256),
+          Layout.rankBucket(col("l_suppkey"), ties, 256)), bits = 8).as("zval"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }))
+
+  protected def lakeOracles: Map[String, String] = Map(
+
+    "layout_compacted" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+
+    "layout_zorder" ->
+      """WITH b AS (
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    CAST(ntile(256) OVER (ORDER BY l_partkey, l_orderkey, l_linenumber) - 1 AS BIGINT) AS b0,
+        |    CAST(ntile(256) OVER (ORDER BY l_suppkey, l_orderkey, l_linenumber) - 1 AS BIGINT) AS b1
+        |  FROM lineitem
+        |)
+        |SELECT l_orderkey, l_linenumber,
+        |  CAST(list_sum([(((b0 >> k) & 1) << (2*k)) + (((b1 >> k) & 1) << (2*k + 1)) FOR k IN range(0, 8)]) AS BIGINT) AS zval
+        |FROM b ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+
+    // the zone-map pruned read must return exactly the plain filter's rows
+    "layout_skipping" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE doc_id >= 100 AND doc_id <= 300 ORDER BY doc_id""".stripMargin,
+
+
+    "layout_skipping_dist" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE doc_id >= 100 AND doc_id <= 300 ORDER BY doc_id""".stripMargin,
+
+
+    // ...and so must the bloom-pruned equality read
+    "layout_bloom_skipping" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE source = 'src7' ORDER BY doc_id""".stripMargin,
+
+
+    "corpus_upsert" ->
+      """WITH changes AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 0 THEN text ELSE text || ' v2' END AS text,
+        |    lang, source, n_chars,
+        |    CASE WHEN doc_id % 17 = 0 THEN 'delete' ELSE 'upsert' END AS op
+        |  FROM documents WHERE doc_id % 17 = 0 OR doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, 'new ' || text, lang, source, n_chars, 'upsert'
+        |  FROM documents WHERE doc_id < 20
+        |)
+        |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM changes)
+        |UNION ALL
+        |SELECT doc_id, text, lang, source, n_chars FROM changes WHERE op = 'upsert'
+        |ORDER BY doc_id""".stripMargin,
+
+
+    // same MERGE semantics as corpus_upsert — but executed through the
+    // versioned-manifest commit protocol (v1 init + copy-on-write v2)
+    "lake_versioned_merge" ->
+      """WITH changes AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 0 THEN text ELSE text || ' v2' END AS text,
+        |    lang, source, n_chars,
+        |    CASE WHEN doc_id % 17 = 0 THEN 'delete' ELSE 'upsert' END AS op
+        |  FROM documents WHERE doc_id % 17 = 0 OR doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, 'new ' || text, lang, source, n_chars, 'upsert'
+        |  FROM documents WHERE doc_id < 20
+        |)
+        |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM changes)
+        |UNION ALL
+        |SELECT doc_id, text, lang, source, n_chars FROM changes WHERE op = 'upsert'
+        |ORDER BY doc_id""".stripMargin,
+
+
+    // reading v1 AFTER the v2 merge commit must return the original corpus
+    "lake_time_travel" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin)
+}

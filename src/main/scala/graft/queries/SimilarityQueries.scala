@@ -1,0 +1,646 @@
+package graft
+
+import graft.config.ConfigParser
+import graft.engine.Engine
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.{Dedup, Layout, Multimodal, Similarity, TextAnalysis}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ANN / embedding maintenance: brute force, LSH, IVF (in-memory, indexed, appended), PQ, IVF-PQ, eval gates, embedding transforms.
+  *
+  * One registry of [[SparkEntry]]'s query/oracle surface — split per family
+  * in round 10 (the single 4.4k-line object was becoming unreviewable).
+  * Exactness patterns are documented on [[SparkEntry]].
+  */
+private[graft] trait SimilarityQueries extends QueryHelpers {
+
+  protected def similarityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- similarity search over embeddings ---
+    "knn_bruteforce" -> ((s, dir) => {
+      val embs = spread(t(s, dir, "embeddings"))
+      Similarity.bruteForceKnn(embs, embs.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+
+    "knn_lsh" -> ((s, dir) => {
+      val embs = spread(t(s, dir, "embeddings"))
+      Similarity.lshKnn(embs, embs.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+
+    "knn_ivf" -> ((s, dir) => {
+      val embs = spread(t(s, dir, "embeddings"))
+      Similarity.ivfKnn(embs, embs.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+
+    "knn_ivf_indexed" -> ((s, dir) => {
+      // the persisted-index serving path: same parameters and output as
+      // knn_ivf (shares its oracle) but probing the hive-partitioned
+      // on-disk inverted file with static partition pruning
+      val embs = spread(t(s, dir, "embeddings"))
+      val path = ivfIndexPath(s, dir)
+      Similarity.ivfIndexKnn(
+        s.read.parquet(path), embs.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+
+    "eval_ivf_recall" -> ((s, dir) => {
+      // recall@10 of IVF (nprobe=4) against brute force, per query — the
+      // CurationSpec floor as a first-class oracle-gated relation
+      import graft.operators.{Eval, Similarity}
+      val embs = spread(t(s, dir, "embeddings"))
+      val queries = embs.filter(col("vec_id") < 20)
+      val truth = Similarity.bruteForceKnn(embs, queries, "vec_id", "embedding", 10)
+      val cand = Similarity.ivfKnn(embs, queries, "vec_id", "embedding", 10)
+      Eval.recallAtK(truth, cand, "query_id", "neighbor_id")
+        .orderBy(col("query_id"))
+    }),
+
+
+    "eval_rp_rank_tau" -> ((s, dir) => {
+      // rank-fidelity eval: per query, Kendall tau between full-dim cosine
+      // and JL-projected (16-dim ±1) cosine over the brute-force top-10 —
+      // the number that says whether the cheap projection preserves ORDER,
+      // not just distance bands
+      import graft.functions.VectorFns
+      import graft.operators.{Eval, Similarity}
+      val embs = spread(t(s, dir, "embeddings"))
+      val brute = Similarity.bruteForceKnn(
+        embs, embs.filter(col("vec_id") < 20), "vec_id", "embedding", 10)
+      val rp = embs
+        .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("qv"))
+        .withColumn("rq", array((0 until 16).map(j =>
+          VectorFns.dotQ(col("qv"), array((0 until 64).map(i =>
+            lit(Similarity.hyperplaneWeight(42L, j, i))): _*))): _*))
+        .withColumn("rn2", VectorFns.norm2Q(col("rq")))
+        .select(col("vec_id"), col("rq"), col("rn2"))
+      val scored = brute
+        .join(rp.select(col("vec_id").as("query_id"),
+          col("rq").as("qr"), col("rn2").as("qn")), "query_id")
+        .join(rp.select(col("vec_id").as("neighbor_id"),
+          col("rq").as("cr"), col("rn2").as("cn")), "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"), col("cosine").as("cos_full"),
+          VectorFns.cosinePre(col("qr"), col("qn"), col("cr"), col("cn")).as("cos_rp"))
+      Eval.kendallTau(scored, "query_id", "neighbor_id", "cos_full", "cos_rp")
+        .orderBy(col("query_id"))
+    }),
+
+
+    "knn_pq" -> ((s, dir) => {
+      // product quantization + ADC + exact re-rank: the compressed-domain
+      // linear scan (32x smaller corpus bytes); shortlist fetches full
+      // vectors for re-ranking
+      val embs = spread(t(s, dir, "embeddings"))
+      Similarity.pqKnn(embs, embs.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+
+    "knn_ivfpq" -> ((s, dir) => {
+      // the faiss-style IVF+PQ serving architecture: Voronoi-cell prune,
+      // ADC shortlist over codes, exact re-rank of the shortlist only
+      val embs = spread(t(s, dir, "embeddings"))
+      Similarity.ivfPqKnn(embs, embs.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+
+    "emb_negatives" -> ((s, dir) => {
+      // contrastive-training negative mining: per anchor, 3 deterministic
+      // hash-ranked negatives from OUTSIDE the anchor's semantic cell
+      val embs = spread(t(s, dir, "embeddings"))
+      Similarity.negativeSample(embs, embs.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 3)
+        .orderBy(col("anchor_id"), col("rank"))
+    }),
+
+
+    "emb_meanpool" -> ((s, dir) => {
+      // chunk -> document pooling: element-wise truncating integer mean of
+      // the quantized member vectors per group (vec_id div 10 stands in for
+      // the chunk->doc mapping) — the pooling step between chunk encoding
+      // and document retrieval, oracle-exact like kmeans centroids
+      graft.operators.Embeddings.meanPool(
+        spread(t(s, dir, "embeddings")), expr("vec_id div 10"), "embedding")
+        .orderBy(col("grp"), col("dim"))
+    }),
+
+
+    "emb_rp_project" -> ((s, dir) => {
+      // Johnson-Lindenstrauss random projection 64 -> 16 dims: deterministic
+      // md5-derived ±1 sign matrix as literals, integer dot products over
+      // the quantized vectors — the cheap dim reduction in front of ANN
+      graft.operators.Embeddings.randomProject(
+        spread(t(s, dir, "embeddings")), "vec_id", "embedding", outDims = 16)
+        .orderBy(col("vec_id"), col("dim"))
+    }),
+
+
+    "emb_kmeans_refine" -> ((s, dir) => {
+      // one Lloyd step over the deterministic IVF seeding: integer-mean
+      // centroids keep even the TRAINED assignment oracle-exact
+      graft.operators.Similarity.kmeansRefine(
+        spread(t(s, dir, "embeddings")), "vec_id", "embedding")
+        .orderBy(col("vec_id"))
+    }),
+
+
+    "knn_ivf_appended" -> ((s, dir) => {
+      // incremental index maintenance: base index + partition-local append
+      // must probe bit-identically to the full rebuild (shares knn_ivf's
+      // oracle); the untouched-cells property is pinned in OperatorsSpec
+      val embs = spread(t(s, dir, "embeddings"))
+      val path = ivfAppendedIndexPath(s, dir)
+      Similarity.ivfIndexKnn(
+        s.read.parquet(path), embs.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+
+    // --- embedding maintenance ---
+    "emb_normalized" -> ((s, dir) => {
+      graft.operators.Embeddings
+        .normalizedQ(spread(t(s, dir, "embeddings")), "vec_id", "embedding")
+        .orderBy(col("vec_id"), col("dim"))
+    }),
+
+
+    "emb_int8" -> ((s, dir) => {
+      graft.operators.Embeddings
+        .quantizeInt8(spread(t(s, dir, "embeddings")), "vec_id", "embedding")
+        .orderBy(col("vec_id"), col("dim"))
+    }))
+
+  protected def similarityOracles: Map[String, String] = Map(
+
+    "emb_normalized" ->
+      """WITH q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(e AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR e IN embedding] AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, qv, CAST(list_sum([x*x FOR x IN qv]) AS BIGINT) AS n2 FROM q
+        |), u AS (
+        |  SELECT vec_id, n2, unnest(range(1, len(qv)+1)) AS dim, unnest(qv) AS qval FROM n
+        |)
+        |SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+        |  CASE WHEN n2 = 0 THEN 0
+        |       ELSE CAST(floor(qval*1000000.0 / sqrt(CAST(n2 AS DOUBLE))) AS BIGINT) END AS nq
+        |FROM u ORDER BY vec_id, dim""".stripMargin,
+
+
+    "emb_int8" ->
+      """WITH q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(e AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR e IN embedding] AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, qv, list_max([abs(x) FOR x IN qv]) AS mq FROM q
+        |), u AS (
+        |  SELECT vec_id, mq, unnest(range(1, len(qv)+1)) AS dim, unnest(qv) AS qval FROM n
+        |)
+        |SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+        |  CASE WHEN mq = 0 THEN 0
+        |       ELSE CAST(floor(qval*127.0 / CAST(mq AS DOUBLE) + 0.5) AS BIGINT) END AS q8,
+        |  CAST(mq AS BIGINT) AS scale_q
+        |FROM u ORDER BY vec_id, dim""".stripMargin,
+
+
+    "emb_negatives" ->
+      """WITH w AS (
+        |  SELECT c.range AS c, d.range AS d,
+        |    ('0x' || substr(md5('ivf:42:' || c.range || ':' || d.range), 1, 15))::BIGINT % 2001 - 1000 AS wt
+        |  FROM range(0, 16) c, range(0, 64) d
+        |), q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), dots AS (
+        |  SELECT q.vec_id, w.c, sum(w.wt * q.qv[w.d + 1]) AS dot
+        |  FROM q CROSS JOIN w GROUP BY q.vec_id, w.c
+        |), assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, c AS cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS cr
+        |    FROM dots)
+        |  WHERE cr = 1
+        |), ranked AS (
+        |  SELECT a.vec_id AS anchor_id, c.vec_id AS neg_id,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY md5(a.vec_id || ':' || c.vec_id), c.vec_id) AS rank
+        |  FROM assign a JOIN assign c ON c.cell != a.cell
+        |  WHERE a.vec_id < 20
+        |)
+        |SELECT anchor_id, CAST(rank AS BIGINT) AS rank, neg_id
+        |FROM ranked WHERE rank <= 3 ORDER BY anchor_id, rank""".stripMargin,
+
+
+    "knn_bruteforce" ->
+      """WITH q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, qv, list_sum([x*x FOR x IN qv]) AS n2 FROM q
+        |), scored AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    CAST(list_sum([a.qv[i] * b.qv[i] FOR i IN range(1, len(a.qv) + 1)]) AS DOUBLE)
+        |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+        |  FROM n a JOIN n b ON a.vec_id < 20 AND b.vec_id != a.vec_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+
+    "knn_lsh" ->
+      """WITH w AS (
+        |  SELECT h.range AS h, d.range AS d,
+        |    CASE WHEN ('0x' || substr(md5('lsh:42:' || h.range || ':' || d.range), 1, 15))::BIGINT & 1 = 1
+        |         THEN 1 ELSE -1 END AS wt
+        |  FROM range(0, 8) h, range(0, 64) d
+        |), q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, qv, list_sum([x*x FOR x IN qv]) AS n2 FROM q
+        |), dots AS (
+        |  SELECT q.vec_id, w.h, sum(w.wt * q.qv[w.d + 1]) AS dot
+        |  FROM q CROSS JOIN w GROUP BY q.vec_id, w.h
+        |), sigs AS (
+        |  SELECT vec_id, CAST(sum(CASE WHEN dot > 0 THEN 1 << h ELSE 0 END) AS BIGINT) AS sig
+        |  FROM dots GROUP BY vec_id
+        |), probes AS (
+        |  SELECT vec_id, sig AS probe FROM sigs WHERE vec_id < 20
+        |  UNION ALL
+        |  SELECT s.vec_id, xor(s.sig, CAST(1 << h.range AS BIGINT)) AS probe
+        |  FROM sigs s CROSS JOIN range(0, 8) h WHERE s.vec_id < 20
+        |), cand AS (
+        |  SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM probes p JOIN sigs c ON c.sig = p.probe AND c.vec_id != p.vec_id
+        |), scored AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |    CAST(list_sum([a.qv[i] * b.qv[i] FOR i IN range(1, len(a.qv) + 1)]) AS DOUBLE)
+        |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+        |  FROM cand
+        |  JOIN n a ON a.vec_id = cand.query_id
+        |  JOIN n b ON b.vec_id = cand.neighbor_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+
+    "knn_ivf" ->
+      """WITH w AS (
+        |  SELECT c.range AS c, d.range AS d,
+        |    ('0x' || substr(md5('ivf:42:' || c.range || ':' || d.range), 1, 15))::BIGINT % 2001 - 1000 AS wt
+        |  FROM range(0, 16) c, range(0, 64) d
+        |), q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, qv, list_sum([x*x FOR x IN qv]) AS n2 FROM q
+        |), dots AS (
+        |  SELECT q.vec_id, w.c, sum(w.wt * q.qv[w.d + 1]) AS dot
+        |  FROM q CROSS JOIN w GROUP BY q.vec_id, w.c
+        |), ranked_cells AS (
+        |  SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS cr
+        |  FROM dots
+        |), assign AS (
+        |  SELECT vec_id, c AS cell FROM ranked_cells WHERE cr = 1
+        |), probes AS (
+        |  SELECT vec_id, c AS cell FROM ranked_cells WHERE cr <= 4 AND vec_id < 20
+        |), cand AS (
+        |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+        |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id != p.vec_id
+        |), scored AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |    CAST(list_sum([a.qv[i] * b.qv[i] FOR i IN range(1, len(a.qv) + 1)]) AS DOUBLE)
+        |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+        |  FROM cand
+        |  JOIN n a ON a.vec_id = cand.query_id
+        |  JOIN n b ON b.vec_id = cand.neighbor_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+
+    "eval_ivf_recall" ->
+      """WITH w AS (
+        |  SELECT c.range AS c, d.range AS d,
+        |    ('0x' || substr(md5('ivf:42:' || c.range || ':' || d.range), 1, 15))::BIGINT % 2001 - 1000 AS wt
+        |  FROM range(0, 16) c, range(0, 64) d
+        |), q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, qv, list_sum([x*x FOR x IN qv]) AS n2 FROM q
+        |), truth AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |        CAST(list_sum([a.qv[i] * b.qv[i] FOR i IN range(1, len(a.qv) + 1)]) AS DOUBLE)
+        |          / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) DESC, b.vec_id) AS rank
+        |    FROM n a CROSS JOIN n b
+        |    WHERE a.vec_id < 20 AND a.vec_id != b.vec_id) q WHERE rank <= 10
+        |), dots AS (
+        |  SELECT q.vec_id, w.c, sum(w.wt * q.qv[w.d + 1]) AS dot
+        |  FROM q CROSS JOIN w GROUP BY q.vec_id, w.c
+        |), ranked_cells AS (
+        |  SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS cr
+        |  FROM dots
+        |), assign AS (
+        |  SELECT vec_id, c AS cell FROM ranked_cells WHERE cr = 1
+        |), probes AS (
+        |  SELECT vec_id, c AS cell FROM ranked_cells WHERE cr <= 4 AND vec_id < 20
+        |), cand AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        |        CAST(list_sum([na.qv[i] * nb.qv[i] FOR i IN range(1, len(na.qv) + 1)]) AS DOUBLE)
+        |          / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) DESC, a.vec_id) AS rank
+        |    FROM probes p
+        |    JOIN assign a ON a.cell = p.cell AND a.vec_id != p.vec_id
+        |    JOIN n na ON na.vec_id = p.vec_id
+        |    JOIN n nb ON nb.vec_id = a.vec_id) q WHERE rank <= 10
+        |), hit AS (
+        |  SELECT t.query_id, count(*) AS n_hit
+        |  FROM truth t JOIN cand c ON c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id
+        |  GROUP BY 1
+        |)
+        |SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_truth,
+        |  CAST(COALESCE(max(hit.n_hit), 0) AS BIGINT) AS n_hit,
+        |  CAST(COALESCE(max(hit.n_hit), 0) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+        |FROM truth t LEFT JOIN hit ON hit.query_id = t.query_id
+        |GROUP BY 1 ORDER BY t.query_id""".stripMargin,
+
+
+    "eval_rp_rank_tau" ->
+      """WITH q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, qv, list_sum([x*x FOR x IN qv]) AS n2 FROM q
+        |), scored0 AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    CAST(list_sum([a.qv[i] * b.qv[i] FOR i IN range(1, len(a.qv) + 1)]) AS DOUBLE)
+        |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos_full
+        |  FROM n a CROSS JOIN n b
+        |  WHERE a.vec_id < 20 AND a.vec_id != b.vec_id
+        |), top AS (
+        |  SELECT query_id, neighbor_id, cos_full FROM (
+        |    SELECT query_id, neighbor_id, cos_full,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY cos_full DESC, neighbor_id) AS rank
+        |    FROM scored0) WHERE rank <= 10
+        |), w AS (
+        |  SELECT j.range AS j, d.range AS d,
+        |    CASE WHEN ('0x' || substr(md5('lsh:42:' || j.range || ':' || d.range), 1, 15))::BIGINT & 1 = 1
+        |         THEN 1 ELSE -1 END AS wt
+        |  FROM range(0, 16) j, range(0, 64) d
+        |), rq AS (
+        |  SELECT q.vec_id, w.j, CAST(sum(w.wt * q.qv[w.d + 1]) AS BIGINT) AS y
+        |  FROM q CROSS JOIN w GROUP BY 1, 2
+        |), rn AS (
+        |  SELECT vec_id, CAST(sum(y * y) AS BIGINT) AS rn2 FROM rq GROUP BY 1
+        |), rdot AS (
+        |  SELECT t.query_id, t.neighbor_id, t.cos_full,
+        |    CAST(sum(qa.y * qb.y) AS BIGINT) AS dt
+        |  FROM top t
+        |  JOIN rq qa ON qa.vec_id = t.query_id
+        |  JOIN rq qb ON qb.vec_id = t.neighbor_id AND qb.j = qa.j
+        |  GROUP BY 1, 2, 3
+        |), scored AS (
+        |  SELECT r.query_id, r.neighbor_id, r.cos_full,
+        |    CAST(r.dt AS DOUBLE) / (sqrt(CAST(na.rn2 AS DOUBLE)) * sqrt(CAST(nb.rn2 AS DOUBLE))) AS cos_rp
+        |  FROM rdot r
+        |  JOIN rn na ON na.vec_id = r.query_id
+        |  JOIN rn nb ON nb.vec_id = r.neighbor_id
+        |), pairs AS (
+        |  SELECT l.query_id,
+        |    (CASE WHEN l.cos_full > r.cos_full THEN 1 WHEN l.cos_full < r.cos_full THEN -1 ELSE 0 END)
+        |    * (CASE WHEN l.cos_rp > r.cos_rp THEN 1 WHEN l.cos_rp < r.cos_rp THEN -1 ELSE 0 END) AS sgn
+        |  FROM scored l JOIN scored r
+        |    ON l.query_id = r.query_id AND l.neighbor_id < r.neighbor_id
+        |)
+        |SELECT query_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN sgn > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+        |  CAST(sum(CASE WHEN sgn < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+        |  CAST(sum(CASE WHEN sgn > 0 THEN 1 ELSE 0 END)
+        |     - sum(CASE WHEN sgn < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS tau
+        |FROM pairs GROUP BY 1 ORDER BY query_id""".stripMargin,
+
+
+    "knn_pq" ->
+      """WITH w0 AS (
+        |  SELECT m.range AS m, c.range AS c, d.range AS d,
+        |    ('0x' || substr(md5('pq:42:' || m.range || ':' || c.range || ':' || d.range), 1, 15))::BIGINT % 250001 - 125000 AS wt
+        |  FROM range(0, 8) m, range(0, 16) c, range(0, 8) d
+        |), q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, qv, list_sum([x*x FOR x IN qv]) AS n2 FROM q
+        |), sdist0 AS (
+        |  SELECT q.vec_id, w0.m, w0.c,
+        |    CAST(sum((q.qv[w0.m*8 + w0.d + 1] - w0.wt) * (q.qv[w0.m*8 + w0.d + 1] - w0.wt)) AS BIGINT) AS dist
+        |  FROM q CROSS JOIN w0 GROUP BY 1, 2, 3
+        |), codes0 AS (
+        |  SELECT vec_id, m, c AS code FROM (
+        |    SELECT vec_id, m, c, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn
+        |    FROM sdist0) WHERE rn = 1
+        |), trained AS (
+        |  SELECT co.m, co.code AS c, d.range AS d,
+        |    CAST(sum(q.qv[co.m*8 + d.range + 1]) AS BIGINT) // count(*) AS wt
+        |  FROM codes0 co JOIN q USING (vec_id) CROSS JOIN range(0, 8) d
+        |  GROUP BY 1, 2, 3
+        |), books AS (
+        |  SELECT w0.m, w0.c, w0.d, COALESCE(t.wt, w0.wt) AS wt
+        |  FROM w0 LEFT JOIN trained t ON t.m = w0.m AND t.c = w0.c AND t.d = w0.d
+        |), sdist AS (
+        |  SELECT q.vec_id, b.m, b.c,
+        |    CAST(sum((q.qv[b.m*8 + b.d + 1] - b.wt) * (q.qv[b.m*8 + b.d + 1] - b.wt)) AS BIGINT) AS dist
+        |  FROM q CROSS JOIN books b GROUP BY 1, 2, 3
+        |), codes AS (
+        |  SELECT vec_id, m, c AS code FROM (
+        |    SELECT vec_id, m, c, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn
+        |    FROM sdist) WHERE rn = 1
+        |), adist AS (
+        |  SELECT qd.vec_id AS query_id, co.vec_id AS neighbor_id, CAST(sum(qd.dist) AS BIGINT) AS ad
+        |  FROM codes co JOIN sdist qd ON qd.m = co.m AND qd.c = co.code
+        |  WHERE qd.vec_id < 20 AND qd.vec_id != co.vec_id
+        |  GROUP BY 1, 2
+        |), short AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY ad, neighbor_id) AS arank
+        |    FROM adist) WHERE arank <= 40
+        |), scored AS (
+        |  SELECT short.query_id, short.neighbor_id,
+        |    CAST(list_sum([a.qv[i] * b.qv[i] FOR i IN range(1, len(a.qv) + 1)]) AS DOUBLE)
+        |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+        |  FROM short
+        |  JOIN n a ON a.vec_id = short.query_id
+        |  JOIN n b ON b.vec_id = short.neighbor_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+
+    "knn_ivfpq" ->
+      """WITH cw AS (
+        |  SELECT c.range AS c, d.range AS d,
+        |    ('0x' || substr(md5('ivf:42:' || c.range || ':' || d.range), 1, 15))::BIGINT % 2001 - 1000 AS wt
+        |  FROM range(0, 16) c, range(0, 64) d
+        |), q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, qv, list_sum([x*x FOR x IN qv]) AS n2 FROM q
+        |), dots AS (
+        |  SELECT q.vec_id, cw.c, sum(cw.wt * q.qv[cw.d + 1]) AS dot
+        |  FROM q CROSS JOIN cw GROUP BY q.vec_id, cw.c
+        |), ranked_cells AS (
+        |  SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS cr
+        |  FROM dots
+        |), assign AS (
+        |  SELECT vec_id, c AS cell FROM ranked_cells WHERE cr = 1
+        |), probes AS (
+        |  SELECT vec_id, c AS cell FROM ranked_cells WHERE cr <= 4 AND vec_id < 20
+        |), w0 AS (
+        |  SELECT m.range AS m, c.range AS c, d.range AS d,
+        |    ('0x' || substr(md5('pq:42:' || m.range || ':' || c.range || ':' || d.range), 1, 15))::BIGINT % 250001 - 125000 AS wt
+        |  FROM range(0, 8) m, range(0, 16) c, range(0, 8) d
+        |), sdist0 AS (
+        |  SELECT q.vec_id, w0.m, w0.c,
+        |    CAST(sum((q.qv[w0.m*8 + w0.d + 1] - w0.wt) * (q.qv[w0.m*8 + w0.d + 1] - w0.wt)) AS BIGINT) AS dist
+        |  FROM q CROSS JOIN w0 GROUP BY 1, 2, 3
+        |), codes0 AS (
+        |  SELECT vec_id, m, c AS code FROM (
+        |    SELECT vec_id, m, c, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn
+        |    FROM sdist0) WHERE rn = 1
+        |), trained AS (
+        |  SELECT co.m, co.code AS c, d.range AS d,
+        |    CAST(sum(q.qv[co.m*8 + d.range + 1]) AS BIGINT) // count(*) AS wt
+        |  FROM codes0 co JOIN q USING (vec_id) CROSS JOIN range(0, 8) d
+        |  GROUP BY 1, 2, 3
+        |), books AS (
+        |  SELECT w0.m, w0.c, w0.d, COALESCE(t.wt, w0.wt) AS wt
+        |  FROM w0 LEFT JOIN trained t ON t.m = w0.m AND t.c = w0.c AND t.d = w0.d
+        |), sdist AS (
+        |  SELECT q.vec_id, b.m, b.c,
+        |    CAST(sum((q.qv[b.m*8 + b.d + 1] - b.wt) * (q.qv[b.m*8 + b.d + 1] - b.wt)) AS BIGINT) AS dist
+        |  FROM q CROSS JOIN books b GROUP BY 1, 2, 3
+        |), codes AS (
+        |  SELECT vec_id, m, c AS code FROM (
+        |    SELECT vec_id, m, c, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn
+        |    FROM sdist) WHERE rn = 1
+        |), adist AS (
+        |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id, CAST(sum(qd.dist) AS BIGINT) AS ad
+        |  FROM probes p
+        |  JOIN assign a ON a.cell = p.cell AND a.vec_id != p.vec_id
+        |  JOIN codes co ON co.vec_id = a.vec_id
+        |  JOIN sdist qd ON qd.vec_id = p.vec_id AND qd.m = co.m AND qd.c = co.code
+        |  GROUP BY 1, 2
+        |), short AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY ad, neighbor_id) AS arank
+        |    FROM adist) WHERE arank <= 40
+        |), scored AS (
+        |  SELECT short.query_id, short.neighbor_id,
+        |    CAST(list_sum([a.qv[i] * b.qv[i] FOR i IN range(1, len(a.qv) + 1)]) AS DOUBLE)
+        |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+        |  FROM short
+        |  JOIN n a ON a.vec_id = short.query_id
+        |  JOIN n b ON b.vec_id = short.neighbor_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+
+    "emb_meanpool" ->
+      """WITH q AS (
+        |  SELECT vec_id // 10 AS grp,
+        |    [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), e AS (
+        |  SELECT grp, d.range AS pos, qv[d.range + 1] AS x
+        |  FROM q CROSS JOIN range(0, 64) d
+        |)
+        |SELECT grp, CAST(pos + 1 AS BIGINT) AS dim,
+        |  CAST(sum(x) AS BIGINT) // count(*) AS pooled
+        |FROM e GROUP BY 1, 2 ORDER BY grp, dim""".stripMargin,
+
+
+    "emb_rp_project" ->
+      """WITH w AS (
+        |  SELECT j.range AS j, d.range AS d,
+        |    CASE WHEN ('0x' || substr(md5('lsh:42:' || j.range || ':' || d.range), 1, 15))::BIGINT & 1 = 1
+        |         THEN 1 ELSE -1 END AS wt
+        |  FROM range(0, 16) j, range(0, 64) d
+        |), q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |)
+        |SELECT q.vec_id, CAST(w.j + 1 AS BIGINT) AS dim,
+        |  CAST(sum(w.wt * q.qv[w.d + 1]) AS BIGINT) AS y
+        |FROM q CROSS JOIN w GROUP BY 1, 2 ORDER BY vec_id, dim""".stripMargin,
+
+
+    // one Lloyd refinement step: initial cells from the md5 centroids (same
+    // CTEs as knn_ivf), new centroids = per-(cell, dim) truncating integer
+    // mean, re-assignment by max dot (ties to the smaller cell id)
+    "emb_kmeans_refine" ->
+      """WITH w AS (
+        |  SELECT c.range AS c, d.range AS d,
+        |    ('0x' || substr(md5('ivf:42:' || c.range || ':' || d.range), 1, 15))::BIGINT % 2001 - 1000 AS wt
+        |  FROM range(0, 16) c, range(0, 64) d
+        |), q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), dots0 AS (
+        |  SELECT q.vec_id, w.c, sum(w.wt * q.qv[w.d + 1]) AS dot
+        |  FROM q CROSS JOIN w GROUP BY 1, 2
+        |), a0 AS (
+        |  SELECT vec_id, c AS cell0 FROM (
+        |    SELECT vec_id, c,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS rn
+        |    FROM dots0) WHERE rn = 1
+        |), cent AS (
+        |  SELECT a0.cell0 AS cell, d.range AS d,
+        |    CAST(sum(q.qv[d.range + 1]) AS BIGINT) // count(*) AS wt
+        |  FROM q JOIN a0 USING (vec_id) CROSS JOIN range(0, 64) d
+        |  GROUP BY 1, 2
+        |), dots1 AS (
+        |  SELECT q.vec_id, cent.cell AS c, sum(cent.wt * q.qv[cent.d + 1]) AS dot
+        |  FROM q CROSS JOIN cent GROUP BY 1, 2
+        |), a1 AS (
+        |  SELECT vec_id, c AS cell1 FROM (
+        |    SELECT vec_id, c,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS rn
+        |    FROM dots1) WHERE rn = 1
+        |)
+        |SELECT a0.vec_id, CAST(a0.cell0 AS BIGINT) AS cell_init,
+        |  CAST(a1.cell1 AS BIGINT) AS cell_refined
+        |FROM a0 JOIN a1 USING (vec_id) ORDER BY vec_id""".stripMargin)
+}

@@ -1,0 +1,790 @@
+package graft
+
+import graft.config.ConfigParser
+import graft.engine.Engine
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.{Dedup, Layout, Multimodal, Similarity, TextAnalysis}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text analysis over documents: tokens, quality, lang-id, BPE train/encode, PII, entropy, BM25, contamination.
+  *
+  * One registry of [[SparkEntry]]'s query/oracle surface — split per family
+  * in round 10 (the single 4.4k-line object was becoming unreviewable).
+  * Exactness patterns are documented on [[SparkEntry]].
+  */
+private[graft] trait TextQueries extends QueryHelpers {
+
+  protected def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "text_bpe_merges" -> ((s, dir) => {
+      // BPE tokenizer training, oracle-exact: 3 greedy merges of the most
+      // frequent adjacent symbol pair over the frequency-weighted word
+      // vocabulary; the doubled-space canonical form makes the replace
+      // symbol-aligned (true array BPE) and each round reproducible as an
+      // unrolled SQL CTE — the batched merge loop must match sequential SQL
+      graft.operators.TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", rounds = 3)
+        .orderBy(col("round"))
+    }),
+
+
+    "text_bpe_encode" -> ((s, dir) => {
+      // the APPLY side of tokenizer training: train 3 merges, then encode
+      // the whole corpus — per-word kernel over the distinct vocabulary,
+      // vocabulary-sized broadcast join back to (doc, word) counts; the
+      // oracle re-derives the merges AND re-applies them per word
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.TextAnalysis.bpeMerges(docs, "text", rounds = 3)
+        .orderBy(col("round")).collect().map(_.getString(1)).toSeq
+      graft.operators.TextAnalysis.bpeEncode(spread(docs), "doc_id", "text", merges)
+        .orderBy(col("doc_id"))
+    }),
+
+
+    "text_heavy_hitters" -> ((s, dir) => {
+      // EXACT heavy hitters by sketch-then-verify: broadcast Count-Min
+      // literals prefilter candidate occurrences at scan speed (CMS never
+      // underestimates -> no false negatives), the exact count runs over
+      // candidates only — output provably equals the plain GROUP BY/HAVING
+      graft.operators.TextAnalysis.heavyHitters(
+        t(s, dir, "documents"), "text", threshold = 900L)
+        .orderBy(col("w"))
+    }),
+
+
+    // --- text analysis over documents ---
+    "text_token_stats" -> ((s, dir) => {
+      TextAnalysis.withTokenStats(spread(t(s, dir, "documents")), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("len_chars").cast("long").as("len_chars"),
+          col("n_distinct_tokens").cast("long").as("n_distinct_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+
+    "text_tokens_bpe" -> ((s, dir) => {
+      // subword-style (BPE pre-tokenizer) token counts next to whitespace
+      // word counts — the budget unit packing/cost estimates actually use
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.TextFns.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"),
+        graft.functions.TextFns.tokenCount(col("text")).cast("long").as("n_ws_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+
+    "text_quality" -> ((s, dir) => {
+      TextAnalysis.withQuality(spread(t(s, dir, "documents")), "doc_id", "text")
+        .select(col("doc_id"), col("len_chars").cast("long").as("len_chars"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("stopword_ratio"), col("alpha_ratio"), col("token_diversity"),
+          col("quality_score"))
+        .orderBy(col("doc_id"))
+    }),
+
+
+    "text_langid" -> ((s, dir) => {
+      TextAnalysis.withLangId(spread(t(s, dir, "documents")), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+
+    "text_freq_spectrum" -> ((s, dir) => {
+      // corpus-health frequency spectrum (frequency-of-frequencies): how
+      // many vocabulary types occur exactly k times, k <= 10, plus the tail
+      // bucket — hapax share and Zipf shape in one tiny aggregate
+      val toks = t(s, dir, "documents")
+        .select(explode(graft.functions.TextFns.tokens(col("text"))).as("w"))
+      toks.groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .select(least(expr("n div 100"), lit(10L)).as("occ_hundreds"))
+        .groupBy(col("occ_hundreds"))
+        .agg(count(lit(1)).as("n_types"))
+        .orderBy(col("occ_hundreds"))
+    }),
+
+
+    "text_token_pmi" -> ((s, dir) => {
+      // token-pair association via REUSE of the market-basket operator:
+      // documents are baskets, tokens are items. The df band
+      // [minDf=50, n*900 div 1000] is applied BEFORE the self-join
+      // (broadcast semi-join against the banded vocabulary) — the fanout
+      // bound that makes this survive stopwords at corpus scale.
+      // PMI = ln(lift) quantized 1e-6.
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(graft.functions.TextFns.tokens(col("text"))).as("w"))
+      graft.operators.Basket.coOccurrenceBanded(toks, "doc_id", "w",
+          minSupport = 50L, minDf = 50L, maxDfPerMille = 900L)
+        .withColumn("pmi", floor(log(col("lift")) * 1e6 + lit(0.5)) / 1e6)
+        .orderBy(col("lift").desc, col("item_a"), col("item_b"))
+        .limit(50)
+    }),
+
+
+    "text_lm_score" -> ((s, dir) => {
+      // unigram LM corpus-fit (perplexity-style quality signal): per-term
+      // bits quantized to 1e-6 before the order-free per-doc integer sum
+      TextAnalysis.lmFitScore(spread(t(s, dir, "documents")), "doc_id", "text")
+        .select(col("doc_id"), col("dl"), col("nll_scaled"), col("avg_nll"))
+        .orderBy(col("doc_id"))
+    }),
+
+
+    "text_fingerprint" -> ((s, dir) => {
+      TextAnalysis.withFingerprint(spread(t(s, dir, "documents")), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+
+    "text_topk_ngrams" -> ((s, dir) => {
+      TextAnalysis.topkNgrams(spread(t(s, dir, "documents")), "text", n = 3, k = 20)
+    }),
+
+
+    "text_pii_redact" -> ((s, dir) => {
+      TextAnalysis.withPiiRedaction(spread(t(s, dir, "documents")), "doc_id", "text")
+        .select(col("doc_id"), col("n_emails").cast("long").as("n_emails"),
+          col("n_numbers").cast("long").as("n_numbers"), col("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
+
+    "text_chunks" -> ((s, dir) => {
+      TextAnalysis.chunkByTokens(
+        spread(t(s, dir, "documents")), "doc_id", "text", chunkSize = 32, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+
+    "text_chunk_dedup" -> ((s, dir) => {
+      // passage-level dedup: chunk every document, hash chunks, keep the
+      // repeated ones — the cross-document boilerplate/citation detector
+      // document-level dedup cannot see. Chunking is a projection; the one
+      // shuffle is the hash groupBy with map-side combine.
+      TextAnalysis.chunkByTokens(
+        spread(t(s, dir, "documents")), "doc_id", "text", chunkSize = 32, overlap = 8)
+        .groupBy(md5(col("chunk")).as("chunk_hash"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("n_occurrences") > 1)
+        .orderBy(col("chunk_hash"))
+    }),
+
+
+    "text_normalize" -> ((s, dir) => {
+      TextAnalysis.withNormalized(spread(t(s, dir, "documents")), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+
+    // --- corpus curation: repetition/salience/contamination/stats ---
+    "text_repetition" -> ((s, dir) => {
+      TextAnalysis.withRepetition(spread(t(s, dir, "documents")), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+
+    "text_ngram_novelty" -> ((s, dir) => {
+      // fraction of each doc's distinct 3-grams appearing in NO other doc
+      // (df=1 ⇒ unique to its one containing doc — no self-join needed)
+      TextAnalysis.ngramNovelty(spread(t(s, dir, "documents")), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+
+    "text_mixed_lang" -> ((s, dir) => {
+      // code-switching detection: per-chunk language vote rolled up per doc
+      // (chunking and langid are the already-gated operators; this gates
+      // their composition)
+      TextAnalysis.mixedLanguage(spread(t(s, dir, "documents")), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+
+    "text_pii_ipv4" -> ((s, dir) => {
+      // octet-validated IPv4 detection/redaction; the corpus has no IPs, so
+      // each doc carries a synthesized candidate token (first octet ranges
+      // to 299 — ~15% of candidates are octet-INVALID and must not match)
+      val docs = spread(t(s, dir, "documents"))
+        .withColumn("text2", concat(col("text"), lit(" "),
+          (col("doc_id") % 300).cast("string"), lit("."),
+          ((col("doc_id") * 7) % 256).cast("string"), lit(".0."),
+          (col("doc_id") % 256).cast("string")))
+      TextAnalysis.withIpv4Pii(docs, "doc_id", "text2")
+        .orderBy(col("doc_id"))
+    }),
+
+
+    "text_pii_luhn" -> ((s, dir) => {
+      // checksum-validated card-number detection: the corpus carries no
+      // digits, so each doc gets a deterministic 16-digit candidate
+      // ('4' + zero-padded doc_id) — ~10% Luhn-valid, split pinned by the
+      // oracle's own mod-10 re-derivation
+      val docs = spread(t(s, dir, "documents"))
+        .withColumn("text2",
+          concat(col("text"), lit(" 4"), lpad(col("doc_id").cast("string"), 15, "0")))
+      TextAnalysis.withCardPii(docs, "doc_id", "text2")
+        .orderBy(col("doc_id"))
+    }),
+
+
+    "text_char_entropy" -> ((s, dir) => {
+      // Shannon char entropy in nats — gibberish/encoding detector; exact
+      // via per-count qln quantization before order-free integer sums
+      TextAnalysis.charEntropy(spread(t(s, dir, "documents")), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+
+    "text_gopher_repetition" -> ((s, dir) => {
+      // Gopher/MassiveText top-word / top-bigram occupancy — row-local
+      // kernel passes, no shuffle; oracle re-derives via explode+groupBy
+      TextAnalysis.gopherSignals(spread(t(s, dir, "documents")), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+
+    "text_tfidf_top_terms" -> ((s, dir) => {
+      TextAnalysis.tfidfTopTerms(spread(t(s, dir, "documents")), "doc_id", "text", k = 3)
+        .select(col("doc_id"), col("rank").cast("long").as("rank"),
+          col("term"), col("tf"), col("df"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+
+    "text_bm25" -> ((s, dir) => {
+      // BM25 ranked retrieval: top-20 docs for a 3-term query mixing the
+      // corpus's one rare term (positive idf) with two common ones
+      // (negative idf); scores quantized per-term to 1e-6 (see scaladoc)
+      TextAnalysis.bm25TopK(spread(t(s, dir, "documents")), "doc_id", "text",
+        Seq("dup", "scan", "window"), k = 20)
+        .orderBy(col("rank"))
+    }),
+
+
+    "text_contamination" -> ((s, dir) => {
+      // decontamination pass: benchmark = every 37th doc, corpus = the rest
+      val docs = spread(t(s, dir, "documents"))
+      TextAnalysis.ngramOverlap(
+        docs.filter(col("doc_id") % 37 =!= 0), docs.filter(col("doc_id") % 37 === 0),
+        "doc_id", "text", n = 4)
+        .orderBy(col("doc_id"))
+    }))
+
+  protected def textOracles: Map[String, String] = Map(
+
+    "text_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), chunks AS (
+        |  SELECT doc_id,
+        |    unnest([{'chunk_idx': i, 'chunk': array_to_string(w[i*24+1:i*24+32], ' ')}
+        |            FOR i IN range(0, greatest(CAST(ceil((len(w) - 8) / 24.0) AS BIGINT), 1))],
+        |           recursive := true)
+        |  FROM toks
+        |)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk
+        |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin,
+
+
+    "text_chunk_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), chunks AS (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(w[i*24+1:i*24+32], ' ')
+        |            FOR i IN range(0, greatest(CAST(ceil((len(w) - 8) / 24.0) AS BIGINT), 1))]) AS chunk
+        |  FROM toks
+        |)
+        |SELECT md5(chunk) AS chunk_hash, count(*) AS n_occurrences, min(doc_id) AS first_doc
+        |FROM chunks GROUP BY 1 HAVING count(*) > 1 ORDER BY chunk_hash""".stripMargin,
+
+
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+        |    '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS normalized
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+
+    "text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), r AS (
+        |  SELECT doc_id,
+        |    CAST(GREATEST(len(w) - 1, 0) AS BIGINT) AS n_bigrams,
+        |    CAST(len(list_distinct([array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))])) AS BIGINT) AS n_distinct_bigrams
+        |  FROM toks
+        |)
+        |SELECT doc_id, n_bigrams, n_distinct_bigrams,
+        |  CASE WHEN n_bigrams = 0 THEN 0.0
+        |       ELSE CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE) END AS dup_bigram_frac
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+
+    "text_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)])) AS gram
+        |  FROM toks
+        |), df AS (
+        |  SELECT gram, count(*) AS df FROM g GROUP BY 1
+        |)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |  CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS novelty
+        |FROM g JOIN df USING (gram) GROUP BY 1 ORDER BY g.doc_id""".stripMargin,
+
+
+    "text_mixed_lang" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), chunks AS (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(w[i*24+1:i*24+32], ' ')
+        |            FOR i IN range(0, greatest(CAST(ceil((len(w) - 8) / 24.0) AS BIGINT), 1))]) AS chunk
+        |  FROM toks
+        |), base AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(chunk), '\s+') AS ct,
+        |    length(chunk) AS total,
+        |    length(regexp_replace(chunk, '[Ѐ-ӿ]', '', 'g')) AS no_cyr,
+        |    length(regexp_replace(chunk, '[一-鿿]', '', 'g')) AS no_cjk
+        |  FROM chunks
+        |), hits AS (
+        |  SELECT doc_id, total, no_cyr, no_cjk,
+        |    len(list_filter(ct, t -> list_contains(['the','a','and','of','to','in','is'], t))) AS en,
+        |    len(list_filter(ct, t -> list_contains(['el','la','de','que','y','los'], t))) AS es,
+        |    len(list_filter(ct, t -> list_contains(['der','die','das','und','ist','ein'], t))) AS de,
+        |    len(list_filter(ct, t -> list_contains(['le','la','les','et','est','une'], t))) AS fr
+        |  FROM base
+        |), pred AS (
+        |  SELECT doc_id,
+        |    CASE WHEN total - no_cyr > 0 THEN 'ru'
+        |         WHEN total - no_cjk > 0 THEN 'zh'
+        |         WHEN es > en AND es >= de AND es >= fr THEN 'es'
+        |         WHEN de > en AND de >= fr THEN 'de'
+        |         WHEN fr > en THEN 'fr'
+        |         ELSE 'en' END AS lang
+        |  FROM hits
+        |), lc AS (
+        |  SELECT doc_id, lang, count(*) AS n FROM pred GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT doc_id, lang, n,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, lang) AS rk
+        |  FROM lc
+        |)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chunks,
+        |  CAST(count(*) AS BIGINT) AS n_langs,
+        |  max(CASE WHEN rk = 1 THEN lang END) AS majority_lang,
+        |  CAST(CASE WHEN count(*) > 1 THEN 1 ELSE 0 END AS BIGINT) AS mixed
+        |FROM rk GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+
+    "text_pii_ipv4" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || ' ' ||
+        |    CAST(doc_id % 300 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+        |    || '.0.' || CAST(doc_id % 256 AS VARCHAR) AS t
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(t), '\s+') AS w FROM d
+        |)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(w, x -> regexp_matches(x,
+        |    '^(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$'))) AS BIGINT) AS n_ipv4,
+        |  array_to_string([CASE WHEN regexp_matches(x,
+        |    '^(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$')
+        |    THEN '<IP>' ELSE x END FOR x IN w], ' ') AS redacted
+        |FROM toks ORDER BY doc_id""".stripMargin,
+
+
+    "text_pii_luhn" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || ' 4' || lpad(CAST(doc_id AS VARCHAR), 15, '0') AS t
+        |  FROM documents
+        |), runs AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(t, '[0-9]+')) AS run FROM d
+        |), cards AS (
+        |  SELECT doc_id, string_split(reverse(run), '') AS l FROM runs
+        |  WHERE len(run) BETWEEN 13 AND 19
+        |), luhn AS (
+        |  SELECT doc_id,
+        |    list_sum([CASE WHEN i % 2 = 1 THEN CAST(l[i] AS INT)
+        |                   ELSE CASE WHEN 2*CAST(l[i] AS INT) > 9
+        |                             THEN 2*CAST(l[i] AS INT) - 9
+        |                             ELSE 2*CAST(l[i] AS INT) END END
+        |              FOR i IN range(1, len(l) + 1)]) % 10 AS rem
+        |  FROM cards
+        |)
+        |SELECT d.doc_id,
+        |  CAST(count(luhn.rem) AS BIGINT) AS n_card_like,
+        |  CAST(COALESCE(sum(CASE WHEN luhn.rem = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_luhn_valid
+        |FROM d LEFT JOIN luhn ON luhn.doc_id = d.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "text_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+        |), cc AS (
+        |  SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars,
+        |    CAST(sum(n * CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_nlnn
+        |  FROM cc GROUP BY 1
+        |)
+        |SELECT doc_id, n_chars, sum_nlnn,
+        |  CASE WHEN n_chars = 0 THEN 0.0
+        |       ELSE CAST(CAST(floor(ln(CAST(n_chars AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) * n_chars - sum_nlnn AS DOUBLE)
+        |            / CAST(n_chars * 1000000 AS DOUBLE) END AS entropy_nats
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+
+    "text_gopher_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), base AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks
+        |), wc AS (
+        |  SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top_word_n FROM (
+        |    SELECT doc_id, tok, count(*) AS cnt
+        |    FROM (SELECT doc_id, unnest(w) AS tok FROM toks) GROUP BY 1, 2)
+        |  GROUP BY 1
+        |), gc AS (
+        |  SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top_bigram_n FROM (
+        |    SELECT doc_id, gram, count(*) AS cnt
+        |    FROM (SELECT doc_id,
+        |            unnest([array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))]) AS gram
+        |          FROM toks) GROUP BY 1, 2)
+        |  GROUP BY 1
+        |)
+        |SELECT base.doc_id, base.n_tokens,
+        |  COALESCE(wc.top_word_n, 0) AS top_word_n,
+        |  COALESCE(gc.top_bigram_n, 0) AS top_bigram_n,
+        |  CASE WHEN base.n_tokens = 0 THEN 0.0
+        |       ELSE CAST(COALESCE(wc.top_word_n, 0) AS DOUBLE) / CAST(base.n_tokens AS DOUBLE) END AS top_word_frac,
+        |  CASE WHEN base.n_tokens <= 1 THEN 0.0
+        |       ELSE CAST(COALESCE(gc.top_bigram_n, 0) AS DOUBLE) / CAST(base.n_tokens - 1 AS DOUBLE) END AS top_bigram_frac
+        |FROM base
+        |LEFT JOIN wc ON wc.doc_id = base.doc_id
+        |LEFT JOIN gc ON gc.doc_id = base.doc_id
+        |ORDER BY base.doc_id""".stripMargin,
+
+
+    "text_tfidf_top_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+        |), dfq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), ranked AS (
+        |  SELECT doc_id, term, tf, df,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, df ASC, term ASC) AS rank
+        |  FROM tf JOIN dfq USING (term)
+        |)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+        |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+
+    "text_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), dl AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks
+        |), stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+        |    SELECT doc_id, unnest(w) AS term FROM toks)
+        |  WHERE term IN ('dup', 'scan', 'window') GROUP BY doc_id, term
+        |), dfq AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+        |), per_term AS (
+        |  SELECT tf.doc_id,
+        |    CAST(floor(
+        |      ln((CAST(s.n_docs - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+        |      * ((2.2 * CAST(tf.tf AS DOUBLE))
+        |         / (CAST(tf.tf AS DOUBLE) + 0.3
+        |            + 0.9 * (CAST(dl.dl * s.n_docs AS DOUBLE) / CAST(s.total_tokens AS DOUBLE))))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS si_q
+        |  FROM tf JOIN dfq d USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+        |), byd AS (
+        |  SELECT doc_id, CAST(sum(si_q) AS BIGINT) AS score_q,
+        |    CAST(count(*) AS BIGINT) AS n_terms
+        |  FROM per_term GROUP BY doc_id
+        |), ranked AS (
+        |  SELECT doc_id, score_q, n_terms,
+        |    row_number() OVER (ORDER BY score_q DESC, doc_id) AS rank
+        |  FROM byd)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, score_q, n_terms
+        |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+
+    "text_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+3], ' ') FOR i IN range(1, len(w) - 2)]) AS grams
+        |  FROM toks
+        |), bg AS (
+        |  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 37 = 0
+        |), cg AS (
+        |  SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 37 <> 0
+        |), m AS (
+        |  SELECT cg.doc_id AS doc_id, count(*) AS n_matched FROM cg JOIN bg USING (gram) GROUP BY 1
+        |)
+        |SELECT g.doc_id AS doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(n_matched, 0) AS BIGINT) AS n_matched,
+        |  CASE WHEN len(grams) = 0 THEN 0.0
+        |       ELSE CAST(coalesce(n_matched, 0) AS DOUBLE) / CAST(len(grams) AS DOUBLE) END AS overlap_frac
+        |FROM g LEFT JOIN m ON g.doc_id = m.doc_id
+        |WHERE g.doc_id % 37 <> 0 ORDER BY doc_id""".stripMargin,
+
+
+    "text_topk_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)])) AS gram
+        |  FROM toks
+        |)
+        |SELECT gram, count(*) AS doc_freq FROM g
+        |GROUP BY gram ORDER BY doc_freq DESC, gram LIMIT 20""".stripMargin,
+
+
+    "text_pii_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{7,}')) AS BIGINT) AS n_numbers,
+        |  regexp_replace(
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{7,}', '<NUM>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+
+    "text_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS len_chars,
+        |  CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_distinct_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+
+    "text_tokens_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '''(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+
+    "text_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    CAST(length(text) AS BIGINT) AS len_chars
+        |  FROM documents
+        |), feats AS (
+        |  SELECT doc_id, len_chars,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with'], t))) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) END AS stopword_ratio,
+        |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |      CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE) END AS alpha_ratio,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS token_diversity
+        |  FROM base)
+        |SELECT doc_id, len_chars, n_tokens, stopword_ratio, alpha_ratio, token_diversity,
+        |  (CASE WHEN len_chars < 20 THEN 0.0 ELSE 0.25 END)
+        |    + (CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 0.25 ELSE 0.0 END)
+        |    + (CASE WHEN alpha_ratio >= 0.6 THEN 0.25 ELSE 0.0 END)
+        |    + token_diversity * 0.25 AS quality_score
+        |FROM feats ORDER BY doc_id""".stripMargin,
+
+
+    "text_langid" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    length(text) AS total,
+        |    length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g')) AS no_cyr,
+        |    length(regexp_replace(text, '[一-鿿]', '', 'g')) AS no_cjk
+        |  FROM documents
+        |), hits AS (
+        |  SELECT doc_id, total, no_cyr, no_cjk,
+        |    len(list_filter(toks, t -> list_contains(['the','a','and','of','to','in','is'], t))) AS en,
+        |    len(list_filter(toks, t -> list_contains(['el','la','de','que','y','los'], t))) AS es,
+        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','ein'], t))) AS de,
+        |    len(list_filter(toks, t -> list_contains(['le','la','les','et','est','une'], t))) AS fr
+        |  FROM base)
+        |SELECT doc_id,
+        |  CASE WHEN total - no_cyr > 0 THEN 'ru'
+        |       WHEN total - no_cjk > 0 THEN 'zh'
+        |       WHEN es > en AND es >= de AND es >= fr THEN 'es'
+        |       WHEN de > en AND de >= fr THEN 'de'
+        |       WHEN fr > en THEN 'fr'
+        |       ELSE 'en' END AS predicted_lang
+        |FROM hits ORDER BY doc_id""".stripMargin,
+
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(0, [CAST(ascii(c) AS BIGINT) FOR c IN regexp_split_to_array(text, '')]),
+        |    (acc, code) -> (acc * 31 + code) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+
+    "text_bpe_merges" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents
+        |), w AS (SELECT word, count(*) AS n FROM toks GROUP BY 1),
+        |s0 AS (SELECT trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS segs, n FROM w),
+        |p1 AS (
+        |  SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+        |    SELECT n, unnest([l[i] || ' ' || l[i+1] FOR i IN range(1, len(l))]) AS pair
+        |    FROM (SELECT string_split(segs, ' ') AS l, n FROM s0) q WHERE len(l) >= 2
+        |  ) GROUP BY 1
+        |), m1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+        |s1 AS (SELECT trim(replace(replace(
+        |    ' ' || replace(segs, ' ', '  ') || ' ',
+        |    ' ' || replace((SELECT pair FROM m1), ' ', '  ') || ' ',
+        |    ' ' || replace((SELECT pair FROM m1), ' ', '') || ' '),
+        |  '  ', ' ')) AS segs, n FROM s0),
+        |p2 AS (
+        |  SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+        |    SELECT n, unnest([l[i] || ' ' || l[i+1] FOR i IN range(1, len(l))]) AS pair
+        |    FROM (SELECT string_split(segs, ' ') AS l, n FROM s1) q WHERE len(l) >= 2
+        |  ) GROUP BY 1
+        |), m2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+        |s2 AS (SELECT trim(replace(replace(
+        |    ' ' || replace(segs, ' ', '  ') || ' ',
+        |    ' ' || replace((SELECT pair FROM m2), ' ', '  ') || ' ',
+        |    ' ' || replace((SELECT pair FROM m2), ' ', '') || ' '),
+        |  '  ', ' ')) AS segs, n FROM s1),
+        |p3 AS (
+        |  SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+        |    SELECT n, unnest([l[i] || ' ' || l[i+1] FOR i IN range(1, len(l))]) AS pair
+        |    FROM (SELECT string_split(segs, ' ') AS l, n FROM s2) q WHERE len(l) >= 2
+        |  ) GROUP BY 1
+        |), m3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS round, pair, replace(pair, ' ', '') AS merged, cnt AS n FROM m1
+        |  UNION ALL SELECT 2, pair, replace(pair, ' ', ''), cnt FROM m2
+        |  UNION ALL SELECT 3, pair, replace(pair, ' ', ''), cnt FROM m3
+        |) q ORDER BY round""".stripMargin,
+
+
+    "text_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents
+        |)
+        |SELECT w, CAST(count(*) AS BIGINT) AS n FROM toks
+        |GROUP BY 1 HAVING count(*) >= 900 ORDER BY w""".stripMargin,
+
+
+    "text_bpe_encode" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents
+        |), w AS (SELECT word, count(*) AS n FROM toks GROUP BY 1),
+        |s0 AS (SELECT word, trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS segs, n FROM w),
+        |p1 AS (
+        |  SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+        |    SELECT n, unnest([l[i] || ' ' || l[i+1] FOR i IN range(1, len(l))]) AS pair
+        |    FROM (SELECT string_split(segs, ' ') AS l, n FROM s0) q WHERE len(l) >= 2
+        |  ) GROUP BY 1
+        |), m1 AS (SELECT pair FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+        |s1 AS (SELECT word, trim(replace(replace(
+        |    ' ' || replace(segs, ' ', '  ') || ' ',
+        |    ' ' || replace((SELECT pair FROM m1), ' ', '  ') || ' ',
+        |    ' ' || replace((SELECT pair FROM m1), ' ', '') || ' '),
+        |  '  ', ' ')) AS segs, n FROM s0),
+        |p2 AS (
+        |  SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+        |    SELECT n, unnest([l[i] || ' ' || l[i+1] FOR i IN range(1, len(l))]) AS pair
+        |    FROM (SELECT string_split(segs, ' ') AS l, n FROM s1) q WHERE len(l) >= 2
+        |  ) GROUP BY 1
+        |), m2 AS (SELECT pair FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+        |s2 AS (SELECT word, trim(replace(replace(
+        |    ' ' || replace(segs, ' ', '  ') || ' ',
+        |    ' ' || replace((SELECT pair FROM m2), ' ', '  ') || ' ',
+        |    ' ' || replace((SELECT pair FROM m2), ' ', '') || ' '),
+        |  '  ', ' ')) AS segs, n FROM s1),
+        |p3 AS (
+        |  SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+        |    SELECT n, unnest([l[i] || ' ' || l[i+1] FOR i IN range(1, len(l))]) AS pair
+        |    FROM (SELECT string_split(segs, ' ') AS l, n FROM s2) q WHERE len(l) >= 2
+        |  ) GROUP BY 1
+        |), m3 AS (SELECT pair FROM p3 ORDER BY cnt DESC, pair LIMIT 1),
+        |s3 AS (SELECT word, trim(replace(replace(
+        |    ' ' || replace(segs, ' ', '  ') || ' ',
+        |    ' ' || replace((SELECT pair FROM m3), ' ', '  ') || ' ',
+        |    ' ' || replace((SELECT pair FROM m3), ' ', '') || ' '),
+        |  '  ', ' ')) AS segs FROM s2),
+        |encn AS (SELECT word, CAST(len(string_split(segs, ' ')) AS BIGINT) AS n_bpe FROM s3),
+        |dw AS (SELECT doc_id, word, count(*) AS k FROM toks GROUP BY 1, 2)
+        |SELECT dw.doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+        |  CAST(sum(k * n_bpe) AS BIGINT) AS n_bpe_segments
+        |FROM dw JOIN encn USING (word) GROUP BY 1 ORDER BY dw.doc_id""".stripMargin,
+
+
+    "text_freq_spectrum" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents
+        |), vc AS (
+        |  SELECT w, count(*) AS n FROM toks GROUP BY 1
+        |)
+        |SELECT least(n // 100, 10) AS occ_hundreds, count(*) AS n_types
+        |FROM vc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "text_token_pmi" ->
+      """WITH bi0 AS (
+        |  SELECT DISTINCT doc_id AS b, unnest(regexp_split_to_array(trim(text), '\s+')) AS i
+        |  FROM documents
+        |), n AS (SELECT count(DISTINCT b) AS n FROM bi0),
+        |vocab AS (
+        |  SELECT i, count(*) AS n_i FROM bi0 GROUP BY 1
+        |  HAVING count(*) >= 50 AND count(*) <= (SELECT n FROM n) * 900 // 1000
+        |), bi AS (
+        |  SELECT bi0.b, bi0.i FROM bi0 JOIN vocab ON vocab.i = bi0.i
+        |), p AS (
+        |  SELECT a.i AS item_a, c.i AS item_b, count(*) AS n_ab
+        |  FROM bi a JOIN bi c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 50
+        |)
+        |SELECT p.item_a, p.item_b, p.n_ab, ia.n_i AS n_a, ib.n_i AS n_b,
+        |  CAST((SELECT n FROM n) AS DOUBLE) * p.n_ab / ia.n_i / ib.n_i AS lift,
+        |  floor(ln(CAST((SELECT n FROM n) AS DOUBLE) * p.n_ab / ia.n_i / ib.n_i) * 1e6 + 0.5) / 1e6 AS pmi
+        |FROM p JOIN vocab ia ON ia.i = p.item_a JOIN vocab ib ON ib.i = p.item_b
+        |ORDER BY lift DESC, item_a, item_b LIMIT 50""".stripMargin,
+
+
+    "text_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+        |), vocab AS (
+        |  SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS t FROM vocab
+        |), q AS (
+        |  SELECT term,
+        |    CAST(floor(ln(CAST((SELECT t FROM tot) AS DOUBLE) / cnt) * 1e6 + 0.5) AS BIGINT) AS qv
+        |  FROM vocab
+        |), d AS (
+        |  SELECT tf.doc_id, CAST(sum(tf.tf * q.qv) AS BIGINT) AS nll_scaled,
+        |    CAST(sum(tf.tf) AS BIGINT) AS dl
+        |  FROM tf JOIN q USING (term) GROUP BY 1
+        |)
+        |SELECT doc_id, dl, nll_scaled, CAST(nll_scaled AS DOUBLE) / 1e6 / dl AS avg_nll
+        |FROM d ORDER BY doc_id""".stripMargin)
+}
