@@ -19,13 +19,34 @@ object Bench {
     * regressions; a CI-style caller turns them into a nonzero exit. */
   private[graft] def regressions(
       current: Map[String, Double], floors: Map[String, Double],
-      factor: Double = 2.0): Seq[String] =
+      factor: Double = 2.0): Seq[String] = {
+    // Box-noise normalization: contention inflates EVERY cell roughly
+    // uniformly (the r8/r9 driver benches each flagged ~11 sub-2s cells at
+    // 2-4x while the same run's generator throughput dropped in lockstep —
+    // all MicroBenched clean). The run-level inflation is the MEDIAN
+    // current/floor ratio; a true regression moves one query, not the
+    // median of 150. Thresholds scale by that factor (never below 1) so a
+    // uniformly-slow run stops producing phantom flags while a genuine
+    // single-query regression still trips on a quiet OR loaded box.
+    val ratios = floors.toSeq.collect {
+      case (q, f) if f > 0 && current.contains(q) => current(q) / f
+    }.sorted
+    // ≥20 cells: with a handful of floors a single real regression could
+    // drag the median and mask itself; at suite scale (150+) it cannot
+    val inflation =
+      if (ratios.size < 20) 1.0
+      else math.max(1.0, ratios(ratios.size / 2))
+    if (inflation > 1.2)
+      System.err.println(
+        f"[bench] box-noise normalization: median current/floor = $inflation%.2fx " +
+          "— thresholds scaled accordingly")
     floors.toSeq.sortBy(_._1).flatMap { case (q, f) =>
       current.get(q).collect {
-        case c if f > 0 && c > f * factor =>
-          f"$q: $c%.3f s vs floor $f%.3f s (${c / f}%.2fx)"
+        case c if f > 0 && c > f * factor * inflation =>
+          f"$q: $c%.3f s vs floor $f%.3f s (${c / f}%.2fx, box-adjusted gate ${factor * inflation}%.2fx)"
       }
     }
+  }
 
   /** Symmetric difference between the benched set and the live query set —
     * nonempty means the committed bench archive predates (or outlives) the

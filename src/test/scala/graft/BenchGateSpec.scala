@@ -25,6 +25,23 @@ class BenchGateSpec extends AnyFunSuite {
       "a zero floor must not divide-by-zero into a false positive")
   }
 
+  test("regressions normalizes away uniform box-contention inflation at suite scale") {
+    // 30 cells all ~2.4x slower (loaded box) + one genuinely 8x slower:
+    // only the true regression survives the median normalization
+    val floors = (1 to 30).map(i => s"q$i" -> 1.0).toMap + ("bad" -> 1.0)
+    val uniform = (1 to 30).map(i => s"q$i" -> 2.4).toMap + ("bad" -> 8.0)
+    val regs = Bench.regressions(uniform, floors)
+    assert(regs.size == 1 && regs.head.startsWith("bad:"), regs.toString)
+    // on a quiet run (median ~1x) the plain 2x gate still applies
+    val quiet = (1 to 30).map(i => s"q$i" -> 1.0).toMap + ("bad" -> 2.5)
+    val regsQuiet = Bench.regressions(quiet, floors)
+    assert(regsQuiet.size == 1 && regsQuiet.head.startsWith("bad:"), regsQuiet.toString)
+    // below the population gate (<20 cells) no normalization happens: a
+    // half-regressed tiny set cannot mask itself
+    val tiny = Bench.regressions(Map("a" -> 2.5, "b" -> 2.5), Map("a" -> 1.0, "b" -> 1.0))
+    assert(tiny.size == 2, tiny.toString)
+  }
+
   test("missingQueries flags both unbenched queries and stale bench keys") {
     val diff = Bench.missingQueries(Set("a", "b", "gone"), Set("a", "b", "new"))
     assert(diff == Seq("unbenched: new", "benched but gone: gone"), diff.toString)
