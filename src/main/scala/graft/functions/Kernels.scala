@@ -302,6 +302,44 @@ object Kernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    * MOSS local document fingerprinting scheme): hash every `k`-char gram
+    * (md5 family 0, the repo's 60-bit scheme), slide a `w`-wide window over
+    * the hash sequence and keep each window's MINIMUM; return the DISTINCT
+    * selected hashes sorted ascending. Guarantee: two texts sharing any
+    * substring of length >= k + w - 1 share at least one fingerprint, and
+    * no fingerprint density drops below 1 per w grams — the property that
+    * makes fingerprint-overlap dedup robust to local edits where fixed-
+    * stride shingles are not. Texts shorter than k return no fingerprints;
+    * shorter than k+w-1 use one window over all grams. O(n·w) with w small
+    * (a monotonic deque is O(n) but w<=8 here makes it slower in practice).
+    * Row-local — the operator built on this needs NO shuffle to fingerprint
+    * a corpus, only for the postings join. */
+  def winnowFingerprints(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = text.toString
+    val n = s.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = md5Long15(s.substring(i, i + k), 0); i += 1 }
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    val windows = math.max(1, n - w + 1)
+    var st = 0
+    while (st < windows) {
+      var mn = hs(st)
+      var j = st + 1
+      val end = math.min(st + w, n)
+      while (j < end) { if (hs(j) < mn) mn = hs(j); j += 1 }
+      sel.add(mn)
+      st += 1
+    }
+    val out = new Array[Any](sel.size)
+    val it = sel.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next().longValue(); o += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Card-number PII detection parts: `[n_card_like, n_luhn_valid]` — the
     * count of maximal digit runs of plausible card length (13–19) and how
     * many of them pass the Luhn checksum (pure integer mod-10 arithmetic,
@@ -643,6 +681,9 @@ object Kernels {
 
   def cdcChunksCol(text: Column, w: Int, div: Int): Column =
     call(ArrayType(StringType, containsNull = false), "cdcChunks", text, lit(w), lit(div))
+
+  def winnowFingerprintsCol(text: Column, k: Int, w: Int): Column =
+    call(ArrayType(LongType, containsNull = false), "winnowFingerprints", text, lit(k), lit(w))
 
   def cosineQCol(a: Column, na: Column, b: Column, nb: Column): Column =
     call(DoubleType, "cosineQ", a, na, b, nb)

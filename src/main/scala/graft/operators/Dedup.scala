@@ -44,6 +44,50 @@ object Dedup {
         col("n_shared").cast("double") / col("n_chunks").cast("double"))
   }
 
+  /** Winnowing fingerprints per document ([[Kernels.winnowFingerprints]] —
+    * Schleimer/Wilkerson/Aiken's MOSS scheme): the distinct sliding-window
+    * minima of k-gram hashes, guaranteeing a shared fingerprint for ANY
+    * common substring of length >= k + w - 1 with density >= 1/w. Pure
+    * row-local projection — fingerprinting a 100 TB corpus is shuffle-free;
+    * docs shorter than one window (k + w - 1 chars) carry no guarantee and
+    * are excluded on BOTH engine and oracle sides. */
+  def winnowFingerprints(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame =
+    docs
+      .filter(length(col(textCol)) >= k + w - 1)
+      .select(col(idCol),
+        Kernels.winnowFingerprintsCol(col(textCol), k, w).as("fps"))
+
+  /** Fingerprint-overlap near-dup pairs: doc pairs sharing >= `minShared`
+    * winnowing fingerprints, counted over a df-BANDED posting list —
+    * fingerprints held by fewer than 2 docs pair nothing and are dropped;
+    * fingerprints held by more than `maxDf` docs are boilerplate (the same
+    * cut plagiarism checkers apply) and would otherwise explode the
+    * self-join quadratically. Shape: row-local fingerprint kernel ->
+    * posting explode -> one df aggregation (map-side combined) -> self
+    * equi-join on the fingerprint key with per-key fanout bounded by
+    * maxDf^2 -> pair count. The LSH-banding scale argument verbatim: no
+    * unblocked pair enumeration anywhere. */
+  def winnowPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, maxDf: Long = 20L, minShared: Long = 8L): DataFrame = {
+    val p = winnowFingerprints(docs, idCol, textCol, k, w)
+      .select(col(idCol), explode(col("fps")).as("fp"))
+    val banded = p.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("fp"))
+    val pp = p.join(banded, "fp")
+    val a = pp.select(col("fp"), col(idCol).as("doc_a"))
+    val b = pp.select(col("fp"), col(idCol).as("doc_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Exact dedup by content hash: one row per distinct text, keeping the
     * smallest doc id as canonical. Single shuffle on md5(text). */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =

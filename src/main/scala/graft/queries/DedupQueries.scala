@@ -201,9 +201,79 @@ private[graft] trait DedupQueries extends QueryHelpers {
       graft.operators.Dedup.cdcSharedChunks(
         spread(t(s, dir, "documents")), "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    "dedup_winnow_fps" -> ((s, dir) => {
+      // winnowing (MOSS) fingerprints: distinct sliding-window minima of
+      // 8-gram hashes, window 4 — per-doc count/min/max/checksum gates the
+      // exact fingerprint SET (identical sets <=> identical stats here,
+      // and the checksum sum runs over fp mod 1e9+7 so 60-bit values
+      // cannot overflow the BIGINT sum)
+      Dedup.winnowFingerprints(spread(t(s, dir, "documents")), "doc_id", "text")
+        .select(col("doc_id"), explode(col("fps")).as("fp"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_fp"),
+          min(col("fp")).as("fp_min"),
+          max(col("fp")).as("fp_max"),
+          sum(col("fp") % 1000000007L).as("fp_checksum"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "dedup_winnow_pairs" -> ((s, dir) => {
+      // fingerprint-overlap near-dup pairs over the df-banded posting list
+      // (df in [2, 20] — boilerplate fingerprints are exactly the quadratic
+      // blowup, and they pair everything with everything anyway)
+      Dedup.winnowPairs(spread(t(s, dir, "documents")), "doc_id", "text")
+        .orderBy(col("doc_a"), col("doc_b"))
     }))
 
   protected def dedupOracles: Map[String, String] = Map(
+
+    "dedup_winnow_fps" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS L FROM documents WHERE length(text) >= 11
+        |), g AS (
+        |  SELECT doc_id,
+        |    [('0x' || substr(md5('0:' || substr(text, i, 8)), 1, 15))::BIGINT
+        |     FOR i IN range(1, greatest(L - 8 + 2, 1))] AS hs
+        |  FROM d
+        |), f AS (
+        |  SELECT doc_id, list_sort(list_distinct(
+        |    [list_min(hs[s:least(s + 3, len(hs))])
+        |     FOR s IN range(1, greatest(len(hs) - 4 + 2, 2))])) AS fps
+        |  FROM g
+        |), p AS (
+        |  SELECT doc_id, unnest(fps) AS fp FROM f
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp, min(fp) AS fp_min,
+        |  max(fp) AS fp_max, CAST(sum(fp % 1000000007) AS BIGINT) AS fp_checksum
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_winnow_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS L FROM documents WHERE length(text) >= 11
+        |), g AS (
+        |  SELECT doc_id,
+        |    [('0x' || substr(md5('0:' || substr(text, i, 8)), 1, 15))::BIGINT
+        |     FOR i IN range(1, greatest(L - 8 + 2, 1))] AS hs
+        |  FROM d
+        |), f AS (
+        |  SELECT doc_id, list_sort(list_distinct(
+        |    [list_min(hs[s:least(s + 3, len(hs))])
+        |     FOR s IN range(1, greatest(len(hs) - 4 + 2, 2))])) AS fps
+        |  FROM g
+        |), p AS (
+        |  SELECT doc_id, unnest(fps) AS fp FROM f
+        |), banded AS (
+        |  SELECT fp FROM p GROUP BY fp HAVING count(*) BETWEEN 2 AND 20
+        |), pp AS (
+        |  SELECT doc_id, fp FROM p WHERE fp IN (SELECT fp FROM banded)
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM pp a JOIN pp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 8
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_cdc_chunks" ->
       """WITH d AS (

@@ -554,6 +554,37 @@ class OperatorsSpec extends SparkSuite {
       "fixed windows lose alignment under the same edit")
   }
 
+  test("winnowFingerprints: match guarantee, density, edit robustness") {
+    def fpsOf(s: String): Seq[Long] =
+      spark.range(1).select(Kernels.winnowFingerprintsCol(lit(s), 8, 4).as("f"))
+        .head().getSeq[Long](0)
+    val shared = "UNCOMMON SHARED RUN OF TEXT" // 27 chars >> k + w - 1 = 11
+    val a = "left context alpha " + shared + " tail one"
+    val b = "other beginning material " + shared + " different end"
+    // the winnowing guarantee: any common substring of length >= k + w - 1
+    // forces at least one shared fingerprint
+    assert(fpsOf(a).toSet.intersect(fpsOf(b).toSet).nonEmpty)
+    // sorted distinct output, and density: one fp selected per window start
+    // means at least (grams - w + 1) / w distinct values cannot hold in
+    // general (duplicates collapse), but coverage can't be empty and the
+    // list is strictly increasing
+    val f = fpsOf(a)
+    assert(f == f.distinct.sorted && f.nonEmpty)
+    // prefix edit: fingerprints are content-local window minima, so a
+    // shifted copy keeps most of them (the CDC argument at gram level)
+    val base = Seq.tabulate(60)(i => s"w${i * 7919 % 997}").mkString(" ")
+    val fb = fpsOf(base).toSet
+    val fs = fpsOf("PREFIX EDIT " + base).toSet
+    assert(fb.intersect(fs).size.toDouble >= fb.size * 0.8,
+      s"shifted copy kept ${fb.intersect(fs).size}/${fb.size} fingerprints")
+    // below one gram: nothing to fingerprint
+    assert(fpsOf("short").isEmpty)
+    // operator-level: the length filter drops sub-window docs entirely
+    val docs = Seq((1L, "tiny"), (2L, "long enough text here")).toDF("doc_id", "text")
+    val r = graft.operators.Dedup.winnowFingerprints(docs, "doc_id", "text")
+    assert(r.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("withIpv4Pii: octet validation, token anchoring, redaction") {
     import graft.operators.TextAnalysis
     val df = Seq(
