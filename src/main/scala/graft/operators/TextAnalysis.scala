@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.TextFns
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Document-level text analysis: token counting, quality scoring, language
@@ -874,5 +874,54 @@ object TextAnalysis {
       .groupBy(col("w"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= threshold)
+  }
+
+  /** χ²-distinctive terms per language: for each (lang, token), the 2×2
+    * contingency chi-square over DOCUMENT frequencies —
+    * a = docs in lang with token, b = lang docs without it, c = other-lang
+    * docs with it, d = the rest; χ² = N(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)).
+    * The classic feature-selection statistic (Manning/Schütze ch.5): high
+    * χ² = the token's presence is strongly associated with the language —
+    * exactly what a corpus router or contamination triage wants ranked.
+    *
+    * Exactness: all counts are exact integers; the χ² value casts each
+    * FACTOR to double before multiplying (the PSI overflow lesson — a
+    * products-of-counts long overflows at corpus scale, doubles never) and
+    * both engines evaluate the identical left-associated IEEE expression,
+    * so even the ORDER BY over χ² agrees bit-for-bit. Ubiquitous tokens
+    * (in every doc) and single-language corpora are filtered: their
+    * denominator factor is 0 and they carry no contrast anyway.
+    *
+    * Shape: one doc-distinct token explode, one (lang, token) count, one
+    * token-df count, a broadcast join on the per-language totals (bounded
+    * by #languages) and a token-keyed join for df (corpus-scale domain —
+    * deliberately NOT broadcast), then a per-lang top-k window. */
+  def chi2Terms(
+      docs: DataFrame, idCol: String, langCol: String, textCol: String,
+      topK: Int = 3): DataFrame = {
+    val dt = docs.select(col(langCol).as("lang"), col(idCol).as("did"),
+      explode(array_distinct(TextFns.tokens(col(textCol)))).as("token"))
+    val langTotals = docs.groupBy(col(langCol).as("lang")).agg(count(lit(1)).as("n_lang"))
+    val n = langTotals.collect().map(_.getLong(1)).sum // driver state: one long per language
+    val a = dt.groupBy(col("lang"), col("token")).agg(count(lit(1)).as("a"))
+    val tokDf = dt.groupBy(col("token")).agg(count(lit(1)).as("tok_df"))
+    def d(c: Column): Column = c.cast("double")
+    val adbc = d(col("a")) * d(col("dd")) - d(col("b")) * d(col("c"))
+    val scored = a
+      .join(broadcast(langTotals), "lang")
+      .join(tokDf, "token")
+      .withColumn("b", col("n_lang") - col("a"))
+      .withColumn("c", col("tok_df") - col("a"))
+      .withColumn("dd", lit(n) - col("n_lang") - col("c"))
+      .filter(col("c") + col("dd") > 0 && col("b") + col("dd") > 0)
+      .withColumn("chi2",
+        lit(n.toDouble) * adbc * adbc /
+          (d(col("n_lang")) * d(col("c") + col("dd")) * d(col("a") + col("c")) * d(col("b") + col("dd"))))
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("chi2").desc, col("token"))
+    scored
+      .withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= topK)
+      .select(col("lang"), col("token"), col("a").as("df_lang"), col("chi2"))
   }
 }

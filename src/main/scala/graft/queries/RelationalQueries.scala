@@ -302,6 +302,22 @@ private[graft] trait RelationalQueries extends QueryHelpers {
         .orderBy(col("user_id"), col("started"))
     }),
 
+    "q29_stream_dedup_redelivery" -> ((s, dir) => {
+      // every event delivered TWICE (two independent file streams over the
+      // same file, unioned), deduped by event_id within the watermark: the
+      // drained rows must be the ORIGINAL event set exactly — exactly-once
+      // restored from an at-least-once source — so the per-type rollup
+      // hash-matches a plain batch oracle over the raw table
+      graft.streaming.EventStream
+        .runDedupRedeliveryOverRawEvents(
+          s, s"$dir/events.parquet", s"dedup_redeliver_${System.nanoTime()}")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          (sum(cents(col("value"))).cast("double") / 100.0).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
 
     "q14_user_sessions_stream" -> ((s, dir) => {
       // STREAMING sessionization end-to-end (GroupState + event-time
@@ -484,6 +500,13 @@ private[graft] trait RelationalQueries extends QueryHelpers {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events,
         |  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // redelivery dedup restores exactly-once: the oracle is the PLAIN batch
+    // rollup — every original event counted exactly once
+    "q29_stream_dedup_redelivery" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
 
     "q9_events_json_props" ->

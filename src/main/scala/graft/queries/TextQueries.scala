@@ -140,6 +140,14 @@ private[graft] trait TextQueries extends QueryHelpers {
       TextAnalysis.topkNgrams(spread(t(s, dir, "documents")), "text", n = 3, k = 20)
     }),
 
+    "text_chi2_terms" -> ((s, dir) => {
+      // χ² feature selection: top-3 most language-associated tokens per
+      // lang over document frequencies; double χ² is IEEE-deterministic
+      // (identical left-associated factor-cast expression on both engines)
+      TextAnalysis.chi2Terms(spread(t(s, dir, "documents")), "doc_id", "lang", "text")
+        .orderBy(col("lang"), col("chi2").desc, col("token"))
+    }),
+
 
     "text_pii_redact" -> ((s, dir) => {
       TextAnalysis.withPiiRedaction(spread(t(s, dir, "documents")), "doc_id", "text")
@@ -557,6 +565,41 @@ private[graft] trait TextQueries extends QueryHelpers {
         |)
         |SELECT gram, count(*) AS doc_freq FROM g
         |GROUP BY gram ORDER BY doc_freq DESC, gram LIMIT 20""".stripMargin,
+
+    "text_chi2_terms" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, lang, token FROM (
+        |    SELECT doc_id, lang,
+        |      unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |    FROM documents)
+        |), lt AS (
+        |  SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1
+        |), tot AS (
+        |  SELECT count(*) AS n FROM documents
+        |), a AS (
+        |  SELECT lang, token, count(*) AS a FROM dt GROUP BY 1, 2
+        |), td AS (
+        |  SELECT token, count(*) AS tok_df FROM dt GROUP BY 1
+        |), s AS (
+        |  SELECT a.lang, a.token, a.a, lt.n_lang, tot.n,
+        |    lt.n_lang - a.a AS b, td.tok_df - a.a AS c,
+        |    tot.n - lt.n_lang - (td.tok_df - a.a) AS d
+        |  FROM a JOIN lt USING (lang) JOIN td USING (token) CROSS JOIN tot
+        |), c2 AS (
+        |  SELECT lang, token, CAST(a AS BIGINT) AS df_lang,
+        |    CAST(n AS DOUBLE)
+        |      * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE) - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+        |      * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE) - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+        |      / (CAST(n_lang AS DOUBLE) * CAST(c + d AS DOUBLE)
+        |         * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)) AS chi2
+        |  FROM s WHERE c + d > 0 AND b + d > 0
+        |), r AS (
+        |  SELECT lang, token, df_lang, chi2,
+        |    row_number() OVER (PARTITION BY lang ORDER BY chi2 DESC, token) AS rk
+        |  FROM c2
+        |)
+        |SELECT lang, token, df_lang, chi2 FROM r WHERE rk <= 3
+        |ORDER BY lang, chi2 DESC, token""".stripMargin,
 
 
     "text_pii_redact" ->

@@ -327,6 +327,30 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** Exactly-once under redelivery, end-to-end: the SAME event file is read
+    * by TWO independent file-stream sources unioned together (every event
+    * delivered twice — the at-least-once upstream simulated structurally,
+    * not by mutating fixtures), then [[dedupStream]] on event_id drops the
+    * replays. The drained rows are the exact original event set, which is
+    * what makes this oracle-checkable: dedup keyed on a UNIQUE id keeps one
+    * of two IDENTICAL rows, so the result is arrival-order independent.
+    * Append-mode drain; per-type aggregation happens on the drained batch
+    * (chaining a streaming agg after dedup would add a second stateful
+    * operator this gate doesn't need). */
+  def runDedupRedeliveryOverRawEvents(
+      spark: SparkSession, path: String, name: String): DataFrame = {
+    val s2 = statePinnedSession(spark)
+    val doubled = rawEventsStream(s2, path).unionByName(rawEventsStream(s2, path))
+    val q = dedupStream(doubled, Seq("event_id"), "1 hour").writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s2.table(name)
+  }
+
   final case class MicroEvent(user_id: Long, ts_us: Long)
   final case class MicroSession(user_id: Long, n_events: Long, started_us: Long, ended_us: Long)
 

@@ -554,6 +554,29 @@ class OperatorsSpec extends SparkSuite {
       "fixed windows lose alignment under the same edit")
   }
 
+  test("chi2Terms: perfect association tops the ranking, independence scores zero") {
+    import graft.operators.TextAnalysis
+    // 4 docs: "uniq" appears in ALL en docs and NO de docs (perfect
+    // association); "both" appears in one doc of each lang (independence)
+    val docs = Seq(
+      (1L, "en", "uniq both filler"), (2L, "en", "uniq other words"),
+      (3L, "de", "both anders hier"), (4L, "de", "noch mehr text"))
+      .toDF("doc_id", "lang", "text")
+    val r = TextAnalysis.chi2Terms(docs, "doc_id", "lang", "text", topK = 10)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getDouble(3)).toMap
+    // perfect 2x2 association: a=2,b=0,c=0,d=2 -> chi2 = N = 4
+    assert(r(("en", "uniq")) == 4.0, r.toString)
+    // independent token: a=1,b=1,c=1,d=1 -> ad-bc = 0 -> chi2 = 0
+    assert(r(("en", "both")) == 0.0 && r(("de", "both")) == 0.0, r.toString)
+    // only observed (lang, token) pairs are candidates: "uniq" never occurs
+    // in a de doc, so it is not a "de-distinctive term" row at all
+    assert(!r.contains(("de", "uniq")), r.toString)
+    // and the perfectly-associated token tops its language's ranking
+    val top = TextAnalysis.chi2Terms(docs, "doc_id", "lang", "text", topK = 1)
+      .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(top("en") == "uniq", top.toString)
+  }
+
   test("winnowFingerprints: match guarantee, density, edit robustness") {
     def fpsOf(s: String): Seq[Long] =
       spark.range(1).select(Kernels.winnowFingerprintsCol(lit(s), 8, 4).as("f"))
