@@ -496,4 +496,207 @@ object Multimodal {
       })
     spark.createDataFrame(rdd, WavDecodedSchema)
   }
+
+  // --- real codec: PNG (8-bit RGB, non-interlaced) --------------------------
+
+  private val PngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10)
+
+  private def putBe32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v >>> 24).toByte; b(off + 1) = (v >>> 16).toByte
+    b(off + 2) = (v >>> 8).toByte; b(off + 3) = v.toByte
+  }
+  private def getBe32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private def pngChunk(out: java.io.ByteArrayOutputStream, typ: String, data: Array[Byte]): Unit = {
+    val len = new Array[Byte](4); putBe32(len, 0, data.length); out.write(len)
+    val tb = typ.getBytes("US-ASCII"); out.write(tb); out.write(data)
+    val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(data)
+    val cb = new Array[Byte](4); putBe32(cb, 0, crc.getValue.toInt); out.write(cb)
+  }
+
+  @inline private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** REAL PNG encoder (public spec RFC 2083): 8-bit truecolor RGB,
+    * non-interlaced, zlib-deflated scanlines with per-row filters. Rows
+    * deliberately CYCLE through all five filter types (None/Sub/Up/Average/
+    * Paeth, `y % 5`) so the decoder's whole unfilter path is exercised by
+    * every fixture, and each chunk carries its correct CRC32. */
+  def pngEncode(width: Int, height: Int, pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val stride = 3 * width
+    val raw = new Array[Byte]((stride + 1) * height)
+    val cur = new Array[Int](stride) // unfiltered current row
+    val prev = new Array[Int](stride)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = pixel(x, y)
+        cur(3 * x) = r & 0xff; cur(3 * x + 1) = g & 0xff; cur(3 * x + 2) = b & 0xff
+        x += 1
+      }
+      val ft = y % 5
+      raw(y * (stride + 1)) = ft.toByte
+      var i = 0
+      while (i < stride) {
+        val a = if (i >= 3) cur(i - 3) else 0
+        val b = if (y > 0) prev(i) else 0
+        val c = if (i >= 3 && y > 0) prev(i - 3) else 0
+        val f = ft match {
+          case 0 => cur(i)
+          case 1 => cur(i) - a
+          case 2 => cur(i) - b
+          case 3 => cur(i) - (a + b) / 2
+          case _ => cur(i) - paeth(a, b, c)
+        }
+        raw(y * (stride + 1) + 1 + i) = f.toByte
+        i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) comp.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig)
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, width); putBe32(ihdr, 4, height)
+    ihdr(8) = 8; ihdr(9) = 2; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    pngChunk(out, "IHDR", ihdr)
+    pngChunk(out, "IDAT", comp.toByteArray)
+    pngChunk(out, "IEND", Array.empty)
+    out.toByteArray
+  }
+
+  final case class PngStats(width: Int, height: Int, channels: Int,
+      sumR: Long, sumG: Long, sumB: Long, wsumR: Long)
+
+  /** REAL PNG decoder: signature + chunk walk with CRC32 VERIFICATION,
+    * IHDR parse (8-bit RGB non-interlaced only — anything else fails
+    * loudly, the honest-codec contract), multi-IDAT zlib inflate, and full
+    * scanline unfiltering (all five filter types incl. the Paeth
+    * predictor). Same stats as the BMP decoder so any defect in filter
+    * reversal, chunk walking or channel order breaks the formula oracle. */
+  def pngDecode(bytes: Array[Byte]): PngStats = {
+    require(bytes.length > 8 && (0 until 8).forall(i => bytes(i) == PngSig(i)),
+      "not a PNG: bad signature")
+    var off = 8
+    var width = -1; var height = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done) {
+      require(off + 8 <= bytes.length, "truncated PNG chunk header")
+      val len = getBe32(bytes, off)
+      val typ = new String(bytes, off + 4, 4, "US-ASCII")
+      require(off + 12 + len <= bytes.length, s"truncated PNG chunk $typ")
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, off + 4, 4 + len)
+      require(crc.getValue.toInt == getBe32(bytes, off + 8 + len),
+        s"PNG chunk $typ CRC mismatch")
+      typ match {
+        case "IHDR" =>
+          width = getBe32(bytes, off + 8); height = getBe32(bytes, off + 12)
+          val bitDepth = bytes(off + 16) & 0xff
+          val colorType = bytes(off + 17) & 0xff
+          val interlace = bytes(off + 20) & 0xff
+          require(bitDepth == 8 && colorType == 2 && interlace == 0,
+            s"unsupported PNG variant (bitDepth=$bitDepth colorType=$colorType " +
+              s"interlace=$interlace); this decoder covers 8-bit RGB non-interlaced")
+        case "IDAT" => idat.write(bytes, off + 8, len)
+        case "IEND" => done = true
+        case _ => // ancillary chunks skipped
+      }
+      off += 12 + len
+    }
+    require(width > 0 && height > 0, "PNG missing IHDR")
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val stride = 3 * width
+    val raw = new Array[Byte]((stride + 1) * height)
+    var filled = 0
+    while (filled < raw.length && !inflater.finished()) {
+      val n = inflater.inflate(raw, filled, raw.length - filled)
+      require(n > 0 || inflater.finished(), "PNG IDAT underflow")
+      filled += n
+    }
+    inflater.end()
+    require(filled == raw.length, s"PNG IDAT decoded $filled of ${raw.length} bytes")
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var wsumR = 0L
+    val cur = new Array[Int](stride)
+    val prev = new Array[Int](stride)
+    var y = 0
+    while (y < height) {
+      val ft = raw(y * (stride + 1)) & 0xff
+      require(ft <= 4, s"bad PNG filter type $ft")
+      var i = 0
+      while (i < stride) {
+        val f = raw(y * (stride + 1) + 1 + i) & 0xff
+        val a = if (i >= 3) cur(i - 3) else 0
+        val b = if (y > 0) prev(i) else 0
+        val c = if (i >= 3 && y > 0) prev(i - 3) else 0
+        cur(i) = (ft match {
+          case 0 => f
+          case 1 => f + a
+          case 2 => f + b
+          case 3 => f + (a + b) / 2
+          case _ => f + paeth(a, b, c)
+        }) & 0xff
+        i += 1
+      }
+      var x = 0
+      while (x < width) {
+        val r = cur(3 * x); val g = cur(3 * x + 1); val b = cur(3 * x + 2)
+        sumR += r; sumG += g; sumB += b
+        wsumR += (y + 1).toLong * r
+        x += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    PngStats(width, height, 3, sumR, sumG, sumB, wsumR)
+  }
+
+  /** Deterministic PNG fixture per document (same contract as
+    * [[bmpFixtures]], different formulas so the two codecs cannot share a
+    * decode path unnoticed):
+    *   w = 8 + id % 21, h = 8 + (id·5) % 21
+    *   R = (2x + y + id) % 256, G = (x + 2y) % 256, B = (3x + y + id) % 256 */
+  def pngFixtures(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col(idCol).cast("long")).rdd.mapPartitions(_.map { row =>
+      val id = row.getLong(0)
+      val w = (8 + id % 21).toInt
+      val h = (8 + (id * 5) % 21).toInt
+      val payload = pngEncode(w, h, (x, y) => (
+        ((2 * x + y + id) % 256).toInt,
+        ((x + 2 * y) % 256).toInt,
+        ((3 * x + y + id) % 256).toInt))
+      Row(id, payload)
+    })
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false))))
+  }
+
+  /** Partition-batched REAL PNG decode — the third real codec beside BMP
+    * and WAV; shares [[BmpDecodedSchema]] (same stat set). */
+  def decodePng(withPayload: DataFrame, idCol: String): DataFrame = {
+    val spark = withPayload.sparkSession
+    val rdd = withPayload.select(col(idCol).cast("long"), col("payload")).rdd
+      .mapPartitions(_.map { r =>
+        val s = pngDecode(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), s.width.toLong, s.height.toLong, s.channels.toLong,
+          s.sumR, s.sumG, s.sumB, s.wsumR)
+      })
+    spark.createDataFrame(rdd, BmpDecodedSchema)
+  }
 }

@@ -64,6 +64,16 @@ private[graft] trait MultimodalQueries extends QueryHelpers {
         .orderBy(col("doc_id"))
     }),
 
+    "mm_decode_png" -> ((s, dir) => {
+      // third REAL codec: full PNG path — chunk walk with CRC32 checks,
+      // multi-IDAT zlib inflate, all five scanline filters (fixtures cycle
+      // y % 5 through None/Sub/Up/Average/Paeth) — against the same
+      // formula-vs-bytes oracle scheme as BMP
+      Multimodal.decodePng(
+        Multimodal.pngFixtures(spread(t(s, dir, "documents")), "doc_id"), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
 
     "mm_resize_bmp" -> ((s, dir) => {
       // REAL pixel resampling: nearest-neighbor fit-within-16 downscale of
@@ -156,6 +166,24 @@ private[graft] trait MultimodalQueries extends QueryHelpers {
         |  CAST(sum((2*x + y) % 256) AS BIGINT) AS sum_g,
         |  CAST(sum((x + y + doc_id) % 256) AS BIGINT) AS sum_b,
         |  CAST(sum((y + 1) * ((x + 3*y + doc_id) % 256)) AS BIGINT) AS wsum_r
+        |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+
+    "mm_decode_png" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(8 + doc_id % 21 AS BIGINT) AS width,
+        |    CAST(8 + (doc_id * 5) % 21 AS BIGINT) AS height
+        |  FROM documents
+        |), px AS (
+        |  SELECT d.doc_id, d.width, d.height, xs.range AS x, ys.range AS y
+        |  FROM d CROSS JOIN range(0, 29) xs CROSS JOIN range(0, 29) ys
+        |  WHERE xs.range < d.width AND ys.range < d.height
+        |)
+        |SELECT doc_id, width, height, CAST(3 AS BIGINT) AS channels,
+        |  CAST(sum((2*x + y + doc_id) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((x + 2*y) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((3*x + y + doc_id) % 256) AS BIGINT) AS sum_b,
+        |  CAST(sum((y + 1) * ((2*x + y + doc_id) % 256)) AS BIGINT) AS wsum_r
         |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
 
 

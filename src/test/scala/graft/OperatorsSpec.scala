@@ -463,6 +463,42 @@ class OperatorsSpec extends SparkSuite {
     assert(s.wsumR == 96L, s.toString)
   }
 
+  test("pngDecode: cross-validated against the JDK's independent ImageIO codec") {
+    import graft.operators.Multimodal
+    // 1. a PNG written by javax.imageio (its own encoder, its own filter
+    //    heuristics, zlib settings, chunk layout) must decode to the exact
+    //    pixel stats — proves the decoder handles real-world PNGs, not just
+    //    our own encoder's output
+    val w = 23; val h = 17
+    def px(x: Int, y: Int): (Int, Int, Int) = ((5 * x + y) % 256, (x * y) % 256, (x + 9 * y) % 256)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(x, y)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val s = Multimodal.pngDecode(bos.toByteArray)
+    val expR = (for (y <- 0 until h; x <- 0 until w) yield px(x, y)._1.toLong).sum
+    val expW = (for (y <- 0 until h; x <- 0 until w) yield (y + 1).toLong * px(x, y)._1).sum
+    assert(s.width == w && s.height == h && s.sumR == expR && s.wsumR == expW, s.toString)
+    // 2. the reverse direction: OUR encoder's output (cycling all 5 filter
+    //    types) read back by ImageIO gives identical pixels
+    val mine = Multimodal.pngEncode(w, h, px)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(mine))
+    assert(back.getWidth == w && back.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(x, y)
+      assert((back.getRGB(x, y) & 0xffffff) == ((r << 16) | (g << 8) | b),
+        s"pixel ($x,$y) diverges")
+    }
+    // 3. corrupted chunk CRC is refused loudly
+    val broken = mine.clone()
+    broken(broken.length - 5) = (broken(broken.length - 5) ^ 0x7f).toByte
+    intercept[IllegalArgumentException](Multimodal.pngDecode(broken))
+    intercept[IllegalArgumentException](Multimodal.pngDecode("junk".getBytes("UTF-8")))
+  }
+
   test("bmpDecode: honors negative-height top-down storage and rejects junk") {
     val bottomUp = Multimodal.bmpEncode(4, 3, (x, y) => (x + 4 * y, 0, 0))
     val s1 = Multimodal.bmpDecode(bottomUp)
