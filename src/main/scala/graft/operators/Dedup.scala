@@ -88,6 +88,40 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Asymmetric containment over the df-banded winnowing fingerprints:
+    * C(A→B) = |A∩B| / |A| — the quote-inclusion detector Jaccard misses
+    * (a short doc fully embedded in a long one has high containment but
+    * low Jaccard). Both numerator AND denominator run over the banded
+    * fingerprint universe (df in [2, maxDf]): boilerplate fingerprints are
+    * excluded from the measure itself, not just the join — a principled
+    * "informative fingerprints" definition that also keeps the self-join
+    * fanout maxDf²-bounded. Emits BOTH directions of every candidate pair
+    * with C >= minContainment; the division is one exact long/long IEEE
+    * op. */
+  def winnowContainment(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, maxDf: Long = 20L,
+      minContainment: Double = 0.5): DataFrame = {
+    val p = winnowFingerprints(docs, idCol, textCol, k, w)
+      .select(col(idCol), explode(col("fps")).as("fp"))
+    val banded = p.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("fp"))
+    val pp = p.join(banded, "fp")
+    val sizes = pp.groupBy(col(idCol)).agg(count(lit(1)).as("n_banded"))
+    val a = pp.select(col("fp"), col(idCol).as("doc_a"))
+    val b = pp.select(col("fp"), col(idCol).as("doc_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.withColumnRenamed(idCol, "doc_a"), "doc_a")
+      .withColumn("containment", col("n_shared").cast("double") / col("n_banded").cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_banded"), col("containment"))
+  }
+
   /** Exact dedup by content hash: one row per distinct text, keeping the
     * smallest doc id as canonical. Single shuffle on md5(text). */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -72,4 +72,41 @@ object Features {
         row.getString(i * 5 + 3), row.getString(i * 5 + 4))
     }.toDF("column", "n_rows", "n_null", "n_distinct", "min_s", "max_s")
   }
+
+  /** Hashing-trick feature vectors (Weinberger et al., ICML'09 — the
+    * vocabulary-free featurizer): every token occurrence lands in bucket
+    * `h(token) mod numFeatures` with a ±1 sign from an independent hash
+    * bit, so collisions cancel in expectation and NO vocabulary is ever
+    * built or broadcast — the property that makes the hashing trick the
+    * only featurizer whose driver state is zero at any corpus size.
+    * Returns per-doc signature stats of the sparse vector (nonzeros, L1,
+    * self-dot): integer-exact, so the whole featurization is oracle-
+    * checkable. Shape: token explode -> one (doc, bucket) sum (map-side
+    * combined) -> one per-doc rollup; both aggregations share the doc key
+    * so AQE coalesces to two stages of one shuffle lineage. */
+  def hashingTrick(
+      docs: DataFrame, idCol: String, textCol: String,
+      numFeatures: Int = 64): DataFrame = {
+    import graft.functions.TextFns
+    val sign = when(TextFns.md5Long(col("token"), 1) % 2 === 0, lit(1L)).otherwise(lit(-1L))
+    docs
+      .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), pmod(TextFns.md5Long(col("token"), 0), lit(numFeatures)).as("bucket"))
+      .agg(sum(sign).as("v"))
+      .filter(col("v") =!= 0)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_nonzero"),
+        sum(abs(col("v"))).as("l1"),
+        sum(col("v") * col("v")).as("dot_self"))
+  }
+
+  /** k-anonymity audit over quasi-identifier columns: every combination
+    * held by fewer than `k` rows — the suppression list a privacy review
+    * needs before release. One aggregation; output bounded by the QI
+    * domain, not the corpus. */
+  def kAnonymityViolations(df: DataFrame, quasiIdCols: Seq[String], k: Long): DataFrame =
+    df.groupBy(quasiIdCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") < k)
 }

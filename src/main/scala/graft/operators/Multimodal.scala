@@ -587,6 +587,25 @@ object Multimodal {
     * predictor). Same stats as the BMP decoder so any defect in filter
     * reversal, chunk walking or channel order breaks the formula oracle. */
   def pngDecode(bytes: Array[Byte]): PngStats = {
+    val (width, height, px) = pngPixels(bytes)
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var wsumR = 0L
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val o = 3 * (y * width + x)
+        val r = px(o)
+        sumR += r; sumG += px(o + 1); sumB += px(o + 2)
+        wsumR += (y + 1).toLong * r
+        x += 1
+      }
+      y += 1
+    }
+    PngStats(width, height, 3, sumR, sumG, sumB, wsumR)
+  }
+
+  /** Decode to a top-down packed RGB int array (full unfilter path). */
+  private def pngPixels(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
     require(bytes.length > 8 && (0 until 8).forall(i => bytes(i) == PngSig(i)),
       "not a PNG: bad signature")
     var off = 8
@@ -630,7 +649,7 @@ object Multimodal {
     }
     inflater.end()
     require(filled == raw.length, s"PNG IDAT decoded $filled of ${raw.length} bytes")
-    var sumR = 0L; var sumG = 0L; var sumB = 0L; var wsumR = 0L
+    val px = new Array[Int](3 * width * height)
     val cur = new Array[Int](stride)
     val prev = new Array[Int](stride)
     var y = 0
@@ -652,17 +671,51 @@ object Multimodal {
         }) & 0xff
         i += 1
       }
-      var x = 0
-      while (x < width) {
-        val r = cur(3 * x); val g = cur(3 * x + 1); val b = cur(3 * x + 2)
-        sumR += r; sumG += g; sumB += b
-        wsumR += (y + 1).toLong * r
-        x += 1
-      }
+      System.arraycopy(cur, 0, px, y * stride, stride)
       System.arraycopy(cur, 0, prev, 0, stride)
       y += 1
     }
-    PngStats(width, height, 3, sumR, sumG, sumB, wsumR)
+    (width, height, px)
+  }
+
+  /** Nearest-neighbor fit-within downscale straight off the decoded PNG —
+    * the same truncating-integer source mapping as [[bmpResample]]
+    * (`sx = x·srcW div outW`), so the oracle re-derives the sampled
+    * coordinates exactly. */
+  def pngResample(bytes: Array[Byte], maxDim: Int): BmpResampleStats = {
+    require(maxDim > 0)
+    val (srcW, srcH, px) = pngPixels(bytes)
+    val m = math.max(srcW, srcH)
+    val outW = if (m <= maxDim) srcW else srcW * maxDim / m
+    val outH = if (m <= maxDim) srcH else srcH * maxDim / m
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var wsumR = 0L
+    var y = 0
+    while (y < outH) {
+      val sy = y * srcH / outH
+      var x = 0
+      while (x < outW) {
+        val sx = x * srcW / outW
+        val o = 3 * (sy * srcW + sx)
+        val r = px(o)
+        sumR += r; sumG += px(o + 1); sumB += px(o + 2)
+        wsumR += (y + 1).toLong * r
+        x += 1
+      }
+      y += 1
+    }
+    BmpResampleStats(srcW, srcH, outW, outH, sumR, sumG, sumB, wsumR)
+  }
+
+  /** Partition-batched PNG resample — the PNG twin of [[resampleBmp]]. */
+  def resamplePng(withPayload: DataFrame, idCol: String, maxDim: Int = 16): DataFrame = {
+    val spark = withPayload.sparkSession
+    val rdd = withPayload.select(col(idCol).cast("long"), col("payload")).rdd
+      .mapPartitions(_.map { r =>
+        val s = pngResample(r.getAs[Array[Byte]](1), maxDim)
+        Row(r.getLong(0), s.srcW.toLong, s.srcH.toLong, s.outW.toLong, s.outH.toLong,
+          s.sumR, s.sumG, s.sumB, s.wsumR)
+      })
+    spark.createDataFrame(rdd, BmpResampledSchema)
   }
 
   /** Deterministic PNG fixture per document (same contract as

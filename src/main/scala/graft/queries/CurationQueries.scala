@@ -27,6 +27,22 @@ private[graft] trait CurationQueries extends QueryHelpers {
         .orderBy(col("bin"))
     }),
 
+    "feature_hashing" -> ((s, dir) => {
+      // hashing-trick featurization (vocabulary-free, zero driver state):
+      // per-doc sparse-vector stats over 64 signed buckets — integer-exact
+      graft.operators.Features.hashingTrick(
+        spread(t(s, dir, "documents")), "doc_id", "text", numFeatures = 64)
+        .orderBy(col("doc_id"))
+    }),
+
+    "curation_k_anonymity" -> ((s, dir) => {
+      // privacy audit: (lang, source) combinations held by fewer than k=5
+      // docs — the suppression list before a release
+      graft.operators.Features.kAnonymityViolations(
+        t(s, dir, "documents"), Seq("lang", "source"), k = 5L)
+        .orderBy(col("lang"), col("source"))
+    }),
+
 
     "profile_documents" -> ((s, dir) => {
       // one-pass table profiler (ANALYZE TABLE for the corpus): per-column
@@ -451,6 +467,29 @@ private[graft] trait CurationQueries extends QueryHelpers {
         |WHERE s.score_q9 >= th.lo_q9 AND s.score_q9 <= th.hi_q9
         |ORDER BY s.doc_id""".stripMargin,
 
+
+    "feature_hashing" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('0:' || token), 1, 15))::BIGINT % 64 AS bucket,
+        |    CASE WHEN ('0x' || substr(md5('0:' || token), 16, 15))::BIGINT % 2 = 0
+        |         THEN 1 ELSE -1 END AS sgn
+        |  FROM tok
+        |), v AS (
+        |  SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS v
+        |  FROM h GROUP BY 1, 2 HAVING sum(sgn) <> 0
+        |)
+        |SELECT doc_id, count(*) AS n_nonzero, CAST(sum(abs(v)) AS BIGINT) AS l1,
+        |  CAST(sum(v * v) AS BIGINT) AS dot_self
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "curation_k_anonymity" ->
+      """SELECT lang, source, count(*) AS n_rows
+        |FROM documents GROUP BY 1, 2 HAVING count(*) < 5
+        |ORDER BY lang, source""".stripMargin,
 
     "feature_quantile_bins" ->
       """WITH t AS (

@@ -226,6 +226,13 @@ private[graft] trait DedupQueries extends QueryHelpers {
       // blowup, and they pair everything with everything anyway)
       Dedup.winnowPairs(spread(t(s, dir, "documents")), "doc_id", "text")
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "dedup_winnow_containment" -> ((s, dir) => {
+      // asymmetric quote-inclusion: |A∩B| / |A| over banded fingerprints —
+      // high when A is embedded in B even where Jaccard is low
+      Dedup.winnowContainment(spread(t(s, dir, "documents")), "doc_id", "text")
+        .orderBy(col("doc_a"), col("doc_b"))
     }))
 
   protected def dedupOracles: Map[String, String] = Map(
@@ -273,6 +280,37 @@ private[graft] trait DedupQueries extends QueryHelpers {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
         |FROM pp a JOIN pp b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_winnow_containment" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS L FROM documents WHERE length(text) >= 11
+        |), g AS (
+        |  SELECT doc_id,
+        |    [('0x' || substr(md5('0:' || substr(text, i, 8)), 1, 15))::BIGINT
+        |     FOR i IN range(1, greatest(L - 8 + 2, 1))] AS hs
+        |  FROM d
+        |), f AS (
+        |  SELECT doc_id, list_sort(list_distinct(
+        |    [list_min(hs[s:least(s + 3, len(hs))])
+        |     FOR s IN range(1, greatest(len(hs) - 4 + 2, 2))])) AS fps
+        |  FROM g
+        |), p AS (
+        |  SELECT doc_id, unnest(fps) AS fp FROM f
+        |), banded AS (
+        |  SELECT fp FROM p GROUP BY fp HAVING count(*) BETWEEN 2 AND 20
+        |), pp AS (
+        |  SELECT doc_id, fp FROM p WHERE fp IN (SELECT fp FROM banded)
+        |), sz AS (
+        |  SELECT doc_id, count(*) AS n_banded FROM pp GROUP BY 1
+        |), pr AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM pp a JOIN pp b ON a.fp = b.fp AND a.doc_id <> b.doc_id GROUP BY 1, 2
+        |)
+        |SELECT pr.doc_a, pr.doc_b, pr.n_shared, CAST(sz.n_banded AS BIGINT) AS n_banded,
+        |  CAST(pr.n_shared AS DOUBLE) / CAST(sz.n_banded AS DOUBLE) AS containment
+        |FROM pr JOIN sz ON sz.doc_id = pr.doc_a
+        |WHERE CAST(pr.n_shared AS DOUBLE) / CAST(sz.n_banded AS DOUBLE) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_cdc_chunks" ->

@@ -74,6 +74,15 @@ private[graft] trait MultimodalQueries extends QueryHelpers {
         .orderBy(col("doc_id"))
     }),
 
+    "mm_resize_png" -> ((s, dir) => {
+      // decode + nearest-neighbor fit-within downscale in one pass over the
+      // PNG bytes; sampled coordinates re-derived by the oracle via the
+      // same truncating-integer mapping
+      Multimodal.resamplePng(
+        Multimodal.pngFixtures(spread(t(s, dir, "documents")), "doc_id"), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
 
     "mm_resize_bmp" -> ((s, dir) => {
       // REAL pixel resampling: nearest-neighbor fit-within-16 downscale of
@@ -185,6 +194,32 @@ private[graft] trait MultimodalQueries extends QueryHelpers {
         |  CAST(sum((3*x + y + doc_id) % 256) AS BIGINT) AS sum_b,
         |  CAST(sum((y + 1) * ((2*x + y + doc_id) % 256)) AS BIGINT) AS wsum_r
         |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+
+    "mm_resize_png" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(8 + doc_id % 21 AS BIGINT) AS src_w,
+        |    CAST(8 + (doc_id * 5) % 21 AS BIGINT) AS src_h
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, src_w, src_h,
+        |    CASE WHEN greatest(src_w, src_h) <= 16 THEN src_w
+        |         ELSE src_w * 16 // greatest(src_w, src_h) END AS out_w,
+        |    CASE WHEN greatest(src_w, src_h) <= 16 THEN src_h
+        |         ELSE src_h * 16 // greatest(src_w, src_h) END AS out_h
+        |  FROM d
+        |), px AS (
+        |  SELECT g.doc_id, g.src_w, g.src_h, g.out_w, g.out_h, ys.range AS y,
+        |    (xs.range * g.src_w // g.out_w) AS sx, (ys.range * g.src_h // g.out_h) AS sy
+        |  FROM g CROSS JOIN range(0, 16) xs CROSS JOIN range(0, 16) ys
+        |  WHERE xs.range < g.out_w AND ys.range < g.out_h
+        |)
+        |SELECT doc_id, src_w, src_h, out_w, out_h,
+        |  CAST(sum((2*sx + sy + doc_id) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((sx + 2*sy) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((3*sx + sy + doc_id) % 256) AS BIGINT) AS sum_b,
+        |  CAST(sum((y + 1) * ((2*sx + sy + doc_id) % 256)) AS BIGINT) AS wsum_r
+        |FROM px GROUP BY 1, 2, 3, 4, 5 ORDER BY doc_id""".stripMargin,
 
 
     "mm_resize_bmp" ->

@@ -590,6 +590,53 @@ class OperatorsSpec extends SparkSuite {
       "fixed windows lose alignment under the same edit")
   }
 
+  test("hashingTrick: order-invariant, occurrence-linear, vocabulary-free") {
+    import graft.operators.Features
+    def stats(text: String): (Long, Long, Long) = {
+      val r = Features.hashingTrick(
+        Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text").head()
+      (r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // token ORDER cannot matter (bucket sums are commutative)
+    assert(stats("alpha beta gamma delta") == stats("delta gamma beta alpha"))
+    // a repeated token doubles its bucket value: same nonzeros, 2x L1, 4x dot
+    val (n1, l1, d1) = stats("zeta")
+    val (n2, l2, d2) = stats("zeta zeta")
+    assert(n1 == 1L && n2 == 1L && l2 == 2 * l1 && d2 == 4 * d1)
+    // L1 is bounded by the token count (collisions only cancel)
+    val (_, l4, _) = stats("one two three four")
+    assert(l4 <= 4)
+  }
+
+  test("kAnonymityViolations: exactly the under-k groups, nothing else") {
+    import graft.operators.Features
+    val df = Seq(
+      ("en", "web"), ("en", "web"), ("en", "web"),
+      ("en", "book"), ("de", "web"), ("de", "web"))
+      .toDF("lang", "source")
+    val r = Features.kAnonymityViolations(df, Seq("lang", "source"), k = 3L)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    assert(r == Map(("en", "book") -> 1L, ("de", "web") -> 2L), r.toString)
+  }
+
+  test("winnowContainment: a planted quote scores 1.0 into its host, not back") {
+    import graft.operators.Dedup
+    val quote = "the very specific uncommon quoted passage text"
+    val ctx = "surrounding host material that also appears elsewhere in corpus"
+    val docs = Seq(
+      (1L, quote),                    // the quote alone
+      (2L, ctx + " " + quote),        // host embedding the quote
+      (3L, ctx + " unrelated tail"),  // keeps host context at df >= 2
+      (4L, "completely different filler content here"))
+      .toDF("doc_id", "text")
+    val r = Dedup.winnowContainment(docs, "doc_id", "text", minContainment = 0.0)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(4)).toMap
+    // every banded fingerprint of the quote occurs in the host
+    assert(r((1L, 2L)) == 1.0, r.toString)
+    // the host holds banded fingerprints (shared with doc 3) the quote lacks
+    assert(r((2L, 1L)) < 1.0, r.toString)
+  }
+
   test("chi2Terms: perfect association tops the ranking, independence scores zero") {
     import graft.operators.TextAnalysis
     // 4 docs: "uniq" appears in ALL en docs and NO de docs (perfect
