@@ -289,4 +289,27 @@ object Behavior {
       .agg(count(lit(1)).as("n_users"))
       .withColumn("day_offset", col("day_offset").cast("long"))
   }
+
+  /** Median absolute deviation per group — the robust dispersion pair to
+    * [[valueOutliers]]' mean/variance z-test (one wild value shifts a mean
+    * arbitrarily; it moves a median by at most one rank). Cross-engine
+    * exactness: values go through fixed-point cents, and the interpolated
+    * median is carried DOUBLED (`median_x2` — 2·median of integers is
+    * itself an integer) so the deviation stream stays pure BIGINT; both
+    * `percentile` calls then run on BIGINT inputs, where Spark percentile
+    * == DuckDB quantile_cont bit-for-bit (the r5 precedent — the
+    * double-input interpolation order is NOT guaranteed, so no double ever
+    * enters a quantile here). Two grouped aggregates + one broadcast-sized
+    * join on the group key. */
+  def valueMad(events: DataFrame, typeCol: String, valueCol: String): DataFrame = {
+    val cents = floor(col(valueCol) * 100 + lit(0.5)).cast("long")
+    val med = events
+      .groupBy(col(typeCol))
+      .agg((expr(s"percentile(CAST(floor($valueCol * 100 + 0.5) AS BIGINT) * 2, 0.5)"))
+        .cast("long").as("median_x2"))
+    events.select(col(typeCol), cents.as("cents"))
+      .join(broadcast(med), typeCol)
+      .groupBy(col(typeCol), col("median_x2"))
+      .agg(expr("percentile(abs(cents * 2 - median_x2), 0.5)").as("mad_x2"))
+  }
 }

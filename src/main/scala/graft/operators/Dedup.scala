@@ -88,6 +88,24 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** The two-stage fingerprint-block → exact-verify pipeline: candidates
+    * from [[winnowPairs]] (cheap, maxDf²-bounded), then the EXACT edit
+    * distance computed only on the surviving pairs — verification cost is
+    * bounded by the candidate count, never the corpus, which is the only
+    * shape under which full Levenshtein (O(len²) per pair) is admissible
+    * at scale. Both engines implement classic Levenshtein over exact
+    * integers, so the verified distances hash-match. */
+  def winnowVerifiedPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, maxDf: Long = 20L, minShared: Long = 8L): DataFrame = {
+    val pairs = winnowPairs(docs, idCol, textCol, k, w, maxDf, minShared)
+    val ta = docs.select(col(idCol).as("doc_a"), col(textCol).as("text_a"))
+    val tb = docs.select(col(idCol).as("doc_b"), col(textCol).as("text_b"))
+    pairs.join(ta, "doc_a").join(tb, "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"))
+  }
+
   /** Asymmetric containment over the df-banded winnowing fingerprints:
     * C(A→B) = |A∩B| / |A| — the quote-inclusion detector Jaccard misses
     * (a short doc fully embedded in a long one has high containment but

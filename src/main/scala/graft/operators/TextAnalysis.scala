@@ -876,6 +876,28 @@ object TextAnalysis {
       .filter(col("n") >= threshold)
   }
 
+  /** Inverted-index postings: per token, document frequency plus the head
+    * of the (doc-id-sorted) posting list — the IR building block behind
+    * every keyword-retrieval path. The head cap rides a row_number window
+    * (WindowGroupLimit pushes the top-k into the sort — the per-source
+    * quota pattern), so no full posting list is ever collected; df comes
+    * from a separate full count so the cap never understates frequency. */
+  def invertedPostings(
+      docs: DataFrame, idCol: String, textCol: String, cap: Int = 10): DataFrame = {
+    val dt = docs.select(col(idCol).as("did"),
+      explode(array_distinct(TextFns.tokens(col(textCol)))).as("token"))
+    val dfc = dt.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val rn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token")).orderBy(col("did"))
+    val tops = dt
+      .withColumn("rn", row_number().over(rn))
+      .filter(col("rn") <= cap)
+      .groupBy(col("token"))
+      .agg(expr("array_join(transform(sort_array(collect_list(did)), x -> CAST(x AS STRING)), ',')")
+        .as("postings_head"))
+    dfc.join(tops, "token")
+  }
+
   /** χ²-distinctive terms per language: for each (lang, token), the 2×2
     * contingency chi-square over DOCUMENT frequencies —
     * a = docs in lang with token, b = lang docs without it, c = other-lang

@@ -233,6 +233,14 @@ private[graft] trait DedupQueries extends QueryHelpers {
       // high when A is embedded in B even where Jaccard is low
       Dedup.winnowContainment(spread(t(s, dir, "documents")), "doc_id", "text")
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "dedup_winnow_verified" -> ((s, dir) => {
+      // the block→verify pipeline: winnow candidates, then EXACT edit
+      // distance on the survivors only (O(len²) admissible because the
+      // candidate set, not the corpus, bounds it)
+      Dedup.winnowVerifiedPairs(spread(t(s, dir, "documents")), "doc_id", "text")
+        .orderBy(col("doc_a"), col("doc_b"))
     }))
 
   protected def dedupOracles: Map[String, String] = Map(
@@ -280,6 +288,37 @@ private[graft] trait DedupQueries extends QueryHelpers {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
         |FROM pp a JOIN pp b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_winnow_verified" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS L FROM documents WHERE length(text) >= 11
+        |), g AS (
+        |  SELECT doc_id,
+        |    [('0x' || substr(md5('0:' || substr(text, i, 8)), 1, 15))::BIGINT
+        |     FOR i IN range(1, greatest(L - 8 + 2, 1))] AS hs
+        |  FROM d
+        |), f AS (
+        |  SELECT doc_id, list_sort(list_distinct(
+        |    [list_min(hs[s:least(s + 3, len(hs))])
+        |     FOR s IN range(1, greatest(len(hs) - 4 + 2, 2))])) AS fps
+        |  FROM g
+        |), p AS (
+        |  SELECT doc_id, unnest(fps) AS fp FROM f
+        |), banded AS (
+        |  SELECT fp FROM p GROUP BY fp HAVING count(*) BETWEEN 2 AND 20
+        |), pp AS (
+        |  SELECT doc_id, fp FROM p WHERE fp IN (SELECT fp FROM banded)
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM pp a JOIN pp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 8
+        |)
+        |SELECT pairs.doc_a, pairs.doc_b, pairs.n_shared,
+        |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+        |FROM pairs
+        |JOIN d da ON da.doc_id = pairs.doc_a
+        |JOIN d db ON db.doc_id = pairs.doc_b
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_winnow_containment" ->

@@ -19,6 +19,13 @@ private[graft] trait EventsQueries extends QueryHelpers {
 
   protected def eventsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "events_value_mad" -> ((s, dir) => {
+      // robust dispersion: median + MAD per type, both carried x2 so every
+      // percentile runs on BIGINT inputs (the r5 bit-parity precedent)
+      graft.operators.Behavior.valueMad(events(s, dir), "event_type", "value")
+        .orderBy(col("event_type"))
+    }),
+
     "events_value_outliers" -> ((s, dir) => {
       // per-type value anomalies via the sqrt-free z-test ((x-mean)^2 vs
       // z^2 * variance, all integer cents / dollar^2 units)
@@ -171,6 +178,18 @@ private[graft] trait EventsQueries extends QueryHelpers {
     }))
 
   protected def eventsOracles: Map[String, String] = Map(
+
+    "events_value_mad" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(floor(value*100 + 0.5) AS BIGINT) AS cents FROM events
+        |), med AS (
+        |  SELECT event_type, CAST(quantile_cont(cents * 2, 0.5) AS BIGINT) AS median_x2
+        |  FROM e GROUP BY 1
+        |)
+        |SELECT e.event_type, med.median_x2,
+        |  quantile_cont(abs(e.cents * 2 - med.median_x2), 0.5) AS mad_x2
+        |FROM e JOIN med USING (event_type) GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
 
     "events_value_outliers" ->
       """WITH b AS (

@@ -140,6 +140,14 @@ private[graft] trait TextQueries extends QueryHelpers {
       TextAnalysis.topkNgrams(spread(t(s, dir, "documents")), "text", n = 3, k = 20)
     }),
 
+    "text_inverted_postings" -> ((s, dir) => {
+      // IR posting lists: per-token df + the 10 smallest doc ids, the head
+      // cap pushed into the sort via WindowGroupLimit (never a full
+      // collect_list of an unbounded posting list)
+      TextAnalysis.invertedPostings(spread(t(s, dir, "documents")), "doc_id", "text")
+        .orderBy(col("token"))
+    }),
+
     "text_chi2_terms" -> ((s, dir) => {
       // χ² feature selection: top-3 most language-associated tokens per
       // lang over document frequencies; double χ² is IEEE-deterministic
@@ -565,6 +573,21 @@ private[graft] trait TextQueries extends QueryHelpers {
         |)
         |SELECT gram, count(*) AS doc_freq FROM g
         |GROUP BY gram ORDER BY doc_freq DESC, gram LIMIT 20""".stripMargin,
+
+    "text_inverted_postings" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, token FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |    FROM documents)
+        |), dfc AS (
+        |  SELECT token, count(*) AS df FROM dt GROUP BY 1
+        |), tops AS (
+        |  SELECT token,
+        |    array_to_string(list(doc_id ORDER BY doc_id)[1:10], ',') AS postings_head
+        |  FROM dt GROUP BY 1
+        |)
+        |SELECT dfc.token, dfc.df, tops.postings_head
+        |FROM dfc JOIN tops USING (token) ORDER BY token""".stripMargin,
 
     "text_chi2_terms" ->
       """WITH dt AS (

@@ -590,6 +590,45 @@ class OperatorsSpec extends SparkSuite {
       "fixed windows lose alignment under the same edit")
   }
 
+  test("valueMad: one wild outlier leaves the median/MAD unmoved") {
+    import graft.operators.Behavior
+    def mad(vals: Seq[Double]): (Long, Double) = {
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, "t", v) }
+        .toDF("id", "event_type", "value")
+      val r = Behavior.valueMad(df, "event_type", "value").head()
+      (r.getLong(1), r.getDouble(2))
+    }
+    val base = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0)
+    val (m1, d1) = mad(base)
+    // replace the max with a 6-order-of-magnitude outlier: median and MAD
+    // shift by at most one rank's worth (robustness), unlike mean/variance
+    val (m2, d2) = mad(base.dropRight(1) :+ 9999999.0)
+    assert(m1 == 800L && m2 == 800L, s"$m1 / $m2") // 2 * 400 cents
+    assert(d1 == 400.0 && d2 == 400.0, s"$d1 / $d2") // 2 * 200 cents
+  }
+
+  test("invertedPostings: df counts past the cap, head stays capped and sorted") {
+    import graft.operators.TextAnalysis
+    val docs = (1L to 15L).map(i => (16L - i, "shared uniq" + (16 - i))).toDF("doc_id", "text")
+    val r = TextAnalysis.invertedPostings(docs, "doc_id", "text", cap = 10)
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getString(2))).toMap
+    // "shared" is in all 15 docs: df = 15, head = the 10 SMALLEST ids sorted
+    assert(r("shared") == ((15L, (1 to 10).mkString(","))), r("shared").toString)
+    // a df-1 token lists exactly its one doc
+    assert(r("uniq3") == ((1L, "3")), r("uniq3").toString)
+  }
+
+  test("winnowVerifiedPairs: identical candidate texts verify at distance zero") {
+    import graft.operators.Dedup
+    val body = "a sufficiently long shared passage that fingerprints identically"
+    val docs = Seq((1L, body), (2L, body), (3L, body + " small tail change"))
+      .toDF("doc_id", "text")
+    val r = Dedup.winnowVerifiedPairs(docs, "doc_id", "text", minShared = 1L)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(3)).toMap
+    assert(r((1L, 2L)) == 0L, r.toString)
+    assert(r.get((1L, 3L)).forall(_ > 0L), r.toString)
+  }
+
   test("hashingTrick: order-invariant, occurrence-linear, vocabulary-free") {
     import graft.operators.Features
     def stats(text: String): (Long, Long, Long) = {
