@@ -177,6 +177,35 @@ object Drift {
       width: Long, buckets: Int): DataFrame =
     psi(psiBuckets(base, current, valueCol, width, buckets), buckets)
 
+  /** Two-sample χ² homogeneity test over the SAME fixed-width buckets as
+    * PSI — the classical significance complement (PSI is a practitioner
+    * index with rule-of-thumb cutoffs; χ² against a χ²(dof) distribution
+    * is the test a statistician asks for). Per-bucket computational form
+    * for a 2×k table: (a·tc − c·tb)² / (tb·tc·(a+c)), summed over
+    * non-empty buckets. Exactness: every factor cast to double BEFORE
+    * multiplying, per-bucket term floor-quantized at 1e-6 and summed as
+    * order-free integers (doubles summed across buckets would be
+    * order-dependent); the quantized sum stays under 2^63 to ~1e12 rows
+    * per side. dof = non-empty buckets − 1. */
+  def chi2Of(base: DataFrame, current: DataFrame, valueCol: String,
+      width: Long, buckets: Int): DataFrame = {
+    val bc = psiBuckets(base, current, valueCol, width, buckets)
+    val tot = bc.agg(sum(col("n_base")).as("tb"), sum(col("n_cur")).as("tc"))
+    def d(c: Column): Column = c.cast("double")
+    val num = d(col("n_base")) * d(col("tc")) - d(col("n_cur")) * d(col("tb"))
+    bc.crossJoin(broadcast(tot))
+      .filter(col("n_base") + col("n_cur") > 0 && col("tb") > 0 && col("tc") > 0)
+      .select(col("tb"), col("tc"),
+        floor(num * num / (d(col("tb")) * d(col("tc")) * d(col("n_base") + col("n_cur")))
+          * 1e6 + lit(0.5)).cast("long").as("qterm"))
+      .groupBy(col("tb"), col("tc"))
+      .agg(count(lit(1)).as("n_occupied"), sum(col("qterm")).as("chi2_scaled"))
+      .select(col("tb").as("n_base"), col("tc").as("n_cur"),
+        (col("n_occupied") - 1).as("dof"),
+        col("chi2_scaled"),
+        (col("chi2_scaled").cast("double") / 1e6).as("chi2"))
+  }
+
   /** Per-GROUP PSI — the form a stratified corpus monitor actually runs
     * ("which language/source drifted?"): one row per group. */
   def psiByGroup(

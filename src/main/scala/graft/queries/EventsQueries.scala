@@ -26,6 +26,14 @@ private[graft] trait EventsQueries extends QueryHelpers {
         .orderBy(col("event_type"))
     }),
 
+    "drift_chi2" -> ((s, dir) => {
+      // χ² homogeneity over the same re-curation and buckets as drift_psi:
+      // the significance test beside the practitioner index
+      val docs = t(s, dir, "documents")
+      val cur = docs.filter(col("n_chars") >= 150 || col("doc_id") % 3 === 0)
+      graft.operators.Drift.chi2Of(docs, cur, "n_chars", width = 50L, buckets = 12)
+    }),
+
     "events_value_outliers" -> ((s, dir) => {
       // per-type value anomalies via the sqrt-free z-test ((x-mean)^2 vs
       // z^2 * variance, all integer cents / dollar^2 units)
@@ -433,6 +441,35 @@ private[graft] trait EventsQueries extends QueryHelpers {
         |    / CAST(max(n1) * max(n2) AS DOUBLE) AS ks_d
         |FROM cum""".stripMargin,
 
+
+    "drift_chi2" ->
+      """WITH bks AS (SELECT range AS bucket FROM range(0, 12)),
+        |b AS (
+        |  SELECT greatest(least(CAST(floor(n_chars / 50) AS BIGINT), 11), 0) AS bucket,
+        |    count(*) AS n_base
+        |  FROM documents GROUP BY 1
+        |), c AS (
+        |  SELECT greatest(least(CAST(floor(n_chars / 50) AS BIGINT), 11), 0) AS bucket,
+        |    count(*) AS n_cur
+        |  FROM documents WHERE n_chars >= 150 OR doc_id % 3 = 0 GROUP BY 1
+        |), j AS (
+        |  SELECT bks.bucket, coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+        |  FROM bks LEFT JOIN b USING (bucket) LEFT JOIN c USING (bucket)
+        |), tot AS (
+        |  SELECT CAST(sum(n_base) AS BIGINT) AS tb, CAST(sum(n_cur) AS BIGINT) AS tc FROM j
+        |), terms AS (
+        |  SELECT tb, tc,
+        |    CAST(floor(
+        |      (CAST(n_base AS DOUBLE) * CAST(tc AS DOUBLE) - CAST(n_cur AS DOUBLE) * CAST(tb AS DOUBLE))
+        |      * (CAST(n_base AS DOUBLE) * CAST(tc AS DOUBLE) - CAST(n_cur AS DOUBLE) * CAST(tb AS DOUBLE))
+        |      / (CAST(tb AS DOUBLE) * CAST(tc AS DOUBLE) * CAST(n_base + n_cur AS DOUBLE))
+        |      * 1e6 + 0.5) AS BIGINT) AS qterm
+        |  FROM j, tot WHERE n_base + n_cur > 0 AND tb > 0 AND tc > 0
+        |)
+        |SELECT tb AS n_base, tc AS n_cur, count(*) - 1 AS dof,
+        |  CAST(sum(qterm) AS BIGINT) AS chi2_scaled,
+        |  CAST(CAST(sum(qterm) AS BIGINT) AS DOUBLE) / 1e6 AS chi2
+        |FROM terms GROUP BY 1, 2""".stripMargin,
 
     "drift_psi" ->
       """WITH bks AS (SELECT range AS bucket FROM range(0, 12)),

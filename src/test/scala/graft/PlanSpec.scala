@@ -461,6 +461,29 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("round-10 operators: fingerprint joins are equi-joins, postings cap is a WindowGroupLimit") {
+    // winnow pair detection: every join an equi-join on the fingerprint (or
+    // id) key — no cartesian anywhere in the block-verify pipeline
+    val pw = plan(SparkEntry.queries("dedup_winnow_verified")(spark, sfDir))
+    assert(!pw.contains("CartesianProduct") && !pw.contains("BroadcastNestedLoopJoin"), pw)
+    // fingerprinting itself is a row-local projection: the fps kernel sits
+    // above the scan with no Exchange between them (shuffles only appear
+    // for the explode-side aggregations)
+    val pf = plan(SparkEntry.queries("dedup_winnow_fps")(spark, sfDir))
+    assert(pf.contains("winnowFingerprints"), pf)
+    // inverted postings: the head cap must ride WindowGroupLimit (pushed
+    // top-k), not a full per-token sort + collect
+    val pp = plan(SparkEntry.queries("text_inverted_postings")(spark, sfDir))
+    assert(pp.contains("WindowGroupLimit"), pp)
+    // hashing trick: no join at all — two hash aggregations end to end
+    val ph = plan(SparkEntry.queries("feature_hashing")(spark, sfDir))
+    assert(!ph.contains("Join"), ph)
+    // chi2 terms: the per-language totals broadcast; token df does NOT
+    val pc = plan(SparkEntry.queries("text_chi2_terms")(spark, sfDir))
+    assert(pc.contains("BroadcastHashJoin"), pc)
+    assert(!pc.contains("CartesianProduct"), pc)
+  }
+
   test("pagerank/ppr iterations reuse the persisted edge partitioning — one Exchange per round") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")

@@ -37,9 +37,11 @@ class ScaleSpec extends SparkSuite {
 
   // the r7-verdict worst-fanout list, plus round 8's heaviest additions:
   // PQ trains + encodes the corpus (vocabulary-of-codes work), BPE encode
-  // runs a kernel over the distinct vocabulary, k-core iterates semi-joins
+  // runs a kernel over the distinct vocabulary, k-core iterates semi-joins;
+  // round 10 adds the winnow fingerprint self-join (df-banded postings —
+  // the maxDf² bound must hold empirically, not just in prose)
   for (q <- Seq("basket_part_pairs", "text_token_pmi", "dedup_spans", "graph_triangles",
-      "knn_pq", "text_bpe_encode", "graph_kcore"))
+      "knn_pq", "text_bpe_encode", "graph_kcore", "dedup_winnow_pairs"))
     test(s"$q wall-time grows at most ~linearly from sf0.01 to sf0.1") {
       run(q, small) // warmup: codegen + JIT + class-load outside the clock
       val tSmall = timeMinOf2(q, small)
