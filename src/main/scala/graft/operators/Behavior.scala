@@ -312,4 +312,46 @@ object Behavior {
       .groupBy(col(typeCol), col("median_x2"))
       .agg(expr("percentile(abs(cents * 2 - median_x2), 0.5)").as("mad_x2"))
   }
+
+  /** RFM (recency / frequency / monetary) segmentation — the classic
+    * customer-value grid as one pass over the event log. Per user:
+    * `recency_days` (whole days between the user's last event and the
+    * corpus's newest event — integer µs division, no calendar math),
+    * `frequency` (event count), `monetary_cents` (fixed-point value sum);
+    * each metric then scores 1–3 by its tertiles and
+    * `segment = r·100 + f·10 + m` (333 = best). Recency scores REVERSED —
+    * recent is good.
+    *
+    * Exactness: all three metrics are BIGINT, so the tertile thresholds
+    * (Spark `percentile` == DuckDB `quantile_cont` bit-for-bit on BIGINT,
+    * the r5 precedent) and the strict-`>` comparison assignments are
+    * engine-portable; no double enters a quantile. Shape: ONE groupBy(user)
+    * aggregate, one O(1) anchor aggregate, one 6-threshold aggregate over
+    * the user-count-sized relation, then a scan-speed projection — no
+    * window, no global sort, user-partitioned all the way. */
+  def rfm(events: DataFrame, userCol: String, tsCol: String, valueCol: String): DataFrame = {
+    val anchor = events.agg(max(unix_micros(col(tsCol)))).head().getLong(0)
+    val perUser = events
+      .groupBy(col(userCol).as("user_id"))
+      .agg(max(unix_micros(col(tsCol))).as("last_us"),
+        count(lit(1)).as("frequency"),
+        sum(floor(col(valueCol) * 100 + lit(0.5)).cast("long")).as("monetary_cents"))
+      .withColumn("recency_days", expr(s"($anchor - last_us) div 86400000000"))
+    val cuts = perUser.agg(
+      expr(s"percentile(recency_days, ${1.0 / 3})").as("r1"),
+      expr(s"percentile(recency_days, ${2.0 / 3})").as("r2"),
+      expr(s"percentile(frequency, ${1.0 / 3})").as("f1"),
+      expr(s"percentile(frequency, ${2.0 / 3})").as("f2"),
+      expr(s"percentile(monetary_cents, ${1.0 / 3})").as("m1"),
+      expr(s"percentile(monetary_cents, ${2.0 / 3})").as("m2")).head()
+    def score(c: Column, t1: Double, t2: Double): Column =
+      lit(1L) + when(c > lit(t1), 1L).otherwise(0L) + when(c > lit(t2), 1L).otherwise(0L)
+    perUser.select(
+      col("user_id"), col("recency_days"), col("frequency"), col("monetary_cents"),
+      (lit(4L) - score(col("recency_days"), cuts.getDouble(0), cuts.getDouble(1))).as("r_score"),
+      score(col("frequency"), cuts.getDouble(2), cuts.getDouble(3)).as("f_score"),
+      score(col("monetary_cents"), cuts.getDouble(4), cuts.getDouble(5)).as("m_score"))
+      .withColumn("segment",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+  }
 }

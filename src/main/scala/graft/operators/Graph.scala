@@ -233,4 +233,53 @@ object Graph {
     }
     cur.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
   }
+
+  /** Link prediction over an undirected graph: for every NON-adjacent node
+    * pair (a < b) sharing at least `minCommon` neighbors, the common-neighbor
+    * count and the Adamic–Adar score Σ_w 1/ln(deg(w)) over the shared
+    * neighbors w — the classic "friend of a friend" candidate generator
+    * behind graph-expansion corpus curation (seed documents → co-cited
+    * candidates) and recommendation recall.
+    *
+    * Exactness: ln(deg) is quantized to 1e-6 BEFORE use (`qln = floor(ln·1e6
+    * + 0.5)` — libm parity on integer inputs, the BM25/LM-fit precedent) and
+    * each neighbor contributes the INTEGER `1e12 div qln`, so the per-pair
+    * score is an order-free integer sum: `aa_scaled` ≈ AA · 1e6, truncation
+    * < 1 per term. Any common neighbor has deg ≥ 2, so qln ≥ 693147 > 0.
+    *
+    * Scale shape: the wedge fanout through an intermediate w is deg(w)² —
+    * the same quadratic every triangle/co-occurrence job has. `maxDeg` caps
+    * the intermediate degree (the stopword cut of graphs: a hub shared by
+    * everyone predicts nothing and dominates the fanout); with the cap the
+    * self-join is bounded by maxDeg·|E| rows regardless of skew, and the
+    * two joins are plain equi-joins on w — broadcast-free, AQE-skew-safe.
+    * Returns (node_a, node_b, cn, aa_scaled). */
+  def linkPredict(edges: DataFrame, srcCol: String, dstCol: String,
+      minCommon: Long = 1L, maxDeg: Long = Long.MaxValue): DataFrame = {
+    require(minCommon >= 1, "minCommon must be positive")
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = e0
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = und.union(und.select(col("b").as("a"), col("a").as("b")))
+      .select(col("a").as("w"), col("b").as("x"))
+    val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("deg"))
+    // per-intermediate Adamic–Adar term, hub-capped before the self-join
+    val mids = adj.join(deg.filter(col("deg") <= maxDeg), "w")
+      .withColumn("qln", floor(log(col("deg").cast("double")) * 1e6 + lit(0.5)).cast("long"))
+      .withColumn("aa_term", expr("1000000000000 div qln"))
+      .select(col("w"), col("x"), col("aa_term"))
+    val wedges = mids.select(col("w"), col("x").as("na"), col("aa_term"))
+      .join(mids.select(col("w"), col("x").as("nb")), "w")
+      .filter(col("na") < col("nb"))
+    val out = wedges
+      .join(und.select(col("a").as("na"), col("b").as("nb")), Seq("na", "nb"), "left_anti")
+      .groupBy(col("na").as("node_a"), col("nb").as("node_b"))
+      .agg(count(lit(1)).as("cn"), sum(col("aa_term")).as("aa_scaled"))
+      .filter(col("cn") >= minCommon)
+    out
+  }
 }

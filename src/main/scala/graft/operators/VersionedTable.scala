@@ -51,8 +51,15 @@ import java.nio.charset.StandardCharsets
 object VersionedTable {
 
   final case class FileEntry(path: String, rows: Long, minKey: Long, maxKey: Long)
+
+  /** `deleteFiles` are MERGE-ON-READ deletion vectors: parquet key lists that
+    * [[read]]/[[readRange]] anti-join away without any data file having been
+    * rewritten (Iceberg v2 delete-file / Delta deletion-vector semantics,
+    * keyed rather than positional because the table has a declared integral
+    * key). Older manifests without the field read as empty. */
   final case class Manifest(version: Long, parent: Long, action: String,
-      keyCol: String, schemaDdl: String, files: Seq[FileEntry])
+      keyCol: String, schemaDdl: String, files: Seq[FileEntry],
+      deleteFiles: Seq[FileEntry] = Seq.empty)
 
   /** Commit lost the optimistic-concurrency race: another writer created the
     * same manifest version first. Re-read latest and retry the operation. */
@@ -91,16 +98,19 @@ object VersionedTable {
       new String(bytes.toByteArray, StandardCharsets.UTF_8)
     } finally in.close()
     val node = mapper.readTree(json)
-    val files = node.path("files")
+    def entries(field: String): Seq[FileEntry] = {
+      val arr = node.path(field)
+      (0 until arr.size()).map { i =>
+        val f = arr.get(i)
+        FileEntry(f.path("path").asText(), f.path("rows").asLong(),
+          f.path("min_key").asLong(), f.path("max_key").asLong())
+      }
+    }
     Manifest(
       node.path("version").asLong(), node.path("parent").asLong(),
       node.path("action").asText(), node.path("key_col").asText(),
       node.path("schema_ddl").asText(),
-      (0 until files.size()).map { i =>
-        val f = files.get(i)
-        FileEntry(f.path("path").asText(), f.path("rows").asLong(),
-          f.path("min_key").asLong(), f.path("max_key").asLong())
-      })
+      entries("files"), entries("delete_files"))
   }
 
   /** Atomic, exclusive manifest commit — rename WITHOUT overwrite so a
@@ -115,6 +125,13 @@ object VersionedTable {
     m.files.foreach { f =>
       arr.addObject().put("path", f.path).put("rows", f.rows)
         .put("min_key", f.minKey).put("max_key", f.maxKey)
+    }
+    if (m.deleteFiles.nonEmpty) {
+      val darr = node.putArray("delete_files")
+      m.deleteFiles.foreach { f =>
+        darr.addObject().put("path", f.path).put("rows", f.rows)
+          .put("min_key", f.minKey).put("max_key", f.maxKey)
+      }
     }
     val (fs, target) = hfs(spark, s"$dir/_manifests/${manifestName(m.version)}")
     fs.mkdirs(target.getParent)
@@ -141,8 +158,11 @@ object VersionedTable {
     * reproduces the same content) and return their manifest entries with
     * stats from ONE metadata-sized scan. */
   private def writeVersionData(spark: SparkSession, dir: String, version: Long,
+      df: DataFrame, keyCol: String, targetRowsPerFile: Long): Seq[FileEntry] =
+    writeStaged(spark, dir, f"data/v$version%08d", df, keyCol, targetRowsPerFile)
+
+  private def writeStaged(spark: SparkSession, dir: String, rel: String,
       df: DataFrame, keyCol: String, targetRowsPerFile: Long): Seq[FileEntry] = {
-    val rel = f"data/v$version%08d"
     val stage = s"$dir/$rel"
     val rows = df.count()
     if (rows == 0L) {
@@ -189,15 +209,34 @@ object VersionedTable {
   private def readDeclared(spark: SparkSession, m: Manifest, paths: Seq[String]): DataFrame =
     spark.read.schema(StructType.fromDDL(m.schemaDdl)).parquet(paths: _*)
 
+  /** The version's deletion-vector key set (empty frame when none). */
+  private def deleteKeySet(spark: SparkSession, dir: String, m: Manifest): Option[DataFrame] =
+    if (m.deleteFiles.isEmpty) None
+    else Some(spark.read.parquet(m.deleteFiles.map(f => s"$dir/${f.path}"): _*)
+      .select(col(m.keyCol)).distinct())
+
+  /** Apply merge-on-read deletion vectors: one LEFT ANTI join on the key.
+    * The DV side is key-count-sized — tiny next to the table — so Spark
+    * broadcasts it and the read stays a single scan with a broadcast probe,
+    * no shuffle of the data side. */
+  private def applyDeletes(spark: SparkSession, dir: String, m: Manifest,
+      df: DataFrame): DataFrame =
+    deleteKeySet(spark, dir, m) match {
+      case None => df
+      case Some(keys) => df.join(keys, Seq(m.keyCol), "left_anti")
+    }
+
   /** Read the table at `version` (latest when -1). Exactly the manifest's
-    * file list — uncommitted staging files are invisible by construction. */
+    * file list — uncommitted staging files are invisible by construction —
+    * minus any deletion-vector keys ([[deleteKeys]]). */
   def read(spark: SparkSession, dir: String, version: Long = -1L): DataFrame = {
     val v = if (version < 0) latestVersion(spark, dir) else version
     val m = readManifest(spark, dir, v)
     if (m.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         StructType.fromDDL(m.schemaDdl))
-    else readDeclared(spark, m, m.files.map(f => s"$dir/${f.path}"))
+    else applyDeletes(spark, dir, m,
+      readDeclared(spark, m, m.files.map(f => s"$dir/${f.path}")))
   }
 
   /** Range read with manifest-stat pruning — the zone map IS the manifest.
@@ -210,9 +249,64 @@ object VersionedTable {
     val kept = m.files.filter(f => f.maxKey >= lo && f.minKey <= hi)
     val df =
       if (kept.isEmpty) read(spark, dir, v).filter(lit(false))
-      else readDeclared(spark, m, kept.map(f => s"$dir/${f.path}"))
+      else applyDeletes(spark, dir, m,
+        readDeclared(spark, m, kept.map(f => s"$dir/${f.path}")))
     (df.filter(col(m.keyCol) >= lit(lo) && col(m.keyCol) <= lit(hi)),
       kept.length, m.files.length)
+  }
+
+  /** Merge-on-read DELETE commit: stage the key list as a deletion-vector
+    * parquet under the new version's dir and commit a manifest whose DATA
+    * file list is byte-for-byte the parent's — a delete at 100 TB writes
+    * O(keys) bytes and rewrites NOTHING; readers pay one broadcast anti-join
+    * until [[materializeDeletes]] (or [[compact]]) folds the vectors in.
+    * Keys deleted twice coalesce (the DV set is distinct per read). Returns
+    * the new version. */
+  def deleteKeys(spark: SparkSession, dir: String, keys: DataFrame,
+      beforeCommit: () => Unit = () => ()): Long = {
+    val base = latestVersion(spark, dir)
+    require(base > 0L, s"no table at $dir — init first")
+    val m = readManifest(spark, dir, base)
+    val keyDf = keys.select(col(keys.columns.head).cast("long").as(m.keyCol)).distinct()
+    val entries = writeStaged(spark, dir, f"data/v${base + 1L}%08d/dv",
+      keyDf, m.keyCol, targetRowsPerFile = 1000000L)
+    require(entries.nonEmpty, "deleteKeys called with an empty key set")
+    beforeCommit()
+    commitManifest(spark, dir, Manifest(base + 1L, base, "delete-vector",
+      m.keyCol, m.schemaDdl, m.files, m.deleteFiles ++ entries))
+    base + 1L
+  }
+
+  /** Fold outstanding deletion vectors into the data: copy-on-write rewrite
+    * of ONLY the files whose key range intersects a delete key (manifest
+    * stats prune — untouched files carry by reference), then a manifest with
+    * an empty `delete_files`. The scheduled-maintenance half of the
+    * merge-on-read trade, same touched-file bound as [[upsert]]. */
+  def materializeDeletes(spark: SparkSession, dir: String,
+      targetRowsPerFile: Long = 5000L, beforeCommit: () => Unit = () => ()): Long = {
+    val base = latestVersion(spark, dir)
+    require(base > 0L, s"no table at $dir — init first")
+    val m = readManifest(spark, dir, base)
+    val keys = deleteKeySet(spark, dir, m).getOrElse(
+      return base) // nothing to materialize
+    val bounds = keys.agg(min(col(m.keyCol)).as("lo"), max(col(m.keyCol)).as("hi"))
+      .collect()(0)
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    // stat-prune: only files that can contain a deleted key get rewritten.
+    // Range overlap vs the DV's [min,max] envelope is driver-side manifest
+    // math; the per-file exact check is the anti-join itself.
+    val touched = m.files.filter(f => f.maxKey >= lo && f.minKey <= hi)
+    val untouched = m.files.filterNot(f => f.maxKey >= lo && f.minKey <= hi)
+    val rewritten =
+      if (touched.isEmpty) Seq.empty
+      else writeStaged(spark, dir, f"data/v${base + 1L}%08d",
+        readDeclared(spark, m, touched.map(f => s"$dir/${f.path}"))
+          .join(keys, Seq(m.keyCol), "left_anti"),
+        m.keyCol, targetRowsPerFile)
+    beforeCommit()
+    commitManifest(spark, dir, Manifest(base + 1L, base, "materialize-deletes",
+      m.keyCol, m.schemaDdl, untouched ++ rewritten, Seq.empty))
+    base + 1L
   }
 
   /** Copy-on-write MERGE commit: rewrite ONLY the files whose key range
@@ -229,6 +323,12 @@ object VersionedTable {
     val base = latestVersion(spark, dir)
     require(base > 0L, s"no table at $dir — init first")
     val m = readManifest(spark, dir, base)
+    // An upsert of key k while a deletion vector still holds k would
+    // resurrect the delete on read (the DV anti-join cannot tell the new row
+    // from the dead one). Same rule as Iceberg's rewrite-before-equality-
+    // upsert: fold vectors in first.
+    require(m.deleteFiles.isEmpty,
+      s"table at $dir has outstanding deletion vectors — run materializeDeletes (or compact) before upsert")
     val zoneMap = m.files.toDF()
       .select(col("path"), col("minKey").as("min_key"), col("maxKey").as("max_key"))
     val touched = Upsert.touchedFiles(zoneMap, changes, m.keyCol)
@@ -328,7 +428,10 @@ object VersionedTable {
     val latest = latestVersion(spark, dir)
     require(keepFrom <= latest, s"keepFrom $keepFrom beyond latest $latest")
     val live = (keepFrom to latest)
-      .flatMap(v => readManifest(spark, dir, v).files.map(_.path)).toSet
+      .flatMap { v =>
+        val m = readManifest(spark, dir, v)
+        (m.files ++ m.deleteFiles).map(_.path)
+      }.toSet
     val (fs, dataRoot) = hfs(spark, s"$dir/data")
     var deleted = 0
     if (fs.exists(dataRoot)) {

@@ -19,6 +19,14 @@ private[graft] trait EventsQueries extends QueryHelpers {
 
   protected def eventsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "events_rfm" -> ((s, dir) => {
+      // RFM customer-value segmentation: per-user recency/frequency/monetary
+      // metrics scored 1-3 by BIGINT tertiles (bit-exact percentiles),
+      // segment = r*100 + f*10 + m — one groupBy(user) pass, no window
+      graft.operators.Behavior.rfm(events(s, dir), "user_id", "ts", "value")
+        .orderBy(col("user_id"))
+    }),
+
     "events_value_mad" -> ((s, dir) => {
       // robust dispersion: median + MAD per type, both carried x2 so every
       // percentile runs on BIGINT inputs (the r5 bit-parity precedent)
@@ -186,6 +194,45 @@ private[graft] trait EventsQueries extends QueryHelpers {
     }))
 
   protected def eventsOracles: Map[String, String] = Map(
+
+    // RFM: all three metrics BIGINT, tertile thresholds via quantile_cont
+    // (bit-parity with Spark percentile on BIGINT), strict > assignment
+    "events_rfm" ->
+      """WITH pu AS (
+        |  SELECT user_id, max(epoch_us(ts)) AS last_us,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS monetary_cents
+        |  FROM events GROUP BY 1
+        |), anch AS (SELECT max(epoch_us(ts)) AS a FROM events),
+        |pd AS (
+        |  SELECT user_id, ((SELECT a FROM anch) - last_us) // 86400000000 AS recency_days,
+        |    frequency, monetary_cents
+        |  FROM pu
+        |), t AS (
+        |  SELECT
+        |    quantile_cont(recency_days, 0.3333333333333333) AS r1,
+        |    quantile_cont(recency_days, 0.6666666666666666) AS r2,
+        |    quantile_cont(frequency, 0.3333333333333333) AS f1,
+        |    quantile_cont(frequency, 0.6666666666666666) AS f2,
+        |    quantile_cont(monetary_cents, 0.3333333333333333) AS m1,
+        |    quantile_cont(monetary_cents, 0.6666666666666666) AS m2
+        |  FROM pd
+        |), scored AS (
+        |  SELECT user_id, recency_days, frequency, monetary_cents,
+        |    4 - (1 + CASE WHEN recency_days > (SELECT r1 FROM t) THEN 1 ELSE 0 END
+        |           + CASE WHEN recency_days > (SELECT r2 FROM t) THEN 1 ELSE 0 END) AS r_score,
+        |    1 + CASE WHEN frequency > (SELECT f1 FROM t) THEN 1 ELSE 0 END
+        |      + CASE WHEN frequency > (SELECT f2 FROM t) THEN 1 ELSE 0 END AS f_score,
+        |    1 + CASE WHEN monetary_cents > (SELECT m1 FROM t) THEN 1 ELSE 0 END
+        |      + CASE WHEN monetary_cents > (SELECT m2 FROM t) THEN 1 ELSE 0 END AS m_score
+        |  FROM pd
+        |)
+        |SELECT user_id, recency_days, frequency, monetary_cents,
+        |  CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+        |  CAST(m_score AS BIGINT) AS m_score,
+        |  CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS segment
+        |FROM scored ORDER BY user_id""".stripMargin,
+
 
     "events_value_mad" ->
       """WITH e AS (

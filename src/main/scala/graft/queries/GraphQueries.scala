@@ -70,6 +70,20 @@ private[graft] trait GraphQueries extends QueryHelpers {
     }),
 
 
+    "graph_common_neighbors" -> ((s, dir) => {
+      // link prediction over the sparse supplier chord graph: for every
+      // non-adjacent pair sharing a neighbor, common-neighbor count +
+      // Adamic–Adar (quantized-ln integer sum) — the candidate generator
+      // behind graph-expansion curation; chords predict (k,k+3)/(k,k+4)
+      val sk = t(s, dir, "supplier").select(col("s_suppkey").cast("long").as("k"))
+      val edges = sk.select(col("k").as("src"), (col("k") + 1).as("dst"))
+        .union(sk.select(col("k").as("src"), (col("k") + 2).as("dst")))
+        .join(sk.withColumnRenamed("k", "dst"), Seq("dst"), "left_semi")
+      graft.operators.Graph.linkPredict(edges, "src", "dst")
+        .orderBy(col("node_a"), col("node_b"))
+    }),
+
+
     "graph_kcore" -> ((s, dir) => {
       // 3 rounds of k=3 core peeling over the same sparse chord graph as
       // graph_triangles: the chain unravels from its ends, so every round
@@ -204,6 +218,38 @@ private[graft] trait GraphQueries extends QueryHelpers {
         |  UNION ALL SELECT y FROM tri
         |  UNION ALL SELECT z FROM tri) q
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    // Adamic–Adar terms are 1e12 div qln(deg) — integer division of integer
+    // quantities, so the per-pair sum is order-free and bit-identical
+    "graph_common_neighbors" ->
+      """WITH sk AS (SELECT s_suppkey AS k FROM supplier),
+        |e0 AS (
+        |  SELECT k AS u, k + 1 AS v FROM sk WHERE k + 1 IN (SELECT k FROM sk)
+        |  UNION ALL
+        |  SELECT k AS u, k + 2 AS v FROM sk WHERE k + 2 IN (SELECT k FROM sk)
+        |),
+        |und AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM e0),
+        |adj AS (SELECT a AS w, b AS x FROM und UNION ALL SELECT b AS w, a AS x FROM und),
+        |deg AS (SELECT w, count(*) AS deg FROM adj GROUP BY 1),
+        |mids AS (
+        |  SELECT adj.w, adj.x,
+        |    1000000000000 // CAST(floor(ln(CAST(deg.deg AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS aa_term
+        |  FROM adj JOIN deg ON deg.w = adj.w
+        |),
+        |wedge AS (
+        |  SELECT m1.w, m1.x AS na, m2.x AS nb, m1.aa_term
+        |  FROM mids m1 JOIN mids m2 ON m1.w = m2.w AND m1.x < m2.x
+        |),
+        |pred AS (
+        |  SELECT na, nb, count(*) AS cn, sum(aa_term) AS aa_scaled
+        |  FROM wedge
+        |  WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.a = wedge.na AND und.b = wedge.nb)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT CAST(na AS BIGINT) AS node_a, CAST(nb AS BIGINT) AS node_b,
+        |  CAST(cn AS BIGINT) AS cn, CAST(aa_scaled AS BIGINT) AS aa_scaled
+        |FROM pred ORDER BY node_a, node_b""".stripMargin,
 
 
     "graph_kcore" ->

@@ -121,6 +121,30 @@ private[graft] trait LakeQueries extends QueryHelpers {
     }),
 
 
+    "lake_deletion_vectors" -> ((s, dir) => {
+      // merge-on-read DELETE: documents init as v1, every doc_id % 7 == 3
+      // deleted as a DELETION VECTOR commit (v2's data file list is v1's
+      // verbatim — zero rewrite; LakeSpec pins it); the read applies the
+      // vector with one broadcast anti-join
+      val tmp = lakeDvTable(s, dir)
+      graft.operators.VersionedTable.read(s, tmp).orderBy(col("doc_id"))
+    }),
+
+
+    "lake_change_feed" -> ((s, dir) => {
+      // change-data-feed between committed versions: null-safe full-outer
+      // diff of read(v1) vs read(v2) classifies every key as added /
+      // removed / changed / unchanged — what an incremental downstream
+      // consumer replays instead of re-reading the table
+      val tmp = lakeTable(s, dir, "cdf")
+      val vt = graft.operators.VersionedTable
+      graft.operators.Quality.snapshotDiff(
+        vt.read(s, tmp, 1L), vt.read(s, tmp, 2L), "doc_id",
+        Seq("text", "lang", "source", "n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+
     "layout_zorder" -> ((s, dir) => {
       // Morton z-values over (partkey, suppkey) rank buckets — the clustering
       // key writeZOrdered lays files out by. Exact ntile buckets here for the
@@ -214,5 +238,27 @@ private[graft] trait LakeQueries extends QueryHelpers {
     // reading v1 AFTER the v2 merge commit must return the original corpus
     "lake_time_travel" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+
+    // the deletion-vector read (zero files rewritten) must equal the plain
+    // key filter — the DV anti-join is invisible to the consumer
+    "lake_deletion_vectors" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE doc_id % 7 != 3 ORDER BY doc_id""".stripMargin,
+
+
+    // CDF statuses re-derived from the v2 change rules: %17 deleted (wins
+    // over %10 — same precedence as the merge), %10 revised, <20 inserted
+    // at +100000, rest unchanged
+    "lake_change_feed" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 17 = 0 THEN 'removed'
+        |       WHEN doc_id % 10 = 0 THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id + 100000 AS doc_id, 'added' AS status
+        |FROM documents WHERE doc_id < 20
         |ORDER BY doc_id""".stripMargin)
 }

@@ -118,6 +118,23 @@ private[graft] trait QueryHelpers {
     path
   }
 
+  /** Build-once versioned documents table for the deletion-vector gate:
+    * v1 = the corpus, v2 = a merge-on-read DELETE of every doc_id % 7 == 3
+    * committed as a deletion vector — v2's DATA file list is v1's verbatim
+    * (zero rewrite; LakeSpec pins it). */
+  private[graft] def lakeDvTable(s: SparkSession, dir: String): String = {
+    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_lake_dv_$suffix"
+    if (ivfIndexWritten.add(path)) {
+      val vt = graft.operators.VersionedTable
+      vt.destroy(s, path)
+      vt.init(s, path, t(s, dir, "documents"), "doc_id", targetRowsPerFile = 500L)
+      vt.deleteKeys(s, path,
+        t(s, dir, "documents").filter(col("doc_id") % 7 === 3).select(col("doc_id")))
+    }
+    path
+  }
+
   /** A managed table's warehouse dir can survive the (in-memory) catalog that
     * created it — a fresh session then refuses `saveAsTable` over the stale
     * location. Clear both the catalog entry and the leftover dir. */

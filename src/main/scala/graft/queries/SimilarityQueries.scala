@@ -95,6 +95,34 @@ private[graft] trait SimilarityQueries extends QueryHelpers {
     }),
 
 
+    "eval_matryoshka_tau" -> ((s, dir) => {
+      // matryoshka-truncation eval: Kendall tau between full-dim cosine and
+      // FIRST-16-DIMS cosine over the brute-force top-10 — the fidelity
+      // number behind serving truncated (matryoshka) embeddings at 4x less
+      // memory; same harness as eval_rp_rank_tau, prefix slice instead of a
+      // projection matrix
+      import graft.functions.VectorFns
+      import graft.operators.{Eval, Similarity}
+      val embs = spread(t(s, dir, "embeddings"))
+      val brute = Similarity.bruteForceKnn(
+        embs, embs.filter(col("vec_id") < 20), "vec_id", "embedding", 10)
+      val pre = embs
+        .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("qv"))
+        .withColumn("pq", slice(col("qv"), 1, 16))
+        .withColumn("pn2", VectorFns.norm2Q(col("pq")))
+        .select(col("vec_id"), col("pq"), col("pn2"))
+      val scored = brute
+        .join(pre.select(col("vec_id").as("query_id"),
+          col("pq").as("qp"), col("pn2").as("qn")), "query_id")
+        .join(pre.select(col("vec_id").as("neighbor_id"),
+          col("pq").as("cp"), col("pn2").as("cn2")), "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"), col("cosine").as("cos_full"),
+          VectorFns.cosinePre(col("qp"), col("qn"), col("cp"), col("cn2")).as("cos_pre"))
+      Eval.kendallTau(scored, "query_id", "neighbor_id", "cos_full", "cos_pre")
+        .orderBy(col("query_id"))
+    }),
+
+
     "knn_pq" -> ((s, dir) => {
       // product quantization + ADC + exact re-rank: the compressed-domain
       // linear scan (32x smaller corpus bytes); shortlist fetches full
@@ -432,6 +460,52 @@ private[graft] trait SimilarityQueries extends QueryHelpers {
         |  SELECT l.query_id,
         |    (CASE WHEN l.cos_full > r.cos_full THEN 1 WHEN l.cos_full < r.cos_full THEN -1 ELSE 0 END)
         |    * (CASE WHEN l.cos_rp > r.cos_rp THEN 1 WHEN l.cos_rp < r.cos_rp THEN -1 ELSE 0 END) AS sgn
+        |  FROM scored l JOIN scored r
+        |    ON l.query_id = r.query_id AND l.neighbor_id < r.neighbor_id
+        |)
+        |SELECT query_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN sgn > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+        |  CAST(sum(CASE WHEN sgn < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+        |  CAST(sum(CASE WHEN sgn > 0 THEN 1 ELSE 0 END)
+        |     - sum(CASE WHEN sgn < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS tau
+        |FROM pairs GROUP BY 1 ORDER BY query_id""".stripMargin,
+
+
+    // prefix-truncation twin of eval_rp_rank_tau: same top-10 base, the
+    // cheap scoring is cosine over the first 16 quantized dims
+    "eval_matryoshka_tau" ->
+      """WITH q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, qv, list_sum([x*x FOR x IN qv]) AS n2 FROM q
+        |), scored0 AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    CAST(list_sum([a.qv[i] * b.qv[i] FOR i IN range(1, len(a.qv) + 1)]) AS DOUBLE)
+        |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos_full
+        |  FROM n a CROSS JOIN n b
+        |  WHERE a.vec_id < 20 AND a.vec_id != b.vec_id
+        |), top AS (
+        |  SELECT query_id, neighbor_id, cos_full FROM (
+        |    SELECT query_id, neighbor_id, cos_full,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY cos_full DESC, neighbor_id) AS rank
+        |    FROM scored0) WHERE rank <= 10
+        |), pn AS (
+        |  SELECT vec_id, qv[1:16] AS pq,
+        |    list_sum([x*x FOR x IN qv[1:16]]) AS pn2
+        |  FROM q
+        |), scored AS (
+        |  SELECT t.query_id, t.neighbor_id, t.cos_full,
+        |    CAST(list_sum([a.pq[i] * b.pq[i] FOR i IN range(1, len(a.pq) + 1)]) AS DOUBLE)
+        |      / (sqrt(CAST(a.pn2 AS DOUBLE)) * sqrt(CAST(b.pn2 AS DOUBLE))) AS cos_pre
+        |  FROM top t
+        |  JOIN pn a ON a.vec_id = t.query_id
+        |  JOIN pn b ON b.vec_id = t.neighbor_id
+        |), pairs AS (
+        |  SELECT l.query_id,
+        |    (CASE WHEN l.cos_full > r.cos_full THEN 1 WHEN l.cos_full < r.cos_full THEN -1 ELSE 0 END)
+        |    * (CASE WHEN l.cos_pre > r.cos_pre THEN 1 WHEN l.cos_pre < r.cos_pre THEN -1 ELSE 0 END) AS sgn
         |  FROM scored l JOIN scored r
         |    ON l.query_id = r.query_id AND l.neighbor_id < r.neighbor_id
         |)

@@ -182,4 +182,50 @@ class LakeSpec extends SparkSuite {
     assert(VT.lastStreamBatchId(spark, dir) == 1L)
     assert(VT.read(spark, dir).filter($"text".endsWith(" s1")).count() == 3)
   }
+
+  test("deletion vectors: zero-rewrite delete, read applies DV, materialize folds it in") {
+    val dir = freshDir("dv")
+    VT.init(spark, dir, base, "doc_id", targetRowsPerFile = 50L)
+    val m1 = VT.readManifest(spark, dir, 1L)
+    val keys = base.filter($"doc_id" % 5 === 1).select($"doc_id")
+    val nDeleted = keys.count()
+    VT.deleteKeys(spark, dir, keys)
+    val m2 = VT.readManifest(spark, dir, 2L)
+    // merge-on-read: the DATA file list is the parent's VERBATIM — a delete
+    // at 100 TB writes O(keys) bytes and rewrites nothing
+    assert(m2.files == m1.files)
+    assert(m2.deleteFiles.nonEmpty)
+    val expected = base.filter($"doc_id" % 5 =!= 1)
+    assert(sameContent(VT.read(spark, dir), expected))
+    assert(VT.read(spark, dir).count() == base.count() - nDeleted)
+    // time travel below the DV commit still sees the full corpus
+    assert(sameContent(VT.read(spark, dir, 1L), base))
+    // range read applies the vector too
+    val (ranged, _, _) = VT.readRange(spark, dir, 0L, 100L)
+    assert(sameContent(ranged, expected.filter($"doc_id" <= 100)))
+    // an upsert over outstanding vectors could resurrect deleted keys —
+    // must refuse loudly
+    val ex = intercept[IllegalArgumentException] {
+      VT.upsert(spark, dir, base.limit(1).withColumn("op", lit("upsert")))
+    }
+    assert(ex.getMessage.contains("deletion vectors"))
+    // materialize: only key-intersecting files rewritten, vectors cleared,
+    // content unchanged
+    val v3 = VT.materializeDeletes(spark, dir, targetRowsPerFile = 50L)
+    val m3 = VT.readManifest(spark, dir, v3)
+    assert(m3.deleteFiles.isEmpty)
+    assert(sameContent(VT.read(spark, dir), expected))
+    // after materialization a deleted key can be re-inserted and survives
+    val back = base.filter($"doc_id" === 1L).withColumn("op", lit("upsert"))
+    VT.upsert(spark, dir, back, targetRowsPerFile = 50L)
+    assert(VT.read(spark, dir).filter($"doc_id" === 1L).count() == 1L)
+    // double-delete of the same key coalesces (DV set is distinct per read)
+    VT.deleteKeys(spark, dir, base.filter($"doc_id" === 1L).select($"doc_id"))
+    VT.deleteKeys(spark, dir, base.filter($"doc_id" === 1L).select($"doc_id"))
+    assert(VT.read(spark, dir).filter($"doc_id" === 1L).count() == 0L)
+    // vacuum keeps live delete files: the DV read still works after reclaim
+    val latest = VT.latestVersion(spark, dir)
+    VT.vacuum(spark, dir, keepFrom = latest)
+    assert(VT.read(spark, dir).filter($"doc_id" === 1L).count() == 0L)
+  }
 }

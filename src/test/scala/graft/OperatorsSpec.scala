@@ -1568,6 +1568,48 @@ class OperatorsSpec extends SparkSuite {
     assert(keptD0 == 0L && noneD.count() == 0)
   }
 
+  test("linkPredict: path predicts endpoints, triangle predicts nothing, hub cap prunes") {
+    // path 1-2-3: the only non-adjacent pair sharing a neighbor is (1,3)
+    // through w=2 with deg(2)=2 → aa = 1e12 div floor(ln(2)*1e6 + 0.5)
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val p = Graph.linkPredict(path, "src", "dst").collect()
+    assert(p.length == 1)
+    assert(p(0).getLong(0) == 1L && p(0).getLong(1) == 3L && p(0).getLong(2) == 1L)
+    assert(p(0).getLong(3) == 1000000000000L / math.floor(math.log(2.0) * 1e6 + 0.5).toLong)
+    // a triangle is fully adjacent — no candidate pairs at all
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(Graph.linkPredict(tri, "src", "dst").count() == 0)
+    // star 0-{1..5}: all pairs predicted through the hub; capping the
+    // intermediate degree below 5 removes the hub and with it every wedge
+    val star = (1L to 5L).map(i => (0L, i)).toDF("src", "dst")
+    assert(Graph.linkPredict(star, "src", "dst").count() == 10)
+    assert(Graph.linkPredict(star, "src", "dst", maxDeg = 4L).count() == 0)
+    // two shared neighbors accumulate: square 1-2-3-4-1 predicts both
+    // diagonals with cn=2 and twice the single-neighbor aa term
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val d = Graph.linkPredict(sq, "src", "dst").orderBy("node_a").collect()
+    assert(d.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 3L, 2L), (2L, 4L, 2L)))
+    assert(d(0).getLong(3) == 2L * (1000000000000L / math.floor(math.log(2.0) * 1e6 + 0.5).toLong))
+  }
+
+  test("rfm: metrics exact on a hand log, segment encodes the three scores") {
+    // 3 users against anchor = newest event: u1 recent+frequent+big,
+    // u2 middling, u3 stale+rare+small — tertiles split them 1/2/3 cleanly
+    val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-${d}%02d 00:00:00")
+    val ev = Seq(
+      (1L, ts(30), 100.0), (1L, ts(29), 100.0), (1L, ts(28), 100.0),
+      (2L, ts(20), 10.0), (2L, ts(19), 10.0),
+      (3L, ts(10), 1.0)
+    ).toDF("user_id", "ts", "value")
+    val r = Behavior.rfm(ev, "user_id", "ts", "value")
+      .orderBy("user_id").collect()
+    // recency: u1 0d, u2 10d, u3 20d; frequency 3/2/1; monetary 30000/2000/100
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSeq ==
+      Seq((1L, 0L, 3L, 30000L), (2L, 10L, 2L, 2000L), (3L, 20L, 1L, 100L)))
+    assert(r.map(_.getAs[Long]("segment")).toSeq == Seq(333L, 222L, 111L))
+  }
+
   test("zone compare: integral types compare exactly above 2^53, mixed widths widen to long") {
     val big = (1L << 53) + 1L // indistinguishable from 2^53 as a double
     assert(Layout.cmpAny(big, 1L << 53) > 0, "adjacent >2^53 longs must not compare equal")

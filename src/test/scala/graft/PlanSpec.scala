@@ -484,6 +484,27 @@ class PlanSpec extends SparkSuite {
     assert(!pc.contains("CartesianProduct"), pc)
   }
 
+  test("round-10 session 2: DV read is a broadcast anti-join, link prediction stays equi-join") {
+    // deletion-vector read: the key list is broadcast and applied as ONE
+    // BroadcastHashJoin LeftAnti above the scan — the data side never
+    // shuffles for a merge-on-read delete
+    val dv = graft.operators.VersionedTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_dv_plan").toString
+    dv.destroy(spark, dir)
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    dv.init(spark, dir, base, "doc_id", targetRowsPerFile = 100L)
+    dv.deleteKeys(spark, dir,
+      base.filter(org.apache.spark.sql.functions.col("doc_id") % 9 === 0)
+        .select(org.apache.spark.sql.functions.col("doc_id")))
+    val pd = plan(dv.read(spark, dir))
+    assert(pd.contains("LeftAnti") && pd.contains("BroadcastHashJoin"), pd)
+    assert(!pd.contains("SortMergeJoin"), pd)
+    // link prediction: wedge join + existing-edge anti-join are all
+    // equi-joins — no cartesian, no nested-loop anywhere
+    val pl = plan(SparkEntry.queries("graph_common_neighbors")(spark, sfDir))
+    assert(!pl.contains("CartesianProduct") && !pl.contains("BroadcastNestedLoopJoin"), pl)
+  }
+
   test("pagerank/ppr iterations reuse the persisted edge partitioning — one Exchange per round") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")
