@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Feature-engineering and data-profiling operators for curation pipelines.
@@ -105,6 +105,59 @@ object Features {
     * held by fewer than `k` rows — the suppression list a privacy review
     * needs before release. One aggregation; output bounded by the QI
     * domain, not the corpus. */
+  /** Mergeable higher-moment sketch: per group, the integer power sums
+    * Σx..Σx⁴ plus the truncating fixed-point mean and the integer variance
+    * numerator n·Σx² − (Σx)². Power sums are the one-pass, ORDER-FREE,
+    * trivially mergeable carrier of mean/variance/skewness/kurtosis — shard
+    * sketches add component-wise (spec-pinned merge == direct), so corpus
+    * moments maintain incrementally per ingest like
+    * [[TextAnalysis.mergeableStats]] maintains counts. Skew/kurtosis ratios
+    * derive driver-side from the sums (group-count-sized).
+    *
+    * Overflow contract (all BIGINT, no silent wrap at the declared bound):
+    * with |x| ≤ X, s4 ≤ n·X⁴ — safe while n·X⁴ < 2^63 (e.g. X=10³ → n up to
+    * ~9·10⁶ per group; X=10² → ~9·10¹⁰). Beyond that, pre-scale x or shard
+    * groups; var_num additionally needs n·s2 < 2^63. */
+  def powerSums(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("long")
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("s1"), sum(x * x).as("s2"),
+        sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
+      .withColumn("mean_micro", expr("s1 * 1000000 div n"))
+      .withColumn("var_num", col("n") * col("s2") - col("s1") * col("s1"))
+  }
+
+  /** Smoothed mean target encoding with a leave-one-out variant — the
+    * categorical-feature workhorse of tabular ML, where the encoding of a
+    * category is its target mean shrunk toward the global mean:
+    * `enc = (Σy_c·10⁶ + m·ḡ) div (n_c + m)` with ḡ the global fixed-point
+    * mean and m the smoothing pseudo-count. `enc_loo` excludes the row's OWN
+    * target (`(Σy_c − y)·10⁶ + m·ḡ) div (n_c − 1 + m)`) — the leakage-safe
+    * form used for training folds; a singleton category degrades to the
+    * prior exactly. All integer fixed point (micro-cents), so the encoding
+    * is bit-identical across engines — truncating `div` matches on both.
+    *
+    * Shape: one O(1) global aggregate, one category aggregate (category-
+    * count-sized, broadcast back), one scan-speed projection. No window —
+    * the naive per-row LOO window over 100 TB is exactly what this avoids. */
+  def targetEncode(df: DataFrame, idCol: String, catCol: String,
+      targetCents: Column, smoothing: Long = 10L): DataFrame = {
+    require(smoothing >= 1, "smoothing pseudo-count must be >= 1")
+    val base = df.select(col(idCol).as("id"), col(catCol).as("category"),
+      targetCents.cast("long").as("y_cents"))
+    val g = base.agg(sum(col("y_cents")).as("s"), count(lit(1)).as("n")).head()
+    val gmeanMicro = g.getLong(0) * 1000000L / g.getLong(1)
+    val cat = base.groupBy(col("category"))
+      .agg(sum(col("y_cents")).as("s_c"), count(lit(1)).as("n_c"))
+    base.join(broadcast(cat), "category")
+      .select(col("id"), col("category"), col("y_cents"),
+        expr(s"(s_c * 1000000 + $smoothing * $gmeanMicro) div (n_c + $smoothing)")
+          .as("enc_micro"),
+        expr(s"((s_c - y_cents) * 1000000 + $smoothing * $gmeanMicro) div (n_c - 1 + $smoothing)")
+          .as("enc_loo_micro"))
+  }
+
   def kAnonymityViolations(df: DataFrame, quasiIdCols: Seq[String], k: Long): DataFrame =
     df.groupBy(quasiIdCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"))

@@ -327,7 +327,13 @@ object Multimodal {
     * aligned sizes, unknown chunks skipped — real-world WAV files carry
     * LIST/INFO chunks before data) until "fmt " and "data" are both seen.
     * Rejects non-PCM and non-16-bit loudly rather than guessing. */
-  def wavDecode(bytes: Array[Byte]): WavStats = {
+  private final case class WavHeader(channels: Int, sampleRate: Int,
+      dataOff: Int, nFrames: Int)
+
+  /** RIFF/WAVE chunk walk shared by [[wavDecode]] and [[wavResample]]:
+    * validates magic, walks word-aligned chunks past LIST/INFO/fact to
+    * "fmt " + "data", rejects non-PCM16 loudly. */
+  private def wavHeader(bytes: Array[Byte]): WavHeader = {
     require(bytes.length >= 44 && bytes(0) == 'R' && bytes(1) == 'I' &&
       bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
       bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E',
@@ -358,7 +364,22 @@ object Multimodal {
     require(channels > 0 && sampleRate > 0, "missing fmt chunk")
     require(dataOff >= 0, "missing data chunk")
     require(dataLen % (2 * channels) == 0, "data chunk not frame-aligned")
-    val nFrames = dataLen / (2 * channels)
+    WavHeader(channels, sampleRate, dataOff, dataLen / (2 * channels))
+  }
+
+  /** Little-endian int16 sample of (frame, channel), sign-extended. */
+  @inline private def wavSample(bytes: Array[Byte], h: WavHeader,
+      frame: Int, ch: Int): Int = {
+    val o = h.dataOff + 2 * (frame * h.channels + ch)
+    ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort.toInt
+  }
+
+  def wavDecode(bytes: Array[Byte]): WavStats = {
+    val h = wavHeader(bytes)
+    val channels = h.channels
+    val sampleRate = h.sampleRate
+    val dataOff = h.dataOff
+    val nFrames = h.nFrames
     var sumAbs = 0L; var energy = 0L; var wsumC0 = 0L
     var f = 0
     while (f < nFrames) {
@@ -495,6 +516,69 @@ object Multimodal {
           s.durationMs, s.sumAbs, s.energy, s.wsumC0)
       })
     spark.createDataFrame(rdd, WavDecodedSchema)
+  }
+
+  /** Resampled-audio statistics over the decimated frames (same exactness
+    * contract as [[WavStats]]: order-free integer sums + the interleave-
+    * sensitive weighted channel-0 sum, weights over OUTPUT frame indices). */
+  final case class WavResampleStats(
+      channels: Int, srcRate: Int, outRate: Int, srcFrames: Long,
+      outFrames: Long, sumAbs: Long, energy: Long, wsumC0: Long)
+
+  /** REAL audio downsampling: nearest-frame decimation of a PCM16 WAV to
+    * `targetRate` — output frame i reads source frame `i·srcFrames div
+    * outFrames` with `outFrames = srcFrames·outRate div srcRate`, the same
+    * truncating-division mapping as [[bmpResample]], so every resampled
+    * statistic is exactly recomputable from the sample formula. Never
+    * upsamples (`outRate = min(target, src)` — identity at or below the
+    * target, the fit-within contract). Touches only the sampled frames'
+    * bytes; all channels of a kept frame are kept (no remix). */
+  def wavResample(bytes: Array[Byte], targetRate: Int): WavResampleStats = {
+    require(targetRate > 0, "targetRate must be positive")
+    val h = wavHeader(bytes)
+    val outRate = math.min(targetRate, h.sampleRate)
+    val outFrames = (h.nFrames.toLong * outRate / h.sampleRate).toInt
+    var sumAbs = 0L; var energy = 0L; var wsumC0 = 0L
+    var i = 0
+    while (i < outFrames) {
+      val src = (i.toLong * h.nFrames / outFrames).toInt
+      var ch = 0
+      while (ch < h.channels) {
+        val v = wavSample(bytes, h, src, ch)
+        sumAbs += math.abs(v)
+        energy += v.toLong * v
+        if (ch == 0) wsumC0 += (i + 1).toLong * v
+        ch += 1
+      }
+      i += 1
+    }
+    WavResampleStats(h.channels, h.sampleRate, outRate, h.nFrames.toLong,
+      outFrames.toLong, sumAbs, energy, wsumC0)
+  }
+
+  val WavResampledSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("channels", LongType, nullable = false),
+    StructField("src_rate", LongType, nullable = false),
+    StructField("out_rate", LongType, nullable = false),
+    StructField("src_frames", LongType, nullable = false),
+    StructField("out_frames", LongType, nullable = false),
+    StructField("sum_abs", LongType, nullable = false),
+    StructField("energy", LongType, nullable = false),
+    StructField("wsum_c0", LongType, nullable = false)))
+
+  /** Partition-batched REAL downsampling over a WAV binary column — the
+    * audio twin of [[resampleBmp]]. */
+  def resampleWav(withPayload: DataFrame, idCol: String,
+      targetRate: Int = 4000): DataFrame = {
+    val spark = withPayload.sparkSession
+    val rdd = withPayload.select(col(idCol).cast("long"), col("payload")).rdd
+      .mapPartitions(_.map { r =>
+        val s = wavResample(r.getAs[Array[Byte]](1), targetRate)
+        Row(r.getLong(0), s.channels.toLong, s.srcRate.toLong, s.outRate.toLong,
+          s.srcFrames, s.outFrames, s.sumAbs, s.energy, s.wsumC0)
+      })
+    spark.createDataFrame(rdd, WavResampledSchema)
   }
 
   // --- real codec: PNG (8-bit RGB, non-interlaced) --------------------------

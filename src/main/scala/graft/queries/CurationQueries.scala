@@ -35,6 +35,25 @@ private[graft] trait CurationQueries extends QueryHelpers {
         .orderBy(col("doc_id"))
     }),
 
+    "feature_target_enc" -> ((s, dir) => {
+      // smoothed mean target encoding of order priority against the order
+      // total (micro-cents fixed point), with the leakage-safe leave-one-out
+      // variant per row — category stats broadcast, no window
+      graft.operators.Features.targetEncode(
+        t(s, dir, "orders"), "o_orderkey", "o_orderpriority",
+        cents(col("o_totalprice")), smoothing = 10L)
+        .orderBy(col("id"))
+    }),
+
+    "corpus_moments" -> ((s, dir) => {
+      // mergeable higher moments: per-lang integer power sums Σx..Σx⁴ +
+      // fixed-point mean + variance numerator — the one-pass sketch that
+      // carries skew/kurtosis through incremental ingests (merge == direct,
+      // spec-pinned)
+      graft.operators.Features.powerSums(t(s, dir, "documents"), "lang", "n_chars")
+        .orderBy(col("lang"))
+    }),
+
     "curation_k_anonymity" -> ((s, dir) => {
       // privacy audit: (lang, source) combinations held by fewer than k=5
       // docs — the suppression list before a release
@@ -485,6 +504,37 @@ private[graft] trait CurationQueries extends QueryHelpers {
         |SELECT doc_id, count(*) AS n_nonzero, CAST(sum(abs(v)) AS BIGINT) AS l1,
         |  CAST(sum(v * v) AS BIGINT) AS dot_self
         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // target encoding: all micro-cent fixed point, truncating // on both
+    // engines; the LOO denominator n_c-1+m never hits zero (m=10)
+    "feature_target_enc" ->
+      """WITH b AS (
+        |  SELECT o_orderkey AS id, o_orderpriority AS category,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y_cents
+        |  FROM orders
+        |), g AS (
+        |  SELECT CAST(sum(y_cents) AS BIGINT) * 1000000 // count(*) AS gmean FROM b
+        |), c AS (
+        |  SELECT category, CAST(sum(y_cents) AS BIGINT) AS s_c,
+        |    CAST(count(*) AS BIGINT) AS n_c
+        |  FROM b GROUP BY 1
+        |)
+        |SELECT b.id, b.category, b.y_cents,
+        |  CAST((c.s_c * 1000000 + 10 * (SELECT gmean FROM g)) // (c.n_c + 10) AS BIGINT) AS enc_micro,
+        |  CAST(((c.s_c - b.y_cents) * 1000000 + 10 * (SELECT gmean FROM g)) // (c.n_c - 1 + 10) AS BIGINT) AS enc_loo_micro
+        |FROM b JOIN c USING (category) ORDER BY id""".stripMargin,
+
+    // power sums: order-free BIGINT aggregation, truncating integer mean,
+    // integer variance numerator — bit-identical in any engine
+    "corpus_moments" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS s1,
+        |  CAST(sum(n_chars * n_chars) AS BIGINT) AS s2,
+        |  CAST(sum(n_chars * n_chars * n_chars) AS BIGINT) AS s3,
+        |  CAST(sum(n_chars * n_chars * n_chars * n_chars) AS BIGINT) AS s4,
+        |  CAST(sum(n_chars) * 1000000 // count(*) AS BIGINT) AS mean_micro,
+        |  CAST(count(*) * sum(n_chars * n_chars) - sum(n_chars) * sum(n_chars) AS BIGINT) AS var_num
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
 
     "curation_k_anonymity" ->
       """SELECT lang, source, count(*) AS n_rows

@@ -104,6 +104,17 @@ private[graft] trait MultimodalQueries extends QueryHelpers {
       Multimodal.decodeWav(
         Multimodal.wavFixtures(spread(t(s, dir, "documents")), "doc_id"), "doc_id")
         .orderBy(col("doc_id"))
+    }),
+
+
+    "mm_resize_wav" -> ((s, dir) => {
+      // REAL audio downsampling to 4 kHz: nearest-frame decimation with the
+      // truncating-division source mapping (i*srcFrames div outFrames) —
+      // the oracle recomputes the decimated stats from the sample formula
+      // at the sampled frame indices
+      Multimodal.resampleWav(
+        Multimodal.wavFixtures(spread(t(s, dir, "documents")), "doc_id"), "doc_id")
+        .orderBy(col("doc_id"))
     }))
 
   protected def multimodalOracles: Map[String, String] = Map(
@@ -268,5 +279,38 @@ private[graft] trait MultimodalQueries extends QueryHelpers {
         |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
         |  CAST(sum(v * v) AS BIGINT) AS energy,
         |  CAST(sum(CASE WHEN ch = 0 THEN (i + 1) * v ELSE 0 END) AS BIGINT) AS wsum_c0
-        |FROM s GROUP BY 1, 2, 3, 4 ORDER BY doc_id""".stripMargin)
+        |FROM s GROUP BY 1, 2, 3, 4 ORDER BY doc_id""".stripMargin,
+
+
+    // decimation re-derived from the fixture formula at the SAMPLED frame
+    // indices: src(i) = i*src_frames // out_frames, out_frames =
+    // src_frames*4000 // src_rate (all fixture rates >= 8000, so out_rate
+    // is the 4 kHz target everywhere)
+    "mm_resize_wav" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        |    CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS src_rate,
+        |    CAST(64 + doc_id % 193 AS BIGINT) AS src_frames
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, channels, src_rate,
+        |    CAST(least(4000, src_rate) AS BIGINT) AS out_rate,
+        |    src_frames,
+        |    src_frames * least(4000, src_rate) // src_rate AS out_frames
+        |  FROM d
+        |), s AS (
+        |  SELECT g.doc_id, g.channels, g.src_rate, g.out_rate, g.src_frames,
+        |    g.out_frames, i.range AS i, c.range AS ch,
+        |    ((i.range * g.src_frames // g.out_frames) * (3 + c.range)
+        |      + g.doc_id * 11) % 4001 - 2000 AS v
+        |  FROM g CROSS JOIN range(0, 257) i CROSS JOIN range(0, 2) c
+        |  WHERE i.range < g.out_frames AND c.range < g.channels
+        |)
+        |SELECT doc_id, channels, src_rate, out_rate, src_frames,
+        |  CAST(out_frames AS BIGINT) AS out_frames,
+        |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+        |  CAST(sum(v * v) AS BIGINT) AS energy,
+        |  CAST(sum(CASE WHEN ch = 0 THEN (i + 1) * v ELSE 0 END) AS BIGINT) AS wsum_c0
+        |FROM s GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY doc_id""".stripMargin)
 }

@@ -1610,6 +1610,55 @@ class OperatorsSpec extends SparkSuite {
     assert(r.map(_.getAs[Long]("segment")).toSeq == Seq(333L, 222L, 111L))
   }
 
+  test("wavResample: identity at/above source rate, exact half-rate decimation") {
+    // stereo, 6 frames at 8 kHz; ch0 = 10,20,..,60, ch1 = negatives
+    val samples = Array[Short](10, -1, 20, -2, 30, -3, 40, -4, 50, -5, 60, -6)
+    val wav = Multimodal.wavEncode(8000, 2, samples)
+    // target >= source: outFrames == srcFrames and the stats equal decode's
+    val id = Multimodal.wavResample(wav, 8000)
+    val dec = Multimodal.wavDecode(wav)
+    assert(id.outRate == 8000 && id.outFrames == dec.nFrames)
+    assert(id.sumAbs == dec.sumAbs && id.energy == dec.energy && id.wsumC0 == dec.wsumC0)
+    // half rate: out frame i reads source frame i*6 div 3 = 0,2,4 — both
+    // channels of each kept frame, weights over OUTPUT indices
+    val half = Multimodal.wavResample(wav, 4000)
+    assert(half.outRate == 4000 && half.outFrames == 3)
+    assert(half.sumAbs == (10 + 1 + 30 + 3 + 50 + 5))
+    assert(half.energy == (100 + 1 + 900 + 9 + 2500 + 25))
+    assert(half.wsumC0 == 1 * 10 + 2 * 30 + 3 * 50)
+  }
+
+  test("powerSums: shard merge equals direct; targetEncode singleton decays to the prior") {
+    val df = docs.select($"lang", $"n_chars")
+    val direct = Features.powerSums(df, "lang", "n_chars")
+      .orderBy("lang").collect()
+    // power sums are component-wise addable: recompute from two hash shards
+    val a = Features.powerSums(df.filter(abs(hash($"n_chars")) % 2 === 0), "lang", "n_chars")
+    val b = Features.powerSums(df.filter(abs(hash($"n_chars")) % 2 === 1), "lang", "n_chars")
+    val merged = a.select($"lang", $"n", $"s1", $"s2", $"s3", $"s4")
+      .unionByName(b.select($"lang", $"n", $"s1", $"s2", $"s3", $"s4"))
+      .groupBy($"lang")
+      .agg(sum($"n").as("n"), sum($"s1").as("s1"), sum($"s2").as("s2"),
+        sum($"s3").as("s3"), sum($"s4").as("s4"))
+      .withColumn("mean_micro", expr("s1 * 1000000 div n"))
+      .withColumn("var_num", $"n" * $"s2" - $"s1" * $"s1")
+      .orderBy("lang").collect()
+    assert(direct.toSeq == merged.toSeq)
+
+    // target encoding: category A mean shrinks toward the prior; LOO of a
+    // singleton category IS the prior exactly
+    val t = Seq((1L, "A", 100L), (2L, "A", 200L), (3L, "B", 300L))
+      .toDF("id", "cat", "cents")
+    val e = Features.targetEncode(t, "id", "cat", $"cents", smoothing = 1L)
+      .orderBy("id").collect()
+    val gmean = 600L * 1000000L / 3L
+    assert(e(0).getAs[Long]("enc_micro") == (300L * 1000000L + gmean) / 3L)
+    // LOO for id=1 (y=100): remaining A obs is 200, prior 200 -> exactly 200
+    assert(e(0).getAs[Long]("enc_loo_micro") == 200L * 1000000L)
+    // singleton B: LOO denominator is m alone -> the prior
+    assert(e(2).getAs[Long]("enc_loo_micro") == gmean)
+  }
+
   test("zone compare: integral types compare exactly above 2^53, mixed widths widen to long") {
     val big = (1L << 53) + 1L // indistinguishable from 2^53 as a double
     assert(Layout.cmpAny(big, 1L << 53) > 0, "adjacent >2^53 longs must not compare equal")
