@@ -81,6 +81,37 @@ object Embeddings {
     * `floor(q_i * 127 / max|q_j| + 0.5)` (round-half-up; exact in both
     * engines). Output: (id, dim [1-based], q8, scale_q [the abs-max in 1e-6
     * units — the dequantization factor]). */
+  /** Upper-triangle covariance NUMERATORS of the quantized embedding cloud:
+    * per dimension pair (i ≤ j), `cov_num = n·Σx_i x_j − Σx_i·Σx_j` — the
+    * integer-exact, ORDER-FREE second-moment matrix that PCA/whitening/
+    * Mahalanobis-drift all consume (divide by n·(n−1) downstream for the
+    * unbiased covariance; keeping the integer numerator is what makes the
+    * matrix bit-portable AND mergeable: all three sums add component-wise
+    * across shards, the [[Features.powerSums]] pattern lifted to matrices).
+    *
+    * Shape: one posexplode, one self equi-join ON THE VECTOR ID (unique key
+    * — skew-free) with d² fanout per row, two aggregations. The d² blowup
+    * is inherent to a covariance, not the plan: at d=64 it is 2,080 pair
+    * terms per vector, output d(d+1)/2 rows total regardless of corpus
+    * size. Overflow: |q| ≤ Q ⇒ |cov_num| ≤ 2n²Q² — safe in BIGINT while
+    * n·Q < ~2·10⁹ (Q=10⁶ ⇒ n up to ~2000 per shard; merge shard numerators
+    * via their component sums beyond that). */
+  def covarianceNum(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val el = embs.select(col(idCol).as("id"),
+      posexplode(VectorFns.quantize(col(vecCol))).as(Seq("i", "x")))
+    val n = embs.count()
+    val dims = el.groupBy(col("i")).agg(sum(col("x")).as("s"))
+    val p = el
+      .join(el.select(col("id"), col("i").as("j"), col("x").as("y")), Seq("id"))
+      .filter(col("i") <= col("j"))
+      .groupBy(col("i"), col("j")).agg(sum(col("x") * col("y")).as("s_ij"))
+    p.join(broadcast(dims.select(col("i"), col("s").as("si"))), "i")
+      .join(broadcast(dims.select(col("i").as("j"), col("s").as("sj"))), "j")
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        lit(n).as("n"), col("s_ij"),
+        (lit(n) * col("s_ij") - col("si") * col("sj")).as("cov_num"))
+  }
+
   def quantizeInt8(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val q = embs.select(col(idCol), VectorFns.quantize(col(vecCol)).as("qv"))
       .withColumn("mq", array_max(transform(col("qv"), x => abs(x))))

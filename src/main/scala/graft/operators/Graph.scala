@@ -234,6 +234,42 @@ object Graph {
     cur.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
   }
 
+  /** `rounds` SYNCHRONOUS rounds of label propagation (community detection):
+    * every node starts labeled with its own id; each round it adopts the
+    * most frequent label among its neighbors, ties broken by SMALLEST label
+    * — fully deterministic, so a fixed round count is exactly
+    * oracle-checkable (asynchronous/randomized LPA is not). Communities
+    * emerge as labels flood dense regions; unlike
+    * [[Dedup.connectedComponents]] this does NOT converge to components —
+    * majority voting stops at sparse cuts.
+    *
+    * Scale shape per round: ONE equi-join of the node-sized label vector
+    * with the symmetrized edge list + two aggregations (neighbor-label
+    * counts, then per-node argmax via `min(struct(-count, label))` — a
+    * plain map-side-combinable aggregate, no window over the corpus). Edge
+    * relation persisted once; same per-round cost slot as [[pagerank]]. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "need at least one round")
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val adj = e0.union(e0.select(col("b").as("a"), col("a").as("b"))).distinct()
+      .select(col("a").as("v"), col("b").as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = adj.select(col("v").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to rounds) {
+      labels = adj
+        .join(labels.select(col("node").as("x"), col("label")), "x")
+        .groupBy(col("v"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("v"))
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("label"))).as("m"))
+        .select(col("v").as("node"), col("m.label").as("label"))
+    }
+    labels
+  }
+
   /** Link prediction over an undirected graph: for every NON-adjacent node
     * pair (a < b) sharing at least `minCommon` neighbors, the common-neighbor
     * count and the Adamic–Adar score Σ_w 1/ln(deg(w)) over the shared

@@ -38,4 +38,29 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bucket")
   }
+
+  /** Interval × interval OVERLAP join (genomics/session-overlap staple):
+    * pair every left interval `[lLo, lHi)` with every right interval
+    * `[rLo, rHi)` they intersect — again with NO equi key, so the same
+    * bucket rewrite applies with one extra twist: a pair of long intervals
+    * co-occupies MANY buckets, so the match is emitted only from the bucket
+    * containing `greatest(lLo, rLo)` (the overlap's start — exactly one
+    * bucket per pair, the standard distributed-interval-join dedup; no
+    * DISTINCT pass over the output). Replication factor `len/W + 1` per
+    * side; shuffle keyed by bucket; AQE-splittable hot buckets. */
+  def overlap(
+      left: DataFrame, lLoCol: String, lHiCol: String,
+      right: DataFrame, rLoCol: String, rHiCol: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def bucketOf(c: Column): Column = floor(c / bucketWidth).cast("long")
+    val l = left.withColumn(
+      "__bucket", explode(sequence(bucketOf(col(lLoCol)), bucketOf(col(lHiCol)))))
+    val r = right.withColumn(
+      "__bucket", explode(sequence(bucketOf(col(rLoCol)), bucketOf(col(rHiCol)))))
+    l.join(r, Seq("__bucket"))
+      .filter(col(lLoCol) < col(rHiCol) && col(rLoCol) < col(lHiCol))
+      .filter(col("__bucket") === bucketOf(greatest(col(lLoCol), col(rLoCol))))
+      .drop("__bucket")
+  }
 }

@@ -84,6 +84,19 @@ private[graft] trait GraphQueries extends QueryHelpers {
     }),
 
 
+    "graph_label_prop" -> ((s, dir) => {
+      // 2 synchronous rounds of deterministic label propagation over the
+      // supplier chord graph — community labels flood the chain from low
+      // ids; min-label tie-break makes the fixed-round state exact
+      val sk = t(s, dir, "supplier").select(col("s_suppkey").cast("long").as("k"))
+      val edges = sk.select(col("k").as("src"), (col("k") + 1).as("dst"))
+        .union(sk.select(col("k").as("src"), (col("k") + 2).as("dst")))
+        .join(sk.withColumnRenamed("k", "dst"), Seq("dst"), "left_semi")
+      graft.operators.Graph.labelPropagation(edges, "src", "dst", rounds = 2)
+        .orderBy(col("node"))
+    }),
+
+
     "graph_kcore" -> ((s, dir) => {
       // 3 rounds of k=3 core peeling over the same sparse chord graph as
       // graph_triangles: the chain unravels from its ends, so every round
@@ -250,6 +263,40 @@ private[graft] trait GraphQueries extends QueryHelpers {
         |SELECT CAST(na AS BIGINT) AS node_a, CAST(nb AS BIGINT) AS node_b,
         |  CAST(cn AS BIGINT) AS cn, CAST(aa_scaled AS BIGINT) AS aa_scaled
         |FROM pred ORDER BY node_a, node_b""".stripMargin,
+
+
+    // two unrolled LPA rounds: neighbor-label counts, argmax by
+    // (count DESC, label ASC) — the row_number twin of min(struct(-c,label))
+    "graph_label_prop" ->
+      """WITH sk AS (SELECT s_suppkey AS k FROM supplier),
+        |e0 AS (
+        |  SELECT k AS u, k + 1 AS v FROM sk WHERE k + 1 IN (SELECT k FROM sk)
+        |  UNION ALL
+        |  SELECT k AS u, k + 2 AS v FROM sk WHERE k + 2 IN (SELECT k FROM sk)
+        |),
+        |adj AS (SELECT DISTINCT u AS v, v AS x FROM e0
+        |        UNION SELECT v AS v, u AS x FROM e0),
+        |l0 AS (SELECT DISTINCT v AS node, v AS label FROM adj),
+        |c1 AS (
+        |  SELECT adj.v, l0.label, count(*) AS c
+        |  FROM adj JOIN l0 ON l0.node = adj.x GROUP BY 1, 2
+        |),
+        |l1 AS (
+        |  SELECT v AS node, label FROM (
+        |    SELECT v, label, row_number() OVER (PARTITION BY v ORDER BY c DESC, label) AS rn
+        |    FROM c1) q WHERE rn = 1
+        |),
+        |c2 AS (
+        |  SELECT adj.v, l1.label, count(*) AS c
+        |  FROM adj JOIN l1 ON l1.node = adj.x GROUP BY 1, 2
+        |),
+        |l2 AS (
+        |  SELECT v AS node, label FROM (
+        |    SELECT v, label, row_number() OVER (PARTITION BY v ORDER BY c DESC, label) AS rn
+        |    FROM c2) q WHERE rn = 1
+        |)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+        |FROM l2 ORDER BY node""".stripMargin,
 
 
     "graph_kcore" ->

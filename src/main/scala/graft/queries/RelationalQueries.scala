@@ -380,6 +380,29 @@ private[graft] trait RelationalQueries extends QueryHelpers {
     }),
 
 
+    "q30_interval_overlap" -> ((s, dir) => {
+      // interval x interval OVERLAP join with no equi key — supplier
+      // availability windows vs part demand windows, both derived
+      // arithmetically so the engines build identical intervals; bucketed
+      // into an equi-join, each pair emitted from exactly ONE bucket (the
+      // one holding the overlap's start), so no DISTINCT pass
+      val sup = t(s, dir, "supplier").select(
+        col("s_suppkey"),
+        ((col("s_suppkey") * 13) % 997).cast("double").as("s_lo"))
+        .withColumn("s_hi", col("s_lo") + lit(5.0) + (col("s_suppkey") % 23).cast("double"))
+      val prt = t(s, dir, "part").filter(col("p_partkey") < 500).select(
+        col("p_partkey"),
+        ((col("p_partkey") * 7) % 997).cast("double").as("p_lo"))
+        .withColumn("p_hi", col("p_lo") + lit(3.0) + (col("p_partkey") % 17).cast("double"))
+      graft.operators.RangeJoin.overlap(
+        sup, "s_lo", "s_hi", prt, "p_lo", "p_hi", bucketWidth = 16.0)
+        .select(col("s_suppkey"), col("p_partkey"),
+          greatest(col("s_lo"), col("p_lo")).as("ov_lo"),
+          least(col("s_hi"), col("p_hi")).as("ov_hi"))
+        .orderBy(col("s_suppkey"), col("p_partkey"))
+    }),
+
+
     "q17_urgent_revenue_bloom" -> ((s, dir) => {
       // semi-join reduction: the URGENT filter keeps ~20% of orders, so ~80%
       // of lineitem rows are dead on arrival at the join. BloomJoin builds a
@@ -729,6 +752,25 @@ private[graft] trait RelationalQueries extends QueryHelpers {
         |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
         |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY band_id ORDER BY band_id""".stripMargin,
+
+
+    // plain overlap predicate — the bucketed rewrite must be invisible
+    "q30_interval_overlap" ->
+      """WITH sup AS (
+        |  SELECT s_suppkey,
+        |    CAST((s_suppkey * 13) % 997 AS DOUBLE) AS s_lo,
+        |    CAST((s_suppkey * 13) % 997 AS DOUBLE) + 5.0 + CAST(s_suppkey % 23 AS DOUBLE) AS s_hi
+        |  FROM supplier
+        |), prt AS (
+        |  SELECT p_partkey,
+        |    CAST((p_partkey * 7) % 997 AS DOUBLE) AS p_lo,
+        |    CAST((p_partkey * 7) % 997 AS DOUBLE) + 3.0 + CAST(p_partkey % 17 AS DOUBLE) AS p_hi
+        |  FROM part WHERE p_partkey < 500
+        |)
+        |SELECT s_suppkey, p_partkey,
+        |  greatest(s_lo, p_lo) AS ov_lo, least(s_hi, p_hi) AS ov_hi
+        |FROM sup JOIN prt ON s_lo < p_hi AND p_lo < s_hi
+        |ORDER BY s_suppkey, p_partkey""".stripMargin,
 
 
     "q10_active_buyers_intersect" ->

@@ -195,6 +195,16 @@ private[graft] trait SimilarityQueries extends QueryHelpers {
 
 
     // --- embedding maintenance ---
+    "emb_covariance" -> ((s, dir) => {
+      // upper-triangle covariance numerators of the embedding cloud —
+      // the mergeable integer second-moment matrix PCA/whitening/
+      // Mahalanobis drift consume; d(d+1)/2 = 2080 output rows at d=64
+      graft.operators.Embeddings.covarianceNum(
+        spread(t(s, dir, "embeddings")), "vec_id", "embedding")
+        .orderBy(col("i"), col("j"))
+    }),
+
+
     "emb_normalized" -> ((s, dir) => {
       graft.operators.Embeddings
         .normalizedQ(spread(t(s, dir, "embeddings")), "vec_id", "embedding")
@@ -209,6 +219,29 @@ private[graft] trait SimilarityQueries extends QueryHelpers {
     }))
 
   protected def similarityOracles: Map[String, String] = Map(
+
+    // covariance numerators: three BIGINT sums combined n*s_ij - s_i*s_j —
+    // order-free, bit-identical; pairs via a 1-based-list index cross join
+    "emb_covariance" ->
+      """WITH q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), el AS (
+        |  SELECT vec_id, i.range AS i, qv[i.range + 1] AS x
+        |  FROM q CROSS JOIN range(0, 64) i
+        |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+        |m AS (SELECT i, CAST(sum(x) AS BIGINT) AS s FROM el GROUP BY 1),
+        |p AS (
+        |  SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS s_ij
+        |  FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY 1, 2
+        |)
+        |SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+        |  (SELECT n FROM nn) AS n, p.s_ij,
+        |  CAST((SELECT n FROM nn) * p.s_ij - ma.s * mb.s AS BIGINT) AS cov_num
+        |FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j
+        |ORDER BY i, j""".stripMargin,
+
 
     "emb_normalized" ->
       """WITH q AS (

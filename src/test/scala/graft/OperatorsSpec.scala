@@ -1659,6 +1659,53 @@ class OperatorsSpec extends SparkSuite {
     assert(e(2).getAs[Long]("enc_loo_micro") == gmean)
   }
 
+  test("labelPropagation: triangles converge to min label, disjoint components stay apart") {
+    val tri2 = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("src", "dst")
+    val l = Graph.labelPropagation(tri2, "src", "dst", rounds = 2)
+      .orderBy("node").collect()
+    assert(l.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L), (12L, 10L)))
+    // deterministic: a rerun is bit-identical
+    val l2 = Graph.labelPropagation(tri2, "src", "dst", rounds = 2)
+      .orderBy("node").collect()
+    assert(l.toSeq == l2.toSeq)
+  }
+
+  test("covarianceNum: hand 2x2 case, diagonal equals per-dim power-sum numerator") {
+    val vs = Seq((1L, Seq(1e-6f, 2e-6f)), (2L, Seq(3e-6f, 4e-6f)))
+      .toDF("vec_id", "embedding")
+    val c = Embeddings.covarianceNum(vs, "vec_id", "embedding")
+      .orderBy("i", "j").collect()
+    // quantized vectors are [1,2] and [3,4]: n*s_ij - s_i*s_j
+    assert(c.map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("cov_num"))).toSeq ==
+      Seq((0L, 0L, 4L), (0L, 1L, 4L), (1L, 1L, 4L)))
+    // diagonal must agree with the power-sum variance numerator per dim
+    val el = vs.select(posexplode(VectorFns.quantize(col("embedding"))).as(Seq("i", "x")))
+    val ps = Features.powerSums(el, "i", "x").orderBy("i").collect()
+    val diag = c.filter(r => r.getLong(0) == r.getLong(1)).map(_.getAs[Long]("cov_num"))
+    assert(ps.map(_.getAs[Long]("var_num")).toSeq == diag.toSeq)
+  }
+
+  test("overlap join equals the naive predicate, one row per pair even across many buckets") {
+    val a = Seq((1L, 0.0, 100.0), (2L, 10.0, 12.0), (3L, 200.0, 210.0))
+      .toDF("aid", "alo", "ahi")
+    val b = Seq((10L, 50.0, 150.0), (11L, 11.0, 11.5), (12L, 100.0, 120.0), (13L, 210.0, 220.0))
+      .toDF("bid", "blo", "bhi")
+    val got = RangeJoin.overlap(a, "alo", "ahi", b, "blo", "bhi", bucketWidth = 7.0)
+      .select("aid", "bid").orderBy("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = a.crossJoin(b)
+      .filter(col("alo") < col("bhi") && col("blo") < col("ahi"))
+      .select("aid", "bid").orderBy("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // interval 1 spans ~15 buckets and interval 10 ~15 — the pair still
+    // emits exactly once; [100,120) vs [0,100) touch but do NOT overlap;
+    // [200,210) vs [210,220) likewise
+    assert(got == want)
+    assert(want == Seq((1L, 10L), (1L, 11L), (2L, 11L)))
+  }
+
   test("zone compare: integral types compare exactly above 2^53, mixed widths widen to long") {
     val big = (1L << 53) + 1L // indistinguishable from 2^53 as a double
     assert(Layout.cmpAny(big, 1L << 53) > 0, "adjacent >2^53 longs must not compare equal")

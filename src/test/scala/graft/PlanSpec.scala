@@ -503,6 +503,10 @@ class PlanSpec extends SparkSuite {
     // equi-joins — no cartesian, no nested-loop anywhere
     val pl = plan(SparkEntry.queries("graph_common_neighbors")(spark, sfDir))
     assert(!pl.contains("CartesianProduct") && !pl.contains("BroadcastNestedLoopJoin"), pl)
+    // interval-overlap join: the bucket rewrite must leave NO nested-loop —
+    // the naive overlap predicate alone would plan a BNLJ
+    val po = plan(SparkEntry.queries("q30_interval_overlap")(spark, sfDir))
+    assert(!po.contains("CartesianProduct") && !po.contains("BroadcastNestedLoopJoin"), po)
   }
 
   test("pagerank/ppr iterations reuse the persisted edge partitioning — one Exchange per round") {
