@@ -329,6 +329,43 @@ object Behavior {
     * aggregate, one O(1) anchor aggregate, one 6-threshold aggregate over
     * the user-count-sized relation, then a scan-speed projection — no
     * window, no global sort, user-partitioned all the way. */
+  /** Seasonal-naive forecast anomaly monitor: hourly event volumes vs the
+    * SAME HOUR YESTERDAY (the zero-parameter forecast every monitoring stack
+    * starts from), flagged when the forecast error leaves a robust
+    * median ± k·MAD band. `flag` is SIGNED (+1 surge / −1 drop — the
+    * hourlySpikes lesson: an outage must not look like a surge).
+    *
+    * Exactness: counts are integers, the error stream is BIGINT, and the
+    * band is the [[valueMad]] doubled-median trick (`err·2` vs `median_x2`,
+    * `mad_x2`) so every percentile runs on BIGINT inputs and the strict `>`
+    * band test is engine-portable — no double anywhere.
+    *
+    * Shape: one hour-truncated aggregate (map-side combinable), one
+    * self-join shifted by `INTERVAL 1 DAY` on the hour key, one O(hours)
+    * percentile aggregate. Hours with zero events are absent from both the
+    * actual and the shifted side — consistent in any engine. */
+  def forecastAnomaly(events: DataFrame, tsCol: String, k: Long = 3L): DataFrame = {
+    val hours = events
+      .groupBy(date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val shifted = hours.select(
+      (col("hour") + expr("INTERVAL 1 DAY")).as("hour"),
+      col("n_events").as("forecast"))
+    val err = hours.join(shifted, "hour")
+      .withColumn("err", col("n_events") - col("forecast"))
+    val band = err.agg(
+      expr("percentile(err * 2, 0.5)").cast("long").as("median_x2")).head()
+    val medianX2 = band.getLong(0)
+    val mad = err.agg(
+      expr(s"percentile(abs(err * 2 - $medianX2), 0.5)").cast("long").as("mad_x2")).head()
+    val madX2 = mad.getLong(0)
+    err.select(col("hour"), col("n_events"), col("forecast"), col("err"),
+      lit(medianX2).as("median_x2"), lit(madX2).as("mad_x2"),
+      when(col("err") * 2 - lit(medianX2) > lit(k) * lit(madX2), 1L)
+        .when(lit(medianX2) - col("err") * 2 > lit(k) * lit(madX2), -1L)
+        .otherwise(0L).as("flag"))
+  }
+
   def rfm(events: DataFrame, userCol: String, tsCol: String, valueCol: String): DataFrame = {
     val anchor = events.agg(max(unix_micros(col(tsCol)))).head().getLong(0)
     val perUser = events

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Retrieval/ranking evaluation operators — the harness that answers "how
@@ -61,5 +62,36 @@ object Eval {
       .withColumn("tau",
         (col("concordant") - col("discordant")).cast("double")
           / col("n_pairs").cast("double"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. SIGIR'09) of two per-query
+    * rankings — the standard hybrid-retrieval combiner (BM25 ⊕ dense, full
+    * ⊕ compressed): each list contributes `1/(k + rank)` for the items it
+    * holds, fused score = the sum, re-ranked. Here the contribution is the
+    * INTEGER `10¹² div (k + rank)`, so the fused score is an order-free
+    * integer sum — ties broken by item id — and the fused ranking is
+    * bit-identical across engines.
+    *
+    * Shape: one full-outer equi-join on (query, item) — candidate lists,
+    * never the corpus — and a window over ≤ |A|+|B| rows per query.
+    * Items missing from a list contribute nothing (coalesce 0), the
+    * defined RRF behavior. */
+  def rrfFuse(a: DataFrame, b: DataFrame,
+      qCol: String, itemCol: String, rankCol: String,
+      kConst: Long = 60L, topK: Int = 10): DataFrame = {
+    require(kConst >= 1 && topK >= 1, "kConst and topK must be positive")
+    val l = a.select(col(qCol).as("query_id"), col(itemCol).as("item"),
+      col(rankCol).cast("long").as("ra"))
+    val r = b.select(col(qCol).as("query_id"), col(itemCol).as("item"),
+      col(rankCol).cast("long").as("rb"))
+    val fused = l.join(r, Seq("query_id", "item"), "full_outer")
+      .select(col("query_id"), col("item"),
+        (coalesce(expr(s"1000000000000 div ($kConst + ra)"), lit(0L))
+          + coalesce(expr(s"1000000000000 div ($kConst + rb)"), lit(0L))).as("rrf_scaled"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_scaled").desc, col("item").asc)
+    fused.withColumn("fused_rank", row_number().over(w))
+      .filter(col("fused_rank") <= topK)
+      .select(col("query_id"), col("fused_rank"), col("item"), col("rrf_scaled"))
   }
 }

@@ -19,6 +19,14 @@ private[graft] trait EventsQueries extends QueryHelpers {
 
   protected def eventsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "events_forecast_anomaly" -> ((s, dir) => {
+      // seasonal-naive monitoring: hourly volume vs the same hour yesterday,
+      // flagged outside a robust median ± 3·MAD band (all-BIGINT x2 trick);
+      // signed flags — a drop is not a surge
+      graft.operators.Behavior.forecastAnomaly(events(s, dir), "ts")
+        .orderBy(col("hour"))
+    }),
+
     "events_rfm" -> ((s, dir) => {
       // RFM customer-value segmentation: per-user recency/frequency/monetary
       // metrics scored 1-3 by BIGINT tertiles (bit-exact percentiles),
@@ -194,6 +202,31 @@ private[graft] trait EventsQueries extends QueryHelpers {
     }))
 
   protected def eventsOracles: Map[String, String] = Map(
+
+    // seasonal-naive band: err stream BIGINT, doubled-median/MAD trick so
+    // every quantile runs on integers; strict > band test on both engines
+    "events_forecast_anomaly" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1
+        |), e AS (
+        |  SELECT a.hour, a.n_events, f.n_events AS forecast,
+        |    a.n_events - f.n_events AS err
+        |  FROM h a JOIN h f ON a.hour = f.hour + INTERVAL 1 DAY
+        |), band AS (
+        |  SELECT CAST(quantile_cont(err * 2, 0.5) AS BIGINT) AS median_x2 FROM e
+        |), madt AS (
+        |  SELECT CAST(quantile_cont(abs(err * 2 - (SELECT median_x2 FROM band)), 0.5) AS BIGINT) AS mad_x2
+        |  FROM e
+        |)
+        |SELECT hour, n_events, forecast, err,
+        |  (SELECT median_x2 FROM band) AS median_x2,
+        |  (SELECT mad_x2 FROM madt) AS mad_x2,
+        |  CAST(CASE
+        |    WHEN err * 2 - (SELECT median_x2 FROM band) > 3 * (SELECT mad_x2 FROM madt) THEN 1
+        |    WHEN (SELECT median_x2 FROM band) - err * 2 > 3 * (SELECT mad_x2 FROM madt) THEN -1
+        |    ELSE 0 END AS BIGINT) AS flag
+        |FROM e ORDER BY hour""".stripMargin,
 
     // RFM: all three metrics BIGINT, tertile thresholds via quantile_cont
     // (bit-parity with Spark percentile on BIGINT), strict > assignment

@@ -195,6 +195,24 @@ private[graft] trait SimilarityQueries extends QueryHelpers {
 
 
     // --- embedding maintenance ---
+    "eval_rrf_fusion" -> ((s, dir) => {
+      // hybrid-retrieval rank fusion: RRF of the full-dim cosine top-10 and
+      // the prefix-16-dim (matryoshka) cosine top-10 — integer 1e12 div
+      // (60+rank) contributions, full-outer on the candidate lists, fused
+      // re-rank; the standard dense ⊕ cheap combiner made oracle-exact
+      import graft.operators.{Eval, Similarity}
+      val embs = spread(t(s, dir, "embeddings"))
+      val queries = embs.filter(col("vec_id") < 20)
+      val full = Similarity.bruteForceKnn(embs, queries, "vec_id", "embedding", 10)
+      val pre = Similarity.bruteForceKnn(
+        embs.withColumn("embedding", slice(col("embedding"), 1, 16)),
+        queries.withColumn("embedding", slice(col("embedding"), 1, 16)),
+        "vec_id", "embedding", 10)
+      Eval.rrfFuse(full, pre, "query_id", "neighbor_id", "rank")
+        .orderBy(col("query_id"), col("fused_rank"))
+    }),
+
+
     "emb_covariance" -> ((s, dir) => {
       // upper-triangle covariance numerators of the embedding cloud —
       // the mergeable integer second-moment matrix PCA/whitening/
@@ -219,6 +237,50 @@ private[graft] trait SimilarityQueries extends QueryHelpers {
     }))
 
   protected def similarityOracles: Map[String, String] = Map(
+
+    // RRF: both rankings re-derived (full-dim and prefix-16 brute cosine),
+    // fused via integer 1e12 // (60+rank) sums, item-id tie-break
+    "eval_rrf_fusion" ->
+      """WITH q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, qv, list_sum([x*x FOR x IN qv]) AS n2 FROM q
+        |), fr AS (
+        |  SELECT query_id, neighbor_id, rank FROM (
+        |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |        CAST(list_sum([a.qv[i] * b.qv[i] FOR i IN range(1, len(a.qv) + 1)]) AS DOUBLE)
+        |          / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) DESC, b.vec_id) AS rank
+        |    FROM n a CROSS JOIN n b
+        |    WHERE a.vec_id < 20 AND a.vec_id != b.vec_id) z WHERE rank <= 10
+        |), pn AS (
+        |  SELECT vec_id, qv[1:16] AS pq, list_sum([x*x FOR x IN qv[1:16]]) AS pn2 FROM q
+        |), pr AS (
+        |  SELECT query_id, neighbor_id, rank FROM (
+        |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |        CAST(list_sum([a.pq[i] * b.pq[i] FOR i IN range(1, len(a.pq) + 1)]) AS DOUBLE)
+        |          / (sqrt(CAST(a.pn2 AS DOUBLE)) * sqrt(CAST(b.pn2 AS DOUBLE))) DESC, b.vec_id) AS rank
+        |    FROM pn a CROSS JOIN pn b
+        |    WHERE a.vec_id < 20 AND a.vec_id != b.vec_id) z WHERE rank <= 10
+        |), f AS (
+        |  SELECT coalesce(fr.query_id, pr.query_id) AS query_id,
+        |    coalesce(fr.neighbor_id, pr.neighbor_id) AS item,
+        |    coalesce(1000000000000 // (60 + fr.rank), 0)
+        |      + coalesce(1000000000000 // (60 + pr.rank), 0) AS rrf_scaled
+        |  FROM fr FULL OUTER JOIN pr
+        |    ON fr.query_id = pr.query_id AND fr.neighbor_id = pr.neighbor_id
+        |), ranked AS (
+        |  SELECT query_id, item, rrf_scaled,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY rrf_scaled DESC, item) AS fused_rank
+        |  FROM f
+        |)
+        |SELECT query_id, CAST(fused_rank AS BIGINT) AS fused_rank, item,
+        |  CAST(rrf_scaled AS BIGINT) AS rrf_scaled
+        |FROM ranked WHERE fused_rank <= 10
+        |ORDER BY query_id, fused_rank""".stripMargin,
+
 
     // covariance numerators: three BIGINT sums combined n*s_ij - s_i*s_j —
     // order-free, bit-identical; pairs via a 1-based-list index cross join

@@ -1706,6 +1706,38 @@ class OperatorsSpec extends SparkSuite {
     assert(want == Seq((1L, 10L), (1L, 11L), (2L, 11L)))
   }
 
+  test("rrfFuse: item in both lists outranks single-list items, missing list contributes 0") {
+    val a = Seq((1L, 100L, 1), (1L, 200L, 2)).toDF("q", "item", "rank")
+    val b = Seq((1L, 200L, 1), (1L, 300L, 2)).toDF("q", "item", "rank")
+    val f = Eval.rrfFuse(a, b, "q", "item", "rank")
+      .orderBy("fused_rank").collect()
+    // item 200 appears in both lists (ranks 2 and 1): 1e12/62 + 1e12/61
+    assert(f.map(r => (r.getInt(1), r.getLong(2))).toSeq ==
+      Seq((1, 200L), (2, 100L), (3, 300L)))
+    assert(f(0).getAs[Long]("rrf_scaled") ==
+      1000000000000L / 62 + 1000000000000L / 61)
+    assert(f(1).getAs[Long]("rrf_scaled") == 1000000000000L / 61)
+    assert(f(2).getAs[Long]("rrf_scaled") == 1000000000000L / 62)
+  }
+
+  test("forecastAnomaly: signed flags against the same-hour-yesterday baseline") {
+    val ts = (d: Int, h: Int) => java.sql.Timestamp.valueOf(f"2024-01-0$d $h%02d:30:00")
+    val day1 = Seq(5, 5, 22, 5)
+    val day2 = Seq(5, 40, 2, 5)
+    val rows = (for {
+      (c, h) <- day1.zipWithIndex; i <- 1 to c
+    } yield (i.toLong, ts(1, h))) ++ (for {
+      (c, h) <- day2.zipWithIndex; i <- 1 to c
+    } yield (i.toLong, ts(2, h)))
+    val ev = rows.toDF("event_id", "ts")
+    // errs x2 = {0, 70, -40, 0} -> median_x2 0, mad_x2 20; k=1 band = 20
+    val r = Behavior.forecastAnomaly(ev, "ts", k = 1L).orderBy("hour").collect()
+    assert(r.map(_.getAs[Long]("err")).toSeq == Seq(0L, 35L, -20L, 0L))
+    assert(r.map(_.getAs[Long]("flag")).toSeq == Seq(0L, 1L, -1L, 0L))
+    assert(r.forall(_.getAs[Long]("median_x2") == 0L))
+    assert(r.forall(_.getAs[Long]("mad_x2") == 20L))
+  }
+
   test("zone compare: integral types compare exactly above 2^53, mixed widths widen to long") {
     val big = (1L << 53) + 1L // indistinguishable from 2^53 as a double
     assert(Layout.cmpAny(big, 1L << 53) > 0, "adjacent >2^53 longs must not compare equal")
