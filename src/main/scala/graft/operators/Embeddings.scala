@@ -112,6 +112,43 @@ object Embeddings {
         (lit(n) * col("s_ij") - col("si") * col("sj")).as("cov_num"))
   }
 
+  /** Top principal direction by FIXED-POINT power iteration over the
+    * [[covarianceNum]] matrix — the PCA step embedding pipelines use for
+    * whitening, ABTT ("all-but-the-top" common-direction removal) and
+    * anisotropy diagnostics. Every round is v ← C·v with ∞-norm
+    * renormalization, all in truncating integer arithmetic: matrix entries
+    * are `cov_num div 10⁹`, the matvec accumulates `c·v div 10⁶`-scaled
+    * longs (order-free sum), and the new vector is `u·10⁶ div max|u|` — so
+    * a fixed round count starting from the all-ones vector is a pure
+    * function of the data, bit-identical across engines (no sign ambiguity:
+    * the start vector is fixed, no random init).
+    *
+    * Shape: the covariance relation is d²-sized METADATA (4,096 rows at
+    * d=64) independent of corpus size — the corpus is touched once by
+    * [[covarianceNum]]; each round is one equi-join + one aggregation over
+    * d² rows plus an O(1) max collect. Convergence is the standard power-
+    * method ratio; `rounds` trades accuracy for unrolled-oracle length. */
+  def pcaPower(embs: DataFrame, idCol: String, vecCol: String,
+      rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, "need at least one round")
+    val upper = covarianceNum(embs, idCol, vecCol)
+      .select(col("i"), col("j"), expr("cov_num div 1000000000").as("c"))
+    val cov = upper.union(
+      upper.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("c")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var v = cov.select(col("j")).distinct().select(col("j"), lit(1000000L).as("v"))
+    for (_ <- 1 to rounds) {
+      val u = cov.join(v, "j")
+        .groupBy(col("i")).agg(sum(expr("c * v")).as("s"))
+        .select(col("i"), expr("s div 1000000").as("u"))
+      val m = u.agg(max(abs(col("u")))).head().getLong(0)
+      require(m > 0, "zero covariance matrix — no principal direction")
+      v = u.select(col("i").as("j"), expr(s"u * 1000000 div $m").as("v"))
+    }
+    v.select(col("j").cast("long").as("dim"), col("v").as("v_scaled"))
+  }
+
   def quantizeInt8(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val q = embs.select(col(idCol), VectorFns.quantize(col(vecCol)).as("qv"))
       .withColumn("mq", array_max(transform(col("qv"), x => abs(x))))

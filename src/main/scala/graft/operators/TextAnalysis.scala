@@ -96,6 +96,40 @@ object TextAnalysis {
       .orderBy(col("doc_freq").desc, col("gram"))
       .limit(k)
 
+  /** Bigram language model: conditional next-word table
+    * `P(w2|w1) = c(w1,w2) div c(w1)` in 1e-6 fixed point, restricted to the
+    * top-`topK` successors per head word — the Markov-chain upgrade of
+    * [[lmFitScore]]'s unigram model, and the table behind next-word
+    * suggestion / corpus-predictability diagnostics. Counts occurrences
+    * (not document frequency): every adjacent token pair counts.
+    *
+    * Shape: pairs come from `zip_with` of two slices (the lambda touches
+    * only its own arguments — no outer-expression re-evaluation, the
+    * wordNgrams O(n²) trap documented in DEVNOTES), then explode →
+    * map-side-combined count → per-head top-k through WindowGroupLimit
+    * (fanout per head bounded by vocabulary, never corpus). `c1` is derived
+    * from the pair counts, so heads are words WITH a successor — exactly
+    * the conditioning events of the model. */
+  def bigramLm(docs: DataFrame, textCol: String, topK: Int = 3): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    val toks = TextFns.tokens(col(textCol))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val pairsArr = zip_with(
+      slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+      (x, y) => struct(x.as("w1"), y.as("w2")))
+    val c12 = docs.select(explode(pairsArr).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w1")).orderBy(col("c12").desc, col("w2").asc)
+    c12.join(c1, "w1")
+      .withColumn("p_micro", expr("c12 * 1000000 div c1"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("w1"), col("rnk"), col("w2"), col("c12"), col("c1"), col("p_micro"))
+  }
+
   /** Repetition quality signal (the "duplicate n-gram fraction" used to flag
     * boilerplate/spam in corpus filtering): share of a document's word
     * bigrams that are repeats of an earlier bigram. All-integer counts and

@@ -140,6 +140,14 @@ private[graft] trait TextQueries extends QueryHelpers {
       TextAnalysis.topkNgrams(spread(t(s, dir, "documents")), "text", n = 3, k = 20)
     }),
 
+    "text_bigram_lm" -> ((s, dir) => {
+      // bigram next-word table: P(w2|w1) in 1e-6 fixed point over adjacent
+      // token pairs, top-3 successors per head via WindowGroupLimit — the
+      // Markov upgrade of the unigram corpus-fit model
+      TextAnalysis.bigramLm(spread(t(s, dir, "documents")), "text", topK = 3)
+        .orderBy(col("w1"), col("rnk"))
+    }),
+
     "text_inverted_postings" -> ((s, dir) => {
       // IR posting lists: per-token df + the 10 smallest doc ids, the head
       // cap pushed into the sort via WindowGroupLimit (never a full
@@ -573,6 +581,29 @@ private[graft] trait TextQueries extends QueryHelpers {
         |)
         |SELECT gram, count(*) AS doc_freq FROM g
         |GROUP BY gram ORDER BY doc_freq DESC, gram LIMIT 20""".stripMargin,
+
+    // adjacent pairs via the r7 list-comprehension pairing; c1 derived from
+    // the pair counts (heads = words WITH a successor); p in 1e-6 fixed point
+    "text_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), g AS (
+        |  SELECT unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS gram
+        |  FROM toks
+        |), pp AS (
+        |  SELECT string_split(gram, ' ')[1] AS w1, string_split(gram, ' ')[2] AS w2 FROM g
+        |), c12 AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM pp GROUP BY 1, 2
+        |), c1 AS (
+        |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1
+        |), r AS (
+        |  SELECT c12.w1, c12.w2, c12.c12, c1.c1,
+        |    CAST(c12.c12 * 1000000 // c1.c1 AS BIGINT) AS p_micro,
+        |    row_number() OVER (PARTITION BY c12.w1 ORDER BY c12.c12 DESC, c12.w2) AS rnk
+        |  FROM c12 JOIN c1 USING (w1)
+        |)
+        |SELECT w1, rnk, w2, c12, c1, p_micro
+        |FROM r WHERE rnk <= 3 ORDER BY w1, rnk""".stripMargin,
 
     "text_inverted_postings" ->
       """WITH dt AS (

@@ -1738,6 +1738,38 @@ class OperatorsSpec extends SparkSuite {
     assert(r.forall(_.getAs[Long]("mad_x2") == 20L))
   }
 
+  test("pcaPower: principal direction locks onto the dominant-variance dimension") {
+    // dim 0 swings ±0.4, the rest jitter at ±0.001 — the top component
+    // must saturate on dim 0 (|v| = the 1e6 norm cap) and stay tiny off it
+    val rows = (0 until 40).map { k =>
+      val sign = if (k % 2 == 0) 1.0f else -1.0f
+      (k.toLong, Seq(0.4f * sign, 0.001f * ((k % 3) - 1), 0.001f * ((k % 5) - 2)))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val v = Embeddings.pcaPower(df, "vec_id", "embedding", rounds = 2)
+      .orderBy("dim").collect()
+    assert(v.length == 3)
+    assert(math.abs(v(0).getAs[Long]("v_scaled")) == 1000000L)
+    assert(math.abs(v(1).getAs[Long]("v_scaled")) < 50000L)
+    assert(math.abs(v(2).getAs[Long]("v_scaled")) < 50000L)
+    // fixed start + fixed rounds => bit-identical rerun
+    val v2 = Embeddings.pcaPower(df, "vec_id", "embedding", rounds = 2)
+      .orderBy("dim").collect()
+    assert(v.toSeq == v2.toSeq)
+  }
+
+  test("bigramLm: hand corpus counts, conditional fixed point, per-head top-k") {
+    val d = Seq((1L, "a b a b c"), (2L, "b c")).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramLm(d, "text", topK = 3)
+      .orderBy("w1", "rnk").collect()
+    // pairs: (a,b)x2, (b,a)x1, (b,c)x2 -> heads a (c1=2), b (c1=3)
+    assert(r.map(x => (x.getString(0), x.getInt(1), x.getString(2),
+      x.getLong(3), x.getLong(4), x.getLong(5))).toSeq == Seq(
+      ("a", 1, "b", 2L, 2L, 1000000L),
+      ("b", 1, "c", 2L, 3L, 666666L),
+      ("b", 2, "a", 1L, 3L, 333333L)))
+  }
+
   test("zone compare: integral types compare exactly above 2^53, mixed widths widen to long") {
     val big = (1L << 53) + 1L // indistinguishable from 2^53 as a double
     assert(Layout.cmpAny(big, 1L << 53) > 0, "adjacent >2^53 longs must not compare equal")
