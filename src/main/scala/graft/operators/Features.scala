@@ -158,6 +158,32 @@ object Features {
           .as("enc_loo_micro"))
   }
 
+  /** Ordinary-least-squares fit over BIGINT (x, y) pairs, entirely in
+    * integer arithmetic: ONE aggregation collects the five power sums, then
+    * `slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)` and the intercept are
+    * emitted as 1e-6 fixed-point truncating divisions — a regression whose
+    * coefficients hash-match across engines. Feed it quantized-ln columns
+    * and it fits power laws (Zipf slope, Heaps exponent, scaling-law
+    * diagnostics) with zero engine-specific float behavior.
+    *
+    * Shape: one map-side-combinable aggregate over the pair stream; output
+    * is ONE row. Overflow (hard worst-case, uncentered): |x|,|y| ≤ M ⇒ the
+    * 1e6-scaled slope numerator is bounded by n²M²·10⁶ — BIGINT-safe while
+    * n·M < ~3·10⁶. Quantize ln inputs at 1e-3 (M ≈ 10⁴), not 1e-6, and fit
+    * aggregate-then-fit relations (rank/frequency tables), not raw corpora.
+    * Degenerate x (all equal) yields a NULL slope rather than a division
+    * error. */
+  def linearFit(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    df.agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * x).as("sxx"), sum(x * y).as("sxy"))
+      .withColumn("slope_micro",
+        expr("(n * sxy - sx * sy) * 1000000 div nullif(n * sxx - sx * sx, 0)"))
+      .withColumn("intercept_micro",
+        expr("(sy * 1000000 - slope_micro * sx) div n"))
+  }
+
   def kAnonymityViolations(df: DataFrame, quasiIdCols: Seq[String], k: Long): DataFrame =
     df.groupBy(quasiIdCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"))

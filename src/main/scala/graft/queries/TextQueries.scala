@@ -140,6 +140,24 @@ private[graft] trait TextQueries extends QueryHelpers {
       TextAnalysis.topkNgrams(spread(t(s, dir, "documents")), "text", n = 3, k = 20)
     }),
 
+    "text_zipf_slope" -> ((s, dir) => {
+      // Zipf power-law health check: rank-frequency table, ln-ln INTEGER
+      // least squares (1e-3-quantized lns keep the OLS numerators in
+      // BIGINT) — slope ≈ -1 for natural text, drifting slopes flag
+      // synthetic/boilerplate corpora. The global window runs over the
+      // VOCABULARY relation, never the corpus.
+      import org.apache.spark.sql.expressions.Window
+      val freq = spread(t(s, dir, "documents"))
+        .select(explode(TextFns.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      val ranked = freq.select(col("freq"),
+        row_number().over(Window.orderBy(col("freq").desc, col("token"))).as("rank"))
+      val pts = ranked.select(
+        floor(log(col("rank").cast("double")) * 1000 + lit(0.5)).cast("long").as("qx"),
+        floor(log(col("freq").cast("double")) * 1000 + lit(0.5)).cast("long").as("qy"))
+      graft.operators.Features.linearFit(pts, "qx", "qy")
+    }),
+
     "text_bigram_lm" -> ((s, dir) => {
       // bigram next-word table: P(w2|w1) in 1e-6 fixed point over adjacent
       // token pairs, top-3 successors per head via WindowGroupLimit — the
@@ -581,6 +599,33 @@ private[graft] trait TextQueries extends QueryHelpers {
         |)
         |SELECT gram, count(*) AS doc_freq FROM g
         |GROUP BY gram ORDER BY doc_freq DESC, gram LIMIT 20""".stripMargin,
+
+    // integer OLS re-derived inline: same five power sums, same truncating
+    // fixed-point slope/intercept; lns quantized 1e-3 before any sum
+    "text_zipf_slope" ->
+      """WITH f AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |    FROM documents) z
+        |  GROUP BY 1
+        |), r AS (
+        |  SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rank FROM f
+        |), p AS (
+        |  SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS qx,
+        |         CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS qy
+        |  FROM r
+        |), s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(qx) AS BIGINT) AS sx,
+        |    CAST(sum(qy) AS BIGINT) AS sy, CAST(sum(qx * qx) AS BIGINT) AS sxx,
+        |    CAST(sum(qx * qy) AS BIGINT) AS sxy
+        |  FROM p
+        |)
+        |SELECT n, sx, sy, sxx, sxy,
+        |  CAST((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx) AS BIGINT) AS slope_micro,
+        |  CAST((sy * 1000000
+        |      - ((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx)) * sx) // n AS BIGINT)
+        |    AS intercept_micro
+        |FROM s""".stripMargin,
 
     // adjacent pairs via the r7 list-comprehension pairing; c1 derived from
     // the pair counts (heads = words WITH a successor); p in 1e-6 fixed point

@@ -1770,6 +1770,20 @@ class OperatorsSpec extends SparkSuite {
       ("b", 2, "a", 1L, 3L, 333333L)))
   }
 
+  test("linearFit: exact line recovered, noisy fit truncates, degenerate x yields NULL") {
+    val exact = Seq((1L, 5L), (2L, 7L), (3L, 9L), (10L, 23L)).toDF("x", "y")
+    val e = Features.linearFit(exact, "x", "y").collect()(0)
+    assert(e.getAs[Long]("slope_micro") == 2000000L)
+    assert(e.getAs[Long]("intercept_micro") == 3000000L)
+    // slope 1/2 truncates toward zero in fixed point: 500000
+    val half = Seq((0L, 0L), (2L, 1L), (4L, 2L)).toDF("x", "y")
+    assert(Features.linearFit(half, "x", "y").collect()(0)
+      .getAs[Long]("slope_micro") == 500000L)
+    // all-equal x: denominator 0 -> NULL slope, no crash
+    val degen = Seq((1L, 1L), (1L, 2L)).toDF("x", "y")
+    assert(Features.linearFit(degen, "x", "y").collect()(0).isNullAt(5))
+  }
+
   test("zone compare: integral types compare exactly above 2^53, mixed widths widen to long") {
     val big = (1L << 53) + 1L // indistinguishable from 2^53 as a double
     assert(Layout.cmpAny(big, 1L << 53) > 0, "adjacent >2^53 longs must not compare equal")

@@ -40,8 +40,12 @@ class ScaleSpec extends SparkSuite {
   // runs a kernel over the distinct vocabulary, k-core iterates semi-joins;
   // round 10 adds the winnow fingerprint self-join (df-banded postings —
   // the maxDf² bound must hold empirically, not just in prose)
+  // round-10 session 2 adds the covariance self-join (d² per-vector fanout
+  // must stay corpus-LINEAR) and link prediction (wedge fanout through
+  // intermediates — the maxDeg·|E| bound on a constant-degree graph)
   for (q <- Seq("basket_part_pairs", "text_token_pmi", "dedup_spans", "graph_triangles",
-      "knn_pq", "text_bpe_encode", "graph_kcore", "dedup_winnow_pairs"))
+      "knn_pq", "text_bpe_encode", "graph_kcore", "dedup_winnow_pairs",
+      "emb_covariance", "graph_common_neighbors"))
     test(s"$q wall-time grows at most ~linearly from sf0.01 to sf0.1") {
       run(q, small) // warmup: codegen + JIT + class-load outside the clock
       val tSmall = timeMinOf2(q, small)
