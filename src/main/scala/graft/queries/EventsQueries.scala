@@ -19,6 +19,14 @@ private[graft] trait EventsQueries extends QueryHelpers {
 
   protected def eventsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "events_funnel_latency" -> ((s, dir) => {
+      // the funnel's other axis: stage-to-stage conversion latency in
+      // integer µs — count, doubled-median, p90, max per stage
+      graft.operators.Behavior.funnelLatency(
+        events(s, dir), "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+        .orderBy(col("stage"))
+    }),
+
     "events_forecast_anomaly" -> ((s, dir) => {
       // seasonal-naive monitoring: hourly volume vs the same hour yesterday,
       // flagged outside a robust median ± 3·MAD band (all-BIGINT x2 trick);
@@ -202,6 +210,38 @@ private[graft] trait EventsQueries extends QueryHelpers {
     }))
 
   protected def eventsOracles: Map[String, String] = Map(
+
+    // funnel latencies: BIGINT µs differences; median via the x2 trick,
+    // p90's interpolated double exact on BIGINT inputs (r5 precedent)
+    "events_funnel_latency" ->
+      """WITH s0 AS (
+        |  SELECT user_id AS u, min(ts) AS ts_0 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), s1 AS (
+        |  SELECT s0.u, s0.ts_0, min(e.ts) AS ts_1
+        |  FROM s0 LEFT JOIN events e
+        |    ON e.user_id = s0.u AND e.event_type = 'click' AND e.ts > s0.ts_0
+        |  GROUP BY 1, 2
+        |), s2 AS (
+        |  SELECT s1.u, s1.ts_0, s1.ts_1, min(e.ts) AS ts_2
+        |  FROM s1 LEFT JOIN events e
+        |    ON e.user_id = s1.u AND e.event_type = 'purchase' AND e.ts > s1.ts_1
+        |  GROUP BY 1, 2, 3
+        |), lat AS (
+        |  SELECT 1 AS stage, 'click' AS stage_name,
+        |    epoch_us(ts_1) - epoch_us(ts_0) AS lat_us
+        |  FROM s2 WHERE ts_1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT 2 AS stage, 'purchase' AS stage_name,
+        |    epoch_us(ts_2) - epoch_us(ts_1) AS lat_us
+        |  FROM s2 WHERE ts_2 IS NOT NULL
+        |)
+        |SELECT CAST(stage AS BIGINT) AS stage, stage_name,
+        |  CAST(count(*) AS BIGINT) AS n_converted,
+        |  CAST(quantile_cont(lat_us * 2, 0.5) AS BIGINT) AS median_x2_us,
+        |  quantile_cont(lat_us, 0.9) AS p90_us,
+        |  CAST(max(lat_us) AS BIGINT) AS max_us
+        |FROM lat GROUP BY 1, 2 ORDER BY stage""".stripMargin,
 
     // seasonal-naive band: err stream BIGINT, doubled-median/MAD trick so
     // every quantile runs on integers; strict > band test on both engines

@@ -213,6 +213,16 @@ private[graft] trait SimilarityQueries extends QueryHelpers {
     }),
 
 
+    "emb_abtt" -> ((s, dir) => {
+      // all-but-the-top: project the dominant principal direction out of
+      // every embedding (anisotropy fix) — the direction collects to d
+      // literal longs, so the correction is one scan-speed pass, no join
+      graft.operators.Embeddings.removeTopComponent(
+        spread(t(s, dir, "embeddings")), "vec_id", "embedding", rounds = 2)
+        .orderBy(col("vec_id"), col("dim"))
+    }),
+
+
     "emb_pca_power" -> ((s, dir) => {
       // top principal direction by integer power iteration over the
       // covariance numerators (2 rounds, all-ones start, ∞-norm fixed-point
@@ -292,6 +302,52 @@ private[graft] trait SimilarityQueries extends QueryHelpers {
         |  CAST(rrf_scaled AS BIGINT) AS rrf_scaled
         |FROM ranked WHERE fused_rank <= 10
         |ORDER BY query_id, fused_rank""".stripMargin,
+
+
+    // ABTT: the pca chain through v2, then x' = x − ((proj//1e3)·v)//(vn2//1e3)
+    // — staged downscale keeps products in BIGINT; truncation toward zero on
+    // both engines
+    "emb_abtt" ->
+      """WITH q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), el AS (
+        |  SELECT vec_id, i.range AS i, qv[i.range + 1] AS x
+        |  FROM q CROSS JOIN range(0, 64) i
+        |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+        |ms AS (SELECT i, CAST(sum(x) AS BIGINT) AS s FROM el GROUP BY 1),
+        |up AS (
+        |  SELECT a.i AS i, b.i AS j,
+        |    ((SELECT n FROM nn) * CAST(sum(a.x * b.x) AS BIGINT) - ma.s * mb.s) // 1000000000 AS c
+        |  FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  JOIN ms ma ON ma.i = a.i JOIN ms mb ON mb.i = b.i
+        |  GROUP BY a.i, b.i, ma.s, mb.s
+        |),
+        |cov AS (SELECT i, j, c FROM up UNION ALL SELECT j AS i, i AS j, c FROM up WHERE i != j),
+        |v0 AS (SELECT DISTINCT j, CAST(1000000 AS BIGINT) AS v FROM cov),
+        |u1 AS (
+        |  SELECT cov.i, CAST(sum(cov.c * v0.v) AS BIGINT) // 1000000 AS u
+        |  FROM cov JOIN v0 ON v0.j = cov.j GROUP BY 1
+        |),
+        |m1 AS (SELECT max(abs(u)) AS m FROM u1),
+        |v1 AS (SELECT i AS j, u * 1000000 // (SELECT m FROM m1) AS v FROM u1),
+        |u2 AS (
+        |  SELECT cov.i, CAST(sum(cov.c * v1.v) AS BIGINT) // 1000000 AS u
+        |  FROM cov JOIN v1 ON v1.j = cov.j GROUP BY 1
+        |),
+        |m2 AS (SELECT max(abs(u)) AS m FROM u2),
+        |v2 AS (SELECT i AS j, u * 1000000 // (SELECT m FROM m2) AS v FROM u2),
+        |vn AS (SELECT CAST(sum(v * v) AS BIGINT) AS vn2 FROM v2),
+        |pr AS (
+        |  SELECT el.vec_id, CAST(sum(el.x * v2.v) AS BIGINT) AS proj
+        |  FROM el JOIN v2 ON v2.j = el.i GROUP BY 1
+        |)
+        |SELECT el.vec_id, CAST(el.i + 1 AS BIGINT) AS dim,
+        |  CAST(el.x - (pr.proj // 1000) * v2.v // ((SELECT vn2 FROM vn) // 1000) AS BIGINT) AS corrected
+        |FROM el
+        |JOIN pr ON pr.vec_id = el.vec_id
+        |JOIN v2 ON v2.j = el.i
+        |ORDER BY el.vec_id, dim""".stripMargin,
 
 
     // two unrolled power-iteration rounds over the mirrored covariance

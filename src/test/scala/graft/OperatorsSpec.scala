@@ -1784,6 +1784,45 @@ class OperatorsSpec extends SparkSuite {
     assert(Features.linearFit(degen, "x", "y").collect()(0).isNullAt(5))
   }
 
+  test("removeTopComponent: dominant direction annihilated, other dims preserved") {
+    val rows = (0 until 40).map { k =>
+      val sign = if (k % 2 == 0) 1.0f else -1.0f
+      (k.toLong, Seq(0.4f * sign, 0.001f * ((k % 3) - 1), 0.001f * ((k % 5) - 2)))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Embeddings.removeTopComponent(df, "vec_id", "embedding", rounds = 2)
+    // dim 1 (the ±400000 axis) collapses to ~0 after projection removal...
+    val d1max = out.filter($"dim" === 1)
+      .agg(max(abs($"corrected"))).head().getLong(0)
+    assert(d1max < 5000L, s"dominant axis residual $d1max")
+    // ...while the small orthogonal dims stay essentially untouched
+    val d23drift = out.filter($"dim" =!= 1)
+      .agg(max(abs($"corrected"))).head().getLong(0)
+    assert(d23drift <= 2100L, s"off-axis drift $d23drift")
+  }
+
+  test("funnelLatency: per-stage conversion latency quantiles on a hand log") {
+    val t0 = 1700000000000000L // µs
+    val ts = (us: Long) => new java.sql.Timestamp(us / 1000L)
+    val ev = Seq(
+      (1L, "view", ts(t0)), (1L, "click", ts(t0 + 10000000L)), (1L, "purchase", ts(t0 + 30000000L)),
+      (2L, "view", ts(t0)), (2L, "click", ts(t0 + 20000000L)),
+      (3L, "view", ts(t0))
+    ).toDF("user_id", "event_type", "ts")
+    val r = Behavior.funnelLatency(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase")).orderBy("stage").collect()
+    assert(r.length == 2)
+    // click: lats {10s, 20s} -> n 2, median_x2 30e6, p90 19e6, max 20e6
+    assert(r(0).getAs[Long]("n_converted") == 2L)
+    assert(r(0).getAs[Long]("median_x2_us") == 30000000L)
+    assert(r(0).getAs[Double]("p90_us") == 1.9e7)
+    assert(r(0).getAs[Long]("max_us") == 20000000L)
+    // purchase: single 20s conversion
+    assert(r(1).getAs[Long]("n_converted") == 1L)
+    assert(r(1).getAs[Long]("median_x2_us") == 40000000L)
+    assert(r(1).getAs[Long]("max_us") == 20000000L)
+  }
+
   test("zone compare: integral types compare exactly above 2^53, mixed widths widen to long") {
     val big = (1L << 53) + 1L // indistinguishable from 2^53 as a double
     assert(Layout.cmpAny(big, 1L << 53) > 0, "adjacent >2^53 longs must not compare equal")
