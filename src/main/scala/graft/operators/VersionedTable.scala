@@ -255,6 +255,47 @@ object VersionedTable {
       kept.length, m.files.length)
   }
 
+  /** Manifest-pruned change data feed: the added/removed/changed keys
+    * between two committed versions, reading ONLY the files the two
+    * manifests do NOT share. Committed data files are immutable, so a file
+    * carried by reference holds bit-identical rows in both versions — every
+    * change lives in the symmetric difference of the file lists, which for
+    * a bounded upsert is the touched slice, not the table (at 100 TB this is
+    * the difference between replaying a delta and re-reading everything).
+    * [[Quality.snapshotDiff]] over the two slices classifies exactly: a key
+    * only in the old slice was removed, only in the new slice added, in
+    * both with differing payload changed, in both identical it sat in a
+    * rewritten file untouched — and is correctly dropped as unchanged.
+    * Unchanged keys in shared files never enter the diff at all.
+    *
+    * Falls back to the FULL two-sided read (still exact, no pruning) when a
+    * schema change or outstanding deletion vectors make file identity an
+    * unsound proxy for row identity. Returns (changes with `status` ∈
+    * added/removed/changed, filesRead, filesTotal). */
+  def changeFeed(spark: SparkSession, dir: String, vOld: Long, vNew: Long,
+      cols: Seq[String]): (DataFrame, Int, Int) = {
+    val mo = readManifest(spark, dir, vOld)
+    val mn = readManifest(spark, dir, vNew)
+    val total = mo.files.length + mn.files.length
+    val prunable = mo.schemaDdl == mn.schemaDdl &&
+      mo.deleteFiles.isEmpty && mn.deleteFiles.isEmpty
+    def slice(m: Manifest, files: Seq[FileEntry]): DataFrame =
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          StructType.fromDDL(m.schemaDdl))
+      else readDeclared(spark, m, files.map(f => s"$dir/${f.path}"))
+    val (oldSide, newSide, filesRead) =
+      if (prunable) {
+        val shared = mo.files.map(_.path).toSet intersect mn.files.map(_.path).toSet
+        val oldOnly = mo.files.filterNot(f => shared(f.path))
+        val newOnly = mn.files.filterNot(f => shared(f.path))
+        (slice(mo, oldOnly), slice(mn, newOnly), oldOnly.length + newOnly.length)
+      } else (read(spark, dir, vOld), read(spark, dir, vNew), total)
+    val diff = Quality.snapshotDiff(oldSide, newSide, mo.keyCol, cols)
+      .filter(col("status") =!= "unchanged")
+    (diff, filesRead, total)
+  }
+
   /** Merge-on-read DELETE commit: stage the key list as a deletion-vector
     * parquet under the new version's dir and commit a manifest whose DATA
     * file list is byte-for-byte the parent's — a delete at 100 TB writes

@@ -145,6 +145,17 @@ private[graft] trait LakeQueries extends QueryHelpers {
     }),
 
 
+    "lake_change_feed_pruned" -> ((s, dir) => {
+      // the CDC a downstream consumer actually replays: ONLY the changed
+      // keys, computed from the files the two manifests do NOT share —
+      // shared files are immutable so their rows can't have changed
+      val tmp = lakeTable(s, dir, "cdfp")
+      graft.operators.VersionedTable.changeFeed(
+        s, tmp, 1L, 2L, Seq("text", "lang", "source", "n_chars"))._1
+        .orderBy(col("doc_id"))
+    }),
+
+
     "layout_zorder" -> ((s, dir) => {
       // Morton z-values over (partkey, suppkey) rank buckets — the clustering
       // key writeZOrdered lays files out by. Exact ntile buckets here for the
@@ -246,6 +257,17 @@ private[graft] trait LakeQueries extends QueryHelpers {
     "lake_deletion_vectors" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         |WHERE doc_id % 7 != 3 ORDER BY doc_id""".stripMargin,
+
+
+    // pruned CDF = the change-feed rows minus 'unchanged'
+    "lake_change_feed_pruned" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 17 = 0 THEN 'removed' ELSE 'changed' END AS status
+        |FROM documents WHERE doc_id % 17 = 0 OR doc_id % 10 = 0
+        |UNION ALL
+        |SELECT doc_id + 100000 AS doc_id, 'added' AS status
+        |FROM documents WHERE doc_id < 20
+        |ORDER BY doc_id""".stripMargin,
 
 
     // CDF statuses re-derived from the v2 change rules: %17 deleted (wins

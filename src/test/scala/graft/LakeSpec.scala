@@ -132,6 +132,31 @@ class LakeSpec extends SparkSuite {
     assert(m2.files.map(_.rows).sum == v1.files.map(_.rows).sum + 3)
   }
 
+  test("changeFeed prunes to the manifest file diff; pruned == full diff minus unchanged") {
+    val dir = freshDir("cdc")
+    VT.init(spark, dir, base, "doc_id", targetRowsPerFile = 50L)
+    // edits confined to low keys + an append far away: most base files are
+    // shared by reference between v1 and v2 and must not be read
+    val mods = base.filter($"doc_id" < 30)
+      .withColumn("op", when($"doc_id" % 2 === 0, lit("delete")).otherwise(lit("upsert")))
+      .withColumn("text", when($"op" === "upsert", concat($"text", lit(" cdc"))).otherwise($"text"))
+    VT.upsert(spark, dir, mods, targetRowsPerFile = 50L)
+    val cols = Seq("text", "lang", "source", "n_chars")
+    val (pruned, read, total) = VT.changeFeed(spark, dir, 1L, 2L, cols)
+    assert(read < total / 2, s"pruning ineffective: read $read of $total files")
+    val full = graft.operators.Quality.snapshotDiff(
+      VT.read(spark, dir, 1L), VT.read(spark, dir, 2L), "doc_id", cols)
+      .filter($"status" =!= "unchanged")
+    assert(pruned.orderBy("doc_id").collect().toSeq ==
+      full.orderBy("doc_id").collect().toSeq)
+    // outstanding deletion vectors void file-identity pruning: exact
+    // fallback, full read
+    VT.deleteKeys(spark, dir, base.filter($"doc_id" === 31L).select($"doc_id"))
+    val (dv, readDv, totalDv) = VT.changeFeed(spark, dir, 2L, 3L, cols)
+    assert(readDv == totalDv)
+    assert(dv.collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((31L, "removed")))
+  }
+
   test("addColumn: zero-rewrite widening, NULL-filled history, time travel keeps old schema") {
     val dir = freshDir("evolve")
     VT.init(spark, dir, base, "doc_id", targetRowsPerFile = 50L)
