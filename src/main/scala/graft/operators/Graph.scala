@@ -270,6 +270,45 @@ object Graph {
     labels
   }
 
+  /** `rounds` rounds of HITS (Kleinberg hubs & authorities) over a DIRECTED
+    * edge list: auth(v) = Σ_{u→v} hub(u), hub(u) = Σ_{u→v} auth(v), each
+    * renormalized to ∞-norm 10⁶ by truncating integer division after every
+    * half-step — the directed complement to [[pagerank]] (a good hub points
+    * AT good content; a good authority is pointed at BY good hubs; PageRank
+    * conflates the two roles). All integer arithmetic from the all-ones
+    * hub start, so a fixed round count is exactly oracle-checkable.
+    * Returns (node, kind ∈ hub/auth, score_scaled); a node appearing on
+    * both edge sides gets both rows.
+    *
+    * Scale shape per half-step: one equi-join of the node-sized score
+    * vector with the persisted edge list + one map-combinable aggregation +
+    * an O(1) max collect. Scores ≤ deg·10⁶, the ×10⁶ renormalization stays
+    * in BIGINT while max in-degree < ~9·10⁶. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, "need at least one round")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var hub = e.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1000000L).as("h"))
+    var auth: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val a0 = e.join(hub.select(col("node").as("src"), col("h")), "src")
+        .groupBy(col("dst")).agg(sum(col("h")).as("s"))
+      val am = a0.agg(max(col("s"))).head().getLong(0)
+      require(am > 0, "empty graph")
+      auth = a0.select(col("dst").as("node"), expr(s"s * 1000000 div $am").as("a"))
+      val h0 = e.join(auth.select(col("node").as("dst"), col("a")), "dst")
+        .groupBy(col("src")).agg(sum(col("a")).as("s"))
+      val hm = h0.agg(max(col("s"))).head().getLong(0)
+      hub = h0.select(col("src").as("node"), expr(s"s * 1000000 div $hm").as("h"))
+    }
+    hub.select(col("node"), lit("hub").as("kind"), col("h").as("score_scaled"))
+      .unionByName(auth.select(col("node"), lit("auth").as("kind"), col("a").as("score_scaled")))
+  }
+
   /** Link prediction over an undirected graph: for every NON-adjacent node
     * pair (a < b) sharing at least `minCommon` neighbors, the common-neighbor
     * count and the Adamic–Adar score Σ_w 1/ln(deg(w)) over the shared

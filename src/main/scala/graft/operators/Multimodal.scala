@@ -518,6 +518,65 @@ object Multimodal {
     spark.createDataFrame(rdd, WavDecodedSchema)
   }
 
+  /** Channel-0 audio features: zero-crossing count (sign flips between
+    * consecutive samples, zeros transparent — the classic voiced/unvoiced
+    * and noisiness signal), peak absolute amplitude, and the signed DC-
+    * offset sum Σs(i,0) (a nonzero DC bias flags a broken recording
+    * chain). All integers off the decoded samples — exactly recomputable
+    * from the fixture formula. */
+  final case class WavFeatureStats(
+      channels: Int, sampleRate: Int, nFrames: Long,
+      zcrC0: Long, peakAbs: Long, dcSumC0: Long)
+
+  /** Feature-extract a PCM16 WAV without materializing the sample array:
+    * one pass over the data chunk, O(1) state. */
+  def wavFeatures(bytes: Array[Byte]): WavFeatureStats = {
+    val h = wavHeader(bytes)
+    var zcr = 0L; var peak = 0L; var dc = 0L
+    var prevSign = 0
+    var f = 0
+    while (f < h.nFrames) {
+      var ch = 0
+      while (ch < h.channels) {
+        val v = wavSample(bytes, h, f, ch)
+        val a = math.abs(v).toLong
+        if (a > peak) peak = a
+        if (ch == 0) {
+          dc += v
+          val s = Integer.signum(v)
+          if (s != 0) {
+            if (prevSign != 0 && s != prevSign) zcr += 1
+            prevSign = s
+          }
+        }
+        ch += 1
+      }
+      f += 1
+    }
+    WavFeatureStats(h.channels, h.sampleRate, h.nFrames.toLong, zcr, peak, dc)
+  }
+
+  val WavFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("channels", LongType, nullable = false),
+    StructField("sample_rate", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("zcr_c0", LongType, nullable = false),
+    StructField("peak_abs", LongType, nullable = false),
+    StructField("dc_sum_c0", LongType, nullable = false)))
+
+  /** Partition-batched audio feature extraction over a WAV binary column. */
+  def audioFeatures(withPayload: DataFrame, idCol: String): DataFrame = {
+    val spark = withPayload.sparkSession
+    val rdd = withPayload.select(col(idCol).cast("long"), col("payload")).rdd
+      .mapPartitions(_.map { r =>
+        val s = wavFeatures(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), s.channels.toLong, s.sampleRate.toLong, s.nFrames,
+          s.zcrC0, s.peakAbs, s.dcSumC0)
+      })
+    spark.createDataFrame(rdd, WavFeatureSchema)
+  }
+
   /** Resampled-audio statistics over the decimated frames (same exactness
     * contract as [[WavStats]]: order-free integer sums + the interleave-
     * sensitive weighted channel-0 sum, weights over OUTPUT frame indices). */

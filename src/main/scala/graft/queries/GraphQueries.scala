@@ -84,6 +84,19 @@ private[graft] trait GraphQueries extends QueryHelpers {
     }),
 
 
+    "graph_hits" -> ((s, dir) => {
+      // Kleinberg hubs & authorities over the DIRECTED customer→supplier
+      // trade graph (2 rounds, integer ∞-norm renormalization): customers
+      // score as hubs, suppliers as authorities — roles PageRank conflates
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.operators.Graph.hits(edges, "src", "dst", rounds = 2)
+        .orderBy(col("kind"), col("node"))
+    }),
+
+
     "graph_label_prop" -> ((s, dir) => {
       // 2 synchronous rounds of deterministic label propagation over the
       // supplier chord graph — community labels flood the chain from low
@@ -263,6 +276,44 @@ private[graft] trait GraphQueries extends QueryHelpers {
         |SELECT CAST(na AS BIGINT) AS node_a, CAST(nb AS BIGINT) AS node_b,
         |  CAST(cn AS BIGINT) AS cn, CAST(aa_scaled AS BIGINT) AS aa_scaled
         |FROM pred ORDER BY node_a, node_b""".stripMargin,
+
+
+    // two unrolled HITS rounds: each half-step an integer sum + truncating
+    // infinity-norm renormalization
+    "graph_hits" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), e AS (SELECT cn AS src, sn AS dst FROM pairs),
+        |h0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS h FROM e),
+        |a0 AS (
+        |  SELECT e.dst, CAST(sum(h0.h) AS BIGINT) AS s
+        |  FROM e JOIN h0 ON h0.node = e.src GROUP BY 1
+        |),
+        |am1 AS (SELECT max(s) AS m FROM a0),
+        |a1 AS (SELECT dst AS node, s * 1000000 // (SELECT m FROM am1) AS a FROM a0),
+        |hh0 AS (
+        |  SELECT e.src, CAST(sum(a1.a) AS BIGINT) AS s
+        |  FROM e JOIN a1 ON a1.node = e.dst GROUP BY 1
+        |),
+        |hm1 AS (SELECT max(s) AS m FROM hh0),
+        |h1 AS (SELECT src AS node, s * 1000000 // (SELECT m FROM hm1) AS h FROM hh0),
+        |a0b AS (
+        |  SELECT e.dst, CAST(sum(h1.h) AS BIGINT) AS s
+        |  FROM e JOIN h1 ON h1.node = e.src GROUP BY 1
+        |),
+        |am2 AS (SELECT max(s) AS m FROM a0b),
+        |a2 AS (SELECT dst AS node, s * 1000000 // (SELECT m FROM am2) AS a FROM a0b),
+        |hh1 AS (
+        |  SELECT e.src, CAST(sum(a2.a) AS BIGINT) AS s
+        |  FROM e JOIN a2 ON a2.node = e.dst GROUP BY 1
+        |),
+        |hm2 AS (SELECT max(s) AS m FROM hh1),
+        |h2 AS (SELECT src AS node, s * 1000000 // (SELECT m FROM hm2) AS h FROM hh1)
+        |SELECT node, 'hub' AS kind, CAST(h AS BIGINT) AS score_scaled FROM h2
+        |UNION ALL
+        |SELECT node, 'auth' AS kind, CAST(a AS BIGINT) AS score_scaled FROM a2
+        |ORDER BY kind, node""".stripMargin,
 
 
     // two unrolled LPA rounds: neighbor-label counts, argmax by

@@ -107,6 +107,16 @@ private[graft] trait MultimodalQueries extends QueryHelpers {
     }),
 
 
+    "mm_audio_features" -> ((s, dir) => {
+      // audio feature extraction: zero-crossing count (zeros transparent),
+      // all-channel peak amplitude, signed channel-0 DC-offset sum — one
+      // O(1)-state pass over the data chunk, never materializing samples
+      Multimodal.audioFeatures(
+        Multimodal.wavFixtures(spread(t(s, dir, "documents")), "doc_id"), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+
     "mm_resize_wav" -> ((s, dir) => {
       // REAL audio downsampling to 4 kHz: nearest-frame decimation with the
       // truncating-division source mapping (i*srcFrames div outFrames) —
@@ -280,6 +290,44 @@ private[graft] trait MultimodalQueries extends QueryHelpers {
         |  CAST(sum(v * v) AS BIGINT) AS energy,
         |  CAST(sum(CASE WHEN ch = 0 THEN (i + 1) * v ELSE 0 END) AS BIGINT) AS wsum_c0
         |FROM s GROUP BY 1, 2, 3, 4 ORDER BY doc_id""".stripMargin,
+
+
+    // features re-derived from the fixture formula: zero crossings via
+    // lag(sign) over the NONZERO channel-0 subsequence (zeros transparent,
+    // exactly the decoder's prevSign rule); peak over ALL channels
+    "mm_audio_features" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        |    CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+        |    CAST(64 + doc_id % 193 AS BIGINT) AS n_frames
+        |  FROM documents
+        |), s AS (
+        |  SELECT d.doc_id, i.range AS i, c.range AS ch,
+        |    (i.range * (3 + c.range) + d.doc_id * 11) % 4001 - 2000 AS v
+        |  FROM d CROSS JOIN range(0, 257) i CROSS JOIN range(0, 2) c
+        |  WHERE i.range < d.n_frames AND c.range < d.channels
+        |), pk AS (
+        |  SELECT doc_id, CAST(max(abs(v)) AS BIGINT) AS peak_abs FROM s GROUP BY 1
+        |), c0 AS (
+        |  SELECT doc_id, i, v FROM s WHERE ch = 0
+        |), dc AS (
+        |  SELECT doc_id, CAST(sum(v) AS BIGINT) AS dc_sum_c0 FROM c0 GROUP BY 1
+        |), zc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS zcr FROM (
+        |    SELECT doc_id, sign(v) AS sg,
+        |      lag(sign(v)) OVER (PARTITION BY doc_id ORDER BY i) AS ps
+        |    FROM c0 WHERE v != 0) q
+        |  WHERE ps IS NOT NULL AND sg != ps GROUP BY 1
+        |)
+        |SELECT d.doc_id, d.channels, d.sample_rate, d.n_frames,
+        |  CAST(COALESCE(zc.zcr, 0) AS BIGINT) AS zcr_c0,
+        |  pk.peak_abs, dc.dc_sum_c0
+        |FROM d
+        |LEFT JOIN zc USING (doc_id)
+        |JOIN pk USING (doc_id)
+        |JOIN dc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
 
     // decimation re-derived from the fixture formula at the SAMPLED frame

@@ -1823,6 +1823,29 @@ class OperatorsSpec extends SparkSuite {
     assert(r(1).getAs[Long]("max_us") == 20000000L)
   }
 
+  test("wavFeatures: zero-transparent crossings, all-channel peak, signed DC sum") {
+    // ch0 = 10, -20, 0, 30: sign flips at -20 and (through the transparent
+    // zero) at 30 -> zcr 2; peak from ch1's -4..-1 vs ch0 -> 30; dc 20
+    val samples = Array[Short](10, -1, -20, -2, 0, -3, 30, -4)
+    val f = Multimodal.wavFeatures(Multimodal.wavEncode(8000, 2, samples))
+    assert(f.nFrames == 4L && f.channels == 2)
+    assert(f.zcrC0 == 2L)
+    assert(f.peakAbs == 30L)
+    assert(f.dcSumC0 == 20L)
+  }
+
+  test("hits: shared authority concentrates score, two-target hub outranks") {
+    // 1 -> 10, 1 -> 11, 2 -> 11: node 11 is the stronger authority (two
+    // hubs), node 1 the stronger hub (points at both authorities)
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 11L)).toDF("src", "dst")
+    val r = Graph.hits(e, "src", "dst", rounds = 2)
+      .orderBy("kind", "node").collect()
+      .map(x => (x.getString(1), x.getLong(0), x.getLong(2))).toSeq
+    assert(r == Seq(
+      ("auth", 10L, 600000L), ("auth", 11L, 1000000L),
+      ("hub", 1L, 1000000L), ("hub", 2L, 625000L)))
+  }
+
   test("zone compare: integral types compare exactly above 2^53, mixed widths widen to long") {
     val big = (1L << 53) + 1L // indistinguishable from 2^53 as a double
     assert(Layout.cmpAny(big, 1L << 53) > 0, "adjacent >2^53 longs must not compare equal")
