@@ -48,7 +48,9 @@ object CurationPipeline {
     "filter_length" -> Set("min_chars", "max_chars"),
     "dedup_exact" -> Set.empty,
     "cap_per_source" -> Set("source_col", "k"),
-    "split" -> Set("train", "val", "test"))
+    "split" -> Set("train", "val", "test"),
+    "filter_repetition" -> Set("max_dup_permille"),
+    "k_anonymity" -> Set("quasi_id", "k"))
 
   /** Parameters that must be present (filter_length's bounds are each
     * optional — one of them alone is meaningful). */
@@ -56,7 +58,9 @@ object CurationPipeline {
     "filter_lang" -> Set("keep"),
     "filter_quality" -> Set("min_score"),
     "cap_per_source" -> Set("source_col", "k"),
-    "split" -> Set("train", "val", "test"))
+    "split" -> Set("train", "val", "test"),
+    "filter_repetition" -> Set("max_dup_permille"),
+    "k_anonymity" -> Set("quasi_id", "k"))
 
   def parse(src: String): Seq[Step] = {
     val root = yaml.readTree(src)
@@ -88,6 +92,14 @@ object CurationPipeline {
           val total = Seq("train", "val", "test").map(n.path(_).asDouble(0.0)).sum
           if (math.abs(total - 1.0) > 1e-9)
             errors += s"steps[$i]: split fractions must sum to 1, got $total"
+        case "filter_repetition"
+            if n.path("max_dup_permille").asLong(-1L) < 0L ||
+              n.path("max_dup_permille").asLong(-1L) > 1000L =>
+          errors += s"steps[$i]: filter_repetition needs max_dup_permille in [0, 1000]"
+        case "k_anonymity" if !n.path("quasi_id").isArray || n.path("quasi_id").size() == 0 =>
+          errors += s"steps[$i]: k_anonymity needs a non-empty `quasi_id` list"
+        case "k_anonymity" if n.path("k").asLong(0L) <= 0L =>
+          errors += s"steps[$i]: k_anonymity needs k > 0"
         case _ => ()
       }
       Step(op, params)
@@ -133,6 +145,21 @@ object CurationPipeline {
             "train" -> s.params("train").asDouble(),
             "val" -> s.params("val").asDouble(),
             "test" -> s.params("test").asDouble()))
+        case "filter_repetition" =>
+          // drop docs whose duplicate-bigram share exceeds the threshold —
+          // integer per-mille comparison, no float in the gate condition
+          val mx = s.params("max_dup_permille").asLong()
+          val rep = TextAnalysis.withRepetition(df, idCol, textCol)
+            .filter((col("n_bigrams") - col("n_distinct_bigrams")) * 1000
+              <= lit(mx) * col("n_bigrams"))
+            .select(col(idCol))
+          df.join(rep, Seq(idCol), "left_semi")
+        case "k_anonymity" =>
+          // privacy suppression: drop every row whose quasi-identifier
+          // combination is held by fewer than k docs
+          val qi = s.params("quasi_id").elements().asScala.map(_.asText()).toSeq
+          val bad = Features.kAnonymityViolations(df, qi, s.params("k").asLong())
+          df.join(bad.select(qi.map(col): _*), qi, "left_anti")
         case other => throw new IllegalStateException(s"unvalidated op $other")
       }
     }

@@ -35,6 +35,22 @@ private[graft] trait CurationQueries extends QueryHelpers {
         .orderBy(col("doc_id"))
     }),
 
+    "curation_pipeline_privacy" -> ((s, dir) => {
+      // the round-10 steps through the YAML pipeline compiler: normalize →
+      // repetition filter (integer per-mille gate) → k-anonymity
+      // suppression — the whole chain re-derived by the oracle
+      val pipelineYaml =
+        """steps:
+          |  - { op: normalize }
+          |  - { op: filter_repetition, max_dup_permille: 600 }
+          |  - { op: k_anonymity, quasi_id: [lang, source], k: 4 }
+          |""".stripMargin
+      graft.operators.CurationPipeline.runYaml(
+        t(s, dir, "documents"), "doc_id", "text", pipelineYaml)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     "feature_target_enc" -> ((s, dir) => {
       // smoothed mean target encoding of order priority against the order
       // total (micro-cents fixed point), with the leakage-safe leave-one-out
@@ -504,6 +520,35 @@ private[graft] trait CurationQueries extends QueryHelpers {
         |SELECT doc_id, count(*) AS n_nonzero, CAST(sum(abs(v)) AS BIGINT) AS l1,
         |  CAST(sum(v * v) AS BIGINT) AS dot_self
         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // pipeline chain re-derived: normalize (the curation_pipeline SQL),
+    // duplicate-bigram per-mille gate, then QI groups with count >= k
+    "curation_pipeline_privacy" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+        |      '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS text,
+        |    lang, source, n_chars
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM norm
+        |), rep AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    greatest(len(w) - 1, 0) AS nb,
+        |    CASE WHEN len(w) < 2 THEN 0
+        |         ELSE len(list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]))
+        |    END AS nd
+        |  FROM toks
+        |), keep1 AS (
+        |  SELECT * FROM rep WHERE (nb - nd) * 1000 <= 600 * nb
+        |), ok AS (
+        |  SELECT lang, source FROM keep1 GROUP BY 1, 2 HAVING count(*) >= 4
+        |)
+        |SELECT k.doc_id, k.lang, k.source, k.n_chars
+        |FROM keep1 k JOIN ok USING (lang, source)
+        |ORDER BY doc_id""".stripMargin,
 
     // target encoding: all micro-cent fixed point, truncating // on both
     // engines; the LOO denominator n_c-1+m never hits zero (m=10)

@@ -396,6 +396,27 @@ class CurationSpec extends SparkSuite {
       "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     assert(piped.orderBy("doc_id").collect().toSeq ==
       manual.orderBy("doc_id").collect().toSeq)
+    // round-10 steps validate like the rest: every defect named up front
+    val badPriv =
+      """steps:
+        |  - { op: filter_repetition, max_dup_permille: 1500 }
+        |  - { op: k_anonymity, quasi_id: [], k: 5 }
+        |  - { op: k_anonymity, quasi_id: [lang], k: 0 }
+        |""".stripMargin
+    val e2 = intercept[CurationPipeline.PipelineException](CurationPipeline.parse(badPriv))
+    assert(e2.errors.exists(_.contains("steps[0]: filter_repetition needs max_dup_permille")))
+    assert(e2.errors.exists(_.contains("steps[1]: k_anonymity needs a non-empty")))
+    assert(e2.errors.exists(_.contains("steps[2]: k_anonymity needs k > 0")))
+    // k_anonymity composition: pipeline == manual anti-join on violations
+    val privYaml =
+      """steps:
+        |  - { op: k_anonymity, quasi_id: [lang, source], k: 4 }
+        |""".stripMargin
+    val privPiped = CurationPipeline.runYaml(docs, "doc_id", "text", privYaml)
+    val bad2 = graft.operators.Features.kAnonymityViolations(docs, Seq("lang", "source"), 4L)
+    val privManual = docs.join(bad2.select($"lang", $"source"), Seq("lang", "source"), "left_anti")
+    assert(privPiped.orderBy("doc_id").collect().map(_.getAs[Long]("doc_id")).toSeq ==
+      privManual.orderBy("doc_id").collect().map(_.getAs[Long]("doc_id")).toSeq)
   }
 
   test("ivfKnn recall@10 vs brute force: pinned floor, monotone in nprobe, exact at full probe") {
