@@ -128,7 +128,21 @@ object Locales {
       case w if !w.endsWith("y") && !w.endsWith("w") => w + "ed"
     }
     val er = verbal.collect { case w if !w.endsWith("e") && !w.endsWith("y") => w + "er" }
-    plurals ++ ing ++ ed ++ er
+    // round-10 session-2 widening: productive DERIVATIONAL suffixes (-ly,
+    // -ness, -ful/-less) on the same content base. Like -er above, the
+    // rules over-generate relative to a dictionary ("bookly") — accepted:
+    // the text generator's contract is a LARGE, plausible, deterministic
+    // token domain (the reference ships ~10k words), not lexicographic
+    // validity, and every form follows a real English formation rule.
+    val ly = verbal.collect {
+      case w if w.endsWith("y") && w.length >= 5 => w.dropRight(1) + "ily"
+      case w if !w.endsWith("y") && !w.endsWith("ly") => w + "ly"
+    }
+    val ness = verbal.map(w =>
+      if (w.endsWith("y")) w.dropRight(1) + "iness" else w + "ness")
+    val fulLess = verbal.filter(w => !w.endsWith("l"))
+      .flatMap(w => Seq(w + "ful", w + "less"))
+    plurals ++ ing ++ ed ++ er ++ ly ++ ness ++ fulLess
   }
 
   // ---------------------------------------------------------- ru expansion
@@ -639,9 +653,45 @@ object Locales {
       "8 (###) ###-##-##",
       "8-###-###-##-##",
       "+7##########"),
-    words = sorted(ruWordsBase ++ ruWordInflections(ruWordsBase)),
+    words = sorted(ruWordsBase ++ ruWordInflections(ruWordsBase) ++ ruAdjForms),
     bytesPerChar = 2
   )
+
+  /** Round-10 session-2 widening: the full hard-stem ADJECTIVE paradigm —
+    * the most regular corner of Russian adjective morphology. Per stem:
+    * masc/fem/neut/plural nominative, genitive, dative, instrumental,
+    * genitive-plural, the -о adverb and the -ее comparative (10 forms);
+    * velar/husher stems take the -ий/-ие/-им/-их spellings and hushers the
+    * -ее neuter, per the standard orthographic rules. Own-authored common
+    * adjective stems, same method as the surname paradigms. */
+  private lazy val ruAdjStems: Array[String] = Array(
+    "бедн", "бел", "богат", "быстр", "важн", "верн", "весел", "вечн",
+    "вкусн", "влажн", "вредн", "высок", "вязк", "главн", "гладк", "глух",
+    "голодн", "горд", "горьк", "громк", "груб", "грустн", "густ", "добр",
+    "долг", "дорог", "дружн", "жадн", "жарк", "желт", "жив", "звонк",
+    "зелен", "знатн", "зорк", "кисл", "красн", "крепк", "кругл", "крупн",
+    "легк", "ломк", "мал", "мил", "мирн", "модн", "мокр", "молод",
+    "мощн", "мрачн", "мудр", "мутн", "мягк", "нежн", "низк", "нов",
+    "остр", "плотн", "полн", "прав", "прост", "прочн", "пуст", "равн",
+    "редк", "резк", "робк", "ровн", "светл", "сильн", "скромн", "скучн",
+    "слаб", "сладк", "слеп", "смел", "стар", "строг", "сух", "сыр",
+    "тверд", "темн", "тесн", "тих", "толст", "тонк", "точн", "трудн",
+    "тяжк", "умн", "холодн", "храбр", "хрупк", "цел", "честн", "чист",
+    "широк", "шумн", "щедр", "ярк", "ясн")
+
+  private def ruAdjForms: Seq[String] = ruAdjStems.toSeq.flatMap { st =>
+    val velar = "кгх".indexOf(st.last) >= 0
+    val hush = "чшщж".indexOf(st.last) >= 0
+    val soft = velar || hush
+    val masc = if (soft) "ий" else "ый"
+    val plural = if (soft) "ие" else "ые"
+    val instr = if (soft) "им" else "ым"
+    val genPl = if (soft) "их" else "ых"
+    val neut = if (hush) "ее" else "ое"
+    Seq(st + masc, st + "ая", st + neut, st + plural,
+      st + "ого", st + "ому", st + instr, st + genPl,
+      st + "о", st + "ее")
+  }
 
   private lazy val ruWordsBase: Seq[String] = Seq(
       "а", "в", "и", "к", "о", "с", "у", "я",
