@@ -738,7 +738,36 @@ object Locales {
       "тыква", "удача", "ужин", "узор", "улыбка", "урок", "успех", "утка", "ферма", "фонарь",
       "хозяин", "холм", "цветок", "церковь", "чай", "чемодан", "черта", "чудо", "шапка", "шар",
       "шахта", "шея", "шкаф", "шляпа", "щит", "экран", "этаж", "юбка", "юноша", "яблоня",
-      "ягода", "яйцо", "янтарь", "ярмарка")
+      "ягода", "яйцо", "янтарь", "ярмарка",
+      // round-10 session-2: a further everyday-noun pass (own-authored,
+      // same declension expansion; nature/household/town/body/abstract)
+      "автобус", "адрес", "аист", "алмаз", "аптека", "арбуз", "багаж", "базар", "балкон", "банка",
+      "баня", "барабан", "баран", "башня", "белка", "берет", "беседа", "билет", "блюдо", "бобр",
+      "бочка", "браслет", "бревно", "бровь", "бумага", "бусина", "бутылка", "вагон", "ваза", "варенье",
+      "ведро", "век", "верёвка", "верблюд", "вершина", "вес", "весло", "вилка", "вино", "виноград",
+      "водопад", "вокзал", "ворота", "воротник", "восток", "выставка", "гавань", "газета", "галстук", "гвоздь",
+      "герой", "гиря", "глагол", "гончар", "горизонт", "горло", "горох", "гортань", "градус", "граница",
+      "гребень", "грива", "грудь", "грядка", "дельфин", "деревня", "десерт", "диван", "долина", "дорожка",
+      "доска", "дракон", "дрова", "дубрава", "дупло", "дюжина", "единица", "ежевика", "ель", "жаба",
+      "жаворонок", "желание", "жёлудь", "живот", "жилет", "журнал", "зал", "замок", "занавес", "запад",
+      "заря", "зарплата", "звено", "земляника", "знамя", "зуб", "ива", "игла", "игрушка", "изюм",
+      "икра", "инструмент", "калитка", "канат", "карандаш", "карась", "карета", "кастрюля", "качели", "каюта",
+      "квадрат", "кедр", "кирпич", "кисть", "клад", "кладовая", "клюв", "книга", "ковёр", "коза",
+      "колодец", "колыбель", "компас", "конверт", "конь", "копыто", "корица", "коробка", "коса", "костюм",
+      "котёл", "кофта", "крапива", "крыльцо", "кулак", "кулон", "кухня", "лагерь", "ландыш", "лапа",
+      "ласточка", "лебедь", "лекарство", "лента", "лепесток", "лестница", "ливень", "литр", "лифт", "лоб",
+      "ловушка", "лосось", "лужа", "лукошко", "льдина", "любовь", "маяк", "мебель", "медведь", "мельница",
+      "метель", "метр", "мечта", "миска", "млечник", "моряк", "мост", "мотор", "музей", "мундир",
+      "напиток", "насос", "небо", "невод", "нерпа", "обруч", "обувь", "овраг", "одеяло", "окунь",
+      "олень", "опушка", "оркестр", "оса", "отец", "отряд", "парад", "паркет", "паук", "пейзаж",
+      "пекарь", "перчатка", "печенье", "пианино", "пила", "пилот", "плащ", "плотина", "подкова", "подушка",
+      "полотно", "поляна", "помидор", "портфель", "посёлок", "пост", "прогулка", "простор", "птенец", "пуговица",
+      "пузырь", "путник", "работа", "раковина", "рама", "ракета", "рассвет", "рельс", "решето", "рог",
+      "рожь", "розетка", "рояль", "рубаха", "рукав", "ручка", "рыба", "рюкзак", "салат", "салфетка",
+      "самолёт", "свет", "свитер", "сводка", "сеть", "сивка", "сито", "слива", "словарь", "смородина",
+      "снежинка", "сугроб", "таблица", "табун", "творог", "телёнок", "терем", "тигр", "ткань",
+      "улей", "улитка", "фартук", "фиалка", "футляр", "халат", "хвост", "хижина", "хлопок", "хомут",
+      "цыплёнок", "чайник", "черника", "чеснок", "шерсть", "шёлк", "шиповник", "шорох", "щавель", "щепка")
 
   def apply(name: String): LocaleBundle = name match {
     case "en" => en

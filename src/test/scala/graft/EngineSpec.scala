@@ -90,7 +90,7 @@ class EngineSpec extends SparkSuite {
     assert(Locales.en.words.length >= 11000, Locales.en.words.length.toString)
     assert(Locales.ru.firstNamesAll.length >= 500, Locales.ru.firstNamesAll.length.toString)
     assert(Locales.ru.lastNamesAll.length >= 8500, Locales.ru.lastNamesAll.length.toString)
-    assert(Locales.ru.words.length >= 4000, Locales.ru.words.length.toString)
+    assert(Locales.ru.words.length >= 6000, Locales.ru.words.length.toString)
     // expansion must never break the locale contract: capitalized names,
     // words inside the locale charset, everything deduped and sorted
     for (l <- Seq(Locales.en, Locales.ru)) {
