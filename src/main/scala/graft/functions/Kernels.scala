@@ -585,6 +585,32 @@ object Kernels {
     out
   }
 
+  /** Hilbert-curve index of a 2-D point (x, y) in a 2^bits × 2^bits grid —
+    * the locality-preserving alternative to the Morton interleave: every
+    * consecutive pair of indices is GRID-ADJACENT (unit Manhattan step, the
+    * property the spec enumerates exhaustively), where the Z-curve jumps
+    * across the plane at every power-of-two boundary. Standard
+    * quadrant-rotation walk (Hamilton's iterative form); the per-step
+    * reflect/swap arithmetic is plain integer CASE logic, so the whole
+    * 8-step walk is oracle-expressible as unrolled SQL stages. */
+  def hilbertD(x0: Long, y0: Long, bits: Int): Long = {
+    var x = x0
+    var y = y0
+    var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0L) {
+        if (rx == 1L) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
   // ------------------------------------------------------- normalization
 
   /** Corpus text normalization, the canonical pre-tokenization pass:
@@ -692,4 +718,7 @@ object Kernels {
 
   def interleaveBitsCol(dims: Column, bits: Int): Column =
     call(LongType, "interleaveBits", dims, lit(bits))
+
+  def hilbertDCol(x: Column, y: Column, bits: Int): Column =
+    call(LongType, "hilbertD", x.cast("long"), y.cast("long"), lit(bits))
 }

@@ -147,6 +147,25 @@ object Dedup {
       .groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Cross-source duplication MATRIX: for every unordered source pair, how
+    * many exact-duplicate document pairs they share — the dedup
+    * OBSERVABILITY view ("which feeds mirror which") that decides crawl
+    * priorities and source quotas before any row is dropped. One hash
+    * self-join (fanout bounded by duplicate-group sizes — the k² every
+    * exact-dup report pays, tiny by construction on a deduplicated-ish
+    * corpus) + one aggregation over the source-pair domain. */
+  def sourceDupMatrix(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String): DataFrame = {
+    val keyed = docs.select(col(idCol).as("id"), col(srcCol).as("src"),
+      md5(col(textCol)).as("h"))
+    val a = keyed.select(col("h"), col("id").as("ida"), col("src").as("sa"))
+    val b = keyed.select(col("h"), col("id").as("idb"), col("src").as("sb"))
+    a.join(b, Seq("h")).filter(col("ida") < col("idb"))
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+  }
+
   /** MinHash signatures over word 3-gram shingles: `numHashes` md5-family
     * min-hashes per document. Pure projection — no shuffle, no explode; the
     * shingle set never materializes outside the row. */

@@ -30,6 +30,15 @@ object Layout {
   def zValue(bucketCols: Seq[Column], bits: Int = 16): Column =
     Kernels.interleaveBitsCol(array(bucketCols.map(_.cast("long")): _*), bits)
 
+  /** Hilbert clustering value for two rank-bucketed dimensions — strictly
+    * better locality than [[zValue]]: consecutive Hilbert indices are
+    * grid-ADJACENT (Morton jumps at every power-of-two boundary), so
+    * range-partitioned files cover tighter (x, y) rectangles and zone maps
+    * prune harder on either dimension. Same usage: bucket ranks in
+    * [0, 2^bits), then range-partition + sort by the value at write time. */
+  def hilbertValue(xBucket: Column, yBucket: Column, bits: Int = 16): Column =
+    Kernels.hilbertDCol(xBucket, yBucket, bits)
+
   /** Equi-depth rank buckets of a dimension: ntile over the global order
     * (ties broken by `tieCols` so the bucketing is deterministic). Exact and
     * oracle-friendly; see scaladoc for the approx variant at scale. */

@@ -26,6 +26,19 @@ private[graft] trait DedupQueries extends QueryHelpers {
     }),
 
 
+    "dedup_source_matrix" -> ((s, dir) => {
+      // dedup OBSERVABILITY: which sources mirror which — every doc_id % 25
+      // == 0 is planted as a 'mirror'-source copy, and the matrix reports
+      // duplicate PAIRS per unordered source pair before anything is dropped
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"), col("source"))
+      val planted = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"),
+          lit("mirror").as("source"))
+      Dedup.sourceDupMatrix(docs.union(planted), "doc_id", "text", "source")
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
+
     "dedup_exact_normalized" -> ((s, dir) => {
       // the composition real pipelines run: normalize FIRST (NFC, casefold,
       // ws collapse), then hash — byte-level variants of one document dedup
@@ -389,6 +402,21 @@ private[graft] trait DedupQueries extends QueryHelpers {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    "dedup_source_matrix" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text, 'mirror' FROM documents WHERE doc_id % 25 = 0
+        |), p AS (
+        |  SELECT least(a.source, b.source) AS source_a,
+        |    greatest(a.source, b.source) AS source_b
+        |  FROM all_docs a JOIN all_docs b
+        |    ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+        |)
+        |SELECT source_a, source_b, count(*) AS n_dup_pairs
+        |FROM p GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
 
 
     "dedup_exact_normalized" ->

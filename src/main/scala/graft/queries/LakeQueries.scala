@@ -156,6 +156,24 @@ private[graft] trait LakeQueries extends QueryHelpers {
     }),
 
 
+    "layout_hilbert" -> ((s, dir) => {
+      // Hilbert clustering values over the same (partkey, suppkey) rank
+      // buckets as layout_zorder — consecutive indices are grid-adjacent,
+      // so the clustered layout covers tighter rectangles than Morton
+      // (OperatorsSpec enumerates the adjacency property exhaustively)
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))
+      val ties = Seq(col("l_orderkey"), col("l_linenumber"))
+      li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        Layout.hilbertValue(
+          Layout.rankBucket(col("l_partkey"), ties, 256),
+          Layout.rankBucket(col("l_suppkey"), ties, 256), bits = 8).as("hval"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+
     "layout_zorder" -> ((s, dir) => {
       // Morton z-values over (partkey, suppkey) rank buckets — the clustering
       // key writeZOrdered lays files out by. Exact ntile buckets here for the
@@ -257,6 +275,39 @@ private[graft] trait LakeQueries extends QueryHelpers {
     "lake_deletion_vectors" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         |WHERE doc_id % 7 != 3 ORDER BY doc_id""".stripMargin,
+
+
+    // eight unrolled Hilbert quadrant-rotation stages generated from the
+    // same (s, reflect, swap) arithmetic the kernel runs — pure CASE logic
+    // over BIGINT, so the curve index itself hash-matches
+    "layout_hilbert" -> {
+      val steps = (0 until 8).map { i =>
+        val s = 1L << (7 - i)
+        val prev = if (i == 0) "b" else s"st${i - 1}"
+        s"""st$i AS (
+           |  SELECT l_orderkey, l_linenumber,
+           |    d + ${s * s} * (CASE WHEN rx = 1 AND ry = 0 THEN 3
+           |                         WHEN rx = 1 AND ry = 1 THEN 2
+           |                         WHEN rx = 0 AND ry = 1 THEN 1 ELSE 0 END) AS d,
+           |    CASE WHEN ry = 1 THEN x WHEN rx = 0 THEN y ELSE ${s - 1} - y END AS x,
+           |    CASE WHEN ry = 1 THEN y WHEN rx = 0 THEN x ELSE ${s - 1} - x END AS y
+           |  FROM (SELECT *,
+           |          CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+           |          CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry
+           |        FROM $prev) q
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH b AS (
+         |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         |    CAST(0 AS BIGINT) AS d,
+         |    CAST(ntile(256) OVER (ORDER BY l_partkey, l_orderkey, l_linenumber) - 1 AS BIGINT) AS x,
+         |    CAST(ntile(256) OVER (ORDER BY l_suppkey, l_orderkey, l_linenumber) - 1 AS BIGINT) AS y
+         |  FROM lineitem
+         |),
+         |$steps
+         |SELECT l_orderkey, l_linenumber, CAST(d AS BIGINT) AS hval
+         |FROM st7 ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
 
 
     // pruned CDF = the change-feed rows minus 'unchanged'

@@ -1846,6 +1846,29 @@ class OperatorsSpec extends SparkSuite {
       ("hub", 1L, 1000000L), ("hub", 2L, 625000L)))
   }
 
+  test("hilbertD: exhaustive bijection + unit-step adjacency; Morton provably jumps") {
+    // the Hilbert property, enumerated: over the full 8x8 grid the curve
+    // visits every cell once and every consecutive index pair is grid-
+    // ADJACENT (Manhattan distance exactly 1)
+    val cells = for (x <- 0 until 8; y <- 0 until 8)
+      yield (Kernels.hilbertD(x, y, 3), x, y)
+    assert(cells.map(_._1).sorted == (0L until 64L))
+    val walk = cells.sortBy(_._1)
+    walk.sliding(2).foreach { case Seq((_, x1, y1), (_, x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"non-adjacent Hilbert step ($x1,$y1)->($x2,$y2)")
+    }
+    // contrast: the Morton curve breaks adjacency (the jump at index 3->4)
+    val morton = (for (x <- 0 until 8; y <- 0 until 8)
+      yield (Kernels.interleaveBits(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(x.toLong, y.toLong)), 3), x, y))
+      .sortBy(_._1)
+    val mortonAdjacent = morton.sliding(2).forall { case Seq((_, x1, y1), (_, x2, y2)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) == 1
+    }
+    assert(!mortonAdjacent, "Morton should NOT be unit-step — else Hilbert adds nothing")
+  }
+
   test("zone compare: integral types compare exactly above 2^53, mixed widths widen to long") {
     val big = (1L << 53) + 1L // indistinguishable from 2^53 as a double
     assert(Layout.cmpAny(big, 1L << 53) > 0, "adjacent >2^53 longs must not compare equal")
