@@ -54,9 +54,12 @@ object RangeJoin {
       bucketWidth: Double): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     def bucketOf(c: Column): Column = floor(c / bucketWidth).cast("long")
-    val l = left.withColumn(
+    // Empty/ill-formed intervals (hi <= lo) match nothing — dropped up
+    // front. Also the guard against the r6 sequence() trap: a descending
+    // bucket range would silently replicate onto wrong buckets.
+    val l = left.filter(col(lHiCol) > col(lLoCol)).withColumn(
       "__bucket", explode(sequence(bucketOf(col(lLoCol)), bucketOf(col(lHiCol)))))
-    val r = right.withColumn(
+    val r = right.filter(col(rHiCol) > col(rLoCol)).withColumn(
       "__bucket", explode(sequence(bucketOf(col(rLoCol)), bucketOf(col(rHiCol)))))
     l.join(r, Seq("__bucket"))
       .filter(col(lLoCol) < col(rHiCol) && col(rLoCol) < col(lHiCol))
