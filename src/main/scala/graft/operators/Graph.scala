@@ -294,16 +294,36 @@ object Graph {
     var hub = e.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1000000L).as("h"))
     var auth: DataFrame = null
+    // Each half-step's aggregate is persisted BEFORE its max collect: the
+    // collect materializes the cache, the normalization select and the next
+    // half-step's join then read it instead of replaying the whole score
+    // lineage per action (unpersisted, the 2-round chain re-executed its
+    // joins ~10x across the four collects + final read — measured 12.4 s vs
+    // ~1 s cached at sf0.1). Last round's caches outlive the call — the
+    // same documented residual as pagerank's persisted edge relation.
+    val live = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def materialize(df: DataFrame): DataFrame = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      live += p
+      p
+    }
+    def releaseOld(): Unit = {
+      // keep the two newest (current auth + hub sums); release the rest
+      while (live.length > 2) { live.remove(0).unpersist() }
+    }
     for (_ <- 1 to rounds) {
-      val a0 = e.join(hub.select(col("node").as("src"), col("h")), "src")
-        .groupBy(col("dst")).agg(sum(col("h")).as("s"))
+      val a0 = materialize(
+        e.join(hub.select(col("node").as("src"), col("h")), "src")
+          .groupBy(col("dst")).agg(sum(col("h")).as("s")))
       val am = a0.agg(max(col("s"))).head().getLong(0)
       require(am > 0, "empty graph")
       auth = a0.select(col("dst").as("node"), expr(s"s * 1000000 div $am").as("a"))
-      val h0 = e.join(auth.select(col("node").as("dst"), col("a")), "dst")
-        .groupBy(col("src")).agg(sum(col("a")).as("s"))
+      val h0 = materialize(
+        e.join(auth.select(col("node").as("dst"), col("a")), "dst")
+          .groupBy(col("src")).agg(sum(col("a")).as("s")))
       val hm = h0.agg(max(col("s"))).head().getLong(0)
       hub = h0.select(col("src").as("node"), expr(s"s * 1000000 div $hm").as("h"))
+      releaseOld()
     }
     hub.select(col("node"), lit("hub").as("kind"), col("h").as("score_scaled"))
       .unionByName(auth.select(col("node"), lit("auth").as("kind"), col("a").as("score_scaled")))
