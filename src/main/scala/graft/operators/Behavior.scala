@@ -155,6 +155,47 @@ object Behavior {
         (col("n_ab").cast("double") / col("n_a")).as("p"))
   }
 
+  /** Stationary behavior mix: `rounds` of the power iteration π ← πP over
+    * [[transitionMatrix]]'s fixed-point probabilities — where a user
+    * population settles if today's transition behavior persists, the
+    * long-run engagement mix behind capacity planning and "steady-state
+    * funnel" dashboards. The matrix is (event-type-domain)² — metadata by
+    * definition — so it collects and iterates driver-side (the
+    * pcaPower/kmeans principle: clustering a metadata-sized iteration buys
+    * only scheduler latency). All integer: p in 1e-6 fixed point, each
+    * round an order-free Σ π_f·p_ft followed by ONE truncating div — the
+    * unrolled-SQL oracle reproduces it exactly. States with no incoming
+    * transitions decay to 0; truncation loses < k units of 1e-6 mass per
+    * round (not renormalized — determinism over cosmetics). */
+  def markovSteadyState(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieCol: String, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, "need at least one round")
+    val spark = events.sparkSession
+    val tm = transitionMatrix(events, userCol, typeCol, tsCol, tieCol)
+      .select(col("from_type"), col("to_type"),
+        expr("n_ab * 1000000 div n_a").as("pm"))
+      .collect()
+    require(tm.nonEmpty, "no transitions")
+    val states = tm.flatMap(r => Seq(r.getString(0), r.getString(1))).distinct.sorted
+    val idx = states.zipWithIndex.toMap
+    val k = states.length
+    val pm = Array.ofDim[Long](k, k)
+    tm.foreach(r => pm(idx(r.getString(0)))(idx(r.getString(1))) = r.getLong(2))
+    var pi = Array.fill(k)(1000000L / k)
+    for (_ <- 1 to rounds) {
+      val next = Array.ofDim[Long](k)
+      var f = 0
+      while (f < k) {
+        var t = 0
+        while (t < k) { next(t) += pi(f) * pm(f)(t); t += 1 }
+        f += 1
+      }
+      pi = next.map(_ / 1000000L)
+    }
+    import spark.implicits._
+    states.zip(pi).toSeq.toDF("state", "pi_scaled")
+  }
+
   /** Top event PATHS of length 3 (journey mining): consecutive triples
     * inside each user's tie-broken stream, counted corpus-wide. Same single
     * window as [[transitionMatrix]] — two lead() offsets reuse one sort —

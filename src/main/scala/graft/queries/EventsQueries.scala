@@ -19,6 +19,16 @@ private[graft] trait EventsQueries extends QueryHelpers {
 
   protected def eventsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "events_markov_steady" -> ((s, dir) => {
+      // long-run behavior mix: 3 power-iteration rounds of pi <- pi*P over
+      // the tie-broken transition matrix — where the population settles if
+      // today's behavior persists; matrix is metadata, iteration is driver
+      // math, oracle is 3 unrolled SQL rounds
+      graft.operators.Behavior.markovSteadyState(
+        events(s, dir), "user_id", "event_type", "ts", "event_id", rounds = 3)
+        .orderBy(col("state"))
+    }),
+
     "events_funnel_latency" -> ((s, dir) => {
       // the funnel's other axis: stage-to-stage conversion latency in
       // integer µs — count, doubled-median, p90, max per stage
@@ -210,6 +220,44 @@ private[graft] trait EventsQueries extends QueryHelpers {
     }))
 
   protected def eventsOracles: Map[String, String] = Map(
+
+    // three unrolled pi <- pi*P rounds: 1e-6 fixed-point probabilities,
+    // order-free integer sums, one truncating // per state per round;
+    // no-incoming states kept at 0 via the states left join
+    "events_markov_steady" ->
+      """WITH nxt AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events
+        |), pairs AS (
+        |  SELECT from_type, to_type, count(*) AS n_ab
+        |  FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT from_type, CAST(sum(n_ab) AS BIGINT) AS n_a FROM pairs GROUP BY 1
+        |), p AS (
+        |  SELECT pairs.from_type AS f, pairs.to_type AS t2,
+        |    CAST(pairs.n_ab * 1000000 // tot.n_a AS BIGINT) AS pm
+        |  FROM pairs JOIN tot USING (from_type)
+        |), states AS (
+        |  SELECT DISTINCT f AS s FROM p UNION SELECT DISTINCT t2 FROM p
+        |), kk AS (SELECT CAST(count(*) AS BIGINT) AS c FROM states),
+        |pi0 AS (SELECT s, 1000000 // (SELECT c FROM kk) AS v FROM states),
+        |m1 AS (
+        |  SELECT p.t2 AS s, CAST(sum(pi0.v * p.pm) AS BIGINT) // 1000000 AS v
+        |  FROM p JOIN pi0 ON pi0.s = p.f GROUP BY 1
+        |),
+        |pi1 AS (SELECT states.s, COALESCE(m1.v, 0) AS v FROM states LEFT JOIN m1 USING (s)),
+        |m2 AS (
+        |  SELECT p.t2 AS s, CAST(sum(pi1.v * p.pm) AS BIGINT) // 1000000 AS v
+        |  FROM p JOIN pi1 ON pi1.s = p.f GROUP BY 1
+        |),
+        |pi2 AS (SELECT states.s, COALESCE(m2.v, 0) AS v FROM states LEFT JOIN m2 USING (s)),
+        |m3 AS (
+        |  SELECT p.t2 AS s, CAST(sum(pi2.v * p.pm) AS BIGINT) // 1000000 AS v
+        |  FROM p JOIN pi2 ON pi2.s = p.f GROUP BY 1
+        |),
+        |pi3 AS (SELECT states.s, COALESCE(m3.v, 0) AS v FROM states LEFT JOIN m3 USING (s))
+        |SELECT s AS state, CAST(v AS BIGINT) AS pi_scaled FROM pi3 ORDER BY state""".stripMargin,
 
     // funnel latencies: BIGINT µs differences; median via the x2 trick,
     // p90's interpolated double exact on BIGINT inputs (r5 precedent)

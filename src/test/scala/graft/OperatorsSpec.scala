@@ -1869,6 +1869,26 @@ class OperatorsSpec extends SparkSuite {
     assert(!mortonAdjacent, "Morton should NOT be unit-step — else Hilbert adds nothing")
   }
 
+  test("markovSteadyState: flip chain keeps the uniform split, absorbing state drains") {
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // deterministic flip A<->B: the uniform start is stationary exactly
+    val flip = Seq((1L, "A", ts(1), 1L), (1L, "B", ts(2), 2L),
+      (1L, "A", ts(3), 3L), (1L, "B", ts(4), 4L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val f = Behavior.markovSteadyState(flip, "user_id", "event_type", "ts", "event_id")
+      .orderBy("state").collect()
+    assert(f.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("A", 500000L), ("B", 500000L)))
+    // absorbing B (A->B once, B->B after): all mass drains to B
+    val drain = Seq((2L, "A", ts(1), 1L), (2L, "B", ts(2), 2L),
+      (2L, "B", ts(3), 3L), (2L, "B", ts(4), 4L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val d = Behavior.markovSteadyState(drain, "user_id", "event_type", "ts", "event_id")
+      .orderBy("state").collect()
+    assert(d.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("A", 0L), ("B", 1000000L)))
+  }
+
   test("zone compare: integral types compare exactly above 2^53, mixed widths widen to long") {
     val big = (1L << 53) + 1L // indistinguishable from 2^53 as a double
     assert(Layout.cmpAny(big, 1L << 53) > 0, "adjacent >2^53 longs must not compare equal")
