@@ -196,6 +196,23 @@ object Behavior {
     states.zip(pi).toSeq.toDF("state", "pi_scaled")
   }
 
+  /** DAU/MAU stickiness: per calendar day, distinct active users that day
+    * over distinct active users in the day's calendar month, in 1e-6 fixed
+    * point — THE product-analytics engagement ratio. Two distinct-count
+    * aggregates (day-keyed and month-keyed, both map-side partial) + one
+    * broadcast join of the month relation; exact distincts here, swap in
+    * the HLL sketch family for approximate at extreme cardinalities. */
+  def stickiness(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val day = events.select(date_trunc("day", col(tsCol)).as("day"), col(userCol).as("u"))
+      .groupBy(col("day")).agg(countDistinct(col("u")).as("dau"))
+    val month = events.select(date_trunc("month", col(tsCol)).as("month"), col(userCol).as("u"))
+      .groupBy(col("month")).agg(countDistinct(col("u")).as("mau"))
+    day.withColumn("month", date_trunc("month", col("day")))
+      .join(broadcast(month), "month")
+      .select(col("day"), col("dau"), col("mau"),
+        expr("dau * 1000000 div mau").as("stickiness_micro"))
+  }
+
   /** Top event PATHS of length 3 (journey mining): consecutive triples
     * inside each user's tie-broken stream, counted corpus-wide. Same single
     * window as [[transitionMatrix]] — two lead() offsets reuse one sort —

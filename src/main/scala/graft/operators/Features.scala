@@ -184,6 +184,36 @@ object Features {
         expr("(sy * 1000000 - slope_micro * sx) div n"))
   }
 
+  /** ABC (Pareto) classification: rank keys by their fixed-point value
+    * total, classify by the EXCLUSIVE-prior cumulative share — A while the
+    * share before this key is under `aPermille` (the key that crosses the
+    * 80% line still counts as A, the standard convention), B under
+    * `bPermille`, else C. The "20% of parts carry 80% of revenue" segmenter
+    * behind inventory/supplier/corpus-source prioritization.
+    *
+    * All integer: cents totals, a running BIGINT sum, `(cum−v)·1000 div
+    * total` per-mille shares — classification is bit-portable. The global
+    * window runs over the AGGREGATED key relation (key-domain-sized, never
+    * the fact table); the grand total is one O(1) driver aggregate. */
+  def abcClasses(df: DataFrame, keyCol: String, valueCents: Column,
+      aPermille: Long = 800L, bPermille: Long = 950L): DataFrame = {
+    require(aPermille > 0 && aPermille < bPermille && bPermille <= 1000L,
+      "need 0 < aPermille < bPermille <= 1000")
+    import org.apache.spark.sql.expressions.Window
+    val per = df.groupBy(col(keyCol).as("key")).agg(sum(valueCents).as("v"))
+    val total = per.agg(sum(col("v"))).head().getLong(0)
+    require(total > 0, "non-positive value total")
+    val w = Window.orderBy(col("v").desc, col("key"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per.withColumn("cum", sum(col("v")).over(w))
+      .select(col("key"), col("v").as("value_cents"), col("cum").as("cum_cents"),
+        expr(s"(cum - v) * 1000 div $total").as("prev_permille"))
+      .withColumn("abc_class",
+        when(col("prev_permille") < aPermille, "A")
+          .when(col("prev_permille") < bPermille, "B")
+          .otherwise("C"))
+  }
+
   def kAnonymityViolations(df: DataFrame, quasiIdCols: Seq[String], k: Long): DataFrame =
     df.groupBy(quasiIdCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"))

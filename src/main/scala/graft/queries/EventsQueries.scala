@@ -19,6 +19,13 @@ private[graft] trait EventsQueries extends QueryHelpers {
 
   protected def eventsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "events_stickiness" -> ((s, dir) => {
+      // DAU/MAU engagement ratio per day, 1e-6 fixed point — exact distinct
+      // counts at this scale, the HLL family is the approximate drop-in
+      graft.operators.Behavior.stickiness(events(s, dir), "user_id", "ts")
+        .orderBy(col("day"))
+    }),
+
     "events_markov_steady" -> ((s, dir) => {
       // long-run behavior mix: 3 power-iteration rounds of pi <- pi*P over
       // the tie-broken transition matrix — where the population settles if
@@ -220,6 +227,20 @@ private[graft] trait EventsQueries extends QueryHelpers {
     }))
 
   protected def eventsOracles: Map[String, String] = Map(
+
+    // month column dropped on the Spark side too; ratio is integer div
+    "events_stickiness" ->
+      """WITH d AS (
+        |  SELECT date_trunc('day', ts) AS day, count(DISTINCT user_id) AS dau
+        |  FROM events GROUP BY 1
+        |), m AS (
+        |  SELECT date_trunc('month', ts) AS month, count(DISTINCT user_id) AS mau
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT d.day, CAST(d.dau AS BIGINT) AS dau, CAST(m.mau AS BIGINT) AS mau,
+        |  CAST(d.dau * 1000000 // m.mau AS BIGINT) AS stickiness_micro
+        |FROM d JOIN m ON date_trunc('month', d.day) = m.month
+        |ORDER BY day""".stripMargin,
 
     // three unrolled pi <- pi*P rounds: 1e-6 fixed-point probabilities,
     // order-free integer sums, one truncating // per state per round;

@@ -380,6 +380,17 @@ private[graft] trait RelationalQueries extends QueryHelpers {
     }),
 
 
+    "q31_abc_parts" -> ((s, dir) => {
+      // Pareto/ABC segmentation of parts by revenue: rank by cents total,
+      // classify by exclusive-prior cumulative per-mille share (A < 800,
+      // B < 950, C) — the 80/20 prioritizer; the global window runs over
+      // the 2000-key part relation, never the fact table
+      graft.operators.Features.abcClasses(
+        t(s, dir, "lineitem"), "l_partkey", cents(col("l_extendedprice")))
+        .orderBy(col("key"))
+    }),
+
+
     "q30_interval_overlap" -> ((s, dir) => {
       // interval x interval OVERLAP join with no equi key — supplier
       // availability windows vs part demand windows, both derived
@@ -752,6 +763,28 @@ private[graft] trait RelationalQueries extends QueryHelpers {
         |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
         |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY band_id ORDER BY band_id""".stripMargin,
+
+
+    // integer cents, BIGINT running sum, per-mille integer shares — the
+    // classification is bit-portable
+    "q31_abc_parts" ->
+      """WITH per AS (
+        |  SELECT l_partkey AS key,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+        |  FROM lineitem GROUP BY 1
+        |), t AS (SELECT CAST(sum(v) AS BIGINT) AS t FROM per),
+        |c AS (
+        |  SELECT key, v,
+        |    CAST(sum(v) OVER (ORDER BY v DESC, key
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM per
+        |)
+        |SELECT key, v AS value_cents, cum AS cum_cents,
+        |  CAST((cum - v) * 1000 // (SELECT t FROM t) AS BIGINT) AS prev_permille,
+        |  CASE WHEN (cum - v) * 1000 // (SELECT t FROM t) < 800 THEN 'A'
+        |       WHEN (cum - v) * 1000 // (SELECT t FROM t) < 950 THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM c ORDER BY key""".stripMargin,
 
 
     // plain overlap predicate — the bucketed rewrite must be invisible

@@ -1889,6 +1889,26 @@ class OperatorsSpec extends SparkSuite {
       Seq(("A", 0L), ("B", 1000000L)))
   }
 
+  test("abcClasses boundary rule and stickiness ratio on hand data") {
+    // values 80/15/5: exclusive-prior shares 0/800/950 permille -> A/B/C
+    // (the key that lands exactly ON a boundary starts the next class)
+    val t3 = Seq((1L, 80L), (2L, 15L), (3L, 5L)).toDF("k", "cents")
+    val abc = Features.abcClasses(t3, "k", $"cents")
+      .orderBy("key").collect()
+    assert(abc.map(r => (r.getLong(0), r.getString(4))).toSeq ==
+      Seq((1L, "A"), (2L, "B"), (3L, "C")))
+    assert(abc.map(_.getAs[Long]("prev_permille")).toSeq == Seq(0L, 800L, 950L))
+    // stickiness: 2 days, users {1,2} then {1} within one month ->
+    // mau 2, ratios 1.0 and 0.5
+    val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    val ev = Seq((1L, ts(1)), (2L, ts(1)), (1L, ts(2)))
+      .toDF("user_id", "ts")
+    val st = Behavior.stickiness(ev, "user_id", "ts").orderBy("day").collect()
+    assert(st.map(r => (r.getAs[Long]("dau"), r.getAs[Long]("mau"),
+      r.getAs[Long]("stickiness_micro"))).toSeq ==
+      Seq((2L, 2L, 1000000L), (1L, 2L, 500000L)))
+  }
+
   test("zone compare: integral types compare exactly above 2^53, mixed widths widen to long") {
     val big = (1L << 53) + 1L // indistinguishable from 2^53 as a double
     assert(Layout.cmpAny(big, 1L << 53) > 0, "adjacent >2^53 longs must not compare equal")
