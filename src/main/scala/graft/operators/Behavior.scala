@@ -213,6 +213,45 @@ object Behavior {
         expr("dau * 1000000 div mau").as("stickiness_micro"))
   }
 
+  /** Journey-similarity pairs: users whose event-type SEQUENCES are within
+    * `maxDist` edit operations — behavioral twin discovery (bot rings,
+    * scripted flows, UX cohorts) where transition counts are too coarse:
+    * order matters. Each user's journey is the string of type initials
+    * over their first `maxLen` tie-broken events; pairs are generated
+    * through a length-band equi-join (true pairs differ by ≤ maxDist in
+    * length, so bands of width maxDist+1 with a 3-band probe are lossless
+    * — the fuzzy-dedup blocking argument) and verified with the exact
+    * built-in `levenshtein`. A corpus of uniform-length journeys
+    * degenerates to one band (= the exact all-pairs cost); real logs
+    * spread. Truncation to `maxLen` bounds the per-pair cost at
+    * O(maxLen²). */
+  def journeyPairs(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieCol: String, maxDist: Int, maxLen: Int = 40): DataFrame = {
+    require(maxDist >= 0 && maxLen >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val j = events.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxLen)
+      .withColumn("__c", substring(col(typeCol), 1, 1))
+      .groupBy(col(userCol).as("uid"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__rn"), col("__c")))),
+        x => x.getField("__c")), "").as("j"))
+      .withColumn("len", length(col("j")))
+      .withColumn("band", expr(s"len div ${maxDist + 1}"))
+    val probe = j.withColumn("__b",
+      explode(array(col("band") - 1, col("band"), col("band") + 1)))
+    val index = j.select(col("uid").as("uid_b"), col("j").as("jb"),
+      col("len").as("len_b"), col("band").as("__b"))
+    probe.join(index, "__b")
+      .filter(col("uid") < col("uid_b"))
+      .filter(abs(col("len") - col("len_b")) <= maxDist)
+      .withColumn("dist", levenshtein(col("j"), col("jb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("uid").as("user_a"), col("uid_b").as("user_b"),
+        col("dist").cast("long").as("dist"))
+  }
+
   /** Top event PATHS of length 3 (journey mining): consecutive triples
     * inside each user's tie-broken stream, counted corpus-wide. Same single
     * window as [[transitionMatrix]] — two lead() offsets reuse one sort —

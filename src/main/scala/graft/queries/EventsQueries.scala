@@ -19,6 +19,16 @@ private[graft] trait EventsQueries extends QueryHelpers {
 
   protected def eventsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "events_journey_pairs" -> ((s, dir) => {
+      // behavioral twins: users whose first-40-event type sequences are
+      // within 19 edits — length-band blocked, exact levenshtein verify
+      // (cross-engine edit-distance parity, the winnow_verified precedent)
+      graft.operators.Behavior.journeyPairs(
+        events(s, dir), "user_id", "event_type", "ts", "event_id",
+        maxDist = 19, maxLen = 40)
+        .orderBy(col("user_a"), col("user_b"))
+    }),
+
     "events_stickiness" -> ((s, dir) => {
       // DAU/MAU engagement ratio per day, 1e-6 fixed point — exact distinct
       // counts at this scale, the HLL family is the approximate drop-in
@@ -227,6 +237,24 @@ private[graft] trait EventsQueries extends QueryHelpers {
     }))
 
   protected def eventsOracles: Map[String, String] = Map(
+
+    // journeys re-derived (ordered initials, first 40 events), pairs via
+    // the plain quadratic + exact levenshtein filter — the banding is
+    // result-neutral candidate generation
+    "events_journey_pairs" ->
+      """WITH o AS (
+        |  SELECT user_id, substr(event_type, 1, 1) AS c,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |), j AS (
+        |  SELECT user_id, string_agg(c, '' ORDER BY rn) AS j
+        |  FROM o WHERE rn <= 40 GROUP BY 1
+        |)
+        |SELECT a.user_id AS user_a, b.user_id AS user_b,
+        |  CAST(levenshtein(a.j, b.j) AS BIGINT) AS dist
+        |FROM j a JOIN j b ON a.user_id < b.user_id
+        |WHERE levenshtein(a.j, b.j) <= 19
+        |ORDER BY user_a, user_b""".stripMargin,
 
     // month column dropped on the Spark side too; ratio is integer div
     "events_stickiness" ->

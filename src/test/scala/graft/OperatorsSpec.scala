@@ -1909,6 +1909,26 @@ class OperatorsSpec extends SparkSuite {
       Seq((2L, 2L, 1000000L), (1L, 2L, 500000L)))
   }
 
+  test("journeyPairs: banding lossless vs naive quadratic, identical journeys at dist 0") {
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // users with journeys of varied LENGTH so the length bands actually
+    // split: u1 "vcp", u2 "vcp" (twin), u3 "vc", u4 "vcpvcpvcp" (far)
+    def u(id: Long, types: String*) = types.zipWithIndex.map {
+      case (t, i) => (id, t, ts(i + 1), i.toLong)
+    }
+    val ev = (u(1L, "view", "click", "purchase") ++ u(2L, "view", "click", "purchase") ++
+      u(3L, "view", "click") ++
+      u(4L, "view", "click", "purchase", "view", "click", "purchase", "view", "click", "purchase"))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = Behavior.journeyPairs(ev, "user_id", "event_type", "ts", "event_id",
+      maxDist = 2, maxLen = 40)
+      .orderBy("user_a", "user_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // naive truth: (1,2) dist 0; (1,3)/(2,3) dist 1; u4 at distance 6 from
+    // everyone — and in a far band, so the blocking must also DROP it
+    assert(got == Seq((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
+
   test("zone compare: integral types compare exactly above 2^53, mixed widths widen to long") {
     val big = (1L << 53) + 1L // indistinguishable from 2^53 as a double
     assert(Layout.cmpAny(big, 1L << 53) > 0, "adjacent >2^53 longs must not compare equal")
