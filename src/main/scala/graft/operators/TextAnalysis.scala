@@ -130,6 +130,42 @@ object TextAnalysis {
       .select(col("w1"), col("rnk"), col("w2"), col("c12"), col("c1"), col("p_micro"))
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau '04): PageRank over the
+    * undirected word co-occurrence graph — adjacent-token edges, distinct,
+    * symmetrized — surfaces the corpus's structurally central terms, a
+    * graph upgrade over raw TF-IDF salience. COMPOSITION of two gated
+    * operators: the bigram pair stream feeds [[Graph.pagerank]]'s integer
+    * fixed point verbatim, with words carried as md5-derived 60-bit node
+    * ids (the engine's standard cross-engine hash; collision odds ~2⁻⁶⁰·V²
+    * — at a realistic vocabulary a collision merges two words' ranks,
+    * detectable by the vocab join fanning out, accepted and documented).
+    * Returns the top-`k` terms by (rank, term). */
+  def textrankTerms(docs: DataFrame, textCol: String, iters: Int = 3,
+      k: Int = 20): DataFrame = {
+    val toks = TextFns.tokens(col(textCol))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val pairsArr = zip_with(
+      slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+      (x, y) => struct(x.as("w1"), y.as("w2")))
+    val und = docs.select(explode(pairsArr).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .filter(col("w1") =!= col("w2"))
+      .select(least(col("w1"), col("w2")).as("a"), greatest(col("w1"), col("w2")).as("b"))
+      .distinct()
+    val edges = und.select(col("a").as("ws"), col("b").as("wd"))
+      .union(und.select(col("b").as("ws"), col("a").as("wd")))
+      .select(TextFns.md5Long(col("ws"), 0).as("src"),
+        TextFns.md5Long(col("wd"), 0).as("dst"))
+    val vocab = und.select(col("a").as("term")).union(und.select(col("b").as("term")))
+      .distinct()
+      .select(col("term"), TextFns.md5Long(col("term"), 0).as("node"))
+    Graph.pagerank(edges, "src", "dst", iters)
+      .join(vocab, "node")
+      .select(col("term"), col("rank_scaled"))
+      .orderBy(col("rank_scaled").desc, col("term"))
+      .limit(k)
+  }
+
   /** Repetition quality signal (the "duplicate n-gram fraction" used to flag
     * boilerplate/spam in corpus filtering): share of a document's word
     * bigrams that are repeats of an earlier bigram. All-integer counts and

@@ -158,6 +158,15 @@ private[graft] trait TextQueries extends QueryHelpers {
       graft.operators.Features.linearFit(pts, "qx", "qy")
     }),
 
+    "text_textrank_terms" -> ((s, dir) => {
+      // TextRank keyword extraction: PageRank over the undirected word
+      // co-occurrence graph (adjacent tokens, distinct, symmetrized) —
+      // the graph upgrade over TF-IDF salience; words ride md5-derived
+      // node ids so the whole composition stays oracle-exact
+      TextAnalysis.textrankTerms(spread(t(s, dir, "documents")), "text",
+        iters = 3, k = 20)
+    }),
+
     "text_bigram_lm" -> ((s, dir) => {
       // bigram next-word table: P(w2|w1) in 1e-6 fixed point over adjacent
       // token pairs, top-3 successors per head via WindowGroupLimit — the
@@ -626,6 +635,60 @@ private[graft] trait TextQueries extends QueryHelpers {
         |      - ((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx)) * sx) // n AS BIGINT)
         |    AS intercept_micro
         |FROM s""".stripMargin,
+
+    // the bigram pair stream composed with the graph_pagerank unrolled
+    // fixed point, words as md5-derived 60-bit node ids
+    "text_textrank_terms" ->
+      """WITH toks AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), g AS (
+        |  SELECT unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS gram
+        |  FROM toks
+        |), pp AS (
+        |  SELECT string_split(gram, ' ')[1] AS w1, string_split(gram, ' ')[2] AS w2 FROM g
+        |), und AS (
+        |  SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+        |  FROM pp WHERE w1 != w2
+        |), e AS (
+        |  SELECT ('0x' || substr(md5('0:' || a), 1, 15))::BIGINT AS src,
+        |         ('0x' || substr(md5('0:' || b), 1, 15))::BIGINT AS dst FROM und
+        |  UNION ALL
+        |  SELECT ('0x' || substr(md5('0:' || b), 1, 15))::BIGINT,
+        |         ('0x' || substr(md5('0:' || a), 1, 15))::BIGINT FROM und
+        |), deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |n AS (SELECT count(*) AS n FROM deg),
+        |r0 AS (SELECT src AS node, 1000000000 // (SELECT n FROM n) AS rank FROM deg),
+        |r1 AS (
+        |  SELECT nodes.src AS node, 150000000 // (SELECT n FROM n)
+        |    + 85 * coalesce(sum(r0.rank // d2.deg), 0) // 100 AS rank
+        |  FROM deg nodes
+        |  LEFT JOIN e ON e.dst = nodes.src
+        |  LEFT JOIN deg d2 ON d2.src = e.src
+        |  LEFT JOIN r0 ON r0.node = e.src
+        |  GROUP BY nodes.src
+        |), r2 AS (
+        |  SELECT nodes.src AS node, 150000000 // (SELECT n FROM n)
+        |    + 85 * coalesce(sum(r1.rank // d2.deg), 0) // 100 AS rank
+        |  FROM deg nodes
+        |  LEFT JOIN e ON e.dst = nodes.src
+        |  LEFT JOIN deg d2 ON d2.src = e.src
+        |  LEFT JOIN r1 ON r1.node = e.src
+        |  GROUP BY nodes.src
+        |), r3 AS (
+        |  SELECT nodes.src AS node, 150000000 // (SELECT n FROM n)
+        |    + 85 * coalesce(sum(r2.rank // d2.deg), 0) // 100 AS rank
+        |  FROM deg nodes
+        |  LEFT JOIN e ON e.dst = nodes.src
+        |  LEFT JOIN deg d2 ON d2.src = e.src
+        |  LEFT JOIN r2 ON r2.node = e.src
+        |  GROUP BY nodes.src
+        |), vocab AS (
+        |  SELECT DISTINCT term, ('0x' || substr(md5('0:' || term), 1, 15))::BIGINT AS node
+        |  FROM (SELECT a AS term FROM und UNION SELECT b FROM und) q
+        |)
+        |SELECT v.term, CAST(r3.rank AS BIGINT) AS rank_scaled
+        |FROM r3 JOIN vocab v USING (node)
+        |ORDER BY rank_scaled DESC, term LIMIT 20""".stripMargin,
 
     // adjacent pairs via the r7 list-comprehension pairing; c1 derived from
     // the pair counts (heads = words WITH a successor); p in 1e-6 fixed point
