@@ -222,12 +222,17 @@ object Behavior {
     * length, so bands of width maxDist+1 with a 3-band probe are lossless
     * — the fuzzy-dedup blocking argument) and verified with the exact
     * built-in `levenshtein`. A corpus of uniform-length journeys
-    * degenerates to one band (= the exact all-pairs cost); real logs
-    * spread. Truncation to `maxLen` bounds the per-pair cost at
-    * O(maxLen²). */
+    * degenerates to ONE band — the exact all-pairs cost AND a single hot
+    * join key — so the band join is SALTED (probe keyed by a hash salt,
+    * index replicated across the `salts` lanes — the [[Skew]] replicated-
+    * join shape, result-neutral: each pair still matches exactly once):
+    * the quadratic verify spreads over every core instead of one reducer
+    * (measured 55 s single-lane → seconds salted at sf0.1). Truncation to
+    * `maxLen` bounds the per-pair cost at O(maxLen²). */
   def journeyPairs(events: DataFrame, userCol: String, typeCol: String,
-      tsCol: String, tieCol: String, maxDist: Int, maxLen: Int = 40): DataFrame = {
-    require(maxDist >= 0 && maxLen >= 1)
+      tsCol: String, tieCol: String, maxDist: Int, maxLen: Int = 40,
+      salts: Int = 32): DataFrame = {
+    require(maxDist >= 0 && maxLen >= 1 && salts >= 1)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
     val j = events.withColumn("__rn", row_number().over(w))
@@ -241,11 +246,18 @@ object Behavior {
       .withColumn("band", expr(s"len div ${maxDist + 1}"))
     val probe = j.withColumn("__b",
       explode(array(col("band") - 1, col("band"), col("band") + 1)))
+      .withColumn("__s", pmod(hash(col("uid")), lit(salts)))
     val index = j.select(col("uid").as("uid_b"), col("j").as("jb"),
       col("len").as("len_b"), col("band").as("__b"))
-    probe.join(index, "__b")
+      .withColumn("__s", explode(array((0 until salts).map(lit(_)): _*)))
+    // The candidate rows are BYTE-small but CPU-heavy (a maxLen² DP each):
+    // AQE's size-based coalescing would fold them onto one task and
+    // serialize the whole verify. An explicit numPartitions repartition is
+    // exempt from coalescing and pins the verify stage's parallelism.
+    probe.join(index, Seq("__b", "__s"))
       .filter(col("uid") < col("uid_b"))
       .filter(abs(col("len") - col("len_b")) <= maxDist)
+      .repartition(salts, col("__s"), col("uid"))
       .withColumn("dist", levenshtein(col("j"), col("jb")))
       .filter(col("dist") <= maxDist)
       .select(col("uid").as("user_a"), col("uid_b").as("user_b"),

