@@ -227,6 +227,55 @@ object Multimodal {
     BmpStats(width, height, 3, sumR, sumG, sumB, wsumR)
   }
 
+  /** `buckets`-bin LUMINANCE histogram of a 24-bit BMP — the exposure/
+    * contrast profile behind brightness filtering and dark/blank-image
+    * detection in an image-curation pipeline. Integer ITU-R 601 luma
+    * (`(299r + 587g + 114b) div 1000`, the classic fixed-point weights),
+    * bucket = `lum·buckets div 256` — every count exactly recomputable
+    * from the fixture formula. One pass over the pixel rows, O(buckets)
+    * state. */
+  def bmpHistogram(bytes: Array[Byte], buckets: Int = 8): Array[Long] = {
+    require(buckets >= 1 && buckets <= 256)
+    val hdr = bmpHeader(bytes)
+    val out = new Array[Long](buckets)
+    var y = 0
+    while (y < hdr.height) {
+      val srcRow = if (hdr.bottomUp) hdr.height - 1 - y else y
+      val rowOff = hdr.pixelOff + srcRow * hdr.stride
+      var x = 0
+      while (x < hdr.width) {
+        val o = rowOff + 3 * x
+        val b = bytes(o) & 0xff
+        val g = bytes(o + 1) & 0xff
+        val r = bytes(o + 2) & 0xff
+        val lum = (299 * r + 587 * g + 114 * b) / 1000
+        out(lum * buckets / 256) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  val BmpHistogramSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("bucket", LongType, nullable = false),
+    StructField("n_pixels", LongType, nullable = false)))
+
+  /** Partition-batched luminance histograms over a BMP binary column,
+    * exploded to (id, bucket, n_pixels) — empty buckets kept at 0 so the
+    * histogram shape is uniform per image. */
+  def histogramBmp(withPayload: DataFrame, idCol: String,
+      buckets: Int = 8): DataFrame = {
+    val spark = withPayload.sparkSession
+    val rdd = withPayload.select(col(idCol).cast("long"), col("payload")).rdd
+      .mapPartitions(_.flatMap { r =>
+        val h = bmpHistogram(r.getAs[Array[Byte]](1), buckets)
+        h.iterator.zipWithIndex.map { case (n, b) => Row(r.getLong(0), b.toLong, n) }
+      })
+    spark.createDataFrame(rdd, BmpHistogramSchema)
+  }
+
   /** Deterministic BMP fixture per document: dimensions and channel values
     * are simple integer functions of (doc_id, x, y), so an external engine
     * can recompute every decoded statistic from the FORMULA while Spark

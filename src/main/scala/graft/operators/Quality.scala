@@ -18,6 +18,29 @@ object Quality {
     * is an aggregate expression counting offending rows. */
   final case class Rule(label: String, violations: Column)
 
+  /** Referential-integrity check for a batch of foreign-key relationships:
+    * per relationship, child rows whose key has NO parent (orphans), plus
+    * the child row count and min/max orphan key for triage — the star-
+    * schema promotion gate beside [[check]]'s per-column expectations.
+    * Each relationship is one LEFT ANTI equi-join (broadcast when the
+    * parent key set fits, shuffle otherwise) + one aggregate; null child
+    * keys are not orphans (SQL FK semantics — pair with [[notNull]] to
+    * forbid them). */
+  def fkOrphans(relations: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame =
+    relations.map { case (label, child, childKey, parent, parentKey) =>
+      val flagged = child.select(col(childKey).as("k"))
+        .join(parent.select(col(parentKey).as("k")).distinct()
+          .withColumn("__p", lit(1L)), Seq("k"), "left")
+      val isOrphan = col("k").isNotNull && col("__p").isNull
+      flagged.agg(
+        count(lit(1)).as("n_child"),
+        sum(when(isOrphan, 1L).otherwise(0L)).as("n_orphans"),
+        min(when(isOrphan, col("k"))).cast("long").as("min_orphan_key"),
+        max(when(isOrphan, col("k"))).cast("long").as("max_orphan_key"))
+        .select(lit(label).as("relationship"), col("n_child"),
+          col("n_orphans"), col("min_orphan_key"), col("max_orphan_key"))
+    }.reduce(_ unionByName _)
+
   /** `col` must never be null. */
   def notNull(c: String): Rule =
     Rule(s"not_null($c)", sum(when(col(c).isNull, 1L).otherwise(0L)))

@@ -35,6 +35,21 @@ private[graft] trait CurationQueries extends QueryHelpers {
         .orderBy(col("doc_id"))
     }),
 
+    "quality_fk_orphans" -> ((s, dir) => {
+      // star-schema referential integrity: one anti-join flag + one
+      // aggregate per relationship; the orders parent is PRUNED (%10 != 0)
+      // so the lineitem check reports real planted orphans beside the two
+      // clean relationships
+      graft.operators.Quality.fkOrphans(Seq(
+        ("lineitem->orders_pruned", t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders").filter(col("o_orderkey") % 10 =!= 0), "o_orderkey"),
+        ("lineitem->part", t(s, dir, "lineitem"), "l_partkey",
+          t(s, dir, "part"), "p_partkey"),
+        ("orders->customer", t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey")))
+        .orderBy(col("relationship"))
+    }),
+
     "curation_pipeline_privacy" -> ((s, dir) => {
       // the round-10 steps through the YAML pipeline compiler: normalize →
       // repetition filter (integer per-mille gate) → k-anonymity
@@ -520,6 +535,38 @@ private[graft] trait CurationQueries extends QueryHelpers {
         |SELECT doc_id, count(*) AS n_nonzero, CAST(sum(abs(v)) AS BIGINT) AS l1,
         |  CAST(sum(v * v) AS BIGINT) AS dot_self
         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // per relationship: left join against the distinct parent key set,
+    // orphan = non-null child key with no parent; min/max NULL when clean
+    "quality_fk_orphans" ->
+      """WITH r1 AS (
+        |  SELECT 'lineitem->orders_pruned' AS relationship,
+        |    CAST(count(*) AS BIGINT) AS n_child,
+        |    CAST(sum(CASE WHEN l.l_orderkey IS NOT NULL AND o.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+        |    CAST(min(CASE WHEN l.l_orderkey IS NOT NULL AND o.k IS NULL THEN l.l_orderkey END) AS BIGINT) AS min_orphan_key,
+        |    CAST(max(CASE WHEN l.l_orderkey IS NOT NULL AND o.k IS NULL THEN l.l_orderkey END) AS BIGINT) AS max_orphan_key
+        |  FROM lineitem l
+        |  LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderkey % 10 != 0) o
+        |    ON o.k = l.l_orderkey
+        |), r2 AS (
+        |  SELECT 'lineitem->part' AS relationship,
+        |    CAST(count(*) AS BIGINT) AS n_child,
+        |    CAST(sum(CASE WHEN l.l_partkey IS NOT NULL AND p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+        |    CAST(min(CASE WHEN l.l_partkey IS NOT NULL AND p.k IS NULL THEN l.l_partkey END) AS BIGINT) AS min_orphan_key,
+        |    CAST(max(CASE WHEN l.l_partkey IS NOT NULL AND p.k IS NULL THEN l.l_partkey END) AS BIGINT) AS max_orphan_key
+        |  FROM lineitem l
+        |  LEFT JOIN (SELECT DISTINCT p_partkey AS k FROM part) p ON p.k = l.l_partkey
+        |), r3 AS (
+        |  SELECT 'orders->customer' AS relationship,
+        |    CAST(count(*) AS BIGINT) AS n_child,
+        |    CAST(sum(CASE WHEN o.o_custkey IS NOT NULL AND c.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+        |    CAST(min(CASE WHEN o.o_custkey IS NOT NULL AND c.k IS NULL THEN o.o_custkey END) AS BIGINT) AS min_orphan_key,
+        |    CAST(max(CASE WHEN o.o_custkey IS NOT NULL AND c.k IS NULL THEN o.o_custkey END) AS BIGINT) AS max_orphan_key
+        |  FROM orders o
+        |  LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) c ON c.k = o.o_custkey
+        |)
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+        |ORDER BY relationship""".stripMargin,
 
     // pipeline chain re-derived: normalize (the curation_pipeline SQL),
     // duplicate-bigram per-mille gate, then QI groups with count >= k

@@ -107,6 +107,15 @@ private[graft] trait MultimodalQueries extends QueryHelpers {
     }),
 
 
+    "mm_histogram_bmp" -> ((s, dir) => {
+      // exposure profile: 8-bucket integer ITU-R 601 luminance histogram
+      // per image — the dark/blank-image detector; empty buckets kept at 0
+      Multimodal.histogramBmp(
+        Multimodal.bmpFixtures(spread(t(s, dir, "documents")), "doc_id"), "doc_id")
+        .orderBy(col("doc_id"), col("bucket"))
+    }),
+
+
     "mm_audio_features" -> ((s, dir) => {
       // audio feature extraction: zero-crossing count (zeros transparent),
       // all-channel peak amplitude, signed channel-0 DC-offset sum — one
@@ -290,6 +299,36 @@ private[graft] trait MultimodalQueries extends QueryHelpers {
         |  CAST(sum(v * v) AS BIGINT) AS energy,
         |  CAST(sum(CASE WHEN ch = 0 THEN (i + 1) * v ELSE 0 END) AS BIGINT) AS wsum_c0
         |FROM s GROUP BY 1, 2, 3, 4 ORDER BY doc_id""".stripMargin,
+
+
+    // luma and bucket re-derived from the pixel formula; the full
+    // (doc, bucket) grid left-joined so empty buckets stay present at 0
+    "mm_histogram_bmp" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(8 + doc_id % 25 AS BIGINT) AS width,
+        |    CAST(8 + (doc_id * 7) % 25 AS BIGINT) AS height
+        |  FROM documents
+        |), px AS (
+        |  SELECT d.doc_id, xs.range AS x, ys.range AS y
+        |  FROM d CROSS JOIN range(0, 33) xs CROSS JOIN range(0, 33) ys
+        |  WHERE xs.range < d.width AND ys.range < d.height
+        |), lum AS (
+        |  SELECT doc_id,
+        |    (299 * ((x + 3*y + doc_id) % 256)
+        |     + 587 * ((2*x + y) % 256)
+        |     + 114 * ((x + y + doc_id) % 256)) // 1000 AS lum
+        |  FROM px
+        |), hb AS (
+        |  SELECT doc_id, lum * 8 // 256 AS bucket, CAST(count(*) AS BIGINT) AS n
+        |  FROM lum GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT d.doc_id, b.range AS bucket FROM d CROSS JOIN range(0, 8) b
+        |)
+        |SELECT g.doc_id, CAST(g.bucket AS BIGINT) AS bucket,
+        |  CAST(COALESCE(hb.n, 0) AS BIGINT) AS n_pixels
+        |FROM grid g LEFT JOIN hb ON hb.doc_id = g.doc_id AND hb.bucket = g.bucket
+        |ORDER BY g.doc_id, g.bucket""".stripMargin,
 
 
     // features re-derived from the fixture formula: zero crossings via

@@ -1929,6 +1929,36 @@ class OperatorsSpec extends SparkSuite {
     assert(got == Seq((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L)))
   }
 
+  test("bmpHistogram: known-luma pixels land in exact buckets, counts conserve pixels") {
+    // black (lum 0 -> bucket 0), white (255 -> 7), pure red (lum 76 -> 2),
+    // pure green (lum 149 -> 4)
+    val img = Multimodal.bmpEncode(2, 2, (x, y) => (x, y) match {
+      case (0, 0) => (0, 0, 0)
+      case (1, 0) => (255, 255, 255)
+      case (0, 1) => (255, 0, 0)
+      case _ => (0, 255, 0)
+    })
+    val h = Multimodal.bmpHistogram(img)
+    assert(h.sum == 4L)
+    assert(h(0) == 1L && h(7) == 1L && h(2) == 1L && h(4) == 1L)
+  }
+
+  test("fkOrphans: planted orphan reported with key range, clean relation reports zero, null keys pass") {
+    val child = Seq((1L, Some(10L)), (2L, Some(99L)), (3L, None), (4L, Some(98L)))
+      .toDF("id", "fk")
+    val parent = Seq(10L).toDF("pk")
+    val r = Quality.fkOrphans(Seq(("c->p", child, "fk", parent, "pk")))
+      .collect()(0)
+    assert(r.getAs[Long]("n_child") == 4L)
+    // null child key is NOT an orphan (SQL FK semantics)
+    assert(r.getAs[Long]("n_orphans") == 2L)
+    assert(r.getAs[Long]("min_orphan_key") == 98L)
+    assert(r.getAs[Long]("max_orphan_key") == 99L)
+    val clean = Quality.fkOrphans(Seq(("ok", child.filter($"fk" === 10L), "fk", parent, "pk")))
+      .collect()(0)
+    assert(clean.getAs[Long]("n_orphans") == 0L && clean.isNullAt(3))
+  }
+
   test("zone compare: integral types compare exactly above 2^53, mixed widths widen to long") {
     val big = (1L << 53) + 1L // indistinguishable from 2^53 as a double
     assert(Layout.cmpAny(big, 1L << 53) > 0, "adjacent >2^53 longs must not compare equal")
