@@ -214,6 +214,25 @@ object Features {
           .otherwise("C"))
   }
 
+  /** Gini coefficient of a grouped total — the inequality scalar behind
+    * "is one source dominating the corpus" dashboards (0 = perfectly even
+    * contribution, →1 = one group holds everything). Exact mean-absolute-
+    * difference form `G = Σᵢⱼ|xᵢ−xⱼ| / (2·n·Σx)` over ORDERED pairs of the
+    * GROUP relation — the corpus is touched once by the grouping
+    * aggregate; the self cross-join is group-domain²-bounded (metadata),
+    * never corpus-sized. 1e-6 fixed point, BIGINT-safe while
+    * n²·max(x) < ~9·10¹². Returns one row (n_groups, total, gini_micro). */
+  def giniOf(df: DataFrame, groupCol: String, weight: Column): DataFrame = {
+    val per = df.groupBy(col(groupCol)).agg(sum(weight).as("x"))
+    val a = per.select(col("x").as("xa"))
+    val b = per.select(col("x").as("xb"))
+    a.crossJoin(b)
+      .agg(sum(abs(col("xa") - col("xb"))).as("sad"))
+      .crossJoin(per.agg(count(lit(1)).as("n_groups"), sum(col("x")).as("total")))
+      .select(col("n_groups"), col("total"),
+        expr("sad * 1000000 div (2 * n_groups * total)").as("gini_micro"))
+  }
+
   def kAnonymityViolations(df: DataFrame, quasiIdCols: Seq[String], k: Long): DataFrame =
     df.groupBy(quasiIdCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"))

@@ -874,6 +874,36 @@ object Multimodal {
     * the same truncating-integer source mapping as [[bmpResample]]
     * (`sx = x·srcW div outW`), so the oracle re-derives the sampled
     * coordinates exactly. */
+  /** [[bmpHistogram]]'s PNG twin: same integer ITU-R 601 luma bucketing
+    * over the CRC-checked, inflated, unfiltered pixel stream. */
+  def pngHistogram(bytes: Array[Byte], buckets: Int = 8): Array[Long] = {
+    require(buckets >= 1 && buckets <= 256)
+    val (w, h, px) = pngPixels(bytes)
+    val out = new Array[Long](buckets)
+    var i = 0
+    val n = w * h
+    while (i < n) {
+      val o = 3 * i
+      val lum = (299 * px(o) + 587 * px(o + 1) + 114 * px(o + 2)) / 1000
+      out(lum * buckets / 256) += 1L
+      i += 1
+    }
+    out
+  }
+
+  /** Partition-batched PNG luminance histograms, exploded like
+    * [[histogramBmp]]. */
+  def histogramPng(withPayload: DataFrame, idCol: String,
+      buckets: Int = 8): DataFrame = {
+    val spark = withPayload.sparkSession
+    val rdd = withPayload.select(col(idCol).cast("long"), col("payload")).rdd
+      .mapPartitions(_.flatMap { r =>
+        val h = pngHistogram(r.getAs[Array[Byte]](1), buckets)
+        h.iterator.zipWithIndex.map { case (n, b) => Row(r.getLong(0), b.toLong, n) }
+      })
+    spark.createDataFrame(rdd, BmpHistogramSchema)
+  }
+
   def pngResample(bytes: Array[Byte], maxDim: Int): BmpResampleStats = {
     require(maxDim > 0)
     val (srcW, srcH, px) = pngPixels(bytes)

@@ -35,6 +35,14 @@ private[graft] trait CurationQueries extends QueryHelpers {
         .orderBy(col("doc_id"))
     }),
 
+    "corpus_source_gini" -> ((s, dir) => {
+      // source-contribution inequality: Gini over per-source character
+      // totals — the "one crawl dominating the mix" scalar; exact pair
+      // formula over the source-domain relation, 1e-6 fixed point
+      graft.operators.Features.giniOf(
+        t(s, dir, "documents"), "source", col("n_chars"))
+    }),
+
     "quality_fk_orphans" -> ((s, dir) => {
       // star-schema referential integrity: one anti-join flag + one
       // aggregate per relationship; the orders parent is PRUNED (%10 != 0)
@@ -535,6 +543,22 @@ private[graft] trait CurationQueries extends QueryHelpers {
         |SELECT doc_id, count(*) AS n_nonzero, CAST(sum(abs(v)) AS BIGINT) AS l1,
         |  CAST(sum(v * v) AS BIGINT) AS dot_self
         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // exact ordered-pair Gini over the per-source totals, truncating div
+    "corpus_source_gini" ->
+      """WITH per AS (
+        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS x
+        |  FROM documents GROUP BY 1
+        |), sad AS (
+        |  SELECT CAST(sum(abs(a.x - b.x)) AS BIGINT) AS sad
+        |  FROM per a CROSS JOIN per b
+        |), agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_groups, CAST(sum(x) AS BIGINT) AS total
+        |  FROM per
+        |)
+        |SELECT agg.n_groups, agg.total,
+        |  CAST(sad.sad * 1000000 // (2 * agg.n_groups * agg.total) AS BIGINT) AS gini_micro
+        |FROM sad CROSS JOIN agg""".stripMargin,
 
     // per relationship: left join against the distinct parent key set,
     // orphan = non-null child key with no parent; min/max NULL when clean

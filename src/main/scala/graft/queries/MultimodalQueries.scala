@@ -116,6 +116,15 @@ private[graft] trait MultimodalQueries extends QueryHelpers {
     }),
 
 
+    "mm_histogram_png" -> ((s, dir) => {
+      // the PNG twin of mm_histogram_bmp over the inflated, unfiltered
+      // pixel stream — same fixed-point luma, same uniform bucket shape
+      Multimodal.histogramPng(
+        Multimodal.pngFixtures(spread(t(s, dir, "documents")), "doc_id"), "doc_id")
+        .orderBy(col("doc_id"), col("bucket"))
+    }),
+
+
     "mm_audio_features" -> ((s, dir) => {
       // audio feature extraction: zero-crossing count (zeros transparent),
       // all-channel peak amplitude, signed channel-0 DC-offset sum — one
@@ -299,6 +308,35 @@ private[graft] trait MultimodalQueries extends QueryHelpers {
         |  CAST(sum(v * v) AS BIGINT) AS energy,
         |  CAST(sum(CASE WHEN ch = 0 THEN (i + 1) * v ELSE 0 END) AS BIGINT) AS wsum_c0
         |FROM s GROUP BY 1, 2, 3, 4 ORDER BY doc_id""".stripMargin,
+
+
+    // PNG twin: same luma/bucket math over the PNG fixture formula
+    "mm_histogram_png" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(8 + doc_id % 21 AS BIGINT) AS width,
+        |    CAST(8 + (doc_id * 5) % 21 AS BIGINT) AS height
+        |  FROM documents
+        |), px AS (
+        |  SELECT d.doc_id, xs.range AS x, ys.range AS y
+        |  FROM d CROSS JOIN range(0, 29) xs CROSS JOIN range(0, 29) ys
+        |  WHERE xs.range < d.width AND ys.range < d.height
+        |), lum AS (
+        |  SELECT doc_id,
+        |    (299 * ((2*x + y + doc_id) % 256)
+        |     + 587 * ((x + 2*y) % 256)
+        |     + 114 * ((3*x + y + doc_id) % 256)) // 1000 AS lum
+        |  FROM px
+        |), hb AS (
+        |  SELECT doc_id, lum * 8 // 256 AS bucket, CAST(count(*) AS BIGINT) AS n
+        |  FROM lum GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT d.doc_id, b.range AS bucket FROM d CROSS JOIN range(0, 8) b
+        |)
+        |SELECT g.doc_id, CAST(g.bucket AS BIGINT) AS bucket,
+        |  CAST(COALESCE(hb.n, 0) AS BIGINT) AS n_pixels
+        |FROM grid g LEFT JOIN hb ON hb.doc_id = g.doc_id AND hb.bucket = g.bucket
+        |ORDER BY g.doc_id, g.bucket""".stripMargin,
 
 
     // luma and bucket re-derived from the pixel formula; the full

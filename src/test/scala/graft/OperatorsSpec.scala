@@ -1959,6 +1959,13 @@ class OperatorsSpec extends SparkSuite {
     assert(clean.getAs[Long]("n_orphans") == 0L && clean.isNullAt(3))
   }
 
+  test("giniOf: zero for even contribution, (n-1)/n for total concentration") {
+    val even = Seq(("a", 10L), ("b", 10L), ("c", 10L), ("d", 10L)).toDF("g", "w")
+    assert(Features.giniOf(even, "g", $"w").collect()(0).getAs[Long]("gini_micro") == 0L)
+    val conc = Seq(("a", 40L), ("b", 0L), ("c", 0L), ("d", 0L)).toDF("g", "w")
+    assert(Features.giniOf(conc, "g", $"w").collect()(0).getAs[Long]("gini_micro") == 750000L)
+  }
+
   test("zone compare: integral types compare exactly above 2^53, mixed widths widen to long") {
     val big = (1L << 53) + 1L // indistinguishable from 2^53 as a double
     assert(Layout.cmpAny(big, 1L << 53) > 0, "adjacent >2^53 longs must not compare equal")
