@@ -377,4 +377,118 @@ object Graph {
       .filter(col("cn") >= minCommon)
     out
   }
+
+  /** Degree assortativity of an undirected graph: the Pearson correlation of
+    * the degrees at the two ends of an edge — positive for hub-to-hub social
+    * graphs, negative for hub-and-spoke (star-shaped) topologies; the
+    * one-number "is my similarity graph clustered or centralized" monitor.
+    *
+    * Computed as [[Features.linearFit]]'s slope over the SYMMETRIZED edge
+    * list's endpoint-degree pairs: with both orientations present, x and y
+    * have identical marginals (sx = sy, sxx = syy), so the regression slope
+    * cov/var(x) IS the correlation coefficient exactly — one aggregate pass,
+    * integer power sums, fixed-point `slope_micro` = r·1e6. Overflow per
+    * linearFit's documented bound: n·maxDeg < ~3e6 with degrees as the
+    * variables; degree-cap hubs upstream on larger graphs.
+    *
+    * Scale shape: one distinct, one degree aggregation, two equi-joins of
+    * the edge list with the node-sized degree relation, one scalar
+    * aggregate. Returns the single fit row (n = 2·|E|). */
+  def assortativity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = e0
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val adj = und.union(und.select(col("b").as("a"), col("a").as("b")))
+    val deg = adj.groupBy(col("a").as("w")).agg(count(lit(1)).as("deg"))
+    val pairs = adj
+      .join(deg.select(col("w").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("w").as("b"), col("deg").as("deg_b")), "b")
+    Features.linearFit(pairs, "deg_a", "deg_b")
+  }
+
+  /** Newman modularity contributions of a community assignment: per label,
+    * the node count, the intra-community edge count m_c, the degree mass
+    * d_c, and the fixed-point contribution
+    * `q_micro = (4·m·m_c − d_c²)·1e6 div (4·m²)` — summing q_micro over
+    * labels gives Q·1e6 (up to one truncation per community). The quality
+    * gauge for [[labelPropagation]]'s output: near 0 ⇒ the partition is no
+    * better than random, toward 1 ⇒ dense communities, sparse cuts.
+    *
+    * All integer: m from one count, per-label sums, one truncating division.
+    * Overflow: 4·m·m_c and 4·m² stay in BIGINT while m < ~1.5e9 undirected
+    * edges — beyond that, pre-scale by dividing m_c/d_c/m by a common power
+    * of two (Q is scale-invariant). Unlabeled endpoints (labels is expected
+    * to cover every node [[labelPropagation]] saw) drop their edges from
+    * m_c/d_c, never crash.
+    *
+    * Scale shape: one distinct, two broadcast-sized joins of the edge list
+    * against the node-label relation, two aggregations on label. */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, nodeCol: String = "node", labelCol: String = "label"): DataFrame = {
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = e0
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lab = labels.select(col(nodeCol).cast("long").as("node"), col(labelCol).as("label"))
+    // total undirected edge count, carried as a broadcast 1-row relation
+    val m = und.agg(count(lit(1)).as("m"))
+    val adj = und.union(und.select(col("b").as("a"), col("a").as("b")))
+    // degree mass and node count per community
+    val dSum = adj.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      .join(lab.withColumnRenamed("node", "a"), "a")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_sum"))
+    // intra-community edges: both endpoints carry the same label
+    val mIn = und
+      .join(lab.select(col("node").as("a"), col("label").as("la")), "a")
+      .join(lab.select(col("node").as("b"), col("label").as("lb")), "b")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("m_in"))
+    dSum.join(mIn, Seq("label"), "left")
+      .withColumn("m_in", coalesce(col("m_in"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .withColumn("q_micro",
+        expr("(4 * m * m_in - d_sum * d_sum) * 1000000 div (4 * m * m)"))
+      .select(col("label"), col("n_nodes"), col("m_in"), col("d_sum"), col("q_micro"))
+  }
+
+  /** `rounds` rounds of multi-source BFS over an undirected graph: hop
+    * distance from the nearest seed, for every node reached within `rounds`
+    * hops — the frontier expansion behind "within-k-hops of the seed
+    * corpus" curation and blast-radius queries. Deterministic by
+    * construction (min over an integer relation per round), so a fixed
+    * round count is exactly oracle-checkable.
+    *
+    * Scale shape per round: one equi-join of the reached relation with the
+    * persisted adjacency + one min-aggregation — the same shape as
+    * [[labelPropagation]]. The reached relation only grows by the frontier;
+    * rounds bound the output radius, not the input. */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, "need at least one round")
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = e0
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val adj = und.union(und.select(col("b").as("a"), col("a").as("b")))
+      .select(col("a").as("v"), col("b").as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var dist = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+      .withColumn("dist", lit(0L))
+    for (_ <- 1 to rounds) {
+      val prop = adj
+        .join(dist.select(col("node").as("x"), col("dist")), "x")
+        .select(col("v").as("node"), (col("dist") + 1).as("dist"))
+      dist = dist.union(prop).groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    }
+    dist
+  }
 }

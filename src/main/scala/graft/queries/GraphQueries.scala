@@ -110,6 +110,47 @@ private[graft] trait GraphQueries extends QueryHelpers {
     }),
 
 
+    "graph_assortativity" -> ((s, dir) => {
+      // degree assortativity of the supplier chord graph: Pearson r of the
+      // endpoint degrees as linearFit's slope over the symmetrized edge
+      // list (identical marginals make slope == r exactly) — fixed-point
+      // integer power sums end to end
+      val sk = t(s, dir, "supplier").select(col("s_suppkey").cast("long").as("k"))
+      val edges = sk.select(col("k").as("src"), (col("k") + 1).as("dst"))
+        .union(sk.select(col("k").as("src"), (col("k") + 2).as("dst")))
+        .join(sk.withColumnRenamed("k", "dst"), Seq("dst"), "left_semi")
+      graft.operators.Graph.assortativity(edges, "src", "dst")
+    }),
+
+
+    "graph_modularity" -> ((s, dir) => {
+      // modularity contributions of the 2-round label-propagation partition
+      // over the chord graph — (4·m·m_c − d_c²)·1e6 div 4m² per community,
+      // the partition-quality gauge composed from two gated operators
+      val sk = t(s, dir, "supplier").select(col("s_suppkey").cast("long").as("k"))
+      val edges = sk.select(col("k").as("src"), (col("k") + 1).as("dst"))
+        .union(sk.select(col("k").as("src"), (col("k") + 2).as("dst")))
+        .join(sk.withColumnRenamed("k", "dst"), Seq("dst"), "left_semi")
+      val labels = graft.operators.Graph.labelPropagation(edges, "src", "dst", rounds = 2)
+      graft.operators.Graph.modularity(edges, "src", "dst", labels)
+        .orderBy(col("label"))
+    }),
+
+
+    "graph_bfs_hops" -> ((s, dir) => {
+      // 3 rounds of multi-source BFS from every 100th supplier over the
+      // chord graph: hop distance to the nearest seed for the reached
+      // frontier — the within-k-hops expansion behind seed-corpus curation
+      val sk = t(s, dir, "supplier").select(col("s_suppkey").cast("long").as("k"))
+      val edges = sk.select(col("k").as("src"), (col("k") + 1).as("dst"))
+        .union(sk.select(col("k").as("src"), (col("k") + 2).as("dst")))
+        .join(sk.withColumnRenamed("k", "dst"), Seq("dst"), "left_semi")
+      val seeds = sk.filter(col("k") % 100 === 0)
+      graft.operators.Graph.bfsHops(edges, "src", "dst", seeds, "k", rounds = 3)
+        .orderBy(col("node"))
+    }),
+
+
     "graph_kcore" -> ((s, dir) => {
       // 3 rounds of k=3 core peeling over the same sparse chord graph as
       // graph_triangles: the chain unravels from its ends, so every round
@@ -348,6 +389,121 @@ private[graft] trait GraphQueries extends QueryHelpers {
         |)
         |SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
         |FROM l2 ORDER BY node""".stripMargin,
+
+
+    // endpoint-degree Pearson r as the regression slope over the
+    // symmetrized edge list — same integer power sums, same div
+    "graph_assortativity" ->
+      """WITH sk AS (SELECT s_suppkey AS k FROM supplier),
+        |e0 AS (
+        |  SELECT k AS u, k + 1 AS v FROM sk WHERE k + 1 IN (SELECT k FROM sk)
+        |  UNION ALL
+        |  SELECT k AS u, k + 2 AS v FROM sk WHERE k + 2 IN (SELECT k FROM sk)
+        |),
+        |und AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM e0),
+        |adj AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+        |deg AS (SELECT a AS w, count(*) AS deg FROM adj GROUP BY 1),
+        |p AS (
+        |  SELECT da.deg AS x, db.deg AS y
+        |  FROM adj JOIN deg da ON da.w = adj.a JOIN deg db ON db.w = adj.b
+        |), s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM p
+        |)
+        |SELECT n, sx, sy, sxx, sxy,
+        |  CAST((n * sxy - sx * sy) * 1000000 // nullif(n * sxx - sx * sx, 0) AS BIGINT)
+        |    AS slope_micro,
+        |  CAST((sy * 1000000 - ((n * sxy - sx * sy) * 1000000 // nullif(n * sxx - sx * sx, 0)) * sx) // n AS BIGINT)
+        |    AS intercept_micro
+        |FROM s""".stripMargin,
+
+
+    // LPA labels re-derived (the graph_label_prop CTEs), then per-community
+    // integer modularity numerators and one truncating division
+    "graph_modularity" ->
+      """WITH sk AS (SELECT s_suppkey AS k FROM supplier),
+        |e0 AS (
+        |  SELECT k AS u, k + 1 AS v FROM sk WHERE k + 1 IN (SELECT k FROM sk)
+        |  UNION ALL
+        |  SELECT k AS u, k + 2 AS v FROM sk WHERE k + 2 IN (SELECT k FROM sk)
+        |),
+        |und AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM e0),
+        |adj AS (SELECT DISTINCT u AS v, v AS x FROM e0
+        |        UNION SELECT v AS v, u AS x FROM e0),
+        |l0 AS (SELECT DISTINCT v AS node, v AS label FROM adj),
+        |c1 AS (
+        |  SELECT adj.v, l0.label, count(*) AS c
+        |  FROM adj JOIN l0 ON l0.node = adj.x GROUP BY 1, 2
+        |),
+        |l1 AS (
+        |  SELECT v AS node, label FROM (
+        |    SELECT v, label, row_number() OVER (PARTITION BY v ORDER BY c DESC, label) AS rn
+        |    FROM c1) q WHERE rn = 1
+        |),
+        |c2 AS (
+        |  SELECT adj.v, l1.label, count(*) AS c
+        |  FROM adj JOIN l1 ON l1.node = adj.x GROUP BY 1, 2
+        |),
+        |l2 AS (
+        |  SELECT v AS node, label FROM (
+        |    SELECT v, label, row_number() OVER (PARTITION BY v ORDER BY c DESC, label) AS rn
+        |    FROM c2) q WHERE rn = 1
+        |),
+        |m AS (SELECT count(*) AS m FROM und),
+        |degs AS (SELECT v AS a, count(*) AS deg FROM adj GROUP BY 1),
+        |dsum AS (
+        |  SELECT l2.label, count(*) AS n_nodes, sum(degs.deg) AS d_sum
+        |  FROM degs JOIN l2 ON l2.node = degs.a GROUP BY 1
+        |),
+        |min_ AS (
+        |  SELECT la.label AS label, count(*) AS m_in
+        |  FROM und JOIN l2 la ON la.node = und.a JOIN l2 lb ON lb.node = und.b
+        |  WHERE la.label = lb.label GROUP BY 1
+        |)
+        |SELECT CAST(dsum.label AS BIGINT) AS label,
+        |  CAST(n_nodes AS BIGINT) AS n_nodes,
+        |  CAST(coalesce(m_in, 0) AS BIGINT) AS m_in,
+        |  CAST(d_sum AS BIGINT) AS d_sum,
+        |  CAST((4 * (SELECT m FROM m) * coalesce(m_in, 0) - d_sum * d_sum) * 1000000
+        |    // (4 * (SELECT m FROM m) * (SELECT m FROM m)) AS BIGINT) AS q_micro
+        |FROM dsum LEFT JOIN min_ ON min_.label = dsum.label
+        |ORDER BY label""".stripMargin,
+
+
+    // three unrolled BFS rounds: each a join of the reached relation with
+    // the adjacency + a min-aggregation — deterministic integer state
+    "graph_bfs_hops" ->
+      """WITH sk AS (SELECT s_suppkey AS k FROM supplier),
+        |e0 AS (
+        |  SELECT k AS u, k + 1 AS v FROM sk WHERE k + 1 IN (SELECT k FROM sk)
+        |  UNION ALL
+        |  SELECT k AS u, k + 2 AS v FROM sk WHERE k + 2 IN (SELECT k FROM sk)
+        |),
+        |und AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM e0),
+        |adj AS (SELECT a AS v, b AS x FROM und UNION ALL SELECT b AS v, a AS x FROM und),
+        |d0 AS (SELECT DISTINCT k AS node, 0 AS dist FROM sk WHERE k % 100 = 0),
+        |d1 AS (
+        |  SELECT node, min(dist) AS dist FROM (
+        |    SELECT node, dist FROM d0
+        |    UNION ALL SELECT adj.v AS node, d0.dist + 1 AS dist
+        |    FROM adj JOIN d0 ON d0.node = adj.x) q GROUP BY 1
+        |),
+        |d2 AS (
+        |  SELECT node, min(dist) AS dist FROM (
+        |    SELECT node, dist FROM d1
+        |    UNION ALL SELECT adj.v AS node, d1.dist + 1 AS dist
+        |    FROM adj JOIN d1 ON d1.node = adj.x) q GROUP BY 1
+        |),
+        |d3 AS (
+        |  SELECT node, min(dist) AS dist FROM (
+        |    SELECT node, dist FROM d2
+        |    UNION ALL SELECT adj.v AS node, d2.dist + 1 AS dist
+        |    FROM adj JOIN d2 ON d2.node = adj.x) q GROUP BY 1
+        |)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist
+        |FROM d3 ORDER BY node""".stripMargin,
 
 
     "graph_kcore" ->

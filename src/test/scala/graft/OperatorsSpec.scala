@@ -1672,6 +1672,48 @@ class OperatorsSpec extends SparkSuite {
     assert(l.toSeq == l2.toSeq)
   }
 
+  test("assortativity: star is perfectly disassortative, cycle degenerate, symmetric fit") {
+    // star K1,4: every edge joins the deg-4 hub to a deg-1 leaf -> r = -1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst")
+    val sf = Graph.assortativity(star, "src", "dst").collect().head
+    assert(sf.getAs[Long]("slope_micro") == -1000000L)
+    // symmetrized marginals: sx == sy and n == 2|E|
+    assert(sf.getAs[Long]("sx") == sf.getAs[Long]("sy"))
+    assert(sf.getAs[Long]("n") == 8L)
+    // cycle: all degrees equal -> zero variance -> NULL slope, not a crash
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    assert(Graph.assortativity(cyc, "src", "dst").collect().head.isNullAt(5))
+  }
+
+  test("modularity: two clean triangles score high, one community covers everything") {
+    val tri2 = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("src", "dst")
+    val labels = Graph.labelPropagation(tri2, "src", "dst", rounds = 2)
+    val q = Graph.modularity(tri2, "src", "dst", labels).orderBy("label").collect()
+    // two communities of 3 nodes, 3 intra edges, degree mass 6 each;
+    // contribution = (4*6*3 - 36)*1e6 div 144 = 250000 each -> Q = 0.5
+    assert(q.length == 2)
+    assert(q.forall(r => r.getAs[Long]("n_nodes") == 3L && r.getAs[Long]("m_in") == 3L
+      && r.getAs[Long]("d_sum") == 6L && r.getAs[Long]("q_micro") == 250000L))
+    // one label over the whole graph -> m_in = m, d_sum = 2m -> Q = 0
+    val one = labels.select(col("node"), lit(0L).as("label"))
+    val q1 = Graph.modularity(tri2, "src", "dst", one).collect()
+    assert(q1.length == 1 && q1.head.getAs[Long]("q_micro") == 0L)
+  }
+
+  test("bfsHops: path distances from one seed, rounds bound the radius, min over seeds") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("k")
+    val d = Graph.bfsHops(path, "src", "dst", seeds, "k", rounds = 3)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // radius 3: nodes 5,6 unreached
+    assert(d.toSeq == Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L)))
+    // two seeds: distance is the min over both frontiers
+    val d2 = Graph.bfsHops(path, "src", "dst", Seq(1L, 6L).toDF("k"), "k", rounds = 3)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(d2.toSeq == Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 2L), (5L, 1L), (6L, 0L)))
+  }
+
   test("covarianceNum: hand 2x2 case, diagonal equals per-dim power-sum numerator") {
     val vs = Seq((1L, Seq(1e-6f, 2e-6f)), (2L, Seq(3e-6f, 4e-6f)))
       .toDF("vec_id", "embedding")
