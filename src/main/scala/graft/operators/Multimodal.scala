@@ -324,6 +324,147 @@ object Multimodal {
     spark.createDataFrame(rdd, BmpDecodedSchema)
   }
 
+  // --- perceptual hashing: 8×8 DCT pHash ------------------------------------
+
+  /** Quantized DCT-II basis `floor(cos(π·(2x+1)·u/16)·1e6 + 0.5)` as a
+    * LITERAL table (the engine's standard way to share a transcendental
+    * curve with an external oracle — no runtime cos on either side). */
+  private[operators] val QCos: Array[Array[Long]] = Array(
+    Array(1000000L, 1000000L, 1000000L, 1000000L, 1000000L, 1000000L, 1000000L, 1000000L),
+    Array(980785L, 831470L, 555570L, 195090L, -195090L, -555570L, -831470L, -980785L),
+    Array(923880L, 382683L, -382683L, -923880L, -923880L, -382683L, 382683L, 923880L),
+    Array(831470L, -195090L, -980785L, -555570L, 555570L, 980785L, 195090L, -831470L),
+    Array(707107L, -707107L, -707107L, 707107L, 707107L, -707107L, -707107L, 707107L),
+    Array(555570L, -980785L, 195090L, 831470L, -831470L, -195090L, 980785L, -555570L),
+    Array(382683L, -923880L, 923880L, -382683L, -382683L, 923880L, -923880L, 382683L),
+    Array(195090L, -555570L, 831470L, -980785L, 980785L, -831470L, 555570L, -195090L))
+
+  /** 63-bit perceptual DCT hash of a 24-bit BMP: nearest-neighbor resize to
+    * 8×8 integer luma, unnormalized 2D DCT-II over the quantized [[QCos]]
+    * basis (normalization cancels under thresholding), bit k = coefficient
+    * (v,u) — row-major, DC skipped, k = v·8+u−1 — above the truncating
+    * integer mean of the 63 AC coefficients. All integer end to end, so the
+    * hash itself is exactly recomputable from the pixel formula by an
+    * external engine. Overflow: |lum·c_v·c_u| ≤ 255·10¹², ×64 terms < 2⁶³.
+    * Near-duplicate images (recompression, mild crop/resize) land within a
+    * few bits — the image twin of SimHash. */
+  def bmpPhash(bytes: Array[Byte]): Long = {
+    val hdr = bmpHeader(bytes)
+    val lum = new Array[Long](64)
+    var y8 = 0
+    while (y8 < 8) {
+      val sy = y8 * hdr.height / 8
+      var x8 = 0
+      while (x8 < 8) {
+        val sx = x8 * hdr.width / 8
+        val o = hdr.at(sx, sy)
+        val b = bytes(o) & 0xff
+        val g = bytes(o + 1) & 0xff
+        val r = bytes(o + 2) & 0xff
+        lum(y8 * 8 + x8) = (299L * r + 587L * g + 114L * b) / 1000L
+        x8 += 1
+      }
+      y8 += 1
+    }
+    val coef = new Array[Long](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0L
+        var y = 0
+        while (y < 8) {
+          val cv = QCos(v)(y)
+          var x = 0
+          while (x < 8) {
+            s += lum(y * 8 + x) * cv * QCos(u)(x)
+            x += 1
+          }
+          y += 1
+        }
+        coef(v * 8 + u) = s
+        u += 1
+      }
+      v += 1
+    }
+    var sumAc = 0L
+    var i = 1
+    while (i < 64) { sumAc += coef(i); i += 1 }
+    val mean = sumAc / 63L // truncates toward zero, same as Spark div / DuckDB //
+    var hash = 0L
+    i = 1
+    while (i < 64) {
+      if (coef(i) > mean) hash |= 1L << (i - 1)
+      i += 1
+    }
+    hash
+  }
+
+  /** Partition-batched [[bmpPhash]] over a BMP binary column → (id, phash). */
+  def phashBmp(withPayload: DataFrame, idCol: String): DataFrame = {
+    val spark = withPayload.sparkSession
+    val rdd = withPayload.select(col(idCol).cast("long"), col("payload")).rdd
+      .mapPartitions(_.map(r => Row(r.getLong(0), bmpPhash(r.getAs[Array[Byte]](1)))))
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("phash", LongType, nullable = false))))
+  }
+
+  /** Near-duplicate image pairs by pHash Hamming distance ≤ `maxDist`:
+    * each 64-bit hash splits into `bands` 16-bit segments; by pigeonhole a
+    * pair within `maxDist` < `bands` bit flips shares at least one verbatim
+    * segment, so the band equi-join is LOSSLESS candidate generation (the
+    * SimHash/MinHash banding argument applied to image hashes) and the
+    * exact `bit_count(xor)` check runs over candidates only — never all
+    * pairs. Scale shape: one narrow (band, value) shuffle; a degenerate
+    * band value (e.g. all-dark corpus → identical low bands) is the same
+    * hot-key risk as any LSH band and AQE-splittable. */
+  def phashPairs(hashes: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxDist >= 0 && maxDist < bands, "banding is lossless only for maxDist < bands")
+    val h = hashes.select(col(idCol).cast("long").as("id"), col(hashCol).as("h"))
+    val banded = h.select(col("id"), col("h"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bval", expr(s"(h >> (band * 16)) & 65535"))
+    val a = banded.select(col("band"), col("bval"), col("id").as("id_a"), col("h").as("h_a"))
+    val b = banded.select(col("band"), col("bval"), col("id").as("id_b"), col("h").as("h_b"))
+    a.join(b, Seq("band", "bval"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("h_a"), col("h_b")).distinct()
+      .withColumn("hamming", expr("bit_count(h_a ^ h_b)").cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** TEXTURED BMP fixtures for the perceptual-hash pair gate: quadratic
+    * cross-term pixel formulas give every source id a distinct frequency
+    * signature — the linear gradients of [[bmpFixtures]] collapse to
+    * near-identical DCT sign patterns (measured: 58% of all pairs within
+    * Hamming 3; with these formulas only byte-identical mirrors fall under
+    * distance 19). `ids` must carry (doc_id, sid); equal sids yield
+    * byte-identical images, so planted mirrors are exact Hamming-0 pairs.
+    *   w = 8 + sid % 25, h = 8 + (sid·7) % 25
+    *   R = ((37x + 23y + 101·sid)·(x + y + sid%7 + 1)) % 256
+    *   G = ((11x + 41y + 59·sid)·(x + 2y + sid%5 + 1)) % 256
+    *   B = ((29x + 13y + 83·sid)·(2x + y + sid%3 + 1)) % 256 */
+  def bmpFixturesTextured(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    val rdd = ids.select(col("doc_id").cast("long"), col("sid").cast("long")).rdd
+      .mapPartitions(_.map { row =>
+        val id = row.getLong(0)
+        val sid = row.getLong(1)
+        val w = (8 + sid % 25).toInt
+        val h = (8 + (sid * 7) % 25).toInt
+        val payload = bmpEncode(w, h, (x, y) => (
+          (((x * 37 + y * 23 + sid * 101) * (x + y + sid % 7 + 1)) % 256).toInt,
+          (((x * 11 + y * 41 + sid * 59) * (x + 2 * y + sid % 5 + 1)) % 256).toInt,
+          (((x * 29 + y * 13 + sid * 83) * (2 * x + y + sid % 3 + 1)) % 256).toInt))
+        Row(id, payload)
+      })
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false))))
+  }
+
   // --- real codec: PCM16 WAV (RIFF) ----------------------------------------
 
   private def putLe16(b: Array[Byte], off: Int, v: Int): Unit = {

@@ -125,6 +125,36 @@ private[graft] trait MultimodalQueries extends QueryHelpers {
     }),
 
 
+    "mm_phash_dct" -> ((s, dir) => {
+      // perceptual DCT hash per image: 8×8 nearest-neighbor luma, integer
+      // 2D DCT-II over the LITERAL quantized cosine table, 63 AC bits
+      // thresholded at their truncating mean — the image twin of SimHash,
+      // exactly recomputable from the pixel formula
+      Multimodal.phashBmp(
+        Multimodal.bmpFixtures(spread(t(s, dir, "documents")), "doc_id"), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+
+    "mm_phash_pairs" -> ((s, dir) => {
+      // near-duplicate image pairs: banded pHash join (4×16-bit segments —
+      // LOSSLESS for Hamming ≤ 3 by pigeonhole) + exact bit_count verify.
+      // Gate runs on a screening cohort (every 10th doc) of TEXTURED
+      // fixtures with a planted byte-identical mirror set: quadratic pixel
+      // formulas make non-mirrors land ≥ 19 bits apart, so the result is
+      // exactly the mirrors — a gate that fails if banding drops a pair OR
+      // the verify threshold leaks a non-dup
+      val base = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") % 10 === 0)
+      val ids = base.select(col("doc_id"), col("doc_id").as("sid"))
+        .unionByName(base.select((col("doc_id") + 10000).as("doc_id"),
+          col("doc_id").as("sid")))
+      val h = Multimodal.phashBmp(Multimodal.bmpFixturesTextured(spread(ids)), "doc_id")
+      Multimodal.phashPairs(h, "doc_id", "phash")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+
     "mm_audio_features" -> ((s, dir) => {
       // audio feature extraction: zero-crossing count (zeros transparent),
       // all-channel peak amplitude, signed channel-0 DC-offset sum — one
@@ -145,7 +175,95 @@ private[graft] trait MultimodalQueries extends QueryHelpers {
         .orderBy(col("doc_id"))
     }))
 
+  /** The quantized DCT-II basis as a SQL VALUES literal — the SAME 64 longs
+    * as [[graft.operators.Multimodal.QCos]] (literal-weight-table pattern:
+    * no runtime cos on either side). */
+  private val qcosValuesSql: String =
+    """(0,0,1000000),(0,1,1000000),(0,2,1000000),(0,3,1000000),
+      |(0,4,1000000),(0,5,1000000),(0,6,1000000),(0,7,1000000),
+      |(1,0,980785),(1,1,831470),(1,2,555570),(1,3,195090),
+      |(1,4,-195090),(1,5,-555570),(1,6,-831470),(1,7,-980785),
+      |(2,0,923880),(2,1,382683),(2,2,-382683),(2,3,-923880),
+      |(2,4,-923880),(2,5,-382683),(2,6,382683),(2,7,923880),
+      |(3,0,831470),(3,1,-195090),(3,2,-980785),(3,3,-555570),
+      |(3,4,555570),(3,5,980785),(3,6,195090),(3,7,-831470),
+      |(4,0,707107),(4,1,-707107),(4,2,-707107),(4,3,707107),
+      |(4,4,707107),(4,5,-707107),(4,6,-707107),(4,7,707107),
+      |(5,0,555570),(5,1,-980785),(5,2,195090),(5,3,831470),
+      |(5,4,-831470),(5,5,-195090),(5,6,980785),(5,7,-555570),
+      |(6,0,382683),(6,1,-923880),(6,2,923880),(6,3,-382683),
+      |(6,4,-382683),(6,5,923880),(6,6,-923880),(6,7,382683),
+      |(7,0,195090),(7,1,-555570),(7,2,831470),(7,3,-980785),
+      |(7,4,980785),(7,5,-831470),(7,6,555570),(7,7,-195090)""".stripMargin
+
+  /** pHash re-derivation CTEs from the BMP pixel FORMULA for a given id set
+    * (`idsSelect` must yield (doc_id, sid)) and per-channel pixel formulas
+    * over (sx, sy, sid): sampled 8×8 luma, DCT via the literal basis,
+    * AC-mean threshold, bit assembly — ends with a `ph` relation
+    * (doc_id, phash). */
+  private def phashCtes(idsSelect: String,
+      rF: String, gF: String, bF: String): String =
+    s"""WITH ids AS ($idsSelect),
+       |d AS (
+       |  SELECT doc_id, sid,
+       |    CAST(8 + sid % 25 AS BIGINT) AS w,
+       |    CAST(8 + (sid * 7) % 25 AS BIGINT) AS h
+       |  FROM ids
+       |), px AS (
+       |  SELECT d.doc_id, xs.range AS x8, ys.range AS y8, d.sid AS sid,
+       |    xs.range * d.w // 8 AS sx, ys.range * d.h // 8 AS sy
+       |  FROM d CROSS JOIN range(0, 8) xs CROSS JOIN range(0, 8) ys
+       |), lum AS (
+       |  SELECT doc_id, x8, y8,
+       |    (299 * ($rF) + 587 * ($gF) + 114 * ($bF)) // 1000 AS lum
+       |  FROM px
+       |), qc(u, x, c) AS (VALUES
+       |$qcosValuesSql),
+       |coef AS (
+       |  SELECT l.doc_id, cv.u AS v, cu.u AS u,
+       |    CAST(sum(l.lum * cv.c * cu.c) AS BIGINT) AS coef
+       |  FROM lum l JOIN qc cu ON cu.x = l.x8 JOIN qc cv ON cv.x = l.y8
+       |  GROUP BY 1, 2, 3
+       |), m AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN v = 0 AND u = 0 THEN 0 ELSE coef END) // 63 AS mean
+       |  FROM coef GROUP BY 1
+       |), ph AS (
+       |  SELECT coef.doc_id,
+       |    CAST(sum(CASE WHEN NOT (v = 0 AND u = 0) AND coef > m.mean
+       |      THEN CAST(1 AS BIGINT) << CAST(v * 8 + u - 1 AS INT) ELSE 0 END) AS BIGINT)
+       |      AS phash
+       |  FROM coef JOIN m ON m.doc_id = coef.doc_id GROUP BY 1
+       |)""".stripMargin
+
   protected def multimodalOracles: Map[String, String] = Map(
+
+    // hash bits re-derived from the pixel formula through the SAME literal
+    // cosine table — any resize/luma/DCT/threshold defect flips bits
+    "mm_phash_dct" ->
+      (phashCtes("SELECT doc_id, doc_id AS sid FROM documents",
+        "(sx + 3 * sy + sid) % 256",
+        "(2 * sx + sy) % 256",
+        "(sx + sy + sid) % 256") +
+        "\nSELECT doc_id, phash FROM ph ORDER BY doc_id"),
+
+    // naive-quadratic twin of the banded pair join (banding is lossless at
+    // Hamming <= 3 with 4 bands, so the exact join IS the oracle); textured
+    // cohort fixtures re-derived from the quadratic pixel formulas
+    "mm_phash_pairs" ->
+      (phashCtes(
+        """SELECT doc_id, doc_id AS sid FROM documents WHERE doc_id % 10 = 0
+          |  UNION ALL SELECT doc_id + 10000, doc_id FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+        "((sx * 37 + sy * 23 + sid * 101) * (sx + sy + sid % 7 + 1)) % 256",
+        "((sx * 11 + sy * 41 + sid * 59) * (sx + 2 * sy + sid % 5 + 1)) % 256",
+        "((sx * 29 + sy * 13 + sid * 83) * (2 * sx + sy + sid % 3 + 1)) % 256") +
+        """
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+          |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+          |ORDER BY id_a, id_b""".stripMargin),
+
 
     "mm_binary_meta" ->
       """SELECT doc_id,

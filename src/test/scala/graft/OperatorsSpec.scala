@@ -1672,6 +1672,26 @@ class OperatorsSpec extends SparkSuite {
     assert(l.toSeq == l2.toSeq)
   }
 
+  test("bmpPhash: constant image hashes to 0, mirrors collide, banding is lossless") {
+    // constant image: every AC coefficient is 0 -> nothing above the mean
+    val flat = Multimodal.bmpEncode(16, 12, (_, _) => (128, 128, 128))
+    assert(Multimodal.bmpPhash(flat) == 0L)
+    // textured fixtures: equal sid => byte-identical image => Hamming 0;
+    // the banded candidate join must reproduce the naive all-pairs result
+    val ids = Seq((0L, 0L), (1L, 1L), (2L, 2L), (100L, 0L), (101L, 1L), (3L, 3L), (4L, 4L))
+      .toDF("doc_id", "sid")
+    val h = Multimodal.phashBmp(Multimodal.bmpFixturesTextured(ids), "doc_id")
+    val hs = h.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hs(0L) == hs(100L) && hs(1L) == hs(101L))
+    val pairs = Multimodal.phashPairs(h, "doc_id", "phash").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val naive = (for {
+      (a, ha) <- hs.toSeq; (b, hb) <- hs.toSeq if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(pairs == naive && pairs.contains((0L, 100L, 0L)))
+  }
+
   test("assortativity: star is perfectly disassortative, cycle degenerate, symmetric fit") {
     // star K1,4: every edge joins the deg-4 hub to a deg-1 leaf -> r = -1
     val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst")
