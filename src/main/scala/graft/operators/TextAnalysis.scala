@@ -130,6 +130,82 @@ object TextAnalysis {
       .select(col("w1"), col("rnk"), col("w2"), col("c12"), col("c1"), col("p_micro"))
   }
 
+  /** Dunning log-likelihood-ratio collocations (Dunning '93): for every
+    * adjacent word pair, the G² statistic of its 2×2 contingency table
+    * against independence — THE standard "is this a real collocation or
+    * chance co-occurrence" test, robust at low counts where PMI explodes.
+    *
+    *   G² = 2·Σ_ij k_ij·ln(k_ij·N / (row_i·col_j))
+    *
+    * Exactness: each of the four terms is the INTEGER
+    * `k·(qln(k) + qln(N) − qln(row) − qln(col))` with `qln(x) =
+    * floor(ln(x)·1e6 + 0.5)` (libm parity on integer inputs — the BM25
+    * precedent), summed order-free, so `llr_scaled ≈ G²·1e6/2·...` — scaled
+    * by 1e6, truncation ≤ 4 per term. Zero cells contribute exactly 0 (the
+    * k·ln k → 0 limit). Overflow: |k·(…)| ≤ N·4·qln(N) — BIGINT-safe while
+    * N < ~2e13 bigrams.
+    *
+    * Shape: the same pair stream as [[bigramLm]] (zip_with slices), one
+    * pair count, two marginal aggregations over the PAIR relation
+    * (vocabulary-sized, never corpus), one O(1) total. Returns
+    * (w1, w2, c12, llr_scaled) for pairs with `c12 ≥ minCount`. */
+  def collocationsLlr(docs: DataFrame, textCol: String, minCount: Long = 2L): DataFrame = {
+    require(minCount >= 1, "minCount must be positive")
+    val toks = TextFns.tokens(col(textCol))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val pairsArr = zip_with(
+      slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+      (x, y) => struct(x.as("w1"), y.as("w2")))
+    val c12 = docs.select(explode(pairsArr).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val c2 = c12.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+    val nTot = c12.agg(sum(col("c12")).as("n"))
+    def qln(c: Column): Column =
+      floor(log(c.cast("double")) * 1e6 + lit(0.5)).cast("long")
+    def term(k: Column, row: Column, colm: Column, n: Column): Column =
+      when(k > 0, k * (qln(k) + qln(n) - qln(row) - qln(colm))).otherwise(lit(0L))
+    c12.join(c1, "w1").join(c2, "w2").crossJoin(broadcast(nTot))
+      .filter(col("c12") >= minCount)
+      .withColumn("llr_scaled",
+        term(col("c12"), col("c1"), col("c2"), col("n")) +
+          term(col("c1") - col("c12"), col("c1"), col("n") - col("c2"), col("n")) +
+          term(col("c2") - col("c12"), col("n") - col("c1"), col("c2"), col("n")) +
+          term(col("n") - col("c1") - col("c2") + col("c12"),
+            col("n") - col("c1"), col("n") - col("c2"), col("n")))
+      .select(col("w1"), col("w2"), col("c12"), col("llr_scaled"))
+  }
+
+  /** Flesch reading-ease score in 1e-3 fixed point — the classic
+    * readability gauge (206.835 − 1.015·words/sentences −
+    * 84.6·syllables/words) with deterministic integer proxies: sentences =
+    * max(1, count of `[.!?]+` runs), words = whitespace tokens, syllables =
+    * vowel-group runs `[aeiouy]+` per lowercased word, min 1 per word —
+    * both regexes inside the Java/RE2-identical subset, so token and
+    * syllable counts agree across engines by construction. All divisions
+    * truncating:
+    *   score_milli = 206835 − 1015·words div sentences − 84600·syll div words
+    * Returns (id, n_sentences, n_words, n_syllables, flesch_milli); empty
+    * docs yield words = 0 → NULL score rather than a division error.
+    * Row-local projection — no shuffle, scan-speed at any corpus size. */
+  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextFns.tokens(col(textCol))
+    val sentences = greatest(size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))), lit(1))
+    val syll = aggregate(
+      transform(toks, w =>
+        greatest(size(regexp_extract_all(lower(w), lit("[aeiouy]+"), lit(0))), lit(1))),
+      lit(0L), (acc, x) => acc + x)
+    docs.select(col(idCol),
+      sentences.cast("long").as("n_sentences"),
+      size(toks).cast("long").as("n_words"),
+      syll.as("n_syllables"))
+      .withColumn("flesch_milli",
+        expr("206835 - 1015 * n_words div nullif(n_sentences, 0)" +
+          " - 84600 * n_syllables div nullif(n_words, 0)"))
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau '04): PageRank over the
     * undirected word co-occurrence graph — adjacent-token edges, distinct,
     * symmetrized — surfaces the corpus's structurally central terms, a

@@ -175,6 +175,22 @@ private[graft] trait TextQueries extends QueryHelpers {
         .orderBy(col("w1"), col("rnk"))
     }),
 
+    "text_collocations_llr" -> ((s, dir) => {
+      // Dunning G² collocations: per adjacent pair, the 2×2 log-likelihood
+      // ratio against independence as an order-free integer sum of
+      // k·qln terms — the statistically-sound MWE detector beside PMI
+      TextAnalysis.collocationsLlr(spread(t(s, dir, "documents")), "text", minCount = 2L)
+        .orderBy(col("w1"), col("w2"))
+    }),
+
+    "text_readability" -> ((s, dir) => {
+      // Flesch reading ease in 1e-3 fixed point: deterministic sentence/
+      // word/vowel-group-syllable proxies, truncating divisions — the
+      // curation-filter readability gauge, scan-speed row-local
+      TextAnalysis.readability(spread(t(s, dir, "documents")), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "text_inverted_postings" -> ((s, dir) => {
       // IR posting lists: per-token df + the 10 smallest doc ids, the head
       // cap pushed into the sort via WindowGroupLimit (never a full
@@ -712,6 +728,66 @@ private[graft] trait TextQueries extends QueryHelpers {
         |)
         |SELECT w1, rnk, w2, c12, c1, p_micro
         |FROM r WHERE rnk <= 3 ORDER BY w1, rnk""".stripMargin,
+
+    // the four k·(qln(k)+qln(N)−qln(row)−qln(col)) integer terms re-derived;
+    // zero cells contribute exactly 0
+    "text_collocations_llr" ->
+      """WITH toks AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), g AS (
+        |  SELECT unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS gram
+        |  FROM toks
+        |), pp AS (
+        |  SELECT string_split(gram, ' ')[1] AS w1, string_split(gram, ' ')[2] AS w2 FROM g
+        |), c12 AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM pp GROUP BY 1, 2
+        |), c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+        |c2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM c12 GROUP BY 1),
+        |n AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM c12),
+        |j AS (
+        |  SELECT c12.w1, c12.w2, c12.c12, c1.c1, c2.c2, (SELECT n FROM n) AS n
+        |  FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2)
+        |  WHERE c12.c12 >= 2
+        |)
+        |SELECT w1, w2, c12,
+        |  CAST(
+        |    (CASE WHEN c12 > 0 THEN c12 * (CAST(floor(ln(c12)*1e6+0.5) AS BIGINT)
+        |       + CAST(floor(ln(n)*1e6+0.5) AS BIGINT)
+        |       - CAST(floor(ln(c1)*1e6+0.5) AS BIGINT)
+        |       - CAST(floor(ln(c2)*1e6+0.5) AS BIGINT)) ELSE 0 END)
+        |  + (CASE WHEN c1 - c12 > 0 THEN (c1 - c12) * (CAST(floor(ln(c1 - c12)*1e6+0.5) AS BIGINT)
+        |       + CAST(floor(ln(n)*1e6+0.5) AS BIGINT)
+        |       - CAST(floor(ln(c1)*1e6+0.5) AS BIGINT)
+        |       - CAST(floor(ln(n - c2)*1e6+0.5) AS BIGINT)) ELSE 0 END)
+        |  + (CASE WHEN c2 - c12 > 0 THEN (c2 - c12) * (CAST(floor(ln(c2 - c12)*1e6+0.5) AS BIGINT)
+        |       + CAST(floor(ln(n)*1e6+0.5) AS BIGINT)
+        |       - CAST(floor(ln(n - c1)*1e6+0.5) AS BIGINT)
+        |       - CAST(floor(ln(c2)*1e6+0.5) AS BIGINT)) ELSE 0 END)
+        |  + (CASE WHEN n - c1 - c2 + c12 > 0 THEN (n - c1 - c2 + c12) * (CAST(floor(ln(n - c1 - c2 + c12)*1e6+0.5) AS BIGINT)
+        |       + CAST(floor(ln(n)*1e6+0.5) AS BIGINT)
+        |       - CAST(floor(ln(n - c1)*1e6+0.5) AS BIGINT)
+        |       - CAST(floor(ln(n - c2)*1e6+0.5) AS BIGINT)) ELSE 0 END)
+        |  AS BIGINT) AS llr_scaled
+        |FROM j ORDER BY w1, w2""".stripMargin,
+
+    // sentence/word/syllable proxies re-derived with the same regexes and
+    // truncating integer divisions
+    "text_readability" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w,
+        |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(list_sum([greatest(len(regexp_extract_all(lower(tok), '[aeiouy]+')), 1)
+        |      FOR tok IN w]) AS BIGINT) AS n_syllables
+        |  FROM t
+        |)
+        |SELECT doc_id, n_sentences, n_words, n_syllables,
+        |  CAST(206835 - 1015 * n_words // nullif(n_sentences, 0)
+        |    - 84600 * n_syllables // nullif(n_words, 0) AS BIGINT) AS flesch_milli
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "text_inverted_postings" ->
       """WITH dt AS (

@@ -1672,6 +1672,29 @@ class OperatorsSpec extends SparkSuite {
     assert(l.toSeq == l2.toSeq)
   }
 
+  test("collocationsLlr: associated pair scores positive, lone bigram carries no evidence") {
+    val docs = Seq((1L, "a b a b a b a b"), (2L, "c d"), (3L, "c e")).toDF("doc_id", "text")
+    val r = TextAnalysis.collocationsLlr(docs, "text", minCount = 1L)
+      .collect().map(x => ((x.getString(0), x.getString(1)), x.getAs[Long]("llr_scaled"))).toMap
+    // (a,b) co-occurs far above independence in this corpus
+    assert(r(("a", "b")) > 0L)
+    // a corpus that IS one bigram: all four cells collapse, G2 = 0 exactly
+    val one = Seq((1L, "x y")).toDF("doc_id", "text")
+    val r1 = TextAnalysis.collocationsLlr(one, "text", minCount = 1L).collect()
+    assert(r1.length == 1 && r1.head.getAs[Long]("llr_scaled") == 0L)
+  }
+
+  test("readability: hand sentence/word/syllable counts and fixed-point score") {
+    val docs = Seq((1L, "The cat sat. It ran!"), (2L, "Extraordinary.")).toDF("doc_id", "text")
+    val r = TextAnalysis.readability(docs, "doc_id", "text").orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_sentences") == 2L && r(0).getAs[Long]("n_words") == 5L
+      && r(0).getAs[Long]("n_syllables") == 5L)
+    // 206835 - 1015*5 div 2 - 84600*5 div 5 = 206835 - 2537 - 84600
+    assert(r(0).getAs[Long]("flesch_milli") == 119698L)
+    // vowel groups of "extraordinary": e|ao|i|a|y = 5
+    assert(r(1).getAs[Long]("n_syllables") == 5L)
+  }
+
   test("bmpPhash: constant image hashes to 0, mirrors collide, banding is lossless") {
     // constant image: every AC coefficient is 0 -> nothing above the mean
     val flat = Multimodal.bmpEncode(16, 12, (_, _) => (128, 128, 128))
