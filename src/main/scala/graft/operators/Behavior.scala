@@ -525,4 +525,100 @@ object Behavior {
       .withColumn("segment",
         col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
   }
+
+  /** A/B experiment readout over a raw event log: users are assigned to
+    * variants by md5 parity of their id (the reproducible assignment a log
+    * without an experiment table needs — first hex digit < '8' → A),
+    * exposure = ≥1 `exposureEvent`, conversion = ≥1 `convEvent`. Emits the
+    * 2×2 cells, fixed-point conversion rates, and the two-proportion
+    * chi-square statistic
+    * `N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))` — computed as DOUBLE from the
+    * BIGINT cells with a FIXED left-associated operation order, so the
+    * statistic itself is IEEE-bit-identical cross-engine (the chi2Terms
+    * precedent; +,−,×,÷ are correctly rounded — only transcendentals need
+    * the quantize-first pattern). Degenerate margins (no conversions, or
+    * everyone converts) yield NULL instead of NaN.
+    *
+    * Scale: one groupBy(user) aggregate + one O(1) global aggregate; the
+    * double cast loses integer exactness above 2⁵³ events per cell —
+    * stated, and irrelevant to the test's significance at that n. */
+  def abTest(events: DataFrame, userCol: String, typeCol: String,
+      exposureEvent: String, convEvent: String): DataFrame = {
+    val perUser = events.groupBy(col(userCol).as("user"))
+      .agg(
+        max(when(col(typeCol) === exposureEvent, 1L).otherwise(0L)).as("exposed"),
+        max(when(col(typeCol) === convEvent, 1L).otherwise(0L)).as("converted"))
+      .filter(col("exposed") === 1L)
+      .withColumn("variant",
+        when(substring(md5(col("user").cast("string")), 1, 1) < "8", "A").otherwise("B"))
+    def d(c: Column): Column = c.cast("double")
+    perUser.groupBy().agg(
+      sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === "A", col("converted")).otherwise(0L)).as("conv_a"),
+      sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("variant") === "B", col("converted")).otherwise(0L)).as("conv_b"))
+      .withColumn("rate_a_micro", expr("conv_a * 1000000 div nullif(n_a, 0)"))
+      .withColumn("rate_b_micro", expr("conv_b * 1000000 div nullif(n_b, 0)"))
+      .withColumn("chi2",
+        when(col("n_a") > 0 && col("n_b") > 0
+          && col("conv_a") + col("conv_b") > 0
+          && col("n_a") + col("n_b") - col("conv_a") - col("conv_b") > 0,
+          (d(col("n_a") + col("n_b"))
+            * ((d(col("conv_a")) * d(col("n_b") - col("conv_b")))
+              - (d(col("n_a") - col("conv_a")) * d(col("conv_b"))))
+            * ((d(col("conv_a")) * d(col("n_b") - col("conv_b")))
+              - (d(col("n_a") - col("conv_a")) * d(col("conv_b")))))
+            / (((d(col("n_a")) * d(col("n_b"))) * d(col("conv_a") + col("conv_b")))
+              * d(col("n_a") + col("n_b") - col("conv_a") - col("conv_b")))))
+  }
+
+  /** Kaplan–Meier time-to-conversion survival: duration = days from a
+    * user's first event to their first `convEvent`; users who don't convert
+    * within the `horizonDays` observation window are RIGHT-CENSORED at the
+    * horizon (they leave the risk set without an event — the reason KM
+    * exists; a plain conversion-time histogram silently drops them and
+    * biases the curve down). Events at t precede censorings at t, the
+    * standard convention, so the horizon risk set includes its censored
+    * mass. Emits one row per event time t with the risk-set size, event
+    * count, and the LOG-survival in 1e-6 fixed point:
+    * `km_log_scaled(t) = Σ_{t'≤t} (qln(n−d) − qln(n))` — per-term quantized
+    * ln of BIGINTs (libm parity), summed by a cumulative window, so the
+    * curve itself hash-matches; S(t) = exp(km_log_scaled/1e6). A risk set
+    * fully consumed by events (n == d) drives survival to exact 0 — that
+    * row and everything after carry NULL (log 0 undefined), via a
+    * null-count poisoning window.
+    *
+    * Scale: one groupBy(user) pass, then windows over the DISTINCT-duration
+    * relation — bounded by the horizon's day domain, never users. */
+  def survivalKm(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, convEvent: String, horizonDays: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(horizonDays >= 1, "need a positive observation horizon")
+    val perUser = events.groupBy(col(userCol).as("user"))
+      .agg(min(col(tsCol)).as("first_ts"),
+        min(when(col(typeCol) === convEvent, col(tsCol))).as("conv_ts"))
+    val tRaw = datediff(to_date(col("conv_ts")), to_date(col("first_ts"))).cast("long")
+    val durations = perUser.select(
+      when(col("conv_ts").isNotNull && tRaw <= horizonDays, tRaw)
+        .otherwise(lit(horizonDays.toLong)).as("t"),
+      when(col("conv_ts").isNotNull && tRaw <= horizonDays, 1L)
+        .otherwise(0L).as("converted"))
+    val agg = durations.groupBy(col("t"))
+      .agg(count(lit(1)).as("n_at"), sum(col("converted")).as("d"))
+    def qln(c: Column): Column =
+      floor(log(c.cast("double")) * 1e6 + lit(0.5)).cast("long")
+    val wDesc = Window.orderBy(col("t").desc)
+    val wAsc = Window.orderBy(col("t").asc)
+    agg
+      .withColumn("n_risk", sum(col("n_at")).over(wDesc))
+      .filter(col("d") > 0)
+      .withColumn("term",
+        when(col("n_risk") > col("d"),
+          qln(col("n_risk") - col("d")) - qln(col("n_risk"))))
+      .withColumn("km_log_scaled",
+        when(sum(when(col("term").isNull, 1L).otherwise(0L)).over(wAsc) > 0, lit(null))
+          .otherwise(sum(col("term")).over(wAsc)))
+      .select(col("t").as("t_days"), col("n_risk"), col("d").as("d_events"),
+        col("km_log_scaled"))
+  }
 }

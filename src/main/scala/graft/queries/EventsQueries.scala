@@ -74,6 +74,24 @@ private[graft] trait EventsQueries extends QueryHelpers {
         .orderBy(col("user_id"))
     }),
 
+    "events_ab_test" -> ((s, dir) => {
+      // experiment readout: md5-parity variant assignment, view-exposed /
+      // purchase-converted cells, two-proportion chi-square as an
+      // IEEE-bit-identical double over BIGINT cells (fixed op order)
+      graft.operators.Behavior.abTest(events(s, dir), "user_id", "event_type",
+        "view", "purchase")
+    }),
+
+    "events_survival_km" -> ((s, dir) => {
+      // Kaplan-Meier time-to-purchase curve: days from first event to first
+      // purchase, right-censored at a 5-day horizon — per-event-time risk
+      // sets + 1e-6 fixed-point log-survival, the censoring-correct
+      // conversion-latency curve a plain histogram biases
+      graft.operators.Behavior.survivalKm(events(s, dir), "user_id", "ts",
+        "event_type", "purchase", horizonDays = 5)
+        .orderBy(col("t_days"))
+    }),
+
     "events_value_mad" -> ((s, dir) => {
       // robust dispersion: median + MAD per type, both carried x2 so every
       // percentile runs on BIGINT inputs (the r5 bit-parity precedent)
@@ -368,6 +386,77 @@ private[graft] trait EventsQueries extends QueryHelpers {
         |    WHEN (SELECT median_x2 FROM band) - err * 2 > 3 * (SELECT mad_x2 FROM madt) THEN -1
         |    ELSE 0 END AS BIGINT) AS flag
         |FROM e ORDER BY hour""".stripMargin,
+
+    // 2x2 cells re-derived; chi2 with IDENTICAL left-associated double
+    // parenthesization on both engines (+,-,*,/ are IEEE-correctly-rounded)
+    "events_ab_test" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS exposed,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS converted
+        |  FROM events GROUP BY 1
+        |), v AS (
+        |  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |    THEN 'A' ELSE 'B' END AS variant, converted
+        |  FROM pu WHERE exposed = 1
+        |), c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN variant = 'A' THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+        |    CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN variant = 'B' THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM v
+        |)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  CAST(conv_a * 1000000 // nullif(n_a, 0) AS BIGINT) AS rate_a_micro,
+        |  CAST(conv_b * 1000000 // nullif(n_b, 0) AS BIGINT) AS rate_b_micro,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND conv_a + conv_b > 0
+        |         AND n_a + n_b - conv_a - conv_b > 0 THEN
+        |    (CAST(n_a + n_b AS DOUBLE)
+        |      * ((CAST(conv_a AS DOUBLE) * CAST(n_b - conv_b AS DOUBLE))
+        |        - (CAST(n_a - conv_a AS DOUBLE) * CAST(conv_b AS DOUBLE)))
+        |      * ((CAST(conv_a AS DOUBLE) * CAST(n_b - conv_b AS DOUBLE))
+        |        - (CAST(n_a - conv_a AS DOUBLE) * CAST(conv_b AS DOUBLE))))
+        |    / (((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |        * CAST(conv_a + conv_b AS DOUBLE))
+        |      * CAST(n_a + n_b - conv_a - conv_b AS DOUBLE))
+        |  END AS chi2
+        |FROM c""".stripMargin,
+
+    // risk sets via a DESC cumulative window over distinct durations; the
+    // log-survival as cumulative qln sums with null poisoning at S = 0
+    "events_survival_km" ->
+      """WITH pu AS (
+        |  SELECT user_id, min(ts) AS first_ts,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS conv_ts
+        |  FROM events GROUP BY 1
+        |), dur AS (
+        |  SELECT
+        |    CASE WHEN conv_ts IS NOT NULL
+        |           AND date_diff('day', CAST(first_ts AS DATE), CAST(conv_ts AS DATE)) <= 5
+        |      THEN date_diff('day', CAST(first_ts AS DATE), CAST(conv_ts AS DATE))
+        |      ELSE 5 END AS t,
+        |    CASE WHEN conv_ts IS NOT NULL
+        |           AND date_diff('day', CAST(first_ts AS DATE), CAST(conv_ts AS DATE)) <= 5
+        |      THEN 1 ELSE 0 END AS converted
+        |  FROM pu
+        |), agg AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS n_at, CAST(sum(converted) AS BIGINT) AS d
+        |  FROM dur GROUP BY 1
+        |), risk AS (
+        |  SELECT t, CAST(sum(n_at) OVER (ORDER BY t DESC) AS BIGINT) AS n_risk, d FROM agg
+        |), ev AS (
+        |  SELECT t, n_risk, d,
+        |    CASE WHEN n_risk > d THEN
+        |      CAST(floor(ln(n_risk - d) * 1e6 + 0.5) AS BIGINT)
+        |        - CAST(floor(ln(n_risk) * 1e6 + 0.5) AS BIGINT) END AS term
+        |  FROM risk WHERE d > 0
+        |)
+        |SELECT CAST(t AS BIGINT) AS t_days, n_risk, d AS d_events,
+        |  CASE WHEN sum(CASE WHEN term IS NULL THEN 1 ELSE 0 END) OVER (ORDER BY t) > 0
+        |       THEN NULL
+        |       ELSE CAST(sum(term) OVER (ORDER BY t) AS BIGINT) END AS km_log_scaled
+        |FROM ev ORDER BY t_days""".stripMargin,
 
     // RFM: all three metrics BIGINT, tertile thresholds via quantile_cont
     // (bit-parity with Spark percentile on BIGINT), strict > assignment

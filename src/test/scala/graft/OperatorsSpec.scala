@@ -1672,6 +1672,55 @@ class OperatorsSpec extends SparkSuite {
     assert(l.toSeq == l2.toSeq)
   }
 
+  test("abTest: cells match a driver-side md5 replay, degenerate margins yield NULL chi2") {
+    def variantOf(u: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      if ("%02x".format(d(0)).charAt(0) < '8') "A" else "B"
+    }
+    val evs = (1L to 20L).flatMap { u =>
+      Seq((u, "view")) ++ (if (u % 2 == 0) Seq((u, "purchase")) else Nil)
+    }.toDF("user_id", "event_type")
+    val r = Behavior.abTest(evs, "user_id", "event_type", "view", "purchase").collect().head
+    val byV = (1L to 20L).groupBy(variantOf)
+    val (na, nb) = (byV("A").size.toLong, byV("B").size.toLong)
+    val (ca, cb) = (byV("A").count(_ % 2 == 0).toLong, byV("B").count(_ % 2 == 0).toLong)
+    assert((r.getAs[Long]("n_a"), r.getAs[Long]("conv_a"),
+      r.getAs[Long]("n_b"), r.getAs[Long]("conv_b")) == ((na, ca, nb, cb)))
+    assert(r.getAs[Long]("rate_a_micro") == ca * 1000000L / na)
+    val chi2 = ((na + nb).toDouble
+      * ((ca.toDouble * (nb - cb).toDouble) - ((na - ca).toDouble * cb.toDouble))
+      * ((ca.toDouble * (nb - cb).toDouble) - ((na - ca).toDouble * cb.toDouble))) /
+      (((na.toDouble * nb.toDouble) * (ca + cb).toDouble) * (na + nb - ca - cb).toDouble)
+    assert(r.getAs[Double]("chi2") == chi2)
+    // everyone converts -> the non-converted margin is 0 -> NULL, not NaN
+    val all = (1L to 6L).flatMap(u => Seq((u, "view"), (u, "purchase")))
+      .toDF("user_id", "event_type")
+    assert(Behavior.abTest(all, "user_id", "event_type", "view", "purchase")
+      .collect().head.isNullAt(6))
+  }
+
+  test("survivalKm: hand risk sets, horizon censoring, n==d poisons the tail") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00")
+    val evs = Seq(
+      (1L, ts(0), "view"), (1L, ts(0), "purchase"),
+      (2L, ts(0), "view"), (2L, ts(2), "purchase"),
+      (3L, ts(0), "view"), (3L, ts(7), "purchase"), // beyond horizon -> censored at 5
+      (4L, ts(0), "view") // never converts -> censored at 5
+    ).toDF("user_id", "ts", "event_type")
+    val r = Behavior.survivalKm(evs, "user_id", "ts", "event_type", "purchase", 5)
+      .orderBy("t_days").collect()
+    // qln(2)=693147 qln(3)=1098612 qln(4)=1386294
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSeq ==
+      Seq((0L, 4L, 1L, 1098612L - 1386294L), (2L, 3L, 1L, 693147L - 1386294L)))
+    // a risk set fully consumed by events: S hits exact 0 -> NULL log
+    val all = Seq((1L, ts(0), "view"), (1L, ts(1), "purchase"),
+      (2L, ts(0), "view"), (2L, ts(1), "purchase")).toDF("user_id", "ts", "event_type")
+    val p = Behavior.survivalKm(all, "user_id", "ts", "event_type", "purchase", 5).collect()
+    assert(p.length == 1 && p.head.getLong(1) == 2L && p.head.getLong(2) == 2L
+      && p.head.isNullAt(3))
+  }
+
   test("collocationsLlr: associated pair scores positive, lone bigram carries no evidence") {
     val docs = Seq((1L, "a b a b a b a b"), (2L, "c d"), (3L, "c e")).toDF("doc_id", "text")
     val r = TextAnalysis.collocationsLlr(docs, "text", minCount = 1L)
