@@ -193,6 +193,32 @@ object Embeddings {
         (col("qval") - expr(s"(proj div 1000) * vi div ${vn2 / 1000L}")).as("corrected"))
   }
 
+  /** Per-DIMENSION min/max scalar quantization to 8-bit codes — the
+    * faiss-SQ/int8-range calibration twin of [[quantizeInt8]]'s global
+    * absmax scaling: each dimension gets its own [min, max] range over the
+    * corpus, `code = (x − min)·255 div (max − min)`, reconstruction
+    * `min + code·(max − min) div 255`. Per-dim calibration survives the
+    * one-hot-ish dimensions that blow up a global scale. All integer over
+    * the 1e-6-quantized vectors, so codes AND reconstruction error are
+    * exactly oracle-checkable. Constant dimensions (max == min) code to 0
+    * and reconstruct exactly. Returns (id, dim, code, err) with
+    * err = x − recon ≥ 0 (truncating reconstruction never overshoots).
+    *
+    * Scale: one per-dim min/max aggregate (d-row broadcast), one
+    * scan-speed projection — the stats pass is the only shuffle. */
+  def quantizeScalar(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val el = embs.select(col(idCol),
+      posexplode(VectorFns.quantize(col(vecCol))).as(Seq("pos", "x")))
+    val stats = el.groupBy(col("pos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    el.join(broadcast(stats), "pos")
+      .withColumn("code",
+        when(col("mx") === col("mn"), 0L)
+          .otherwise(expr("(x - mn) * 255 div (mx - mn)")))
+      .withColumn("recon", expr("mn + code * (mx - mn) div 255"))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("dim"),
+        col("code"), (col("x") - col("recon")).as("err"))
+  }
+
   def quantizeInt8(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val q = embs.select(col(idCol), VectorFns.quantize(col(vecCol)).as("qv"))
       .withColumn("mq", array_max(transform(col("qv"), x => abs(x))))

@@ -233,6 +233,45 @@ object Features {
         expr("sad * 1000000 div (2 * n_groups * total)").as("gini_micro"))
   }
 
+  /** Weight-of-evidence categorical encoding + information-value
+    * contributions — the credit-scoring-standard supervised encoder and
+    * its predictive-power gauge. Per category c with Laplace-(+1)-smoothed
+    * event/non-event counts:
+    *
+    *   WoE_c = ln( (g_c+1)/(G+K) / ((b_c+1)/(B+K)) )
+    *   IV    = Σ_c (dist_g − dist_b)·WoE_c
+    *
+    * Exactness: WoE as FOUR separately-quantized qln terms
+    * (`qln(g+1) − qln(G+K) − qln(b+1) + qln(B+K)`, libm parity on integer
+    * inputs) — no products inside ln, so no overflow at any count;
+    * distributions in 1e-6 fixed point by truncating division;
+    * `iv_contrib` = (dist_g_micro − dist_b_micro)·woe_scaled (1e-12 units),
+    * summed by the consumer in one aggregate. Smoothing keeps zero-event
+    * categories finite — the all-good/all-bad category failure of naive
+    * WoE.
+    *
+    * Scale: one groupBy(category) + one O(1) total cross-joined broadcast —
+    * category-domain-sized output regardless of corpus. */
+  def woeEncode(df: DataFrame, catCol: String, target: Column): DataFrame = {
+    val cells = df.groupBy(col(catCol).as("category"))
+      .agg(sum(when(target, 1L).otherwise(0L)).as("g"),
+        sum(when(target, 0L).otherwise(1L)).as("b"))
+    val tot = cells.agg(sum(col("g")).as("gt"), sum(col("b")).as("bt"),
+      count(lit(1)).as("k"))
+    def qln(c: Column): Column =
+      floor(log(c.cast("double")) * 1e6 + lit(0.5)).cast("long")
+    cells.crossJoin(broadcast(tot))
+      .withColumn("dist_g_micro", expr("(g + 1) * 1000000 div (gt + k)"))
+      .withColumn("dist_b_micro", expr("(b + 1) * 1000000 div (bt + k)"))
+      .withColumn("woe_scaled",
+        qln(col("g") + 1) - qln(col("gt") + col("k"))
+          - qln(col("b") + 1) + qln(col("bt") + col("k")))
+      .withColumn("iv_contrib",
+        (col("dist_g_micro") - col("dist_b_micro")) * col("woe_scaled"))
+      .select(col("category"), col("g"), col("b"), col("dist_g_micro"),
+        col("dist_b_micro"), col("woe_scaled"), col("iv_contrib"))
+  }
+
   def kAnonymityViolations(df: DataFrame, quasiIdCols: Seq[String], k: Long): DataFrame =
     df.groupBy(quasiIdCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"))

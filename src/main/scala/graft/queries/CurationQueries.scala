@@ -84,6 +84,24 @@ private[graft] trait CurationQueries extends QueryHelpers {
         .orderBy(col("id"))
     }),
 
+    "feature_woe" -> ((s, dir) => {
+      // weight-of-evidence encoding of order priority against fulfilled
+      // status + information-value contributions — four separately
+      // quantized qln terms (no products inside ln), Laplace smoothing
+      graft.operators.Features.woeEncode(
+        t(s, dir, "orders"), "o_orderpriority", col("o_orderstatus") === "F")
+        .orderBy(col("category"))
+    }),
+
+    "emb_sq_quantize" -> ((s, dir) => {
+      // per-dimension min/max scalar quantization to 8-bit codes + exact
+      // integer reconstruction error — the faiss-SQ calibration twin of
+      // emb_int8's global absmax scaling
+      graft.operators.Embeddings.quantizeScalar(
+        spread(t(s, dir, "embeddings")), "vec_id", "embedding")
+        .orderBy(col("vec_id"), col("dim"))
+    }),
+
     "corpus_moments" -> ((s, dir) => {
       // mergeable higher moments: per-lang integer power sums Σx..Σx⁴ +
       // fixed-point mean + variance numerator — the one-pass sketch that
@@ -620,6 +638,55 @@ private[graft] trait CurationQueries extends QueryHelpers {
         |SELECT k.doc_id, k.lang, k.source, k.n_chars
         |FROM keep1 k JOIN ok USING (lang, source)
         |ORDER BY doc_id""".stripMargin,
+
+    // WoE as four separately-quantized qln terms; IV contributions in
+    // 1e-12 units via micro-distribution differences
+    "feature_woe" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority AS category,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS g,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS BIGINT) AS b
+        |  FROM orders GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(g) AS BIGINT) AS gt, CAST(sum(b) AS BIGINT) AS bt,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM cells
+        |), j AS (
+        |  SELECT category, g, b,
+        |    CAST((g + 1) * 1000000 // ((SELECT gt FROM tot) + (SELECT k FROM tot)) AS BIGINT) AS dist_g_micro,
+        |    CAST((b + 1) * 1000000 // ((SELECT bt FROM tot) + (SELECT k FROM tot)) AS BIGINT) AS dist_b_micro,
+        |    CAST(floor(ln(g + 1) * 1e6 + 0.5) AS BIGINT)
+        |      - CAST(floor(ln((SELECT gt FROM tot) + (SELECT k FROM tot)) * 1e6 + 0.5) AS BIGINT)
+        |      - CAST(floor(ln(b + 1) * 1e6 + 0.5) AS BIGINT)
+        |      + CAST(floor(ln((SELECT bt FROM tot) + (SELECT k FROM tot)) * 1e6 + 0.5) AS BIGINT)
+        |      AS woe_scaled
+        |  FROM cells
+        |)
+        |SELECT category, g, b, dist_g_micro, dist_b_micro,
+        |  CAST(woe_scaled AS BIGINT) AS woe_scaled,
+        |  CAST((dist_g_micro - dist_b_micro) * woe_scaled AS BIGINT) AS iv_contrib
+        |FROM j ORDER BY category""".stripMargin,
+
+    // per-dim min/max calibration + truncating code/reconstruction math
+    // over the 1e-6-quantized vectors
+    "emb_sq_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), el AS (
+        |  SELECT vec_id, i.range AS pos, qv[i.range + 1] AS x
+        |  FROM q CROSS JOIN range(0, 64) i
+        |), st AS (
+        |  SELECT pos, min(x) AS mn, max(x) AS mx FROM el GROUP BY 1
+        |), c AS (
+        |  SELECT el.vec_id, el.pos, el.x, st.mn, st.mx,
+        |    CASE WHEN st.mx = st.mn THEN 0
+        |         ELSE (el.x - st.mn) * 255 // (st.mx - st.mn) END AS code
+        |  FROM el JOIN st USING (pos)
+        |)
+        |SELECT vec_id, CAST(pos + 1 AS BIGINT) AS dim, CAST(code AS BIGINT) AS code,
+        |  CAST(x - (mn + code * (mx - mn) // 255) AS BIGINT) AS err
+        |FROM c ORDER BY vec_id, dim""".stripMargin,
 
     // target encoding: all micro-cent fixed point, truncating // on both
     // engines; the LOO denominator n_c-1+m never hits zero (m=10)

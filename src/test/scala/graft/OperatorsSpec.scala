@@ -1672,6 +1672,38 @@ class OperatorsSpec extends SparkSuite {
     assert(l.toSeq == l2.toSeq)
   }
 
+  test("woeEncode: symmetric hand case, zero-event category stays finite") {
+    val rows = Seq.fill(3)(("hi", "F")) ++ Seq(("hi", "O")) ++
+      Seq(("lo", "F")) ++ Seq.fill(3)(("lo", "O"))
+    val df = rows.toDF("cat", "status")
+    val r = Features.woeEncode(df, "cat", col("status") === "F")
+      .orderBy("category").collect()
+    // G=4,B=4,K=2: woe(hi) = qln4 - qln2 = ln(2)*1e6; lo is its mirror
+    assert(r(0).getAs[Long]("woe_scaled") == 693147L)
+    assert(r(1).getAs[Long]("woe_scaled") == -693147L)
+    assert(r(0).getAs[Long]("dist_g_micro") == 666666L
+      && r(0).getAs[Long]("dist_b_micro") == 333333L)
+    assert(r(0).getAs[Long]("iv_contrib") == 333333L * 693147L)
+    // a category with zero events: Laplace smoothing keeps WoE finite
+    val z = Seq(("a", "F"), ("b", "O"), ("b", "O")).toDF("cat", "status")
+    val rz = Features.woeEncode(z, "cat", col("status") === "F").collect()
+    assert(rz.forall(x => math.abs(x.getAs[Long]("woe_scaled")) < 10000000L))
+  }
+
+  test("quantizeScalar: per-dim calibration, truncating recon, constant dim exact") {
+    val vs = Seq((1L, Seq(0e-6f, 10e-6f)), (2L, Seq(100e-6f, 10e-6f)),
+      (3L, Seq(37e-6f, 10e-6f))).toDF("vec_id", "embedding")
+    val r = Embeddings.quantizeScalar(vs, "vec_id", "embedding")
+      .orderBy("vec_id", "dim").collect()
+      .map(x => (x.getLong(0), x.getAs[Long]("dim"), x.getAs[Long]("code"), x.getAs[Long]("err")))
+    // dim 1 range [0,100]: 37 -> code 94, recon 36, err 1; endpoints exact
+    // dim 2 constant: code 0, recon = min, err 0
+    assert(r.toSeq == Seq(
+      (1L, 1L, 0L, 0L), (1L, 2L, 0L, 0L),
+      (2L, 1L, 255L, 0L), (2L, 2L, 0L, 0L),
+      (3L, 1L, 94L, 1L), (3L, 2L, 0L, 0L)))
+  }
+
   test("abTest: cells match a driver-side md5 replay, degenerate margins yield NULL chi2") {
     def variantOf(u: Long): String = {
       val d = java.security.MessageDigest.getInstance("MD5")
