@@ -526,6 +526,38 @@ object Behavior {
         col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
   }
 
+  /** Cohort lifetime-value curve: users grouped by first-event day, revenue
+    * from `revenueEvent` values accumulated per (cohort, age-in-days) —
+    * the money axis of the retention triangle, and the payback-period
+    * readout acquisition spend is judged against. All fixed-point: cents
+    * sums, cumulative via a per-cohort window over DISTINCT ages (tie-free
+    * ⇒ default RANGE frame == ROWS, the r8 precedent),
+    * `ltv_micro = cum_cents·1e6 div cohort_size` (micro-cents per user).
+    * Ages with zero revenue simply don't emit a row — the curve is a step
+    * function read with LAST_VALUE semantics.
+    *
+    * Scale: two groupBy(user)-keyed aggregates + a window over the
+    * (cohort × age) relation — day-domain-sized, never the event log. */
+  def cohortLtv(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, typeCol: String, revenueEvent: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firsts = events.groupBy(col(userCol).as("user"))
+      .agg(min(to_date(col(tsCol))).as("cohort"))
+    val sizes = firsts.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_size"))
+    val rev = events.filter(col(typeCol) === revenueEvent)
+      .select(col(userCol).as("user"), to_date(col(tsCol)).as("d"),
+        floor(col(valueCol) * 100 + lit(0.5)).cast("long").as("cents"))
+      .join(firsts, "user")
+      .groupBy(col("cohort"), datediff(col("d"), col("cohort")).cast("long").as("age_days"))
+      .agg(sum(col("cents")).as("rev_cents"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("age_days"))
+    rev.join(sizes, "cohort")
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+      .withColumn("ltv_micro", expr("cum_rev_cents * 1000000 div cohort_size"))
+      .select(col("cohort").cast("timestamp").as("cohort_day"), col("age_days"),
+        col("cohort_size"), col("rev_cents"), col("cum_rev_cents"), col("ltv_micro"))
+  }
+
   /** A/B experiment readout over a raw event log: users are assigned to
     * variants by md5 parity of their id (the reproducible assignment a log
     * without an experiment table needs — first hex digit < '8' → A),

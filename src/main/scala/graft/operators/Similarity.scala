@@ -45,6 +45,38 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Hard-negative mining for contrastive training: per anchor, the `k`
+    * MOST SIMILAR corpus vectors carrying a DIFFERENT label — the negatives
+    * that actually move a contrastive loss (uniform negatives like
+    * [[negativeSample]] saturate early; the hard ones define the margin).
+    * Same exact-cosine scoring as [[bruteForceKnn]], with the
+    * label-mismatch filter BEFORE the per-anchor rank so the top-k ranges
+    * over true negatives only. At corpus scale swap the brute crossJoin for
+    * the IVF probe — the ranking contract is unchanged (shortlist ⊇ top-k). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val prep = (df: DataFrame) =>
+      df.select(col(idCol), col(labelCol).cast("long").as("lbl"),
+        VectorFns.quantize(col(vecCol)).as("qv"))
+        .withColumn("n2", VectorFns.norm2Q(col("qv")))
+    val c = prep(corpus).as("c")
+    val q = prep(queries).as("q")
+    val joined = broadcast(q).crossJoin(c)
+      .filter(col("q.lbl") =!= col("c.lbl"))
+      .select(
+        col(s"q.$idCol").as("anchor_id"),
+        col(s"c.$idCol").as("negative_id"),
+        col("c.lbl").as("neg_label"),
+        VectorFns.cosinePre(col("q.qv"), col("q.n2"), col("c.qv"), col("c.n2")).as("cosine"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cosine").desc, col("negative_id").asc)
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("rank"), col("negative_id"),
+        col("neg_label"), col("cosine"))
+  }
+
   /** ±1 hyperplane weight for (seed, plane, dim): bit 0 of the md5-derived
     * 60-bit hash of "lsh:seed:h:d" — deterministic on any cluster AND
     * expressible in plain SQL (`('0x'||substr(md5(...),1,15))::BIGINT & 1`),

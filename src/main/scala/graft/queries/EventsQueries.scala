@@ -74,6 +74,15 @@ private[graft] trait EventsQueries extends QueryHelpers {
         .orderBy(col("user_id"))
     }),
 
+    "events_cohort_ltv" -> ((s, dir) => {
+      // cohort LTV curve: first-event-day cohorts, cumulative purchase
+      // cents per (cohort, age) and micro-cents per user — the money axis
+      // of the retention triangle
+      graft.operators.Behavior.cohortLtv(events(s, dir), "user_id", "ts",
+        "value", "event_type", "purchase")
+        .orderBy(col("cohort_day"), col("age_days"))
+    }),
+
     "events_ab_test" -> ((s, dir) => {
       // experiment readout: md5-parity variant assignment, view-exposed /
       // purchase-converted cells, two-proportion chi-square as an
@@ -386,6 +395,31 @@ private[graft] trait EventsQueries extends QueryHelpers {
         |    WHEN (SELECT median_x2 FROM band) - err * 2 > 3 * (SELECT mad_x2 FROM madt) THEN -1
         |    ELSE 0 END AS BIGINT) AS flag
         |FROM e ORDER BY hour""".stripMargin,
+
+    // cohort-day cast to TIMESTAMP on both sides (the DATE dtype trap);
+    // cumulative over distinct ages — tie-free default frame
+    "events_cohort_ltv" ->
+      """WITH f AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY 1
+        |), sz AS (
+        |  SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size FROM f GROUP BY 1
+        |), rev AS (
+        |  SELECT f.cohort,
+        |    CAST(date_diff('day', f.cohort, CAST(e.ts AS DATE)) AS BIGINT) AS age_days,
+        |    CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM events e JOIN f USING (user_id)
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY 1, 2
+        |), c AS (
+        |  SELECT rev.cohort, age_days, sz.cohort_size, rev_cents,
+        |    CAST(sum(rev_cents) OVER (PARTITION BY rev.cohort ORDER BY age_days) AS BIGINT)
+        |      AS cum_rev_cents
+        |  FROM rev JOIN sz USING (cohort)
+        |)
+        |SELECT CAST(cohort AS TIMESTAMP) AS cohort_day, age_days, cohort_size,
+        |  rev_cents, cum_rev_cents,
+        |  CAST(cum_rev_cents * 1000000 // cohort_size AS BIGINT) AS ltv_micro
+        |FROM c ORDER BY cohort_day, age_days""".stripMargin,
 
     // 2x2 cells re-derived; chi2 with IDENTICAL left-associated double
     // parenthesization on both engines (+,-,*,/ are IEEE-correctly-rounded)

@@ -27,6 +27,17 @@ private[graft] trait SimilarityQueries extends QueryHelpers {
     }),
 
 
+    "emb_hard_negatives" -> ((s, dir) => {
+      // contrastive hard-negative mining: per anchor, the 3 most-similar
+      // DIFFERENT-label vectors — the margin-defining complement to
+      // emb_negatives' uniform sampling; label filter BEFORE the rank
+      val embs = spread(t(s, dir, "embeddings"))
+      Similarity.hardNegatives(embs, embs.filter(col("vec_id") < 20),
+        "vec_id", "embedding", "label", 3)
+        .orderBy(col("anchor_id"), col("rank"))
+    }),
+
+
     "knn_lsh" -> ((s, dir) => {
       val embs = spread(t(s, dir, "embeddings"))
       Similarity.lshKnn(embs, embs.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
@@ -488,6 +499,26 @@ private[graft] trait SimilarityQueries extends QueryHelpers {
         |SELECT query_id, rank, neighbor_id, cosine FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+
+    // the brute oracle with the label-mismatch filter inside the join
+    "emb_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id, label, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label, qv,
+        |    list_sum([x*x FOR x IN qv]) AS n2 FROM q
+        |), scored AS (
+        |  SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id, b.label AS neg_label,
+        |    CAST(list_sum([a.qv[i] * b.qv[i] FOR i IN range(1, len(a.qv) + 1)]) AS DOUBLE)
+        |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+        |  FROM n a JOIN n b ON a.vec_id < 20 AND b.label != a.label
+        |), ranked AS (
+        |  SELECT anchor_id, negative_id, neg_label, cosine,
+        |    row_number() OVER (PARTITION BY anchor_id ORDER BY cosine DESC, negative_id) AS rank
+        |  FROM scored)
+        |SELECT anchor_id, rank, negative_id, neg_label, cosine FROM ranked
+        |WHERE rank <= 3 ORDER BY anchor_id, rank""".stripMargin,
 
     "knn_lsh" ->
       """WITH w AS (

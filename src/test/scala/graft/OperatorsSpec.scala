@@ -1672,6 +1672,33 @@ class OperatorsSpec extends SparkSuite {
     assert(l.toSeq == l2.toSeq)
   }
 
+  test("hardNegatives: same-label vectors never surface, rank follows cosine") {
+    val vs = Seq(
+      (1L, Seq(1e-3f, 0f), 0), (2L, Seq(1e-3f, 1e-5f), 1),
+      (3L, Seq(0f, 1e-3f), 1), (4L, Seq(0.99e-3f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.hardNegatives(vs, vs.filter(col("vec_id") === 1L),
+      "vec_id", "embedding", "label", 3).orderBy("rank").collect()
+    // only the two label-1 vectors qualify; near-parallel v2 outranks v3
+    assert(r.map(_.getAs[Long]("negative_id")).toSeq == Seq(2L, 3L))
+    assert(r.forall(_.getAs[Long]("neg_label") == 1L))
+  }
+
+  test("cohortLtv: hand cumulative curve, per-user micro-cents") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 08:00:00")
+    val evs = Seq(
+      (1L, ts(0), "view", 0.0), (1L, ts(0), "purchase", 1.0),
+      (2L, ts(0), "view", 0.0), (2L, ts(1), "purchase", 2.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val r = Behavior.cohortLtv(evs, "user_id", "ts", "value", "event_type", "purchase")
+      .orderBy("age_days").collect()
+      .map(x => (x.getAs[Long]("age_days"), x.getAs[Long]("cohort_size"),
+        x.getAs[Long]("rev_cents"), x.getAs[Long]("cum_rev_cents"), x.getAs[Long]("ltv_micro")))
+    assert(r.toSeq == Seq(
+      (0L, 2L, 100L, 100L, 50000000L),
+      (1L, 2L, 200L, 300L, 150000000L)))
+  }
+
   test("woeEncode: symmetric hand case, zero-event category stays finite") {
     val rows = Seq.fill(3)(("hi", "F")) ++ Seq(("hi", "O")) ++
       Seq(("lo", "F")) ++ Seq.fill(3)(("lo", "O"))
