@@ -59,4 +59,36 @@ object Batching {
       .withColumn("bin",
         floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / lit(budget)).cast("long"))
   }
+
+  /** Length-bucketed batch assembly — the dynamic-batching trick that cuts
+    * padding waste: documents are grouped into token-length buckets
+    * (`bucket = n_tokens div bucketWidth`), ordered within a bucket by a
+    * seed-keyed md5 (shuffled but reproducible), and cut into batches of
+    * `batchSize`. Because every batch draws from ONE bucket, its max-length
+    * spread — and so its padding — is bounded by `bucketWidth`. Emits
+    * per-batch audit rows: size, token min/max/sum, and
+    * `padding_waste = n·max − sum` (the tokens a pad-to-max collator burns);
+    * compare against the unbucketed waste to price the bucketing.
+    *
+    * Scale: the window partitions by BUCKET (parallel across buckets; no
+    * global window); per-batch aggregation is map-combinable. A bucket is
+    * the natural output-partition key for the downstream writer. */
+  def lengthBucketedBatches(
+      df: DataFrame, idCol: String, textCol: String,
+      bucketWidth: Long, batchSize: Long, seed: Long): DataFrame = {
+    require(bucketWidth > 0 && batchSize > 0, "bucketWidth and batchSize must be positive")
+    val h = md5(concat_ws(":", lit(seed).cast("string"), col(idCol).cast("string")))
+    val toks = df.select(col(idCol),
+      TextFns.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(s"n_tokens div $bucketWidth"))
+    val w = Window.partitionBy(col("bucket")).orderBy(h, col(idCol))
+    toks
+      .withColumn("rn", (row_number().over(w) - 1).cast("long"))
+      .withColumn("batch_idx", expr(s"rn div $batchSize"))
+      .groupBy(col("bucket"), col("batch_idx"))
+      .agg(count(lit(1)).as("n_docs"), min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"), sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("padding_waste",
+        col("n_docs") * col("max_tokens") - col("sum_tokens"))
+  }
 }

@@ -526,6 +526,41 @@ object Behavior {
         col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
   }
 
+  /** Per-user inter-arrival regularity — the bot/scripted-client detector:
+    * human traffic has dispersed gaps, automation is metronomic. Gaps in µs
+    * via lag over each user's time-ordered events (window PARTITIONED by
+    * user — parallel, per-user state only; timestamp ties leave the gap
+    * MULTISET unchanged, so the stats are order-ambiguity-free), then
+    * per-user robust stats on BIGINT gaps: doubled median
+    * (`percentile(gap·2, 0.5)` — integer-exact, the valueMad trick),
+    * MAD×2 (bit-portable double on BIGINT inputs, the r5 precedent),
+    * min/max, and `is_metronomic` = MAD < 5% of the median — a scripted
+    * client pinging on a timer trips it, a human never does.
+    *
+    * Scale: one per-user window + two user-keyed aggregations — the same
+    * key throughout, one shuffle under AQE Exchange reuse. */
+  def interArrival(events: DataFrame, userCol: String, tsCol: String,
+      minGaps: Long = 3L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user")).orderBy(col("us"))
+    val gaps = events.select(col(userCol).as("user"), unix_micros(col(tsCol)).as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap").isNotNull)
+    val agg = gaps.groupBy(col("user"))
+      .agg(count(lit(1)).as("n_gaps"),
+        expr("percentile(gap * 2, 0.5)").cast("long").as("median_gap_x2"),
+        min(col("gap")).as("min_gap_us"), max(col("gap")).as("max_gap_us"))
+      .filter(col("n_gaps") >= minGaps)
+    gaps.join(agg, "user")
+      .groupBy(col("user"), col("n_gaps"), col("median_gap_x2"),
+        col("min_gap_us"), col("max_gap_us"))
+      .agg(expr("percentile(abs(gap * 2 - median_gap_x2), 0.5)").as("mad_x2"))
+      .withColumn("is_metronomic",
+        when(col("mad_x2") * 20 < col("median_gap_x2").cast("double"), 1L).otherwise(0L))
+      .select(col("user").as("user_id"), col("n_gaps"), col("median_gap_x2"),
+        col("mad_x2"), col("min_gap_us"), col("max_gap_us"), col("is_metronomic"))
+  }
+
   /** Cohort lifetime-value curve: users grouped by first-event day, revenue
     * from `revenueEvent` values accumulated per (cohort, age-in-days) —
     * the money axis of the retention triangle, and the payback-period

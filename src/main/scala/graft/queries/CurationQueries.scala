@@ -311,6 +311,26 @@ private[graft] trait CurationQueries extends QueryHelpers {
       graft.operators.Batching
         .packByTokenBudget(spread(t(s, dir, "documents")), "doc_id", "text", budget = 512)
         .orderBy(col("doc_id"))
+    }),
+
+
+    "batch_length_bucketed" -> ((s, dir) => {
+      // dynamic batching: token-length buckets (width 16), seed-shuffled
+      // within-bucket order, batches of 8 — per-batch padding-waste audit;
+      // waste is bounded by the bucket width by construction
+      graft.operators.Batching.lengthBucketedBatches(
+        spread(t(s, dir, "documents")), "doc_id", "text",
+        bucketWidth = 16L, batchSize = 8L, seed = 7L)
+        .orderBy(col("bucket"), col("batch_idx"))
+    }),
+
+
+    "events_interarrival" -> ((s, dir) => {
+      // bot detection: per-user inter-arrival gap stats (doubled-median +
+      // MAD on BIGINT µs gaps) and the metronomic flag — MAD under 5% of
+      // the median means a timer, not a human
+      graft.operators.Behavior.interArrival(events(s, dir), "user_id", "ts")
+        .orderBy(col("user_id"))
     }))
 
   protected def curationOracles: Map[String, String] = Map(
@@ -503,6 +523,52 @@ private[graft] trait CurationQueries extends QueryHelpers {
         |    AS DOUBLE) / 512.0) AS BIGINT) AS bin
         |FROM t ORDER BY doc_id""".stripMargin,
 
+
+    // bucket/batch assignment re-derived from the same md5 shuffle key;
+    // per-batch padding audit is pure integer aggregation
+    "batch_length_bucketed" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, n_tokens, n_tokens // 16 AS bucket,
+        |    row_number() OVER (PARTITION BY n_tokens // 16
+        |      ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rn
+        |  FROM tk
+        |)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(rn // 8 AS BIGINT) AS batch_idx,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+        |  CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS padding_waste
+        |FROM b GROUP BY 1, 2 ORDER BY bucket, batch_idx""".stripMargin,
+
+    // gap multiset is tie-order-free; doubled-median and MAD on BIGINT
+    // gaps (quantile_cont == percentile bit-for-bit, the r5 precedent)
+    "events_interarrival" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts)
+        |    - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS gap
+        |  FROM events
+        |), gg AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL),
+        |a AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(quantile_cont(gap * 2, 0.5) AS BIGINT) AS median_gap_x2,
+        |    CAST(min(gap) AS BIGINT) AS min_gap_us,
+        |    CAST(max(gap) AS BIGINT) AS max_gap_us
+        |  FROM gg GROUP BY 1 HAVING count(*) >= 3
+        |), m AS (
+        |  SELECT gg.user_id, a.n_gaps, a.median_gap_x2, a.min_gap_us, a.max_gap_us,
+        |    quantile_cont(abs(gg.gap * 2 - a.median_gap_x2), 0.5) AS mad_x2
+        |  FROM gg JOIN a USING (user_id)
+        |  GROUP BY 1, 2, 3, 4, 5
+        |)
+        |SELECT user_id, n_gaps, median_gap_x2, mad_x2, min_gap_us, max_gap_us,
+        |  CAST(CASE WHEN mad_x2 * 20 < CAST(median_gap_x2 AS DOUBLE)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_metronomic
+        |FROM m ORDER BY user_id""".stripMargin,
 
     "curation_quality_band" ->
       """WITH base AS (

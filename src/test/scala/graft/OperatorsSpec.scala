@@ -1672,6 +1672,38 @@ class OperatorsSpec extends SparkSuite {
     assert(l.toSeq == l2.toSeq)
   }
 
+  test("lengthBucketedBatches: per-batch spread bounded by bucket width, exact waste") {
+    val docs = ((1L to 10L).map(i => (i, Seq.fill(3)("w").mkString(" "))) ++
+      Seq((11L, Seq.fill(20)("w").mkString(" ")), (12L, Seq.fill(21)("w").mkString(" "))))
+      .toDF("doc_id", "text")
+    val r = Batching.lengthBucketedBatches(docs, "doc_id", "text", 16L, 4L, seed = 7L)
+      .orderBy("bucket", "batch_idx").collect()
+    // bucket 0: ten 3-token docs -> batches of 4/4/2, zero padding waste
+    val b0 = r.filter(_.getAs[Long]("bucket") == 0L)
+    assert(b0.map(_.getAs[Long]("n_docs")).sorted.toSeq == Seq(2L, 4L, 4L))
+    assert(b0.forall(_.getAs[Long]("padding_waste") == 0L))
+    // bucket 1: the 20- and 21-token docs batch together, waste = 21*2-41
+    val b1 = r.filter(_.getAs[Long]("bucket") == 1L)
+    assert(b1.length == 1 && b1.head.getAs[Long]("padding_waste") == 1L)
+    // the bucketing invariant: in-batch spread < bucket width
+    assert(r.forall(x => x.getAs[Long]("max_tokens") - x.getAs[Long]("min_tokens") < 16L))
+  }
+
+  test("interArrival: a timer-driven client is metronomic, a human is not") {
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val evs = ((0L to 4L).map(i => (1L, ts(i * 60))) ++ // exact 60 s timer
+      Seq(2L -> ts(0), 2L -> ts(10), 2L -> ts(110), 2L -> ts(1110), 2L -> ts(1160)))
+      .map { case (u, t0) => (u, t0) }.toDF("user_id", "ts")
+    val r = Behavior.interArrival(evs, "user_id", "ts").orderBy("user_id").collect()
+    assert(r.length == 2)
+    assert(r(0).getAs[Long]("median_gap_x2") == 120000000L
+      && r(0).getAs[Double]("mad_x2") == 0.0
+      && r(0).getAs[Long]("is_metronomic") == 1L)
+    assert(r(1).getAs[Long]("is_metronomic") == 0L
+      && r(1).getAs[Long]("min_gap_us") == 10000000L
+      && r(1).getAs[Long]("max_gap_us") == 1000000000L)
+  }
+
   test("hardNegatives: same-label vectors never surface, rank follows cosine") {
     val vs = Seq(
       (1L, Seq(1e-3f, 0f), 0), (2L, Seq(1e-3f, 1e-5f), 1),
