@@ -130,6 +130,82 @@ object TextAnalysis {
       .select(col("w1"), col("rnk"), col("w2"), col("c12"), col("c1"), col("p_micro"))
   }
 
+  /** WordPiece-style greedy longest-match-first tokenization — the APPLY
+    * side of the second major subword-tokenizer family beside BPE
+    * ([[bpeMerges]]/[[bpeEncode]]): BERT's segmenter takes, at each
+    * position, the LONGEST vocabulary piece (word-initial pieces and
+    * `##`-continuation pieces are separate vocabularies — `able` the word
+    * and `##able` the suffix are different units, exactly WordPiece's
+    * position-dependent design).
+    *
+    * The vocabulary is DERIVED from the corpus deterministically: initial
+    * pieces = word prefixes (length ≤ `maxPieceLen`) with occurrence mass ≥
+    * `initMinCount`; continuation pieces = non-initial substrings with mass
+    * ≥ `contMinCount`; ALL observed single characters of each position
+    * class are kept, so segmentation always progresses and no `[UNK]`
+    * exists by construction. Greedy segmentation is then a pure function of
+    * the corpus — an external engine can replay vocabulary AND greedy walk
+    * (bounded unrolled steps: a word of length L segments in ≤ L steps).
+    *
+    * Scale: the word relation is the DISTINCT vocabulary (never the
+    * corpus); piece sets collect to the driver (vocabulary-bounded, the
+    * bpeEncode broadcast argument) and segmentation is one map over
+    * distinct words. Returns (word, n_occ, n_pieces, pieces) with
+    * continuations rendered as ` ##piece`. */
+  def wordpiece(docs: DataFrame, textCol: String, maxPieceLen: Int = 4,
+      initMinCount: Long = 20L, contMinCount: Long = 50L,
+      maxWordLen: Int = 16): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    require(maxPieceLen >= 1 && maxWordLen >= maxPieceLen, "bad piece/word bounds")
+    val spark = docs.sparkSession
+    val words = docs.select(explode(TextFns.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) >= 1 && length(col("word")) <= maxWordLen)
+      .groupBy(col("word")).agg(count(lit(1)).as("n_occ"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val initPieces = words.select(
+      explode(array((1 to maxPieceLen).map(l =>
+        when(length(col("word")) >= l, substring(col("word"), 1, l))): _*)).as("piece"),
+      col("n_occ"))
+      .filter(col("piece").isNotNull)
+      .groupBy(col("piece")).agg(sum(col("n_occ")).as("cnt"))
+      .filter(length(col("piece")) === 1 || col("cnt") >= initMinCount)
+    val contPieces = words.select(
+      explode(array((for { p <- 2 to maxWordLen; l <- 1 to maxPieceLen } yield
+        when(length(col("word")) >= p + l - 1, substring(col("word"), p, l))): _*)).as("piece"),
+      col("n_occ"))
+      .filter(col("piece").isNotNull)
+      .groupBy(col("piece")).agg(sum(col("n_occ")).as("cnt"))
+      .filter(length(col("piece")) === 1 || col("cnt") >= contMinCount)
+    val initSet = initPieces.select(col("piece")).collect().map(_.getString(0)).toSet
+    val contSet = contPieces.select(col("piece")).collect().map(_.getString(0)).toSet
+    val schema = StructType(Seq(
+      StructField("word", StringType, nullable = false),
+      StructField("n_occ", LongType, nullable = false),
+      StructField("n_pieces", LongType, nullable = false),
+      StructField("pieces", StringType, nullable = false)))
+    val rdd = words.rdd.mapPartitions(_.map { r =>
+      val wd = r.getString(0)
+      val occ = r.getLong(1)
+      val sb = new StringBuilder
+      var pos = 0
+      var np = 0L
+      while (pos < wd.length) {
+        val set = if (pos == 0) initSet else contSet
+        var l = math.min(maxPieceLen, wd.length - pos)
+        while (l > 1 && !set.contains(wd.substring(pos, pos + l))) l -= 1
+        // l == 1 always matches: every observed character of each position
+        // class is in its vocabulary by construction
+        if (np > 0) sb.append(" ##")
+        sb.append(wd.substring(pos, pos + l))
+        np += 1
+        pos += l
+      }
+      Row(wd, occ, np, sb.toString)
+    })
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Dunning log-likelihood-ratio collocations (Dunning '93): for every
     * adjacent word pair, the G² statistic of its 2×2 contingency table
     * against independence — THE standard "is this a real collocation or

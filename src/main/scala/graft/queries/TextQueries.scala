@@ -175,6 +175,15 @@ private[graft] trait TextQueries extends QueryHelpers {
         .orderBy(col("w1"), col("rnk"))
     }),
 
+    "text_wordpiece" -> ((s, dir) => {
+      // WordPiece greedy longest-match segmentation against a
+      // corpus-derived position-dependent vocabulary (initial vs
+      // ##-continuation pieces) — BERT's tokenizer family beside BPE; the
+      // oracle replays vocabulary AND the greedy walk in 16 unrolled steps
+      TextAnalysis.wordpiece(spread(t(s, dir, "documents")), "text")
+        .orderBy(col("word"))
+    }),
+
     "text_collocations_llr" -> ((s, dir) => {
       // Dunning G² collocations: per adjacent pair, the 2×2 log-likelihood
       // ratio against independence as an order-free integer sum of
@@ -337,6 +346,54 @@ private[graft] trait TextQueries extends QueryHelpers {
         "doc_id", "text", n = 4)
         .orderBy(col("doc_id"))
     }))
+
+  /** The WordPiece oracle: vocabulary CTEs + 16 GENERATED greedy steps
+    * (the layout_hilbert programmatic-oracle precedent — each step advances
+    * `pos` by the longest matching piece via a correlated `max(l)` subquery
+    * and appends the piece text; words are ≤ 16 chars, so 16 single-char
+    * worst-case steps always finish). */
+  private def wordpieceOracleSql: String = {
+    val steps = (1 to 16).map { i =>
+      val prev = if (i == 1) "s0" else s"s${i - 1}"
+      s"""s$i AS (
+         |  SELECT word, n_occ, wlen,
+         |    CASE WHEN bl IS NULL THEN pos ELSE pos + bl END AS pos,
+         |    CASE WHEN bl IS NULL THEN acc
+         |         WHEN np = 0 THEN substr(word, pos + 1, bl)
+         |         ELSE acc || ' ##' || substr(word, pos + 1, bl) END AS acc,
+         |    CASE WHEN bl IS NULL THEN np ELSE np + 1 END AS np
+         |  FROM (
+         |    SELECT s.*, CASE WHEN s.pos >= s.wlen THEN NULL
+         |      ELSE (SELECT max(v.l) FROM vocab v
+         |            WHERE v.cont = (CASE WHEN s.pos > 0 THEN 1 ELSE 0 END)
+         |              AND v.piece = substr(s.word, s.pos + 1, v.l)) END AS bl
+         |    FROM $prev s) q
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w0 AS (
+       |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word FROM documents
+       |), words AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS n_occ FROM w0
+       |  WHERE len(word) BETWEEN 1 AND 16 GROUP BY 1
+       |), ip AS (
+       |  SELECT substr(word, 1, l.range) AS piece
+       |  FROM words CROSS JOIN range(1, 5) l WHERE len(word) >= l.range
+       |  GROUP BY 1 HAVING len(piece) = 1 OR sum(n_occ) >= 20
+       |), cp AS (
+       |  SELECT substr(word, p.range, l.range) AS piece
+       |  FROM words CROSS JOIN range(2, 17) p CROSS JOIN range(1, 5) l
+       |  WHERE len(word) >= p.range + l.range - 1
+       |  GROUP BY 1 HAVING len(piece) = 1 OR sum(n_occ) >= 50
+       |), vocab AS (
+       |  SELECT piece, len(piece) AS l, 0 AS cont FROM ip
+       |  UNION SELECT piece, len(piece) AS l, 1 AS cont FROM cp
+       |), s0 AS (
+       |  SELECT word, n_occ, len(word) AS wlen, 0 AS pos, '' AS acc, 0 AS np FROM words
+       |),
+       |$steps
+       |SELECT word, n_occ, CAST(np AS BIGINT) AS n_pieces, acc AS pieces
+       |FROM s16 ORDER BY word""".stripMargin
+  }
 
   protected def textOracles: Map[String, String] = Map(
 
@@ -728,6 +785,11 @@ private[graft] trait TextQueries extends QueryHelpers {
         |)
         |SELECT w1, rnk, w2, c12, c1, p_micro
         |FROM r WHERE rnk <= 3 ORDER BY w1, rnk""".stripMargin,
+
+    // vocabulary re-derived (prefix/substring mass thresholds, all single
+    // chars kept per position class), greedy walk unrolled — one step per
+    // CTE, best piece via a correlated max-length subquery
+    "text_wordpiece" -> wordpieceOracleSql,
 
     // the four k·(qln(k)+qln(N)−qln(row)−qln(col)) integer terms re-derived;
     // zero cells contribute exactly 0

@@ -1812,6 +1812,19 @@ class OperatorsSpec extends SparkSuite {
       && p.head.isNullAt(3))
   }
 
+  test("wordpiece: greedy longest match, position-dependent vocab, rare words fall to chars") {
+    val docs = ((1 to 60).map(i => (i.toLong, "unhappy happy")) ++
+      (61 to 63).map(i => (i.toLong, "zq"))).toDF("doc_id", "text")
+    val r = TextAnalysis.wordpiece(docs, "text").orderBy("word").collect()
+      .map(x => (x.getString(0), x.getAs[Long]("n_pieces"), x.getAs[String]("pieces"))).toSeq
+    // 4-char prefixes carry the mass -> greedy takes them; the rare word's
+    // 2-char prefix misses the threshold and segments to single chars
+    assert(r == Seq(
+      ("happy", 2L, "happ ##y"),
+      ("unhappy", 2L, "unha ##ppy"),
+      ("zq", 2L, "z ##q")))
+  }
+
   test("collocationsLlr: associated pair scores positive, lone bigram carries no evidence") {
     val docs = Seq((1L, "a b a b a b a b"), (2L, "c d"), (3L, "c e")).toDF("doc_id", "text")
     val r = TextAnalysis.collocationsLlr(docs, "text", minCount = 1L)
