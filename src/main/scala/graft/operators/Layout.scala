@@ -121,6 +121,35 @@ object Layout {
       .agg(min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
         count(lit(1)).as("n_rows"))
 
+  /** Clustering-quality audit over a zone-map manifest: for each zone/file,
+    * how many OTHER zones' closed [min,max] key ranges intersect it, plus
+    * the range itself — the "should I re-cluster" gauge. Zero overlaps
+    * everywhere means a range query opens ~1 file (perfect clustering);
+    * overlap counts near the file count mean the zone maps prune nothing
+    * and the layout needs a [[compact]]/[[writeZOrdered]] pass. THE metric
+    * that prices a re-clustering job before running it.
+    *
+    * Pure composition: closed integer intervals ride [[RangeJoin.overlap]]
+    * (half-open) via `max+1`; the manifest is metadata-sized, so the
+    * bucketed self-join is trivially cheap at any table size — the cost
+    * scales with files, never rows. Zones with null min/max (all-null key
+    * files) report 0 overlaps rather than crashing. */
+  def clusteringDepth(zones: DataFrame, zoneCol: String,
+      minCol: String, maxCol: String, bucketWidth: Double = 64.0): DataFrame = {
+    val base = zones.select(col(zoneCol).as("zone"),
+      col(minCol).cast("long").as("min_key"), col(maxCol).cast("long").as("max_key"))
+    val l = base.select(col("zone").as("zone_a"), col("min_key").as("lo_a"),
+      (col("max_key") + 1).as("hi_a"))
+    val r = base.select(col("zone").as("zone_b"), col("min_key").as("lo_b"),
+      (col("max_key") + 1).as("hi_b"))
+    val pairs = RangeJoin.overlap(l, "lo_a", "hi_a", r, "lo_b", "hi_b", bucketWidth)
+      .filter(col("zone_a") =!= col("zone_b"))
+      .groupBy(col("zone_a").as("zone")).agg(count(lit(1)).as("n_overlaps"))
+    base.join(pairs, Seq("zone"), "left")
+      .withColumn("n_overlaps", coalesce(col("n_overlaps"), lit(0L)))
+      .select(col("zone"), col("min_key"), col("max_key"), col("n_overlaps"))
+  }
+
   /** Read only the files whose [min,max] zone intersects [lo,hi], then apply
     * the residual row filter. On a range-clustered layout ([[compact]] /
     * [[writeZOrdered]]) a selective range predicate opens a small fraction

@@ -35,6 +35,28 @@ private[graft] trait LakeQueries extends QueryHelpers {
     }),
 
 
+    "lake_clustering_depth" -> ((s, dir) => {
+      // clustering-quality audit: the SAME 50-row zones measured two ways —
+      // zone-mapped on the clustering key (doc_id: zero overlaps, perfect
+      // pruning) vs on an uncorrelated column (n_chars: near-total overlap,
+      // zone maps prune nothing) — the before/after picture that prices a
+      // Z-order pass; metric = RangeJoin.overlap over the manifest
+      val docs = t(s, dir, "documents")
+      val zones = docs.groupBy(expr("doc_id div 50").as("zone"))
+      val byKey = zones.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+        .select(lit("clustered").as("kind"), col("zone"), col("mn"), col("mx"))
+      val byChars = docs.groupBy(expr("doc_id div 50").as("zone"))
+        .agg(min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
+        .select(lit("unclustered").as("kind"), col("zone"), col("mn"), col("mx"))
+      val parts = Seq(("clustered", byKey), ("unclustered", byChars)).map { case (k, z) =>
+        graft.operators.Layout.clusteringDepth(z, "zone", "mn", "mx")
+          .withColumn("kind", lit(k))
+      }
+      parts.reduce(_ unionByName _)
+        .select(col("kind"), col("zone"), col("min_key"), col("max_key"), col("n_overlaps"))
+        .orderBy(col("kind"), col("zone"))
+    }),
+
     "layout_skipping" -> ((s, dir) => {
       // lakehouse-style zone-map data skipping: range-cluster documents into
       // ~50-row files, build a per-file min/max manifest, then answer a
@@ -210,6 +232,32 @@ private[graft] trait LakeQueries extends QueryHelpers {
 
 
     // the zone-map pruned read must return exactly the plain filter's rows
+    // naive overlap self-join over the zone relation; closed intervals via
+    // mx+1 exactly as the operator feeds RangeJoin.overlap
+    "lake_clustering_depth" ->
+      """WITH zk AS (
+        |  SELECT doc_id // 50 AS zone, CAST(min(doc_id) AS BIGINT) AS mn,
+        |    CAST(max(doc_id) AS BIGINT) AS mx
+        |  FROM documents GROUP BY 1
+        |), zc AS (
+        |  SELECT doc_id // 50 AS zone, CAST(min(n_chars) AS BIGINT) AS mn,
+        |    CAST(max(n_chars) AS BIGINT) AS mx
+        |  FROM documents GROUP BY 1
+        |), z AS (
+        |  SELECT 'clustered' AS kind, zone, mn, mx FROM zk
+        |  UNION ALL SELECT 'unclustered' AS kind, zone, mn, mx FROM zc
+        |), ov AS (
+        |  SELECT a.kind, a.zone, CAST(count(*) AS BIGINT) AS n_overlaps
+        |  FROM z a JOIN z b ON a.kind = b.kind AND a.zone != b.zone
+        |    AND a.mn < b.mx + 1 AND b.mn < a.mx + 1
+        |  GROUP BY 1, 2
+        |)
+        |SELECT z.kind, CAST(z.zone AS BIGINT) AS zone, z.mn AS min_key,
+        |  z.mx AS max_key,
+        |  CAST(coalesce(ov.n_overlaps, 0) AS BIGINT) AS n_overlaps
+        |FROM z LEFT JOIN ov ON ov.kind = z.kind AND ov.zone = z.zone
+        |ORDER BY z.kind, z.zone""".stripMargin,
+
     "layout_skipping" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         |WHERE doc_id >= 100 AND doc_id <= 300 ORDER BY doc_id""".stripMargin,

@@ -1812,6 +1812,17 @@ class OperatorsSpec extends SparkSuite {
       && p.head.isNullAt(3))
   }
 
+  test("clusteringDepth: disjoint zones 0, overlapping counted, null zone safe") {
+    val zones = Seq(
+      (1L, Some(0L), Some(10L)), (2L, Some(11L), Some(20L)), // disjoint
+      (3L, Some(5L), Some(15L)), // overlaps both
+      (4L, None, None) // all-null key file
+    ).toDF("zone", "mn", "mx")
+    val r = Layout.clusteringDepth(zones, "zone", "mn", "mx")
+      .orderBy("zone").collect().map(x => (x.getLong(0), x.getAs[Long]("n_overlaps")))
+    assert(r.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 0L)))
+  }
+
   test("wordpiece: greedy longest match, position-dependent vocab, rare words fall to chars") {
     val docs = ((1 to 60).map(i => (i.toLong, "unhappy happy")) ++
       (61 to 63).map(i => (i.toLong, "zq"))).toDF("doc_id", "text")
