@@ -465,6 +465,272 @@ object Multimodal {
       StructField("payload", BinaryType, nullable = false))))
   }
 
+  // --- real codec: GIF (LZW) ------------------------------------------------
+
+  /** LSB-first variable-width bit writer — GIF's LZW packs code bits little-
+    * endian within bytes (the opposite of PNG/DEFLATE's Huffman ordering). */
+  private final class BitWriterLsb {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0
+    private var nBits = 0
+    def write(code: Int, width: Int): Unit = {
+      acc |= code << nBits
+      nBits += width
+      while (nBits >= 8) {
+        out.write(acc & 0xff)
+        acc >>>= 8
+        nBits -= 8
+      }
+    }
+    def toArray: Array[Byte] = {
+      if (nBits > 0) { out.write(acc & 0xff); acc = 0; nBits = 0 }
+      out.toByteArray
+    }
+  }
+
+  /** GIF-variant LZW compression of an index stream: initial clear code,
+    * dictionary growth with the canonical width-bump rule (code size
+    * increments when the NEXT assignable code reaches 2^size — the giflib
+    * pairing), table reset at 4096. */
+  private def lzwEncode(indices: Array[Int], minCodeSize: Int): Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val bits = new BitWriterLsb
+    val dict = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+    var nextCode = eoi + 1
+    var codeSize = minCodeSize + 1
+    bits.write(clear, codeSize)
+    var prefix = -1
+    var i = 0
+    while (i < indices.length) {
+      val k = indices(i)
+      if (prefix == -1) prefix = k
+      else dict.get((prefix, k)) match {
+        case Some(c) => prefix = c
+        case None =>
+          bits.write(prefix, codeSize)
+          dict((prefix, k)) = nextCode
+          nextCode += 1
+          if (nextCode == (1 << codeSize) && codeSize < 12) codeSize += 1
+          else if (nextCode == 4096) {
+            bits.write(clear, codeSize)
+            dict.clear()
+            nextCode = eoi + 1
+            codeSize = minCodeSize + 1
+          }
+          prefix = k
+      }
+      i += 1
+    }
+    if (prefix != -1) bits.write(prefix, codeSize)
+    bits.write(eoi, codeSize)
+    bits.toArray
+  }
+
+  /** GIF-variant LZW decompression: clear/EOI handling, KwKwK first-unseen-
+    * code case, the same width-bump rule as [[lzwEncode]]. Any bit-level
+    * defect desynchronizes the whole remaining stream — which is what makes
+    * a formula-vs-bytes oracle so sharp for this codec. */
+  private def lzwDecode(data: Array[Byte], minCodeSize: Int, maxPixels: Int): Array[Int] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var dict = Array.ofDim[Array[Int]](4096)
+    def reset(): Int = {
+      java.util.Arrays.fill(dict.asInstanceOf[Array[AnyRef]], null)
+      var c = 0
+      while (c < clear) { dict(c) = Array(c); c += 1 }
+      eoi + 1
+    }
+    var nextCode = reset()
+    var codeSize = minCodeSize + 1
+    var acc = 0L
+    var nBits = 0
+    var pos = 0
+    var prev: Array[Int] = null
+    val result = new scala.collection.mutable.ArrayBuffer[Int](maxPixels)
+    var done = false
+    while (!done) {
+      while (nBits < codeSize && pos < data.length) {
+        acc |= (data(pos) & 0xffL) << nBits
+        nBits += 8
+        pos += 1
+      }
+      require(nBits >= codeSize, "truncated LZW stream")
+      val code = (acc & ((1L << codeSize) - 1)).toInt
+      acc >>>= codeSize
+      nBits -= codeSize
+      if (code == clear) {
+        nextCode = reset()
+        codeSize = minCodeSize + 1
+        prev = null
+      } else if (code == eoi) {
+        done = true
+      } else {
+        val entry: Array[Int] =
+          if (dict(code) != null) dict(code)
+          else if (code == nextCode && prev != null) prev :+ prev(0) // KwKwK
+          else throw new IllegalStateException(s"bad LZW code $code")
+        result ++= entry
+        if (prev != null && nextCode < 4096) {
+          dict(nextCode) = prev :+ entry(0)
+          nextCode += 1
+          // one EARLIER than the encoder's bump: the decoder learns each
+          // dictionary entry one code later than the encoder assigned it,
+          // so its width must widen one assignment ahead to stay in sync
+          if (nextCode == (1 << codeSize) - 1 && codeSize < 12) codeSize += 1
+        }
+        prev = entry
+        require(result.length <= maxPixels, "LZW output exceeds image size")
+      }
+    }
+    result.toArray
+  }
+
+  /** Encode an indexed image as a canonical GIF87a: 256-entry global color
+    * table with palette[i] = (i, 2i mod 256, 5i+1 mod 256) — non-trivial on
+    * purpose, so stats must go THROUGH the color table — one full-frame
+    * image, real LZW sub-blocks. */
+  def gifEncode(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF87a".getBytes("US-ASCII"))
+    out.write(width & 0xff); out.write((width >> 8) & 0xff)
+    out.write(height & 0xff); out.write((height >> 8) & 0xff)
+    out.write(0xF7) // GCT present, 8-bit color resolution, 256 entries
+    out.write(0) // background color index
+    out.write(0) // pixel aspect ratio
+    var i = 0
+    while (i < 256) {
+      out.write(i); out.write((2 * i) % 256); out.write((5 * i + 1) % 256)
+      i += 1
+    }
+    out.write(0x2C) // image descriptor
+    out.write(0); out.write(0); out.write(0); out.write(0) // left, top
+    out.write(width & 0xff); out.write((width >> 8) & 0xff)
+    out.write(height & 0xff); out.write((height >> 8) & 0xff)
+    out.write(0) // no local color table, no interlace
+    val indices = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { indices(y * width + x) = pixel(x, y) & 0xff; x += 1 }
+      y += 1
+    }
+    out.write(8) // LZW minimum code size
+    val lzw = lzwEncode(indices, 8)
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      out.write(n)
+      out.write(lzw, off, n)
+      off += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  final case class GifStats(width: Int, height: Int, nPixels: Long,
+      sumR: Long, sumG: Long, sumB: Long, wsumR: Long)
+
+  /** Real pure-JVM GIF decode: header + logical screen descriptor, global
+    * color table read (stats go through the PALETTE, not raw indices),
+    * extension-block skipping, image descriptor, sub-block reassembly and
+    * full LZW decompression ([[lzwDecode]]). Rejects interlace/local tables
+    * loudly rather than guessing. */
+  def gifDecode(bytes: Array[Byte]): GifStats = {
+    require(bytes.length > 13 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F',
+      "not a GIF payload")
+    val sw = (bytes(6) & 0xff) | ((bytes(7) & 0xff) << 8)
+    val sh = (bytes(8) & 0xff) | ((bytes(9) & 0xff) << 8)
+    val flags = bytes(10) & 0xff
+    require((flags & 0x80) != 0, "GIF without a global color table")
+    val gctSize = 2 << (flags & 7)
+    var p = 13
+    val palR = new Array[Int](gctSize)
+    val palG = new Array[Int](gctSize)
+    val palB = new Array[Int](gctSize)
+    var i = 0
+    while (i < gctSize) {
+      palR(i) = bytes(p) & 0xff; palG(i) = bytes(p + 1) & 0xff; palB(i) = bytes(p + 2) & 0xff
+      p += 3; i += 1
+    }
+    // walk blocks to the first image descriptor, skipping extensions
+    while ((bytes(p) & 0xff) == 0x21) {
+      p += 2 // introducer + label
+      while ((bytes(p) & 0xff) != 0) p += 1 + (bytes(p) & 0xff)
+      p += 1
+    }
+    require((bytes(p) & 0xff) == 0x2C, "expected GIF image descriptor")
+    val w = (bytes(p + 5) & 0xff) | ((bytes(p + 6) & 0xff) << 8)
+    val h = (bytes(p + 7) & 0xff) | ((bytes(p + 8) & 0xff) << 8)
+    val iFlags = bytes(p + 9) & 0xff
+    require((iFlags & 0x80) == 0, "local color tables unsupported")
+    require((iFlags & 0x40) == 0, "interlaced GIF unsupported")
+    p += 10
+    val minCodeSize = bytes(p) & 0xff
+    p += 1
+    val data = new java.io.ByteArrayOutputStream()
+    while ((bytes(p) & 0xff) != 0) {
+      val n = bytes(p) & 0xff
+      data.write(bytes, p + 1, n)
+      p += 1 + n
+    }
+    val indices = lzwDecode(data.toByteArray, minCodeSize, w * h)
+    require(indices.length == w.toLong * h, s"LZW decoded ${indices.length} of ${w * h} pixels")
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var wsumR = 0L
+    var k = 0
+    while (k < indices.length) {
+      val idx = indices(k)
+      val r = palR(idx)
+      sumR += r; sumG += palG(idx); sumB += palB(idx)
+      wsumR += (k / w + 1).toLong * r
+      k += 1
+    }
+    GifStats(sw, sh, w.toLong * h, sumR, sumG, sumB, wsumR)
+  }
+
+  /** Deterministic GIF fixtures: dims and palette INDICES are integer
+    * functions of (doc_id, x, y) — the oracle recomputes every stat from
+    * the formula THROUGH the palette formula, while Spark decodes the
+    * actual LZW bytes.
+    *   w = 8 + id % 17, h = 8 + (id·3) % 17, idx = (7x + 11y + 13·id) % 256 */
+  def gifFixtures(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col(idCol).cast("long")).rdd.mapPartitions(_.map { row =>
+      val id = row.getLong(0)
+      val w = (8 + id % 17).toInt
+      val h = (8 + (id * 3) % 17).toInt
+      val payload = gifEncode(w, h, (x, y) => ((x * 7 + y * 11 + id * 13) % 256).toInt)
+      Row(id, payload)
+    })
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false))))
+  }
+
+  val GifDecodedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("n_pixels", LongType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false),
+    StructField("wsum_r", LongType, nullable = false)))
+
+  /** Partition-batched REAL GIF decode over a binary column. */
+  def decodeGif(withPayload: DataFrame, idCol: String): DataFrame = {
+    val spark = withPayload.sparkSession
+    val rdd = withPayload.select(col(idCol).cast("long"), col("payload")).rdd
+      .mapPartitions(_.map { r =>
+        val s = gifDecode(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), s.width.toLong, s.height.toLong, s.nPixels,
+          s.sumR, s.sumG, s.sumB, s.wsumR)
+      })
+    spark.createDataFrame(rdd, GifDecodedSchema)
+  }
+
   // --- real codec: PCM16 WAV (RIFF) ----------------------------------------
 
   private def putLe16(b: Array[Byte], off: Int, v: Int): Unit = {

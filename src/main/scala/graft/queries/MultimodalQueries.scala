@@ -95,6 +95,17 @@ private[graft] trait MultimodalQueries extends QueryHelpers {
     }),
 
 
+    "mm_decode_gif" -> ((s, dir) => {
+      // fourth REAL codec: GIF with genuine LZW — variable-width LSB-first
+      // code unpacking, dictionary growth + KwKwK case, sub-block
+      // reassembly, stats THROUGH the parsed color table; one bit-level
+      // defect desynchronizes the stream and breaks the formula oracle
+      Multimodal.decodeGif(
+        Multimodal.gifFixtures(spread(t(s, dir, "documents")), "doc_id"), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+
     "mm_decode_wav" -> ((s, dir) => {
       // REAL audio decode: deterministic PCM16 RIFF/WAVE fixtures (frame
       // count, channels, rate and every sample are integer functions of
@@ -405,6 +416,29 @@ private[graft] trait MultimodalQueries extends QueryHelpers {
         |  CAST(sum((y + 1) * ((sx + 3*sy + doc_id) % 256)) AS BIGINT) AS wsum_r
         |FROM px GROUP BY 1, 2, 3, 4, 5 ORDER BY doc_id""".stripMargin,
 
+
+    // stats re-derived from the index formula THROUGH the palette formula
+    // (r=i, g=2i mod 256, b=5i+1 mod 256) — the decoder reads both from
+    // the BYTES, after a full LZW decompression
+    "mm_decode_gif" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(8 + doc_id % 17 AS BIGINT) AS width,
+        |    CAST(8 + (doc_id * 3) % 17 AS BIGINT) AS height
+        |  FROM documents
+        |), px AS (
+        |  SELECT d.doc_id, d.width, d.height, xs.range AS x, ys.range AS y,
+        |    (xs.range * 7 + ys.range * 11 + d.doc_id * 13) % 256 AS i
+        |  FROM d CROSS JOIN range(0, 25) xs CROSS JOIN range(0, 25) ys
+        |  WHERE xs.range < d.width AND ys.range < d.height
+        |)
+        |SELECT doc_id, width, height,
+        |  CAST(width * height AS BIGINT) AS n_pixels,
+        |  CAST(sum(i) AS BIGINT) AS sum_r,
+        |  CAST(sum((2 * i) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((5 * i + 1) % 256) AS BIGINT) AS sum_b,
+        |  CAST(sum((y + 1) * i) AS BIGINT) AS wsum_r
+        |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
 
     "mm_decode_wav" ->
       """WITH d AS (

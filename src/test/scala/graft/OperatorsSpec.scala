@@ -1859,6 +1859,26 @@ class OperatorsSpec extends SparkSuite {
     assert(r(1).getAs[Long]("n_syllables") == 5L)
   }
 
+  test("gif codec: LZW round-trip, palette-mapped stats, dictionary-reset survival") {
+    // high-entropy 200x150 image: 30k pixels of quasi-random indices force
+    // the dictionary past 4096 entries, exercising clear-code emission,
+    // post-reset re-sync, and every code width from 9 to 12 bits
+    def idx(x: Int, y: Int): Int = (x * 31 + y * 17 + x * y) % 256
+    val bytes = Multimodal.gifEncode(200, 150, idx)
+    val s = Multimodal.gifDecode(bytes)
+    var (sr, sg, sb, wr) = (0L, 0L, 0L, 0L)
+    for (y <- 0 until 150; x <- 0 until 200) {
+      val i = idx(x, y)
+      sr += i; sg += (2 * i) % 256; sb += (5 * i + 1) % 256
+      wr += (y + 1).toLong * i
+    }
+    assert((s.width, s.height, s.nPixels) == ((200, 150, 30000L)))
+    assert((s.sumR, s.sumG, s.sumB, s.wsumR) == ((sr, sg, sb, wr)))
+    // degenerate 1x1 image
+    val one = Multimodal.gifDecode(Multimodal.gifEncode(1, 1, (_, _) => 7))
+    assert(one.nPixels == 1L && one.sumR == 7L && one.sumG == 14L && one.sumB == 36L)
+  }
+
   test("bmpPhash: constant image hashes to 0, mirrors collide, banding is lossless") {
     // constant image: every AC coefficient is 0 -> nothing above the mean
     val flat = Multimodal.bmpEncode(16, 12, (_, _) => (128, 128, 128))
