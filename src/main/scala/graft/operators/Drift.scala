@@ -206,6 +206,42 @@ object Drift {
         (col("chi2_scaled").cast("double") / 1e6).as("chi2"))
   }
 
+  /** Jensen–Shannon divergence between the base/current bucket
+    * distributions — the BOUNDED drift score (≤ ln 2) PSI isn't: PSI
+    * explodes on zero-overlap buckets, so one novel bucket floods the
+    * monitor; JSD saturates, keeping multi-feature dashboards comparable.
+    * Same clamped bucket frame as [[psiOf]].
+    *
+    * Exactness: per-bucket INTEGER terms `a·(qln(2aB) − qln(aB + bA))`
+    * (and the b-side mirror) with `qln(x) = floor(ln(x)·1e6 + 0.5)` —
+    * libm parity holds on integer-VALUED inputs, and the products are
+    * exactly representable while a·B < 2⁵³ (~count products of 3e7 rows a
+    * side; pre-scale both sides by a common power of two beyond that — JSD
+    * is scale-invariant). Zero cells contribute exactly 0 (the p·ln p
+    * limit). Output `jsd_micro` in micro-nats via three truncating
+    * divisions; 693147 = total divergence. */
+  def jsDivergence(base: DataFrame, current: DataFrame, valueCol: String,
+      width: Long, buckets: Int): DataFrame = {
+    val bc = psiBuckets(base, current, valueCol, width, buckets)
+    val tot = bc.agg(sum(col("n_base")).as("ta"), sum(col("n_cur")).as("tb"))
+    def qln(c: Column): Column =
+      floor(log(c.cast("double")) * 1e6 + lit(0.5)).cast("long")
+    bc.crossJoin(broadcast(tot))
+      .select(col("ta"), col("tb"),
+        when(col("n_base") > 0,
+          col("n_base") * (qln(col("n_base") * col("tb") * 2) -
+            qln(col("n_base") * col("tb") + col("n_cur") * col("ta"))))
+          .otherwise(lit(0L)).as("term_a"),
+        when(col("n_cur") > 0,
+          col("n_cur") * (qln(col("n_cur") * col("ta") * 2) -
+            qln(col("n_base") * col("tb") + col("n_cur") * col("ta"))))
+          .otherwise(lit(0L)).as("term_b"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(sum(col("term_a")).as("sa"), sum(col("term_b")).as("sb"))
+      .select(col("ta").as("n_base"), col("tb").as("n_cur"),
+        expr("(sa div ta + sb div tb) div 2").as("jsd_micro"))
+  }
+
   /** Per-GROUP PSI — the form a stratified corpus monitor actually runs
     * ("which language/source drifted?"): one row per group. */
   def psiByGroup(

@@ -62,7 +62,9 @@ class BenchGateSpec extends AnyFunSuite {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.list(java.nio.file.Paths.get(".")).iterator().asScala
           .filter(_.getFileName.toString.matches("bench_full_r\\d+\\.json"))
-          .toSeq.sortBy(_.getFileName.toString).lastOption.orNull
+          // sort by ROUND NUMBER: lexicographic order puts r10 before r8
+          .toSeq.sortBy(p =>
+            p.getFileName.toString.replaceAll("\\D", "").toInt).lastOption.orNull
       }
     assume(p != null, "no bench archive yet — first round")
     val benched = Bench.parseFloors(
