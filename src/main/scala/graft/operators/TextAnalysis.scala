@@ -130,6 +130,52 @@ object TextAnalysis {
       .select(col("w1"), col("rnk"), col("w2"), col("c12"), col("c1"), col("p_micro"))
   }
 
+  /** RAKE keyword extraction (Rose et al. '10): candidate phrases are the
+    * maximal stopword-free token runs; word score = degree div frequency
+    * where degree sums the lengths of the phrases containing the word (a
+    * word in long phrases co-occurs with more words); phrase score =
+    * Σ word scores — which is what makes RAKE reward MULTI-WORD terms,
+    * the axis TF-IDF (frequency) and TextRank (centrality) don't have.
+    * Zero corpus statistics beyond the run itself.
+    *
+    * All fixed point: `wscore = deg·1e6 div freq` (integer), phrase scores
+    * are order-free integer sums, ties broken by phrase text — the whole
+    * extraction hash-matches. Phrase islands come from a per-doc window
+    * (positions are distinct ⇒ the default RANGE frame equals ROWS, the r8
+    * precedent); aggregates then run over the word and phrase-TYPE domains,
+    * never the corpus. Returns the top-`k` phrase types
+    * (phrase, n_words, n_occurrences, score_micro). */
+  def rakeTerms(docs: DataFrame, idCol: String, textCol: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be positive")
+    val toks = docs.select(col(idCol).as("doc"),
+      posexplode(TextFns.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    val marked = toks
+      .withColumn("is_stop", col("tok").isInCollection(EnStopwords))
+      .withColumn("island", sum(when(col("is_stop"), 1L).otherwise(0L)).over(w))
+      .filter(!col("is_stop"))
+    val phrases = marked.groupBy(col("doc"), col("island"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("phrase"),
+        count(lit(1)).as("plen"))
+    val words = marked.join(phrases, Seq("doc", "island"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .withColumn("wscore", expr("deg * 1000000 div freq"))
+    val ptype = phrases.groupBy(col("phrase")).agg(count(lit(1)).as("n_occurrences"))
+    ptype
+      .select(col("phrase"), col("n_occurrences"),
+        explode(split(col("phrase"), " ")).as("tok"))
+      .join(words.select(col("tok"), col("wscore")), "tok")
+      .groupBy(col("phrase"), col("n_occurrences"))
+      .agg(count(lit(1)).cast("long").as("n_words"), sum(col("wscore")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("phrase"))
+      .limit(k)
+      .select(col("phrase"), col("n_words"), col("n_occurrences"), col("score_micro"))
+  }
+
   /** WordPiece-style greedy longest-match-first tokenization — the APPLY
     * side of the second major subword-tokenizer family beside BPE
     * ([[bpeMerges]]/[[bpeEncode]]): BERT's segmenter takes, at each

@@ -247,6 +247,16 @@ private[graft] trait EventsQueries extends QueryHelpers {
     }),
 
 
+    "drift_js" -> ((s, dir) => {
+      // bounded drift twin of drift_psi: Jensen-Shannon divergence over the
+      // same buckets and re-curation — saturates at ln 2 where PSI explodes
+      // on zero-overlap buckets; integer k·qln terms, micro-nats out
+      val docs = t(s, dir, "documents")
+      val cur = docs.filter(col("n_chars") >= 150 || col("doc_id") % 3 === 0)
+      graft.operators.Drift.jsDivergence(docs, cur, "n_chars", width = 50L, buckets = 12)
+    }),
+
+
     "drift_psi" -> ((s, dir) => {
       // distribution-drift check between the corpus and a (deterministic)
       // length-biased re-curation: Population Stability Index over
@@ -813,6 +823,40 @@ private[graft] trait EventsQueries extends QueryHelpers {
         |SELECT tb AS n_base, tc AS n_cur, count(*) - 1 AS dof,
         |  CAST(sum(qterm) AS BIGINT) AS chi2_scaled,
         |  CAST(CAST(sum(qterm) AS BIGINT) AS DOUBLE) / 1e6 AS chi2
+        |FROM terms GROUP BY 1, 2""".stripMargin,
+
+    // same clamped bucket frame as drift_psi; per-bucket integer
+    // a*(qln(2aB) - qln(aB + bA)) terms, three truncating divisions
+    "drift_js" ->
+      """WITH bks AS (SELECT range AS bucket FROM range(0, 12)),
+        |b AS (
+        |  SELECT greatest(least(n_chars // 50, 11), 0) AS bucket, count(*) AS n
+        |  FROM documents GROUP BY 1
+        |), c AS (
+        |  SELECT greatest(least(n_chars // 50, 11), 0) AS bucket, count(*) AS n
+        |  FROM documents WHERE n_chars >= 150 OR doc_id % 3 = 0 GROUP BY 1
+        |), f AS (
+        |  SELECT bks.bucket,
+        |    CAST(coalesce(b.n, 0) AS BIGINT) AS n_base,
+        |    CAST(coalesce(c.n, 0) AS BIGINT) AS n_cur
+        |  FROM bks LEFT JOIN b ON b.bucket = bks.bucket
+        |  LEFT JOIN c ON c.bucket = bks.bucket
+        |), tot AS (
+        |  SELECT CAST(sum(n_base) AS BIGINT) AS ta, CAST(sum(n_cur) AS BIGINT) AS tb FROM f
+        |), terms AS (
+        |  SELECT (SELECT ta FROM tot) AS ta, (SELECT tb FROM tot) AS tb,
+        |    CASE WHEN n_base > 0 THEN n_base *
+        |      (CAST(floor(ln(n_base * (SELECT tb FROM tot) * 2) * 1e6 + 0.5) AS BIGINT)
+        |       - CAST(floor(ln(n_base * (SELECT tb FROM tot) + n_cur * (SELECT ta FROM tot)) * 1e6 + 0.5) AS BIGINT))
+        |      ELSE 0 END AS term_a,
+        |    CASE WHEN n_cur > 0 THEN n_cur *
+        |      (CAST(floor(ln(n_cur * (SELECT ta FROM tot) * 2) * 1e6 + 0.5) AS BIGINT)
+        |       - CAST(floor(ln(n_base * (SELECT tb FROM tot) + n_cur * (SELECT ta FROM tot)) * 1e6 + 0.5) AS BIGINT))
+        |      ELSE 0 END AS term_b
+        |  FROM f
+        |)
+        |SELECT ta AS n_base, tb AS n_cur,
+        |  CAST((sum(term_a) // ta + sum(term_b) // tb) // 2 AS BIGINT) AS jsd_micro
         |FROM terms GROUP BY 1, 2""".stripMargin,
 
     "drift_psi" ->

@@ -175,6 +175,13 @@ private[graft] trait TextQueries extends QueryHelpers {
         .orderBy(col("w1"), col("rnk"))
     }),
 
+    "text_rake_terms" -> ((s, dir) => {
+      // RAKE keywords: stopword-delimited candidate phrases, degree/freq
+      // word scores, integer phrase-score sums — rewards multi-word terms,
+      // the axis TF-IDF (frequency) and TextRank (centrality) don't have
+      TextAnalysis.rakeTerms(spread(t(s, dir, "documents")), "doc_id", "text", k = 20)
+    }),
+
     "text_wordpiece" -> ((s, dir) => {
       // WordPiece greedy longest-match segmentation against a
       // corpus-derived position-dependent vocabulary (initial vs
@@ -785,6 +792,44 @@ private[graft] trait TextQueries extends QueryHelpers {
         |)
         |SELECT w1, rnk, w2, c12, c1, p_micro
         |FROM r WHERE rnk <= 3 ORDER BY w1, rnk""".stripMargin,
+
+    // islands via the cumulative stopword count (tie-free default frame),
+    // word degree/frequency over phrase membership, integer phrase sums
+    "text_rake_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), tk AS (
+        |  SELECT doc_id, i.range AS pos, w[i.range + 1] AS tok
+        |  FROM toks CROSS JOIN range(0, 128) i WHERE i.range < len(w)
+        |), mk AS (
+        |  SELECT doc_id, pos, tok,
+        |    CASE WHEN tok IN ('the','a','an','and','or','of','to','in','is','it','for','on','with')
+        |      THEN 1 ELSE 0 END AS is_stop
+        |  FROM tk
+        |), isl AS (
+        |  SELECT doc_id, pos, tok, is_stop,
+        |    sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM mk
+        |), nz AS (SELECT doc_id, pos, tok, island FROM isl WHERE is_stop = 0),
+        |ph AS (
+        |  SELECT doc_id, island, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+        |    CAST(count(*) AS BIGINT) AS plen
+        |  FROM nz GROUP BY 1, 2
+        |), wstat AS (
+        |  SELECT nz.tok, CAST(count(*) AS BIGINT) AS freq, CAST(sum(ph.plen) AS BIGINT) AS deg
+        |  FROM nz JOIN ph ON ph.doc_id = nz.doc_id AND ph.island = nz.island
+        |  GROUP BY 1
+        |), wsc AS (SELECT tok, deg * 1000000 // freq AS wscore FROM wstat),
+        |pt AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences FROM ph GROUP BY 1),
+        |ps0 AS (
+        |  SELECT phrase, n_occurrences, unnest(string_split(phrase, ' ')) AS tok FROM pt
+        |), ps AS (
+        |  SELECT ps0.phrase, ps0.n_occurrences, CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(w.wscore) AS BIGINT) AS score_micro
+        |  FROM ps0 JOIN wsc w USING (tok) GROUP BY 1, 2
+        |)
+        |SELECT phrase, n_words, n_occurrences, score_micro FROM ps
+        |ORDER BY score_micro DESC, phrase LIMIT 20""".stripMargin,
 
     // vocabulary re-derived (prefix/substring mass thresholds, all single
     // chars kept per position class), greedy walk unrolled — one step per

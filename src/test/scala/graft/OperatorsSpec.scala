@@ -1859,6 +1859,30 @@ class OperatorsSpec extends SparkSuite {
     assert(r(1).getAs[Long]("n_syllables") == 5L)
   }
 
+  test("jsDivergence: identical snapshots score exact 0, disjoint saturate at ln 2") {
+    val a = (1L to 100L).map(i => Tuple1(i % 50)).toDF("v")
+    assert(Drift.jsDivergence(a, a, "v", width = 10L, buckets = 12)
+      .collect().head.getAs[Long]("jsd_micro") == 0L)
+    // fully disjoint bucket support: JSD = ln 2 (693147 micro-nats ± trunc)
+    val lo = (1L to 100L).map(_ => Tuple1(5L)).toDF("v")
+    val hi = (1L to 100L).map(_ => Tuple1(95L)).toDF("v")
+    val j = Drift.jsDivergence(lo, hi, "v", width = 10L, buckets = 12)
+      .collect().head.getAs[Long]("jsd_micro")
+    assert(j >= 693140L && j <= 693150L)
+  }
+
+  test("rakeTerms: multi-word phrases outrank, degree/frequency hand case") {
+    val docs = Seq((1L, "deep learning of deep nets"), (2L, "learning"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.rakeTerms(docs, "doc_id", "text", k = 10).collect()
+      .map(x => (x.getString(0), x.getAs[Long]("score_micro"))).toSeq
+    // deg(deep)=4 freq 2 -> 2e6; learning deg 3 freq 2 -> 1.5e6; nets 2e6
+    assert(r == Seq(
+      ("deep nets", 4000000L),
+      ("deep learning", 3500000L),
+      ("learning", 1500000L)))
+  }
+
   test("gif codec: LZW round-trip, palette-mapped stats, dictionary-reset survival") {
     // high-entropy 200x150 image: 30k pixels of quasi-random indices force
     // the dictionary past 4096 entries, exercising clear-code emission,
