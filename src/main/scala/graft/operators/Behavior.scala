@@ -526,6 +526,28 @@ object Behavior {
         col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
   }
 
+  /** Per-user behavioral entropy: Shannon entropy of each user's
+    * event-type distribution in micro-nats — the diversity complement to
+    * [[interArrival]]'s timing signal (a scripted client does ONE thing; a
+    * human wanders). Same per-term quantization as the character-entropy
+    * operator: `H_micro = (N·qln(N) − Σ n_c·qln(n_c)) div N` with
+    * `qln(x) = floor(ln(x)·1e6 + 0.5)` — order-free integer sums, exact at
+    * any user size below N·qln(N) ~ 2⁶³. One groupBy(user, type) + one
+    * groupBy(user) — single key family, no window. */
+  def userEntropy(events: DataFrame, userCol: String, typeCol: String): DataFrame = {
+    def qln(c: Column): Column =
+      floor(log(c.cast("double")) * 1e6 + lit(0.5)).cast("long")
+    events.groupBy(col(userCol).as("user_id"), col(typeCol).as("t"))
+      .agg(count(lit(1)).as("n_c"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("n_c")).as("n_events"), count(lit(1)).as("n_types"),
+        sum(col("n_c") * qln(col("n_c"))).as("s"))
+      .withColumn("entropy_micro",
+        expr("(n_events * cast(floor(ln(cast(n_events as double)) * 1e6 + 0.5) as long) - s)" +
+          " div n_events"))
+      .select(col("user_id"), col("n_events"), col("n_types"), col("entropy_micro"))
+  }
+
   /** Per-user inter-arrival regularity — the bot/scripted-client detector:
     * human traffic has dispersed gaps, automation is metronomic. Gaps in µs
     * via lag over each user's time-ordered events (window PARTITIONED by

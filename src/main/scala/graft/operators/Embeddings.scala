@@ -77,6 +77,36 @@ object Embeddings {
       .select(col(idCol), (col("pos") + 1).cast("long").as("dim"), col("y"))
   }
 
+  /** Label-conditioned outlier flags: per label, the integer-mean centroid
+    * (`sum div count` per dim — the kmeans exactness trick), each member's
+    * INTEGER squared distance to its own centroid, and a robust flag
+    * `dist2 > 1.5·median(dist2)` compared as `4·dist2 > 3·med_x2` on the
+    * doubled-median integers — the
+    * mislabeled-embedding / contaminated-cluster detector run before
+    * training on labeled vector data. All BIGINT end to end (distances,
+    * medians, comparison), so the flags themselves hash-match.
+    *
+    * Shape: one posexplode aggregate for centroids (label·d rows,
+    * broadcast-sized), one scan-speed distance projection, one per-label
+    * median over the member-count-sized relation. Overflow: per-dim diff ≤
+    * 2·10⁶ ⇒ dist2 ≤ d·4·10¹² — BIGINT-safe to d ~ 10⁶. */
+  def centroidOutliers(embs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val el = embs.select(col(idCol).as("id"), col(labelCol).as("label"),
+      posexplode(VectorFns.quantize(col(vecCol))).as(Seq("dim", "x")))
+    val cent = el.groupBy(col("label"), col("dim"))
+      .agg(expr("sum(x) div count(1)").as("c"))
+    val dist = el.join(broadcast(cent), Seq("label", "dim"))
+      .groupBy(col("id"), col("label"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("dist2"))
+    val med = dist.groupBy(col("label"))
+      .agg(expr("percentile(dist2 * 2, 0.5)").cast("long").as("med_x2"))
+    dist.join(broadcast(med), "label")
+      .withColumn("is_outlier",
+        when(col("dist2") * 2 * 2 > lit(3L) * col("med_x2"), 1L).otherwise(0L))
+      .select(col("id"), col("label"), col("dist2"), col("med_x2"), col("is_outlier"))
+  }
+
   /** Symmetric int8 quantization against the per-vector abs-max:
     * `floor(q_i * 127 / max|q_j| + 0.5)` (round-half-up; exact in both
     * engines). Output: (id, dim [1-based], q8, scale_q [the abs-max in 1e-6
@@ -216,7 +246,7 @@ object Embeddings {
           .otherwise(expr("(x - mn) * 255 div (mx - mn)")))
       .withColumn("recon", expr("mn + code * (mx - mn) div 255"))
       .select(col(idCol), (col("pos") + 1).cast("long").as("dim"),
-        col("code"), (col("x") - col("recon")).as("err"))
+        col("code"), col("recon"), (col("x") - col("recon")).as("err"))
   }
 
   def quantizeInt8(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {

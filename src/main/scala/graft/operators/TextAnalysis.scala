@@ -130,6 +130,44 @@ object TextAnalysis {
       .select(col("w1"), col("rnk"), col("w2"), col("c12"), col("c1"), col("p_micro"))
   }
 
+  /** Per-document bigram log-probability under the corpus's add-one-
+    * smoothed bigram LM — the document-level predictability score whose
+    * exponential is perplexity; low log-prob = atypical/garbled/
+    * out-of-domain text, the LM-quality filter at the heart of classic
+    * corpus curation (CCNet-style). Smoothing:
+    * `P(w2|w1) = (c12+1)/(c1+V)` with V = |successor vocabulary|.
+    * `logprob_scaled = Σ_bigrams (qln(c12+1) − qln(c1+V))` — per-term
+    * quantized ln of BIGINTs, order-free integer sum, so the score itself
+    * hash-matches; perplexity = exp(−logprob/1e6/n_bigrams) downstream.
+    *
+    * Shape: the same zip_with pair stream as [[bigramLm]]; pair counts and
+    * head counts aggregate over the vocabulary, then ONE equi-join of the
+    * doc-pair stream against the (vocabulary-sized, broadcastable) counts
+    * and a per-doc aggregate. */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextFns.tokens(col(textCol))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val pairsArr = zip_with(
+      slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+      (x, y) => struct(x.as("w1"), y.as("w2")))
+    val docPairs = docs.select(col(idCol).as("doc"), explode(pairsArr).as("p"))
+      .select(col("doc"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c12 = docPairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val v = c12.agg(countDistinct(col("w2")).as("v"))
+    def qln(c: Column): Column =
+      floor(log(c.cast("double")) * 1e6 + lit(0.5)).cast("long")
+    docPairs
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc"),
+        (qln(col("c12") + 1) - qln(col("c1") + col("v"))).as("term"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("term")).as("logprob_scaled"))
+      .select(col("doc").as("doc_id"), col("n_bigrams"), col("logprob_scaled"))
+  }
+
   /** RAKE keyword extraction (Rose et al. '10): candidate phrases are the
     * maximal stopword-free token runs; word score = degree div frequency
     * where degree sums the lengths of the phrases containing the word (a

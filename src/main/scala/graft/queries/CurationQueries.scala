@@ -751,6 +751,7 @@ private[graft] trait CurationQueries extends QueryHelpers {
         |  FROM el JOIN st USING (pos)
         |)
         |SELECT vec_id, CAST(pos + 1 AS BIGINT) AS dim, CAST(code AS BIGINT) AS code,
+        |  CAST(mn + code * (mx - mn) // 255 AS BIGINT) AS recon,
         |  CAST(x - (mn + code * (mx - mn) // 255) AS BIGINT) AS err
         |FROM c ORDER BY vec_id, dim""".stripMargin,
 

@@ -247,6 +247,15 @@ private[graft] trait EventsQueries extends QueryHelpers {
     }),
 
 
+    "events_user_entropy" -> ((s, dir) => {
+      // behavioral diversity: per-user event-type Shannon entropy in
+      // micro-nats (per-term qln quantization) — the "does one thing"
+      // bot signal beside events_interarrival's timing signal
+      graft.operators.Behavior.userEntropy(events(s, dir), "user_id", "event_type")
+        .orderBy(col("user_id"))
+    }),
+
+
     "drift_js" -> ((s, dir) => {
       // bounded drift twin of drift_psi: Jensen-Shannon divergence over the
       // same buckets and re-curation — saturates at ln 2 where PSI explodes
@@ -824,6 +833,23 @@ private[graft] trait EventsQueries extends QueryHelpers {
         |  CAST(sum(qterm) AS BIGINT) AS chi2_scaled,
         |  CAST(CAST(sum(qterm) AS BIGINT) AS DOUBLE) / 1e6 AS chi2
         |FROM terms GROUP BY 1, 2""".stripMargin,
+
+    // char-entropy pattern lifted to event types: per-term qln, one
+    // truncating division into micro-nats
+    "events_user_entropy" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_c
+        |  FROM events GROUP BY 1, 2
+        |), a AS (
+        |  SELECT user_id, CAST(sum(n_c) AS BIGINT) AS n_events,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(n_c * CAST(floor(ln(n_c) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT user_id, n_events, n_types,
+        |  CAST((n_events * CAST(floor(ln(n_events) * 1e6 + 0.5) AS BIGINT) - s)
+        |    // n_events AS BIGINT) AS entropy_micro
+        |FROM a ORDER BY user_id""".stripMargin,
 
     // same clamped bucket frame as drift_psi; per-bucket integer
     // a*(qln(2aB) - qln(aB + bA)) terms, three truncating divisions

@@ -27,6 +27,49 @@ private[graft] trait SimilarityQueries extends QueryHelpers {
     }),
 
 
+    "emb_centroid_outliers" -> ((s, dir) => {
+      // mislabeled-embedding detector: integer-mean centroid per label,
+      // BIGINT squared distance to own centroid, robust 1.5×-median flag
+      // on doubled-median integers — flags themselves hash-match
+      graft.operators.Embeddings.centroidOutliers(
+        spread(t(s, dir, "embeddings")), "vec_id", "embedding", "label")
+        .orderBy(col("id"))
+    }),
+
+
+    "eval_sq_rank_tau" -> ((s, dir) => {
+      // compression-fidelity eval: Kendall tau between full-precision and
+      // SQ-RECONSTRUCTED cosine over the brute top-10 — the go/no-go number
+      // for serving per-dim scalar-quantized vectors; pure composition of
+      // three gated operators (brute knn, quantizeScalar, kendallTau)
+      import graft.operators.{Embeddings, Eval, Similarity}
+      val embs = spread(t(s, dir, "embeddings"))
+      val brute = Similarity.bruteForceKnn(
+        embs, embs.filter(col("vec_id") < 20), "vec_id", "embedding", 10)
+      val recon = Embeddings.quantizeScalar(embs, "vec_id", "embedding")
+        .select(col("vec_id"), col("dim"), col("recon"))
+      val n2 = recon.groupBy(col("vec_id"))
+        .agg(sum(col("recon") * col("recon")).as("n2"))
+      val dots = brute.select(col("query_id"), col("neighbor_id"))
+        .join(recon.select(col("vec_id").as("query_id"), col("dim"), col("recon").as("rq")),
+          "query_id")
+        .join(recon.select(col("vec_id").as("neighbor_id"), col("dim"), col("recon").as("rn")),
+          Seq("neighbor_id", "dim"))
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(sum(col("rq") * col("rn")).as("dot"))
+      val scored = brute
+        .join(dots, Seq("query_id", "neighbor_id"))
+        .join(n2.select(col("vec_id").as("query_id"), col("n2").as("qn2")), "query_id")
+        .join(n2.select(col("vec_id").as("neighbor_id"), col("n2").as("cn2")), "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"), col("cosine").as("cos_full"),
+          (col("dot").cast("double") /
+            (sqrt(col("qn2").cast("double")) * sqrt(col("cn2").cast("double"))))
+            .as("cos_sq"))
+      Eval.kendallTau(scored, "query_id", "neighbor_id", "cos_full", "cos_sq")
+        .orderBy(col("query_id"))
+    }),
+
+
     "emb_hard_negatives" -> ((s, dir) => {
       // contrastive hard-negative mining: per anchor, the 3 most-similar
       // DIFFERENT-label vectors — the margin-defining complement to
@@ -499,6 +542,92 @@ private[graft] trait SimilarityQueries extends QueryHelpers {
         |SELECT query_id, rank, neighbor_id, cosine FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+
+    // centroid, distance, median and flag all re-derived in BIGINT
+    "emb_centroid_outliers" ->
+      """WITH q AS (
+        |  SELECT vec_id, label, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), el AS (
+        |  SELECT vec_id, label, i.range AS dim, qv[i.range + 1] AS x
+        |  FROM q CROSS JOIN range(0, 64) i
+        |), cent AS (
+        |  SELECT label, dim, CAST(sum(x) // count(*) AS BIGINT) AS c
+        |  FROM el GROUP BY 1, 2
+        |), dist AS (
+        |  SELECT el.vec_id AS id, el.label,
+        |    CAST(sum((el.x - cent.c) * (el.x - cent.c)) AS BIGINT) AS dist2
+        |  FROM el JOIN cent USING (label, dim) GROUP BY 1, 2
+        |), med AS (
+        |  SELECT label, CAST(quantile_cont(dist2 * 2, 0.5) AS BIGINT) AS med_x2
+        |  FROM dist GROUP BY 1
+        |)
+        |SELECT d.id, d.label, d.dist2, m.med_x2,
+        |  CAST(CASE WHEN d.dist2 * 4 > 3 * m.med_x2 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_outlier
+        |FROM dist d JOIN med m USING (label) ORDER BY d.id""".stripMargin,
+
+    // brute top-10 from full vectors, SQ reconstruction re-derived from
+    // per-dim min/max, tau over sign pairs — the matryoshka harness with
+    // the compressed scoring swapped in
+    "eval_sq_rank_tau" ->
+      """WITH q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, qv, list_sum([x*x FOR x IN qv]) AS n2 FROM q
+        |), scored0 AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    CAST(list_sum([a.qv[i] * b.qv[i] FOR i IN range(1, len(a.qv) + 1)]) AS DOUBLE)
+        |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos_full
+        |  FROM n a CROSS JOIN n b
+        |  WHERE a.vec_id < 20 AND a.vec_id != b.vec_id
+        |), top AS (
+        |  SELECT query_id, neighbor_id, cos_full FROM (
+        |    SELECT query_id, neighbor_id, cos_full,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY cos_full DESC, neighbor_id) AS rank
+        |    FROM scored0) WHERE rank <= 10
+        |), el AS (
+        |  SELECT vec_id, i.range AS dim, qv[i.range + 1] AS x
+        |  FROM q CROSS JOIN range(0, 64) i
+        |), st AS (
+        |  SELECT dim, min(x) AS mn, max(x) AS mx FROM el GROUP BY 1
+        |), rc AS (
+        |  SELECT el.vec_id, el.dim,
+        |    CASE WHEN st.mx = st.mn THEN st.mn
+        |         ELSE st.mn + ((el.x - st.mn) * 255 // (st.mx - st.mn)) * (st.mx - st.mn) // 255
+        |    END AS recon
+        |  FROM el JOIN st USING (dim)
+        |), rn2 AS (
+        |  SELECT vec_id, CAST(sum(recon * recon) AS BIGINT) AS n2 FROM rc GROUP BY 1
+        |), dots AS (
+        |  SELECT t.query_id, t.neighbor_id, CAST(sum(a.recon * b.recon) AS BIGINT) AS dot
+        |  FROM top t
+        |  JOIN rc a ON a.vec_id = t.query_id
+        |  JOIN rc b ON b.vec_id = t.neighbor_id AND b.dim = a.dim
+        |  GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT t.query_id, t.neighbor_id, t.cos_full,
+        |    CAST(d.dot AS DOUBLE)
+        |      / (sqrt(CAST(qa.n2 AS DOUBLE)) * sqrt(CAST(qb.n2 AS DOUBLE))) AS cos_sq
+        |  FROM top t
+        |  JOIN dots d ON d.query_id = t.query_id AND d.neighbor_id = t.neighbor_id
+        |  JOIN rn2 qa ON qa.vec_id = t.query_id
+        |  JOIN rn2 qb ON qb.vec_id = t.neighbor_id
+        |), pairs AS (
+        |  SELECT l.query_id,
+        |    (CASE WHEN l.cos_full > r.cos_full THEN 1 WHEN l.cos_full < r.cos_full THEN -1 ELSE 0 END)
+        |    * (CASE WHEN l.cos_sq > r.cos_sq THEN 1 WHEN l.cos_sq < r.cos_sq THEN -1 ELSE 0 END) AS sgn
+        |  FROM scored l JOIN scored r
+        |    ON l.query_id = r.query_id AND l.neighbor_id < r.neighbor_id
+        |)
+        |SELECT query_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN sgn > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+        |  CAST(sum(CASE WHEN sgn < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+        |  CAST(sum(CASE WHEN sgn > 0 THEN 1 ELSE 0 END)
+        |     - sum(CASE WHEN sgn < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS tau
+        |FROM pairs GROUP BY 1 ORDER BY query_id""".stripMargin,
 
     // the brute oracle with the label-mismatch filter inside the join
     "emb_hard_negatives" ->

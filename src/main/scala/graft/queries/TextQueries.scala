@@ -175,6 +175,14 @@ private[graft] trait TextQueries extends QueryHelpers {
         .orderBy(col("w1"), col("rnk"))
     }),
 
+    "text_bigram_perplexity" -> ((s, dir) => {
+      // CCNet-style LM predictability: per-doc add-one-smoothed bigram
+      // log-prob (qln integer sums) — low scores flag garbled or
+      // out-of-domain text before training
+      TextAnalysis.bigramLogProb(spread(t(s, dir, "documents")), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "text_rake_terms" -> ((s, dir) => {
       // RAKE keywords: stopword-delimited candidate phrases, degree/freq
       // word scores, integer phrase-score sums — rewards multi-word terms,
@@ -792,6 +800,26 @@ private[graft] trait TextQueries extends QueryHelpers {
         |)
         |SELECT w1, rnk, w2, c12, c1, p_micro
         |FROM r WHERE rnk <= 3 ORDER BY w1, rnk""".stripMargin,
+
+    // corpus counts + add-one smoothing re-derived; per-doc qln sums
+    "text_bigram_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS gram
+        |  FROM toks
+        |), pp AS (
+        |  SELECT doc_id, string_split(gram, ' ')[1] AS w1, string_split(gram, ' ')[2] AS w2 FROM g
+        |), c12 AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM pp GROUP BY 1, 2
+        |), c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM c12)
+        |SELECT pp.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(CAST(floor(ln(c12.c12 + 1) * 1e6 + 0.5) AS BIGINT)
+        |    - CAST(floor(ln(c1.c1 + (SELECT v FROM v)) * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS logprob_scaled
+        |FROM pp JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+        |GROUP BY 1 ORDER BY pp.doc_id""".stripMargin,
 
     // islands via the cumulative stopword count (tie-free default frame),
     // word degree/frequency over phrase membership, integer phrase sums

@@ -1859,6 +1859,39 @@ class OperatorsSpec extends SparkSuite {
     assert(r(1).getAs[Long]("n_syllables") == 5L)
   }
 
+  test("centroidOutliers: hand centroid and distances, far point flagged") {
+    val vs = Seq(
+      (1L, Seq(0f, 0f), 0), (2L, Seq(2e-6f, 0f), 0),
+      (3L, Seq(0f, 2e-6f), 0), (4L, Seq(100e-6f, 100e-6f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Embeddings.centroidOutliers(vs, "vec_id", "embedding", "label")
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getAs[Long]("dist2"), x.getAs[Long]("is_outlier")))
+    // centroid = (25, 25) by truncating integer mean; med_x2 = 2404
+    assert(r.toSeq == Seq(
+      (1L, 1250L, 0L), (2L, 1154L, 0L), (3L, 1154L, 0L), (4L, 11250L, 1L)))
+  }
+
+  test("userEntropy: single-type user scores 0, balanced two-type user ln 2") {
+    val evs = (Seq.fill(4)((1L, "click")) ++
+      Seq((2L, "click"), (2L, "click"), (2L, "view"), (2L, "view")))
+      .toDF("user_id", "event_type")
+    val r = Behavior.userEntropy(evs, "user_id", "event_type")
+      .orderBy("user_id").collect()
+      .map(x => (x.getLong(0), x.getAs[Long]("n_types"), x.getAs[Long]("entropy_micro")))
+    assert(r.toSeq == Seq((1L, 1L, 0L), (2L, 2L, 693147L)))
+  }
+
+  test("bigramLogProb: hand corpus, add-one smoothing, per-doc qln sums") {
+    val docs = Seq((1L, "a b"), (2L, "a b a b")).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramLogProb(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getAs[Long]("n_bigrams"), x.getAs[Long]("logprob_scaled")))
+    // c12(a,b)=3, c12(b,a)=1, c1(a)=3, c1(b)=1, V=2
+    // doc1: qln(4)-qln(5) = -223144; doc2: 2*(qln4-qln5) + (qln2-qln3)
+    assert(r.toSeq == Seq((1L, 1L, -223144L), (2L, 3L, -851753L)))
+  }
+
   test("jsDivergence: identical snapshots score exact 0, disjoint saturate at ln 2") {
     val a = (1L to 100L).map(i => Tuple1(i % 50)).toDF("v")
     assert(Drift.jsDivergence(a, a, "v", width = 10L, buckets = 12)
