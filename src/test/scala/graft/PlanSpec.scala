@@ -509,6 +509,26 @@ class PlanSpec extends SparkSuite {
     assert(!po.contains("CartesianProduct") && !po.contains("BroadcastNestedLoopJoin"), po)
   }
 
+  test("round-10 session 3: banded pHash join is an equi-join, bucketed batching has no global window") {
+    // pHash pair generation must ride the (band, bval) equi-join — the
+    // naive Hamming predicate alone would plan a nested-loop over all pairs
+    val pp = plan(SparkEntry.queries("mm_phash_pairs")(spark, sfDir))
+    assert(!pp.contains("CartesianProduct") && !pp.contains("BroadcastNestedLoopJoin"), pp)
+    // length-bucketed batching: every Window partitions by bucket — a
+    // global (unpartitioned) row_number would collapse onto one task
+    val pb = plan(graft.operators.Batching.lengthBucketedBatches(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", 16L, 8L, 7L))
+    assert(pb.contains("Window"), pb)
+    // a global window would force an Exchange SinglePartition below it
+    assert(!pb.contains("SinglePartition"), pb)
+    // RAKE islands: the per-doc window keeps doc in the partition spec
+    val pr = plan(SparkEntry.queries("text_rake_terms")(spark, sfDir))
+    assert(!pr.contains("CartesianProduct"), pr)
+    // clustering depth rides the bucket equi-join, never a BNLJ
+    val pc = plan(SparkEntry.queries("lake_clustering_depth")(spark, sfDir))
+    assert(!pc.contains("CartesianProduct") && !pc.contains("BroadcastNestedLoopJoin"), pc)
+  }
+
   test("pagerank/ppr iterations reuse the persisted edge partitioning — one Exchange per round") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")
