@@ -50,6 +50,7 @@ object CurationPipeline {
     "cap_per_source" -> Set("source_col", "k"),
     "split" -> Set("train", "val", "test"),
     "filter_repetition" -> Set("max_dup_permille"),
+    "filter_lm" -> Set("min_avg_micro"),
     "k_anonymity" -> Set("quasi_id", "k"))
 
   /** Parameters that must be present (filter_length's bounds are each
@@ -60,6 +61,7 @@ object CurationPipeline {
     "cap_per_source" -> Set("source_col", "k"),
     "split" -> Set("train", "val", "test"),
     "filter_repetition" -> Set("max_dup_permille"),
+    "filter_lm" -> Set("min_avg_micro"),
     "k_anonymity" -> Set("quasi_id", "k"))
 
   def parse(src: String): Seq[Step] = {
@@ -145,6 +147,20 @@ object CurationPipeline {
             "train" -> s.params("train").asDouble(),
             "val" -> s.params("val").asDouble(),
             "test" -> s.params("test").asDouble()))
+        case "filter_lm" =>
+          // CCNet-style LM gate: drop docs whose AVERAGE bigram log-prob
+          // under the pipeline frame's own bigram LM falls below the
+          // threshold (micro-nats/bigram, negative). Integer comparison
+          // logprob_scaled >= min·n_bigrams — no division, no float.
+          // Docs with zero bigrams carry no evidence and are kept (the
+          // left join leaves their score NULL).
+          val mn = s.params("min_avg_micro").asLong()
+          val lp = TextAnalysis.bigramLogProb(df, idCol, textCol)
+            .select(col("doc_id").as(idCol), col("n_bigrams"), col("logprob_scaled"))
+          df.join(lp, Seq(idCol), "left")
+            .filter(col("logprob_scaled").isNull ||
+              col("logprob_scaled") >= lit(mn) * col("n_bigrams"))
+            .drop("n_bigrams", "logprob_scaled")
         case "filter_repetition" =>
           // drop docs whose duplicate-bigram share exceeds the threshold —
           // integer per-mille comparison, no float in the gate condition

@@ -378,6 +378,31 @@ object Graph {
     out
   }
 
+  /** Local clustering coefficient per node:
+    * `cc = 2·triangles(v) / (deg(v)·(deg(v)−1))` in 1e-6 fixed point — the
+    * per-node "are my neighbors connected" gauge whose average
+    * distinguishes social graphs from random ones; pure composition of
+    * [[triangles]] (degeneracy-oriented, O(√m) wedge bound) with one
+    * degree aggregate. Degree-0/1 nodes score 0 (no possible wedge), as do
+    * triangle-free nodes. Returns (node, deg, n_triangles, cc_micro). */
+  def clusteringCoeff(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = e0
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node")).union(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val tri = triangles(edges, srcCol, dstCol)
+    deg.join(tri, Seq("node"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .withColumn("cc_micro",
+        when(col("deg") >= 2,
+          expr("2 * n_triangles * 1000000 div (deg * (deg - 1))")).otherwise(lit(0L)))
+      .select(col("node"), col("deg"), col("n_triangles"), col("cc_micro"))
+  }
+
   /** Degree assortativity of an undirected graph: the Pearson correlation of
     * the degrees at the two ends of an edge — positive for hub-to-hub social
     * graphs, negative for hub-and-spoke (star-shaped) topologies; the

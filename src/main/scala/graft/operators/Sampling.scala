@@ -133,6 +133,29 @@ object Sampling {
       .filter(col("sample_rank") <= k)
   }
 
+  /** Class rebalancing by RATIO-linked downsampling: every class keeps at
+    * most `ratio × (smallest class size)` hash-ranked rows — the standard
+    * majority-class cut before training on imbalanced labels, where
+    * [[capPerStratum]]'s fixed k would need manual retuning as data grows.
+    * The minority class is never touched, majority classes shrink toward
+    * `ratio:1`; ranking is the same md5(class:id) order as every quota in
+    * this module (uniform, reproducible, append-stable). One class-count
+    * aggregate + one O(1) min + a class-partitioned window. */
+  def classBalance(df: DataFrame, idCol: String, classCol: String,
+      ratio: Long): DataFrame = {
+    require(ratio >= 1, "ratio must be at least 1")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(classCol)).agg(count(lit(1)).as("n_class"))
+    val nMin = counts.agg(min(col("n_class")).as("n_min"))
+    val h = md5(concat_ws(":", col(classCol), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(classCol)).orderBy(h, col(idCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .join(broadcast(counts), Seq(classCol))
+      .crossJoin(broadcast(nMin))
+      .filter(col("sample_rank") <= least(col("n_class"), lit(ratio) * col("n_min")))
+      .drop("n_class", "n_min")
+  }
+
   /** TOKEN-budget quota per stratum: where [[capPerStratum]] caps the
     * document COUNT, this caps the summed cost column — the mixture step a
     * training recipe actually specifies ("at most N tokens of source X").

@@ -74,6 +74,30 @@ private[graft] trait CurationQueries extends QueryHelpers {
         .orderBy(col("doc_id"))
     }),
 
+    "sample_class_balance" -> ((s, dir) => {
+      // ratio-linked majority-class downsampling: every lang keeps at most
+      // 2 x the smallest lang's count, hash-ranked — en (218) drops to 128
+      // (2 x fr's 64), the rest pass untouched
+      graft.operators.Sampling.classBalance(
+        t(s, dir, "documents"), "doc_id", "lang", ratio = 2L)
+        .select(col("doc_id"), col("lang"), col("sample_rank"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "curation_pipeline_lm" -> ((s, dir) => {
+      // the CCNet-style LM gate through the YAML pipeline compiler: docs
+      // below -3.39 nats/bigram under the frame's own bigram LM are
+      // dropped — integer threshold comparison, whole chain re-derived
+      val pipelineYaml =
+        """steps:
+          |  - { op: filter_lm, min_avg_micro: -3390000 }
+          |""".stripMargin
+      graft.operators.CurationPipeline.runYaml(
+        t(s, dir, "documents"), "doc_id", "text", pipelineYaml)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     "feature_target_enc" -> ((s, dir) => {
       // smoothed mean target encoding of order priority against the order
       // total (micro-cents fixed point), with the leakage-safe leave-one-out
@@ -704,6 +728,48 @@ private[graft] trait CurationQueries extends QueryHelpers {
         |SELECT k.doc_id, k.lang, k.source, k.n_chars
         |FROM keep1 k JOIN ok USING (lang, source)
         |ORDER BY doc_id""".stripMargin,
+
+    // same md5(class:id) rank as every quota; cap = least(n_class, 2*n_min)
+    "sample_class_balance" ->
+      """WITH counts AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_class FROM documents GROUP BY 1
+        |), nm AS (SELECT CAST(min(n_class) AS BIGINT) AS n_min FROM counts),
+        |ranked AS (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(lang || ':' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+        |      AS sample_rank
+        |  FROM documents
+        |)
+        |SELECT r.doc_id, r.lang, r.sample_rank
+        |FROM ranked r JOIN counts USING (lang)
+        |WHERE r.sample_rank <= least(counts.n_class, 2 * (SELECT n_min FROM nm))
+        |ORDER BY r.doc_id""".stripMargin,
+
+    // LM scores re-derived (the text_bigram_perplexity CTEs), integer
+    // threshold; zero-bigram docs kept via the left join's NULL
+    "curation_pipeline_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS gram
+        |  FROM toks
+        |), pp AS (
+        |  SELECT doc_id, string_split(gram, ' ')[1] AS w1, string_split(gram, ' ')[2] AS w2 FROM g
+        |), c12 AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM pp GROUP BY 1, 2
+        |), c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM c12),
+        |lp AS (
+        |  SELECT pp.doc_id, CAST(count(*) AS BIGINT) AS nb,
+        |    CAST(sum(CAST(floor(ln(c12.c12 + 1) * 1e6 + 0.5) AS BIGINT)
+        |      - CAST(floor(ln(c1.c1 + (SELECT v FROM v)) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s
+        |  FROM pp JOIN c12 USING (w1, w2) JOIN c1 USING (w1) GROUP BY 1
+        |)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d LEFT JOIN lp ON lp.doc_id = d.doc_id
+        |WHERE lp.s IS NULL OR lp.s >= -3390000 * lp.nb
+        |ORDER BY d.doc_id""".stripMargin,
 
     // WoE as four separately-quantized qln terms; IV contributions in
     // 1e-12 units via micro-distribution differences

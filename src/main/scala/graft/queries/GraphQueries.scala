@@ -151,6 +151,19 @@ private[graft] trait GraphQueries extends QueryHelpers {
     }),
 
 
+    "graph_clustering_coeff" -> ((s, dir) => {
+      // per-node clustering coefficient: 2·tri·1e6 div deg(deg-1) over the
+      // chord graph — composition of the gated triangle count with one
+      // degree aggregate; interior nodes close one of three wedges
+      val sk = t(s, dir, "supplier").select(col("s_suppkey").cast("long").as("k"))
+      val edges = sk.select(col("k").as("src"), (col("k") + 1).as("dst"))
+        .union(sk.select(col("k").as("src"), (col("k") + 2).as("dst")))
+        .join(sk.withColumnRenamed("k", "dst"), Seq("dst"), "left_semi")
+      graft.operators.Graph.clusteringCoeff(edges, "src", "dst")
+        .orderBy(col("node"))
+    }),
+
+
     "graph_kcore" -> ((s, dir) => {
       // 3 rounds of k=3 core peeling over the same sparse chord graph as
       // graph_triangles: the chain unravels from its ends, so every round
@@ -504,6 +517,49 @@ private[graft] trait GraphQueries extends QueryHelpers {
         |)
         |SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist
         |FROM d3 ORDER BY node""".stripMargin,
+
+
+    // triangle counts re-derived (the graph_triangles CTEs) + degrees +
+    // the fixed-point coefficient formula
+    "graph_clustering_coeff" ->
+      """WITH sk AS (SELECT s_suppkey AS k FROM supplier),
+        |e0 AS (
+        |  SELECT k AS u, k + 1 AS v FROM sk WHERE k + 1 IN (SELECT k FROM sk)
+        |  UNION ALL
+        |  SELECT k AS u, k + 2 AS v FROM sk WHERE k + 2 IN (SELECT k FROM sk)
+        |),
+        |und AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM e0),
+        |deg AS (
+        |  SELECT n AS node, count(*) AS deg FROM (
+        |    SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und) q GROUP BY 1
+        |),
+        |o AS (
+        |  SELECT
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND und.a < und.b)
+        |      THEN und.a ELSE und.b END AS s,
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND und.a < und.b)
+        |      THEN und.b ELSE und.a END AS t
+        |  FROM und JOIN deg da ON da.node = und.a JOIN deg db ON db.node = und.b
+        |),
+        |tri AS (
+        |  SELECT e1.s AS x, e1.t AS y, e2.t AS z
+        |  FROM o e1 JOIN o e2 ON e1.t = e2.s
+        |  JOIN o e3 ON e3.s = e1.s AND e3.t = e2.t
+        |),
+        |tc AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        |    SELECT x AS node FROM tri
+        |    UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri) q
+        |  GROUP BY 1
+        |)
+        |SELECT CAST(deg.node AS BIGINT) AS node, CAST(deg.deg AS BIGINT) AS deg,
+        |  CAST(coalesce(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+        |  CAST(CASE WHEN deg.deg >= 2
+        |    THEN 2 * coalesce(tc.n_triangles, 0) * 1000000 // (deg.deg * (deg.deg - 1))
+        |    ELSE 0 END AS BIGINT) AS cc_micro
+        |FROM deg LEFT JOIN tc ON tc.node = deg.node
+        |ORDER BY node""".stripMargin,
 
 
     "graph_kcore" ->

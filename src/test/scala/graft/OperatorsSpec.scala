@@ -1859,6 +1859,45 @@ class OperatorsSpec extends SparkSuite {
     assert(r(1).getAs[Long]("n_syllables") == 5L)
   }
 
+  test("clusteringCoeff: triangle 1.0, path 0, diagonal square hand values") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(Graph.clusteringCoeff(tri, "src", "dst").collect()
+      .forall(_.getAs[Long]("cc_micro") == 1000000L))
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    assert(Graph.clusteringCoeff(path, "src", "dst").collect()
+      .forall(_.getAs[Long]("cc_micro") == 0L))
+    // square + one diagonal: hub nodes close 2 of 3 wedges, corners all 1
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)).toDF("src", "dst")
+    val r = Graph.clusteringCoeff(sq, "src", "dst").orderBy("node").collect()
+      .map(x => (x.getLong(0), x.getAs[Long]("cc_micro")))
+    assert(r.toSeq == Seq((1L, 666666L), (2L, 1000000L), (3L, 666666L), (4L, 1000000L)))
+  }
+
+  test("classBalance: majority capped at ratio x minority, minority untouched") {
+    val df = ((1L to 5L).map(i => (i, "A")) ++ Seq((10L, "B"), (11L, "B")))
+      .toDF("id", "cls")
+    val kept = Sampling.classBalance(df, "id", "cls", ratio = 2L)
+      .groupBy("cls").count().collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(kept == Map("A" -> 4L, "B" -> 2L))
+  }
+
+  test("filter_lm pipeline step: garbled docs drop, fluent and no-bigram docs survive") {
+    val docs = Seq((1L, "a a a a"), (2L, "a a a a"), (3L, "a a a a"),
+      (4L, "b c"), (5L, "solo")).toDF("doc_id", "text")
+    val out = graft.operators.CurationPipeline.runYaml(docs, "doc_id", "text",
+      "steps:\n  - { op: filter_lm, min_avg_micro: -200000 }\n")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // "b c" is a one-off bigram (avg -405465 micro-nats) -> dropped;
+    // the zero-bigram doc carries no evidence -> kept
+    assert(out == Seq(1L, 2L, 3L, 5L))
+    // missing required parameter fails at parse time, before any job
+    val e = intercept[graft.operators.CurationPipeline.PipelineException] {
+      graft.operators.CurationPipeline.runYaml(docs, "doc_id", "text",
+        "steps:\n  - { op: filter_lm }\n")
+    }
+    assert(e.errors.exists(_.contains("min_avg_micro")))
+  }
+
   test("centroidOutliers: hand centroid and distances, far point flagged") {
     val vs = Seq(
       (1L, Seq(0f, 0f), 0), (2L, Seq(2e-6f, 0f), 0),
