@@ -233,6 +233,27 @@ object Features {
         expr("sad * 1000000 div (2 * n_groups * total)").as("gini_micro"))
   }
 
+  /** Robust (median/IQR) feature scaling over a BIGINT column — the
+    * outlier-immune standardizer (z-scores move with every extreme value;
+    * median and quartiles don't). Quartiles are carried ×4 so the .25/.75
+    * interpolation lands on exact integers (the ×2 doubled-median trick
+    * extended to quarter fractions): `robust_micro =
+    * (x·4 − med_x4)·1e6 div (q75_x4 − q25_x4)`. A constant column (IQR 0)
+    * yields NULL, never a division error. One 3-threshold aggregate over
+    * the value relation + a scan-speed projection. */
+  def robustScale(df: DataFrame, idCol: String, valueCol: String): DataFrame = {
+    val q = df.agg(
+      expr(s"percentile($valueCol * 4, 0.25)").cast("long").as("q25_x4"),
+      expr(s"percentile($valueCol * 4, 0.5)").cast("long").as("med_x4"),
+      expr(s"percentile($valueCol * 4, 0.75)").cast("long").as("q75_x4"))
+    df.select(col(idCol), col(valueCol).cast("long").as("value"))
+      .crossJoin(broadcast(q))
+      .withColumn("robust_micro",
+        expr("(value * 4 - med_x4) * 1000000 div nullif(q75_x4 - q25_x4, 0)"))
+      .select(col(idCol), col("value"), col("med_x4"),
+        (col("q75_x4") - col("q25_x4")).as("iqr_x4"), col("robust_micro"))
+  }
+
   /** Weight-of-evidence categorical encoding + information-value
     * contributions — the credit-scoring-standard supervised encoder and
     * its predictive-power gauge. Per category c with Laplace-(+1)-smoothed

@@ -26,6 +26,25 @@ object Quality {
     * parent key set fits, shuffle otherwise) + one aggregate; null child
     * keys are not orphans (SQL FK semantics — pair with [[notNull]] to
     * forbid them). */
+  /** Per-group completeness audit: for every (group, column), row count,
+    * null count and a per-mille null rate — the "which SOURCE stopped
+    * sending field X" monitor a global null rate hides (one broken feed
+    * inside a healthy corpus moves the total by noise). ONE aggregation
+    * pass (all per-column null sums in the same agg), unpivoted via
+    * `stack` — 20 columns on 100 TB still cost a single scan, the same
+    * contract as [[check]]. Integer per-mille, no float. */
+  def completeness(df: DataFrame, groupCol: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to audit")
+    val nullSums = cols.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__n_$c"))
+    val base = df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n_rows"), nullSums: _*)
+    val stackArgs = cols.map(c => s"'$c', __n_$c").mkString(", ")
+    base.select(col("grp").as(groupCol), col("n_rows"),
+      expr(s"stack(${cols.size}, $stackArgs) as (column, n_nulls)"))
+      .withColumn("null_permille", expr("n_nulls * 1000 div n_rows"))
+  }
+
   def fkOrphans(relations: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame =
     relations.map { case (label, child, childKey, parent, parentKey) =>
       val flagged = child.select(col(childKey).as("k"))

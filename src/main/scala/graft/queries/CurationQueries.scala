@@ -74,6 +74,24 @@ private[graft] trait CurationQueries extends QueryHelpers {
         .orderBy(col("doc_id"))
     }),
 
+    "feature_robust_scale" -> ((s, dir) => {
+      // outlier-immune standardization: (x - median)/IQR in 1e-6 fixed
+      // point, quartiles carried x4 so .25/.75 interpolation is integer
+      graft.operators.Features.robustScale(t(s, dir, "documents"), "doc_id", "n_chars")
+        .orderBy(col("doc_id"))
+    }),
+
+    "quality_completeness" -> ((s, dir) => {
+      // per-source completeness: null counts/per-mille per column over a
+      // corpus with PLANTED per-field nulls — the broken-feed monitor a
+      // global null rate hides; one aggregation pass, stack-unpivoted
+      val docs = t(s, dir, "documents")
+        .withColumn("lang", when(col("doc_id") % 13 === 0, lit(null)).otherwise(col("lang")))
+        .withColumn("text", when(col("doc_id") % 17 === 0, lit(null)).otherwise(col("text")))
+      graft.operators.Quality.completeness(docs, "source", Seq("text", "lang", "n_chars"))
+        .orderBy(col("source"), col("column"))
+    }),
+
     "sample_class_balance" -> ((s, dir) => {
       // ratio-linked majority-class downsampling: every lang keeps at most
       // 2 x the smallest lang's count, hash-ranked — en (218) drops to 128
@@ -728,6 +746,45 @@ private[graft] trait CurationQueries extends QueryHelpers {
         |SELECT k.doc_id, k.lang, k.source, k.n_chars
         |FROM keep1 k JOIN ok USING (lang, source)
         |ORDER BY doc_id""".stripMargin,
+
+    // quartiles re-derived x4 (quantile_cont == percentile on BIGINT),
+    // truncating fixed-point projection
+    "feature_robust_scale" ->
+      """WITH q AS (
+        |  SELECT CAST(quantile_cont(n_chars * 4, 0.25) AS BIGINT) AS q25_x4,
+        |    CAST(quantile_cont(n_chars * 4, 0.5) AS BIGINT) AS med_x4,
+        |    CAST(quantile_cont(n_chars * 4, 0.75) AS BIGINT) AS q75_x4
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS value,
+        |  (SELECT med_x4 FROM q) AS med_x4,
+        |  (SELECT q75_x4 - q25_x4 FROM q) AS iqr_x4,
+        |  CAST((n_chars * 4 - (SELECT med_x4 FROM q)) * 1000000
+        |    // nullif((SELECT q75_x4 - q25_x4 FROM q), 0) AS BIGINT) AS robust_micro
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // planted nulls re-derived, one stack-shaped aggregation per source
+    "quality_completeness" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 17 = 0 THEN NULL ELSE text END AS text,
+        |    CASE WHEN doc_id % 13 = 0 THEN NULL ELSE lang END AS lang,
+        |    n_chars
+        |  FROM documents
+        |), a AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_text,
+        |    CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_lang,
+        |    CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_n_chars
+        |  FROM d GROUP BY 1
+        |), u AS (
+        |  SELECT source, n_rows, 'text' AS "column", nn_text AS n_nulls FROM a
+        |  UNION ALL SELECT source, n_rows, 'lang', nn_lang FROM a
+        |  UNION ALL SELECT source, n_rows, 'n_chars', nn_n_chars FROM a
+        |)
+        |SELECT source, n_rows, "column", n_nulls,
+        |  CAST(n_nulls * 1000 // n_rows AS BIGINT) AS null_permille
+        |FROM u ORDER BY source, "column"""".stripMargin,
 
     // same md5(class:id) rank as every quota; cap = least(n_class, 2*n_min)
     "sample_class_balance" ->

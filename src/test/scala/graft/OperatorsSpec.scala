@@ -1859,6 +1859,30 @@ class OperatorsSpec extends SparkSuite {
     assert(r(1).getAs[Long]("n_syllables") == 5L)
   }
 
+  test("robustScale: hand quartiles, endpoints at ±1e6, constant column yields NULL") {
+    val df = (0L to 8L).map(i => (i, i)).toDF("id", "v")
+    val r = Features.robustScale(df, "id", "v").orderBy("id").collect()
+    assert(r.head.getAs[Long]("robust_micro") == -1000000L)
+    assert(r(4).getAs[Long]("robust_micro") == 0L)
+    assert(r.last.getAs[Long]("robust_micro") == 1000000L)
+    assert(r.head.getAs[Long]("iqr_x4") == 16L)
+    val const = (1L to 5L).map(i => (i, 7L)).toDF("id", "v")
+    assert(Features.robustScale(const, "id", "v").collect().forall(_.isNullAt(4)))
+  }
+
+  test("completeness: per-group null rates, one pass, exact per-mille") {
+    val df = Seq(
+      ("A", Some("x"), 1L), ("A", None, 2L), ("A", Some("y"), 3L), ("A", Some("z"), 4L),
+      ("B", None, 5L), ("B", None, 6L)).toDF("src", "s", "n")
+    val r = graft.operators.Quality.completeness(df, "src", Seq("s", "n"))
+      .orderBy("src", "column").collect()
+      .map(x => (x.getString(0), x.getAs[String]("column"),
+        x.getAs[Long]("n_nulls"), x.getAs[Long]("null_permille")))
+    assert(r.toSeq == Seq(
+      ("A", "n", 0L, 0L), ("A", "s", 1L, 250L),
+      ("B", "n", 0L, 0L), ("B", "s", 2L, 1000L)))
+  }
+
   test("clusteringCoeff: triangle 1.0, path 0, diagonal square hand values") {
     val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
     assert(Graph.clusteringCoeff(tri, "src", "dst").collect()
