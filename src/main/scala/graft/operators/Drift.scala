@@ -238,8 +238,10 @@ object Drift {
           .otherwise(lit(0L)).as("term_b"))
       .groupBy(col("ta"), col("tb"))
       .agg(sum(col("term_a")).as("sa"), sum(col("term_b")).as("sb"))
+      // nullif guards: an EMPTY snapshot makes its total 0 — JSD is
+      // undefined there and must surface as NULL, not an ANSI div error
       .select(col("ta").as("n_base"), col("tb").as("n_cur"),
-        expr("(sa div ta + sb div tb) div 2").as("jsd_micro"))
+        expr("(sa div nullif(ta, 0) + sb div nullif(tb, 0)) div 2").as("jsd_micro"))
   }
 
   /** Per-GROUP PSI — the form a stratified corpus monitor actually runs
