@@ -535,13 +535,11 @@ object Behavior {
     * any user size below N·qln(N) ~ 2⁶³. One groupBy(user, type) + one
     * groupBy(user) — single key family, no window. */
   def userEntropy(events: DataFrame, userCol: String, typeCol: String): DataFrame = {
-    def qln(c: Column): Column =
-      floor(log(c.cast("double")) * 1e6 + lit(0.5)).cast("long")
     events.groupBy(col(userCol).as("user_id"), col(typeCol).as("t"))
       .agg(count(lit(1)).as("n_c"))
       .groupBy(col("user_id"))
       .agg(sum(col("n_c")).as("n_events"), count(lit(1)).as("n_types"),
-        sum(col("n_c") * qln(col("n_c"))).as("s"))
+        sum(col("n_c") * Features.qln(col("n_c"))).as("s"))
       .withColumn("entropy_micro",
         expr("(n_events * cast(floor(ln(cast(n_events as double)) * 1e6 + 0.5) as long) - s)" +
           " div n_events"))
@@ -694,8 +692,6 @@ object Behavior {
         .otherwise(0L).as("converted"))
     val agg = durations.groupBy(col("t"))
       .agg(count(lit(1)).as("n_at"), sum(col("converted")).as("d"))
-    def qln(c: Column): Column =
-      floor(log(c.cast("double")) * 1e6 + lit(0.5)).cast("long")
     val wDesc = Window.orderBy(col("t").desc)
     val wAsc = Window.orderBy(col("t").asc)
     agg
@@ -703,7 +699,7 @@ object Behavior {
       .filter(col("d") > 0)
       .withColumn("term",
         when(col("n_risk") > col("d"),
-          qln(col("n_risk") - col("d")) - qln(col("n_risk"))))
+          Features.qln(col("n_risk") - col("d")) - Features.qln(col("n_risk"))))
       .withColumn("km_log_scaled",
         when(sum(when(col("term").isNull, 1L).otherwise(0L)).over(wAsc) > 0, lit(null))
           .otherwise(sum(col("term")).over(wAsc)))

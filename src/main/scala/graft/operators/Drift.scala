@@ -224,17 +224,15 @@ object Drift {
       width: Long, buckets: Int): DataFrame = {
     val bc = psiBuckets(base, current, valueCol, width, buckets)
     val tot = bc.agg(sum(col("n_base")).as("ta"), sum(col("n_cur")).as("tb"))
-    def qln(c: Column): Column =
-      floor(log(c.cast("double")) * 1e6 + lit(0.5)).cast("long")
     bc.crossJoin(broadcast(tot))
       .select(col("ta"), col("tb"),
         when(col("n_base") > 0,
-          col("n_base") * (qln(col("n_base") * col("tb") * 2) -
-            qln(col("n_base") * col("tb") + col("n_cur") * col("ta"))))
+          col("n_base") * (Features.qln(col("n_base") * col("tb") * 2) -
+            Features.qln(col("n_base") * col("tb") + col("n_cur") * col("ta"))))
           .otherwise(lit(0L)).as("term_a"),
         when(col("n_cur") > 0,
-          col("n_cur") * (qln(col("n_cur") * col("ta") * 2) -
-            qln(col("n_base") * col("tb") + col("n_cur") * col("ta"))))
+          col("n_cur") * (Features.qln(col("n_cur") * col("ta") * 2) -
+            Features.qln(col("n_base") * col("tb") + col("n_cur") * col("ta"))))
           .otherwise(lit(0L)).as("term_b"))
       .groupBy(col("ta"), col("tb"))
       .agg(sum(col("term_a")).as("sa"), sum(col("term_b")).as("sb"))

@@ -233,6 +233,15 @@ object Features {
         expr("sad * 1000000 div (2 * n_groups * total)").as("gini_micro"))
   }
 
+  /** THE cross-engine quantized-ln contract: `floor(ln(x)·1e6 + 0.5)` on
+    * integer-valued inputs — libm parity holds in Spark and DuckDB (the
+    * BM25/LM-fit precedent), so qln terms can enter order-free integer
+    * sums. ONE definition on purpose: every operator that changes this
+    * constant or rounding rule silently breaks oracle parity, so they all
+    * share this helper (survival, entropy, WoE, LLR, LM scoring, JSD). */
+  private[operators] def qln(c: Column): Column =
+    floor(log(c.cast("double")) * 1e6 + lit(0.5)).cast("long")
+
   /** Robust (median/IQR) feature scaling over a BIGINT column — the
     * outlier-immune standardizer (z-scores move with every extreme value;
     * median and quartiles don't). Quartiles are carried ×4 so the .25/.75
@@ -274,13 +283,14 @@ object Features {
     * Scale: one groupBy(category) + one O(1) total cross-joined broadcast —
     * category-domain-sized output regardless of corpus. */
   def woeEncode(df: DataFrame, catCol: String, target: Column): DataFrame = {
+    // NULL targets (unknown outcome) are excluded from BOTH cells — the
+    // conventional WoE treatment; counting them as non-events would bias
+    // every category's WoE downward
     val cells = df.groupBy(col(catCol).as("category"))
       .agg(sum(when(target, 1L).otherwise(0L)).as("g"),
-        sum(when(target, 0L).otherwise(1L)).as("b"))
+        sum(when(!target, 1L).otherwise(0L)).as("b"))
     val tot = cells.agg(sum(col("g")).as("gt"), sum(col("b")).as("bt"),
       count(lit(1)).as("k"))
-    def qln(c: Column): Column =
-      floor(log(c.cast("double")) * 1e6 + lit(0.5)).cast("long")
     cells.crossJoin(broadcast(tot))
       .withColumn("dist_g_micro", expr("(g + 1) * 1000000 div (gt + k)"))
       .withColumn("dist_b_micro", expr("(b + 1) * 1000000 div (bt + k)"))

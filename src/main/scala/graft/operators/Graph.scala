@@ -162,14 +162,30 @@ object Graph {
     * exactly oracle-expressible. Returns (node, n_triangles) for nodes in
     * at least one triangle. */
   def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = normalizedUnd(edges, srcCol, dstCol)
+    val deg = undDegrees(und)
+    trianglesFromUnd(und, deg)
+  }
+
+  /** The normalized undirected edge relation (a < b, deduped, self-loops
+    * dropped) every undirected operator starts from — exposed so compound
+    * operators ([[clusteringCoeff]]) derive it ONCE instead of re-scanning
+    * and re-deduping the input per sub-operator. */
+  private[operators] def normalizedUnd(edges: DataFrame,
+      srcCol: String, dstCol: String): DataFrame = {
     val e0 = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
-    val und = e0
-      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+    e0.select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
       .distinct()
-    val deg = und.select(col("a").as("n")).union(und.select(col("b").as("n")))
+  }
+
+  /** Node degrees of a [[normalizedUnd]] relation: (n, deg). */
+  private[operators] def undDegrees(und: DataFrame): DataFrame =
+    und.select(col("a").as("n")).union(und.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+
+  private def trianglesFromUnd(und: DataFrame, deg: DataFrame): DataFrame = {
     val oriented = und
       .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
@@ -386,15 +402,14 @@ object Graph {
     * degree aggregate. Degree-0/1 nodes score 0 (no possible wedge), as do
     * triangle-free nodes. Returns (node, deg, n_triangles, cc_micro). */
   def clusteringCoeff(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val e0 = edges
-      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
-      .filter(col("a") =!= col("b"))
-    val und = e0
-      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
-      .distinct()
-    val deg = und.select(col("a").as("node")).union(und.select(col("b").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    val tri = triangles(edges, srcCol, dstCol)
+    // derive the normalized edge set and degrees ONCE; the triangle count
+    // reuses both instead of re-scanning/re-deduping the input
+    val und = normalizedUnd(edges, srcCol, dstCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg0 = undDegrees(und)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = deg0.select(col("n").as("node"), col("deg"))
+    val tri = trianglesFromUnd(und, deg0)
     deg.join(tri, Seq("node"), "left")
       .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
       .withColumn("cc_micro",
@@ -443,9 +458,12 @@ object Graph {
     * better than random, toward 1 ⇒ dense communities, sparse cuts.
     *
     * All integer: m from one count, per-label sums, one truncating division.
-    * Overflow: 4·m·m_c and 4·m² stay in BIGINT while m < ~1.5e9 undirected
-    * edges — beyond that, pre-scale by dividing m_c/d_c/m by a common power
-    * of two (Q is scale-invariant). Unlabeled endpoints (labels is expected
+    * Overflow: the binding term is the ×1e6 SCALED numerator
+    * `(4·m·m_c − d_c²)·10⁶` — BIGINT-safe while m < ~1.5e6 undirected
+    * edges (the unscaled products alone would allow ~1.5e9); beyond that,
+    * pre-scale m_c/d_c/m by a common power of two (Q is scale-invariant) —
+    * truncation error stays ≤ 1e-6 per community. Unlabeled endpoints
+    * (labels is expected
     * to cover every node [[labelPropagation]] saw) drop their edges from
     * m_c/d_c, never crash.
     *

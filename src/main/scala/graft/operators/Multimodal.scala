@@ -422,9 +422,15 @@ object Multimodal {
   def phashPairs(hashes: DataFrame, idCol: String, hashCol: String,
       maxDist: Int = 3, bands: Int = 4): DataFrame = {
     require(maxDist >= 0 && maxDist < bands, "banding is lossless only for maxDist < bands")
+    // the 64-bit hash must split into `bands` DISTINCT segments — a fixed
+    // 16-bit stride beyond 4 bands would alias (shift-by-64 wraps) and
+    // silently drop true pairs despite the pigeonhole require above
+    require(bands >= 1 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    val stride = 64 / bands
+    val mask = if (stride == 64) -1L else (1L << stride) - 1
     val h = hashes.select(col(idCol).cast("long").as("id"), col(hashCol).as("h"))
     val banded = h.select(col("id"), col("h"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn("bval", expr(s"(h >> (band * 16)) & 65535"))
+      .withColumn("bval", expr(s"(h >> (band * $stride)) & $mask"))
     val a = banded.select(col("band"), col("bval"), col("id").as("id_a"), col("h").as("h_a"))
     val b = banded.select(col("band"), col("bval"), col("id").as("id_b"), col("h").as("h_b"))
     a.join(b, Seq("band", "bval"))
@@ -534,8 +540,7 @@ object Multimodal {
   private def lzwDecode(data: Array[Byte], minCodeSize: Int, maxPixels: Int): Array[Int] = {
     val clear = 1 << minCodeSize
     val eoi = clear + 1
-    val out = new java.io.ByteArrayOutputStream()
-    var dict = Array.ofDim[Array[Int]](4096)
+    val dict = Array.ofDim[Array[Int]](4096)
     def reset(): Int = {
       java.util.Arrays.fill(dict.asInstanceOf[Array[AnyRef]], null)
       var c = 0

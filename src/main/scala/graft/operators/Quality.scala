@@ -18,14 +18,6 @@ object Quality {
     * is an aggregate expression counting offending rows. */
   final case class Rule(label: String, violations: Column)
 
-  /** Referential-integrity check for a batch of foreign-key relationships:
-    * per relationship, child rows whose key has NO parent (orphans), plus
-    * the child row count and min/max orphan key for triage — the star-
-    * schema promotion gate beside [[check]]'s per-column expectations.
-    * Each relationship is one LEFT ANTI equi-join (broadcast when the
-    * parent key set fits, shuffle otherwise) + one aggregate; null child
-    * keys are not orphans (SQL FK semantics — pair with [[notNull]] to
-    * forbid them). */
   /** Per-group completeness audit: for every (group, column), row count,
     * null count and a per-mille null rate — the "which SOURCE stopped
     * sending field X" monitor a global null rate hides (one broken feed
@@ -45,6 +37,14 @@ object Quality {
       .withColumn("null_permille", expr("n_nulls * 1000 div n_rows"))
   }
 
+  /** Referential-integrity check for a batch of foreign-key relationships:
+    * per relationship, child rows whose key has NO parent (orphans), plus
+    * the child row count and min/max orphan key for triage — the star-
+    * schema promotion gate beside [[check]]'s per-column expectations.
+    * Each relationship is one LEFT ANTI equi-join (broadcast when the
+    * parent key set fits, shuffle otherwise) + one aggregate; null child
+    * keys are not orphans (SQL FK semantics — pair with [[notNull]] to
+    * forbid them). */
   def fkOrphans(relations: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame =
     relations.map { case (label, child, childKey, parent, parentKey) =>
       val flagged = child.select(col(childKey).as("k"))

@@ -155,14 +155,12 @@ object TextAnalysis {
     val c12 = docPairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val v = c12.agg(countDistinct(col("w2")).as("v"))
-    def qln(c: Column): Column =
-      floor(log(c.cast("double")) * 1e6 + lit(0.5)).cast("long")
     docPairs
       .join(c12, Seq("w1", "w2"))
       .join(c1, Seq("w1"))
       .crossJoin(broadcast(v))
       .select(col("doc"),
-        (qln(col("c12") + 1) - qln(col("c1") + col("v"))).as("term"))
+        (Features.qln(col("c12") + 1) - Features.qln(col("c1") + col("v"))).as("term"))
       .groupBy(col("doc"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("term")).as("logprob_scaled"))
       .select(col("doc").as("doc_id"), col("n_bigrams"), col("logprob_scaled"))
@@ -323,10 +321,8 @@ object TextAnalysis {
     val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val c2 = c12.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
     val nTot = c12.agg(sum(col("c12")).as("n"))
-    def qln(c: Column): Column =
-      floor(log(c.cast("double")) * 1e6 + lit(0.5)).cast("long")
     def term(k: Column, row: Column, colm: Column, n: Column): Column =
-      when(k > 0, k * (qln(k) + qln(n) - qln(row) - qln(colm))).otherwise(lit(0L))
+      when(k > 0, k * (Features.qln(k) + Features.qln(n) - Features.qln(row) - Features.qln(colm))).otherwise(lit(0L))
     c12.join(c1, "w1").join(c2, "w2").crossJoin(broadcast(nTot))
       .filter(col("c12") >= minCount)
       .withColumn("llr_scaled",

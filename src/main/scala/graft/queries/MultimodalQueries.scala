@@ -155,10 +155,12 @@ private[graft] trait MultimodalQueries extends QueryHelpers {
       // formulas make non-mirrors land ≥ 19 bits apart, so the result is
       // exactly the mirrors — a gate that fails if banding drops a pair OR
       // the verify threshold leaks a non-dup
+      // mirror ids live at +10_000_000 — far beyond any fixture SF's
+      // doc_id range, so planted keys can never collide with real ones
       val base = t(s, dir, "documents").select(col("doc_id"))
         .filter(col("doc_id") % 10 === 0)
       val ids = base.select(col("doc_id"), col("doc_id").as("sid"))
-        .unionByName(base.select((col("doc_id") + 10000).as("doc_id"),
+        .unionByName(base.select((col("doc_id") + 10000000).as("doc_id"),
           col("doc_id").as("sid")))
       val h = Multimodal.phashBmp(Multimodal.bmpFixturesTextured(spread(ids)), "doc_id")
       Multimodal.phashPairs(h, "doc_id", "phash")
@@ -264,7 +266,7 @@ private[graft] trait MultimodalQueries extends QueryHelpers {
     "mm_phash_pairs" ->
       (phashCtes(
         """SELECT doc_id, doc_id AS sid FROM documents WHERE doc_id % 10 = 0
-          |  UNION ALL SELECT doc_id + 10000, doc_id FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+          |  UNION ALL SELECT doc_id + 10000000, doc_id FROM documents WHERE doc_id % 10 = 0""".stripMargin,
         "((sx * 37 + sy * 23 + sid * 101) * (sx + sy + sid % 7 + 1)) % 256",
         "((sx * 11 + sy * 41 + sid * 59) * (sx + 2 * sy + sid % 5 + 1)) % 256",
         "((sx * 29 + sy * 13 + sid * 83) * (2 * sx + sy + sid % 3 + 1)) % 256") +

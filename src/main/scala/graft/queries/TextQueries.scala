@@ -827,8 +827,11 @@ private[graft] trait TextQueries extends QueryHelpers {
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
         |), tk AS (
+        |  -- 1024 bounds the position cross join, well above any fixture's
+        |  -- token count (max ~100); Fingerprints would catch a regenerated
+        |  -- corpus long before this truncates silently
         |  SELECT doc_id, i.range AS pos, w[i.range + 1] AS tok
-        |  FROM toks CROSS JOIN range(0, 128) i WHERE i.range < len(w)
+        |  FROM toks CROSS JOIN range(0, 1024) i WHERE i.range < len(w)
         |), mk AS (
         |  SELECT doc_id, pos, tok,
         |    CASE WHEN tok IN ('the','a','an','and','or','of','to','in','is','it','for','on','with')

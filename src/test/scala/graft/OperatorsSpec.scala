@@ -1747,6 +1747,12 @@ class OperatorsSpec extends SparkSuite {
     val z = Seq(("a", "F"), ("b", "O"), ("b", "O")).toDF("cat", "status")
     val rz = Features.woeEncode(z, "cat", col("status") === "F").collect()
     assert(rz.forall(x => math.abs(x.getAs[Long]("woe_scaled")) < 10000000L))
+    // NULL targets are excluded from BOTH cells, not counted as non-events
+    val withNulls = (rows ++ Seq(("hi", null), ("lo", null)))
+      .toDF("cat", "status")
+    val rn = Features.woeEncode(withNulls, "cat", col("status") === "F")
+      .orderBy("category").collect()
+    assert(rn(0).getAs[Long]("g") == 3L && rn(0).getAs[Long]("b") == 1L)
   }
 
   test("quantizeScalar: per-dim calibration, truncating recon, constant dim exact") {
@@ -2017,6 +2023,11 @@ class OperatorsSpec extends SparkSuite {
       d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
     } yield (a, b, d.toLong)).toSet
     assert(pairs == naive && pairs.contains((0L, 100L, 0L)))
+    // band layouts that cannot tile the 64-bit hash are refused up front —
+    // a 16-bit stride past 4 bands would alias and silently drop pairs
+    intercept[IllegalArgumentException] {
+      Multimodal.phashPairs(h, "doc_id", "phash", maxDist = 4, bands = 5)
+    }
   }
 
   test("assortativity: star is perfectly disassortative, cycle degenerate, symmetric fit") {
