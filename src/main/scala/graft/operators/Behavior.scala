@@ -526,6 +526,56 @@ object Behavior {
         col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
   }
 
+  /** Weekly seasonality profile: event counts per (day-of-week, hour) cell
+    * with per-mille share of the total and a peak flag (cells ≥ 2× the
+    * uniform share) — the traffic-shape fingerprint behind capacity
+    * planning and the baseline [[forecastAnomaly]] deviates from. All
+    * integer: counts, `share_permille = n·1000 div total`, the flag a
+    * BIGINT comparison `n·168 ≥ 2·total`. dow follows ISO (1 = Monday) via
+    * `dayofweek` remapping so both engines agree by construction. One
+    * map-side-combined aggregate + an O(1) total broadcast. */
+  def weeklyProfile(events: DataFrame, tsCol: String): DataFrame = {
+    // Spark dayofweek: 1=Sunday..7=Saturday -> ISO 1=Monday..7=Sunday
+    val isoDow = ((dayofweek(col(tsCol)) + 5) % 7 + 1).cast("long")
+    val cells = events
+      .groupBy(isoDow.as("dow"), hour(col(tsCol)).cast("long").as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.agg(sum(col("n")).as("total"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("share_permille", expr("n * 1000 div total"))
+      .withColumn("is_peak",
+        when(col("n") * 168 >= lit(2L) * col("total"), 1L).otherwise(0L))
+      .select(col("dow"), col("hour"), col("n"), col("share_permille"), col("is_peak"))
+  }
+
+  /** Per-user burst velocity over SLIDING windows: the maximum event count
+    * any 1-hour window (sliding every `slideMinutes`) contains, per user —
+    * the rate-limit/scraper signal [[interArrival]]'s median can't see (a
+    * bot can pace politely on average and still burst). Hop-window
+    * assignment is pure integer arithmetic on epoch minutes (each event
+    * lands in windowMinutes/slideMinutes hops), so the whole feature is
+    * exactly re-derivable. Returns (user_id, peak_window_start, peak_n)
+    * with the EARLIEST peak window as tiebreak.
+    *
+    * Scale: one explode (hop factor ≤ windowMinutes/slideMinutes) + two
+    * user-keyed aggregates — same key, one shuffle lineage. */
+  def burstVelocity(events: DataFrame, userCol: String, tsCol: String,
+      windowMinutes: Int = 60, slideMinutes: Int = 15): DataFrame = {
+    require(windowMinutes % slideMinutes == 0, "slide must divide window")
+    val hops = windowMinutes / slideMinutes
+    val em = expr(s"unix_micros($tsCol) div 60000000") // epoch minutes
+    val perHop = events
+      .select(col(userCol).as("user_id"), em.as("em"))
+      .withColumn("j", explode(sequence(lit(0), lit(hops - 1))))
+      .withColumn("wstart", expr(s"(em div $slideMinutes - j) * $slideMinutes"))
+      .filter(col("em") < col("wstart") + windowMinutes && col("em") >= col("wstart"))
+      .groupBy(col("user_id"), col("wstart")).agg(count(lit(1)).as("n"))
+    perHop.groupBy(col("user_id"))
+      .agg(max(struct(col("n"), (-col("wstart")).as("negw"))).as("m"))
+      .select(col("user_id"), (-col("m.negw")).as("peak_window_start_min"),
+        col("m.n").as("peak_n"))
+  }
+
   /** Per-user behavioral entropy: Shannon entropy of each user's
     * event-type distribution in micro-nats — the diversity complement to
     * [[interArrival]]'s timing signal (a scripted client does ONE thing; a

@@ -247,6 +247,21 @@ private[graft] trait EventsQueries extends QueryHelpers {
     }),
 
 
+    "events_weekly_profile" -> ((s, dir) => {
+      // traffic-shape fingerprint: (ISO dow, hour) counts, per-mille share,
+      // 2x-uniform peak flags — all integer, the forecastAnomaly baseline
+      graft.operators.Behavior.weeklyProfile(events(s, dir), "ts")
+        .orderBy(col("dow"), col("hour"))
+    }),
+
+    "events_velocity" -> ((s, dir) => {
+      // burst detection: per-user MAX event count in any sliding 1-hour
+      // window (15-min hops) — the rate signal a polite average hides;
+      // hop assignment is pure integer minute arithmetic
+      graft.operators.Behavior.burstVelocity(events(s, dir), "user_id", "ts")
+        .orderBy(col("user_id"))
+    }),
+
     "events_user_entropy" -> ((s, dir) => {
       // behavioral diversity: per-user event-type Shannon entropy in
       // micro-nats (per-term qln quantization) — the "does one thing"
@@ -833,6 +848,39 @@ private[graft] trait EventsQueries extends QueryHelpers {
         |  CAST(sum(qterm) AS BIGINT) AS chi2_scaled,
         |  CAST(CAST(sum(qterm) AS BIGINT) AS DOUBLE) / 1e6 AS chi2
         |FROM terms GROUP BY 1, 2""".stripMargin,
+
+    // DuckDB isodow == the Spark dayofweek remap by construction
+    "events_weekly_profile" ->
+      """WITH c AS (
+        |  SELECT isodow(ts) AS dow, CAST(hour(ts) AS BIGINT) AS hour,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        |SELECT CAST(dow AS BIGINT) AS dow, hour, n,
+        |  CAST(n * 1000 // (SELECT total FROM t) AS BIGINT) AS share_permille,
+        |  CAST(CASE WHEN n * 168 >= 2 * (SELECT total FROM t) THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_peak
+        |FROM c ORDER BY dow, hour""".stripMargin,
+
+    // hop-window assignment re-derived in integer minutes; earliest-peak
+    // tiebreak via (n DESC, wstart ASC)
+    "events_velocity" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 60000000 AS em FROM events
+        |), hops AS (
+        |  SELECT user_id, (em // 15 - j.range) * 15 AS wstart
+        |  FROM e CROSS JOIN range(0, 4) j
+        |  WHERE em < (em // 15 - j.range) * 15 + 60
+        |    AND em >= (em // 15 - j.range) * 15
+        |), w AS (
+        |  SELECT user_id, wstart, CAST(count(*) AS BIGINT) AS n FROM hops GROUP BY 1, 2
+        |), p AS (
+        |  SELECT user_id, wstart, n,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY n DESC, wstart ASC) AS rk
+        |  FROM w
+        |)
+        |SELECT user_id, CAST(wstart AS BIGINT) AS peak_window_start_min, n AS peak_n
+        |FROM p WHERE rk = 1 ORDER BY user_id""".stripMargin,
 
     // char-entropy pattern lifted to event types: per-term qln, one
     // truncating division into micro-nats

@@ -1928,6 +1928,29 @@ class OperatorsSpec extends SparkSuite {
     assert(e.errors.exists(_.contains("min_avg_micro")))
   }
 
+  test("weeklyProfile: ISO dow mapping, shares and peak flag hand case") {
+    // 2024-01-01 is a Monday
+    def ts(day: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d $h%02d:00:00")
+    val evs = (Seq.fill(5)(ts(0, 9)) ++ Seq(ts(1, 14), ts(6, 23))).map(Tuple1(_)).toDF("ts")
+    val r = Behavior.weeklyProfile(evs, "ts").orderBy("dow", "hour").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getAs[Long]("share_permille")))
+    // ISO mapping: Jan 1 -> Monday(1), Jan 2 -> Tuesday(2), Jan 7 -> Sunday(7);
+    // shares are truncating per-mille of the 7-event total
+    assert(r.toSeq == Seq((1L, 9L, 5L, 714L), (2L, 14L, 1L, 142L), (7L, 23L, 1L, 142L)))
+  }
+
+  test("burstVelocity: a 10-minute burst dominates politely spaced traffic") {
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val evs = (
+      // user 1: 6 events within 10 minutes -> some window holds all 6
+      (0L until 6L).map(i => (1L, ts(i * 2))) ++
+      // user 2: 6 events spaced 2 h apart -> no window holds more than 1
+      (0L until 6L).map(i => (2L, ts(i * 120)))).toDF("user_id", "ts")
+    val r = Behavior.burstVelocity(evs, "user_id", "ts").orderBy("user_id").collect()
+      .map(x => (x.getLong(0), x.getAs[Long]("peak_n")))
+    assert(r.toSeq == Seq((1L, 6L), (2L, 1L)))
+  }
+
   test("centroidOutliers: hand centroid and distances, far point flagged") {
     val vs = Seq(
       (1L, Seq(0f, 0f), 0), (2L, Seq(2e-6f, 0f), 0),
