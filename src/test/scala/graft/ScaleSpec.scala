@@ -43,9 +43,14 @@ class ScaleSpec extends SparkSuite {
   // round-10 session 2 adds the covariance self-join (d² per-vector fanout
   // must stay corpus-LINEAR) and link prediction (wedge fanout through
   // intermediates — the maxDeg·|E| bound on a constant-degree graph)
+  // round-10 session 3 adds the banded pHash pair join (the lossless
+  // 4-band candidate equi-join must stay cohort-linear, not all-pairs)
+  // and LLR collocations (the pair-domain aggregate — vocabulary², never
+  // corpus²)
   for (q <- Seq("basket_part_pairs", "text_token_pmi", "dedup_spans", "graph_triangles",
       "knn_pq", "text_bpe_encode", "graph_kcore", "dedup_winnow_pairs",
-      "emb_covariance", "graph_common_neighbors"))
+      "emb_covariance", "graph_common_neighbors",
+      "mm_phash_pairs", "text_collocations_llr"))
     test(s"$q wall-time grows at most ~linearly from sf0.01 to sf0.1") {
       run(q, small) // warmup: codegen + JIT + class-load outside the clock
       val tSmall = timeMinOf2(q, small)
