@@ -36,6 +36,59 @@ object Upsert {
     * [min,max] key range intersects any change key. Everything else is
     * untouched — the pruning that keeps merge cost proportional to the
     * change set, not the table. */
+  /** Slowly-changing-dimension TYPE 2 apply: fold a batch of keyed changes
+    * (each carrying an effective timestamp) into a history table where
+    * every key holds a chain of versions with `[valid_from, valid_to)`
+    * intervals and an `is_current` flag — THE dimension-table pattern that
+    * lets facts join "the customer as they were at order time" instead of
+    * silently rewriting history (type 1). A change CLOSES the key's open
+    * version at its effective time and opens a new one; unchanged keys
+    * pass through untouched; brand-new keys open their first version.
+    *
+    * `base` is the existing history (pass `initScd2`'s output on first
+    * load); `changes` carries the key, the new attribute columns and
+    * `effCol`. At most one change per key per batch (standard SCD contract
+    * — feed finer-grained feeds through the batch boundary or pre-collapse
+    * them; violations throw rather than pick silently). All timestamp
+    * comparisons are exact; rows are never mutated, only closed — history
+    * is append-shaped, which is what makes this a narrow join + union at
+    * any scale (one equi-join of base against the change keys; no window).
+    * `valid_to` is NULL for open versions. */
+  def scd2Apply(base: DataFrame, changes: DataFrame, keyCol: String,
+      effCol: String, attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "need at least one attribute column")
+    val dupCount = changes.groupBy(col(keyCol)).count().filter(col("count") > 1).count()
+    require(dupCount == 0, s"$dupCount keys carry multiple changes in one batch")
+    val ch = changes.select((col(keyCol) +: col(effCol).as("__eff") +:
+      attrCols.map(col)): _*)
+    val chKeyed = ch.select(col(keyCol), col("__eff"))
+    // close the open version of every changed key at the change's time
+    val closed = base
+      .join(chKeyed, Seq(keyCol), "left")
+      .withColumn("valid_to",
+        when(col("is_current") === 1L && col("__eff").isNotNull, col("__eff"))
+          .otherwise(col("valid_to")))
+      .withColumn("is_current",
+        when(col("__eff").isNotNull, lit(0L)).otherwise(col("is_current")))
+      .drop("__eff")
+    // open the new version per change
+    val opened = ch
+      .withColumnRenamed("__eff", "valid_from")
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+      .withColumn("is_current", lit(1L))
+      .select(closed.columns.map(col): _*)
+    closed.unionByName(opened)
+  }
+
+  /** First-load bootstrap for [[scd2Apply]]: every row becomes its key's
+    * open version effective at `effCol`. */
+  def initScd2(snapshot: DataFrame, keyCol: String, effCol: String,
+      attrCols: Seq[String]): DataFrame =
+    snapshot.select((col(keyCol) +: col(effCol).as("valid_from") +:
+      attrCols.map(col)): _*)
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+      .withColumn("is_current", lit(1L))
+
   def touchedFiles(zoneMap: DataFrame, changes: DataFrame, keyCol: String): DataFrame =
     zoneMap.join(broadcast(changes.select(col(keyCol)).distinct()),
       col(keyCol) >= col("min_key") && col(keyCol) <= col("max_key"), "left_semi")

@@ -124,6 +124,29 @@ private[graft] trait LakeQueries extends QueryHelpers {
     }),
 
 
+    "lake_scd2" -> ((s, dir) => {
+      // slowly-changing-dimension TYPE 2: two change batches fold into the
+      // customer dimension's version chains ([valid_from, valid_to) +
+      // is_current) — every-10th customer re-priced in 2021, every-20th
+      // again in 2022, so %20 keys carry three-version chains; "the
+      // customer as they were at order time" joins become possible
+      import graft.operators.Upsert
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+      def ts(v: String) = lit(java.sql.Timestamp.valueOf(v))
+      val init = Upsert.initScd2(
+        cust.withColumn("eff", ts("2020-01-01 00:00:00")),
+        "c_custkey", "eff", Seq("c_acctbal"))
+      val ch1 = cust.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), (col("c_acctbal") + 100.0).as("c_acctbal"))
+        .withColumn("eff", ts("2021-06-01 00:00:00"))
+      val h1 = Upsert.scd2Apply(init, ch1, "c_custkey", "eff", Seq("c_acctbal"))
+      val ch2 = cust.filter(col("c_custkey") % 20 === 0)
+        .select(col("c_custkey"), (col("c_acctbal") + 250.0).as("c_acctbal"))
+        .withColumn("eff", ts("2022-01-01 00:00:00"))
+      Upsert.scd2Apply(h1, ch2, "c_custkey", "eff", Seq("c_acctbal"))
+        .orderBy(col("c_custkey"), col("valid_from"))
+    }),
+
     "lake_versioned_merge" -> ((s, dir) => {
       // the corpus_upsert MERGE as a TRANSACTION: init documents as table v1,
       // commit the change set as a copy-on-write v2 (only key-intersecting
@@ -294,6 +317,31 @@ private[graft] trait LakeQueries extends QueryHelpers {
 
     // same MERGE semantics as corpus_upsert — but executed through the
     // versioned-manifest commit protocol (v1 init + copy-on-write v2)
+    // version chains re-derived: v1 for all, v2 for %10 keys (closed at t2
+    // for %20), v3 for %20 — interval closes and flags by CASE
+    "lake_scd2" ->
+      """WITH c AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+        |v1 AS (
+        |  SELECT k, TIMESTAMP '2020-01-01 00:00:00' AS valid_from, bal,
+        |    CASE WHEN k % 10 = 0 THEN TIMESTAMP '2021-06-01 00:00:00' END AS valid_to,
+        |    CASE WHEN k % 10 = 0 THEN 0 ELSE 1 END AS cur
+        |  FROM c
+        |), v2 AS (
+        |  SELECT k, TIMESTAMP '2021-06-01 00:00:00' AS valid_from, bal + 100.0 AS bal,
+        |    CASE WHEN k % 20 = 0 THEN TIMESTAMP '2022-01-01 00:00:00' END AS valid_to,
+        |    CASE WHEN k % 20 = 0 THEN 0 ELSE 1 END AS cur
+        |  FROM c WHERE k % 10 = 0
+        |), v3 AS (
+        |  SELECT k, TIMESTAMP '2022-01-01 00:00:00' AS valid_from, bal + 250.0 AS bal,
+        |    CAST(NULL AS TIMESTAMP) AS valid_to, 1 AS cur
+        |  FROM c WHERE k % 20 = 0
+        |), u AS (
+        |  SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3
+        |)
+        |SELECT k AS c_custkey, valid_from, bal AS c_acctbal, valid_to,
+        |  CAST(cur AS BIGINT) AS is_current
+        |FROM u ORDER BY c_custkey, valid_from""".stripMargin,
+
     "lake_versioned_merge" ->
       """WITH changes AS (
         |  SELECT doc_id,

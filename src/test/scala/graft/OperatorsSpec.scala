@@ -1928,6 +1928,31 @@ class OperatorsSpec extends SparkSuite {
     assert(e.errors.exists(_.contains("min_avg_micro")))
   }
 
+  test("scd2Apply: chains close and open, new keys insert, dup batches refuse") {
+    import graft.operators.Upsert
+    def ts(v: String) = java.sql.Timestamp.valueOf(v)
+    val snap = Seq((1L, 10.0, ts("2020-01-01 00:00:00")), (2L, 20.0, ts("2020-01-01 00:00:00")))
+      .toDF("k", "bal", "eff")
+    val init = Upsert.initScd2(snap, "k", "eff", Seq("bal"))
+    val ch = Seq((1L, 11.0, ts("2021-01-01 00:00:00")), (3L, 30.0, ts("2021-01-01 00:00:00")))
+      .toDF("k", "bal", "eff")
+    val h = Upsert.scd2Apply(init, ch, "k", "eff", Seq("bal"))
+      .orderBy("k", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), Option(r.getTimestamp(3)).isDefined,
+        r.getAs[Long]("is_current")))
+    assert(h.toSeq == Seq(
+      (1L, 10.0, true, 0L), // closed old version
+      (1L, 11.0, false, 1L), // opened new version
+      (2L, 20.0, false, 1L), // untouched key
+      (3L, 30.0, false, 1L))) // brand-new key
+    // two changes for one key in a batch is ambiguous — refused, not picked
+    val dup = Seq((1L, 1.0, ts("2022-01-01 00:00:00")), (1L, 2.0, ts("2022-02-01 00:00:00")))
+      .toDF("k", "bal", "eff")
+    intercept[IllegalArgumentException] {
+      Upsert.scd2Apply(init, dup, "k", "eff", Seq("bal"))
+    }
+  }
+
   test("weeklyProfile: ISO dow mapping, shares and peak flag hand case") {
     // 2024-01-01 is a Monday
     def ts(day: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d $h%02d:00:00")
