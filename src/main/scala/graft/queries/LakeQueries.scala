@@ -147,6 +147,37 @@ private[graft] trait LakeQueries extends QueryHelpers {
         .orderBy(col("c_custkey"), col("valid_from"))
     }),
 
+    "q33_orders_asof_dim" -> ((s, dir) => {
+      // the CONSUMPTION side of SCD2: every order joins the customer
+      // VERSION valid at order time (equi on the key + interval residual —
+      // no nested loop; intervals partition time so exactly one version
+      // matches). History: all customers from 1990, %10 re-priced 1997,
+      // %20 again 1999 — order dates 1995-2001 straddle all three
+      import graft.operators.Upsert
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+      def ts(v: String) = lit(java.sql.Timestamp.valueOf(v))
+      val init = Upsert.initScd2(
+        cust.withColumn("eff", ts("1990-01-01 00:00:00")),
+        "c_custkey", "eff", Seq("c_acctbal"))
+      val ch1 = cust.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), (col("c_acctbal") + 100.0).as("c_acctbal"))
+        .withColumn("eff", ts("1997-01-01 00:00:00"))
+      val h1 = Upsert.scd2Apply(init, ch1, "c_custkey", "eff", Seq("c_acctbal"))
+      val ch2 = cust.filter(col("c_custkey") % 20 === 0)
+        .select(col("c_custkey"), (col("c_acctbal") + 250.0).as("c_acctbal"))
+        .withColumn("eff", ts("1999-01-01 00:00:00"))
+      val hist = Upsert.scd2Apply(h1, ch2, "c_custkey", "eff", Seq("c_acctbal"))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      o.join(hist,
+        o("o_custkey") === hist("c_custkey")
+          && col("o_orderdate") >= col("valid_from")
+          && (col("valid_to").isNull || col("o_orderdate") < col("valid_to")))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("c_acctbal").as("acctbal_at_order"), col("valid_from"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "lake_versioned_merge" -> ((s, dir) => {
       // the corpus_upsert MERGE as a TRANSACTION: init documents as table v1,
       // commit the change set as a copy-on-write v2 (only key-intersecting
@@ -317,6 +348,29 @@ private[graft] trait LakeQueries extends QueryHelpers {
 
     // same MERGE semantics as corpus_upsert — but executed through the
     // versioned-manifest commit protocol (v1 init + copy-on-write v2)
+    // history re-derived with the 1990/1997/1999 chain, interval-matched
+    // per order date
+    "q33_orders_asof_dim" ->
+      """WITH c AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+        |u AS (
+        |  SELECT k, TIMESTAMP '1990-01-01 00:00:00' AS valid_from, bal,
+        |    CASE WHEN k % 10 = 0 THEN TIMESTAMP '1997-01-01 00:00:00' END AS valid_to
+        |  FROM c
+        |  UNION ALL
+        |  SELECT k, TIMESTAMP '1997-01-01 00:00:00', bal + 100.0,
+        |    CASE WHEN k % 20 = 0 THEN TIMESTAMP '1999-01-01 00:00:00' END
+        |  FROM c WHERE k % 10 = 0
+        |  UNION ALL
+        |  SELECT k, TIMESTAMP '1999-01-01 00:00:00', bal + 250.0, CAST(NULL AS TIMESTAMP)
+        |  FROM c WHERE k % 20 = 0
+        |)
+        |SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+        |  u.bal AS acctbal_at_order, u.valid_from
+        |FROM orders o JOIN u ON u.k = o.o_custkey
+        |  AND o.o_orderdate >= u.valid_from
+        |  AND (u.valid_to IS NULL OR o.o_orderdate < u.valid_to)
+        |ORDER BY o.o_orderkey""".stripMargin,
+
     // version chains re-derived: v1 for all, v2 for %10 keys (closed at t2
     // for %20), v3 for %20 — interval closes and flags by CASE
     "lake_scd2" ->

@@ -527,6 +527,10 @@ class PlanSpec extends SparkSuite {
     // clustering depth rides the bucket equi-join, never a BNLJ
     val pc = plan(SparkEntry.queries("lake_clustering_depth")(spark, sfDir))
     assert(!pc.contains("CartesianProduct") && !pc.contains("BroadcastNestedLoopJoin"), pc)
+    // SCD2 as-of consumption: custkey equi-join with the interval residual
+    // as a post-join filter — never a nested loop over history
+    val pa = plan(SparkEntry.queries("q33_orders_asof_dim")(spark, sfDir))
+    assert(!pa.contains("CartesianProduct") && !pa.contains("BroadcastNestedLoopJoin"), pa)
   }
 
   test("pagerank/ppr iterations reuse the persisted edge partitioning — one Exchange per round") {
