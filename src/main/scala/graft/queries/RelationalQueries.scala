@@ -185,6 +185,24 @@ private[graft] trait RelationalQueries extends QueryHelpers {
     }),
 
 
+    "q34_salted_flag_stats" -> ((s, dir) => {
+      // skew-proof aggregation gated end-to-end: lineitem has only 3
+      // returnflag keys (maximal skew — every key is hot), so the plain
+      // groupBy funnels through 3 reducers at any cluster size; the
+      // two-stage salted plan spreads each key over 16 buckets and MUST
+      // reproduce the plain aggregate bit-for-bit (the oracle IS the
+      // unsalted query — that equality is the whole correctness claim)
+      graft.operators.Skew.saltedAgg(
+        t(s, dir, "lineitem")
+          .withColumn("cents", cents(col("l_extendedprice"))),
+        Seq("l_returnflag"), tiebreaker = "l_orderkey", buckets = 16,
+        aggs = Map(
+          "n_items" -> (count(lit(1)), sum(col("n_items"))),
+          "sum_cents" -> (sum(col("cents")), sum(col("sum_cents"))),
+          "max_cents" -> (max(col("cents")), max(col("max_cents")))))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "q21_hourly_distinct_stream" -> ((s, dir) => {
       // windowed COUNT DISTINCT as a STREAMING HLL sketch: per-hour distinct
       // users estimated from a 32-long register file per window — bounded
@@ -827,6 +845,14 @@ private[graft] trait RelationalQueries extends QueryHelpers {
 
     // streaming HLL: same register/estimate math as sketch_hll_distinct but
     // per event-hour over user_id
+    // the UNSALTED aggregate — salted == plain is the correctness claim
+    "q34_salted_flag_stats" ->
+      """SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(max(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_cents
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
     "q21_hourly_distinct_stream" ->
       """WITH h AS (
         |  SELECT date_trunc('hour', ts) AS hour,
