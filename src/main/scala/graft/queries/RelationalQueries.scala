@@ -203,6 +203,21 @@ private[graft] trait RelationalQueries extends QueryHelpers {
         .orderBy(col("l_returnflag"))
     }),
 
+    "q35_salted_type_enrich" -> ((s, dir) => {
+      // the salted-JOIN twin of q34: a 5-key dimension join (every key
+      // hot) runs with the small side replicated per salt bucket and the
+      // big side salted — must lose/duplicate NOTHING vs the plain join
+      import s.implicits._
+      val dim = Seq(("view", 1L), ("click", 2L), ("purchase", 5L),
+        ("signup", 3L), ("error", 0L)).toDF("event_type", "weight")
+      val enriched = graft.operators.Skew.saltedBroadcastableJoin(
+        events(s, dir), dim, "event_type", "event_id", buckets = 8)
+      enriched.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), max(col("weight")).as("weight"),
+          sum(col("weight")).as("weighted_total"))
+        .orderBy(col("event_type"))
+    }),
+
     "q21_hourly_distinct_stream" -> ((s, dir) => {
       // windowed COUNT DISTINCT as a STREAMING HLL sketch: per-hour distinct
       // users estimated from a 32-long register file per window — bounded
@@ -845,6 +860,16 @@ private[graft] trait RelationalQueries extends QueryHelpers {
 
     // streaming HLL: same register/estimate math as sketch_hll_distinct but
     // per event-hour over user_id
+    // plain dimension join — the salted plan must reproduce it exactly
+    "q35_salted_type_enrich" ->
+      """WITH dim(event_type, weight) AS (VALUES
+        |  ('view', 1), ('click', 2), ('purchase', 5), ('signup', 3), ('error', 0))
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(max(d.weight) AS BIGINT) AS weight,
+        |  CAST(sum(d.weight) AS BIGINT) AS weighted_total
+        |FROM events e JOIN dim d USING (event_type)
+        |GROUP BY 1 ORDER BY e.event_type""".stripMargin,
+
     // the UNSALTED aggregate — salted == plain is the correctness claim
     "q34_salted_flag_stats" ->
       """SELECT l_returnflag,
