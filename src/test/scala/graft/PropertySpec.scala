@@ -26,6 +26,45 @@ class PropertySpec extends AnyFunSuite {
     hs.foldLeft(agg.zero)((b, h) => agg.reduce(b, h))
   }
 
+  test("GIF/LZW: decode(encode(x)) reproduces arbitrary pixel grids exactly") {
+    import graft.operators.Multimodal
+    val dimGen = Gen.chooseNum(1, 40)
+    check("lzw-roundtrip", Prop.forAll(dimGen, dimGen, Gen.long) { (w, h, seed) =>
+      // arbitrary pixel content from the seed — exercises literal runs,
+      // repeats, and (at larger grids) multi-width code growth
+      def px(x: Int, y: Int): Int =
+        (((x * 2654435761L + y * 40503L + seed) >>> 7) & 0xff).toInt
+      val s = Multimodal.gifDecode(Multimodal.gifEncode(w, h, px))
+      var (sr, sg, sb, wr) = (0L, 0L, 0L, 0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val i = px(x, y)
+          sr += i; sg += (2 * i) % 256; sb += (5 * i + 1) % 256
+          wr += (y + 1).toLong * i
+          x += 1
+        }
+        y += 1
+      }
+      s.width == w && s.height == h && s.nPixels == w.toLong * h &&
+        s.sumR == sr && s.sumG == sg && s.sumB == sb && s.wsumR == wr
+    })
+  }
+
+  test("pHash banding pigeonhole: any pair within Hamming 3 shares a 16-bit band") {
+    val hashGen = Gen.chooseNum(0L, (1L << 62) - 1)
+    val flipsGen = Gen.listOfN(3, Gen.chooseNum(0, 62))
+    check("band-pigeonhole", Prop.forAll(hashGen, flipsGen) { (h, flips) =>
+      // flip at most 3 bits (duplicate positions flip back — still <= 3)
+      val h2 = flips.foldLeft(h)((acc, b) => acc ^ (1L << b))
+      val dist = java.lang.Long.bitCount(h ^ h2)
+      val shared = (0 until 4).exists(i =>
+        ((h >> (i * 16)) & 0xffff) == ((h2 >> (i * 16)) & 0xffff))
+      dist > 3 || shared
+    })
+  }
+
   test("HLL registers: order-independent reduce (the map-side-combine contract)") {
     check("order-independence", Prop.forAll(hashesGen, Gen.long) { (hs, seed) =>
       val shuffled = new scala.util.Random(seed).shuffle(hs)
