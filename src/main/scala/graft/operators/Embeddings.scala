@@ -77,6 +77,27 @@ object Embeddings {
       .select(col(idCol), (col("pos") + 1).cast("long").as("dim"), col("y"))
   }
 
+  /** Norm-distribution health histogram: squared L2 norms of the quantized
+    * vectors bucketed at fixed width — the two failure modes an embedding
+    * feed shows up with (collapsed vectors piling into bucket 0 after an
+    * encoder regression; exploding norms in the top bucket after a scale
+    * bug) read directly off the shape. Both tails clamped like the drift
+    * bucketer so nothing vanishes from the frame. All integer. */
+  def normHistogram(embs: DataFrame, idCol: String, vecCol: String,
+      width: Long, buckets: Int, offset: Long = 0L): DataFrame = {
+    require(width > 0 && buckets > 1)
+    val n2 = embs.select(col(idCol),
+      VectorFns.norm2Q(VectorFns.quantize(col(vecCol))).as("n2"))
+    // `offset` centers the frame on the expected norm mass (a normalized
+    // corpus concentrates at |v|²≈1, i.e. 1e12 in quantized units — an
+    // unshifted coarse histogram would collapse it into one bucket)
+    n2.groupBy(
+      greatest(least(expr(s"(n2 - $offset) div $width"), lit(buckets - 1L)), lit(0L))
+        .as("bucket"))
+      .agg(count(lit(1)).as("n_vecs"), min(col("n2")).as("min_n2"),
+        max(col("n2")).as("max_n2"))
+  }
+
   /** Label-conditioned outlier flags: per label, the integer-mean centroid
     * (`sum div count` per dim — the kmeans exactness trick), each member's
     * INTEGER squared distance to its own centroid, and a robust flag

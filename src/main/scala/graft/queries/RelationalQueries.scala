@@ -185,6 +185,33 @@ private[graft] trait RelationalQueries extends QueryHelpers {
     }),
 
 
+    "events_touch_attribution" -> ((s, dir) => {
+      // first-touch vs last-touch credit comparison: per purchase, the
+      // earliest and latest qualifying click in the 30-min window (ties by
+      // click id), credited to the click's props-derived channel — the two
+      // models every marketing dashboard argues about, on one relation
+      val ev = events(s, dir)
+      val pairs = graft.streaming.EventStream.attributionJoin(
+        graft.streaming.EventStream.purchaseSide(ev),
+        graft.streaming.EventStream.clickSide(ev), lookbackMin = 30)
+      val chan = ev.select(col("event_id").as("cid"),
+        (get_json_object(col("props"), "$.k").cast("long") % 10).as("channel"))
+      val touched = pairs.groupBy(col("purchase_id"))
+        .agg(min(struct(col("click_ts"), col("click_id"))).as("f"),
+          max(struct(col("click_ts"), col("click_id"))).as("l"))
+        .select(col("purchase_id"), col("f.click_id").as("first_click"),
+          col("l.click_id").as("last_click"))
+      val first = touched
+        .join(chan.select(col("cid").as("first_click"), col("channel")), "first_click")
+        .groupBy(col("channel")).agg(count(lit(1)).as("n_first"))
+      val last = touched
+        .join(chan.select(col("cid").as("last_click"), col("channel")), "last_click")
+        .groupBy(col("channel")).agg(count(lit(1)).as("n_last"))
+      first.join(last, Seq("channel"), "full")
+        .na.fill(0L, Seq("n_first", "n_last"))
+        .orderBy(col("channel"))
+    }),
+
     "q34_salted_flag_stats" -> ((s, dir) => {
       // skew-proof aggregation gated end-to-end: lineitem has only 3
       // returnflag keys (maximal skew — every key is hot), so the plain
@@ -860,6 +887,36 @@ private[graft] trait RelationalQueries extends QueryHelpers {
 
     // streaming HLL: same register/estimate math as sketch_hll_distinct but
     // per event-hour over user_id
+    // window pairs re-derived, first/last by (ts, id), channels from the
+    // same json path, full-outer credit fusion
+    "events_touch_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts AS pts FROM events
+        |  WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT event_id AS click_id, user_id, ts AS cts,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS channel
+        |  FROM events WHERE event_type = 'click'
+        |), pairs AS (
+        |  SELECT p.purchase_id, c.click_id, c.cts, c.channel
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND c.cts >= p.pts - INTERVAL 30 MINUTE AND c.cts <= p.pts
+        |), ranked AS (
+        |  SELECT purchase_id, click_id, channel,
+        |    row_number() OVER (PARTITION BY purchase_id ORDER BY cts ASC, click_id ASC) AS rf,
+        |    row_number() OVER (PARTITION BY purchase_id ORDER BY cts DESC, click_id DESC) AS rl
+        |  FROM pairs
+        |), f AS (
+        |  SELECT channel, CAST(count(*) AS BIGINT) AS n_first FROM ranked WHERE rf = 1 GROUP BY 1
+        |), l AS (
+        |  SELECT channel, CAST(count(*) AS BIGINT) AS n_last FROM ranked WHERE rl = 1 GROUP BY 1
+        |)
+        |SELECT coalesce(f.channel, l.channel) AS channel,
+        |  CAST(coalesce(f.n_first, 0) AS BIGINT) AS n_first,
+        |  CAST(coalesce(l.n_last, 0) AS BIGINT) AS n_last
+        |FROM f FULL OUTER JOIN l ON f.channel = l.channel
+        |ORDER BY channel""".stripMargin,
+
     // plain dimension join — the salted plan must reproduce it exactly
     "q35_salted_type_enrich" ->
       """WITH dim(event_type, weight) AS (VALUES

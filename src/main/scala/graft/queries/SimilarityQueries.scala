@@ -27,6 +27,17 @@ private[graft] trait SimilarityQueries extends QueryHelpers {
     }),
 
 
+    "emb_norm_histogram" -> ((s, dir) => {
+      // embedding-feed health: squared-norm histogram centered on the
+      // unit-norm mass (collapsed vectors pile into bucket 0, scale bugs
+      // into the top bucket) — all integer, tails clamped
+      graft.operators.Embeddings.normHistogram(
+        spread(t(s, dir, "embeddings")), "vec_id", "embedding",
+        width = 500000L, buckets = 12, offset = 999997000000L)
+        .orderBy(col("bucket"))
+    }),
+
+
     "emb_centroid_outliers" -> ((s, dir) => {
       // mislabeled-embedding detector: integer-mean centroid per label,
       // BIGINT squared distance to own centroid, robust 1.5×-median flag
@@ -542,6 +553,19 @@ private[graft] trait SimilarityQueries extends QueryHelpers {
         |SELECT query_id, rank, neighbor_id, cosine FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+
+    // clamped offset-centered buckets over the quantized squared norms
+    "emb_norm_histogram" ->
+      """WITH q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, CAST(list_sum([x*x FOR x IN qv]) AS BIGINT) AS n2 FROM q
+        |)
+        |SELECT CAST(greatest(least((n2 - 999997000000) // 500000, 11), 0) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(min(n2) AS BIGINT) AS min_n2, CAST(max(n2) AS BIGINT) AS max_n2
+        |FROM n GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     // centroid, distance, median and flag all re-derived in BIGINT
     "emb_centroid_outliers" ->

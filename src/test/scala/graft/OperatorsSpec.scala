@@ -1928,6 +1928,23 @@ class OperatorsSpec extends SparkSuite {
     assert(e.errors.exists(_.contains("min_avg_micro")))
   }
 
+  test("touch attribution: first and last credits each sum to the attributed purchases") {
+    val df = SparkEntry.queries("events_touch_attribution")(spark, "/root/testdata/sf0.001")
+    val r = df.agg(sum("n_first"), sum("n_last")).head()
+    assert(r.getLong(0) == r.getLong(1) && r.getLong(0) > 0)
+  }
+
+  test("normHistogram: mass conserved, tails clamp into the frame") {
+    val vs = Seq((1L, Seq(1e-3f, 0f)), (2L, Seq(2e-3f, 0f)), (3L, Seq(0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val h = Embeddings.normHistogram(vs, "vec_id", "embedding", width = 1000000L,
+      buckets = 4)
+    assert(h.agg(sum("n_vecs")).head().getLong(0) == 3L)
+    // n2 values: 1e6, 4e6 (clamps to top bucket 3), 0
+    val m = h.collect().map(r => (r.getLong(0), r.getAs[Long]("n_vecs"))).toMap
+    assert(m == Map(0L -> 1L, 1L -> 1L, 3L -> 1L))
+  }
+
   test("scd2Apply: chains close and open, new keys insert, dup batches refuse") {
     import graft.operators.Upsert
     def ts(v: String) = java.sql.Timestamp.valueOf(v)
