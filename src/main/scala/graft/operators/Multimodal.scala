@@ -529,6 +529,13 @@ object Multimodal {
       i += 1
     }
     if (prefix != -1) bits.write(prefix, codeSize)
+    // mirror the decoder's one-early bump for the EOI read: processing the
+    // final data code adds one dictionary entry on the decoder side, and if
+    // that lands on 2^size−1 the decoder widens BEFORE reading EOI — the
+    // encoder must widen with it (every other code is followed by an
+    // encoder-side add that re-synchronizes; EOI is not). Caught by the
+    // scalacheck round-trip property, not the gate fixtures.
+    if (nextCode == (1 << codeSize) - 1 && codeSize < 12) codeSize += 1
     bits.write(eoi, codeSize)
     bits.toArray
   }
