@@ -1829,6 +1829,22 @@ class OperatorsSpec extends SparkSuite {
     assert(r.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 0L)))
   }
 
+  test("wordpiece segmentation is lossless: pieces reassemble every word (randomized corpus)") {
+    val rnd = new scala.util.Random(42)
+    val words = (1 to 120).map(_ =>
+      (1 to (1 + rnd.nextInt(10))).map(_ => ('a' + rnd.nextInt(5)).toChar).mkString)
+    val docs = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, (w + " ") * (1 + i % 4)) }
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.wordpiece(docs, "text").collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val rebuilt = row.getAs[String]("pieces").replace(" ##", "")
+      assert(rebuilt == row.getString(0),
+        s"${row.getString(0)} -> ${row.getAs[String]("pieces")}")
+    }
+  }
+
   test("wordpiece: greedy longest match, position-dependent vocab, rare words fall to chars") {
     val docs = ((1 to 60).map(i => (i.toLong, "unhappy happy")) ++
       (61 to 63).map(i => (i.toLong, "zq"))).toDF("doc_id", "text")

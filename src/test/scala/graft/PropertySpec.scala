@@ -65,6 +65,64 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("PNG: decode(encode(x)) reproduces arbitrary pixel grids through all five filters") {
+    import graft.operators.Multimodal
+    val dimGen = Gen.chooseNum(1, 24)
+    check("png-roundtrip", Prop.forAll(dimGen, dimGen, Gen.long) { (w, h, seed) =>
+      def ch(x: Int, y: Int, salt: Int): Int =
+        (((x * 2654435761L + y * 40503L + seed + salt * 97L) >>> 7) & 0xff).toInt
+      val s = Multimodal.pngDecode(Multimodal.pngEncode(w, h,
+        (x, y) => (ch(x, y, 0), ch(x, y, 1), ch(x, y, 2))))
+      var (sr, sg, sb, wr) = (0L, 0L, 0L, 0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          sr += ch(x, y, 0); sg += ch(x, y, 1); sb += ch(x, y, 2)
+          wr += (y + 1).toLong * ch(x, y, 0)
+          x += 1
+        }
+        y += 1
+      }
+      s.width == w && s.height == h &&
+        s.sumR == sr && s.sumG == sg && s.sumB == sb && s.wsumR == wr
+    })
+  }
+
+  test("WAV: decode(encode(x)) reproduces arbitrary interleaved PCM16 streams") {
+    import graft.operators.Multimodal
+    check("wav-roundtrip", Prop.forAll(
+      Gen.chooseNum(1, 2), Gen.chooseNum(1, 300), Gen.long) { (chans, frames, seed) =>
+      val samples = Array.tabulate(frames * chans)(i =>
+        (((i * 2654435761L + seed) >> 9) & 0xffff).toShort)
+      val s = Multimodal.wavDecode(Multimodal.wavEncode(8000, chans, samples))
+      var (sa, en, wc) = (0L, 0L, 0L)
+      var i = 0
+      while (i < samples.length) {
+        val v = samples(i).toLong
+        sa += math.abs(v); en += v * v
+        if (i % chans == 0) wc += (i / chans + 1).toLong * v
+        i += 1
+      }
+      s.channels == chans && s.nFrames == frames.toLong &&
+        s.sumAbs == sa && s.energy == en && s.wsumC0 == wc
+    })
+  }
+
+  test("BMP: decode(encode(x)) reproduces arbitrary pixel grids (stride padding, flip)") {
+    import graft.operators.Multimodal
+    val dimGen = Gen.chooseNum(1, 24)
+    check("bmp-roundtrip", Prop.forAll(dimGen, dimGen, Gen.long) { (w, h, seed) =>
+      def ch(x: Int, y: Int, salt: Int): Int =
+        (((x * 48271L + y * 69621L + seed + salt * 131L) >>> 5) & 0xff).toInt
+      val s = Multimodal.bmpDecode(Multimodal.bmpEncode(w, h,
+        (x, y) => (ch(x, y, 0), ch(x, y, 1), ch(x, y, 2))))
+      var (sr, wr) = (0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) { sr += ch(x, y, 0); wr += (y + 1).toLong * ch(x, y, 0) }
+      s.width == w && s.height == h && s.sumR == sr && s.wsumR == wr
+    })
+  }
+
   test("HLL registers: order-independent reduce (the map-side-combine contract)") {
     check("order-independence", Prop.forAll(hashesGen, Gen.long) { (hs, seed) =>
       val shuffled = new scala.util.Random(seed).shuffle(hs)
