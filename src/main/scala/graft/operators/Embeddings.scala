@@ -83,10 +83,10 @@ object Embeddings {
     * encoder regression; exploding norms in the top bucket after a scale
     * bug) read directly off the shape. Both tails clamped like the drift
     * bucketer so nothing vanishes from the frame. All integer. */
-  def normHistogram(embs: DataFrame, idCol: String, vecCol: String,
+  def normHistogram(embs: DataFrame, vecCol: String,
       width: Long, buckets: Int, offset: Long = 0L): DataFrame = {
     require(width > 0 && buckets > 1)
-    val n2 = embs.select(col(idCol),
+    val n2 = embs.select(
       VectorFns.norm2Q(VectorFns.quantize(col(vecCol))).as("n2"))
     // `offset` centers the frame on the expected norm mass (a normalized
     // corpus concentrates at |v|²≈1, i.e. 1e12 in quantized units — an

@@ -47,9 +47,12 @@ object Upsert {
     *
     * `base` is the existing history (pass `initScd2`'s output on first
     * load); `changes` carries the key, the new attribute columns and
-    * `effCol`. At most one change per key per batch (standard SCD contract
-    * — feed finer-grained feeds through the batch boundary or pre-collapse
-    * them; violations throw rather than pick silently). All timestamp
+    * `effCol`. At most one NON-NULL-timed change per key per batch
+    * (standard SCD contract — feed finer-grained feeds through the batch
+    * boundary or pre-collapse them); duplicates and null effective times
+    * are refused up front in one validation job, and an effective time
+    * that would INVERT an open interval raises at execution — every
+    * chain-corrupting input throws rather than picks silently. All timestamp
     * comparisons are exact; rows are never mutated, only closed — history
     * is append-shaped, which is what makes this a narrow join + union at
     * any scale (one equi-join of base against the change keys; no window).
@@ -57,16 +60,32 @@ object Upsert {
   def scd2Apply(base: DataFrame, changes: DataFrame, keyCol: String,
       effCol: String, attrCols: Seq[String]): DataFrame = {
     require(attrCols.nonEmpty, "need at least one attribute column")
-    val dupCount = changes.groupBy(col(keyCol)).count().filter(col("count") > 1).count()
-    require(dupCount == 0, s"$dupCount keys carry multiple changes in one batch")
+    // ONE validation job: duplicate keys AND null effective times are both
+    // chain-corrupting (a null eff would leave two is_current versions) —
+    // refused up front, together
+    val bad = changes.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col(effCol).isNull, 1L).otherwise(0L)).as("n"))
+      .agg(sum(when(col("c") > 1, 1L).otherwise(0L)).as("dups"), sum(col("n")).as("nulls"))
+      .head()
+    require(bad.getLong(0) == 0 && bad.getLong(1) == 0,
+      s"refusing ambiguous batch: ${bad.getLong(0)} duplicated keys, " +
+        s"${bad.getLong(1)} null effective times")
     val ch = changes.select((col(keyCol) +: col(effCol).as("__eff") +:
       attrCols.map(col)): _*)
     val chKeyed = ch.select(col(keyCol), col("__eff"))
-    // close the open version of every changed key at the change's time
+    // close the open version of every changed key at the change's time; an
+    // effective time BEFORE the open version's start would invert the
+    // interval AND overlap the new version — the raise_error fires at
+    // execution (inside the kept valid_to expression, so never pruned)
     val closed = base
       .join(chKeyed, Seq(keyCol), "left")
       .withColumn("valid_to",
-        when(col("is_current") === 1L && col("__eff").isNotNull, col("__eff"))
+        when(col("is_current") === 1L && col("__eff").isNotNull,
+          when(col("__eff") < col("valid_from"),
+            raise_error(concat(lit("scd2: effective time precedes the open version for key "),
+              col(keyCol).cast("string"))).cast("timestamp"))
+            .otherwise(col("__eff")))
           .otherwise(col("valid_to")))
       .withColumn("is_current",
         when(col("__eff").isNotNull, lit(0L)).otherwise(col("is_current")))

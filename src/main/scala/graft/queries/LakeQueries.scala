@@ -132,7 +132,9 @@ private[graft] trait LakeQueries extends QueryHelpers {
       // customer as they were at order time" joins become possible
       import graft.operators.Upsert
       val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
-      def ts(v: String) = lit(java.sql.Timestamp.valueOf(v))
+      // session-timezone-safe literals (Timestamp.valueOf parses in the
+      // JVM-default zone and would shift every boundary on a non-UTC box)
+      def ts(v: String) = lit(v).cast("timestamp")
       val init = Upsert.initScd2(
         cust.withColumn("eff", ts("2020-01-01 00:00:00")),
         "c_custkey", "eff", Seq("c_acctbal"))
@@ -153,9 +155,9 @@ private[graft] trait LakeQueries extends QueryHelpers {
       // no nested loop; intervals partition time so exactly one version
       // matches). History: all customers from 1990, %10 re-priced 1997,
       // %20 again 1999 — order dates 1995-2001 straddle all three
-      import graft.operators.Upsert
+      import graft.operators.{AsOf, Upsert}
       val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
-      def ts(v: String) = lit(java.sql.Timestamp.valueOf(v))
+      def ts(v: String) = lit(v).cast("timestamp")
       val init = Upsert.initScd2(
         cust.withColumn("eff", ts("1990-01-01 00:00:00")),
         "c_custkey", "eff", Seq("c_acctbal"))
@@ -169,10 +171,12 @@ private[graft] trait LakeQueries extends QueryHelpers {
       val hist = Upsert.scd2Apply(h1, ch2, "c_custkey", "eff", Seq("c_acctbal"))
       val o = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
-      o.join(hist,
-        o("o_custkey") === hist("c_custkey")
-          && col("o_orderdate") >= col("valid_from")
-          && (col("valid_to").isNull || col("o_orderdate") < col("valid_to")))
+      // the version valid at order time IS the backward as-of (latest
+      // valid_from <= order date — chains partition time, so valid_to is
+      // implied): AsOf's union+window shape does |L|+|R| work where the
+      // naive key-join would fan every order out over its full chain
+      AsOf.asofJoin(o, hist, "o_custkey", "c_custkey",
+        "o_orderdate", "valid_from", Seq("c_acctbal", "valid_from"))
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
           col("c_acctbal").as("acctbal_at_order"), col("valid_from"))
         .orderBy(col("o_orderkey"))
@@ -346,8 +350,6 @@ private[graft] trait LakeQueries extends QueryHelpers {
         |ORDER BY doc_id""".stripMargin,
 
 
-    // same MERGE semantics as corpus_upsert — but executed through the
-    // versioned-manifest commit protocol (v1 init + copy-on-write v2)
     // history re-derived with the 1990/1997/1999 chain, interval-matched
     // per order date
     "q33_orders_asof_dim" ->
@@ -396,6 +398,8 @@ private[graft] trait LakeQueries extends QueryHelpers {
         |  CAST(cur AS BIGINT) AS is_current
         |FROM u ORDER BY c_custkey, valid_from""".stripMargin,
 
+    // same MERGE semantics as corpus_upsert — but executed through the
+    // versioned-manifest commit protocol (v1 init + copy-on-write v2)
     "lake_versioned_merge" ->
       """WITH changes AS (
         |  SELECT doc_id,

@@ -194,8 +194,9 @@ private[graft] trait RelationalQueries extends QueryHelpers {
       val pairs = graft.streaming.EventStream.attributionJoin(
         graft.streaming.EventStream.purchaseSide(ev),
         graft.streaming.EventStream.clickSide(ev), lookbackMin = 30)
-      val chan = ev.select(col("event_id").as("cid"),
-        (get_json_object(col("props"), "$.k").cast("long") % 10).as("channel"))
+      val chan = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("cid"),
+          (get_json_object(col("props"), "$.k").cast("long") % 10).as("channel"))
       val touched = pairs.groupBy(col("purchase_id"))
         .agg(min(struct(col("click_ts"), col("click_id"))).as("f"),
           max(struct(col("click_ts"), col("click_id"))).as("l"))
@@ -885,8 +886,6 @@ private[graft] trait RelationalQueries extends QueryHelpers {
         |GROUP BY 1, 2, 3 ORDER BY hour, family, bucket""".stripMargin,
 
 
-    // streaming HLL: same register/estimate math as sketch_hll_distinct but
-    // per event-hour over user_id
     // window pairs re-derived, first/last by (ts, id), channels from the
     // same json path, full-outer credit fusion
     "events_touch_attribution" ->
@@ -935,6 +934,8 @@ private[graft] trait RelationalQueries extends QueryHelpers {
         |  CAST(max(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_cents
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
+    // streaming HLL: same register/estimate math as sketch_hll_distinct but
+    // per event-hour over user_id
     "q21_hourly_distinct_stream" ->
       """WITH h AS (
         |  SELECT date_trunc('hour', ts) AS hour,

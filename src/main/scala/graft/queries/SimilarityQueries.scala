@@ -32,7 +32,7 @@ private[graft] trait SimilarityQueries extends QueryHelpers {
       // unit-norm mass (collapsed vectors pile into bucket 0, scale bugs
       // into the top bucket) — all integer, tails clamped
       graft.operators.Embeddings.normHistogram(
-        spread(t(s, dir, "embeddings")), "vec_id", "embedding",
+        spread(t(s, dir, "embeddings")), "embedding",
         width = 500000L, buckets = 12, offset = 999997000000L)
         .orderBy(col("bucket"))
     }),

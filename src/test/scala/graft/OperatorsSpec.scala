@@ -1953,8 +1953,7 @@ class OperatorsSpec extends SparkSuite {
   test("normHistogram: mass conserved, tails clamp into the frame") {
     val vs = Seq((1L, Seq(1e-3f, 0f)), (2L, Seq(2e-3f, 0f)), (3L, Seq(0f, 0f)))
       .toDF("vec_id", "embedding")
-    val h = Embeddings.normHistogram(vs, "vec_id", "embedding", width = 1000000L,
-      buckets = 4)
+    val h = Embeddings.normHistogram(vs, "embedding", width = 1000000L, buckets = 4)
     assert(h.agg(sum("n_vecs")).head().getLong(0) == 3L)
     // n2 values: 1e6, 4e6 (clamps to top bucket 3), 0
     val m = h.collect().map(r => (r.getLong(0), r.getAs[Long]("n_vecs"))).toMap
@@ -1984,6 +1983,19 @@ class OperatorsSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       Upsert.scd2Apply(init, dup, "k", "eff", Seq("bal"))
     }
+    // a NULL effective time would leave two is_current versions — refused
+    val nullEff = Seq((1L, 1.0, null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("k", "bal", "eff")
+    intercept[IllegalArgumentException] {
+      Upsert.scd2Apply(init, nullEff, "k", "eff", Seq("bal"))
+    }
+    // an effective time BEFORE the open version inverts the interval —
+    // raises at execution rather than corrupting the chain
+    val backwards = Seq((1L, 1.0, ts("2019-06-01 00:00:00"))).toDF("k", "bal", "eff")
+    val e = intercept[Exception] {
+      Upsert.scd2Apply(init, backwards, "k", "eff", Seq("bal")).collect()
+    }
+    assert(e.getMessage.contains("effective time precedes"), e.getMessage)
   }
 
   test("weeklyProfile: ISO dow mapping, shares and peak flag hand case") {
