@@ -29,6 +29,13 @@ object MicroBench {
           val n = r.count()
           println(s"  bpe rounds=$n cycles=${graft.operators.TextAnalysis.lastBpeBatchRounds}")
         }
+        else if (Bench.genCells.exists(_._1 == q)) { () =>
+          // generator cell: genRate already takes min-of-3 internally and
+          // returns rows/s; report the rate per sample position
+          val (_, rows, yaml) = Bench.genCells.find(_._1 == q).get
+          val rate = Bench.genRate(spark, rows, yaml)
+          println(f"  $q rows/s (min-of-3): $rate%.0f")
+        }
         else { () =>
           SparkEntry.queries(q)(spark, sfDir).write.format("noop").mode(SaveMode.Overwrite).save()
         }

@@ -214,29 +214,35 @@ object Values {
       }
     }
 
-    /** Per-length prefix counts over the lex-ordered word list:
-      * `pref(i)(k)` = number of words of length `lens(i)` among the first
-      * `k` words. Backs the binary-search word selection in [[text]].
-      * @transient lazy: ~dozen × N ints, rebuilt once per JVM instead of
+    /** Full cumulative rank table over the lex-ordered word list, one row per
+      * `remaining` budget: `rankTable(r*(W+1) + k)` = number of texts whose
+      * first word is among the first `k` words when `r` characters remain
+      * (Σ_{w<k, len(w)+1 ≤ r} completions(r − len(w) − 1)). Word selection in
+      * [[text]] is then one flat binary search with O(1) probes — the
+      * round-10 corpus growth (1.6k → 12.3k words) made any per-probe O(L)
+      * re-weighting 93% of gen_text's cost. Partial sums are monotone and
+      * bounded by completions(r) ≤ Long.MaxValue, so no overflow.
+      * Size: (completions.length) × (W+1) longs ≈ 6 MB at text's 64-char
+      * bench shape. @transient lazy: rebuilt once per JVM instead of
       * shipping with every task closure. */
-    @transient lazy val wordLenPrefix: (Array[Int], Array[Int]) = {
+    @transient lazy val rankTable: Array[Long] = {
       val words = locale.words
-      val lens = words.map(_.length).distinct.sorted
-      val idxOf = new Array[Int](if (lens.isEmpty) 1 else lens.max + 1)
-      lens.zipWithIndex.foreach { case (l, i) => idxOf(l) = i }
-      // transposed/flattened (row-major by k): prefT(k*L + i) = #words of
-      // length lens(i) among the first k — one binary-search probe reads
-      // one contiguous L-int row (a cache line or two), not L scattered
-      // arrays
-      val L = lens.length
-      val prefT = new Array[Int]((words.length + 1) * L)
-      var k = 0
-      while (k < words.length) {
-        System.arraycopy(prefT, k * L, prefT, (k + 1) * L, L)
-        prefT((k + 1) * L + idxOf(words(k).length)) += 1
-        k += 1
+      val w1 = words.length + 1
+      val rows = completions.length
+      val rt = new Array[Long](rows * w1)
+      var r = 2 // rows 0/1 never reach word selection (one-letter branch)
+      while (r < rows) {
+        val base = r * w1
+        var k = 0
+        while (k < words.length) {
+          val wLen = words(k).length + 1
+          rt(base + k + 1) =
+            rt(base + k) + (if (wLen <= r) completions(r - wLen) else 0L)
+          k += 1
+        }
+        r += 1
       }
-      (lens, prefT)
+      rt
     }
 
     def valuesCount: Double = {
@@ -405,30 +411,12 @@ object Values {
         remaining = 0
       } else {
         // The lex-order scan ("first word whose running completions-sum
-        // exceeds number") only depends on HOW MANY words of each length
-        // precede a given index, so per-length prefix counts + binary
-        // search select the bit-identical word in O(lengths · log words)
-        // instead of O(words) — the round-10 corpus growth (1.6k → 6.9k
-        // words) made the linear scan 93% of gen_text's cost.
-        val (lens, prefT) = s.wordLenPrefix
-        val L = lens.length
-        // weights hoisted out of the probe loop: 0 for lengths that don't
-        // fit keeps the sum branchless (pref * 0 contributes nothing)
-        val wt = new Array[Long](L)
-        var li = 0
-        while (li < L) {
-          val wLen = lens(li) + 1
-          wt(li) = if (wLen <= remaining) s.completions(remaining - wLen) else 0L
-          li += 1
-        }
-        def fsum(k: Int): Long = {
-          var sum = 0L
-          var i = 0
-          val base = k * L
-          while (i < L) { sum += prefT(base + i) * wt(i); i += 1 }
-          sum
-        }
-        if (number >= fsum(words.length)) ok = false // scan would fall off the end
+        // exceeds number") reads one precomputed rank-table row for this
+        // `remaining` budget — binary search with O(1) probes (see
+        // [[StringSpec.rankTable]]).
+        val rt = s.rankTable
+        val base = remaining * (words.length + 1)
+        if (number >= rt(base + words.length)) ok = false // scan would fall off the end
         else {
           // smallest w with F(w+1) > number; F flat at ineligible words, so
           // the minimal w is always an eligible (wLen <= remaining) word
@@ -436,9 +424,9 @@ object Values {
           var hi = words.length - 1
           while (lo < hi) {
             val mid = (lo + hi) >>> 1
-            if (fsum(mid + 1) > number) hi = mid else lo = mid + 1
+            if (rt(base + mid + 1) > number) hi = mid else lo = mid + 1
           }
-          number -= fsum(lo)
+          number -= rt(base + lo)
           sb.append(words(lo)).append(Locales.WordsDelimiter)
           textLen += words(lo).length + 1
           remaining -= words(lo).length + 1

@@ -41,7 +41,10 @@ final case class LocaleBundle(
     lastNamesAll.filter(n => n.length >= min && n.length <= max)
   def phonePatternsIn(min: Int, max: Int): Array[String] =
     phonePatterns.filter(p => p.length >= min && p.length <= max)
-  def oneLetterWords: Array[String] = words.filter(_.length == 1)
+  /** Cached: `text()` reads this once per generated VALUE — as a plain def
+    * the O(words) filter was 90%+ of gen_text's cost once the corpus grew
+    * to 12k words (the round-10 8.4x throughput collapse). */
+  @transient lazy val oneLetterWords: Array[String] = words.filter(_.length == 1)
 }
 
 object Locales {

@@ -74,6 +74,40 @@ class BenchGateSpec extends AnyFunSuite {
       s"bench archive and SparkEntry.queries diverge — re-run graft.Bench:\n${diff.mkString("\n")}")
   }
 
+  test("genRegressions flags >2x rows/s drops and only those (higher-is-better)") {
+    val floors = Map("gen_a" -> 1000000.0, "gen_b" -> 1000000.0, "gen_c" -> 1000000.0)
+    val rates = Map(
+      "gen_a" -> 400000.0, // 2.5x drop — regression
+      "gen_b" -> 600000.0, // 1.7x drop — noise band
+      "gen_new" -> 1.0) // no floor — never flagged
+    val regs = Bench.genRegressions(rates, floors)
+    assert(regs.size == 1 && regs.head.startsWith("gen_a:"), regs.toString)
+    // inflation relaxes the gate the same way query cells do
+    assert(Bench.genRegressions(rates, floors, inflation = 1.5).isEmpty)
+    assert(Bench.genRegressions(Map("g" -> 1.0), Map("g" -> 0.0)).isEmpty,
+      "a zero floor must not flag")
+  }
+
+  test("parseGenFloors reads the generator_rows_per_sec block") {
+    val json = """{"queries":{"q1":1.0},"generator_rows_per_sec":{"gen_text":311020,"gen_uuid":9618840}}"""
+    assert(Bench.parseGenFloors(json) ==
+      Map("gen_text" -> 311020.0, "gen_uuid" -> 9618840.0))
+    assert(Bench.parseGenFloors("""{"queries":{"q":1}}""").isEmpty)
+  }
+
+  test("committed floors file carries generator floors (gen gate is live)") {
+    val p = java.nio.file.Paths.get("bench_floors.json")
+    assume(java.nio.file.Files.exists(p))
+    val gf = Bench.parseGenFloors(
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+    val missing = Bench.genCells.map(_._1).filterNot(gf.contains)
+    assert(missing.isEmpty, s"generator cells without floors: $missing")
+  }
+
+  test("microBenchConfirm with no flagged cells spawns nothing") {
+    assert(Bench.microBenchConfirm(Nil, "/tmp").isEmpty)
+  }
+
   test("parseFloors reads the bench_full record's per-query minima") {
     val json = """{"metric":"total_query_secs","value":3.0,"unit":"sec",
       |"queries":{"q1":1.25,"q2":0.75},"sf":"/x"}""".stripMargin
