@@ -590,9 +590,8 @@ object Behavior {
       .groupBy(col("user_id"))
       .agg(sum(col("n_c")).as("n_events"), count(lit(1)).as("n_types"),
         sum(col("n_c") * Features.qln(col("n_c"))).as("s"))
-      .withColumn("entropy_micro",
-        expr("(n_events * cast(floor(ln(cast(n_events as double)) * 1e6 + 0.5) as long) - s)" +
-          " div n_events"))
+      .withColumn("__qn", Features.qln(col("n_events")))
+      .withColumn("entropy_micro", expr("(n_events * __qn - s) div n_events"))
       .select(col("user_id"), col("n_events"), col("n_types"), col("entropy_micro"))
   }
 

@@ -27,11 +27,18 @@ object Quality {
     * contract as [[check]]. Integer per-mille, no float. */
   def completeness(df: DataFrame, groupCol: String, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column to audit")
-    val nullSums = cols.map(c =>
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__n_$c"))
+    // names are interpolated into the stack() SQL below: escape quotes in
+    // the label literal and backtick-quote the aliases so a column named
+    // `weird col` (or worse) can't parse-error or mis-bind
+    cols.foreach(c => require(!c.contains("`"),
+      s"column name with a backtick cannot be audited: $c"))
+    val nullSums = cols.map(c => // backtick-quoted: a dot in a plain col()
+      // reference would resolve as struct-field access, not a column name
+      sum(when(col(s"`$c`").isNull, 1L).otherwise(0L)).as(s"__n_$c"))
     val base = df.groupBy(col(groupCol).as("grp"))
       .agg(count(lit(1)).as("n_rows"), nullSums: _*)
-    val stackArgs = cols.map(c => s"'$c', __n_$c").mkString(", ")
+    val stackArgs = cols.map(c =>
+      s"'${c.replace("'", "''")}', `__n_$c`").mkString(", ")
     base.select(col("grp").as(groupCol), col("n_rows"),
       expr(s"stack(${cols.size}, $stackArgs) as (column, n_nulls)"))
       .withColumn("null_permille", expr("n_nulls * 1000 div n_rows"))

@@ -66,7 +66,10 @@ object Upsert {
     val bad = changes.groupBy(col(keyCol))
       .agg(count(lit(1)).as("c"),
         sum(when(col(effCol).isNull, 1L).otherwise(0L)).as("n"))
-      .agg(sum(when(col("c") > 1, 1L).otherwise(0L)).as("dups"), sum(col("n")).as("nulls"))
+      // coalesce: over an EMPTY change batch the sums are NULL and the
+      // primitive getLong would NPE — an empty batch is a valid no-op
+      .agg(coalesce(sum(when(col("c") > 1, 1L).otherwise(0L)), lit(0L)).as("dups"),
+        coalesce(sum(col("n")), lit(0L)).as("nulls"))
       .head()
     require(bad.getLong(0) == 0 && bad.getLong(1) == 0,
       s"refusing ambiguous batch: ${bad.getLong(0)} duplicated keys, " +

@@ -1996,6 +1996,26 @@ class OperatorsSpec extends SparkSuite {
       Upsert.scd2Apply(init, backwards, "k", "eff", Seq("bal")).collect()
     }
     assert(e.getMessage.contains("effective time precedes"), e.getMessage)
+    // an EMPTY incremental batch is a realistic no-op, not an NPE (the
+    // validation sums over zero groups are NULL without the coalesce)
+    val empty = Seq.empty[(Long, Double, java.sql.Timestamp)].toDF("k", "bal", "eff")
+    val noop = Upsert.scd2Apply(init, empty, "k", "eff", Seq("bal"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getAs[Long]("is_current")))
+    assert(noop.toSeq == Seq((1L, 1L), (2L, 1L)))
+  }
+
+  test("completeness survives quoted / spaced / dotted column names") {
+    import graft.operators.Quality
+    val df = Seq(("a", Some(1L), "x"), ("a", None, "y"))
+      .toDF("src", "weird col", "it's.dotted")
+    val r = Quality.completeness(df, "src", Seq("weird col", "it's.dotted"))
+      .orderBy("column").collect()
+      .map(x => (x.getAs[String]("column"), x.getAs[Long]("n_nulls")))
+    assert(r.toSeq == Seq(("it's.dotted", 0L), ("weird col", 1L)))
+    intercept[IllegalArgumentException] {
+      Quality.completeness(df.withColumnRenamed("weird col", "back`tick"),
+        "src", Seq("back`tick"))
+    }
   }
 
   test("weeklyProfile: ISO dow mapping, shares and peak flag hand case") {
