@@ -148,6 +148,11 @@ object Main {
       spark.sparkContext.setLogLevel("WARN")
       graft.server.TaskServer.start(spark, port).join()
 
+    case "version" :: Nil =>
+      // reference `cli/commands/version/version.go:14-21` ("SDVG version x")
+      println(s"graft version $Version (Spark ${org.apache.spark.SPARK_VERSION}, " +
+        s"Scala ${scala.util.Properties.versionNumberString})")
+
     case _ =>
       System.err.println(
         """usage:
@@ -156,7 +161,13 @@ object Main {
           |  generate-config description [save-path]           (interactive)
           |  generate-config <description|sql-query|data-sample> <in> <out>
           |  curate <pipeline.yml> <in.parquet|jsonl> <out>
-          |  serve [port]""".stripMargin)
+          |  serve [port]
+          |  version""".stripMargin)
       sys.exit(2)
   }
+
+  /** Build identifier: the jar manifest's Implementation-Version when run
+    * from a packaged jar, the sbt build version otherwise. */
+  private[graft] def Version: String =
+    Option(getClass.getPackage.getImplementationVersion).getOrElse("0.1.0")
 }

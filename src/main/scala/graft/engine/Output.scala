@@ -216,21 +216,43 @@ object Output {
     }
   }
 
+  /** Spark's directory name for a null partition value. The reference
+    * writes the literal `col=null` instead (`model_writer.go:226-227`). */
+  private val HiveNullDir = "__HIVE_DEFAULT_PARTITION__"
+
   /** Post-commit rename of `__p_col=v` hive dirs to `col=v` (recursively; a
-    * dir level per partition column). Uses the Hadoop FileSystem API so it
+    * dir level per partition column), plus null-partition layout parity:
+    * `col=__HIVE_DEFAULT_PARTITION__` becomes the reference's `col=null`
+    * (`model_writer.go:226-227`). Uses the Hadoop FileSystem API so it
     * works on any supported filesystem (rename is O(1) on HDFS/local;
     * copy-based on object stores — a documented cost of write_to_output). */
   private def renameShadowPartitionDirs(spark: SparkSession, root: String): Unit = {
     val hadoopPath = new org.apache.hadoop.fs.Path(root)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hadoopPath)) return
+    // A RESUME append re-creates the pre-rename dir while the renamed one
+    // already exists; rename-onto-existing-dir is fs-dependent (fails, or
+    // worse NESTS src under dst) — merge recursively instead. Part-file
+    // names are job-unique (UUID per write job), so file moves never clash.
+    def mergeInto(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit = {
+      if (!fs.exists(dst)) { fs.rename(src, dst); return }
+      fs.listStatus(src).foreach { c =>
+        val d = new org.apache.hadoop.fs.Path(dst, c.getPath.getName)
+        if (c.isDirectory) mergeInto(c.getPath, d)
+        else fs.rename(c.getPath, d)
+      }
+      fs.delete(src, true)
+    }
     def walk(p: org.apache.hadoop.fs.Path): Unit = {
       fs.listStatus(p).filter(_.isDirectory).foreach { st =>
         val name = st.getPath.getName
+        var fixed = if (name.startsWith(ShadowPrefix)) name.stripPrefix(ShadowPrefix) else name
+        if (fixed.endsWith(s"=$HiveNullDir"))
+          fixed = fixed.stripSuffix(HiveNullDir) + "null"
         val target =
-          if (name.startsWith(ShadowPrefix)) {
-            val renamed = new org.apache.hadoop.fs.Path(p, name.stripPrefix(ShadowPrefix))
-            fs.rename(st.getPath, renamed)
+          if (fixed != name) {
+            val renamed = new org.apache.hadoop.fs.Path(p, fixed)
+            mergeInto(st.getPath, renamed)
             renamed
           } else st.getPath
         walk(target)

@@ -232,6 +232,48 @@ class ResumeSpec extends SparkSuite {
     assert(back.select("grp").distinct().count() == 3)
   }
 
+  test("null partition values write col=null dirs (reference layout parity), resume counts hold") {
+    // reference model_writer.go:226-227 writes the literal `null` dir, not
+    // Spark's __HIVE_DEFAULT_PARTITION__ — the renamer closes the gap
+    val dir = java.nio.file.Files.createTempDirectory("nullpart").toString
+    // the null draw keys on the VALUE number (reference generator.go:232 —
+    // fastRandomFloat(seed+num)), so a wide domain is needed for a mix of
+    // null and non-null partitions
+    def yaml(upTo: Option[Long]) =
+      s"""
+         |random_seed: 42
+         |output: { type: parquet, dir: $dir }
+         |models:
+         |  m:
+         |    rows_count: 600
+         |${upTo.map(n => s"    generate_to: $n").getOrElse("")}
+         |    columns:
+         |      - { name: v, type: integer, type_params: { bit_width: 64 } }
+         |      - { name: grp, type: integer, type_params: { from: 0, to: 9 }, null_percentage: 0.4 }
+         |    partition_columns:
+         |      - { name: grp }
+         |""".stripMargin
+    Engine.run(spark, ConfigParser.parseYaml(yaml(Some(400L))))
+    def dirNames() = new java.io.File(s"$dir/m").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    val dirs = dirNames()
+    assert(dirs.contains("grp=null"), dirs.toSeq)
+    assert(dirs.exists(d => d != "grp=null"), dirs.toSeq)
+    assert(!dirs.exists(_.contains("HIVE_DEFAULT")), dirs.toSeq)
+    // resume to a larger total: the append re-creates Spark's default dir,
+    // the renamer must MERGE it into the existing grp=null, not nest it
+    val resumed = Engine.resumedConfig(spark, ConfigParser.parseYaml(yaml(None)))
+    assert(resumed.model("m").generateFrom == 400)
+    Engine.run(spark, resumed, resume = true)
+    val dirs2 = dirNames()
+    assert(!dirs2.exists(_.contains("HIVE_DEFAULT")), dirs2.toSeq)
+    val back = spark.read.parquet(s"$dir/m")
+    assert(back.count() == 600, back.count())
+    // no nested leftovers under the merged null dir
+    val nested = new java.io.File(s"$dir/m/grp=null").listFiles().filter(_.isDirectory)
+    assert(nested.isEmpty, nested.map(_.getName).toSeq)
+  }
+
   test("jsonl sink writes newline-delimited JSON, checkpointed and resumable") {
     def yaml(dir: String, generateTo: Option[Long]): String =
       s"""
