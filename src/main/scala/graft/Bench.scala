@@ -160,7 +160,10 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // GC fence between queries: a heavy predecessor's garbage otherwise
       // bleeds collection pauses into THIS query's samples (measured: q2
-      // doubled when run after the pre-salting skew-join monsters)
+      // doubled when run after the pre-salting skew-join monsters); the
+      // Residuals release drops the predecessor's registered caches first
+      // so the fence actually frees them
+      graft.operators.Residuals.release()
       System.gc()
       val samples = (1 to 3).map { _ =>
         time {

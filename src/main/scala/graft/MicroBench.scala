@@ -42,7 +42,9 @@ object MicroBench {
       val secs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         run()
-        (System.nanoTime() - t0) / 1e9
+        val s = (System.nanoTime() - t0) / 1e9
+        graft.operators.Residuals.release() // outside the timed window
+        s
       }
       println(f"MICRO $q%s ${secs.map(s => f"$s%.2f").mkString(" ")}")
     }

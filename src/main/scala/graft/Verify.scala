@@ -32,6 +32,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // consume-boundary: drop this query's residual caches (pagerank
+      // edges, basket streams, CC label checkpoints, …) so a 235-query
+      // gate doesn't accumulate every operator's cached lifetime
+      graft.operators.Residuals.release()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

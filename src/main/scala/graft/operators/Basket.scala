@@ -32,7 +32,7 @@ object Basket {
     // the scan+distinct replays up to four times. Stays cached for the
     // caller's lifetime (same residual contract as connectedComponents).
     val bi = df.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Residuals.persist)
     val n = bi.select(col("b")).distinct().count()
     val itemCounts = bi.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
     liftJoin(bi, itemCounts, n, minSupport)
@@ -57,14 +57,14 @@ object Basket {
       df: DataFrame, basketCol: String, itemCol: String, minSupport: Long,
       minDf: Long, maxDfPerMille: Long): DataFrame = {
     val bi = df.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Residuals.persist)
     val n = bi.select(col("b")).distinct().count()
     val maxDf = n * maxDfPerMille / 1000 // driver Long div == DuckDB `//`
     // persisted: the banded vocabulary feeds the semi-join AND both lift
     // denominators — without the cache each broadcast re-aggregates bi
     val vocab = bi.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
       .filter(col("n_i") >= minDf && col("n_i") <= maxDf)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Residuals.persist)
     val banded = bi.join(broadcast(vocab.select(col("i"))), Seq("i"), "left_semi")
     liftJoin(banded, vocab, n, minSupport)
   }

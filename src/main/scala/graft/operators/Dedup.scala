@@ -509,6 +509,11 @@ object Dedup {
         s"connectedComponents did not converge after $maxIter pointer-jumping rounds " +
           "(component min-reach doubles per round); raise maxIter")
     }
+    // the returned labels are localCheckpoint-backed: register their release
+    // for the caller's consume-boundary (Residuals contract — after
+    // release() the result cannot be replayed)
+    val finLabels = labels
+    Residuals.register(() => releaseCheckpoint(finLabels))
     labels
   }
 

@@ -61,9 +61,9 @@ object Graph {
     val e0 = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
     val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Residuals.persist)
     val e = e0.join(deg, "src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Residuals.persist)
     // every node appears as a src (no dangling): nodes == distinct srcs
     val n = deg.count()
     val base = (Scale * 15L / 100L) / n // exact: both factors integer literals
@@ -91,6 +91,7 @@ object Graph {
         ranks = ck
       }
     }
+    lastCk.foreach(ck => Residuals.register(() => Dedup.releaseCheckpoint(ck)))
     ranks.select(col("node"), col("rank").as("rank_scaled"))
   }
 
@@ -110,9 +111,9 @@ object Graph {
     val e0 = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
     val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Residuals.persist)
     val e = e0.join(deg, "src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Residuals.persist)
     val s = seeds.select(col(seedCol).cast("long").as("node")).distinct()
     val nSeeds = s.count()
     require(nSeeds > 0, "seed set must be non-empty")
@@ -143,6 +144,7 @@ object Graph {
         ranks = ck
       }
     }
+    lastCk.foreach(ck => Residuals.register(() => Dedup.releaseCheckpoint(ck)))
     ranks.select(col("node"), col("rank").as("rank_scaled"))
   }
 
@@ -194,7 +196,7 @@ object Graph {
           struct(col("a").as("s"), col("b").as("t")))
           .otherwise(struct(col("b").as("s"), col("a").as("t"))).as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Residuals.persist)
     val e1 = oriented.as("e1")
     val e2 = oriented.as("e2")
     val e3 = oriented.as("e3")
@@ -247,6 +249,9 @@ object Graph {
       cur.unpersist()
       cur = nextP
     }
+    val fin = cur
+    Residuals.register(() => fin.unpersist(blocking = false))
+    lastCk.foreach(ck => Residuals.register(() => Dedup.releaseCheckpoint(ck)))
     cur.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
   }
 
@@ -272,7 +277,7 @@ object Graph {
       .filter(col("a") =!= col("b"))
     val adj = e0.union(e0.select(col("b").as("a"), col("a").as("b"))).distinct()
       .select(col("a").as("v"), col("b").as("x"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Residuals.persist)
     var labels = adj.select(col("v").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     for (_ <- 1 to rounds) {
@@ -306,7 +311,7 @@ object Graph {
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Residuals.persist)
     var hub = e.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1000000L).as("h"))
     var auth: DataFrame = null
@@ -341,6 +346,7 @@ object Graph {
       hub = h0.select(col("src").as("node"), expr(s"s * 1000000 div $hm").as("h"))
       releaseOld()
     }
+    live.foreach(p => Residuals.register(() => p.unpersist(blocking = false)))
     hub.select(col("node"), lit("hub").as("kind"), col("h").as("score_scaled"))
       .unionByName(auth.select(col("node"), lit("auth").as("kind"), col("a").as("score_scaled")))
   }
@@ -374,7 +380,7 @@ object Graph {
     val und = e0
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Residuals.persist)
     val adj = und.union(und.select(col("b").as("a"), col("a").as("b")))
       .select(col("a").as("w"), col("b").as("x"))
     val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("deg"))
@@ -405,9 +411,9 @@ object Graph {
     // derive the normalized edge set and degrees ONCE; the triangle count
     // reuses both instead of re-scanning/re-deduping the input
     val und = normalizedUnd(edges, srcCol, dstCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Residuals.persist)
     val deg0 = undDegrees(und)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Residuals.persist)
     val deg = deg0.select(col("n").as("node"), col("deg"))
     val tri = trianglesFromUnd(und, deg0)
     deg.join(tri, Seq("node"), "left")
@@ -477,7 +483,7 @@ object Graph {
     val und = e0
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Residuals.persist)
     val lab = labels.select(col(nodeCol).cast("long").as("node"), col(labelCol).as("label"))
     // total undirected edge count, carried as a broadcast 1-row relation
     val m = und.agg(count(lit(1)).as("m"))
@@ -523,7 +529,7 @@ object Graph {
       .distinct()
     val adj = und.union(und.select(col("b").as("a"), col("a").as("b")))
       .select(col("a").as("v"), col("b").as("x"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Residuals.persist)
     var dist = seeds.select(col(seedCol).cast("long").as("node")).distinct()
       .withColumn("dist", lit(0L))
     for (_ <- 1 to rounds) {

@@ -331,6 +331,8 @@ object Similarity {
       assigned.unpersist()
       assigned = next
     }
+    val finAssigned = assigned
+    Residuals.register(() => finAssigned.unpersist(blocking = false))
     val out = assigned.select(col(idCol), col("cell_init"), col("cell").as("cell_refined"))
     out
   }

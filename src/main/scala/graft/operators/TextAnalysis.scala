@@ -244,7 +244,7 @@ object TextAnalysis {
     val words = docs.select(explode(TextFns.tokens(col(textCol))).as("word"))
       .filter(length(col("word")) >= 1 && length(col("word")) <= maxWordLen)
       .groupBy(col("word")).agg(count(lit(1)).as("n_occ"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Residuals.persist)
     val initPieces = words.select(
       explode(array((1 to maxPieceLen).map(l =>
         when(length(col("word")) >= l, substring(col("word"), 1, l))): _*)).as("piece"),
@@ -317,7 +317,7 @@ object TextAnalysis {
     val c12 = docs.select(explode(pairsArr).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Residuals.persist)
     val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val c2 = c12.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
     val nTot = c12.agg(sum(col("c12")).as("n"))

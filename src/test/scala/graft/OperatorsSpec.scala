@@ -112,6 +112,31 @@ class OperatorsSpec extends SparkSuite {
       s"scoped pipeline leaked cached RDDs: ${leaked.values.map(r => s"${r.id}:${r.name}").mkString(", ")}")
   }
 
+  test("Residuals.release drops every registered operator cache (serving-session hygiene)") {
+    // the r10 verdict's storage-creep finding: pagerank/basket/CC leave
+    // caches "for the caller's lifetime" — the registry makes that lifetime
+    // END at a consume-boundary instead of at session death
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 1L)).toDF("s", "d")
+    val pr = Graph.pagerank(edges, "s", "d", iters = 9, checkpointEvery = 4)
+    assert(pr.count() == 4)
+    val baskets = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "a"))
+      .toDF("bkt", "item")
+    assert(Basket.coOccurrence(baskets, "bkt", "item", 1L).count() > 0)
+    assert(graft.operators.Residuals.pending > 0)
+    graft.operators.Residuals.release()
+    assert(graft.operators.Residuals.pending == 0)
+    // releases are async (blocking=false): poll briefly for the empty tab
+    val deadline = System.nanoTime() + 10e9.toLong
+    var leaked = spark.sparkContext.getPersistentRDDs -- before
+    while (leaked.nonEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      leaked = spark.sparkContext.getPersistentRDDs -- before
+    }
+    assert(leaked.isEmpty,
+      s"registered caches survived release: ${leaked.values.map(r => s"${r.id}:${r.name}").mkString(", ")}")
+  }
+
   test("asofJoin: inclusive boundary, no value resurrection across NULL fields, unmatched -> NULL") {
     import graft.operators.AsOf
     val left = Seq((1L, 1L, 5L), (2L, 1L, 10L), (3L, 1L, 25L), (4L, 2L, 50L))
