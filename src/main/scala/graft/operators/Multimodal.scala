@@ -1393,4 +1393,483 @@ object Multimodal {
       })
     spark.createDataFrame(rdd, BmpDecodedSchema)
   }
+
+  // --- real codec: baseline JPEG (grayscale, sequential DCT) ----------------
+  //
+  // The fifth real codec: genuine ITU T.81 baseline JPEG — JFIF markers,
+  // standard Annex-K quantization + Huffman tables, zigzag, DC differential
+  // coding, byte stuffing, canonical Huffman decode, dequantization and an
+  // integer IDCT over a QUANTIZED cosine basis (the mm_phash_dct trick:
+  // fixed-point basis constants make the whole reconstruction exact integer
+  // math, reproducible bit-for-bit by the SQL oracle for DC-only blocks and
+  // by the property test for arbitrary blocks). Grayscale (one component) —
+  // an honest, real-world subset of baseline JPEG; chroma subsampling adds
+  // plumbing but no new decoding concepts.
+
+  /** Annex-K luminance quantization table (zigzag-ORDER-free: natural
+    * row-major order here; zigzagged at write). */
+  private val JpegBaseQt: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+
+  /** Quality-scaled table (libjpeg formula; quality fixed at 75 for the
+    * fixtures). */
+  private[graft] def jpegQt(quality: Int): Array[Int] = {
+    val scale = if (quality < 50) 5000 / quality else 200 - 2 * quality
+    JpegBaseQt.map { b =>
+      val q = (b * scale + 50) / 100
+      math.max(1, math.min(255, q))
+    }
+  }
+
+  /** Zigzag scan order: zigzag(k) = natural index of the k-th coefficient. */
+  private val JpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  // Annex-K standard Huffman tables (luminance): bits(i) = #codes of length
+  // i+1, then the symbol values in code order.
+  private val JpegDcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val JpegDcVals = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+  private val JpegAcBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val JpegAcVals: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  /** Canonical Huffman code assignment: symbol -> (code, length). */
+  private def jpegCodes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0
+    var k = 0
+    val out = Map.newBuilder[Int, (Int, Int)]
+    for (len <- 1 to 16) {
+      var n = bits(len - 1)
+      while (n > 0) {
+        out += vals(k) -> ((code, len))
+        code += 1; k += 1; n -= 1
+      }
+      code <<= 1
+    }
+    out.result()
+  }
+
+  private lazy val JpegDcEnc = jpegCodes(JpegDcBits, JpegDcVals)
+  private lazy val JpegAcEnc = jpegCodes(JpegAcBits, JpegAcVals)
+
+  /** Fixed-point cosine basis (13-bit, the libjpeg-class precision):
+    * `JpegBasis(u)(x) = round(C(u)·cos((2x+1)uπ/16) · 8192)` with
+    * C(0)=1/√2, C(u>0)=1. All IDCT/DCT arithmetic runs over these integer
+    * constants, so reconstruction is exact integer math reproducible in
+    * SQL (DC-only) and in the round-trip property (general blocks). */
+  private[graft] val JpegBasis: Array[Array[Long]] = Array.tabulate(8, 8) { (u, x) =>
+    val c = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    math.floor(c * math.cos((2 * x + 1) * u * math.Pi / 16.0) * 8192.0 + 0.5).toLong
+  }
+
+  /** Integer IDCT of one dequantized block + level shift + clamp.
+    * acc = ΣΣ F(u,v)·B(u,x)·B(v,y); pixel = acc/(4·8192²) rounded half-up,
+    * via truncating division on a bias-shifted non-negative value (floor ==
+    * truncate there; Spark `div`/DuckDB `//` truncate toward zero, so the
+    * SQL twin is `(acc + 2^27 + 2^50) // 2^28 - 2^22 + 128`). */
+  private[graft] def jpegIdct(f: Array[Long]): Array[Int] = {
+    val out = new Array[Int](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0L
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          val bvy = JpegBasis(v)(y)
+          while (u < 8) {
+            val c = f(v * 8 + u)
+            if (c != 0) acc += c * JpegBasis(u)(x) * bvy
+            u += 1
+          }
+          v += 1
+        }
+        val p = ((acc + (1L << 27) + (1L << 50)) / (1L << 28)) - (1L << 22) + 128L
+        out(y * 8 + x) = math.max(0L, math.min(255L, p)).toInt
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Forward integer DCT (encoder side): F(u,v) = round(ΣΣ (p−128)·B(u,x)·
+    * B(v,y) / 2^28) — the exact adjoint of [[jpegIdct]]'s basis. */
+  private[graft] def jpegFdct(px: Array[Int]): Array[Long] = {
+    val out = new Array[Long](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var acc = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          val bvy = JpegBasis(v)(y)
+          while (x < 8) {
+            acc += (px(y * 8 + x) - 128).toLong * JpegBasis(u)(x) * bvy
+            x += 1
+          }
+          y += 1
+        }
+        out(v * 8 + u) = ((acc + (1L << 27) + (1L << 50)) / (1L << 28)) - (1L << 22)
+        u += 1
+      }
+      v += 1
+    }
+    out
+  }
+
+  private final class JpegBitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var nbits = 0
+    def write(value: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((value >> i) & 1)
+        nbits += 1
+        if (nbits == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00) // byte stuffing
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = if (nbits > 0) { // pad with 1-bits per T.81
+      acc = (acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)
+      out.write(acc)
+      if (acc == 0xff) out.write(0x00)
+      acc = 0; nbits = 0
+    }
+  }
+
+  /** Magnitude category (SSSS) of a coefficient. */
+  private def jpegCategory(v: Long): Int = {
+    var a = math.abs(v)
+    var t = 0
+    while (a != 0) { a >>= 1; t += 1 }
+    t
+  }
+
+  /** Encode a grayscale image as baseline JFIF. `pixel(x, y)` in [0,255];
+    * partial edge blocks are padded by edge replication. Quality fixed by
+    * `qt`. */
+  def jpegEncode(width: Int, height: Int, pixel: (Int, Int) => Int,
+      quality: Int = 75): Array[Byte] = {
+    require(width >= 1 && height >= 1 && width <= 0xffff && height <= 0xffff)
+    val qt = jpegQt(quality)
+    val out = new java.io.ByteArrayOutputStream(1024)
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, body: Array[Byte]): Unit = {
+      marker(m)
+      val len = body.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      out.write(body, 0, body.length)
+    }
+    marker(0xd8) // SOI
+    seg(0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0)) // APP0
+    seg(0xdb, (Array(0) ++ (0 until 64).map(k => qt(JpegZigzag(k)))).map(_.toByte)) // DQT
+    seg(0xc0, Array(8, height >> 8, height & 0xff, width >> 8, width & 0xff,
+      1, 1, 0x11, 0).map(_.toByte)) // SOF0: 8-bit, 1 component, no subsampling
+    seg(0xc4, (Array(0x00) ++ JpegDcBits ++ JpegDcVals).map(_.toByte)) // DHT DC
+    seg(0xc4, (Array(0x10) ++ JpegAcBits ++ JpegAcVals).map(_.toByte)) // DHT AC
+    seg(0xda, Array(1, 1, 0x00, 0, 63, 0).map(_.toByte)) // SOS
+    val bw = new JpegBitWriter(out)
+    val bx = (width + 7) / 8
+    val by = (height + 7) / 8
+    var prevDc = 0L
+    val block = new Array[Int](64)
+    for (b <- 0 until bx * by) {
+      val x0 = (b % bx) * 8
+      val y0 = (b / bx) * 8
+      var i = 0
+      while (i < 64) {
+        val x = math.min(x0 + i % 8, width - 1)
+        val y = math.min(y0 + i / 8, height - 1)
+        block(i) = pixel(x, y) & 0xff
+        i += 1
+      }
+      val f = jpegFdct(block)
+      val fq = new Array[Long](64)
+      var k = 0
+      while (k < 64) { // round-half-up quantization, IEEE-exact double div
+        val nat = JpegZigzag(k)
+        fq(k) = math.floor(f(nat).toDouble / qt(nat) + 0.5).toLong
+        k += 1
+      }
+      // DC: category + offset bits of the differential
+      val diff = fq(0) - prevDc
+      prevDc = fq(0)
+      val t = jpegCategory(diff)
+      val (dcode, dlen) = JpegDcEnc(t)
+      bw.write(dcode, dlen)
+      if (t > 0)
+        bw.write((if (diff < 0) diff + (1L << t) - 1 else diff).toInt, t)
+      // AC: run-length of zeros + category, ZRL for 16, EOB at end
+      var lastNz = 63
+      while (lastNz >= 1 && fq(lastNz) == 0) lastNz -= 1
+      var run = 0
+      k = 1
+      while (k <= lastNz) {
+        if (fq(k) == 0) run += 1
+        else {
+          while (run >= 16) { val (c, l) = JpegAcEnc(0xf0); bw.write(c, l); run -= 16 }
+          val sz = jpegCategory(fq(k))
+          val (c, l) = JpegAcEnc((run << 4) | sz)
+          bw.write(c, l)
+          bw.write((if (fq(k) < 0) fq(k) + (1L << sz) - 1 else fq(k)).toInt, sz)
+          run = 0
+        }
+        k += 1
+      }
+      if (lastNz < 63) { val (c, l) = JpegAcEnc(0x00); bw.write(c, l) }
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Canonical Huffman decode tables: per code length, the smallest code,
+    * largest code and index of its first symbol (T.81 F.2.2.3). */
+  private final class JpegHuffTable(bits: Array[Int], vals: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    val values: Array[Int] = vals
+    locally {
+      var code = 0
+      var k = 0
+      for (len <- 1 to 16) {
+        if (bits(len - 1) > 0) {
+          valPtr(len) = k
+          minCode(len) = code
+          code += bits(len - 1); k += bits(len - 1)
+          maxCode(len) = code - 1
+        } else maxCode(len) = -1
+        code <<= 1
+      }
+    }
+  }
+
+  private final class JpegBitReader(bytes: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nbits = 0
+    def readBit(): Int = {
+      if (nbits == 0) {
+        var b = bytes(pos) & 0xff; pos += 1
+        if (b == 0xff) {
+          val nxt = bytes(pos) & 0xff
+          if (nxt == 0x00) pos += 1 // stuffed byte
+          else throw new IllegalArgumentException(
+            f"jpeg: unexpected marker 0xff$nxt%02x inside entropy data")
+        }
+        acc = b; nbits = 8
+      }
+      nbits -= 1
+      (acc >> nbits) & 1
+    }
+    def readBits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+    def decode(t: JpegHuffTable): Int = {
+      var code = 0
+      var len = 0
+      while (len < 16) {
+        code = (code << 1) | readBit()
+        len += 1
+        if (t.maxCode(len) >= 0 && code <= t.maxCode(len))
+          return t.values(t.valPtr(len) + code - t.minCode(len))
+      }
+      throw new IllegalArgumentException("jpeg: invalid Huffman code")
+    }
+  }
+
+  final case class JpegStats(width: Int, height: Int, channels: Int,
+      sumLuma: Long, wsumLuma: Long)
+
+  /** Decode a baseline grayscale JFIF stream and return pixel-level stats
+    * computed over the TRUE w×h region (edge-block padding excluded).
+    * Walks markers, reads DQT/SOF0/DHT/SOS, entropy-decodes every MCU with
+    * canonical Huffman + DC prediction, dequantizes and reconstructs via
+    * the integer IDCT. */
+  def jpegDecode(bytes: Array[Byte]): JpegStats = {
+    val (w, h, px) = jpegPixels(bytes)
+    var sum = 0L
+    var wsum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = px(y * w + x)
+        sum += p
+        wsum += (y + 1).toLong * p
+        x += 1
+      }
+      y += 1
+    }
+    JpegStats(w, h, 1, sum, wsum)
+  }
+
+  /** Full pixel decode (row-major luma) — shared by [[jpegDecode]] and the
+    * round-trip property test. */
+  private[graft] def jpegPixels(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
+      "not a JPEG (no SOI)")
+    var pos = 2
+    var qt: Array[Int] = null
+    var dcT: JpegHuffTable = null
+    var acT: JpegHuffTable = null
+    var w = 0
+    var h = 0
+    var sosAt = -1
+    while (sosAt < 0) {
+      require((bytes(pos) & 0xff) == 0xff, f"jpeg: expected marker at $pos")
+      val m = bytes(pos + 1) & 0xff
+      val len = ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
+      val body = pos + 4
+      m match {
+        case 0xdb =>
+          require((bytes(body) & 0xff) == 0, "jpeg: only 8-bit qt id 0 supported")
+          qt = new Array[Int](64)
+          for (k <- 0 until 64) qt(JpegZigzag(k)) = bytes(body + 1 + k) & 0xff
+        case 0xc0 =>
+          require((bytes(body) & 0xff) == 8, "jpeg: 8-bit precision only")
+          h = ((bytes(body + 1) & 0xff) << 8) | (bytes(body + 2) & 0xff)
+          w = ((bytes(body + 3) & 0xff) << 8) | (bytes(body + 4) & 0xff)
+          require((bytes(body + 5) & 0xff) == 1, "jpeg: grayscale (1 component) only")
+          require((bytes(body + 7) & 0xff) == 0x11, "jpeg: no subsampling expected")
+        case 0xc4 =>
+          val cls = (bytes(body) & 0xff) >> 4
+          val bits = Array.tabulate(16)(i => bytes(body + 1 + i) & 0xff)
+          val n = bits.sum
+          val vals = Array.tabulate(n)(i => bytes(body + 17 + i) & 0xff)
+          val t = new JpegHuffTable(bits, vals)
+          if (cls == 0) dcT = t else acT = t
+        case 0xda => sosAt = body + (bytes(body) & 0xff) * 2 + 1 + 3
+        case 0xc2 => throw new IllegalArgumentException("jpeg: progressive not supported")
+        case _ => () // APPn/COM: skip
+      }
+      if (sosAt < 0) pos += 2 + len
+    }
+    require(qt != null && dcT != null && acT != null && w > 0 && h > 0,
+      "jpeg: missing DQT/DHT/SOF0 before SOS")
+    val br = new JpegBitReader(bytes, sosAt)
+    val bx = (w + 7) / 8
+    val by = (h + 7) / 8
+    val px = new Array[Int](w * h)
+    var prevDc = 0L
+    val f = new Array[Long](64)
+    for (b <- 0 until bx * by) {
+      java.util.Arrays.fill(f, 0L)
+      val t = br.decode(dcT)
+      val diff =
+        if (t == 0) 0L
+        else {
+          val v = br.readBits(t)
+          if (v < (1 << (t - 1))) v.toLong - (1L << t) + 1 else v.toLong
+        }
+      prevDc += diff
+      f(0) = prevDc * qt(0)
+      var k = 1
+      var eob = false
+      while (k < 64 && !eob) {
+        val rs = br.decode(acT)
+        if (rs == 0x00) eob = true
+        else if (rs == 0xf0) k += 16
+        else {
+          k += rs >> 4
+          require(k < 64, "jpeg: AC run past block end")
+          val sz = rs & 0x0f
+          val v = br.readBits(sz)
+          val c = if (v < (1 << (sz - 1))) v.toLong - (1L << sz) + 1 else v.toLong
+          f(JpegZigzag(k)) = c * qt(JpegZigzag(k))
+          k += 1
+        }
+      }
+      val rec = jpegIdct(f)
+      val x0 = (b % bx) * 8
+      val y0 = (b / bx) * 8
+      var yy = 0
+      while (yy < 8 && y0 + yy < h) {
+        var xx = 0
+        while (xx < 8 && x0 + xx < w) {
+          px((y0 + yy) * w + (x0 + xx)) = rec(yy * 8 + xx)
+          xx += 1
+        }
+        yy += 1
+      }
+    }
+    (w, h, px)
+  }
+
+  /** Deterministic JPEG fixtures: dims are integer functions of the id, and
+    * the luma is CONSTANT PER 8×8 BLOCK — `v(bx, by) = (17·bx + 29·by + id)
+    * % 256`. Constant blocks put ALL signal in the DC coefficient, whose
+    * encode→decode path (fdct → quantize → Huffman DC chain → dequantize →
+    * idct) stays closed-form integer math the SQL oracle re-derives exactly;
+    * the AC/Huffman machinery is exercised by the arbitrary-block round-trip
+    * property (the GIF lesson: fixtures alone sample bit-level codecs too
+    * thinly). Edge replication keeps partial blocks constant too. */
+  def jpegFixtures(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col(idCol).cast("long")).rdd.mapPartitions(_.map { row =>
+      val id = row.getLong(0)
+      val w = (8 + id % 21).toInt
+      val h = (8 + (id * 5) % 21).toInt
+      val payload = jpegEncode(w, h,
+        (x, y) => ((17 * (x / 8) + 29 * (y / 8) + id) % 256).toInt)
+      Row(id, payload)
+    })
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false))))
+  }
+
+  val JpegDecodedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("channels", LongType, nullable = false),
+    StructField("sum_luma", LongType, nullable = false),
+    StructField("wsum_luma", LongType, nullable = false)))
+
+  /** Partition-batched REAL JPEG decode — the fifth real codec. */
+  def decodeJpeg(withPayload: DataFrame, idCol: String): DataFrame = {
+    val spark = withPayload.sparkSession
+    val rdd = withPayload.select(col(idCol).cast("long"), col("payload")).rdd
+      .mapPartitions(_.map { r =>
+        val s = jpegDecode(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), s.width.toLong, s.height.toLong, s.channels.toLong,
+          s.sumLuma, s.wsumLuma)
+      })
+    spark.createDataFrame(rdd, JpegDecodedSchema)
+  }
 }

@@ -106,6 +106,19 @@ private[graft] trait MultimodalQueries extends QueryHelpers {
     }),
 
 
+    "mm_decode_jpeg" -> ((s, dir) => {
+      // fifth REAL codec: baseline JPEG — JFIF markers, Annex-K quant +
+      // Huffman tables, DC differential coding, byte stuffing, canonical
+      // Huffman decode, integer IDCT over the quantized cosine basis. The
+      // fixtures are constant per 8x8 block, so the full encode->decode
+      // chain stays closed-form integer math the oracle re-derives; the
+      // AC/Huffman machinery is covered by the arbitrary-block round-trip
+      // property in OperatorsSpec (the GIF lesson)
+      Multimodal.decodeJpeg(
+        Multimodal.jpegFixtures(spread(t(s, dir, "documents")), "doc_id"), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     "mm_decode_wav" -> ((s, dir) => {
       // REAL audio decode: deterministic PCM16 RIFF/WAVE fixtures (frame
       // count, channels, rate and every sample are integer functions of
@@ -364,6 +377,38 @@ private[graft] trait MultimodalQueries extends QueryHelpers {
         |  CAST(sum((3*x + y + doc_id) % 256) AS BIGINT) AS sum_b,
         |  CAST(sum((y + 1) * ((2*x + y + doc_id) % 256)) AS BIGINT) AS wsum_r
         |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+
+    // constant-per-block fixtures: the decoded luma of block (bx, by) is the
+    // closed-form chain fdct -> quantize (qt00 = 8 at quality 75) -> dequant
+    // -> idct, all integer except one IEEE-exact /8.0; the bias-shift makes
+    // DuckDB's truncating // equal to the decoder's floor division
+    "mm_decode_jpeg" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(8 + doc_id % 21 AS BIGINT) AS width,
+        |    CAST(8 + (doc_id * 5) % 21 AS BIGINT) AS height
+        |  FROM documents
+        |), b AS (
+        |  SELECT d.doc_id, d.width, d.height, bxs.range AS bx, bys.range AS by,
+        |    least(d.width - bxs.range * 8, 8) AS nx,
+        |    least(d.height - bys.range * 8, 8) AS ny,
+        |    (17 * bxs.range + 29 * bys.range + d.doc_id) % 256 AS v
+        |  FROM d CROSS JOIN range(0, 4) bxs CROSS JOIN range(0, 4) bys
+        |  WHERE bxs.range * 8 < d.width AND bys.range * 8 < d.height
+        |), f AS (
+        |  SELECT *, ((v - 128) * 46344 * 46344 + 134217728 + 1125899906842624)
+        |    // 268435456 - 4194304 AS f00
+        |  FROM b
+        |), p AS (
+        |  SELECT *, least(255, greatest(0,
+        |    (CAST(floor(f00 / 8.0 + 0.5) AS BIGINT) * 8 * 5793 * 5793
+        |      + 134217728 + 1125899906842624) // 268435456 - 4194304 + 128)) AS pv
+        |  FROM f
+        |)
+        |SELECT doc_id, width, height, CAST(1 AS BIGINT) AS channels,
+        |  CAST(sum(pv * nx * ny) AS BIGINT) AS sum_luma,
+        |  CAST(sum(pv * nx * (ny * by * 8 + ny * (ny + 1) // 2)) AS BIGINT) AS wsum_luma
+        |FROM p GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
 
     "mm_resize_png" ->
       """WITH d AS (

@@ -89,6 +89,39 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("JPEG: decode(encode(x)) equals the quant pipeline on arbitrary grids (bitstream exactness)") {
+    import graft.operators.Multimodal
+    // JPEG is lossy, so the property compares the decoder against an
+    // INDEPENDENT replay of fdct -> quantize -> dequantize -> idct per
+    // block: any defect in the BITSTREAM layer (Huffman codes, zigzag,
+    // DC differential chain, byte stuffing, marker lengths) breaks
+    // equality on some random grid — the layer where the GIF end-of-stream
+    // bug taught us fixture gates sample too thinly
+    val dimGen = Gen.chooseNum(1, 24)
+    check("jpeg-roundtrip", Prop.forAll(dimGen, dimGen, Gen.long) { (w, h, seed) =>
+      def pix(x: Int, y: Int): Int =
+        (((x * 2654435761L + y * 40503L + seed) >>> 7) & 0xff).toInt
+      val (dw, dh, got) = Multimodal.jpegPixels(Multimodal.jpegEncode(w, h, pix))
+      val qt = Multimodal.jpegQt(75)
+      val bx = (w + 7) / 8
+      val by = (h + 7) / 8
+      val want = new Array[Int](w * h)
+      for (b <- 0 until bx * by) {
+        val x0 = (b % bx) * 8
+        val y0 = (b / bx) * 8
+        val block = Array.tabulate(64)(i =>
+          pix(math.min(x0 + i % 8, w - 1), math.min(y0 + i / 8, h - 1)))
+        val f = Multimodal.jpegFdct(block)
+        val fd = Array.tabulate(64)(i =>
+          math.floor(f(i).toDouble / qt(i) + 0.5).toLong * qt(i))
+        val rec = Multimodal.jpegIdct(fd)
+        for (yy <- 0 until 8; xx <- 0 until 8; if y0 + yy < h && x0 + xx < w)
+          want((y0 + yy) * w + (x0 + xx)) = rec(yy * 8 + xx)
+      }
+      dw == w && dh == h && java.util.Arrays.equals(got, want)
+    })
+  }
+
   test("WAV: decode(encode(x)) reproduces arbitrary interleaved PCM16 streams") {
     import graft.operators.Multimodal
     check("wav-roundtrip", Prop.forAll(
