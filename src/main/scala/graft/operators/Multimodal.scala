@@ -1861,6 +1861,57 @@ object Multimodal {
     StructField("sum_luma", LongType, nullable = false),
     StructField("wsum_luma", LongType, nullable = false)))
 
+  final case class JpegResampleStats(srcW: Int, srcH: Int, outW: Int, outH: Int,
+      sumLuma: Long, wsumLuma: Long)
+
+  /** Decode + nearest-neighbor fit-within downscale in one pass over the
+    * JPEG bytes (truncating `x·srcW div outW` source mapping — the same
+    * integer geometry as [[bmpResample]]/[[pngResample]], no upscale). */
+  def jpegResample(bytes: Array[Byte], maxDim: Int): JpegResampleStats = {
+    require(maxDim > 0)
+    val (w, h, px) = jpegPixels(bytes)
+    val m = math.max(w, h)
+    val outW = if (m <= maxDim) w else w * maxDim / m
+    val outH = if (m <= maxDim) h else h * maxDim / m
+    var sum = 0L
+    var wsum = 0L
+    var y = 0
+    while (y < outH) {
+      val sy = y * h / outH
+      var x = 0
+      while (x < outW) {
+        val p = px(sy * w + (x * w / outW))
+        sum += p
+        wsum += (y + 1).toLong * p
+        x += 1
+      }
+      y += 1
+    }
+    JpegResampleStats(w, h, outW, outH, sum, wsum)
+  }
+
+  val JpegResampledSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("src_w", LongType, nullable = false),
+    StructField("src_h", LongType, nullable = false),
+    StructField("out_w", LongType, nullable = false),
+    StructField("out_h", LongType, nullable = false),
+    StructField("sum_luma", LongType, nullable = false),
+    StructField("wsum_luma", LongType, nullable = false)))
+
+  /** Partition-batched REAL JPEG resample — same iterator shape as
+    * [[resampleBmp]]/[[resamplePng]]. */
+  def resampleJpeg(withPayload: DataFrame, idCol: String, maxDim: Int = 16): DataFrame = {
+    val spark = withPayload.sparkSession
+    val rdd = withPayload.select(col(idCol).cast("long"), col("payload")).rdd
+      .mapPartitions(_.map { r =>
+        val s = jpegResample(r.getAs[Array[Byte]](1), maxDim)
+        Row(r.getLong(0), s.srcW.toLong, s.srcH.toLong, s.outW.toLong, s.outH.toLong,
+          s.sumLuma, s.wsumLuma)
+      })
+    spark.createDataFrame(rdd, JpegResampledSchema)
+  }
+
   /** Partition-batched REAL JPEG decode — the fifth real codec. */
   def decodeJpeg(withPayload: DataFrame, idCol: String): DataFrame = {
     val spark = withPayload.sparkSession

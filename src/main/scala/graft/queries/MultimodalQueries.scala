@@ -119,6 +119,15 @@ private[graft] trait MultimodalQueries extends QueryHelpers {
         .orderBy(col("doc_id"))
     }),
 
+    "mm_resize_jpeg" -> ((s, dir) => {
+      // decode + nearest-neighbor fit-within-16 downscale in one pass over
+      // the JPEG bytes; the oracle re-derives the sampled coordinates with
+      // the same truncating mapping and the block-constant decode formula
+      Multimodal.resampleJpeg(
+        Multimodal.jpegFixtures(spread(t(s, dir, "documents")), "doc_id"), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     "mm_decode_wav" -> ((s, dir) => {
       // REAL audio decode: deterministic PCM16 RIFF/WAVE fixtures (frame
       // count, channels, rate and every sample are integer functions of
@@ -409,6 +418,40 @@ private[graft] trait MultimodalQueries extends QueryHelpers {
         |  CAST(sum(pv * nx * ny) AS BIGINT) AS sum_luma,
         |  CAST(sum(pv * nx * (ny * by * 8 + ny * (ny + 1) // 2)) AS BIGINT) AS wsum_luma
         |FROM p GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+
+    "mm_resize_jpeg" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(8 + doc_id % 21 AS BIGINT) AS src_w,
+        |    CAST(8 + (doc_id * 5) % 21 AS BIGINT) AS src_h
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, src_w, src_h,
+        |    CASE WHEN greatest(src_w, src_h) <= 16 THEN src_w
+        |         ELSE src_w * 16 // greatest(src_w, src_h) END AS out_w,
+        |    CASE WHEN greatest(src_w, src_h) <= 16 THEN src_h
+        |         ELSE src_h * 16 // greatest(src_w, src_h) END AS out_h
+        |  FROM d
+        |), px AS (
+        |  SELECT g.doc_id, g.src_w, g.src_h, g.out_w, g.out_h, ys.range AS y,
+        |    (xs.range * g.src_w // g.out_w) // 8 AS bx,
+        |    (ys.range * g.src_h // g.out_h) // 8 AS by
+        |  FROM g CROSS JOIN range(0, 16) xs CROSS JOIN range(0, 16) ys
+        |  WHERE xs.range < g.out_w AND ys.range < g.out_h
+        |), f AS (
+        |  SELECT *, (((17 * bx + 29 * by + doc_id) % 256 - 128) * 46344 * 46344
+        |    + 134217728 + 1125899906842624) // 268435456 - 4194304 AS f00
+        |  FROM px
+        |), p AS (
+        |  SELECT *, least(255, greatest(0,
+        |    (CAST(floor(f00 / 8.0 + 0.5) AS BIGINT) * 8 * 5793 * 5793
+        |      + 134217728 + 1125899906842624) // 268435456 - 4194304 + 128)) AS pv
+        |  FROM f
+        |)
+        |SELECT doc_id, src_w, src_h, out_w, out_h,
+        |  CAST(sum(pv) AS BIGINT) AS sum_luma,
+        |  CAST(sum((y + 1) * pv) AS BIGINT) AS wsum_luma
+        |FROM p GROUP BY 1, 2, 3, 4, 5 ORDER BY doc_id""".stripMargin,
 
     "mm_resize_png" ->
       """WITH d AS (
