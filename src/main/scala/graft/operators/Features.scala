@@ -124,7 +124,10 @@ object Features {
       .agg(count(lit(1)).as("n"),
         sum(x).as("s1"), sum(x * x).as("s2"),
         sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
-      .withColumn("mean_micro", expr("s1 * 1000000 div n"))
+      // decomposed ×10⁶ (the targetEncode overflow lesson): exact at any
+      // corpus size for the nonneg sums this profiles
+      .withColumn("mean_micro",
+        expr("(s1 div n) * 1000000 + ((s1 % n) * 1000000) div n"))
       .withColumn("var_num", col("n") * col("s2") - col("s1") * col("s1"))
   }
 
@@ -146,15 +149,29 @@ object Features {
     require(smoothing >= 1, "smoothing pseudo-count must be >= 1")
     val base = df.select(col(idCol).as("id"), col(catCol).as("category"),
       targetCents.cast("long").as("y_cents"))
-    val g = base.agg(sum(col("y_cents")).as("s"), count(lit(1)).as("n")).head()
-    val gmeanMicro = g.getLong(0) * 1000000L / g.getLong(1)
+    val g = base.agg(sum(col("y_cents")).as("s"), count(lit(1)).as("n"),
+      min(col("y_cents")).as("mn")).head()
+    // NONNEGATIVE targets required: every ×10⁶ below rides the exact
+    // decomposition (a·k + c) div d = (a div d)·k + ((a mod d)·k + c) div d,
+    // which holds for truncating division only when the operands are ≥ 0
+    // (truncation is not translation-invariant across zero). Found at the
+    // r11 sf1 scale-proof: the naive Σcents·10⁶ overflows 2⁶³ once the
+    // corpus sum passes ~9.2e12 cents (~$92B) — the decomposition is exact
+    // at ANY corpus size (residual products bounded by n·10⁶ per divisor).
+    require(g.getLong(2) >= 0,
+      s"targetEncode needs nonnegative targets (min=${g.getLong(2)}); offset first")
+    val s = g.getLong(0)
+    val n = g.getLong(1)
+    val gmeanMicro = (s / n) * 1000000L + (s % n) * 1000000L / n
     val cat = base.groupBy(col("category"))
       .agg(sum(col("y_cents")).as("s_c"), count(lit(1)).as("n_c"))
     base.join(broadcast(cat), "category")
       .select(col("id"), col("category"), col("y_cents"),
-        expr(s"(s_c * 1000000 + $smoothing * $gmeanMicro) div (n_c + $smoothing)")
+        expr(s"(s_c div (n_c + $smoothing)) * 1000000 + " +
+          s"((s_c % (n_c + $smoothing)) * 1000000 + $smoothing * $gmeanMicro) div (n_c + $smoothing)")
           .as("enc_micro"),
-        expr(s"((s_c - y_cents) * 1000000 + $smoothing * $gmeanMicro) div (n_c - 1 + $smoothing)")
+        expr(s"((s_c - y_cents) div (n_c - 1 + $smoothing)) * 1000000 + " +
+          s"(((s_c - y_cents) % (n_c - 1 + $smoothing)) * 1000000 + $smoothing * $gmeanMicro) div (n_c - 1 + $smoothing)")
           .as("enc_loo_micro"))
   }
 

@@ -886,15 +886,18 @@ private[graft] trait CurationQueries extends QueryHelpers {
         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y_cents
         |  FROM orders
         |), g AS (
-        |  SELECT CAST(sum(y_cents) AS BIGINT) * 1000000 // count(*) AS gmean FROM b
+        |  SELECT (CAST(sum(y_cents) AS BIGINT) // count(*)) * 1000000
+        |    + (CAST(sum(y_cents) AS BIGINT) % count(*)) * 1000000 // count(*) AS gmean FROM b
         |), c AS (
         |  SELECT category, CAST(sum(y_cents) AS BIGINT) AS s_c,
         |    CAST(count(*) AS BIGINT) AS n_c
         |  FROM b GROUP BY 1
         |)
         |SELECT b.id, b.category, b.y_cents,
-        |  CAST((c.s_c * 1000000 + 10 * (SELECT gmean FROM g)) // (c.n_c + 10) AS BIGINT) AS enc_micro,
-        |  CAST(((c.s_c - b.y_cents) * 1000000 + 10 * (SELECT gmean FROM g)) // (c.n_c - 1 + 10) AS BIGINT) AS enc_loo_micro
+        |  CAST((c.s_c // (c.n_c + 10)) * 1000000
+        |    + ((c.s_c % (c.n_c + 10)) * 1000000 + 10 * (SELECT gmean FROM g)) // (c.n_c + 10) AS BIGINT) AS enc_micro,
+        |  CAST(((c.s_c - b.y_cents) // (c.n_c + 9)) * 1000000
+        |    + (((c.s_c - b.y_cents) % (c.n_c + 9)) * 1000000 + 10 * (SELECT gmean FROM g)) // (c.n_c + 9) AS BIGINT) AS enc_loo_micro
         |FROM b JOIN c USING (category) ORDER BY id""".stripMargin,
 
     // power sums: order-free BIGINT aggregation, truncating integer mean,
@@ -905,7 +908,8 @@ private[graft] trait CurationQueries extends QueryHelpers {
         |  CAST(sum(n_chars * n_chars) AS BIGINT) AS s2,
         |  CAST(sum(n_chars * n_chars * n_chars) AS BIGINT) AS s3,
         |  CAST(sum(n_chars * n_chars * n_chars * n_chars) AS BIGINT) AS s4,
-        |  CAST(sum(n_chars) * 1000000 // count(*) AS BIGINT) AS mean_micro,
+        |  CAST((sum(n_chars) // count(*)) * 1000000
+        |    + (sum(n_chars) % count(*)) * 1000000 // count(*) AS BIGINT) AS mean_micro,
         |  CAST(count(*) * sum(n_chars * n_chars) - sum(n_chars) * sum(n_chars) AS BIGINT) AS var_num
         |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
 
