@@ -657,7 +657,11 @@ object Behavior {
     val w = Window.partitionBy(col("cohort")).orderBy(col("age_days"))
     rev.join(sizes, "cohort")
       .withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
-      .withColumn("ltv_micro", expr("cum_rev_cents * 1000000 div cohort_size"))
+      // decomposed x1e6 (the r11 targetEncode overflow lesson): exact for
+      // nonneg revenue at any cohort size — naive sum*1e6 binds at ~$92B
+      .withColumn("ltv_micro",
+        expr("(cum_rev_cents div cohort_size) * 1000000" +
+          " + ((cum_rev_cents % cohort_size) * 1000000) div cohort_size"))
       .select(col("cohort").cast("timestamp").as("cohort_day"), col("age_days"),
         col("cohort_size"), col("rev_cents"), col("cum_rev_cents"), col("ltv_micro"))
   }

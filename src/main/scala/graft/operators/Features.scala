@@ -247,7 +247,11 @@ object Features {
       .agg(sum(abs(col("xa") - col("xb"))).as("sad"))
       .crossJoin(per.agg(count(lit(1)).as("n_groups"), sum(col("x")).as("total")))
       .select(col("n_groups"), col("total"),
-        expr("sad * 1000000 div (2 * n_groups * total)").as("gini_micro"))
+        // decomposed x1e6: sad is bounded by 2*n_groups*total, so the
+        // naive product binds at corpus ~9e12/groups (targetEncode lesson)
+        expr("(sad div (2 * n_groups * total)) * 1000000" +
+          " + ((sad % (2 * n_groups * total)) * 1000000) div (2 * n_groups * total)")
+          .as("gini_micro"))
   }
 
   /** THE cross-engine quantized-ln contract: `floor(ln(x)·1e6 + 0.5)` on

@@ -683,7 +683,8 @@ private[graft] trait CurationQueries extends QueryHelpers {
         |  FROM per
         |)
         |SELECT agg.n_groups, agg.total,
-        |  CAST(sad.sad * 1000000 // (2 * agg.n_groups * agg.total) AS BIGINT) AS gini_micro
+        |  CAST((sad.sad // (2 * agg.n_groups * agg.total)) * 1000000
+        |    + (sad.sad % (2 * agg.n_groups * agg.total)) * 1000000 // (2 * agg.n_groups * agg.total) AS BIGINT) AS gini_micro
         |FROM sad CROSS JOIN agg""".stripMargin,
 
     // per relationship: left join against the distinct parent key set,

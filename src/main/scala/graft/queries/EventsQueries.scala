@@ -452,7 +452,8 @@ private[graft] trait EventsQueries extends QueryHelpers {
         |)
         |SELECT CAST(cohort AS TIMESTAMP) AS cohort_day, age_days, cohort_size,
         |  rev_cents, cum_rev_cents,
-        |  CAST(cum_rev_cents * 1000000 // cohort_size AS BIGINT) AS ltv_micro
+        |  CAST((cum_rev_cents // cohort_size) * 1000000
+        |    + (cum_rev_cents % cohort_size) * 1000000 // cohort_size AS BIGINT) AS ltv_micro
         |FROM c ORDER BY cohort_day, age_days""".stripMargin,
 
     // 2x2 cells re-derived; chi2 with IDENTICAL left-associated double
