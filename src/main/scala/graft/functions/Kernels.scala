@@ -641,6 +641,44 @@ object Kernels {
     UTF8String.fromString(sb.toString)
   }
 
+  /** URL canonicalization — the C4/CCNet web-corpus dedup key: lowercase
+    * scheme + host, strip the default port (http:80 / https:443, others
+    * kept), drop the fragment, drop tracking params (`utm_*`, `fbclid`,
+    * `gclid`, `ref` — case-insensitive names) and empty params, SORT the
+    * surviving query params (byte order of the full `k=v` token — ASCII
+    * URLs order identically in Java UTF-16 and DuckDB UTF-8 compare), and
+    * strip a trailing path slash (never the root's; empty path becomes
+    * `/`). Anything without `://` returns unchanged — canonicalization
+    * must never lose rows. Single pass, codegen-resident. */
+  def canonicalUrl(u: UTF8String): UTF8String = {
+    val s = u.toString
+    val si = s.indexOf("://")
+    if (si < 0) return u
+    val scheme = s.substring(0, si).toLowerCase(java.util.Locale.ROOT)
+    var rest = s.substring(si + 3)
+    val hi = rest.indexOf('#')
+    if (hi >= 0) rest = rest.substring(0, hi)
+    val qi = rest.indexOf('?')
+    val query = if (qi >= 0) rest.substring(qi + 1) else ""
+    val hostPath = if (qi >= 0) rest.substring(0, qi) else rest
+    val pi = hostPath.indexOf('/')
+    var hostPort = (if (pi >= 0) hostPath.substring(0, pi) else hostPath)
+      .toLowerCase(java.util.Locale.ROOT)
+    var path = if (pi >= 0) hostPath.substring(pi) else ""
+    if ((scheme == "http" && hostPort.endsWith(":80")) ||
+        (scheme == "https" && hostPort.endsWith(":443")))
+      hostPort = hostPort.substring(0, hostPort.lastIndexOf(':'))
+    if (path.length > 1 && path.endsWith("/")) path = path.substring(0, path.length - 1)
+    if (path.isEmpty) path = "/"
+    val keep = query.split("&", -1).filter { p =>
+      val e = p.indexOf('=')
+      val n = (if (e >= 0) p.substring(0, e) else p).toLowerCase(java.util.Locale.ROOT)
+      p.nonEmpty && !n.startsWith("utm_") && n != "fbclid" && n != "gclid" && n != "ref"
+    }.sorted
+    val q = if (keep.isEmpty) "" else "?" + keep.mkString("&")
+    UTF8String.fromString(scheme + "://" + hostPort + path + q)
+  }
+
   // ------------------------------------------------------ Column wrappers
 
   private val cls = Kernels.getClass
@@ -671,6 +709,8 @@ object Kernels {
     call(ArrayType(LongType, containsNull = false), "minhashSig", grams, lit(numHashes))
 
   def simhashCol(toks: Column): Column = call(LongType, "simhashTokens", toks, lit(32))
+
+  def canonicalUrlCol(u: Column): Column = call(StringType, "canonicalUrl", u)
 
   def sortedIntersect(a: Column, b: Column): Column =
     call(IntegerType, "sortedIntersectCount", a, b)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -93,5 +93,29 @@ object Eval {
     fused.withColumn("fused_rank", row_number().over(w))
       .filter(col("fused_rank") <= topK)
       .select(col("query_id"), col("fused_rank"), col("item"), col("rrf_scaled"))
+  }
+
+  /** Calibration audit (reliability bins) for a probabilistic scorer —
+    * the "is the quality classifier's 0.9 actually a 90%?" check run
+    * before trusting model scores as curation thresholds. Scores arrive in
+    * micro-probability units [0, 1e6] and bucket into `bins` equal bins;
+    * per bin: count, mean predicted micro-probability (integer mean — the
+    * score sum is bounded by n·10⁶, stated bound n < 9.2e12 per bin), the
+    * positive rate ×10⁶ via the decomposed product (exact at any n — the
+    * r11 overflow lesson), and the absolute calibration gap. Expected
+    * calibration error derives as Σ n_b·gap_b / N from the output.
+    * One map-side-combined aggregation; output is bin-domain-sized. */
+  def calibration(df: DataFrame, scoreMicro: Column, positive: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need at least two bins")
+    df.select(scoreMicro.cast("long").as("p"), positive.cast("long").as("y"))
+      .withColumn("bin", least(lit(bins.toLong - 1), expr(s"p * $bins div 1000000")))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("sp"), sum(col("y")).as("n_pos"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("sp div n").as("mean_pred_micro"),
+        expr("(n_pos div n) * 1000000 + ((n_pos % n) * 1000000) div n")
+          .as("pos_rate_micro"))
+      .withColumn("gap_micro", abs(col("mean_pred_micro") - col("pos_rate_micro")))
   }
 }

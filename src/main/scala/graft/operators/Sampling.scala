@@ -210,4 +210,36 @@ object Sampling {
       .orderBy(col("priority"), col(idCol))
       .limit(k)
   }
+
+  /** Temperature-scaled stratum sampling allocation — the multilingual-
+    * corpus mixing recipe (mT5/XLM-R) at temperature 2: stratum weight
+    * `w ∝ n^(1/2)`, so low-resource languages/sources get upweighted
+    * relative to their raw share, and the budget splits as
+    * `alloc = budget·w div Σw`.
+    *
+    * Exactness: α is fixed at 1/2 because `sqrt` is IEEE-correctly-rounded
+    * in BOTH engines (the r8 drift precedent) — general `pow` is not — and
+    * the weight quantizes to 1e-3 fixed point (`floor(√n·1000 + 0.5)`)
+    * before any integer arithmetic. The allocation runs DRIVER-SIDE over
+    * the stratum domain (languages/sources — bounded metadata, the
+    * kmeans-centroid precedent) in BigInt so `budget × weight` cannot
+    * overflow at any scale; the oracle twin mirrors it with HUGEINT.
+    * One stratum-keyed aggregation is the only cluster work. */
+  def temperatureAlloc(df: DataFrame, strataCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be nonnegative")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val per = df.groupBy(col(strataCol).cast("string").as("stratum"))
+      .agg(count(lit(1)).as("n_docs"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    require(per.nonEmpty, "no strata")
+    val w = per.map { case (_, n) =>
+      math.floor(math.sqrt(n.toDouble) * 1000.0 + 0.5).toLong
+    }
+    val tot = w.map(BigInt(_)).sum
+    val rows = per.zip(w).map { case ((s, n), wm) =>
+      (s, n, wm, (BigInt(budget) * wm / tot).toLong)
+    }
+    rows.toSeq.toDF("stratum", "n_docs", "w_milli", "alloc")
+  }
 }

@@ -92,6 +92,15 @@ private[graft] trait CurationQueries extends QueryHelpers {
         .orderBy(col("source"), col("column"))
     }),
 
+    "sample_temperature" -> ((s, dir) => {
+      // temperature-2 multilingual mixing (mT5 recipe): per-lang allocation
+      // of a 1M-doc budget with weights ~ sqrt(n) — driver-side BigInt over
+      // the lang domain, sqrt's IEEE parity makes it oracle-exact
+      graft.operators.Sampling.temperatureAlloc(
+        t(s, dir, "documents"), "lang", budget = 1000000L)
+        .orderBy(col("stratum"))
+    }),
+
     "sample_class_balance" -> ((s, dir) => {
       // ratio-linked majority-class downsampling: every lang keeps at most
       // 2 x the smallest lang's count, hash-ranked — en (218) drops to 128
@@ -788,6 +797,19 @@ private[graft] trait CurationQueries extends QueryHelpers {
         |FROM u ORDER BY source, "column"""".stripMargin,
 
     // same md5(class:id) rank as every quota; cap = least(n_class, 2*n_min)
+    "sample_temperature" ->
+      """WITH per AS (
+        |  SELECT CAST(lang AS VARCHAR) AS stratum, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1
+        |), w AS (
+        |  SELECT stratum, n_docs,
+        |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS w_milli
+        |  FROM per
+        |), t AS (SELECT CAST(sum(w_milli) AS HUGEINT) AS tot FROM w)
+        |SELECT stratum, n_docs, w_milli,
+        |  CAST(CAST(1000000 AS HUGEINT) * w_milli // (SELECT tot FROM t) AS BIGINT) AS alloc
+        |FROM w ORDER BY stratum""".stripMargin,
+
     "sample_class_balance" ->
       """WITH counts AS (
         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_class FROM documents GROUP BY 1

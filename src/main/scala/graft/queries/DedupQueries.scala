@@ -207,6 +207,35 @@ private[graft] trait DedupQueries extends QueryHelpers {
     }),
 
 
+    "dedup_url_canonical" -> ((s, dir) => {
+      // URL canonicalization as the exact-dedup key (the C4/CCNet web
+      // pipeline step): six URL shapes per doc — tracking params, uppercase
+      // scheme/host + default port, trailing slash, fragment, swapped param
+      // order — collapse through the kernel to two canonical groups (4 and
+      // 2 variants); the oracle emits the closed canonical forms directly
+      import graft.functions.Kernels
+      val d = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), col("source"), col("doc_id").cast("string").as("n"))
+      val urls = d.select(col("doc_id"), explode(array(
+        concat(lit("https://"), col("source"), lit(".example.com/a/"), col("n"),
+          lit("?utm_source=feed&id="), col("n")),
+        concat(lit("HTTPS://"), upper(col("source")), lit(".EXAMPLE.com:443/a/"), col("n"),
+          lit("?id="), col("n")),
+        concat(lit("https://"), col("source"), lit(".example.com/a/"), col("n"),
+          lit("/?id="), col("n")),
+        concat(lit("https://"), col("source"), lit(".example.com/a/"), col("n"),
+          lit("?id="), col("n"), lit("&utm_campaign=x#frag")),
+        concat(lit("https://"), col("source"), lit(".example.com/a/"), col("n"),
+          lit("?z=1&id="), col("n")),
+        concat(lit("https://"), col("source"), lit(".example.com/a/"), col("n"),
+          lit("?id="), col("n"), lit("&z=1")))).as("url"))
+      urls.select(col("doc_id"), Kernels.canonicalUrlCol(col("url")).as("curl"))
+        .groupBy(col("curl"))
+        .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), col("curl"), col("n_variants"))
+        .orderBy(col("curl"))
+    }),
+
     "dedup_cdc_chunks" -> ((s, dir) => {
       // content-defined chunking: boundaries from a 16-char rolling window
       // hash (mod 64), so edited near-copies still share chunks; per doc,
@@ -364,6 +393,19 @@ private[graft] trait DedupQueries extends QueryHelpers {
         |FROM pr JOIN sz ON sz.doc_id = pr.doc_a
         |WHERE CAST(pr.n_shared AS DOUBLE) / CAST(sz.n_banded AS DOUBLE) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_url_canonical" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' || source || '.example.com/a/' || CAST(doc_id AS VARCHAR)
+        |      || '?id=' || CAST(doc_id AS VARCHAR) AS base
+        |  FROM documents
+        |)
+        |SELECT doc_id, curl, n_variants FROM (
+        |  SELECT doc_id, base AS curl, CAST(4 AS BIGINT) AS n_variants FROM u
+        |  UNION ALL
+        |  SELECT doc_id, base || '&z=1' AS curl, CAST(2 AS BIGINT) AS n_variants FROM u
+        |) q ORDER BY curl""".stripMargin,
 
     "dedup_cdc_chunks" ->
       """WITH d AS (

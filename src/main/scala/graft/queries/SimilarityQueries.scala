@@ -259,6 +259,19 @@ private[graft] trait SimilarityQueries extends QueryHelpers {
     }),
 
 
+    "eval_calibration" -> ((s, dir) => {
+      // reliability-bin calibration audit over a deterministic md5-derived
+      // micro-probability (family 100 = md5("50:"+id) chars 1-15) against
+      // even-label positives; gates the binning, integer means and
+      // decomposed positive-rate machinery
+      import graft.operators.Eval
+      val e = t(s, dir, "embeddings").select(
+        pmod(TextFns.md5Long(col("vec_id").cast("string"), 100), lit(1000001L)).as("p"),
+        when(col("label") % 2 === 0, 1L).otherwise(0L).as("y"))
+      Eval.calibration(e, col("p"), col("y"), bins = 10)
+        .orderBy(col("bin"))
+    }),
+
     // --- embedding maintenance ---
     "eval_rrf_fusion" -> ((s, dir) => {
       // hybrid-retrieval rank fusion: RRF of the full-dim cosine top-10 and
@@ -327,6 +340,25 @@ private[graft] trait SimilarityQueries extends QueryHelpers {
 
     // RRF: both rankings re-derived (full-dim and prefix-16 brute cosine),
     // fused via integer 1e12 // (60+rank) sums, item-id tie-break
+    "eval_calibration" ->
+      """WITH s AS (
+        |  SELECT ('0x' || substr(md5('50:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+        |           % 1000001 AS p,
+        |    CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS y
+        |  FROM embeddings
+        |), b AS (
+        |  SELECT least(9, p * 10 // 1000000) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS n_pos,
+        |    CAST(sum(p) AS BIGINT) AS sp
+        |  FROM s GROUP BY 1
+        |)
+        |SELECT bin, n, n_pos,
+        |  CAST(sp // n AS BIGINT) AS mean_pred_micro,
+        |  CAST((n_pos // n) * 1000000 + (n_pos % n) * 1000000 // n AS BIGINT) AS pos_rate_micro,
+        |  CAST(abs(sp // n - ((n_pos // n) * 1000000 + (n_pos % n) * 1000000 // n)) AS BIGINT) AS gap_micro
+        |FROM b ORDER BY bin""".stripMargin,
+
     "eval_rrf_fusion" ->
       """WITH q AS (
         |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv

@@ -137,6 +137,48 @@ class OperatorsSpec extends SparkSuite {
       s"registered caches survived release: ${leaked.values.map(r => s"${r.id}:${r.name}").mkString(", ")}")
   }
 
+  test("canonicalUrl: ports, fragments, tracking params, slashes, malformed passthrough") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def c(s: String) = graft.functions.Kernels.canonicalUrl(UTF8String.fromString(s)).toString
+    assert(c("HTTP://Ex.COM:80/A/b/?utm_source=x&b=2&a=1#frag") == "http://ex.com/A/b?a=1&b=2")
+    assert(c("https://ex.com:8443/p") == "https://ex.com:8443/p") // non-default port kept
+    assert(c("http://ex.com:443/p") == "http://ex.com:443/p") // 443 is not http's default
+    assert(c("https://ex.com/") == "https://ex.com/") // root slash kept
+    assert(c("https://ex.com") == "https://ex.com/") // empty path becomes root
+    assert(c("https://ex.com/p?") == "https://ex.com/p") // empty query dropped
+    assert(c("https://ex.com/p?gclid=1&&REF=x") == "https://ex.com/p") // empties + tracking
+    assert(c("not a url") == "not a url") // malformed: unchanged, never dropped
+    assert(c("https://ex.com/p?id=1&id=0") == "https://ex.com/p?id=0&id=1") // stable byte sort
+  }
+
+  test("temperatureAlloc: sqrt weights, exact hand split, budget conservation bound") {
+    import graft.operators.Sampling
+    // n = 100/400 -> w_milli = 10000/20000 -> 1:2 split of 300
+    val docs = ((1 to 100).map(i => (i.toLong, "lo")) ++ (1 to 400).map(i => (i.toLong + 1000, "hi")))
+      .toDF("doc_id", "lang")
+    val r = Sampling.temperatureAlloc(docs, "lang", budget = 300L)
+      .orderBy("stratum").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq(("hi", 400L, 20000L, 200L), ("lo", 100L, 10000L, 100L)))
+    // truncating division never over-allocates
+    assert(r.map(_._4).sum <= 300L)
+  }
+
+  test("calibration: bin edges clamp, perfect calibration has zero gap") {
+    import graft.operators.Eval
+    // p = 1e6 lands in the LAST bin (clamped), not bin 10
+    val edge = Seq((1000000L, 1L), (0L, 0L)).toDF("p", "y")
+    val eb = Eval.calibration(edge, col("p"), col("y"), bins = 10)
+      .orderBy("bin").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(eb.toSeq == Seq((0L, 1L), (9L, 1L)))
+    // 4 rows at p=250000 with exactly 1 positive => mean_pred == pos_rate
+    val cal = Seq.tabulate(4)(i => (250000L, if (i == 0) 1L else 0L)).toDF("p", "y")
+    val row = Eval.calibration(cal, col("p"), col("y"), bins = 10).head()
+    assert(row.getAs[Long]("mean_pred_micro") == 250000L)
+    assert(row.getAs[Long]("pos_rate_micro") == 250000L)
+    assert(row.getAs[Long]("gap_micro") == 0L)
+  }
+
   test("asofJoin: inclusive boundary, no value resurrection across NULL fields, unmatched -> NULL") {
     import graft.operators.AsOf
     val left = Seq((1L, 1L, 5L), (2L, 1L, 10L), (3L, 1L, 25L), (4L, 2L, 50L))
