@@ -274,11 +274,21 @@ object Bench {
       val pb = new ProcessBuilder(cmd)
       pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
       pb.redirectErrorStream(true)
+      // stdout goes to a FILE so the timeout is real: draining the pipe
+      // in-process blocks until the child exits, which a hung child never
+      // does — the wedged-regression case is exactly what this adjudicates
+      val outFile = java.nio.file.Files.createTempFile("microbench", ".log")
+      pb.redirectOutput(outFile.toFile)
       val proc = pb.start()
-      val outLines = scala.io.Source.fromInputStream(proc.getInputStream, "UTF-8")
-        .getLines().toList
-      proc.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
+      val finished = proc.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
+      if (!finished)
+        System.err.println("[bench] microbench confirmation timed out after 20 min — killing")
       proc.destroyForcibly()
+      proc.waitFor() // reap so the log file is fully flushed
+      val outLines = {
+        val src = scala.io.Source.fromFile(outFile.toFile, "UTF-8")
+        try src.getLines().toList finally { src.close(); java.nio.file.Files.deleteIfExists(outFile) }
+      }
       // "MICRO <cell> a b c" (seconds); gen cells also print
       // "  <cell> rows/s (min-of-3): R" three times — use the best rate
       val micro = outLines.collect {

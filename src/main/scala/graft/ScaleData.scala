@@ -37,7 +37,10 @@ object ScaleData {
       "l_suppkey" -> ("supplier", "s_suppkey")),
     "events" -> Seq(
       "event_id" -> ("events", "event_id"),
-      "user_id" -> ("events", "user_id")),
+      // user_id FKs the CUSTOMER key domain (RelationalQueries joins
+      // events.user_id = c_custkey), so it must shift by the customer
+      // domain or replica-k events would join replica-0 customers
+      "user_id" -> ("customer", "c_custkey")),
     "documents" -> Seq("doc_id" -> ("documents", "doc_id")),
     "embeddings" -> Seq("vec_id" -> ("embeddings", "vec_id")))
 

@@ -235,11 +235,16 @@ object Output {
     // worse NESTS src under dst) — merge recursively instead. Part-file
     // names are job-unique (UUID per write job), so file moves never clash.
     def mergeInto(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit = {
-      if (!fs.exists(dst)) { fs.rename(src, dst); return }
+      if (!fs.exists(dst)) {
+        require(fs.rename(src, dst), s"partition-dir rename failed: $src -> $dst")
+        return
+      }
       fs.listStatus(src).foreach { c =>
         val d = new org.apache.hadoop.fs.Path(dst, c.getPath.getName)
         if (c.isDirectory) mergeInto(c.getPath, d)
-        else fs.rename(c.getPath, d)
+        // a false return (e.g. dst already exists) must ABORT, not fall
+        // through to the delete below — silently erasing the unmoved file
+        else require(fs.rename(c.getPath, d), s"partition-file move failed: ${c.getPath} -> $d")
       }
       fs.delete(src, true)
     }

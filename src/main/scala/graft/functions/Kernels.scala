@@ -673,7 +673,10 @@ object Kernels {
     val keep = query.split("&", -1).filter { p =>
       val e = p.indexOf('=')
       val n = (if (e >= 0) p.substring(0, e) else p).toLowerCase(java.util.Locale.ROOT)
-      p.nonEmpty && !n.startsWith("utm_") && n != "fbclid" && n != "gclid" && n != "ref"
+      // NOT `ref`: unlike utm_*/fbclid/gclid it is frequently load-bearing
+      // (github ?ref=branch et al.) — conflating it would dedup away
+      // genuinely distinct documents
+      p.nonEmpty && !n.startsWith("utm_") && n != "fbclid" && n != "gclid"
     }.sorted
     val q = if (keep.isEmpty) "" else "?" + keep.mkString("&")
     UTF8String.fromString(scheme + "://" + hostPort + path + q)

@@ -109,7 +109,11 @@ object Eval {
       bins: Int = 10): DataFrame = {
     require(bins >= 2, "need at least two bins")
     df.select(scoreMicro.cast("long").as("p"), positive.cast("long").as("y"))
-      .withColumn("bin", least(lit(bins.toLong - 1), expr(s"p * $bins div 1000000")))
+      // clamped BOTH ends (the r7 PSI negative-clamp precedent): an
+      // out-of-contract score lands in the edge bin instead of minting
+      // bin = -1 rows that silently corrupt a downstream ECE sum
+      .withColumn("bin",
+        greatest(lit(0L), least(lit(bins.toLong - 1), expr(s"p * $bins div 1000000"))))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("p")).as("sp"), sum(col("y")).as("n_pos"))
       .select(col("bin"), col("n"), col("n_pos"),

@@ -1582,6 +1582,10 @@ object Multimodal {
   def jpegEncode(width: Int, height: Int, pixel: (Int, Int) => Int,
       quality: Int = 75): Array[Byte] = {
     require(width >= 1 && height >= 1 && width <= 0xffff && height <= 0xffff)
+    // quality 0 divides by zero in the scale formula; quality >= ~96 drives
+    // qt entries to 1, where coefficients can exceed the Annex-K Huffman
+    // tables' magnitude categories (AC size <= 10, DC <= 11) mid-encode
+    require(quality >= 1 && quality <= 95, s"jpeg quality must be in [1, 95], got $quality")
     val qt = jpegQt(quality)
     val out = new java.io.ByteArrayOutputStream(1024)
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }

@@ -25,7 +25,14 @@ import org.apache.spark.storage.StorageLevel
   *
   * Thread-safety: registrations and release are lock-free queue ops; a
   * release concurrent with registrations releases what it sees and leaves
-  * later registrations for the next call. */
+  * later registrations for the next call.
+  *
+  * SINGLE-CONSUMER contract: the registry is process-global with no
+  * ownership scoping, so `release()` drops EVERY registered residual —
+  * including another in-flight pipeline's. In a concurrent serving session,
+  * serialize pipelines around their release (or skip release and accept the
+  * cached-lifetime leak); today's callers (Verify / Bench / MicroBench) are
+  * single-threaded by construction. */
 object Residuals {
 
   private val live = new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()

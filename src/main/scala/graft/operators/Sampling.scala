@@ -231,13 +231,18 @@ object Sampling {
     import spark.implicits._
     val per = df.groupBy(col(strataCol).cast("string").as("stratum"))
       .agg(count(lit(1)).as("n_docs"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
     require(per.nonEmpty, "no strata")
-    val w = per.map { case (_, n) =>
+    // refuse loudly instead of NPE-ing in sortBy: a null stratum has no
+    // defined mixing weight — callers decide whether to coalesce or drop
+    require(per.forall(_._1 != null),
+      s"temperatureAlloc: null values in stratum column '$strataCol' — coalesce or filter first")
+    val perSorted = per.sortBy(_._1)
+    val w = perSorted.map { case (_, n) =>
       math.floor(math.sqrt(n.toDouble) * 1000.0 + 0.5).toLong
     }
     val tot = w.map(BigInt(_)).sum
-    val rows = per.zip(w).map { case ((s, n), wm) =>
+    val rows = perSorted.zip(w).map { case ((s, n), wm) =>
       (s, n, wm, (BigInt(budget) * wm / tot).toLong)
     }
     rows.toSeq.toDF("stratum", "n_docs", "w_milli", "alloc")

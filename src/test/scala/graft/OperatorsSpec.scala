@@ -146,7 +146,8 @@ class OperatorsSpec extends SparkSuite {
     assert(c("https://ex.com/") == "https://ex.com/") // root slash kept
     assert(c("https://ex.com") == "https://ex.com/") // empty path becomes root
     assert(c("https://ex.com/p?") == "https://ex.com/p") // empty query dropped
-    assert(c("https://ex.com/p?gclid=1&&REF=x") == "https://ex.com/p") // empties + tracking
+    assert(c("https://ex.com/p?gclid=1&&x=1") == "https://ex.com/p?x=1") // empties + tracking
+    assert(c("https://ex.com/p?ref=main") == "https://ex.com/p?ref=main") // ref is load-bearing, kept
     assert(c("not a url") == "not a url") // malformed: unchanged, never dropped
     assert(c("https://ex.com/p?id=1&id=0") == "https://ex.com/p?id=0&id=1") // stable byte sort
   }
