@@ -174,6 +174,12 @@ object Bench {
       name -> samples
     }
 
+    // the per-query fence above runs at the TOP of each iteration, so the
+    // final query's residual caches are still persisted here — drop them
+    // (and their garbage) before measuring generator throughput, or the
+    // gen cells inherit the last query's memory pressure (r11 advice)
+    graft.operators.Residuals.release()
+    System.gc()
     val genRates: Seq[(String, Double)] =
       genCells.map { case (name, rows, yaml) => name -> genRate(spark, rows, yaml) }
 

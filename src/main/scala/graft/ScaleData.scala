@@ -66,7 +66,18 @@ object ScaleData {
     // one pass over each domain-owning table for the shift bases
     val domainSize: Map[(String, String), Long] =
       shiftPlan.values.flatten.map(_._2).toSet.map { d: (String, String) =>
-        d -> (src(d._1).agg(max(col(d._2))).head().getLong(0) + 1L)
+        val row = src(d._1).agg(max(col(d._2))).head()
+        // fail with the table/column name: an empty source gives a NULL max
+        // and a non-integral key column a ClassCastException — both used to
+        // surface as opaque NPEs from the fixture tool (r11 advice)
+        if (row.isNullAt(0))
+          sys.error(s"[scale] ${d._1}.${d._2}: empty source table, no key domain to shift by")
+        val m = row.get(0) match {
+          case n: java.lang.Number => n.longValue()
+          case other => sys.error(
+            s"[scale] ${d._1}.${d._2}: key column is ${other.getClass.getSimpleName}, need an integral type")
+        }
+        d -> (m + 1L)
       }.toMap
 
     def writeOne(df: DataFrame, t: String): Unit = {

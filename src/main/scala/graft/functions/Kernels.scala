@@ -644,7 +644,8 @@ object Kernels {
   /** URL canonicalization — the C4/CCNet web-corpus dedup key: lowercase
     * scheme + host, strip the default port (http:80 / https:443, others
     * kept), drop the fragment, drop tracking params (`utm_*`, `fbclid`,
-    * `gclid`, `ref` — case-insensitive names) and empty params, SORT the
+    * `gclid` — case-insensitive names; `ref` is KEPT, it is frequently
+    * load-bearing) and empty params, SORT the
     * surviving query params (byte order of the full `k=v` token — ASCII
     * URLs order identically in Java UTF-16 and DuckDB UTF-8 compare), and
     * strip a trailing path slash (never the root's; empty path becomes

@@ -51,10 +51,12 @@ object CurationPipeline {
     "split" -> Set("train", "val", "test"),
     "filter_repetition" -> Set("max_dup_permille"),
     "filter_lm" -> Set("min_avg_micro"),
-    "k_anonymity" -> Set("quasi_id", "k"))
+    "k_anonymity" -> Set("quasi_id", "k"),
+    "extract_html" -> Set("max_link_density_permille"))
 
   /** Parameters that must be present (filter_length's bounds are each
-    * optional — one of them alone is meaningful). */
+    * optional — one of them alone is meaningful; extract_html's density
+    * threshold defaults to 500). */
   private val Required: Map[String, Set[String]] = Map(
     "filter_lang" -> Set("keep"),
     "filter_quality" -> Set("min_score"),
@@ -98,6 +100,11 @@ object CurationPipeline {
             if n.path("max_dup_permille").asLong(-1L) < 0L ||
               n.path("max_dup_permille").asLong(-1L) > 1000L =>
           errors += s"steps[$i]: filter_repetition needs max_dup_permille in [0, 1000]"
+        case "extract_html"
+            if n.has("max_link_density_permille") &&
+              (n.path("max_link_density_permille").asLong(-1L) < 0L ||
+                n.path("max_link_density_permille").asLong(-1L) > 1000L) =>
+          errors += s"steps[$i]: extract_html needs max_link_density_permille in [0, 1000]"
         case "k_anonymity" if !n.path("quasi_id").isArray || n.path("quasi_id").size() == 0 =>
           errors += s"steps[$i]: k_anonymity needs a non-empty `quasi_id` list"
         case "k_anonymity" if n.path("k").asLong(0L) <= 0L =>
@@ -170,6 +177,21 @@ object CurationPipeline {
               <= lit(mx) * col("n_bigrams"))
             .select(col(idCol))
           df.join(rep, Seq(idCol), "left_semi")
+        case "extract_html" =>
+          // the ingestion front door: textCol is raw HTML — replace it
+          // with the boilerplate-stripped extraction and drop docs whose
+          // visible text is empty after the cut (nothing downstream can
+          // score an empty string). Joins on id, so pipeline columns
+          // survive; n_kept/n_dropped/link_permille stay available to a
+          // later audit because they ride the extraction frame, not this
+          // one (same contract as filter_quality's transient score).
+          val thr = s.params.get("max_link_density_permille")
+            .map(_.asLong()).getOrElse(500L)
+          val ex = TextAnalysis.htmlExtract(df, idCol, textCol, thr)
+            .select(col(idCol), col("clean_text"))
+            .filter(col("clean_text") =!= "")
+          df.drop(textCol).join(ex, Seq(idCol), "inner")
+            .withColumnRenamed("clean_text", textCol)
         case "k_anonymity" =>
           // privacy suppression: drop every row whose quasi-identifier
           // combination is held by fewer than k docs

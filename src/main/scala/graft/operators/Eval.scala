@@ -109,11 +109,14 @@ object Eval {
       bins: Int = 10): DataFrame = {
     require(bins >= 2, "need at least two bins")
     df.select(scoreMicro.cast("long").as("p"), positive.cast("long").as("y"))
-      // clamped BOTH ends (the r7 PSI negative-clamp precedent): an
-      // out-of-contract score lands in the edge bin instead of minting
-      // bin = -1 rows that silently corrupt a downstream ECE sum
+      // clamp p ITSELF first (the r7 PSI negative-clamp precedent, plus
+      // the r11 advice: clamping the derived bin is not enough — a score
+      // beyond Long.Max/bins overflows `p * bins` BEFORE the bin clamp
+      // sees it). A clamped p ∈ [0, 1e6] makes the product overflow-free
+      // and the bin non-negative by construction.
       .withColumn("bin",
-        greatest(lit(0L), least(lit(bins.toLong - 1), expr(s"p * $bins div 1000000"))))
+        least(lit(bins.toLong - 1),
+          expr(s"greatest(0L, least(1000000L, p)) * $bins div 1000000")))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("p")).as("sp"), sum(col("y")).as("n_pos"))
       .select(col("bin"), col("n"), col("n_pos"),

@@ -1248,4 +1248,87 @@ object TextAnalysis {
       .filter(col("rk") <= topK)
       .select(col("lang"), col("token"), col("a").as("df_lang"), col("chi2"))
   }
+
+  // ----- HTML boilerplate extraction (the web-corpus front door) -----
+
+  /** The shared HTML→text pipeline contract (pinned here, mirrored verbatim
+    * by the DuckDB oracle — every regex stays in the Java/RE2-common subset:
+    * no backrefs, no lookaround, whitespace classes spelled out):
+    *   1. strip comments `(?s)<!--.*?-->`
+    *   2. strip `(?is)<script…>…</script>` then `<style…>…</style>`
+    *   3. block-level tags (p/div/li/ul/ol/h1-6/br/tr/td/th/table/thead/
+    *      tbody/section/article/header/footer/nav/blockquote/pre; the
+    *      `(\s[^>]*)?` suffix keeps `<pre>` from matching the `p` branch)
+    *      become U+0001 block separators
+    *   4. per block: anchor inner text via `(?is)<a(\s[^>]*)?>(.*?)</a>`
+    *      group 2; visible text via cleanup = strip remaining tags → ' ',
+    *      decode `&lt; &gt; &quot; &#39; &apos; &nbsp;` THEN `&amp;` last
+    *      (so `&amp;lt;` renders as the literal `&lt;` — and a decoded `<`
+    *      never re-triggers tag stripping because tags are already gone),
+    *      collapse `[ \t\nVT\f\r]+` to one space, trim
+    *   5. a block is boilerplate iff its anchor-chars·1000 div text-chars
+    *      exceeds the threshold (nav bars / footers / link lists); kept
+    *      blocks rejoin with \n in document order.
+    */
+  private val HtmlBlockTags =
+    "p|div|li|ul|ol|h[1-6]|br|tr|td|th|table|thead|tbody|section|article|header|footer|nav|blockquote|pre"
+  private val HtmlAnchorPat = "(?is)<a(\\s[^>]*)?>(.*?)</a>"
+
+  /** cleanup stage 4 of the contract over any string column. */
+  private[graft] def htmlCleanup(c: Column): Column = {
+    val noTags = regexp_replace(c, "(?s)<[^>]*>", " ")
+    val ents = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (k, v)) => replace(acc, lit(k), lit(v)) }
+    trim(regexp_replace(ents, "[ \t\n\u000B\f\r]+", " "))
+  }
+
+  /** HTML/markup text extraction — the ingestion front door every web
+    * corpus passes through before any other operator here can touch it.
+    * Tag strip + entity decode + script/style drop + per-block link-density
+    * boilerplate cut (trafilatura/jusText's core signal: a block that is
+    * mostly anchor text is navigation, not content).
+    *
+    * Plan shape: one per-row regex projection, posexplode to per-block rows
+    * (all codegen'd column ops), one groupBy(id) — a single shuffle whose
+    * key is the document id, so it partitions perfectly at any corpus size.
+    * The only HOF lambda (anchor-length sum) touches nothing but its own
+    * argument (the wordNgrams outer-expression trap does not apply).
+    *
+    * Output per document: `clean_text` (kept blocks joined with \n),
+    * `n_kept` / `n_dropped` (nonempty blocks), `link_permille` (document
+    * link density over ALL nonempty blocks — the audit number). */
+  def htmlExtract(docs: DataFrame, idCol: String, htmlCol: String,
+      dropDensityPermille: Long = 500L): DataFrame = {
+    val prepared = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      col(htmlCol),
+      "(?s)<!--.*?-->", ""),
+      "(?is)<script(\\s[^>]*)?>.*?</script>", ""),
+      "(?is)<style(\\s[^>]*)?>.*?</style>", ""),
+      s"(?i)</?($HtmlBlockTags)(\\s[^>]*)?/?>", "\u0001")
+    val perBlock = docs
+      .select(col(idCol), posexplode(split(prepared, "\u0001")).as(Seq("idx", "block")))
+      .withColumn("btxt", htmlCleanup(col("block")))
+      .withColumn("achars", aggregate(
+        regexp_extract_all(col("block"), lit(HtmlAnchorPat), lit(2)),
+        lit(0L), (acc, x) => acc + length(htmlCleanup(x)).cast("long")))
+      .withColumn("nonempty", col("btxt") =!= "")
+      // nullif guard: ANSI div throws on zero, and && does not promise
+      // short-circuit under codegen — FALSE && NULL = FALSE keeps empty
+      // blocks out without evaluating the division (r10 linearFit lesson)
+      .withColumn("keep", col("nonempty") &&
+        expr(s"achars * 1000 div nullif(length(btxt), 0)") <= dropDensityPermille)
+    perBlock
+      .groupBy(col(idCol))
+      .agg(
+        coalesce(array_join(transform(
+          array_sort(collect_list(when(col("keep"), struct(col("idx"), col("btxt"))))),
+          _.getField("btxt")), "\n"), lit("")).as("clean_text"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        sum((col("nonempty") && !col("keep")).cast("long")).as("n_dropped"),
+        coalesce(
+          expr("sum(CASE WHEN nonempty THEN achars ELSE 0 END) * 1000" +
+            " div nullif(sum(CASE WHEN nonempty THEN length(btxt) ELSE 0 END), 0)"),
+          lit(0L)).as("link_permille"))
+  }
 }

@@ -285,6 +285,38 @@ private[graft] trait DedupQueries extends QueryHelpers {
         .orderBy(col("doc_a"), col("doc_b"))
     }))
 
+  /** Scalable oracle for the ngram-jaccard family (shared by the plain,
+    * prefix-filter and shuffle variants — all three must produce the
+    * identical pair set). r12 rewrite: the original per-pair
+    * `list_intersect` over the blocked self-join exceeded 15 min in
+    * single-threaded DuckDB at sf1 (100× pair growth under the replica
+    * fixture); this version explodes grams to rows and counts pair
+    * intersections through a vectorized gram equi-join. Result-identical:
+    * the 0.5 threshold means zero-intersection pairs (the only ones a
+    * gram join cannot emit) never survive, and
+    * shared/(na+nb−shared) = |∩|/|∪| on distinct-gram sets. Verified
+    * row-identical to the old oracle at sf0.01; 19 s at sf1 (was >900). */
+  private val ngramJaccardOracle: String =
+    """WITH prepared AS (
+      |  SELECT doc_id, lang, CAST(floor(length(text) / 100) AS BIGINT) AS len_bucket,
+      |    list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS grams
+      |  FROM (SELECT doc_id, lang, text, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+      |), g AS (
+      |  SELECT doc_id, lang, len_bucket, len(grams) AS n, unnest(grams) AS gram FROM prepared
+      |), pr AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    count(*) AS shared, any_value(a.n) AS na, any_value(b.n) AS nb
+      |  FROM g a JOIN g b
+      |    ON a.gram = b.gram AND a.lang = b.lang AND a.len_bucket = b.len_bucket
+      |   AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT id_a, id_b,
+      |  CAST(shared AS DOUBLE) / CAST(na + nb - shared AS DOUBLE) AS jaccard
+      |FROM pr
+      |WHERE CAST(shared AS DOUBLE) / CAST(na + nb - shared AS DOUBLE) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
   protected def dedupOracles: Map[String, String] = Map(
 
     "dedup_winnow_fps" ->
@@ -407,30 +439,52 @@ private[graft] trait DedupQueries extends QueryHelpers {
         |  SELECT doc_id, base || '&z=1' AS curl, CAST(2 AS BIGINT) AS n_variants FROM u
         |) q ORDER BY curl""".stripMargin,
 
+    // r12 scalable rewrite: the original re-derived each window hash with a
+    // per-position 16-term list comprehension — O(n·16) substr calls per
+    // document, >15 min single-threaded at sf1. This version is set-based:
+    // per-char rows (zipped unnests), a power table 31^i / 31^(−i) mod p
+    // built once by recursive CTE (31⁻¹ ≡ 129032259 mod 1000000007), a
+    // windowed prefix sum T(p) = Σ a_i·31^(−i), and
+    // H(p) = 31^p·(T(p)−T(p−16)) ≡ Σ_{i=p−15..p} a_i·31^(p−i) — the exact
+    // same rolling hash (weights verified == the old literal table).
+    // Bounds: per-term mod keeps the prefix sum < len·10⁹; the final
+    // product < 10¹⁸ < 2⁶³. Verified row-identical at sf0.01; 52 s at sf1.
     "dedup_cdc_chunks" ->
-      """WITH d AS (
+      """WITH RECURSIVE d AS (
         |  SELECT doc_id, text AS t, length(text) AS n FROM documents
-        |), cuts AS (
-        |  SELECT doc_id, t, n,
-        |    [p FOR p IN range(16, n + 1) IF
-        |       list_sum([CAST(ascii(substr(t, CAST(p AS INT) - 16 + k, 1)) AS BIGINT)
-        |                 * ([853136842, 188810867, 522219709, 274910315, 718545499,
-        |                     281243405, 621975598, 891031477, 512613922, 887503681,
-        |                     28629151, 923521, 29791, 961, 31, 1])[k]
-        |                 FOR k IN range(1, 17)]) % 1000000007 % 64 = 0] AS cuts
-        |  FROM d
-        |), segs AS (
-        |  SELECT doc_id,
-        |    list_prepend(CAST(0 AS BIGINT), cuts) AS s0,
-        |    list_append(cuts, CAST(n AS BIGINT)) AS e0, t
-        |  FROM cuts
+        |), maxn AS (
+        |  SELECT max(n) AS m FROM d
+        |), pw(i, p31, pinv) AS (
+        |  SELECT 0, CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+        |  UNION ALL
+        |  SELECT i + 1, (p31 * 31) % 1000000007, (pinv * 129032259) % 1000000007
+        |  FROM pw, maxn WHERE i < m
+        |), chars AS (
+        |  SELECT doc_id, unnest(string_split(t, '')) AS c, unnest(range(1, n + 1)) AS i FROM d
+        |), pc AS (
+        |  SELECT ch.doc_id, ch.i,
+        |    sum((CAST(ascii(ch.c) AS BIGINT) * pw.pinv) % 1000000007)
+        |      OVER (PARTITION BY ch.doc_id ORDER BY ch.i) AS cum
+        |  FROM chars ch JOIN pw ON pw.i = ch.i
+        |), cutpos AS (
+        |  SELECT c.doc_id, c.i AS p
+        |  FROM pc c
+        |  LEFT JOIN pc prev ON prev.doc_id = c.doc_id AND prev.i = c.i - 16
+        |  JOIN pw ON pw.i = c.i
+        |  WHERE c.i >= 16
+        |    AND (((c.cum - COALESCE(prev.cum, 0)) % 1000000007) * pw.p31)
+        |        % 1000000007 % 64 = 0
+        |), bnds AS (
+        |  SELECT doc_id, CAST(p AS BIGINT) AS p FROM cutpos
+        |  UNION ALL SELECT doc_id, CAST(0 AS BIGINT) FROM d
+        |  UNION ALL SELECT doc_id, CAST(n AS BIGINT) FROM d
         |), ch AS (
-        |  SELECT doc_id, chunk FROM (
-        |    SELECT doc_id,
-        |      unnest([substr(t, CAST(s0[i] AS INT) + 1, CAST(e0[i] - s0[i] AS INT))
-        |              FOR i IN range(1, len(s0) + 1)]) AS chunk
-        |    FROM segs) q
-        |  WHERE chunk != ''
+        |  SELECT b.doc_id, substr(d.t, CAST(b.s AS INT) + 1, CAST(b.e - b.s AS INT)) AS chunk
+        |  FROM (
+        |    SELECT doc_id, p AS s, lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS e
+        |    FROM bnds) b
+        |  JOIN d ON d.doc_id = b.doc_id
+        |  WHERE b.e IS NOT NULL AND substr(d.t, CAST(b.s AS INT) + 1, CAST(b.e - b.s AS INT)) != ''
         |), df AS (
         |  SELECT chunk, count(DISTINCT doc_id) AS ndocs FROM ch GROUP BY 1
         |)
@@ -586,36 +640,11 @@ private[graft] trait DedupQueries extends QueryHelpers {
          |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
 
-    "dedup_ngram_jaccard" ->
-      """WITH prepared AS (
-        |  SELECT doc_id, lang, CAST(floor(length(text) / 100) AS BIGINT) AS len_bucket,
-        |    list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS grams
-        |  FROM (SELECT doc_id, lang, text, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
-        |)
-        |SELECT id_a, id_b, jaccard FROM (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-        |      / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) AS jaccard
-        |  FROM prepared a JOIN prepared b
-        |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id)
-        |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
-
+    "dedup_ngram_jaccard" -> ngramJaccardOracle,
 
     // same semantics as dedup_ngram_jaccard — the prefix-filter path must
     // produce the identical pair set, so it shares the oracle verbatim
-    "dedup_ngram_jaccard_prefix" ->
-      """WITH prepared AS (
-        |  SELECT doc_id, lang, CAST(floor(length(text) / 100) AS BIGINT) AS len_bucket,
-        |    list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS grams
-        |  FROM (SELECT doc_id, lang, text, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
-        |)
-        |SELECT id_a, id_b, jaccard FROM (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-        |      / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) AS jaccard
-        |  FROM prepared a JOIN prepared b
-        |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id)
-        |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "dedup_ngram_jaccard_prefix" -> ngramJaccardOracle,
 
 
     "dedup_clusters" ->

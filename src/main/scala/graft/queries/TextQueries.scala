@@ -353,6 +353,38 @@ private[graft] trait TextQueries extends QueryHelpers {
     }),
 
 
+    "text_html_extract" -> ((s, dir) => {
+      // the web-corpus ingestion front door: synthesize HTML around the
+      // corpus text (comment/script/style noise, encoded entities, an
+      // all-links nav + footer, a mixed-content div, a pure link list),
+      // then boilerplate-strip it back — tag strip + entity decode +
+      // per-block link-density cut. The oracle re-derives the ENTIRE
+      // pipeline in the shared Java/RE2 regex subset (contract pinned on
+      // TextAnalysis.htmlCleanup).
+      val docs = t(s, dir, "documents")
+      graft.operators.TextAnalysis.htmlExtract(
+        spread(docs.select(col("doc_id"), htmlFixtureCol.as("html"))), "doc_id", "html")
+        .orderBy(col("doc_id"))
+    }),
+
+
+    "curation_pipeline_html" -> ((s, dir) => {
+      // the front door THROUGH the YAML pipeline compiler: raw HTML in,
+      // boilerplate-stripped text out (empty extractions dropped), then a
+      // min-length gate over the EXTRACTED text — the C4-style entry chain
+      val pipelineYaml =
+        """steps:
+          |  - { op: extract_html, max_link_density_permille: 500 }
+          |  - { op: filter_length, min_chars: 100 }
+          |""".stripMargin
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), htmlFixtureCol.as("text"))
+      graft.operators.CurationPipeline.runYaml(spread(docs), "doc_id", "text", pipelineYaml)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+
     "text_contamination" -> ((s, dir) => {
       // decontamination pass: benchmark = every 37th doc, corpus = the rest
       val docs = spread(t(s, dir, "documents"))
@@ -361,6 +393,109 @@ private[graft] trait TextQueries extends QueryHelpers {
         "doc_id", "text", n = 4)
         .orderBy(col("doc_id"))
     }))
+
+  /** The synthetic-HTML fixture (Spark side): the corpus text wrapped in
+    * realistic web noise — comment, script (with a bare `<` inside), style,
+    * an all-links nav, a heading, the body paragraph with encoded entities,
+    * a mixed-content div (~1/3 of docs), a pure link list (~1/5), an
+    * all-links footer. Mirrored literally by [[htmlFixtureSqlExpr]]. */
+  private def htmlFixtureCol: Column = concat(
+    lit("<html><!-- fixture --><head><script type=\"text/javascript\">var x = 1 < 2;</script>"),
+    lit("<style>.nav { color: red }</style></head><body>"),
+    lit("<nav><a href=\"/\">Home</a> <a href=\"/docs\">Docs</a> <a href=\"/about\">About</a></nav>"),
+    lit("<h1>Doc "), col("doc_id").cast("string"), lit("</h1>"),
+    lit("<p>"), col("text"),
+    lit(" &amp; more &lt;escaped&gt; &quot;text&quot;&nbsp;here</p>"),
+    when(col("doc_id") % 3 === 0,
+      lit("<div>Read the full story <a href=\"/x\">right here</a></div>")).otherwise(lit("")),
+    when(col("doc_id") % 5 === 0,
+      lit("<ul><li><a href=\"/l1\">link one</a></li><li><a href=\"/l2\">link two</a></li></ul>"))
+      .otherwise(lit("")),
+    lit("<footer><a href=\"/tos\">Terms</a> <a href=\"/priv\">Privacy</a></footer></body></html>"))
+
+  private val htmlFixtureSqlExpr: String =
+    """'<html><!-- fixture --><head><script type="text/javascript">var x = 1 < 2;</script>'
+      |    || '<style>.nav { color: red }</style></head><body>'
+      |    || '<nav><a href="/">Home</a> <a href="/docs">Docs</a> <a href="/about">About</a></nav>'
+      |    || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>'
+      |    || '<p>' || text || ' &amp; more &lt;escaped&gt; &quot;text&quot;&nbsp;here</p>'
+      |    || CASE WHEN doc_id % 3 = 0 THEN '<div>Read the full story <a href="/x">right here</a></div>' ELSE '' END
+      |    || CASE WHEN doc_id % 5 = 0 THEN '<ul><li><a href="/l1">link one</a></li><li><a href="/l2">link two</a></li></ul>' ELSE '' END
+      |    || '<footer><a href="/tos">Terms</a> <a href="/priv">Privacy</a></footer></body></html>'""".stripMargin
+
+  /** DuckDB twin of [[graft.operators.TextAnalysis.htmlCleanup]] over a SQL
+    * expression — generated so the step order (strip tags → named entities
+    * → `&amp;` last → whitespace collapse → trim) has exactly one
+    * definition per engine. Single quotes in replacements are SQL-doubled. */
+  private def htmlCleanupSql(e: String): String = {
+    val noTags = s"regexp_replace($e, '(?s)<[^>]*>', ' ', 'g')"
+    val ents = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "''", "&apos;" -> "''", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (k, v)) => s"replace($acc, '$k', '$v')" }
+    s"trim(regexp_replace($ents, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
+  }
+
+  /** Shared CTE chain (fixture → prep → blocks → per → flags) for both
+    * HTML-extraction oracles. */
+  private def htmlExtractOracleCtes: String = {
+    val blockTags = "p|div|li|ul|ol|h[1-6]|br|tr|td|th|table|thead|tbody" +
+      "|section|article|header|footer|nav|blockquote|pre"
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    '<html><!-- fixture --><head><script type="text/javascript">var x = 1 < 2;</script>'
+       |    || '<style>.nav { color: red }</style></head><body>'
+       |    || '<nav><a href="/">Home</a> <a href="/docs">Docs</a> <a href="/about">About</a></nav>'
+       |    || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>'
+       |    || '<p>' || text || ' &amp; more &lt;escaped&gt; &quot;text&quot;&nbsp;here</p>'
+       |    || CASE WHEN doc_id % 3 = 0 THEN '<div>Read the full story <a href="/x">right here</a></div>' ELSE '' END
+       |    || CASE WHEN doc_id % 5 = 0 THEN '<ul><li><a href="/l1">link one</a></li><li><a href="/l2">link two</a></li></ul>' ELSE '' END
+       |    || '<footer><a href="/tos">Terms</a> <a href="/priv">Privacy</a></footer></body></html>' AS html
+       |  FROM documents
+       |), prep AS (
+       |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+       |    '(?s)<!--.*?-->', '', 'g'),
+       |    '(?is)<script(\\s[^>]*)?>.*?</script>', '', 'g'),
+       |    '(?is)<style(\\s[^>]*)?>.*?</style>', '', 'g'),
+       |    '(?i)</?($blockTags)(\\s[^>]*)?/?>', chr(1), 'g') AS s
+       |  FROM d
+       |), blocks AS (
+       |  SELECT doc_id, unnest(string_split(s, chr(1))) AS block,
+       |         unnest(range(1, len(string_split(s, chr(1))) + 1)) AS idx
+       |  FROM prep
+       |), per AS (
+       |  SELECT doc_id, idx, ${htmlCleanupSql("block")} AS btxt,
+       |    COALESCE(list_sum([CAST(length(${htmlCleanupSql("x")}) AS BIGINT)
+       |        FOR x IN regexp_extract_all(block, '(?is)<a(\\s[^>]*)?>(.*?)</a>', 2)]), 0) AS achars
+       |  FROM blocks
+       |), flags AS (
+       |  SELECT doc_id, idx, btxt, achars, btxt != '' AS nonempty,
+       |    (btxt != '' AND achars * 1000 // nullif(length(btxt), 0) <= 500) AS keep
+       |  FROM per
+       |), extracted AS (
+       |  SELECT doc_id,
+       |    COALESCE(string_agg(CASE WHEN keep THEN btxt END, chr(10) ORDER BY idx), '') AS clean_text,
+       |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |    CAST(sum(CASE WHEN nonempty AND NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |    COALESCE(sum(CASE WHEN nonempty THEN achars ELSE 0 END) * 1000
+       |      // nullif(sum(CASE WHEN nonempty THEN length(btxt) ELSE 0 END), 0), 0) AS link_permille
+       |  FROM flags GROUP BY doc_id
+       |)""".stripMargin
+  }
+
+  // NOTE: concatenation, not interpolation-then-stripMargin — the CTE text
+  // contains `||` at line starts, and a second stripMargin would eat one
+  // pipe of each (Binder Error: `|(STRING, STRING)`)
+  private def htmlExtractOracleSql: String =
+    htmlExtractOracleCtes + "\n" +
+      """SELECT doc_id, clean_text, n_kept, n_dropped, link_permille
+        |FROM extracted ORDER BY doc_id""".stripMargin
+
+  private def curationPipelineHtmlOracleSql: String =
+    htmlExtractOracleCtes + "\n" +
+      """SELECT e.doc_id, docs.lang, docs.source, e.clean_text AS text
+        |FROM extracted e JOIN documents docs USING (doc_id)
+        |WHERE e.clean_text != '' AND length(e.clean_text) >= 100
+        |ORDER BY e.doc_id""".stripMargin
 
   /** The WordPiece oracle: vocabulary CTEs + 16 GENERATED greedy steps
     * (the layout_hilbert programmatic-oracle precedent — each step advances
@@ -411,6 +546,10 @@ private[graft] trait TextQueries extends QueryHelpers {
   }
 
   protected def textOracles: Map[String, String] = Map(
+
+    "text_html_extract" -> htmlExtractOracleSql,
+
+    "curation_pipeline_html" -> curationPipelineHtmlOracleSql,
 
     "text_chunks" ->
       """WITH toks AS (

@@ -489,4 +489,52 @@ class CurationSpec extends SparkSuite {
     val recall = semDropped.size.toDouble / bruteDropped.size
     assert(recall >= 0.2, f"semantic dedup recall degraded: $recall%.3f (floor 0.2)")
   }
+
+  test("htmlExtract strips boilerplate, decodes entities, drops link-heavy blocks") {
+    val html =
+      "<html><!-- hidden --><head><script>if (a < b) alert('x');</script>" +
+        "<style>p { font-size: 2em }</style></head><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/x\">More</a></nav>" +
+        "<p>Fish &amp; chips &lt;3 say &quot;hi&quot;</p>" +
+        "<div>Read more <a href=\"/d\">over here</a> today</div>" +
+        "<footer><a href=\"/t\">Terms</a></footer></body></html>"
+    val df = Seq((1L, html)).toDF("id", "html")
+    val out = TextAnalysis.htmlExtract(df, "id", "html").collect().head
+    val clean = out.getAs[String]("clean_text")
+    // comment/script/style gone entirely (incl. the bare `<` inside script)
+    assert(!clean.contains("hidden") && !clean.contains("alert") && !clean.contains("font-size"))
+    // entities decoded, &amp; last
+    assert(clean.contains("Fish & chips <3 say \"hi\""))
+    // nav (density 1000) and footer dropped; mixed div kept with its anchor text
+    assert(!clean.contains("Home") && !clean.contains("Terms"))
+    assert(clean.contains("Read more over here today"))
+    assert(out.getAs[Long]("n_kept") == 2L, s"kept: $out")
+    assert(out.getAs[Long]("n_dropped") == 2L, s"dropped: $out")
+    // document density: anchors Home+More+over here+Terms over all nonempty text
+    val allTxt = Seq("Home More", "Fish & chips <3 say \"hi\"",
+      "Read more over here today", "Terms").map(_.length).sum
+    val anchors = Seq("Home", "More", "over here", "Terms").map(_.length).sum
+    assert(out.getAs[Long]("link_permille") == anchors * 1000L / allTxt)
+    // double-encoded entity renders as the literal entity, not markup
+    val enc = Seq((2L, "<p>a &amp;lt;tag&amp;gt; z</p>")).toDF("id", "html")
+    val c2 = TextAnalysis.htmlExtract(enc, "id", "html").collect().head.getAs[String]("clean_text")
+    assert(c2 == "a &lt;tag&gt; z", s"got '$c2'")
+  }
+
+  test("extract_html pipeline step replaces text and drops empty extractions") {
+    val df = Seq(
+      (1L, "<p>long enough real content here</p>"),
+      (2L, "<nav><a href='/'>Only links</a></nav>")).toDF("doc_id", "text")
+    val out = graft.operators.CurationPipeline.runYaml(df, "doc_id", "text",
+      "steps:\n  - { op: extract_html }\n")
+    val rows = out.orderBy("doc_id").collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 1L)
+    assert(rows.head.getAs[String]("text") == "long enough real content here")
+    // validation: out-of-range density fails before any job
+    val err = intercept[graft.operators.CurationPipeline.PipelineException] {
+      graft.operators.CurationPipeline.parse(
+        "steps:\n  - { op: extract_html, max_link_density_permille: 1001 }\n")
+    }
+    assert(err.errors.exists(_.contains("max_link_density_permille")))
+  }
 }
