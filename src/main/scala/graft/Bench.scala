@@ -137,7 +137,10 @@ object Bench {
     rows / secs
   }
 
-  def main(args: Array[String]): Unit = {
+  def main(args: Array[String]): Unit =
+    // own residual scope: two harnesses sharing a JVM can no longer
+    // release each other's in-flight caches (r11 verdict #8)
+    graft.operators.Residuals.withScope(graft.operators.Residuals.newScope()) {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -8,7 +8,10 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * answers "is THIS query slow, or is it inheriting a dirty JVM" — the
   * distinction that separated real regressions from GC bleed in round 4. */
 object MicroBench {
-  def main(args: Array[String]): Unit = {
+  def main(args: Array[String]): Unit =
+    // own residual scope: two harnesses sharing a JVM can no longer
+    // release each other's in-flight caches (r11 verdict #8)
+    graft.operators.Residuals.withScope(graft.operators.Residuals.newScope()) {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

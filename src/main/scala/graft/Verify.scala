@@ -4,7 +4,10 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  def main(args: Array[String]): Unit = {
+  def main(args: Array[String]): Unit =
+    // own residual scope: two harnesses sharing a JVM can no longer
+    // release each other's in-flight caches (r11 verdict #8)
+    graft.operators.Residuals.withScope(graft.operators.Residuals.newScope()) {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -1927,4 +1927,374 @@ object Multimodal {
       })
     spark.createDataFrame(rdd, JpegDecodedSchema)
   }
+
+  // ----- color baseline JPEG (r12): 3-component YCbCr with 4:2:0 chroma -----
+
+  /** Integer color-space contract, pinned so encoder, decoder AND the SQL
+    * oracle share one arithmetic (every dividend is biased NONNEGATIVE so
+    * `>> 16` == truncating division in Scala, Spark `div` and DuckDB `//`
+    * alike — floor-vs-truncate on negatives never arises):
+    *   Y  = (19595·R + 38470·G +  7471·B + 32768) >> 16
+    *   Cb = clamp((−11059·R − 21709·G + 32768·B + 32768 + 8388608) >> 16)
+    *   Cr = clamp((32768·R − 27439·G −  5329·B + 32768 + 8388608) >> 16)
+    *   R  = clamp(Y + ((91881·Cr′ + 32768 + 16777216) >> 16) − 256)
+    *   G  = clamp(Y − ((22554·Cb′ + 46802·Cr′ + 32768 + 33554432) >> 16) + 512)
+    *   B  = clamp(Y + ((116130·Cb′ + 32768 + 16777216) >> 16) − 256)
+    * with Cb′ = Cb − 128, Cr′ = Cr − 128 (the JFIF BT.601 matrix in 16-bit
+    * fixed point, round-half-up via the +32768 term). */
+  private[graft] def rgbToYcc(r: Int, g: Int, b: Int): (Int, Int, Int) = {
+    def cl(v: Int) = math.min(255, math.max(0, v))
+    val y = (19595 * r + 38470 * g + 7471 * b + 32768) >> 16
+    val cb = cl((-11059 * r - 21709 * g + 32768 * b + 32768 + 8388608) >> 16)
+    val cr = cl((32768 * r - 27439 * g - 5329 * b + 32768 + 8388608) >> 16)
+    (cl(y), cb, cr)
+  }
+
+  private[graft] def yccToRgb(y: Int, cb: Int, cr: Int): (Int, Int, Int) = {
+    def cl(v: Int) = math.min(255, math.max(0, v))
+    val cbp = cb - 128
+    val crp = cr - 128
+    val r = y + ((91881 * crp + 32768 + 16777216) >> 16) - 256
+    val g = y - ((22554 * cbp + 46802 * crp + 32768 + 33554432) >> 16) + 512
+    val b = y + ((116130 * cbp + 32768 + 16777216) >> 16) - 256
+    (cl(r), cl(g), cl(b))
+  }
+
+  /** Encode an RGB image as baseline 3-component YCbCr JFIF with 4:2:0
+    * chroma (Y sampled 2×2, Cb/Cr 1×1 — the ubiquitous web-JPEG layout).
+    * Chroma subsampling PICKS the top-left sample of each 2×2 (documented
+    * deterministic choice; averaging is an encoder freedom T.81 does not
+    * mandate). One shared quant table and one shared DC/AC Huffman pair
+    * (Annex K) serve all components. MCUs are 16×16: four Y blocks in
+    * raster order, then Cb, then Cr, with per-component DC prediction. */
+  def jpegEncodeColor(width: Int, height: Int, rgb: (Int, Int) => (Int, Int, Int),
+      quality: Int = 75): Array[Byte] = {
+    require(width >= 1 && height >= 1 && width <= 0xffff && height <= 0xffff)
+    require(quality >= 1 && quality <= 95, s"jpeg quality must be in [1, 95], got $quality")
+    val qt = jpegQt(quality)
+    val out = new java.io.ByteArrayOutputStream(4096)
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, body: Array[Byte]): Unit = {
+      marker(m)
+      val len = body.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      out.write(body, 0, body.length)
+    }
+    marker(0xd8)
+    seg(0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(0xdb, (Array(0) ++ (0 until 64).map(k => qt(JpegZigzag(k)))).map(_.toByte))
+    seg(0xc0, Array(8, height >> 8, height & 0xff, width >> 8, width & 0xff,
+      3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0).map(_.toByte)) // SOF0: Y 2x2, Cb/Cr 1x1
+    seg(0xc4, (Array(0x00) ++ JpegDcBits ++ JpegDcVals).map(_.toByte))
+    seg(0xc4, (Array(0x10) ++ JpegAcBits ++ JpegAcVals).map(_.toByte))
+    seg(0xda, Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0).map(_.toByte))
+    val bw = new JpegBitWriter(out)
+    val block = new Array[Int](64)
+    var prevY = 0L
+    var prevCb = 0L
+    var prevCr = 0L
+    def writeBlock(prevDc: Long): Long = {
+      val f = jpegFdct(block)
+      val fq = new Array[Long](64)
+      var k = 0
+      while (k < 64) {
+        val nat = JpegZigzag(k)
+        fq(k) = math.floor(f(nat).toDouble / qt(nat) + 0.5).toLong
+        k += 1
+      }
+      val diff = fq(0) - prevDc
+      val t = jpegCategory(diff)
+      val (dcode, dlen) = JpegDcEnc(t)
+      bw.write(dcode, dlen)
+      if (t > 0)
+        bw.write((if (diff < 0) diff + (1L << t) - 1 else diff).toInt, t)
+      var lastNz = 63
+      while (lastNz >= 1 && fq(lastNz) == 0) lastNz -= 1
+      var run = 0
+      k = 1
+      while (k <= lastNz) {
+        if (fq(k) == 0) run += 1
+        else {
+          while (run >= 16) { val (c, l) = JpegAcEnc(0xf0); bw.write(c, l); run -= 16 }
+          val sz = jpegCategory(fq(k))
+          val (c, l) = JpegAcEnc((run << 4) | sz)
+          bw.write(c, l)
+          bw.write((if (fq(k) < 0) fq(k) + (1L << sz) - 1 else fq(k)).toInt, sz)
+          run = 0
+        }
+        k += 1
+      }
+      if (lastNz < 63) { val (c, l) = JpegAcEnc(0x00); bw.write(c, l) }
+      fq(0)
+    }
+    def yAt(x: Int, y: Int): Int = {
+      val (r, g, b) = rgb(math.min(x, width - 1), math.min(y, height - 1))
+      rgbToYcc(r, g, b)._1
+    }
+    val cw = (width + 1) / 2
+    val ch = (height + 1) / 2
+    def chromaAt(cx: Int, cy: Int): (Int, Int) = {
+      // top-left pick of the 2x2, edge-replicated past the chroma plane
+      val sx = math.min(cx, cw - 1) * 2
+      val sy = math.min(cy, ch - 1) * 2
+      val (r, g, b) = rgb(math.min(sx, width - 1), math.min(sy, height - 1))
+      val (_, cb, cr) = rgbToYcc(r, g, b)
+      (cb, cr)
+    }
+    val mx = (width + 15) / 16
+    val my = (height + 15) / 16
+    for (m <- 0 until mx * my) {
+      val x0 = (m % mx) * 16
+      val y0 = (m / mx) * 16
+      for (yb <- 0 until 4) {
+        val bx0 = x0 + (yb % 2) * 8
+        val by0 = y0 + (yb / 2) * 8
+        var i = 0
+        while (i < 64) { block(i) = yAt(bx0 + i % 8, by0 + i / 8); i += 1 }
+        prevY = writeBlock(prevY)
+      }
+      val cx0 = (m % mx) * 8
+      val cy0 = (m / mx) * 8
+      var i = 0
+      while (i < 64) { block(i) = chromaAt(cx0 + i % 8, cy0 + i / 8)._1; i += 1 }
+      prevCb = writeBlock(prevCb)
+      i = 0
+      while (i < 64) { block(i) = chromaAt(cx0 + i % 8, cy0 + i / 8)._2; i += 1 }
+      prevCr = writeBlock(prevCr)
+    }
+    bw.flush()
+    marker(0xd9)
+    out.toByteArray
+  }
+
+  /** Full color decode: parse markers (multiple quant/Huffman tables per
+    * segment, per-component table refs), entropy-decode interleaved 16×16
+    * MCUs (4 Y + Cb + Cr, per-component DC chains), reconstruct planes via
+    * the integer IDCT, upsample chroma by 2×2 replication (the integer
+    * 4:2:0 upsampler matching the encoder's top-left pick), and convert
+    * through the pinned YCbCr→RGB fixed-point matrix. Refuses progressive
+    * and non-4:2:0 sampling loudly. */
+  private[graft] def jpegPixelsColor(bytes: Array[Byte]): (Int, Int, Array[Int], Array[Int], Array[Int]) = {
+    require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
+      "not a JPEG (no SOI)")
+    var pos = 2
+    val qts = new Array[Array[Int]](4)
+    val dcTs = new Array[JpegHuffTable](4)
+    val acTs = new Array[JpegHuffTable](4)
+    var w = 0
+    var h = 0
+    // per component (3): id, qt id, dc table id, ac table id
+    val compQt = new Array[Int](3)
+    val compDc = new Array[Int](3)
+    val compAc = new Array[Int](3)
+    val compId = new Array[Int](3)
+    var sosAt = -1
+    while (sosAt < 0) {
+      require((bytes(pos) & 0xff) == 0xff, f"jpeg: expected marker at $pos")
+      val m = bytes(pos + 1) & 0xff
+      val len = ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
+      val body = pos + 4
+      m match {
+        case 0xdb =>
+          var p = body
+          while (p < pos + 2 + len) {
+            require((bytes(p) & 0xf0) == 0, "jpeg: only 8-bit quant tables supported")
+            val id = bytes(p) & 0x0f
+            val t = new Array[Int](64)
+            for (k <- 0 until 64) t(JpegZigzag(k)) = bytes(p + 1 + k) & 0xff
+            qts(id) = t
+            p += 65
+          }
+        case 0xc0 =>
+          require((bytes(body) & 0xff) == 8, "jpeg: 8-bit precision only")
+          h = ((bytes(body + 1) & 0xff) << 8) | (bytes(body + 2) & 0xff)
+          w = ((bytes(body + 3) & 0xff) << 8) | (bytes(body + 4) & 0xff)
+          require((bytes(body + 5) & 0xff) == 3,
+            "jpeg: color path needs 3 components (use jpegDecode for grayscale)")
+          for (c <- 0 until 3) {
+            compId(c) = bytes(body + 6 + c * 3) & 0xff
+            val samp = bytes(body + 7 + c * 3) & 0xff
+            require(samp == (if (c == 0) 0x22 else 0x11),
+              f"jpeg: only 4:2:0 sampling supported (component $c has 0x$samp%02x)")
+            compQt(c) = bytes(body + 8 + c * 3) & 0xff
+          }
+        case 0xc4 =>
+          var p = body
+          while (p < pos + 2 + len) {
+            val cls = (bytes(p) & 0xff) >> 4
+            val id = bytes(p) & 0x0f
+            val bits = Array.tabulate(16)(i => bytes(p + 1 + i) & 0xff)
+            val n = bits.sum
+            val vals = Array.tabulate(n)(i => bytes(p + 17 + i) & 0xff)
+            val t = new JpegHuffTable(bits, vals)
+            if (cls == 0) dcTs(id) = t else acTs(id) = t
+            p += 17 + n
+          }
+        case 0xda =>
+          require((bytes(body) & 0xff) == 3, "jpeg: SOS must carry 3 components")
+          for (c <- 0 until 3) {
+            require((bytes(body + 1 + c * 2) & 0xff) == compId(c), "jpeg: SOS order != SOF order")
+            compDc(c) = (bytes(body + 2 + c * 2) & 0xff) >> 4
+            compAc(c) = bytes(body + 2 + c * 2) & 0x0f
+          }
+          sosAt = body + 1 + 6 + 3
+        case 0xc2 => throw new IllegalArgumentException("jpeg: progressive not supported")
+        case _ => ()
+      }
+      if (sosAt < 0) pos += 2 + len
+    }
+    require(w > 0 && h > 0, "jpeg: missing SOF0 before SOS")
+    for (c <- 0 until 3) {
+      require(qts(compQt(c)) != null, s"jpeg: component $c references missing quant table")
+      require(dcTs(compDc(c)) != null && acTs(compAc(c)) != null,
+        s"jpeg: component $c references missing Huffman table")
+    }
+    val br = new JpegBitReader(bytes, sosAt)
+    val mx = (w + 15) / 16
+    val my = (h + 15) / 16
+    val yW = mx * 16
+    val cwP = mx * 8
+    val yPlane = new Array[Int](yW * my * 16)
+    val cbPlane = new Array[Int](cwP * my * 8)
+    val crPlane = new Array[Int](cwP * my * 8)
+    val prevDc = new Array[Long](3)
+    val f = new Array[Long](64)
+    def readBlock(comp: Int): Array[Int] = {
+      java.util.Arrays.fill(f, 0L)
+      val qt = qts(compQt(comp))
+      val t = br.decode(dcTs(compDc(comp)))
+      val diff =
+        if (t == 0) 0L
+        else {
+          val v = br.readBits(t)
+          if (v < (1 << (t - 1))) v.toLong - (1L << t) + 1 else v.toLong
+        }
+      prevDc(comp) += diff
+      f(0) = prevDc(comp) * qt(0)
+      var k = 1
+      var eob = false
+      while (k < 64 && !eob) {
+        val rs = br.decode(acTs(compAc(comp)))
+        if (rs == 0x00) eob = true
+        else if (rs == 0xf0) k += 16
+        else {
+          k += rs >> 4
+          require(k < 64, "jpeg: AC run past block end")
+          val sz = rs & 0x0f
+          val v = br.readBits(sz)
+          val c = if (v < (1 << (sz - 1))) v.toLong - (1L << sz) + 1 else v.toLong
+          f(JpegZigzag(k)) = c * qt(JpegZigzag(k))
+          k += 1
+        }
+      }
+      jpegIdct(f)
+    }
+    for (m <- 0 until mx * my) {
+      val x0 = (m % mx) * 16
+      val y0 = (m / mx) * 16
+      for (yb <- 0 until 4) {
+        val rec = readBlock(0)
+        val bx0 = x0 + (yb % 2) * 8
+        val by0 = y0 + (yb / 2) * 8
+        var i = 0
+        while (i < 64) { yPlane((by0 + i / 8) * yW + bx0 + i % 8) = rec(i); i += 1 }
+      }
+      val cx0 = (m % mx) * 8
+      val cy0 = (m / mx) * 8
+      val recCb = readBlock(1)
+      val recCr = readBlock(2)
+      var i = 0
+      while (i < 64) {
+        cbPlane((cy0 + i / 8) * cwP + cx0 + i % 8) = recCb(i)
+        crPlane((cy0 + i / 8) * cwP + cx0 + i % 8) = recCr(i)
+        i += 1
+      }
+    }
+    val rA = new Array[Int](w * h)
+    val gA = new Array[Int](w * h)
+    val bA = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = yccToRgb(
+          yPlane(y * yW + x), cbPlane((y / 2) * cwP + x / 2), crPlane((y / 2) * cwP + x / 2))
+        rA(y * w + x) = r; gA(y * w + x) = g; bA(y * w + x) = b
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, rA, gA, bA)
+  }
+
+  final case class JpegColorStats(width: Int, height: Int, channels: Int,
+      sumR: Long, sumG: Long, sumB: Long, wsumR: Long)
+
+  def jpegDecodeColor(bytes: Array[Byte]): JpegColorStats = {
+    val (w, h, r, g, b) = jpegPixelsColor(bytes)
+    var sr = 0L
+    var sg = 0L
+    var sb = 0L
+    var wr = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = y * w + x
+        sr += r(i); sg += g(i); sb += b(i)
+        wr += (y + 1).toLong * r(i)
+        x += 1
+      }
+      y += 1
+    }
+    JpegColorStats(w, h, 3, sr, sg, sb, wr)
+  }
+
+  /** Color JPEG fixtures: dims integer functions of the id; RGB CONSTANT
+    * PER 16×16 MCU — `(r,g,b)(mx,my) = ((17mx+29my+id)%256, (23mx+31my+2id)%256,
+    * (13mx+37my+3id)%256)`. A constant MCU keeps every component DC-only
+    * (Y constant over its 4 blocks, chroma constant) so the full color
+    * chain — RGB→YCbCr, 4:2:0 pick, DC quantize chain, IDCT, 2×2 upsample,
+    * YCbCr→RGB — is closed-form per MCU for the oracle; AC/Huffman and
+    * mixed-content paths ride the arbitrary-grid round-trip property. */
+  def jpegColorFixtures(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col(idCol).cast("long")).rdd.mapPartitions(_.map { row =>
+      val id = row.getLong(0)
+      val w = (16 + id % 19).toInt
+      val h = (16 + (id * 7) % 19).toInt
+      val payload = jpegEncodeColor(w, h, (x, y) => {
+        val mx = x / 16
+        val my = y / 16
+        (((17 * mx + 29 * my + id) % 256).toInt,
+          ((23 * mx + 31 * my + 2 * id) % 256).toInt,
+          ((13 * mx + 37 * my + 3 * id) % 256).toInt)
+      })
+      Row(id, payload)
+    })
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false))))
+  }
+
+  val JpegColorDecodedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("channels", LongType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false),
+    StructField("wsum_r", LongType, nullable = false)))
+
+  def decodeJpegColor(withPayload: DataFrame, idCol: String): DataFrame = {
+    val spark = withPayload.sparkSession
+    val rdd = withPayload.select(col(idCol).cast("long"), col("payload")).rdd
+      .mapPartitions(_.map { r =>
+        val s = jpegDecodeColor(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), s.width.toLong, s.height.toLong, s.channels.toLong,
+          s.sumR, s.sumG, s.sumB, s.wsumR)
+      })
+    spark.createDataFrame(rdd, JpegColorDecodedSchema)
+  }
 }

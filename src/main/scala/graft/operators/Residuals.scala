@@ -23,22 +23,63 @@ import org.apache.spark.storage.StorageLevel
   * pagerank chains) have truncated lineage and cannot be replayed. Call it
   * only at a consume-boundary (after a write/collect), never mid-pipeline.
   *
+  * SCOPING (r12): registrations land in the calling thread's CURRENT scope
+  * — the process-global default unless the harness opened its own via
+  * [[withScope]]. `release()` drains only the current scope, so two
+  * harnesses sharing a JVM (each wrapped in its own scope) can no longer
+  * drop each other's in-flight caches — the r11 single-consumer footgun.
+  * Scopes are inherited lexically, not across threads: a thread outside
+  * any `withScope` (e.g. a streaming micro-batch callback) registers into
+  * the default scope, which the plain `Residuals.release()` of an
+  * unscoped caller still drains.
+  *
   * Thread-safety: registrations and release are lock-free queue ops; a
   * release concurrent with registrations releases what it sees and leaves
-  * later registrations for the next call.
-  *
-  * SINGLE-CONSUMER contract: the registry is process-global with no
-  * ownership scoping, so `release()` drops EVERY registered residual —
-  * including another in-flight pipeline's. In a concurrent serving session,
-  * serialize pipelines around their release (or skip release and accept the
-  * cached-lifetime leak); today's callers (Verify / Bench / MicroBench) are
-  * single-threaded by construction. */
+  * later registrations for the next call. */
 object Residuals {
 
-  private val live = new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
+  /** One harness's residual set. Obtain via [[newScope]], activate with
+    * [[withScope]], drain with [[Scope.release]] (or `Residuals.release()`
+    * from inside the scope). */
+  final class Scope private[operators] () {
+    private val live = new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
+
+    private[operators] def add(releaseFn: () => Unit): Unit = live.add(releaseFn)
+
+    /** Run and drop every release action registered IN THIS SCOPE. Safe to
+      * call when empty; individual failures (e.g. an already-stopped
+      * context) are swallowed so one dead entry can't pin the rest. */
+    def release(): Unit = {
+      var f = live.poll()
+      while (f != null) {
+        try f() catch { case _: Exception => () }
+        f = live.poll()
+      }
+    }
+
+    /** Registered-but-unreleased residuals in this scope. */
+    def pending: Int = live.size
+  }
+
+  private val default = new Scope
+  private val current = new ThreadLocal[Scope] {
+    override def initialValue(): Scope = default
+  }
+
+  /** A fresh, empty scope (not yet active on any thread). */
+  def newScope(): Scope = new Scope
+
+  /** Run `body` with `s` as the calling thread's current scope; restores
+    * the previous scope afterwards (nesting-safe). Does NOT release on
+    * exit — the harness decides its consume boundaries. */
+  def withScope[T](s: Scope)(body: => T): T = {
+    val prev = current.get()
+    current.set(s)
+    try body finally current.set(prev)
+  }
 
   /** Persist `df` (MEMORY_AND_DISK, the repo-wide level for operator
-    * caches) and register its unpersist for the next [[release]]. */
+    * caches) and register its unpersist in the current scope. */
   def persist(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
     register(() => { p.unpersist(blocking = false); () })
@@ -46,20 +87,12 @@ object Residuals {
   }
 
   /** Register a custom release action (e.g. [[Dedup.releaseCheckpoint]]
-    * for localCheckpoint-backed results). */
-  def register(releaseFn: () => Unit): Unit = live.add(releaseFn)
+    * for localCheckpoint-backed results) in the current scope. */
+  def register(releaseFn: () => Unit): Unit = current.get().add(releaseFn)
 
-  /** Run and drop every registered release action. Safe to call when empty;
-    * individual failures (e.g. an already-stopped context) are swallowed so
-    * one dead entry can't pin the rest. */
-  def release(): Unit = {
-    var f = live.poll()
-    while (f != null) {
-      try f() catch { case _: Exception => () }
-      f = live.poll()
-    }
-  }
+  /** Drain the CURRENT scope (the process default when unscoped). */
+  def release(): Unit = current.get().release()
 
-  /** Number of registered-but-unreleased residuals (observability/tests). */
-  def pending: Int = live.size
+  /** Registered-but-unreleased residuals in the current scope. */
+  def pending: Int = current.get().pending
 }

@@ -1249,6 +1249,127 @@ object TextAnalysis {
       .select(col("lang"), col("token"), col("a").as("df_lang"), col("chi2"))
   }
 
+  // ----- unigram-LM (SentencePiece-style) tokenizer training -----
+
+  /** Driver-side twin of the cross-engine quantized-ln contract
+    * ([[Features.qln]]): same JVM libm as Spark's `ln`, which matches
+    * DuckDB's on integer inputs (the BM25/LM-fit precedent, r11 sqrt
+    * extension to driver math). */
+  private def qlnL(x: Long): Long = math.floor(math.log(x.toDouble) * 1e6 + 0.5).toLong
+
+  /** Viterbi best segmentation of `w` under piece log-scores: maximize the
+    * score sum; ties broken toward the SMALLEST start index of the final
+    * piece at every DP cell (strict `>` while scanning starts ascending —
+    * the rule the unrolled SQL oracle re-derives as `min(i)` over the
+    * argmax set). Single characters are always in the vocabulary by
+    * construction, so segmentation is always feasible. */
+  private def viterbiSegment(w: String, scores: Map[String, Long], maxPieceLen: Int): List[String] = {
+    val L = w.length
+    val best = new Array[Long](L + 1)
+    val bp = new Array[Int](L + 1)
+    var j = 1
+    while (j <= L) {
+      var b = Long.MinValue
+      var bi = -1
+      var i = math.max(0, j - maxPieceLen)
+      while (i < j) {
+        scores.get(w.substring(i, j)) match {
+          case Some(s) =>
+            val cand = best(i) + s
+            if (bi < 0 || cand > b) { b = cand; bi = i }
+          case None => ()
+        }
+        i += 1
+      }
+      require(bi >= 0, s"no vocabulary piece covers '$w' at $j — chars missing from vocab")
+      best(j) = b
+      bp(j) = bi
+      j += 1
+    }
+    var pieces = List.empty[String]
+    var pos = L
+    while (pos > 0) { pieces = w.substring(bp(pos), pos) :: pieces; pos = bp(pos) }
+    pieces
+  }
+
+  /** Shared trainer: seed vocabulary from per-occurrence substring mass,
+    * then `rounds` of HARD EM — Viterbi re-segmentation (E) and count
+    * re-estimation with add-one rescoring (M), pruning multi-char pieces
+    * whose expected count drops to zero. The deterministic integer form of
+    * SentencePiece's unigram-LM EM: hard (Viterbi) expectations make every
+    * count an integer and every score a quantized ln, so tokenizer
+    * TRAINING itself hash-matches an unrolled SQL re-derivation (the
+    * bpeMerges precedent, third tokenizer family).
+    *
+    * Scale: everything iterates over the DISTINCT word vocabulary, never
+    * the corpus; per round one distributed count job (kernel segmentation
+    * over broadcast scores) + one vocabulary-sized collect. Returns
+    * (words relation, final piece -> (count, score)). */
+  private def unigramTrain(docs: DataFrame, textCol: String, maxPieceLen: Int,
+      seedMinCount: Long, rounds: Int, maxWordLen: Int): (DataFrame, Map[String, (Long, Long)]) = {
+    require(maxPieceLen >= 1 && rounds >= 1 && maxWordLen >= maxPieceLen, "bad unigram params")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select(explode(TextFns.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")).between(1, maxWordLen))
+      .groupBy(col("word")).agg(count(lit(1)).as("n_occ"))
+      .transform(Residuals.persist)
+    // seed: EVERY substring occurrence of length <= maxPieceLen (overlaps
+    // count), mass-weighted; chars unconditionally kept
+    val seedCols = for { p <- 1 to maxWordLen; l <- 1 to maxPieceLen } yield
+      when(length(col("word")) >= p + l - 1, substring(col("word"), p, l))
+    val seed = words.select(explode(array(seedCols: _*)).as("piece"), col("n_occ"))
+      .filter(col("piece").isNotNull)
+      .groupBy(col("piece")).agg(sum(col("n_occ")).as("cnt"))
+      .filter(length(col("piece")) === 1 || col("cnt") >= seedMinCount)
+      .as[(String, Long)].collect()
+    var vocab: Map[String, Long] = seed.toMap // piece -> count
+    val seedTotal = vocab.valuesIterator.sum
+    var scores: Map[String, Long] = vocab.map { case (p, c) => p -> (qlnL(c) - qlnL(seedTotal)) }
+    val mp = maxPieceLen
+    for (_ <- 1 to rounds) {
+      val sc = scores // stable closure capture per round
+      val counts = words.as[(String, Long)]
+        .flatMap { case (w, n) => viterbiSegment(w, sc, mp).map(_ -> n) }
+        .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+        .collect().toMap
+      vocab = vocab.collect {
+        case (p, _) if p.length == 1 => p -> counts.getOrElse(p, 0L)
+        case (p, _) if counts.getOrElse(p, 0L) > 0L => p -> counts(p)
+      }
+      val total = vocab.valuesIterator.sum
+      val v = vocab.size.toLong
+      scores = vocab.map { case (p, c) => p -> (qlnL(c + 1) - qlnL(total + v)) }
+    }
+    (words, vocab.map { case (p, c) => p -> (c, scores(p)) })
+  }
+
+  /** Unigram-LM tokenizer TRAINING — returns the final vocabulary
+    * (piece, cnt, score_scaled) after `rounds` hard-EM rounds. */
+  def unigramLm(docs: DataFrame, textCol: String, maxPieceLen: Int = 4,
+      seedMinCount: Long = 30L, rounds: Int = 2, maxWordLen: Int = 16): DataFrame = {
+    val (_, vocab) = unigramTrain(docs, textCol, maxPieceLen, seedMinCount, rounds, maxWordLen)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val out = vocab.toSeq.map { case (p, (c, s)) => (p, c, s) }.sortBy(_._1)
+    spark.createDataset(out).toDF("piece", "cnt", "score_scaled")
+  }
+
+  /** Unigram-LM ENCODE — Viterbi segmentation of every distinct word under
+    * the trained vocabulary: (word, n_occ, n_pieces, pieces). */
+  def unigramEncode(docs: DataFrame, textCol: String, maxPieceLen: Int = 4,
+      seedMinCount: Long = 30L, rounds: Int = 2, maxWordLen: Int = 16): DataFrame = {
+    val (words, vocab) = unigramTrain(docs, textCol, maxPieceLen, seedMinCount, rounds, maxWordLen)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sc = vocab.map { case (p, (_, s)) => p -> s }
+    val mp = maxPieceLen
+    words.as[(String, Long)].map { case (w, n) =>
+      val pieces = viterbiSegment(w, sc, mp)
+      (w, n, pieces.length.toLong, pieces.mkString(" "))
+    }.toDF("word", "n_occ", "n_pieces", "pieces")
+  }
+
   // ----- HTML boilerplate extraction (the web-corpus front door) -----
 
   /** The shared HTML→text pipeline contract (pinned here, mirrored verbatim

@@ -101,6 +101,16 @@ private[graft] trait CurationQueries extends QueryHelpers {
         .orderBy(col("stratum"))
     }),
 
+    "sample_doremi" -> ((s, dir) => {
+      // DoReMi domain reweighting: 5 multiplicative-weights rounds over the
+      // per-lang excess bigram-LM loss (micro-nats), exp linearized to
+      // max(1, 1e6 + eta*excess div 1e6) — driver iteration over the
+      // bounded domain vector, every round re-derived as an unrolled CTE
+      graft.operators.Sampling.doremiWeights(
+        t(s, dir, "documents"), "doc_id", "lang", "text")
+        .orderBy(col("domain"))
+    }),
+
     "sample_class_balance" -> ((s, dir) => {
       // ratio-linked majority-class downsampling: every lang keeps at most
       // 2 x the smallest lang's count, hash-ranked — en (218) drops to 128
@@ -825,6 +835,53 @@ private[graft] trait CurationQueries extends QueryHelpers {
         |FROM ranked r JOIN counts USING (lang)
         |WHERE r.sample_rank <= least(counts.n_class, 2 * (SELECT n_min FROM nm))
         |ORDER BY r.doc_id""".stripMargin,
+
+    // the bigram-LM loss CTEs (curation_pipeline_lm's), then per-domain
+    // aggregation and 5 UNROLLED multiplicative-weights rounds — the
+    // driver loop's exact integer twin (all divisions truncate toward
+    // zero in both engines, verified on negative operands)
+    "sample_doremi" -> {
+      val roundCtes = (1 to 5).map { t =>
+        val prev = if (t == 1) "d0" else s"r${t - 1}"
+        s"""u$t AS (SELECT *, w * greatest(1, 1000000 + (100000 * excess) // 1000000) AS wp FROM $prev),
+           |r$t AS (SELECT domain, n_docs, loss, excess,
+           |  wp * 1000000 // (SELECT CAST(sum(wp) AS BIGINT) FROM u$t) AS w FROM u$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+         |), g AS (
+         |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS gram
+         |  FROM toks
+         |), pp AS (
+         |  SELECT doc_id, string_split(gram, ' ')[1] AS w1, string_split(gram, ' ')[2] AS w2 FROM g
+         |), c12 AS (
+         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM pp GROUP BY 1, 2
+         |), c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+         |v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM c12),
+         |lp AS (
+         |  SELECT pp.doc_id, CAST(count(*) AS BIGINT) AS nb,
+         |    CAST(sum(CAST(floor(ln(c12.c12 + 1) * 1e6 + 0.5) AS BIGINT)
+         |      - CAST(floor(ln(c1.c1 + (SELECT v FROM v)) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s
+         |  FROM pp JOIN c12 USING (w1, w2) JOIN c1 USING (w1) GROUP BY 1
+         |), dom AS (
+         |  SELECT d.lang AS domain, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(lp.nb) AS BIGINT) AS nb, CAST(sum(lp.s) AS BIGINT) AS s
+         |  FROM documents d JOIN lp ON lp.doc_id = d.doc_id GROUP BY 1
+         |  HAVING CAST(sum(lp.nb) AS BIGINT) > 0
+         |), base AS (
+         |  SELECT (-CAST(sum(s) AS BIGINT)) // CAST(sum(nb) AS BIGINT) AS bl FROM dom
+         |), d0 AS (
+         |  SELECT domain, n_docs, (-s) // nb AS loss,
+         |    (-s) // nb - (SELECT bl FROM base) AS excess,
+         |    CAST(1000000 AS BIGINT) AS w
+         |  FROM dom
+         |),
+         |$roundCtes
+         |SELECT domain, n_docs, loss AS loss_micro, excess AS excess_micro,
+         |  CAST(w AS BIGINT) AS weight_micro,
+         |  1000000 * w // (SELECT CAST(sum(w) AS BIGINT) FROM r5) AS alloc_docs
+         |FROM r5 ORDER BY domain""".stripMargin
+    },
 
     // LM scores re-derived (the text_bigram_perplexity CTEs), integer
     // threshold; zero-bigram docs kept via the left join's NULL

@@ -119,6 +119,18 @@ private[graft] trait MultimodalQueries extends QueryHelpers {
         .orderBy(col("doc_id"))
     }),
 
+    "mm_decode_jpeg_color" -> ((s, dir) => {
+      // COLOR baseline JPEG: 3-component YCbCr with 4:2:0 chroma (Y 2x2,
+      // Cb/Cr 1x1) — interleaved 16x16 MCUs, per-component DC chains,
+      // integer 2x2 chroma upsampling, pinned fixed-point color matrices.
+      // Fixtures are constant per MCU so the WHOLE color chain is
+      // closed-form for the oracle; AC/Huffman + mixed content ride the
+      // arbitrary-grid round-trip property (the GIF lesson)
+      Multimodal.decodeJpegColor(
+        Multimodal.jpegColorFixtures(spread(t(s, dir, "documents")), "doc_id"), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     "mm_resize_jpeg" -> ((s, dir) => {
       // decode + nearest-neighbor fit-within-16 downscale in one pass over
       // the JPEG bytes; the oracle re-derives the sampled coordinates with
@@ -271,7 +283,61 @@ private[graft] trait MultimodalQueries extends QueryHelpers {
        |  FROM coef JOIN m ON m.doc_id = coef.doc_id GROUP BY 1
        |)""".stripMargin
 
+  /** The constant-block JPEG DC chain (fdct → round-half-up quantize at
+    * qt00 = 8 → dequant → integer IDCT, clamped) over a SQL expression —
+    * shared by the grayscale and color JPEG oracles. */
+  private def jpegDcChainSql(v: String): String =
+    s"least(255, greatest(0, (CAST(floor(((($v - 128) * 46344 * 46344 + 134217728" +
+      " + 1125899906842624) // 268435456 - 4194304) / 8.0 + 0.5) AS BIGINT)" +
+      " * 8 * 5793 * 5793 + 134217728 + 1125899906842624) // 268435456 - 4194304 + 128))"
+
+  /** Color JPEG oracle: constant-per-MCU fixtures make every component
+    * DC-only, so the chain RGB→YCbCr (pinned fixed-point matrix, biased
+    * nonnegative dividends) → DC quantize chain per plane → YCbCr→RGB is
+    * closed-form per MCU. */
+  private def jpegColorOracleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(16 + doc_id % 19 AS BIGINT) AS width,
+       |    CAST(16 + (doc_id * 7) % 19 AS BIGINT) AS height
+       |  FROM documents
+       |), mcu AS (
+       |  SELECT d.doc_id, d.width, d.height, mxs.range AS mx, mys.range AS my,
+       |    least(d.width - mxs.range * 16, 16) AS nx,
+       |    least(d.height - mys.range * 16, 16) AS ny,
+       |    (17 * mxs.range + 29 * mys.range + d.doc_id) % 256 AS r,
+       |    (23 * mxs.range + 31 * mys.range + 2 * d.doc_id) % 256 AS g,
+       |    (13 * mxs.range + 37 * mys.range + 3 * d.doc_id) % 256 AS b
+       |  FROM d CROSS JOIN range(0, 3) mxs CROSS JOIN range(0, 3) mys
+       |  WHERE mxs.range * 16 < d.width AND mys.range * 16 < d.height
+       |), ycc AS (
+       |  SELECT *,
+       |    (19595 * r + 38470 * g + 7471 * b + 32768) // 65536 AS y,
+       |    least(255, greatest(0, (-11059 * r - 21709 * g + 32768 * b + 32768 + 8388608) // 65536)) AS cb,
+       |    least(255, greatest(0, (32768 * r - 27439 * g - 5329 * b + 32768 + 8388608) // 65536)) AS cr
+       |  FROM mcu
+       |), dec AS (
+       |  SELECT *, ${jpegDcChainSql("y")} AS yh,
+       |    ${jpegDcChainSql("cb")} AS cbh,
+       |    ${jpegDcChainSql("cr")} AS crh
+       |  FROM ycc
+       |), rgb AS (
+       |  SELECT *,
+       |    least(255, greatest(0, yh + (91881 * (crh - 128) + 32768 + 16777216) // 65536 - 256)) AS rh,
+       |    least(255, greatest(0, yh - (22554 * (cbh - 128) + 46802 * (crh - 128) + 32768 + 33554432) // 65536 + 512)) AS gh,
+       |    least(255, greatest(0, yh + (116130 * (cbh - 128) + 32768 + 16777216) // 65536 - 256)) AS bh
+       |  FROM dec
+       |)
+       |SELECT doc_id, width, height, CAST(3 AS BIGINT) AS channels,
+       |  CAST(sum(rh * nx * ny) AS BIGINT) AS sum_r,
+       |  CAST(sum(gh * nx * ny) AS BIGINT) AS sum_g,
+       |  CAST(sum(bh * nx * ny) AS BIGINT) AS sum_b,
+       |  CAST(sum(rh * nx * (ny * my * 16 + ny * (ny + 1) // 2)) AS BIGINT) AS wsum_r
+       |FROM rgb GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin
+
   protected def multimodalOracles: Map[String, String] = Map(
+
+    "mm_decode_jpeg_color" -> jpegColorOracleSql,
 
     // hash bits re-derived from the pixel formula through the SAME literal
     // cosine table — any resize/luma/DCT/threshold defect flips bits

@@ -385,6 +385,27 @@ private[graft] trait TextQueries extends QueryHelpers {
     }),
 
 
+    "text_unigram_lm" -> ((s, dir) => {
+      // the THIRD major tokenizer family beside BPE and WordPiece:
+      // SentencePiece-style unigram-LM training as deterministic HARD EM —
+      // substring-mass seed vocabulary, Viterbi re-segmentation, integer
+      // count re-estimation with add-one rescoring, zero-count pruning.
+      // The oracle unrolls both EM rounds (DP + backtrack per round) in
+      // generated SQL and hash-matches vocabulary AND scores.
+      graft.operators.TextAnalysis.unigramLm(t(s, dir, "documents"), "text")
+        .orderBy(col("piece"))
+    }),
+
+
+    "text_unigram_encode" -> ((s, dir) => {
+      // the APPLY side: Viterbi segmentation of every distinct word under
+      // the trained unigram vocabulary (smallest-start tie-break, the rule
+      // the oracle re-derives as min(i) over the argmax set)
+      graft.operators.TextAnalysis.unigramEncode(t(s, dir, "documents"), "text")
+        .orderBy(col("word"))
+    }),
+
+
     "text_contamination" -> ((s, dir) => {
       // decontamination pass: benchmark = every 37th doc, corpus = the rest
       val docs = spread(t(s, dir, "documents"))
@@ -497,6 +518,99 @@ private[graft] trait TextQueries extends QueryHelpers {
         |WHERE e.clean_text != '' AND length(e.clean_text) >= 100
         |ORDER BY e.doc_id""".stripMargin
 
+  // ----- unigram-LM generated oracle (the layout_hilbert/wordpiece
+  // programmatic-oracle precedent, scaled up: 2 unrolled hard-EM rounds,
+  // each a 16-step Viterbi DP + argmin backpointers + a 16-step backtrack
+  // walk, then a final encode pass under the trained scores). Params must
+  // mirror TextAnalysis.unigramLm's defaults. MATERIALIZED hints keep
+  // DuckDB from inlining the hot relations once per reference (the plain
+  // view re-opens the parquet per mention — fd exhaustion at 100+ CTEs).
+  private val UniMaxP = 4
+  private val UniSeedMin = 30
+  private val UniMaxW = 16
+
+  /** DP + backtrack CTEs for round tag `r` against score relation
+    * `sc(piece, s)`; produces seg{r}(word, n_occ, piece). */
+  private def unigramViterbiCtes(r: String, sc: String): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    parts += s"b${r}_0 AS (SELECT word, n_occ, 0 AS pos, CAST(0 AS BIGINT) AS sc FROM words)"
+    parts += s"acc${r}_0 AS (SELECT * FROM b${r}_0)"
+    for (j <- 1 to UniMaxW) {
+      parts += s"cand${r}_$j AS (SELECT b.word, b.n_occ, b.pos AS i, b.sc + v.s AS cand " +
+        s"FROM acc${r}_${j - 1} b JOIN $sc v ON v.piece = substr(b.word, CAST(b.pos AS INT) + 1, $j - CAST(b.pos AS INT)) " +
+        s"WHERE b.pos >= $j - $UniMaxP AND length(b.word) >= $j)"
+      parts += s"b${r}_$j AS (SELECT word, n_occ, $j AS pos, max(cand) AS sc FROM cand${r}_$j GROUP BY 1, 2)"
+      parts += s"bp${r}_$j AS (SELECT c.word, $j AS pos, min(c.i) AS bi " +
+        s"FROM cand${r}_$j c JOIN b${r}_$j b ON b.word = c.word AND c.cand = b.sc GROUP BY 1)"
+      parts += s"acc${r}_$j AS MATERIALIZED (SELECT * FROM acc${r}_${j - 1} UNION ALL SELECT * FROM b${r}_$j)"
+    }
+    parts += s"bpall$r AS MATERIALIZED (" +
+      (1 to UniMaxW).map(j => s"SELECT * FROM bp${r}_$j").mkString(" UNION ALL ") + ")"
+    parts += s"wk${r}_0 AS (SELECT word, n_occ, CAST(length(word) AS BIGINT) AS pos FROM words)"
+    for (k <- 1 to UniMaxW)
+      parts += s"wk${r}_$k AS (SELECT w.word, w.n_occ, CAST(bp.bi AS BIGINT) AS pos, " +
+        s"substr(w.word, CAST(bp.bi AS INT) + 1, CAST(w.pos - bp.bi AS INT)) AS piece " +
+        s"FROM wk${r}_${k - 1} w JOIN bpall$r bp ON bp.word = w.word AND bp.pos = w.pos " +
+        s"WHERE w.pos > 0)"
+    parts += s"seg$r AS (" +
+      (1 to UniMaxW).map(k => s"SELECT word, n_occ, piece FROM wk${r}_$k").mkString(" UNION ALL ") + ")"
+    parts.toSeq
+  }
+
+  /** counts from seg{r}, zero-count pruning (chars immortal), add-one
+    * rescore → sc{r}(piece, cnt, s). */
+  private def unigramRescoreCtes(r: Int): Seq[String] = {
+    val prev = if (r == 1) "sc0" else s"sc${r - 1}"
+    Seq(
+      s"cnt$r AS (SELECT piece, CAST(sum(n_occ) AS BIGINT) AS cnt FROM seg$r GROUP BY 1)",
+      s"kept$r AS (SELECT v.piece, COALESCE(c.cnt, 0) AS cnt " +
+        s"FROM $prev v LEFT JOIN cnt$r c USING (piece) " +
+        s"WHERE length(v.piece) = 1 OR COALESCE(c.cnt, 0) > 0)",
+      s"tot$r AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS v FROM kept$r)",
+      s"sc$r AS MATERIALIZED (SELECT piece, cnt, " +
+        s"CAST(floor(ln(cnt + 1) * 1e6 + 0.5) AS BIGINT) " +
+        s"- CAST(floor(ln((SELECT total FROM tot$r) + (SELECT v FROM tot$r)) * 1e6 + 0.5) AS BIGINT) AS s " +
+        s"FROM kept$r)")
+  }
+
+  private def unigramOracle(finalSelect: String, rounds: Int = 2): String = {
+    val ctes = scala.collection.mutable.ArrayBuffer.empty[String]
+    ctes += s"""words AS MATERIALIZED (
+               |  SELECT word, CAST(count(*) AS BIGINT) AS n_occ FROM (
+               |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word FROM documents)
+               |  WHERE length(word) BETWEEN 1 AND $UniMaxW GROUP BY 1)""".stripMargin
+    ctes += s"""seedsub AS (
+               |  SELECT substr(word, CAST(p.range AS INT), CAST(l.range AS INT)) AS piece, n_occ
+               |  FROM words CROSS JOIN range(1, ${UniMaxW + 1}) p CROSS JOIN range(1, ${UniMaxP + 1}) l
+               |  WHERE length(word) >= p.range + l.range - 1)""".stripMargin
+    ctes += s"""seedcnt AS (
+               |  SELECT piece, CAST(sum(n_occ) AS BIGINT) AS cnt FROM seedsub GROUP BY 1
+               |  HAVING length(piece) = 1 OR sum(n_occ) >= $UniSeedMin)""".stripMargin
+    ctes += "seedtot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM seedcnt)"
+    ctes += """sc0 AS MATERIALIZED (SELECT piece, cnt,
+              |  CAST(floor(ln(cnt) * 1e6 + 0.5) AS BIGINT)
+              |  - CAST(floor(ln((SELECT total FROM seedtot)) * 1e6 + 0.5) AS BIGINT) AS s
+              |  FROM seedcnt)""".stripMargin
+    for (r <- 1 to rounds) {
+      ctes ++= unigramViterbiCtes(r.toString, s"sc${r - 1}")
+      ctes ++= unigramRescoreCtes(r)
+    }
+    ctes ++= unigramViterbiCtes("f", s"sc$rounds")
+    "WITH " + ctes.mkString(",\n") + "\n" + finalSelect
+  }
+
+  private def unigramLmOracleSql: String =
+    unigramOracle("SELECT piece, cnt, s AS score_scaled FROM sc2 ORDER BY piece")
+
+  private def unigramEncodeOracleSql: String =
+    unigramOracle(
+      s"""SELECT w.word, w.n_occ, CAST(count(*) AS BIGINT) AS n_pieces,
+         |  string_agg(s.piece, ' ' ORDER BY s.pos) AS pieces
+         |FROM words w JOIN (
+         |  ${(1 to UniMaxW).map(k => s"SELECT word, piece, pos FROM wkf_$k").mkString(" UNION ALL ")}
+         |) s ON s.word = w.word
+         |GROUP BY w.word, w.n_occ ORDER BY w.word""".stripMargin)
+
   /** The WordPiece oracle: vocabulary CTEs + 16 GENERATED greedy steps
     * (the layout_hilbert programmatic-oracle precedent — each step advances
     * `pos` by the longest matching piece via a correlated `max(l)` subquery
@@ -550,6 +664,10 @@ private[graft] trait TextQueries extends QueryHelpers {
     "text_html_extract" -> htmlExtractOracleSql,
 
     "curation_pipeline_html" -> curationPipelineHtmlOracleSql,
+
+    "text_unigram_lm" -> unigramLmOracleSql,
+
+    "text_unigram_encode" -> unigramEncodeOracleSql,
 
     "text_chunks" ->
       """WITH toks AS (

@@ -137,6 +137,29 @@ class OperatorsSpec extends SparkSuite {
       s"registered caches survived release: ${leaked.values.map(r => s"${r.id}:${r.name}").mkString(", ")}")
   }
 
+  test("Residuals scopes isolate two sequential harnesses in one JVM") {
+    // the r11 single-consumer footgun: a process-global release dropped
+    // EVERY registered residual, including another harness's. With scopes,
+    // each harness's release drains only its own registrations.
+    import graft.operators.Residuals
+    val df1 = spark.range(10).toDF("a")
+    val df2 = spark.range(20).toDF("b")
+    val s1 = Residuals.newScope()
+    val s2 = Residuals.newScope()
+    Residuals.withScope(s1) {
+      Residuals.persist(df1)
+      assert(Residuals.pending == 1) // current-scope view inside the scope
+    }
+    Residuals.withScope(s2) { Residuals.persist(df2); df2.count() }
+    assert(s1.pending == 1 && s2.pending == 1)
+    s1.release() // harness 1's consume boundary
+    assert(s1.pending == 0 && s2.pending == 1, "scope 1 release touched scope 2")
+    assert(df2.storageLevel.useMemory, "scope 2's cache was dropped by scope 1's release")
+    Residuals.withScope(s2) { Residuals.release() } // boundary via the static API
+    assert(s2.pending == 0)
+    assert(Residuals.pending == 0, "default scope picked up scoped registrations")
+  }
+
   test("canonicalUrl: ports, fragments, tracking params, slashes, malformed passthrough") {
     import org.apache.spark.unsafe.types.UTF8String
     def c(s: String) = graft.functions.Kernels.canonicalUrl(UTF8String.fromString(s)).toString
@@ -1895,6 +1918,40 @@ class OperatorsSpec extends SparkSuite {
     val r = Layout.clusteringDepth(zones, "zone", "mn", "mx")
       .orderBy("zone").collect().map(x => (x.getLong(0), x.getAs[Long]("n_overlaps")))
     assert(r.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 0L)))
+  }
+
+  test("unigramLm hard-EM: lossless segmentation, zero-count pruning, determinism") {
+    val rnd = new scala.util.Random(7)
+    val words = (1 to 80).map(_ =>
+      (1 to (1 + rnd.nextInt(10))).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+    val docs = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, (w + " ") * (1 + i % 5)) }
+      .toDF("doc_id", "text")
+    val vocab = TextAnalysis.unigramLm(docs, "text", seedMinCount = 5L).collect()
+    assert(vocab.nonEmpty)
+    // chars immortal; multi-char pieces only survive with Viterbi mass
+    vocab.foreach { r =>
+      val (p, c) = (r.getString(0), r.getLong(1))
+      assert(p.length == 1 || c > 0L, s"pruned-but-present piece $p (cnt $c)")
+      assert(p.length <= 4)
+    }
+    val chars = vocab.map(_.getString(0)).filter(_.length == 1).toSet
+    assert(words.flatMap(_.toSeq).map(_.toString).toSet.subsetOf(chars))
+    // encode is lossless and deterministic
+    val enc = TextAnalysis.unigramEncode(docs, "text", seedMinCount = 5L)
+      .orderBy("word").collect()
+    enc.foreach { r =>
+      assert(r.getAs[String]("pieces").replace(" ", "") == r.getString(0),
+        s"${r.getString(0)} -> ${r.getAs[String]("pieces")}")
+      assert(r.getAs[Long]("n_pieces") == r.getAs[String]("pieces").split(" ").length.toLong)
+    }
+    val enc2 = TextAnalysis.unigramEncode(docs, "text", seedMinCount = 5L)
+      .orderBy("word").collect()
+    assert(enc.toSeq == enc2.toSeq)
+    // segmentation under a trained LM never uses MORE pieces than greedy
+    // chars (sanity: scores reward frequent multi-char pieces)
+    assert(enc.exists(r => r.getAs[Long]("n_pieces") < r.getString(0).length),
+      "no word segmented into a multi-char piece — vocabulary never learned")
   }
 
   test("wordpiece segmentation is lossless: pieces reassemble every word (randomized corpus)") {

@@ -122,6 +122,81 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("color JPEG: decode(encode(x)) equals the per-plane quant pipeline on arbitrary grids") {
+    import graft.operators.Multimodal
+    // same bitstream-exactness contract as the grayscale property, now over
+    // THREE interleaved component chains: any defect in MCU interleaving,
+    // per-component DC prediction, chroma subsample/upsample geometry or the
+    // fixed-point color matrices breaks equality on some random grid
+    val dimGen = Gen.chooseNum(1, 40)
+    check("jpeg-color-roundtrip", Prop.forAll(dimGen, dimGen, Gen.long) { (w, h, seed) =>
+      def rgb(x: Int, y: Int): (Int, Int, Int) = {
+        val v = x * 2654435761L + y * 40503L + seed
+        ((((v >>> 7) & 0xff)).toInt, (((v >>> 17) & 0xff)).toInt, (((v >>> 27) & 0xff)).toInt)
+      }
+      val (dw, dh, rA, gA, bA) =
+        Multimodal.jpegPixelsColor(Multimodal.jpegEncodeColor(w, h, rgb))
+      val qt = Multimodal.jpegQt(75)
+      def chain(block: Array[Int]): Array[Int] = {
+        val f = Multimodal.jpegFdct(block)
+        val fd = Array.tabulate(64)(i =>
+          math.floor(f(i).toDouble / qt(i) + 0.5).toLong * qt(i))
+        Multimodal.jpegIdct(fd)
+      }
+      val mx = (w + 15) / 16
+      val my = (h + 15) / 16
+      val yW = mx * 16
+      val cwP = mx * 8
+      val yP = new Array[Int](yW * my * 16)
+      val cbP = new Array[Int](cwP * my * 8)
+      val crP = new Array[Int](cwP * my * 8)
+      def yAt(x: Int, y: Int): Int = {
+        val (r, g, b) = rgb(math.min(x, w - 1), math.min(y, h - 1))
+        Multimodal.rgbToYcc(r, g, b)._1
+      }
+      val cw = (w + 1) / 2
+      val ch = (h + 1) / 2
+      def chromaAt(cx: Int, cy: Int): (Int, Int) = {
+        val sx = math.min(cx, cw - 1) * 2
+        val sy = math.min(cy, ch - 1) * 2
+        val (r, g, b) = rgb(math.min(sx, w - 1), math.min(sy, h - 1))
+        val ycc = Multimodal.rgbToYcc(r, g, b)
+        (ycc._2, ycc._3)
+      }
+      for (m <- 0 until mx * my) {
+        val x0 = (m % mx) * 16
+        val y0 = (m / mx) * 16
+        for (yb <- 0 until 4) {
+          val bx0 = x0 + (yb % 2) * 8
+          val by0 = y0 + (yb / 2) * 8
+          val rec = chain(Array.tabulate(64)(i => yAt(bx0 + i % 8, by0 + i / 8)))
+          for (i <- 0 until 64) yP((by0 + i / 8) * yW + bx0 + i % 8) = rec(i)
+        }
+        val cx0 = (m % mx) * 8
+        val cy0 = (m / mx) * 8
+        val recCb = chain(Array.tabulate(64)(i => chromaAt(cx0 + i % 8, cy0 + i / 8)._1))
+        val recCr = chain(Array.tabulate(64)(i => chromaAt(cx0 + i % 8, cy0 + i / 8)._2))
+        for (i <- 0 until 64) {
+          cbP((cy0 + i / 8) * cwP + cx0 + i % 8) = recCb(i)
+          crP((cy0 + i / 8) * cwP + cx0 + i % 8) = recCr(i)
+        }
+      }
+      var ok = dw == w && dh == h
+      var y = 0
+      while (ok && y < h) {
+        var x = 0
+        while (ok && x < w) {
+          val (er, eg, eb) = Multimodal.yccToRgb(
+            yP(y * yW + x), cbP((y / 2) * cwP + x / 2), crP((y / 2) * cwP + x / 2))
+          ok = rA(y * w + x) == er && gA(y * w + x) == eg && bA(y * w + x) == eb
+          x += 1
+        }
+        y += 1
+      }
+      ok
+    })
+  }
+
   test("WAV: decode(encode(x)) reproduces arbitrary interleaved PCM16 streams") {
     import graft.operators.Multimodal
     check("wav-roundtrip", Prop.forAll(
