@@ -668,4 +668,34 @@ object Dedup {
       .select(col(idCol), col("cell"),
         when(col("__drop").isNull, lit(1L)).otherwise(lit(0L)).as("keep"))
   }
+
+  /** CCNet-style corpus-level LINE dedup: a line whose document frequency
+    * exceeds `maxDf` is boilerplate (cookie banners, "subscribe" footers,
+    * navigation crumbs — the lines that repeat across thousands of pages)
+    * and is stripped from EVERY document; content lines survive. The
+    * line-hash groupBy is the whole plan: df counting aggregates hot lines
+    * instead of joining them pairwise, so a line shared by a million pages
+    * costs one combine tree, not a million² pairs. One shuffle on the line,
+    * one on the doc id.
+    *
+    * Returns per document: `clean_text` (kept lines rejoined with \n in
+    * original order), `n_lines` (nonempty), `n_dropped`. Empty lines are
+    * neither counted nor kept. */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String, maxDf: Long = 50L): DataFrame = {
+    require(maxDf >= 1, "maxDf must be positive")
+    val lines = docs
+      .select(col(idCol).as("doc"), posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
+      .filter(col("line") =!= "")
+      .transform(Residuals.persist) // consumed twice: df count + rejoin
+    val lineDf = lines.groupBy(col("line")).agg(countDistinct(col("doc")).as("line_df"))
+    lines.join(lineDf, "line")
+      .withColumn("keep", col("line_df") <= maxDf)
+      .groupBy(col("doc").as(idCol))
+      .agg(
+        coalesce(array_join(transform(
+          array_sort(collect_list(when(col("keep"), struct(col("idx"), col("line"))))),
+          _.getField("line")), "\n"), lit("")).as("clean_text"),
+        count(lit(1)).cast("long").as("n_lines"),
+        sum((!col("keep")).cast("long")).as("n_dropped"))
+  }
 }

@@ -2297,4 +2297,57 @@ object Multimodal {
       })
     spark.createDataFrame(rdd, JpegColorDecodedSchema)
   }
+
+  final case class JpegColorResampleStats(srcW: Int, srcH: Int, outW: Int, outH: Int,
+      sumR: Long, sumG: Long, sumB: Long, wsumR: Long)
+
+  /** Color decode + nearest-neighbor fit-within downscale in one pass —
+    * the same truncating `x·srcW div outW` geometry as the grayscale
+    * [[jpegResample]], applied after the full YCbCr→RGB reconstruction. */
+  def jpegResampleColor(bytes: Array[Byte], maxDim: Int): JpegColorResampleStats = {
+    require(maxDim > 0)
+    val (w, h, rA, gA, bA) = jpegPixelsColor(bytes)
+    val m = math.max(w, h)
+    val outW = if (m <= maxDim) w else w * maxDim / m
+    val outH = if (m <= maxDim) h else h * maxDim / m
+    var sr = 0L
+    var sg = 0L
+    var sb = 0L
+    var wr = 0L
+    var y = 0
+    while (y < outH) {
+      val sy = y * h / outH
+      var x = 0
+      while (x < outW) {
+        val i = sy * w + (x * w / outW)
+        sr += rA(i); sg += gA(i); sb += bA(i)
+        wr += (y + 1).toLong * rA(i)
+        x += 1
+      }
+      y += 1
+    }
+    JpegColorResampleStats(w, h, outW, outH, sr, sg, sb, wr)
+  }
+
+  val JpegColorResampledSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("src_w", LongType, nullable = false),
+    StructField("src_h", LongType, nullable = false),
+    StructField("out_w", LongType, nullable = false),
+    StructField("out_h", LongType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false),
+    StructField("wsum_r", LongType, nullable = false)))
+
+  def resampleJpegColor(withPayload: DataFrame, idCol: String, maxDim: Int = 24): DataFrame = {
+    val spark = withPayload.sparkSession
+    val rdd = withPayload.select(col(idCol).cast("long"), col("payload")).rdd
+      .mapPartitions(_.map { r =>
+        val s = jpegResampleColor(r.getAs[Array[Byte]](1), maxDim)
+        Row(r.getLong(0), s.srcW.toLong, s.srcH.toLong, s.outW.toLong, s.outH.toLong,
+          s.sumR, s.sumG, s.sumB, s.wsumR)
+      })
+    spark.createDataFrame(rdd, JpegColorResampledSchema)
+  }
 }

@@ -268,6 +268,49 @@ object Sampling {
     * inner join — n_docs counts docs with ≥1 bigram). Returns per domain:
     * (domain, n_docs, loss_micro, excess_micro, weight_micro, alloc_docs)
     * with `alloc_docs = budget·w div Σw`. */
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. '23):
+    * score every raw document by how target-like its HASHED N-GRAM bag is
+    * under two bucket-unigram models, then keep the top-k. The standard
+    * "select pretraining data that looks like the curated domain" step.
+    *
+    *   score(x) = Σ_b count_x(b) · (ln p_target(b) − ln p_raw(b))
+    *
+    * Features are word unigrams + adjacent bigrams hashed into `buckets`
+    * md5 buckets (engine-portable: `conv(substr(md5(g),1,15),16,10) % B`);
+    * both models are add-one smoothed; every ln is [[Features.qln]]
+    * (1e-6-quantized BEFORE the order-free integer sum — the BM25
+    * pattern), so scores are exact integers. Selection is
+    * `ORDER BY score DESC, id LIMIT k` — TakeOrdered, no global sort.
+    * Bucket stats are a `buckets`-row broadcast; nothing driver-side
+    * grows with the corpus. */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String, targetFilter: Column,
+      buckets: Int = 64, topK: Int = 100): DataFrame = {
+    require(buckets >= 2 && topK >= 1, "bad dsir params")
+    val toks = graft.functions.TextFns.tokens(col(textCol))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val grams = concat(toks,
+      zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+        (a, b) => concat_ws(" ", a, b)))
+    val db = docs
+      .select(col(idCol).as("doc"), targetFilter.as("is_target"), explode(grams).as("g"))
+      .withColumn("b", expr(s"CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT) % $buckets"))
+      .groupBy(col("doc"), col("is_target"), col("b")).agg(count(lit(1)).as("cnt"))
+      .transform(Residuals.persist)
+    val stats = db.groupBy(col("b")).agg(
+      sum(when(col("is_target"), col("cnt")).otherwise(lit(0L))).as("ct"),
+      sum(col("cnt")).as("cr"))
+    val tot = stats.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    val scored = db
+      .join(broadcast(stats), "b")
+      .crossJoin(broadcast(tot))
+      .withColumn("term", col("cnt") *
+        (Features.qln(col("ct") + 1) - Features.qln(col("tt") + buckets) -
+          Features.qln(col("cr") + 1) + Features.qln(col("tr") + buckets)))
+      .groupBy(col("doc").as(idCol))
+      .agg(sum(col("term")).as("score_scaled"))
+    scored.orderBy(col("score_scaled").desc, col(idCol)).limit(topK)
+  }
+
   def doremiWeights(docs: DataFrame, idCol: String, domainCol: String, textCol: String,
       etaMicro: Long = 100000L, rounds: Int = 5, budget: Long = 1000000L): DataFrame = {
     require(etaMicro >= 0 && rounds >= 1 && budget >= 0, "bad doremi params")

@@ -101,6 +101,16 @@ private[graft] trait CurationQueries extends QueryHelpers {
         .orderBy(col("stratum"))
     }),
 
+    "sample_dsir" -> ((s, dir) => {
+      // DSIR importance selection: hashed unigram+bigram bag (64 md5
+      // buckets), add-one bucket-unigram target (lang='en') vs raw models,
+      // qln-exact integer scores, top-100 by (score desc, id) — the
+      // "select raw data that looks like the curated domain" step
+      graft.operators.Sampling.dsirSelect(
+        t(s, dir, "documents"), "doc_id", "text", col("lang") === "en")
+        .orderBy(col("doc_id"))
+    }),
+
     "sample_doremi" -> ((s, dir) => {
       // DoReMi domain reweighting: 5 multiplicative-weights rounds over the
       // per-lang excess bigram-LM loss (micro-nats), exp linearized to
@@ -835,6 +845,40 @@ private[graft] trait CurationQueries extends QueryHelpers {
         |FROM ranked r JOIN counts USING (lang)
         |WHERE r.sample_rank <= least(counts.n_class, 2 * (SELECT n_min FROM nm))
         |ORDER BY r.doc_id""".stripMargin,
+
+    // hashed-bag bucket models re-derived end to end; top-k via the same
+    // (score desc, id) total order on both engines
+    "sample_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang = 'en' AS is_target,
+        |    regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents
+        |), gr AS (
+        |  SELECT doc_id, is_target,
+        |    unnest(list_concat(w, [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))])) AS g
+        |  FROM toks
+        |), db AS (
+        |  SELECT doc_id, is_target, ('0x' || substr(md5(g), 1, 15))::BIGINT % 64 AS b,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM gr GROUP BY 1, 2, 3
+        |), stats AS (
+        |  SELECT b, CAST(sum(CASE WHEN is_target THEN cnt ELSE 0 END) AS BIGINT) AS ct,
+        |    CAST(sum(cnt) AS BIGINT) AS cr
+        |  FROM db GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr FROM stats
+        |), sc AS (
+        |  SELECT db.doc_id, CAST(sum(db.cnt * (
+        |      CAST(floor(ln(s.ct + 1) * 1e6 + 0.5) AS BIGINT)
+        |    - CAST(floor(ln((SELECT tt FROM tot) + 64) * 1e6 + 0.5) AS BIGINT)
+        |    - CAST(floor(ln(s.cr + 1) * 1e6 + 0.5) AS BIGINT)
+        |    + CAST(floor(ln((SELECT tr FROM tot) + 64) * 1e6 + 0.5) AS BIGINT))) AS BIGINT)
+        |    AS score_scaled
+        |  FROM db JOIN stats s USING (b) GROUP BY 1
+        |)
+        |SELECT doc_id, score_scaled FROM (
+        |  SELECT * FROM sc ORDER BY score_scaled DESC, doc_id LIMIT 100
+        |) q ORDER BY doc_id""".stripMargin,
 
     // the bigram-LM loss CTEs (curation_pipeline_lm's), then per-domain
     // aggregation and 5 UNROLLED multiplicative-weights rounds — the

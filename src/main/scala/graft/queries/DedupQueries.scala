@@ -236,6 +236,23 @@ private[graft] trait DedupQueries extends QueryHelpers {
         .orderBy(col("curl"))
     }),
 
+    "dedup_lines" -> ((s, dir) => {
+      // CCNet line-level boilerplate strip: docs get a 40-char title line,
+      // a body line, and PLANTED boilerplate (a cookie banner on every 3rd
+      // doc, a subscribe footer on every 4th — df ~ n/3, n/4 >> maxDf=50);
+      // the operator strips exactly the planted lines at any SF
+      val docs = t(s, dir, "documents")
+      val lined = concat_ws("\n",
+        when(col("doc_id") % 3 === 0, lit("cookie notice please accept")).otherwise(lit(null)),
+        substring(col("text"), 1, 40),
+        expr("substring(text, 41)"),
+        when(col("doc_id") % 4 === 0, lit("subscribe to our newsletter")).otherwise(lit(null)))
+      graft.operators.Dedup.lineDedup(
+        spread(docs.select(col("doc_id"), lined.as("text"))), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+
     "dedup_cdc_chunks" -> ((s, dir) => {
       // content-defined chunking: boundaries from a 16-char rolling window
       // hash (mod 64), so edited near-copies still share chunks; per doc,
@@ -639,6 +656,29 @@ private[graft] trait DedupQueries extends QueryHelpers {
                .mkString(" + ")} AS simhash
          |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+
+    "dedup_lines" ->
+      """WITH lined AS (
+        |  SELECT doc_id, concat_ws(chr(10),
+        |    CASE WHEN doc_id % 3 = 0 THEN 'cookie notice please accept' END,
+        |    substr(text, 1, 40),
+        |    substr(text, 41),
+        |    CASE WHEN doc_id % 4 = 0 THEN 'subscribe to our newsletter' END) AS text
+        |  FROM documents
+        |), l AS (
+        |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+        |    unnest(range(1, len(string_split(text, chr(10))) + 1)) AS idx
+        |  FROM lined
+        |), nz AS (
+        |  SELECT * FROM l WHERE line != ''
+        |), df AS (
+        |  SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS line_df FROM nz GROUP BY 1
+        |)
+        |SELECT nz.doc_id,
+        |  COALESCE(string_agg(CASE WHEN df.line_df <= 50 THEN nz.line END, chr(10) ORDER BY nz.idx), '') AS clean_text,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN df.line_df <= 50 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+        |FROM nz JOIN df USING (line) GROUP BY 1 ORDER BY nz.doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
 

@@ -131,6 +131,15 @@ private[graft] trait MultimodalQueries extends QueryHelpers {
         .orderBy(col("doc_id"))
     }),
 
+    "mm_resize_jpeg_color" -> ((s, dir) => {
+      // color decode + nearest-neighbor fit-within-24 downscale in one
+      // pass; the oracle re-derives the sampled source coordinates with
+      // the same truncating mapping and the constant-MCU color chain
+      Multimodal.resampleJpegColor(
+        Multimodal.jpegColorFixtures(spread(t(s, dir, "documents")), "doc_id"), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     "mm_resize_jpeg" -> ((s, dir) => {
       // decode + nearest-neighbor fit-within-16 downscale in one pass over
       // the JPEG bytes; the oracle re-derives the sampled coordinates with
@@ -335,9 +344,63 @@ private[graft] trait MultimodalQueries extends QueryHelpers {
        |  CAST(sum(rh * nx * (ny * my * 16 + ny * (ny + 1) // 2)) AS BIGINT) AS wsum_r
        |FROM rgb GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin
 
+  /** Color resize oracle: fit-within-24 geometry, truncating source
+    * mapping, then the same constant-MCU color chain per sampled pixel
+    * (`oy` = output row; luma keeps the `y` name inside the chain). */
+  private def jpegColorResizeOracleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(16 + doc_id % 19 AS BIGINT) AS src_w,
+       |    CAST(16 + (doc_id * 7) % 19 AS BIGINT) AS src_h
+       |  FROM documents
+       |), geo AS (
+       |  SELECT doc_id, src_w, src_h,
+       |    CASE WHEN greatest(src_w, src_h) <= 24 THEN src_w
+       |         ELSE src_w * 24 // greatest(src_w, src_h) END AS out_w,
+       |    CASE WHEN greatest(src_w, src_h) <= 24 THEN src_h
+       |         ELSE src_h * 24 // greatest(src_w, src_h) END AS out_h
+       |  FROM d
+       |), px AS (
+       |  SELECT geo.doc_id, geo.src_w, geo.src_h, geo.out_w, geo.out_h, ys.range AS oy,
+       |    (xs.range * geo.src_w // geo.out_w) // 16 AS mx,
+       |    (ys.range * geo.src_h // geo.out_h) // 16 AS my
+       |  FROM geo CROSS JOIN range(0, 24) xs CROSS JOIN range(0, 24) ys
+       |  WHERE xs.range < geo.out_w AND ys.range < geo.out_h
+       |), rgb0 AS (
+       |  SELECT *, (17 * mx + 29 * my + doc_id) % 256 AS r,
+       |    (23 * mx + 31 * my + 2 * doc_id) % 256 AS g,
+       |    (13 * mx + 37 * my + 3 * doc_id) % 256 AS b
+       |  FROM px
+       |), ycc AS (
+       |  SELECT *,
+       |    (19595 * r + 38470 * g + 7471 * b + 32768) // 65536 AS y,
+       |    least(255, greatest(0, (-11059 * r - 21709 * g + 32768 * b + 32768 + 8388608) // 65536)) AS cb,
+       |    least(255, greatest(0, (32768 * r - 27439 * g - 5329 * b + 32768 + 8388608) // 65536)) AS cr
+       |  FROM rgb0
+       |), dec AS (
+       |  SELECT *, ${jpegDcChainSql("y")} AS yh,
+       |    ${jpegDcChainSql("cb")} AS cbh,
+       |    ${jpegDcChainSql("cr")} AS crh
+       |  FROM ycc
+       |), rgb AS (
+       |  SELECT *,
+       |    least(255, greatest(0, yh + (91881 * (crh - 128) + 32768 + 16777216) // 65536 - 256)) AS rh,
+       |    least(255, greatest(0, yh - (22554 * (cbh - 128) + 46802 * (crh - 128) + 32768 + 33554432) // 65536 + 512)) AS gh,
+       |    least(255, greatest(0, yh + (116130 * (cbh - 128) + 32768 + 16777216) // 65536 - 256)) AS bh
+       |  FROM dec
+       |)
+       |SELECT doc_id, src_w, src_h, out_w, out_h,
+       |  CAST(sum(rh) AS BIGINT) AS sum_r,
+       |  CAST(sum(gh) AS BIGINT) AS sum_g,
+       |  CAST(sum(bh) AS BIGINT) AS sum_b,
+       |  CAST(sum((oy + 1) * rh) AS BIGINT) AS wsum_r
+       |FROM rgb GROUP BY 1, 2, 3, 4, 5 ORDER BY doc_id""".stripMargin
+
   protected def multimodalOracles: Map[String, String] = Map(
 
     "mm_decode_jpeg_color" -> jpegColorOracleSql,
+
+    "mm_resize_jpeg_color" -> jpegColorResizeOracleSql,
 
     // hash bits re-derived from the pixel formula through the SAME literal
     // cosine table — any resize/luma/DCT/threshold defect flips bits

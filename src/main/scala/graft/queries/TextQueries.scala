@@ -406,6 +406,27 @@ private[graft] trait TextQueries extends QueryHelpers {
     }),
 
 
+    "eval_tokenizer_fertility" -> ((s, dir) => {
+      // the standard tokenizer-quality numbers: per-language fertility
+      // (pieces per word) and compression (chars per piece) under the
+      // trained unigram-LM vocabulary — the eval that says which languages
+      // a tokenizer under-serves. Pure composition: unigramEncode's
+      // distinct-word segmentation broadcast back onto the (lang, word)
+      // stream; integer micro ratios
+      val docs = t(s, dir, "documents")
+      val enc = graft.operators.TextAnalysis.unigramEncode(docs, "text")
+        .select(col("word"), col("n_pieces"))
+      docs.select(col("lang"), explode(graft.functions.TextFns.tokens(col("text"))).as("word"))
+        .join(broadcast(enc), "word")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_pieces"),
+          sum(length(col("word")).cast("long")).as("n_chars"))
+        .withColumn("fertility_micro", expr("n_pieces * 1000000 div n_words"))
+        .withColumn("cpt_micro", expr("n_chars * 1000000 div n_pieces"))
+        .orderBy(col("lang"))
+    }),
+
+
     "text_contamination" -> ((s, dir) => {
       // decontamination pass: benchmark = every 37th doc, corpus = the rest
       val docs = spread(t(s, dir, "documents"))
@@ -668,6 +689,23 @@ private[graft] trait TextQueries extends QueryHelpers {
     "text_unigram_lm" -> unigramLmOracleSql,
 
     "text_unigram_encode" -> unigramEncodeOracleSql,
+
+    "eval_tokenizer_fertility" -> unigramOracle(
+      s"""SELECT lang,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(ppw.np) AS BIGINT) AS n_pieces,
+         |  CAST(sum(length(lw.word)) AS BIGINT) AS n_chars,
+         |  CAST(sum(ppw.np) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT) AS fertility_micro,
+         |  CAST(sum(length(lw.word)) AS BIGINT) * 1000000 // CAST(sum(ppw.np) AS BIGINT) AS cpt_micro
+         |FROM (
+         |  SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word FROM documents
+         |) lw
+         |JOIN (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS np FROM (
+         |    ${(1 to UniMaxW).map(k => s"SELECT word, piece FROM wkf_$k").mkString(" UNION ALL ")}
+         |  ) s GROUP BY word
+         |) ppw ON ppw.word = lw.word
+         |GROUP BY lang ORDER BY lang""".stripMargin),
 
     "text_chunks" ->
       """WITH toks AS (

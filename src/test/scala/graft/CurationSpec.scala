@@ -490,6 +490,48 @@ class CurationSpec extends SparkSuite {
     assert(recall >= 0.2, f"semantic dedup recall degraded: $recall%.3f (floor 0.2)")
   }
 
+  test("lineDedup strips corpus-frequent lines, keeps content in order") {
+    import graft.operators.Dedup
+    val boiler = "accept all cookies"
+    val df = (1L to 20L).map(i =>
+      (i, s"title $i\n$boiler\nbody line ${i % 2}\nunique tail $i")).toDF("id", "text")
+    val out = Dedup.lineDedup(df, "id", "text", maxDf = 5L).orderBy("id").collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val clean = r.getAs[String]("clean_text")
+      val id = r.getLong(0)
+      // boilerplate (df 20) and the df-10 body line both exceed maxDf=5
+      assert(!clean.contains(boiler) && !clean.contains("body line"))
+      assert(clean == s"title $id\nunique tail $id", s"order broken: $clean")
+      assert(r.getAs[Long]("n_lines") == 4L && r.getAs[Long]("n_dropped") == 2L)
+    }
+    // at maxDf = 10 the body line (df exactly 10) survives — boundary is <=
+    val relaxed = Dedup.lineDedup(df, "id", "text", maxDf = 10L).orderBy("id").collect()
+    assert(relaxed.head.getAs[String]("clean_text").contains("body line"))
+    assert(!relaxed.head.getAs[String]("clean_text").contains(boiler))
+  }
+
+  test("dsirSelect ranks target-like documents above off-domain ones") {
+    import graft.operators.Sampling
+    // target docs (is_en) share a vocabulary; raw pool adds off-domain
+    // docs with a disjoint vocabulary — DSIR must select the lookalikes
+    val target = (1L to 30L).map(i => (i, "en", s"the quick brown fox ${i % 3}"))
+    val lookalike = (31L to 40L).map(i => (i, "xx", s"quick brown fox jumps ${i % 3}"))
+    val offDomain = (41L to 60L).map(i => (i, "xx", s"zzz qqq www ${i} vvv kkk"))
+    val df = (target ++ lookalike ++ offDomain).toDF("doc_id", "lang", "text")
+    val picked = Sampling.dsirSelect(df, "doc_id", "text", col("lang") === "en", topK = 40)
+      .select("doc_id").as[Long].collect().toSet
+    assert(lookalike.map(_._1).forall(picked.contains),
+      s"lookalikes missing from top-40: ${lookalike.map(_._1).filterNot(picked.contains)}")
+    assert(offDomain.map(_._1).count(picked.contains) == 0 ||
+      picked.intersect(offDomain.map(_._1).toSet).size < 10,
+      "off-domain docs outranked lookalikes")
+    // determinism
+    val again = Sampling.dsirSelect(df, "doc_id", "text", col("lang") === "en", topK = 40)
+      .select("doc_id").as[Long].collect().toSet
+    assert(picked == again)
+  }
+
   test("htmlExtract strips boilerplate, decodes entities, drops link-heavy blocks") {
     val html =
       "<html><!-- hidden --><head><script>if (a < b) alert('x');</script>" +
