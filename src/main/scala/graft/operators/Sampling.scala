@@ -268,6 +268,37 @@ object Sampling {
     * inner join — n_docs counts docs with ≥1 bigram). Returns per domain:
     * (domain, n_docs, loss_micro, excess_micro, weight_micro, alloc_docs)
     * with `alloc_docs = budget·w div Σw`. */
+  /** CCNet head/middle/tail bucketing (Wenzek et al. '20): per language,
+    * split documents into perplexity tertiles under the corpus's own
+    * bigram LM — "head" (most fluent) is what CCNet keeps for pretraining,
+    * "tail" what it drops, and sampling PER BUCKET is the standard recipe.
+    *
+    * Exactness: per-doc average log-prob is the truncating integer
+    * `logprob_scaled div n_bigrams` (micro-nats, negative; both engines
+    * truncate toward zero), and the tertile thresholds are `percentile`
+    * over those BIGINTs with literal fractions 0.333333/0.666667 — the
+    * interpolated doubles match DuckDB's `quantile_cont` bit-for-bit on
+    * BIGINT inputs (r5/r10 precedent, arbitrary fractions held at p90).
+    * Docs with zero bigrams carry no fluency evidence and are excluded
+    * (the inner join). Thresholds are a languages-sized broadcast. */
+  def ccnetBuckets(docs: DataFrame, idCol: String, langCol: String, textCol: String): DataFrame = {
+    val lp = TextAnalysis.bigramLogProb(docs, idCol, textCol)
+    val scored = docs
+      .select(col(idCol).as("doc_id"), col(langCol).cast("string").as("lang"))
+      .join(lp, "doc_id")
+      .withColumn("avg_lp_micro", expr("logprob_scaled div n_bigrams"))
+      .transform(Residuals.persist)
+    val th = scored.groupBy(col("lang")).agg(
+      expr("percentile(avg_lp_micro, 0.333333)").as("t1"),
+      expr("percentile(avg_lp_micro, 0.666667)").as("t2"))
+    scored.join(broadcast(th), "lang")
+      .withColumn("bucket",
+        when(col("avg_lp_micro") >= col("t2"), lit("head"))
+          .when(col("avg_lp_micro") >= col("t1"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc_id"), col("lang"), col("avg_lp_micro"), col("bucket"))
+  }
+
   /** DSIR — Data Selection via Importance Resampling (Xie et al. '23):
     * score every raw document by how target-like its HASHED N-GRAM bag is
     * under two bucket-unigram models, then keep the top-k. The standard

@@ -1249,6 +1249,35 @@ object TextAnalysis {
       .select(col("lang"), col("token"), col("a").as("df_lang"), col("chi2"))
   }
 
+  /** Gopher quality-rule battery (Rae et al. '21, table A1 core): word
+    * count bounds, mean word length band, alphabetic-word share, minimum
+    * stopword evidence — the standard pre-filter battery applied before
+    * any model-based scoring. ONE narrow pass (token-array HOFs, each
+    * lambda touching only its own argument), integer milli/per-mille
+    * arithmetic, nullif-guarded divisions. Returns the per-rule signals
+    * AND the composite keep flag so downstream audits can see WHICH rule
+    * fired (the reason-code contract quality_check set). */
+  def gopherQuality(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 20L, maxWords: Long = 100000L): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords, "bad word bounds")
+    docs.select(col(idCol), TextFns.tokens(col(textCol)).as("w"))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("sum_wlen", expr("aggregate(w, 0L, (a, x) -> a + length(x))"))
+      .withColumn("alpha_words",
+        expr("CAST(size(filter(w, x -> x rlike '[a-zA-Z]')) AS BIGINT)"))
+      .withColumn("stop_hits", expr(
+        "CAST(size(filter(w, x -> x IN ('the','a','an','and','of','to','in','is'))) AS BIGINT)"))
+      .withColumn("mean_wlen_milli", expr("sum_wlen * 1000 div nullif(n_words, 0)"))
+      .withColumn("alpha_permille", expr("alpha_words * 1000 div nullif(n_words, 0)"))
+      .withColumn("keep", coalesce(
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_wlen_milli").between(3000L, 10000L) &&
+          col("alpha_permille") >= 800L && col("stop_hits") >= 2L,
+        lit(false)).cast("long"))
+      .select(col(idCol), col("n_words"), col("mean_wlen_milli"),
+        col("alpha_permille"), col("stop_hits"), col("keep"))
+  }
+
   // ----- unigram-LM (SentencePiece-style) tokenizer training -----
 
   /** Driver-side twin of the cross-engine quantized-ln contract

@@ -101,6 +101,15 @@ private[graft] trait CurationQueries extends QueryHelpers {
         .orderBy(col("stratum"))
     }),
 
+    "sample_ccnet_buckets" -> ((s, dir) => {
+      // CCNet head/middle/tail: per-lang perplexity tertiles under the
+      // corpus bigram LM — integer avg log-prob, BIGINT-percentile
+      // thresholds (bit-stable cross-engine), languages-sized broadcast
+      graft.operators.Sampling.ccnetBuckets(
+        t(s, dir, "documents"), "doc_id", "lang", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "sample_dsir" -> ((s, dir) => {
       // DSIR importance selection: hashed unigram+bigram bag (64 md5
       // buckets), add-one bucket-unigram target (lang='en') vs raw models,
@@ -845,6 +854,39 @@ private[graft] trait CurationQueries extends QueryHelpers {
         |FROM ranked r JOIN counts USING (lang)
         |WHERE r.sample_rank <= least(counts.n_class, 2 * (SELECT n_min FROM nm))
         |ORDER BY r.doc_id""".stripMargin,
+
+    // the bigram-LM CTEs + per-lang quantile_cont tertiles; bucket
+    // comparisons on bit-identical interpolated doubles
+    "sample_ccnet_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS gram
+        |  FROM toks
+        |), pp AS (
+        |  SELECT doc_id, string_split(gram, ' ')[1] AS w1, string_split(gram, ' ')[2] AS w2 FROM g
+        |), c12 AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM pp GROUP BY 1, 2
+        |), c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM c12),
+        |lp AS (
+        |  SELECT pp.doc_id, CAST(count(*) AS BIGINT) AS nb,
+        |    CAST(sum(CAST(floor(ln(c12.c12 + 1) * 1e6 + 0.5) AS BIGINT)
+        |      - CAST(floor(ln(c1.c1 + (SELECT v FROM v)) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s
+        |  FROM pp JOIN c12 USING (w1, w2) JOIN c1 USING (w1) GROUP BY 1
+        |), scored AS (
+        |  SELECT d.doc_id, d.lang, lp.s // lp.nb AS avg_lp_micro
+        |  FROM documents d JOIN lp ON lp.doc_id = d.doc_id
+        |), th AS (
+        |  SELECT lang, quantile_cont(avg_lp_micro, 0.333333) AS t1,
+        |    quantile_cont(avg_lp_micro, 0.666667) AS t2
+        |  FROM scored GROUP BY 1
+        |)
+        |SELECT s.doc_id, s.lang, s.avg_lp_micro,
+        |  CASE WHEN s.avg_lp_micro >= th.t2 THEN 'head'
+        |       WHEN s.avg_lp_micro >= th.t1 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM scored s JOIN th USING (lang) ORDER BY s.doc_id""".stripMargin,
 
     // hashed-bag bucket models re-derived end to end; top-k via the same
     // (score desc, id) total order on both engines

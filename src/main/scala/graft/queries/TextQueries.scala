@@ -406,6 +406,16 @@ private[graft] trait TextQueries extends QueryHelpers {
     }),
 
 
+    "text_gopher_quality" -> ((s, dir) => {
+      // the Gopher pre-filter battery in one narrow pass: word-count
+      // bounds, mean-word-length band, alphabetic share, stopword
+      // evidence — per-rule signals + composite keep, integer arithmetic
+      graft.operators.TextAnalysis.gopherQuality(
+        spread(t(s, dir, "documents")), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+
     "eval_tokenizer_fertility" -> ((s, dir) => {
       // the standard tokenizer-quality numbers: per-language fertility
       // (pieces per word) and compression (chars per piece) under the
@@ -685,6 +695,30 @@ private[graft] trait TextQueries extends QueryHelpers {
     "text_html_extract" -> htmlExtractOracleSql,
 
     "curation_pipeline_html" -> curationPipelineHtmlOracleSql,
+
+    "text_gopher_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), sig AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(list_sum([length(x) FOR x IN w]) AS BIGINT) AS sum_wlen,
+        |    CAST(len([x FOR x IN w IF regexp_matches(x, '[a-zA-Z]')]) AS BIGINT) AS alpha_words,
+        |    CAST(len([x FOR x IN w IF x IN ('the','a','an','and','of','to','in','is')]) AS BIGINT) AS stop_hits
+        |  FROM toks
+        |), m AS (
+        |  SELECT doc_id, n_words,
+        |    sum_wlen * 1000 // nullif(n_words, 0) AS mean_wlen_milli,
+        |    alpha_words * 1000 // nullif(n_words, 0) AS alpha_permille,
+        |    stop_hits
+        |  FROM sig
+        |)
+        |SELECT doc_id, n_words, mean_wlen_milli, alpha_permille, stop_hits,
+        |  CAST(CASE WHEN COALESCE(n_words BETWEEN 20 AND 100000
+        |    AND mean_wlen_milli BETWEEN 3000 AND 10000
+        |    AND alpha_permille >= 800 AND stop_hits >= 2, FALSE)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "text_unigram_lm" -> unigramLmOracleSql,
 

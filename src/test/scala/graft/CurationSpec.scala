@@ -490,6 +490,48 @@ class CurationSpec extends SparkSuite {
     assert(recall >= 0.2, f"semantic dedup recall degraded: $recall%.3f (floor 0.2)")
   }
 
+  test("gopherQuality: each rule can fire, keep flag composes them") {
+    import graft.operators.TextAnalysis
+    val good = "the quick brown fox jumps over a lazy dog and then runs " +
+      "far away into the deep dark woods again today with great joy now"
+    val df = Seq(
+      (1L, good),                                   // passes all rules
+      (2L, "short text only here"),                 // too few words
+      (3L, Seq.fill(30)("xxxxzzzzqqqqwwww").mkString(" ")), // no stopwords, long words
+      (4L, "")).toDF("id", "text")                  // empty: keep=false, no crash
+    val r = TextAnalysis.gopherQuality(df, "id", "text").orderBy("id").collect()
+    assert(r.map(_.getAs[Long]("keep")).toSeq == Seq(1L, 0L, 0L, 0L), r.mkString("; "))
+    assert(r(2).getAs[Long]("stop_hits") == 0L)
+    assert(r(2).getAs[Long]("mean_wlen_milli") == 16000L)
+  }
+
+  test("ccnetBuckets: per-lang tertiles are balanced and ordered") {
+    import graft.operators.Sampling
+    val r = Sampling.ccnetBuckets(docs, "doc_id", "lang", "text")
+    val perLang = r.groupBy("lang", "bucket").count().collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    val langs = perLang.keys.map(_._1).toSet
+    langs.foreach { l =>
+      val h = perLang.getOrElse((l, "head"), 0L)
+      val m = perLang.getOrElse((l, "middle"), 0L)
+      val t = perLang.getOrElse((l, "tail"), 0L)
+      val n = h + m + t
+      assert(n > 0)
+      // tertiles: each bucket within ±2 of n/3 (ties can shift boundaries)
+      Seq(h, m, t).foreach(b =>
+        assert(math.abs(b - n / 3) <= math.max(2L, n / 6), s"$l: h=$h m=$m t=$t"))
+    }
+    // ordering: min(head score) >= max(tail score) per lang
+    val rows = r.collect().map(x =>
+      (x.getString(1), x.getAs[String]("bucket"), x.getAs[Long]("avg_lp_micro")))
+    langs.foreach { l =>
+      val heads = rows.collect { case (`l`, "head", s) => s }
+      val tails = rows.collect { case (`l`, "tail", s) => s }
+      if (heads.nonEmpty && tails.nonEmpty)
+        assert(heads.min >= tails.max, s"$l: head/tail overlap")
+    }
+  }
+
   test("lineDedup strips corpus-frequent lines, keeps content in order") {
     import graft.operators.Dedup
     val boiler = "accept all cookies"
