@@ -759,4 +759,81 @@ object Behavior {
       .select(col("t").as("t_days"), col("n_risk"), col("d").as("d_events"),
         col("km_log_scaled"))
   }
+
+  /** Markov removal-effect attribution (Anderl et al. '14) — the
+    * data-driven credit model beyond first/last touch: build the
+    * first-order journey chain START → touches → CONV/NULL, compute the
+    * conversion-absorption probability, then for each channel REMOVE it
+    * (its inbound transitions retarget to NULL, its outbound rows drop)
+    * and measure how much conversion probability disappears. Credit is the
+    * normalized removal effect.
+    *
+    * Deterministic integer form: transition COUNTS collect driver-side
+    * (states = channels + START/CONV/NULL — bounded by construction, the
+    * markovSteadyState precedent) and absorption runs `iters` fixed-point
+    * rounds of `p(s) = Σ_t cnt(s,t)·p(t) div out(s)` in 1e-6 units
+    * (monotone from 0; truncating division identical in Scala/Spark/
+    * DuckDB). The oracle unrolls base + per-channel-removal chains.
+    *
+    * Conversion rule (pinned): a journey converts iff the user has ≥ 1
+    * event in `converters`. Touch order is (ts, tieCol). `channels` is the
+    * FIXED domain to report (a channel with no touches has effect 0). */
+  def markovAttribution(touches: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, channelCol: String, converters: DataFrame, convUserCol: String,
+      channels: Seq[Long] = 0L to 9L, iters: Int = 12): DataFrame = {
+    require(iters >= 1 && channels.nonEmpty, "bad attribution params")
+    val spark = touches.sparkSession
+    import spark.implicits._
+    val Start = -1L
+    val Conv = 100L
+    val Null = 101L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("ts"), col("tie"))
+    val seq0 = touches.select(col(userCol).as("u"), col(tsCol).as("ts"),
+      col(tieCol).as("tie"), col(channelCol).cast("long").as("ch"))
+      .withColumn("prev", lag(col("ch"), 1).over(w))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rn_desc", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("u")).orderBy(col("ts").desc, col("tie").desc)))
+    val conv = converters.select(col(convUserCol).as("u")).distinct()
+      .withColumn("has_conv", lit(true))
+    val withConv = seq0.join(conv, Seq("u"), "left")
+      .withColumn("has_conv", coalesce(col("has_conv"), lit(false)))
+      .transform(Residuals.persist)
+    val trans = withConv.select(
+      when(col("rn") === 1, lit(Start)).otherwise(col("prev")).as("f"), col("ch").as("t"))
+      .unionByName(withConv.filter(col("rn_desc") === 1).select(col("ch").as("f"),
+        when(col("has_conv"), lit(Conv)).otherwise(lit(Null)).as("t")))
+      .groupBy(col("f"), col("t")).agg(count(lit(1)).as("c"))
+      .as[(Long, Long, Long)].collect()
+    require(trans.nonEmpty, "no touches — nothing to attribute")
+    def absorb(rows: Array[(Long, Long, Long)]): Long = {
+      val outs = rows.groupBy(_._1).map { case (f, rs) => f -> rs.map(_._3).sum }
+      var p = Map.empty[Long, Long].withDefaultValue(0L)
+      for (_ <- 1 to iters) {
+        val next = rows.groupBy(_._1).map { case (f, rs) =>
+          val s = rs.map { case (_, t, c) =>
+            c * (if (t == Conv) 1000000L else if (t == Null) 0L else p(t))
+          }.sum
+          f -> s / outs(f)
+        }
+        p = next.withDefaultValue(0L)
+      }
+      p(Start)
+    }
+    val base = absorb(trans)
+    val rows = channels.map { r =>
+      val removed = trans.collect {
+        case (f, t, c) if f != r => (f, if (t == r) Null else t, c)
+      }
+      val pr = if (removed.exists(_._1 == Start)) absorb(removed) else 0L
+      val eff = math.max(0L, base - pr)
+      (r, base, pr, eff)
+    }
+    val total = rows.map(_._4).sum
+    spark.createDataset(rows.map { case (ch, b, pr, eff) =>
+      (ch, b, pr, eff, if (total == 0) 0L else eff * 1000000L / total)
+    }).toDF("channel", "base_micro", "removed_micro", "effect_micro", "credit_micro")
+  }
 }

@@ -185,6 +185,22 @@ private[graft] trait RelationalQueries extends QueryHelpers {
     }),
 
 
+    "events_attribution_markov" -> ((s, dir) => {
+      // data-driven attribution beyond first/last touch: removal-effect
+      // credit from the absorbing journey chain — per-channel removal
+      // chains iterated driver-side over the bounded transition counts,
+      // base + 10 removal chains each unrolled 12 rounds in the oracle
+      val ev = events(s, dir)
+      val touches = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (get_json_object(col("props"), "$.k").cast("long") % 10).as("channel"))
+      val conv = ev.filter(col("event_type") === "purchase").select(col("user_id"))
+      graft.operators.Behavior.markovAttribution(
+        touches, "user_id", "ts", "event_id", "channel", conv, "user_id")
+        .orderBy(col("channel"))
+    }),
+
+
     "events_touch_attribution" -> ((s, dir) => {
       // first-touch vs last-touch credit comparison: per purchase, the
       // earliest and latest qualifying click in the 30-min window (ties by
@@ -537,7 +553,66 @@ private[graft] trait RelationalQueries extends QueryHelpers {
         .orderBy(col("user_id"))
     }))
 
+  /** Generated oracle for Markov removal-effect attribution: journey
+    * transitions from the click stream, then base + one removal chain per
+    * channel, each unrolled `iters` fixed-point absorption rounds (the
+    * unigram/hilbert programmatic-oracle precedent — states are the
+    * bounded channel set, every relation a handful of rows). */
+  private def markovAttributionOracleSql(channels: Seq[Int] = 0 to 9, iters: Int = 12): String = {
+    def chain(tag: String, cntRel: String, outsRel: String): Seq[String] = {
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      parts += s"${tag}_0 AS (SELECT f, CAST(0 AS BIGINT) AS p FROM $outsRel)"
+      for (k <- 1 to iters)
+        parts += s"${tag}_$k AS (SELECT c.f, CAST(sum(c.c * CASE WHEN c.t = 100 THEN 1000000 " +
+          s"WHEN c.t = 101 THEN 0 ELSE COALESCE(p.p, 0) END) AS BIGINT) // o.o AS p " +
+          s"FROM $cntRel c JOIN $outsRel o ON o.f = c.f " +
+          s"LEFT JOIN ${tag}_${k - 1} p ON p.f = c.t GROUP BY c.f, o.o)"
+      parts.toSeq
+    }
+    val ctes = scala.collection.mutable.ArrayBuffer.empty[String]
+    ctes += """clicks AS (
+              |  SELECT user_id AS u, ts, event_id AS tie,
+              |    CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS ch
+              |  FROM events WHERE event_type = 'click')""".stripMargin
+    ctes += "conv AS (SELECT DISTINCT user_id AS u FROM events WHERE event_type = 'purchase')"
+    ctes += """sq AS (
+              |  SELECT u, ch,
+              |    lag(ch) OVER (PARTITION BY u ORDER BY ts, tie) AS prev,
+              |    row_number() OVER (PARTITION BY u ORDER BY ts, tie) AS rn,
+              |    row_number() OVER (PARTITION BY u ORDER BY ts DESC, tie DESC) AS rnd,
+              |    u IN (SELECT u FROM conv) AS has_conv
+              |  FROM clicks)""".stripMargin
+    ctes += """tr AS (
+              |  SELECT CASE WHEN rn = 1 THEN -1 ELSE prev END AS f, ch AS t FROM sq
+              |  UNION ALL
+              |  SELECT ch AS f, CASE WHEN has_conv THEN 100 ELSE 101 END AS t FROM sq WHERE rnd = 1)""".stripMargin
+    ctes += "cnt AS MATERIALIZED (SELECT f, t, CAST(count(*) AS BIGINT) AS c FROM tr GROUP BY 1, 2)"
+    ctes += "outs AS MATERIALIZED (SELECT f, CAST(sum(c) AS BIGINT) AS o FROM cnt GROUP BY 1)"
+    ctes ++= chain("b", "cnt", "outs")
+    for (r <- channels) {
+      ctes += s"cnt_r$r AS (SELECT f, CASE WHEN t = $r THEN 101 ELSE t END AS t, c FROM cnt WHERE f != $r)"
+      ctes += s"outs_r$r AS (SELECT f, CAST(sum(c) AS BIGINT) AS o FROM cnt_r$r GROUP BY 1)"
+      ctes ++= chain(s"r$r", s"cnt_r$r", s"outs_r$r")
+    }
+    ctes += "res AS (" + channels.map(r =>
+      s"SELECT CAST($r AS BIGINT) AS channel, " +
+        s"(SELECT p FROM b_$iters WHERE f = -1) AS base_micro, " +
+        s"COALESCE((SELECT p FROM r${r}_$iters WHERE f = -1), 0) AS removed_micro")
+      .mkString(" UNION ALL ") + ")"
+    ctes += "eff AS (SELECT channel, base_micro, removed_micro, " +
+      "greatest(0, base_micro - removed_micro) AS effect_micro FROM res)"
+    ctes += "tot AS (SELECT CAST(sum(effect_micro) AS BIGINT) AS te FROM eff)"
+    "WITH " + ctes.mkString(",\n") +
+      """
+        |SELECT channel, base_micro, removed_micro, effect_micro,
+        |  CASE WHEN (SELECT te FROM tot) = 0 THEN 0
+        |       ELSE effect_micro * 1000000 // (SELECT te FROM tot) END AS credit_micro
+        |FROM eff ORDER BY channel""".stripMargin
+  }
+
   protected def relationalOracles: Map[String, String] = Map(
+
+    "events_attribution_markov" -> markovAttributionOracleSql(),
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  count(*) AS n_rows,

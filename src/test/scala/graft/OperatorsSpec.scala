@@ -2507,6 +2507,21 @@ class OperatorsSpec extends SparkSuite {
     assert(!mortonAdjacent, "Morton should NOT be unit-step — else Hilbert adds nothing")
   }
 
+  test("markovAttribution: sole converting channel takes all credit, untouched channel none") {
+    import graft.operators.Behavior
+    // users 1-5 touch channel 0 then convert; users 6-10 touch channel 1
+    // and never convert; channel 2 is never touched at all
+    val touches = ((1L to 5L).map(u => (u, u, u, 0L)) ++ (6L to 10L).map(u => (u, u, u, 1L)))
+      .toDF("u", "ts", "id", "ch")
+    val conv = (1L to 5L).map(Tuple1(_)).toDF("u")
+    val r = Behavior.markovAttribution(touches, "u", "ts", "id", "ch", conv, "u",
+      channels = Seq(0L, 1L, 2L))
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(3), x.getLong(4))).toMap
+    assert(r(0)._1 == 500000L, s"base: $r") // 5/10 journeys convert
+    assert(r(0)._2 == 500000L && r(0)._3 == 1000000L, s"ch0: $r") // removal kills ALL conversion
+    assert(r(1)._2 == 0L && r(2)._2 == 0L, s"non-converting/untouched: $r")
+  }
+
   test("markovSteadyState: flip chain keeps the uniform split, absorbing state drains") {
     val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
     // deterministic flip A<->B: the uniform start is stationary exactly

@@ -550,4 +550,37 @@ class PlanSpec extends SparkSuite {
       graft.operators.Graph.pagerankPersonalized(edges, "s", "d", seeds, "node", iters = 3),
       3, "ppr")
   }
+
+  test("round-12 operators: html extract one id-shuffle, dsir broadcast + TakeOrdered, line dedup equi-only") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+    // htmlExtract: per-block work is a generate+project; the only wide ops
+    // are the per-doc groupBy — no join at all in the plan
+    val ph = plan(graft.operators.TextAnalysis.htmlExtract(
+      docs.select(col("doc_id"), concat(lit("<p>"), col("text"), lit("</p>")).as("h")),
+      "doc_id", "h"))
+    assert(!ph.contains("Join"), ph)
+    assert(!ph.contains("CartesianProduct"), ph)
+
+    // dsirSelect: bucket stats join the gram stream via BROADCAST (the
+    // stats relation is buckets-sized) and selection is TakeOrdered — a
+    // global Sort node would be the 100 TB scale bug
+    val pd = plan(graft.operators.Sampling.dsirSelect(
+      docs, "doc_id", "text", col("lang") === "en"))
+    assert(pd.contains("BroadcastHashJoin"), pd)
+    assert(pd.contains("TakeOrderedAndProject"), pd)
+    // the ONLY nested-loop join is the one-row totals broadcast (the
+    // collocationsLlr scalar-crossJoin pattern) — never a CartesianProduct
+    assert(!pd.contains("CartesianProduct"), pd)
+
+    // lineDedup: the df join back onto lines is an equi-join on the line
+    val pl = plan(graft.operators.Dedup.lineDedup(docs, "doc_id", "text"))
+    assert(!pl.contains("CartesianProduct") && !pl.contains("BroadcastNestedLoopJoin"), pl)
+
+    // ccnetBuckets: thresholds broadcast (languages-sized)
+    val pc = plan(graft.operators.Sampling.ccnetBuckets(docs, "doc_id", "lang", "text"))
+    assert(pc.contains("BroadcastHashJoin"), pc)
+    graft.operators.Residuals.release()
+  }
 }
