@@ -263,4 +263,34 @@ object Layout {
     case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y)
     case _ => throw new IllegalArgumentException(s"unsupported zone key type: $a / $b")
   }
+
+  /** Compaction PLANNER — the metadata half of OPTIMIZE: given a file
+    * manifest (path, rows, clustering-key min), group KEY-ADJACENT files
+    * into rewrite groups of ~`targetRows` by linear packing (group =
+    * cumulative-rows-before div target). Key adjacency keeps the rewritten
+    * files' min/max ranges as tight as the originals ([[clusteringDepth]]
+    * prices the win); a file already at target size lands alone in its
+    * group by the same arithmetic. Pure manifest math — zero data reads,
+    * so the plan costs O(files) at any table size; the global window runs
+    * over the metadata relation (the zone-map precedent — persist the
+    * manifest as a table and range-partition it when files outgrow one
+    * task). */
+  def compactionPlan(manifest: DataFrame, pathCol: String, rowsCol: String,
+      minKeyCol: String, targetRows: Long): DataFrame = {
+    require(targetRows >= 1, "targetRows must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(minKeyCol), col(pathCol))
+    val g = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+    manifest
+      .select(col(pathCol).as("path"), col(rowsCol).cast("long").as("rows"),
+        col(minKeyCol).cast("long").as("min_key"))
+      .withColumn("cum_before", coalesce(
+        sum(col("rows")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("grp", expr(s"cum_before div ${targetRows}L"))
+      .withColumn("grp_rows", sum(col("rows")).over(g))
+      .withColumn("grp_files", count(lit(1)).over(g).cast("long"))
+      .select(col("path"), col("rows"), col("min_key"), col("grp"),
+        col("grp_rows"), col("grp_files"))
+  }
 }

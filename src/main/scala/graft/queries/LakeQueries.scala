@@ -35,6 +35,21 @@ private[graft] trait LakeQueries extends QueryHelpers {
     }),
 
 
+    "lake_compaction_plan" -> ((s, dir) => {
+      // OPTIMIZE planning over a deterministic manifest derived from
+      // lineitem (file per 512-wide orderkey band, ~2k rows each):
+      // key-adjacent linear packing into ~5000-row rewrite groups —
+      // pure metadata math, multi-file groups exercised
+      val manifest = t(s, dir, "lineitem")
+        .groupBy(expr("l_orderkey div 512").as("band"))
+        .agg(count(lit(1)).as("rows"), min(col("l_orderkey")).as("min_key"))
+        .select(concat(lit("f"), col("band").cast("string")).as("path"),
+          col("rows"), col("min_key"))
+      graft.operators.Layout.compactionPlan(manifest, "path", "rows", "min_key", 5000L)
+        .orderBy(col("min_key"))
+    }),
+
+
     "lake_clustering_depth" -> ((s, dir) => {
       // clustering-quality audit: the SAME 50-row zones measured two ways —
       // zone-mapped on the clustering key (doc_id: zero overlaps, perfect
@@ -271,6 +286,25 @@ private[graft] trait LakeQueries extends QueryHelpers {
     }))
 
   protected def lakeOracles: Map[String, String] = Map(
+
+    "lake_compaction_plan" ->
+      """WITH m AS (
+        |  SELECT 'f' || CAST(l_orderkey // 512 AS VARCHAR) AS path,
+        |    CAST(count(*) AS BIGINT) AS rows,
+        |    CAST(min(l_orderkey) AS BIGINT) AS min_key
+        |  FROM lineitem GROUP BY l_orderkey // 512
+        |), c AS (
+        |  SELECT path, rows, min_key,
+        |    COALESCE(sum(rows) OVER (ORDER BY min_key, path
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM m
+        |), p AS (
+        |  SELECT path, rows, min_key, cum_before // 5000 AS grp FROM c
+        |)
+        |SELECT path, rows, min_key, grp,
+        |  CAST(sum(rows) OVER (PARTITION BY grp) AS BIGINT) AS grp_rows,
+        |  CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS grp_files
+        |FROM p ORDER BY min_key""".stripMargin,
 
     "layout_compacted" ->
       """SELECT doc_id, text, lang, source, n_chars

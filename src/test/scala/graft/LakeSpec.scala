@@ -253,4 +253,25 @@ class LakeSpec extends SparkSuite {
     VT.vacuum(spark, dir, keepFrom = latest)
     assert(VT.read(spark, dir).filter($"doc_id" === 1L).count() == 0L)
   }
+
+  test("compactionPlan: key-adjacent groups near target, every file in exactly one group") {
+    import graft.operators.Layout
+    val manifest = Seq(
+      ("a", 100L, 0L), ("b", 100L, 10L), ("c", 100L, 20L),
+      ("d", 250L, 30L), ("e", 40L, 40L), ("f", 40L, 50L))
+      .toDF("path", "rows", "min_key")
+    val plan = Layout.compactionPlan(manifest, "path", "rows", "min_key", 300L)
+      .orderBy("min_key").collect()
+    assert(plan.map(_.getString(0)).toSeq == Seq("a", "b", "c", "d", "e", "f"))
+    val grps = plan.map(r => r.getString(0) -> r.getLong(3)).toMap
+    // cum before: a0 b100 c200 d300 e550 f590 -> groups 0,0,0,1,1,1
+    assert(grps("a") == 0 && grps("b") == 0 && grps("c") == 0, grps.toString)
+    assert(grps("d") == 1 && grps("e") == 1 && grps("f") == 1, grps.toString)
+    // group stats consistent and every file covered exactly once
+    assert(plan.map(_.getLong(4)).toSet == Set(300L, 330L))
+    assert(plan.map(r => (r.getLong(3), r.getString(0))).distinct.length == 6)
+    // groups are key-CONTIGUOUS: min_keys within a group form a run
+    val byGrp = plan.groupBy(_.getLong(3)).view.mapValues(_.map(_.getLong(2)).sorted).toMap
+    assert(byGrp(0L).max < byGrp(1L).min)
+  }
 }
