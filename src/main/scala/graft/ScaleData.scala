@@ -72,8 +72,14 @@ object ScaleData {
         // surface as opaque NPEs from the fixture tool (r11 advice)
         if (row.isNullAt(0))
           sys.error(s"[scale] ${d._1}.${d._2}: empty source table, no key domain to shift by")
+        // INTEGRAL types only: a Double/Float/BigDecimal key would silently
+        // TRUNCATE through Number.longValue and shift replicas off a wrong
+        // base — exactly the silent-collision class this guard exists for
         val m = row.get(0) match {
-          case n: java.lang.Number => n.longValue()
+          case n: java.lang.Long => n.longValue()
+          case n: java.lang.Integer => n.longValue()
+          case n: java.lang.Short => n.longValue()
+          case n: java.lang.Byte => n.longValue()
           case other => sys.error(
             s"[scale] ${d._1}.${d._2}: key column is ${other.getClass.getSimpleName}, need an integral type")
         }

@@ -782,6 +782,11 @@ object Behavior {
       tieCol: String, channelCol: String, converters: DataFrame, convUserCol: String,
       channels: Seq[Long] = 0L to 9L, iters: Int = 12): DataFrame = {
     require(iters >= 1 && channels.nonEmpty, "bad attribution params")
+    // channel values share the state space with the START/CONV/NULL
+    // sentinels — a colliding value would silently corrupt the chain
+    // (removing "channel 100" would retarget every CONV transition)
+    require(channels.forall(c => c >= 0L && c < 100L),
+      s"channels must lie in [0, 99] (sentinel collision): ${channels.filterNot(c => c >= 0L && c < 100L)}")
     val spark = touches.sparkSession
     import spark.implicits._
     val Start = -1L
@@ -789,8 +794,17 @@ object Behavior {
     val Null = 101L
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("u")).orderBy(col("ts"), col("tie"))
+    // data-derived channel values get the same sentinel guard as the
+    // declared domain: ch = -1 would merge into START, ch = 100/101 into
+    // CONV/NULL — raise_error embeds in the kept expression (scd2 pattern,
+    // fires at execution, costs one comparison per row)
+    val chRaw = col(channelCol).cast("long")
+    val chSafe = when(chRaw.isNull || chRaw < 0L || chRaw >= 100L,
+      raise_error(concat(lit("markovAttribution: channel value outside [0, 99] collides with sentinels: "),
+        coalesce(chRaw.cast("string"), lit("NULL")))).cast("long"))
+      .otherwise(chRaw)
     val seq0 = touches.select(col(userCol).as("u"), col(tsCol).as("ts"),
-      col(tieCol).as("tie"), col(channelCol).cast("long").as("ch"))
+      col(tieCol).as("tie"), chSafe.as("ch"))
       .withColumn("prev", lag(col("ch"), 1).over(w))
       .withColumn("rn", row_number().over(w))
       .withColumn("rn_desc", row_number().over(

@@ -680,7 +680,9 @@ object Dedup {
     *
     * Returns per document: `clean_text` (kept lines rejoined with \n in
     * original order), `n_lines` (nonempty), `n_dropped`. Empty lines are
-    * neither counted nor kept. */
+    * neither counted nor kept; a document with NO nonempty lines still
+    * emits a row (`clean_text = ""`, zero counts) — cleaning must never
+    * silently drop a document from the corpus. */
   def lineDedup(docs: DataFrame, idCol: String, textCol: String, maxDf: Long = 50L): DataFrame = {
     require(maxDf >= 1, "maxDf must be positive")
     val lines = docs
@@ -688,7 +690,7 @@ object Dedup {
       .filter(col("line") =!= "")
       .transform(Residuals.persist) // consumed twice: df count + rejoin
     val lineDf = lines.groupBy(col("line")).agg(countDistinct(col("doc")).as("line_df"))
-    lines.join(lineDf, "line")
+    val agg = lines.join(lineDf, "line")
       .withColumn("keep", col("line_df") <= maxDf)
       .groupBy(col("doc").as(idCol))
       .agg(
@@ -697,5 +699,12 @@ object Dedup {
           _.getField("line")), "\n"), lit("")).as("clean_text"),
         count(lit(1)).cast("long").as("n_lines"),
         sum((!col("keep")).cast("long")).as("n_dropped"))
+    // left-join back onto the full id set: empty/whitespace-only docs have
+    // no surviving line rows, and the groupBy alone would erase them
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
   }
 }

@@ -1990,6 +1990,7 @@ object Multimodal {
     seg(0xda, Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0).map(_.toByte))
     val bw = new JpegBitWriter(out)
     val block = new Array[Int](64)
+    val crBlock = new Array[Int](64)
     var prevY = 0L
     var prevCb = 0L
     var prevCr = 0L
@@ -2055,11 +2056,16 @@ object Multimodal {
       }
       val cx0 = (m % mx) * 8
       val cy0 = (m / mx) * 8
+      // one chromaAt per position fills both planes (rgb() + the 3x3
+      // matrix are the cost; discarding one component doubled both)
       var i = 0
-      while (i < 64) { block(i) = chromaAt(cx0 + i % 8, cy0 + i / 8)._1; i += 1 }
+      while (i < 64) {
+        val (cb, cr) = chromaAt(cx0 + i % 8, cy0 + i / 8)
+        block(i) = cb; crBlock(i) = cr
+        i += 1
+      }
       prevCb = writeBlock(prevCb)
-      i = 0
-      while (i < 64) { block(i) = chromaAt(cx0 + i % 8, cy0 + i / 8)._2; i += 1 }
+      System.arraycopy(crBlock, 0, block, 0, 64)
       prevCr = writeBlock(prevCr)
     }
     bw.flush()

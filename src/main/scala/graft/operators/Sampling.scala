@@ -248,26 +248,6 @@ object Sampling {
     rows.toSeq.toDF("stratum", "n_docs", "w_milli", "alloc")
   }
 
-  /** DoReMi-style domain reweighting (Xie et al. '23): iteratively upweight
-    * the domains where the proxy model's loss exceeds the corpus baseline,
-    * renormalize, repeat — the feedback step the static mixers
-    * ([[temperatureAlloc]], token budgets, interleave) lack.
-    *
-    * Deterministic integer form: the per-domain "excess loss" is the
-    * domain's average bigram log-prob deficit vs the corpus under the
-    * corpus's own add-one bigram LM ([[TextAnalysis.bigramLogProb]] —
-    * micro-nats, already oracle-exact), and the exp(η·excess)
-    * multiplicative-weights factor is linearized to
-    * `max(1, 10⁶ + η_micro·excess div 10⁶)` (exp→1+x — the same
-    * transcendental-avoidance as the integer-mean Lloyd and hard-EM
-    * precedents). Each round: w ← w·factor, then renormalize to Σ≈10⁶ by
-    * truncating division. Iteration is driver-side over the BOUNDED domain
-    * vector (the markovSteadyState precedent); every product is ≤ ~1.5e18.
-    *
-    * Domains with zero bigrams carry no loss signal and are excluded (the
-    * inner join — n_docs counts docs with ≥1 bigram). Returns per domain:
-    * (domain, n_docs, loss_micro, excess_micro, weight_micro, alloc_docs)
-    * with `alloc_docs = budget·w div Σw`. */
   /** CCNet head/middle/tail bucketing (Wenzek et al. '20): per language,
     * split documents into perplexity tertiles under the corpus's own
     * bigram LM — "head" (most fluent) is what CCNet keeps for pretraining,
@@ -342,6 +322,26 @@ object Sampling {
     scored.orderBy(col("score_scaled").desc, col(idCol)).limit(topK)
   }
 
+  /** DoReMi-style domain reweighting (Xie et al. '23): iteratively upweight
+    * the domains where the proxy model's loss exceeds the corpus baseline,
+    * renormalize, repeat — the feedback step the static mixers
+    * ([[temperatureAlloc]], token budgets, interleave) lack.
+    *
+    * Deterministic integer form: the per-domain "excess loss" is the
+    * domain's average bigram log-prob deficit vs the corpus under the
+    * corpus's own add-one bigram LM ([[TextAnalysis.bigramLogProb]] —
+    * micro-nats, already oracle-exact), and the exp(η·excess)
+    * multiplicative-weights factor is linearized to
+    * `max(1, 10⁶ + η_micro·excess div 10⁶)` (exp→1+x — the same
+    * transcendental-avoidance as the integer-mean Lloyd and hard-EM
+    * precedents). Each round: w ← w·factor, then renormalize to Σ≈10⁶ by
+    * truncating division. Iteration is driver-side over the BOUNDED domain
+    * vector (the markovSteadyState precedent); every product is ≤ ~1.5e18.
+    *
+    * Domains with zero bigrams carry no loss signal and are excluded (the
+    * inner join — n_docs counts docs with ≥1 bigram). Returns per domain:
+    * (domain, n_docs, loss_micro, excess_micro, weight_micro, alloc_docs)
+    * with `alloc_docs = budget·w div Σw`. */
   def doremiWeights(docs: DataFrame, idCol: String, domainCol: String, textCol: String,
       etaMicro: Long = 100000L, rounds: Int = 5, budget: Long = 1000000L): DataFrame = {
     require(etaMicro >= 0 && rounds >= 1 && budget >= 0, "bad doremi params")
@@ -354,15 +354,18 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_bigrams")).as("nb"), sum(col("logprob_scaled")).as("s"))
       .filter(col("nb") > 0)
-      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+      .as[(String, Long, Long, Long)].collect()
     require(dom.nonEmpty, "no domain has any bigram")
+    // null check BEFORE the sort: sortBy on a null String throws a bare NPE
+    // inside Ordering and the actionable message would be unreachable
     require(dom.forall(_._1 != null), "NULL domain value — coalesce or drop first")
-    val totNb = dom.map(_._3).sum
-    val totS = dom.map(_._4).sum
+    val domSorted = dom.sortBy(_._1)
+    val totNb = domSorted.map(_._3).sum
+    val totS = domSorted.map(_._4).sum
     val baseLoss = -totS / totNb
-    val loss = dom.map { case (_, _, nb, s) => -s / nb }
+    val loss = domSorted.map { case (_, _, nb, s) => -s / nb }
     val excess = loss.map(_ - baseLoss)
-    var w = Array.fill(dom.length)(1000000L)
+    var w = Array.fill(domSorted.length)(1000000L)
     for (_ <- 1 to rounds) {
       val wp = w.indices.map(i =>
         w(i) * math.max(1L, 1000000L + etaMicro * excess(i) / 1000000L)).toArray
@@ -370,8 +373,8 @@ object Sampling {
       w = wp.map(_ * 1000000L / tot)
     }
     val wTot = w.sum
-    val rows = dom.indices.map { i =>
-      (dom(i)._1, dom(i)._2, loss(i), excess(i), w(i), budget * w(i) / wTot)
+    val rows = domSorted.indices.map { i =>
+      (domSorted(i)._1, domSorted(i)._2, loss(i), excess(i), w(i), budget * w(i) / wTot)
     }
     spark.createDataset(rows.toSeq)
       .toDF("domain", "n_docs", "loss_micro", "excess_micro", "weight_micro", "alloc_docs")

@@ -674,11 +674,18 @@ private[graft] trait DedupQueries extends QueryHelpers {
         |), df AS (
         |  SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS line_df FROM nz GROUP BY 1
         |)
-        |SELECT nz.doc_id,
-        |  COALESCE(string_agg(CASE WHEN df.line_df <= 50 THEN nz.line END, chr(10) ORDER BY nz.idx), '') AS clean_text,
-        |  CAST(count(*) AS BIGINT) AS n_lines,
-        |  CAST(sum(CASE WHEN df.line_df <= 50 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
-        |FROM nz JOIN df USING (line) GROUP BY 1 ORDER BY nz.doc_id""".stripMargin,
+        |, agg AS (
+        |  SELECT nz.doc_id,
+        |    COALESCE(string_agg(CASE WHEN df.line_df <= 50 THEN nz.line END, chr(10) ORDER BY nz.idx), '') AS clean_text,
+        |    CAST(count(*) AS BIGINT) AS n_lines,
+        |    CAST(sum(CASE WHEN df.line_df <= 50 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+        |  FROM nz JOIN df USING (line) GROUP BY 1
+        |)
+        |SELECT lined.doc_id,
+        |  COALESCE(agg.clean_text, '') AS clean_text,
+        |  COALESCE(agg.n_lines, CAST(0 AS BIGINT)) AS n_lines,
+        |  COALESCE(agg.n_dropped, CAST(0 AS BIGINT)) AS n_dropped
+        |FROM lined LEFT JOIN agg USING (doc_id) ORDER BY lined.doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
 

@@ -553,6 +553,24 @@ class CurationSpec extends SparkSuite {
     assert(!relaxed.head.getAs[String]("clean_text").contains(boiler))
   }
 
+  test("lineDedup keeps empty/whitespace-only docs as rows, never drops them") {
+    import graft.operators.Dedup
+    // docs 98/99 have no nonempty line at all — cleaning must not erase
+    // them from the corpus (review finding r12: the groupBy alone did)
+    val df = (Seq((98L, ""), (99L, "\n\n")) ++
+      (1L to 6L).map(i => (i, s"shared banner\nunique $i"))).toDF("id", "text")
+    val out = Dedup.lineDedup(df, "id", "text", maxDf = 3L).orderBy("id").collect()
+    assert(out.length == 8, s"docs dropped: got ${out.length} of 8")
+    val empty = out.filter(r => r.getLong(0) >= 98L)
+    empty.foreach { r =>
+      assert(r.getAs[String]("clean_text") == "")
+      assert(r.getAs[Long]("n_lines") == 0L && r.getAs[Long]("n_dropped") == 0L)
+    }
+    // and the nonempty docs still strip the banner (df 6 > maxDf 3)
+    assert(out.filter(_.getLong(0) <= 6L).forall(r =>
+      r.getAs[String]("clean_text").startsWith("unique")))
+  }
+
   test("dsirSelect ranks target-like documents above off-domain ones") {
     import graft.operators.Sampling
     // target docs (is_en) share a vocabulary; raw pool adds off-domain
