@@ -125,4 +125,58 @@ object Eval {
           .as("pos_rate_micro"))
       .withColumn("gap_micro", abs(col("mean_pred_micro") - col("pos_rate_micro")))
   }
+
+  /** Micro-scaled DCG position discounts: floor(10⁶ / log₂(r+1)) for ranks
+    * 1..10, as LITERALS — the r7 "literal weight tables for curves" rule:
+    * no transcendental is evaluated in either engine, so the metric
+    * hash-matches bit-for-bit. */
+  private[operators] val NdcgWeightsMicro: Array[Long] = Array(
+    1000000L, 630929L, 500000L, 430676L, 386852L,
+    356207L, 333333L, 315464L, 301029L, 289064L)
+
+  /** Per-query nDCG@k over integer relevance grades — the graded companion
+    * to [[recallAtK]] (set overlap) and [[kendallTau]] (pair ordering):
+    * position-weighted gain that rewards putting the MOST relevant items
+    * FIRST, the standard retrieval-quality number.
+    *
+    * `graded` carries (query, item, grade >= 0); `candidate` carries the
+    * ranking under evaluation as (query, item, rank 1-based). DCG sums
+    * grade·w(rank) over candidate positions <= k (ungraded items gain 0);
+    * IDCG re-ranks the query's own grades descending (grade desc, item asc
+    * tie-break) and pays the same discounts — so ndcg = 1e6 exactly when
+    * the candidate order is a perfect grade sort. All arithmetic is
+    * integer: micro-discount literals ([[NdcgWeightsMicro]]), order-free
+    * integer sums, one final truncating division (`div` == DuckDB `//`).
+    * Caller contract: grade·10⁶·k must fit a signed 64-bit (grades are
+    * small ordinals by construction; 10-point grades at k=10 sit 11 orders
+    * below the edge).
+    *
+    * Shape: one equi-join on (query, item) + one window over the graded
+    * top-k — fanout bounded by k·queries, corpus never enters. Queries
+    * whose candidate list is empty report ndcg 0, not absence. */
+  def ndcgAtK(graded: DataFrame, candidate: DataFrame, qCol: String,
+      itemCol: String, gradeCol: String, rankCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= NdcgWeightsMicro.length,
+      s"k must be in [1, ${NdcgWeightsMicro.length}] (extend NdcgWeightsMicro for deeper cuts)")
+    val wArr = array(NdcgWeightsMicro.take(k).map(lit(_)): _*)
+    val g = graded.select(col(qCol).as("query_id"), col(itemCol).as("i"),
+      col(gradeCol).cast("long").as("g"))
+    val c = candidate.filter(col(rankCol) <= k)
+      .select(col(qCol).as("query_id"), col(itemCol).as("i"),
+        col(rankCol).cast("int").as("r"))
+    val dcg = c.join(g, Seq("query_id", "i"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("g"), lit(0L)) * element_at(wArr, col("r"))).as("dcg_micro"))
+    val iw = Window.partitionBy(col("query_id")).orderBy(col("g").desc, col("i").asc)
+    val idcg = g.withColumn("p", row_number().over(iw))
+      .filter(col("p") <= k)
+      .groupBy(col("query_id"))
+      .agg(sum(col("g") * element_at(wArr, col("p").cast("int"))).as("idcg_micro"))
+    idcg.join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"), col("idcg_micro"))
+      .withColumn("ndcg_micro",
+        when(col("idcg_micro") === 0L, lit(0L))
+          .otherwise(expr("dcg_micro * 1000000 div idcg_micro")))
+  }
 }

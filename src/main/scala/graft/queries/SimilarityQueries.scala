@@ -131,6 +131,22 @@ private[graft] trait SimilarityQueries extends QueryHelpers {
     }),
 
 
+    "eval_ndcg" -> ((s, dir) => {
+      // graded ranking quality of the IVF probe (nprobe=4) against exact
+      // cosine: grade = 11 - exact rank over the brute-force top-10, so
+      // ndcg_micro = 1e6 iff IVF returns the exact list in the exact order
+      // — the position-weighted companion to eval_ivf_recall's set overlap
+      import graft.operators.{Eval, Similarity}
+      val embs = spread(t(s, dir, "embeddings"))
+      val queries = embs.filter(col("vec_id") < 20)
+      val graded = Similarity.bruteForceKnn(embs, queries, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"), (lit(11L) - col("rank")).as("grade"))
+      val cand = Similarity.ivfKnn(embs, queries, "vec_id", "embedding", 10)
+      Eval.ndcgAtK(graded, cand, "query_id", "neighbor_id", "grade", "rank")
+        .orderBy(col("query_id"))
+    }),
+
+
     "eval_rp_rank_tau" -> ((s, dir) => {
       // rank-fidelity eval: per query, Kendall tau between full-dim cosine
       // and JL-projected (16-dim ±1) cosine over the brute-force top-10 —
@@ -831,6 +847,73 @@ private[graft] trait SimilarityQueries extends QueryHelpers {
         |  CAST(COALESCE(max(hit.n_hit), 0) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
         |FROM truth t LEFT JOIN hit ON hit.query_id = t.query_id
         |GROUP BY 1 ORDER BY t.query_id""".stripMargin,
+
+    // Same truth/cand re-derivation as eval_ivf_recall (ranks kept), plus
+    // the literal micro discount table floor(1e6/log2(r+1)) — no log2 is
+    // evaluated in either engine (Eval.NdcgWeightsMicro mirror)
+    "eval_ndcg" ->
+      """WITH w AS (
+        |  SELECT c.range AS c, d.range AS d,
+        |    ('0x' || substr(md5('ivf:42:' || c.range || ':' || d.range), 1, 15))::BIGINT % 2001 - 1000 AS wt
+        |  FROM range(0, 16) c, range(0, 64) d
+        |), q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, qv, list_sum([x*x FOR x IN qv]) AS n2 FROM q
+        |), truth AS (
+        |  SELECT query_id, neighbor_id, rank FROM (
+        |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |        CAST(list_sum([a.qv[i] * b.qv[i] FOR i IN range(1, len(a.qv) + 1)]) AS DOUBLE)
+        |          / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) DESC, b.vec_id) AS rank
+        |    FROM n a CROSS JOIN n b
+        |    WHERE a.vec_id < 20 AND a.vec_id != b.vec_id) q WHERE rank <= 10
+        |), dots AS (
+        |  SELECT q.vec_id, w.c, sum(w.wt * q.qv[w.d + 1]) AS dot
+        |  FROM q CROSS JOIN w GROUP BY q.vec_id, w.c
+        |), ranked_cells AS (
+        |  SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS cr
+        |  FROM dots
+        |), assign AS (
+        |  SELECT vec_id, c AS cell FROM ranked_cells WHERE cr = 1
+        |), probes AS (
+        |  SELECT vec_id, c AS cell FROM ranked_cells WHERE cr <= 4 AND vec_id < 20
+        |), cand AS (
+        |  SELECT query_id, neighbor_id, rank FROM (
+        |    SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        |        CAST(list_sum([na.qv[i] * nb.qv[i] FOR i IN range(1, len(na.qv) + 1)]) AS DOUBLE)
+        |          / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) DESC, a.vec_id) AS rank
+        |    FROM probes p
+        |    JOIN assign a ON a.cell = p.cell AND a.vec_id != p.vec_id
+        |    JOIN n na ON na.vec_id = p.vec_id
+        |    JOIN n nb ON nb.vec_id = a.vec_id) q WHERE rank <= 10
+        |), wt(r, wm) AS (
+        |  VALUES (1, 1000000), (2, 630929), (3, 500000), (4, 430676), (5, 386852),
+        |         (6, 356207), (7, 333333), (8, 315464), (9, 301029), (10, 289064)
+        |), grades AS (
+        |  SELECT query_id, neighbor_id, 11 - rank AS g FROM truth
+        |), dcg AS (
+        |  SELECT c.query_id, CAST(sum(COALESCE(g.g, 0) * wt.wm) AS BIGINT) AS dcg_micro
+        |  FROM cand c
+        |  JOIN wt ON wt.r = c.rank
+        |  LEFT JOIN grades g ON g.query_id = c.query_id AND g.neighbor_id = c.neighbor_id
+        |  GROUP BY 1
+        |), ideal AS (
+        |  SELECT query_id, g, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY g DESC, neighbor_id) AS p
+        |  FROM grades
+        |), idcg AS (
+        |  SELECT query_id, CAST(sum(g * wt.wm) AS BIGINT) AS idcg_micro
+        |  FROM ideal JOIN wt ON wt.r = ideal.p WHERE p <= 10 GROUP BY 1
+        |)
+        |SELECT i.query_id, COALESCE(d.dcg_micro, CAST(0 AS BIGINT)) AS dcg_micro,
+        |  i.idcg_micro,
+        |  CASE WHEN i.idcg_micro = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(COALESCE(d.dcg_micro, 0) * 1000000 // i.idcg_micro AS BIGINT) END AS ndcg_micro
+        |FROM idcg i LEFT JOIN dcg d USING (query_id)
+        |ORDER BY i.query_id""".stripMargin,
 
 
     "eval_rp_rank_tau" ->

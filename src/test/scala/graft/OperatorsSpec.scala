@@ -645,6 +645,28 @@ class OperatorsSpec extends SparkSuite {
     assert(r(2).getLong(2) == 0 && r(2).getDouble(3) == 0.0) // query absent from cand
   }
 
+  test("ndcgAtK: perfect order scores 1e6, swaps lose, absent queries report zero") {
+    import graft.operators.Eval
+    val graded = Seq((1L, 10L, 3L), (1L, 11L, 2L), (1L, 12L, 1L), (2L, 20L, 1L))
+      .toDF("q", "item", "g")
+    def run(cand: Seq[(Long, Long, Long)]): Map[Long, Long] =
+      Eval.ndcgAtK(graded, cand.toDF("q", "item", "r"), "q", "item", "g", "r", k = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // perfect grade-descending order => exactly 1e6
+    val perfect = run(Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L), (2L, 20L, 1L)))
+    assert(perfect(1L) == 1000000L && perfect(2L) == 1000000L)
+    // top-two swap loses exactly (dcg drops by (3-2)*(w1-w2))
+    val swapped = run(Seq((1L, 11L, 1L), (1L, 10L, 2L), (1L, 12L, 3L), (2L, 20L, 1L)))
+    val idcg = 3L * 1000000L + 2L * 630929L + 1L * 500000L
+    val dcgSwap = 2L * 1000000L + 3L * 630929L + 1L * 500000L
+    assert(swapped(1L) == dcgSwap * 1000000L / idcg && swapped(1L) < 1000000L)
+    // query 2 absent from candidate: present with ndcg 0, not dropped;
+    // ungraded items contribute zero gain
+    val partial = run(Seq((1L, 99L, 1L), (1L, 10L, 2L)))
+    assert(partial(2L) == 0L)
+    assert(partial(1L) == (3L * 630929L) * 1000000L / idcg)
+  }
+
   test("kendallTau: +1 on agreement, -1 on reversal, ties contribute zero") {
     import graft.operators.Eval
     def tau(b: Seq[Double]): (Long, Long, Long, Double) = {
