@@ -342,6 +342,62 @@ object Sampling {
     * inner join — n_docs counts docs with ≥1 bigram). Returns per domain:
     * (domain, n_docs, loss_micro, excess_micro, weight_micro, alloc_docs)
     * with `alloc_docs = budget·w div Σw`. */
+  /** URL/domain blocklist filtering — the C4/RefinedWeb front-door cut that
+    * runs BEFORE any content operator ever sees the bytes: canonicalize the
+    * URL ([[graft.functions.Kernels.canonicalUrl]]), extract the host, and
+    * drop documents whose host falls under a blocked domain (exact match or
+    * any parent-domain suffix — blocking `example.com` blocks
+    * `ads.example.com`) or whose URL contains a blocked keyword.
+    *
+    * Scale shape: real blocklists are millions of domains (UT1-class), far
+    * beyond an OR-chain literal — so the host explodes into its parent-
+    * suffix chain (`a.b.example.com` → 4 suffix rows, depth-bounded fanout)
+    * and LEFT-SEMI joins the blocklist, broadcast by default (a few
+    * hundred MB of domains broadcasts fine; flip the flag for a shuffle
+    * equi-join beyond that). Keyword matching is one scan-local rlike on a
+    * literal alternation. Every input row is kept with a verdict — audits
+    * must see what was dropped and why ([[Dedup.lineDedup]]'s retention
+    * rule); `keep` is BIGINT for cross-engine hashing.
+    *
+    * Reason precedence: a domain block outranks a keyword hit (domain
+    * lists are curated; keyword hits are heuristic). URLs without a host
+    * (no `://`) pass the domain cut and still face the keyword cut. */
+  def urlFilter(docs: DataFrame, idCol: String, urlCol: String,
+      blockedDomains: DataFrame, domainCol: String,
+      blockedKeywords: Seq[String] = Nil,
+      broadcastBlocklist: Boolean = true): DataFrame = {
+    require(blockedKeywords.forall(k => k.nonEmpty && k.matches("[a-z0-9-]+")),
+      "keywords must be lowercase alphanumeric tokens (they embed in a regex)")
+    val canon = graft.functions.Kernels.canonicalUrlCol(col(urlCol))
+    val base = docs.select(col(idCol), col(urlCol),
+      canon.as("curl"),
+      regexp_extract(canon, "^[a-z][a-z0-9+.-]*://([^/?#:]+)", 1).as("host"))
+    val withParts = base.withColumn("parts",
+      when(col("host") =!= "", split(col("host"), "\\.")).otherwise(array()))
+    val suffixes = withParts
+      .select(col(idCol).as("sid"), explode(
+        transform(sequence(lit(1), greatest(size(col("parts")), lit(1))),
+          i => array_join(slice(col("parts"), i, size(col("parts"))), "."))).as("sfx"))
+      .filter(col("sfx") =!= "")
+    val bl0 = blockedDomains.select(col(domainCol).as("sfx")).distinct()
+    val bl = if (broadcastBlocklist) broadcast(bl0) else bl0
+    val blockedIds = suffixes.join(bl, Seq("sfx"), "left_semi")
+      .select(col("sid")).distinct().withColumn("dom_block", lit(1L))
+    val kwHit =
+      if (blockedKeywords.isEmpty) lit(false)
+      else col("curl").rlike("(" + blockedKeywords.mkString("|") + ")")
+    base.join(blockedIds, base(idCol) === blockedIds("sid"), "left")
+      .select(base(idCol), col(urlCol), col("curl"), col("host"),
+        coalesce(col("dom_block"), lit(0L)).as("dom_block"),
+        kwHit.cast("long").as("kw_block"))
+      .withColumn("keep",
+        (col("dom_block") === 0L && col("kw_block") === 0L).cast("long"))
+      .withColumn("reason",
+        when(col("dom_block") === 1L, lit("domain_blocked"))
+          .when(col("kw_block") === 1L, lit("keyword_blocked"))
+          .otherwise(lit("ok")))
+  }
+
   def doremiWeights(docs: DataFrame, idCol: String, domainCol: String, textCol: String,
       etaMicro: Long = 100000L, rounds: Int = 5, budget: Long = 1000000L): DataFrame = {
     require(etaMicro >= 0 && rounds >= 1 && budget >= 0, "bad doremi params")

@@ -101,6 +101,32 @@ private[graft] trait CurationQueries extends QueryHelpers {
         .orderBy(col("stratum"))
     }),
 
+    "curation_url_filter" -> ((s, dir) => {
+      // web front-door cut: synthesized per-doc URLs — every 5th doc sits
+      // on a subdomain of a (maybe-)blocked parent domain, exercising the
+      // suffix-chain match (track0/track1 blocked, track2 passes); every
+      // remaining 7th carries a blocked keyword in its path; the rest pass.
+      // The blocklist rides as a DataFrame (broadcast left-semi), not a
+      // literal OR-chain — the real-blocklist (millions of domains) shape
+      import s.implicits._
+      val d = spread(t(s, dir, "documents"))
+      val urls = d.select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("https://ads.track"), (col("doc_id") % 3).cast("string"),
+            lit(".example.com/page/"), col("doc_id").cast("string")))
+          .when(col("doc_id") % 7 === 0,
+            concat(lit("https://www."), col("source"), lit(".org/casino/"),
+              col("doc_id").cast("string")))
+          .otherwise(concat(lit("https://www."), col("source"), lit(".org/article/"),
+            col("doc_id").cast("string")))
+          .as("url"))
+      val blocklist = Seq("track0.example.com", "track1.example.com", "gamble.net")
+        .toDF("domain")
+      graft.operators.Sampling.urlFilter(urls, "doc_id", "url", blocklist, "domain",
+        blockedKeywords = Seq("casino", "poker"))
+        .orderBy(col("doc_id"))
+    }),
+
     "sample_ccnet_buckets" -> ((s, dir) => {
       // CCNet head/middle/tail: per-lang perplexity tertiles under the
       // corpus bigram LM — integer avg log-prob, BIGINT-percentile
@@ -414,6 +440,38 @@ private[graft] trait CurationQueries extends QueryHelpers {
     }))
 
   protected def curationOracles: Map[String, String] = Map(
+
+    // the synthesized URLs are already in canonical form, so curl == url;
+    // the suffix-chain domain match re-derives via list comprehension
+    "curation_url_filter" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN
+        |      'https://ads.track' || CAST(doc_id % 3 AS VARCHAR) || '.example.com/page/' || CAST(doc_id AS VARCHAR)
+        |    WHEN doc_id % 7 = 0 THEN
+        |      'https://www.' || source || '.org/casino/' || CAST(doc_id AS VARCHAR)
+        |    ELSE 'https://www.' || source || '.org/article/' || CAST(doc_id AS VARCHAR) END AS url
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, url, url AS curl,
+        |    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1) AS host
+        |  FROM u
+        |), v AS (
+        |  SELECT doc_id, url, curl, host,
+        |    CASE WHEN len([x FOR x IN [array_to_string(p[i:], '.') FOR i IN range(1, len(p) + 1)]
+        |      IF list_contains(['track0.example.com', 'track1.example.com', 'gamble.net'], x)]) > 0
+        |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS dom_block,
+        |    CASE WHEN regexp_matches(curl, '(casino|poker)')
+        |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS kw_block
+        |  FROM (SELECT *, string_split(host, '.') AS p FROM h)
+        |)
+        |SELECT doc_id, url, curl, host, dom_block, kw_block,
+        |  CASE WHEN dom_block = 0 AND kw_block = 0 THEN CAST(1 AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS keep,
+        |  CASE WHEN dom_block = 1 THEN 'domain_blocked'
+        |       WHEN kw_block = 1 THEN 'keyword_blocked'
+        |       ELSE 'ok' END AS reason
+        |FROM v ORDER BY doc_id""".stripMargin,
 
     "curation_keep" ->
       """WITH base AS (

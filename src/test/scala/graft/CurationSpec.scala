@@ -571,6 +571,31 @@ class CurationSpec extends SparkSuite {
       r.getAs[String]("clean_text").startsWith("unique")))
   }
 
+  test("urlFilter: suffix-chain domain blocks, keyword precedence, hostless URLs survive") {
+    import graft.operators.Sampling
+    val docs = Seq(
+      (1L, "https://ads.bad.com/x"),        // subdomain of blocked parent -> blocked
+      (2L, "https://bad.com/x"),            // exact blocked domain
+      (3L, "https://notbad.com/x"),         // suffix must align on a label boundary
+      (4L, "https://ok.org/casino/x"),      // keyword only
+      (5L, "https://ads.bad.com/casino"),   // domain outranks keyword in reason
+      (6L, "no-scheme-here casino"),        // hostless: domain cut passes, keyword cut applies
+      (7L, "https://ok.org/fine")
+    ).toDF("id", "url")
+    val bl = Seq("bad.com").toDF("domain")
+    val out = Sampling.urlFilter(docs, "id", "url", bl, "domain",
+      blockedKeywords = Seq("casino")).orderBy("id").collect()
+    assert(out.length == 7, "every input row must survive with a verdict")
+    val reason = out.map(r => r.getLong(0) -> r.getAs[String]("reason")).toMap
+    val keep = out.map(r => r.getLong(0) -> r.getAs[Long]("keep")).toMap
+    assert(reason(1L) == "domain_blocked" && reason(2L) == "domain_blocked")
+    assert(reason(3L) == "ok" && keep(3L) == 1L, "notbad.com must not match bad.com")
+    assert(reason(4L) == "keyword_blocked")
+    assert(reason(5L) == "domain_blocked", "domain block outranks keyword")
+    assert(reason(6L) == "keyword_blocked" && keep(6L) == 0L)
+    assert(reason(7L) == "ok" && keep(7L) == 1L)
+  }
+
   test("dsirSelect ranks target-like documents above off-domain ones") {
     import graft.operators.Sampling
     // target docs (is_en) share a vocabulary; raw pool adds off-domain
