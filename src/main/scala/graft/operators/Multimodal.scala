@@ -324,6 +324,108 @@ object Multimodal {
     spark.createDataFrame(rdd, BmpDecodedSchema)
   }
 
+  val SniffSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("channels", LongType, nullable = false),
+    StructField("rate", LongType, nullable = false)))
+
+  /** Header-only media sniff: format + dimensions from MAGIC BYTES and
+    * fixed header fields alone — no pixel/sample decode, no decompression.
+    * This is the 100 TB triage pass: dimension/format stats, size filters,
+    * and per-format routing over a petabyte of blobs should cost header
+    * reads, not IDCT/inflate time (the full decoders stay for the rows
+    * that survive routing).
+    *
+    * Recognizes BMP (BITMAPINFOHEADER dims, LE), PNG (IHDR dims BE +
+    * channels from the color type), GIF (logical screen, LE; palette
+    * entries are RGB so channels reports 3), baseline/progressive JPEG
+    * (marker walk to the first SOF frame header — segment-length hops
+    * only, entropy data never touched), and RIFF/WAVE (fmt + data chunk
+    * walk: width = frames = data size / block align, height = 1, rate =
+    * sample rate). Anything else reports ("unknown", 0, 0, 0, 0) — sniff
+    * must never throw on arbitrary bytes. Pure row-local projection. */
+  private[graft] def sniffHeader(b: Array[Byte]): (String, Long, Long, Long, Long) = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Long = (u8(i) | (u8(i + 1) << 8)).toLong
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def be16(i: Int): Long = ((u8(i) << 8) | u8(i + 1)).toLong
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) | (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+    val n = b.length
+    val unknown = ("unknown", 0L, 0L, 0L, 0L)
+    if (n >= 26 && b(0) == 'B'.toByte && b(1) == 'M'.toByte) {
+      // negative BITMAPINFOHEADER height encodes top-down row order
+      ("bmp", le32(18), math.abs(le32(22).toInt).toLong, 3L, 0L)
+    } else if (n >= 26 && u8(0) == 0x89 && b(1) == 'P'.toByte && b(2) == 'N'.toByte &&
+        b(3) == 'G'.toByte && u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a) {
+      val ch = u8(25) match {
+        case 0 => 1L; case 2 => 3L; case 3 => 3L; case 4 => 2L; case 6 => 4L; case _ => 0L
+      }
+      ("png", be32(16), be32(20), ch, 0L)
+    } else if (n >= 10 && b(0) == 'G'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte) {
+      ("gif", le16(6), le16(8), 3L, 0L)
+    } else if (n >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      var out = unknown
+      var done = false
+      while (!done && i + 4 <= n) {
+        if (u8(i) != 0xff) { done = true }
+        else {
+          val m = u8(i + 1)
+          if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone markers
+          else if (m == 0xd9 || m == 0xda) done = true      // EOI / entropy data starts
+          else {
+            val segLen = be16(i + 2).toInt
+            val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+            if (isSof && i + 9 < n) {
+              out = ("jpeg", be16(i + 7), be16(i + 5), u8(i + 9).toLong, 0L)
+              done = true
+            } else i += 2 + segLen
+          }
+        }
+      }
+      out
+    } else if (n >= 12 && b(0) == 'R'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte &&
+        b(3) == 'F'.toByte && b(8) == 'W'.toByte && b(9) == 'A'.toByte &&
+        b(10) == 'V'.toByte && b(11) == 'E'.toByte) {
+      var i = 12
+      var channels = 0L
+      var rate = 0L
+      var blockAlign = 0L
+      var frames = 0L
+      while (i + 8 <= n) {
+        val cid = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val size = le32(i + 4)
+        if (cid == "fmt " && i + 24 <= n) {
+          channels = le16(i + 10)
+          rate = le32(i + 12)
+          blockAlign = le16(i + 20)
+        } else if (cid == "data" && blockAlign > 0) {
+          frames = size / blockAlign
+        }
+        // word-aligned chunk hop (odd sizes pad one byte)
+        i += 8 + size.toInt + (size.toInt & 1)
+      }
+      if (channels > 0) ("wav", frames, 1L, channels, rate) else unknown
+    } else unknown
+  }
+
+  /** [[sniffHeader]] over a binary `payload` column — same partition-batched
+    * projection shape as the decoders, but header-cost only. */
+  def sniff(withPayload: DataFrame, idCol: String): DataFrame = {
+    val spark = withPayload.sparkSession
+    val rdd = withPayload.select(col(idCol).cast("long"), col("payload")).rdd
+      .mapPartitions(_.map { r =>
+        val (fmt, w, h, ch, rate) = sniffHeader(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), fmt, w, h, ch, rate)
+      })
+    spark.createDataFrame(rdd, SniffSchema)
+  }
+
   // --- perceptual hashing: 8×8 DCT pHash ------------------------------------
 
   /** Quantized DCT-II basis `floor(cos(π·(2x+1)·u/16)·1e6 + 0.5)` as a

@@ -95,6 +95,26 @@ private[graft] trait MultimodalQueries extends QueryHelpers {
     }),
 
 
+    "mm_sniff" -> ((s, dir) => {
+      // header-only triage over a MIXED blob column: five real container
+      // formats (doc_id % 5 routes to the matching fixture builder) plus
+      // raw text bytes every 31st doc (the unknown fallback) — format and
+      // dims must come out of MAGIC BYTES alone, no decode; the oracle
+      // re-derives every field from the fixture dimension formulas
+      val d = spread(t(s, dir, "documents"))
+      val unk = d.filter(col("doc_id") % 31 === 0)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val rest = d.filter(col("doc_id") % 31 =!= 0)
+      def fam(k: Int) = rest.filter(col("doc_id") % 5 === k)
+      val mixed = Multimodal.bmpFixtures(fam(0), "doc_id")
+        .union(Multimodal.pngFixtures(fam(1), "doc_id"))
+        .union(Multimodal.gifFixtures(fam(2), "doc_id"))
+        .union(Multimodal.jpegFixtures(fam(3), "doc_id"))
+        .union(Multimodal.wavFixtures(fam(4), "doc_id"))
+        .union(unk)
+      Multimodal.sniff(mixed, "doc_id").orderBy(col("doc_id"))
+    }),
+
     "mm_decode_gif" -> ((s, dir) => {
       // fourth REAL codec: GIF with genuine LZW — variable-width LSB-first
       // code unpacking, dictionary growth + KwKwK case, sub-block
@@ -639,6 +659,36 @@ private[graft] trait MultimodalQueries extends QueryHelpers {
     // stats re-derived from the index formula THROUGH the palette formula
     // (r=i, g=2i mod 256, b=5i+1 mod 256) — the decoder reads both from
     // the BYTES, after a full LZW decompression
+    // every field re-derived from the fixture dimension formulas — a sniff
+    // that mis-parses any header field diverges from the formula value
+    "mm_sniff" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 31 = 0 THEN 'unknown'
+        |       WHEN doc_id % 5 = 0 THEN 'bmp'
+        |       WHEN doc_id % 5 = 1 THEN 'png'
+        |       WHEN doc_id % 5 = 2 THEN 'gif'
+        |       WHEN doc_id % 5 = 3 THEN 'jpeg'
+        |       ELSE 'wav' END AS format,
+        |  CAST(CASE WHEN doc_id % 31 = 0 THEN 0
+        |       WHEN doc_id % 5 = 0 THEN 8 + doc_id % 25
+        |       WHEN doc_id % 5 = 1 THEN 8 + doc_id % 21
+        |       WHEN doc_id % 5 = 2 THEN 8 + doc_id % 17
+        |       WHEN doc_id % 5 = 3 THEN 8 + doc_id % 21
+        |       ELSE 64 + doc_id % 193 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN doc_id % 31 = 0 THEN 0
+        |       WHEN doc_id % 5 = 0 THEN 8 + (doc_id * 7) % 25
+        |       WHEN doc_id % 5 = 1 THEN 8 + (doc_id * 5) % 21
+        |       WHEN doc_id % 5 = 2 THEN 8 + (doc_id * 3) % 17
+        |       WHEN doc_id % 5 = 3 THEN 8 + (doc_id * 5) % 21
+        |       ELSE 1 END AS BIGINT) AS height,
+        |  CAST(CASE WHEN doc_id % 31 = 0 THEN 0
+        |       WHEN doc_id % 5 = 3 THEN 1
+        |       WHEN doc_id % 5 = 4 THEN 1 + doc_id % 2
+        |       ELSE 3 END AS BIGINT) AS channels,
+        |  CAST(CASE WHEN doc_id % 31 <> 0 AND doc_id % 5 = 4
+        |       THEN 8000 + (doc_id % 3) * 4000 ELSE 0 END AS BIGINT) AS rate
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "mm_decode_gif" ->
       """WITH d AS (
         |  SELECT doc_id,

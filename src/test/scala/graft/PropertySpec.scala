@@ -89,6 +89,35 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("sniffHeader: agrees with every encoder's dims, never throws on junk or truncation") {
+    import graft.operators.Multimodal
+    // sniff vs each real encoder: header fields must equal the encode args
+    val bmp = Multimodal.sniffHeader(Multimodal.bmpEncode(13, 9, (x, y) => (x, y, x + y)))
+    assert(bmp == (("bmp", 13L, 9L, 3L, 0L)), bmp.toString)
+    val png = Multimodal.sniffHeader(Multimodal.pngEncode(21, 5, (x, y) => (x, y, 7)))
+    assert(png == (("png", 21L, 5L, 3L, 0L)), png.toString)
+    val jpg = Multimodal.sniffHeader(Multimodal.jpegEncode(16, 24, (_, _) => 128))
+    assert(jpg == (("jpeg", 16L, 24L, 1L, 0L)), jpg.toString)
+    val jpgC = Multimodal.sniffHeader(Multimodal.jpegEncodeColor(17, 18, (_, _) => (1, 2, 3)))
+    assert(jpgC == (("jpeg", 17L, 18L, 3L, 0L)), jpgC.toString)
+    val wav = Multimodal.sniffHeader(Multimodal.wavEncode(44100, 2, new Array[Short](10)))
+    assert(wav == (("wav", 5L, 1L, 2L, 44100L)), wav.toString)
+    // odd-length data chunk: the word-aligned hop must still terminate
+    val wavOdd = Multimodal.sniffHeader(Multimodal.wavEncode(8000, 1, new Array[Short](3)))
+    assert(wavOdd == (("wav", 3L, 1L, 1L, 8000L)), wavOdd.toString)
+    // junk, truncation, and empty input: unknown, never an exception
+    val junks = Seq(
+      Array.empty[Byte], Array[Byte]('B', 'M'), "plain text".getBytes("UTF-8"),
+      Multimodal.pngEncode(8, 8, (_, _) => (0, 0, 0)).take(20),
+      Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte), // JPEG SOI then cut
+      "RIFFxxxxWAVE".getBytes("US-ASCII"))                // RIFF with no chunks
+    junks.foreach { j =>
+      val r = Multimodal.sniffHeader(j)
+      assert(r._1 == "unknown" || j.length >= 26, s"junk must sniff unknown: $r")
+    }
+    assert(Multimodal.sniffHeader("plain text".getBytes("UTF-8"))._1 == "unknown")
+  }
+
   test("JPEG: decode(encode(x)) equals the quant pipeline on arbitrary grids (bitstream exactness)") {
     import graft.operators.Multimodal
     // JPEG is lossy, so the property compares the decoder against an
