@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.TextFns
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -90,5 +90,36 @@ object Batching {
         max(col("n_tokens")).as("max_tokens"), sum(col("n_tokens")).as("sum_tokens"))
       .withColumn("padding_waste",
         col("n_docs") * col("max_tokens") - col("sum_tokens"))
+  }
+
+  /** Curriculum ordering (Bengio et al. '09): phase training data
+    * easy-to-hard by an integer difficulty signal, shuffled reproducibly
+    * WITHIN each phase so the model sees a phase's examples in random
+    * order but never a hard example before its phase opens. The curriculum
+    * consumption order is `ORDER BY (phase, order_key, id)` — emitted as
+    * sort KEYS, not a global row number, so the writer range-partitions it
+    * ([[epochOrderKey]]'s rule: no single-partition global window at any
+    * corpus size).
+    *
+    * Phase boundaries are interpolated percentiles of the difficulty
+    * distribution (equal-population phases): BIGINT-input `percentile`
+    * is bit-stable cross-engine (the CCNet-buckets precedent), thresholds
+    * ride a one-row broadcast, and `phase` counts strictly-exceeded
+    * thresholds — ties at a boundary land in the earlier (easier) phase.
+    * Shape: one scan + one tiny agg + a broadcast cross join; no shuffle
+    * keyed on data. */
+  def curriculumOrder(df: DataFrame, idCol: String, difficultyCol: Column,
+      phases: Int = 4, seed: Long = 7L): DataFrame = {
+    require(phases >= 2 && phases <= 20, "phases must be in [2, 20]")
+    val d = df.select(col(idCol), difficultyCol.cast("long").as("difficulty"))
+    val aggs = (1 until phases).map(i =>
+      expr(f"percentile(difficulty, ${i.toDouble / phases}%.9f)").as(s"t${i - 1}"))
+    val th = d.agg(aggs.head, aggs.drop(1): _*)
+    val phase = (0 until phases - 1).map(i =>
+      (col("difficulty") > col(s"t$i")).cast("long")).reduce(_ + _)
+    d.crossJoin(broadcast(th))
+      .select(col(idCol), col("difficulty"), phase.as("phase"),
+        md5(concat_ws(":", lit(seed).cast("string"), col(idCol).cast("string")))
+          .as("order_key"))
   }
 }

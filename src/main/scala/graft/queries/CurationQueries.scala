@@ -420,6 +420,17 @@ private[graft] trait CurationQueries extends QueryHelpers {
     }),
 
 
+    "batch_curriculum" -> ((s, dir) => {
+      // easy-to-hard phasing by token count into 4 equal-population phases
+      // (percentile boundaries, BIGINT-exact), seed-shuffled within phase;
+      // consumption order is the emitted (phase, order_key, id) sort keys
+      graft.operators.Batching.curriculumOrder(
+        spread(t(s, dir, "documents")), "doc_id",
+        graft.functions.TextFns.tokenCount(col("text")),
+        phases = 4, seed = 7L)
+        .orderBy(col("phase"), col("order_key"), col("doc_id"))
+    }),
+
     "batch_length_bucketed" -> ((s, dir) => {
       // dynamic batching: token-length buckets (width 16), seed-shuffled
       // within-bucket order, batches of 8 — per-batch padding-waste audit;
@@ -664,6 +675,27 @@ private[graft] trait CurationQueries extends QueryHelpers {
 
     // bucket/batch assignment re-derived from the same md5 shuffle key;
     // per-batch padding audit is pure integer aggregation
+    // quartile thresholds re-derived via quantile_cont (BIGINT-exact, the
+    // ccnet precedent); ties at a boundary stay in the easier phase
+    "batch_curriculum" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS difficulty
+        |  FROM documents
+        |), th AS (
+        |  SELECT quantile_cont(difficulty, 0.250000000) AS t0,
+        |         quantile_cont(difficulty, 0.500000000) AS t1,
+        |         quantile_cont(difficulty, 0.750000000) AS t2
+        |  FROM d
+        |)
+        |SELECT d.doc_id, d.difficulty,
+        |  CAST((CASE WHEN d.difficulty > th.t0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN d.difficulty > th.t1 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN d.difficulty > th.t2 THEN 1 ELSE 0 END) AS BIGINT) AS phase,
+        |  md5('7:' || CAST(d.doc_id AS VARCHAR)) AS order_key
+        |FROM d, th
+        |ORDER BY phase, order_key, d.doc_id""".stripMargin,
+
     "batch_length_bucketed" ->
       """WITH tk AS (
         |  SELECT doc_id,

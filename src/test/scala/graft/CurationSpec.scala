@@ -571,6 +571,30 @@ class CurationSpec extends SparkSuite {
       r.getAs[String]("clean_text").startsWith("unique")))
   }
 
+  test("curriculumOrder: phases partition by difficulty, equal population, reproducible keys") {
+    import graft.operators.Batching
+    val df = (1L to 80L).map(i => (i, i * 10L)).toDF("id", "d") // distinct difficulties
+    val out = Batching.curriculumOrder(df, "id", col("d"), phases = 4, seed = 7L)
+      .collect()
+    assert(out.length == 80)
+    val byPhase = out.groupBy(_.getAs[Long]("phase")).view
+      .mapValues(_.map(_.getAs[Long]("difficulty"))).toMap
+    assert(byPhase.keySet == Set(0L, 1L, 2L, 3L))
+    // every phase-p difficulty is strictly below every phase-(p+1) one
+    (0L to 2L).foreach { p =>
+      assert(byPhase(p).max < byPhase(p + 1).min, s"phase $p overlaps ${p + 1}")
+    }
+    // equal-population within one of the boundary tie
+    assert(byPhase.values.forall(v => math.abs(v.length - 20) <= 1))
+    // same seed -> identical keys; different seed -> different shuffle
+    val again = Batching.curriculumOrder(df, "id", col("d"), phases = 4, seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("order_key")).toMap
+    val other = Batching.curriculumOrder(df, "id", col("d"), phases = 4, seed = 8L)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("order_key")).toMap
+    out.foreach(r => assert(again(r.getLong(0)) == r.getAs[String]("order_key")))
+    assert(out.exists(r => other(r.getLong(0)) != r.getAs[String]("order_key")))
+  }
+
   test("urlFilter: suffix-chain domain blocks, keyword precedence, hostless URLs survive") {
     import graft.operators.Sampling
     val docs = Seq(
