@@ -460,6 +460,51 @@ object VersionedTable {
     base + 1L
   }
 
+  /** Selective OPTIMIZE commit — [[graft.operators.Layout.compactionPlan]]
+    * executed as a transaction, completing the planner's metadata half with
+    * the data half: key-adjacent file groups packing to ~`targetRows` are
+    * REWRITTEN (range-sorted, one staging subdir per group under the new
+    * version), while every group that is already a single file is carried
+    * into the new manifest UNTOUCHED — its entry references the same
+    * physical path, zero bytes moved (the untouched-cell rule from the IVF
+    * index append). That selectivity is what distinguishes OPTIMIZE from
+    * [[compact]]'s full rewrite: on a mostly-healthy table the rewrite cost
+    * is bounded by the small-file tail, not the table.
+    *
+    * Refuses tables with outstanding deletion vectors: a rewrite would
+    * either bake deleted rows into fresh files or silently change the
+    * kept-vs-rewritten semantics — run [[materializeDeletes]] first.
+    * Planning is driver-side over the manifest (metadata-sized by the
+    * class contract); each rewrite group is one bounded Spark job. Time
+    * travel to every prior version is untouched (old manifests only
+    * reference immutable files). Returns the new version. */
+  def optimize(spark: SparkSession, dir: String, targetRows: Long,
+      beforeCommit: () => Unit = () => ()): Long = {
+    val base = latestVersion(spark, dir)
+    require(base > 0L, s"no table at $dir — init first")
+    val m = readManifest(spark, dir, base)
+    require(m.deleteFiles.isEmpty,
+      s"optimize at $dir: outstanding deletion vectors — materializeDeletes first")
+    import spark.implicits._
+    val manifestDf = m.files.map(f => (f.path, f.rows, f.minKey))
+      .toDF("path", "rows", "min_key")
+    val plan = Layout.compactionPlan(manifestDf, "path", "rows", "min_key", targetRows)
+      .select(col("path"), col("grp")).as[(String, Long)].collect()
+    val entryByPath = m.files.map(f => f.path -> f).toMap
+    val byGrp = plan.groupBy(_._2).toSeq.sortBy(_._1)
+    val kept = byGrp.collect { case (_, files) if files.length == 1 =>
+      entryByPath(files.head._1) }
+    val rewritten = byGrp.collect { case (grp, files) if files.length > 1 =>
+      val dfG = readDeclared(spark, m, files.map(f => s"$dir/${f._1}").toSeq)
+      writeStaged(spark, dir, f"data/v${base + 1L}%08d/g$grp%05d", dfG,
+        m.keyCol, targetRows)
+    }.flatten
+    beforeCommit()
+    commitManifest(spark, dir, Manifest(base + 1L, base, "optimize", m.keyCol,
+      m.schemaDdl, (kept ++ rewritten).sortBy(e => (e.minKey, e.path))))
+    base + 1L
+  }
+
   /** Reclaim data files referenced by NO manifest version >= `keepFrom`
     * (crashed-writer leftovers and files superseded by compaction/upsert),
     * and drop the manifests below `keepFrom`. Time travel to vacuumed

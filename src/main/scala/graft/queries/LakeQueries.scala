@@ -216,6 +216,16 @@ private[graft] trait LakeQueries extends QueryHelpers {
     }),
 
 
+    "lake_optimize" -> ((s, dir) => {
+      // OPTIMIZE as a transaction: v1 = corpus in uniform 100-row files,
+      // v2 = selective optimize (150-row groups) — multi-file groups
+      // rewritten, single-file groups carried by reference (zero bytes
+      // moved; LakeSpec pins the kept paths and intact v1 time travel);
+      // content must round-trip bit-exactly through the rewrite
+      val tmp = lakeOptTable(s, dir)
+      graft.operators.VersionedTable.read(s, tmp).orderBy(col("doc_id"))
+    }),
+
     "lake_deletion_vectors" -> ((s, dir) => {
       // merge-on-read DELETE: documents init as v1, every doc_id % 7 == 3
       // deleted as a DELETION VECTOR commit (v2's data file list is v1's
@@ -434,6 +444,12 @@ private[graft] trait LakeQueries extends QueryHelpers {
 
     // same MERGE semantics as corpus_upsert — but executed through the
     // versioned-manifest commit protocol (v1 init + copy-on-write v2)
+    // OPTIMIZE is content-preserving by contract — the oracle is the corpus
+    // itself; the kept/rewritten split is pinned structurally in LakeSpec
+    "lake_optimize" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "lake_versioned_merge" ->
       """WITH changes AS (
         |  SELECT doc_id,

@@ -118,6 +118,23 @@ private[graft] trait QueryHelpers {
     path
   }
 
+  /** Build-once versioned table for the OPTIMIZE gate: v1 = the corpus in
+    * uniform 100-row files, v2 = selective optimize at 150 target rows.
+    * Against 100-row files, `cum_before div 150` alternates multi-file
+    * rewrite groups with single-file KEPT groups, so both the rewrite and
+    * the untouched-path branch are exercised at any SF. */
+  private[graft] def lakeOptTable(s: SparkSession, dir: String): String = {
+    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_lake_opt_$suffix"
+    if (ivfIndexWritten.add(path)) {
+      val vt = graft.operators.VersionedTable
+      vt.destroy(s, path)
+      vt.init(s, path, t(s, dir, "documents"), "doc_id", targetRowsPerFile = 100L)
+      vt.optimize(s, path, targetRows = 150L)
+    }
+    path
+  }
+
   /** Build-once versioned documents table for the deletion-vector gate:
     * v1 = the corpus, v2 = a merge-on-read DELETE of every doc_id % 7 == 3
     * committed as a deletion vector — v2's DATA file list is v1's verbatim

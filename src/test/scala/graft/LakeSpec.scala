@@ -254,6 +254,36 @@ class LakeSpec extends SparkSuite {
     assert(VT.read(spark, dir).filter($"doc_id" === 1L).count() == 0L)
   }
 
+  test("optimize: multi-file groups rewritten, single-file groups kept by reference, history intact") {
+    val dir = freshDir("opt")
+    VT.init(spark, dir, base, "doc_id", targetRowsPerFile = 100L)
+    val m1 = VT.readManifest(spark, dir, 1L)
+    val v2 = VT.optimize(spark, dir, targetRows = 150L)
+    assert(v2 == 2L)
+    val m2 = VT.readManifest(spark, dir, 2L)
+    assert(m2.action == "optimize" && m2.parent == 1L)
+    // against uniform 100-row files, cum div 150 alternates 2-file rewrite
+    // groups with 1-file kept groups: both branches must be present
+    val keptPaths = m2.files.map(_.path).filter(_.startsWith("data/v00000001/"))
+    val rewrittenPaths = m2.files.map(_.path).filter(_.startsWith("data/v00000002/"))
+    assert(keptPaths.nonEmpty, "expected single-file groups carried by reference")
+    assert(rewrittenPaths.nonEmpty, "expected multi-file groups rewritten")
+    // kept entries are v1 entries VERBATIM (same path, same stats)
+    val m1ByPath = m1.files.map(f => f.path -> f).toMap
+    keptPaths.foreach(p => assert(m2.files.find(_.path == p).get == m1ByPath(p)))
+    // content round-trips and v1 time travel is untouched
+    assert(sameContent(VT.read(spark, dir), base))
+    assert(sameContent(VT.read(spark, dir, 1L), base))
+    // total rows conserved in the manifest stats
+    assert(m2.files.map(_.rows).sum == m1.files.map(_.rows).sum)
+    // outstanding deletion vectors refuse loudly
+    val dvDir = freshDir("optdv")
+    VT.init(spark, dvDir, base, "doc_id", targetRowsPerFile = 100L)
+    VT.deleteKeys(spark, dvDir, base.filter($"doc_id" % 9 === 0).select($"doc_id"))
+    val e = intercept[IllegalArgumentException](VT.optimize(spark, dvDir, 150L))
+    assert(e.getMessage.contains("deletion vectors"))
+  }
+
   test("compactionPlan: key-adjacent groups near target, every file in exactly one group") {
     import graft.operators.Layout
     val manifest = Seq(
