@@ -564,4 +564,49 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
+
+  /** Greedy k-center coreset selection (Gonzalez '85) — the
+    * maximal-diversity data-selection step (active learning seeds, dataset
+    * pruning, landmark picking): start from the smallest id, then k−1
+    * rounds of "pick the point FARTHEST from every center chosen so far"
+    * (2-approximation of the optimal k-center cover). Returns the k center
+    * rows as (round, vec_id, d2) where `d2` is the chosen point's squared
+    * distance to its nearest earlier center — the radius curve that prices
+    * how well the coreset covers the corpus (round 0 seeds at d2 = 0).
+    *
+    * Exactness: distances are EXACT integer squared L2 over the
+    * 1e-6-quantized vectors (|d2| ≤ dims·(2·10⁶)² ≈ 2.6e14 at 64 dims —
+    * 48 bits, no overflow), argmax totally ordered by (d2 desc, id asc),
+    * so all k rounds hash-match an unrolled oracle.
+    *
+    * Scale: the driver holds only the k chosen centers (k·dims longs —
+    * metadata); each round is ONE scan computing min-distance against the
+    * centers as literal arrays (no join, no shuffle) finished by a
+    * TakeOrdered(1). Total cost O(k²·n·dims) — the k² from re-deriving the
+    * min over all centers each round, the price of keeping rounds
+    * stateless (no n-sized distance relation to persist or checkpoint). */
+  def kcenterSelect(vecs: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 32, "k must be in [1, 32] (driver iterates k rounds)")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val prep = vecs.select(col(idCol).cast("long").as("vid"),
+      VectorFns.quantize(col(vecCol)).as("qv"))
+      .transform(Residuals.persist)
+    val seed = prep.orderBy(col("vid")).limit(1).head()
+    var centers = List(seed.getSeq[Long](1).toArray)
+    val out = scala.collection.mutable.ArrayBuffer((0L, seed.getLong(0), 0L))
+    for (r <- 1 until k) {
+      val dExprs = centers.map { cq =>
+        val c2 = cq.map(v => v * v).sum
+        VectorFns.norm2Q(col("qv")) -
+          lit(2L) * VectorFns.dotQ(col("qv"), array(cq.map(lit(_)): _*)) + lit(c2)
+      }
+      val minD = if (dExprs.sizeIs == 1) dExprs.head else least(dExprs: _*)
+      val next = prep.select(col("vid"), col("qv"), minD.as("d2"))
+        .orderBy(col("d2").desc, col("vid").asc).limit(1).head()
+      centers ::= next.getSeq[Long](1).toArray
+      out += ((r.toLong, next.getLong(0), next.getLong(2)))
+    }
+    out.toSeq.toDF("round", "vec_id", "d2")
+  }
 }

@@ -131,6 +131,16 @@ private[graft] trait SimilarityQueries extends QueryHelpers {
     }),
 
 
+    "sample_kcenter" -> ((s, dir) => {
+      // greedy k-center coreset (Gonzalez): seed at min id, then 5 rounds
+      // of farthest-point selection under EXACT integer squared L2 over
+      // the quantized vectors; (round, vec_id, d2) is the radius curve
+      graft.operators.Similarity.kcenterSelect(
+        spread(t(s, dir, "embeddings")), "vec_id", "embedding", k = 6)
+        .orderBy(col("round"))
+    }),
+
+
     "eval_ndcg" -> ((s, dir) => {
       // graded ranking quality of the IVF probe (nprobe=4) against exact
       // cosine: grade = 11 - exact rank over the brute-force top-10, so
@@ -352,7 +362,38 @@ private[graft] trait SimilarityQueries extends QueryHelpers {
         .orderBy(col("vec_id"), col("dim"))
     }))
 
+  /** Generated unrolled k-center oracle (the unigram-LM generated-CTE
+    * precedent): seed CTE + 5 rounds of (argmax by (d2 desc, id), running
+    * least() distance update) — the exact same integer squared-L2 chain
+    * the operator runs, re-derived independently. */
+  private val kcenterOracle: String = {
+    def d2(a: String, c: String): String =
+      s"list_sum([($a.qv[i] - $c.qv[i]) * ($a.qv[i] - $c.qv[i]) FOR i IN range(1, len($a.qv) + 1)])"
+    val sb = new StringBuilder(
+      """WITH q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), c0 AS (
+        |  SELECT vec_id, qv FROM q WHERE vec_id = (SELECT min(vec_id) FROM q)
+        |), d1 AS (
+        |  SELECT q.vec_id, q.qv, """.stripMargin)
+    sb ++= d2("q", "c") + " AS d2 FROM q CROSS JOIN c0 c\n)"
+    for (r <- 1 to 5) {
+      sb ++= s", c$r AS (\n  SELECT vec_id, qv, d2 FROM d$r ORDER BY d2 DESC, vec_id LIMIT 1\n)"
+      if (r < 5)
+        sb ++= s", d${r + 1} AS (\n  SELECT d.vec_id, d.qv, least(d.d2, " + d2("d", "c") +
+          s") AS d2 FROM d$r d CROSS JOIN c$r c\n)"
+    }
+    sb ++= "\nSELECT CAST(0 AS BIGINT) AS round, vec_id, CAST(0 AS BIGINT) AS d2 FROM c0"
+    for (r <- 1 to 5)
+      sb ++= s"\nUNION ALL SELECT CAST($r AS BIGINT), vec_id, CAST(d2 AS BIGINT) FROM c$r"
+    sb ++= "\nORDER BY round"
+    sb.toString
+  }
+
   protected def similarityOracles: Map[String, String] = Map(
+
+    "sample_kcenter" -> kcenterOracle,
 
     // RRF: both rankings re-derived (full-dim and prefix-16 brute cosine),
     // fused via integer 1e12 // (60+rank) sums, item-id tie-break

@@ -645,6 +645,23 @@ class OperatorsSpec extends SparkSuite {
     assert(r(2).getLong(2) == 0 && r(2).getDouble(3) == 0.0) // query absent from cand
   }
 
+  test("kcenterSelect: hand-traced farthest-point rounds, non-increasing radius, id tie-break") {
+    import graft.operators.Similarity
+    // 1-dim points 0, .001, .01, .011, .1 -> quantized 0, 1e3, 1e4, 1.1e4, 1e5
+    val pts = Seq((1L, Seq(0.0)), (2L, Seq(0.001)), (3L, Seq(0.01)),
+      (4L, Seq(0.011)), (5L, Seq(0.1))).toDF("vec_id", "embedding")
+    val out = Similarity.kcenterSelect(pts, "vec_id", "embedding", k = 4)
+      .orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // seed = min id; then farthest-first: 5 (1e10), 4 (1.21e8 vs its 89000^2
+    // to center 5), then the 1e6 TIE between 2 and 3 resolves to id 2
+    assert(out.toSeq == Seq((0L, 1L, 0L), (1L, 5L, 10000000000L),
+      (2L, 4L, 121000000L), (3L, 2L, 1000000L)), out.mkString(", "))
+    // radius curve non-increasing after the seed
+    val d = out.drop(1).map(_._3)
+    assert(d.zip(d.drop(1)).forall { case (a, b) => a >= b })
+  }
+
   test("ndcgAtK: perfect order scores 1e6, swaps lose, absent queries report zero") {
     import graft.operators.Eval
     val graded = Seq((1L, 10L, 3L), (1L, 11L, 2L), (1L, 12L, 1L), (2L, 20L, 1L))
