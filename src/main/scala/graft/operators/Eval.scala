@@ -126,6 +126,33 @@ object Eval {
       .withColumn("gap_micro", abs(col("mean_pred_micro") - col("pos_rate_micro")))
   }
 
+  /** Per-query reciprocal rank of the FIRST relevant candidate (MRR's
+    * per-query term, micro-scaled): rr = 10⁶ div rank_of_first_hit — the
+    * "how fast does the user hit something relevant" number, the companion
+    * of [[recallAtK]] (how much) and [[ndcgAtK]] (how well ordered).
+    * Relevance = membership in the truth list; integer division keeps it
+    * cross-engine exact. Queries in `truth` whose candidate list has no
+    * relevant item (or is absent) report first_rank 0 / rr 0 — never
+    * dropped. Shape: one left-semi equi-join bounded by k·queries + one
+    * min per query. */
+  def mrrAtK(truth: DataFrame, candidate: DataFrame, qCol: String,
+      itemCol: String, rankCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val t = truth.select(col(qCol).as("query_id"), col(itemCol).as("i"))
+    val c = candidate.filter(col(rankCol) <= k)
+      .select(col(qCol).as("query_id"), col(itemCol).as("i"),
+        col(rankCol).cast("long").as("r"))
+    val first = c.join(t, Seq("query_id", "i"), "left_semi")
+      .groupBy(col("query_id")).agg(min(col("r")).as("first_rank"))
+    t.select(col("query_id")).distinct()
+      .join(first, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("first_rank"), lit(0L)).as("first_rank"))
+      .withColumn("rr_micro",
+        when(col("first_rank") === 0L, lit(0L))
+          .otherwise(expr("1000000 div first_rank")))
+  }
+
   /** Micro-scaled DCG position discounts: floor(10⁶ / log₂(r+1)) for ranks
     * 1..10, as LITERALS — the r7 "literal weight tables for curves" rule:
     * no transcendental is evaluated in either engine, so the metric

@@ -141,6 +141,19 @@ private[graft] trait SimilarityQueries extends QueryHelpers {
     }),
 
 
+    "eval_mrr" -> ((s, dir) => {
+      // reciprocal rank of the first true neighbor in the IVF ranking —
+      // same truth/candidate pair as eval_ivf_recall, the "how fast" axis
+      import graft.operators.{Eval, Similarity}
+      val embs = spread(t(s, dir, "embeddings"))
+      val queries = embs.filter(col("vec_id") < 20)
+      val truth = Similarity.bruteForceKnn(embs, queries, "vec_id", "embedding", 10)
+      val cand = Similarity.ivfKnn(embs, queries, "vec_id", "embedding", 10)
+      Eval.mrrAtK(truth, cand, "query_id", "neighbor_id", "rank")
+        .orderBy(col("query_id"))
+    }),
+
+
     "eval_ndcg" -> ((s, dir) => {
       // graded ranking quality of the IVF probe (nprobe=4) against exact
       // cosine: grade = 11 - exact rank over the brute-force top-10, so
@@ -888,6 +901,59 @@ private[graft] trait SimilarityQueries extends QueryHelpers {
         |  CAST(COALESCE(max(hit.n_hit), 0) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
         |FROM truth t LEFT JOIN hit ON hit.query_id = t.query_id
         |GROUP BY 1 ORDER BY t.query_id""".stripMargin,
+
+    // Same truth/cand re-derivation as eval_ivf_recall; first_rank = min
+    // candidate rank among true neighbors, rr = 1e6 // first_rank
+    "eval_mrr" ->
+      """WITH w AS (
+        |  SELECT c.range AS c, d.range AS d,
+        |    ('0x' || substr(md5('ivf:42:' || c.range || ':' || d.range), 1, 15))::BIGINT % 2001 - 1000 AS wt
+        |  FROM range(0, 16) c, range(0, 64) d
+        |), q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, qv, list_sum([x*x FOR x IN qv]) AS n2 FROM q
+        |), truth AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |        CAST(list_sum([a.qv[i] * b.qv[i] FOR i IN range(1, len(a.qv) + 1)]) AS DOUBLE)
+        |          / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) DESC, b.vec_id) AS rank
+        |    FROM n a CROSS JOIN n b
+        |    WHERE a.vec_id < 20 AND a.vec_id != b.vec_id) q WHERE rank <= 10
+        |), dots AS (
+        |  SELECT q.vec_id, w.c, sum(w.wt * q.qv[w.d + 1]) AS dot
+        |  FROM q CROSS JOIN w GROUP BY q.vec_id, w.c
+        |), ranked_cells AS (
+        |  SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS cr
+        |  FROM dots
+        |), assign AS (
+        |  SELECT vec_id, c AS cell FROM ranked_cells WHERE cr = 1
+        |), probes AS (
+        |  SELECT vec_id, c AS cell FROM ranked_cells WHERE cr <= 4 AND vec_id < 20
+        |), cand AS (
+        |  SELECT query_id, neighbor_id, rank FROM (
+        |    SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        |        CAST(list_sum([na.qv[i] * nb.qv[i] FOR i IN range(1, len(na.qv) + 1)]) AS DOUBLE)
+        |          / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) DESC, a.vec_id) AS rank
+        |    FROM probes p
+        |    JOIN assign a ON a.cell = p.cell AND a.vec_id != p.vec_id
+        |    JOIN n na ON na.vec_id = p.vec_id
+        |    JOIN n nb ON nb.vec_id = a.vec_id) q WHERE rank <= 10
+        |), fr AS (
+        |  SELECT c.query_id, min(c.rank) AS first_rank
+        |  FROM cand c JOIN truth t
+        |    ON t.query_id = c.query_id AND t.neighbor_id = c.neighbor_id
+        |  GROUP BY 1
+        |), qs AS (SELECT DISTINCT query_id FROM truth)
+        |SELECT qs.query_id,
+        |  CAST(COALESCE(fr.first_rank, 0) AS BIGINT) AS first_rank,
+        |  CASE WHEN COALESCE(fr.first_rank, 0) = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(1000000 // fr.first_rank AS BIGINT) END AS rr_micro
+        |FROM qs LEFT JOIN fr USING (query_id)
+        |ORDER BY qs.query_id""".stripMargin,
 
     // Same truth/cand re-derivation as eval_ivf_recall (ranks kept), plus
     // the literal micro discount table floor(1e6/log2(r+1)) — no log2 is

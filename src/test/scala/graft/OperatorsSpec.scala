@@ -662,6 +662,19 @@ class OperatorsSpec extends SparkSuite {
     assert(d.zip(d.drop(1)).forall { case (a, b) => a >= b })
   }
 
+  test("mrrAtK: first-hit rank drives rr, no-hit and absent queries report zero") {
+    import graft.operators.Eval
+    val truth = Seq((1L, 10L), (1L, 11L), (2L, 20L), (3L, 30L)).toDF("q", "item")
+    val cand = Seq((1L, 99L, 1L), (1L, 11L, 2L), (1L, 10L, 3L), // first hit at rank 2
+      (2L, 55L, 1L), (2L, 56L, 2L)) // no hit
+      .toDF("q", "item", "r")
+    val m = Eval.mrrAtK(truth, cand, "q", "item", "r", k = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m(1L) == ((2L, 500000L)))
+    assert(m(2L) == ((0L, 0L)), "candidates with zero hits score 0")
+    assert(m(3L) == ((0L, 0L)), "queries absent from candidate must not vanish")
+  }
+
   test("ndcgAtK: perfect order scores 1e6, swaps lose, absent queries report zero") {
     import graft.operators.Eval
     val graded = Seq((1L, 10L, 3L), (1L, 11L, 2L), (1L, 12L, 1L), (2L, 20L, 1L))
