@@ -52,7 +52,8 @@ object CurationPipeline {
     "filter_repetition" -> Set("max_dup_permille"),
     "filter_lm" -> Set("min_avg_micro"),
     "k_anonymity" -> Set("quasi_id", "k"),
-    "extract_html" -> Set("max_link_density_permille"))
+    "extract_html" -> Set("max_link_density_permille"),
+    "filter_url" -> Set("url_col", "blocked_domains", "blocked_keywords"))
 
   /** Parameters that must be present (filter_length's bounds are each
     * optional — one of them alone is meaningful; extract_html's density
@@ -64,7 +65,8 @@ object CurationPipeline {
     "split" -> Set("train", "val", "test"),
     "filter_repetition" -> Set("max_dup_permille"),
     "filter_lm" -> Set("min_avg_micro"),
-    "k_anonymity" -> Set("quasi_id", "k"))
+    "k_anonymity" -> Set("quasi_id", "k"),
+    "filter_url" -> Set("url_col", "blocked_domains"))
 
   def parse(src: String): Seq[Step] = {
     val root = yaml.readTree(src)
@@ -107,6 +109,13 @@ object CurationPipeline {
           errors += s"steps[$i]: extract_html needs max_link_density_permille in [0, 1000]"
         case "k_anonymity" if !n.path("quasi_id").isArray || n.path("quasi_id").size() == 0 =>
           errors += s"steps[$i]: k_anonymity needs a non-empty `quasi_id` list"
+        case "filter_url" if n.has("blocked_domains") &&
+            (!n.path("blocked_domains").isArray || n.path("blocked_domains").size() == 0) =>
+          errors += s"steps[$i]: filter_url needs a non-empty `blocked_domains` list"
+        case "filter_url" if n.path("blocked_keywords").isArray &&
+            n.path("blocked_keywords").elements().asScala
+              .exists(k => !k.asText("").matches("[a-z0-9-]+")) =>
+          errors += s"steps[$i]: filter_url keywords must be lowercase alphanumeric tokens"
         case "k_anonymity" if n.path("k").asLong(0L) <= 0L =>
           errors += s"steps[$i]: k_anonymity needs k > 0"
         case _ => ()
@@ -192,6 +201,21 @@ object CurationPipeline {
             .filter(col("clean_text") =!= "")
           df.drop(textCol).join(ex, Seq(idCol), "inner")
             .withColumnRenamed("clean_text", textCol)
+        case "filter_url" =>
+          // web front-door cut: drop rows whose URL column fails the
+          // domain-suffix blocklist or keyword check. Config blocklists
+          // are small literals; callers with UT1-scale lists use
+          // Sampling.urlFilter directly with a blocklist DataFrame.
+          val urlCol = s.params("url_col").asText()
+          val doms = s.params("blocked_domains").elements().asScala.map(_.asText()).toSeq
+          val kws = s.params.get("blocked_keywords")
+            .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+          val spark = df.sparkSession
+          import spark.implicits._
+          val keep = Sampling.urlFilter(df, idCol, urlCol,
+              doms.toDF("domain"), "domain", kws)
+            .filter(col("keep") === 1L).select(col(idCol))
+          df.join(keep, Seq(idCol), "left_semi")
         case "k_anonymity" =>
           // privacy suppression: drop every row whose quasi-identifier
           // combination is held by fewer than k docs

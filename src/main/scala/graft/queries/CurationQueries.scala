@@ -127,6 +127,33 @@ private[graft] trait CurationQueries extends QueryHelpers {
         .orderBy(col("doc_id"))
     }),
 
+    "curation_pipeline_url" -> ((s, dir) => {
+      // the URL cut THROUGH the YAML pipeline compiler — same synthesized
+      // URLs and blocklist as curation_url_filter, composed as a step so
+      // the config path and the direct operator stay in lockstep
+      val pipelineYaml =
+        """steps:
+          |  - op: filter_url
+          |    url_col: url
+          |    blocked_domains: [track0.example.com, track1.example.com, gamble.net]
+          |    blocked_keywords: [casino, poker]
+          |""".stripMargin
+      val d = spread(t(s, dir, "documents"))
+      val docs = d.select(col("doc_id"), col("lang"), col("source"), col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("https://ads.track"), (col("doc_id") % 3).cast("string"),
+            lit(".example.com/page/"), col("doc_id").cast("string")))
+          .when(col("doc_id") % 7 === 0,
+            concat(lit("https://www."), col("source"), lit(".org/casino/"),
+              col("doc_id").cast("string")))
+          .otherwise(concat(lit("https://www."), col("source"), lit(".org/article/"),
+            col("doc_id").cast("string")))
+          .as("url"))
+      graft.operators.CurationPipeline.runYaml(docs, "doc_id", "text", pipelineYaml)
+        .select(col("doc_id"), col("url"))
+        .orderBy(col("doc_id"))
+    }),
+
     "sample_ccnet_buckets" -> ((s, dir) => {
       // CCNet head/middle/tail: per-lang perplexity tertiles under the
       // corpus bigram LM — integer avg log-prob, BIGINT-percentile
@@ -483,6 +510,29 @@ private[graft] trait CurationQueries extends QueryHelpers {
         |       WHEN kw_block = 1 THEN 'keyword_blocked'
         |       ELSE 'ok' END AS reason
         |FROM v ORDER BY doc_id""".stripMargin,
+
+    "curation_pipeline_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN
+        |      'https://ads.track' || CAST(doc_id % 3 AS VARCHAR) || '.example.com/page/' || CAST(doc_id AS VARCHAR)
+        |    WHEN doc_id % 7 = 0 THEN
+        |      'https://www.' || source || '.org/casino/' || CAST(doc_id AS VARCHAR)
+        |    ELSE 'https://www.' || source || '.org/article/' || CAST(doc_id AS VARCHAR) END AS url
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, url,
+        |    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1) AS host
+        |  FROM u
+        |)
+        |SELECT doc_id, url FROM (
+        |  SELECT doc_id, url,
+        |    len([x FOR x IN [array_to_string(p[i:], '.') FOR i IN range(1, len(p) + 1)]
+        |      IF list_contains(['track0.example.com', 'track1.example.com', 'gamble.net'], x)]) > 0 AS dom_block,
+        |    regexp_matches(url, '(casino|poker)') AS kw_block
+        |  FROM (SELECT *, string_split(host, '.') AS p FROM h)
+        |) WHERE NOT dom_block AND NOT kw_block
+        |ORDER BY doc_id""".stripMargin,
 
     "curation_keep" ->
       """WITH base AS (

@@ -364,6 +364,32 @@ class CurationSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("filter_url pipeline step: validation defects caught, compiled step equals direct operator") {
+    import graft.operators.{CurationPipeline, Sampling}
+    val bad =
+      """steps:
+        |  - { op: filter_url, url_col: u, blocked_domains: [] }
+        |  - { op: filter_url, blocked_domains: [bad.com], blocked_keywords: ["NOT OK!"] }
+        |""".stripMargin
+    val e = intercept[CurationPipeline.PipelineException](CurationPipeline.parse(bad))
+    assert(e.errors.exists(_.contains("steps[0]: filter_url needs a non-empty `blocked_domains`")))
+    assert(e.errors.exists(_.contains("steps[1] (filter_url): missing required parameter 'url_col'")))
+    assert(e.errors.exists(_.contains("steps[1]: filter_url keywords must be lowercase")))
+    val df = Seq(
+      (1L, "t", "https://ads.bad.com/x"), (2L, "t", "https://ok.org/casino"),
+      (3L, "t", "https://ok.org/fine")).toDF("id", "text", "u")
+    val yaml =
+      """steps:
+        |  - { op: filter_url, url_col: u, blocked_domains: [bad.com], blocked_keywords: [casino] }
+        |""".stripMargin
+    val piped = CurationPipeline.runYaml(df, "id", "text", yaml)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val direct = Sampling.urlFilter(df, "id", "u", Seq("bad.com").toDF("domain"),
+      "domain", Seq("casino")).filter(col("keep") === 1L)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(piped == Seq(3L) && piped == direct)
+  }
+
   test("curation pipeline: step-indexed validation errors, composition equals manual chain") {
     import graft.operators.CurationPipeline
     // validation catches every defect at once, before any Spark job
