@@ -583,4 +583,39 @@ class PlanSpec extends SparkSuite {
     assert(pc.contains("BroadcastHashJoin"), pc)
     graft.operators.Residuals.release()
   }
+
+  test("round-12 session 4: sniff shuffle-free, url blocklist broadcast, curriculum windowless") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+    // sniff: pure row-local projection — an Exchange anywhere means the
+    // header-read triage stopped being scan-cost
+    val ps = plan(graft.operators.Multimodal.sniff(
+      graft.operators.Multimodal.bmpFixtures(docs, "doc_id"), "doc_id"))
+    assert(!ps.contains("Exchange"), ps)
+
+    // urlFilter: the blocklist joins BROADCAST left-semi (it is the small
+    // side by contract) and nothing nested-loops
+    val urls = docs.select(col("doc_id"),
+      concat(lit("https://www."), col("source"), lit(".org/a/"),
+        col("doc_id").cast("string")).as("url"))
+    val pu = plan(graft.operators.Sampling.urlFilter(
+      urls, "doc_id", "url", Seq("bad.com").toDF("domain"), "domain", Seq("casino")))
+    assert(pu.contains("BroadcastHashJoin"), pu)
+    assert(!pu.contains("CartesianProduct") && !pu.contains("BroadcastNestedLoopJoin"), pu)
+
+    // curriculumOrder: the design point is NO window — phase comes from a
+    // one-row broadcast of percentile thresholds, order from sort keys
+    val pb = plan(graft.operators.Batching.curriculumOrder(
+      docs, "doc_id", graft.functions.TextFns.tokenCount(col("text")), phases = 4))
+    assert(!pb.contains("Window"), pb)
+    assert(!pb.contains("CartesianProduct"), pb)
+
+    // ndcg/mrr: joins stay equi/broadcast over k·queries-sized relations
+    val truth = Seq((1L, 10L, 1L, 3L)).toDF("query_id", "neighbor_id", "rank", "grade")
+    val pn = plan(graft.operators.Eval.ndcgAtK(
+      truth, truth, "query_id", "neighbor_id", "grade", "rank"))
+    assert(!pn.contains("CartesianProduct") && !pn.contains("BroadcastNestedLoopJoin"), pn)
+  }
 }
