@@ -475,7 +475,12 @@ object VersionedTable {
     * either bake deleted rows into fresh files or silently change the
     * kept-vs-rewritten semantics — run [[materializeDeletes]] first.
     * Planning is driver-side over the manifest (metadata-sized by the
-    * class contract); each rewrite group is one bounded Spark job. Time
+    * class contract); ALL rewrite groups execute as ONE Spark job — each
+    * small file's rows are tagged with their planned group (broadcast
+    * path→group map joined on `input_file_name`), range-repartitioned on
+    * (group, key), and written hive-partitioned by group — so a table
+    * with ten thousand cold small-file groups costs one shuffle of the
+    * small-file tail, not ten thousand driver-sequenced jobs. Time
     * travel to every prior version is untouched (old manifests only
     * reference immutable files). Returns the new version. */
   def optimize(spark: SparkSession, dir: String, targetRows: Long,
@@ -494,11 +499,38 @@ object VersionedTable {
     val byGrp = plan.groupBy(_._2).toSeq.sortBy(_._1)
     val kept = byGrp.collect { case (_, files) if files.length == 1 =>
       entryByPath(files.head._1) }
-    val rewritten = byGrp.collect { case (grp, files) if files.length > 1 =>
-      val dfG = readDeclared(spark, m, files.map(f => s"$dir/${f._1}").toSeq)
-      writeStaged(spark, dir, f"data/v${base + 1L}%08d/g$grp%05d", dfG,
-        m.keyCol, targetRows)
-    }.flatten
+    val rewriteGroups = byGrp.collect { case (grp, files) if files.length > 1 =>
+      (grp, files.map(_._1)) }
+    val rel = f"data/v${base + 1L}%08d"
+    val rewritten: Seq[FileEntry] = if (rewriteGroups.isEmpty) Seq.empty else {
+      val mapping = rewriteGroups
+        .flatMap { case (g, ps) => ps.map(p => (p, g)) }.toDF("rel_path", "grp")
+      val rewriteRows = rewriteGroups.flatMap(_._2).map(entryByPath(_).rows).sum
+      val src = readDeclared(spark, m,
+          rewriteGroups.flatMap(_._2).map(p => s"$dir/$p").toSeq)
+        // map each row back to its planned group via the file it came from
+        .withColumn("rel_path", regexp_extract(input_file_name(), "(data/v.*)$", 1))
+        .join(broadcast(mapping), Seq("rel_path")).drop("rel_path")
+      val numParts = math.max(1L, (rewriteRows + targetRows - 1) / targetRows).toInt
+      val stage = s"$dir/$rel"
+      src.repartitionByRange(numParts, col("grp"), col(m.keyCol))
+        .sortWithinPartitions(col("grp"), col(m.keyCol))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", targetRows)
+        .partitionBy("grp")
+        .parquet(stage)
+      spark.read.parquet(stage)
+        .groupBy(input_file_name().as("file"))
+        .agg(count(lit(1)).as("rows"),
+          min(col(m.keyCol)).cast("long").as("min_key"),
+          max(col(m.keyCol)).cast("long").as("max_key"))
+        .collect().toIndexedSeq
+        .map { r =>
+          val uri = r.getString(0)
+          FileEntry(uri.substring(uri.indexOf(rel)),
+            r.getLong(1), r.getLong(2), r.getLong(3))
+        }.sortBy(_.path)
+    }
     beforeCommit()
     commitManifest(spark, dir, Manifest(base + 1L, base, "optimize", m.keyCol,
       m.schemaDdl, (kept ++ rewritten).sortBy(e => (e.minKey, e.path))))
