@@ -122,4 +122,31 @@ object Batching {
         md5(concat_ws(":", lit(seed).cast("string"), col(idCol).cast("string")))
           .as("order_key"))
   }
+
+  /** Size-balanced shard assignment for training-shard writes: documents
+    * stratify into equal-population SIZE bands (the [[curriculumOrder]]
+    * percentile machinery over a size signal), and within each band deal
+    * round-robin — shuffled reproducibly by a seed-keyed md5 — onto
+    * `nShards` shards. Every shard then holds (to within one doc per band)
+    * the same count from every size band, so both document counts AND total
+    * sizes balance without any global coordination: plain `shard =
+    * hash % n` balances counts but lets a shard draw all the long docs,
+    * and the exact LPT bin-packing answer is an inherently sequential
+    * greedy. Output: (id, size, band, shard).
+    *
+    * Shape: one tiny percentile agg + broadcast (band thresholds), then a
+    * window PARTITIONED BY BAND (parallel across bands — never global).
+    * Within-band order is the md5 key, so the dealing is deterministic and
+    * cluster-independent. */
+  def shardBySize(df: DataFrame, idCol: String, sizeCol: Column,
+      nShards: Int, bands: Int = 8, seed: Long = 11L): DataFrame = {
+    require(nShards >= 1, "nShards must be positive")
+    val banded = curriculumOrder(df, idCol, sizeCol, bands, seed)
+      .withColumnRenamed("difficulty", "size")
+      .withColumnRenamed("phase", "band")
+    val w = Window.partitionBy(col("band")).orderBy(col("order_key"), col(idCol))
+    banded
+      .withColumn("shard", pmod(row_number().over(w) - 1, lit(nShards)).cast("long"))
+      .select(col(idCol), col("size"), col("band"), col("shard"))
+  }
 }

@@ -249,4 +249,31 @@ object Drift {
       width: Long, buckets: Int): DataFrame =
     psiFrom(psiBucketsBy(base, current, Seq(groupCol), valueCol, width, buckets),
       Seq(groupCol), buckets)
+
+  /** Second-moment embedding drift: per dimension pair (i ≤ j), the
+    * unbiased-covariance difference between a reference and a current
+    * vector population — the axis [[embeddingShift]] (first moment) cannot
+    * see: a distribution can keep its centroid while its correlation
+    * structure rotates (a fine-tune regression signature), and this is the
+    * pair-level report that localizes WHICH feature pair moved. Built as a
+    * pure composition of two [[Embeddings.covarianceNum]] passes: each
+    * integer numerator divides by its own n·(n−1) (truncating — exact in
+    * both engines), the two matrices join on (i, j), and the shift is the
+    * absolute difference. With a degree-2 polynomial kernel this is
+    * exactly the entry-wise witness of an MMD-style two-sample statistic,
+    * made bit-portable by staying in integers.
+    *
+    * Shape: each corpus is touched once (the covariance passes); the join
+    * runs over two d(d+1)/2-row METADATA relations. Populations need n ≥ 2
+    * — enforced loudly, since n < 2 makes the unbiased divisor zero. */
+  def covShift(ref: DataFrame, cur: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    def half(df: DataFrame, tag: String): DataFrame =
+      Embeddings.covarianceNum(df, idCol, vecCol)
+        .select(col("i"), col("j"),
+          when(col("n") < 2,
+            raise_error(lit(s"covShift: $tag population needs at least 2 vectors")))
+            .otherwise(expr("cov_num div (n * (n - 1))")).as(s"cov_$tag"))
+    half(ref, "ref").join(half(cur, "cur"), Seq("i", "j"))
+      .withColumn("shift", abs(col("cov_ref") - col("cov_cur")))
+  }
 }

@@ -282,4 +282,44 @@ object Embeddings {
           .as("q8"),
         col("mq").as("scale_q"))
   }
+
+  /** Sign-bit binary quantization against per-dimension integer-mean
+    * thresholds, packed into two 32-bit words — the 32×-compression end of
+    * the spectrum past [[quantizeInt8]] (8 bits/dim) and [[quantizeScalar]]
+    * (8 bits/dim, trained range): one BIT per dimension, Hamming distance
+    * as the similarity surrogate (`bit_count(xor(...))` is exact and
+    * identical in both engines — the r10 pHash precedent). Thresholding at
+    * the per-dim mean rather than zero keeps the bits balanced even for
+    * biased dimensions, which is what preserves ranking power.
+    *
+    * Everything is integer: thresholds are truncating means `Σx div n` of
+    * the 1e-6-quantized components (the kmeans-centroid trick — truncation
+    * toward zero matches DuckDB `//`), bits pack as Σ b_d·2^(d mod 32) into
+    * a low and a high word, so values stay non-negative (no sign-bit edge
+    * at 2⁶³). Dimensions beyond 64 raise at execution rather than silently
+    * dropping bits. Output: (id, word_lo [dims 0–31], word_hi [dims
+    * 32–63], bits_set).
+    *
+    * Shape: one map-side-combined aggregate to the d-row threshold relation
+    * (broadcast back), one scan-speed projection + per-id aggregation —
+    * same plan family as [[quantizeScalar]]. */
+  def binaryQuantize(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val el = embs.select(col(idCol).as("id"),
+      posexplode(VectorFns.quantize(col(vecCol))).as(Seq("d", "x")))
+    val thr = el.groupBy(col("d")).agg(expr("sum(x) div count(1)").as("m"))
+    val pw = array((0 until 32).map(i => lit(1L << i)): _*)
+    val dOk = when(col("d") >= 64,
+      raise_error(concat(lit("binaryQuantize: packs at most 64 dims, got dim "),
+        col("d").cast("string")))).otherwise(col("d"))
+    el.join(broadcast(thr), "d")
+      .select(col("id"), dOk.as("d"),
+        when(col("x") > col("m"), 1L).otherwise(0L).as("b"))
+      .groupBy(col("id"))
+      .agg(
+        sum(when(col("d") < 32, col("b") * element_at(pw, col("d") + 1))
+          .otherwise(0L)).as("word_lo"),
+        sum(when(col("d") >= 32, col("b") * element_at(pw, col("d") - 31))
+          .otherwise(0L)).as("word_hi"),
+        sum(col("b")).as("bits_set"))
+  }
 }

@@ -153,6 +153,122 @@ object Eval {
           .otherwise(expr("1000000 div first_rank")))
   }
 
+  /** Exact tie-aware ROC AUC of a score column against a 0/1 label — the
+    * "can this score rank positives above negatives at all" gate run before
+    * any score becomes a curation threshold (the discrimination complement
+    * to [[calibration]]'s honesty check). AUC is the Mann–Whitney
+    * statistic: over all positive×negative pairs, (concordant + ties/2) /
+    * (n_pos·n_neg). No pair is ever materialized — scores aggregate to the
+    * DISTINCT-VALUE relation (per score: positive and negative counts), a
+    * cumulative window over that relation counts negatives strictly below
+    * each score, and `conc2 = Σ np·(2·cumneg + nn)` carries 2·concordant +
+    * ties exactly. The scores themselves are only COMPARED, never
+    * accumulated, so doubles are safe (bit-identical comparisons).
+    *
+    * Shape: one map-side-combined aggregation to the distinct-score
+    * relation, then a single-partition cumulative window over it — bounded
+    * by the VALUE DOMAIN, not the corpus (the [[Drift.ksDistance]] scale
+    * argument verbatim). Overflow: conc2 ≤ 2·n_pos·n_neg, and auc_micro
+    * uses the exact nonneg decomposition, so the only bound is
+    * 2·n_pos·n_neg fitting a BIGINT (~2·10⁹ of each per evaluated slice).
+    * The label must be 0/1 — anything else raises at execution
+    * (plan-embedded, the scd2 precedent), because a stray 2 would silently
+    * skew every count. */
+  def aucExact(df: DataFrame, score: Column, positive: Column): DataFrame = {
+    val y0 = positive.cast("long")
+    val y = when(y0.isNull || (y0 =!= 0L && y0 =!= 1L),
+      raise_error(concat(lit("aucExact: positive column must be 0/1, got "),
+        coalesce(y0.cast("string"), lit("NULL"))))).otherwise(y0)
+    val g = df.select(score.as("s"), y.as("y"))
+      .groupBy(col("s"))
+      .agg(sum(col("y")).as("np"), (count(lit(1)) - sum(col("y"))).as("nn"))
+    val w = Window.orderBy(col("s")).rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cumneg", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .agg(
+        sum(col("np")).as("n_pos"),
+        sum(col("nn")).as("n_neg"),
+        sum(col("np") * (lit(2L) * col("cumneg") + col("nn"))).as("conc2"))
+      .select(col("n_pos"), col("n_neg"), col("conc2"),
+        expr("""CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(0 AS BIGINT)
+                ELSE (conc2 div (2 * n_pos * n_neg)) * 1000000
+                     + ((conc2 % (2 * n_pos * n_neg)) * 1000000) div (2 * n_pos * n_neg)
+                END""").as("auc_micro"))
+  }
+
+  /** Per-class precision/recall/F1 from (actual, predicted) label pairs —
+    * the confusion-matrix audit for any categorical predictor this library
+    * hosts (lang-id vs ground truth, quality band vs human label, …).
+    * Counting needs only the two per-class marginals (n_actual with its
+    * true-positive count; n_pred with the same), full-outer-joined so a
+    * class that appears only in predictions (all false positives) or only
+    * in truth (all misses) still reports. All three metrics are integer
+    * per-mille via truncating division; F1 uses the division-free identity
+    * f1 = 2·tp / (2·tp + fp + fn), so no nested rounding. NULL labels
+    * bucket as the literal "(null)" class rather than vanishing into a
+    * never-matching join key.
+    *
+    * Shape: two map-side-combined aggregations to the CLASS domain + one
+    * tiny full-outer join — corpus touched twice at scan speed, output
+    * class-domain-sized. */
+  def classMetrics(df: DataFrame, actual: Column, predicted: Column): DataFrame = {
+    val p = df.select(
+      coalesce(actual.cast("string"), lit("(null)")).as("a"),
+      coalesce(predicted.cast("string"), lit("(null)")).as("pr"))
+    val hit = when(col("a") === col("pr"), 1L).otherwise(0L)
+    val byA = p.groupBy(col("a").as("cls"))
+      .agg(count(lit(1)).as("n_actual"), sum(hit).as("tp_a"))
+    val byP = p.groupBy(col("pr").as("cls"))
+      .agg(count(lit(1)).as("n_pred"), sum(hit).as("tp_p"))
+    byA.join(byP, Seq("cls"), "full_outer")
+      .select(col("cls"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        // tp(c) = #(a = c ∧ pr = c) — identical from either marginal, so
+        // whichever side survived the outer join carries it
+        coalesce(col("tp_a"), col("tp_p"), lit(0L)).as("tp"))
+      .withColumn("fp", col("n_pred") - col("tp"))
+      .withColumn("fn", col("n_actual") - col("tp"))
+      .withColumn("precision_milli",
+        expr("CASE WHEN n_pred = 0 THEN CAST(0 AS BIGINT) ELSE tp * 1000 div n_pred END"))
+      .withColumn("recall_milli",
+        expr("CASE WHEN n_actual = 0 THEN CAST(0 AS BIGINT) ELSE tp * 1000 div n_actual END"))
+      .withColumn("f1_milli",
+        expr("""CASE WHEN 2 * tp + fp + fn = 0 THEN CAST(0 AS BIGINT)
+                ELSE 2 * tp * 1000 div (2 * tp + fp + fn) END"""))
+  }
+
+  /** Per-query average precision@k (MAP's per-query term, micro-scaled) —
+    * the order-sensitive set metric between [[mrrAtK]] (first hit only) and
+    * [[ndcgAtK]] (graded): ap = (Σ over hit ranks r of precision@r) /
+    * min(|truth|, k). Each term is the integer `hits_so_far·10⁶ div r`
+    * (cumulative hit count over the candidate ranking), summed order-free,
+    * one final truncating division — cross-engine exact throughout.
+    * Queries with no relevant candidate report 0, never vanish.
+    *
+    * Shape: one left-semi equi-join bounded by k·queries + a per-query
+    * window over ≤ k hits — corpus never enters. */
+  def apAtK(truth: DataFrame, candidate: DataFrame, qCol: String,
+      itemCol: String, rankCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val t = truth.select(col(qCol).as("query_id"), col(itemCol).as("i"))
+    val c = candidate.filter(col(rankCol) <= k)
+      .select(col(qCol).as("query_id"), col(itemCol).as("i"),
+        col(rankCol).cast("long").as("r"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("r"))
+    val terms = c.join(t, Seq("query_id", "i"), "left_semi")
+      .withColumn("h", count(lit(1)).over(w))
+      .select(col("query_id"), expr("h * 1000000 div r").as("term"))
+    val perQ = terms.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_hits"), sum(col("term")).as("ap_sum_micro"))
+    t.groupBy(col("query_id")).agg(count(lit(1)).as("n_truth"))
+      .join(perQ, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_truth"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("ap_sum_micro"), lit(0L)).as("ap_sum_micro"))
+      .withColumn("ap_micro",
+        expr(s"ap_sum_micro div least(n_truth, CAST($k AS BIGINT))"))
+  }
+
   /** Micro-scaled DCG position discounts: floor(10⁶ / log₂(r+1)) for ranks
     * 1..10, as LITERALS — the r7 "literal weight tables for curves" rule:
     * no transcendental is evaluated in either engine, so the metric

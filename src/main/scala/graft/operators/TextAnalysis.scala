@@ -166,6 +166,59 @@ object TextAnalysis {
       .select(col("doc").as("doc_id"), col("n_bigrams"), col("logprob_scaled"))
   }
 
+  /** Held-out perplexity: score one corpus under a bigram LM trained on
+    * ANOTHER — the eval [[bigramLogProb]] (which trains on its own input)
+    * cannot give, and the number every "did the new data mix help the LM"
+    * comparison actually needs. Same add-one model and the same qln
+    * 1e-6-quantize-before-order-free-integer-sum exactness contract; the
+    * held-out twist is that unseen events must score, so the count joins
+    * are LEFT joins with zero fallbacks: unseen (w1,w2) scores
+    * qln(1) − qln(c1+V), unseen w1 entirely scores qln(1) − qln(V) = −qln(V)
+    * (the uniform add-one floor). V is the TRAINING successor vocabulary.
+    * Output per scored doc: n_bigrams, logprob_scaled (Σ micro-nats),
+    * avg_nll_micro = −logprob_scaled div n_bigrams (the per-bigram
+    * cross-entropy whose exp is perplexity — left in log space so the
+    * metric stays integer-exact).
+    *
+    * Shape: two bigram-domain aggregations over TRAIN + one broadcast-sized
+    * V row; scoring is two equi-joins keyed on the bigram/unigram domain —
+    * never a self-join, never corpus×corpus. */
+  def bigramLogProbHeldout(train: DataFrame, score: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def pairsOf(df: DataFrame): DataFrame = {
+      val toks = TextFns.tokens(col(textCol))
+      val n1 = greatest(size(toks) - 1, lit(0))
+      val pairsArr = zip_with(
+        slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+        (x, y) => struct(x.as("w1"), y.as("w2")))
+      df.select(col(idCol).as("doc"), explode(pairsArr).as("p"))
+        .select(col("doc"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    }
+    val c12 = pairsOf(train).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val v = c12.agg(countDistinct(col("w2")).as("v"))
+    val perDoc = pairsOf(score)
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc"),
+        (Features.qln(coalesce(col("c12"), lit(0L)) + 1)
+          - Features.qln(coalesce(col("c1"), lit(0L)) + col("v"))).as("term"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("term")).as("logprob_scaled"))
+    // a per-doc groupBy over exploded bigrams silently drops zero-bigram
+    // docs (the r12 lineDedup lesson) — left-join back onto the scored id
+    // set; such docs report n_bigrams 0 with a NULL average
+    score.select(col(idCol).as("doc"))
+      .join(perDoc, Seq("doc"), "left")
+      .select(col("doc").as("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("logprob_scaled"), lit(0L)).as("logprob_scaled"))
+      .withColumn("avg_nll_micro",
+        when(col("n_bigrams") === 0L, lit(null).cast("long"))
+          .otherwise(expr("(-logprob_scaled) div n_bigrams")))
+  }
+
   /** RAKE keyword extraction (Rose et al. '10): candidate phrases are the
     * maximal stopword-free token runs; word score = degree div frequency
     * where degree sums the lengths of the phrases containing the word (a

@@ -458,6 +458,18 @@ private[graft] trait CurationQueries extends QueryHelpers {
         .orderBy(col("phase"), col("order_key"), col("doc_id"))
     }),
 
+    "batch_shard_assign" -> ((s, dir) => {
+      // size-balanced training-shard assignment: 8 equal-population size
+      // bands (n_chars percentiles), seed-shuffled round-robin within each
+      // band onto 4 shards — every shard draws evenly from every band, so
+      // counts AND bytes balance with no global window
+      graft.operators.Batching.shardBySize(
+        spread(t(s, dir, "documents")), "doc_id", col("n_chars"),
+        nShards = 4, bands = 8, seed = 11L)
+        .orderBy(col("doc_id"))
+    }),
+
+
     "batch_length_bucketed" -> ((s, dir) => {
       // dynamic batching: token-length buckets (width 16), seed-shuffled
       // within-bucket order, batches of 8 — per-batch padding-waste audit;
@@ -745,6 +757,41 @@ private[graft] trait CurationQueries extends QueryHelpers {
         |  md5('7:' || CAST(d.doc_id AS VARCHAR)) AS order_key
         |FROM d, th
         |ORDER BY phase, order_key, d.doc_id""".stripMargin,
+
+    // octile thresholds via quantile_cont (BIGINT-exact), band = count of
+    // strictly-exceeded thresholds, round-robin within band over the md5
+    // shuffle order — (rn - 1) % 4 mirrors pmod on non-negative ranks
+    "batch_shard_assign" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS size FROM documents
+        |), th AS (
+        |  SELECT quantile_cont(size, 0.125000000) AS t0,
+        |         quantile_cont(size, 0.250000000) AS t1,
+        |         quantile_cont(size, 0.375000000) AS t2,
+        |         quantile_cont(size, 0.500000000) AS t3,
+        |         quantile_cont(size, 0.625000000) AS t4,
+        |         quantile_cont(size, 0.750000000) AS t5,
+        |         quantile_cont(size, 0.875000000) AS t6
+        |  FROM d
+        |), b AS (
+        |  SELECT d.doc_id, d.size,
+        |    CAST((CASE WHEN d.size > th.t0 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN d.size > th.t1 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN d.size > th.t2 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN d.size > th.t3 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN d.size > th.t4 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN d.size > th.t5 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN d.size > th.t6 THEN 1 ELSE 0 END) AS BIGINT) AS band,
+        |    md5('11:' || CAST(d.doc_id AS VARCHAR)) AS ok
+        |  FROM d, th
+        |), r AS (
+        |  SELECT doc_id, size, band,
+        |    row_number() OVER (PARTITION BY band ORDER BY ok, doc_id) AS rn
+        |  FROM b
+        |)
+        |SELECT doc_id, size, band, CAST((rn - 1) % 4 AS BIGINT) AS shard
+        |FROM r ORDER BY doc_id""".stripMargin,
+
 
     "batch_length_bucketed" ->
       """WITH tk AS (

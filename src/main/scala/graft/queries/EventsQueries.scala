@@ -237,6 +237,16 @@ private[graft] trait EventsQueries extends QueryHelpers {
     }),
 
 
+    "eval_auc" -> ((s, dir) => {
+      // exact tie-aware ROC AUC: does order value rank purchases above
+      // non-purchases? Mann-Whitney over the distinct-value relation —
+      // doubles are compared, never accumulated; conc2 carries
+      // 2·concordant + ties exactly
+      graft.operators.Eval.aucExact(events(s, dir),
+        col("value"), (col("event_type") === "purchase").cast("long"))
+    }),
+
+
     "drift_ks" -> ((s, dir) => {
       // binning-free drift twin of drift_psi: exact two-sample KS distance
       // over the same deterministic re-curation — integer cumulative
@@ -796,6 +806,33 @@ private[graft] trait EventsQueries extends QueryHelpers {
         |  CAST(sum((m1 - m2) * (m1 - m2)) AS BIGINT) AS shift_sq_scaled,
         |  sqrt(CAST(CAST(sum((m1 - m2) * (m1 - m2)) AS BIGINT) AS DOUBLE)) / 1000000.0 AS shift_l2
         |FROM bm JOIN cm USING (d)""".stripMargin,
+
+
+    // AUC = (2·concordant + ties) / (2·n_pos·n_neg) over the distinct-score
+    // relation; cumneg = negatives strictly below via the 1-PRECEDING frame;
+    // auc_micro through the exact nonneg decomposition (r11 pattern)
+    "eval_auc" ->
+      """WITH g AS (
+        |  SELECT value AS s,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |    CAST(count(*) - sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS nn
+        |  FROM events GROUP BY 1
+        |), c AS (
+        |  SELECT np, nn,
+        |    COALESCE(sum(nn) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+        |  FROM g
+        |), agg AS (
+        |  SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
+        |    CAST(sum(np * (2 * cumneg + nn)) AS BIGINT) AS conc2
+        |  FROM c
+        |)
+        |SELECT n_pos, n_neg, conc2,
+        |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST((conc2 // (2 * n_pos * n_neg)) * 1000000
+        |            + ((conc2 % (2 * n_pos * n_neg)) * 1000000) // (2 * n_pos * n_neg) AS BIGINT)
+        |  END AS auc_micro
+        |FROM agg""".stripMargin,
 
 
     "drift_ks" ->

@@ -373,6 +373,70 @@ private[graft] trait SimilarityQueries extends QueryHelpers {
       graft.operators.Embeddings
         .quantizeInt8(spread(t(s, dir, "embeddings")), "vec_id", "embedding")
         .orderBy(col("vec_id"), col("dim"))
+    }),
+
+
+    "emb_binary_quantize" -> ((s, dir) => {
+      // 1-bit-per-dim binary embeddings against per-dim integer-mean
+      // thresholds, packed into two non-negative 32-bit words — the 32x
+      // compression tier below int8/SQ; Hamming over the words is the
+      // serving-time similarity surrogate
+      graft.operators.Embeddings.binaryQuantize(
+        spread(t(s, dir, "embeddings")), "vec_id", "embedding")
+        .orderBy(col("id"))
+    }),
+
+
+    "eval_bq_rank_tau" -> ((s, dir) => {
+      // binary-compression fidelity: Kendall tau between full-precision
+      // cosine and NEGATED Hamming distance over the brute top-10 — the
+      // go/no-go for serving sign-bit embeddings (ties in the coarse
+      // 0..64 Hamming domain count as neither concordant nor discordant,
+      // exactly tau-a's contract); composition of three gated operators
+      import graft.operators.{Embeddings, Eval, Similarity}
+      val embs = spread(t(s, dir, "embeddings"))
+      val brute = Similarity.bruteForceKnn(
+        embs, embs.filter(col("vec_id") < 20), "vec_id", "embedding", 10)
+      val bq = Embeddings.binaryQuantize(embs, "vec_id", "embedding")
+      val scored = brute
+        .join(bq.select(col("id").as("query_id"),
+          col("word_lo").as("ql"), col("word_hi").as("qh")), "query_id")
+        .join(bq.select(col("id").as("neighbor_id"),
+          col("word_lo").as("nl"), col("word_hi").as("nh")), "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"), col("cosine").as("cos_full"),
+          (-(bit_count(col("ql").bitwiseXOR(col("nl")))
+            + bit_count(col("qh").bitwiseXOR(col("nh"))))).cast("double")
+            .as("neg_hamming"))
+      Eval.kendallTau(scored, "query_id", "neighbor_id", "cos_full", "neg_hamming")
+        .orderBy(col("query_id"))
+    }),
+
+
+    "eval_map" -> ((s, dir) => {
+      // average precision@10 of the IVF probe against the brute top-10 —
+      // the order-sensitive set metric between eval_mrr (first hit) and
+      // eval_ndcg (graded); same truth/candidate pair as eval_ivf_recall
+      import graft.operators.{Eval, Similarity}
+      val embs = spread(t(s, dir, "embeddings"))
+      val queries = embs.filter(col("vec_id") < 20)
+      val truth = Similarity.bruteForceKnn(embs, queries, "vec_id", "embedding", 10)
+      val cand = Similarity.ivfKnn(embs, queries, "vec_id", "embedding", 10)
+      Eval.apAtK(truth, cand, "query_id", "neighbor_id", "rank")
+        .orderBy(col("query_id"))
+    }),
+
+
+    "drift_cov_shift" -> ((s, dir) => {
+      // second-moment drift: per dimension pair, |unbiased covariance
+      // difference| between the even-label (reference) and odd-label
+      // (current) populations — the correlation-rotation axis mean-shift
+      // drift can't see; top-50 most-drifted pairs
+      val embs = spread(t(s, dir, "embeddings"))
+      graft.operators.Drift.covShift(
+        embs.filter(col("label") % 2 === 0), embs.filter(col("label") % 2 === 1),
+        "vec_id", "embedding")
+        .orderBy(col("shift").desc, col("i"), col("j"))
+        .limit(50)
     }))
 
   /** Generated unrolled k-center oracle (the unigram-LM generated-CTE
@@ -1323,5 +1387,193 @@ private[graft] trait SimilarityQueries extends QueryHelpers {
         |)
         |SELECT a0.vec_id, CAST(a0.cell0 AS BIGINT) AS cell_init,
         |  CAST(a1.cell1 AS BIGINT) AS cell_refined
-        |FROM a0 JOIN a1 USING (vec_id) ORDER BY vec_id""".stripMargin)
+        |FROM a0 JOIN a1 USING (vec_id) ORDER BY vec_id""".stripMargin,
+
+
+    // sign-bit packing re-derived: per-dim truncating integer means, bits
+    // from strict > comparisons, words as Σ b·2^(d mod 32) (DuckDB << on
+    // BIGINT == Spark shiftleft — r10 precedent)
+    "emb_binary_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), el AS (
+        |  SELECT vec_id, i.range AS d, qv[i.range + 1] AS x
+        |  FROM q CROSS JOIN range(0, 64) i
+        |), m AS (
+        |  SELECT d, CAST(sum(x) AS BIGINT) // CAST(count(*) AS BIGINT) AS m
+        |  FROM el GROUP BY 1
+        |), b AS (
+        |  SELECT el.vec_id, el.d, CASE WHEN el.x > m.m THEN 1 ELSE 0 END AS b
+        |  FROM el JOIN m USING (d)
+        |)
+        |SELECT vec_id AS id,
+        |  CAST(sum(CASE WHEN d < 32 THEN b * (CAST(1 AS BIGINT) << CAST(d AS INT)) ELSE 0 END) AS BIGINT) AS word_lo,
+        |  CAST(sum(CASE WHEN d >= 32 THEN b * (CAST(1 AS BIGINT) << CAST(d - 32 AS INT)) ELSE 0 END) AS BIGINT) AS word_hi,
+        |  CAST(sum(b) AS BIGINT) AS bits_set
+        |FROM b GROUP BY 1 ORDER BY id""".stripMargin,
+
+
+    // tau between exact cosine and negated Hamming over the brute top-10:
+    // the top/tau scaffolding of eval_matryoshka_tau around the
+    // emb_binary_quantize bit derivation (bit_count/xor cross-engine exact)
+    "eval_bq_rank_tau" ->
+      """WITH q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, qv, list_sum([x*x FOR x IN qv]) AS n2 FROM q
+        |), scored0 AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    CAST(list_sum([a.qv[i] * b.qv[i] FOR i IN range(1, len(a.qv) + 1)]) AS DOUBLE)
+        |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos_full
+        |  FROM n a CROSS JOIN n b
+        |  WHERE a.vec_id < 20 AND a.vec_id != b.vec_id
+        |), top AS (
+        |  SELECT query_id, neighbor_id, cos_full FROM (
+        |    SELECT query_id, neighbor_id, cos_full,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY cos_full DESC, neighbor_id) AS rank
+        |    FROM scored0) WHERE rank <= 10
+        |), el AS (
+        |  SELECT vec_id, i.range AS d, qv[i.range + 1] AS x
+        |  FROM q CROSS JOIN range(0, 64) i
+        |), m AS (
+        |  SELECT d, CAST(sum(x) AS BIGINT) // CAST(count(*) AS BIGINT) AS m
+        |  FROM el GROUP BY 1
+        |), bb AS (
+        |  SELECT el.vec_id, el.d, CASE WHEN el.x > m.m THEN 1 ELSE 0 END AS b
+        |  FROM el JOIN m USING (d)
+        |), words AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN d < 32 THEN b * (CAST(1 AS BIGINT) << CAST(d AS INT)) ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(sum(CASE WHEN d >= 32 THEN b * (CAST(1 AS BIGINT) << CAST(d - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi
+        |  FROM bb GROUP BY 1
+        |), scored AS (
+        |  SELECT t.query_id, t.neighbor_id, t.cos_full,
+        |    -CAST(bit_count(xor(wq.lo, wn.lo)) + bit_count(xor(wq.hi, wn.hi)) AS DOUBLE) AS neg_hamming
+        |  FROM top t
+        |  JOIN words wq ON wq.vec_id = t.query_id
+        |  JOIN words wn ON wn.vec_id = t.neighbor_id
+        |), pairs AS (
+        |  SELECT l.query_id,
+        |    (CASE WHEN l.cos_full > r.cos_full THEN 1 WHEN l.cos_full < r.cos_full THEN -1 ELSE 0 END)
+        |    * (CASE WHEN l.neg_hamming > r.neg_hamming THEN 1 WHEN l.neg_hamming < r.neg_hamming THEN -1 ELSE 0 END) AS sgn
+        |  FROM scored l JOIN scored r
+        |    ON l.query_id = r.query_id AND l.neighbor_id < r.neighbor_id
+        |)
+        |SELECT query_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN sgn > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+        |  CAST(sum(CASE WHEN sgn < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+        |  CAST(sum(CASE WHEN sgn > 0 THEN 1 ELSE 0 END)
+        |     - sum(CASE WHEN sgn < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS tau
+        |FROM pairs GROUP BY 1 ORDER BY query_id""".stripMargin,
+
+
+    // Same truth/cand re-derivation as eval_mrr; AP terms are integer
+    // hits_so_far·1e6 // rank over the relevant candidate positions
+    "eval_map" ->
+      """WITH w AS (
+        |  SELECT c.range AS c, d.range AS d,
+        |    ('0x' || substr(md5('ivf:42:' || c.range || ':' || d.range), 1, 15))::BIGINT % 2001 - 1000 AS wt
+        |  FROM range(0, 16) c, range(0, 64) d
+        |), q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, qv, list_sum([x*x FOR x IN qv]) AS n2 FROM q
+        |), truth AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |        CAST(list_sum([a.qv[i] * b.qv[i] FOR i IN range(1, len(a.qv) + 1)]) AS DOUBLE)
+        |          / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) DESC, b.vec_id) AS rank
+        |    FROM n a CROSS JOIN n b
+        |    WHERE a.vec_id < 20 AND a.vec_id != b.vec_id) q WHERE rank <= 10
+        |), dots AS (
+        |  SELECT q.vec_id, w.c, sum(w.wt * q.qv[w.d + 1]) AS dot
+        |  FROM q CROSS JOIN w GROUP BY q.vec_id, w.c
+        |), ranked_cells AS (
+        |  SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS cr
+        |  FROM dots
+        |), assign AS (
+        |  SELECT vec_id, c AS cell FROM ranked_cells WHERE cr = 1
+        |), probes AS (
+        |  SELECT vec_id, c AS cell FROM ranked_cells WHERE cr <= 4 AND vec_id < 20
+        |), cand AS (
+        |  SELECT query_id, neighbor_id, rank FROM (
+        |    SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        |        CAST(list_sum([na.qv[i] * nb.qv[i] FOR i IN range(1, len(na.qv) + 1)]) AS DOUBLE)
+        |          / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) DESC, a.vec_id) AS rank
+        |    FROM probes p
+        |    JOIN assign a ON a.cell = p.cell AND a.vec_id != p.vec_id
+        |    JOIN n na ON na.vec_id = p.vec_id
+        |    JOIN n nb ON nb.vec_id = a.vec_id) q WHERE rank <= 10
+        |), hits AS (
+        |  SELECT c.query_id, c.rank
+        |  FROM cand c JOIN truth t
+        |    ON t.query_id = c.query_id AND t.neighbor_id = c.neighbor_id
+        |), terms AS (
+        |  SELECT query_id,
+        |    count(*) OVER (PARTITION BY query_id ORDER BY rank) * 1000000 // rank AS term
+        |  FROM hits
+        |), perq AS (
+        |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |    CAST(sum(term) AS BIGINT) AS ap_sum_micro
+        |  FROM terms GROUP BY 1
+        |), nt AS (
+        |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth FROM truth GROUP BY 1
+        |)
+        |SELECT nt.query_id, nt.n_truth,
+        |  COALESCE(p.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+        |  COALESCE(p.ap_sum_micro, CAST(0 AS BIGINT)) AS ap_sum_micro,
+        |  CAST(COALESCE(p.ap_sum_micro, 0) // least(nt.n_truth, 10) AS BIGINT) AS ap_micro
+        |FROM nt LEFT JOIN perq p USING (query_id)
+        |ORDER BY nt.query_id""".stripMargin,
+
+
+    // two emb_covariance re-derivations (label parity populations), each
+    // numerator divided by its own n(n-1), joined and diffed; total order
+    // incl. the i,j tie-break makes the top-50 cut deterministic
+    "drift_cov_shift" ->
+      """WITH qa AS (
+        |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings WHERE label % 2 = 0
+        |), ela AS (
+        |  SELECT vec_id, i.range AS i, qv[i.range + 1] AS x
+        |  FROM qa CROSS JOIN range(0, 64) i
+        |), na AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qa),
+        |ma AS (SELECT i, CAST(sum(x) AS BIGINT) AS s FROM ela GROUP BY 1),
+        |pa AS (
+        |  SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS s_ij
+        |  FROM ela a JOIN ela b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY 1, 2
+        |), ca AS (
+        |  SELECT p.i, p.j,
+        |    CAST(((SELECT n FROM na) * p.s_ij - m1.s * m2.s)
+        |      // ((SELECT n FROM na) * ((SELECT n FROM na) - 1)) AS BIGINT) AS cov_ref
+        |  FROM pa p JOIN ma m1 ON m1.i = p.i JOIN ma m2 ON m2.i = p.j
+        |), qb AS (
+        |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings WHERE label % 2 = 1
+        |), elb AS (
+        |  SELECT vec_id, i.range AS i, qv[i.range + 1] AS x
+        |  FROM qb CROSS JOIN range(0, 64) i
+        |), nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qb),
+        |mb AS (SELECT i, CAST(sum(x) AS BIGINT) AS s FROM elb GROUP BY 1),
+        |pb AS (
+        |  SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS s_ij
+        |  FROM elb a JOIN elb b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY 1, 2
+        |), cb AS (
+        |  SELECT p.i, p.j,
+        |    CAST(((SELECT n FROM nb) * p.s_ij - m1.s * m2.s)
+        |      // ((SELECT n FROM nb) * ((SELECT n FROM nb) - 1)) AS BIGINT) AS cov_cur
+        |  FROM pb p JOIN mb m1 ON m1.i = p.i JOIN mb m2 ON m2.i = p.j
+        |)
+        |SELECT CAST(ca.i AS BIGINT) AS i, CAST(ca.j AS BIGINT) AS j,
+        |  ca.cov_ref, cb.cov_cur, abs(ca.cov_ref - cb.cov_cur) AS shift
+        |FROM ca JOIN cb ON cb.i = ca.i AND cb.j = ca.j
+        |ORDER BY shift DESC, i, j LIMIT 50""".stripMargin)
 }

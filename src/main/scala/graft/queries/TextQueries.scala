@@ -90,6 +90,18 @@ private[graft] trait TextQueries extends QueryHelpers {
     }),
 
 
+    "eval_langid_prf" -> ((s, dir) => {
+      // confusion-matrix audit of the lang-id heuristic against the
+      // fixture's ground-truth lang: per-class precision/recall/F1 in
+      // integer per-mille (F1 via the division-free 2tp/(2tp+fp+fn))
+      val docs = t(s, dir, "documents")
+      val pairs = docs.select(col("doc_id"), col("lang"))
+        .join(TextAnalysis.withLangId(spread(docs), "doc_id", "text"), "doc_id")
+      graft.operators.Eval.classMetrics(pairs, col("lang"), col("predicted_lang"))
+        .orderBy(col("cls"))
+    }),
+
+
     "text_freq_spectrum" -> ((s, dir) => {
       // corpus-health frequency spectrum (frequency-of-frequencies): how
       // many vocabulary types occur exactly k times, k <= 10, plus the tail
@@ -1380,6 +1392,57 @@ private[graft] trait TextQueries extends QueryHelpers {
         |       WHEN fr > en THEN 'fr'
         |       ELSE 'en' END AS predicted_lang
         |FROM hits ORDER BY doc_id""".stripMargin,
+
+
+    // text_langid's prediction CTE joined onto ground truth, then the two
+    // class marginals full-outer-joined; all metrics integer per-mille
+    "eval_langid_prf" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    length(text) AS total,
+        |    length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g')) AS no_cyr,
+        |    length(regexp_replace(text, '[一-鿿]', '', 'g')) AS no_cjk
+        |  FROM documents
+        |), hits AS (
+        |  SELECT doc_id, lang, total, no_cyr, no_cjk,
+        |    len(list_filter(toks, t -> list_contains(['the','a','and','of','to','in','is'], t))) AS en,
+        |    len(list_filter(toks, t -> list_contains(['el','la','de','que','y','los'], t))) AS es,
+        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','ein'], t))) AS de,
+        |    len(list_filter(toks, t -> list_contains(['le','la','les','et','est','une'], t))) AS fr
+        |  FROM base
+        |), pairs AS (
+        |  SELECT lang AS a,
+        |    CASE WHEN total - no_cyr > 0 THEN 'ru'
+        |         WHEN total - no_cjk > 0 THEN 'zh'
+        |         WHEN es > en AND es >= de AND es >= fr THEN 'es'
+        |         WHEN de > en AND de >= fr THEN 'de'
+        |         WHEN fr > en THEN 'fr'
+        |         ELSE 'en' END AS pr
+        |  FROM hits
+        |), bya AS (
+        |  SELECT a AS cls, CAST(count(*) AS BIGINT) AS n_actual,
+        |    CAST(sum(CASE WHEN a = pr THEN 1 ELSE 0 END) AS BIGINT) AS tp_a
+        |  FROM pairs GROUP BY 1
+        |), byp AS (
+        |  SELECT pr AS cls, CAST(count(*) AS BIGINT) AS n_pred,
+        |    CAST(sum(CASE WHEN a = pr THEN 1 ELSE 0 END) AS BIGINT) AS tp_p
+        |  FROM pairs GROUP BY 1
+        |), j AS (
+        |  SELECT COALESCE(bya.cls, byp.cls) AS cls,
+        |    COALESCE(n_actual, 0) AS n_actual, COALESCE(n_pred, 0) AS n_pred,
+        |    COALESCE(tp_a, tp_p, 0) AS tp
+        |  FROM bya FULL OUTER JOIN byp ON byp.cls = bya.cls
+        |)
+        |SELECT cls, n_actual, n_pred, tp,
+        |  n_pred - tp AS fp, n_actual - tp AS fn,
+        |  CASE WHEN n_pred = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(tp * 1000 // n_pred AS BIGINT) END AS precision_milli,
+        |  CASE WHEN n_actual = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(tp * 1000 // n_actual AS BIGINT) END AS recall_milli,
+        |  CASE WHEN 2 * tp + (n_pred - tp) + (n_actual - tp) = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(2 * tp * 1000 // (2 * tp + (n_pred - tp) + (n_actual - tp)) AS BIGINT)
+        |  END AS f1_milli
+        |FROM j ORDER BY cls""".stripMargin,
 
 
     "text_fingerprint" ->

@@ -2681,4 +2681,100 @@ class OperatorsSpec extends SparkSuite {
     assert(Layout.cmpAny(java.lang.Double.valueOf(2.5),
       java.lang.Integer.valueOf(2)) > 0, "float probes keep the double path")
   }
+
+  test("aucExact: perfect separator 1e6, anti-separator 0, ties average, bad label raises") {
+    import org.apache.spark.sql.functions.col
+    val perfect = Seq((1.0, 0L), (2.0, 0L), (3.0, 1L), (4.0, 1L)).toDF("s", "y")
+    val p = Eval.aucExact(perfect, col("s"), col("y")).collect()(0)
+    assert(p.getAs[Long]("auc_micro") == 1000000L)
+    assert(p.getAs[Long]("n_pos") == 2L && p.getAs[Long]("n_neg") == 2L)
+    val anti = Seq((1.0, 1L), (2.0, 1L), (3.0, 0L), (4.0, 0L)).toDF("s", "y")
+    assert(Eval.aucExact(anti, col("s"), col("y")).collect()(0)
+      .getAs[Long]("auc_micro") == 0L)
+    // one tied pair (score 2.0 shared by a pos and a neg) contributes 1/2:
+    // pairs = 4, conc = 3, tie = 1 -> auc = 3.5/4 = 0.875
+    val tied = Seq((1.0, 0L), (2.0, 1L), (2.0, 0L), (3.0, 1L)).toDF("s", "y")
+    assert(Eval.aucExact(tied, col("s"), col("y")).collect()(0)
+      .getAs[Long]("auc_micro") == 875000L)
+    val bad = Seq((1.0, 2L)).toDF("s", "y")
+    assertThrows[Exception](Eval.aucExact(bad, col("s"), col("y")).collect())
+  }
+
+  test("classMetrics: hand confusion incl. a prediction-only class and a truth-only class") {
+    import org.apache.spark.sql.functions.col
+    // truth: a a a b ; pred: a a b c  -> class a: tp=2 fp=0 fn=1;
+    // b: tp=0 fp=1 fn=1; c: prediction-only, tp=0 fp=1 fn=0
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "c")).toDF("t", "p")
+    val m = Eval.classMetrics(df, col("t"), col("p"))
+      .collect().map(r => r.getAs[String]("cls") -> r).toMap
+    assert(m("a").getAs[Long]("tp") == 2L && m("a").getAs[Long]("fp") == 0L
+      && m("a").getAs[Long]("fn") == 1L)
+    assert(m("a").getAs[Long]("precision_milli") == 1000L)
+    assert(m("a").getAs[Long]("recall_milli") == 666L)
+    assert(m("a").getAs[Long]("f1_milli") == 800L) // 2*2/(4+0+1)
+    assert(m("c").getAs[Long]("n_actual") == 0L && m("c").getAs[Long]("fp") == 1L
+      && m("c").getAs[Long]("f1_milli") == 0L)
+    assert(m("b").getAs[Long]("tp") == 0L && m("b").getAs[Long]("fn") == 1L)
+  }
+
+  test("apAtK: perfect ranking scores 1e6, miss scores 0, partial credit exact") {
+    import org.apache.spark.sql.functions.col
+    val truth = Seq((1L, 10L), (1L, 11L), (2L, 20L)).toDF("q", "i")
+    // q1: hits at ranks 1 and 2 (perfect); q2: no relevant candidate
+    val cand = Seq((1L, 10L, 1L), (1L, 11L, 2L), (2L, 99L, 1L)).toDF("q", "i", "r")
+    val m = Eval.apAtK(truth, cand, "q", "i", "r", k = 10)
+      .collect().map(r => r.getAs[Long]("query_id") -> r).toMap
+    assert(m(1L).getAs[Long]("ap_micro") == 1000000L)
+    assert(m(2L).getAs[Long]("ap_micro") == 0L && m(2L).getAs[Long]("n_truth") == 1L)
+    // hit at rank 2 only, |truth|=2: ap = (1e6 * 1/2) / 2 = 250000
+    val cand2 = Seq((1L, 99L, 1L), (1L, 10L, 2L)).toDF("q", "i", "r")
+    val m2 = Eval.apAtK(truth.filter(col("q") === 1L), cand2, "q", "i", "r")
+      .collect()(0)
+    assert(m2.getAs[Long]("ap_micro") == 250000L)
+  }
+
+  test("binaryQuantize: bits_set consistent with words, dim cap raises") {
+    import org.apache.spark.sql.functions.{bit_count, col}
+    val df = Seq(
+      (1L, Array(1.0f, -1.0f, 0.5f, -0.5f)),
+      (2L, Array(-1.0f, 1.0f, -0.5f, 0.5f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("id", "v")
+    val bq = Embeddings.binaryQuantize(df, "id", "v")
+    val rows = bq.withColumn("pc",
+      (bit_count(col("word_lo")) + bit_count(col("word_hi"))).cast("long")).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bits_set") == r.getAs[Long]("pc"))
+      assert(r.getAs[Long]("word_lo") >= 0L && r.getAs[Long]("word_hi") == 0L,
+        "4 dims live entirely in the low word")
+    }
+    // thresholds are per-dim means of the quantized values (mean of
+    // {1e6,-1e6,0} truncates toward zero to 0): id=1 exceeds on dims 0,2
+    val m = rows.map(r => r.getAs[Long]("id") -> r.getAs[Long]("word_lo")).toMap
+    assert(m(1L) == 5L && m(2L) == 10L && m(3L) == 0L)
+    val wide = Seq((1L, Array.fill(65)(1.0f))).toDF("id", "v")
+    assertThrows[Exception](Embeddings.binaryQuantize(wide, "id", "v").collect())
+  }
+
+  test("covShift: identical populations shift zero, sub-2-vector population raises") {
+    import org.apache.spark.sql.functions.col
+    val pop = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 1.0f)),
+      (3L, Array(2.0f, 2.0f))).toDF("id", "v")
+    val same = Drift.covShift(pop, pop, "id", "v").collect()
+    assert(same.length == 3 && same.forall(_.getAs[Long]("shift") == 0L))
+    val tiny = Seq((1L, Array(1.0f, 2.0f))).toDF("id", "v")
+    assertThrows[Exception](Drift.covShift(pop, tiny, "id", "v").collect())
+  }
+
+  test("shardBySize: within every band the shard deal is balanced to one doc") {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    val docs = (0L until 97L).map(i => (i, (i * 37L) % 500L)).toDF("id", "sz")
+    val a = Batching.shardBySize(docs, "id", col("sz"), nShards = 4, bands = 4)
+    assert(a.count() == 97L)
+    val spread = a.groupBy(col("band"), col("shard")).agg(count(lit(1)).as("n"))
+      .groupBy(col("band")).agg((max(col("n")) - min(col("n"))).as("d"))
+      .collect()
+    assert(spread.nonEmpty && spread.forall(_.getAs[Long]("d") <= 1L),
+      "round-robin within a band must balance shard counts to within one")
+    assert(a.select(col("shard")).distinct().count() == 4L)
+  }
 }
