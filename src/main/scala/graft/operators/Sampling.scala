@@ -435,4 +435,46 @@ object Sampling {
     spark.createDataset(rows.toSeq)
       .toDF("domain", "n_docs", "loss_micro", "excess_micro", "weight_micro", "alloc_docs")
   }
+
+  /** Data-constrained epoch allocation (the Muennighoff '23 recipe's
+    * deterministic core): the token budget targets an EQUAL per-source
+    * share (the uniform mixture — non-uniform mixtures compose via
+    * [[mixWeighted]]/[[temperatureAlloc]] upstream), but each source's
+    * draw is CAPPED at `maxEpochs` repeats of its actual tokens — the rule
+    * that stops a small high-value source from being scheduled 40 epochs
+    * when scaling laws say repeats past ~4 stop helping. Per source:
+    * `alloc = min(budget div n_sources, maxEpochs·tokens)` and
+    * `epochs_micro = alloc·10⁶ div tokens` via the exact nonneg
+    * decomposition `(a div d)·k + ((a mod d)·k) div d` (sizes must be
+    * non-negative — the decomposition is invalid across zero, the r11
+    * rule; negatives raise loudly). The unallocated remainder — budget the
+    * capped sources could not absorb — is reported so the caller can
+    * rescale or stop.
+    *
+    * Shape: one map-side-combined aggregation to the SOURCE domain + one
+    * one-row broadcast; the closing window runs over the source-domain
+    * relation (metadata-sized by definition). Corpus touched once. */
+  def epochAlloc(df: DataFrame, strataCol: String, sizeCol: Column,
+      budget: Long, maxEpochs: Int = 4): DataFrame = {
+    require(budget >= 0, "budget must be nonnegative")
+    require(maxEpochs >= 1, "maxEpochs must be positive")
+    val sz = when(sizeCol.cast("long") < 0,
+      raise_error(lit("epochAlloc: negative sizes break the truncating-division decomposition")))
+      .otherwise(sizeCol.cast("long"))
+    val per = df.groupBy(col(strataCol).cast("string").as("stratum"))
+      .agg(sum(sz).as("tokens"))
+    val tot = per.agg(count(lit(1)).as("n_sources"))
+    per.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("tokens"),
+        least(
+          expr(s"$budget div n_sources"),
+          expr(s"${maxEpochs.toLong} * tokens")).as("alloc"))
+      .withColumn("epochs_micro",
+        expr("CASE WHEN tokens = 0 THEN CAST(0 AS BIGINT) ELSE " +
+          "(alloc div tokens) * 1000000 + ((alloc % tokens) * 1000000) div tokens END"))
+      .withColumn("total_alloc", sum(col("alloc")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("stratum"), col("tokens"), col("alloc"), col("epochs_micro"),
+        greatest(lit(budget) - col("total_alloc"), lit(0L)).as("unallocated"))
+  }
 }

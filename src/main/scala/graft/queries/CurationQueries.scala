@@ -101,6 +101,19 @@ private[graft] trait CurationQueries extends QueryHelpers {
         .orderBy(col("stratum"))
     }),
 
+    "sample_epoch_alloc" -> ((s, dir) => {
+      // data-constrained epoch allocation: uniform per-source token target
+      // (108000 div 20 = 5400) capped at 4 epochs of actual tokens — the
+      // smaller sources cap (4·tokens < 5400), the rest take the share;
+      // unallocated reports the budget the caps stranded
+      graft.operators.Sampling.epochAlloc(
+        spread(t(s, dir, "documents")), "source",
+        graft.functions.TextFns.tokenCount(col("text")).cast("long"),
+        budget = 108000L, maxEpochs = 4)
+        .orderBy(col("stratum"))
+    }),
+
+
     "curation_url_filter" -> ((s, dir) => {
       // web front-door cut: synthesized per-doc URLs — every 5th doc sits
       // on a subdomain of a (maybe-)blocked parent domain, exercising the
@@ -1011,6 +1024,27 @@ private[graft] trait CurationQueries extends QueryHelpers {
         |SELECT source, n_rows, "column", n_nulls,
         |  CAST(n_nulls * 1000 // n_rows AS BIGINT) AS null_permille
         |FROM u ORDER BY source, "column"""".stripMargin,
+
+    // uniform share 108000 // 20 capped at 4 epochs; epochs_micro via the
+    // nonneg decomposition; unallocated = budget the caps stranded
+    "sample_epoch_alloc" ->
+      """WITH per AS (
+        |  SELECT CAST(source AS VARCHAR) AS stratum,
+        |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1
+        |), t AS (SELECT CAST(count(*) AS BIGINT) AS n_sources FROM per),
+        |a AS (
+        |  SELECT stratum, tokens,
+        |    least(108000 // (SELECT n_sources FROM t), 4 * tokens) AS alloc
+        |  FROM per
+        |), s AS (SELECT CAST(sum(alloc) AS BIGINT) AS total_alloc FROM a)
+        |SELECT stratum, tokens, CAST(alloc AS BIGINT) AS alloc,
+        |  CAST(CASE WHEN tokens = 0 THEN 0
+        |       ELSE (alloc // tokens) * 1000000 + ((alloc % tokens) * 1000000) // tokens
+        |  END AS BIGINT) AS epochs_micro,
+        |  CAST(greatest(108000 - (SELECT total_alloc FROM s), 0) AS BIGINT) AS unallocated
+        |FROM a ORDER BY stratum""".stripMargin,
+
 
     // same md5(class:id) rank as every quota; cap = least(n_class, 2*n_min)
     "sample_temperature" ->

@@ -162,6 +162,22 @@ private[graft] trait RelationalQueries extends QueryHelpers {
     }),
 
 
+    "q36_hourly_late_drop_stream" -> ((s, dir) => {
+      // the late-data axis no other streaming gate exercises: pre-Jan-5
+      // events arrive one micro-batch AFTER the recent tranche, so the
+      // 1-hour watermark drops every one of them, and append mode emits
+      // only the windows the final watermark passed — both effects encoded
+      // in the oracle's watermark cut (q19/q20 precedent)
+      graft.streaming.EventStream
+        .runHourlyLateDropOverRawEvents(s, s"$dir/events.parquet",
+          s"late_${System.nanoTime()}", "2024-01-05 00:00:00")
+        .select(
+          col("window_start").as("hour"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
+
     "q22_session_stats" -> ((s, dir) => {
       // per-user engagement rollup COMPOSED over the sessionization
       // operator: durations stay integer micros through the sums, one final
@@ -690,6 +706,26 @@ private[graft] trait RelationalQueries extends QueryHelpers {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events,
         |  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+
+    // on-time tranche only (every pre-cutoff row is dropped as late), and
+    // only windows whose end the final watermark passed: w_ms = ms-floored
+    // max on-time ts − 1h (the q19/q20 watermark formula)
+    "q36_hourly_late_drop_stream" ->
+      """WITH ot AS (
+        |  SELECT ts, event_type, value FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |), w AS (
+        |  SELECT (epoch_us(max(ts)) // 1000) - 3600000 AS w_ms FROM ot
+        |), agg AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events,
+        |    CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+        |  FROM ot GROUP BY 1, 2
+        |)
+        |SELECT hour, event_type, n_events, sum_value
+        |FROM agg, w
+        |WHERE (epoch_us(hour) // 1000) + 3600000 <= w.w_ms
+        |ORDER BY 1, 2""".stripMargin,
 
 
     "q27_enriched_nation_stream" ->

@@ -195,6 +195,18 @@ private[graft] trait TextQueries extends QueryHelpers {
         .orderBy(col("doc_id"))
     }),
 
+    "eval_heldout_perplexity" -> ((s, dir) => {
+      // the real LM eval: every 5th doc scored under a bigram LM trained
+      // on the OTHER 80% — unseen bigrams take the add-one floor via left
+      // joins; avg_nll_micro is per-bigram cross-entropy in micro-nats
+      val docs = spread(t(s, dir, "documents"))
+      TextAnalysis.bigramLogProbHeldout(
+        docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+
     "text_rake_terms" -> ((s, dir) => {
       // RAKE keywords: stopword-delimited candidate phrases, degree/freq
       // word scores, integer phrase-score sums — rewards multi-word terms,
@@ -1161,6 +1173,42 @@ private[graft] trait TextQueries extends QueryHelpers {
         |    AS logprob_scaled
         |FROM pp JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
         |GROUP BY 1 ORDER BY pp.doc_id""".stripMargin,
+
+    // train counts from the 80% split, scoring via LEFT joins with zero
+    // fallbacks (unseen bigram -> add-one floor); zero-bigram docs retained
+    "eval_heldout_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), gtr AS (
+        |  SELECT unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS gram
+        |  FROM toks WHERE doc_id % 5 != 0
+        |), ptr AS (
+        |  SELECT string_split(gram, ' ')[1] AS w1, string_split(gram, ' ')[2] AS w2 FROM gtr
+        |), c12 AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM ptr GROUP BY 1, 2
+        |), c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM c12),
+        |gsc AS (
+        |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS gram
+        |  FROM toks WHERE doc_id % 5 = 0
+        |), psc AS (
+        |  SELECT doc_id, string_split(gram, ' ')[1] AS w1, string_split(gram, ' ')[2] AS w2 FROM gsc
+        |), terms AS (
+        |  SELECT psc.doc_id,
+        |    CAST(floor(ln(COALESCE(c12.c12, 0) + 1) * 1e6 + 0.5) AS BIGINT)
+        |      - CAST(floor(ln(COALESCE(c1.c1, 0) + (SELECT v FROM v)) * 1e6 + 0.5) AS BIGINT) AS term
+        |  FROM psc LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)
+        |), agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(term) AS BIGINT) AS logprob_scaled
+        |  FROM terms GROUP BY 1
+        |), ids AS (SELECT doc_id FROM toks WHERE doc_id % 5 = 0)
+        |SELECT ids.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(a.logprob_scaled, 0) AS logprob_scaled,
+        |  CASE WHEN COALESCE(a.n_bigrams, 0) = 0 THEN NULL
+        |       ELSE CAST((-a.logprob_scaled) // a.n_bigrams AS BIGINT) END AS avg_nll_micro
+        |FROM ids LEFT JOIN agg a USING (doc_id) ORDER BY ids.doc_id""".stripMargin,
+
 
     // islands via the cumulative stopword count (tie-free default frame),
     // word degree/frequency over phrase membership, integer phrase sums

@@ -351,6 +351,47 @@ object EventStream {
     s2.table(name)
   }
 
+  /** Watermark LATE-DATA DROP, end to end — the semantics every streaming
+    * gate so far leaves unexercised (their fixtures arrive in one batch, so
+    * nothing is ever late): the event history is split at `cutoffTs` and fed
+    * as TWO micro-batches in inverted time order — recent events first, the
+    * pre-cutoff tranche arriving AFTER the watermark has advanced past it.
+    * [[hourlyAgg]]'s 1-hour watermark then (a) DROPS every late row (their
+    * windows were finalized when the watermark passed), and (b) in append
+    * mode emits exactly the windows whose end the final watermark passed —
+    * trailing windows stay withheld. The result is therefore a pure
+    * function of the fixture: hourly agg over the on-time tranche,
+    * restricted to `window_end <= max(on-time ts, ms-floored) − 1h` — the
+    * oracle-expressible watermark cut (the q19/q20 precedent; the fixture
+    * has no exact hour-boundary max ts, so <= vs < cannot diverge).
+    *
+    * Batch order is pinned STRUCTURALLY (no modification-time games, which
+    * proved unreliable on local filesystems): the on-time tranche is the
+    * only data on disk when the query starts and is fully drained first;
+    * the late tranche is written while the query is live and drained as a
+    * later micro-batch — the StreamingSpec stop-append-restart precedent
+    * without the restart. Scale note: the two-tranche rewrite is harness
+    * plumbing — production late data arrives late on its own. */
+  def runHourlyLateDropOverRawEvents(spark: SparkSession, path: String,
+      name: String, cutoffTs: String): DataFrame = {
+    val s2 = statePinnedSession(spark)
+    val base = rawEvents(s2, path)
+    val dir = java.nio.file.Files.createTempDirectory("graft_late_feed").toString
+    val cut = lit(cutoffTs).cast("timestamp")
+    base.filter(col("ts") >= cut).coalesce(1).write.mode("overwrite").parquet(s"$dir/a")
+    val stream = s2.readStream.schema(EventSchema).parquet(s"$dir/*/part-*")
+    val q = hourlyAgg(stream).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable() // drain the on-time tranche; watermark advances
+    base.filter(col("ts") < cut).coalesce(1).write.mode("overwrite").parquet(s"$dir/b")
+    q.processAllAvailable() // the late tranche arrives behind the watermark
+    q.stop()
+    s2.table(name)
+  }
+
   final case class MicroEvent(user_id: Long, ts_us: Long)
   final case class MicroSession(user_id: Long, n_events: Long, started_us: Long, ended_us: Long)
 

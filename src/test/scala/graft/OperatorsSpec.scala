@@ -2765,6 +2765,41 @@ class OperatorsSpec extends SparkSuite {
     assertThrows[Exception](Drift.covShift(pop, tiny, "id", "v").collect())
   }
 
+  test("bigramLogProbHeldout: self-scoring equals bigramLogProb, unseen text floors, empty doc retained") {
+    val train = Seq((1L, "a b a b c"), (2L, "a b c d")).toDF("doc_id", "text")
+    // scoring the training set itself must reproduce the in-sample scorer
+    val self = TextAnalysis.bigramLogProbHeldout(train, train, "doc_id", "text")
+      .select($"doc_id", $"n_bigrams", $"logprob_scaled")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val insample = TextAnalysis.bigramLogProb(train, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(self == insample)
+    // a doc of entirely-unseen words scores the add-one floor -qln(V) per
+    // bigram (V = 4 successors: b, a, c, d); an empty doc keeps its row
+    val held = Seq((10L, "x y z"), (11L, "")).toDF("doc_id", "text")
+    val h = TextAnalysis.bigramLogProbHeldout(train, held, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val qlnV = math.floor(math.log(4.0) * 1e6 + 0.5).toLong
+    assert(h(10L).getAs[Long]("n_bigrams") == 2L)
+    assert(h(10L).getAs[Long]("logprob_scaled") == -2L * qlnV)
+    assert(h(11L).getAs[Long]("n_bigrams") == 0L && h(11L).isNullAt(3))
+  }
+
+  test("epochAlloc: small sources cap at maxEpochs, big take the share, remainder reported") {
+    // source a: 10 tokens (cap 40 < share 50) ; source b: 100 tokens
+    val df = Seq(("a", 10L), ("b", 100L)).toDF("src", "n")
+    val r = Sampling.epochAlloc(df, "src", $"n", budget = 100L, maxEpochs = 4)
+      .collect().map(x => x.getAs[String]("stratum") -> x).toMap
+    assert(r("a").getAs[Long]("alloc") == 40L)
+    assert(r("a").getAs[Long]("epochs_micro") == 4000000L)
+    assert(r("b").getAs[Long]("alloc") == 50L)
+    assert(r("b").getAs[Long]("epochs_micro") == 500000L)
+    assert(r("a").getAs[Long]("unallocated") == 10L)
+    val bad = Seq(("a", -1L)).toDF("src", "n")
+    assertThrows[Exception](
+      Sampling.epochAlloc(bad, "src", $"n", budget = 10L).collect())
+  }
+
   test("shardBySize: within every band the shard deal is balanced to one doc") {
     import org.apache.spark.sql.functions.{col, count, lit, max, min}
     val docs = (0L until 97L).map(i => (i, (i * 37L) % 500L)).toDF("id", "sz")

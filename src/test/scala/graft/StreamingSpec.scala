@@ -455,4 +455,26 @@ class StreamingSpec extends SparkSuite {
         !(col("seg") <=> col("bseg")))
     assert(mismatches.count() == 0)
   }
+
+  test("late-data drop: pre-cutoff tranche contributes nothing, trailing windows withheld") {
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val cutoff = "2024-01-05 00:00:00"
+    val res = EventStream.runHourlyLateDropOverRawEvents(
+      spark, path, s"late_spec_${System.nanoTime()}", cutoff)
+    val cut = lit(cutoff).cast("timestamp")
+    // (a) every late row was dropped: no emitted window precedes the cutoff
+    assert(res.filter(col("window_start") < cut).count() == 0L)
+    // (b) append mode withholds windows the watermark never passed: the
+    // on-time tranche's final hour(s) are absent from the result
+    val onTime = EventStream.rawEvents(spark, path).filter(col("ts") >= cut)
+    val maxStart = onTime.agg(max(date_trunc("hour", col("ts")))).collect()(0).getTimestamp(0)
+    assert(res.filter(col("window_start") === maxStart).count() == 0L,
+      "the trailing window must stay withheld (watermark never passed its end)")
+    // (c) emitted windows carry the exact batch aggregation values
+    val batchTwin = EventStream.hourlyAgg(onTime)
+      .select(col("window_start"), col("event_type"), col("n_events").as("bn"))
+    val j = res.join(batchTwin, Seq("window_start", "event_type"))
+    assert(j.count() == res.count())
+    assert(j.filter(col("n_events") =!= col("bn")).count() == 0L)
+  }
 }
