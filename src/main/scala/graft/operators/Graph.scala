@@ -540,4 +540,46 @@ object Graph {
     }
     dist
   }
+
+  /** Strongly-connected-component membership of the minimum-id pivot in a
+    * DIRECTED graph — the Fleischer/Hendrickson/Pinar forward-backward
+    * kernel (the building block distributed SCC decompositions recurse on):
+    * SCC(pivot) = forward-reachable(pivot) ∩ backward-reachable(pivot).
+    * Directedness is the whole point — [[bfsHops]] symmetrizes and so sees
+    * weakly-connected reach; this is the operator that tells a one-way
+    * citation chain from a genuine cycle (link farms, circular supply
+    * chains, mutual-follow cores).
+    *
+    * Both reachability passes are `rounds`-bounded frontier expansions
+    * (min-dist semiring, same per-round shape as [[bfsHops]]: one
+    * equi-join on the persisted edge relation + one min-agg), so the
+    * result is exactly "the pivot's SCC restricted to members within
+    * `rounds` hops each way" — a pure function of the data, which is what
+    * makes it oracle-checkable; size `rounds` to the expected cycle
+    * diameter. Output: (node, fw_dist, bw_dist) for members, pivot at
+    * (0, 0). */
+  def sccPivot(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "need at least one round")
+    val e = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .transform(Residuals.persist)
+    val pivot = e.agg(least(min(col("a")), min(col("b"))).as("p")).head().getLong(0)
+    def reach(adj: DataFrame): DataFrame = {
+      var dist = e.sparkSession.range(1).select(lit(pivot).as("node"), lit(0L).as("dist"))
+      for (_ <- 1 to rounds) {
+        val prop = adj
+          .join(dist.select(col("node").as("x"), col("dist")), "x")
+          .select(col("v").as("node"), (col("dist") + 1).as("dist"))
+        dist = dist.union(prop).groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      }
+      dist
+    }
+    val fw = reach(e.select(col("a").as("x"), col("b").as("v")))
+    val bw = reach(e.select(col("b").as("x"), col("a").as("v")))
+    fw.select(col("node"), col("dist").as("fw_dist"))
+      .join(bw.select(col("node"), col("dist").as("bw_dist")), "node")
+  }
 }

@@ -91,6 +91,29 @@ object Quality {
     Rule(s"accepted_values($c)",
       sum(when(col(c).isNotNull && !col(c).isInCollection(values), 1L).otherwise(0L)))
 
+  /** Conditional expectation (Deequ's `satisfies` with a where-clause):
+    * every row matching `cond` must also satisfy `expect` — the
+    * cross-field rules ([[inRange]] and friends are single-column) that
+    * catch "purchases with zero value" or "zh docs tagged source=web-en".
+    * A row where `expect` evaluates to NULL under a matching `cond` is a
+    * violation (unknown is not compliance — pair with [[notNull]] if the
+    * field is allowed to be absent). Same one-aggregate contract as every
+    * rule. */
+  def implies(label: String, cond: Column, expect: Column): Rule =
+    Rule(s"implies($label)",
+      sum(when(cond && !coalesce(expect, lit(false)), 1L).otherwise(0L)))
+
+  /** The COMBINATION of `cols` must be unique (composite business key) —
+    * violations count duplicate rows beyond the first of each combination.
+    * NULL fields participate in the combination (two (NULL, 'a') rows ARE
+    * duplicates — struct equality, not SQL null-propagation), which is the
+    * useful reading for a key audit. */
+  def uniqueTogether(cols: Seq[String]): Rule = {
+    require(cols.size >= 2, "uniqueTogether needs at least two columns (use unique for one)")
+    Rule(s"unique_together(${cols.mkString(",")})",
+      count(lit(1)) - count_distinct(struct(cols.map(col): _*)))
+  }
+
   /** The single aggregation all rules share — exposed so plan tests can
     * pin the one-scan property (the returned frame of [[check]] is built
     * from the collected row and carries no scan). */

@@ -477,4 +477,38 @@ object Sampling {
       .select(col("stratum"), col("tokens"), col("alloc"), col("epochs_micro"),
         greatest(lit(budget) - col("total_alloc"), lit(0L)).as("unallocated"))
   }
+
+  /** 2-D Pareto front (skyline) over two maximize-me integer signals — the
+    * data-selection answer when two quality axes genuinely trade off
+    * (length vs diversity, fluency vs rarity): a doc survives iff NO other
+    * doc is at least as good on both axes and strictly better on one.
+    * Naively O(n²); here it is two window passes over the DISTINCT-X
+    * relation: per x, `ymax(x)`; then `M(x) = max ymax over x' > x`
+    * (cumulative max over x descending, exclusive frame). A doc is on the
+    * front iff `y = ymax(x)` (nothing at the same x beats it) AND
+    * `y > M(x)` (nothing at strictly larger x ties-or-beats it) — ties on
+    * both axes all survive, the standard skyline reading. NULL in either
+    * signal raises (a null coordinate has no dominance order).
+    *
+    * Shape: one map-side-combined agg to the x-domain + one window over
+    * that DOMAIN relation (the [[Eval.aucExact]]/KS scale argument:
+    * bounded by the value domain, not the corpus) + one broadcast-ready
+    * equi-join back. */
+  def paretoFront(df: DataFrame, idCol: String, xCol: Column, yCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def checked(c: Column, n: String): Column =
+      when(c.cast("long").isNull,
+        raise_error(lit(s"paretoFront: NULL $n signal has no dominance order")))
+        .otherwise(c.cast("long"))
+    val pts = df.select(col(idCol), checked(xCol, "x").as("x"), checked(yCol, "y").as("y"))
+    val dom = pts.groupBy(col("x")).agg(max(col("y")).as("ymax"))
+    val w = Window.orderBy(col("x").desc).rowsBetween(Window.unboundedPreceding, -1)
+    val front = dom
+      .withColumn("m", max(col("ymax")).over(w))
+      .filter(col("m").isNull || col("ymax") > col("m"))
+      .select(col("x"), col("ymax"))
+    pts.join(front, Seq("x"))
+      .filter(col("y") === col("ymax"))
+      .select(col(idCol), col("x"), col("y"))
+  }
 }

@@ -239,6 +239,69 @@ object VersionedTable {
       readDeclared(spark, m, m.files.map(f => s"$dir/${f.path}")))
   }
 
+  /** Create an immutable named TAG pointing at `version` (latest when -1)
+    * — the Iceberg/Delta ref that turns "the snapshot we trained run X on"
+    * into a durable name instead of a number someone has to remember.
+    * Zero-copy by construction: a tag is one tiny JSON under `_refs/`
+    * holding the version number; no data file is touched, and [[vacuum]]
+    * operates on version numbers so a caller keeps tagged versions alive
+    * by keeping `keepFrom` at or below them. Commit is the same atomic
+    * no-overwrite rename as a manifest — re-tagging an existing name
+    * raises (tags are immutable; delete-and-recreate is an explicit,
+    * visible operation via [[dropTag]]). */
+  def tag(spark: SparkSession, dir: String, name: String, version: Long = -1L): Long = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"tag name must be [A-Za-z0-9._-]+: $name")
+    val v = if (version < 0) latestVersion(spark, dir) else version
+    readManifest(spark, dir, v) // existence check: refuse to tag a hole
+    val (fs, target) = hfs(spark, s"$dir/_refs/$name.json")
+    fs.mkdirs(target.getParent)
+    val qTarget = fs.makeQualified(target)
+    val tmp = fs.makeQualified(new org.apache.hadoop.fs.Path(
+      target.getParent, s".$name.${java.util.UUID.randomUUID()}.tmp"))
+    val node = mapper.createObjectNode()
+    node.put("name", name).put("version", v)
+    val out = fs.create(tmp, true)
+    try out.write(mapper.writeValueAsString(node).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+      fc.rename(tmp, qTarget, org.apache.hadoop.fs.Options.Rename.NONE)
+    } catch {
+      case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                _: java.nio.file.FileAlreadyExistsException) =>
+        fs.delete(tmp, false)
+        throw new CommitConflictException(s"tag '$name' already exists: $e")
+    }
+    v
+  }
+
+  /** Resolve a tag to its version number; loud on a missing tag. */
+  def tagVersion(spark: SparkSession, dir: String, name: String): Long = {
+    val (fs, p) = hfs(spark, s"$dir/_refs/$name.json")
+    if (!fs.exists(p))
+      throw new NoSuchElementException(s"no tag '$name' at $dir")
+    val in = fs.open(p)
+    val json = try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    mapper.readTree(json).path("version").asLong()
+  }
+
+  /** Read the table at a named tag — [[read]] at [[tagVersion]]. */
+  def readTag(spark: SparkSession, dir: String, name: String): DataFrame =
+    read(spark, dir, tagVersion(spark, dir, name))
+
+  /** Delete a tag (the data and manifests are untouched — only the name
+    * goes away). Returns whether the tag existed. */
+  def dropTag(spark: SparkSession, dir: String, name: String): Boolean = {
+    val (fs, p) = hfs(spark, s"$dir/_refs/$name.json")
+    fs.delete(p, false)
+  }
+
   /** Range read with manifest-stat pruning — the zone map IS the manifest.
     * Returns (pruned reader with the residual filter applied, files kept,
     * files total). */

@@ -290,6 +290,39 @@ private[graft] trait CurationQueries extends QueryHelpers {
     }),
 
 
+    "quality_conditional" -> ((s, dir) => {
+      // cross-field expectations: implies (Deequ satisfies-where) and
+      // composite-key uniqueness, still ONE aggregation pass; the
+      // over-50 purchase rule intentionally fails so both verdicts gate
+      val q = graft.operators.Quality
+      q.check(events(s, dir), Seq(
+        q.implies("purchase_value_positive",
+          col("event_type") === "purchase", col("value") > 0.0),
+        q.implies("purchase_value_over_50",
+          col("event_type") === "purchase", col("value") > 50.0),
+        q.uniqueTogether(Seq("user_id", "ts")),
+        q.uniqueTogether(Seq("event_type", "event_id"))))
+        .orderBy(col("rule"))
+    }),
+
+
+    "sample_pareto_front" -> ((s, dir) => {
+      // 2-D skyline data selection over (token count, type diversity
+      // permille): survivors are the docs no other doc ties-or-beats on
+      // both axes — window over the distinct-length DOMAIN, never n²
+      import graft.functions.TextFns
+      val sig = spread(t(s, dir, "documents")).select(col("doc_id"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_toks"),
+        size(array_distinct(TextFns.tokens(col("text")))).cast("long").as("n_types"))
+        .filter(col("n_toks") > 0)
+        .select(col("doc_id"), col("n_toks"),
+          expr("n_types * 1000 div n_toks").as("div_permille"))
+      graft.operators.Sampling.paretoFront(sig, "doc_id",
+        col("n_toks"), col("div_permille"))
+        .orderBy(col("doc_id"))
+    }),
+
+
     "corpus_snapshot_diff" -> ((s, dir) => {
       // ingest audit: row-level added/removed/changed/unchanged between two
       // snapshots — one full-outer equi-join on the key, null-safe column
@@ -1350,6 +1383,62 @@ private[graft] trait CurationQueries extends QueryHelpers {
         |    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
         |  FROM documents
         |) q ORDER BY "column"""".stripMargin,
+
+
+    // implies = count(cond AND NOT coalesce(expect, false)); composite
+    // uniqueness via row-value DISTINCT (NULL fields compare equal in both
+    // engines' distinct semantics)
+    "quality_conditional" ->
+      """SELECT * FROM (
+        |  SELECT 'implies(purchase_value_positive)' AS rule,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      AND NOT COALESCE(value > 0.0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+        |    CAST(CASE WHEN sum(CASE WHEN event_type = 'purchase'
+        |      AND NOT COALESCE(value > 0.0, FALSE) THEN 1 ELSE 0 END) = 0
+        |      THEN 1 ELSE 0 END AS BIGINT) AS passed
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'implies(purchase_value_over_50)',
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      AND NOT COALESCE(value > 50.0, FALSE) THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(CASE WHEN sum(CASE WHEN event_type = 'purchase'
+        |      AND NOT COALESCE(value > 50.0, FALSE) THEN 1 ELSE 0 END) = 0
+        |      THEN 1 ELSE 0 END AS BIGINT)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'unique_together(user_id,ts)',
+        |    CAST(count(*) - count(DISTINCT (user_id, ts)) AS BIGINT),
+        |    CAST(CASE WHEN count(*) = count(DISTINCT (user_id, ts))
+        |      THEN 1 ELSE 0 END AS BIGINT)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'unique_together(event_type,event_id)',
+        |    CAST(count(*) - count(DISTINCT (event_type, event_id)) AS BIGINT),
+        |    CAST(CASE WHEN count(*) = count(DISTINCT (event_type, event_id))
+        |      THEN 1 ELSE 0 END AS BIGINT)
+        |  FROM events
+        |) q ORDER BY rule""".stripMargin,
+
+
+    // skyline re-derived: ymax per x, exclusive descending cummax, front =
+    // strict improvement; signals re-derived from the shared token split
+    "sample_pareto_front" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS x,
+        |    CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) * 1000
+        |      // len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS y
+        |  FROM documents
+        |  WHERE len(regexp_split_to_array(trim(text), '\s+')) > 0
+        |), dom AS (SELECT x, max(y) AS ymax FROM s GROUP BY 1),
+        |m AS (
+        |  SELECT x, ymax, max(ymax) OVER (ORDER BY x DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m
+        |  FROM dom
+        |), front AS (SELECT x, ymax FROM m WHERE m IS NULL OR ymax > m)
+        |SELECT s.doc_id, s.x, s.y
+        |FROM s JOIN front ON front.x = s.x AND s.y = front.ymax
+        |ORDER BY s.doc_id""".stripMargin,
 
 
     "quality_check" ->

@@ -151,6 +151,24 @@ private[graft] trait GraphQueries extends QueryHelpers {
     }),
 
 
+    "graph_scc_pivot" -> ((s, dir) => {
+      // DIRECTED strong connectivity — the axis every other graph gate
+      // symmetrizes away: supplier keys form directed 6-rings (k -> next
+      // in its 6-block, wrapping) plus acyclic k -> k+6 chords; the
+      // pivot's (min key) SCC is exactly its ring — forward ∩ backward
+      // reachability keeps the ring and provably excludes every
+      // chord-reached node (no path back)
+      val sk = t(s, dir, "supplier").select(col("s_suppkey").cast("long").as("k"))
+      val ring = sk.select(col("k").as("src"),
+        (col("k") - col("k") % 6 + (col("k") % 6 + 1) % 6).as("dst"))
+      val chord = sk.select(col("k").as("src"), (col("k") + 6).as("dst"))
+      val edges = ring.union(chord)
+        .join(sk.withColumnRenamed("k", "dst"), Seq("dst"), "left_semi")
+      graft.operators.Graph.sccPivot(edges, "src", "dst", rounds = 5)
+        .orderBy(col("node"))
+    }),
+
+
     "graph_clustering_coeff" -> ((s, dir) => {
       // per-node clustering coefficient: 2·tri·1e6 div deg(deg-1) over the
       // chord graph — composition of the gated triangle count with one
@@ -176,7 +194,38 @@ private[graft] trait GraphQueries extends QueryHelpers {
         .orderBy(col("node"))
     }))
 
+  /** Generated unrolled forward/backward directed BFS (5 rounds each) from
+    * the min-key pivot over the ring+chord graph — the kcenter
+    * generated-oracle precedent applied to reachability. */
+  private val sccPivotOracle: String = {
+    def rounds(prefix: String, joinSrc: String, joinDst: String): String =
+      (1 to 5).map { r =>
+        s""", $prefix$r AS (
+           |  SELECT node, min(dist) AS dist FROM (
+           |    SELECT node, dist FROM $prefix${r - 1}
+           |    UNION ALL SELECT ed.$joinDst AS node, p.dist + 1 AS dist
+           |    FROM ed JOIN $prefix${r - 1} p ON p.node = ed.$joinSrc) q GROUP BY 1
+           |)""".stripMargin
+      }.mkString
+    """WITH sk AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier),
+      |e AS (
+      |  SELECT src, dst FROM (
+      |    SELECT k AS src, k - (k % 6) + ((k % 6) + 1) % 6 AS dst FROM sk
+      |    UNION ALL SELECT k AS src, k + 6 AS dst FROM sk
+      |  ) q WHERE dst IN (SELECT k FROM sk) AND src != dst
+      |), ed AS (SELECT DISTINCT src, dst FROM e),
+      |pv AS (SELECT least((SELECT min(src) FROM ed), (SELECT min(dst) FROM ed)) AS p),
+      |f0 AS (SELECT (SELECT p FROM pv) AS node, 0 AS dist),
+      |b0 AS (SELECT (SELECT p FROM pv) AS node, 0 AS dist)""".stripMargin +
+      rounds("f", "src", "dst") + rounds("b", "dst", "src") +
+      """
+        |SELECT f5.node, CAST(f5.dist AS BIGINT) AS fw_dist, CAST(b5.dist AS BIGINT) AS bw_dist
+        |FROM f5 JOIN b5 USING (node) ORDER BY node""".stripMargin
+  }
+
   protected def graphOracles: Map[String, String] = Map(
+
+    "graph_scc_pivot" -> sccPivotOracle,
 
     // fixed-point PageRank, 3 unrolled iterations — every step integer
     // division + order-free integer sums, so the ranks are bit-identical

@@ -216,6 +216,18 @@ private[graft] trait LakeQueries extends QueryHelpers {
     }),
 
 
+    "lake_tag_read" -> ((s, dir) => {
+      // named refs: tag v1 as train-run-1 (one tiny JSON under _refs/,
+      // zero data files touched — the "snapshot we trained on" name), then
+      // read THROUGH the tag; must equal the original corpus exactly
+      val tmp = lakeTable(s, dir, "travel")
+      val vt = graft.operators.VersionedTable
+      try vt.tag(s, tmp, "train-run-1", 1L)
+      catch { case _: vt.CommitConflictException => () } // already tagged this JVM
+      vt.readTag(s, tmp, "train-run-1").orderBy(col("doc_id"))
+    }),
+
+
     "lake_optimize" -> ((s, dir) => {
       // OPTIMIZE as a transaction: v1 = corpus in uniform 100-row files,
       // v2 = selective optimize (150-row groups) — multi-file groups
@@ -470,6 +482,12 @@ private[graft] trait LakeQueries extends QueryHelpers {
 
     // reading v1 AFTER the v2 merge commit must return the original corpus
     "lake_time_travel" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+
+    // a tag is a name for a version: reading through it == reading v1
+    "lake_tag_read" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
 

@@ -304,4 +304,27 @@ class LakeSpec extends SparkSuite {
     val byGrp = plan.groupBy(_.getLong(3)).view.mapValues(_.map(_.getLong(2)).sorted).toMap
     assert(byGrp(0L).max < byGrp(1L).min)
   }
+
+  test("tags: named ref reads the tagged version, tags are immutable, drop removes only the name") {
+    val dir = freshDir("tags")
+    VT.init(spark, dir, base, "doc_id", targetRowsPerFile = 200L)
+    VT.upsert(spark, dir, changeSet(base), targetRowsPerFile = 200L)
+    // tag v1 explicitly and the latest implicitly
+    assert(VT.tag(spark, dir, "pre-merge", 1L) == 1L)
+    assert(VT.tag(spark, dir, "latest-run") == 2L)
+    assert(VT.tagVersion(spark, dir, "pre-merge") == 1L)
+    assert(sameContent(VT.readTag(spark, dir, "pre-merge"), VT.read(spark, dir, 1L)))
+    assert(sameContent(VT.readTag(spark, dir, "latest-run"), VT.read(spark, dir, 2L)))
+    // immutable: re-tagging an existing name raises, content unchanged
+    assertThrows[VT.CommitConflictException](VT.tag(spark, dir, "pre-merge", 2L))
+    assert(VT.tagVersion(spark, dir, "pre-merge") == 1L)
+    // a bad name or a hole refuses up front
+    assertThrows[IllegalArgumentException](VT.tag(spark, dir, "no/slashes", 1L))
+    assertThrows[NoSuchElementException](VT.tag(spark, dir, "ghost", 99L))
+    // drop removes the NAME only — the version stays readable by number
+    assert(VT.dropTag(spark, dir, "pre-merge"))
+    assertThrows[NoSuchElementException](VT.tagVersion(spark, dir, "pre-merge"))
+    assert(sameContent(VT.read(spark, dir, 1L), base))
+    assert(!VT.dropTag(spark, dir, "pre-merge"))
+  }
 }

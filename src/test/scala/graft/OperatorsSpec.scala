@@ -2800,6 +2800,50 @@ class OperatorsSpec extends SparkSuite {
       Sampling.epochAlloc(bad, "src", $"n", budget = 10L).collect())
   }
 
+  test("sccPivot: directed ring is the SCC, chord-reached nodes excluded, distances exact") {
+    // ring 0 -> 1 -> 2 -> 0 (the pivot's SCC), chord 2 -> 5 -> 6 (one-way:
+    // forward-reachable, never backward), and a disjoint ring 8 <-> 9
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 5L), (5L, 6L),
+      (8L, 9L), (9L, 8L)).toDF("s", "d")
+    val r = Graph.sccPivot(edges, "s", "d", rounds = 4)
+      .collect().map(x => x.getAs[Long]("node") ->
+        (x.getAs[Long]("fw_dist"), x.getAs[Long]("bw_dist"))).toMap
+    assert(r.keySet == Set(0L, 1L, 2L))
+    assert(r(0L) == (0L, 0L))
+    assert(r(1L) == (1L, 2L)) // forward 1 hop; backward via 2 -> 0
+    assert(r(2L) == (2L, 1L))
+  }
+
+  test("quality implies and uniqueTogether: null expect is a violation, null fields compare equal") {
+    val df = Seq(
+      ("purchase", Some(5.0), Some(1L), "a"),
+      ("purchase", None, Some(1L), "b"), // null value under a matching cond -> violation
+      ("purchase", Some(-1.0), None, "a"),
+      ("view", None, None, "a")) // cond false -> never a violation
+      .toDF("t", "v", "k", "g")
+    val res = Quality.check(df, Seq(
+      Quality.implies("pos_value", $"t" === "purchase", $"v" > 0.0),
+      Quality.uniqueTogether(Seq("k", "g"))))
+      .collect().map(r => r.getAs[String]("rule") -> r.getAs[Long]("violations")).toMap
+    assert(res("implies(pos_value)") == 2L) // the null and the -1
+    // combos: (1,a),(1,b),(null,a),(null,a) -> the two (null,a) rows ARE dups
+    assert(res("unique_together(k,g)") == 1L)
+    assertThrows[IllegalArgumentException](Quality.uniqueTogether(Seq("k")))
+  }
+
+  test("paretoFront: dominated points drop, axis ties survive, null signal raises") {
+    // (5,10) and (10,5) are the front; (5,5) dominated by both; (3,10) is
+    // dominated by (5,10) (tie on y, strict on x); (10,5) duplicated ->
+    // both copies survive (full tie)
+    val pts = Seq((1L, 5L, 10L), (2L, 10L, 5L), (3L, 5L, 5L), (4L, 3L, 10L),
+      (5L, 10L, 5L)).toDF("id", "xx", "yy")
+    val front = Sampling.paretoFront(pts, "id", $"xx", $"yy")
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(front == Set(1L, 2L, 5L))
+    val bad = Seq((1L, Some(5L), Option.empty[Long])).toDF("id", "xx", "yy")
+    assertThrows[Exception](Sampling.paretoFront(bad, "id", $"xx", $"yy").collect())
+  }
+
   test("shardBySize: within every band the shard deal is balanced to one doc") {
     import org.apache.spark.sql.functions.{col, count, lit, max, min}
     val docs = (0L until 97L).map(i => (i, (i * 37L) % 500L)).toDF("id", "sz")

@@ -618,4 +618,36 @@ class PlanSpec extends SparkSuite {
       truth, truth, "query_id", "neighbor_id", "grade", "rank"))
     assert(!pn.contains("CartesianProduct") && !pn.contains("BroadcastNestedLoopJoin"), pn)
   }
+
+  test("round-12 session 5: shard windows partition by band, binary thresholds broadcast") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+    // shardBySize: the dealing window must partition by BAND (parallel
+    // across bands); the only legitimate SinglePartition gather is the
+    // one-row percentile-threshold aggregate, which is metadata-sized —
+    // so the exchange FEEDING the window has to be a band hash
+    val psh = plan(graft.operators.Batching.shardBySize(
+      docs, "doc_id", col("n_chars"), nShards = 4, bands = 8))
+    assert(psh.contains("hashpartitioning(band"), psh)
+
+    // binaryQuantize: the d-row threshold relation must come back as a
+    // broadcast join, never a shuffled one keyed on the corpus
+    val pbq = plan(graft.operators.Embeddings.binaryQuantize(
+      embs, "vec_id", "embedding"))
+    assert(pbq.contains("BroadcastHashJoin"), pbq)
+    assert(!pbq.contains("SortMergeJoin"), pbq)
+
+    // classMetrics: two class-domain aggregations, no nested-loop anywhere
+    val pcm = plan(graft.operators.Eval.classMetrics(
+      docs.select(col("lang").as("a"), col("source").as("p")), col("a"), col("p")))
+    assert(!pcm.contains("CartesianProduct") && !pcm.contains("BroadcastNestedLoopJoin"), pcm)
+
+    // heldout perplexity: count joins stay equi-joins on the bigram domain
+    val php = plan(graft.operators.TextAnalysis.bigramLogProbHeldout(
+      docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0),
+      "doc_id", "text"))
+    assert(!php.contains("CartesianProduct"), php)
+  }
 }
