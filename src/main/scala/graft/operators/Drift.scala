@@ -273,7 +273,16 @@ object Drift {
           when(col("n") < 2,
             raise_error(lit(s"covShift: $tag population needs at least 2 vectors")))
             .otherwise(expr("cov_num div (n * (n - 1))")).as(s"cov_$tag"))
-    half(ref, "ref").join(half(cur, "cur"), Seq("i", "j"))
-      .withColumn("shift", abs(col("cov_ref") - col("cov_cur")))
+    // FULL outer + loud mismatch: an inner join would silently drop every
+    // dimension pair present in only one population — a truncated export
+    // (64-dim ref vs 32-dim cur) would hide exactly the drifted dims
+    half(ref, "ref").join(half(cur, "cur"), Seq("i", "j"), "full_outer")
+      .withColumn("shift",
+        when(col("cov_ref").isNull || col("cov_cur").isNull,
+          raise_error(concat(lit("covShift: dimension pair ("),
+            col("i").cast("string"), lit(", "), col("j").cast("string"),
+            lit(") exists in only one population — "),
+            lit("the two embedding sets have different dimensionality"))))
+          .otherwise(abs(col("cov_ref") - col("cov_cur"))))
   }
 }

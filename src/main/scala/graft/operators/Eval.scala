@@ -179,7 +179,13 @@ object Eval {
     val y = when(y0.isNull || (y0 =!= 0L && y0 =!= 1L),
       raise_error(concat(lit("aucExact: positive column must be 0/1, got "),
         coalesce(y0.cast("string"), lit("NULL"))))).otherwise(y0)
-    val g = df.select(score.as("s"), y.as("y"))
+    // a NULL score has no rank, and worse, the two engines ORDER nulls
+    // differently (Spark first, DuckDB last) — silently accepting one
+    // breaks the bit-identical contract, so refuse as loudly as a bad label
+    val s = when(score.isNull,
+      raise_error(lit("aucExact: NULL score has no rank — filter or impute first")))
+      .otherwise(score)
+    val g = df.select(s.as("s"), y.as("y"))
       .groupBy(col("s"))
       .agg(sum(col("y")).as("np"), (count(lit(1)) - sum(col("y"))).as("nn"))
     val w = Window.orderBy(col("s")).rowsBetween(Window.unboundedPreceding, -1)

@@ -566,7 +566,10 @@ object Graph {
       .filter(col("a") =!= col("b"))
       .distinct()
       .transform(Residuals.persist)
-    val pivot = e.agg(least(min(col("a")), min(col("b"))).as("p")).head().getLong(0)
+    val pivotRow = e.agg(least(min(col("a")), min(col("b"))).as("p")).head()
+    require(!pivotRow.isNullAt(0),
+      "sccPivot: no non-self-loop edges — the graph has no pivot to expand from")
+    val pivot = pivotRow.getLong(0)
     def reach(adj: DataFrame): DataFrame = {
       var dist = e.sparkSession.range(1).select(lit(pivot).as("node"), lit(0L).as("dist"))
       for (_ <- 1 to rounds) {

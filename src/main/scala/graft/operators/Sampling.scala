@@ -447,9 +447,11 @@ object Sampling {
     * `epochs_micro = alloc·10⁶ div tokens` via the exact nonneg
     * decomposition `(a div d)·k + ((a mod d)·k) div d` (sizes must be
     * non-negative — the decomposition is invalid across zero, the r11
-    * rule; negatives raise loudly). The unallocated remainder — budget the
-    * capped sources could not absorb — is reported so the caller can
-    * rescale or stop.
+    * rule; negatives raise loudly). `unallocated` reports ONLY the budget
+    * the CAPS stranded (Σ share − alloc over capped sources) so a caller
+    * that rescales-or-stops on it never reacts to the ≤ n_sources−1
+    * tokens of integer-division remainder, which is rounding, not
+    * capping.
     *
     * Shape: one map-side-combined aggregation to the SOURCE domain + one
     * one-row broadcast; the closing window runs over the source-domain
@@ -465,7 +467,7 @@ object Sampling {
       .agg(sum(sz).as("tokens"))
     val tot = per.agg(count(lit(1)).as("n_sources"))
     per.crossJoin(broadcast(tot))
-      .select(col("stratum"), col("tokens"),
+      .select(col("stratum"), col("tokens"), col("n_sources"),
         least(
           expr(s"$budget div n_sources"),
           expr(s"${maxEpochs.toLong} * tokens")).as("alloc"))
@@ -475,7 +477,10 @@ object Sampling {
       .withColumn("total_alloc", sum(col("alloc")).over(
         org.apache.spark.sql.expressions.Window.partitionBy()))
       .select(col("stratum"), col("tokens"), col("alloc"), col("epochs_micro"),
-        greatest(lit(budget) - col("total_alloc"), lit(0L)).as("unallocated"))
+        // cap-stranded only: n·share − Σ alloc (the global remainder
+        // budget % n is rounding, not capping — excluded by construction)
+        greatest(col("n_sources") * expr(s"$budget div n_sources") - col("total_alloc"),
+          lit(0L)).as("unallocated"))
   }
 
   /** 2-D Pareto front (skyline) over two maximize-me integer signals — the

@@ -1075,7 +1075,8 @@ private[graft] trait CurationQueries extends QueryHelpers {
         |  CAST(CASE WHEN tokens = 0 THEN 0
         |       ELSE (alloc // tokens) * 1000000 + ((alloc % tokens) * 1000000) // tokens
         |  END AS BIGINT) AS epochs_micro,
-        |  CAST(greatest(108000 - (SELECT total_alloc FROM s), 0) AS BIGINT) AS unallocated
+        |  CAST(greatest((SELECT n_sources FROM t) * (108000 // (SELECT n_sources FROM t))
+        |    - (SELECT total_alloc FROM s), 0) AS BIGINT) AS unallocated
         |FROM a ORDER BY stratum""".stripMargin,
 
 

@@ -385,10 +385,18 @@ object EventStream {
       .format("memory")
       .queryName(name)
       .start()
-    q.processAllAvailable() // drain the on-time tranche; watermark advances
-    base.filter(col("ts") < cut).coalesce(1).write.mode("overwrite").parquet(s"$dir/b")
-    q.processAllAvailable() // the late tranche arrives behind the watermark
-    q.stop()
+    try {
+      q.processAllAvailable() // drain the on-time tranche; watermark advances
+      base.filter(col("ts") < cut).coalesce(1).write.mode("overwrite").parquet(s"$dir/b")
+      q.processAllAvailable() // the late tranche arrives behind the watermark
+    } finally {
+      q.stop()
+      // the feed rewrite is ~2x the events fixture per call — bench runs
+      // this repeatedly, so the temp dir must not accumulate. The memory
+      // sink holds the result rows, so the files are dead once q stops.
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s2.sparkContext.hadoopConfiguration).delete(p, true)
+    }
     s2.table(name)
   }
 

@@ -2698,6 +2698,9 @@ class OperatorsSpec extends SparkSuite {
       .getAs[Long]("auc_micro") == 875000L)
     val bad = Seq((1.0, 2L)).toDF("s", "y")
     assertThrows[Exception](Eval.aucExact(bad, col("s"), col("y")).collect())
+    // NULL scores order differently across engines — refused, not ranked
+    val nullScore = Seq((Option.empty[Double], 1L), (Some(1.0), 0L)).toDF("s", "y")
+    assertThrows[Exception](Eval.aucExact(nullScore, col("s"), col("y")).collect())
   }
 
   test("classMetrics: hand confusion incl. a prediction-only class and a truth-only class") {
@@ -2763,6 +2766,10 @@ class OperatorsSpec extends SparkSuite {
     assert(same.length == 3 && same.forall(_.getAs[Long]("shift") == 0L))
     val tiny = Seq((1L, Array(1.0f, 2.0f))).toDF("id", "v")
     assertThrows[Exception](Drift.covShift(pop, tiny, "id", "v").collect())
+    // mismatched dimensionality must raise, not silently drop the extra dims
+    val threeD = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(2.0f, 1.0f, 0.0f)))
+      .toDF("id", "v")
+    assertThrows[Exception](Drift.covShift(pop, threeD, "id", "v").collect())
   }
 
   test("bigramLogProbHeldout: self-scoring equals bigramLogProb, unseen text floors, empty doc retained") {
@@ -2795,6 +2802,11 @@ class OperatorsSpec extends SparkSuite {
     assert(r("b").getAs[Long]("alloc") == 50L)
     assert(r("b").getAs[Long]("epochs_micro") == 500000L)
     assert(r("a").getAs[Long]("unallocated") == 10L)
+    // unallocated is CAP-stranded budget only: an indivisible budget's
+    // integer remainder (101 div 2 -> 1 left over) must not inflate it
+    val r2 = Sampling.epochAlloc(df, "src", $"n", budget = 101L, maxEpochs = 4)
+      .collect().map(x => x.getAs[String]("stratum") -> x).toMap
+    assert(r2("a").getAs[Long]("unallocated") == 10L)
     val bad = Seq(("a", -1L)).toDF("src", "n")
     assertThrows[Exception](
       Sampling.epochAlloc(bad, "src", $"n", budget = 10L).collect())
@@ -2812,6 +2824,9 @@ class OperatorsSpec extends SparkSuite {
     assert(r(0L) == (0L, 0L))
     assert(r(1L) == (1L, 2L)) // forward 1 hop; backward via 2 -> 0
     assert(r(2L) == (2L, 1L))
+    // a graph of only self-loops has no pivot — loud refusal, not an NPE
+    val loops = Seq((3L, 3L)).toDF("s", "d")
+    assertThrows[IllegalArgumentException](Graph.sccPivot(loops, "s", "d", 2))
   }
 
   test("quality implies and uniqueTogether: null expect is a violation, null fields compare equal") {
