@@ -630,6 +630,38 @@ object Behavior {
         col("mad_x2"), col("min_gap_us"), col("max_gap_us"), col("is_metronomic"))
   }
 
+  /** Composite bot score — the event-log front-door cut (the traffic twin
+    * of the documents-side Gopher battery): three independently-gated
+    * signals fuse into one integer score per user. Metronomic timing
+    * ([[interArrival]] — a timer, not a human) weighs 50; low behavioral
+    * entropy ([[userEntropy]] — scripted clients do one thing) and a high
+    * burst peak ([[burstVelocity]] — rate beyond human cadence) weigh 25
+    * each. Pure composition: each signal keeps its own oracle-checked
+    * semantics, the fusion is three left joins on the user key +
+    * integer arithmetic (users without enough gaps for the timing signal
+    * score it 0 — absence of evidence). Thresholds are caller knobs;
+    * score ≥ 50 is the "needs review" line at the defaults.
+    *
+    * Shape: three user-domain aggregates + two left equi-joins keyed on
+    * the user — no new shuffle class beyond the signals themselves. */
+  def botScore(events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      entropyMaxMicro: Long = 1560000L, peakMin: Long = 3L): DataFrame = {
+    val ia = interArrival(events, userCol, tsCol)
+      .select(col("user_id"), col("is_metronomic"))
+    val ue = userEntropy(events, userCol, typeCol)
+      .select(col("user_id"), col("n_events"), col("entropy_micro"))
+    val bv = burstVelocity(events, userCol, tsCol)
+      .select(col("user_id"), col("peak_n"))
+    ue.join(ia, Seq("user_id"), "left")
+      .join(bv, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_events"),
+        coalesce(col("is_metronomic"), lit(0L)).as("metronomic"),
+        when(col("entropy_micro") < entropyMaxMicro, 1L).otherwise(0L).as("low_entropy"),
+        when(coalesce(col("peak_n"), lit(0L)) >= peakMin, 1L).otherwise(0L).as("bursty"))
+      .withColumn("bot_score",
+        col("metronomic") * 50L + col("low_entropy") * 25L + col("bursty") * 25L)
+  }
+
   /** Cohort lifetime-value curve: users grouped by first-event day, revenue
     * from `revenueEvent` values accumulated per (cohort, age-in-days) —
     * the money axis of the retention triangle, and the payback-period

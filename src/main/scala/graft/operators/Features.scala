@@ -328,4 +328,61 @@ object Features {
     df.groupBy(quasiIdCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"))
       .filter(col("n_rows") < k)
+
+  /** Batch perceptron training over integer feature vectors — the simplest
+    * member of the train-a-quality-classifier family (fastText-style
+    * keep/drop filters), and deliberately the one whose training is
+    * CROSS-ENGINE EXACT: the update `w ← w + Σ_{misclassified} y·x` is
+    * pure integer arithmetic (no learning rate, no transcendental), each
+    * round is ONE map-side-combined aggregation over the corpus, and the
+    * weight vector is d longs of driver metadata (the kmeans-centroid
+    * contract), so K rounds of training hash-match an unrolled oracle.
+    * Margin 0 counts as misclassified (round 1 from w = 0 updates on every
+    * row — the textbook convention). Labels must be ±1 and every feature
+    * vector exactly d-long — both enforced by plan-embedded raise_error
+    * (a short vector would silently vanish from the gradient via null
+    * element_at). Overflow bound: rounds·Σ|x_i| per weight and d·max|x|·
+    * max|w| per margin must fit BIGINT — callers scale features
+    * accordingly (per-mille signals at corpus sizes to ~10⁹ rows are
+    * safe).
+    *
+    * Output: one row per (round, dim) with the post-round weight and the
+    * round's misclassified count. */
+  def perceptron(df: DataFrame, featuresCol: Column, labelCol: Column,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 50, "rounds must be in [1, 50]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val y0 = labelCol.cast("long")
+    val y = when(y0.isNull || (y0 =!= 1L && y0 =!= -1L),
+      raise_error(concat(lit("perceptron: label must be +1/-1, got "),
+        coalesce(y0.cast("string"), lit("NULL"))))).otherwise(y0)
+    val data0 = df.select(featuresCol.as("x"), y.as("y"))
+    val head = data0.select(size(col("x")).as("d")).head()
+    val d = head.getInt(0)
+    require(d >= 1, "perceptron: empty feature vector")
+    val data = data0
+      .withColumn("x", when(size(col("x")) =!= d,
+        raise_error(lit(s"perceptron: ragged feature vectors (expected $d)")))
+        .otherwise(col("x")))
+      .transform(Residuals.persist)
+    var w = Array.fill(d)(0L)
+    val out = Seq.newBuilder[(Long, Long, Long, Long)]
+    for (r <- 1 to rounds) {
+      val wArr = array(w.map(lit(_)): _*)
+      val aggs = (0 until d).map(i =>
+        sum(col("y") * element_at(col("x"), i + 1)).as(s"g$i")) :+
+        count(lit(1)).as("n_miss")
+      val row = data
+        .withColumn("m", col("y") * graft.functions.VectorFns.dotQ(col("x"), wArr))
+        .filter(col("m") <= 0L)
+        .agg(aggs.head, aggs.tail: _*)
+        .head()
+      val nMiss = row.getLong(d)
+      w = w.zipWithIndex.map { case (wi, i) =>
+        wi + (if (row.isNullAt(i)) 0L else row.getLong(i)) }
+      (0 until d).foreach(i => out += ((r.toLong, i.toLong + 1L, w(i), nMiss)))
+    }
+    out.result().toDF("round", "dim", "w", "n_miss")
+  }
 }

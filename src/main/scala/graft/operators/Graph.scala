@@ -585,4 +585,47 @@ object Graph {
     fw.select(col("node"), col("dist").as("fw_dist"))
       .join(bw.select(col("node"), col("dist").as("bw_dist")), "node")
   }
+
+  /** Hierarchy flattening by POINTER DOUBLING: every node of a parent-child
+    * forest (BOM part explosions, org charts, category taxonomies, reply
+    * threads) resolves to its (root, level) in O(log depth) rounds — the
+    * shape that survives deep chains where the naive walk-one-level-per-
+    * round join (and a recursive CTE on a single node) needs `depth`
+    * passes. Each round joins the ancestor relation to itself: a pointer
+    * at distance d composes with the ancestor's own pointer at distance
+    * d', yielding distance d + d' — roots carry a self-pointer at distance
+    * 0, so converged chains absorb. After `doublings` rounds every node
+    * within depth 2^doublings is fully resolved; any node whose pointer
+    * has NOT reached a root raises loudly (deeper tree than provisioned —
+    * or a CYCLE, which pointer composition would otherwise inflate
+    * silently forever). NULL parent and self-parent both mark roots.
+    *
+    * Shape: one self equi-join on the node key per round (skew-free — the
+    * key is unique), log₂(depth) rounds total. Output: (node, root,
+    * level). */
+  def flattenHierarchy(nodes: DataFrame, idCol: String, parentCol: String,
+      doublings: Int = 5): DataFrame = {
+    require(doublings >= 1 && doublings <= 40, "doublings must be in [1, 40]")
+    var anc = nodes.select(col(idCol).cast("long").as("node"),
+      coalesce(col(parentCol).cast("long"), col(idCol).cast("long")).as("anc"))
+      .withColumn("d", when(col("anc") === col("node"), 0L).otherwise(1L))
+      .transform(Residuals.persist)
+    val roots = anc.filter(col("d") === 0L).select(col("node").as("anc"))
+    for (_ <- 1 to doublings) {
+      // persist each round: both sides of the next self-join read this
+      // relation — unpersisted lineage would replay doubly per round
+      // (exponential in doublings), the pagerank iteration contract
+      anc = anc
+        .join(anc.select(col("node").as("j"), col("anc").as("anc2"), col("d").as("d2")),
+          col("anc") === col("j"))
+        .select(col("node"), col("anc2").as("anc"), (col("d") + col("d2")).as("d"))
+        .transform(Residuals.persist)
+    }
+    val unresolved = when(col("r").isNull,
+      raise_error(concat(lit("flattenHierarchy: node "), col("node").cast("string"),
+        lit(" did not reach a root — deepen doublings or break the cycle"))))
+    anc.join(roots.withColumn("r", lit(1L)), Seq("anc"), "left")
+      .select(col("node"), unresolved.otherwise(col("anc")).as("root"),
+        col("d").as("level"))
+  }
 }

@@ -230,6 +230,33 @@ private[graft] trait CurationQueries extends QueryHelpers {
         .orderBy(col("id"))
     }),
 
+    "feature_perceptron" -> ((s, dir) => {
+      // quality-classifier training, cross-engine exact: 3 batch-perceptron
+      // rounds predicting en-ness from [bias, token count, type-diversity
+      // permille] — every update is an integer aggregate, the weight
+      // vector is driver metadata, and the whole trajectory hash-matches
+      import graft.functions.TextFns
+      val docs = spread(t(s, dir, "documents"))
+      val feats = docs.select(col("doc_id"),
+        TextFns.tokenCount(col("text")).cast("long").as("nt"),
+        size(array_distinct(TextFns.tokens(col("text")))).cast("long").as("ty"),
+        when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+        .filter(col("nt") > 0)
+        .select(array(lit(1L), col("nt"), expr("ty * 1000 div nt")).as("x"), col("y"))
+      graft.operators.Features.perceptron(feats, col("x"), col("y"), rounds = 3)
+        .orderBy(col("round"), col("dim"))
+    }),
+
+
+    "events_bot_score" -> ((s, dir) => {
+      // traffic front-door cut: metronomic timing (50) + low behavioral
+      // entropy (25) + burst peak (25) fused per user — a pure composition
+      // of three gated signals, thresholds picked to split this fixture
+      graft.operators.Behavior.botScore(events(s, dir), "user_id", "ts", "event_type")
+        .orderBy(col("user_id"))
+    }),
+
+
     "feature_woe" -> ((s, dir) => {
       // weight-of-evidence encoding of order priority against fulfilled
       // status + information-value contributions — four separately
@@ -535,7 +562,91 @@ private[graft] trait CurationQueries extends QueryHelpers {
         .orderBy(col("user_id"))
     }))
 
+  /** Generated unrolled batch-perceptron rounds (w as one-row CTEs, margin
+    * re-derived per round — the sccPivot generated-oracle pattern). */
+  private val perceptronOracle: String = {
+    def miss(prev: String): String =
+      s"y*((SELECT w1 FROM $prev)*x1 + (SELECT w2 FROM $prev)*x2 + (SELECT w3 FROM $prev)*x3) <= 0"
+    def round(prev: String, name: String): String =
+      s""", $name AS (
+         |  SELECT
+         |    (SELECT w1 FROM $prev) + COALESCE(CAST(sum(CASE WHEN ${miss(prev)} THEN y*x1 END) AS BIGINT), 0) AS w1,
+         |    (SELECT w2 FROM $prev) + COALESCE(CAST(sum(CASE WHEN ${miss(prev)} THEN y*x2 END) AS BIGINT), 0) AS w2,
+         |    (SELECT w3 FROM $prev) + COALESCE(CAST(sum(CASE WHEN ${miss(prev)} THEN y*x3 END) AS BIGINT), 0) AS w3,
+         |    CAST(sum(CASE WHEN ${miss(prev)} THEN 1 ELSE 0 END) AS BIGINT) AS nm
+         |  FROM f
+         |)""".stripMargin
+    """WITH f AS (
+      |  SELECT 1 AS x1,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS x2,
+      |    CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) * 1000
+      |      // len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS x3,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+      |  FROM documents
+      |  WHERE len(regexp_split_to_array(trim(text), '\s+')) > 0
+      |), r0 AS (SELECT CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2,
+      |          CAST(0 AS BIGINT) AS w3)""".stripMargin +
+      round("r0", "r1") + round("r1", "r2") + round("r2", "r3") +
+      (1 to 3).flatMap(r => (1 to 3).map(dim =>
+        s"SELECT CAST($r AS BIGINT) AS round, CAST($dim AS BIGINT) AS dim, " +
+          s"w$dim AS w, nm AS n_miss FROM r$r"))
+        .mkString("\n", "\nUNION ALL ", "\nORDER BY round, dim")
+  }
+
   protected def curationOracles: Map[String, String] = Map(
+
+    "feature_perceptron" -> perceptronOracle,
+
+    // the three signal oracles (interarrival metronomic, qln entropy,
+    // hop-window peak) assembled verbatim, fused with the same left joins
+    "events_bot_score" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts)
+        |    - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS gap
+        |  FROM events
+        |), gg AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL),
+        |a AS (
+        |  SELECT user_id, CAST(quantile_cont(gap * 2, 0.5) AS BIGINT) AS median_gap_x2
+        |  FROM gg GROUP BY 1 HAVING count(*) >= 3
+        |), m AS (
+        |  SELECT gg.user_id,
+        |    quantile_cont(abs(gg.gap * 2 - a.median_gap_x2), 0.5) AS mad_x2,
+        |    a.median_gap_x2
+        |  FROM gg JOIN a USING (user_id) GROUP BY 1, 3
+        |), ia AS (
+        |  SELECT user_id, CASE WHEN mad_x2 * 20 < CAST(median_gap_x2 AS DOUBLE)
+        |    THEN 1 ELSE 0 END AS metro
+        |  FROM m
+        |), c AS (
+        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_c
+        |  FROM events GROUP BY 1, 2
+        |), ue AS (
+        |  SELECT user_id, CAST(sum(n_c) AS BIGINT) AS n_events,
+        |    CAST((CAST(sum(n_c) AS BIGINT)
+        |        * CAST(floor(ln(CAST(sum(n_c) AS BIGINT)) * 1e6 + 0.5) AS BIGINT)
+        |      - CAST(sum(n_c * CAST(floor(ln(n_c) * 1e6 + 0.5) AS BIGINT)) AS BIGINT))
+        |      // CAST(sum(n_c) AS BIGINT) AS BIGINT) AS entropy_micro
+        |  FROM c GROUP BY 1
+        |), e AS (
+        |  SELECT user_id, epoch_us(ts) // 60000000 AS em FROM events
+        |), hops AS (
+        |  SELECT user_id, (em // 15 - j.range) * 15 AS wstart
+        |  FROM e CROSS JOIN range(0, 4) j
+        |  WHERE em < (em // 15 - j.range) * 15 + 60
+        |    AND em >= (em // 15 - j.range) * 15
+        |), w AS (
+        |  SELECT user_id, wstart, CAST(count(*) AS BIGINT) AS n FROM hops GROUP BY 1, 2
+        |), pk AS (SELECT user_id, CAST(max(n) AS BIGINT) AS peak_n FROM w GROUP BY 1),
+        |sel AS (
+        |  SELECT ue.user_id, ue.n_events,
+        |    CAST(COALESCE(ia.metro, 0) AS BIGINT) AS metronomic,
+        |    CAST(CASE WHEN ue.entropy_micro < 1560000 THEN 1 ELSE 0 END AS BIGINT) AS low_entropy,
+        |    CAST(CASE WHEN COALESCE(pk.peak_n, 0) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS bursty
+        |  FROM ue LEFT JOIN ia USING (user_id) LEFT JOIN pk USING (user_id)
+        |)
+        |SELECT user_id, n_events, metronomic, low_entropy, bursty,
+        |  CAST(metronomic * 50 + low_entropy * 25 + bursty * 25 AS BIGINT) AS bot_score
+        |FROM sel ORDER BY user_id""".stripMargin,
 
     // the synthesized URLs are already in canonical form, so curl == url;
     // the suffix-chain domain match re-derives via list comprehension

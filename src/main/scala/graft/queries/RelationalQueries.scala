@@ -162,6 +162,19 @@ private[graft] trait RelationalQueries extends QueryHelpers {
     }),
 
 
+    "q37_part_hierarchy" -> ((s, dir) => {
+      // hierarchy flattening (BOM/taxonomy shape): parts form a 4-ary
+      // forest (parent = (k-1) div 4, root 0); pointer DOUBLING resolves
+      // every node's (root, level) in log(depth) self-joins — 5 doublings
+      // cover depth 32, vs depth-many passes for the naive walk
+      val p = t(s, dir, "part").select(col("p_partkey").cast("long").as("k"))
+        .withColumn("parent", when(col("k") === 0L, lit(null).cast("long"))
+          .otherwise(expr("(k - 1) div 4")))
+      graft.operators.Graph.flattenHierarchy(p, "k", "parent", doublings = 5)
+        .orderBy(col("node"))
+    }),
+
+
     "q36_hourly_late_drop_stream" -> ((s, dir) => {
       // the late-data axis no other streaming gate exercises: pre-Jan-5
       // events arrive one micro-batch AFTER the recent tranche, so the
@@ -706,6 +719,25 @@ private[graft] trait RelationalQueries extends QueryHelpers {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events,
         |  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+
+    // the engine's log-round pointer doubling vs the oracle's linear
+    // recursive CTE — same (root, level) fixpoint from two different
+    // algorithms is exactly the cross-check we want
+    "q37_part_hierarchy" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS k,
+        |    CASE WHEN p_partkey = 0 THEN NULL
+        |         ELSE CAST((p_partkey - 1) // 4 AS BIGINT) END AS par
+        |  FROM part
+        |), r AS (
+        |  SELECT k AS node, k AS root, CAST(0 AS BIGINT) AS level
+        |  FROM p WHERE par IS NULL
+        |  UNION ALL
+        |  SELECT c.k, r.root, r.level + 1
+        |  FROM p c JOIN r ON c.par = r.node
+        |)
+        |SELECT node, root, level FROM r ORDER BY node""".stripMargin,
 
 
     // on-time tranche only (every pre-cutoff row is dropped as late), and

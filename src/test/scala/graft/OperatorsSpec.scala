@@ -2829,6 +2829,60 @@ class OperatorsSpec extends SparkSuite {
     assertThrows[IllegalArgumentException](Graph.sccPivot(loops, "s", "d", 2))
   }
 
+  test("flattenHierarchy: roots/levels exact on a forest, shallow doublings and cycles raise") {
+    // two trees: 0 <- {1, 2}, 1 <- 3; and root 10 alone (self-parent form)
+    val nodes = Seq((0L, Option.empty[Long]), (1L, Some(0L)), (2L, Some(0L)),
+      (3L, Some(1L)), (10L, Some(10L))).toDF("id", "par")
+    val r = Graph.flattenHierarchy(nodes, "id", "par", doublings = 2)
+      .collect().map(x => x.getAs[Long]("node") ->
+        (x.getAs[Long]("root"), x.getAs[Long]("level"))).toMap
+    assert(r == Map(0L -> (0L, 0L), 1L -> (0L, 1L), 2L -> (0L, 1L),
+      3L -> (0L, 2L), 10L -> (10L, 0L)))
+    // a chain deeper than 2^doublings must refuse, not report a non-root
+    val chain = (0L to 6L).map(i =>
+      (i, if (i == 0) Option.empty[Long] else Some(i - 1))).toDF("id", "par")
+    assertThrows[Exception](
+      Graph.flattenHierarchy(chain, "id", "par", doublings = 1).collect())
+    assert(Graph.flattenHierarchy(chain, "id", "par", doublings = 3)
+      .collect().map(_.getAs[Long]("level")).max == 6L)
+    // a 2-cycle never reaches a root — loud, not an infinite inflation
+    val cyc = Seq((1L, Some(2L)), (2L, Some(1L))).toDF("id", "par")
+    assertThrows[Exception](
+      Graph.flattenHierarchy(cyc, "id", "par", doublings = 3).collect())
+  }
+
+  test("perceptron: hand-traced rounds, ragged vectors and bad labels raise") {
+    // two points: x=(1,2) y=+1, x=(1,-4) y=-1
+    // r1 from w=0: both miss -> w = (1,2) + (-1,4) = (0,6); n_miss 2
+    // r2: margins +12 and -(-24)=24 both > 0 -> no update; n_miss 0
+    val pts = Seq((Array(1L, 2L), 1L), (Array(1L, -4L), -1L)).toDF("x", "y")
+    val r = Features.perceptron(pts, $"x", $"y", rounds = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> (x.getLong(2), x.getLong(3))).toMap
+    assert(r((1L, 1L)) == (0L, 2L) && r((1L, 2L)) == (6L, 2L))
+    assert(r((2L, 1L)) == (0L, 0L) && r((2L, 2L)) == (6L, 0L))
+    val ragged = Seq((Array(1L, 2L), 1L), (Array(1L), -1L)).toDF("x", "y")
+    assertThrows[Exception](Features.perceptron(ragged, $"x", $"y").collect())
+    val badLabel = Seq((Array(1L, 2L), 7L)).toDF("x", "y")
+    assertThrows[Exception](Features.perceptron(badLabel, $"x", $"y").collect())
+  }
+
+  test("botScore: a planted metronomic single-minded burst user scores 100") {
+    import java.sql.Timestamp
+    // bot: 8 events exactly 1s apart, one type (zero entropy, metronomic,
+    // peak 8); human: 4 events with dispersed gaps and mixed types
+    val base = 1700000000000000L
+    val bot = (0 until 8).map(i =>
+      (1L, new Timestamp((base + i * 1000000L) / 1000), "click"))
+    val human = Seq(0L, 7L, 29L, 123L).zipWithIndex.map { case (m, i) =>
+      (2L, new Timestamp((base + m * 60000000L) / 1000), if (i % 2 == 0) "view" else "buy") }
+    val ev = (bot ++ human).toDF("user_id", "ts", "event_type")
+    val r = Behavior.botScore(ev, "user_id", "ts", "event_type",
+      entropyMaxMicro = 100000L, peakMin = 5L)
+      .collect().map(x => x.getAs[Long]("user_id") -> x.getAs[Long]("bot_score")).toMap
+    assert(r(1L) == 100L, r.toString)
+    assert(r(2L) < 50L, r.toString)
+  }
+
   test("quality implies and uniqueTogether: null expect is a violation, null fields compare equal") {
     val df = Seq(
       ("purchase", Some(5.0), Some(1L), "a"),
