@@ -1135,6 +1135,115 @@ object Multimodal {
     StructField("peak_abs", LongType, nullable = false),
     StructField("dc_sum_c0", LongType, nullable = false)))
 
+  /** Windowed frame-energy voice-activity detection over PCM16 — the
+    * drop-the-silence curation cut for audio corpora (the gopher-battery
+    * analogue for sound): per `windowFrames`-frame window, the summed
+    * squared sample energy across ALL channels, flagged voiced when the
+    * mean square clears `thrMeanSq`. Pure integer (energy ≤
+    * 32768²·window·channels ≈ 2³¹ per window — BIGINT-safe by orders of
+    * magnitude), so the decision is bit-portable. Returns (win, n_samples,
+    * energy, voiced) tuples via the same chunk-walking parser as
+    * [[wavFeatures]]. */
+  def wavVad(bytes: Array[Byte], windowFrames: Int,
+      thrMeanSq: Long): Array[(Long, Long, Long, Long)] = {
+    require(windowFrames >= 1, "windowFrames must be positive")
+    val h = wavHeader(bytes)
+    val nWin = (h.nFrames + windowFrames - 1) / windowFrames
+    val nSamples = new Array[Long](nWin)
+    val energy = new Array[Long](nWin)
+    var f = 0
+    while (f < h.nFrames) {
+      val w = f / windowFrames
+      var ch = 0
+      while (ch < h.channels) {
+        val v = wavSample(bytes, h, f, ch).toLong
+        energy(w) += v * v
+        nSamples(w) += 1L
+        ch += 1
+      }
+      f += 1
+    }
+    Array.tabulate(nWin) { w =>
+      (w.toLong, nSamples(w), energy(w),
+        if (energy(w) >= thrMeanSq * nSamples(w)) 1L else 0L)
+    }
+  }
+
+  val WavVadSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("win", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("energy", LongType, nullable = false),
+    StructField("voiced", LongType, nullable = false)))
+
+  /** Partition-batched VAD over a WAV binary column, exploded per window. */
+  def vadWav(withPayload: DataFrame, idCol: String,
+      windowFrames: Int = 64, thrMeanSq: Long = 1330000L): DataFrame = {
+    val spark = withPayload.sparkSession
+    val rdd = withPayload.select(col(idCol).cast("long"), col("payload")).rdd
+      .mapPartitions(_.flatMap { r =>
+        wavVad(r.getAs[Array[Byte]](1), windowFrames, thrMeanSq).iterator.map {
+          case (w, n, e, v) => Row(r.getLong(0), w, n, e, v)
+        }
+      })
+    spark.createDataFrame(rdd, WavVadSchema)
+  }
+
+  /** ViT-style patch grid over a decoded BMP: the image splits into
+    * `patch`×`patch` pixel tiles (edge tiles smaller) and each reports its
+    * pixel count and truncating-mean ITU-601 luma in MILLI units — the
+    * patch-embedding front half of a vision-transformer ingest (the
+    * per-patch linear projection consumes exactly this grid), and the
+    * blur/blank-TILE detector a whole-image histogram can't localize.
+    * Integer throughout: per-patch Σ(299r+587g+114b) div n. */
+  def bmpPatches(bytes: Array[Byte], patch: Int): Array[(Long, Long, Long, Long)] = {
+    require(patch >= 1, "patch must be positive")
+    val hdr = bmpHeader(bytes)
+    val pw = (hdr.width + patch - 1) / patch
+    val ph = (hdr.height + patch - 1) / patch
+    val n = new Array[Long](pw * ph)
+    val s = new Array[Long](pw * ph)
+    var y = 0
+    while (y < hdr.height) {
+      val srcRow = if (hdr.bottomUp) hdr.height - 1 - y else y
+      val rowOff = hdr.pixelOff + srcRow * hdr.stride
+      var x = 0
+      while (x < hdr.width) {
+        val o = rowOff + 3 * x
+        val b = bytes(o) & 0xff
+        val g = bytes(o + 1) & 0xff
+        val r = bytes(o + 2) & 0xff
+        val i = (y / patch) * pw + (x / patch)
+        s(i) += (299L * r + 587L * g + 114L * b)
+        n(i) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(pw * ph) { i =>
+      ((i / pw).toLong, (i % pw).toLong, n(i), s(i) / n(i))
+    }
+  }
+
+  val BmpPatchSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("py", LongType, nullable = false),
+    StructField("px", LongType, nullable = false),
+    StructField("n_px", LongType, nullable = false),
+    StructField("mean_luma_milli", LongType, nullable = false)))
+
+  /** Partition-batched patch grids over a BMP binary column. */
+  def patchifyBmp(withPayload: DataFrame, idCol: String, patch: Int = 8): DataFrame = {
+    val spark = withPayload.sparkSession
+    val rdd = withPayload.select(col(idCol).cast("long"), col("payload")).rdd
+      .mapPartitions(_.flatMap { r =>
+        bmpPatches(r.getAs[Array[Byte]](1), patch).iterator.map {
+          case (py, px, np, m) => Row(r.getLong(0), py, px, np, m)
+        }
+      })
+    spark.createDataFrame(rdd, BmpPatchSchema)
+  }
+
   /** Partition-batched audio feature extraction over a WAV binary column. */
   def audioFeatures(withPayload: DataFrame, idCol: String): DataFrame = {
     val spark = withPayload.sparkSession

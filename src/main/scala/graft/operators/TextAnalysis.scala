@@ -83,6 +83,37 @@ object TextAnalysis {
   def withFingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), TextFns.fingerprint(col(textCol)).as("fingerprint"))
 
+  /** Code-vs-prose detection — the router every mixed web corpus needs
+    * before language-specific processing (code into the code pipeline,
+    * prose into the text one; The-Stack-style corpora are built on exactly
+    * this cut). Signals are counted with subtraction-after-strip
+    * (`len − len(strip(class))`) in the Java/RE2-shared regex subset:
+    * structural symbols `{}();=<>[]#|&`, digits, and whitespace-prefixed
+    * indentation runs (two-plus spaces after a newline — the code-block
+    * signature). Integer per-mille rates; `is_code` fires on symbol
+    * density ≥ `thrPermille` OR any indentation run. One scan-speed
+    * projection, no shuffle. */
+  def withCodeSignals(docs: DataFrame, idCol: String, textCol: String,
+      thrPermille: Long = 30L): DataFrame = {
+    val t = col(textCol)
+    val n = length(t)
+    val sym = n - length(regexp_replace(t, "[{}();=<>\\[\\]#|&]", ""))
+    val dig = n - length(regexp_replace(t, "[0-9]", ""))
+    // each non-overlapping newline+two-spaces match shrinks the strip by 2
+    val indentRemoved = n - length(regexp_replace(t, "\\n  ", "\\n"))
+    docs.select(col(idCol), n.cast("long").as("n_chars"),
+      sym.cast("long").as("n_symbols"), dig.cast("long").as("n_digits"),
+      indentRemoved.cast("long").as("__ir"))
+      .withColumn("n_indents", expr("__ir div 2")).drop("__ir")
+      .withColumn("symbol_permille", expr(
+        "CASE WHEN n_chars = 0 THEN CAST(0 AS BIGINT) ELSE n_symbols * 1000 div n_chars END"))
+      .withColumn("digit_permille", expr(
+        "CASE WHEN n_chars = 0 THEN CAST(0 AS BIGINT) ELSE n_digits * 1000 div n_chars END"))
+      .withColumn("is_code",
+        (col("symbol_permille") >= thrPermille || col("n_indents") > 0L)
+          .cast("long"))
+  }
+
   /** Corpus-wide top-k word n-grams by DOCUMENT frequency (each doc counts a
     * gram once — `wordNgramsSorted` emits distinct grams per doc). Shape:
     * explode -> hash-partial count (map-side combine absorbs the explosion

@@ -231,6 +231,26 @@ private[graft] trait MultimodalQueries extends QueryHelpers {
     }),
 
 
+    "mm_patchify" -> ((s, dir) => {
+      // ViT ingest front half: 8x8 patch grid per BMP, per-tile pixel count
+      // and truncating-mean 601 luma (milli) — bytes-side decode vs the
+      // oracle's formula recomputation, localized to tiles
+      Multimodal.patchifyBmp(
+        Multimodal.bmpFixtures(spread(t(s, dir, "documents")), "doc_id"), "doc_id")
+        .orderBy(col("doc_id"), col("py"), col("px"))
+    }),
+
+
+    "mm_audio_vad" -> ((s, dir) => {
+      // silence cut for audio corpora: 64-frame windowed energy over all
+      // channels, voiced iff mean square clears the threshold — decoded
+      // from bytes, re-derived from the sample formula by the oracle
+      Multimodal.vadWav(
+        Multimodal.wavFixtures(spread(t(s, dir, "documents")), "doc_id"), "doc_id")
+        .orderBy(col("doc_id"), col("win"))
+    }),
+
+
     "mm_audio_features" -> ((s, dir) => {
       // audio feature extraction: zero-crossing count (zeros transparent),
       // all-channel peak amplitude, signed channel-0 DC-offset sum — one
@@ -417,6 +437,44 @@ private[graft] trait MultimodalQueries extends QueryHelpers {
        |FROM rgb GROUP BY 1, 2, 3, 4, 5 ORDER BY doc_id""".stripMargin
 
   protected def multimodalOracles: Map[String, String] = Map(
+
+    // per-tile sums recomputed from the pixel FORMULA over a bounded
+    // position cross join (dims <= 32); mean = sum // count
+    "mm_patchify" ->
+      """WITH px AS (
+        |  SELECT doc_id, x.range AS x, y.range AS y
+        |  FROM documents CROSS JOIN range(0, 32) x CROSS JOIN range(0, 32) y
+        |  WHERE x.range < 8 + doc_id % 25 AND y.range < 8 + (doc_id * 7) % 25
+        |), lum AS (
+        |  SELECT doc_id, y // 8 AS py, x // 8 AS px,
+        |    299 * ((x + 3 * y + doc_id) % 256)
+        |      + 587 * ((2 * x + y) % 256)
+        |      + 114 * ((x + y + doc_id) % 256) AS lm
+        |  FROM px
+        |)
+        |SELECT doc_id, CAST(py AS BIGINT) AS py, CAST(px AS BIGINT) AS px,
+        |  CAST(count(*) AS BIGINT) AS n_px,
+        |  CAST(CAST(sum(lm) AS BIGINT) // count(*) AS BIGINT) AS mean_luma_milli
+        |FROM lum GROUP BY 1, 2, 3 ORDER BY doc_id, py, px""".stripMargin,
+
+
+    // windowed energy recomputed from the sample formula across channels;
+    // voiced iff energy >= thr * n_samples
+    "mm_audio_vad" ->
+      """WITH d AS (
+        |  SELECT doc_id, 64 + doc_id % 193 AS frames, 1 + doc_id % 2 AS channels
+        |  FROM documents
+        |), sm AS (
+        |  SELECT doc_id, f.range AS f,
+        |    (f.range * (3 + ch.range) + doc_id * 11) % 4001 - 2000 AS s
+        |  FROM d CROSS JOIN range(0, 257) f CROSS JOIN range(0, 2) ch
+        |  WHERE f.range < frames AND ch.range < channels
+        |)
+        |SELECT doc_id, CAST(f // 64 AS BIGINT) AS win,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(s * s) AS BIGINT) AS energy,
+        |  CAST(CASE WHEN sum(s * s) >= 1330000 * count(*) THEN 1 ELSE 0 END AS BIGINT) AS voiced
+        |FROM sm GROUP BY 1, 2 ORDER BY doc_id, win""".stripMargin,
 
     "mm_decode_jpeg_color" -> jpegColorOracleSql,
 

@@ -426,6 +426,30 @@ private[graft] trait SimilarityQueries extends QueryHelpers {
     }),
 
 
+    "eval_knn_label_acc" -> ((s, dir) => {
+      // embedding linear-probe proxy: predict each query's label by
+      // majority vote of its brute top-5 neighbors (ties -> smallest
+      // label), compare to its own label — the "do neighborhoods respect
+      // labels" eval behind every knn-classifier sanity check
+      import graft.operators.Similarity
+      val embs = spread(t(s, dir, "embeddings"))
+      val labels = embs.select(col("vec_id"), col("label").cast("long").as("l"))
+      val brute = Similarity.bruteForceKnn(
+        embs, embs.filter(col("vec_id") < 50), "vec_id", "embedding", 5)
+      val votes = brute
+        .join(labels.select(col("vec_id").as("neighbor_id"), col("l")), "neighbor_id")
+        .groupBy(col("query_id"), col("l")).agg(count(lit(1)).as("c"))
+        .groupBy(col("query_id"))
+        .agg(min(struct((-col("c")).as("nc"), col("l").as("l"))).as("m"))
+        .select(col("query_id"), col("m.l").as("pred_label"))
+      votes.join(labels.select(col("vec_id").as("query_id"), col("l").as("true_label")),
+          "query_id")
+        .select(col("query_id"), col("true_label"), col("pred_label"),
+          (col("pred_label") === col("true_label")).cast("long").as("correct"))
+        .orderBy(col("query_id"))
+    }),
+
+
     "drift_cov_shift" -> ((s, dir) => {
       // second-moment drift: per dimension pair, |unbiased covariance
       // difference| between the even-label (reference) and odd-label
@@ -1531,6 +1555,38 @@ private[graft] trait SimilarityQueries extends QueryHelpers {
         |  CAST(COALESCE(p.ap_sum_micro, 0) // least(nt.n_truth, 10) AS BIGINT) AS ap_micro
         |FROM nt LEFT JOIN perq p USING (query_id)
         |ORDER BY nt.query_id""".stripMargin,
+
+
+    // brute top-5 re-derivation + majority vote with the (count desc,
+    // label asc) argmin-struct tie-break
+    "eval_knn_label_acc" ->
+      """WITH q AS (
+        |  SELECT vec_id, label, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, label, qv, list_sum([x*x FOR x IN qv]) AS n2 FROM q
+        |), top AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |        CAST(list_sum([a.qv[i] * b.qv[i] FOR i IN range(1, len(a.qv) + 1)]) AS DOUBLE)
+        |          / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) DESC, b.vec_id) AS rank
+        |    FROM n a CROSS JOIN n b
+        |    WHERE a.vec_id < 50 AND a.vec_id != b.vec_id) s WHERE rank <= 5
+        |), votes AS (
+        |  SELECT t.query_id, CAST(nb.label AS BIGINT) AS l, count(*) AS c
+        |  FROM top t JOIN n nb ON nb.vec_id = t.neighbor_id
+        |  GROUP BY 1, 2
+        |), pred AS (
+        |  SELECT query_id, l AS pred_label FROM (
+        |    SELECT query_id, l, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY c DESC, l ASC) AS rk
+        |    FROM votes) v WHERE rk = 1
+        |)
+        |SELECT p.query_id, CAST(qq.label AS BIGINT) AS true_label, p.pred_label,
+        |  CAST(CASE WHEN p.pred_label = CAST(qq.label AS BIGINT) THEN 1 ELSE 0 END AS BIGINT) AS correct
+        |FROM pred p JOIN q qq ON qq.vec_id = p.query_id
+        |ORDER BY p.query_id""".stripMargin,
 
 
     // two emb_covariance re-derivations (label parity populations), each

@@ -195,6 +195,16 @@ private[graft] trait TextQueries extends QueryHelpers {
         .orderBy(col("doc_id"))
     }),
 
+    "text_code_detect" -> ((s, dir) => {
+      // code-vs-prose router (The-Stack-style corpus cut): structural
+      // symbol / digit densities + indentation runs, counted by
+      // strip-and-subtract in the shared regex subset; is_code fires on
+      // symbol density or any indent run
+      TextAnalysis.withCodeSignals(spread(t(s, dir, "documents")), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+
     "eval_heldout_perplexity" -> ((s, dir) => {
       // the real LM eval: every 5th doc scored under a bigram LM trained
       // on the OTHER 80% — unseen bigrams take the add-one floor via left
@@ -1173,6 +1183,24 @@ private[graft] trait TextQueries extends QueryHelpers {
         |    AS logprob_scaled
         |FROM pp JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
         |GROUP BY 1 ORDER BY pp.doc_id""".stripMargin,
+
+    // strip-and-subtract counting; DuckDB needs the 'g' flag where Java
+    // replaces all by default; \n in the class matches the literal newline
+    "text_code_detect" ->
+      """WITH s AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(regexp_replace(text, '[{}();=<>\[\]#|&]', '', 'g')) AS BIGINT) AS n_symbols,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+        |    CAST((length(text) - length(regexp_replace(text, '\n  ', '\n', 'g'))) // 2 AS BIGINT) AS n_indents
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_chars, n_symbols, n_digits, n_indents,
+        |  CAST(CASE WHEN n_chars = 0 THEN 0 ELSE n_symbols * 1000 // n_chars END AS BIGINT) AS symbol_permille,
+        |  CAST(CASE WHEN n_chars = 0 THEN 0 ELSE n_digits * 1000 // n_chars END AS BIGINT) AS digit_permille,
+        |  CAST(CASE WHEN (CASE WHEN n_chars = 0 THEN 0 ELSE n_symbols * 1000 // n_chars END) >= 30
+        |         OR n_indents > 0 THEN 1 ELSE 0 END AS BIGINT) AS is_code
+        |FROM s ORDER BY doc_id""".stripMargin,
+
 
     // train counts from the 80% split, scoring via LEFT joins with zero
     // fallbacks (unseen bigram -> add-one floor); zero-bigram docs retained

@@ -2829,6 +2829,43 @@ class OperatorsSpec extends SparkSuite {
     assertThrows[IllegalArgumentException](Graph.sccPivot(loops, "s", "d", 2))
   }
 
+  test("bmpPatches: tile geometry and means exact on a hand image") {
+    // 10x10: left half luma-0 black, right half pure white -> with 8x8
+    // patches the grid is 2x2 with tile sizes 64/16/16/4
+    val bytes = Multimodal.bmpEncode(10, 10, (x, _) =>
+      if (x < 5) (0, 0, 0) else (255, 255, 255))
+    val tiles = Multimodal.bmpPatches(bytes, 8)
+      .map { case (py, px, n, m) => (py, px) -> (n, m) }.toMap
+    assert(tiles.keySet == Set((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L)))
+    assert(tiles((0L, 0L))._1 == 64L && tiles((0L, 1L))._1 == 16L)
+    assert(tiles((1L, 0L))._1 == 16L && tiles((1L, 1L))._1 == 4L)
+    // white luma = 299+587+114 = 1000 milli; tile (0,0) is 5 black + 3
+    // white columns over 8 rows: mean = 3*8*255000 / 64
+    assert(tiles((0L, 1L))._2 == 255000L && tiles((1L, 1L))._2 == 255000L)
+    assert(tiles((0L, 0L))._2 == 3L * 8L * 255000L / 64L)
+  }
+
+  test("wavVad: silent windows unvoiced, loud windows voiced, counts conserve samples") {
+    // 128 frames mono: first 64 silent, last 64 at full-ish swing
+    val samples = Array.tabulate[Short](128)(f => if (f < 64) 0 else 2000)
+    val bytes = Multimodal.wavEncode(8000, 1, samples)
+    val wins = Multimodal.wavVad(bytes, 64, 1330000L)
+    assert(wins.length == 2)
+    assert(wins(0) == (0L, 64L, 0L, 0L))
+    assert(wins(1) == (1L, 64L, 64L * 2000L * 2000L, 1L))
+  }
+
+  test("withCodeSignals: planted code fires on symbols and indents, prose stays clean") {
+    val docs = Seq(
+      (1L, "def f(x) { return (x + 1); }\n  val y = f(2);\n  g(y);"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again")).toDF("doc_id", "text")
+    val r = TextAnalysis.withCodeSignals(docs, "doc_id", "text")
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Long]("is_code") == 1L)
+    assert(r(1L).getAs[Long]("n_indents") == 2L)
+    assert(r(2L).getAs[Long]("is_code") == 0L && r(2L).getAs[Long]("n_symbols") == 0L)
+  }
+
   test("flattenHierarchy: roots/levels exact on a forest, shallow doublings and cycles raise") {
     // two trees: 0 <- {1, 2}, 1 <- 3; and root 10 alone (self-parent form)
     val nodes = Seq((0L, Option.empty[Long]), (1L, Some(0L)), (2L, Some(0L)),
