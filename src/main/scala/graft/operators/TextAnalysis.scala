@@ -83,6 +83,29 @@ object TextAnalysis {
   def withFingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), TextFns.fingerprint(col(textCol)).as("fingerprint"))
 
+  /** License-marker detection — the compliance cut run before a web/code
+    * corpus enters training (the licensing sibling of the PII tier):
+    * case-insensitive marker classes for restrictive ("all rights
+    * reserved"), Creative-Commons, and permissive (MIT/Apache/SPDX/GPL)
+    * declarations, each a literal-alternation regex in the Java/RE2-shared
+    * subset. `license_class` applies the conservative precedence —
+    * restrictive beats CC beats permissive beats none — because a page
+    * carrying both a CC badge and "all rights reserved" must be treated
+    * as the stricter claim. One scan-speed projection. */
+  def withLicenseSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val arr = t.rlike("(?i)all rights reserved")
+    val cc = t.rlike("(?i)creative commons|cc-by")
+    val perm = t.rlike(
+      "(?i)mit license|apache license|spdx-license-identifier|gnu general public license")
+    docs.select(col(idCol),
+      arr.cast("long").as("has_restrictive"),
+      cc.cast("long").as("has_cc"),
+      perm.cast("long").as("has_permissive"),
+      when(arr, "restrictive").when(cc, "open-cc")
+        .when(perm, "open-permissive").otherwise("none").as("license_class"))
+  }
+
   /** Code-vs-prose detection — the router every mixed web corpus needs
     * before language-specific processing (code into the code pipeline,
     * prose into the text one; The-Stack-style corpora are built on exactly

@@ -237,6 +237,21 @@ private[graft] trait EventsQueries extends QueryHelpers {
     }),
 
 
+    "drift_auc" -> ((s, dir) => {
+      // classifier-free two-sample test (C2ST-lite): AUC of a feature
+      // separating the reference from the re-curated population — 500000
+      // micro = indistinguishable, the one-number drift summary that needs
+      // no binning (PSI) and no cumulative pass semantics of its own
+      // (pure composition with aucExact over the union)
+      val docs = t(s, dir, "documents")
+      val cur = docs.filter(col("n_chars") >= 150 || col("doc_id") % 3 === 0)
+      graft.operators.Eval.aucExact(
+        docs.select(col("n_chars"), lit(0L).as("y"))
+          .unionByName(cur.select(col("n_chars"), lit(1L).as("y"))),
+        col("n_chars"), col("y"))
+    }),
+
+
     "eval_auc" -> ((s, dir) => {
       // exact tie-aware ROC AUC: does order value rank purchases above
       // non-purchases? Mann-Whitney over the distinct-value relation —
@@ -806,6 +821,36 @@ private[graft] trait EventsQueries extends QueryHelpers {
         |  CAST(sum((m1 - m2) * (m1 - m2)) AS BIGINT) AS shift_sq_scaled,
         |  sqrt(CAST(CAST(sum((m1 - m2) * (m1 - m2)) AS BIGINT) AS DOUBLE)) / 1000000.0 AS shift_l2
         |FROM bm JOIN cm USING (d)""".stripMargin,
+
+
+    // aucExact over base(y=0) ∪ re-curated(y=1) on n_chars — same
+    // distinct-score machinery as eval_auc, drift populations from drift_ks
+    "drift_auc" ->
+      """WITH u AS (
+        |  SELECT n_chars AS s, 0 AS y FROM documents
+        |  UNION ALL
+        |  SELECT n_chars AS s, 1 AS y FROM documents
+        |  WHERE n_chars >= 150 OR doc_id % 3 = 0
+        |), g AS (
+        |  SELECT s, CAST(sum(y) AS BIGINT) AS np,
+        |    CAST(count(*) - sum(y) AS BIGINT) AS nn
+        |  FROM u GROUP BY 1
+        |), c AS (
+        |  SELECT np, nn,
+        |    COALESCE(sum(nn) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+        |  FROM g
+        |), agg AS (
+        |  SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
+        |    CAST(sum(np * (2 * cumneg + nn)) AS BIGINT) AS conc2
+        |  FROM c
+        |)
+        |SELECT n_pos, n_neg, conc2,
+        |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST((conc2 // (2 * n_pos * n_neg)) * 1000000
+        |            + ((conc2 % (2 * n_pos * n_neg)) * 1000000) // (2 * n_pos * n_neg) AS BIGINT)
+        |  END AS auc_micro
+        |FROM agg""".stripMargin,
 
 
     // AUC = (2·concordant + ties) / (2·n_pos·n_neg) over the distinct-score

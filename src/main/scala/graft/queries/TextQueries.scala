@@ -195,6 +195,23 @@ private[graft] trait TextQueries extends QueryHelpers {
         .orderBy(col("doc_id"))
     }),
 
+    "text_license_detect" -> ((s, dir) => {
+      // compliance cut: restrictive / CC / permissive license markers with
+      // the conservative precedence (stricter claim wins); markers planted
+      // deterministically so every class fires on this fixture
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" All Rights Reserved.")))
+          .when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" Licensed under Creative Commons CC-BY 4.0")))
+          .when(col("doc_id") % 5 === 0,
+            concat(lit("SPDX-License-Identifier: MIT\n"), col("text")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.withLicenseSignals(spread(docs), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+
     "text_code_detect" -> ((s, dir) => {
       // code-vs-prose router (The-Stack-style corpus cut): structural
       // symbol / digit densities + indentation runs, counted by
@@ -1183,6 +1200,31 @@ private[graft] trait TextQueries extends QueryHelpers {
         |    AS logprob_scaled
         |FROM pp JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
         |GROUP BY 1 ORDER BY pp.doc_id""".stripMargin,
+
+    // same planted markers; regexp_matches with the 'i' flag mirrors the
+    // Java (?i) literal alternations; precedence restrictive > cc > perm
+    "text_license_detect" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' All Rights Reserved.'
+        |         WHEN doc_id % 7 = 0 THEN text || ' Licensed under Creative Commons CC-BY 4.0'
+        |         WHEN doc_id % 5 = 0 THEN 'SPDX-License-Identifier: MIT' || chr(10) || text
+        |         ELSE text END AS text
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN regexp_matches(text, 'all rights reserved', 'i') THEN 1 ELSE 0 END AS BIGINT) AS has_restrictive,
+        |    CAST(CASE WHEN regexp_matches(text, 'creative commons|cc-by', 'i') THEN 1 ELSE 0 END AS BIGINT) AS has_cc,
+        |    CAST(CASE WHEN regexp_matches(text, 'mit license|apache license|spdx-license-identifier|gnu general public license', 'i') THEN 1 ELSE 0 END AS BIGINT) AS has_permissive
+        |  FROM d
+        |)
+        |SELECT doc_id, has_restrictive, has_cc, has_permissive,
+        |  CASE WHEN has_restrictive = 1 THEN 'restrictive'
+        |       WHEN has_cc = 1 THEN 'open-cc'
+        |       WHEN has_permissive = 1 THEN 'open-permissive'
+        |       ELSE 'none' END AS license_class
+        |FROM s ORDER BY doc_id""".stripMargin,
+
 
     // strip-and-subtract counting; DuckDB needs the 'g' flag where Java
     // replaces all by default; \n in the class matches the literal newline

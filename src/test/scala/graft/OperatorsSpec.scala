@@ -2855,6 +2855,20 @@ class OperatorsSpec extends SparkSuite {
     assert(wins(1) == (1L, 64L, 64L * 2000L * 2000L, 1L))
   }
 
+  test("withLicenseSignals: conservative precedence, case-insensitive markers") {
+    val docs = Seq(
+      (1L, "Shared under CREATIVE COMMONS terms. all rights reserved"),
+      (2L, "See the Apache License 2.0"),
+      (3L, "plain prose")).toDF("doc_id", "text")
+    val r = TextAnalysis.withLicenseSignals(docs, "doc_id", "text")
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // both markers present -> the stricter claim wins
+    assert(r(1L).getAs[String]("license_class") == "restrictive")
+    assert(r(1L).getAs[Long]("has_cc") == 1L)
+    assert(r(2L).getAs[String]("license_class") == "open-permissive")
+    assert(r(3L).getAs[String]("license_class") == "none")
+  }
+
   test("withCodeSignals: planted code fires on symbols and indents, prose stays clean") {
     val docs = Seq(
       (1L, "def f(x) { return (x + 1); }\n  val y = f(2);\n  g(y);"),
