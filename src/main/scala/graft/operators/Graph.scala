@@ -536,7 +536,10 @@ object Graph {
       val prop = adj
         .join(dist.select(col("node").as("x"), col("dist")), "x")
         .select(col("v").as("node"), (col("dist") + 1).as("dist"))
+      // per-round persist — dist is read twice per round (union + next
+      // propagation), so lineage otherwise replays ~2^rounds times
       dist = dist.union(prop).groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .transform(Residuals.persist)
     }
     dist
   }
@@ -570,6 +573,13 @@ object Graph {
     require(!pivotRow.isNullAt(0),
       "sccPivot: no non-self-loop edges — the graph has no pivot to expand from")
     val pivot = pivotRow.getLong(0)
+    // Two independent rounds-bounded frontier expansions (forward along
+    // src→dst, backward along dst→src) — they share no state, so the final
+    // join evaluates both 5-deep stage chains in parallel. Per-round
+    // persist: dist is read twice per round (union + next propagation), so
+    // lineage otherwise replays ~2^rounds times. (A folded single-frontier
+    // variant tagged by direction was tried and measured SLOWER — it
+    // serializes the two chains that here run concurrently.)
     def reach(adj: DataFrame): DataFrame = {
       var dist = e.sparkSession.range(1).select(lit(pivot).as("node"), lit(0L).as("dist"))
       for (_ <- 1 to rounds) {
@@ -577,6 +587,7 @@ object Graph {
           .join(dist.select(col("node").as("x"), col("dist")), "x")
           .select(col("v").as("node"), (col("dist") + 1).as("dist"))
         dist = dist.union(prop).groupBy(col("node")).agg(min(col("dist")).as("dist"))
+          .transform(Residuals.persist)
       }
       dist
     }
