@@ -358,12 +358,16 @@ object Features {
       raise_error(concat(lit("perceptron: label must be +1/-1, got "),
         coalesce(y0.cast("string"), lit("NULL"))))).otherwise(y0)
     val data0 = df.select(featuresCol.as("x"), y.as("y"))
-    val head = data0.select(size(col("x")).as("d")).head()
-    val d = head.getInt(0)
+    val headRows = data0.select(size(col("x")).as("d")).limit(1).collect()
+    require(headRows.nonEmpty, "perceptron: empty input — nothing to train on")
+    require(!headRows(0).isNullAt(0), "perceptron: NULL feature vector")
+    val d = headRows(0).getInt(0)
     require(d >= 1, "perceptron: empty feature vector")
     val data = data0
-      .withColumn("x", when(size(col("x")) =!= d,
-        raise_error(lit(s"perceptron: ragged feature vectors (expected $d)")))
+      // NULL vectors must raise like ragged ones — a null would otherwise
+      // vanish silently from the gradient via null element_at
+      .withColumn("x", when(col("x").isNull || size(col("x")) =!= d,
+        raise_error(lit(s"perceptron: NULL or ragged feature vectors (expected $d)")))
         .otherwise(col("x")))
       .transform(Residuals.persist)
     var w = Array.fill(d)(0L)

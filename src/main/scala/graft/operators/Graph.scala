@@ -617,8 +617,20 @@ object Graph {
   def flattenHierarchy(nodes: DataFrame, idCol: String, parentCol: String,
       doublings: Int = 5): DataFrame = {
     require(doublings >= 1 && doublings <= 40, "doublings must be in [1, 40]")
+    // a parent id with NO node row would silently vanish from the first
+    // self-join (the pointer has nothing to compose with) — validate the
+    // reference up front with a plan-embedded raise, same contract as the
+    // cycle/depth check below
+    val ids = nodes.select(col(idCol).cast("long").as("anc")).distinct()
+      .withColumn("__ok", lit(1L))
     var anc = nodes.select(col(idCol).cast("long").as("node"),
       coalesce(col(parentCol).cast("long"), col(idCol).cast("long")).as("anc"))
+      .join(ids, Seq("anc"), "left")
+      .select(col("node"),
+        when(col("__ok").isNull,
+          raise_error(concat(lit("flattenHierarchy: node "), col("node").cast("string"),
+            lit(" references a parent with no node row — dangling pointer"))))
+          .otherwise(col("anc")).as("anc"))
       .withColumn("d", when(col("anc") === col("node"), 0L).otherwise(1L))
       .transform(Residuals.persist)
     val roots = anc.filter(col("d") === 0L).select(col("node").as("anc"))

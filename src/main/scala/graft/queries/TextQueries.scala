@@ -215,9 +215,14 @@ private[graft] trait TextQueries extends QueryHelpers {
     "text_code_detect" -> ((s, dir) => {
       // code-vs-prose router (The-Stack-style corpus cut): structural
       // symbol / digit densities + indentation runs, counted by
-      // strip-and-subtract in the shared regex subset; is_code fires on
-      // symbol density or any indent run
-      TextAnalysis.withCodeSignals(spread(t(s, dir, "documents")), "doc_id", "text")
+      // strip-and-subtract in the shared regex subset; every 9th doc gets
+      // a planted indented snippet so the indent branch gates
+      // non-vacuously (the prose fixture itself has no newlines)
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 9 === 0,
+          concat(col("text"), lit("\n  f(x);\n  g(y);")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.withCodeSignals(spread(docs), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
 
@@ -1229,12 +1234,21 @@ private[graft] trait TextQueries extends QueryHelpers {
     // strip-and-subtract counting; DuckDB needs the 'g' flag where Java
     // replaces all by default; \n in the class matches the literal newline
     "text_code_detect" ->
-      """WITH s AS (
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 9 = 0
+        |      THEN text || chr(10) || '  f(x);' || chr(10) || '  g(y);'
+        |      ELSE text END AS text
+        |  FROM documents
+        |), s AS (
         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
         |    CAST(length(text) - length(regexp_replace(text, '[{}();=<>\[\]#|&]', '', 'g')) AS BIGINT) AS n_symbols,
         |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
-        |    CAST((length(text) - length(regexp_replace(text, '\n  ', '\n', 'g'))) // 2 AS BIGINT) AS n_indents
-        |  FROM documents
+        |    -- replacement must be chr(10), an actual 1-char string: a '\n'
+        |    -- REPLACEMENT literal is an invalid RE2 escape DuckDB treats as
+        |    -- empty (3 chars removed per match vs Spark's 2)
+        |    CAST((length(text) - length(regexp_replace(text, '\n  ', chr(10), 'g'))) // 2 AS BIGINT) AS n_indents
+        |  FROM d
         |)
         |SELECT doc_id, n_chars, n_symbols, n_digits, n_indents,
         |  CAST(CASE WHEN n_chars = 0 THEN 0 ELSE n_symbols * 1000 // n_chars END AS BIGINT) AS symbol_permille,

@@ -2900,6 +2900,10 @@ class OperatorsSpec extends SparkSuite {
     val cyc = Seq((1L, Some(2L)), (2L, Some(1L))).toDF("id", "par")
     assertThrows[Exception](
       Graph.flattenHierarchy(cyc, "id", "par", doublings = 3).collect())
+    // a parent with no node row must raise, not silently drop the child
+    val dangling = Seq((1L, Some(99L)), (2L, Option.empty[Long])).toDF("id", "par")
+    assertThrows[Exception](
+      Graph.flattenHierarchy(dangling, "id", "par", doublings = 2).collect())
   }
 
   test("perceptron: hand-traced rounds, ragged vectors and bad labels raise") {
@@ -2915,6 +2919,12 @@ class OperatorsSpec extends SparkSuite {
     assertThrows[Exception](Features.perceptron(ragged, $"x", $"y").collect())
     val badLabel = Seq((Array(1L, 2L), 7L)).toDF("x", "y")
     assertThrows[Exception](Features.perceptron(badLabel, $"x", $"y").collect())
+    // empty input and NULL vectors refuse with named messages, not NPEs
+    val empty = Seq.empty[(Array[Long], Long)].toDF("x", "y")
+    assertThrows[IllegalArgumentException](Features.perceptron(empty, $"x", $"y"))
+    val nullVec = Seq((Option.empty[Array[Long]], 1L), (Some(Array(1L, 2L)), -1L))
+      .toDF("x", "y")
+    assertThrows[Exception](Features.perceptron(nullVec, $"x", $"y").collect())
   }
 
   test("botScore: a planted metronomic single-minded burst user scores 100") {
