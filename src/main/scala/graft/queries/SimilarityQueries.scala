@@ -426,6 +426,41 @@ private[graft] trait SimilarityQueries extends QueryHelpers {
     }),
 
 
+    "emb_mips_transform" -> ((s, dir) => {
+      // MIPS -> cosine reduction: one completion dim floor(sqrt(M2 - n2))
+      // appended per vector so max-inner-product search rides every gated
+      // cosine ANN index; sqrt is IEEE-correctly-rounded in both engines
+      graft.operators.Embeddings.mipsTransform(
+        spread(t(s, dir, "embeddings")), "vec_id", "embedding")
+        .orderBy(col("vec_id"), col("dim"))
+    }),
+
+
+    "emb_residual_quantize" -> ((s, dir) => {
+      // two-stage residual quantization: trained-range SQ, then SQ over
+      // the (non-negative) residual — 16 bits/dim, err monotonically
+      // refines stage 1; all truncating-integer, both stages oracle-exact
+      graft.operators.Embeddings.residualQuantize(
+        spread(t(s, dir, "embeddings")), "vec_id", "embedding")
+        .orderBy(col("vec_id"), col("dim"))
+    }),
+
+
+    "eval_ece" -> ((s, dir) => {
+      // expected calibration error: the one-number rollup of
+      // eval_calibration's reliability bins — sum(n_b * gap_b) div N,
+      // same md5-derived scores and even-label positives
+      import graft.operators.Eval
+      val e = t(s, dir, "embeddings").select(
+        pmod(TextFns.md5Long(col("vec_id").cast("string"), 100), lit(1000001L)).as("p"),
+        when(col("label") % 2 === 0, 1L).otherwise(0L).as("y"))
+      Eval.calibration(e, col("p"), col("y"), bins = 10)
+        .agg(sum(col("n")).as("n_total"),
+          sum(col("n") * col("gap_micro")).as("ws"))
+        .select(col("n_total"), expr("ws div n_total").as("ece_micro"))
+    }),
+
+
     "eval_knn_label_acc" -> ((s, dir) => {
       // embedding linear-probe proxy: predict each query's label by
       // majority vote of its brute top-5 neighbors (ties -> smallest
@@ -1555,6 +1590,87 @@ private[graft] trait SimilarityQueries extends QueryHelpers {
         |  CAST(COALESCE(p.ap_sum_micro, 0) // least(nt.n_truth, 10) AS BIGINT) AS ap_micro
         |FROM nt LEFT JOIN perq p USING (query_id)
         |ORDER BY nt.query_id""".stripMargin,
+
+
+    // completion dim = floor(sqrt(m2 - n2)) against the corpus max norm
+    "emb_mips_transform" ->
+      """WITH q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, qv, CAST(list_sum([x*x FOR x IN qv]) AS BIGINT) AS n2 FROM q
+        |), m AS (SELECT max(n2) AS m2 FROM n),
+        |base AS (
+        |  SELECT vec_id, unnest(range(1, len(qv) + 1)) AS dim, unnest(qv) AS v FROM n
+        |), extra AS (
+        |  SELECT vec_id, len(qv) + 1 AS dim,
+        |    CAST(floor(sqrt(CAST((SELECT m2 FROM m) - n2 AS DOUBLE))) AS BIGINT) AS v
+        |  FROM n
+        |)
+        |SELECT vec_id, CAST(dim AS BIGINT) AS dim, CAST(v AS BIGINT) AS v
+        |FROM (SELECT * FROM base UNION ALL SELECT * FROM extra) u
+        |ORDER BY vec_id, dim""".stripMargin,
+
+
+    // two SQ stages over (value, then residual) ranges; residuals are
+    // non-negative because truncating recon never overshoots
+    "emb_residual_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings
+        |), el AS (
+        |  SELECT vec_id, i.range AS pos, qv[i.range + 1] AS x
+        |  FROM q CROSS JOIN range(0, 64) i
+        |), s1 AS (
+        |  SELECT pos, CAST(min(x) AS BIGINT) AS mn1, CAST(max(x) AS BIGINT) AS mx1
+        |  FROM el GROUP BY 1
+        |), q1 AS (
+        |  SELECT el.vec_id, el.pos, el.x, s1.mn1, s1.mx1,
+        |    CASE WHEN s1.mx1 = s1.mn1 THEN 0
+        |         ELSE (el.x - s1.mn1) * 255 // (s1.mx1 - s1.mn1) END AS code1
+        |  FROM el JOIN s1 USING (pos)
+        |), q1b AS (
+        |  SELECT *, mn1 + code1 * (mx1 - mn1) // 255 AS recon1 FROM q1
+        |), q1c AS (SELECT *, x - recon1 AS r FROM q1b),
+        |s2 AS (
+        |  SELECT pos, CAST(min(r) AS BIGINT) AS mn2, CAST(max(r) AS BIGINT) AS mx2
+        |  FROM q1c GROUP BY 1
+        |), q2 AS (
+        |  SELECT q1c.*, s2.mn2, s2.mx2,
+        |    CASE WHEN s2.mx2 = s2.mn2 THEN 0
+        |         ELSE (q1c.r - s2.mn2) * 255 // (s2.mx2 - s2.mn2) END AS code2
+        |  FROM q1c JOIN s2 USING (pos)
+        |), q2b AS (
+        |  SELECT *, mn2 + code2 * (mx2 - mn2) // 255 AS recon2 FROM q2
+        |)
+        |SELECT vec_id, CAST(pos + 1 AS BIGINT) AS dim,
+        |  CAST(code1 AS BIGINT) AS code1, CAST(code2 AS BIGINT) AS code2,
+        |  CAST(recon1 + recon2 AS BIGINT) AS recon,
+        |  CAST(x - recon1 - recon2 AS BIGINT) AS err
+        |FROM q2b ORDER BY vec_id, dim""".stripMargin,
+
+
+    // eval_calibration's bins rolled up: ece = sum(n * gap) // N
+    "eval_ece" ->
+      """WITH s AS (
+        |  SELECT ('0x' || substr(md5('50:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+        |           % 1000001 AS p,
+        |    CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS y
+        |  FROM embeddings
+        |), b AS (
+        |  SELECT least(9, p * 10 // 1000000) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS n_pos,
+        |    CAST(sum(p) AS BIGINT) AS sp
+        |  FROM s GROUP BY 1
+        |), g AS (
+        |  SELECT n,
+        |    abs(sp // n - ((n_pos // n) * 1000000 + (n_pos % n) * 1000000 // n)) AS gap
+        |  FROM b
+        |)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_total,
+        |  CAST(CAST(sum(n * gap) AS BIGINT) // CAST(sum(n) AS BIGINT) AS BIGINT) AS ece_micro
+        |FROM g""".stripMargin,
 
 
     // brute top-5 re-derivation + majority vote with the (count desc,

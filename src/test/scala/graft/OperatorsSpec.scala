@@ -2829,6 +2829,39 @@ class OperatorsSpec extends SparkSuite {
     assertThrows[IllegalArgumentException](Graph.sccPivot(loops, "s", "d", 2))
   }
 
+  test("mipsTransform: completion dim equalizes norms within floor slack, max-norm vector gets 0") {
+    val r = Embeddings.mipsTransform(embs, "vec_id", "embedding")
+    import org.apache.spark.sql.functions.{col, expr, max => smax, sum => ssum}
+    val d = 64L
+    val aug = r.groupBy(col("vec_id"))
+      .agg(ssum(expr("v * v")).as("aug_n2"),
+        ssum(expr("CASE WHEN dim = 65 THEN v ELSE CAST(0 AS BIGINT) END")).as("extra"))
+    val m2 = aug.agg(smax(expr("aug_n2 - (extra * extra)"))).collect()(0).getLong(0)
+    // every augmented norm sits within the floor slack below the max:
+    // m2 - aug_n2 = (m2 - n2) - floor(sqrt(m2 - n2))^2 in [0, 2*sqrt+1)
+    val viol = aug.filter(expr(s"aug_n2 > $m2") ||
+      expr(s"$m2 - aug_n2 > 2 * CAST(sqrt($m2) AS BIGINT) + 1")).count()
+    assert(viol == 0L)
+    assert(aug.filter(expr(s"aug_n2 - extra * extra = $m2"))
+      .filter(col("extra") === 0L).count() >= 1L,
+      "the max-norm vector must take completion 0")
+  }
+
+  test("residualQuantize: stage-2 error refines stage 1, never negative") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val r = Embeddings.residualQuantize(embs, "vec_id", "embedding")
+    assert(r.filter(col("err") < 0L).count() == 0L)
+    // stage-1-only error = x - recon1 = err + recon2 >= err, so recon2 >= 0
+    // and every code is an 8-bit value
+    assert(r.filter(col("code1") < 0L || col("code1") > 255L
+      || col("code2") < 0L || col("code2") > 255L).count() == 0L)
+    // the refinement is real: total err is strictly below stage-1-only err
+    val total = r.agg(expr("sum(err)")).collect()(0).getLong(0)
+    val s1only = Embeddings.quantizeScalar(embs, "vec_id", "embedding")
+      .agg(expr("sum(err)")).collect()(0).getLong(0)
+    assert(total < s1only)
+  }
+
   test("bmpPatches: tile geometry and means exact on a hand image") {
     // 10x10: left half luma-0 black, right half pure white -> with 8x8
     // patches the grid is 2x2 with tile sizes 64/16/16/4
