@@ -882,4 +882,37 @@ object Behavior {
       (ch, b, pr, eff, if (total == 0) 0L else eff * 1000000L / total)
     }).toDF("channel", "base_micro", "removed_micro", "effect_micro", "credit_micro")
   }
+
+  /** Gapped sequential-pattern mining (PrefixSpan's length-2 core): for
+    * every ordered event-type pair (a → b, a ≠ b), the number of users who
+    * performed a STRICTLY BEFORE some later b — any gap, any intervening
+    * events. [[transitionMatrix]] counts only ADJACENT steps; the gapped
+    * form is what funnel discovery and "what eventually follows signup"
+    * analyses need.
+    *
+    * The naive per-user event self-join is O(events²/user). A user exhibits
+    * pattern (a, b) iff `min ts(a) < max ts(b)` — so one aggregate to per-
+    * (user, type) first/last timestamps collapses the join to the
+    * type-domain square per user: O(users · |types|²), with |types| a small
+    * bounded domain. Strictly-before uses `<` on timestamps (an a and b at
+    * the same instant do not order).
+    *
+    * Scale shape: one map-side-combined aggregate + one self-equi-join on
+    * the user key (co-partitioned, no skew: both sides ≤ |types| rows per
+    * user) + one count. Returns (type_a, type_b, n_users) with support
+    * ≥ minSupport. */
+  def seqPatterns(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, minSupport: Long = 1L): DataFrame = {
+    require(minSupport >= 1, "minSupport must be positive")
+    val spans = events
+      .groupBy(col(userCol).as("u"), col(typeCol).as("t"))
+      .agg(min(col(tsCol)).as("first_ts"), max(col(tsCol)).as("last_ts"))
+      .transform(Residuals.persist)
+    spans.select(col("u"), col("t").as("type_a"), col("first_ts"))
+      .join(spans.select(col("u"), col("t").as("type_b"), col("last_ts")), "u")
+      .filter(col("type_a") =!= col("type_b") && col("first_ts") < col("last_ts"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_users"))
+      .filter(col("n_users") >= minSupport)
+  }
 }

@@ -285,4 +285,39 @@ object Drift {
             lit("the two embedding sets have different dimensionality"))))
           .otherwise(abs(col("cov_ref") - col("cov_cur"))))
   }
+
+  /** Top-k churn between two weighted key snapshots (vocabulary drift the
+    * HEAD can see): rank both snapshots by (weight desc, key asc — total
+    * tie-break, the cross-engine determinism contract), keep each side's
+    * top k, and emit the union with both ranks (0 = absent from that
+    * side's top k). PSI/KS/JS measure distribution-shape drift; this
+    * answers the editorial question "which dominant terms entered or left"
+    * — the two monitors fire on different regressions (a stopword-list
+    * change moves the head without moving the shape much, and vice versa).
+    *
+    * Inputs are already-aggregated (key, weight) relations — compose with
+    * any upstream counter. Exactness: ranks via row_number over the fully
+    * tie-broken order; all outputs integer.
+    *
+    * Scale shape: the rank window is global BUT over the aggregated key
+    * domain (vocabulary-sized, not corpus-sized — the frequency-spectrum
+    * contract); the top-k join is k-row broadcast-sized. Returns
+    * (key, w_old, w_new, rank_old, rank_new) for keys in either top k,
+    * ordered columns only — callers add the total ORDER BY. */
+  def topkChurn(oldW: DataFrame, newW: DataFrame, keyCol: String,
+      weightCol: String, k: Int = 20): DataFrame = {
+    require(k >= 1, "k must be positive")
+    def top(df: DataFrame, side: String): DataFrame =
+      df.select(col(keyCol).as("key"), col(weightCol).cast("long").as(s"w_$side"))
+        .withColumn(s"rank_$side", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col(s"w_$side").desc, col("key").asc)).cast("long"))
+        .filter(col(s"rank_$side") <= k)
+    top(oldW, "old").join(top(newW, "new"), Seq("key"), "full_outer")
+      .select(col("key"),
+        coalesce(col("w_old"), lit(0L)).as("w_old"),
+        coalesce(col("w_new"), lit(0L)).as("w_new"),
+        coalesce(col("rank_old"), lit(0L)).as("rank_old"),
+        coalesce(col("rank_new"), lit(0L)).as("rank_new"))
+  }
 }

@@ -328,4 +328,81 @@ object Eval {
         when(col("idcg_micro") === 0L, lit(0L))
           .otherwise(expr("dcg_micro * 1000000 div idcg_micro")))
   }
+
+  /** Full precision/recall/F1 threshold sweep for a binary classifier
+    * score — the curve behind "pick the curation cutoff": for every
+    * DISTINCT score value t (predict positive iff score ≥ t), the
+    * confusion counts and fixed-point P/R/F1. [[aucExact]] summarizes the
+    * ranking in one number; this emits the operating points so a pipeline
+    * can pick the threshold meeting a target precision.
+    *
+    * Exactness: scores are integers (micro-units by contract); per distinct
+    * score the positive/total counts aggregate first, then ONE global
+    * cumulative window (scores descending, explicit ROWS frame — the frame
+    * defaults differ across engines, r12 AUC lesson) yields tp and
+    * predicted-positive counts. `f1_micro = 2·tp·1e6 div (2·tp+fp+fn)` —
+    * division-free numerators, denominator > 0 whenever any positive
+    * exists (required).
+    *
+    * Scale shape: the aggregate is map-side combined; the window runs over
+    * the DISTINCT-score relation — bounded by the score domain (≤ 1e6+1
+    * values for micro-unit scores), metadata-sized by construction, same
+    * contract as the frequency spectrum. NULL scores are refused loudly
+    * (they rank differently across engines — aucExact precedent). */
+  def f1Sweep(df: DataFrame, score: Column, positive: Column): DataFrame = {
+    val base = df.select(
+      when(score.isNull, raise_error(lit("f1Sweep: NULL score — clean inputs first")))
+        .otherwise(score.cast("long")).as("s"),
+      positive.cast("long").as("y"))
+    val perScore = base.groupBy(col("s"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("np"))
+    val cum = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = perScore.agg(sum(col("np")).as("pos"))
+    perScore
+      .withColumn("tp", sum(col("np")).over(cum))
+      .withColumn("pp", sum(col("n")).over(cum))
+      .crossJoin(broadcast(totals))
+      .select(col("s").as("threshold"), col("tp"),
+        (col("pp") - col("tp")).as("fp"), (col("pos") - col("tp")).as("fn"))
+      .withColumn("prec_micro", expr("tp * 1000000 div (tp + fp)"))
+      .withColumn("rec_micro", expr("tp * 1000000 div nullif(tp + fn, 0)"))
+      .withColumn("f1_micro", expr("2 * tp * 1000000 div (2 * tp + fp + fn)"))
+  }
+
+  /** Cohen's kappa — chance-corrected agreement between two labelers
+    * (annotator vs annotator, heuristic vs ground truth): κ = (p_o − p_e) /
+    * (1 − p_e) with p_e the marginal-product chance agreement. The raw
+    * accuracy [[classMetrics]] reports is inflated by class imbalance; κ is
+    * the number annotation QA actually compares against 0.4/0.6/0.8 bars.
+    *
+    * Exactness: all counts integer (n, agreement, per-class marginal
+    * products summed distributively — `pe_n2 = Σ_k row_k·col_k`); κ itself
+    * is the IEEE double `(n·agree − pe_n2) / (n² − pe_n2)` — one division
+    * of two exactly-representable integer operands with identical
+    * parenthesization on both engines (the events_ab_test χ² precedent).
+    * Stated bound: n < 3e9 keeps n² inside the 2^63 integer domain (and
+    * products inside 2^53-exact doubles for the final division) — beyond
+    * that, sample the audit (κ is an agreement RATE; it does not need the
+    * full corpus). Degenerate marginals (p_e = 1: both labelers constant)
+    * return κ = 0 by convention rather than 0/0.
+    *
+    * Scale shape: one map-side-combined cell aggregation (cells ≤
+    * classes², metadata-sized), then class-domain joins. Returns ONE row
+    * (n, agree_n, pe_n2, kappa). */
+  def cohenKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df.select(a.cast("string").as("ca"), b.cast("string").as("cb"))
+      .groupBy(col("ca"), col("cb")).agg(count(lit(1)).as("m"))
+    val rowTot = cells.groupBy(col("ca").as("k")).agg(sum(col("m")).as("rk"))
+    val colTot = cells.groupBy(col("cb").as("k")).agg(sum(col("m")).as("ck"))
+    val pe = rowTot.join(colTot, "k")
+      .agg(sum(col("rk") * col("ck")).as("pe_n2"))
+    cells.agg(sum(col("m")).as("n"),
+        sum(when(col("ca") === col("cb"), col("m")).otherwise(0L)).as("agree_n"))
+      .crossJoin(pe)
+      .withColumn("kappa",
+        when(col("n") * col("n") === col("pe_n2"), lit(0.0d))
+          .otherwise((col("n") * col("agree_n") - col("pe_n2")).cast("double") /
+            (col("n") * col("n") - col("pe_n2")).cast("double")))
+  }
 }

@@ -389,4 +389,37 @@ object Features {
     }
     out.result().toDF("round", "dim", "w", "n_miss")
   }
+
+  /** Spearman rank correlation between two feature columns — the
+    * feature-redundancy audit ([[linearFit]]'s slope captures LINEAR
+    * dependence; ρ catches any monotone one, which is what decides whether
+    * a derived feature adds signal or just re-ranks an existing one).
+    *
+    * Ranks are row_number over (value asc, id asc) — the id tie-break
+    * makes ranks total and cross-engine deterministic even with duplicate
+    * values (tie-broken ranks, not midranks; stated in the output
+    * contract). ρ = 1 − 6·Σd² / (n·(n²−1)) computed as ONE IEEE division
+    * of exactly-representable integer operands (identical left-associated
+    * expression both engines — the ab_test precedent). Σd² < n³/3 keeps
+    * the numerator exact under 2^53 for n ≤ ~2e5; beyond that, sample the
+    * audit (ρ is a rate, it does not need the full corpus) — stated bound,
+    * loud in the scaladoc rather than silently wrong.
+    *
+    * Scale shape: two global rank windows over the audited sample (explicit
+    * contract above), one join on id, one aggregate. Returns ONE row
+    * (n, sum_d2, rho). */
+  def spearman(df: DataFrame, idCol: String, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ra = df.select(col(idCol).as("id"),
+        row_number().over(Window.orderBy(col(aCol).asc, col(idCol).asc)).cast("long").as("ra"))
+    val rb = df.select(col(idCol).as("id"),
+        row_number().over(Window.orderBy(col(bCol).asc, col(idCol).asc)).cast("long").as("rb"))
+    ra.join(rb, "id")
+      .agg(count(lit(1)).as("n"),
+        sum((col("ra") - col("rb")) * (col("ra") - col("rb"))).as("sum_d2"))
+      .withColumn("rho",
+        when(col("n") < 2L, lit(0.0d))
+          .otherwise(lit(1.0d) - lit(6.0d) * col("sum_d2").cast("double") /
+            (col("n") * (col("n") * col("n") - 1L)).cast("double")))
+  }
 }

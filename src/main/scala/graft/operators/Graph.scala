@@ -400,6 +400,57 @@ object Graph {
     out
   }
 
+  /** Neighborhood-Jaccard link prediction: for every non-adjacent pair
+    * (a < b) sharing at least `minCommon` neighbors,
+    * `jac = |N(a)∩N(b)| / |N(a)∪N(b)|` in 1e-6 fixed point — the
+    * size-normalized complement of [[linkPredict]]'s raw common-neighbor
+    * count (a hub pair with 3 shared neighbors out of 500 is a weaker
+    * signal than a leaf pair with 3 of 4). `|N(a)∪N(b)| = deg(a)+deg(b)−cn`
+    * needs only the per-node degree relation, so the union is never
+    * materialized.
+    *
+    * Exactness: `jac_micro = cn·1e6 div (deg_a+deg_b−cn)` — one truncating
+    * integer division of exact counts; the denominator is ≥ cn ≥ 1 for any
+    * pair this operator emits. cn·1e6 binds at cn ~ 9.2e12 — beyond any
+    * real node degree.
+    *
+    * Scale shape: identical to [[linkPredict]] (wedge equi-joins bounded by
+    * maxDeg·|E|, anti-join against the edge list); the degree join adds two
+    * broadcast-sized probes against the node-domain degree relation.
+    * Returns (node_a, node_b, cn, deg_a, deg_b, jac_micro). */
+  def jaccardSimilarity(edges: DataFrame, srcCol: String, dstCol: String,
+      minCommon: Long = 1L, maxDeg: Long = Long.MaxValue): DataFrame = {
+    require(minCommon >= 1, "minCommon must be positive")
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = e0
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .transform(Residuals.persist)
+    val adj = und.union(und.select(col("b").as("a"), col("a").as("b")))
+      .select(col("a").as("w"), col("b").as("x"))
+      .transform(Residuals.persist)
+    val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("deg"))
+      .transform(Residuals.persist)
+    val mids = adj.join(deg.filter(col("deg") <= maxDeg), "w").select(col("w"), col("x"))
+    val wedges = mids.select(col("w"), col("x").as("na"))
+      .join(mids.select(col("w"), col("x").as("nb")), "w")
+      .filter(col("na") < col("nb"))
+    wedges
+      .join(und.select(col("a").as("na"), col("b").as("nb")), Seq("na", "nb"), "left_anti")
+      .groupBy(col("na"), col("nb"))
+      .agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= minCommon)
+      // degrees of the ENDPOINTS (uncapped — the cap only bounds wedge
+      // fanout through intermediates, union size uses true degrees)
+      .join(deg.select(col("w").as("na"), col("deg").as("deg_a")), "na")
+      .join(deg.select(col("w").as("nb"), col("deg").as("deg_b")), "nb")
+      .select(col("na").as("node_a"), col("nb").as("node_b"), col("cn"),
+        col("deg_a"), col("deg_b"),
+        expr("cn * 1000000 div (deg_a + deg_b - cn)").as("jac_micro"))
+  }
+
   /** Local clustering coefficient per node:
     * `cc = 2·triangles(v) / (deg(v)·(deg(v)−1))` in 1e-6 fixed point — the
     * per-node "are my neighbors connected" gauge whose average
@@ -650,5 +701,77 @@ object Graph {
     anc.join(roots.withColumn("r", lit(1L)), Seq("anc"), "left")
       .select(col("node"), unresolved.otherwise(col("anc")).as("root"),
         col("d").as("level"))
+  }
+
+  /** Core decomposition by synchronous h-index iteration (Lü et al. 2016,
+    * "The H-index of a network node"): start from `c₀(v) = deg(v)` and
+    * repeat `c_{r+1}(v) = H({c_r(u) : u ∈ N(v)})`, where H is the h-index —
+    * the largest h such that at least h neighbors currently score ≥ h. The
+    * fixpoint of this local rule is EXACTLY the coreness (the largest k for
+    * which v survives in the k-core), computed without the global peeling
+    * order the sequential algorithm needs — which is what makes it a
+    * shuffle-bounded distributed plan instead of a serial peel.
+    *
+    * `rounds` is fixed (the [[labelPropagation]]/[[hits]] contract): each
+    * round is one equi-join of the adjacency against the current scores plus
+    * one per-node window pass — `h = max(min(c_rank, rank))` over neighbors
+    * sorted by (score desc, neighbor asc) — so the r-round state is exact
+    * and oracle-expressible. Scores are monotonically non-increasing and
+    * lower-bounded by coreness, so any round count is a safe upper-bound
+    * estimate; convergence needs rounds proportional to the graph's
+    * information-propagation radius (a spec pins fixpoint == true peeled
+    * coreness on a clique-plus-tail graph).
+    *
+    * Scale shape: per round, one shuffle on the neighbor key and one window
+    * partitioned BY NODE (never a global sort); the score relation is
+    * node-domain-sized and persisted per round — both sides of the next
+    * join read it, the pointer-doubling lineage contract. Returns
+    * (node, coreness). */
+  def coreness(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, "need at least one h-index round")
+    val und = normalizedUnd(edges, srcCol, dstCol)
+      .transform(Residuals.persist)
+    val adj = und.select(col("a").as("w"), col("b").as("x"))
+      .union(und.select(col("b").as("w"), col("a").as("x")))
+      .transform(Residuals.persist)
+    var c = undDegrees(und).select(col("n").as("node"), col("deg").as("c"))
+      .transform(Residuals.persist)
+    val byScore = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w")).orderBy(col("c").desc, col("x").asc)
+    for (_ <- 1 to rounds) {
+      c = adj
+        .join(c.select(col("node").as("x"), col("c")), "x")
+        .withColumn("rk", row_number().over(byScore).cast("long"))
+        .groupBy(col("w").as("node"))
+        .agg(max(least(col("c"), col("rk"))).as("c"))
+        .transform(Residuals.persist)
+    }
+    c.select(col("node"), col("c").as("coreness"))
+  }
+
+  /** True coreness by sequential peeling — the O(V+E) driver-side textbook
+    * algorithm, here ONLY as the spec's ground truth for [[coreness]]'s
+    * fixpoint (never run at scale: it collects the whole graph). */
+  private[graft] def corenessByPeeling(und: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    und.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
+    val core = scala.collection.mutable.Map.empty[Long, Long]
+    val deg = scala.collection.mutable.Map(adj.toSeq.map { case (n, s) => n -> s.size }: _*)
+    var k = 0L
+    while (deg.nonEmpty) {
+      val peelable = deg.filter(_._2 <= k).keys.toSeq
+      if (peelable.isEmpty) k += 1
+      else peelable.foreach { v =>
+        core(v) = k
+        deg.remove(v)
+        // neighbors already peeled are absent from deg — guard suffices
+        adj(v).foreach { u => if (deg.contains(u)) deg(u) = deg(u) - 1 }
+      }
+    }
+    core.toMap
   }
 }

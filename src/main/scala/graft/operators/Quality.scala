@@ -155,4 +155,30 @@ object Quality {
           .when(changed, lit("changed"))
           .otherwise(lit("unchanged")).as("status"))
   }
+
+  /** Conflicting-duplicate detection: groups of records that agree on a
+    * content key (hash of the payload) but DISAGREE on an attribute —
+    * identical documents carrying different language tags or licence
+    * labels, the label-noise class exact dedup silently papers over (it
+    * keeps one row and an arbitrary winner's metadata). Surfacing the
+    * conflict is a QA gate BEFORE dedup chooses.
+    *
+    * Per conflicted key: member count, distinct attribute count, and the
+    * sorted comma-joined attribute list (sort_array over collect_set —
+    * deterministic regardless of partition order; NULL attributes are
+    * their own value via a sentinel so "tagged vs untagged" is a conflict
+    * too). Only keys with ≥ 2 distinct attribute values emit.
+    *
+    * Scale shape: one hash groupBy with map-side combine; the collected
+    * set is per-group attribute-domain bounded, never corpus-sized.
+    * Returns (content_key, n_records, n_values, values). */
+  def conflictingRecords(df: DataFrame, contentKey: Column, attr: Column): DataFrame = {
+    df.select(contentKey.as("content_key"),
+        coalesce(attr.cast("string"), lit(" null")).as("v"))
+      .groupBy(col("content_key"))
+      .agg(count(lit(1)).as("n_records"),
+        countDistinct(col("v")).as("n_values"),
+        array_join(sort_array(collect_set(col("v"))), ",").as("values"))
+      .filter(col("n_values") >= 2)
+  }
 }

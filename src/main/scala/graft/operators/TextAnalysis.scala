@@ -1356,6 +1356,108 @@ object TextAnalysis {
       .select(col("lang"), col("token"), col("a").as("df_lang"), col("chi2"))
   }
 
+  /** Mutual-information feature selection — [[chi2Terms]]'s
+    * information-theoretic sibling (the two rank differently on rare
+    * strongly-associated terms: χ² rewards them, MI discounts by mass; a
+    * curation audit wants both). Per (token, lang) the binary-event MI over
+    * document frequencies:
+    *   MI·N = Σ_cells n_cell · ln(N·n_cell / (row·col))
+    * over the four presence/absence cells, empty cells contributing exact 0
+    * (lim x·ln x = 0).
+    *
+    * Exactness: each cell's log factors to FOUR separately-quantized qln
+    * terms — `qln(n_cell) + qln(N) − qln(row) − qln(col)` (the WoE
+    * precedent: no products inside ln, so no overflow at any count) — and
+    * the cell contribution `n_cell·(…)` is an order-free integer sum.
+    * `mi_scaled` ≈ MI·N·1e6 (micro-nats × N). |qln sum| < 1e8 ⇒ the
+    * product binds only past n_cell ~ 9e10 docs per cell.
+    *
+    * Scale shape: identical to chi2Terms — distinct-token explode,
+    * map-side-combined counts, broadcast lang totals, per-lang top-k
+    * window (fanout bounded by vocabulary × languages). Returns
+    * (lang, token, df_lang, mi_scaled) top-`topK` per lang. */
+  def miTerms(docs: DataFrame, idCol: String, langCol: String, textCol: String,
+      topK: Int = 3): DataFrame = {
+    val dt = docs.select(col(langCol).as("lang"), col(idCol).as("did"),
+      explode(array_distinct(TextFns.tokens(col(textCol)))).as("token"))
+    val langTotals = docs.groupBy(col(langCol).as("lang")).agg(count(lit(1)).as("n_lang"))
+    val n = langTotals.collect().map(_.getLong(1)).sum // driver state: one long per language
+    val a = dt.groupBy(col("lang"), col("token")).agg(count(lit(1)).as("a"))
+    val tokDf = dt.groupBy(col("token")).agg(count(lit(1)).as("tok_df"))
+    // one cell's n·(qln(n_cell)+qln(N)−qln(row)−qln(col)); zero cells → 0
+    def cell(nc: Column, rowTot: Column, colTot: Column): Column =
+      when(nc === 0L, 0L).otherwise(
+        nc * (Features.qln(nc) + Features.qln(lit(n)) -
+          Features.qln(rowTot) - Features.qln(colTot)))
+    val scored = a
+      .join(broadcast(langTotals), "lang")
+      .join(tokDf, "token")
+      .withColumn("b", col("n_lang") - col("a"))
+      .withColumn("c", col("tok_df") - col("a"))
+      .withColumn("dd", lit(n) - col("n_lang") - col("c"))
+      .withColumn("mi_scaled",
+        cell(col("a"), col("n_lang"), col("tok_df")) +
+        cell(col("b"), col("n_lang"), lit(n) - col("tok_df")) +
+        cell(col("c"), lit(n) - col("n_lang"), col("tok_df")) +
+        cell(col("dd"), lit(n) - col("n_lang"), lit(n) - col("tok_df")))
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("mi_scaled").desc, col("token"))
+    scored
+      .withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= topK)
+      .select(col("lang"), col("token"), col("a").as("df_lang"), col("mi_scaled"))
+  }
+
+  /** Gibberish / extraction-garbage detection — the filter that catches
+    * what [[gopherQuality]]'s stopword evidence misses: binary-pasted
+    * blobs, OCR line noise, base64/hex runs, minified payloads masquerading
+    * as prose. Three structural signals in the shared Java/RE2-safe
+    * subset:
+    *   - `max_word_len` — longest whitespace-token (a 60-char "word" is a
+    *     hash/base64 run, not language),
+    *   - `novowel_permille` — share of words with no ASCII vowel (per-word
+    *     list filter; real language keeps this near zero),
+    *   - `alnum_permille` — alphanumeric share of all characters (symbol
+    *     storms drive it down).
+    * `is_garbage` fires on any of the three thresholds. All arithmetic
+    * integer per-mille, divisions nullif-guarded; empty docs score clean
+    * zeros, not errors.
+    *
+    * Scale shape: one narrow projection pass, token-array HOFs whose
+    * lambdas touch only their own argument (the wordNgrams trap note);
+    * no shuffle. Returns per-doc signals + the flag (reason-code contract:
+    * the caller sees WHICH signal fired). */
+  def garbageSignals(docs: DataFrame, idCol: String, textCol: String,
+      maxWordLen: Long = 40L, novowelThrPermille: Long = 500L,
+      alnumThrPermille: Long = 400L): DataFrame = {
+    docs.select(col(idCol), col(textCol).as("__t"),
+        TextFns.tokens(col(textCol)).as("__w"))
+      .withColumn("n_words", size(col("__w")).cast("long"))
+      .withColumn("n_chars", length(col("__t")).cast("long"))
+      .withColumn("max_word_len",
+        coalesce(expr("aggregate(__w, 0L, (a, x) -> greatest(a, CAST(length(x) AS BIGINT)))"),
+          lit(0L)))
+      // vowel evidence judges LATIN-script words only — a zh/ru document
+      // has zero ASCII vowels by design and must not read as gibberish
+      .withColumn("latin_words",
+        expr("CAST(size(filter(__w, x -> x rlike '[A-Za-z]')) AS BIGINT)"))
+      .withColumn("novowel_words",
+        expr("CAST(size(filter(__w, x -> x rlike '[A-Za-z]' AND NOT x rlike '[aeiouAEIOU]')) AS BIGINT)"))
+      // any-script letters/digits count as substance (\p{L}\p{N} — RE2 and
+      // Java agree on the Unicode classes), not just ASCII
+      .withColumn("alnum_chars",
+        (col("n_chars") - length(regexp_replace(col("__t"), "[\\p{L}\\p{N}]", ""))).cast("long"))
+      .withColumn("novowel_permille",
+        expr("coalesce(novowel_words * 1000 div nullif(latin_words, 0), 0L)"))
+      .withColumn("alnum_permille",
+        expr("coalesce(alnum_chars * 1000 div nullif(n_chars, 0), 0L)"))
+      .withColumn("is_garbage",
+        (col("max_word_len") > maxWordLen ||
+          (col("latin_words") > 0L && col("novowel_permille") >= novowelThrPermille) ||
+          (col("n_chars") > 0L && col("alnum_permille") < alnumThrPermille)).cast("long"))
+      .drop("__t", "__w", "latin_words", "novowel_words", "alnum_chars")
+  }
+
   /** Gopher quality-rule battery (Rae et al. '21, table A1 core): word
     * count bounds, mean word length band, alphabetic-word share, minimum
     * stopword evidence — the standard pre-filter battery applied before

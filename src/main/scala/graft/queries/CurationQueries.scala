@@ -19,6 +19,34 @@ private[graft] trait CurationQueries extends QueryHelpers {
 
   protected def curationQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "quality_conflicts" -> ((s, dir) => {
+      // conflicting-duplicate audit: identical content carrying different
+      // metadata — the label noise exact dedup silently resolves by
+      // keeping an arbitrary winner. Conflicts are PLANTED (every 7th doc
+      // re-tagged 'xx' — the clean fixture has no exact dups, the
+      // code_detect non-vacuous-branch lesson)
+      val docs = t(s, dir, "documents")
+      val planted = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
+          lit("xx").as("lang"))
+      val all = docs.select(col("doc_id"), col("text"), col("lang")).union(planted)
+      graft.operators.Quality.conflictingRecords(all, md5(col("text")), col("lang"))
+        .orderBy(col("content_key"))
+    }),
+
+
+    "feature_rank_corr" -> ((s, dir) => {
+      // Spearman ρ between character count and token count — the
+      // feature-redundancy audit (monotone dependence, not just linear);
+      // ranks fully tie-broken by id, ρ one IEEE division of exact
+      // integer operands
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        col("n_chars").cast("long").as("a"),
+        size(TextFns.tokens(col("text"))).cast("long").as("b"))
+      graft.operators.Features.spearman(d, "doc_id", "a", "b")
+    }),
+
+
     "feature_quantile_bins" -> ((s, dir) => {
       // equi-depth binning WITHOUT ntile's global sort: k-1 exact percentile
       // thresholds (one aggregate; Spark percentile == DuckDB quantile_cont
@@ -594,6 +622,51 @@ private[graft] trait CurationQueries extends QueryHelpers {
   }
 
   protected def curationOracles: Map[String, String] = Map(
+
+    // NULL attrs sentinel to ' null' (space sorts before alphanumerics in
+    // both engines' binary collation); values sorted then joined —
+    // partition-order-independent on both sides
+    "quality_conflicts" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text, 'xx' FROM documents WHERE doc_id % 7 = 0
+        |), g AS (
+        |  SELECT md5(text) AS content_key,
+        |    CAST(count(*) AS BIGINT) AS n_records,
+        |    CAST(count(DISTINCT COALESCE(lang, ' null')) AS BIGINT) AS n_values,
+        |    string_agg(DISTINCT COALESCE(lang, ' null'), ','
+        |      ORDER BY COALESCE(lang, ' null')) AS "values"
+        |  FROM all_docs GROUP BY 1
+        |)
+        |SELECT content_key, n_records, n_values, "values" FROM g
+        |WHERE n_values >= 2 ORDER BY content_key""".stripMargin,
+
+    // ranks tie-broken by (value, id); ρ = 1 − 6Σd²/(n(n²−1)) with the
+    // identical left-associated double expression on both engines
+    "feature_rank_corr" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS a,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS b
+        |  FROM documents
+        |), ra AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY a ASC, doc_id ASC) AS BIGINT) AS ra
+        |  FROM d
+        |), rb AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY b ASC, doc_id ASC) AS BIGINT) AS rb
+        |  FROM d
+        |), j AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2
+        |  FROM ra JOIN rb USING (doc_id)
+        |)
+        |SELECT n, sum_d2,
+        |  CASE WHEN n < 2 THEN 0.0
+        |    ELSE 1.0 - 6.0 * CAST(sum_d2 AS DOUBLE) / CAST(n * (n * n - 1) AS DOUBLE)
+        |  END AS rho
+        |FROM j""".stripMargin,
 
     "feature_perceptron" -> perceptronOracle,
 

@@ -19,6 +19,32 @@ private[graft] trait EventsQueries extends QueryHelpers {
 
   protected def eventsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "events_seq_patterns" -> ((s, dir) => {
+      // gapped sequential patterns (PrefixSpan's length-2 core): users who
+      // did type_a strictly before SOME later type_b, any gap — collapsed
+      // to per-(user, type) first/last timestamps so the join is the
+      // type-domain square per user, never the event square
+      graft.operators.Behavior.seqPatterns(
+        events(s, dir), "user_id", "event_type", "ts", minSupport = 2L)
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
+
+    "drift_topk_churn" -> ((s, dir) => {
+      // head-of-vocabulary churn between two corpus snapshots (doc_id
+      // parity split): which top-20 tokens entered/left/moved — the
+      // editorial drift axis PSI/KS can't see; ranks fully tie-broken
+      val docs = t(s, dir, "documents")
+      def cnt(d: DataFrame): DataFrame =
+        d.select(explode(TextFns.tokens(col("text"))).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("w"))
+      graft.operators.Drift.topkChurn(
+          cnt(docs.filter(col("doc_id") % 2 === 0)),
+          cnt(docs.filter(col("doc_id") % 2 === 1)), "tok", "w", k = 20)
+        .orderBy(col("key"))
+    }),
+
+
     "events_journey_pairs" -> ((s, dir) => {
       // behavioral twins over a SCREENING COHORT (user_id < 400 — the
       // flagged subset a fraud/bot review actually scans; an all-pairs
@@ -327,6 +353,45 @@ private[graft] trait EventsQueries extends QueryHelpers {
     }))
 
   protected def eventsOracles: Map[String, String] = Map(
+
+    // a user exhibits (a, b) iff min ts(a) < max ts(b) — the span collapse
+    // makes the pattern join type-domain-sized per user
+    "events_seq_patterns" ->
+      """WITH spans AS (
+        |  SELECT user_id AS u, event_type AS t, min(ts) AS first_ts, max(ts) AS last_ts
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT a.t AS type_a, b.t AS type_b, CAST(count(*) AS BIGINT) AS n_users
+        |FROM spans a JOIN spans b
+        |  ON a.u = b.u AND a.t <> b.t AND a.first_ts < b.last_ts
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    // ranks via fully tie-broken row_number; absent-from-top-k sides
+    // normalize to 0 through the full outer join
+    "drift_topk_churn" ->
+      """WITH tok_old AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE doc_id % 2 = 0
+        |), tok_new AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE doc_id % 2 = 1
+        |), w_o AS (SELECT tok AS key, CAST(count(*) AS BIGINT) AS w FROM tok_old GROUP BY 1),
+        |w_n AS (SELECT tok AS key, CAST(count(*) AS BIGINT) AS w FROM tok_new GROUP BY 1),
+        |t_o AS (
+        |  SELECT key, w AS w_old,
+        |    CAST(row_number() OVER (ORDER BY w DESC, key ASC) AS BIGINT) AS rank_old
+        |  FROM w_o QUALIFY rank_old <= 20
+        |), t_n AS (
+        |  SELECT key, w AS w_new,
+        |    CAST(row_number() OVER (ORDER BY w DESC, key ASC) AS BIGINT) AS rank_new
+        |  FROM w_n QUALIFY rank_new <= 20
+        |)
+        |SELECT COALESCE(t_o.key, t_n.key) AS key,
+        |  COALESCE(w_old, 0) AS w_old, COALESCE(w_new, 0) AS w_new,
+        |  COALESCE(rank_old, 0) AS rank_old, COALESCE(rank_new, 0) AS rank_new
+        |FROM t_o FULL OUTER JOIN t_n ON t_n.key = t_o.key
+        |ORDER BY key""".stripMargin,
 
     // journeys re-derived (ordered initials, first 40 events), pairs via
     // the plain quadratic + exact levenshtein filter — the banding is

@@ -19,6 +19,33 @@ private[graft] trait GraphQueries extends QueryHelpers {
 
   protected def graphQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "graph_jaccard_sim" -> ((s, dir) => {
+      // neighborhood-Jaccard link prediction over the supplier chord graph:
+      // the size-normalized twin of graph_common_neighbors — cn / |N∪N| in
+      // 1e-6 fixed point, degrees joined from the shared degree relation
+      val sk = t(s, dir, "supplier").select(col("s_suppkey").cast("long").as("k"))
+      val edges = sk.select(col("k").as("src"), (col("k") + 1).as("dst"))
+        .union(sk.select(col("k").as("src"), (col("k") + 2).as("dst")))
+        .join(sk.withColumnRenamed("k", "dst"), Seq("dst"), "left_semi")
+      graft.operators.Graph.jaccardSimilarity(edges, "src", "dst")
+        .orderBy(col("node_a"), col("node_b"))
+    }),
+
+
+    "graph_coreness" -> ((s, dir) => {
+      // 3 synchronous h-index rounds toward the core decomposition of the
+      // chord graph (c0 = degree; each round the h-index of neighbor
+      // scores) — the distributed coreness algorithm whose fixpoint the
+      // GraphSpec peeling cross-check pins; fixed rounds keep it exact
+      val sk = t(s, dir, "supplier").select(col("s_suppkey").cast("long").as("k"))
+      val edges = sk.select(col("k").as("src"), (col("k") + 1).as("dst"))
+        .union(sk.select(col("k").as("src"), (col("k") + 2).as("dst")))
+        .join(sk.withColumnRenamed("k", "dst"), Seq("dst"), "left_semi")
+      graft.operators.Graph.coreness(edges, "src", "dst", rounds = 3)
+        .orderBy(col("node"))
+    }),
+
+
     "graph_pagerank" -> ((s, dir) => {
       // damped PageRank (3 iterations, fixed-point 1e9) over the symmetrized
       // customer—supplier trade graph; integer arithmetic end to end makes
@@ -226,6 +253,69 @@ private[graft] trait GraphQueries extends QueryHelpers {
   protected def graphOracles: Map[String, String] = Map(
 
     "graph_scc_pivot" -> sccPivotOracle,
+
+    // jac_micro = cn·1e6 // (deg_a + deg_b − cn): one truncating division
+    // of exact counts; shares the wedge/anti-join derivation with
+    // graph_common_neighbors plus two endpoint-degree joins
+    "graph_jaccard_sim" ->
+      """WITH sk AS (SELECT s_suppkey AS k FROM supplier),
+        |e0 AS (
+        |  SELECT k AS u, k + 1 AS v FROM sk WHERE k + 1 IN (SELECT k FROM sk)
+        |  UNION ALL
+        |  SELECT k AS u, k + 2 AS v FROM sk WHERE k + 2 IN (SELECT k FROM sk)
+        |),
+        |und AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM e0),
+        |adj AS (SELECT a AS w, b AS x FROM und UNION ALL SELECT b AS w, a AS x FROM und),
+        |deg AS (SELECT w, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+        |wedge AS (
+        |  SELECT m1.w, m1.x AS na, m2.x AS nb
+        |  FROM adj m1 JOIN adj m2 ON m1.w = m2.w AND m1.x < m2.x
+        |),
+        |pred AS (
+        |  SELECT na, nb, CAST(count(*) AS BIGINT) AS cn
+        |  FROM wedge
+        |  WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.a = wedge.na AND und.b = wedge.nb)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT CAST(na AS BIGINT) AS node_a, CAST(nb AS BIGINT) AS node_b,
+        |  cn, da.deg AS deg_a, db.deg AS deg_b,
+        |  cn * 1000000 // (da.deg + db.deg - cn) AS jac_micro
+        |FROM pred JOIN deg da ON da.w = pred.na JOIN deg db ON db.w = pred.nb
+        |ORDER BY node_a, node_b""".stripMargin,
+
+    // three unrolled h-index rounds: per round, neighbors sorted by
+    // (score desc, id asc), h = max(least(score, rank)) — row_number and
+    // least are exact in both engines
+    "graph_coreness" ->
+      """WITH sk AS (SELECT s_suppkey AS k FROM supplier),
+        |e0 AS (
+        |  SELECT k AS u, k + 1 AS v FROM sk WHERE k + 1 IN (SELECT k FROM sk)
+        |  UNION ALL
+        |  SELECT k AS u, k + 2 AS v FROM sk WHERE k + 2 IN (SELECT k FROM sk)
+        |),
+        |und AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM e0),
+        |adj AS (SELECT a AS w, b AS x FROM und UNION ALL SELECT b AS w, a AS x FROM und),
+        |c0 AS (SELECT w AS node, CAST(count(*) AS BIGINT) AS c FROM adj GROUP BY 1),
+        |r1 AS (
+        |  SELECT w AS node, CAST(max(least(c, rk)) AS BIGINT) AS c FROM (
+        |    SELECT adj.w, c0.c,
+        |      CAST(row_number() OVER (PARTITION BY adj.w ORDER BY c0.c DESC, adj.x ASC) AS BIGINT) AS rk
+        |    FROM adj JOIN c0 ON c0.node = adj.x) q GROUP BY 1
+        |),
+        |r2 AS (
+        |  SELECT w AS node, CAST(max(least(c, rk)) AS BIGINT) AS c FROM (
+        |    SELECT adj.w, r1.c,
+        |      CAST(row_number() OVER (PARTITION BY adj.w ORDER BY r1.c DESC, adj.x ASC) AS BIGINT) AS rk
+        |    FROM adj JOIN r1 ON r1.node = adj.x) q GROUP BY 1
+        |),
+        |r3 AS (
+        |  SELECT w AS node, CAST(max(least(c, rk)) AS BIGINT) AS c FROM (
+        |    SELECT adj.w, r2.c,
+        |      CAST(row_number() OVER (PARTITION BY adj.w ORDER BY r2.c DESC, adj.x ASC) AS BIGINT) AS rk
+        |    FROM adj JOIN r2 ON r2.node = adj.x) q GROUP BY 1
+        |)
+        |SELECT CAST(node AS BIGINT) AS node, c AS coreness
+        |FROM r3 ORDER BY node""".stripMargin,
 
     // fixed-point PageRank, 3 unrolled iterations — every step integer
     // division + order-free integer sums, so the ranks are bit-identical

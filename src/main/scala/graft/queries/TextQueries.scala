@@ -102,6 +102,69 @@ private[graft] trait TextQueries extends QueryHelpers {
     }),
 
 
+    "eval_kappa" -> ((s, dir) => {
+      // Cohen's kappa of the lang-id heuristic vs ground truth — the
+      // chance-corrected agreement scalar eval_langid_prf's per-class
+      // PRF doesn't give; kappa as one IEEE division of exact integer
+      // operands (the ab_test precedent)
+      val docs = t(s, dir, "documents")
+      val pairs = docs.select(col("doc_id"), col("lang"))
+        .join(TextAnalysis.withLangId(spread(docs), "doc_id", "text"), "doc_id")
+      graft.operators.Eval.cohenKappa(pairs, col("lang"), col("predicted_lang"))
+    }),
+
+
+    "eval_f1_sweep" -> ((s, dir) => {
+      // precision/recall/F1 at EVERY distinct threshold of an en-evidence
+      // score (stopword share in micro-units) against the en label — the
+      // operating-point curve behind "pick the curation cutoff"; the
+      // cumulative window runs over the bounded distinct-score domain
+      val scored = t(s, dir, "documents").select(
+          (col("lang") === "en").cast("long").as("y"),
+          TextFns.tokens(col("text")).as("w"))
+        .withColumn("en_hits", expr(
+          "CAST(size(filter(w, x -> x IN ('the','a','an','and','of','to','in','is'))) AS BIGINT)"))
+        .withColumn("score_micro", expr(
+          "coalesce(en_hits * 1000000 div nullif(CAST(size(w) AS BIGINT), 0), 0L)"))
+      graft.operators.Eval.f1Sweep(scored, col("score_micro"), col("y"))
+        .orderBy(col("threshold"))
+    }),
+
+
+    "text_mi_terms" -> ((s, dir) => {
+      // mutual-information feature selection: top-3 most language-
+      // informative tokens per lang — chi2's information-theoretic sibling
+      // (MI discounts rare strong associations by mass); four qln terms
+      // per cell, order-free integer sums end to end
+      TextAnalysis.miTerms(spread(t(s, dir, "documents")), "doc_id", "lang", "text")
+        .orderBy(col("lang"), col("mi_scaled").desc, col("token"))
+    }),
+
+
+    "text_garbage_detect" -> ((s, dir) => {
+      // gibberish/extraction-garbage gate with all three failure modes
+      // PLANTED (the code_detect lesson — the clean fixture alone would
+      // pass vacuously): every 11th doc grows a 49-char hash run (long-
+      // token branch), consonant-word docs at +2e7 (no-vowel branch),
+      // symbol-storm docs at +3e7 (alnum branch)
+      val docs = t(s, dir, "documents")
+      val base = docs.select(col("doc_id"),
+        when(col("doc_id") % 11 === 0,
+          concat(col("text"),
+            lit(" xq3f9b7c1d4e5f60718293a4b5c6d7e8f90a1b2c3d4e5f6a end")))
+          .otherwise(col("text")).as("text"))
+      val consonant = docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          lit("zxcv qwrt plmk bnmv hjkl dfgh strn wlrd").as("text"))
+      val symbols = docs.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 30000000L).as("doc_id"),
+          expr("repeat('#?*! ', 8)").as("text"))
+      TextAnalysis.garbageSignals(
+          spread(base.union(consonant).union(symbols)), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+
     "text_freq_spectrum" -> ((s, dir) => {
       // corpus-health frequency spectrum (frequency-of-frequencies): how
       // many vocabulary types occur exactly k times, k <= 10, plus the tail
@@ -747,6 +810,171 @@ private[graft] trait TextQueries extends QueryHelpers {
   }
 
   protected def textOracles: Map[String, String] = Map(
+
+    // kappa over the langid confusion cells: all counts integer, the final
+    // κ one IEEE division of exact integer operands (identical
+    // left-associated expression both engines); degenerate p_e = 1 → 0
+    "eval_kappa" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    length(text) AS total,
+        |    length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g')) AS no_cyr,
+        |    length(regexp_replace(text, '[一-鿿]', '', 'g')) AS no_cjk
+        |  FROM documents
+        |), hits AS (
+        |  SELECT doc_id, lang, total, no_cyr, no_cjk,
+        |    len(list_filter(toks, t -> list_contains(['the','a','and','of','to','in','is'], t))) AS en,
+        |    len(list_filter(toks, t -> list_contains(['el','la','de','que','y','los'], t))) AS es,
+        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','ein'], t))) AS de,
+        |    len(list_filter(toks, t -> list_contains(['le','la','les','et','est','une'], t))) AS fr
+        |  FROM base
+        |), pairs AS (
+        |  SELECT lang AS a,
+        |    CASE WHEN total - no_cyr > 0 THEN 'ru'
+        |         WHEN total - no_cjk > 0 THEN 'zh'
+        |         WHEN es > en AND es >= de AND es >= fr THEN 'es'
+        |         WHEN de > en AND de >= fr THEN 'de'
+        |         WHEN fr > en THEN 'fr'
+        |         ELSE 'en' END AS pr
+        |  FROM hits
+        |), cells AS (
+        |  SELECT a AS ca, pr AS cb, CAST(count(*) AS BIGINT) AS m FROM pairs GROUP BY 1, 2
+        |), rt AS (SELECT ca AS k, CAST(sum(m) AS BIGINT) AS rk FROM cells GROUP BY 1),
+        |ct AS (SELECT cb AS k, CAST(sum(m) AS BIGINT) AS ck FROM cells GROUP BY 1),
+        |pe AS (SELECT CAST(sum(rk * ck) AS BIGINT) AS pe_n2 FROM rt JOIN ct USING (k)),
+        |tot AS (
+        |  SELECT CAST(sum(m) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN ca = cb THEN m ELSE 0 END) AS BIGINT) AS agree_n
+        |  FROM cells
+        |)
+        |SELECT n, agree_n, pe_n2,
+        |  CASE WHEN n * n = pe_n2 THEN 0.0
+        |    ELSE CAST(n * agree_n - pe_n2 AS DOUBLE) / CAST(n * n - pe_n2 AS DOUBLE)
+        |  END AS kappa
+        |FROM tot CROSS JOIN pe""".stripMargin,
+
+    // per-distinct-score cumulative confusion counts; explicit ROWS frame
+    // on both sides (frame defaults differ across engines — AUC lesson)
+    "eval_f1_sweep" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), sc AS (
+        |  SELECT y, COALESCE(
+        |    len(list_filter(toks, t -> list_contains(['the','a','an','and','of','to','in','is'], t)))
+        |      * 1000000 // nullif(len(toks), 0), 0) AS s
+        |  FROM d
+        |), per AS (
+        |  SELECT s, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS np
+        |  FROM sc GROUP BY 1
+        |), cum AS (
+        |  SELECT s,
+        |    CAST(sum(np) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+        |    CAST(sum(n) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pp
+        |  FROM per
+        |), tot AS (SELECT CAST(sum(np) AS BIGINT) AS pos FROM per)
+        |SELECT CAST(s AS BIGINT) AS threshold, tp,
+        |  pp - tp AS fp, pos - tp AS fn,
+        |  tp * 1000000 // pp AS prec_micro,
+        |  tp * 1000000 // nullif(pos, 0) AS rec_micro,
+        |  2 * tp * 1000000 // (pp + pos) AS f1_micro
+        |FROM cum CROSS JOIN tot
+        |ORDER BY threshold""".stripMargin,
+
+    // four separately-quantized qln terms per presence/absence cell (the
+    // WoE no-products-inside-ln pattern); zero cells contribute exact 0
+    "text_mi_terms" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, lang, token FROM (
+        |    SELECT doc_id, lang,
+        |      unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |    FROM documents)
+        |), lt AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM documents GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+        |), a AS (
+        |  SELECT lang, token, CAST(count(*) AS BIGINT) AS a FROM dt GROUP BY 1, 2
+        |), td AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS tok_df FROM dt GROUP BY 1
+        |), s AS (
+        |  SELECT a.lang, a.token, a.a, lt.n_lang, tot.n, td.tok_df,
+        |    lt.n_lang - a.a AS b, td.tok_df - a.a AS c,
+        |    tot.n - lt.n_lang - (td.tok_df - a.a) AS d
+        |  FROM a JOIN lt USING (lang) JOIN td USING (token) CROSS JOIN tot
+        |), m AS (
+        |  SELECT lang, token, a AS df_lang,
+        |    (CASE WHEN a = 0 THEN 0 ELSE a * (
+        |       CAST(floor(ln(CAST(a AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |       + CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |       - CAST(floor(ln(CAST(n_lang AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |       - CAST(floor(ln(CAST(tok_df AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)) END)
+        |    + (CASE WHEN b = 0 THEN 0 ELSE b * (
+        |       CAST(floor(ln(CAST(b AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |       + CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |       - CAST(floor(ln(CAST(n_lang AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |       - CAST(floor(ln(CAST(n - tok_df AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)) END)
+        |    + (CASE WHEN c = 0 THEN 0 ELSE c * (
+        |       CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |       + CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |       - CAST(floor(ln(CAST(n - n_lang AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |       - CAST(floor(ln(CAST(tok_df AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)) END)
+        |    + (CASE WHEN d = 0 THEN 0 ELSE d * (
+        |       CAST(floor(ln(CAST(d AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |       + CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |       - CAST(floor(ln(CAST(n - n_lang AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |       - CAST(floor(ln(CAST(n - tok_df AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)) END)
+        |    AS mi_scaled
+        |  FROM s
+        |), r AS (
+        |  SELECT lang, token, df_lang, CAST(mi_scaled AS BIGINT) AS mi_scaled,
+        |    row_number() OVER (PARTITION BY lang ORDER BY mi_scaled DESC, token) AS rk
+        |  FROM m
+        |)
+        |SELECT lang, token, df_lang, mi_scaled FROM r WHERE rk <= 3
+        |ORDER BY lang, mi_scaled DESC, token""".stripMargin,
+
+    // the three planted failure modes re-derived; vowel evidence judged on
+    // latin-script words only, substance chars via \p{L}\p{N} (RE2/Java
+    // agree on the Unicode classes)
+    "text_garbage_detect" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN text || ' xq3f9b7c1d4e5f60718293a4b5c6d7e8f90a1b2c3d4e5f6a end'
+        |      ELSE text END AS text
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000000, 'zxcv qwrt plmk bnmv hjkl dfgh strn wlrd'
+        |  FROM documents WHERE doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 30000000, repeat('#?*! ', 8)
+        |  FROM documents WHERE doc_id % 17 = 0
+        |), sig AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS w,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(regexp_replace(text, '[\p{L}\p{N}]', '', 'g')) AS BIGINT) AS non_alnum
+        |  FROM all_docs
+        |), agg AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(COALESCE(list_max([length(x) FOR x IN w]), 0) AS BIGINT) AS max_word_len,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS latin_words,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')
+        |      AND NOT regexp_matches(x, '[aeiouAEIOU]'))) AS BIGINT) AS novowel_words,
+        |    n_chars - non_alnum AS alnum_chars
+        |  FROM sig
+        |)
+        |SELECT doc_id, n_words, n_chars, max_word_len,
+        |  COALESCE(novowel_words * 1000 // nullif(latin_words, 0), 0) AS novowel_permille,
+        |  COALESCE(alnum_chars * 1000 // nullif(n_chars, 0), 0) AS alnum_permille,
+        |  CAST(CASE WHEN max_word_len > 40
+        |    OR (latin_words > 0 AND COALESCE(novowel_words * 1000 // nullif(latin_words, 0), 0) >= 500)
+        |    OR (n_chars > 0 AND COALESCE(alnum_chars * 1000 // nullif(n_chars, 0), 0) < 400)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_garbage
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "text_html_extract" -> htmlExtractOracleSql,
 

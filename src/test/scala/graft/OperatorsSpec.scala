@@ -3007,6 +3007,145 @@ class OperatorsSpec extends SparkSuite {
     assertThrows[Exception](Sampling.paretoFront(bad, "id", $"xx", $"yy").collect())
   }
 
+  test("coreness: h-index fixpoint equals peeled coreness on clique+tail") {
+    // K5 (coreness 4) with a 3-node tail path off node 1 (coreness 1) and
+    // a triangle hung off node 2 (coreness 2) — three distinct core levels
+    val k5 = for (a <- 1L to 5L; b <- (a + 1L) to 5L) yield (a, b)
+    val tail = Seq((1L, 10L), (10L, 11L), (11L, 12L))
+    val tri = Seq((2L, 20L), (2L, 21L), (20L, 21L))
+    val edges = (k5 ++ tail ++ tri).toDF("src", "dst")
+    val truth = Graph.corenessByPeeling(k5 ++ tail ++ tri)
+    // information radius here is tiny — 6 rounds is past the fixpoint
+    val got = Graph.coreness(edges, "src", "dst", rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == truth)
+    assert(got(3L) == 4L && got(12L) == 1L && got(20L) == 2L)
+    // monotone non-increasing in rounds: an early cut only over-estimates
+    val early = Graph.coreness(edges, "src", "dst", rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(truth.forall { case (n, c) => early(n) >= c })
+  }
+
+  test("jaccardSimilarity: path pair scores exactly, adjacent pairs excluded") {
+    // path 1-2-3-4: non-adjacent (1,3) share {2}: deg 1+2-1=2 -> 500000;
+    // (2,4) share {3}: deg 2+1-1=2 -> 500000; (1,4) share nothing -> absent
+    val p = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val r = Graph.jaccardSimilarity(p, "src", "dst")
+      .collect().map(x => (x.getAs[Long]("node_a"), x.getAs[Long]("node_b")) ->
+        x.getAs[Long]("jac_micro")).toMap
+    assert(r == Map((1L, 3L) -> 500000L, (2L, 4L) -> 500000L))
+    // triangle: every pair adjacent -> no candidates at all
+    val t3 = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(Graph.jaccardSimilarity(t3, "src", "dst").count() == 0L)
+  }
+
+  test("seqPatterns: gapped order counts, ties don't, support filters") {
+    val ts0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def at(s: Long) = java.sql.Timestamp.from(ts0.plusSeconds(s))
+    val ev = Seq(
+      (1L, "a", at(0)), (1L, "x", at(5)), (1L, "b", at(10)), // a..b with a gap
+      (2L, "a", at(0)), (2L, "b", at(1)),                    // a then b adjacent
+      (3L, "b", at(0)), (3L, "a", at(1)),                    // b then a (reverse)
+      (4L, "a", at(7)), (4L, "b", at(7))                     // tie -> neither
+    ).toDF("u", "t", "ts")
+    val r = Behavior.seqPatterns(ev, "u", "t", "ts", minSupport = 1L)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getAs[Long]("n_users")).toMap
+    assert(r((("a", "b"))) == 2L) // users 1 and 2; the tie user 4 does NOT count
+    assert(r((("b", "a"))) == 1L) // user 3
+    // support threshold prunes the singleton pattern
+    val r2 = Behavior.seqPatterns(ev, "u", "t", "ts", minSupport = 2L)
+      .collect().map(x => (x.getString(0), x.getString(1))).toSet
+    assert(r2 == Set(("a", "b")))
+  }
+
+  test("f1Sweep: confusion counts exact per threshold, NULL score refused") {
+    // scores 10(y=1), 20(y=0), 30(y=1): at thr=30 tp=1 fp=0 fn=1;
+    // at 20 tp=1 fp=1 fn=1; at 10 tp=2 fp=1 fn=0
+    val d = Seq((10L, 1L), (20L, 0L), (30L, 1L)).toDF("s", "y")
+    val r = Eval.f1Sweep(d, col("s"), col("y"))
+      .collect().map(x => x.getAs[Long]("threshold") ->
+        (x.getAs[Long]("tp"), x.getAs[Long]("fp"), x.getAs[Long]("fn"))).toMap
+    assert(r(30L) == ((1L, 0L, 1L)) && r(20L) == ((1L, 1L, 1L)) && r(10L) == ((2L, 1L, 0L)))
+    val bad = Seq((Option.empty[Long], 1L)).toDF("s", "y")
+    assertThrows[Exception](Eval.f1Sweep(bad, col("s"), col("y")).collect())
+  }
+
+  test("cohenKappa: perfect agreement 1, constant labeler 0, known mixed value") {
+    val perfect = Seq(("a", "a"), ("b", "b"), ("a", "a")).toDF("x", "y")
+    assert(Eval.cohenKappa(perfect, col("x"), col("y")).head().getAs[Double]("kappa") == 1.0)
+    // labeler y constant -> pe = po -> kappa 0 via the real formula
+    val const = Seq(("a", "a"), ("b", "a"), ("a", "a")).toDF("x", "y")
+    val k0 = Eval.cohenKappa(const, col("x"), col("y")).head().getAs[Double]("kappa")
+    assert(k0 == 0.0)
+    // textbook 2x2: n=100, agree=70, marginals 50/50 & 60/40 -> pe_n2=5000
+    // kappa = (7000-5000)/(10000-5000) = 0.4
+    val rows = Seq.fill(40)(("p", "p")) ++ Seq.fill(10)(("p", "n")) ++
+      Seq.fill(20)(("n", "p")) ++ Seq.fill(30)(("n", "n"))
+    val k = Eval.cohenKappa(rows.toDF("x", "y"), col("x"), col("y")).head()
+    assert(k.getAs[Long]("n") == 100L && k.getAs[Long]("agree_n") == 70L)
+    assert(k.getAs[Double]("kappa") == 0.4)
+  }
+
+  test("topkChurn: entries, exits and rank moves all surface; absents are 0") {
+    val o = Seq(("a", 30L), ("b", 20L), ("c", 10L), ("d", 1L)).toDF("k", "w")
+    val n = Seq(("a", 10L), ("b", 40L), ("z", 30L), ("d", 1L)).toDF("k", "w")
+    val r = Drift.topkChurn(o, n, "k", "w", k = 3)
+      .collect().map(x => x.getString(0) ->
+        (x.getAs[Long]("rank_old"), x.getAs[Long]("rank_new"))).toMap
+    assert(r("a") == ((1L, 3L)))  // demoted
+    assert(r("b") == ((2L, 1L)))  // promoted
+    assert(r("c") == ((3L, 0L)))  // exited the head
+    assert(r("z") == ((0L, 2L)))  // entered the head
+    assert(!r.contains("d"))      // never in either top-3
+  }
+
+  test("conflictingRecords: metadata disagreement surfaces, null is a value") {
+    val d = Seq((1L, "h1", Some("en")), (2L, "h1", Some("de")),
+      (3L, "h2", Some("en")), (4L, "h2", Some("en")),
+      (5L, "h3", Some("en")), (6L, "h3", None)).toDF("id", "h", "lang")
+    val r = Quality.conflictingRecords(d, col("h"), col("lang"))
+      .collect().map(x => x.getString(0) -> x.getAs[String]("values")).toMap
+    assert(r("h1") == "de,en")        // sorted attribute list
+    assert(r("h3") == " null,en")     // tagged-vs-untagged IS a conflict
+    assert(!r.contains("h2"))         // agreement is not
+  }
+
+  test("garbageSignals: three failure modes flag, clean prose and CJK don't") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "一些中文文本 没有拉丁字母 也不是垃圾"), // CJK: alnum high via \p{L}
+      (3L, "xq3f9b7c1d4e5f60718293a4b5c6d7e8f90a1b2c3d4e5f6a ok"), // 49-char token
+      (4L, "zxcv qwrt plmk bnmv hjkl dfgh"), // all-consonant latin words
+      (5L, "#?*! #?*! #?*! #?*! #?*! #?*! #?*! #?*!")) // symbol storm
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.garbageSignals(d, "doc_id", "text")
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("is_garbage")).toMap
+    assert(r == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("spearman: monotone 1, reversed -1, tie-broken ranks deterministic") {
+    val up = (1L to 9L).map(i => (i, i * 10L, i * i)).toDF("id", "a", "b")
+    assert(Features.spearman(up, "id", "a", "b").head().getAs[Double]("rho") == 1.0)
+    val down = (1L to 9L).map(i => (i, i, 100L - i)).toDF("id", "a", "b")
+    assert(Features.spearman(down, "id", "a", "b").head().getAs[Double]("rho") == -1.0)
+    val dup = Seq((1L, 5L, 5L), (2L, 5L, 5L), (3L, 7L, 7L)).toDF("id", "a", "b")
+    // duplicate values rank by id on BOTH axes -> still perfectly aligned
+    assert(Features.spearman(dup, "id", "a", "b").head().getAs[Double]("rho") == 1.0)
+  }
+
+  test("miTerms: a lang-exclusive token outranks a uniform one") {
+    val d = Seq(
+      (1L, "en", "hello shared"), (2L, "en", "hello shared"),
+      (3L, "de", "hallo shared"), (4L, "de", "hallo shared"))
+      .toDF("doc_id", "lang", "text")
+    val r = TextAnalysis.miTerms(d, "doc_id", "lang", "text", topK = 2)
+      .filter(col("lang") === "en").orderBy(col("mi_scaled").desc)
+      .collect().map(x => x.getAs[String]("token") -> x.getAs[Long]("mi_scaled"))
+    assert(r.head._1 == "hello" && r.head._2 > 0L)
+    // the everywhere-token carries zero information
+    assert(r.find(_._1 == "shared").forall(_._2 <= 0L))
+  }
+
   test("shardBySize: within every band the shard deal is balanced to one doc") {
     import org.apache.spark.sql.functions.{col, count, lit, max, min}
     val docs = (0L until 97L).map(i => (i, (i * 37L) % 500L)).toDF("id", "sz")
