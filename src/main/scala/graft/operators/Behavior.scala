@@ -915,4 +915,107 @@ object Behavior {
       .agg(count(lit(1)).as("n_users"))
       .filter(col("n_users") >= minSupport)
   }
+
+  /** Weekly growth accounting — the standard user-lifecycle ledger (Social
+    * Capital's "accounting for growth" framing): every active (user, week)
+    * is classified NEW (first-ever week), RETAINED (also active the week
+    * before) or RESURRECTED (returning after a gap), and CHURNED counts the
+    * users active in week w−1 who went silent in w. The identity
+    * `active(w) = new + retained + resurrected` and
+    * `retained(w) + churned(w) = active(w−1)` holds exactly — it's what
+    * makes the ledger audit-able, and the spec pins it.
+    *
+    * Weeks are epoch-day div 7 (integer floor of µs — no calendar/locale
+    * WEEK() semantics to disagree across engines). All classification is
+    * distinct-set membership: one distinct (user, week) relation, one
+    * per-user min, two self-joins on (user, week−1) — every stage hash-
+    * partitions on the user key, no windows over the log. Churn for the
+    * week AFTER the last observed week is not emitted (unknowable — the
+    * observation window ended). Output per week:
+    * (week, n_active, n_new, n_retained, n_resurrected, n_churned). */
+  def growthAccounting(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val active = events.select(col(userCol).as("u"),
+        expr(s"unix_micros($tsCol) div 604800000000").as("w"))
+      .distinct()
+      .transform(Residuals.persist)
+    val firstW = active.groupBy(col("u")).agg(min(col("w")).as("w0"))
+    val prev = active.select(col("u"), (col("w") + 1).as("w"), lit(1L).as("was_prev"))
+    val classified = active
+      .join(firstW, "u")
+      .join(prev, Seq("u", "w"), "left")
+      .select(col("w"),
+        when(col("w") === col("w0"), lit("new"))
+          .when(col("was_prev").isNotNull, lit("retained"))
+          .otherwise(lit("resurrected")).as("status"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("status") === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("status") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"))
+    val maxW = active.agg(max(col("w")).as("w_max"))
+    val churned = active.select(col("u"), (col("w") + 1).as("w"))
+      .join(active.select(col("u"), col("w"), lit(1L).as("still")), Seq("u", "w"), "left")
+      .filter(col("still").isNull)
+      .crossJoin(broadcast(maxW)).filter(col("w") <= col("w_max"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_churned"))
+    classified.join(churned, Seq("w"), "full_outer")
+      .select(col("w").as("week"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+  }
+
+  /** EWMA anomaly monitor over per-type hourly volumes — the streaming-ops
+    * complement to [[graft.operators.Drift]]'s distribution tests and the
+    * trailing-window spike flags: an exponentially-weighted baseline in
+    * exact milli-units, s_t = (α·1000·x_t + (1000−α·1000)·s_{t−1}) div
+    * 1000 with α in per-mille, flags when the hour's count breaks ±2× of
+    * the PREVIOUS baseline (the hour under test must not influence its own
+    * baseline) after a `burnIn`-hour warm-up. Flags are SIGNED (+1 surge /
+    * −1 drop — the hourlySpikes lesson: an outage must not look like a
+    * surge).
+    *
+    * The recursion is inherently sequential per series, but its state is
+    * the HOURLY AGGREGATE — (types × hours) rows, metadata-sized by
+    * definition at any corpus scale (a year is 8,760 rows per type) — so
+    * the aggregate collects and the fold runs driver-side (the
+    * pcaPower/markovSteady contract), emitted back as one createDataFrame.
+    * Scala's `/` on nonnegative Longs truncates exactly like Spark `div`
+    * and DuckDB `//`, which is what keeps the driver fold oracle-exact
+    * against a recursive-CTE re-derivation. Missing hours are real zeros:
+    * the hour grid is dense from each type's first to last active hour
+    * (gaps decay the baseline rather than silently skipping time). */
+  def ewmaAnomaly(events: DataFrame, typeCol: String, tsCol: String,
+      alphaMille: Long = 300L, burnIn: Int = 3): DataFrame = {
+    require(alphaMille >= 1 && alphaMille <= 1000, "alpha must be in (0, 1] per-mille")
+    require(burnIn >= 1, "burnIn must be positive")
+    val spark = events.sparkSession
+    val hourly = events.select(col(typeCol).as("t"),
+        expr(s"unix_micros($tsCol) div 3600000000").as("hr"))
+      .groupBy(col("t"), col("hr")).agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val rows = hourly.toSeq.sortBy(_._1).flatMap { case (t, rs) =>
+      val byHr = rs.map(r => r._2 -> r._3).toMap
+      val (h0, h1) = (rs.map(_._2).min, rs.map(_._2).max)
+      var s = byHr.getOrElse(h0, 0L) * 1000L
+      (h0 to h1).zipWithIndex.map { case (hr, i) =>
+        val x = byHr.getOrElse(hr, 0L)
+        val sPrev = s
+        s = if (i == 0) x * 1000L
+            else (alphaMille * 1000L * x + (1000L - alphaMille) * sPrev) / 1000L
+        val flag =
+          if (i < burnIn) 0L
+          else if (x * 1000L > 2L * sPrev) 1L
+          else if (x * 2000L < sPrev) -1L
+          else 0L
+        (t, hr, x, if (i == 0) x * 1000L else sPrev, s, flag)
+      }
+    }
+    import spark.implicits._
+    rows.toDF("event_type", "hr", "n", "ewma_prev_milli", "ewma_milli", "flag")
+  }
 }

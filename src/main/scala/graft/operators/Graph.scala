@@ -668,31 +668,34 @@ object Graph {
   def flattenHierarchy(nodes: DataFrame, idCol: String, parentCol: String,
       doublings: Int = 5): DataFrame = {
     require(doublings >= 1 && doublings <= 40, "doublings must be in [1, 40]")
-    // a parent id with NO node row would silently vanish from the first
-    // self-join (the pointer has nothing to compose with) — validate the
-    // reference up front with a plan-embedded raise, same contract as the
-    // cycle/depth check below
-    val ids = nodes.select(col(idCol).cast("long").as("anc")).distinct()
-      .withColumn("__ok", lit(1L))
     var anc = nodes.select(col(idCol).cast("long").as("node"),
       coalesce(col(parentCol).cast("long"), col(idCol).cast("long")).as("anc"))
-      .join(ids, Seq("anc"), "left")
-      .select(col("node"),
-        when(col("__ok").isNull,
-          raise_error(concat(lit("flattenHierarchy: node "), col("node").cast("string"),
-            lit(" references a parent with no node row — dangling pointer"))))
-          .otherwise(col("anc")).as("anc"))
       .withColumn("d", when(col("anc") === col("node"), 0L).otherwise(1L))
       .transform(Residuals.persist)
     val roots = anc.filter(col("d") === 0L).select(col("node").as("anc"))
-    for (_ <- 1 to doublings) {
+    for (i <- 1 to doublings) {
       // persist each round: both sides of the next self-join read this
       // relation — unpersisted lineage would replay doubly per round
-      // (exponential in doublings), the pagerank iteration contract
-      anc = anc
-        .join(anc.select(col("node").as("j"), col("anc").as("anc2"), col("d").as("d2")),
-          col("anc") === col("j"))
-        .select(col("node"), col("anc2").as("anc"), (col("d") + col("d2")).as("d"))
+      // (exponential in doublings), the pagerank iteration contract.
+      // A parent id with NO node row would silently VANISH from an inner
+      // self-join (the pointer has nothing to compose with) — round 1 is
+      // therefore a LEFT join with a plan-embedded raise on the unmatched
+      // side (validation rides the join the loop already pays for; a
+      // separate upfront distinct+join cost 3x the whole operator, r12
+      // bench lesson). Rounds 2+ compose only already-validated ancestor
+      // ids, so the inner join is lossless there by construction.
+      val right = anc.select(col("node").as("j"), col("anc").as("anc2"), col("d").as("d2"))
+      anc = (if (i == 1)
+        anc.join(right, col("anc") === col("j"), "left")
+          .select(col("node"),
+            when(col("j").isNull,
+              raise_error(concat(lit("flattenHierarchy: node "), col("node").cast("string"),
+                lit(" references a parent with no node row — dangling pointer"))))
+              .otherwise(col("anc2")).as("anc"),
+            (col("d") + coalesce(col("d2"), lit(0L))).as("d"))
+      else
+        anc.join(right, col("anc") === col("j"))
+          .select(col("node"), col("anc2").as("anc"), (col("d") + col("d2")).as("d")))
         .transform(Residuals.persist)
     }
     val unresolved = when(col("r").isNull,
@@ -773,5 +776,53 @@ object Graph {
       }
     }
     core.toMap
+  }
+
+  /** Harmonic closeness centrality for a seed set — "how reachable is the
+    * rest of the graph from here": H(seed) = Σ_{v≠seed} 1/dist(seed, v),
+    * the variant that handles disconnected graphs gracefully (unreachable
+    * nodes contribute exact 0 instead of poisoning the mean the classic
+    * closeness formula suffers). Terms are the INTEGER `10⁶ div dist`, so
+    * the centrality is an order-free integer sum — exactly comparable
+    * across engines and partitionings.
+    *
+    * Unlike [[bfsHops]] (min-dist to the NEAREST seed), the frontier state
+    * here is keyed (seed, node) — per-seed distances — so the fanout is
+    * seeds × reach, which is why this is a SEED-SET operator, not an
+    * all-nodes one (exact all-pairs closeness is O(n·m); sample seeds, or
+    * use the hop-bounded result as the centrality estimate — `rounds`
+    * bounds the horizon and makes the result a pure function of the data,
+    * the sccPivot contract). Per round: one equi-join on the persisted
+    * symmetrized edge relation + one min-agg, state persisted per round
+    * (the pointer-doubling lineage lesson). Output per seed:
+    * (seed, n_reached, harmonic_micro) — n_reached excludes the seed
+    * itself. */
+  def harmonicCloseness(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, "need at least one round")
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = e0
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val adj = und.union(und.select(col("b").as("a"), col("a").as("b")))
+      .select(col("a").as("v"), col("b").as("x"))
+      .transform(Residuals.persist)
+    var dist = seeds.select(col(seedCol).cast("long").as("seed")).distinct()
+      .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
+      .transform(Residuals.persist)
+    for (_ <- 1 to rounds) {
+      val prop = adj
+        .join(dist.select(col("seed"), col("node").as("x"), col("dist")), "x")
+        .select(col("seed"), col("v").as("node"), (col("dist") + 1).as("dist"))
+      dist = dist.union(prop)
+        .groupBy(col("seed"), col("node")).agg(min(col("dist")).as("dist"))
+        .transform(Residuals.persist)
+    }
+    dist.filter(col("dist") > 0)
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000 div dist")).as("harmonic_micro"))
   }
 }

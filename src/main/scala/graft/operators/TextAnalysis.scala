@@ -1690,4 +1690,88 @@ object TextAnalysis {
             " div nullif(sum(CASE WHEN nonempty THEN length(btxt) ELSE 0 END), 0)"),
           lit(0L)).as("link_permille"))
   }
+
+  /** Multinomial naive-Bayes language classifier, trained and evaluated in
+    * one call — the GENERATIVE baseline beside the heuristic
+    * [[withLangId]], the perceptron and the kNN label probe: per-language
+    * token counts with add-one smoothing, docs scored by
+    * `qln(prior_L) + Σ_tok m·qln(cnt_{L,tok}+1) − n_tok·qln(total_L + V)`
+    * (every factor a separately-quantized qln of an integer — the WoE
+    * no-products-inside-ln pattern, overflow-free at any corpus size), so
+    * the trained model AND its predictions hash-match a SQL re-derivation.
+    * Unseen (token, lang) pairs contribute qln(0+1) = 0 exactly, which is
+    * why the smoothing constant folds into the two totals terms. Argmax
+    * ties break toward the smaller language id (min-struct, the
+    * label-prop precedent).
+    *
+    * Scale shape: training is one map-side-combined (lang, token) count;
+    * scoring joins the test docs' distinct-token multiset against the
+    * count relation fanned over the LANGUAGE DOMAIN (a handful of rows,
+    * broadcast) — per-doc work is |doc vocab|·|langs|. Vocabulary size V
+    * is the one driver-side long (miTerms' n precedent). Returns the test
+    * confusion matrix (lang, predicted_lang, n_docs). */
+  def nbLangConfusion(train: DataFrame, test: DataFrame, idCol: String,
+      labelCol: String, textCol: String): DataFrame = {
+    val trainToks = train.select(col(labelCol).as("lang"),
+      explode(TextFns.tokens(col(textCol))).as("tok"))
+    val counts = trainToks.groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .transform(Residuals.persist)
+    val vocabV = counts.select(col("tok")).distinct().count()
+    val langMeta = counts.groupBy(col("lang")).agg(sum(col("cnt")).as("tok_total"))
+      .join(train.groupBy(col(labelCol).as("lang")).agg(count(lit(1)).as("n_docs_train")), "lang")
+    val testToks = test.select(col(idCol).as("did"), col(labelCol).as("lang_true"),
+        explode(TextFns.tokens(col(textCol))).as("tok"))
+      .groupBy(col("did"), col("lang_true"), col("tok"))
+      .agg(count(lit(1)).as("m"))
+    val scored = testToks
+      .crossJoin(broadcast(langMeta))
+      .join(counts, Seq("lang", "tok"), "left")
+      .groupBy(col("did"), col("lang_true"), col("lang"),
+        col("tok_total"), col("n_docs_train"))
+      .agg(sum(col("m") * Features.qln(coalesce(col("cnt"), lit(0L)) + 1)).as("seen_sum"),
+        sum(col("m")).as("n_tok"))
+      .withColumn("score",
+        Features.qln(col("n_docs_train")) + col("seen_sum")
+          - col("n_tok") * Features.qln(col("tok_total") + lit(vocabV)))
+    scored.groupBy(col("did"), col("lang_true"))
+      .agg(min(struct((-col("score")).as("ns"), col("lang"))).as("best"))
+      .select(col("lang_true").as("lang"), col("best.lang").as("predicted_lang"))
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** S-stemmer conflation audit (Harman 1991) — the three-rule plural
+    * stemmer ("ies"→"y", "es"→"e", "s"→∅, each with its exception list)
+    * that normalizes regular English plurals without Porter's cascade.
+    * Deterministic string surgery on lowercase-ASCII tokens only (mixed-
+    * case, digits and non-Latin pass through ungrouped — stemming Cyrillic
+    * with English rules is noise), so the stem is a pure CASE expression
+    * identical in both engines. Returns the conflation classes the stemmer
+    * actually creates on this corpus: (stem, n_types, n_tokens, variants)
+    * for stems that merged ≥ 2 surface forms — the audit table an IR
+    * pipeline reviews before switching recall-sensitive matching onto
+    * stems. One explode + one map-side-combined aggregate. */
+  def sStemConflation(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = docs.select(explode(TextFns.tokens(col(textCol))).as("t"))
+      .filter(col("t").rlike("^[a-z]+$"))
+    val stemmed = toks.withColumn("stem", expr(
+      """CASE
+        |  WHEN length(t) > 4 AND right(t, 3) = 'ies'
+        |       AND right(t, 4) NOT IN ('eies', 'aies')
+        |    THEN concat(substr(t, 1, length(t) - 3), 'y')
+        |  WHEN length(t) > 3 AND right(t, 2) = 'es'
+        |       AND right(t, 3) NOT IN ('aes', 'ees', 'oes')
+        |    THEN substr(t, 1, length(t) - 1)
+        |  WHEN length(t) > 3 AND right(t, 1) = 's'
+        |       AND right(t, 2) NOT IN ('us', 'ss')
+        |    THEN substr(t, 1, length(t) - 1)
+        |  ELSE t
+        |END""".stripMargin))
+    stemmed.groupBy(col("stem"))
+      .agg(countDistinct(col("t")).as("n_types"),
+        count(lit(1)).as("n_tokens"),
+        array_join(sort_array(collect_set(col("t"))), " ").as("variants"))
+      .filter(col("n_types") >= 2)
+  }
 }

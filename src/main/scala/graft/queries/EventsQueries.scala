@@ -45,6 +45,26 @@ private[graft] trait EventsQueries extends QueryHelpers {
     }),
 
 
+    "events_growth_accounting" -> ((s, dir) => {
+      // weekly user-lifecycle ledger: new / retained / resurrected per
+      // active week plus churn out of the prior week — the two accounting
+      // identities (active = new+ret+res; ret(w)+churn(w) = active(w−1))
+      // are spec-pinned; weeks are epoch-µs div 7 days, calendar-free
+      graft.operators.Behavior.growthAccounting(events(s, dir), "user_id", "ts")
+        .orderBy(col("week"))
+    }),
+
+
+    "events_ewma_anomaly" -> ((s, dir) => {
+      // per-type hourly EWMA baseline (α=0.3 in per-mille, exact integer
+      // milli-units) with ±2× signed break flags after a 3-hour burn-in;
+      // the recursion runs driver-side over the metadata-sized hourly
+      // aggregate (pcaPower contract), oracle = recursive CTE
+      graft.operators.Behavior.ewmaAnomaly(events(s, dir), "event_type", "ts")
+        .orderBy(col("event_type"), col("hr"))
+    }),
+
+
     "events_journey_pairs" -> ((s, dir) => {
       // behavioral twins over a SCREENING COHORT (user_id < 400 — the
       // flagged subset a fraud/bot review actually scans; an all-pairs
@@ -392,6 +412,72 @@ private[graft] trait EventsQueries extends QueryHelpers {
         |  COALESCE(rank_old, 0) AS rank_old, COALESCE(rank_new, 0) AS rank_new
         |FROM t_o FULL OUTER JOIN t_n ON t_n.key = t_o.key
         |ORDER BY key""".stripMargin,
+
+    // distinct (user, week) membership sets; churn = active(w−1) ∖
+    // active(w), capped at the last observed week; statuses via the
+    // first-week join + the week−1 self-join
+    "events_growth_accounting" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id AS u, epoch_us(ts) // 604800000000 AS w FROM events
+        |), firstw AS (SELECT u, min(w) AS w0 FROM active GROUP BY 1),
+        |cls AS (
+        |  SELECT a.w,
+        |    CASE WHEN a.w = f.w0 THEN 'new'
+        |         WHEN p.u IS NOT NULL THEN 'retained'
+        |         ELSE 'resurrected' END AS status
+        |  FROM active a JOIN firstw f ON f.u = a.u
+        |  LEFT JOIN active p ON p.u = a.u AND p.w = a.w - 1
+        |), agg AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS n_active,
+        |    CAST(count(*) FILTER (WHERE status = 'new') AS BIGINT) AS n_new,
+        |    CAST(count(*) FILTER (WHERE status = 'retained') AS BIGINT) AS n_retained,
+        |    CAST(count(*) FILTER (WHERE status = 'resurrected') AS BIGINT) AS n_resurrected
+        |  FROM cls GROUP BY 1
+        |), churn AS (
+        |  SELECT a.w + 1 AS w, CAST(count(*) AS BIGINT) AS n_churned
+        |  FROM active a LEFT JOIN active nx ON nx.u = a.u AND nx.w = a.w + 1
+        |  WHERE nx.u IS NULL AND a.w + 1 <= (SELECT max(w) FROM active)
+        |  GROUP BY 1
+        |)
+        |SELECT CAST(COALESCE(agg.w, churn.w) AS BIGINT) AS week,
+        |  COALESCE(n_active, 0) AS n_active, COALESCE(n_new, 0) AS n_new,
+        |  COALESCE(n_retained, 0) AS n_retained,
+        |  COALESCE(n_resurrected, 0) AS n_resurrected,
+        |  COALESCE(n_churned, 0) AS n_churned
+        |FROM agg FULL OUTER JOIN churn ON churn.w = agg.w
+        |ORDER BY week""".stripMargin,
+
+    // dense per-type hour grid (missing hours are real zeros), then the
+    // EWMA recursion as a recursive CTE — DuckDB // == Scala Long / on
+    // the nonneg milli state, so the driver fold hash-matches
+    "events_ewma_anomaly" ->
+      """WITH RECURSIVE hourly AS MATERIALIZED (
+        |  SELECT event_type AS t, epoch_us(ts) // 3600000000 AS hr,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), bounds AS MATERIALIZED (SELECT t, min(hr) AS h0, max(hr) AS h1 FROM hourly GROUP BY 1),
+        |g(off) AS (
+        |  SELECT CAST(0 AS BIGINT)
+        |  UNION ALL
+        |  SELECT off + 1 FROM g WHERE off + 1 <= (SELECT max(h1 - h0) FROM bounds)
+        |),
+        |grid AS MATERIALIZED (
+        |  SELECT b.t, b.h0 + g.off AS hr, g.off AS i, COALESCE(h.n, 0) AS x
+        |  FROM bounds b JOIN g ON b.h0 + g.off <= b.h1
+        |  LEFT JOIN hourly h ON h.t = b.t AND h.hr = b.h0 + g.off
+        |), ew(t, i, hr, x, s_prev, s) AS (
+        |  SELECT t, i, hr, x, x * 1000, x * 1000 FROM grid WHERE i = 0
+        |  UNION ALL
+        |  SELECT g.t, g.i, g.hr, g.x, e.s,
+        |    (300 * 1000 * g.x + 700 * e.s) // 1000
+        |  FROM ew e JOIN grid g ON g.t = e.t AND g.i = e.i + 1
+        |)
+        |SELECT t AS event_type, CAST(hr AS BIGINT) AS hr, x AS n,
+        |  CAST(s_prev AS BIGINT) AS ewma_prev_milli, CAST(s AS BIGINT) AS ewma_milli,
+        |  CAST(CASE WHEN i < 3 THEN 0
+        |            WHEN x * 1000 > 2 * s_prev THEN 1
+        |            WHEN x * 2000 < s_prev THEN -1 ELSE 0 END AS BIGINT) AS flag
+        |FROM ew ORDER BY event_type, hr""".stripMargin,
 
     // journeys re-derived (ordered initials, first 40 events), pairs via
     // the plain quadratic + exact levenshtein filter — the banding is

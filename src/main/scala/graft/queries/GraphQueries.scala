@@ -46,6 +46,21 @@ private[graft] trait GraphQueries extends QueryHelpers {
     }),
 
 
+    "graph_closeness" -> ((s, dir) => {
+      // harmonic closeness of every 20th supplier over the chord graph,
+      // horizon 4 hops: per-seed BFS distances (seed-keyed state, unlike
+      // bfs_hops' nearest-seed collapse), centrality = Σ 1e6 div dist —
+      // order-free integer terms, disconnection contributes exact 0
+      val sk = t(s, dir, "supplier").select(col("s_suppkey").cast("long").as("k"))
+      val edges = sk.select(col("k").as("src"), (col("k") + 1).as("dst"))
+        .union(sk.select(col("k").as("src"), (col("k") + 2).as("dst")))
+        .join(sk.withColumnRenamed("k", "dst"), Seq("dst"), "left_semi")
+      val seeds = sk.filter(col("k") % 20 === 0)
+      graft.operators.Graph.harmonicCloseness(edges, "src", "dst", seeds, "k", rounds = 4)
+        .orderBy(col("seed"))
+    }),
+
+
     "graph_pagerank" -> ((s, dir) => {
       // damped PageRank (3 iterations, fixed-point 1e9) over the symmetrized
       // customer—supplier trade graph; integer arithmetic end to end makes
@@ -316,6 +331,47 @@ private[graft] trait GraphQueries extends QueryHelpers {
         |)
         |SELECT CAST(node AS BIGINT) AS node, c AS coreness
         |FROM r3 ORDER BY node""".stripMargin,
+
+    // four unrolled seed-keyed BFS rounds (the bfs_hops CTE shape with a
+    // seed column carried through), then Σ 1e6 // dist per seed
+    "graph_closeness" ->
+      """WITH sk AS (SELECT s_suppkey AS k FROM supplier),
+        |e0 AS (
+        |  SELECT k AS u, k + 1 AS v FROM sk WHERE k + 1 IN (SELECT k FROM sk)
+        |  UNION ALL
+        |  SELECT k AS u, k + 2 AS v FROM sk WHERE k + 2 IN (SELECT k FROM sk)
+        |),
+        |und AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM e0),
+        |adj AS (SELECT a AS v, b AS x FROM und UNION ALL SELECT b AS v, a AS x FROM und),
+        |d0 AS (SELECT k AS seed, k AS node, 0 AS dist FROM sk WHERE k % 20 = 0),
+        |d1 AS (
+        |  SELECT seed, node, min(dist) AS dist FROM (
+        |    SELECT seed, node, dist FROM d0
+        |    UNION ALL SELECT d0.seed, adj.v AS node, d0.dist + 1 AS dist
+        |    FROM adj JOIN d0 ON d0.node = adj.x) q GROUP BY 1, 2
+        |),
+        |d2 AS (
+        |  SELECT seed, node, min(dist) AS dist FROM (
+        |    SELECT seed, node, dist FROM d1
+        |    UNION ALL SELECT d1.seed, adj.v AS node, d1.dist + 1 AS dist
+        |    FROM adj JOIN d1 ON d1.node = adj.x) q GROUP BY 1, 2
+        |),
+        |d3 AS (
+        |  SELECT seed, node, min(dist) AS dist FROM (
+        |    SELECT seed, node, dist FROM d2
+        |    UNION ALL SELECT d2.seed, adj.v AS node, d2.dist + 1 AS dist
+        |    FROM adj JOIN d2 ON d2.node = adj.x) q GROUP BY 1, 2
+        |),
+        |d4 AS (
+        |  SELECT seed, node, min(dist) AS dist FROM (
+        |    SELECT seed, node, dist FROM d3
+        |    UNION ALL SELECT d3.seed, adj.v AS node, d3.dist + 1 AS dist
+        |    FROM adj JOIN d3 ON d3.node = adj.x) q GROUP BY 1, 2
+        |)
+        |SELECT CAST(seed AS BIGINT) AS seed,
+        |  CAST(count(*) AS BIGINT) AS n_reached,
+        |  CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_micro
+        |FROM d4 WHERE dist > 0 GROUP BY 1 ORDER BY seed""".stripMargin,
 
     // fixed-point PageRank, 3 unrolled iterations — every step integer
     // division + order-free integer sums, so the ranks are bit-identical

@@ -497,6 +497,32 @@ private[graft] trait RelationalQueries extends QueryHelpers {
     }),
 
 
+    "q38_sole_late_supplier" -> ((s, dir) => {
+      // TPC-H Q21 shape on this schema: suppliers who were the ONLY late
+      // shipper (ship > order date + 60d) in a multi-supplier order —
+      // semi-join (multi-supplier orders) + anti-join (no OTHER late
+      // supplier) + count, all co-partitioned on the order key; the
+      // distinct (order, supplier) collapse bounds every relation by the
+      // participation matrix, never the fact table
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+      val lo = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+          (datediff(col("l_shipdate"), col("o_orderdate")) > 60).as("late"))
+      val multi = lo.groupBy(col("ok")).agg(countDistinct(col("sk")).as("nsup"))
+        .filter(col("nsup") >= 2).select(col("ok"))
+      val lr = lo.filter(col("late")).select(col("ok"), col("sk")).distinct()
+      val other = lr.select(col("ok").as("ok2"), col("sk").as("sk2"))
+      lr.join(multi, Seq("ok"), "left_semi")
+        .join(other, col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_anti")
+        .groupBy(col("sk"))
+        .agg(count(lit(1)).as("numwait"))
+        .select(col("sk").as("s_suppkey"), col("numwait"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+
     "q30_interval_overlap" -> ((s, dir) => {
       // interval x interval OVERLAP join with no equi key — supplier
       // availability windows vs part demand windows, both derived
@@ -971,6 +997,23 @@ private[graft] trait RelationalQueries extends QueryHelpers {
 
     // integer cents, BIGINT running sum, per-mille integer shares — the
     // classification is bit-portable
+    // the Q21 shape re-derived: late = day-diff > 60, sole-late via
+    // NOT EXISTS over the distinct (order, supplier) late relation
+    "q38_sole_late_supplier" ->
+      """WITH lo AS (
+        |  SELECT l_orderkey AS ok, l_suppkey AS sk,
+        |    date_diff('day', o_orderdate, l_shipdate) > 60 AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), multi AS (SELECT ok FROM lo GROUP BY 1 HAVING count(DISTINCT sk) >= 2),
+        |lr AS (SELECT DISTINCT ok, sk FROM lo WHERE late),
+        |sole AS (
+        |  SELECT l1.ok, l1.sk FROM lr l1
+        |  WHERE l1.ok IN (SELECT ok FROM multi)
+        |    AND NOT EXISTS (SELECT 1 FROM lr l2 WHERE l2.ok = l1.ok AND l2.sk != l1.sk)
+        |)
+        |SELECT CAST(sk AS BIGINT) AS s_suppkey, CAST(count(*) AS BIGINT) AS numwait
+        |FROM sole GROUP BY 1 ORDER BY s_suppkey""".stripMargin,
+
     "q31_abc_parts" ->
       """WITH per AS (
         |  SELECT l_partkey AS key,

@@ -118,6 +118,17 @@ private[graft] trait SimilarityQueries extends QueryHelpers {
     }),
 
 
+    "eval_silhouette" -> ((s, dir) => {
+      // squared-L2 silhouette of the 8-cell md5-seeded Voronoi partition,
+      // computed scan-speed from cluster moments (n_C·‖x‖² − 2x·S_C + Q_C)
+      // on 1e-3-quantized vectors — "is the clustering real" before a
+      // pipeline trusts cell routing for sampling or IVF
+      graft.operators.Eval.silhouette(
+          spread(t(s, dir, "embeddings")), "vec_id", "embedding", cells = 8)
+        .orderBy(col("cell"))
+    }),
+
+
     "eval_ivf_recall" -> ((s, dir) => {
       // recall@10 of IVF (nprobe=4) against brute force, per query — the
       // CurationSpec floor as a first-class oracle-gated relation
@@ -975,6 +986,63 @@ private[graft] trait SimilarityQueries extends QueryHelpers {
         |SELECT query_id, rank, neighbor_id, cosine FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+
+    // cells via the knn_ivf weight/argmax derivation (8 cells); moments
+    // per cell, then a/b/s per point with the SAME parenthesization —
+    // a and b one IEEE division each, s quantized 1e-9 before the exact
+    // per-cell SUM (no division on the signed sum)
+    "eval_silhouette" ->
+      """WITH w AS (
+        |  SELECT c.range AS c, d.range AS d,
+        |    ('0x' || substr(md5('ivf:42:' || c.range || ':' || d.range), 1, 15))::BIGINT % 2001 - 1000 AS wt
+        |  FROM range(0, 8) c, range(0, 64) d
+        |), q AS (
+        |  SELECT vec_id,
+        |    [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv,
+        |    [CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT) FOR x IN embedding] AS qm
+        |  FROM embeddings
+        |), dots AS (
+        |  SELECT q.vec_id, w.c, sum(w.wt * q.qv[w.d + 1]) AS dot
+        |  FROM q CROSS JOIN w GROUP BY q.vec_id, w.c
+        |), assign AS (
+        |  SELECT vec_id, c AS cell FROM (
+        |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS cr
+        |    FROM dots) r WHERE cr = 1
+        |), pts AS (
+        |  SELECT q.vec_id, a.cell, q.qm,
+        |    CAST(list_sum([x * x FOR x IN qm]) AS BIGINT) AS x2
+        |  FROM q JOIN assign a ON a.vec_id = q.vec_id
+        |), mom AS (
+        |  SELECT cell, CAST(count(*) AS BIGINT) AS n_c, sum(x2) AS q_c FROM pts GROUP BY 1
+        |), sd AS (
+        |  SELECT cell, d.range AS d, sum(qm[d.range + 1]) AS s
+        |  FROM pts CROSS JOIN range(0, 64) d GROUP BY 1, 2
+        |), sv AS (
+        |  SELECT cell, list(s ORDER BY d) AS sv FROM sd GROUP BY 1
+        |), m AS (
+        |  SELECT mom.cell AS mc, mom.n_c, mom.q_c, sv.sv
+        |  FROM mom JOIN sv ON sv.cell = mom.cell
+        |), scored AS (
+        |  SELECT p.vec_id, p.cell,
+        |    max(CASE WHEN p.cell = m.mc THEN
+        |      m.n_c * p.x2 - 2 * CAST(list_sum([p.qm[i] * m.sv[i] FOR i IN range(1, 65)]) AS BIGINT) + m.q_c
+        |      END) AS a_num,
+        |    max(CASE WHEN p.cell = m.mc THEN m.n_c END) AS n_own,
+        |    min(CASE WHEN p.cell != m.mc THEN
+        |      CAST(m.n_c * p.x2 - 2 * CAST(list_sum([p.qm[i] * m.sv[i] FOR i IN range(1, 65)]) AS BIGINT) + m.q_c AS DOUBLE)
+        |        / CAST(m.n_c AS DOUBLE) END) AS b
+        |  FROM pts p CROSS JOIN m GROUP BY 1, 2
+        |), sil AS (
+        |  SELECT cell,
+        |    CASE WHEN n_own = 1 OR b IS NULL THEN CAST(0.0 AS DOUBLE)
+        |         WHEN greatest(CAST(a_num AS DOUBLE) / CAST(n_own - 1 AS DOUBLE), b) = 0.0 THEN CAST(0.0 AS DOUBLE)
+        |         ELSE (b - CAST(a_num AS DOUBLE) / CAST(n_own - 1 AS DOUBLE))
+        |              / greatest(CAST(a_num AS DOUBLE) / CAST(n_own - 1 AS DOUBLE), b) END AS s
+        |  FROM scored
+        |)
+        |SELECT CAST(cell AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n_points,
+        |  CAST(sum(CAST(floor(s * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_s_nano
+        |FROM sil GROUP BY 1 ORDER BY cell""".stripMargin,
 
     "eval_ivf_recall" ->
       """WITH w AS (

@@ -131,6 +131,35 @@ private[graft] trait TextQueries extends QueryHelpers {
     }),
 
 
+    "text_nb_langid" -> ((s, dir) => {
+      // multinomial naive Bayes trained on even doc_ids, confusion matrix
+      // on odd doc_ids — the generative classifier beside the heuristic,
+      // perceptron and kNN probes; every factor a separately-quantized qln
+      val docs = t(s, dir, "documents")
+      graft.operators.TextAnalysis.nbLangConfusion(
+          spread(docs.filter(col("doc_id") % 2 === 0)),
+          spread(docs.filter(col("doc_id") % 2 === 1)),
+          "doc_id", "lang", "text")
+        .orderBy(col("lang"), col("predicted_lang"))
+    }),
+
+
+    "text_stem_conflation" -> ((s, dir) => {
+      // S-stemmer (Harman 1991) conflation classes over the corpus
+      // vocabulary: which surface forms each 3-rule plural stem merges —
+      // pure CASE string surgery, identical in both engines. The synthetic
+      // corpus has no plural pairs, so every 7th doc PLANTS all three rule
+      // families plus both exceptions (the garbage_detect lesson: a gate
+      // that can pass on an empty result gates nothing)
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" stories story stores store cats cat bus class classes")))
+          .otherwise(col("text")).as("text"))
+      graft.operators.TextAnalysis.sStemConflation(spread(docs), "text")
+        .orderBy(col("stem"))
+    }),
+
+
     "text_mi_terms" -> ((s, dir) => {
       // mutual-information feature selection: top-3 most language-
       // informative tokens per lang — chi2's information-theoretic sibling
@@ -884,6 +913,78 @@ private[graft] trait TextQueries extends QueryHelpers {
 
     // four separately-quantized qln terms per presence/absence cell (the
     // WoE no-products-inside-ln pattern); zero cells contribute exact 0
+    // NB re-derived: train counts on evens, qln-factored scores on odds,
+    // argmax via (score desc, lang asc) row_number — unseen pairs
+    // contribute qln(0+1) = 0 on both sides by construction
+    "text_nb_langid" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents
+        |), counts AS (
+        |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM toks WHERE doc_id % 2 = 0 GROUP BY 1, 2
+        |), vocab AS (
+        |  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+        |  FROM toks WHERE doc_id % 2 = 0
+        |), meta AS (
+        |  SELECT c.lang, sum(c.cnt) AS tok_total, max(d.n_docs_train) AS n_docs_train
+        |  FROM counts c JOIN (
+        |    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs_train
+        |    FROM documents WHERE doc_id % 2 = 0 GROUP BY 1) d ON d.lang = c.lang
+        |  GROUP BY 1
+        |), testtoks AS (
+        |  SELECT doc_id AS did, lang AS lang_true, tok, CAST(count(*) AS BIGINT) AS m
+        |  FROM toks WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3
+        |), scored AS (
+        |  SELECT tt.did, tt.lang_true, mt.lang,
+        |    CAST(floor(ln(mt.n_docs_train) * 1000000 + 0.5) AS BIGINT)
+        |      + sum(tt.m * CAST(floor(ln(COALESCE(c.cnt, 0) + 1) * 1000000 + 0.5) AS BIGINT))
+        |      - sum(tt.m) * CAST(floor(ln(mt.tok_total + (SELECT v FROM vocab)) * 1000000 + 0.5) AS BIGINT)
+        |      AS score
+        |  FROM testtoks tt CROSS JOIN meta mt
+        |  LEFT JOIN counts c ON c.lang = mt.lang AND c.tok = tt.tok
+        |  GROUP BY tt.did, tt.lang_true, mt.lang, mt.n_docs_train, mt.tok_total
+        |), pred AS (
+        |  SELECT did, lang_true, lang AS predicted_lang,
+        |    row_number() OVER (PARTITION BY did ORDER BY score DESC, lang ASC) AS rk
+        |  FROM scored
+        |)
+        |SELECT lang_true AS lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM pred WHERE rk = 1 GROUP BY 1, 2
+        |ORDER BY lang, predicted_lang""".stripMargin,
+
+    // the three S-stemmer rules as the same CASE chain; variants via
+    // sorted distinct list joined with spaces
+    "text_stem_conflation" ->
+      """WITH planted AS (
+        |  SELECT CASE WHEN doc_id % 7 = 0
+        |    THEN text || ' stories story stores store cats cat bus class classes'
+        |    ELSE text END AS text
+        |  FROM documents
+        |), toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM planted
+        |), lat AS (SELECT t FROM toks WHERE regexp_full_match(t, '[a-z]+')),
+        |stemmed AS (
+        |  SELECT t, CASE
+        |    WHEN length(t) > 4 AND right(t, 3) = 'ies'
+        |         AND right(t, 4) NOT IN ('eies', 'aies')
+        |      THEN substr(t, 1, length(t) - 3) || 'y'
+        |    WHEN length(t) > 3 AND right(t, 2) = 'es'
+        |         AND right(t, 3) NOT IN ('aes', 'ees', 'oes')
+        |      THEN substr(t, 1, length(t) - 1)
+        |    WHEN length(t) > 3 AND right(t, 1) = 's'
+        |         AND right(t, 2) NOT IN ('us', 'ss')
+        |      THEN substr(t, 1, length(t) - 1)
+        |    ELSE t END AS stem
+        |  FROM lat
+        |)
+        |SELECT stem, CAST(count(DISTINCT t) AS BIGINT) AS n_types,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  array_to_string(list_sort(list(DISTINCT t)), ' ') AS variants
+        |FROM stemmed GROUP BY 1 HAVING count(DISTINCT t) >= 2
+        |ORDER BY stem""".stripMargin,
+
     "text_mi_terms" ->
       """WITH dt AS (
         |  SELECT DISTINCT doc_id, lang, token FROM (

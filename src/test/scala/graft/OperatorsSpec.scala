@@ -3158,4 +3158,142 @@ class OperatorsSpec extends SparkSuite {
       "round-robin within a band must balance shard counts to within one")
     assert(a.select(col("shard")).distinct().count() == 4L)
   }
+
+  test("silhouette: real clustering scores positive; moments match brute force") {
+    // the embeddings fixture under the 8-cell Voronoi partition: whatever
+    // the cells look like, the moment-based per-cell sums must equal the
+    // O(n²) brute-force silhouette on a small slice
+    val slice = embs.limit(60).cache()
+    val r = Eval.silhouette(slice, "vec_id", "embedding", cells = 4)
+      .collect().map(x => x.getAs[Long]("cell") ->
+        (x.getAs[Long]("n_points"), x.getAs[Long]("sum_s_nano"))).toMap
+    assert(r.values.map(_._1).sum == 60L, "every point scored exactly once")
+    // brute force on the same assignment (argmax dot against the public
+    // md5 centroid weights — cellOf is operator-internal) and the same
+    // milli quantization
+    val weights = Array.tabulate(4, 64)((c, d) => Similarity.centroidWeight(42L, c, d))
+    val qm = slice.select($"vec_id",
+      expr("transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))").as("qm"),
+      VectorFns.quantize($"embedding").as("qv"))
+    val assigned = qm.select($"vec_id", $"qm", $"qv").collect()
+      .map { x =>
+        val qv = x.getSeq[Long](2).toArray
+        val cell = (0 until 4)
+          .map(c => c -> (0 until 64).map(d => weights(c)(d) * qv(d)).sum)
+          .minBy { case (c, dot) => (-dot, c) }._1.toLong
+        (x.getLong(0), cell, x.getSeq[Long](1).toArray)
+      }
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val brute = assigned.map { case (_, c, v) =>
+      // a over own cell INCLUDING identical-vector twins (they differ by id)
+      val ownAll = assigned.filter(_._2 == c)
+      val a =
+        if (ownAll.length == 1) 0.0
+        else ownAll.map(p => d2(p._3, v)).sum.toDouble / (ownAll.length - 1).toDouble
+      val others = assigned.groupBy(_._2).filter(_._1 != c)
+      if (others.isEmpty) c -> 0L
+      else {
+        val b = others.values.map(g => g.map(p => d2(p._3, v)).sum.toDouble / g.length).min
+        val s = if (ownAll.length == 1 || math.max(a, b) == 0.0) 0.0
+                else (b - a) / math.max(a, b)
+        c -> math.floor(s * 1e9 + 0.5).toLong
+      }
+    }
+    val bruteSums = brute.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).sum }
+    bruteSums.foreach { case (c, sum) =>
+      assert(r(c)._2 == sum, s"cell $c: moment path ${r(c)._2} vs brute $sum")
+    }
+  }
+
+  test("nbLangConfusion: separable vocabularies classify diagonally") {
+    val train = Seq(
+      (0L, "en", "the cat sat on the mat"), (2L, "en", "the dog ate the food"),
+      (4L, "ru", "кот сидел на ковре"), (6L, "ru", "собака ела еду")
+    ).toDF("doc_id", "lang", "text")
+    val test = Seq(
+      (1L, "en", "the cat ate"), (3L, "ru", "кот ела на")
+    ).toDF("doc_id", "lang", "text")
+    val r = TextAnalysis.nbLangConfusion(train, test, "doc_id", "lang", "text")
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    assert(r == Map(("en", "en") -> 1L, ("ru", "ru") -> 1L))
+  }
+
+  test("growthAccounting: ledger identities hold; lifecycle states classify") {
+    val ts0 = java.time.Instant.parse("2024-01-04T00:00:00Z")
+    def wk(w: Long) = java.sql.Timestamp.from(ts0.plusSeconds(w * 604800L))
+    // u1: w0,w1,w2 (new, retained, retained); u2: w0, gap, w2 (new, churn@1, resurrected)
+    // u3: w1 only (new@1, churn@2)
+    val ev = Seq(
+      (1L, wk(0)), (1L, wk(1)), (1L, wk(2)),
+      (2L, wk(0)), (2L, wk(2)),
+      (3L, wk(1))
+    ).toDF("user_id", "ts")
+    val r = Behavior.growthAccounting(ev, "user_id", "ts")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))
+      .toMap.map { case (w, t) => (w - ev.select(expr("min(unix_micros(ts) div 604800000000)")).head().getLong(0)) -> t }
+    // (n_active, n_new, n_retained, n_resurrected, n_churned)
+    assert(r(0L) == ((2L, 2L, 0L, 0L, 0L)))
+    assert(r(1L) == ((2L, 1L, 1L, 0L, 1L)))   // u3 new, u1 retained, u2 churned
+    assert(r(2L) == ((2L, 0L, 1L, 1L, 1L)))   // u1 retained, u2 resurrected, u3 churned
+    r.foreach { case (w, (act, nw, ret, res, _)) =>
+      assert(act == nw + ret + res, s"week $w: active != new+retained+resurrected") }
+    // retained(w) + churned(w) == active(w-1)
+    assert(r(1L)._3 + r(1L)._5 == r(0L)._1)
+    assert(r(2L)._3 + r(2L)._5 == r(1L)._1)
+  }
+
+  test("ewmaAnomaly: constant series never flags; spike +1, outage -1; gaps decay") {
+    val ts0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def hr(h: Long, i: Int) = java.sql.Timestamp.from(ts0.plusSeconds(h * 3600L + i))
+    def burst(t: String, h: Long, n: Int) = (0 until n).map(i => (t, hr(h, i)))
+    val ev = (
+      (0L to 7L).flatMap(h => burst("steady", h, 10)) ++
+      (0L to 5L).flatMap(h => burst("spiky", h, 10)) ++ burst("spiky", 6L, 50) ++
+      (0L to 5L).flatMap(h => burst("gone", h, 10))  ++ burst("gone", 7L, 10)
+    ).toDF("event_type", "ts")
+    val r = Behavior.ewmaAnomaly(ev, "event_type", "ts")
+    val steady = r.filter($"event_type" === "steady").collect()
+    assert(steady.forall(_.getAs[Long]("flag") == 0L))
+    assert(steady.forall(_.getAs[Long]("ewma_milli") == 10000L))
+    val spike = r.filter($"event_type" === "spiky" && $"hr" === (ts0.getEpochSecond / 3600 + 6))
+      .head()
+    assert(spike.getAs[Long]("flag") == 1L, "5x surge must flag +1")
+    // hour 6 is a zero-count gap for 'gone': 0 < baseline/2 -> -1
+    val outage = r.filter($"event_type" === "gone" && $"hr" === (ts0.getEpochSecond / 3600 + 6))
+      .head()
+    assert(outage.getAs[Long]("n") == 0L && outage.getAs[Long]("flag") == -1L,
+      "missing hour is a real zero and flags as a drop")
+    // and the baseline decayed through the gap: hour 7's prev < 10000
+    val after = r.filter($"event_type" === "gone" && $"hr" === (ts0.getEpochSecond / 3600 + 7))
+      .head()
+    assert(after.getAs[Long]("ewma_prev_milli") == 7000L, "one zero hour decays 10000 -> 7000")
+  }
+
+  test("harmonicCloseness: path-graph terms exact; disconnection contributes 0") {
+    // path 1-2-3-4-5 plus isolated pair 10-11; seed at node 1
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L)).toDF("src", "dst")
+    val seeds = Seq(1L, 10L).toDF("k")
+    val r = Graph.harmonicCloseness(e, "src", "dst", seeds, "k", rounds = 4)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // from 1: dists 1,2,3,4 -> 1e6 + 500000 + 333333 + 250000
+    assert(r(1L) == ((4L, 2083333L)))
+    // from 10: only 11 at dist 1 — the path component is unreachable, 0 contribution
+    assert(r(10L) == ((1L, 1000000L)))
+  }
+
+  test("sStemConflation: three rules, exceptions, and non-Latin passthrough") {
+    val d = Seq(
+      (1L, "stories story stores store cats cat bus class classes кошки")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.sStemConflation(d, "text")
+      .collect().map(x => x.getString(0) -> x.getString(3)).toMap
+    assert(r("story") == "stories story")   // ies -> y
+    assert(r("store") == "store stores")    // es -> e
+    assert(r("cat") == "cat cats")          // s -> dropped
+    assert(r.get("classe").isEmpty && r.get("clas").isEmpty,
+      "'-ss' exception: class/classes must not merge with a clipped stem")
+    assert(!r.contains("bu"), "'-us' exception keeps bus intact")
+    assert(!r.keys.exists(_.contains("кошк")), "non-Latin tokens pass through ungrouped")
+  }
 }
