@@ -510,8 +510,14 @@ private[graft] trait TextQueries extends QueryHelpers {
       // pipeline in the shared Java/RE2 regex subset (contract pinned on
       // TextAnalysis.htmlCleanup).
       val docs = t(s, dir, "documents")
+      // compared as md5(clean_text): the extracted text embeds literal \n
+      // block joins, which broke the driver's line-framed row hashing even
+      // though the values are exact (r12 verdict #1). md5 on both sides
+      // keeps the gate value-exact without newline-bearing cells.
       graft.operators.TextAnalysis.htmlExtract(
         spread(docs.select(col("doc_id"), htmlFixtureCol.as("html"))), "doc_id", "html")
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_kept"), col("n_dropped"), col("link_permille"))
         .orderBy(col("doc_id"))
     }),
 
@@ -687,7 +693,7 @@ private[graft] trait TextQueries extends QueryHelpers {
   // pipe of each (Binder Error: `|(STRING, STRING)`)
   private def htmlExtractOracleSql: String =
     htmlExtractOracleCtes + "\n" +
-      """SELECT doc_id, clean_text, n_kept, n_dropped, link_permille
+      """SELECT doc_id, md5(clean_text) AS clean_md5, n_kept, n_dropped, link_permille
         |FROM extracted ORDER BY doc_id""".stripMargin
 
   private def curationPipelineHtmlOracleSql: String =
