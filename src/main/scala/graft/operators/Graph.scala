@@ -648,6 +648,167 @@ object Graph {
       .join(bw.select(col("node"), col("dist").as("bw_dist")), "node")
   }
 
+  /** FULL strongly-connected-component decomposition of a directed graph:
+    * every node (endpoint of a non-self-loop edge) labeled with the MINIMUM
+    * id of its SCC — [[sccPivot]] extended from one component to the whole
+    * graph, so a citation/link graph decomposes completely. Orzan-style
+    * forward-coloring with trimming, all color classes processed in
+    * parallel per round:
+    *
+    *  1. TRIM to fixpoint: a remaining node with no in-edge or no out-edge
+    *     inside the remaining subgraph cannot sit on a cycle — labeled a
+    *     singleton SCC immediately (kills DAG tails/chains in
+    *     diameter-many cheap rounds instead of one pivot each).
+    *  2. COLOR to fixpoint: color(v) = min id that forward-reaches v
+    *     (including v). Every color class contains its root's whole SCC.
+    *  3. BACKWARD MARK to fixpoint: from every color root simultaneously,
+    *     walk edges backwards WITHIN the color class; marked nodes are
+    *     exactly SCC(root) — labeled and removed.
+    *
+    * Each outer round labels one SCC per color class plus every trimmed
+    * singleton, so outer rounds are bounded by the SCC-DAG depth of the
+    * graph (NOT the SCC count); both inner fixpoints are bounded by the
+    * remaining subgraph's diameter. Exceeding either bound raises loudly.
+    *
+    * Determinism: both fixpoints are min/set monotone over integer
+    * relations — a pure function of the graph, hash-exact across engines
+    * (the [[pagerank]] contract). Convergence detection: Σcolor strictly
+    * decreases until the coloring fixpoint (ANSI overflow would raise
+    * loudly; ids are key-domain longs, so Σ fits comfortably), the mark
+    * set grows until its fixpoint.
+    *
+    * Scale shape per inner round: one equi-join of the (node-sized)
+    * color/mark relation against the persisted remaining edge relation +
+    * one min/distinct aggregation — the [[bfsHops]] shape. Per-round
+    * persist with materialize-then-release (the kCoreRounds contract).
+    * At 100 TB the edge relation dominates and is touched once per inner
+    * round via its persisted partitioning; the node-sized relations are
+    * the only things that move. */
+  def sccDecompose(edges: DataFrame, srcCol: String, dstCol: String,
+      maxOuterRounds: Int = 20, maxPropRounds: Int = 60): DataFrame = {
+    require(maxOuterRounds >= 1, "need at least one outer round")
+    require(maxPropRounds >= 1, "need at least one propagation round")
+    val spark = edges.sparkSession
+    // EVERY loop-carried relation is localCheckpoint'ed EAGERLY each
+    // generation: persist alone caches data but keeps the logical plan,
+    // and a fixpoint step whose next plan embeds the previous one two or
+    // three times grows the analyzed tree EXPONENTIALLY in rounds (driver
+    // OOM at any data size — measured). Checkpoint truncates the plan to
+    // the cached blocks; the old generation is released only after the new
+    // one is materialized.
+    def advance(old: DataFrame, next: DataFrame): DataFrame = {
+      val n = next.localCheckpoint(true) // eager
+      Dedup.releaseCheckpoint(old)
+      n
+    }
+    val e = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    Residuals.register(() => Dedup.releaseCheckpoint(e))
+    var remaining = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node"))).distinct().localCheckpoint(true)
+    var nRemaining = remaining.count()
+    var labels = spark.range(0).select(col("id").as("node"), col("id").as("scc"))
+    var outer = 0
+    while (nRemaining > 0) {
+      outer += 1
+      require(outer <= maxOuterRounds,
+        s"sccDecompose: $nRemaining nodes unlabeled after $maxOuterRounds pivot " +
+          "rounds — raise maxOuterRounds (bound ~ the graph's SCC-DAG depth)")
+      var subE = e
+        .join(remaining.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(remaining.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+      // ---- 1. trim to fixpoint ------------------------------------------
+      var trimming = true
+      var it = 0
+      while (trimming && nRemaining > 0) {
+        it += 1
+        require(it <= maxPropRounds,
+          s"sccDecompose: trim did not converge in $maxPropRounds rounds")
+        val cyclic = subE.select(col("a").as("node")).distinct()
+          .join(subE.select(col("b").as("node")).distinct(), Seq("node"), "left_semi")
+          .localCheckpoint(true)
+        val singles = remaining.join(cyclic, Seq("node"), "left_anti")
+          .select(col("node"), col("node").as("scc"))
+        if (singles.isEmpty) {
+          Dedup.releaseCheckpoint(cyclic)
+          trimming = false
+        } else {
+          labels = advance(labels, labels.union(singles))
+          remaining = advance(remaining, remaining.join(cyclic, Seq("node"), "left_semi"))
+          nRemaining = remaining.count()
+          subE = advance(subE, subE
+            .join(cyclic.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+            .join(cyclic.withColumnRenamed("node", "b"), Seq("b"), "left_semi"))
+          Dedup.releaseCheckpoint(cyclic)
+        }
+      }
+      if (nRemaining > 0) {
+        // ---- 2. forward min-color propagation to fixpoint ---------------
+        var color = remaining.select(col("node"), col("node").as("color"))
+          .localCheckpoint(true)
+        var colorSum = color.agg(sum(col("color"))).head().getLong(0)
+        var converged = false
+        it = 0
+        while (!converged) {
+          it += 1
+          require(it <= maxPropRounds,
+            s"sccDecompose: coloring did not converge in $maxPropRounds rounds " +
+              "— raise maxPropRounds (bound ~ the remaining subgraph's diameter)")
+          val prop = subE
+            .join(color.select(col("node").as("a"), col("color")), "a")
+            .select(col("b").as("node"), col("color"))
+          color = advance(color, color.union(prop)
+            .groupBy(col("node")).agg(min(col("color")).as("color")))
+          val nextSum = color.agg(sum(col("color"))).head().getLong(0)
+          converged = nextSum == colorSum // per-node mins only decrease
+          colorSum = nextSum
+        }
+        // ---- 3. backward mark from every color root, within the class ---
+        val ce = subE
+          .join(color.select(col("node").as("a"), col("color").as("ca")), "a")
+          .join(color.select(col("node").as("b"), col("color").as("cb")), "b")
+          .filter(col("ca") === col("cb"))
+          .select(col("a"), col("b"))
+          .localCheckpoint(true)
+        var mark = color.filter(col("node") === col("color"))
+          .select(col("node"), col("color").as("scc")).localCheckpoint(true)
+        var nMark = mark.count()
+        converged = false
+        it = 0
+        while (!converged) {
+          it += 1
+          require(it <= maxPropRounds,
+            s"sccDecompose: backward mark did not converge in $maxPropRounds rounds")
+          // marked rows always carry scc == color(node) (roots by
+          // definition, propagated rows inherit through same-color edges),
+          // so the plain b-join cannot cross classes
+          val prop = ce
+            .join(mark.select(col("node").as("b"), col("scc")), "b")
+            .select(col("a").as("node"), col("scc"))
+          mark = advance(mark, mark.union(prop).distinct())
+          val n2 = mark.count()
+          converged = n2 == nMark // the mark set only grows
+          nMark = n2
+        }
+        labels = advance(labels, labels.union(mark))
+        remaining = advance(remaining, remaining.join(mark, Seq("node"), "left_anti"))
+        nRemaining = remaining.count()
+        Dedup.releaseCheckpoint(mark)
+        Dedup.releaseCheckpoint(ce)
+        Dedup.releaseCheckpoint(color)
+      }
+      Dedup.releaseCheckpoint(subE)
+    }
+    Dedup.releaseCheckpoint(remaining)
+    val fin = labels
+    Residuals.register(() => Dedup.releaseCheckpoint(fin))
+    labels
+  }
+
   /** Hierarchy flattening by POINTER DOUBLING: every node of a parent-child
     * forest (BOM part explosions, org charts, category taxonomies, reply
     * threads) resolves to its (root, level) in O(log depth) rounds — the

@@ -211,6 +211,28 @@ private[graft] trait GraphQueries extends QueryHelpers {
     }),
 
 
+    "graph_scc_full" -> ((s, dir) => {
+      // FULL SCC decomposition: supplier keys in 30-key blocks, each block
+      // a DAG of 6-rings (6-block index m = (k div 6) % 5, rings where
+      // m % 3 != 2), acyclic 6-chains (m % 3 == 2) and k -> k+6 chords
+      // CONFINED to the block — >= 3 non-trivial SCCs per block plus
+      // singleton chain/tail nodes, and the block confinement bounds both
+      // the SCC-DAG depth (5) and the oracle's reachability sets (<= 30)
+      val sk = t(s, dir, "supplier").select(col("s_suppkey").cast("long").as("k"))
+      val ring = sk.filter(expr("((k div 6) % 5) % 3 != 2"))
+        .select(col("k").as("src"),
+          (col("k") - col("k") % 6 + (col("k") % 6 + 1) % 6).as("dst"))
+      val chain = sk.filter(expr("((k div 6) % 5) % 3 = 2") && col("k") % 6 < 5)
+        .select(col("k").as("src"), (col("k") + 1).as("dst"))
+      val chord = sk.filter(expr("(k + 6) div 30 = k div 30"))
+        .select(col("k").as("src"), (col("k") + 6).as("dst"))
+      val edges = ring.union(chain).union(chord)
+        .join(sk.withColumnRenamed("k", "dst"), Seq("dst"), "left_semi")
+      graft.operators.Graph.sccDecompose(edges, "src", "dst")
+        .orderBy(col("node"))
+    }),
+
+
     "graph_clustering_coeff" -> ((s, dir) => {
       // per-node clustering coefficient: 2·tri·1e6 div deg(deg-1) over the
       // chord graph — composition of the gated triangle count with one
@@ -268,6 +290,35 @@ private[graft] trait GraphQueries extends QueryHelpers {
   protected def graphOracles: Map[String, String] = Map(
 
     "graph_scc_pivot" -> sccPivotOracle,
+
+    // full SCC truth from first principles: recursive reachability closure
+    // (block-local by construction, so the closure stays tiny), then
+    // scc(v) = min id mutually reachable with v (v itself included)
+    "graph_scc_full" ->
+      """WITH RECURSIVE sk AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier),
+        |e AS (
+        |  SELECT src, dst FROM (
+        |    SELECT k AS src, k - (k % 6) + ((k % 6) + 1) % 6 AS dst FROM sk
+        |      WHERE ((k // 6) % 5) % 3 != 2
+        |    UNION ALL SELECT k AS src, k + 1 AS dst FROM sk
+        |      WHERE ((k // 6) % 5) % 3 = 2 AND k % 6 < 5
+        |    UNION ALL SELECT k AS src, k + 6 AS dst FROM sk
+        |      WHERE (k + 6) // 30 = k // 30
+        |  ) q WHERE dst IN (SELECT k FROM sk) AND src != dst
+        |), ed AS (SELECT DISTINCT src, dst FROM e),
+        |n AS (SELECT src AS v FROM ed UNION SELECT dst FROM ed),
+        |reach(a, b) AS (
+        |  SELECT src, dst FROM ed
+        |  UNION
+        |  SELECT r.a, ed.dst FROM reach r JOIN ed ON ed.src = r.b
+        |),
+        |mut AS (
+        |  SELECT r1.a AS node, r1.b AS u FROM reach r1
+        |  JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+        |  UNION SELECT v AS node, v AS u FROM n
+        |)
+        |SELECT node, CAST(min(u) AS BIGINT) AS scc FROM mut
+        |GROUP BY node ORDER BY node""".stripMargin,
 
     // jac_micro = cn·1e6 // (deg_a + deg_b − cn): one truncating division
     // of exact counts; shares the wedge/anti-join derivation with

@@ -2829,6 +2829,52 @@ class OperatorsSpec extends SparkSuite {
     assertThrows[IllegalArgumentException](Graph.sccPivot(loops, "s", "d", 2))
   }
 
+  test("sccDecompose: full decomposition matches sequential Tarjan on a seeded digraph") {
+    // 120 seeded random edges over 40 nodes (density ~3): a giant SCC plus
+    // satellite singletons — the trim, color, and backward-mark paths all
+    // fire. Reference truth: textbook Tarjan run driver-side.
+    val rnd = new scala.util.Random(1313L)
+    val es = (1 to 120).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val got = Graph.sccDecompose(es.toDF("s", "d"), "s", "d")
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("scc")).toMap
+
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val adj = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    var index = 0
+    val idx = scala.collection.mutable.Map[Long, Int]()
+    val low = scala.collection.mutable.Map[Long, Int]()
+    val onStack = scala.collection.mutable.Set[Long]()
+    val stack = scala.collection.mutable.Stack[Long]()
+    val label = scala.collection.mutable.Map[Long, Long]()
+    def strongconnect(v: Long): Unit = {
+      idx(v) = index; low(v) = index; index += 1
+      stack.push(v); onStack += v
+      for (w <- adj.getOrElse(v, Seq.empty)) {
+        if (!idx.contains(w)) { strongconnect(w); low(v) = math.min(low(v), low(w)) }
+        else if (onStack(w)) low(v) = math.min(low(v), idx(w))
+      }
+      if (low(v) == idx(v)) {
+        val comp = scala.collection.mutable.Buffer[Long]()
+        var w = -1L
+        while ({ w = stack.pop(); onStack -= w; comp += w; w != v }) ()
+        val m = comp.min
+        comp.foreach(x => label(x) = m)
+      }
+    }
+    nodes.foreach(v => if (!idx.contains(v)) strongconnect(v))
+    assert(got == label.toMap)
+    // the fixture genuinely exercises a multi-node SCC
+    assert(got.values.toSet.size < got.size)
+    // disjoint two-cycles + a chain tail: three non-trivial SCCs + singletons
+    val small = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L), (5L, 6L), (6L, 5L),
+      (2L, 3L), (4L, 5L), (6L, 7L), (7L, 8L)).toDF("s", "d")
+    val got2 = Graph.sccDecompose(small, "s", "d")
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("scc")).toMap
+    assert(got2 == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L,
+      6L -> 5L, 7L -> 7L, 8L -> 8L))
+  }
+
   test("mipsTransform: completion dim equalizes norms within floor slack, max-norm vector gets 0") {
     val r = Embeddings.mipsTransform(embs, "vec_id", "embedding")
     import org.apache.spark.sql.functions.{col, expr, max => smax, sum => ssum}
