@@ -603,7 +603,7 @@ object EventStream {
   def runAttributionOverRawEvents(
       spark: SparkSession, path: String, lookbackMin: Int,
       watermark: String, name: String, leftOuter: Boolean = false,
-      statePartitions: Int = 8): DataFrame = {
+      statePartitions: Int = 4): DataFrame = {
     // A stream-stream join keeps one state store per shuffle partition PER
     // SIDE and pays open/commit on each per micro-batch — cost ~linear in
     // partition count while this query's state is tiny. An isolated child
@@ -613,9 +613,21 @@ object EventStream {
     // are partition-count-independent; only parallelism changes.
     // (q19 at sf0.1: 7.9 s -> 2.9 s steady-state from this alone.)
     val s2 = statePinnedSession(spark, statePartitions)
-    def raw(): DataFrame = rawEventsStream(s2, path)
-    val p = purchaseSide(raw()).withWatermark("purchase_ts", watermark)
-    val c = clickSide(raw()).withWatermark("click_ts", watermark)
+    // An INNER stream-stream join emits every result in the data batch
+    // itself; the trailing no-data micro-batch exists only to advance the
+    // watermark and evict state (~0.5 s of state-store open/commit at any
+    // data size). Skip it for inner joins; LEFT OUTER needs it - that is
+    // the batch that emits the unmatched-left nulls.
+    if (!leftOuter)
+      s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // ONE file-stream source feeding both join sides (a genuine self-join):
+    // a second source would re-list the directory and keep its own offset
+    // WAL per micro-batch — measured ~0.9 s of pure per-source fixed cost
+    // at any data size (q11's whole floor). Watermarks are per-branch, so
+    // each side still declares its own event-time column.
+    val raw = rawEventsStream(s2, path)
+    val p = purchaseSide(raw).withWatermark("purchase_ts", watermark)
+    val c = clickSide(raw).withWatermark("click_ts", watermark)
     val joined =
       if (leftOuter) attributionJoinLeftOuter(p, c, lookbackMin)
       else attributionJoin(p, c, lookbackMin)
