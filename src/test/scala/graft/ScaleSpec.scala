@@ -47,10 +47,15 @@ class ScaleSpec extends SparkSuite {
   // 4-band candidate equi-join must stay cohort-linear, not all-pairs)
   // and LLR collocations (the pair-domain aggregate — vocabulary², never
   // corpus²)
+  // round 13 adds the unigram-LM family (r12 verdict #4): training EM and
+  // greedy encode both join the corpus against the DISTINCT-WORD
+  // vocabulary — growth must stay vocabulary-bounded (the BPE precedent),
+  // and fertility is the same composition through the eval layer
   for (q <- Seq("basket_part_pairs", "text_token_pmi", "dedup_spans", "graph_triangles",
       "knn_pq", "text_bpe_encode", "graph_kcore", "dedup_winnow_pairs",
       "emb_covariance", "graph_common_neighbors",
-      "mm_phash_pairs", "text_collocations_llr"))
+      "mm_phash_pairs", "text_collocations_llr",
+      "text_unigram_encode", "eval_tokenizer_fertility"))
     test(s"$q wall-time grows at most ~linearly from sf0.01 to sf0.1") {
       run(q, small) // warmup: codegen + JIT + class-load outside the clock
       val tSmall = timeMinOf2(q, small)
