@@ -32,26 +32,34 @@ object SparkEntry extends QueryHelpers
   /** Flagship query (driver smoke: rows>0 on sf0.001): a full engine
     * generation — two models with FK, uuid/name/enum/datetime columns —
     * joined and aggregated. Exercises the whole generator stack. */
+  private val entryYaml =
+    """
+      |random_seed: 1738591926070236604
+      |models:
+      |  user:
+      |    rows_count: 2000
+      |    columns:
+      |      - { name: id, type: integer, type_params: { from: 0, to: 1999 }, distinct_percentage: 1 }
+      |      - { name: name, type: string, type_params: { logical_type: first_name } }
+      |      - { name: segment, type: string, values: [gold, silver, bronze] }
+      |      - { name: signup, type: datetime, ordered: true }
+      |  order:
+      |    rows_count: 10000
+      |    columns:
+      |      - { name: order_id, type: uuid }
+      |      - { name: user_id, foreign_key: user.id }
+      |      - { name: amount, type: float, type_params: { from: 1.0, to: 500.0 } }
+      |""".stripMargin
+
+  /** The entry() users model frame, exposed so `gen_users_deterministic`
+    * can gate the same model's deterministic facets (r12 verdict #5). */
+  private[graft] def entryUsers(spark: SparkSession): DataFrame = {
+    val cfg = ConfigParser.parseYaml(entryYaml)
+    Engine.modelFrame(spark, cfg, cfg.model("user"))
+  }
+
   def entry(spark: SparkSession): DataFrame = {
-    val yaml =
-      """
-        |random_seed: 1738591926070236604
-        |models:
-        |  user:
-        |    rows_count: 2000
-        |    columns:
-        |      - { name: id, type: integer, type_params: { from: 0, to: 1999 }, distinct_percentage: 1 }
-        |      - { name: name, type: string, type_params: { logical_type: first_name } }
-        |      - { name: segment, type: string, values: [gold, silver, bronze] }
-        |      - { name: signup, type: datetime, ordered: true }
-        |  order:
-        |    rows_count: 10000
-        |    columns:
-        |      - { name: order_id, type: uuid }
-        |      - { name: user_id, foreign_key: user.id }
-        |      - { name: amount, type: float, type_params: { from: 1.0, to: 500.0 } }
-        |""".stripMargin
-    val cfg = ConfigParser.parseYaml(yaml)
+    val cfg = ConfigParser.parseYaml(entryYaml)
     val users = Engine.modelFrame(spark, cfg, cfg.model("user"))
     val orders = Engine.modelFrame(spark, cfg, cfg.model("order"))
     orders
