@@ -53,6 +53,25 @@ private[graft] trait LakeQueries extends QueryHelpers {
     }),
 
 
+    "lake_compaction_plan_i64" -> ((s, dir) => {
+      // all-BIGINT twin of lake_compaction_plan (r13 verdict #1 falsifiable
+      // shape experiment): same plan, the `path` VARCHAR dropped — `band` =
+      // min_key div 512 (bands partition the orderkey space, so min_key
+      // determines the band). If this twin goes driver-green while the
+      // original stays red, the driver's hash normalization chokes on the
+      // VARCHAR column SHAPE, not these values.
+      val manifest = t(s, dir, "lineitem")
+        .groupBy(expr("l_orderkey div 512").as("band"))
+        .agg(count(lit(1)).as("rows"), min(col("l_orderkey")).as("min_key"))
+        .select(concat(lit("f"), col("band").cast("string")).as("path"),
+          col("rows"), col("min_key"))
+      graft.operators.Layout.compactionPlan(manifest, "path", "rows", "min_key", 5000L)
+        .select(expr("min_key div 512").as("band"), col("rows").as("n_rows"),
+          col("min_key"), col("grp"), col("grp_rows"), col("grp_files"))
+        .orderBy(col("min_key"))
+    }),
+
+
     "lake_clustering_depth" -> ((s, dir) => {
       // clustering-quality audit: the SAME 50-row zones measured two ways —
       // zone-mapped on the clustering key (doc_id: zero overlaps, perfect
@@ -328,6 +347,25 @@ private[graft] trait LakeQueries extends QueryHelpers {
         |)
         |SELECT path, rows AS n_rows, min_key, grp,
         |  CAST(sum(rows) OVER (PARTITION BY grp) AS BIGINT) AS grp_rows,
+        |  CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS grp_files
+        |FROM p ORDER BY min_key""".stripMargin,
+
+    "lake_compaction_plan_i64" ->
+      """WITH m AS (
+        |  SELECT CAST(l_orderkey // 512 AS BIGINT) AS band,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(min(l_orderkey) AS BIGINT) AS min_key
+        |  FROM lineitem GROUP BY 1
+        |), c AS (
+        |  SELECT band, n_rows, min_key,
+        |    CAST(COALESCE(sum(n_rows) OVER (ORDER BY min_key, band
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM m
+        |), p AS (
+        |  SELECT band, n_rows, min_key, CAST(cum_before // 5000 AS BIGINT) AS grp FROM c
+        |)
+        |SELECT band, n_rows, min_key, grp,
+        |  CAST(sum(n_rows) OVER (PARTITION BY grp) AS BIGINT) AS grp_rows,
         |  CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS grp_files
         |FROM p ORDER BY min_key""".stripMargin,
 

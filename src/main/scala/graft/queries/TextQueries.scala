@@ -522,6 +522,21 @@ private[graft] trait TextQueries extends QueryHelpers {
     }),
 
 
+    "text_html_extract_i64" -> ((s, dir) => {
+      // all-BIGINT twin (r13 verdict #1 falsifiable shape experiment): the
+      // clean_md5 VARCHAR replaced by its first-15-hex-chars value as
+      // BIGINT. Twin green + original red => the driver's hash
+      // normalization chokes on the VARCHAR column SHAPE, not the values.
+      val docs = t(s, dir, "documents")
+      graft.operators.TextAnalysis.htmlExtract(
+        spread(docs.select(col("doc_id"), htmlFixtureCol.as("html"))), "doc_id", "html")
+        .select(col("doc_id"),
+          conv(substring(md5(col("clean_text")), 1, 15), 16, 10).cast("long").as("clean_h"),
+          col("n_kept"), col("n_dropped"), col("link_permille"))
+        .orderBy(col("doc_id"))
+    }),
+
+
     "curation_pipeline_html" -> ((s, dir) => {
       // the front door THROUGH the YAML pipeline compiler: raw HTML in,
       // boilerplate-stripped text out (empty extractions dropped), then a
@@ -1084,6 +1099,12 @@ private[graft] trait TextQueries extends QueryHelpers {
         |FROM agg ORDER BY doc_id""".stripMargin,
 
     "text_html_extract" -> htmlExtractOracleSql,
+
+    "text_html_extract_i64" -> (htmlExtractOracleCtes + "\n" +
+      """SELECT doc_id,
+        |  ('0x' || substr(md5(clean_text), 1, 15))::BIGINT AS clean_h,
+        |  n_kept, n_dropped, link_permille
+        |FROM extracted ORDER BY doc_id""".stripMargin),
 
     "curation_pipeline_html" -> curationPipelineHtmlOracleSql,
 
