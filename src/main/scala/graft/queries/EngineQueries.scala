@@ -58,6 +58,25 @@ private[graft] trait EngineQueries extends QueryHelpers {
       // functions are engine-specific, so this entry is rows-only checked;
       // deep invariants live in the ScalaTest suite
       SparkEntry.entry(s)
+    }),
+
+
+    "gen_users_deterministic" -> ((s, dir) => {
+      // the deterministic facets of entry()'s user model, oracle-gated
+      // (r12 verdict #5): a 100%-distinct id over domain {0..1999} is a
+      // BIJECTION (random-unique sequencer), so the sorted ids are exactly
+      // range(0,2000); segment draws only from the declared enum; names are
+      // non-empty; ordered signup stays inside the default datetime domain
+      // [1900-01-01, 2025-01-01]. Value ORDER stays engine-specific by
+      // design — gen_users_smoke remains the rows-only twin for that.
+      SparkEntry.entryUsers(s).select(
+        col("id").cast("long").as("id"),
+        col("segment").isin("gold", "silver", "bronze").cast("long").as("seg_ok"),
+        (length(col("name")) > 0).cast("long").as("name_ok"),
+        (col("signup") >= lit("1900-01-01 00:00:00").cast("timestamp") &&
+          col("signup") <= lit("2025-01-01 00:00:00").cast("timestamp"))
+          .cast("long").as("sig_ok"))
+        .orderBy(col("id"))
     }))
 
   protected def engineOracles: Map[String, String] = Map(
@@ -69,5 +88,10 @@ private[graft] trait EngineQueries extends QueryHelpers {
     "gen_enum_ordered" ->
       """SELECT CAST(range AS BIGINT) AS id,
         |  ['bronze','gold','silver'][CAST(floor(CAST(range AS DOUBLE) * 3 / 9999) AS INT) + 1] AS tier
-        |FROM range(0, 9999) ORDER BY id""".stripMargin)
+        |FROM range(0, 9999) ORDER BY id""".stripMargin,
+
+    "gen_users_deterministic" ->
+      """SELECT CAST(range AS BIGINT) AS id, CAST(1 AS BIGINT) AS seg_ok,
+        |  CAST(1 AS BIGINT) AS name_ok, CAST(1 AS BIGINT) AS sig_ok
+        |FROM range(0, 2000) ORDER BY id""".stripMargin)
 }
