@@ -416,8 +416,10 @@ object Dedup {
     * templated corpora. Each round is two equi-joins + one
     * map-side-combinable min aggregation, materialized by ONE job (the eager
     * `localCheckpoint`, which also truncates lineage so round k does not
-    * replay rounds 0..k-1; on a real cluster swap in `checkpoint()` against
-    * a reliable store). Convergence is read off a `changed` flag computed
+    * replay rounds 0..k-1; on a real cluster set
+    * [[Checkpoints.ReliableConf]] to route the truncation through a
+    * reliable `checkpoint()` instead — executor loss then cannot destroy a
+    * generation mid-fixpoint). Convergence is read off a `changed` flag computed
     * inside that same job — checking it is a cheap scan of the checkpointed
     * blocks, not a second join. Superseded per-round checkpoints are
     * unpersisted immediately: a long-lived session runs this repeatedly and
@@ -464,11 +466,11 @@ object Dedup {
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .union(pairs.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
       .distinct()
-      .localCheckpoint()
+      .transform(Checkpoints.truncate(_))
     var labels = edges.groupBy(col("u").as("id"))
       .agg(min(col("v")).as("mv"))
       .select(col("id"), least(col("id"), col("mv")).as("component"))
-      .localCheckpoint()
+      .transform(Checkpoints.truncate(_))
     var it = 0
     var converged = false
     try {
@@ -494,7 +496,7 @@ object Dedup {
               least(col("propc"), coalesce(col("h_component"), col("propc"))).as("component"),
               (least(col("propc"), coalesce(col("h_component"), col("propc")))
                 =!= col("old_component")).as("changed"))
-        }).localCheckpoint() // ONE job per round; convergence flag rides along
+        }).transform(Checkpoints.truncate(_)) // ONE job per round; convergence flag rides along
         converged = next.filter(col("changed")).isEmpty // cheap scan of cached blocks
         releaseCheckpoint(labels)
         labels = next

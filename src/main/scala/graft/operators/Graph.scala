@@ -85,7 +85,7 @@ object Graph {
         .select(col("node"),
           (lit(base) + expr("85 * coalesce(inflow, CAST(0 AS BIGINT)) div 100")).as("rank"))
       if (i % checkpointEvery == 0 && i < iters) {
-        val ck = ranks.localCheckpoint() // eager: materialized before release
+        val ck = Checkpoints.truncate(ranks) // eager: materialized before release
         lastCk.foreach(Dedup.releaseCheckpoint)
         lastCk = Some(ck)
         ranks = ck
@@ -138,7 +138,7 @@ object Graph {
           (col("is_seed") * lit(base)
             + expr("85 * coalesce(inflow, CAST(0 AS BIGINT)) div 100")).as("rank"))
       if (i % checkpointEvery == 0 && i < iters) {
-        val ck = ranks.localCheckpoint()
+        val ck = Checkpoints.truncate(ranks)
         lastCk.foreach(Dedup.releaseCheckpoint)
         lastCk = Some(ck)
         ranks = ck
@@ -240,7 +240,7 @@ object Graph {
         .select(col("a"), col("b"))
       val nextP =
         if (i % checkpointEvery == 0 && i < rounds) {
-          val ck = next.localCheckpoint(true)
+          val ck = Checkpoints.truncate(next)
           lastCk.foreach(Dedup.releaseCheckpoint)
           lastCk = Some(ck)
           ck
@@ -673,23 +673,27 @@ object Graph {
     * Determinism: both fixpoints are min/set monotone over integer
     * relations — a pure function of the graph, hash-exact across engines
     * (the [[pagerank]] contract). Convergence detection: Σcolor strictly
-    * decreases until the coloring fixpoint (ANSI overflow would raise
-    * loudly; ids are key-domain longs, so Σ fits comfortably), the mark
-    * set grows until its fixpoint.
+    * decreases until the coloring fixpoint — summed as decimal(38,0), NOT
+    * long: hash-derived 63-bit node ids overflow a long sum at scale and
+    * Spark's default non-ANSI sum wraps SILENTLY, so a wrapped-equal sum
+    * could fake convergence; the mark set grows until its fixpoint.
     *
     * Scale shape per inner round: one equi-join of the (node-sized)
     * color/mark relation against the persisted remaining edge relation +
-    * one min/distinct aggregation — the [[bfsHops]] shape. Per-round
-    * persist with materialize-then-release (the kCoreRounds contract).
-    * At 100 TB the edge relation dominates and is touched once per inner
-    * round via its persisted partitioning; the node-sized relations are
-    * the only things that move. */
+    * one min/distinct aggregation — the [[bfsHops]] shape, materialized
+    * by ONE job per round (lazy truncation fused with the convergence
+    * probe). Any failure — including the non-convergence raises — releases
+    * every live checkpoint before propagating ([[Dedup.componentsCore]]'s
+    * cleanup contract). At 100 TB the edge relation dominates and is
+    * touched once per inner round via its persisted partitioning; the
+    * node-sized relations are the only things that move; set
+    * [[Checkpoints.ReliableConf]] so generations survive executor loss. */
   def sccDecompose(edges: DataFrame, srcCol: String, dstCol: String,
       maxOuterRounds: Int = 20, maxPropRounds: Int = 60): DataFrame = {
     require(maxOuterRounds >= 1, "need at least one outer round")
     require(maxPropRounds >= 1, "need at least one propagation round")
     val spark = edges.sparkSession
-    // EVERY loop-carried relation is localCheckpoint'ed EAGERLY each
+    // EVERY loop-carried relation is checkpoint-truncated EAGERLY each
     // generation: persist alone caches data but keeps the logical plan,
     // and a fixpoint step whose next plan embeds the previous one two or
     // three times grows the analyzed tree EXPONENTIALLY in rounds (driver
@@ -697,111 +701,155 @@ object Graph {
     // the cached blocks; the old generation is released only after the new
     // one is materialized.
     def advance(old: DataFrame, next: DataFrame): DataFrame = {
-      val n = next.localCheckpoint(true) // eager
+      val n = Checkpoints.truncate(next) // eager
       Dedup.releaseCheckpoint(old)
       n
     }
-    val e = edges
+    // lazy twin: truncation materializes inside the caller's probe action,
+    // so a fixpoint round costs ONE job (advance + convergence probe fused)
+    def advanceWith[T](old: DataFrame, next: DataFrame)(probe: DataFrame => T): (DataFrame, T) = {
+      val n = Checkpoints.truncate(next, eager = false)
+      val r = probe(n)
+      Dedup.releaseCheckpoint(old)
+      (n, r)
+    }
+    val e = Checkpoints.truncate(edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     Residuals.register(() => Dedup.releaseCheckpoint(e))
-    var remaining = e.select(col("a").as("node"))
-      .union(e.select(col("b").as("node"))).distinct().localCheckpoint(true)
-    var nRemaining = remaining.count()
+    var remaining = Checkpoints.truncate(e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node"))).distinct(), eager = false)
+    var nRemaining = remaining.count() // materializes + probes in one job
     var labels = spark.range(0).select(col("id").as("node"), col("id").as("scc"))
+    // live checkpoint handles for the failure path: any throw (including
+    // the non-convergence requires) must release them or a long-lived
+    // session strands their storage (Dedup.componentsCore's contract)
+    var subE: DataFrame = null
+    var color: DataFrame = null
+    var ce: DataFrame = null
+    var mark: DataFrame = null
     var outer = 0
-    while (nRemaining > 0) {
-      outer += 1
-      require(outer <= maxOuterRounds,
-        s"sccDecompose: $nRemaining nodes unlabeled after $maxOuterRounds pivot " +
-          "rounds — raise maxOuterRounds (bound ~ the graph's SCC-DAG depth)")
-      var subE = e
-        .join(remaining.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
-        .join(remaining.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-        .localCheckpoint(true)
-      // ---- 1. trim to fixpoint ------------------------------------------
-      var trimming = true
-      var it = 0
-      while (trimming && nRemaining > 0) {
-        it += 1
-        require(it <= maxPropRounds,
-          s"sccDecompose: trim did not converge in $maxPropRounds rounds")
-        val cyclic = subE.select(col("a").as("node")).distinct()
-          .join(subE.select(col("b").as("node")).distinct(), Seq("node"), "left_semi")
-          .localCheckpoint(true)
-        val singles = remaining.join(cyclic, Seq("node"), "left_anti")
-          .select(col("node"), col("node").as("scc"))
-        if (singles.isEmpty) {
-          Dedup.releaseCheckpoint(cyclic)
-          trimming = false
-        } else {
+    try {
+      while (nRemaining > 0) {
+        outer += 1
+        require(outer <= maxOuterRounds,
+          s"sccDecompose: $nRemaining nodes unlabeled after $maxOuterRounds pivot " +
+            "rounds — raise maxOuterRounds (bound ~ the graph's SCC-DAG depth)")
+        // current subgraph = e filtered to the LATEST remaining: remaining
+        // shrinks monotonically, so one semi-join pair against the latest
+        // generation is equivalent to the full trim cascade — constant plan
+        // depth with NO per-round edge checkpoint
+        def subNow: DataFrame = e
+          .join(remaining.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+          .join(remaining.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        // ---- 1. trim to fixpoint ----------------------------------------
+        // ONE job per round (lazy cyclic + count); singleton labels are
+        // derived once after the fixpoint as trimStart \ remaining instead
+        // of growing the labels checkpoint every round
+        val trimStart = remaining
+        val nTrimStart = nRemaining
+        var trimming = true
+        var it = 0
+        while (trimming && nRemaining > 0) {
+          it += 1
+          require(it <= maxPropRounds,
+            s"sccDecompose: trim did not converge in $maxPropRounds rounds")
+          // cyclic (nodes with BOTH in- and out-edges in the subgraph) ⊆
+          // remaining by construction, so it IS the next remaining
+          val se = subNow
+          val cyclic = Checkpoints.truncate(
+            se.select(col("a").as("node")).distinct()
+              .join(se.select(col("b").as("node")).distinct(), Seq("node"), "left_semi"),
+            eager = false)
+          val nCyclic = cyclic.count()
+          if (nCyclic == nRemaining) {
+            Dedup.releaseCheckpoint(cyclic)
+            trimming = false
+          } else {
+            if (remaining ne trimStart) Dedup.releaseCheckpoint(remaining)
+            remaining = cyclic
+            nRemaining = nCyclic
+          }
+        }
+        if (nRemaining < nTrimStart) {
+          val singles = trimStart.join(remaining, Seq("node"), "left_anti")
+            .select(col("node"), col("node").as("scc"))
           labels = advance(labels, labels.union(singles))
-          remaining = advance(remaining, remaining.join(cyclic, Seq("node"), "left_semi"))
-          nRemaining = remaining.count()
-          subE = advance(subE, subE
-            .join(cyclic.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
-            .join(cyclic.withColumnRenamed("node", "b"), Seq("b"), "left_semi"))
-          Dedup.releaseCheckpoint(cyclic)
+        }
+        if (trimStart ne remaining) Dedup.releaseCheckpoint(trimStart)
+        if (nRemaining > 0) {
+          // materialize the trimmed edge set once — the two fixpoints below
+          // each touch it every round
+          subE = Checkpoints.truncate(subNow)
+          // ---- 2. forward min-color propagation to fixpoint --------------
+          // Σcolor as decimal(38,0), NOT long: Spark's default non-ANSI long
+          // sum wraps silently, and with hash-derived 63-bit ids a wrapped
+          // sum could equal its predecessor while colors still changed —
+          // false convergence, silently wrong labels
+          def colorSumOf(df: DataFrame): java.math.BigDecimal =
+            df.agg(sum(col("color").cast("decimal(38,0)"))).head().getDecimal(0)
+          color = Checkpoints.truncate(
+            remaining.select(col("node"), col("node").as("color")), eager = false)
+          var colorSum = colorSumOf(color)
+          var converged = false
+          it = 0
+          while (!converged) {
+            it += 1
+            require(it <= maxPropRounds,
+              s"sccDecompose: coloring did not converge in $maxPropRounds rounds " +
+                "— raise maxPropRounds (bound ~ the remaining subgraph's diameter)")
+            val prop = subE
+              .join(color.select(col("node").as("a"), col("color")), "a")
+              .select(col("b").as("node"), col("color"))
+            val (nc, nextSum) = advanceWith(color, color.union(prop)
+              .groupBy(col("node")).agg(min(col("color")).as("color")))(colorSumOf)
+            color = nc
+            converged = nextSum.compareTo(colorSum) == 0 // per-node mins only decrease
+            colorSum = nextSum
+          }
+          // ---- 3. backward mark from every color root, within the class --
+          ce = Checkpoints.truncate(subE
+            .join(color.select(col("node").as("a"), col("color").as("ca")), "a")
+            .join(color.select(col("node").as("b"), col("color").as("cb")), "b")
+            .filter(col("ca") === col("cb"))
+            .select(col("a"), col("b")))
+          mark = Checkpoints.truncate(color.filter(col("node") === col("color"))
+            .select(col("node"), col("color").as("scc")), eager = false)
+          var nMark = mark.count()
+          converged = false
+          it = 0
+          while (!converged) {
+            it += 1
+            require(it <= maxPropRounds,
+              s"sccDecompose: backward mark did not converge in $maxPropRounds rounds")
+            // marked rows always carry scc == color(node) (roots by
+            // definition, propagated rows inherit through same-color edges),
+            // so the plain b-join cannot cross classes
+            val prop = ce
+              .join(mark.select(col("node").as("b"), col("scc")), "b")
+              .select(col("a").as("node"), col("scc"))
+            val (nm, n2) = advanceWith(mark, mark.union(prop).distinct())(_.count())
+            mark = nm
+            converged = n2 == nMark // the mark set only grows
+            nMark = n2
+          }
+          labels = advance(labels, labels.union(mark))
+          val (nr, nRem) = advanceWith(remaining,
+            remaining.join(mark, Seq("node"), "left_anti"))(_.count())
+          remaining = nr
+          nRemaining = nRem
+          Dedup.releaseCheckpoint(mark); mark = null
+          Dedup.releaseCheckpoint(ce); ce = null
+          Dedup.releaseCheckpoint(color); color = null
+          Dedup.releaseCheckpoint(subE); subE = null
         }
       }
-      if (nRemaining > 0) {
-        // ---- 2. forward min-color propagation to fixpoint ---------------
-        var color = remaining.select(col("node"), col("node").as("color"))
-          .localCheckpoint(true)
-        var colorSum = color.agg(sum(col("color"))).head().getLong(0)
-        var converged = false
-        it = 0
-        while (!converged) {
-          it += 1
-          require(it <= maxPropRounds,
-            s"sccDecompose: coloring did not converge in $maxPropRounds rounds " +
-              "— raise maxPropRounds (bound ~ the remaining subgraph's diameter)")
-          val prop = subE
-            .join(color.select(col("node").as("a"), col("color")), "a")
-            .select(col("b").as("node"), col("color"))
-          color = advance(color, color.union(prop)
-            .groupBy(col("node")).agg(min(col("color")).as("color")))
-          val nextSum = color.agg(sum(col("color"))).head().getLong(0)
-          converged = nextSum == colorSum // per-node mins only decrease
-          colorSum = nextSum
-        }
-        // ---- 3. backward mark from every color root, within the class ---
-        val ce = subE
-          .join(color.select(col("node").as("a"), col("color").as("ca")), "a")
-          .join(color.select(col("node").as("b"), col("color").as("cb")), "b")
-          .filter(col("ca") === col("cb"))
-          .select(col("a"), col("b"))
-          .localCheckpoint(true)
-        var mark = color.filter(col("node") === col("color"))
-          .select(col("node"), col("color").as("scc")).localCheckpoint(true)
-        var nMark = mark.count()
-        converged = false
-        it = 0
-        while (!converged) {
-          it += 1
-          require(it <= maxPropRounds,
-            s"sccDecompose: backward mark did not converge in $maxPropRounds rounds")
-          // marked rows always carry scc == color(node) (roots by
-          // definition, propagated rows inherit through same-color edges),
-          // so the plain b-join cannot cross classes
-          val prop = ce
-            .join(mark.select(col("node").as("b"), col("scc")), "b")
-            .select(col("a").as("node"), col("scc"))
-          mark = advance(mark, mark.union(prop).distinct())
-          val n2 = mark.count()
-          converged = n2 == nMark // the mark set only grows
-          nMark = n2
-        }
-        labels = advance(labels, labels.union(mark))
-        remaining = advance(remaining, remaining.join(mark, Seq("node"), "left_anti"))
-        nRemaining = remaining.count()
-        Dedup.releaseCheckpoint(mark)
-        Dedup.releaseCheckpoint(ce)
-        Dedup.releaseCheckpoint(color)
-      }
-      Dedup.releaseCheckpoint(subE)
+    } catch {
+      case t: Throwable =>
+        Seq(subE, color, ce, mark, remaining, labels)
+          .filter(_ ne null).foreach(Dedup.releaseCheckpoint)
+        throw t
     }
     Dedup.releaseCheckpoint(remaining)
     val fin = labels

@@ -2875,6 +2875,43 @@ class OperatorsSpec extends SparkSuite {
       6L -> 5L, 7L -> 7L, 8L -> 8L))
   }
 
+  test("Checkpoints: reliable mode is bit-identical to local mode and refuses a missing dir") {
+    // the cluster-reliability knob (executor loss destroys localCheckpoint
+    // blocks mid-fixpoint): same graph through sccDecompose and
+    // connectedComponents in both modes must label identically
+    val rnd = new scala.util.Random(77L)
+    val es = (1 to 80).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val edf = es.toDF("s", "d")
+    val plainScc = Graph.sccDecompose(edf, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plainCc = Dedup.connectedComponents(edf, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      // reliable mode without a checkpoint dir must refuse loudly, not
+      // fall back to the very blocks the mode exists to avoid
+      spark.conf.set(Checkpoints.ReliableConf, "true")
+      try assertThrows[IllegalArgumentException](
+        Graph.sccDecompose(edf, "s", "d").collect())
+      finally spark.conf.unset(Checkpoints.ReliableConf)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_ck_reliable")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    spark.conf.set(Checkpoints.ReliableConf, "true")
+    try {
+      val relScc = Graph.sccDecompose(edf, "s", "d")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(relScc == plainScc)
+      val relCc = Dedup.connectedComponents(edf, "s", "d")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(relCc == plainCc)
+    } finally {
+      spark.conf.unset(Checkpoints.ReliableConf)
+      Residuals.release()
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
+
   test("mipsTransform: completion dim equalizes norms within floor slack, max-norm vector gets 0") {
     val r = Embeddings.mipsTransform(embs, "vec_id", "embedding")
     import org.apache.spark.sql.functions.{col, expr, max => smax, sum => ssum}
