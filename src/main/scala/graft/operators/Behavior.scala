@@ -978,26 +978,46 @@ object Behavior {
     * surge).
     *
     * The recursion is inherently sequential per series, but its state is
-    * the HOURLY AGGREGATE — (types × hours) rows, metadata-sized by
-    * definition at any corpus scale (a year is 8,760 rows per type) — so
-    * the aggregate collects and the fold runs driver-side (the
-    * pcaPower/markovSteady contract), emitted back as one createDataFrame.
-    * Scala's `/` on nonnegative Longs truncates exactly like Spark `div`
-    * and DuckDB `//`, which is what keeps the driver fold oracle-exact
-    * against a recursive-CTE re-derivation. Missing hours are real zeros:
-    * the hour grid is dense from each type's first to last active hour
-    * (gaps decay the baseline rather than silently skipping time). */
+    * the HOURLY AGGREGATE — (types × hours) rows, usually metadata-sized
+    * (a year is 8,760 rows per type) — so the aggregate collects and the
+    * fold runs driver-side (the pcaPower/markovSteady contract), emitted
+    * back as one createDataFrame. UNLIKE [[markovSteadyState]]'s domain²
+    * bound, this grid grows with the corpus TIME SPAN × type cardinality,
+    * so the collect is CAPPED: both the sparse aggregate and the dense
+    * per-type hour grid must stay within `maxGridRows` (default 2M ≈ 46
+    * years of hours × 5 types, ~100 MB of driver tuples) or the operator
+    * refuses loudly — the bounded-collect convention every driver-fold
+    * operator here follows. Pre-bucket types or split the time range to
+    * stay under it. Scala's `/` on nonnegative Longs truncates exactly
+    * like Spark `div` and DuckDB `//`, which is what keeps the driver fold
+    * oracle-exact against a recursive-CTE re-derivation. Missing hours are
+    * real zeros: the hour grid is dense from each type's first to last
+    * active hour (gaps decay the baseline rather than silently skipping
+    * time). */
   def ewmaAnomaly(events: DataFrame, typeCol: String, tsCol: String,
-      alphaMille: Long = 300L, burnIn: Int = 3): DataFrame = {
+      alphaMille: Long = 300L, burnIn: Int = 3,
+      maxGridRows: Int = 2000000): DataFrame = {
     require(alphaMille >= 1 && alphaMille <= 1000, "alpha must be in (0, 1] per-mille")
     require(burnIn >= 1, "burnIn must be positive")
+    require(maxGridRows >= 1, "maxGridRows must be positive")
     val spark = events.sparkSession
-    val hourly = events.select(col(typeCol).as("t"),
+    val collected = events.select(col(typeCol).as("t"),
         expr(s"unix_micros($tsCol) div 3600000000").as("hr"))
       .groupBy(col("t"), col("hr")).agg(count(lit(1)).as("n"))
+      .limit(maxGridRows + 1) // bounded collect: refuse, don't OOM the driver
       .collect()
+    require(collected.length <= maxGridRows,
+      s"ewmaAnomaly: hourly (type, hour) aggregate exceeds maxGridRows=$maxGridRows " +
+        "driver rows — bucket the type column or split the time range")
+    val hourly = collected
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .groupBy(_._1)
+    val gridRows = hourly.valuesIterator
+      .map { rs => rs.map(_._2).max - rs.map(_._2).min + 1 }.sum
+    require(gridRows <= maxGridRows,
+      s"ewmaAnomaly: dense per-type hour grid is $gridRows rows (> maxGridRows=" +
+        s"$maxGridRows) — the corpus time span × type cardinality outgrew the " +
+        "driver fold; bucket types or split the time range")
     val rows = hourly.toSeq.sortBy(_._1).flatMap { case (t, rs) =>
       val byHr = rs.map(r => r._2 -> r._3).toMap
       val (h0, h1) = (rs.map(_._2).min, rs.map(_._2).max)

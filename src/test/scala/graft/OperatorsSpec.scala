@@ -3351,6 +3351,17 @@ class OperatorsSpec extends SparkSuite {
     val after = r.filter($"event_type" === "gone" && $"hr" === (ts0.getEpochSecond / 3600 + 7))
       .head()
     assert(after.getAs[Long]("ewma_prev_milli") == 7000L, "one zero hour decays 10000 -> 7000")
+    // the driver-fold grid is CAPPED (loud-refusal convention): two types
+    // spanning > 4 dense hours each overflow maxGridRows = 8 even though
+    // the sparse aggregate is only 4 rows — both bounds must hold
+    val wide = Seq(
+      ("a", java.sql.Timestamp.from(ts0)),
+      ("a", java.sql.Timestamp.from(ts0.plusSeconds(3600L * 50))),
+      ("b", java.sql.Timestamp.from(ts0)),
+      ("b", java.sql.Timestamp.from(ts0.plusSeconds(3600L * 50)))).toDF("event_type", "ts")
+    val ex = intercept[IllegalArgumentException](
+      Behavior.ewmaAnomaly(wide, "event_type", "ts", maxGridRows = 8))
+    assert(ex.getMessage.contains("maxGridRows"))
   }
 
   test("harmonicCloseness: path-graph terms exact; disconnection contributes 0") {
