@@ -154,14 +154,25 @@ object Output {
             .option("compression", o.compression)
             .option("maxRecordsPerFile", model.rowsPerFile)
             .mode(SaveMode.Append)
-          // per-column encoding config (best-effort, SURVEY §7: parquet-mr
-          // picks concrete encodings; dictionary on/off is controllable)
+          // per-column encoding config (SURVEY §7): dictionary on/off is
+          // per-column; v2-only encodings (DELTA_*) additionally need
+          // parquet.writer.version=v2 — parquet-mr then emits
+          // DELTA_BINARY_PACKED for ints and DELTA_BYTE_ARRAY for strings
+          // on the dictionary-off columns (footers asserted in ResumeSpec).
+          // BYTE_STREAM_SPLIT has NO conf hook in parquet-hadoop 1.16
+          // (ParquetOutputFormat exposes no key for it): declaring it still
+          // selects v2 + dictionary-off but floats fall back to PLAIN —
+          // documented divergence until parquet-mr exposes the knob.
+          var declaredV2 = false
           model.columns.flatMap(c => c.parquet.map(c.name -> _)).foreach { case (name, p) =>
             if (p.encoding.nonEmpty) {
-              val dict = p.encoding.toUpperCase.contains("DICT")
+              val enc = p.encoding.toUpperCase
+              val dict = enc.contains("DICT")
               w = w.option(s"parquet.enable.dictionary#$name", dict.toString)
+              if (enc.startsWith("DELTA_") || enc == "BYTE_STREAM_SPLIT") declaredV2 = true
             }
           }
+          if (declaredV2) w = w.option("parquet.writer.version", "v2")
           if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
           w.parquet(modelPath(cfg, model))
         } finally prev match {

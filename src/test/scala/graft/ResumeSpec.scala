@@ -347,4 +347,41 @@ class ResumeSpec extends SparkSuite {
       yaml.replace("PLAIN", "FANCY_ENC")))
     assert(bad.errors.exists(_.contains("unknown parquet encoding")), bad.errors.toString)
   }
+
+  test("declared v2 encodings select writer version 2 and reach the footer") {
+    // DELTA_* are v2-only: declaring one must flip parquet.writer.version
+    // to v2 for the model so the requested encoding actually lands in the
+    // written pages (reference parquet.go:45-52,178-189). parquet-mr picks
+    // DELTA_BINARY_PACKED for ints and DELTA_BYTE_ARRAY for strings once
+    // the column's dictionary is off under v2 — exactly the declared names.
+    val dir = java.nio.file.Files.createTempDirectory("pqv2").toString
+    val yaml =
+      s"""
+         |random_seed: 42
+         |output: { type: parquet, dir: $dir }
+         |models:
+         |  m:
+         |    rows_count: 2000
+         |    columns:
+         |      - { name: id, type: integer, type_params: { bit_width: 64, from: 0, to: 1999 }, ordered: true, distinct_percentage: 1, parquet: { encoding: DELTA_BINARY_PACKED } }
+         |      - { name: s, type: string, type_params: { logical_type: first_name }, parquet: { encoding: DELTA_BYTE_ARRAY } }
+         |      - { name: s_dict, type: string, values: [dddd, eeee, ffff], parquet: { encoding: RLE_DICTIONARY } }
+         |""".stripMargin
+    Engine.run(spark, ConfigParser.parseYaml(yaml))
+    val file = new java.io.File(s"$dir/m").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.getAbsolutePath),
+        spark.sessionState.newHadoopConf()))
+    try {
+      import scala.jdk.CollectionConverters._
+      val cols = reader.getFooter.getBlocks.asScala.head.getColumns.asScala
+        .map(c => c.getPath.toDotString -> c.getEncodings.asScala.map(_.name).toSet).toMap
+      assert(cols("id").contains("DELTA_BINARY_PACKED"), s"id: ${cols("id")}")
+      assert(cols("s").contains("DELTA_BYTE_ARRAY"), s"s: ${cols("s")}")
+      // the dictionary column is unharmed by the model-wide v2 switch
+      assert(cols("s_dict").exists(_.contains("DICTIONARY")), s"s_dict: ${cols("s_dict")}")
+    } finally reader.close()
+  }
 }
