@@ -271,10 +271,11 @@ object Layout {
     * files' min/max ranges as tight as the originals ([[clusteringDepth]]
     * prices the win); a file already at target size lands alone in its
     * group by the same arithmetic. Pure manifest math — zero data reads,
-    * so the plan costs O(files) at any table size; the global window runs
-    * over the metadata relation (the zone-map precedent — persist the
-    * manifest as a table and range-partition it when files outgrow one
-    * task). */
+    * so the plan costs O(files) at any table size: the single-partition
+    * window's input is exactly one row PER FILE (row count == file count,
+    * PlanSpec-pinned), i.e. ~1M rows for a 1M-file table — driver-window
+    * scale, not data scale; persist the manifest as a table and
+    * range-partition it when files outgrow one task (zone-map precedent). */
   def compactionPlan(manifest: DataFrame, pathCol: String, rowsCol: String,
       minKeyCol: String, targetRows: Long): DataFrame = {
     require(targetRows >= 1, "targetRows must be positive")

@@ -650,4 +650,22 @@ class PlanSpec extends SparkSuite {
       "doc_id", "text"))
     assert(!php.contains("CartesianProduct"), php)
   }
+
+  test("compactionPlan window is metadata-only: one manifest gather, zero data reads") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // manifest-shaped relation, one row per FILE — the single-partition
+    // window's input is row count == file count by construction, the size
+    // bound VersionedTable.optimize's driver-side planning relies on
+    val manifest = (0 until 64).map(i => (s"f$i", 100L + i, i * 1000L))
+      .toDF("path", "rows", "min_key")
+    val p = plan(graft.operators.Layout.compactionPlan(
+      manifest, "path", "rows", "min_key", 5000L))
+    // the only gather is the manifest itself into the packing window...
+    assert(p.contains("SinglePartition"), p)
+    // ...consuming NO table data (pure manifest math: no file scan, and no
+    // join that could smuggle a data relation under the window)
+    assert(!p.contains("Scan parquet"), p)
+    assert(!p.contains("Join"), p)
+  }
 }
