@@ -468,4 +468,108 @@ object Eval {
           .otherwise((col("n") * col("agree_n") - col("pe_n2")).cast("double") /
             (col("n") * col("n") - col("pe_n2")).cast("double")))
   }
+
+  /** Word n-gram multiset of a token array preserving DUPLICATES —
+    * [[graft.functions.TextFns.wordNgrams]] is the distinct variant; BLEU
+    * clipping is exactly about multiplicities, so it needs this one. */
+  private def gramsMulti(toks: Column, n: Int): Column =
+    filter(
+      transform(toks, (_, i) => concat_ws(" ", slice(toks, i + 1, lit(n)))),
+      (_, i) => i <= size(toks) - n)
+
+  /** Corpus BLEU components — the text-generation/extraction fidelity
+    * number (Papineni et al.): per n in 1..`maxN`, CLIPPED n-gram matches
+    * Σ_g min(count_cand, count_ref) against the candidate n-gram total,
+    * plus the brevity penalty over corpus token sums. Every component is
+    * an exact integer (per-n inner join on (pair, gram) bounds the work by
+    * the candidate corpus, never a cross join), so the gate hashes the
+    * full confusion of the metric, not a float score; the one transcendental
+    * — log-BLEU — is per-n [[Features.qln]] terms combined as a NONNEGATIVE
+    * total-minus-match sum before a single truncating division (negative
+    * operands never reach `div`, whose cross-engine contract is only
+    * pinned for nonnegatives). Any n with zero matches null-poisons
+    * log-BLEU (the survival-curve S=0 convention) — BLEU is 0, its log
+    * undefined.
+    *
+    * bleu_log_micro = bp_micro − (Σ_n qln(T_n)−qln(M_n)) div maxN, with
+    * bp_micro = min(0, 1e6 − ref·1e6 div cand): BLEU = exp(micro/1e6).
+    * Scale: 2·maxN scans of the pair projection + maxN gram joins, each
+    * partitioned on (pair, gram) — row-local explode, no corpus shuffle
+    * beyond the counts. */
+  def bleuComponents(pairs: DataFrame, idCol: String, candCol: String,
+      refCol: String, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, "maxN in [1, 8]")
+    import graft.functions.TextFns
+    val base = pairs.select(col(idCol).as("id"),
+      TextFns.tokens(col(candCol)).as("ct"), TextFns.tokens(col(refCol)).as("rt"))
+    val perN = (1 to maxN).map { n =>
+      val cGr = base.select(col("id"), explode(gramsMulti(col("ct"), n)).as("g"))
+        .groupBy(col("id"), col("g")).agg(count(lit(1)).as("cc"))
+      val rGr = base.select(col("id"), explode(gramsMulti(col("rt"), n)).as("g"))
+        .groupBy(col("id"), col("g")).agg(count(lit(1)).as("rc"))
+      val m = cGr.join(rGr, Seq("id", "g"))
+        .agg(coalesce(sum(least(col("cc"), col("rc"))), lit(0L)).as("matches"))
+      val t = base.agg(
+        sum(greatest(size(col("ct")) - lit(n - 1), lit(0)).cast("long")).as("total"))
+      m.crossJoin(t).select(lit(n.toLong).as("n"), col("matches"), col("total"))
+    }.reduce(_ unionByName _)
+    val lens = base.agg(
+      sum(size(col("ct")).cast("long")).as("cand_tokens"),
+      sum(size(col("rt")).cast("long")).as("ref_tokens"))
+    // the log-BLEU rollup runs over the maxN-row component relation — a
+    // metadata-sized single-partition window by construction
+    val winAll = "OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    perN.crossJoin(broadcast(lens))
+      .withColumn("p_micro", expr("matches * 1000000 div nullif(total, 0)"))
+      .withColumn("bp_micro",
+        least(lit(0L), lit(1000000L) - expr("ref_tokens * 1000000 div cand_tokens")))
+      .withColumn("lnq_gap",
+        Features.qln(col("total")) - Features.qln(when(col("matches") > 0, col("matches"))))
+      .withColumn("bleu_log_micro", expr(
+        // min(matches) = 0 anywhere null-poisons the corpus score (sum()
+        // would silently SKIP a null term); the gap sum is nonnegative so
+        // the truncating div stays inside the pinned cross-engine contract
+        s"bp_micro - (CASE WHEN min(matches) $winAll > 0 " +
+          s"THEN sum(lnq_gap) $winAll END) div $maxN"))
+      .select(col("n"), col("matches"), col("total"), col("p_micro"),
+        col("cand_tokens"), col("ref_tokens"), col("bp_micro"), col("bleu_log_micro"))
+  }
+
+  /** chrF components (Popović): character n-gram precision/recall F-score
+    * over whitespace-stripped text, n in 1..`maxN`, β² = `beta2` (recall
+    * weighted β²×). The per-n score collapses to ONE exact integer
+    * division: with P = m/t_c and R = m/t_r,
+    * (1+β²)PR / (β²P+R) = (1+β²)·m / (β²·t_r + t_c) — so
+    * chrf_micro = (1+β²)·matches·1e6 div (β²·ref_total + cand_total),
+    * zero transcendentals anywhere. Clipped multiset matches exactly as
+    * in [[bleuComponents]]; n-gram lists are guarded empty below length n
+    * (Spark `sequence(1, k)` DESCENDS for k < 1 — the r6 trap). */
+  def chrfComponents(pairs: DataFrame, idCol: String, candCol: String,
+      refCol: String, maxN: Int = 6, beta2: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, "maxN in [1, 8]")
+    require(beta2 >= 0, "beta2 must be nonnegative")
+    val ws = "[ \\t\\n\\x0B\\f\\r]+"
+    val base = pairs.select(col(idCol).as("id"),
+      regexp_replace(col(candCol), ws, "").as("cs"),
+      regexp_replace(col(refCol), ws, "").as("rs"))
+    def charGrams(c: String, n: Int): Column = expr(
+      s"CASE WHEN length($c) >= $n THEN " +
+        s"transform(sequence(1, length($c) - ${n - 1}), i -> substr($c, i, $n)) " +
+        "ELSE array() END")
+    (1 to maxN).map { n =>
+      val cGr = base.select(col("id"), explode(charGrams("cs", n)).as("g"))
+        .groupBy(col("id"), col("g")).agg(count(lit(1)).as("cc"))
+      val rGr = base.select(col("id"), explode(charGrams("rs", n)).as("g"))
+        .groupBy(col("id"), col("g")).agg(count(lit(1)).as("rc"))
+      val m = cGr.join(rGr, Seq("id", "g"))
+        .agg(coalesce(sum(least(col("cc"), col("rc"))), lit(0L)).as("matches"))
+      val t = base.agg(
+        sum(greatest(length(col("cs")) - lit(n - 1), lit(0)).cast("long")).as("cand_total"),
+        sum(greatest(length(col("rs")) - lit(n - 1), lit(0)).cast("long")).as("ref_total"))
+      m.crossJoin(t).select(lit(n.toLong).as("n"), col("matches"),
+        col("cand_total"), col("ref_total"),
+        expr(s"matches * ${1 + beta2} * 1000000 div " +
+          s"nullif($beta2 * ref_total + cand_total, 0)").as("chrf_micro"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -1034,4 +1034,49 @@ object Graph {
       .agg(count(lit(1)).as("n_reached"),
         sum(expr("1000000 div dist")).as("harmonic_micro"))
   }
+
+  /** Deterministic random-walk corpus (DeepWalk/node2vec's data step): one
+    * `walkLen`-step walk from every node, where step k from node v picks
+    * neighbor number `md5(start:seed:k:v) mod outdeg(v)` in dst order — a
+    * seeded hash draw instead of an RNG, so the walk corpus is a pure
+    * function of the graph (reproducible across runs AND engines; the
+    * weightedSample hash-priority precedent applied to graph traversal).
+    * Dead-end nodes simply end their walk (inner degree join).
+    *
+    * Shape: neighbor ranks materialize once (row_number per src — the
+    * standard adjacency-with-rank relation, persisted); each step is ONE
+    * equi-join of the walk frontier against it on (node, rank) — never a
+    * fan-out over the neighborhood, because the rank to fetch is computed
+    * BEFORE the join. walkLen is a fixed small constant (≤ 16 enforced) so
+    * linear plan growth stays in bfsHops territory; the output is
+    * walkLen+1 frontier generations unioned. */
+  def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
+      walkLen: Int = 5, seed: Long = 42L): DataFrame = {
+    require(walkLen >= 1 && walkLen <= 16,
+      "walkLen in [1, 16] — each step adds one join to the plan")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+    val perSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dst"))
+    val ranked = e
+      .withColumn("idx", row_number().over(perSrc).cast("long"))
+      .select(col("src").as("node"), col("idx"), col("dst"))
+      .transform(Residuals.persist)
+    val degs = ranked.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .transform(Residuals.persist)
+    var cur = degs.select(col("node").as("start"), lit(0L).as("step"), col("node"))
+    var out = cur
+    for (k <- 1 to walkLen) {
+      cur = cur
+        .join(degs, Seq("node"))
+        .withColumn("idx", expr(
+          s"CAST(conv(substring(md5(concat(CAST(start AS STRING), ':$seed:$k:', " +
+            "CAST(node AS STRING))), 1, 15), 16, 10) AS BIGINT) % deg + 1"))
+        .join(ranked, Seq("node", "idx"))
+        .select(col("start"), lit(k.toLong).as("step"), col("dst").as("node"))
+      out = out.unionByName(cur)
+    }
+    out
+  }
 }

@@ -1774,4 +1774,44 @@ object TextAnalysis {
         array_join(sort_array(collect_set(col("t"))), " ").as("variants"))
       .filter(col("n_types") >= 2)
   }
+
+  /** Duplicate-n-gram CHARACTER occupancy (Rae et al./Gopher's
+    * `dup_ngram_chars` family): the fraction of a document's token
+    * characters covered by any word n-gram that occurs ≥ 2 times WITHIN
+    * the document — the repetition signal [[gopherSignals]]'s top-gram
+    * occupancy can't see (ten different repeated trigrams each below the
+    * top slot still mark a loopy generation). Coverage is the UNION of
+    * positions (overlapping duplicate grams never double-count a token):
+    * gram occurrences → per-doc counts → duplicated grams back onto their
+    * start positions → `sequence(pos, pos+n−1)` explode → distinct
+    * (doc, position) → token-length sum. Everything is id-keyed explode +
+    * groupBy — partitions by document at any corpus size, fanout n× the
+    * token stream. Docs shorter than n tokens report 0. Output:
+    * (id, n_tokens, total_chars, dup_chars, dup_permille); total_chars
+    * counts token characters (whitespace excluded on both engines). */
+  def dupNgramChars(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, "n must be positive")
+    val base = docs.select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("w"))
+    val toks = base.select(col("id"), posexplode(col("w")).as(Seq("p", "t")))
+    val totals = toks.groupBy(col("id")).agg(
+      count(lit(1)).as("n_tokens"),
+      sum(length(col("t")).cast("long")).as("total_chars"))
+    val grams = base.select(col("id"), posexplode(filter(
+        transform(col("w"), (_, i) => concat_ws(" ", slice(col("w"), i + 1, lit(n)))),
+        (_, i) => i <= size(col("w")) - n)).as(Seq("p", "g")))
+    val dupStarts = grams
+      .join(grams.groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2), Seq("id", "g"), "left_semi")
+    val covered = dupStarts
+      .select(col("id"), explode(expr(s"sequence(p, p + ${n - 1})")).as("p"))
+      .distinct()
+      .join(toks, Seq("id", "p"))
+      .groupBy(col("id")).agg(sum(length(col("t")).cast("long")).as("dup_chars"))
+    totals.join(covered, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"), col("total_chars"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+      .withColumn("dup_permille",
+        expr("dup_chars * 1000 div nullif(total_chars, 0)"))
+  }
 }

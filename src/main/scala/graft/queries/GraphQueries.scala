@@ -179,6 +179,19 @@ private[graft] trait GraphQueries extends QueryHelpers {
     }),
 
 
+    "graph_random_walks" -> ((s, dir) => {
+      // deterministic DeepWalk corpus over the supplier chord graph: a
+      // 5-step hash-drawn walk from every node — the oracle re-derives
+      // every neighbor pick through the same md5 arithmetic
+      val sk = t(s, dir, "supplier").select(col("s_suppkey").cast("long").as("k"))
+      val edges = sk.select(col("k").as("src"), (col("k") + 1).as("dst"))
+        .union(sk.select(col("k").as("src"), (col("k") + 2).as("dst")))
+        .join(sk.withColumnRenamed("k", "dst"), Seq("dst"), "left_semi")
+      graft.operators.Graph.randomWalks(edges, "src", "dst", walkLen = 5)
+        .orderBy(col("start"), col("step"))
+    }),
+
+
     "graph_bfs_hops" -> ((s, dir) => {
       // 3 rounds of multi-source BFS from every 100th supplier over the
       // chord graph: hop distance to the nearest seed for the reached
@@ -287,7 +300,35 @@ private[graft] trait GraphQueries extends QueryHelpers {
         |FROM f5 JOIN b5 USING (node) ORDER BY node""".stripMargin
   }
 
+  /** Generated random-walk oracle: the hash draw `md5(start:seed:k:node)
+    * mod deg + 1` re-derived per unrolled step. */
+  private def randomWalksOracleSql: String = {
+    val steps = (1 to 5).map { k =>
+      s"""w$k AS (
+         |  SELECT w.start, CAST($k AS BIGINT) AS step, r.dst AS node
+         |  FROM w${k - 1} w
+         |  JOIN degs g ON g.node = w.node
+         |  JOIN ranked r ON r.node = w.node AND r.idx =
+         |    ('0x' || substr(md5(CAST(w.start AS VARCHAR) || ':42:$k:' ||
+         |      CAST(w.node AS VARCHAR)), 1, 15))::BIGINT % g.deg + 1)""".stripMargin
+    }
+    s"""WITH sk AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier),
+       |e AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT k AS src, k + 1 AS dst FROM sk UNION ALL SELECT k, k + 2 FROM sk)
+       |  WHERE dst IN (SELECT k FROM sk)),
+       |ranked AS (SELECT src AS node,
+       |  CAST(row_number() OVER (PARTITION BY src ORDER BY dst) AS BIGINT) AS idx, dst FROM e),
+       |degs AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM ranked GROUP BY 1),
+       |w0 AS (SELECT node AS start, CAST(0 AS BIGINT) AS step, node FROM degs),
+       |${steps.mkString(",\n")}
+       |SELECT start, step, node FROM (${(0 to 5).map(k => s"SELECT * FROM w$k").mkString(" UNION ALL ")})
+       |ORDER BY start, step""".stripMargin
+  }
+
   protected def graphOracles: Map[String, String] = Map(
+
+    "graph_random_walks" -> randomWalksOracleSql,
 
     "graph_scc_pivot" -> sccPivotOracle,
 

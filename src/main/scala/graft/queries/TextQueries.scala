@@ -522,6 +522,42 @@ private[graft] trait TextQueries extends QueryHelpers {
     }),
 
 
+    "eval_bleu" -> ((s, dir) => {
+      // corpus BLEU of a deterministically-degraded candidate (every 5th
+      // token dropped) against the original text — exact clipped-match
+      // components per n, integer brevity penalty, qln log-BLEU
+      val docs = t(s, dir, "documents")
+      val toks = TextFns.tokens(col("text"))
+      val pairs = docs.select(col("doc_id"),
+        concat_ws(" ", filter(toks, (_, i) => (i + 1) % 5 =!= 0)).as("cand"),
+        col("text").as("ref"))
+      graft.operators.Eval.bleuComponents(spread(pairs), "doc_id", "cand", "ref")
+        .orderBy(col("n"))
+    }),
+
+
+    "eval_chrf" -> ((s, dir) => {
+      // chrF over the same degraded-candidate fixture: per-n character
+      // n-gram clipped matches + the single-division F-score identity
+      val docs = t(s, dir, "documents")
+      val toks = TextFns.tokens(col("text"))
+      val pairs = docs.select(col("doc_id"),
+        concat_ws(" ", filter(toks, (_, i) => (i + 1) % 5 =!= 0)).as("cand"),
+        col("text").as("ref"))
+      graft.operators.Eval.chrfComponents(spread(pairs), "doc_id", "cand", "ref")
+        .orderBy(col("n"))
+    }),
+
+
+    "text_dup_ngram_chars" -> ((s, dir) => {
+      // Gopher dup-trigram character occupancy: union-of-positions
+      // coverage, overlapping duplicates never double-count a token
+      TextAnalysis.dupNgramChars(spread(t(s, dir, "documents")), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+
     "text_html_extract_i64" -> ((s, dir) => {
       // all-BIGINT twin (r13 verdict #1 falsifiable shape experiment): the
       // clean_md5 VARCHAR replaced by its first-15-hex-chars value as
@@ -859,7 +895,106 @@ private[graft] trait TextQueries extends QueryHelpers {
        |FROM s16 ORDER BY word""".stripMargin
   }
 
+  /** Shared tokenized cand/ref CTEs for the BLEU/chrF oracles: candidate =
+    * every 5th token (1-based) dropped — the Spark fixture verbatim. */
+  private val bleuPairCtes = Seq(
+    """d0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS rw FROM documents)""",
+    """d AS MATERIALIZED (SELECT doc_id, rw,
+      |  [rw[i] FOR i IN range(1, len(rw) + 1) IF i % 5 != 0] AS cw FROM d0)""".stripMargin)
+
+  private def bleuOracleSql: String = {
+    val maxN = 4
+    val ctes = scala.collection.mutable.ArrayBuffer[String](bleuPairCtes: _*)
+    for (n <- 1 to maxN) {
+      ctes += s"cc$n AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cc FROM " +
+        s"(SELECT doc_id, unnest([array_to_string(cw[i:i+${n - 1}], ' ') " +
+        s"FOR i IN range(1, len(cw) - $n + 2)]) AS g FROM d) GROUP BY 1, 2)"
+      ctes += s"rc$n AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS rc FROM " +
+        s"(SELECT doc_id, unnest([array_to_string(rw[i:i+${n - 1}], ' ') " +
+        s"FOR i IN range(1, len(rw) - $n + 2)]) AS g FROM d) GROUP BY 1, 2)"
+      ctes += s"m$n AS (SELECT CAST(COALESCE(sum(least(cc, rc)), 0) AS BIGINT) AS matches " +
+        s"FROM cc$n JOIN rc$n USING (doc_id, g))"
+      ctes += s"t$n AS (SELECT CAST(sum(greatest(len(cw) - ${n - 1}, 0)) AS BIGINT) AS total FROM d)"
+    }
+    ctes += "comp AS (" + (1 to maxN)
+      .map(n => s"SELECT $n AS n, matches, total FROM m$n, t$n").mkString(" UNION ALL ") + ")"
+    ctes += "lens AS (SELECT CAST(sum(len(cw)) AS BIGINT) AS cand_tokens, " +
+      "CAST(sum(len(rw)) AS BIGINT) AS ref_tokens FROM d)"
+    "WITH " + ctes.mkString(",\n") + "\n" +
+      s"""SELECT CAST(n AS BIGINT) AS n, matches, total,
+         |  matches * 1000000 // nullif(total, 0) AS p_micro,
+         |  cand_tokens, ref_tokens,
+         |  CAST(least(0, 1000000 - ref_tokens * 1000000 // cand_tokens) AS BIGINT) AS bp_micro,
+         |  CAST(least(0, 1000000 - ref_tokens * 1000000 // cand_tokens)
+         |    - (CASE WHEN min(matches) OVER () > 0 THEN CAST(sum(
+         |        CAST(floor(ln(total) * 1e6 + 0.5) AS BIGINT)
+         |        - CAST(floor(ln(nullif(matches, 0)) * 1e6 + 0.5) AS BIGINT)) OVER () AS BIGINT)
+         |      END) // $maxN AS BIGINT) AS bleu_log_micro
+         |FROM comp, lens ORDER BY n""".stripMargin
+  }
+
+  private def chrfOracleSql: String = {
+    val maxN = 6
+    val b2 = 4
+    val ctes = scala.collection.mutable.ArrayBuffer[String](bleuPairCtes.head,
+      """d AS MATERIALIZED (SELECT doc_id, array_to_string(rw, '') AS rs,
+        |  array_to_string([rw[i] FOR i IN range(1, len(rw) + 1) IF i % 5 != 0], '') AS cs
+        |  FROM d0)""".stripMargin)
+    for (n <- 1 to maxN) {
+      ctes += s"cc$n AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cc FROM " +
+        s"(SELECT doc_id, unnest([cs[i:i+${n - 1}] " +
+        s"FOR i IN range(1, length(cs) - $n + 2)]) AS g FROM d) GROUP BY 1, 2)"
+      ctes += s"rc$n AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS rc FROM " +
+        s"(SELECT doc_id, unnest([rs[i:i+${n - 1}] " +
+        s"FOR i IN range(1, length(rs) - $n + 2)]) AS g FROM d) GROUP BY 1, 2)"
+      ctes += s"m$n AS (SELECT CAST(COALESCE(sum(least(cc, rc)), 0) AS BIGINT) AS matches " +
+        s"FROM cc$n JOIN rc$n USING (doc_id, g))"
+      ctes += s"t$n AS (SELECT CAST(sum(greatest(length(cs) - ${n - 1}, 0)) AS BIGINT) AS cand_total, " +
+        s"CAST(sum(greatest(length(rs) - ${n - 1}, 0)) AS BIGINT) AS ref_total FROM d)"
+    }
+    ctes += "comp AS (" + (1 to maxN)
+      .map(n => s"SELECT $n AS n, matches, cand_total, ref_total FROM m$n, t$n")
+      .mkString(" UNION ALL ") + ")"
+    "WITH " + ctes.mkString(",\n") + "\n" +
+      s"""SELECT CAST(n AS BIGINT) AS n, matches, cand_total, ref_total,
+         |  matches * ${1 + b2} * 1000000 // nullif($b2 * ref_total + cand_total, 0) AS chrf_micro
+         |FROM comp ORDER BY n""".stripMargin
+  }
+
   protected def textOracles: Map[String, String] = Map(
+
+    "eval_bleu" -> bleuOracleSql,
+
+    "eval_chrf" -> chrfOracleSql,
+
+    "text_dup_ngram_chars" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), toks AS (
+        |  SELECT doc_id, unnest(w) AS t, unnest(range(1, len(w) + 1)) AS p FROM d
+        |), totals AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(length(t)) AS BIGINT) AS total_chars
+        |  FROM toks GROUP BY 1
+        |), grams AS (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS g,
+        |    unnest(range(1, len(w) - 1)) AS p
+        |  FROM d
+        |), dup AS (
+        |  SELECT doc_id, g FROM grams GROUP BY 1, 2 HAVING count(*) >= 2
+        |), cov AS (
+        |  SELECT DISTINCT doc_id, pos FROM (
+        |    SELECT gr.doc_id, unnest(range(gr.p, gr.p + 3)) AS pos
+        |    FROM grams gr JOIN dup USING (doc_id, g))
+        |), dchars AS (
+        |  SELECT t.doc_id, CAST(sum(length(t.t)) AS BIGINT) AS dup_chars
+        |  FROM cov c JOIN toks t ON t.doc_id = c.doc_id AND t.p = c.pos GROUP BY 1
+        |)
+        |SELECT doc_id, n_tokens, total_chars,
+        |  COALESCE(dup_chars, 0) AS dup_chars,
+        |  COALESCE(dup_chars, 0) * 1000 // nullif(total_chars, 0) AS dup_permille
+        |FROM totals LEFT JOIN dchars USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // kappa over the langid confusion cells: all counts integer, the final
     // κ one IEEE division of exact integer operands (identical

@@ -3364,6 +3364,77 @@ class OperatorsSpec extends SparkSuite {
     assert(ex.getMessage.contains("maxGridRows"))
   }
 
+  test("bleuComponents: identity scores exactly 1, disjoint corpora null-poison log-BLEU") {
+    val same = Seq((1L, "a b c d e f", "a b c d e f")).toDF("id", "c", "r")
+    val r = Eval.bleuComponents(same, "id", "c", "r").collect()
+    assert(r.length == 4)
+    r.foreach { x =>
+      assert(x.getAs[Long]("p_micro") == 1000000L)
+      assert(x.getAs[Long]("bp_micro") == 0L)
+      assert(x.getAs[Long]("bleu_log_micro") == 0L, "log BLEU of identity is exactly 0")
+    }
+    // shorter candidate: brevity penalty strictly negative
+    val short = Seq((1L, "a b c", "a b c d e f")).toDF("id", "c", "r")
+    assert(Eval.bleuComponents(short, "id", "c", "r").collect()
+      .forall(_.getAs[Long]("bp_micro") < 0L))
+    // no shared 4-gram anywhere -> that n has 0 matches -> log undefined
+    val disj = Seq((1L, "a b c d", "x y z w")).toDF("id", "c", "r")
+    assert(Eval.bleuComponents(disj, "id", "c", "r").collect()
+      .forall(x => x.isNullAt(x.fieldIndex("bleu_log_micro"))))
+  }
+
+  test("chrfComponents: identity scores exactly 1; whitespace never counts") {
+    val same = Seq((1L, "ab  cd", "ab cd")).toDF("id", "c", "r") // ws-insensitive
+    val r = Eval.chrfComponents(same, "id", "c", "r", maxN = 4).collect()
+    assert(r.length == 4)
+    r.foreach(x => assert(x.getAs[Long]("chrf_micro") == 1000000L))
+    // a strict-substring candidate: every candidate gram matches (P = 1) so
+    // chrf = 5m/(4tr + tc) with m = tc
+    val sub = Seq((1L, "abcd", "abcdef")).toDF("id", "c", "r")
+    val s1 = Eval.chrfComponents(sub, "id", "c", "r", maxN = 1).head()
+    assert(s1.getAs[Long]("matches") == 4L && s1.getAs[Long]("cand_total") == 4L)
+    assert(s1.getAs[Long]("chrf_micro") == 5L * 4 * 1000000 / (4 * 6 + 4))
+  }
+
+  test("dupNgramChars: full repetition = 1000 permille, distinct = 0, overlaps never double-count") {
+    val d = Seq(
+      (1L, "a b c a b c"),          // trigram "a b c" twice: all 6 tokens covered
+      (2L, "q w e r t y"),          // no duplicate trigram
+      (3L, "x x x x"),              // "x x x" at positions 0 and 1 OVERLAP: union = 4 tokens
+      (4L, "a b")                   // shorter than n: zero, not an error
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.dupNgramChars(d, "doc_id", "text")
+      .collect().map(x => x.getAs[Long]("id") ->
+        (x.getAs[Long]("dup_chars"), x.getAs[Long]("dup_permille"))).toMap
+    assert(r(1L) == ((6L, 1000L)))
+    assert(r(2L) == ((0L, 0L)))
+    assert(r(3L) == ((4L, 1000L)), "overlapping duplicate grams cover the union, once")
+    assert(r(4L) == ((0L, 0L)))
+  }
+
+  test("randomWalks: every step follows an edge, walks are deterministic and full-length") {
+    val e = (0L until 30L).flatMap(k => Seq((k, (k + 1) % 30), (k, (k + 2) % 30))).toDF("s", "d")
+    val w1 = Graph.randomWalks(e, "s", "d", walkLen = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(x => (x._1, x._2))
+    val w2 = Graph.randomWalks(e, "s", "d", walkLen = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(x => (x._1, x._2))
+    assert(w1.toSeq == w2.toSeq, "hash-drawn walks are reproducible")
+    assert(w1.length == 30 * 5, "no dead ends on a cycle graph: every walk runs full length")
+    val edges = e.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byWalk = w1.groupBy(_._1)
+    byWalk.values.foreach { steps =>
+      steps.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(edges.contains((a._3, b._3)),
+          s"step ${b._2} of walk ${b._1} must follow an edge")
+        case _ => ()
+      }
+    }
+    // a different seed changes at least one walk on this graph
+    val w3 = Graph.randomWalks(e, "s", "d", walkLen = 4, seed = 7L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(x => (x._1, x._2))
+    assert(w3.toSeq != w1.toSeq)
+  }
+
   test("harmonicCloseness: path-graph terms exact; disconnection contributes 0") {
     // path 1-2-3-4-5 plus isolated pair 10-11; seed at node 1
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L)).toDF("src", "dst")
