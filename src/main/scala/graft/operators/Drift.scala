@@ -87,6 +87,44 @@ object Drift {
         (col("d_num").cast("double") / (col("n1") * col("n2")).cast("double")).as("ks_d"))
   }
 
+  /** Exact 1-D Wasserstein-1 (earth mover's) distance between two integer
+    * populations — the INTEGRAL drift axis beside [[ksOf]]'s max deviation
+    * (KS is blind to HOW FAR the mass moved; W1 is exactly that):
+    * W1 = ∫|F1−F2| dv = Σ over consecutive distinct values
+    * |n2·cum1 − n1·cum2| · Δv / (n1·n2). The numerator accumulates as an
+    * exact integer over the DISTINCT-value relation (bounded by the value
+    * domain, not the corpus — the ksOf window shape plus one `lead` gap);
+    * the single final division is IEEE-exact on identical operands (the
+    * ab_test precedent). Worst-case numerator is n1·n2·range, so the
+    * operator refuses loudly when that bound approaches 2^63 (one
+    * metadata-sized pre-aggregate) instead of wrapping silently. */
+  def wasserstein1d(base: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = base.select(col(valueCol).cast("long").as("v"),
+      lit(1L).as("c1"), lit(0L).as("c2"))
+    val b = cur.select(col(valueCol).cast("long").as("v"),
+      lit(0L).as("c1"), lit(1L).as("c2"))
+    val u = a.unionAll(b)
+    val meta = u.agg(sum(col("c1")), sum(col("c2")), min(col("v")), max(col("v"))).head()
+    val (n1, n2) = (meta.getLong(0), meta.getLong(1))
+    require(n1 > 0 && n2 > 0, "wasserstein1d: both populations must be non-empty")
+    val range = meta.getLong(3) - meta.getLong(2)
+    require(BigInt(n1) * BigInt(n2) * BigInt(math.max(range, 1L)) <= BigInt(Long.MaxValue) / 2,
+      s"wasserstein1d: n1*n2*range = ${BigInt(n1) * BigInt(n2) * BigInt(range)} risks " +
+        "64-bit overflow in the exact numerator — pre-bucket the value column")
+    val cum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.groupBy(col("v"))
+      .agg(sum(col("c1")).as("c1"), sum(col("c2")).as("c2"))
+      .withColumn("cum1", sum(col("c1")).over(cum))
+      .withColumn("cum2", sum(col("c2")).over(cum))
+      .withColumn("gap",
+        coalesce(lead(col("v"), 1).over(Window.orderBy(col("v"))) - col("v"), lit(0L)))
+      .agg(sum(abs(lit(n2) * col("cum1") - lit(n1) * col("cum2")) * col("gap")).as("w1_num"))
+      .select(lit(n1).as("n1"), lit(n2).as("n2"), col("w1_num"),
+        (col("w1_num").cast("double") / (n1.toDouble * n2.toDouble)).as("w1"))
+  }
+
   /** Embedding-space drift: L2 shift between the per-dimension TRUNCATING
     * INTEGER MEANS of two snapshots' quantized vectors — the "did the
     * encoder/corpus move the embedding cloud" check after a re-embed or

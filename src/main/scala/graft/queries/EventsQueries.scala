@@ -318,6 +318,16 @@ private[graft] trait EventsQueries extends QueryHelpers {
     }),
 
 
+    "drift_wasserstein" -> ((s, dir) => {
+      // the INTEGRAL drift axis beside drift_ks's max deviation over the
+      // same re-curation: exact earth-mover distance — integer numerator
+      // over the distinct-value relation, one final IEEE division
+      val docs = t(s, dir, "documents")
+      val cur = docs.filter(col("n_chars") >= 150 || col("doc_id") % 3 === 0)
+      graft.operators.Drift.wasserstein1d(docs, cur, "n_chars")
+    }),
+
+
     "events_weekly_profile" -> ((s, dir) => {
       // traffic-shape fingerprint: (ISO dow, hour) counts, per-mille share,
       // 2x-uniform peak flags — all integer, the forecastAnomaly baseline
@@ -1051,6 +1061,30 @@ private[graft] trait EventsQueries extends QueryHelpers {
         |  CAST(max(abs(n2*cum1 - n1*cum2)) AS BIGINT) AS d_num,
         |  CAST(max(abs(n2*cum1 - n1*cum2)) AS DOUBLE)
         |    / CAST(max(n1) * max(n2) AS DOUBLE) AS ks_d
+        |FROM cum""".stripMargin,
+
+
+    "drift_wasserstein" ->
+      """WITH b AS (SELECT n_chars AS v FROM documents),
+        |c AS (SELECT n_chars AS v FROM documents WHERE n_chars >= 150 OR doc_id % 3 = 0),
+        |u AS (
+        |  SELECT v, CAST(sum(c1) AS BIGINT) AS c1, CAST(sum(c2) AS BIGINT) AS c2 FROM (
+        |    SELECT v, 1 AS c1, 0 AS c2 FROM b
+        |    UNION ALL SELECT v, 0 AS c1, 1 AS c2 FROM c
+        |  ) q GROUP BY 1
+        |), cum AS (
+        |  SELECT v,
+        |    sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+        |    sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+        |    sum(c1) OVER () AS n1,
+        |    sum(c2) OVER () AS n2,
+        |    COALESCE(lead(v) OVER (ORDER BY v) - v, 0) AS gap
+        |  FROM u
+        |)
+        |SELECT CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+        |  CAST(sum(abs(n2*cum1 - n1*cum2) * gap) AS BIGINT) AS w1_num,
+        |  CAST(sum(abs(n2*cum1 - n1*cum2) * gap) AS DOUBLE)
+        |    / CAST(max(n1) * max(n2) AS DOUBLE) AS w1
         |FROM cum""".stripMargin,
 
 

@@ -3364,6 +3364,19 @@ class OperatorsSpec extends SparkSuite {
     assert(ex.getMessage.contains("maxGridRows"))
   }
 
+  test("wasserstein1d: identity = 0, constant shift = exactly k, overflow refused") {
+    val base = (1L to 200L).toDF("v")
+    assert(Drift.wasserstein1d(base, base, "v").head().getAs[Long]("w1_num") == 0L)
+    // shifting every value by k moves exactly k units of mass per point
+    val shifted = (1L to 200L).map(_ + 7L).toDF("v")
+    val r = Drift.wasserstein1d(base, shifted, "v").head()
+    assert(r.getAs[Double]("w1") == 7.0d, s"constant shift is exact: $r")
+    // n1*n2*range near 2^63 refuses loudly instead of wrapping
+    val wide = Seq(0L, Long.MaxValue / 2).toDF("v")
+    val big = (1L to 100000L).toDF("v")
+    assertThrows[IllegalArgumentException](Drift.wasserstein1d(big, wide, "v"))
+  }
+
   test("bleuComponents: identity scores exactly 1, disjoint corpora null-poison log-BLEU") {
     val same = Seq((1L, "a b c d e f", "a b c d e f")).toDF("id", "c", "r")
     val r = Eval.bleuComponents(same, "id", "c", "r").collect()
