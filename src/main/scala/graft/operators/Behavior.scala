@@ -1021,6 +1021,8 @@ object Behavior {
     val rows = hourly.toSeq.sortBy(_._1).flatMap { case (t, rs) =>
       val byHr = rs.map(r => r._2 -> r._3).toMap
       val (h0, h1) = (rs.map(_._2).min, rs.map(_._2).max)
+      // (the dense-grid fold below is shared in shape with burstDetect —
+      // both live under the same maxGridRows loud-refusal cap)
       var s = byHr.getOrElse(h0, 0L) * 1000L
       (h0 to h1).zipWithIndex.map { case (hr, i) =>
         val x = byHr.getOrElse(hr, 0L)
@@ -1037,5 +1039,75 @@ object Behavior {
     }
     import spark.implicits._
     rows.toDF("event_type", "hr", "n", "ewma_prev_milli", "ewma_milli", "flag")
+  }
+
+  /** Kleinberg-style burst detection over per-type hourly volumes: a
+    * 2-state (base rate λ0, burst rate `burstFactor`·λ0) Viterbi decode
+    * under Poisson negative log-likelihood — the INTERVAL-level burst
+    * labeling [[hourlySpikes]]' pointwise flags can't give (a 6-hour surge
+    * is ONE burst, not six flags, because entering the burst state pays
+    * `gammaMicro` once). Every cost is exact integer micro-nats:
+    * c_q(x) = λq_milli·1000 − x·(qln(λq_milli) − qln(1000)) — plain
+    * integer +/−/× and comparisons, NO division anywhere, so the decode
+    * is bit-identical across engines (ties break toward the base state,
+    * the smallest-start convention). λ0_milli = max(1, total·1000 div
+    * span) per type.
+    *
+    * Same driver-fold contract as [[ewmaAnomaly]]: the recursion is
+    * sequential per series but its state is the dense hourly grid,
+    * collected under the SAME `maxGridRows` loud-refusal cap; emitted
+    * back as one createDataFrame. Output (event_type, hr, n, state),
+    * state 1 = inside a burst. */
+  def burstDetect(events: DataFrame, typeCol: String, tsCol: String,
+      burstFactor: Long = 3L, gammaMicro: Long = 3000000L,
+      maxGridRows: Int = 2000000): DataFrame = {
+    require(burstFactor >= 2, "burst rate must exceed the base rate")
+    require(gammaMicro >= 0, "gammaMicro must be nonnegative")
+    require(maxGridRows >= 1, "maxGridRows must be positive")
+    val spark = events.sparkSession
+    val collected = events.select(col(typeCol).as("t"),
+        expr(s"unix_micros($tsCol) div 3600000000").as("hr"))
+      .groupBy(col("t"), col("hr")).agg(count(lit(1)).as("n"))
+      .limit(maxGridRows + 1)
+      .collect()
+    require(collected.length <= maxGridRows,
+      s"burstDetect: hourly (type, hour) aggregate exceeds maxGridRows=$maxGridRows " +
+        "driver rows — bucket the type column or split the time range")
+    val hourly = collected.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val gridRows = hourly.valuesIterator
+      .map { rs => rs.map(_._2).max - rs.map(_._2).min + 1 }.sum
+    require(gridRows <= maxGridRows,
+      s"burstDetect: dense per-type hour grid is $gridRows rows (> maxGridRows=" +
+        s"$maxGridRows) — bucket types or split the time range")
+    def qlnL(y: Long): Long = math.floor(math.log(y.toDouble) * 1e6 + 0.5).toLong
+    val qln1000 = qlnL(1000L)
+    val rows = hourly.toSeq.sortBy(_._1).flatMap { case (t, rs) =>
+      val byHr = rs.map(r => r._2 -> r._3).toMap
+      val (h0, h1) = (rs.map(_._2).min, rs.map(_._2).max)
+      val xs = (h0 to h1).map(hr => byHr.getOrElse(hr, 0L)).toArray
+      val T = xs.length
+      val lam0 = math.max(1L, xs.sum * 1000L / T)
+      val lam1 = burstFactor * lam0
+      val (w0, w1) = (qlnL(lam0) - qln1000, qlnL(lam1) - qln1000)
+      def c0(x: Long) = lam0 * 1000L - x * w0
+      def c1(x: Long) = lam1 * 1000L - x * w1
+      val v0 = new Array[Long](T); val v1 = new Array[Long](T)
+      val f0 = new Array[Int](T); val f1 = new Array[Int](T)
+      v0(0) = c0(xs(0)); v1(0) = gammaMicro + c1(xs(0))
+      for (i <- 1 until T) {
+        f0(i) = if (v0(i - 1) <= v1(i - 1)) 0 else 1
+        v0(i) = math.min(v0(i - 1), v1(i - 1)) + c0(xs(i))
+        f1(i) = if (v0(i - 1) + gammaMicro <= v1(i - 1)) 0 else 1
+        v1(i) = math.min(v0(i - 1) + gammaMicro, v1(i - 1)) + c1(xs(i))
+      }
+      val states = new Array[Long](T)
+      states(T - 1) = if (v0(T - 1) <= v1(T - 1)) 0L else 1L
+      for (i <- T - 1 to 1 by -1)
+        states(i - 1) = if (states(i) == 0L) f0(i).toLong else f1(i).toLong
+      (0 until T).map(i => (t, h0 + i, xs(i), states(i)))
+    }
+    import spark.implicits._
+    rows.toDF("event_type", "hr", "n", "state")
   }
 }

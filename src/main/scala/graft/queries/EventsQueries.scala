@@ -318,6 +318,16 @@ private[graft] trait EventsQueries extends QueryHelpers {
     }),
 
 
+    "events_bursts" -> ((s, dir) => {
+      // Kleinberg 2-state burst decode over per-type hourly volumes:
+      // interval-level burst labeling (one gamma per burst entry), exact
+      // integer Viterbi — the oracle replays forward DP + backtrack as
+      // recursive CTEs
+      graft.operators.Behavior.burstDetect(events(s, dir), "event_type", "ts")
+        .orderBy(col("event_type"), col("hr"))
+    }),
+
+
     "drift_wasserstein" -> ((s, dir) => {
       // the INTEGRAL drift axis beside drift_ks's max deviation over the
       // same re-curation: exact earth-mover distance — integer numerator
@@ -1062,6 +1072,58 @@ private[graft] trait EventsQueries extends QueryHelpers {
         |  CAST(max(abs(n2*cum1 - n1*cum2)) AS DOUBLE)
         |    / CAST(max(n1) * max(n2) AS DOUBLE) AS ks_d
         |FROM cum""".stripMargin,
+
+
+    "events_bursts" ->
+      """WITH RECURSIVE hourly AS MATERIALIZED (
+        |  SELECT event_type AS t, epoch_us(ts) // 3600000000 AS hr,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), bounds AS MATERIALIZED (SELECT t, min(hr) AS h0, max(hr) AS h1 FROM hourly GROUP BY 1),
+        |g(off) AS (
+        |  SELECT CAST(0 AS BIGINT)
+        |  UNION ALL
+        |  SELECT off + 1 FROM g WHERE off + 1 <= (SELECT max(h1 - h0) FROM bounds)
+        |),
+        |grid AS MATERIALIZED (
+        |  SELECT b.t, b.h0 + g.off AS hr, g.off AS i, COALESCE(h.n, 0) AS x
+        |  FROM bounds b JOIN g ON b.h0 + g.off <= b.h1
+        |  LEFT JOIN hourly h ON h.t = b.t AND h.hr = b.h0 + g.off
+        |), w AS MATERIALIZED (
+        |  SELECT t, lam0, 3 * lam0 AS lam1,
+        |    CAST(floor(ln(lam0) * 1e6 + 0.5) AS BIGINT)
+        |      - CAST(floor(ln(1000) * 1e6 + 0.5) AS BIGINT) AS w0,
+        |    CAST(floor(ln(3 * lam0) * 1e6 + 0.5) AS BIGINT)
+        |      - CAST(floor(ln(1000) * 1e6 + 0.5) AS BIGINT) AS w1
+        |  FROM (SELECT t, greatest(1, CAST(sum(x) AS BIGINT) * 1000
+        |          // CAST(count(*) AS BIGINT)) AS lam0 FROM grid GROUP BY 1)
+        |), dp(t, i, hr, x, v0, v1, f0, f1) AS (
+        |  SELECT g.t, g.i, g.hr, g.x,
+        |    w.lam0 * 1000 - g.x * w.w0,
+        |    3000000 + w.lam1 * 1000 - g.x * w.w1,
+        |    0, 0
+        |  FROM grid g JOIN w ON w.t = g.t WHERE g.i = 0
+        |  UNION ALL
+        |  SELECT g.t, g.i, g.hr, g.x,
+        |    least(d.v0, d.v1) + w.lam0 * 1000 - g.x * w.w0,
+        |    least(d.v0 + 3000000, d.v1) + w.lam1 * 1000 - g.x * w.w1,
+        |    CASE WHEN d.v0 <= d.v1 THEN 0 ELSE 1 END,
+        |    CASE WHEN d.v0 + 3000000 <= d.v1 THEN 0 ELSE 1 END
+        |  FROM dp d JOIN grid g ON g.t = d.t AND g.i = d.i + 1
+        |  JOIN w ON w.t = g.t
+        |), last AS (SELECT t, max(i) AS imax FROM dp GROUP BY 1),
+        |bt(t, i, state) AS (
+        |  SELECT d.t, d.i, CASE WHEN d.v0 <= d.v1 THEN 0 ELSE 1 END
+        |  FROM dp d JOIN last l ON l.t = d.t AND l.imax = d.i
+        |  UNION ALL
+        |  SELECT b.t, b.i - 1, CASE WHEN b.state = 0 THEN d.f0 ELSE d.f1 END
+        |  FROM bt b JOIN dp d ON d.t = b.t AND d.i = b.i
+        |  WHERE b.i >= 1
+        |)
+        |SELECT d.t AS event_type, CAST(d.hr AS BIGINT) AS hr, d.x AS n,
+        |  CAST(b.state AS BIGINT) AS state
+        |FROM dp d JOIN bt b ON b.t = d.t AND b.i = d.i
+        |ORDER BY event_type, hr""".stripMargin,
 
 
     "drift_wasserstein" ->

@@ -3326,6 +3326,29 @@ class OperatorsSpec extends SparkSuite {
     assert(r(2L)._3 + r(2L)._5 == r(1L)._1)
   }
 
+  test("burstDetect: burst block labeled as one interval, constant series all-base, cap refuses") {
+    val ts0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def hr(h: Long, i: Int) = java.sql.Timestamp.from(ts0.plusSeconds(h * 3600L + i))
+    def blk(t: String, h: Long, n: Int) = (0 until n).map(i => (t, hr(h, i)))
+    val h0 = ts0.getEpochSecond / 3600
+    // 'bursty': 5/hr for 10 hours, then 40/hr for 4 hours, then 5/hr again
+    val ev = (
+      (0L to 9L).flatMap(h => blk("bursty", h, 5)) ++
+      (10L to 13L).flatMap(h => blk("bursty", h, 40)) ++
+      (14L to 23L).flatMap(h => blk("bursty", h, 5)) ++
+      (0L to 23L).flatMap(h => blk("steady", h, 10))
+    ).toDF("event_type", "ts")
+    val r = Behavior.burstDetect(ev, "event_type", "ts")
+      .collect().map(x => (x.getString(0), x.getAs[Long]("hr") - h0) -> x.getAs[Long]("state")).toMap
+    (0L to 23L).foreach(h => assert(r(("steady", h)) == 0L, s"steady hour $h"))
+    (10L to 13L).foreach(h => assert(r(("bursty", h)) == 1L, s"burst hour $h must label 1"))
+    ((0L to 9L) ++ (14L to 23L)).foreach(h =>
+      assert(r(("bursty", h)) == 0L, s"base hour $h must label 0"))
+    val ex = intercept[IllegalArgumentException](
+      Behavior.burstDetect(ev, "event_type", "ts", maxGridRows = 8))
+    assert(ex.getMessage.contains("maxGridRows"))
+  }
+
   test("ewmaAnomaly: constant series never flags; spike +1, outage -1; gaps decay") {
     val ts0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
     def hr(h: Long, i: Int) = java.sql.Timestamp.from(ts0.plusSeconds(h * 3600L + i))
