@@ -1035,6 +1035,73 @@ object Graph {
         sum(expr("1000000 div dist")).as("harmonic_micro"))
   }
 
+  /** Hop-bounded seed-set betweenness centrality (Brandes): forward BFS
+    * from every seed accumulating shortest-path COUNTS σ per level, then
+    * the backward dependency pass δ(u) = Σ_w σ_u·(1e6 + δ_w) div σ_w over
+    * shortest-path-DAG edges (w one level deeper) — each term is a
+    * truncating integer division quantized BEFORE the order-free sum, so
+    * the whole centrality is a pure integer function of the graph (the
+    * documented fixed-point quantization of Brandes' σu/σw·(1+δw)).
+    * bc_micro(v) = Σ over seeds s≠v of δ_s(v) — the bridge/bottleneck
+    * centrality [[harmonicCloseness]]'s reach-sum can't see (a node on
+    * every shortest path scores high even with average distance).
+    *
+    * Seed-set + hop bound make it O(seeds × reach) like harmonicCloseness
+    * — exact all-pairs betweenness is O(n·m) by definition; sample seeds.
+    * Per round (both directions): one equi-join against the persisted
+    * edge relation + one grouped sum; levels persist per round, `rounds`
+    * ≤ 8 keeps the linear plan growth in bfsHops territory. σ fits a
+    * long for any graph whose per-level path multiplicity stays below
+    * ~2^50 — true for bounded-degree graphs at these hop counts;
+    * σ-overflow on adversarial dense graphs would need bigint σ. */
+  def betweennessSeeds(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 8,
+      "rounds in [1, 8] — plan depth grows linearly per hop")
+    val e = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .transform(Residuals.persist)
+    val s0 = seeds.select(col(seedCol).cast("long").as("s")).distinct()
+    var levels = Vector(
+      s0.select(col("s"), col("s").as("node"), lit(1L).as("sigma"))
+        .transform(Residuals.persist))
+    var visited = levels(0).select(col("s"), col("node"))
+    for (_ <- 1 to rounds) {
+      val cand = levels.last
+        .join(e.withColumnRenamed("u", "node"), Seq("node"))
+        .groupBy(col("s"), col("v").as("node"))
+        .agg(sum(col("sigma")).as("sigma"))
+      val nf = cand.join(visited, Seq("s", "node"), "left_anti")
+        .select(col("s"), col("node"), col("sigma"))
+        .transform(Residuals.persist)
+      levels = levels :+ nf
+      visited = visited.union(nf.select(col("s"), col("node")))
+    }
+    var deltas = Vector.fill[DataFrame](rounds + 1)(null)
+    deltas = deltas.updated(rounds, levels(rounds).withColumn("delta", lit(0L)))
+    for (r <- (rounds - 1) to 0 by -1) {
+      val next = deltas(r + 1).select(col("s"), col("node").as("w"),
+        col("sigma").as("sigma_w"), col("delta").as("delta_w"))
+      val contrib = levels(r)
+        .join(e.withColumnRenamed("u", "node").withColumnRenamed("v", "w"), Seq("node"))
+        .join(next, Seq("s", "w"))
+        .select(col("s"), col("node"),
+          expr("sigma * (1000000 + delta_w) div sigma_w").as("term"))
+        .groupBy(col("s"), col("node")).agg(sum(col("term")).as("dsum"))
+      deltas = deltas.updated(r,
+        levels(r).join(contrib, Seq("s", "node"), "left")
+          .select(col("s"), col("node"), col("sigma"),
+            coalesce(col("dsum"), lit(0L)).as("delta"))
+          .transform(Residuals.persist))
+    }
+    deltas.map(_.select(col("s"), col("node"), col("delta")))
+      .reduce(_ unionByName _)
+      .filter(col("node") =!= col("s"))
+      .groupBy(col("node")).agg(sum(col("delta")).as("bc_micro"))
+  }
+
   /** Deterministic random-walk corpus (DeepWalk/node2vec's data step): one
     * `walkLen`-step walk from every node, where step k from node v picks
     * neighbor number `md5(start:seed:k:v) mod outdeg(v)` in dst order — a

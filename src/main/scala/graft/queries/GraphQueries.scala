@@ -179,6 +179,20 @@ private[graft] trait GraphQueries extends QueryHelpers {
     }),
 
 
+    "graph_betweenness" -> ((s, dir) => {
+      // hop-4 Brandes betweenness from every 20th supplier over the chord
+      // graph — the bridge-centrality axis beside closeness's reach-sum;
+      // the oracle replays both BFS passes as generated unrolled CTEs
+      val sk = t(s, dir, "supplier").select(col("s_suppkey").cast("long").as("k"))
+      val edges = sk.select(col("k").as("src"), (col("k") + 1).as("dst"))
+        .union(sk.select(col("k").as("src"), (col("k") + 2).as("dst")))
+        .join(sk.withColumnRenamed("k", "dst"), Seq("dst"), "left_semi")
+      val seeds = sk.filter(col("k") % 20 === 0)
+      graft.operators.Graph.betweennessSeeds(edges, "src", "dst", seeds, "k", rounds = 4)
+        .orderBy(col("node"))
+    }),
+
+
     "graph_random_walks" -> ((s, dir) => {
       // deterministic DeepWalk corpus over the supplier chord graph: a
       // 5-step hash-drawn walk from every node — the oracle re-derives
@@ -326,7 +340,43 @@ private[graft] trait GraphQueries extends QueryHelpers {
        |ORDER BY start, step""".stripMargin
   }
 
+  /** Generated Brandes oracle: `rounds` forward BFS levels (σ sums, anti-
+    * join vs visited), then the backward δ pass level by level. */
+  private def betweennessOracleSql: String = {
+    val r = 4
+    val ctes = scala.collection.mutable.ArrayBuffer[String](
+      "sk AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier)",
+      """e AS (
+        |  SELECT DISTINCT src AS u, dst AS v FROM (
+        |    SELECT k AS src, k + 1 AS dst FROM sk UNION ALL SELECT k, k + 2 FROM sk)
+        |  WHERE dst IN (SELECT k FROM sk) AND src != dst)""".stripMargin,
+      "l0 AS (SELECT k AS s, k AS node, CAST(1 AS BIGINT) AS sigma FROM sk WHERE k % 20 = 0)",
+      "vis0 AS (SELECT s, node FROM l0)")
+    for (i <- 1 to r) {
+      ctes += s"c$i AS (SELECT p.s, e.v AS node, CAST(sum(p.sigma) AS BIGINT) AS sigma " +
+        s"FROM l${i - 1} p JOIN e ON e.u = p.node GROUP BY 1, 2)"
+      ctes += s"l$i AS (SELECT c.s, c.node, c.sigma FROM c$i c " +
+        s"LEFT JOIN vis${i - 1} v ON v.s = c.s AND v.node = c.node WHERE v.node IS NULL)"
+      ctes += s"vis$i AS (SELECT * FROM vis${i - 1} UNION ALL SELECT s, node FROM l$i)"
+    }
+    ctes += s"d$r AS (SELECT s, node, sigma, CAST(0 AS BIGINT) AS delta FROM l$r)"
+    for (i <- (r - 1) to 0 by -1) {
+      ctes += s"ct$i AS (SELECT l.s, l.node, " +
+        s"CAST(sum(l.sigma * (1000000 + n.delta) // n.sigma) AS BIGINT) AS dsum " +
+        s"FROM l$i l JOIN e ON e.u = l.node " +
+        s"JOIN d${i + 1} n ON n.s = l.s AND n.node = e.v GROUP BY 1, 2)"
+      ctes += s"d$i AS (SELECT l.s, l.node, l.sigma, CAST(COALESCE(c.dsum, 0) AS BIGINT) AS delta " +
+        s"FROM l$i l LEFT JOIN ct$i c ON c.s = l.s AND c.node = l.node)"
+    }
+    "WITH " + ctes.mkString(",\n") + "\n" +
+      s"""SELECT node, CAST(sum(delta) AS BIGINT) AS bc_micro
+         |FROM (${(0 to r).map(i => s"SELECT * FROM d$i").mkString(" UNION ALL ")})
+         |WHERE node != s GROUP BY 1 ORDER BY node""".stripMargin
+  }
+
   protected def graphOracles: Map[String, String] = Map(
+
+    "graph_betweenness" -> betweennessOracleSql,
 
     "graph_random_walks" -> randomWalksOracleSql,
 

@@ -3471,6 +3471,25 @@ class OperatorsSpec extends SparkSuite {
     assert(w3.toSeq != w1.toSeq)
   }
 
+  test("betweennessSeeds: path-graph centrality exact; diamond splits sigma") {
+    // symmetrized path 1-2-3-4-5, all nodes seeded: sigma = 1 everywhere so
+    // bc(v) = 1e6 x (ordered source/target pairs with v interior)
+    val p = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val sym = (p ++ p.map(_.swap)).toDF("a", "b")
+    val seeds = (1L to 5L).toDF("k")
+    val bc = Graph.betweennessSeeds(sym, "a", "b", seeds, "k", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bc(3L) == 8000000L)
+    assert(bc(2L) == 6000000L && bc(4L) == 6000000L)
+    assert(bc(1L) == 0L && bc(5L) == 0L)
+    // diamond 1->{2,3}->4: sigma(4) = 2, so delta_1(2) = 1*(1e6+0) div 2
+    val dia = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("a", "b")
+    val bd = Graph.betweennessSeeds(dia, "a", "b", Seq(1L).toDF("k"), "k", rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bd(2L) == 500000L && bd(3L) == 500000L, s"sigma split: $bd")
+    assert(bd(4L) == 0L)
+  }
+
   test("harmonicCloseness: path-graph terms exact; disconnection contributes 0") {
     // path 1-2-3-4-5 plus isolated pair 10-11; seed at node 1
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L)).toDF("src", "dst")
