@@ -600,11 +600,134 @@ object VersionedTable {
     base + 1L
   }
 
+  // ------------------------------------------------------------- branches
+  // Git-like BRANCHES beside the immutable tags: a branch is its own
+  // manifest chain under `_branches/<name>/_manifests/` (same atomic
+  // no-overwrite commit protocol, same local numbering starting at 1), so
+  // main's latestVersion never sees branch commits. Branch manifests
+  // reference data files RELATIVE TO THE TABLE ROOT — branch creation is
+  // zero-copy (the fork version's file list verbatim), branch upserts
+  // stage new files under `data/branch-<name>/`, and a fast-forward merge
+  // publishes the branch head's file list as a normal main commit (again
+  // zero-copy). The experiment-isolation workflow: branch, curate/repair
+  // on the branch, validate, merge — main readers never see intermediate
+  // states. [[vacuum]] treats every branch head chain as live references.
+
+  private def branchRoot(dir: String, name: String): String =
+    s"$dir/_branches/$name"
+
+  /** Fork a branch from `fromVersion` (main's latest when -1) — one tiny
+    * manifest commit, zero data files touched. Refuses an existing name. */
+  def createBranch(spark: SparkSession, dir: String, name: String,
+      fromVersion: Long = -1L): Long = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"branch name must be [A-Za-z0-9._-]+: $name")
+    val v = if (fromVersion < 0) latestVersion(spark, dir) else fromVersion
+    require(v >= 1L, s"no table at $dir — init first")
+    val m = readManifest(spark, dir, v)
+    val broot = branchRoot(dir, name)
+    if (latestVersion(spark, broot) != 0L)
+      throw new CommitConflictException(s"branch '$name' already exists at $dir")
+    commitManifest(spark, broot, Manifest(1L, v, s"branch-from:$v",
+      m.keyCol, m.schemaDdl, m.files, m.deleteFiles))
+    1L
+  }
+
+  /** The branch's local head version; loud on a missing branch. */
+  def branchHead(spark: SparkSession, dir: String, name: String): Long = {
+    val h = latestVersion(spark, branchRoot(dir, name))
+    if (h == 0L) throw new NoSuchElementException(s"no branch '$name' at $dir")
+    h
+  }
+
+  /** Read a branch at its local `bVersion` (head when -1): the branch
+    * manifest's files resolved against the TABLE root. */
+  def readBranch(spark: SparkSession, dir: String, name: String,
+      bVersion: Long = -1L): DataFrame = {
+    val broot = branchRoot(dir, name)
+    val v = if (bVersion < 0) branchHead(spark, dir, name) else bVersion
+    val m = readManifest(spark, broot, v)
+    if (m.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType.fromDDL(m.schemaDdl))
+    else applyDeletes(spark, dir, m,
+      readDeclared(spark, m, m.files.map(f => s"$dir/${f.path}")))
+  }
+
+  /** Copy-on-write upsert AGAINST THE BRANCH HEAD — [[upsert]]'s exact
+    * semantics with the branch manifest as base; new files stage under
+    * `data/branch-<name>/` so chains never collide. Main is untouched. */
+  def upsertBranch(spark: SparkSession, dir: String, name: String,
+      changes: DataFrame, targetRowsPerFile: Long = 5000L): Long = {
+    import spark.implicits._
+    val broot = branchRoot(dir, name)
+    val base = branchHead(spark, dir, name)
+    val m = readManifest(spark, broot, base)
+    require(m.deleteFiles.isEmpty,
+      s"branch '$name' has outstanding deletion vectors — materialize before upsert")
+    val zoneMap = m.files.toDF()
+      .select(col("path"), col("minKey").as("min_key"), col("maxKey").as("max_key"))
+    val touched = Upsert.touchedFiles(zoneMap, changes, m.keyCol)
+      .select(col("path")).collect().map(_.getString(0)).toSet
+    val touchedDf =
+      if (touched.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          StructType.fromDDL(m.schemaDdl))
+      else readDeclared(spark, m,
+        m.files.collect { case f if touched(f.path) => s"$dir/${f.path}" })
+    val merged = Upsert.mergeUpsert(touchedDf, changes, m.keyCol)
+    val newEntries = writeStaged(spark, dir,
+      f"data/branch-$name/v${base + 1L}%08d", merged, m.keyCol, targetRowsPerFile)
+    commitManifest(spark, broot, Manifest(base + 1L, base, "upsert", m.keyCol,
+      m.schemaDdl, m.files.filterNot(f => touched(f.path)) ++ newEntries))
+    base + 1L
+  }
+
+  /** FAST-FORWARD merge: publish the branch head's file list as main's
+    * next version — zero bytes moved. Refuses when main advanced past the
+    * branch's fork point (a three-way merge would need key-level conflict
+    * resolution; rebase by re-branching instead — the refusal names both
+    * versions). Returns the new MAIN version. */
+  def mergeBranch(spark: SparkSession, dir: String, name: String): Long = {
+    val broot = branchRoot(dir, name)
+    val fork = readManifest(spark, broot, 1L).parent
+    val mainHead = latestVersion(spark, dir)
+    if (mainHead != fork)
+      throw new CommitConflictException(
+        s"branch '$name' forked at v$fork but main is at v$mainHead — " +
+          "fast-forward refused; re-branch from the current head and replay")
+    val head = readManifest(spark, broot, branchHead(spark, dir, name))
+    commitManifest(spark, dir, Manifest(mainHead + 1L, mainHead, s"merge:$name",
+      head.keyCol, head.schemaDdl, head.files, head.deleteFiles))
+    mainHead + 1L
+  }
+
+  /** Delete a branch's manifest chain (its staged `data/branch-<name>/`
+    * files become vacuum-eligible). Returns whether the branch existed. */
+  def dropBranch(spark: SparkSession, dir: String, name: String): Boolean = {
+    val (fs, p) = hfs(spark, branchRoot(dir, name))
+    fs.delete(p, true)
+  }
+
+  /** Every data file referenced by any live branch manifest (all branch
+    * versions — branches are short-lived by design; drop merged branches
+    * to release their intermediates). */
+  private def branchLiveFiles(spark: SparkSession, dir: String): Set[String] = {
+    val (fs, p) = hfs(spark, s"$dir/_branches")
+    if (!fs.exists(p)) return Set.empty
+    fs.listStatus(p).iterator.filter(_.isDirectory).flatMap { st =>
+      val broot = s"$dir/_branches/${st.getPath.getName}"
+      (1L to latestVersion(spark, broot)).flatMap { v =>
+        val m = readManifest(spark, broot, v)
+        (m.files ++ m.deleteFiles).map(_.path)
+      }
+    }.toSet
+  }
+
   /** Reclaim data files referenced by NO manifest version >= `keepFrom`
-    * (crashed-writer leftovers and files superseded by compaction/upsert),
-    * and drop the manifests below `keepFrom`. Time travel to vacuumed
-    * versions stops working — the standard retention trade. Returns the
-    * number of data files deleted. */
+    * AND no live branch (crashed-writer leftovers and files superseded by
+    * compaction/upsert), and drop the manifests below `keepFrom`. Time
+    * travel to vacuumed versions stops working — the standard retention
+    * trade. Returns the number of data files deleted. */
   def vacuum(spark: SparkSession, dir: String, keepFrom: Long): Int = {
     val latest = latestVersion(spark, dir)
     require(keepFrom <= latest, s"keepFrom $keepFrom beyond latest $latest")
@@ -612,7 +735,7 @@ object VersionedTable {
       .flatMap { v =>
         val m = readManifest(spark, dir, v)
         (m.files ++ m.deleteFiles).map(_.path)
-      }.toSet
+      }.toSet ++ branchLiveFiles(spark, dir)
     val (fs, dataRoot) = hfs(spark, s"$dir/data")
     var deleted = 0
     if (fs.exists(dataRoot)) {

@@ -238,6 +238,16 @@ private[graft] trait LakeQueries extends QueryHelpers {
     }),
 
 
+    "lake_branch_merge" -> ((s, dir) => {
+      // git-like branch workflow: fork "exp" from v1, upsert on the branch
+      // (main untouched), fast-forward merge as main v2 — reading main
+      // after the merge must show exactly the branch's curation
+      val tmp = lakeBranchTable(s, dir)
+      graft.operators.VersionedTable.read(s, tmp)
+        .orderBy(col("doc_id"))
+    }),
+
+
     "lake_tag_read" -> ((s, dir) => {
       // named refs: tag v1 as train-run-1 (one tiny JSON under _refs/,
       // zero data files touched — the "snapshot we trained on" name), then
@@ -371,6 +381,14 @@ private[graft] trait LakeQueries extends QueryHelpers {
 
     "layout_compacted" ->
       """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // main after the fast-forward merge == the branch's curation applied
+    // to the fork version, nothing else
+    "lake_branch_merge" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 4 THEN text || ' exp' ELSE text END AS text,
+        |  lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
 
 

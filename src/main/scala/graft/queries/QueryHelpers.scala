@@ -118,6 +118,29 @@ private[graft] trait QueryHelpers {
     path
   }
 
+  /** Build-once versioned table for the BRANCH gates: v1 = corpus; branch
+    * "exp" forked from v1; a branch upsert appends " exp" to every
+    * doc_id % 9 == 4 text; fast-forward merge publishes it as main v2.
+    * Main stays at the untouched v1 until the merge — the
+    * experiment-isolation contract LakeSpec pins. */
+  private[graft] def lakeBranchTable(s: SparkSession, dir: String): String = {
+    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_lake_branch_$suffix"
+    if (ivfIndexWritten.add(path)) {
+      val vt = graft.operators.VersionedTable
+      vt.destroy(s, path)
+      val docs = t(s, dir, "documents")
+      vt.init(s, path, docs, "doc_id", targetRowsPerFile = 500L)
+      vt.createBranch(s, path, "exp")
+      val mods = docs.filter(col("doc_id") % 9 === 4)
+        .withColumn("text", concat(col("text"), lit(" exp")))
+        .withColumn("op", lit("upsert"))
+      vt.upsertBranch(s, path, "exp", mods, targetRowsPerFile = 500L)
+      vt.mergeBranch(s, path, "exp")
+    }
+    path
+  }
+
   /** Build-once versioned table for the OPTIMIZE gate: v1 = the corpus in
     * uniform 100-row files, v2 = selective optimize at 150 target rows.
     * Against 100-row files, `cum_before div 150` alternates multi-file

@@ -327,4 +327,38 @@ class LakeSpec extends SparkSuite {
     assert(sameContent(VT.read(spark, dir, 1L), base))
     assert(!VT.dropTag(spark, dir, "pre-merge"))
   }
+
+  test("branches: isolation until merge, fast-forward only, vacuum honors branch refs") {
+    val dir = freshDir("branch")
+    VT.init(spark, dir, base, "doc_id", targetRowsPerFile = 200L)
+    assert(VT.createBranch(spark, dir, "exp") == 1L)
+    assertThrows[VT.CommitConflictException](VT.createBranch(spark, dir, "exp"))
+    // zero-copy fork: branch b1 reads exactly main v1
+    assert(sameContent(VT.readBranch(spark, dir, "exp"), base))
+    // branch upsert: visible on the branch, INVISIBLE on main
+    VT.upsertBranch(spark, dir, "exp", changeSet(base), targetRowsPerFile = 200L)
+    assert(VT.latestVersion(spark, dir) == 1L, "branch commits must not advance main")
+    assert(sameContent(VT.read(spark, dir), base))
+    val expected = Upsert.mergeUpsert(base, changeSet(base), "doc_id")
+    assert(sameContent(VT.readBranch(spark, dir, "exp"), expected))
+    // vacuum at the main head must NOT reclaim branch-staged files
+    assert(VT.vacuum(spark, dir, keepFrom = 1L) == 0)
+    assert(sameContent(VT.readBranch(spark, dir, "exp"), expected))
+    // fast-forward merge publishes the branch head as main v2
+    assert(VT.mergeBranch(spark, dir, "exp") == 2L)
+    assert(sameContent(VT.read(spark, dir), expected))
+    assert(sameContent(VT.read(spark, dir, 1L), base), "history intact through merge")
+    // main has advanced past the fork: a second merge of the same branch refuses
+    assertThrows[VT.CommitConflictException](VT.mergeBranch(spark, dir, "exp"))
+    // ...and so does a branch forked before another main commit
+    VT.createBranch(spark, dir, "stale", fromVersion = 1L)
+    assertThrows[VT.CommitConflictException](VT.mergeBranch(spark, dir, "stale"))
+    // dropBranch releases the refs; vacuum keeps everything main references
+    assert(VT.dropBranch(spark, dir, "exp"))
+    assert(VT.dropBranch(spark, dir, "stale"))
+    assert(!VT.dropBranch(spark, dir, "exp"))
+    VT.vacuum(spark, dir, keepFrom = 1L)
+    assert(sameContent(VT.read(spark, dir), expected))
+    assert(sameContent(VT.read(spark, dir, 1L), base))
+  }
 }
