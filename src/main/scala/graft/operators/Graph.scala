@@ -1035,6 +1035,42 @@ object Graph {
         sum(expr("1000000 div dist")).as("harmonic_micro"))
   }
 
+  /** Hop-bounded multi-source WEIGHTED shortest paths (Bellman-Ford over
+    * the min-plus semiring): dist(v) = cheapest weighted path from any
+    * seed within `rounds` edges — the cost-propagation axis [[bfsHops]]'s
+    * unit hops can't express (supply-chain latency, toll routing, weighted
+    * similarity graphs). Nonnegative integer weights keep every relaxation
+    * exact; a round is one equi-join on the persisted weighted edge
+    * relation + one min-agg (identical shape to bfsHops, so the same
+    * per-round persist contract), and `rounds` bounds the hop horizon,
+    * making the result a pure function of the data (paths longer than
+    * `rounds` edges are not considered — size it to the graph's weighted
+    * diameter in hops). Negative weights refuse loudly (min-plus with
+    * negative edges needs n−1 rounds AND cycle detection). */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, seeds: DataFrame, seedCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "need at least one round")
+    val adj = edges
+      .select(col(srcCol).cast("long").as("x"), col(dstCol).cast("long").as("v"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("x") =!= col("v"))
+      .groupBy(col("x"), col("v")).agg(min(col("w")).as("w"))
+      .transform(Residuals.persist)
+    require(adj.filter(col("w") < 0).isEmpty,
+      "shortestPaths: negative edge weights are not supported")
+    var dist = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+      .withColumn("dist", lit(0L))
+    for (_ <- 1 to rounds) {
+      val prop = adj
+        .join(dist.select(col("node").as("x"), col("dist")), "x")
+        .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.union(prop).groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .transform(Residuals.persist)
+    }
+    dist
+  }
+
   /** Hop-bounded seed-set betweenness centrality (Brandes): forward BFS
     * from every seed accumulating shortest-path COUNTS σ per level, then
     * the backward dependency pass δ(u) = Σ_w σ_u·(1e6 + δ_w) div σ_w over

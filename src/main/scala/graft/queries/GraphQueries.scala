@@ -179,6 +179,21 @@ private[graft] trait GraphQueries extends QueryHelpers {
     }),
 
 
+    "graph_sssp" -> ((s, dir) => {
+      // weighted shortest paths (4 Bellman-Ford rounds) over the chord
+      // graph with deterministic weights 1 + dst % 3, seeds every 100th
+      // supplier — the cost-propagation twin of graph_bfs_hops
+      val sk = t(s, dir, "supplier").select(col("s_suppkey").cast("long").as("k"))
+      val edges = sk.select(col("k").as("src"), (col("k") + 1).as("dst"))
+        .union(sk.select(col("k").as("src"), (col("k") + 2).as("dst")))
+        .join(sk.withColumnRenamed("k", "dst"), Seq("dst"), "left_semi")
+        .withColumn("w", lit(1L) + col("dst") % 3)
+      val seeds = sk.filter(col("k") % 100 === 0)
+      graft.operators.Graph.shortestPaths(edges, "src", "dst", "w", seeds, "k", rounds = 4)
+        .orderBy(col("node"))
+    }),
+
+
     "graph_betweenness" -> ((s, dir) => {
       // hop-4 Brandes betweenness from every 20th supplier over the chord
       // graph — the bridge-centrality axis beside closeness's reach-sum;
@@ -374,7 +389,27 @@ private[graft] trait GraphQueries extends QueryHelpers {
          |WHERE node != s GROUP BY 1 ORDER BY node""".stripMargin
   }
 
+  /** Generated min-plus oracle: 4 unrolled relaxation rounds. */
+  private def ssspOracleSql: String = {
+    val ctes = scala.collection.mutable.ArrayBuffer[String](
+      "sk AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier)",
+      """e AS (
+        |  SELECT src AS x, dst AS v, CAST(min(1 + dst % 3) AS BIGINT) AS w FROM (
+        |    SELECT k AS src, k + 1 AS dst FROM sk UNION ALL SELECT k, k + 2 FROM sk)
+        |  WHERE dst IN (SELECT k FROM sk) AND src != dst GROUP BY 1, 2)""".stripMargin,
+      "d0 AS (SELECT k AS node, CAST(0 AS BIGINT) AS dist FROM sk WHERE k % 100 = 0)")
+    for (i <- 1 to 4)
+      ctes += s"d$i AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (" +
+        s"SELECT node, dist FROM d${i - 1} UNION ALL " +
+        s"SELECT e.v AS node, p.dist + e.w FROM d${i - 1} p JOIN e ON e.x = p.node" +
+        ") GROUP BY 1)"
+    "WITH " + ctes.mkString(",\n") +
+      "\nSELECT node, dist FROM d4 ORDER BY node"
+  }
+
   protected def graphOracles: Map[String, String] = Map(
+
+    "graph_sssp" -> ssspOracleSql,
 
     "graph_betweenness" -> betweennessOracleSql,
 

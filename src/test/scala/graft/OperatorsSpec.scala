@@ -3471,6 +3471,18 @@ class OperatorsSpec extends SparkSuite {
     assert(w3.toSeq != w1.toSeq)
   }
 
+  test("shortestPaths: cheap 2-hop beats expensive 1-hop, parallel edges take min, negatives refuse") {
+    // 1 -> 3 direct costs 10; 1 -> 2 -> 3 costs 1 + 2 = 3
+    val e = Seq((1L, 3L, 10L), (1L, 2L, 1L), (2L, 3L, 2L),
+      (1L, 2L, 5L) /* parallel edge, heavier */).toDF("s", "d", "w")
+    val r = Graph.shortestPaths(e, "s", "d", "w", Seq(1L).toDF("k"), "k", rounds = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 0L, 2L -> 1L, 3L -> 3L), s"weighted relaxation: $r")
+    val neg = Seq((1L, 2L, -1L)).toDF("s", "d", "w")
+    assertThrows[IllegalArgumentException](
+      Graph.shortestPaths(neg, "s", "d", "w", Seq(1L).toDF("k"), "k", 2))
+  }
+
   test("betweennessSeeds: path-graph centrality exact; diamond splits sigma") {
     // symmetrized path 1-2-3-4-5, all nodes seeded: sigma = 1 everywhere so
     // bc(v) = 1e6 x (ordered source/target pairs with v interior)
