@@ -106,7 +106,8 @@ object Drift {
       lit(0L).as("c1"), lit(1L).as("c2"))
     val u = a.unionAll(b)
     val meta = u.agg(sum(col("c1")), sum(col("c2")), min(col("v")), max(col("v"))).head()
-    val (n1, n2) = (meta.getLong(0), meta.getLong(1))
+    val n1 = if (meta.isNullAt(0)) 0L else meta.getLong(0)
+    val n2 = if (meta.isNullAt(1)) 0L else meta.getLong(1)
     require(n1 > 0 && n2 > 0, "wasserstein1d: both populations must be non-empty")
     val range = meta.getLong(3) - meta.getLong(2)
     require(BigInt(n1) * BigInt(n2) * BigInt(math.max(range, 1L)) <= BigInt(Long.MaxValue) / 2,

@@ -522,7 +522,7 @@ object Eval {
     perN.crossJoin(broadcast(lens))
       .withColumn("p_micro", expr("matches * 1000000 div nullif(total, 0)"))
       .withColumn("bp_micro",
-        least(lit(0L), lit(1000000L) - expr("ref_tokens * 1000000 div cand_tokens")))
+        least(lit(0L), lit(1000000L) - expr("ref_tokens * 1000000 div nullif(cand_tokens, 0)")))
       .withColumn("lnq_gap",
         Features.qln(col("total")) - Features.qln(when(col("matches") > 0, col("matches"))))
       .withColumn("bleu_log_micro", expr(

@@ -709,7 +709,10 @@ object Graph {
     // so a fixpoint round costs ONE job (advance + convergence probe fused)
     def advanceWith[T](old: DataFrame, next: DataFrame)(probe: DataFrame => T): (DataFrame, T) = {
       val n = Checkpoints.truncate(next, eager = false)
-      val r = probe(n)
+      // a probe failure must not strand the half-materialized generation
+      val r = try probe(n) catch {
+        case t: Throwable => Dedup.releaseCheckpoint(n); throw t
+      }
       Dedup.releaseCheckpoint(old)
       (n, r)
     }
@@ -729,6 +732,7 @@ object Graph {
     var color: DataFrame = null
     var ce: DataFrame = null
     var mark: DataFrame = null
+    var trimStart: DataFrame = null
     var outer = 0
     try {
       while (nRemaining > 0) {
@@ -747,7 +751,7 @@ object Graph {
         // ONE job per round (lazy cyclic + count); singleton labels are
         // derived once after the fixpoint as trimStart \ remaining instead
         // of growing the labels checkpoint every round
-        val trimStart = remaining
+        trimStart = remaining
         val nTrimStart = nRemaining
         var trimming = true
         var it = 0
@@ -778,6 +782,7 @@ object Graph {
           labels = advance(labels, labels.union(singles))
         }
         if (trimStart ne remaining) Dedup.releaseCheckpoint(trimStart)
+        trimStart = null
         if (nRemaining > 0) {
           // materialize the trimmed edge set once — the two fixpoints below
           // each touch it every round
@@ -847,7 +852,7 @@ object Graph {
       }
     } catch {
       case t: Throwable =>
-        Seq(subE, color, ce, mark, remaining, labels)
+        Seq(subE, color, ce, mark, trimStart, remaining, labels)
           .filter(_ ne null).foreach(Dedup.releaseCheckpoint)
         throw t
     }
@@ -1100,37 +1105,51 @@ object Graph {
       .distinct()
       .transform(Residuals.persist)
     val s0 = seeds.select(col(seedCol).cast("long").as("s")).distinct()
+    // loop-carried frames are checkpoint-TRUNCATED, not just persisted:
+    // level r's plan embeds the visited union of ALL prior levels, so the
+    // logical tree grows exponentially in rounds — execution is deduped by
+    // the cache but analysis/rendering is O(tree) (measured: 17 s of
+    // TreeNode.generateTreeString at sf0.1 with persist-only). Truncation
+    // keeps every plan one join deep. (The sccDecompose lesson, applied to
+    // a fixed-round loop.)
+    def ck(df: DataFrame): DataFrame = {
+      val c = Checkpoints.truncate(df)
+      Residuals.register(() => Dedup.releaseCheckpoint(c))
+      c
+    }
     var levels = Vector(
-      s0.select(col("s"), col("s").as("node"), lit(1L).as("sigma"))
-        .transform(Residuals.persist))
+      ck(s0.select(col("s"), col("s").as("node"), lit(1L).as("sigma"))))
     var visited = levels(0).select(col("s"), col("node"))
     for (_ <- 1 to rounds) {
+      // the frontier/visited/delta relations are seed-set-sized by the
+      // operator's contract — broadcast them explicitly (persisted frames
+      // carry no stats, so AQE would SMJ these tiny sides against the
+      // persisted edge relation every round)
       val cand = levels.last
         .join(e.withColumnRenamed("u", "node"), Seq("node"))
         .groupBy(col("s"), col("v").as("node"))
         .agg(sum(col("sigma")).as("sigma"))
-      val nf = cand.join(visited, Seq("s", "node"), "left_anti")
-        .select(col("s"), col("node"), col("sigma"))
-        .transform(Residuals.persist)
+      val nf = ck(cand.join(broadcast(visited), Seq("s", "node"), "left_anti")
+        .select(col("s"), col("node"), col("sigma")))
       levels = levels :+ nf
       visited = visited.union(nf.select(col("s"), col("node")))
     }
     var deltas = Vector.fill[DataFrame](rounds + 1)(null)
     deltas = deltas.updated(rounds, levels(rounds).withColumn("delta", lit(0L)))
+    // (level r is already truncated; the zero-delta projection stays shallow)
     for (r <- (rounds - 1) to 0 by -1) {
       val next = deltas(r + 1).select(col("s"), col("node").as("w"),
         col("sigma").as("sigma_w"), col("delta").as("delta_w"))
       val contrib = levels(r)
         .join(e.withColumnRenamed("u", "node").withColumnRenamed("v", "w"), Seq("node"))
-        .join(next, Seq("s", "w"))
+        .join(broadcast(next), Seq("s", "w"))
         .select(col("s"), col("node"),
           expr("sigma * (1000000 + delta_w) div sigma_w").as("term"))
         .groupBy(col("s"), col("node")).agg(sum(col("term")).as("dsum"))
       deltas = deltas.updated(r,
-        levels(r).join(contrib, Seq("s", "node"), "left")
+        ck(levels(r).join(broadcast(contrib), Seq("s", "node"), "left")
           .select(col("s"), col("node"), col("sigma"),
-            coalesce(col("dsum"), lit(0L)).as("delta"))
-          .transform(Residuals.persist))
+            coalesce(col("dsum"), lit(0L)).as("delta"))))
     }
     deltas.map(_.select(col("s"), col("node"), col("delta")))
       .reduce(_ unionByName _)

@@ -620,7 +620,8 @@ object VersionedTable {
     * manifest commit, zero data files touched. Refuses an existing name. */
   def createBranch(spark: SparkSession, dir: String, name: String,
       fromVersion: Long = -1L): Long = {
-    require(name.matches("[A-Za-z0-9._-]+"), s"branch name must be [A-Za-z0-9._-]+: $name")
+    require(name.matches("[A-Za-z0-9._-]+") && name.exists(_ != '.'),
+      s"branch name must be [A-Za-z0-9._-]+ and not all dots: $name")
     val v = if (fromVersion < 0) latestVersion(spark, dir) else fromVersion
     require(v >= 1L, s"no table at $dir — init first")
     val m = readManifest(spark, dir, v)

@@ -924,8 +924,8 @@ private[graft] trait TextQueries extends QueryHelpers {
       s"""SELECT CAST(n AS BIGINT) AS n, matches, total,
          |  matches * 1000000 // nullif(total, 0) AS p_micro,
          |  cand_tokens, ref_tokens,
-         |  CAST(least(0, 1000000 - ref_tokens * 1000000 // cand_tokens) AS BIGINT) AS bp_micro,
-         |  CAST(least(0, 1000000 - ref_tokens * 1000000 // cand_tokens)
+         |  CAST(least(0, 1000000 - ref_tokens * 1000000 // nullif(cand_tokens, 0)) AS BIGINT) AS bp_micro,
+         |  CAST(least(0, 1000000 - ref_tokens * 1000000 // nullif(cand_tokens, 0))
          |    - (CASE WHEN min(matches) OVER () > 0 THEN CAST(sum(
          |        CAST(floor(ln(total) * 1e6 + 0.5) AS BIGINT)
          |        - CAST(floor(ln(nullif(matches, 0)) * 1e6 + 0.5) AS BIGINT)) OVER () AS BIGINT)
