@@ -563,6 +563,37 @@ object Kernels {
   def cosineQ(a: ArrayData, na: Long, b: ArrayData, nb: Long): Double =
     dotLong(a, b).toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
 
+  /** Token-level longest-common-subsequence LENGTH — the ROUGE-L core.
+    * Classic O(|a|·|b|) rolling-row DP; the whole grid stays in one JITed
+    * call (a per-cell SQL formulation would be a quadratic lambda storm).
+    * Oracle twin: the running-max row recurrence unrolled as a recursive
+    * CTE (dp_i = prefix-max of max(dp_{i-1}[j], dp_{i-1}[j-1] + eq)). */
+  def lcsTokens(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    val m = b.numElements()
+    if (n == 0 || m == 0) return 0L
+    val bs = new Array[UTF8String](m)
+    var j = 0
+    while (j < m) { bs(j) = b.getUTF8String(j); j += 1 }
+    var prev = new Array[Long](m + 1)
+    var cur = new Array[Long](m + 1)
+    var i = 0
+    while (i < n) {
+      val ai = a.getUTF8String(i)
+      j = 1
+      while (j <= m) {
+        var best = prev(j - 1) + (if (ai.equals(bs(j - 1))) 1L else 0L)
+        if (prev(j) > best) best = prev(j)
+        if (cur(j - 1) > best) best = cur(j - 1)
+        cur(j) = best
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(m)
+  }
+
   // ------------------------------------------------------- bit interleave
 
   /** Morton interleave: bit k of dimension j lands at position k*d + j of the
@@ -757,6 +788,9 @@ object Kernels {
 
   def cosineQCol(a: Column, na: Column, b: Column, nb: Column): Column =
     call(DoubleType, "cosineQ", a, na, b, nb)
+
+  def lcsTokensCol(a: Column, b: Column): Column =
+    call(LongType, "lcsTokens", a, b)
 
   def normalizeTextCol(text: Column): Column = call(StringType, "normalizeText", text)
 

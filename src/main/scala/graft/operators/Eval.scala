@@ -535,6 +535,28 @@ object Eval {
         col("cand_tokens"), col("ref_tokens"), col("bp_micro"), col("bleu_log_micro"))
   }
 
+  /** ROUGE-L per pair (Lin 2004, F1 form): the longest-common-SUBSEQUENCE
+    * overlap between candidate and reference token streams — order-aware
+    * where BLEU/chrF's n-gram multisets are windowed, so a scrambled
+    * candidate that fools unigram precision scores low here. LCS runs as
+    * ONE JITed kernel call per pair ([[graft.functions.Kernels.lcsTokens]]
+    * — a per-cell SQL/HOF formulation would interpret a quadratic lambda
+    * storm), and the F1 identity 2·P·R/(P+R) = 2·lcs/(clen+rlen) collapses
+    * the score to a single exact integer division. Row-local: scan-speed
+    * at any corpus size, no shuffle at all. */
+  def rougeL(pairs: DataFrame, idCol: String, candCol: String,
+      refCol: String): DataFrame = {
+    import graft.functions.{Kernels, TextFns}
+    pairs.select(col(idCol).as("id"),
+        TextFns.tokens(col(candCol)).as("ct"), TextFns.tokens(col(refCol)).as("rt"))
+      .select(col("id"),
+        Kernels.lcsTokensCol(col("ct"), col("rt")).as("lcs"),
+        size(col("ct")).cast("long").as("cand_tokens"),
+        size(col("rt")).cast("long").as("ref_tokens"))
+      .withColumn("rouge_l_micro",
+        expr("lcs * 2 * 1000000 div nullif(cand_tokens + ref_tokens, 0)"))
+  }
+
   /** chrF components (Popović): character n-gram precision/recall F-score
     * over whitespace-stripped text, n in 1..`maxN`, β² = `beta2` (recall
     * weighted β²×). The per-n score collapses to ONE exact integer

@@ -549,6 +549,24 @@ private[graft] trait TextQueries extends QueryHelpers {
     }),
 
 
+    "eval_rouge_l" -> ((s, dir) => {
+      // ROUGE-L on the doc_id % 17 subset (the DP oracle is quadratic per
+      // pair): candidate drops every 5th token AND corrupts every 7th, so
+      // the LCS is strictly nontrivial (a pure-subsequence candidate would
+      // make lcs == cand_tokens vacuously)
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 17 === 0)
+      val toks = TextFns.tokens(col("text"))
+      val pairs = docs.select(col("doc_id"),
+        concat_ws(" ", filter(transform(toks, (tk, i) =>
+          when((i + 1) % 7 === 0, lit("zqz")).otherwise(tk)),
+          (_, i) => (i + 1) % 5 =!= 0)).as("cand"),
+        col("text").as("ref"))
+      graft.operators.Eval.rougeL(spread(pairs), "doc_id", "cand", "ref")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+
     "text_dup_ngram_chars" -> ((s, dir) => {
       // Gopher dup-trigram character occupancy: union-of-positions
       // coverage, overlapping duplicates never double-count a token
@@ -964,6 +982,40 @@ private[graft] trait TextQueries extends QueryHelpers {
   protected def textOracles: Map[String, String] = Map(
 
     "eval_bleu" -> bleuOracleSql,
+
+    // LCS replayed as the running-max row recurrence: dp_i = 0-prepended
+    // prefix-max over j of max(dp_{i-1}[j], dp_{i-1}[j-1] + eq(i, j)) —
+    // dp_i[j-1] carries through the prefix max, so no intra-row dependency
+    "eval_rouge_l" ->
+      """WITH RECURSIVE d0 AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS rw
+        |  FROM documents WHERE doc_id % 17 = 0
+        |), d AS MATERIALIZED (
+        |  SELECT doc_id, rw,
+        |    [CASE WHEN i % 7 = 0 THEN 'zqz' ELSE rw[i] END
+        |     FOR i IN range(1, len(rw) + 1) IF i % 5 != 0] AS cw
+        |  FROM d0
+        |), st(doc_id, i, dp) AS (
+        |  SELECT doc_id, 0, [CAST(0 AS BIGINT) FOR j IN range(0, len(rw) + 1)] FROM d
+        |  UNION ALL
+        |  SELECT s.doc_id, s.i + 1,
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      [list_max([greatest(s.dp[x + 1],
+        |          s.dp[x] + CASE WHEN d.rw[x] = d.cw[s.i + 1] THEN 1 ELSE 0 END)
+        |        FOR x IN range(1, j + 1)])
+        |       FOR j IN range(1, len(d.rw) + 1)])
+        |  FROM st s JOIN d ON d.doc_id = s.doc_id
+        |  WHERE s.i < len(d.cw)
+        |), fin AS (
+        |  SELECT s.doc_id, s.dp[len(d.rw) + 1] AS lcs,
+        |    CAST(len(d.cw) AS BIGINT) AS cand_tokens,
+        |    CAST(len(d.rw) AS BIGINT) AS ref_tokens
+        |  FROM st s JOIN d ON d.doc_id = s.doc_id
+        |  WHERE s.i = len(d.cw)
+        |)
+        |SELECT doc_id, CAST(lcs AS BIGINT) AS lcs, cand_tokens, ref_tokens,
+        |  CAST(lcs * 2 * 1000000 // nullif(cand_tokens + ref_tokens, 0) AS BIGINT) AS rouge_l_micro
+        |FROM fin ORDER BY doc_id""".stripMargin,
 
     "eval_chrf" -> chrfOracleSql,
 

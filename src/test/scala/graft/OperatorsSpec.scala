@@ -3419,6 +3419,21 @@ class OperatorsSpec extends SparkSuite {
       .forall(x => x.isNullAt(x.fieldIndex("bleu_log_micro"))))
   }
 
+  test("rougeL: textbook LCS values, order sensitivity, subsequence saturates precision") {
+    val d = Seq(
+      (1L, "a b c d", "a b c d"),          // identity: lcs = 4, F = 1
+      (2L, "d c b a", "a b c d"),          // reversal: lcs = 1
+      (3L, "a c", "a b c d"),              // subsequence: lcs = |cand| = 2
+      (4L, "x y z", "a b c d")             // disjoint: lcs = 0
+    ).toDF("id", "c", "r")
+    val m = Eval.rougeL(d, "id", "c", "r")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getAs[Long]("rouge_l_micro"))).toMap
+    assert(m(1L) == ((4L, 1000000L)))
+    assert(m(2L) == ((1L, 2L * 1000000 / 8)))
+    assert(m(3L) == ((2L, 2L * 2 * 1000000 / 6)))
+    assert(m(4L) == ((0L, 0L)))
+  }
+
   test("chrfComponents: identity scores exactly 1; whitespace never counts") {
     val same = Seq((1L, "ab  cd", "ab cd")).toDF("id", "c", "r") // ws-insensitive
     val r = Eval.chrfComponents(same, "id", "c", "r", maxN = 4).collect()
