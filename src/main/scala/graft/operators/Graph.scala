@@ -1040,6 +1040,65 @@ object Graph {
         sum(expr("1000000 div dist")).as("harmonic_micro"))
   }
 
+  /** Bounded-round k-TRUSS peeling — the EDGE-density analog of [[kCore]]
+    * (a node survives k-core by having enough neighbors; an edge survives
+    * the k-truss by sitting in ≥ k−2 triangles, i.e. its endpoints share
+    * enough common neighborhood). The truss isolates cohesive cores that
+    * degree alone can't: a hub-and-spoke star has high core numbers but no
+    * triangles, while a community clique is all triangles — the community/
+    * spam-core detector on similarity and interaction graphs.
+    *
+    * Each round recomputes per-edge support over the SURVIVING subgraph
+    * via the degeneracy-oriented triangle enumeration ([[triangles]]'
+    * wedge-bound trick, O(√m) fanout per node) and drops edges below
+    * k−2. Fixed `rounds` for oracle parity (the [[coreness]] contract;
+    * supports only DECREASE as edges drop, so each extra round is cheaper
+    * than the last); the loop-carried edge set is checkpoint-TRUNCATED per
+    * round — its plan would otherwise nest one full triangle-enumeration
+    * tree per round (the betweennessSeeds plan-growth lesson). Returns the
+    * surviving edges with their support recomputed on the FINAL subgraph. */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 3, "k-truss needs k >= 3 (edges must sit in k - 2 triangles)")
+    require(rounds >= 1 && rounds <= 8, "rounds in [1, 8] — fixed-round contract")
+    def ck(df: DataFrame): DataFrame = {
+      val c = Checkpoints.truncate(df)
+      Residuals.register(() => Dedup.releaseCheckpoint(c))
+      c
+    }
+    def support(und: DataFrame): DataFrame = {
+      val deg = undDegrees(und)
+      val oriented = und
+        .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+        .select(
+          when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+            struct(col("a").as("s"), col("b").as("t")))
+            .otherwise(struct(col("b").as("s"), col("a").as("t"))).as("e"))
+        .select(col("e.s").as("s"), col("e.t").as("t"))
+      val e1 = oriented.as("e1")
+      val e2 = oriented.as("e2")
+      val e3 = oriented.as("e3")
+      e1.join(e2, col("e1.t") === col("e2.s"))
+        .join(e3, col("e1.s") === col("e3.s") && col("e2.t") === col("e3.t"))
+        .select(col("e1.s").as("x"), col("e1.t").as("y"), col("e2.t").as("z"))
+        .select(explode(array(
+          struct(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b")),
+          struct(least(col("x"), col("z")).as("a"), greatest(col("x"), col("z")).as("b")),
+          struct(least(col("y"), col("z")).as("a"), greatest(col("y"), col("z")).as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+    }
+    var und = ck(normalizedUnd(edges, srcCol, dstCol))
+    for (_ <- 1 to rounds) {
+      und = ck(und.join(support(und), Seq("a", "b"), "left")
+        .filter(coalesce(col("support"), lit(0L)) >= k - 2)
+        .select(col("a"), col("b")))
+    }
+    und.join(support(und), Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("support"), lit(0L)).as("support"))
+  }
+
   /** Hop-bounded multi-source WEIGHTED shortest paths (Bellman-Ford over
     * the min-plus semiring): dist(v) = cheapest weighted path from any
     * seed within `rounds` edges — the cost-propagation axis [[bfsHops]]'s

@@ -179,6 +179,24 @@ private[graft] trait GraphQueries extends QueryHelpers {
     }),
 
 
+    "graph_ktruss" -> ((s, dir) => {
+      // 5-truss over 6-clique blocks chained by bridge edges: clique edges
+      // sit in 4 triangles (survive support >= 3), bridges in 0 (peeled
+      // round 1) — the community-core extraction degree-based k-core can't
+      // do (bridges and clique nodes can share degrees). Round 2 verifies
+      // stability at the fixpoint.
+      val sk = t(s, dir, "supplier").select(col("s_suppkey").cast("long").as("k"))
+      val blocks = sk.as("x").join(sk.as("y"),
+          expr("x.k div 6 = y.k div 6") && col("x.k") < col("y.k"))
+        .select(col("x.k").as("src"), col("y.k").as("dst"))
+      val bridges = sk.filter(col("k") % 6 === 5)
+        .select(col("k").as("src"), (col("k") + 1).as("dst"))
+        .join(sk.withColumnRenamed("k", "dst"), Seq("dst"), "left_semi")
+      graft.operators.Graph.kTruss(blocks.union(bridges), "src", "dst", k = 5, rounds = 2)
+        .orderBy(col("a"), col("b"))
+    }),
+
+
     "graph_sssp" -> ((s, dir) => {
       // weighted shortest paths (4 Bellman-Ford rounds) over the chord
       // graph with deterministic weights 1 + dst % 3, seeds every 100th
@@ -407,7 +425,50 @@ private[graft] trait GraphQueries extends QueryHelpers {
       "\nSELECT node, dist FROM d4 ORDER BY node"
   }
 
+  /** Generated k-truss oracle: per unrolled round, degrees → (deg, id)
+    * orientation → wedge-join triangles → per-edge canonical credits →
+    * support filter; final support recomputed on the surviving set. */
+  private def ktrussOracleSql: String = {
+    val rounds = 2
+    val minSup = 3 // k = 5
+    def roundCtes(i: Int): Seq[String] = Seq(
+      s"deg$i AS MATERIALIZED (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM " +
+        s"(SELECT a AS n FROM r$i UNION ALL SELECT b FROM r$i) GROUP BY 1)",
+      s"o$i AS MATERIALIZED (SELECT CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND r.a < r.b) " +
+        s"THEN r.a ELSE r.b END AS s, " +
+        s"CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND r.a < r.b) " +
+        s"THEN r.b ELSE r.a END AS t " +
+        s"FROM r$i r JOIN deg$i d1 ON d1.n = r.a JOIN deg$i d2 ON d2.n = r.b)",
+      s"tri$i AS MATERIALIZED (SELECT e1.s AS x, e1.t AS y, e2.t AS z " +
+        s"FROM o$i e1 JOIN o$i e2 ON e2.s = e1.t " +
+        s"JOIN o$i e3 ON e3.s = e1.s AND e3.t = e2.t)",
+      s"sup$i AS MATERIALIZED (SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (" +
+        s"SELECT least(x, y) AS a, greatest(x, y) AS b FROM tri$i " +
+        s"UNION ALL SELECT least(x, z), greatest(x, z) FROM tri$i " +
+        s"UNION ALL SELECT least(y, z), greatest(y, z) FROM tri$i) GROUP BY 1, 2)")
+    val ctes = scala.collection.mutable.ArrayBuffer[String](
+      "sk AS MATERIALIZED (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier)",
+      """r0 AS MATERIALIZED (
+        |  SELECT x.k AS a, y.k AS b FROM sk x JOIN sk y
+        |    ON x.k // 6 = y.k // 6 AND x.k < y.k
+        |  UNION
+        |  SELECT k, k + 1 FROM sk
+        |  WHERE k % 6 = 5 AND k + 1 IN (SELECT k FROM sk))""".stripMargin)
+    for (i <- 0 until rounds) {
+      ctes ++= roundCtes(i)
+      ctes += s"r${i + 1} AS MATERIALIZED (SELECT r.a, r.b FROM r$i r " +
+        s"LEFT JOIN sup$i s USING (a, b) WHERE COALESCE(s.support, 0) >= $minSup)"
+    }
+    ctes ++= roundCtes(rounds)
+    "WITH " + ctes.mkString(",\n") + "\n" +
+      s"""SELECT r.a, r.b, CAST(COALESCE(s.support, 0) AS BIGINT) AS support
+         |FROM r$rounds r LEFT JOIN sup$rounds s USING (a, b)
+         |ORDER BY a, b""".stripMargin
+  }
+
   protected def graphOracles: Map[String, String] = Map(
+
+    "graph_ktruss" -> ktrussOracleSql,
 
     "graph_sssp" -> ssspOracleSql,
 

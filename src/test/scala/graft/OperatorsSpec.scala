@@ -3486,6 +3486,21 @@ class OperatorsSpec extends SparkSuite {
     assert(w3.toSeq != w1.toSeq)
   }
 
+  test("kTruss: K4 survives 4-truss with pendant peeled, 5-truss empties it, stars dissolve") {
+    // K4 over {1,2,3,4} (every edge in exactly 2 triangles) + pendant 4-9
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 9L))
+      .toDF("s", "d")
+    val t4 = Graph.kTruss(k4, "s", "d", k = 4, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(t4.keySet == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    assert(t4.values.forall(_ == 2L), s"every K4 edge sits in exactly 2 triangles: $t4")
+    assert(Graph.kTruss(k4, "s", "d", k = 5, rounds = 2).isEmpty,
+      "K4 cannot satisfy support >= 3")
+    // a star has high degrees but zero triangles: any truss dissolves it
+    val star = (2L to 8L).map(v => (1L, v)).toDF("s", "d")
+    assert(Graph.kTruss(star, "s", "d", k = 3, rounds = 1).isEmpty)
+  }
+
   test("shortestPaths: cheap 2-hop beats expensive 1-hop, parallel edges take min, negatives refuse") {
     // 1 -> 3 direct costs 10; 1 -> 2 -> 3 costs 1 + 2 = 3
     val e = Seq((1L, 3L, 10L), (1L, 2L, 1L), (2L, 3L, 2L),
