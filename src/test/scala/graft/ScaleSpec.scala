@@ -51,11 +51,17 @@ class ScaleSpec extends SparkSuite {
   // greedy encode both join the corpus against the DISTINCT-WORD
   // vocabulary — growth must stay vocabulary-bounded (the BPE precedent),
   // and fertility is the same composition through the eval layer
+  // round 14 adds its three heaviest new shapes: chrF (6 char-n-gram
+  // sweeps — gram-stream-linear, never pairwise), ROUGE-L (quadratic
+  // PER PAIR in the JITed kernel but linear in pairs), and seed-set
+  // betweenness (O(seeds × reach) frontier joins — the truncation fix
+  // must keep it linear, not just fast once)
   for (q <- Seq("basket_part_pairs", "text_token_pmi", "dedup_spans", "graph_triangles",
       "knn_pq", "text_bpe_encode", "graph_kcore", "dedup_winnow_pairs",
       "emb_covariance", "graph_common_neighbors",
       "mm_phash_pairs", "text_collocations_llr",
-      "text_unigram_encode", "eval_tokenizer_fertility"))
+      "text_unigram_encode", "eval_tokenizer_fertility",
+      "eval_chrf", "eval_rouge_l", "graph_betweenness"))
     test(s"$q wall-time grows at most ~linearly from sf0.01 to sf0.1") {
       run(q, small) // warmup: codegen + JIT + class-load outside the clock
       val tSmall = timeMinOf2(q, small)
