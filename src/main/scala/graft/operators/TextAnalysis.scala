@@ -184,6 +184,52 @@ object TextAnalysis {
       .select(col("w1"), col("rnk"), col("w2"), col("c12"), col("c1"), col("p_micro"))
   }
 
+  /** Interpolated Kneser–Ney bigram probabilities — THE canonical n-gram
+    * smoothing (add-one over-discounts frequent heads and ignores
+    * continuation diversity; KN backs off to how many CONTEXTS a word
+    * completes, which is why "francisco" scores low outside "san _"):
+    * P(w2|w1) = max(c12−D, 0)/c1 + D·N1+(w1·)/c1 · N1+(·w2)/N1+(··).
+    * With discount D = 3/4 everything scales by 4 into exact integers —
+    * p_micro = (max(4·c12−3, 0)·Ncc + 3·N1h·N1c) · 1e6 div (4·c1·Ncc) —
+    * so the trained model hash-matches its SQL re-derivation. The
+    * interpolated mass telescopes: Σ_w2 P(w2|w1) = 1 exactly in the
+    * unquantized algebra (spec-pinned within quantization slack).
+    *
+    * Overflow bound (refused loudly, not wrapped): the numerator needs
+    * 4·c12·Ncc·1e6 < 2^63 and the denominator 4·c1·Ncc·1 — both checked
+    * against max(c12) and the distinct-bigram count Ncc in one metadata
+    * aggregate; pre-shard corpora beyond ~c12·Ncc = 2e12 (a vocabulary
+    * knob, not a corpus-size one).
+    *
+    * Shape: one pair-stream aggregate (vocabulary²-bounded), three
+    * vocabulary-sized marginals joined back — broadcastable at any corpus
+    * size. Output per seen bigram: (w1, w2, c12, c1, n1h, n1c, p_micro). */
+  def bigramKneserNey(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = TextFns.tokens(col(textCol))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val pairsArr = zip_with(
+      slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+      (x, y) => struct(x.as("w1"), y.as("w2")))
+    val c12 = docs.select(explode(pairsArr).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .transform(Residuals.persist)
+    val meta = c12.agg(max(col("c12")), count(lit(1)), sum(col("c12"))).head()
+    val (cMax, ncc) = (meta.getLong(0), meta.getLong(1))
+    require(BigInt(4) * cMax * ncc * 1000000 < BigInt(Long.MaxValue) &&
+      BigInt(4) * meta.getLong(2) * ncc < BigInt(Long.MaxValue),
+      s"bigramKneserNey: max(c12)=$cMax x distinct bigrams=$ncc overflows the exact " +
+        "integer numerator — shard the corpus or prune the vocabulary first")
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val n1h = c12.groupBy(col("w1")).agg(count(lit(1)).as("n1h"))   // N1+(w1·)
+    val n1c = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1c"))   // N1+(·w2)
+    c12.join(c1, "w1").join(n1h, "w1").join(n1c, "w2")
+      .withColumn("p_micro", expr(
+        s"(greatest(4 * c12 - 3, 0) * $ncc + 3 * n1h * n1c) * 1000000 div (4 * c1 * $ncc)"))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        col("n1h"), col("n1c"), col("p_micro"))
+  }
+
   /** Per-document bigram log-probability under the corpus's add-one-
     * smoothed bigram LM — the document-level predictability score whose
     * exponential is perplexity; low log-prob = atypical/garbled/

@@ -549,6 +549,15 @@ private[graft] trait TextQueries extends QueryHelpers {
     }),
 
 
+    "text_bigram_kn" -> ((s, dir) => {
+      // interpolated Kneser-Ney bigram LM over the corpus — the canonical
+      // smoothing trained in-engine, every probability an exact integer
+      // in quarters (D = 3/4); full seen-bigram table, totally ordered
+      TextAnalysis.bigramKneserNey(t(s, dir, "documents"), "text")
+        .orderBy(col("w1"), col("w2"))
+    }),
+
+
     "eval_rouge_l" -> ((s, dir) => {
       // ROUGE-L on the doc_id % 17 subset (the DP oracle is quadratic per
       // pair): candidate drops every 5th token AND corrupts every 7th, so
@@ -982,6 +991,25 @@ private[graft] trait TextQueries extends QueryHelpers {
   protected def textOracles: Map[String, String] = Map(
 
     "eval_bleu" -> bleuOracleSql,
+
+    "text_bigram_kn" ->
+      """WITH toks AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), prs AS (
+        |  SELECT unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+        |  FROM toks WHERE len(w) >= 2
+        |), c12 AS MATERIALIZED (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM prs GROUP BY 1, 2
+        |), ncc AS (SELECT CAST(count(*) AS BIGINT) AS ncc FROM c12),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+        |n1h AS (SELECT w1, CAST(count(*) AS BIGINT) AS n1h FROM c12 GROUP BY 1),
+        |n1c AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1c FROM c12 GROUP BY 1)
+        |SELECT b.w1, b.w2, b.c12, c1.c1, n1h.n1h, n1c.n1c,
+        |  (greatest(4 * b.c12 - 3, 0) * (SELECT ncc FROM ncc)
+        |    + 3 * n1h.n1h * n1c.n1c) * 1000000
+        |    // (4 * c1.c1 * (SELECT ncc FROM ncc)) AS p_micro
+        |FROM c12 b JOIN c1 USING (w1) JOIN n1h USING (w1) JOIN n1c USING (w2)
+        |ORDER BY w1, w2""".stripMargin,
 
     // LCS replayed as the running-max row recurrence: dp_i = 0-prepended
     // prefix-max over j of max(dp_{i-1}[j], dp_{i-1}[j-1] + eq(i, j)) —

@@ -3419,6 +3419,22 @@ class OperatorsSpec extends SparkSuite {
       .forall(x => x.isNullAt(x.fieldIndex("bleu_log_micro"))))
   }
 
+  test("bigramKneserNey: hand-computed probabilities exact, seen mass telescopes to 1") {
+    // corpus "a a b a b b": c12 = {aa:1, ab:2, ba:1, bb:1}, c1 = {a:3, b:2},
+    // N1+(a.) = N1+(b.) = 2, N1+(.a) = N1+(.b) = 2, Ncc = 4
+    val d = Seq((1L, "a a b a b b")).toDF("doc_id", "text")
+    val m = TextAnalysis.bigramKneserNey(d, "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("p_micro")).toMap
+    assert(m(("a", "a")) == 333333L) // (1*4 + 12)e6 div 48
+    assert(m(("a", "b")) == 666666L) // (5*4 + 12)e6 div 48
+    assert(m(("b", "a")) == 500000L) // (1*4 + 12)e6 div 32
+    assert(m(("b", "b")) == 500000L)
+    // every continuation seen for both heads => per-head seen mass
+    // telescopes to exactly 1 within truncation slack (< 1 micro per term)
+    assert(m(("a", "a")) + m(("a", "b")) >= 999998L)
+    assert(m(("b", "a")) + m(("b", "b")) >= 999998L)
+  }
+
   test("rougeL: textbook LCS values, order sensitivity, subsequence saturates precision") {
     val d = Seq(
       (1L, "a b c d", "a b c d"),          // identity: lcs = 4, F = 1
