@@ -1041,6 +1041,64 @@ object Behavior {
     rows.toDF("event_type", "hr", "n", "ewma_prev_milli", "ewma_milli", "flag")
   }
 
+  /** Two-sided CUSUM control chart over per-type hourly volumes — the
+    * mean-SHIFT-onset detector beside [[ewmaAnomaly]] (point breaks),
+    * [[hourlySpikes]] (window breaks) and [[burstDetect]] (regime decode):
+    * CUSUM accumulates small sustained deviations that never individually
+    * break a threshold, catching slow drifts days before a point alarm.
+    * S⁺_t = max(0, S⁺_{t−1} + x_t·1000 − μ_milli − k_milli) and the
+    * mirrored S⁻ for drops, flag +1/−1 while the side exceeds
+    * h = `hFactor`·μ_milli (signed — the outage-vs-surge rule). Slack
+    * k = μ_milli div `kDiv` (classic k ≈ shift/2). All integer milli
+    * units: +, −, max only — no division in the recurrence, so the fold
+    * hash-matches its recursive-CTE twin exactly.
+    *
+    * Same capped driver-fold contract as [[ewmaAnomaly]]/[[burstDetect]]:
+    * per-series sequential state over the dense hourly grid, collected
+    * under `maxGridRows` with a loud refusal. Output
+    * (event_type, hr, n, s_plus_milli, s_minus_milli, flag). */
+  def cusumShift(events: DataFrame, typeCol: String, tsCol: String,
+      kDiv: Long = 4L, hFactor: Long = 4L,
+      maxGridRows: Int = 2000000): DataFrame = {
+    require(kDiv >= 1, "kDiv must be positive")
+    require(hFactor >= 1, "hFactor must be positive")
+    require(maxGridRows >= 1, "maxGridRows must be positive")
+    val spark = events.sparkSession
+    val collected = events.select(col(typeCol).as("t"),
+        expr(s"unix_micros($tsCol) div 3600000000").as("hr"))
+      .groupBy(col("t"), col("hr")).agg(count(lit(1)).as("n"))
+      .limit(maxGridRows + 1)
+      .collect()
+    require(collected.length <= maxGridRows,
+      s"cusumShift: hourly (type, hour) aggregate exceeds maxGridRows=$maxGridRows " +
+        "driver rows — bucket the type column or split the time range")
+    val hourly = collected.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val gridRows = hourly.valuesIterator
+      .map { rs => rs.map(_._2).max - rs.map(_._2).min + 1 }.sum
+    require(gridRows <= maxGridRows,
+      s"cusumShift: dense per-type hour grid is $gridRows rows (> maxGridRows=" +
+        s"$maxGridRows) — bucket types or split the time range")
+    val rows = hourly.toSeq.sortBy(_._1).flatMap { case (t, rs) =>
+      val byHr = rs.map(r => r._2 -> r._3).toMap
+      val (h0, h1) = (rs.map(_._2).min, rs.map(_._2).max)
+      val xs = (h0 to h1).map(hr => byHr.getOrElse(hr, 0L))
+      val muM = xs.sum * 1000L / xs.length
+      val kM = muM / kDiv
+      val hM = hFactor * muM
+      var sp = 0L
+      var sm = 0L
+      xs.zipWithIndex.map { case (x, i) =>
+        sp = math.max(0L, sp + x * 1000L - muM - kM)
+        sm = math.max(0L, sm + muM - kM - x * 1000L)
+        val flag = if (sp > hM) 1L else if (sm > hM) -1L else 0L
+        (t, h0 + i, x, sp, sm, flag)
+      }
+    }
+    import spark.implicits._
+    rows.toDF("event_type", "hr", "n", "s_plus_milli", "s_minus_milli", "flag")
+  }
+
   /** Kleinberg-style burst detection over per-type hourly volumes: a
     * 2-state (base rate λ0, burst rate `burstFactor`·λ0) Viterbi decode
     * under Poisson negative log-likelihood — the INTERVAL-level burst

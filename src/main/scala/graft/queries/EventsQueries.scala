@@ -318,6 +318,15 @@ private[graft] trait EventsQueries extends QueryHelpers {
     }),
 
 
+    "events_cusum" -> ((s, dir) => {
+      // two-sided CUSUM mean-shift chart: sustained small deviations
+      // accumulate where point alarms stay silent; pure integer milli
+      // recurrence (max/+/- only), recursive-CTE twin
+      graft.operators.Behavior.cusumShift(events(s, dir), "event_type", "ts")
+        .orderBy(col("event_type"), col("hr"))
+    }),
+
+
     "events_bursts" -> ((s, dir) => {
       // Kleinberg 2-state burst decode over per-type hourly volumes:
       // interval-level burst labeling (one gamma per burst entry), exact
@@ -1072,6 +1081,44 @@ private[graft] trait EventsQueries extends QueryHelpers {
         |  CAST(max(abs(n2*cum1 - n1*cum2)) AS DOUBLE)
         |    / CAST(max(n1) * max(n2) AS DOUBLE) AS ks_d
         |FROM cum""".stripMargin,
+
+
+    "events_cusum" ->
+      """WITH RECURSIVE hourly AS MATERIALIZED (
+        |  SELECT event_type AS t, epoch_us(ts) // 3600000000 AS hr,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), bounds AS MATERIALIZED (SELECT t, min(hr) AS h0, max(hr) AS h1 FROM hourly GROUP BY 1),
+        |g(off) AS (
+        |  SELECT CAST(0 AS BIGINT)
+        |  UNION ALL
+        |  SELECT off + 1 FROM g WHERE off + 1 <= (SELECT max(h1 - h0) FROM bounds)
+        |),
+        |grid AS MATERIALIZED (
+        |  SELECT b.t, b.h0 + g.off AS hr, g.off AS i, COALESCE(h.n, 0) AS x
+        |  FROM bounds b JOIN g ON b.h0 + g.off <= b.h1
+        |  LEFT JOIN hourly h ON h.t = b.t AND h.hr = b.h0 + g.off
+        |), mu AS MATERIALIZED (
+        |  SELECT t, CAST(sum(x) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT) AS mu_m
+        |  FROM grid GROUP BY 1
+        |), cs(t, i, hr, x, sp, sm) AS (
+        |  SELECT g.t, g.i, g.hr, g.x,
+        |    greatest(0, g.x * 1000 - m.mu_m - m.mu_m // 4),
+        |    greatest(0, m.mu_m - m.mu_m // 4 - g.x * 1000)
+        |  FROM grid g JOIN mu m ON m.t = g.t WHERE g.i = 0
+        |  UNION ALL
+        |  SELECT g.t, g.i, g.hr, g.x,
+        |    greatest(0, c.sp + g.x * 1000 - m.mu_m - m.mu_m // 4),
+        |    greatest(0, c.sm + m.mu_m - m.mu_m // 4 - g.x * 1000)
+        |  FROM cs c JOIN grid g ON g.t = c.t AND g.i = c.i + 1
+        |  JOIN mu m ON m.t = g.t
+        |)
+        |SELECT c.t AS event_type, CAST(c.hr AS BIGINT) AS hr, c.x AS n,
+        |  CAST(c.sp AS BIGINT) AS s_plus_milli, CAST(c.sm AS BIGINT) AS s_minus_milli,
+        |  CAST(CASE WHEN c.sp > 4 * m.mu_m THEN 1
+        |            WHEN c.sm > 4 * m.mu_m THEN -1 ELSE 0 END AS BIGINT) AS flag
+        |FROM cs c JOIN mu m ON m.t = c.t
+        |ORDER BY event_type, hr""".stripMargin,
 
 
     "events_bursts" ->

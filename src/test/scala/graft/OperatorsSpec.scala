@@ -3326,6 +3326,31 @@ class OperatorsSpec extends SparkSuite {
     assert(r(2L)._3 + r(2L)._5 == r(1L)._1)
   }
 
+  test("cusumShift: sustained surge/outage accumulate to signed flags, constant stays silent") {
+    val ts0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def hr(h: Long, i: Int) = java.sql.Timestamp.from(ts0.plusSeconds(h * 3600L + i))
+    def blk(t: String, h: Long, n: Int) = (0 until n).map(i => (t, hr(h, i)))
+    val h0 = ts0.getEpochSecond / 3600
+    val ev = (
+      (0L to 23L).flatMap(h => blk("steady", h, 10)) ++
+      // surge: mu = 15, accrual (40 - 18.75)k/hr crosses h = 60k in hour 3
+      (0L to 19L).flatMap(h => blk("surgy", h, 10)) ++
+      (20L to 23L).flatMap(h => blk("surgy", h, 40)) ++
+      // outage: 12 h at 10 then 12 dark hours -> mu = 5, S- crosses 20k
+      (0L to 11L).flatMap(h => blk("dark", h, 10)) ++ blk("dark", 23L, 1)
+    ).toDF("event_type", "ts")
+    val r = Behavior.cusumShift(ev, "event_type", "ts")
+      .collect().map(x => (x.getString(0), x.getAs[Long]("hr") - h0) -> x.getAs[Long]("flag")).toMap
+    (0L to 23L).foreach(h => assert(r(("steady", h)) == 0L))
+    assert(r(("surgy", 23L)) == 1L, "the accumulated surge must flag +1")
+    assert(r(("surgy", 5L)) == 0L, "pre-shift hours stay silent")
+    assert((12L to 22L).exists(h => r(("dark", h)) == -1L),
+      "the sustained outage must flag -1 somewhere in the dark stretch")
+    val ex = intercept[IllegalArgumentException](
+      Behavior.cusumShift(ev, "event_type", "ts", maxGridRows = 8))
+    assert(ex.getMessage.contains("maxGridRows"))
+  }
+
   test("burstDetect: burst block labeled as one interval, constant series all-base, cap refuses") {
     val ts0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
     def hr(h: Long, i: Int) = java.sql.Timestamp.from(ts0.plusSeconds(h * 3600L + i))
