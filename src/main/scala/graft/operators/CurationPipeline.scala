@@ -53,7 +53,8 @@ object CurationPipeline {
     "filter_lm" -> Set("min_avg_micro"),
     "k_anonymity" -> Set("quasi_id", "k"),
     "extract_html" -> Set("max_link_density_permille"),
-    "filter_url" -> Set("url_col", "blocked_domains", "blocked_keywords"))
+    "filter_url" -> Set("url_col", "blocked_domains", "blocked_keywords"),
+    "filter_gopher" -> Set("min_words", "max_words"))
 
   /** Parameters that must be present (filter_length's bounds are each
     * optional — one of them alone is meaningful; extract_html's density
@@ -118,6 +119,10 @@ object CurationPipeline {
           errors += s"steps[$i]: filter_url keywords must be lowercase alphanumeric tokens"
         case "k_anonymity" if n.path("k").asLong(0L) <= 0L =>
           errors += s"steps[$i]: k_anonymity needs k > 0"
+        case "filter_gopher"
+            if n.path("min_words").asLong(20L) <= 0L ||
+              n.path("max_words").asLong(100000L) < n.path("min_words").asLong(20L) =>
+          errors += s"steps[$i]: filter_gopher needs 0 < min_words <= max_words"
         case _ => ()
       }
       Step(op, params)
@@ -177,6 +182,15 @@ object CurationPipeline {
             .filter(col("logprob_scaled").isNull ||
               col("logprob_scaled") >= lit(mn) * col("n_bigrams"))
             .drop("n_bigrams", "logprob_scaled")
+        case "filter_gopher" =>
+          // the full Gopher rule battery as one pipeline gate: word-count
+          // band, mean-word-length band, alphabetic share, stopword
+          // evidence — all integer signals, keep == every rule passing
+          val lo = s.params.get("min_words").map(_.asLong()).getOrElse(20L)
+          val hi = s.params.get("max_words").map(_.asLong()).getOrElse(100000L)
+          val kept = TextAnalysis.gopherQuality(df, idCol, textCol, lo, hi)
+            .filter(col("keep") === 1L).select(col(idCol))
+          df.join(kept, Seq(idCol), "left_semi")
         case "filter_repetition" =>
           // drop docs whose duplicate-bigram share exceeds the threshold —
           // integer per-mille comparison, no float in the gate condition

@@ -234,6 +234,21 @@ private[graft] trait CurationQueries extends QueryHelpers {
         .orderBy(col("doc_id"))
     }),
 
+    "curation_pipeline_gopher" -> ((s, dir) => {
+      // the full Gopher rule battery as a YAML gate (word band tightened
+      // so both keep and drop branches fire on this corpus), chained with
+      // a length floor — the standard pre-filter front half
+      val pipelineYaml =
+        """steps:
+          |  - { op: filter_gopher, min_words: 25, max_words: 70 }
+          |  - { op: filter_length, min_chars: 120 }
+          |""".stripMargin
+      graft.operators.CurationPipeline.runYaml(
+        t(s, dir, "documents"), "doc_id", "text", pipelineYaml)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     "curation_pipeline_lm" -> ((s, dir) => {
       // the CCNet-style LM gate through the YAML pipeline compiler: docs
       // below -3.39 nats/bigram under the frame's own bigram LM are
@@ -1410,6 +1425,31 @@ private[graft] trait CurationQueries extends QueryHelpers {
 
     // LM scores re-derived (the text_bigram_perplexity CTEs), integer
     // threshold; zero-bigram docs kept via the left join's NULL
+    "curation_pipeline_gopher" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, source, n_chars, text,
+        |    regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents
+        |), sig AS (
+        |  SELECT doc_id, lang, source, n_chars, text,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(list_sum([length(x) FOR x IN w]) AS BIGINT) AS sum_wlen,
+        |    CAST(len([x FOR x IN w IF regexp_matches(x, '[a-zA-Z]')]) AS BIGINT) AS alpha_words,
+        |    CAST(len([x FOR x IN w IF x IN ('the','a','an','and','of','to','in','is')]) AS BIGINT) AS stop_hits
+        |  FROM toks
+        |), m AS (
+        |  SELECT doc_id, lang, source, n_chars, text, n_words, stop_hits,
+        |    sum_wlen * 1000 // nullif(n_words, 0) AS mean_wlen_milli,
+        |    alpha_words * 1000 // nullif(n_words, 0) AS alpha_permille
+        |  FROM sig
+        |)
+        |SELECT doc_id, lang, source, n_chars FROM m
+        |WHERE COALESCE(n_words BETWEEN 25 AND 70
+        |    AND mean_wlen_milli BETWEEN 3000 AND 10000
+        |    AND alpha_permille >= 800 AND stop_hits >= 2, FALSE)
+        |  AND length(text) >= 120
+        |ORDER BY doc_id""".stripMargin,
+
     "curation_pipeline_lm" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents

@@ -433,6 +433,13 @@ class CurationSpec extends SparkSuite {
     assert(e2.errors.exists(_.contains("steps[0]: filter_repetition needs max_dup_permille")))
     assert(e2.errors.exists(_.contains("steps[1]: k_anonymity needs a non-empty")))
     assert(e2.errors.exists(_.contains("steps[2]: k_anonymity needs k > 0")))
+    // filter_gopher (r14): inverted word bounds refuse up front
+    val badGopher =
+      """steps:
+        |  - { op: filter_gopher, min_words: 50, max_words: 10 }
+        |""".stripMargin
+    val e3 = intercept[CurationPipeline.PipelineException](CurationPipeline.parse(badGopher))
+    assert(e3.errors.exists(_.contains("filter_gopher needs 0 < min_words <= max_words")))
     // k_anonymity composition: pipeline == manual anti-join on violations
     val privYaml =
       """steps:
