@@ -516,4 +516,58 @@ object Sampling {
       .filter(col("y") === col("ymax"))
       .select(col(idCol), col("x"), col("y"))
   }
+
+  /** Greedy maximum-coverage selection — the COVERAGE axis of data
+    * selection beside [[graft.operators.Similarity.kcenterSelect]]'s
+    * diversity and [[dsirSelect]]'s importance: pick `k` documents that
+    * together cover the most distinct vocabulary (the classic (1−1/e)
+    * greedy for submodular coverage — eval-set construction, probe-corpus
+    * picking, "which docs teach the most new words"). Deterministic:
+    * argmax ties break toward the smaller id.
+    *
+    * Each of the k rounds is one anti-join of the (doc, token) stream
+    * against the covered-token set + one count aggregate + a TakeOrdered(1)
+    * collect — O(k · stream) with driver state of ONE row per round; the
+    * covered set is a token-domain-sized DataFrame, checkpoint-truncated
+    * per round (its union chain would otherwise nest k plans deep). Output
+    * (round, doc_id, gain, covered_total); already-selected docs are
+    * excluded so gains are strictly the marginal coverage. */
+  def coverageSelect(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    require(k >= 1 && k <= 64, "k in [1, 64] — one driver round per pick")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col(idCol).cast("long").as("id"),
+        explode(array_distinct(graft.functions.TextFns.tokens(col(textCol)))).as("tok"))
+      .transform(Residuals.persist)
+    def ck(df: DataFrame): DataFrame = {
+      val c = Checkpoints.truncate(df)
+      Residuals.register(() => Dedup.releaseCheckpoint(c))
+      c
+    }
+    var covered = spark.range(0).select(col("id").cast("string").as("tok"))
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var total = 0L
+    var r = 1
+    while (r <= k) {
+      val gains = toks
+        .filter(if (picked.isEmpty) lit(true) else !col("id").isin(picked.toSeq: _*))
+        .join(covered, Seq("tok"), "left_anti")
+        .groupBy(col("id")).agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("id").asc)
+        .limit(1).collect()
+      if (gains.isEmpty) r = k + 1 // every remaining doc fully covered: stop
+      else {
+        val (id, gain) = (gains(0).getLong(0), gains(0).getLong(1))
+        total += gain
+        out += ((r.toLong, id, gain, total))
+        picked += id
+        covered = ck(covered
+          .union(toks.filter(col("id") === id).select(col("tok"))).distinct())
+        r += 1
+      }
+    }
+    out.toSeq.toDF("round", "doc_id", "gain", "covered_total")
+  }
 }

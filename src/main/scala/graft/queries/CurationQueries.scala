@@ -234,6 +234,18 @@ private[graft] trait CurationQueries extends QueryHelpers {
         .orderBy(col("doc_id"))
     }),
 
+    "sample_coverage" -> ((s, dir) => {
+      // greedy maximum-coverage pick of 5 docs — the coverage axis of data
+      // selection beside k-center's diversity and DSIR's importance. The
+      // covered "vocabulary" is word BIGRAMS (the corpus's 31-unigram
+      // vocabulary saturates in one pick — a vacuous gate); oracle unrolls
+      // all 5 argmax rounds (the kcenter precedent)
+      val bi = docsAsBigrams(s, dir).filter(length(col("btext")) > 0)
+      graft.operators.Sampling.coverageSelect(spread(bi), "doc_id", "btext", k = 5)
+        .orderBy(col("round"))
+    }),
+
+
     "curation_pipeline_gopher" -> ((s, dir) => {
       // the full Gopher rule battery as a YAML gate (word band tightened
       // so both keep and drop branches fire on this corpus), chained with
@@ -634,6 +646,50 @@ private[graft] trait CurationQueries extends QueryHelpers {
         s"SELECT CAST($r AS BIGINT) AS round, CAST($dim AS BIGINT) AS dim, " +
           s"w$dim AS w, nm AS n_miss FROM r$r"))
         .mkString("\n", "\nUNION ALL ", "\nORDER BY round, dim")
+  }
+
+  /** Documents re-tokenized as underscore-joined word BIGRAMS (one space-
+    * separated pseudo-text), so coverage selection runs over a vocabulary
+    * large enough to need several picks. */
+  private def docsAsBigrams(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    t(s, dir, "documents").select(col("doc_id"),
+      concat_ws(" ", zip_with(
+        slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+        (x, y) => concat(x, lit("_"), y))).as("btext"))
+  }
+
+  /** Generated greedy max-coverage oracle: k unrolled argmax rounds, each
+    * counting tokens outside the prior covered set (kcenter precedent). */
+  private def coverageOracleSql: String = {
+    val k = 5
+    val ctes = scala.collection.mutable.ArrayBuffer[String](
+      """w0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |toks AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [w[i] || '_' || w[i+1] FOR i IN range(1, len(w))])) AS tok
+        |  FROM w0 WHERE len(w) >= 2)""".stripMargin)
+    for (r <- 1 to k) {
+      val conds = scala.collection.mutable.ArrayBuffer.empty[String]
+      if (r > 1) {
+        conds += s"t.doc_id NOT IN (${(1 until r).map(i => s"SELECT doc_id FROM s$i")
+          .mkString(" UNION ALL ")})"
+        conds += s"NOT EXISTS (SELECT 1 FROM cov${r - 1} c WHERE c.tok = t.tok)"
+      }
+      val where = if (conds.isEmpty) "" else " WHERE " + conds.mkString(" AND ")
+      ctes += s"g$r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain FROM toks t$where GROUP BY 1)"
+      ctes += s"s$r AS MATERIALIZED (SELECT doc_id, gain FROM g$r ORDER BY gain DESC, doc_id ASC LIMIT 1)"
+      ctes += s"cov$r AS MATERIALIZED (SELECT DISTINCT tok FROM (" +
+        (if (r == 1) "" else s"SELECT tok FROM cov${r - 1} UNION ALL ") +
+        s"SELECT tok FROM toks WHERE doc_id = (SELECT doc_id FROM s$r)))"
+    }
+    "WITH " + ctes.mkString(",\n") + "\n" +
+      s"""SELECT CAST(r AS BIGINT) AS round, doc_id, gain,
+         |  CAST(sum(gain) OVER (ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING
+         |    AND CURRENT ROW) AS BIGINT) AS covered_total
+         |FROM (${(1 to k).map(i => s"SELECT $i AS r, doc_id, gain FROM s$i").mkString(" UNION ALL ")})
+         |ORDER BY round""".stripMargin
   }
 
   protected def curationOracles: Map[String, String] = Map(
@@ -1425,6 +1481,8 @@ private[graft] trait CurationQueries extends QueryHelpers {
 
     // LM scores re-derived (the text_bigram_perplexity CTEs), integer
     // threshold; zero-bigram docs kept via the left join's NULL
+    "sample_coverage" -> coverageOracleSql,
+
     "curation_pipeline_gopher" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, source, n_chars, text,

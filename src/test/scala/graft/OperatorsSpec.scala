@@ -3444,6 +3444,20 @@ class OperatorsSpec extends SparkSuite {
       .forall(x => x.isNullAt(x.fieldIndex("bleu_log_micro"))))
   }
 
+  test("coverageSelect: greedy picks by marginal gain, ties to smaller id, stops when dry") {
+    val d = Seq(
+      (1L, "a b c d e"),  // 5 new tokens — picked first
+      (2L, "a b c"),      // fully covered after pick 1
+      (3L, "a b x y"),    // gain 2 after pick 1
+      (4L, "x y"),        // covered after pick 2
+      (5L, "z z z")       // gain 1
+    ).toDF("doc_id", "text")
+    val r = Sampling.coverageSelect(d, "doc_id", "text", k = 5)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq((1L, 1L, 5L, 5L), (2L, 3L, 2L, 7L), (3L, 5L, 1L, 8L)),
+      s"greedy trajectory: ${r.toSeq} — stops once every remaining doc is covered")
+  }
+
   test("bigramKneserNey: hand-computed probabilities exact, seen mass telescopes to 1") {
     // corpus "a a b a b b": c12 = {aa:1, ab:2, ba:1, bb:1}, c1 = {a:3, b:2},
     // N1+(a.) = N1+(b.) = 2, N1+(.a) = N1+(.b) = 2, Ncc = 4
