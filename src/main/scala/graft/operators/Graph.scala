@@ -1076,6 +1076,7 @@ object Graph {
             struct(col("a").as("s"), col("b").as("t")))
             .otherwise(struct(col("b").as("s"), col("a").as("t"))).as("e"))
         .select(col("e.s").as("s"), col("e.t").as("t"))
+        .transform(Residuals.persist) // three self-join legs read it per call
       val e1 = oriented.as("e1")
       val e2 = oriented.as("e2")
       val e3 = oriented.as("e3")

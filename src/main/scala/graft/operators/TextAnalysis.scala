@@ -215,6 +215,7 @@ object TextAnalysis {
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
       .transform(Residuals.persist)
     val meta = c12.agg(max(col("c12")), count(lit(1)), sum(col("c12"))).head()
+    require(!meta.isNullAt(0), "bigramKneserNey: corpus has no bigrams")
     val (cMax, ncc) = (meta.getLong(0), meta.getLong(1))
     require(BigInt(4) * cMax * ncc * 1000000 < BigInt(Long.MaxValue) &&
       BigInt(4) * meta.getLong(2) * ncc < BigInt(Long.MaxValue),
