@@ -1232,6 +1232,73 @@ object Multimodal {
     StructField("n_px", LongType, nullable = false),
     StructField("mean_luma_milli", LongType, nullable = false)))
 
+  /** Sharpness/blur moments: the 5-point Laplacian response over the
+    * 601-luma (milli) grid, interior pixels only — Laplacian VARIANCE is
+    * the classic blur detector (blur kills edges, so the second derivative
+    * collapses toward 0; a corpus of decode-garbled or out-of-focus images
+    * scores near zero). Emitted as exact integer moments (n, Σlap, Σlap²)
+    * so the variance derives downstream and the statistic hash-matches the
+    * oracle's pixel-formula recomputation. |lap| ≤ 4·255000 ⇒ lap² ≤
+    * ~1.05e12 — the Σlap² long bound holds to ~8.7e6 interior pixels per
+    * image (a 3000×3000 frame). */
+  def bmpLaplacian(bytes: Array[Byte]): (Long, Long, Long, Long, Long) = {
+    val hdr = bmpHeader(bytes)
+    val w = hdr.width
+    val h = hdr.height
+    val lum = new Array[Long](w * h)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (hdr.bottomUp) h - 1 - y else y
+      val rowOff = hdr.pixelOff + srcRow * hdr.stride
+      var x = 0
+      while (x < w) {
+        val o = rowOff + 3 * x
+        val b = bytes(o) & 0xff
+        val g = bytes(o + 1) & 0xff
+        val r = bytes(o + 2) & 0xff
+        lum(y * w + x) = 299L * r + 587L * g + 114L * b
+        x += 1
+      }
+      y += 1
+    }
+    var n = 0L
+    var s1 = 0L
+    var s2 = 0L
+    y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        val lap = 4L * lum(y * w + x) - lum(y * w + x - 1) - lum(y * w + x + 1) -
+          lum((y - 1) * w + x) - lum((y + 1) * w + x)
+        n += 1L
+        s1 += lap
+        s2 += lap * lap
+        x += 1
+      }
+      y += 1
+    }
+    (w.toLong, h.toLong, n, s1, s2)
+  }
+
+  val BmpBlurSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("n_int", LongType, nullable = false),
+    StructField("sum_lap", LongType, nullable = false),
+    StructField("sum_lap2", LongType, nullable = false)))
+
+  /** Partition-batched Laplacian blur moments over a BMP binary column. */
+  def blurScoreBmp(withPayload: DataFrame, idCol: String): DataFrame = {
+    val spark = withPayload.sparkSession
+    val rdd = withPayload.select(col(idCol).cast("long"), col("payload")).rdd
+      .mapPartitions(_.map { r =>
+        val (w, h, n, s1, s2) = bmpLaplacian(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), w, h, n, s1, s2)
+      })
+    spark.createDataFrame(rdd, BmpBlurSchema)
+  }
+
   /** Partition-batched patch grids over a BMP binary column. */
   def patchifyBmp(withPayload: DataFrame, idCol: String, patch: Int = 8): DataFrame = {
     val spark = withPayload.sparkSession

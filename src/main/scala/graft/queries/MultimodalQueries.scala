@@ -231,6 +231,16 @@ private[graft] trait MultimodalQueries extends QueryHelpers {
     }),
 
 
+    "mm_blur_scores" -> ((s, dir) => {
+      // blur detection: 5-point Laplacian moments over the interior luma
+      // grid — Laplacian variance collapses toward 0 on blurred/garbled
+      // frames; bytes-side decode vs the oracle's pixel-formula recompute
+      Multimodal.blurScoreBmp(
+        Multimodal.bmpFixtures(spread(t(s, dir, "documents")), "doc_id"), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+
     "mm_patchify" -> ((s, dir) => {
       // ViT ingest front half: 8x8 patch grid per BMP, per-tile pixel count
       // and truncating-mean 601 luma (milli) — bytes-side decode vs the
@@ -436,10 +446,36 @@ private[graft] trait MultimodalQueries extends QueryHelpers {
        |  CAST(sum((oy + 1) * rh) AS BIGINT) AS wsum_r
        |FROM rgb GROUP BY 1, 2, 3, 4, 5 ORDER BY doc_id""".stripMargin
 
+  /** Laplacian-moments oracle generated from the fixture pixel formula:
+    * lm at the five stencil positions, interior pixels only. */
+  private def blurOracleSql: String = {
+    def lm(xe: String, ye: String): String =
+      s"(299 * ((($xe) + 3 * ($ye) + doc_id) % 256)" +
+        s" + 587 * ((2 * ($xe) + ($ye)) % 256)" +
+        s" + 114 * ((($xe) + ($ye) + doc_id) % 256))"
+    val lap = s"(4 * ${lm("x", "y")} - ${lm("x - 1", "y")} - ${lm("x + 1", "y")}" +
+      s" - ${lm("x", "y - 1")} - ${lm("x", "y + 1")})"
+    s"""WITH px AS (
+       |  SELECT doc_id, x.range AS x, y.range AS y,
+       |    8 + doc_id % 25 AS w, 8 + (doc_id * 7) % 25 AS h
+       |  FROM documents CROSS JOIN range(0, 32) x CROSS JOIN range(0, 32) y
+       |  WHERE x.range < 8 + doc_id % 25 AND y.range < 8 + (doc_id * 7) % 25
+       |), lap AS (
+       |  SELECT doc_id, w, h, $lap AS lap
+       |  FROM px WHERE x >= 1 AND x < w - 1 AND y >= 1 AND y < h - 1
+       |)
+       |SELECT doc_id, CAST(max(w) AS BIGINT) AS width, CAST(max(h) AS BIGINT) AS height,
+       |  CAST(count(*) AS BIGINT) AS n_int, CAST(sum(lap) AS BIGINT) AS sum_lap,
+       |  CAST(sum(lap * lap) AS BIGINT) AS sum_lap2
+       |FROM lap GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
+
   protected def multimodalOracles: Map[String, String] = Map(
 
     // per-tile sums recomputed from the pixel FORMULA over a bounded
     // position cross join (dims <= 32); mean = sum // count
+    "mm_blur_scores" -> blurOracleSql,
+
     "mm_patchify" ->
       """WITH px AS (
         |  SELECT doc_id, x.range AS x, y.range AS y

@@ -3444,6 +3444,26 @@ class OperatorsSpec extends SparkSuite {
       .forall(x => x.isNullAt(x.fieldIndex("bleu_log_micro"))))
   }
 
+  test("bmpLaplacian: flat image scores exactly zero, checkerboard maximal, linear ramp zero") {
+    // constant color: every Laplacian response is exactly 0
+    val flat = Multimodal.bmpLaplacian(Multimodal.bmpEncode(10, 10, (_, _) => (90, 90, 90)))
+    assert(flat == ((10L, 10L, 64L, 0L, 0L)))
+    // a LINEAR ramp also nulls the second derivative — the degenerate case
+    // that fooled the pHash fixtures (r10 lesson) is exactly a blur here
+    val ramp = Multimodal.bmpLaplacian(Multimodal.bmpEncode(10, 10, (x, y) => {
+      val v = 10 * x + 5 * y; (v, v, v)
+    }))
+    assert(ramp._4 == 0L && ramp._5 == 0L, s"linear ramp has zero Laplacian: $ramp")
+    // checkerboard: interior |lap| = 4 * full luma (white centers +4L
+    // against black neighbors, black centers -4L), so sums cancel and
+    // squares are maximal
+    val check = Multimodal.bmpLaplacian(Multimodal.bmpEncode(10, 10, (x, y) =>
+      if ((x + y) % 2 == 0) (255, 255, 255) else (0, 0, 0)))
+    val full = 255000L * 4
+    assert(check._3 == 64L && check._4 == 0L && check._5 == 64L * full * full,
+      s"checkerboard is the maximal-contrast fixture: $check")
+  }
+
   test("coverageSelect: greedy picks by marginal gain, ties to smaller id, stops when dry") {
     val d = Seq(
       (1L, "a b c d e"),  // 5 new tokens — picked first
