@@ -126,6 +126,24 @@ object Eval {
       .withColumn("gap_micro", abs(col("mean_pred_micro") - col("pos_rate_micro")))
   }
 
+  /** Brier score — the mean-squared-error companion of [[calibration]]'s
+    * binned gaps (ECE can hide compensating errors inside a bin; the Brier
+    * score can't): each squared error (p − y·10⁶)² is quantized by a
+    * truncating div 10⁶ BEFORE the order-free integer sum (the PSI
+    * pattern), bounding terms at 10⁶ so the sum is exact to ~9.2e12 rows;
+    * the single final division is IEEE-exact on identical operands.
+    * Scores clamp into [0, 10⁶] micro-probabilities like [[calibration]].
+    * Returns ONE row (n, sse_q, brier) with brier = sse_q/(n·10⁶). */
+  def brierScore(df: DataFrame, scoreMicro: Column, positive: Column): DataFrame =
+    df.select(
+        greatest(lit(0L), least(lit(1000000L), scoreMicro.cast("long"))).as("p"),
+        positive.cast("long").as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("(p - y * 1000000) * (p - y * 1000000) div 1000000")).as("sse_q"))
+      .select(col("n"), col("sse_q"),
+        (col("sse_q").cast("double") /
+          (col("n").cast("double") * 1000000.0d)).as("brier"))
+
   /** Per-query reciprocal rank of the FIRST relevant candidate (MRR's
     * per-query term, micro-scaled): rr = 10⁶ div rank_of_first_hit — the
     * "how fast does the user hit something relevant" number, the companion

@@ -309,6 +309,18 @@ private[graft] trait SimilarityQueries extends QueryHelpers {
     }),
 
 
+    "eval_brier" -> ((s, dir) => {
+      // Brier score over the calibration fixture: the unbinned MSE twin
+      // of eval_calibration/eval_ece — compensating within-bin errors
+      // can't hide from it; per-term 1e-6 quantization (PSI pattern)
+      import graft.operators.Eval
+      val e = t(s, dir, "embeddings").select(
+        pmod(TextFns.md5Long(col("vec_id").cast("string"), 100), lit(1000001L)).as("p"),
+        when(col("label") % 2 === 0, 1L).otherwise(0L).as("y"))
+      Eval.brierScore(e, col("p"), col("y"))
+    }),
+
+
     "eval_calibration" -> ((s, dir) => {
       // reliability-bin calibration audit over a deterministic md5-derived
       // micro-probability (family 100 = md5("50:"+id) chars 1-15) against
@@ -544,6 +556,20 @@ private[graft] trait SimilarityQueries extends QueryHelpers {
 
     // RRF: both rankings re-derived (full-dim and prefix-16 brute cosine),
     // fused via integer 1e12 // (60+rank) sums, item-id tie-break
+    "eval_brier" ->
+      """WITH s AS (
+        |  SELECT greatest(0, least(1000000,
+        |    ('0x' || substr(md5('50:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 1000001)) AS p,
+        |    CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS y
+        |  FROM embeddings
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum((p - y * 1000000) * (p - y * 1000000) // 1000000) AS BIGINT) AS sse_q,
+        |  CAST(CAST(sum((p - y * 1000000) * (p - y * 1000000) // 1000000) AS BIGINT) AS DOUBLE)
+        |    / (CAST(CAST(count(*) AS BIGINT) AS DOUBLE) * 1000000.0) AS brier
+        |FROM s""".stripMargin,
+
     "eval_calibration" ->
       """WITH s AS (
         |  SELECT ('0x' || substr(md5('50:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT

@@ -3444,6 +3444,20 @@ class OperatorsSpec extends SparkSuite {
       .forall(x => x.isNullAt(x.fieldIndex("bleu_log_micro"))))
   }
 
+  test("brierScore: perfect scorer 0, anti-scorer 1, constant-half exactly 0.25") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val perfect = Seq((1000000L, 1L), (0L, 0L), (1000000L, 1L)).toDF("p", "y")
+    assert(Eval.brierScore(perfect, col("p"), col("y")).head().getDouble(2) == 0.0d)
+    val anti = Seq((0L, 1L), (1000000L, 0L)).toDF("p", "y")
+    assert(Eval.brierScore(anti, col("p"), col("y")).head().getDouble(2) == 1.0d)
+    val half = Seq((500000L, 1L), (500000L, 0L)).toDF("p", "y")
+    val r = Eval.brierScore(half, col("p"), col("y")).head()
+    assert(r.getDouble(2) == 0.25d, s"constant 0.5 scores exactly 1/4: $r")
+    // out-of-range scores clamp rather than poison the sum
+    val wild = Seq((5000000L, 1L)).toDF("p", "y")
+    assert(Eval.brierScore(wild, col("p"), col("y")).head().getLong(1) == 0L)
+  }
+
   test("bmpLaplacian: flat image scores exactly zero, checkerboard maximal, linear ramp zero") {
     // constant color: every Laplacian response is exactly 0
     val flat = Multimodal.bmpLaplacian(Multimodal.bmpEncode(10, 10, (_, _) => (90, 90, 90)))
