@@ -651,6 +651,46 @@ class PlanSpec extends SparkSuite {
     assert(!php.contains("CartesianProduct"), php)
   }
 
+  test("round-14 operators: row-local kernels shuffle-free, pair joins equi-only") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+    // ROUGE-L: one kernel call per pair — NO exchange anywhere (row-local)
+    val pairs = docs.select(col("doc_id"), col("text").as("c"), col("text").as("r"))
+    val pr = plan(graft.operators.Eval.rougeL(pairs, "doc_id", "c", "r"))
+    assert(!pr.contains("Exchange"), pr)
+    assert(pr.contains("lcsTokens"), pr)
+
+    // blur moments ride the partition-batched decode seam — no join, and
+    // the only possible exchange is the fixture's own repartition
+    val pb = plan(graft.operators.Multimodal.blurScoreBmp(
+      graft.operators.Multimodal.bmpFixtures(docs, "doc_id"), "doc_id"))
+    assert(!pb.contains("Join"), pb)
+
+    // Kneser-Ney: marginals join back on vocabulary keys — equi-joins only
+    val pk = plan(graft.operators.TextAnalysis.bigramKneserNey(docs, "text"))
+    assert(!pk.contains("CartesianProduct") && !pk.contains("BroadcastNestedLoopJoin"), pk)
+
+    // BLEU/chrF: the clipped-match joins are hash equi-joins on
+    // (pair, gram); the only nested-loop shapes are the DELIBERATE crosses
+    // of single-row metadata aggregates (matches × totals), so the pin is
+    // hash-join presence + no CartesianProduct, not a blanket BNLJ ban
+    val pc = plan(graft.operators.Eval.chrfComponents(pairs, "doc_id", "c", "r", maxN = 2))
+    assert(!pc.contains("CartesianProduct"), pc)
+    assert(pc.contains("HashJoin"), pc)
+
+    // dup-n-gram coverage: id-keyed equi-joins, never a pair blowup
+    val pd = plan(graft.operators.TextAnalysis.dupNgramChars(docs, "doc_id", "text"))
+    assert(!pd.contains("CartesianProduct") && !pd.contains("BroadcastNestedLoopJoin"), pd)
+
+    // Wasserstein: the only unpartitioned window is the distinct-value
+    // cumulative pass (the deliberate ksOf metadata tail)
+    val pw = plan(graft.operators.Drift.wasserstein1d(
+      docs.select(col("n_chars")), docs.select(col("n_chars")), "n_chars"))
+    assert(!pw.contains("Join"), pw)
+  }
+
   test("compactionPlan window is metadata-only: one manifest gather, zero data reads") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
