@@ -181,4 +181,39 @@ object Quality {
         array_join(sort_array(collect_set(col("v"))), ",").as("values"))
       .filter(col("n_values") >= 2)
   }
+
+  /** Benford's-law first-digit micro-probabilities, LITERAL on both
+    * engines (log10(1+1/d)·10⁶, the literal-weight-table rule — no
+    * transcendental is evaluated anywhere). */
+  private val BenfordMicro: Seq[Long] = Seq(
+    301030L, 176091L, 124939L, 96910L, 79181L, 66947L, 57992L, 51153L, 45757L)
+
+  /** Benford's-law first-digit audit over a POSITIVE integer measure — the
+    * fabricated/synthetic-amounts detector (organically-grown magnitudes
+    * follow log-uniform leading digits; uniform generators, capped fields
+    * and hand-typed figures don't): per digit the observed count, the
+    * observed share ×10⁶ (exact decomposed product), the literal Benford
+    * expectation and the signed deviation. Total |dev| > ~150000 is the
+    * conventional "not organic" line; the caller sums. Nonpositive values
+    * are EXCLUDED and reported via n_total vs Σn (Benford is undefined
+    * there, silently binning them would fake conformity). One map-side-
+    * combined digit aggregate; output is exactly ≤ 9 rows. */
+  def benford(df: DataFrame, valueCol: Column): DataFrame = {
+    val pos = df.select(valueCol.cast("long").as("v")).filter(col("v") > 0)
+    val digits = pos
+      .select(substring(col("v").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val expected = org.apache.spark.sql.functions.array(BenfordMicro.map(lit): _*)
+    digits
+      .withColumn("n_pos", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .withColumn("share_micro",
+        expr("(n div n_pos) * 1000000 + ((n % n_pos) * 1000000) div n_pos"))
+      .withColumn("expected_micro", element_at(expected, col("digit").cast("int")))
+      .withColumn("dev_micro", col("share_micro") - col("expected_micro"))
+      .select(col("digit"), col("n"), col("n_pos"), col("share_micro"),
+        col("expected_micro"), col("dev_micro"))
+  }
 }

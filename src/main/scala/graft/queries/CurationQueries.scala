@@ -357,6 +357,16 @@ private[graft] trait CurationQueries extends QueryHelpers {
     }),
 
 
+    "quality_benford" -> ((s, dir) => {
+      // Benford first-digit audit over order totals in cents — the
+      // fabricated-amounts detector; literal expectation table, exact
+      // decomposed shares, nonpositives excluded not binned
+      graft.operators.Quality.benford(
+        t(s, dir, "orders"), cents(col("o_totalprice")))
+        .orderBy(col("digit"))
+    }),
+
+
     "quality_check" -> ((s, dir) => {
       // declarative data-quality expectations, ALL evaluated in one
       // aggregation pass: nullability, uniqueness, range, accepted values.
@@ -1723,6 +1733,25 @@ private[graft] trait CurationQueries extends QueryHelpers {
         |FROM s JOIN front ON front.x = s.x AND s.y = front.ymax
         |ORDER BY s.doc_id""".stripMargin,
 
+
+    "quality_benford" ->
+      """WITH pos AS (
+        |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        |  FROM orders WHERE floor(o_totalprice * 100 + 0.5) > 0
+        |), d AS (
+        |  SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM pos GROUP BY 1
+        |), tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_pos FROM d),
+        |e(digit, expected_micro) AS (VALUES (1, 301030), (2, 176091), (3, 124939),
+        |  (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+        |SELECT d.digit, d.n, t.n_pos,
+        |  (d.n // t.n_pos) * 1000000 + ((d.n % t.n_pos) * 1000000) // t.n_pos AS share_micro,
+        |  CAST(e.expected_micro AS BIGINT) AS expected_micro,
+        |  (d.n // t.n_pos) * 1000000 + ((d.n % t.n_pos) * 1000000) // t.n_pos
+        |    - e.expected_micro AS dev_micro
+        |FROM d JOIN e ON e.digit = d.digit CROSS JOIN tot t
+        |ORDER BY d.digit""".stripMargin,
 
     "quality_check" ->
       """SELECT * FROM (

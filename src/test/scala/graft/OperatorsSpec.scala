@@ -3444,6 +3444,19 @@ class OperatorsSpec extends SparkSuite {
       .forall(x => x.isNullAt(x.fieldIndex("bleu_log_micro"))))
   }
 
+  test("benford: digit binning by leading digit, nonpositives excluded, literal expectations") {
+    import org.apache.spark.sql.functions.col
+    // 1, 19, 23, 34, 999: digits 1x2, 2x1, 3x1, 9x1; 0 and -7 excluded
+    val d = Seq(1L, 19L, 23L, 34L, 999L, 0L, -7L).toDF("v")
+    val r = Quality.benford(d, col("v"))
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r.keySet == Set(1L, 2L, 3L, 9L))
+    assert(r(1L)._1 == 2L && r(2L)._1 == 1L && r(9L)._1 == 1L)
+    assert(r.values.forall(_._2 == 5L), "n_pos excludes the 0 and the negative")
+    assert(r(1L)._3 == 400000L && r(2L)._3 == 200000L, "exact decomposed shares")
+    assert(r(1L)._4 == 301030L, "Benford expectation is the literal table")
+  }
+
   test("brierScore: perfect scorer 0, anti-scorer 1, constant-half exactly 0.25") {
     import org.apache.spark.sql.functions.{col, lit}
     val perfect = Seq((1000000L, 1L), (0L, 0L), (1000000L, 1L)).toDF("p", "y")
