@@ -245,6 +245,21 @@ object Drift {
         (col("chi2_scaled").cast("double") / 1e6).as("chi2"))
   }
 
+  /** Cramér's V for the 2×k population/bucket contingency — the SIZE-FREE
+    * effect measure beside [[chi2Of]]'s significance-scaled statistic (χ²
+    * grows linearly with n at a fixed effect, so a 100 TB corpus "fails"
+    * every χ² test on trivia; V ∈ [0, 1] compares across corpus sizes and
+    * features). With two populations min(r−1, c−1) = 1, so V = √(χ²/n);
+    * sqrt is IEEE-correctly-rounded in both engines so even the float
+    * output hash-matches (the drift_embedding_shift precedent), and the
+    * integer chi2_scaled rides along for the exact record. */
+  def cramersV(base: DataFrame, current: DataFrame, valueCol: String,
+      width: Long, buckets: Int): DataFrame =
+    chi2Of(base, current, valueCol, width, buckets)
+      .select(col("n_base"), col("n_cur"), col("chi2_scaled"),
+        sqrt(col("chi2_scaled").cast("double") / 1e6 /
+          (col("n_base") + col("n_cur")).cast("double")).as("cramers_v"))
+
   /** Jensen–Shannon divergence between the base/current bucket
     * distributions — the BOUNDED drift score (≤ ln 2) PSI isn't: PSI
     * explodes on zero-overlap buckets, so one novel bucket floods the

@@ -154,6 +154,15 @@ private[graft] trait EventsQueries extends QueryHelpers {
         .orderBy(col("event_type"))
     }),
 
+    "drift_cramers_v" -> ((s, dir) => {
+      // Cramer's V over the chi2 fixture: the size-free effect measure —
+      // chi2 scales with n, V in [0,1] compares across corpus sizes
+      val docs = t(s, dir, "documents")
+      val cur = docs.filter(col("n_chars") >= 150 || col("doc_id") % 3 === 0)
+      graft.operators.Drift.cramersV(docs, cur, "n_chars", width = 50L, buckets = 12)
+    }),
+
+
     "drift_chi2" -> ((s, dir) => {
       // χ² homogeneity over the same re-curation and buckets as drift_psi:
       // the significance test beside the practitioner index
@@ -1196,6 +1205,36 @@ private[graft] trait EventsQueries extends QueryHelpers {
         |    / CAST(max(n1) * max(n2) AS DOUBLE) AS w1
         |FROM cum""".stripMargin,
 
+
+    "drift_cramers_v" ->
+      """WITH bks AS (SELECT range AS bucket FROM range(0, 12)),
+        |b AS (
+        |  SELECT greatest(least(CAST(floor(n_chars / 50) AS BIGINT), 11), 0) AS bucket,
+        |    count(*) AS n_base
+        |  FROM documents GROUP BY 1
+        |), c AS (
+        |  SELECT greatest(least(CAST(floor(n_chars / 50) AS BIGINT), 11), 0) AS bucket,
+        |    count(*) AS n_cur
+        |  FROM documents WHERE n_chars >= 150 OR doc_id % 3 = 0 GROUP BY 1
+        |), j AS (
+        |  SELECT bks.bucket, coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+        |  FROM bks LEFT JOIN b USING (bucket) LEFT JOIN c USING (bucket)
+        |), tot AS (
+        |  SELECT CAST(sum(n_base) AS BIGINT) AS tb, CAST(sum(n_cur) AS BIGINT) AS tc FROM j
+        |), terms AS (
+        |  SELECT tb, tc,
+        |    CAST(floor(
+        |      (CAST(n_base AS DOUBLE) * CAST(tc AS DOUBLE) - CAST(n_cur AS DOUBLE) * CAST(tb AS DOUBLE))
+        |      * (CAST(n_base AS DOUBLE) * CAST(tc AS DOUBLE) - CAST(n_cur AS DOUBLE) * CAST(tb AS DOUBLE))
+        |      / (CAST(tb AS DOUBLE) * CAST(tc AS DOUBLE) * CAST(n_base + n_cur AS DOUBLE))
+        |      * 1e6 + 0.5) AS BIGINT) AS qterm
+        |  FROM j, tot WHERE n_base + n_cur > 0 AND tb > 0 AND tc > 0
+        |)
+        |SELECT tb AS n_base, tc AS n_cur,
+        |  CAST(sum(qterm) AS BIGINT) AS chi2_scaled,
+        |  sqrt(CAST(CAST(sum(qterm) AS BIGINT) AS DOUBLE) / 1e6
+        |    / CAST(tb + tc AS DOUBLE)) AS cramers_v
+        |FROM terms GROUP BY 1, 2""".stripMargin,
 
     "drift_chi2" ->
       """WITH bks AS (SELECT range AS bucket FROM range(0, 12)),
