@@ -517,6 +517,62 @@ object Sampling {
       .select(col(idCol), col("x"), col("y"))
   }
 
+  /** Neyman-optimal stratified sample allocation: stratum h of a total
+    * budget n gets n·(N_h·σ_h)/Σ(N_k·σ_k) — minimum-variance estimation
+    * for a fixed budget, vs proportional allocation's one-size-fits-all
+    * (a high-variance stratum needs more samples per row). The whole
+    * computation is cross-engine exact: N·σ = √(N·Σx² − (Σx)²) IDENTICALLY
+    * (the population-σ algebra cancels the divisions), sqrt is
+    * IEEE-correctly-rounded in both engines, and the final rounding is
+    * largest-remainder (ties toward the smaller stratum key) so
+    * allocations sum to exactly n. A zero-variance stratum weighs 0 (one
+    * sample estimates it perfectly — allocate separately if you must read
+    * it); if EVERY stratum is constant the allocation falls back to
+    * proportional-by-count. Allocations may exceed a stratum's row count
+    * on extreme skew — the caller caps and re-runs on the remainder
+    * (documented, not silently redistributed). The AGGREGATES (Σx, Σx²)
+    * stay exact integers — Σx² < 2^63 is the bound, ANSI raises loudly
+    * beyond it (quantize the value column down for huge strata); the
+    * weight itself multiplies them as DOUBLES (identical IEEE ops on
+    * identical operands in both engines — the chi2Of precedent), with the
+    * near-zero-variance difference clamped at 0 before the sqrt.
+    *
+    * Shape: one map-side-combined stratum aggregate, then windows over the
+    * STRATUM DOMAIN (metadata-sized by definition — the shardBySize
+    * contract). Output (stratum, n_rows, weight, alloc). */
+  def neymanAlloc(df: DataFrame, stratumCol: String, value: Column,
+      n: Long): DataFrame = {
+    require(n >= 0, "budget must be nonnegative")
+    val agg = df.select(col(stratumCol).cast("string").as("stratum"),
+        value.cast("long").as("x"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"))
+      .withColumn("w",
+        floor(sqrt(greatest(lit(0.0d),
+          col("n_rows").cast("double") * col("s2").cast("double")
+            - col("s1").cast("double") * col("s1").cast("double")))).cast("long"))
+    val all = org.apache.spark.sql.expressions.Window.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val remRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("stratum").asc)
+    agg
+      .withColumn("tot_w", sum(col("w")).over(all))
+      .withColumn("weight",
+        when(col("tot_w") > 0, col("w")).otherwise(col("n_rows")))
+      .withColumn("tw",
+        when(col("tot_w") > 0, col("tot_w"))
+          .otherwise(sum(col("n_rows")).over(all)))
+      .withColumn("base", expr(s"weight * $n div tw"))
+      .withColumn("rem", expr(s"(weight * $n) % tw"))
+      .withColumn("spill", lit(n) - sum(col("base")).over(all))
+      .withColumn("rnk", row_number().over(remRank))
+      .select(col("stratum"), col("n_rows"), col("weight"),
+        (col("base") + when(col("rnk") <= col("spill"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
+
   /** Greedy maximum-coverage selection — the COVERAGE axis of data
     * selection beside [[graft.operators.Similarity.kcenterSelect]]'s
     * diversity and [[dsirSelect]]'s importance: pick `k` documents that

@@ -234,6 +234,17 @@ private[graft] trait CurationQueries extends QueryHelpers {
         .orderBy(col("doc_id"))
     }),
 
+    "sample_neyman" -> ((s, dir) => {
+      // minimum-variance stratified budget split: 1000 samples over order
+      // priorities by N_h*sigma_h of the order total — exact integer
+      // weights via sqrt(N*Sx2 - Sx^2), largest-remainder rounding
+      graft.operators.Sampling.neymanAlloc(
+        t(s, dir, "orders"), "o_orderpriority",
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) div 100"), n = 1000L)
+        .orderBy(col("stratum"))
+    }),
+
+
     "sample_coverage" -> ((s, dir) => {
       // greedy maximum-coverage pick of 5 docs — the coverage axis of data
       // selection beside k-center's diversity and DSIR's importance. The
@@ -1492,6 +1503,39 @@ private[graft] trait CurationQueries extends QueryHelpers {
     // LM scores re-derived (the text_bigram_perplexity CTEs), integer
     // threshold; zero-bigram docs kept via the left join's NULL
     "sample_coverage" -> coverageOracleSql,
+
+    "sample_neyman" ->
+      """WITH a AS (
+        |  SELECT o_orderpriority AS stratum, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 100) AS BIGINT) AS s1,
+        |    CAST(sum((CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 100)
+        |      * (CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 100)) AS BIGINT) AS s2
+        |  FROM orders GROUP BY 1
+        |), w AS (
+        |  SELECT stratum, n_rows,
+        |    CAST(floor(sqrt(greatest(0.0, CAST(n_rows AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))) AS BIGINT) AS w
+        |  FROM a
+        |), t AS (
+        |  SELECT CAST(sum(w) AS BIGINT) AS tot_w, CAST(sum(n_rows) AS BIGINT) AS tot_n FROM w
+        |), b AS (
+        |  SELECT stratum, n_rows,
+        |    CASE WHEN tot_w > 0 THEN w ELSE n_rows END AS weight,
+        |    CASE WHEN tot_w > 0 THEN tot_w ELSE tot_n END AS tw
+        |  FROM w, t
+        |), base AS (
+        |  SELECT stratum, n_rows, weight,
+        |    weight * 1000 // tw AS base, (weight * 1000) % tw AS rem
+        |  FROM b
+        |), sp AS (
+        |  SELECT stratum, n_rows, weight, base, rem,
+        |    1000 - CAST(sum(base) OVER () AS BIGINT) AS spill,
+        |    row_number() OVER (ORDER BY rem DESC, stratum ASC) AS rnk
+        |  FROM base
+        |)
+        |SELECT stratum, n_rows, weight,
+        |  CAST(base + CASE WHEN rnk <= spill THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM sp ORDER BY stratum""".stripMargin,
 
     "curation_pipeline_gopher" ->
       """WITH toks AS (

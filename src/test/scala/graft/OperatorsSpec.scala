@@ -3444,6 +3444,26 @@ class OperatorsSpec extends SparkSuite {
       .forall(x => x.isNullAt(x.fieldIndex("bleu_log_micro"))))
   }
 
+  test("neymanAlloc: variance-weighted split sums exactly to n, constant strata weigh 0") {
+    import org.apache.spark.sql.functions.col
+    // stratum a: constant (sigma 0 -> weight 0); b: spread 0/10 over 4 rows
+    // N*Sx2 - Sx^2 = 4*200 - 400 = 400 -> w = 20; c: spread 0/20
+    // -> 4*800 - 1600 = 1600 -> w = 40
+    val d = Seq(("a", 5L), ("a", 5L), ("a", 5L), ("a", 5L),
+      ("b", 0L), ("b", 10L), ("b", 0L), ("b", 10L),
+      ("c", 0L), ("c", 20L), ("c", 0L), ("c", 20L)).toDF("s", "x")
+    val r = Sampling.neymanAlloc(d, "s", col("x"), n = 9L)
+      .collect().map(x => x.getString(0) -> (x.getLong(2), x.getLong(3))).toMap
+    assert(r("a") == ((0L, 0L)), "zero-variance stratum allocates nothing")
+    assert(r("b") == ((20L, 3L)) && r("c") == ((40L, 6L)), s"2:1 weights: $r")
+    assert(r.values.map(_._2).sum == 9L, "largest-remainder rounding sums exactly to n")
+    // every stratum constant: proportional-by-count fallback
+    val const = Seq(("a", 1L), ("a", 1L), ("b", 2L)).toDF("s", "x")
+    val f = Sampling.neymanAlloc(const, "s", col("x"), n = 3L)
+      .collect().map(x => x.getString(0) -> x.getLong(3)).toMap
+    assert(f == Map("a" -> 2L, "b" -> 1L), s"proportional fallback: $f")
+  }
+
   test("benford: digit binning by leading digit, nonpositives excluded, literal expectations") {
     import org.apache.spark.sql.functions.col
     // 1, 19, 23, 34, 999: digits 1x2, 2x1, 3x1, 9x1; 0 and -7 excluded
