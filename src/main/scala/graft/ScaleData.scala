@@ -53,6 +53,9 @@ object ScaleData {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      // overflow contracts across operators assume ANSI raises loudly —
+      // pinned, not inherited from the build default (r14 ADVICE)
+      .config("spark.sql.ansi.enabled", "true")
       // match the fixtures' physical timestamp encoding (µs) so the
       // footer-probe readers and DuckDB see the same thing they do on the
       // driver-generated files

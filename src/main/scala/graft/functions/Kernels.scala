@@ -594,6 +594,104 @@ object Kernels {
     prev(m)
   }
 
+  /** Clipped word n-gram matches Σ_g min(count_cand(g), count_ref(g)) for
+    * EVERY n in 1..maxN, one row-local pass — the BLEU numerator. The
+    * candidate and reference live in the same row, so the per-pair clipped
+    * multiset intersection never needs the corpus-wide (id, gram)
+    * explode+groupBy+join it replaced (r14 verdict #1): per n, a hash map
+    * of reference gram counts, then one candidate sweep decrementing.
+    * Grams are the space-joined token windows of [[TextFns.wordNgrams]]'s
+    * multiset variant — identical strings, identical counts, so the DuckDB
+    * oracle is unchanged. O(maxN² · tokens) per row, all in one JITed call. */
+  def clippedNgramMatchesAll(ct: ArrayData, rt: ArrayData, maxN: Int): ArrayData = {
+    val nc = ct.numElements()
+    val nr = rt.numElements()
+    val cw = new Array[String](nc)
+    val rw = new Array[String](nr)
+    var i = 0
+    while (i < nc) { cw(i) = ct.getUTF8String(i).toString; i += 1 }
+    i = 0
+    while (i < nr) { rw(i) = rt.getUTF8String(i).toString; i += 1 }
+    val out = new Array[Long](maxN)
+    var n = 1
+    while (n <= maxN) {
+      if (nc >= n && nr >= n) {
+        val refCounts = new java.util.HashMap[String, Array[Long]]()
+        var j = 0
+        while (j <= nr - n) {
+          val sb = new java.lang.StringBuilder(rw(j))
+          var k = 1
+          while (k < n) { sb.append(' ').append(rw(j + k)); k += 1 }
+          val cnt = refCounts.computeIfAbsent(sb.toString, _ => new Array[Long](1))
+          cnt(0) += 1L
+          j += 1
+        }
+        var m = 0L
+        j = 0
+        while (j <= nc - n) {
+          val sb = new java.lang.StringBuilder(cw(j))
+          var k = 1
+          while (k < n) { sb.append(' ').append(cw(j + k)); k += 1 }
+          val cnt = refCounts.get(sb.toString)
+          if (cnt != null && cnt(0) > 0L) { cnt(0) -= 1L; m += 1L }
+          j += 1
+        }
+        out(n - 1) = m
+      }
+      n += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Character n-gram twin of [[clippedNgramMatchesAll]] — the chrF
+    * numerator. Grams are CODE-POINT windows (Spark `substr`/`length` and
+    * DuckDB string ops both count code points, not UTF-16 units), so the
+    * boundary table is built per code point before slicing. */
+  def clippedCharNgramMatchesAll(cs: UTF8String, rs: UTF8String, maxN: Int): ArrayData = {
+    val c = cs.toString
+    val r = rs.toString
+    def bounds(s: String): Array[Int] = {
+      val b = new Array[Int](s.codePointCount(0, s.length) + 1)
+      var off = 0
+      var i = 0
+      while (off < s.length) {
+        b(i) = off
+        off += Character.charCount(s.codePointAt(off))
+        i += 1
+      }
+      b(i) = s.length
+      b
+    }
+    val cb = bounds(c)
+    val rb = bounds(r)
+    val nc = cb.length - 1
+    val nr = rb.length - 1
+    val out = new Array[Long](maxN)
+    var n = 1
+    while (n <= maxN) {
+      if (nc >= n && nr >= n) {
+        val refCounts = new java.util.HashMap[String, Array[Long]]()
+        var j = 0
+        while (j <= nr - n) {
+          val cnt = refCounts.computeIfAbsent(
+            r.substring(rb(j), rb(j + n)), _ => new Array[Long](1))
+          cnt(0) += 1L
+          j += 1
+        }
+        var m = 0L
+        j = 0
+        while (j <= nc - n) {
+          val cnt = refCounts.get(c.substring(cb(j), cb(j + n)))
+          if (cnt != null && cnt(0) > 0L) { cnt(0) -= 1L; m += 1L }
+          j += 1
+        }
+        out(n - 1) = m
+      }
+      n += 1
+    }
+    new GenericArrayData(out)
+  }
+
   // ------------------------------------------------------- bit interleave
 
   /** Morton interleave: bit k of dimension j lands at position k*d + j of the
@@ -791,6 +889,12 @@ object Kernels {
 
   def lcsTokensCol(a: Column, b: Column): Column =
     call(LongType, "lcsTokens", a, b)
+
+  def clippedNgramMatchesAllCol(ct: Column, rt: Column, maxN: Int): Column =
+    call(ArrayType(LongType, containsNull = false), "clippedNgramMatchesAll", ct, rt, lit(maxN))
+
+  def clippedCharNgramMatchesAllCol(cs: Column, rs: Column, maxN: Int): Column =
+    call(ArrayType(LongType, containsNull = false), "clippedCharNgramMatchesAll", cs, rs, lit(maxN))
 
   def normalizeTextCol(text: Column): Column = call(StringType, "normalizeText", text)
 

@@ -487,14 +487,6 @@ object Eval {
             (col("n") * col("n") - col("pe_n2")).cast("double")))
   }
 
-  /** Word n-gram multiset of a token array preserving DUPLICATES —
-    * [[graft.functions.TextFns.wordNgrams]] is the distinct variant; BLEU
-    * clipping is exactly about multiplicities, so it needs this one. */
-  private def gramsMulti(toks: Column, n: Int): Column =
-    filter(
-      transform(toks, (_, i) => concat_ws(" ", slice(toks, i + 1, lit(n)))),
-      (_, i) => i <= size(toks) - n)
-
   /** Corpus BLEU components — the text-generation/extraction fidelity
     * number (Papineni et al.): per n in 1..`maxN`, CLIPPED n-gram matches
     * Σ_g min(count_cand, count_ref) against the candidate n-gram total,
@@ -511,33 +503,39 @@ object Eval {
     *
     * bleu_log_micro = bp_micro − (Σ_n qln(T_n)−qln(M_n)) div maxN, with
     * bp_micro = min(0, 1e6 − ref·1e6 div cand): BLEU = exp(micro/1e6).
-    * Scale: 2·maxN scans of the pair projection + maxN gram joins, each
-    * partitioned on (pair, gram) — row-local explode, no corpus shuffle
-    * beyond the counts. */
+    * Scale: candidate and reference live in the SAME row, so the clipped
+    * intersection is row-local — ONE corpus scan through
+    * [[graft.functions.Kernels.clippedNgramMatchesAll]] (all n at once)
+    * feeding a single 2·maxN+2-column aggregate; the only Exchange in the
+    * whole plan is the final single-partition aggregation. The
+    * explode+groupBy+join-per-n formulation this replaced (r14 verdict #1)
+    * shuffled the corpus 3·maxN times for a per-pair quantity. */
   def bleuComponents(pairs: DataFrame, idCol: String, candCol: String,
       refCol: String, maxN: Int = 4): DataFrame = {
     require(maxN >= 1 && maxN <= 8, "maxN in [1, 8]")
-    import graft.functions.TextFns
+    import graft.functions.{Kernels, TextFns}
     val base = pairs.select(col(idCol).as("id"),
       TextFns.tokens(col(candCol)).as("ct"), TextFns.tokens(col(refCol)).as("rt"))
-    val perN = (1 to maxN).map { n =>
-      val cGr = base.select(col("id"), explode(gramsMulti(col("ct"), n)).as("g"))
-        .groupBy(col("id"), col("g")).agg(count(lit(1)).as("cc"))
-      val rGr = base.select(col("id"), explode(gramsMulti(col("rt"), n)).as("g"))
-        .groupBy(col("id"), col("g")).agg(count(lit(1)).as("rc"))
-      val m = cGr.join(rGr, Seq("id", "g"))
-        .agg(coalesce(sum(least(col("cc"), col("rc"))), lit(0L)).as("matches"))
-      val t = base.agg(
-        sum(greatest(size(col("ct")) - lit(n - 1), lit(0)).cast("long")).as("total"))
-      m.crossJoin(t).select(lit(n.toLong).as("n"), col("matches"), col("total"))
-    }.reduce(_ unionByName _)
-    val lens = base.agg(
-      sum(size(col("ct")).cast("long")).as("cand_tokens"),
-      sum(size(col("rt")).cast("long")).as("ref_tokens"))
+    val row = base.select(
+      Kernels.clippedNgramMatchesAllCol(col("ct"), col("rt"), maxN).as("ms"),
+      size(col("ct")).cast("long").as("cl"), size(col("rt")).cast("long").as("rl"))
+    val aggCols = (1 to maxN).flatMap { n => Seq(
+      coalesce(sum(element_at(col("ms"), n)), lit(0L)).as(s"m$n"),
+      sum(greatest(col("cl") - lit(n - 1), lit(0L))).as(s"t$n"))
+    } ++ Seq(sum(col("cl")).as("cand_tokens"), sum(col("rl")).as("ref_tokens"))
+    val one = row.agg(aggCols.head, aggCols.drop(1): _*)
+    // unpivot the 1-row aggregate into the maxN-row component relation —
+    // metadata-sized from here on
+    val perN = one.select(
+      explode(array((1 to maxN).map(n => struct(lit(n.toLong).as("n"),
+        col(s"m$n").as("matches"), col(s"t$n").as("total"))): _*)).as("c"),
+      col("cand_tokens"), col("ref_tokens"))
+      .select(col("c.n").as("n"), col("c.matches").as("matches"),
+        col("c.total").as("total"), col("cand_tokens"), col("ref_tokens"))
     // the log-BLEU rollup runs over the maxN-row component relation — a
     // metadata-sized single-partition window by construction
     val winAll = "OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
-    perN.crossJoin(broadcast(lens))
+    perN
       .withColumn("p_micro", expr("matches * 1000000 div nullif(total, 0)"))
       .withColumn("bp_micro",
         least(lit(0L), lit(1000000L) - expr("ref_tokens * 1000000 div nullif(cand_tokens, 0)")))
@@ -581,35 +579,36 @@ object Eval {
     * division: with P = m/t_c and R = m/t_r,
     * (1+β²)PR / (β²P+R) = (1+β²)·m / (β²·t_r + t_c) — so
     * chrf_micro = (1+β²)·matches·1e6 div (β²·ref_total + cand_total),
-    * zero transcendentals anywhere. Clipped multiset matches exactly as
-    * in [[bleuComponents]]; n-gram lists are guarded empty below length n
-    * (Spark `sequence(1, k)` DESCENDS for k < 1 — the r6 trap). */
+    * zero transcendentals anywhere. Clipped multiset matches are row-local
+    * exactly as in [[bleuComponents]] — ONE corpus scan through
+    * [[graft.functions.Kernels.clippedCharNgramMatchesAllCol]] (all n in a
+    * single kernel call), one single-partition aggregate, then a
+    * metadata-sized unpivot; no (id, gram) shuffle anywhere. */
   def chrfComponents(pairs: DataFrame, idCol: String, candCol: String,
       refCol: String, maxN: Int = 6, beta2: Int = 4): DataFrame = {
     require(maxN >= 1 && maxN <= 8, "maxN in [1, 8]")
     require(beta2 >= 0, "beta2 must be nonnegative")
+    import graft.functions.Kernels
     val ws = "[ \\t\\n\\x0B\\f\\r]+"
     val base = pairs.select(col(idCol).as("id"),
       regexp_replace(col(candCol), ws, "").as("cs"),
       regexp_replace(col(refCol), ws, "").as("rs"))
-    def charGrams(c: String, n: Int): Column = expr(
-      s"CASE WHEN length($c) >= $n THEN " +
-        s"transform(sequence(1, length($c) - ${n - 1}), i -> substr($c, i, $n)) " +
-        "ELSE array() END")
-    (1 to maxN).map { n =>
-      val cGr = base.select(col("id"), explode(charGrams("cs", n)).as("g"))
-        .groupBy(col("id"), col("g")).agg(count(lit(1)).as("cc"))
-      val rGr = base.select(col("id"), explode(charGrams("rs", n)).as("g"))
-        .groupBy(col("id"), col("g")).agg(count(lit(1)).as("rc"))
-      val m = cGr.join(rGr, Seq("id", "g"))
-        .agg(coalesce(sum(least(col("cc"), col("rc"))), lit(0L)).as("matches"))
-      val t = base.agg(
-        sum(greatest(length(col("cs")) - lit(n - 1), lit(0)).cast("long")).as("cand_total"),
-        sum(greatest(length(col("rs")) - lit(n - 1), lit(0)).cast("long")).as("ref_total"))
-      m.crossJoin(t).select(lit(n.toLong).as("n"), col("matches"),
-        col("cand_total"), col("ref_total"),
+    val row = base.select(
+      Kernels.clippedCharNgramMatchesAllCol(col("cs"), col("rs"), maxN).as("ms"),
+      length(col("cs")).cast("long").as("cl"), length(col("rs")).cast("long").as("rl"))
+    val aggCols = (1 to maxN).flatMap { n => Seq(
+      coalesce(sum(element_at(col("ms"), n)), lit(0L)).as(s"m$n"),
+      sum(greatest(col("cl") - lit(n - 1), lit(0L))).as(s"ct$n"),
+      sum(greatest(col("rl") - lit(n - 1), lit(0L))).as(s"rt$n"))
+    }
+    val one = row.agg(aggCols.head, aggCols.drop(1): _*)
+    one.select(explode(array((1 to maxN).map(n => struct(lit(n.toLong).as("n"),
+        col(s"m$n").as("matches"), col(s"ct$n").as("cand_total"),
+        col(s"rt$n").as("ref_total"))): _*)).as("c"))
+      .select(col("c.n").as("n"), col("c.matches").as("matches"),
+        col("c.cand_total").as("cand_total"), col("c.ref_total").as("ref_total"))
+      .withColumn("chrf_micro",
         expr(s"matches * ${1 + beta2} * 1000000 div " +
-          s"nullif($beta2 * ref_total + cand_total, 0)").as("chrf_micro"))
-    }.reduce(_ unionByName _)
+          s"nullif($beta2 * ref_total + cand_total, 0)"))
   }
 }

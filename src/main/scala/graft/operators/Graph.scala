@@ -674,9 +674,12 @@ object Graph {
     * relations — a pure function of the graph, hash-exact across engines
     * (the [[pagerank]] contract). Convergence detection: Σcolor strictly
     * decreases until the coloring fixpoint — summed as decimal(38,0), NOT
-    * long: hash-derived 63-bit node ids overflow a long sum at scale and
-    * Spark's default non-ANSI sum wraps SILENTLY, so a wrapped-equal sum
-    * could fake convergence; the mark set grows until its fixpoint.
+    * long: hash-derived 63-bit node ids overflow a long sum at scale, and
+    * a long sum is mode-dependent there (ANSI — pinned true in every graft
+    * session — raises mid-fixpoint; non-ANSI wraps silently, which could
+    * fake convergence). The decimal sum cannot overflow at any reachable
+    * scale, so the probe is correct in EITHER mode; the mark set grows
+    * until its fixpoint.
     *
     * Scale shape per inner round: one equi-join of the (node-sized)
     * color/mark relation against the persisted remaining edge relation +
@@ -788,10 +791,11 @@ object Graph {
           // each touch it every round
           subE = Checkpoints.truncate(subNow)
           // ---- 2. forward min-color propagation to fixpoint --------------
-          // Σcolor as decimal(38,0), NOT long: Spark's default non-ANSI long
-          // sum wraps silently, and with hash-derived 63-bit ids a wrapped
-          // sum could equal its predecessor while colors still changed —
-          // false convergence, silently wrong labels
+          // Σcolor as decimal(38,0), NOT long: with hash-derived 63-bit ids
+          // a long sum overflows, and what happens then is MODE-dependent —
+          // ANSI (pinned true in every graft session) raises mid-fixpoint,
+          // non-ANSI wraps silently into possible false convergence. The
+          // decimal sum is exact and mode-independent.
           def colorSumOf(df: DataFrame): java.math.BigDecimal =
             df.agg(sum(col("color").cast("decimal(38,0)"))).head().getDecimal(0)
           color = Checkpoints.truncate(

@@ -195,11 +195,16 @@ object TextAnalysis {
     * interpolated mass telescopes: Σ_w2 P(w2|w1) = 1 exactly in the
     * unquantized algebra (spec-pinned within quantization slack).
     *
-    * Overflow bound (refused loudly, not wrapped): the numerator needs
-    * 4·c12·Ncc·1e6 < 2^63 and the denominator 4·c1·Ncc·1 — both checked
-    * against max(c12) and the distinct-bigram count Ncc in one metadata
-    * aggregate; pre-shard corpora beyond ~c12·Ncc = 2e12 (a vocabulary
-    * knob, not a corpus-size one).
+    * Overflow bound (refused loudly, not wrapped): the full numerator is
+    * (4·c12·Ncc + 3·N1h·N1c)·1e6 — BOTH terms are bounded before any
+    * per-row math: (4·max(c12)·Ncc + 3·max(N1h)·max(N1c))·1e6 < 2^63 and
+    * the denominator 4·Σc12·Ncc < 2^63. The interpolation term matters on
+    * its own (r14 ADVICE): hub heads/tails push N1h·N1c toward Ncc² while
+    * max(c12) stays small, so the discount-term check alone could pass a
+    * corpus whose interpolation term wraps. Maxima of the marginals are
+    * one extra metadata aggregate over the (vocabulary-sized) head/tail
+    * relations; pre-shard corpora beyond the bound (a vocabulary knob,
+    * not a corpus-size one).
     *
     * Shape: one pair-stream aggregate (vocabulary²-bounded), three
     * vocabulary-sized marginals joined back — broadcastable at any corpus
@@ -217,13 +222,19 @@ object TextAnalysis {
     val meta = c12.agg(max(col("c12")), count(lit(1)), sum(col("c12"))).head()
     require(!meta.isNullAt(0), "bigramKneserNey: corpus has no bigrams")
     val (cMax, ncc) = (meta.getLong(0), meta.getLong(1))
-    require(BigInt(4) * cMax * ncc * 1000000 < BigInt(Long.MaxValue) &&
-      BigInt(4) * meta.getLong(2) * ncc < BigInt(Long.MaxValue),
-      s"bigramKneserNey: max(c12)=$cMax x distinct bigrams=$ncc overflows the exact " +
-        "integer numerator — shard the corpus or prune the vocabulary first")
     val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val n1h = c12.groupBy(col("w1")).agg(count(lit(1)).as("n1h"))   // N1+(w1·)
     val n1c = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1c"))   // N1+(·w2)
+    val mMax = n1h.agg(max(col("n1h")).as("h"))
+      .crossJoin(n1c.agg(max(col("n1c")).as("c"))).head()
+    val (n1hMax, n1cMax) = (mMax.getLong(0), mMax.getLong(1))
+    require(
+      (BigInt(4) * cMax * ncc + BigInt(3) * n1hMax * n1cMax) * 1000000 <
+        BigInt(Long.MaxValue) &&
+        BigInt(4) * meta.getLong(2) * ncc < BigInt(Long.MaxValue),
+      s"bigramKneserNey: max(c12)=$cMax x distinct bigrams=$ncc " +
+        s"(+ interpolation term max(n1h)=$n1hMax x max(n1c)=$n1cMax) overflows the " +
+        "exact integer numerator — shard the corpus or prune the vocabulary first")
     c12.join(c1, "w1").join(n1h, "w1").join(n1c, "w2")
       .withColumn("p_micro", expr(
         s"(greatest(4 * c12 - 3, 0) * $ncc + 3 * n1h * n1c) * 1000000 div (4 * c1 * $ncc)"))

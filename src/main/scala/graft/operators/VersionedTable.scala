@@ -616,6 +616,35 @@ object VersionedTable {
   private def branchRoot(dir: String, name: String): String =
     s"$dir/_branches/$name"
 
+  /** Staging directory (relative to the table root) for THIS branch
+    * incarnation — recorded in the fork manifest's action string at
+    * [[createBranch]] time, probed to be globally fresh. Keyed by
+    * incarnation rather than by name alone because the documented
+    * branch lifecycle (create → upsert → merge → drop → re-create the
+    * same name) would otherwise stage the new incarnation's files over
+    * the very paths the fast-forward merge published into MAIN's
+    * manifest: `data/branch-<name>/v00000002` collides across
+    * generations, and writeStaged's overwrite would silently corrupt
+    * committed main versions. Fork-version salting alone is not enough
+    * either (explicit `fromVersion` can re-fork at the same version), so
+    * creation probes `-g2`, `-g3`, … until an unused directory is found. */
+  private def branchStageRel(spark: SparkSession, dir: String, name: String): String = {
+    val (fs, _) = hfs(spark, dir)
+    Iterator.from(1)
+      .map(g => if (g == 1) s"data/branch-$name" else s"data/branch-$name-g$g")
+      .find(rel => !fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$rel")))
+      .get
+  }
+
+  /** The incarnation staging prefix the fork manifest recorded; branches
+    * created before the stage= token existed fall back to the legacy
+    * un-salted path (their files are already live — never re-probed). */
+  private def stageRelOf(fork: Manifest, name: String): String =
+    fork.action.split(" stage=", 2) match {
+      case Array(_, rel) => rel
+      case _             => s"data/branch-$name"
+    }
+
   /** Fork a branch from `fromVersion` (main's latest when -1) — one tiny
     * manifest commit, zero data files touched. Refuses an existing name. */
   def createBranch(spark: SparkSession, dir: String, name: String,
@@ -628,7 +657,8 @@ object VersionedTable {
     val broot = branchRoot(dir, name)
     if (latestVersion(spark, broot) != 0L)
       throw new CommitConflictException(s"branch '$name' already exists at $dir")
-    commitManifest(spark, broot, Manifest(1L, v, s"branch-from:$v",
+    val stageRel = branchStageRel(spark, dir, name)
+    commitManifest(spark, broot, Manifest(1L, v, s"branch-from:$v stage=$stageRel",
       m.keyCol, m.schemaDdl, m.files, m.deleteFiles))
     1L
   }
@@ -676,8 +706,9 @@ object VersionedTable {
       else readDeclared(spark, m,
         m.files.collect { case f if touched(f.path) => s"$dir/${f.path}" })
     val merged = Upsert.mergeUpsert(touchedDf, changes, m.keyCol)
+    val stageRel = stageRelOf(readManifest(spark, broot, 1L), name)
     val newEntries = writeStaged(spark, dir,
-      f"data/branch-$name/v${base + 1L}%08d", merged, m.keyCol, targetRowsPerFile)
+      f"$stageRel/v${base + 1L}%08d", merged, m.keyCol, targetRowsPerFile)
     commitManifest(spark, broot, Manifest(base + 1L, base, "upsert", m.keyCol,
       m.schemaDdl, m.files.filterNot(f => touched(f.path)) ++ newEntries))
     base + 1L

@@ -361,4 +361,31 @@ class LakeSpec extends SparkSuite {
     assert(sameContent(VT.read(spark, dir), expected))
     assert(sameContent(VT.read(spark, dir, 1L), base))
   }
+
+  test("branch re-creation stages in a fresh incarnation dir — merged main versions survive") {
+    // the ADVICE-high r14 scenario: create -> upsert -> merge -> drop ->
+    // re-create THE SAME NAME (explicitly at the original fork version, the
+    // worst case) -> upsert. Before the incarnation-salted staging path the
+    // second upsert overwrote data/branch-exp/v00000002 — the exact files
+    // the fast-forward merge had published into main v2.
+    val dir = freshDir("branch_regen")
+    VT.init(spark, dir, base, "doc_id", targetRowsPerFile = 200L)
+    VT.createBranch(spark, dir, "exp")
+    VT.upsertBranch(spark, dir, "exp", changeSet(base), targetRowsPerFile = 200L)
+    val expected = Upsert.mergeUpsert(base, changeSet(base), "doc_id")
+    assert(VT.mergeBranch(spark, dir, "exp") == 2L)
+    assert(VT.dropBranch(spark, dir, "exp"))
+    // same name, same fork version, DIFFERENT rows
+    VT.createBranch(spark, dir, "exp", fromVersion = 1L)
+    val other = changeSet(base).withColumn("n_chars",
+      org.apache.spark.sql.functions.col("n_chars") + 7777L)
+    VT.upsertBranch(spark, dir, "exp", other, targetRowsPerFile = 200L)
+    // main v2 (the merged content) must be byte-for-byte intact
+    assert(sameContent(VT.read(spark, dir, 2L), expected),
+      "re-created branch staging must never overwrite merged main files")
+    assert(sameContent(VT.read(spark, dir), expected))
+    // and the new incarnation's own content is what IT wrote
+    assert(sameContent(VT.readBranch(spark, dir, "exp"),
+      Upsert.mergeUpsert(base, other, "doc_id")))
+  }
 }

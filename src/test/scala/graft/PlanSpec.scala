@@ -672,13 +672,19 @@ class PlanSpec extends SparkSuite {
     val pk = plan(graft.operators.TextAnalysis.bigramKneserNey(docs, "text"))
     assert(!pk.contains("CartesianProduct") && !pk.contains("BroadcastNestedLoopJoin"), pk)
 
-    // BLEU/chrF: the clipped-match joins are hash equi-joins on
-    // (pair, gram); the only nested-loop shapes are the DELIBERATE crosses
-    // of single-row metadata aggregates (matches × totals), so the pin is
-    // hash-join presence + no CartesianProduct, not a blanket BNLJ ban
-    val pc = plan(graft.operators.Eval.chrfComponents(pairs, "doc_id", "c", "r", maxN = 2))
-    assert(!pc.contains("CartesianProduct"), pc)
-    assert(pc.contains("HashJoin"), pc)
+    // BLEU/chrF (r15 reshape, r14 verdict #2): the clipped multiset
+    // intersection is ROW-LOCAL (candidate and reference share the row) —
+    // one kernel scan, one single-partition aggregate. NO join of any
+    // kind, and the ONLY Exchange is the final metadata-sized gather —
+    // in particular nothing keyed on (id, gram) survives anywhere
+    for ((nm, pc) <- Seq(
+        "chrf" -> plan(graft.operators.Eval.chrfComponents(pairs, "doc_id", "c", "r", maxN = 2)),
+        "bleu" -> plan(graft.operators.Eval.bleuComponents(pairs, "doc_id", "c", "r", maxN = 2)))) {
+      assert(!pc.contains("Join"), s"$nm must be join-free:\n$pc")
+      assert(!pc.contains("hashpartitioning"), s"$nm must never hash-shuffle (no (id, gram) Exchange):\n$pc")
+      assert(pc.contains("clippedNgramMatchesAll") || pc.contains("clippedCharNgramMatchesAll"),
+        s"$nm must go through the clipped-match kernel:\n$pc")
+    }
 
     // dup-n-gram coverage: id-keyed equi-joins, never a pair blowup
     val pd = plan(graft.operators.TextAnalysis.dupNgramChars(docs, "doc_id", "text"))

@@ -11,6 +11,9 @@ object SparkTestBase {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // overflow contracts across operators assume ANSI raises loudly —
+      // pinned, not inherited from the build default (r14 ADVICE)
+      .config("spark.sql.ansi.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
