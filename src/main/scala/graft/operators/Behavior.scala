@@ -977,54 +977,36 @@ object Behavior {
     * −1 drop — the hourlySpikes lesson: an outage must not look like a
     * surge).
     *
-    * The recursion is inherently sequential per series, but its state is
-    * the HOURLY AGGREGATE — (types × hours) rows, usually metadata-sized
-    * (a year is 8,760 rows per type) — so the aggregate collects and the
-    * fold runs driver-side (the pcaPower/markovSteady contract), emitted
-    * back as one createDataFrame. UNLIKE [[markovSteadyState]]'s domain²
-    * bound, this grid grows with the corpus TIME SPAN × type cardinality,
-    * so the collect is CAPPED: both the sparse aggregate and the dense
-    * per-type hour grid must stay within `maxGridRows` (default 2M ≈ 46
-    * years of hours × 5 types, ~100 MB of driver tuples) or the operator
-    * refuses loudly — the bounded-collect convention every driver-fold
-    * operator here follows. Pre-bucket types or split the time range to
-    * stay under it. Scala's `/` on nonnegative Longs truncates exactly
-    * like Spark `div` and DuckDB `//`, which is what keeps the driver fold
-    * oracle-exact against a recursive-CTE re-derivation. Missing hours are
-    * real zeros: the hour grid is dense from each type's first to last
-    * active hour (gaps decay the baseline rather than silently skipping
-    * time). */
+    * The recursion is inherently sequential PER SERIES, so the fold runs
+    * where the series lives: the hourly aggregate shuffles once on the
+    * type key and each type's dense hour grid folds inside its executor
+    * task (`flatMapGroups`) — zero driver state, cost `types × hours`
+    * spread across the cluster (r14 verdict #4; the old driver-side
+    * collect bounded the WHOLE grid globally and refused on multi-year
+    * high-cardinality corpora that are perfectly foldable per type).
+    * `maxGridRows` is therefore a PER-TYPE dense-span cap (default 2M ≈
+    * 228 years of hours — per-task memory insurance, not a corpus bound),
+    * checked up front by a type-cardinality-sized aggregate so the
+    * refusal is loud on the driver before any fold task launches. Scala's
+    * `/` on nonnegative Longs truncates exactly like Spark `div` and
+    * DuckDB `//`, which is what keeps the executor fold oracle-exact
+    * against a recursive-CTE re-derivation. Missing hours are real zeros:
+    * the hour grid is dense from each type's first to last active hour
+    * (gaps decay the baseline rather than silently skipping time). */
   def ewmaAnomaly(events: DataFrame, typeCol: String, tsCol: String,
       alphaMille: Long = 300L, burnIn: Int = 3,
       maxGridRows: Int = 2000000): DataFrame = {
     require(alphaMille >= 1 && alphaMille <= 1000, "alpha must be in (0, 1] per-mille")
     require(burnIn >= 1, "burnIn must be positive")
-    require(maxGridRows >= 1, "maxGridRows must be positive")
     val spark = events.sparkSession
-    val collected = events.select(col(typeCol).as("t"),
-        expr(s"unix_micros($tsCol) div 3600000000").as("hr"))
-      .groupBy(col("t"), col("hr")).agg(count(lit(1)).as("n"))
-      .limit(maxGridRows + 1) // bounded collect: refuse, don't OOM the driver
-      .collect()
-    require(collected.length <= maxGridRows,
-      s"ewmaAnomaly: hourly (type, hour) aggregate exceeds maxGridRows=$maxGridRows " +
-        "driver rows — bucket the type column or split the time range")
-    val hourly = collected
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      .groupBy(_._1)
-    val gridRows = hourly.valuesIterator
-      .map { rs => rs.map(_._2).max - rs.map(_._2).min + 1 }.sum
-    require(gridRows <= maxGridRows,
-      s"ewmaAnomaly: dense per-type hour grid is $gridRows rows (> maxGridRows=" +
-        s"$maxGridRows) — the corpus time span × type cardinality outgrew the " +
-        "driver fold; bucket types or split the time range")
-    val rows = hourly.toSeq.sortBy(_._1).flatMap { case (t, rs) =>
-      val byHr = rs.map(r => r._2 -> r._3).toMap
-      val (h0, h1) = (rs.map(_._2).min, rs.map(_._2).max)
-      // (the dense-grid fold below is shared in shape with burstDetect —
-      // both live under the same maxGridRows loud-refusal cap)
+    import spark.implicits._
+    val hourly = hourlyGrid(events, typeCol, tsCol, maxGridRows, "ewmaAnomaly")
+    hourly.groupByKey(_._1).flatMapGroups { (t, it) =>
+      val rs = it.map(r => (r._2, r._3)).toArray
+      val byHr = rs.toMap
+      val (h0, h1) = (rs.iterator.map(_._1).min, rs.iterator.map(_._1).max)
       var s = byHr.getOrElse(h0, 0L) * 1000L
-      (h0 to h1).zipWithIndex.map { case (hr, i) =>
+      (h0 to h1).iterator.zipWithIndex.map { case (hr, i) =>
         val x = byHr.getOrElse(hr, 0L)
         val sPrev = s
         s = if (i == 0) x * 1000L
@@ -1036,9 +1018,36 @@ object Behavior {
           else 0L
         (t, hr, x, if (i == 0) x * 1000L else sPrev, s, flag)
       }
-    }
+    }.toDF("event_type", "hr", "n", "ewma_prev_milli", "ewma_milli", "flag")
+  }
+
+  /** Shared front half of the three per-type hourly folds ([[ewmaAnomaly]] /
+    * [[cusumShift]] / [[burstDetect]]): the (type, hour, n) aggregate as a
+    * typed Dataset, with the PER-TYPE dense-span cap enforced up front —
+    * one type-cardinality-sized aggregate, `limit(1)` collect (at most one
+    * row crosses the driver), loud [[IllegalArgumentException]] naming the
+    * widest offender before any fold task launches. */
+  private def hourlyGrid(events: DataFrame, typeCol: String, tsCol: String,
+      maxGridRows: Int, op: String)
+      : org.apache.spark.sql.Dataset[(String, Long, Long)] = {
+    require(maxGridRows >= 1, "maxGridRows must be positive")
+    val spark = events.sparkSession
     import spark.implicits._
-    rows.toDF("event_type", "hr", "n", "ewma_prev_milli", "ewma_milli", "flag")
+    val hourly = Residuals.persist(
+      events.select(col(typeCol).cast("string").as("t"),
+          expr(s"unix_micros($tsCol) div 3600000000").as("hr"))
+        .groupBy(col("t"), col("hr")).agg(count(lit(1)).as("n")))
+      .as[(String, Long, Long)]
+    val over = hourly.groupBy(col("t"))
+      .agg((max(col("hr")) - min(col("hr")) + 1L).as("span"))
+      .filter(col("span") > maxGridRows)
+      .orderBy(col("span").desc, col("t")).limit(1).collect()
+    if (over.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$op: type '${over.head.getString(0)}' spans ${over.head.getLong(1)} dense " +
+          s"hours (> maxGridRows=$maxGridRows per-type cap) — bucket the type " +
+          "column or split the time range")
+    hourly
   }
 
   /** Two-sided CUSUM control chart over per-type hourly volumes — the
@@ -1053,50 +1062,36 @@ object Behavior {
     * units: +, −, max only — no division in the recurrence, so the fold
     * hash-matches its recursive-CTE twin exactly.
     *
-    * Same capped driver-fold contract as [[ewmaAnomaly]]/[[burstDetect]]:
-    * per-series sequential state over the dense hourly grid, collected
-    * under `maxGridRows` with a loud refusal. Output
+    * Same per-type executor-fold contract as [[ewmaAnomaly]]/
+    * [[burstDetect]] (shared [[hourlyGrid]] front half): one type-keyed
+    * shuffle, sequential state folds inside the type's task, per-type
+    * dense-span cap refused loudly up front. Output
     * (event_type, hr, n, s_plus_milli, s_minus_milli, flag). */
   def cusumShift(events: DataFrame, typeCol: String, tsCol: String,
       kDiv: Long = 4L, hFactor: Long = 4L,
       maxGridRows: Int = 2000000): DataFrame = {
     require(kDiv >= 1, "kDiv must be positive")
     require(hFactor >= 1, "hFactor must be positive")
-    require(maxGridRows >= 1, "maxGridRows must be positive")
     val spark = events.sparkSession
-    val collected = events.select(col(typeCol).as("t"),
-        expr(s"unix_micros($tsCol) div 3600000000").as("hr"))
-      .groupBy(col("t"), col("hr")).agg(count(lit(1)).as("n"))
-      .limit(maxGridRows + 1)
-      .collect()
-    require(collected.length <= maxGridRows,
-      s"cusumShift: hourly (type, hour) aggregate exceeds maxGridRows=$maxGridRows " +
-        "driver rows — bucket the type column or split the time range")
-    val hourly = collected.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      .groupBy(_._1)
-    val gridRows = hourly.valuesIterator
-      .map { rs => rs.map(_._2).max - rs.map(_._2).min + 1 }.sum
-    require(gridRows <= maxGridRows,
-      s"cusumShift: dense per-type hour grid is $gridRows rows (> maxGridRows=" +
-        s"$maxGridRows) — bucket types or split the time range")
-    val rows = hourly.toSeq.sortBy(_._1).flatMap { case (t, rs) =>
-      val byHr = rs.map(r => r._2 -> r._3).toMap
-      val (h0, h1) = (rs.map(_._2).min, rs.map(_._2).max)
+    import spark.implicits._
+    val hourly = hourlyGrid(events, typeCol, tsCol, maxGridRows, "cusumShift")
+    hourly.groupByKey(_._1).flatMapGroups { (t, it) =>
+      val rs = it.map(r => (r._2, r._3)).toArray
+      val byHr = rs.toMap
+      val (h0, h1) = (rs.iterator.map(_._1).min, rs.iterator.map(_._1).max)
       val xs = (h0 to h1).map(hr => byHr.getOrElse(hr, 0L))
       val muM = xs.sum * 1000L / xs.length
       val kM = muM / kDiv
       val hM = hFactor * muM
       var sp = 0L
       var sm = 0L
-      xs.zipWithIndex.map { case (x, i) =>
+      xs.iterator.zipWithIndex.map { case (x, i) =>
         sp = math.max(0L, sp + x * 1000L - muM - kM)
         sm = math.max(0L, sm + muM - kM - x * 1000L)
         val flag = if (sp > hM) 1L else if (sm > hM) -1L else 0L
         (t, h0 + i, x, sp, sm, flag)
       }
-    }
-    import spark.implicits._
-    rows.toDF("event_type", "hr", "n", "s_plus_milli", "s_minus_milli", "flag")
+    }.toDF("event_type", "hr", "n", "s_plus_milli", "s_minus_milli", "flag")
   }
 
   /** Kleinberg-style burst detection over per-type hourly volumes: a
@@ -1111,38 +1106,25 @@ object Behavior {
     * the smallest-start convention). λ0_milli = max(1, total·1000 div
     * span) per type.
     *
-    * Same driver-fold contract as [[ewmaAnomaly]]: the recursion is
-    * sequential per series but its state is the dense hourly grid,
-    * collected under the SAME `maxGridRows` loud-refusal cap; emitted
-    * back as one createDataFrame. Output (event_type, hr, n, state),
-    * state 1 = inside a burst. */
+    * Same per-type executor-fold contract as [[ewmaAnomaly]] (shared
+    * [[hourlyGrid]] front half): the Viterbi decode is sequential per
+    * series, so it folds inside the type's task after one type-keyed
+    * shuffle; per-type dense-span cap refused loudly up front. Output
+    * (event_type, hr, n, state), state 1 = inside a burst. */
   def burstDetect(events: DataFrame, typeCol: String, tsCol: String,
       burstFactor: Long = 3L, gammaMicro: Long = 3000000L,
       maxGridRows: Int = 2000000): DataFrame = {
     require(burstFactor >= 2, "burst rate must exceed the base rate")
     require(gammaMicro >= 0, "gammaMicro must be nonnegative")
-    require(maxGridRows >= 1, "maxGridRows must be positive")
     val spark = events.sparkSession
-    val collected = events.select(col(typeCol).as("t"),
-        expr(s"unix_micros($tsCol) div 3600000000").as("hr"))
-      .groupBy(col("t"), col("hr")).agg(count(lit(1)).as("n"))
-      .limit(maxGridRows + 1)
-      .collect()
-    require(collected.length <= maxGridRows,
-      s"burstDetect: hourly (type, hour) aggregate exceeds maxGridRows=$maxGridRows " +
-        "driver rows — bucket the type column or split the time range")
-    val hourly = collected.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      .groupBy(_._1)
-    val gridRows = hourly.valuesIterator
-      .map { rs => rs.map(_._2).max - rs.map(_._2).min + 1 }.sum
-    require(gridRows <= maxGridRows,
-      s"burstDetect: dense per-type hour grid is $gridRows rows (> maxGridRows=" +
-        s"$maxGridRows) — bucket types or split the time range")
+    import spark.implicits._
     def qlnL(y: Long): Long = math.floor(math.log(y.toDouble) * 1e6 + 0.5).toLong
     val qln1000 = qlnL(1000L)
-    val rows = hourly.toSeq.sortBy(_._1).flatMap { case (t, rs) =>
-      val byHr = rs.map(r => r._2 -> r._3).toMap
-      val (h0, h1) = (rs.map(_._2).min, rs.map(_._2).max)
+    val hourly = hourlyGrid(events, typeCol, tsCol, maxGridRows, "burstDetect")
+    hourly.groupByKey(_._1).flatMapGroups { (t, it) =>
+      val rsArr = it.map(r => (r._2, r._3)).toArray
+      val byHr = rsArr.toMap
+      val (h0, h1) = (rsArr.iterator.map(_._1).min, rsArr.iterator.map(_._1).max)
       val xs = (h0 to h1).map(hr => byHr.getOrElse(hr, 0L)).toArray
       val T = xs.length
       val lam0 = math.max(1L, xs.sum * 1000L / T)
@@ -1163,9 +1145,7 @@ object Behavior {
       states(T - 1) = if (v0(T - 1) <= v1(T - 1)) 0L else 1L
       for (i <- T - 1 to 1 by -1)
         states(i - 1) = if (states(i) == 0L) f0(i).toLong else f1(i).toLong
-      (0 until T).map(i => (t, h0 + i, xs(i), states(i)))
-    }
-    import spark.implicits._
-    rows.toDF("event_type", "hr", "n", "state")
+      (0 until T).iterator.map(i => (t, h0 + i, xs(i), states(i)))
+    }.toDF("event_type", "hr", "n", "state")
   }
 }

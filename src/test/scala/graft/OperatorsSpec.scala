@@ -3412,6 +3412,35 @@ class OperatorsSpec extends SparkSuite {
     assert(ex.getMessage.contains("maxGridRows"))
   }
 
+  test("hourly folds scale per TYPE, not per corpus: wide type fan-out under a tiny per-type cap") {
+    // r14 verdict #4: the driver-era cap bounded the GLOBAL grid, so a
+    // high-cardinality-type corpus refused even though every individual
+    // series was tiny. The executor fold's cap is per type: 40 types x 5
+    // dense hours = 200 grid rows total sails under maxGridRows = 8
+    // because no single type spans more than 5 — and the fold happens in
+    // executor tasks (a MapGroups node in the plan), with no driver grid.
+    val ts0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val ev = (0 until 40).flatMap { t =>
+      (0L to 4L).map(h => (s"type_$t", java.sql.Timestamp.from(ts0.plusSeconds(h * 3600L))))
+    }.toDF("event_type", "ts")
+    for ((nm, df) <- Seq(
+        "ewma" -> Behavior.ewmaAnomaly(ev, "event_type", "ts", maxGridRows = 8),
+        "cusum" -> Behavior.cusumShift(ev, "event_type", "ts", maxGridRows = 8),
+        "burst" -> Behavior.burstDetect(ev, "event_type", "ts", maxGridRows = 8))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("MapGroups"), s"$nm must fold in executors:\n$p")
+      assert(!p.contains("CollectLimit"), s"$nm must not carry the old bounded-collect shape:\n$p")
+      assert(df.count() == 200L, s"$nm: 40 types x 5 dense hours")
+    }
+    // ...and one 9-hour type among them still refuses loudly, by name
+    val ev2 = ev.union(Seq(("wide_one", java.sql.Timestamp.from(ts0)),
+      ("wide_one", java.sql.Timestamp.from(ts0.plusSeconds(8L * 3600L))))
+      .toDF("event_type", "ts"))
+    val ex2 = intercept[IllegalArgumentException](
+      Behavior.cusumShift(ev2, "event_type", "ts", maxGridRows = 8))
+    assert(ex2.getMessage.contains("wide_one") && ex2.getMessage.contains("maxGridRows"))
+  }
+
   test("wasserstein1d: identity = 0, constant shift = exactly k, overflow refused") {
     val base = (1L to 200L).toDF("v")
     assert(Drift.wasserstein1d(base, base, "v").head().getAs[Long]("w1_num") == 0L)
