@@ -36,10 +36,20 @@ object Main {
       val parsed = ConfigParser.parseFile(path)
       val spark = buildSession("graft-generate")
       spark.sparkContext.setLogLevel("WARN")
+      val quiet = rest.contains("--no-progress")
       try {
         val cfg = if (resume) Engine.resumedConfig(spark, parsed) else parsed
         val t0 = System.nanoTime()
-        val counts = Engine.run(spark, cfg, force, resume)
+        // live per-model progress on stderr (reference parity: the CLI
+        // renders a bar per model while generating) — same job-group task
+        // math as the task server's /status map, carriage-return rendering,
+        // no extra deps. stdout stays machine-readable (final counts only).
+        val bar = if (quiet) None else Some(new ProgressRenderer(spark))
+        val counts =
+          try Engine.run(spark, cfg, force, resume,
+            onModelStart = m => bar.foreach(_.start(m)),
+            onModelDone = m => bar.foreach(_.finish(m)))
+          finally bar.foreach(_.close())
         val secs = (System.nanoTime() - t0) / 1e9
         counts.toSeq.sortBy(_._1).foreach { case (m, n) =>
           println(f"model $m: $n%d rows written")

@@ -33,8 +33,14 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // scale guard (r14 verdict #5): any unpartitioned Window must sit
+        // on an aggregate-reduced (metadata-sized) input — fails THIS
+        // query loudly instead of shipping a single-task shuffle
+        graft.plans.WindowAudit.assertMetadataWindows(df, name)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -697,6 +697,32 @@ class PlanSpec extends SparkSuite {
     assert(!pw.contains("Join"), pw)
   }
 
+  test("WindowAudit: metadata windows pass, a global window over raw data fails") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // raw relation + unpartitioned window = the scale cliff — must flag
+    val bad = docs.withColumn("rk", row_number().over(W.orderBy(col("doc_id"))))
+    assert(graft.plans.WindowAudit.globalDataWindows(bad).nonEmpty,
+      "global window over a raw parquet relation must be flagged")
+    assertThrows[IllegalStateException](
+      graft.plans.WindowAudit.assertMetadataWindows(bad, "bad_query"))
+    // aggregate-reduced input (the compactionPlan / AUC / BLEU shape) = fine
+    val meta = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(W.orderBy(col("n"))))
+    assert(graft.plans.WindowAudit.globalDataWindows(meta).isEmpty,
+      "aggregate-reduced global window is the documented metadata case")
+    // PARTITIONED window over raw data = fine (no single-task gather)
+    val part = docs.withColumn("rk",
+      row_number().over(W.partitionBy(col("lang")).orderBy(col("doc_id"))))
+    assert(graft.plans.WindowAudit.globalDataWindows(part).isEmpty)
+    // and the three documented gate shapes stay clean end-to-end
+    val pairs = docs.select(col("doc_id"), col("text").as("c"), col("text").as("r"))
+    assert(graft.plans.WindowAudit.globalDataWindows(
+      graft.operators.Eval.bleuComponents(pairs, "doc_id", "c", "r")).isEmpty)
+  }
+
   test("compactionPlan window is metadata-only: one manifest gather, zero data reads") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
