@@ -405,15 +405,21 @@ object Features {
     * audit (ρ is a rate, it does not need the full corpus) — stated bound,
     * loud in the scaladoc rather than silently wrong.
     *
-    * Scale shape: two global rank windows over the audited sample (explicit
-    * contract above), one join on id, one aggregate. Returns ONE row
-    * (n, sum_d2, rho). */
+    * Scale shape: two DISTRIBUTED exact rankings ([[Ranks.globalRank]]:
+    * value-domain offsets + per-value partitioned row_number — no global
+    * window, no single-task sort; bit-identical to `row_number() OVER
+    * (ORDER BY value, id)`), one join on id, one aggregate. Returns ONE
+    * row (n, sum_d2, rho). Σd² exactness bound (n ≤ ~2e5 under 2^53)
+    * still applies — sample a larger corpus before auditing. */
   def spearman(df: DataFrame, idCol: String, aCol: String, bCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ra = df.select(col(idCol).as("id"),
-        row_number().over(Window.orderBy(col(aCol).asc, col(idCol).asc)).cast("long").as("ra"))
-    val rb = df.select(col(idCol).as("id"),
-        row_number().over(Window.orderBy(col(bCol).asc, col(idCol).asc)).cast("long").as("rb"))
+    val ra = Ranks.globalRank(
+        df.select(col(idCol).as("id"), col(aCol).as("__sp_a")),
+        "__sp_a", Seq("id"), "ra", "__sp_n")
+      .select(col("id"), col("ra"))
+    val rb = Ranks.globalRank(
+        df.select(col(idCol).as("id"), col(bCol).as("__sp_b")),
+        "__sp_b", Seq("id"), "rb", "__sp_n")
+      .select(col("id"), col("rb"))
     ra.join(rb, "id")
       .agg(count(lit(1)).as("n"),
         sum((col("ra") - col("rb")) * (col("ra") - col("rb"))).as("sum_d2"))

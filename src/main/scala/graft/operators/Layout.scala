@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions._
   * from Spark primitives: rank-bucketing, a codegen'd interleave kernel,
   * `repartitionByRange` + `sortWithinPartitions`).
   *
-  * Scale path: ranks come from `ntile` over a GLOBAL window — fine to
-  * thousands of buckets but a single-reducer sort at extreme cardinality; for
-  * 100 TB use `zValueApprox` (quantile-boundary buckets from `approx
-  * _percentile`, one scan, no window) — same layout quality, bounded memory.
+  * Scale path: exact equi-depth rank buckets come from [[Ranks.rankBucket]]
+  * (distributed — value-domain offsets + per-value windows, bit-identical
+  * to a global ntile); the WRITE path skips ranking entirely and buckets by
+  * `approx_percentile` boundaries ([[approxBoundaries]] — one scan, no
+  * window, no join) since layout quality doesn't need exact tiles.
   */
 object Layout {
 
@@ -38,14 +39,6 @@ object Layout {
     * [0, 2^bits), then range-partition + sort by the value at write time. */
   def hilbertValue(xBucket: Column, yBucket: Column, bits: Int = 16): Column =
     Kernels.hilbertDCol(xBucket, yBucket, bits)
-
-  /** Equi-depth rank buckets of a dimension: ntile over the global order
-    * (ties broken by `tieCols` so the bucketing is deterministic). Exact and
-    * oracle-friendly; see scaladoc for the approx variant at scale. */
-  def rankBucket(valueCol: Column, tieCols: Seq[Column], buckets: Int): Column = {
-    import org.apache.spark.sql.expressions.Window
-    (ntile(buckets).over(Window.orderBy(valueCol +: tieCols: _*)) - 1).cast("long")
-  }
 
   /** Bucket a dimension by FIXED quantile boundaries computed in one
     * aggregation pass (`approx_percentile`) — the 100 TB path: no global

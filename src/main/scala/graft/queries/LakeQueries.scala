@@ -3,7 +3,7 @@ package graft
 import graft.config.ConfigParser
 import graft.engine.Engine
 import graft.functions.{TextFns, VectorFns}
-import graft.operators.{Dedup, Layout, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Layout, Multimodal, Ranks, Similarity, TextAnalysis}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -309,33 +309,45 @@ private[graft] trait LakeQueries extends QueryHelpers {
       // Hilbert clustering values over the same (partkey, suppkey) rank
       // buckets as layout_zorder — consecutive indices are grid-adjacent,
       // so the clustered layout covers tighter rectangles than Morton
-      // (OperatorsSpec enumerates the adjacency property exhaustively)
+      // (OperatorsSpec enumerates the adjacency property exhaustively).
+      // Buckets via Ranks.rankBucket: DISTRIBUTED exact ntile (value-domain
+      // offsets + per-value windows — r15 WindowAudit refusal fixed),
+      // bit-identical to the oracle's global ntile(256)
       val li = t(s, dir, "lineitem").select(
         col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
         col("l_partkey"), col("l_suppkey"))
-      val ties = Seq(col("l_orderkey"), col("l_linenumber"))
-      li.select(
+      // ties carry the OTHER dimension's key too: (l_orderkey, l_linenumber)
+      // alone is NOT unique in the fixture, and an under-specified rank
+      // order is engine-arbitrary within the tie (r14's match was scan-order
+      // luck — found the day the distributed rank changed the within-tie
+      // order). (okey, lnum, otherDim) is total per value group here.
+      val bucketed = Ranks.rankBucket(
+        Ranks.rankBucket(li, "l_partkey",
+          Seq("l_orderkey", "l_linenumber", "l_suppkey"), 256, "b0"),
+        "l_suppkey", Seq("l_orderkey", "l_linenumber", "l_partkey"), 256, "b1")
+      bucketed.select(
         col("l_orderkey"), col("l_linenumber"),
-        Layout.hilbertValue(
-          Layout.rankBucket(col("l_partkey"), ties, 256),
-          Layout.rankBucket(col("l_suppkey"), ties, 256), bits = 8).as("hval"))
+        Layout.hilbertValue(col("b0"), col("b1"), bits = 8).as("hval"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
 
     "layout_zorder" -> ((s, dir) => {
       // Morton z-values over (partkey, suppkey) rank buckets — the clustering
-      // key writeZOrdered lays files out by. Exact ntile buckets here for the
-      // oracle; the write path uses approx boundaries (no global window).
+      // key writeZOrdered lays files out by. Distributed exact ntile buckets
+      // (Ranks.rankBucket — no global window; the write path uses approx
+      // boundaries and never ranks at all).
       val li = t(s, dir, "lineitem").select(
         col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
         col("l_partkey"), col("l_suppkey"))
-      val ties = Seq(col("l_orderkey"), col("l_linenumber"))
-      li.select(
+      // total tie-break incl. the other dimension — see layout_hilbert note
+      val bucketed = Ranks.rankBucket(
+        Ranks.rankBucket(li, "l_partkey",
+          Seq("l_orderkey", "l_linenumber", "l_suppkey"), 256, "b0"),
+        "l_suppkey", Seq("l_orderkey", "l_linenumber", "l_partkey"), 256, "b1")
+      bucketed.select(
         col("l_orderkey"), col("l_linenumber"),
-        Layout.zValue(Seq(
-          Layout.rankBucket(col("l_partkey"), ties, 256),
-          Layout.rankBucket(col("l_suppkey"), ties, 256)), bits = 8).as("zval"))
+        Layout.zValue(Seq(col("b0"), col("b1")), bits = 8).as("zval"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }))
 
@@ -392,11 +404,14 @@ private[graft] trait LakeQueries extends QueryHelpers {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
 
+    // rank ORDER BYs are TOTAL (the other dimension closes the tie —
+    // (l_orderkey, l_linenumber) alone is not unique in the fixture and an
+    // under-specified ntile is engine-arbitrary within ties)
     "layout_zorder" ->
       """WITH b AS (
         |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
-        |    CAST(ntile(256) OVER (ORDER BY l_partkey, l_orderkey, l_linenumber) - 1 AS BIGINT) AS b0,
-        |    CAST(ntile(256) OVER (ORDER BY l_suppkey, l_orderkey, l_linenumber) - 1 AS BIGINT) AS b1
+        |    CAST(ntile(256) OVER (ORDER BY l_partkey, l_orderkey, l_linenumber, l_suppkey) - 1 AS BIGINT) AS b0,
+        |    CAST(ntile(256) OVER (ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey) - 1 AS BIGINT) AS b1
         |  FROM lineitem
         |)
         |SELECT l_orderkey, l_linenumber,
@@ -581,8 +596,8 @@ private[graft] trait LakeQueries extends QueryHelpers {
       s"""WITH b AS (
          |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
          |    CAST(0 AS BIGINT) AS d,
-         |    CAST(ntile(256) OVER (ORDER BY l_partkey, l_orderkey, l_linenumber) - 1 AS BIGINT) AS x,
-         |    CAST(ntile(256) OVER (ORDER BY l_suppkey, l_orderkey, l_linenumber) - 1 AS BIGINT) AS y
+         |    CAST(ntile(256) OVER (ORDER BY l_partkey, l_orderkey, l_linenumber, l_suppkey) - 1 AS BIGINT) AS x,
+         |    CAST(ntile(256) OVER (ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey) - 1 AS BIGINT) AS y
          |  FROM lineitem
          |),
          |$steps

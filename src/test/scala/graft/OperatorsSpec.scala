@@ -3216,6 +3216,31 @@ class OperatorsSpec extends SparkSuite {
     assert(Features.spearman(dup, "id", "a", "b").head().getAs[Double]("rho") == 1.0)
   }
 
+  test("Ranks: distributed globalRank/rankBucket == global row_number/ntile") {
+    import org.apache.spark.sql.expressions.Window
+    // ties-heavy frame across many partitions: 400 rows, 13 distinct
+    // values, unique tie key — the exact shape whose global window the
+    // decomposition replaces
+    val df = spark.range(400).select(
+      col("id"), (col("id") * 37L % 13L).as("v")).repartition(8)
+    val viaWindow = df.withColumn("rk",
+        row_number().over(Window.orderBy(col("v"), col("id"))).cast("long"))
+      .withColumn("bk",
+        (ntile(7).over(Window.orderBy(col("v"), col("id"))) - 1).cast("long"))
+      .select(col("id"), col("rk"), col("bk"))
+    val viaRanks = Ranks.rankBucket(
+        Ranks.globalRank(df, "v", Seq("id"), "rk", "n"),
+        "v", Seq("id"), 7, "bk")
+      .select(col("id"), col("rk"), col("bk"))
+    assert(viaRanks.except(viaWindow).isEmpty && viaWindow.except(viaRanks).isEmpty,
+      "distributed rank decomposition must be bit-identical to the global window")
+    // n < buckets: every row alone in its own ntile bucket, no ANSI division
+    val tiny = spark.range(3).select(col("id"), col("id").as("v"))
+    val tb = Ranks.rankBucket(tiny, "v", Seq("id"), 7, "bk")
+      .orderBy(col("id")).collect().map(_.getAs[Long]("bk")).toSeq
+    assert(tb == Seq(0L, 1L, 2L))
+  }
+
   test("miTerms: a lang-exclusive token outranks a uniform one") {
     val d = Seq(
       (1L, "en", "hello shared"), (2L, "en", "hello shared"),
@@ -3326,6 +3351,17 @@ class OperatorsSpec extends SparkSuite {
     assert(r(2L)._3 + r(2L)._5 == r(1L)._1)
   }
 
+  /** The hourly-fold span cap now refuses FROM the fold task (fused guard,
+    * r15 verdict #3), so the IllegalArgumentException arrives as the CAUSE
+    * of a SparkException when an action runs — this forces the plan and
+    * returns the whole cause-chain message text for the loud-refusal
+    * assertions. */
+  private def foldRefusal(df: => org.apache.spark.sql.DataFrame): String = {
+    val ex = intercept[Throwable](df.collect())
+    Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
+  }
+
   test("cusumShift: sustained surge/outage accumulate to signed flags, constant stays silent") {
     val ts0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
     def hr(h: Long, i: Int) = java.sql.Timestamp.from(ts0.plusSeconds(h * 3600L + i))
@@ -3346,9 +3382,8 @@ class OperatorsSpec extends SparkSuite {
     assert(r(("surgy", 5L)) == 0L, "pre-shift hours stay silent")
     assert((12L to 22L).exists(h => r(("dark", h)) == -1L),
       "the sustained outage must flag -1 somewhere in the dark stretch")
-    val ex = intercept[IllegalArgumentException](
-      Behavior.cusumShift(ev, "event_type", "ts", maxGridRows = 8))
-    assert(ex.getMessage.contains("maxGridRows"))
+    assert(foldRefusal(Behavior.cusumShift(ev, "event_type", "ts", maxGridRows = 8))
+      .contains("maxGridRows"))
   }
 
   test("burstDetect: burst block labeled as one interval, constant series all-base, cap refuses") {
@@ -3369,9 +3404,8 @@ class OperatorsSpec extends SparkSuite {
     (10L to 13L).foreach(h => assert(r(("bursty", h)) == 1L, s"burst hour $h must label 1"))
     ((0L to 9L) ++ (14L to 23L)).foreach(h =>
       assert(r(("bursty", h)) == 0L, s"base hour $h must label 0"))
-    val ex = intercept[IllegalArgumentException](
-      Behavior.burstDetect(ev, "event_type", "ts", maxGridRows = 8))
-    assert(ex.getMessage.contains("maxGridRows"))
+    assert(foldRefusal(Behavior.burstDetect(ev, "event_type", "ts", maxGridRows = 8))
+      .contains("maxGridRows"))
   }
 
   test("ewmaAnomaly: constant series never flags; spike +1, outage -1; gaps decay") {
@@ -3399,17 +3433,16 @@ class OperatorsSpec extends SparkSuite {
     val after = r.filter($"event_type" === "gone" && $"hr" === (ts0.getEpochSecond / 3600 + 7))
       .head()
     assert(after.getAs[Long]("ewma_prev_milli") == 7000L, "one zero hour decays 10000 -> 7000")
-    // the driver-fold grid is CAPPED (loud-refusal convention): two types
-    // spanning > 4 dense hours each overflow maxGridRows = 8 even though
-    // the sparse aggregate is only 4 rows — both bounds must hold
+    // the per-type dense span is CAPPED (loud-refusal convention): two
+    // types spanning > 8 dense hours each overflow maxGridRows = 8 even
+    // though the sparse aggregate is only 4 rows — both bounds must hold
     val wide = Seq(
       ("a", java.sql.Timestamp.from(ts0)),
       ("a", java.sql.Timestamp.from(ts0.plusSeconds(3600L * 50))),
       ("b", java.sql.Timestamp.from(ts0)),
       ("b", java.sql.Timestamp.from(ts0.plusSeconds(3600L * 50)))).toDF("event_type", "ts")
-    val ex = intercept[IllegalArgumentException](
-      Behavior.ewmaAnomaly(wide, "event_type", "ts", maxGridRows = 8))
-    assert(ex.getMessage.contains("maxGridRows"))
+    assert(foldRefusal(Behavior.ewmaAnomaly(wide, "event_type", "ts", maxGridRows = 8))
+      .contains("maxGridRows"))
   }
 
   test("hourly folds scale per TYPE, not per corpus: wide type fan-out under a tiny per-type cap") {
@@ -3436,9 +3469,8 @@ class OperatorsSpec extends SparkSuite {
     val ev2 = ev.union(Seq(("wide_one", java.sql.Timestamp.from(ts0)),
       ("wide_one", java.sql.Timestamp.from(ts0.plusSeconds(8L * 3600L))))
       .toDF("event_type", "ts"))
-    val ex2 = intercept[IllegalArgumentException](
-      Behavior.cusumShift(ev2, "event_type", "ts", maxGridRows = 8))
-    assert(ex2.getMessage.contains("wide_one") && ex2.getMessage.contains("maxGridRows"))
+    val msg = foldRefusal(Behavior.cusumShift(ev2, "event_type", "ts", maxGridRows = 8))
+    assert(msg.contains("wide_one") && msg.contains("maxGridRows"))
   }
 
   test("wasserstein1d: identity = 0, constant shift = exactly k, overflow refused") {

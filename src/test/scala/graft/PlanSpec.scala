@@ -723,6 +723,18 @@ class PlanSpec extends SparkSuite {
       graft.operators.Eval.bleuComponents(pairs, "doc_id", "c", "r")).isEmpty)
   }
 
+  test("r15 audit refusals stay fixed: zorder/hilbert/rank_corr are window-clean") {
+    // the three gate queries the r15 WindowAudit wiring refused (global
+    // ntile / row_number over the fact table) — now distributed via
+    // Ranks.globalRank; pin the whole-query plans clean so a revert of the
+    // rank decomposition fails HERE, not in the end-of-round gate
+    for (q <- Seq("layout_zorder", "layout_hilbert", "feature_rank_corr")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      assert(graft.plans.WindowAudit.globalDataWindows(df).isEmpty,
+        s"$q regressed to a global data-sized window")
+    }
+  }
+
   test("compactionPlan window is metadata-only: one manifest gather, zero data reads") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
