@@ -8,7 +8,8 @@ import org.apache.spark.sql.SparkSession
 /** CLI entry point, mirroring the reference's command surface
   * (sdvg `cmd/sdvg/main.go`, `internal/generator/cli/commands`):
   *
-  *   generate <config.(yml|json)> [--force] [--continue]
+  *   generate <config.(yml|json)> [--force] [--continue] [--no-progress]
+  *            [--cpu-profile <out.jfr>] [--memory-profile <out.hprof>]
   *   validate-config <config>
   *   serve [port]
   */
@@ -29,6 +30,10 @@ object Main {
       .getOrCreate()
   }
 
+  /** Value of a `--name <value>` option, if present. */
+  private def optVal(rest: List[String], name: String): Option[String] =
+    rest.dropWhile(_ != name).drop(1).headOption
+
   def main(args: Array[String]): Unit = args.toList match {
     case "generate" :: path :: rest =>
       val force = rest.contains("--force")
@@ -37,6 +42,9 @@ object Main {
       val spark = buildSession("graft-generate")
       spark.sparkContext.setLogLevel("WARN")
       val quiet = rest.contains("--no-progress")
+      // reference parity (app.go startProfiling/stopProfiling): JFR cpu
+      // recording over the run, .hprof heap dump at exit — see Profiling
+      val stopCpu = optVal(rest, "--cpu-profile").map(Profiling.startCpu)
       try {
         val cfg = if (resume) Engine.resumedConfig(spark, parsed) else parsed
         val t0 = System.nanoTime()
@@ -55,7 +63,11 @@ object Main {
           println(f"model $m: $n%d rows written")
         }
         println(f"done in $secs%.2f s")
-      } finally spark.stop()
+      } finally {
+        stopCpu.foreach(_.apply())
+        optVal(rest, "--memory-profile").foreach(Profiling.dumpHeap)
+        spark.stop()
+      }
 
     case "validate-config" :: path :: Nil =>
       try {
@@ -169,7 +181,8 @@ object Main {
     case _ =>
       System.err.println(
         """usage:
-          |  generate <config.yml|config.json> [--force] [--continue]
+          |  generate <config.yml|config.json> [--force] [--continue] [--no-progress]
+          |           [--cpu-profile <out.jfr>] [--memory-profile <out.hprof>]
           |  validate-config <config>
           |  generate-config description [save-path]           (interactive)
           |  generate-config <description|sql-query|data-sample> <in> <out>

@@ -39,8 +39,13 @@ final class ProgressRenderer(spark: SparkSession, intervalMs: Long = 500L) {
 
   private val ticker = new Thread(() => {
     try while (running) {
-      val m = current.get()
-      if (m != null) render(m, pct(m))
+      // a transient tracker failure (session shutdown race, job-group
+      // transition) must skip the tick, not kill the thread — a dead
+      // ticker silently freezes the bar for every remaining model
+      try {
+        val m = current.get()
+        if (m != null) render(m, pct(m))
+      } catch { case scala.util.control.NonFatal(_) => () }
       Thread.sleep(intervalMs)
     } catch { case _: InterruptedException => () }
   }, "graft-progress")

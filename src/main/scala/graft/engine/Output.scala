@@ -163,16 +163,27 @@ object Output {
           // (ParquetOutputFormat exposes no key for it): declaring it still
           // selects v2 + dictionary-off but floats fall back to PLAIN —
           // documented divergence until parquet-mr exposes the knob.
-          var declaredV2 = false
+          var v2Cols = List.empty[String]
           model.columns.flatMap(c => c.parquet.map(c.name -> _)).foreach { case (name, p) =>
             if (p.encoding.nonEmpty) {
               val enc = p.encoding.toUpperCase
               val dict = enc.contains("DICT")
               w = w.option(s"parquet.enable.dictionary#$name", dict.toString)
-              if (enc.startsWith("DELTA_") || enc == "BYTE_STREAM_SPLIT") declaredV2 = true
+              if (enc.startsWith("DELTA_") || enc == "BYTE_STREAM_SPLIT") v2Cols ::= name
             }
           }
-          if (declaredV2) w = w.option("parquet.writer.version", "v2")
+          if (v2Cols.nonEmpty) {
+            // parquet.writer.version is a FILE-level switch — one v2-only
+            // column encoding flips every column (and page headers) in the
+            // model's files to format v2; say so instead of flipping
+            // silently (r14 ADVICE), since v2 pages are unreadable to some
+            // older consumers
+            System.err.println(
+              s"[output] note: column(s) ${v2Cols.sorted.mkString(", ")} declare " +
+                "v2-only encodings; the whole parquet file for this model is " +
+                "written as format v2 (parquet.writer.version is file-level)")
+            w = w.option("parquet.writer.version", "v2")
+          }
           if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
           w.parquet(modelPath(cfg, model))
         } finally prev match {

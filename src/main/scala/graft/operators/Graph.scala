@@ -1158,9 +1158,18 @@ object Graph {
     * ≤ 8 keeps the linear plan growth in bfsHops territory. σ fits a
     * long for any graph whose per-level path multiplicity stays below
     * ~2^50 — true for bounded-degree graphs at these hop counts;
-    * σ-overflow on adversarial dense graphs would need bigint σ. */
+    * σ-overflow on adversarial dense graphs would need bigint σ.
+    *
+    * The frontier/visited/delta relations broadcast only while the
+    * accumulated visited set stays under `maxBroadcastRows` (counts are
+    * free — every level is checkpoint-materialized anyway); past the cap
+    * the joins fall back to shuffles, trading round latency for driver
+    * safety on high-seed-count × high-reach graphs (r14 ADVICE: the
+    * unconditional hint would ship a seeds×reach relation to the
+    * driver). */
   def betweennessSeeds(edges: DataFrame, srcCol: String, dstCol: String,
-      seeds: DataFrame, seedCol: String, rounds: Int): DataFrame = {
+      seeds: DataFrame, seedCol: String, rounds: Int,
+      maxBroadcastRows: Long = 10000000L): DataFrame = {
     require(rounds >= 1 && rounds <= 8,
       "rounds in [1, 8] — plan depth grows linearly per hop")
     val e = edges
@@ -1184,19 +1193,25 @@ object Graph {
     var levels = Vector(
       ck(s0.select(col("s"), col("s").as("node"), lit(1L).as("sigma"))))
     var visited = levels(0).select(col("s"), col("node"))
+    var visitedRows = levels(0).count()
+    // the frontier/visited/delta relations are seed-set-sized by the
+    // operator's contract — broadcast them explicitly while they fit
+    // (persisted frames carry no stats, so AQE would SMJ these tiny sides
+    // against the persisted edge relation every round); counts come off
+    // checkpoint-materialized frames, so tracking the size is one cheap
+    // cached scan per round
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (visitedRows <= maxBroadcastRows) broadcast(df) else df
     for (_ <- 1 to rounds) {
-      // the frontier/visited/delta relations are seed-set-sized by the
-      // operator's contract — broadcast them explicitly (persisted frames
-      // carry no stats, so AQE would SMJ these tiny sides against the
-      // persisted edge relation every round)
       val cand = levels.last
         .join(e.withColumnRenamed("u", "node"), Seq("node"))
         .groupBy(col("s"), col("v").as("node"))
         .agg(sum(col("sigma")).as("sigma"))
-      val nf = ck(cand.join(broadcast(visited), Seq("s", "node"), "left_anti")
+      val nf = ck(cand.join(maybeBcast(visited), Seq("s", "node"), "left_anti")
         .select(col("s"), col("node"), col("sigma")))
       levels = levels :+ nf
       visited = visited.union(nf.select(col("s"), col("node")))
+      visitedRows += nf.count()
     }
     var deltas = Vector.fill[DataFrame](rounds + 1)(null)
     deltas = deltas.updated(rounds, levels(rounds).withColumn("delta", lit(0L)))
@@ -1206,12 +1221,12 @@ object Graph {
         col("sigma").as("sigma_w"), col("delta").as("delta_w"))
       val contrib = levels(r)
         .join(e.withColumnRenamed("u", "node").withColumnRenamed("v", "w"), Seq("node"))
-        .join(broadcast(next), Seq("s", "w"))
+        .join(maybeBcast(next), Seq("s", "w"))
         .select(col("s"), col("node"),
           expr("sigma * (1000000 + delta_w) div sigma_w").as("term"))
         .groupBy(col("s"), col("node")).agg(sum(col("term")).as("dsum"))
       deltas = deltas.updated(r,
-        ck(levels(r).join(broadcast(contrib), Seq("s", "node"), "left")
+        ck(levels(r).join(maybeBcast(contrib), Seq("s", "node"), "left")
           .select(col("s"), col("node"), col("sigma"),
             coalesce(col("dsum"), lit(0L)).as("delta"))))
     }

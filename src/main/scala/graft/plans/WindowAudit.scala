@@ -20,11 +20,16 @@ import org.apache.spark.sql.catalyst.plans.logical._
   * raw relation globally fails its own gate instead of shipping a
   * single-task shuffle; PlanSpec unit-pins both directions.
   *
-  * Heuristic note: "reduced somewhere below" does not prove the window
-  * input is small (an aggregate joined back to a fact table would pass),
-  * but every false negative still has a total ORDER BY gate and a bench
-  * cell watching it — this audit exists to catch the silent default, not
-  * to replace plan review. */
+  * The reduction test walks the window child's REDUCTION FRONTIER (r15
+  * ADVICE): descend through unary nodes; a branch is reduced when it hits
+  * an Aggregate / Deduplicate / GlobalLimit (or a literal-sized leaf)
+  * BEFORE any Join — a Join with no reducer above it can re-inflate an
+  * aggregate from its other side (the `exists`-anywhere false negative
+  * this replaces), so it fails the branch. A Union is reduced iff every
+  * branch is (k metadata relations stacked are still metadata). Sample is
+  * deliberately NOT a reducer: a fraction of a 100 TB relation scales
+  * with the relation. Still a heuristic — the audit catches the silent
+  * default, it does not replace plan review. */
 object WindowAudit {
 
   /** Render every unpartitioned Window whose input is NOT
@@ -47,9 +52,12 @@ object WindowAudit {
           "partition the window or aggregate first:\n" + bad.mkString("\n"))
   }
 
-  private def reduced(p: LogicalPlan): Boolean = p.exists {
-    case _: Aggregate | _: Deduplicate | _: LocalRelation | _: OneRowRelation |
-        _: Range => true
-    case _ => false
+  private def reduced(p: LogicalPlan): Boolean = p match {
+    case _: Aggregate | _: Deduplicate | _: GlobalLimit => true
+    case _: LocalRelation | _: OneRowRelation => true
+    case _: Range => true // literal row count, known at plan time
+    case _: Join => false // no reducer above it: could be data-sized
+    case leaf if leaf.children.isEmpty => false // raw relation reached
+    case other => other.children.forall(reduced) // unary pass-through; Union = all branches
   }
 }
