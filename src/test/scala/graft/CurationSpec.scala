@@ -390,6 +390,53 @@ class CurationSpec extends SparkSuite {
     assert(piped == Seq(3L) && piped == direct)
   }
 
+  test("curation pipeline survives hostile text under ANSI mode") {
+    import graft.operators.CurationPipeline
+    // r15 ADVICE: ANSI is pinned true in every session builder, which turns
+    // silent-null paths (strict casts, element_at, overflow) into errors —
+    // the curate verb is the user-facing path fed UNTRUSTED corpus text, so
+    // pin here that a full representative step chain completes on the nasty
+    // cases: empties, control chars, NULs, surrogate-pair emoji, RTL +
+    // combining marks, a 100k-char single token, broken HTML, numeric
+    // strings past int64, and NULL text/source fields.
+    val hostile = Seq(
+      (1L, "", "s1"),
+      (2L, "   \t\n  ", "s1"),
+      (3L, "nul byte and  bell", "s2"),
+      (4L, "emoji 😀🤖 beyond the BMP", "s2"),
+      (5L, "مرحبا rtl and é combining", "s3"),
+      (6L, "x" * 100000, "s3"),
+      (7L, "<html><p>broken <b>tags <a href='x'>link</i></html", "s4"),
+      (8L, "99999999999999999999999999999999999999", "s4"),
+      (9L, null.asInstanceOf[String], "s5"),
+      (10L, "the house was quiet and the world was calm, and the reader " +
+        "became the book while the summer night was like the conscious " +
+        "being of the book itself, and there was nothing else to want " +
+        "for the words were spoken as if there was no book", "s6"),
+      (11L, ("word " * 30).trim, null.asInstanceOf[String])
+    ).toDF("doc_id", "text", "source")
+    val yaml =
+      """steps:
+        |  - { op: normalize }
+        |  - { op: extract_html, max_link_density_permille: 900 }
+        |  - { op: filter_gopher, min_words: 1, max_words: 100000 }
+        |  - { op: filter_repetition, max_dup_permille: 990 }
+        |  - { op: filter_lang, keep: [en, ru, ar] }
+        |  - { op: filter_quality, min_score: 0.0 }
+        |  - { op: dedup_exact }
+        |  - { op: filter_length, min_chars: 1, max_chars: 200000 }
+        |  - { op: cap_per_source, source_col: source, k: 10 }
+        |  - { op: split, train: 0.8, val: 0.1, test: 0.1 }
+        |""".stripMargin
+    // must not throw anywhere in the chain — the assertion IS completion;
+    // survivors are a subset of the input ids and carry a split label
+    val out = CurationPipeline.runYaml(hostile, "doc_id", "text", yaml).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSet.subsetOf((1L to 11L).toSet))
+    assert(out.forall(r => Set("train", "val", "test").contains(r.getAs[String]("split"))))
+    // the unambiguously healthy doc survives the whole gauntlet
+    assert(out.exists(_.getAs[Long]("doc_id") == 10L))
+  }
+
   test("curation pipeline: step-indexed validation errors, composition equals manual chain") {
     import graft.operators.CurationPipeline
     // validation catches every defect at once, before any Spark job

@@ -56,12 +56,18 @@ class ScaleSpec extends SparkSuite {
   // PER PAIR in the JITed kernel but linear in pairs), and seed-set
   // betweenness (O(seeds × reach) frontier joins — the truncation fix
   // must keep it linear, not just fast once)
+  // round 16 adds the two remaining topology-driven fixpoints (r15 verdict
+  // #6): full SCC decomposition (rounds bounded by SCC-DAG depth — the
+  // fixture pins depth constant as keys grow, so growth must track data,
+  // not explode with it) and k-truss (support peeling over the oriented
+  // triangle join — clique-block-linear)
   for (q <- Seq("basket_part_pairs", "text_token_pmi", "dedup_spans", "graph_triangles",
       "knn_pq", "text_bpe_encode", "graph_kcore", "dedup_winnow_pairs",
       "emb_covariance", "graph_common_neighbors",
       "mm_phash_pairs", "text_collocations_llr",
       "text_unigram_encode", "eval_tokenizer_fertility",
-      "eval_chrf", "eval_rouge_l", "graph_betweenness"))
+      "eval_chrf", "eval_rouge_l", "graph_betweenness",
+      "graph_scc_full", "graph_ktruss"))
     test(s"$q wall-time grows at most ~linearly from sf0.01 to sf0.1") {
       run(q, small) // warmup: codegen + JIT + class-load outside the clock
       val tSmall = timeMinOf2(q, small)
