@@ -594,6 +594,45 @@ object Kernels {
     prev(m)
   }
 
+  /** Word-level Levenshtein distance between two token arrays — the WER
+    * numerator (insert/delete/substitute at TOKEN granularity, unit costs;
+    * [[lcsTokens]] is the no-substitution sibling). Two-row DP, O(n·m) per
+    * pair inside one JITed call — same row-local shape as the BLEU/chrF
+    * kernels, so the plan stays one scan + projections with no join. The
+    * DuckDB oracle re-derives it through the built-in char `levenshtein`
+    * after an injective token→codepoint encoding (global vocab ranks,
+    * surrogate-free offset), which is equal by construction. */
+  def editDistTokens(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    val m = b.numElements()
+    if (n == 0) return m.toLong
+    if (m == 0) return n.toLong
+    val bs = new Array[UTF8String](m)
+    var j = 0
+    while (j < m) { bs(j) = b.getUTF8String(j); j += 1 }
+    var prev = new Array[Long](m + 1)
+    var cur = new Array[Long](m + 1)
+    j = 0
+    while (j <= m) { prev(j) = j.toLong; j += 1 }
+    var i = 1
+    while (i <= n) {
+      val ai = a.getUTF8String(i - 1)
+      cur(0) = i.toLong
+      j = 1
+      while (j <= m) {
+        val sub = prev(j - 1) + (if (ai.equals(bs(j - 1))) 0L else 1L)
+        var best = sub
+        if (prev(j) + 1L < best) best = prev(j) + 1L
+        if (cur(j - 1) + 1L < best) best = cur(j - 1) + 1L
+        cur(j) = best
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(m)
+  }
+
   /** Clipped word n-gram matches Σ_g min(count_cand(g), count_ref(g)) for
     * EVERY n in 1..maxN, one row-local pass — the BLEU numerator. The
     * candidate and reference live in the same row, so the per-pair clipped
@@ -889,6 +928,9 @@ object Kernels {
 
   def lcsTokensCol(a: Column, b: Column): Column =
     call(LongType, "lcsTokens", a, b)
+
+  def editDistTokensCol(a: Column, b: Column): Column =
+    call(LongType, "editDistTokens", a, b)
 
   def clippedNgramMatchesAllCol(ct: Column, rt: Column, maxN: Int): Column =
     call(ArrayType(LongType, containsNull = false), "clippedNgramMatchesAll", ct, rt, lit(maxN))

@@ -536,6 +536,23 @@ private[graft] trait TextQueries extends QueryHelpers {
     }),
 
 
+    "eval_wer" -> ((s, dir) => {
+      // per-doc WER/CER of a deterministically-degraded candidate: every
+      // 7th token REVERSED (a substitution) and every 5th DROPPED (a
+      // deletion) — mixed edit classes so the DP actually chooses, not the
+      // pure-deletion degenerate where distance == drop count
+      val docs = t(s, dir, "documents")
+      val toks = TextFns.tokens(col("text"))
+      val cand = filter(
+        transform(toks, (tk, i) => when((i + 1) % 7 === 0, reverse(tk)).otherwise(tk)),
+        (_, i) => (i + 1) % 5 =!= 0)
+      val pairs = docs.select(col("doc_id"),
+        concat_ws(" ", cand).as("cand"), col("text").as("ref"))
+      graft.operators.Eval.werAudit(spread(pairs), "doc_id", "cand", "ref")
+        .orderBy(col("doc_id"))
+    }),
+
+
     "eval_chrf" -> ((s, dir) => {
       // chrF over the same degraded-candidate fixture: per-n character
       // n-gram clipped matches + the single-division F-score identity
@@ -991,6 +1008,44 @@ private[graft] trait TextQueries extends QueryHelpers {
   protected def textOracles: Map[String, String] = Map(
 
     "eval_bleu" -> bleuOracleSql,
+
+    // word distance re-derived through DuckDB's built-in levenshtein after
+    // an injective token -> SINGLE-BYTE encoding (DuckDB's levenshtein
+    // counts BYTES — a multi-byte codepoint encoding overcounts, found the
+    // hard way): global vocab ranks into chr(33 + rank), printable ASCII
+    // for the fixture's <= 94-token vocabulary; a vocab ever outgrowing
+    // the byte fails LOUDLY as an overcount, never silently-equal.
+    // list_transform + string_agg preserves order, so byte edits on the
+    // encoded strings == token edits on the arrays
+    "eval_wer" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS rt
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, text, rt,
+        |    [CASE WHEN i % 7 = 0 THEN reverse(rt[i]) ELSE rt[i] END
+        |     FOR i IN range(1, len(rt) + 1) IF i % 5 <> 0] AS ct
+        |  FROM d
+        |), v AS (
+        |  SELECT list(tok ORDER BY tok) AS voc
+        |  FROM (SELECT DISTINCT unnest(ct || rt) AS tok FROM p)
+        |), e AS (
+        |  SELECT doc_id, text, len(rt) AS ref_len,
+        |    COALESCE(list_aggregate(list_transform(ct,
+        |      tk -> chr(33 + list_position(voc, tk))), 'string_agg', ''), '') AS cw,
+        |    COALESCE(list_aggregate(list_transform(rt,
+        |      tk -> chr(33 + list_position(voc, tk))), 'string_agg', ''), '') AS rw,
+        |    COALESCE(array_to_string(ct, ' '), '') AS cand_str
+        |  FROM p, v
+        |)
+        |SELECT doc_id,
+        |  CAST(levenshtein(cw, rw) AS BIGINT) AS dist,
+        |  CAST(ref_len AS BIGINT) AS ref_len,
+        |  CAST(levenshtein(cand_str, text) AS BIGINT) AS cer_dist,
+        |  CAST(length(text) AS BIGINT) AS ref_chars,
+        |  CAST(levenshtein(cw, rw) * 1000000 // ref_len AS BIGINT) AS wer_micro,
+        |  CAST(levenshtein(cand_str, text) * 1000000 // greatest(length(text), 1) AS BIGINT) AS cer_micro
+        |FROM e ORDER BY doc_id""".stripMargin,
 
     "text_bigram_kn" ->
       """WITH toks AS (

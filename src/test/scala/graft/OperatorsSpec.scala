@@ -3216,6 +3216,26 @@ class OperatorsSpec extends SparkSuite {
     assert(Features.spearman(dup, "id", "a", "b").head().getAs[Double]("rho") == 1.0)
   }
 
+  test("werAudit: subs/dels/inserts count once each, empty edges, exact micro rates") {
+    val pairs = Seq(
+      (1L, "a b c", "a b c"),   // identical: 0 edits
+      (2L, "a x c", "a b c"),   // one substitution
+      (3L, "b c", "a b c"),     // one deletion
+      (4L, "a q c d", "a b c"), // substitution + insertion = 2
+      (5L, "", "a b c"),        // empty cand tokenizes to [''] -> dist 3
+      (6L, "x y", "")           // empty ref -> ref_len 1, ref_chars 0 (floored)
+    ).toDF("id", "cand", "ref")
+    val r = Eval.werAudit(pairs, "id", "cand", "ref")
+      .collect().map(x => x.getAs[Long]("id") ->
+        (x.getAs[Long]("dist"), x.getAs[Long]("wer_micro"), x.getAs[Long]("cer_micro"))).toMap
+    assert(r(1L) == ((0L, 0L, 0L)))
+    assert(r(2L)._1 == 1L && r(2L)._2 == 333333L)
+    assert(r(3L)._1 == 1L)
+    assert(r(4L)._1 == 2L && r(4L)._2 == 666666L)
+    assert(r(5L)._1 == 3L && r(5L)._2 == 1000000L)
+    assert(r(6L)._1 == 2L && r(6L)._2 == 2000000L && r(6L)._3 == 3000000L)
+  }
+
   test("Ranks: distributed globalRank/rankBucket == global row_number/ntile") {
     import org.apache.spark.sql.expressions.Window
     // ties-heavy frame across many partitions: 400 rows, 13 distinct

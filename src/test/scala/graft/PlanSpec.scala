@@ -723,6 +723,13 @@ class PlanSpec extends SparkSuite {
       graft.operators.Eval.bleuComponents(pairs, "doc_id", "c", "r")).isEmpty)
   }
 
+  test("eval_wer is one scan: row-local DP kernel, no join, no window") {
+    val df = SparkEntry.queries("eval_wer")(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("Join"), s"werAudit must stay row-local:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
   test("r15 audit refusals stay fixed: zorder/hilbert/rank_corr are window-clean") {
     // the three gate queries the r15 WindowAudit wiring refused (global
     // ntile / row_number over the fact table) — now distributed via
