@@ -35,10 +35,14 @@ object Verify {
       .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
-        // scale guard (r14 verdict #5): any unpartitioned Window must sit
-        // on an aggregate-reduced (metadata-sized) input — fails THIS
-        // query loudly instead of shipping a single-task shuffle
+        // scale guards, each swept against the FULL query set before being
+        // wired here (the r15 lesson): any unpartitioned Window must sit on
+        // an aggregate-reduced input (r14 verdict #5), and any non-equi
+        // join needs a reduced or explicitly-broadcast side (r16) — fails
+        // THIS query loudly instead of shipping a single-task shuffle or a
+        // silent quadratic
         graft.plans.WindowAudit.assertMetadataWindows(df, name)
+        graft.plans.JoinAudit.assertEquiJoins(df, name, allow = Set.empty)
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
       catch { case e: Throwable =>

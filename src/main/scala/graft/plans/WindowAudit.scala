@@ -22,10 +22,11 @@ import org.apache.spark.sql.catalyst.plans.logical._
   *
   * The reduction test walks the window child's REDUCTION FRONTIER (r15
   * ADVICE): descend through unary nodes; a branch is reduced when it hits
-  * an Aggregate / Deduplicate / GlobalLimit (or a literal-sized leaf)
-  * BEFORE any Join — a Join with no reducer above it can re-inflate an
-  * aggregate from its other side (the `exists`-anywhere false negative
-  * this replaces), so it fails the branch. A Union is reduced iff every
+  * an Aggregate / Deduplicate / GlobalLimit (or a literal-sized leaf). A
+  * Join is reduced only when BOTH inputs are (metadata ⋈ metadata stays
+  * metadata — the epochAlloc budget-broadcast shape; an aggregate joined
+  * back to a raw fact relation fails, which is the `exists`-anywhere
+  * false negative this walk replaces). A Union is reduced iff every
   * branch is (k metadata relations stacked are still metadata). Sample is
   * deliberately NOT a reducer: a fraction of a 100 TB relation scales
   * with the relation. Still a heuristic — the audit catches the silent
@@ -56,7 +57,7 @@ object WindowAudit {
     case _: Aggregate | _: Deduplicate | _: GlobalLimit => true
     case _: LocalRelation | _: OneRowRelation => true
     case _: Range => true // literal row count, known at plan time
-    case _: Join => false // no reducer above it: could be data-sized
+    case j: Join => reduced(j.left) && reduced(j.right) // metadata ⋈ metadata only
     case leaf if leaf.children.isEmpty => false // raw relation reached
     case other => other.children.forall(reduced) // unary pass-through; Union = all branches
   }

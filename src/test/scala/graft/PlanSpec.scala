@@ -717,6 +717,19 @@ class PlanSpec extends SparkSuite {
     val part = docs.withColumn("rk",
       row_number().over(W.partitionBy(col("lang")).orderBy(col("doc_id"))))
     assert(graft.plans.WindowAudit.globalDataWindows(part).isEmpty)
+    // metadata JOIN metadata under the window = fine (the epochAlloc
+    // budget-broadcast shape the r16 frontier walk must not flag)...
+    val agg = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val one = docs.agg(count(lit(1)).as("total"))
+    val metaJoin = agg.crossJoin(one)
+      .withColumn("rk", row_number().over(W.orderBy(col("n"))))
+    assert(graft.plans.WindowAudit.globalDataWindows(metaJoin).isEmpty,
+      "a join of two aggregates is still metadata-sized")
+    // ...but an aggregate joined back to the raw FACT side is NOT
+    val backJoin = docs.join(agg, Seq("lang"))
+      .withColumn("rk", row_number().over(W.orderBy(col("doc_id"))))
+    assert(graft.plans.WindowAudit.globalDataWindows(backJoin).nonEmpty,
+      "aggregate re-inflated by the fact side must be flagged")
     // and the three documented gate shapes stay clean end-to-end
     val pairs = docs.select(col("doc_id"), col("text").as("c"), col("text").as("r"))
     assert(graft.plans.WindowAudit.globalDataWindows(
@@ -740,6 +753,38 @@ class PlanSpec extends SparkSuite {
       assert(graft.plans.WindowAudit.globalDataWindows(df).isEmpty,
         s"$q regressed to a global data-sized window")
     }
+  }
+
+  test("JoinAudit: silent cross joins flagged; equi, hinted, and reduced sides pass") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val other = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("id2"), col("n_chars").as("nc2"))
+    // silent data x data inequality join = the quadratic cliff — flag it
+    val bad = docs.join(other, col("n_chars") < col("nc2"))
+    assert(graft.plans.JoinAudit.quadraticJoins(bad).nonEmpty)
+    assertThrows[IllegalStateException](
+      graft.plans.JoinAudit.assertEquiJoins(bad, "bad_query", allow = Set.empty))
+    // ...the allowlist names it through
+    graft.plans.JoinAudit.assertEquiJoins(bad, "bad_query", allow = Set("bad_query"))
+    // an equality key anywhere in the condition = hash-joinable, clean
+    val equi = docs.join(other,
+      col("doc_id") === col("id2") && col("n_chars") < col("nc2"))
+    assert(graft.plans.JoinAudit.quadraticJoins(equi).isEmpty)
+    // cross-side equality between UNLIKE columns is still a usable hash key
+    val unlike = docs.join(other, col("n_chars") === col("id2"))
+    assert(graft.plans.JoinAudit.quadraticJoins(unlike).isEmpty)
+    // same-side equality is a pushed filter, not a key — still flagged
+    val sameSide = docs.join(other, col("n_chars") === col("doc_id"))
+    assert(graft.plans.JoinAudit.quadraticJoins(sameSide).nonEmpty,
+      "an equality whose sides both come from one input is not a join key")
+    // an explicit broadcast() declares the tiny side — the baseline shape
+    val hinted = docs.join(broadcast(other), col("n_chars") < col("nc2"))
+    assert(graft.plans.JoinAudit.quadraticJoins(hinted).isEmpty)
+    // an aggregate-reduced side bounds the fanout — clean without a hint
+    val red = docs.join(other.groupBy(col("nc2")).agg(count(lit(1)).as("n")),
+      col("n_chars") < col("nc2"))
+    assert(graft.plans.JoinAudit.quadraticJoins(red).isEmpty)
   }
 
   test("compactionPlan window is metadata-only: one manifest gather, zero data reads") {
