@@ -390,6 +390,24 @@ object Features {
     out.result().toDF("round", "dim", "w", "n_miss")
   }
 
+  /** Quantile (rank) normalization of a feature column: value → its exact
+    * empirical quantile rank·1e6 div (n+1) — the monotone transform that
+    * makes heavy-tailed features (lengths, counts, scores) comparable and
+    * uniform on (0, 1) regardless of distribution, the standard ML
+    * preprocessing step a fixed min-max scale can't give. Ranks are fully
+    * tie-broken by id (tie-broken, not midranks — same output contract as
+    * [[spearman]]), computed DISTRIBUTED via [[Ranks.globalRank]] (no
+    * global window — value-domain offsets + per-value partitioned
+    * row_number), so the transform is one aggregate + one join + one
+    * partitioned window at any corpus size. Exact integer micro output:
+    * rank ≤ n < 2^43 keeps rank·1e6 far under 2^63. */
+  def quantileNorm(df: DataFrame, idCol: String, valCol: String): DataFrame =
+    Ranks.globalRank(
+        df.select(col(idCol).as("id"), col(valCol).cast("long").as("v")),
+        "v", Seq("id"), "rank", "n")
+      .select(col("id"), col("v").as("value"), col("rank"),
+        expr("rank * 1000000 div (n + 1)").as("qnorm_micro"))
+
   /** Spearman rank correlation between two feature columns — the
     * feature-redundancy audit ([[linearFit]]'s slope captures LINEAR
     * dependence; ρ catches any monotone one, which is what decides whether

@@ -71,6 +71,17 @@ private[graft] trait CurationQueries extends QueryHelpers {
         t(s, dir, "documents"), "source", col("n_chars"))
     }),
 
+    "feature_quantile_norm" -> ((s, dir) => {
+      // rank-based quantile normalization of n_chars: exact empirical
+      // quantile in micro fixed point, ranks tie-broken by doc_id,
+      // computed through the distributed Ranks decomposition (no global
+      // window — the r16 WindowAudit-clean rank path)
+      graft.operators.Features.quantileNorm(
+        t(s, dir, "documents"), "doc_id", "n_chars")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     "quality_fk_orphans" -> ((s, dir) => {
       // star-schema referential integrity: one anti-join flag + one
       // aggregate per relationship; the orders parent is PRUNED (%10 != 0)
@@ -1674,6 +1685,20 @@ private[graft] trait CurationQueries extends QueryHelpers {
       """SELECT lang, source, count(*) AS n_rows
         |FROM documents GROUP BY 1, 2 HAVING count(*) < 5
         |ORDER BY lang, source""".stripMargin,
+
+    // the oracle keeps the plain global-window formulation; the Spark side
+    // runs the distributed Ranks decomposition — bit-identical by the
+    // total (value, id) order
+    "feature_quantile_norm" ->
+      """WITH r AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS value,
+        |    CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rank,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM documents
+        |)
+        |SELECT doc_id, value, rank,
+        |  CAST(rank * 1000000 // (n + 1) AS BIGINT) AS qnorm_micro
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "feature_quantile_bins" ->
       """WITH t AS (

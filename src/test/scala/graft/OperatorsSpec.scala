@@ -3236,6 +3236,18 @@ class OperatorsSpec extends SparkSuite {
     assert(r(6L)._1 == 2L && r(6L)._2 == 2000000L && r(6L)._3 == 3000000L)
   }
 
+  test("quantileNorm: uniform grid, ties id-broken, micro quantiles exact") {
+    val d = (1L to 9L).map(i => (i, i * 100L)).toDF("id", "v")
+    val r = Features.quantileNorm(d, "id", "v").orderBy(col("id"))
+      .collect().map(_.getAs[Long]("qnorm_micro")).toSeq
+    // n = 9: quantile of rank i is i/10 exactly
+    assert(r == (1L to 9L).map(_ * 100000L))
+    val ties = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("id", "v")
+    val t = Features.quantileNorm(ties, "id", "v").orderBy(col("id"))
+      .collect().map(x => (x.getAs[Long]("id"), x.getAs[Long]("rank"))).toSeq
+    assert(t == Seq((1L, 1L), (2L, 2L), (3L, 3L)), "equal values rank by id")
+  }
+
   test("Ranks: distributed globalRank/rankBucket == global row_number/ntile") {
     import org.apache.spark.sql.expressions.Window
     // ties-heavy frame across many partitions: 400 rows, 13 distinct
