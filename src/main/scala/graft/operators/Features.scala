@@ -402,8 +402,11 @@ object Features {
     * partitioned window at any corpus size. Exact integer micro output:
     * rank ≤ n < 2^43 keeps rank·1e6 far under 2^63. */
   def quantileNorm(df: DataFrame, idCol: String, valCol: String): DataFrame =
+    // rank the RAW column (r16 ADVICE: a long cast would silently truncate
+    // fractional features into id-broken ties and change the transform);
+    // `value` keeps the input's own type — callers normalize widths
     Ranks.globalRank(
-        df.select(col(idCol).as("id"), col(valCol).cast("long").as("v")),
+        df.select(col(idCol).as("id"), col(valCol).as("v")),
         "v", Seq("id"), "rank", "n")
       .select(col("id"), col("v").as("value"), col("rank"),
         expr("rank * 1000000 div (n + 1)").as("qnorm_micro"))
@@ -423,22 +426,16 @@ object Features {
     * audit (ρ is a rate, it does not need the full corpus) — stated bound,
     * loud in the scaladoc rather than silently wrong.
     *
-    * Scale shape: two DISTRIBUTED exact rankings ([[Ranks.globalRank]]:
-    * value-domain offsets + per-value partitioned row_number — no global
-    * window, no single-task sort; bit-identical to `row_number() OVER
-    * (ORDER BY value, id)`), one join on id, one aggregate. Returns ONE
+    * Scale shape: ONE fused distributed ranking for both columns
+    * ([[Ranks.pairRanks]]: the columns stack to (id, which, value) and
+    * share one aggregate + one join + one partitioned window — bit-
+    * identical per column to `row_number() OVER (ORDER BY value, id)`,
+    * half the shuffle overhead of two separate rankings — the r16
+    * feature_rank_corr adjudication), then one aggregate. Returns ONE
     * row (n, sum_d2, rho). Σd² exactness bound (n ≤ ~2e5 under 2^53)
     * still applies — sample a larger corpus before auditing. */
   def spearman(df: DataFrame, idCol: String, aCol: String, bCol: String): DataFrame = {
-    val ra = Ranks.globalRank(
-        df.select(col(idCol).as("id"), col(aCol).as("__sp_a")),
-        "__sp_a", Seq("id"), "ra", "__sp_n")
-      .select(col("id"), col("ra"))
-    val rb = Ranks.globalRank(
-        df.select(col(idCol).as("id"), col(bCol).as("__sp_b")),
-        "__sp_b", Seq("id"), "rb", "__sp_n")
-      .select(col("id"), col("rb"))
-    ra.join(rb, "id")
+    Ranks.pairRanks(df, idCol, aCol, bCol, "ra", "rb")
       .agg(count(lit(1)).as("n"),
         sum((col("ra") - col("rb")) * (col("ra") - col("rb"))).as("sum_d2"))
       .withColumn("rho",

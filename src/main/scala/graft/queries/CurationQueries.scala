@@ -79,6 +79,9 @@ private[graft] trait CurationQueries extends QueryHelpers {
       graft.operators.Features.quantileNorm(
         t(s, dir, "documents"), "doc_id", "n_chars")
         .withColumnRenamed("id", "doc_id")
+        // operator keeps the input's raw type (it ranks the raw column —
+        // r17); the gate normalizes integer widths to BIGINT as usual
+        .withColumn("value", col("value").cast("long"))
         .orderBy(col("doc_id"))
     }),
 

@@ -3273,6 +3273,50 @@ class OperatorsSpec extends SparkSuite {
     assert(tb == Seq(0L, 1L, 2L))
   }
 
+  test("Ranks.pairRanks: fused dual ranking == two global windows") {
+    import org.apache.spark.sql.expressions.Window
+    // ties in BOTH columns, different domains per branch
+    val df = spark.range(400).select(col("id"),
+      (col("id") * 37L % 13L).as("a"), (col("id") * 29L % 7L).as("b"))
+      .repartition(8)
+    val viaWindow = df
+      .withColumn("ra", row_number().over(
+        Window.orderBy(col("a"), col("id"))).cast("long"))
+      .withColumn("rb", row_number().over(
+        Window.orderBy(col("b"), col("id"))).cast("long"))
+      .select(col("id"), col("ra"), col("rb"))
+    val viaPair = Ranks.pairRanks(df, "id", "a", "b", "ra", "rb")
+      .select(col("id"), col("ra"), col("rb"))
+    assert(viaPair.except(viaWindow).isEmpty && viaWindow.except(viaPair).isEmpty,
+      "fused pair ranking must be bit-identical to the two global windows")
+  }
+
+  test("Ranks: NULL value and oversized value domain refuse loudly") {
+    // NULL value: the offsets join would silently drop the row and the
+    // NULL rank position diverges across engines — must raise, not drop
+    val withNull = Seq((1L, java.lang.Long.valueOf(5L)),
+      (2L, null.asInstanceOf[java.lang.Long])).toDF("id", "v")
+    assert(foldRefusal(Ranks.globalRank(withNull, "v", Seq("id"), "rk", "n"))
+      .contains("NULL in value column"))
+    assert(foldRefusal(Ranks.pairRanks(
+        withNull.withColumn("w", col("id")), "id", "v", "w", "ra", "rb"))
+      .contains("NULL in value column"))
+    // near-unique domain: the cumulative-offset window would be data-sized
+    // — the guard rides the plan and names the remedy
+    val unique = spark.range(100).select(col("id"), col("id").as("v"))
+    val msg = foldRefusal(Ranks.globalRank(unique, "v", Seq("id"), "rk", "n",
+      maxDomain = 50L))
+    assert(msg.contains("maxDomain") && msg.contains("quantize"))
+    assert(foldRefusal(Ranks.pairRanks(
+        unique.withColumn("w", col("id") % 3L), "id", "v", "w", "ra", "rb",
+        maxDomain = 50L))
+      .contains("maxDomain"))
+    // at the cap exactly: no refusal
+    val ok = Ranks.globalRank(unique, "v", Seq("id"), "rk", "n",
+      maxDomain = 100L).count()
+    assert(ok == 100L)
+  }
+
   test("miTerms: a lang-exclusive token outranks a uniform one") {
     val d = Seq(
       (1L, "en", "hello shared"), (2L, "en", "hello shared"),
