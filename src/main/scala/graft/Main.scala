@@ -30,9 +30,17 @@ object Main {
       .getOrCreate()
   }
 
-  /** Value of a `--name <value>` option, if present. */
+  /** Value of a `--name <value>` option, if present. A following token
+    * that is itself a flag is a MISSING value, not a value — otherwise
+    * `--cpu-profile --force` would silently write a file named --force
+    * while also enabling force mode (r16 ADVICE). */
   private def optVal(rest: List[String], name: String): Option[String] =
-    rest.dropWhile(_ != name).drop(1).headOption
+    rest.dropWhile(_ != name).drop(1).headOption match {
+      case Some(v) if v.startsWith("--") =>
+        throw new IllegalArgumentException(
+          s"option $name expects a value, got flag '$v'")
+      case other => other
+    }
 
   def main(args: Array[String]): Unit = args.toList match {
     case "generate" :: path :: rest =>

@@ -34,6 +34,15 @@ object PlanSweep {
         graft.plans.JoinAudit.quadraticJoins(df).foreach { j =>
           findings += 1; println(s"[join] $name: $j")
         }
+        // SPARK_GRAFT_SWEEP_COUNTS=1: also EXECUTE the broadcast-hint
+        // boundedness counts (r17) — not plan-only, so opt-in; this is
+        // the dry-run mode the r15 lesson demands before the check is
+        // trusted in Verify
+        if (sys.env.get("SPARK_GRAFT_SWEEP_COUNTS").contains("1"))
+          try graft.plans.JoinAudit.assertBroadcastBounds(df, name)
+          catch { case e: IllegalStateException =>
+            findings += 1; println(s"[hinted-size] ${e.getMessage}")
+          }
       } catch { case e: Throwable =>
         findings += 1
         println(s"[build-fail] $name: ${e.getClass.getSimpleName}: ${e.getMessage}")

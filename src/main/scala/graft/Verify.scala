@@ -30,9 +30,11 @@ object Verify {
     // iteration aid; the driver never sets it, so the gate always runs all
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    var produced = 0
+    val failed = Seq.newBuilder[String]
+    selected.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         // scale guards, each swept against the FULL query set before being
@@ -43,9 +45,15 @@ object Verify {
         // silent quadratic
         graft.plans.WindowAudit.assertMetadataWindows(df, name)
         graft.plans.JoinAudit.assertEquiJoins(df, name, allow = Set.empty)
+        // the broadcast hint is a waiver of the equi-key rule, not of
+        // boundedness — count every load-bearing hinted side (r16 verdict
+        // #3; swept with SPARK_GRAFT_SWEEP_COUNTS=1 before wiring)
+        graft.plans.JoinAudit.assertBroadcastBounds(df, name)
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        produced += 1
       }
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // consume-boundary: drop this query's residual caches (pagerank
@@ -69,5 +77,13 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // loud trailer + non-zero exit (r16 verdict #6): with per-query errors
+    // isolated to stderr lines, a swallowed failure must still be
+    // impossible to miss — the checker's counts are the real gate, this
+    // makes the dump itself self-reporting
+    val bad = failed.result()
+    println(s"[verify] produced $produced of ${selected.size} queries" +
+      (if (bad.nonEmpty) s"; FAILED: ${bad.mkString(", ")}" else ""))
+    if (bad.nonEmpty) sys.exit(1)
   }
 }

@@ -1036,7 +1036,16 @@ object Behavior {
     * materialization was pure fixed overhead at small SF), at the cost of
     * the refusal surfacing as a task failure (SparkException whose CAUSE
     * is the named [[IllegalArgumentException]]) when the query RUNS rather
-    * than eagerly when it is built. */
+    * than eagerly when it is built. On a real cluster that trade has a
+    * second cost local[] never shows (r16 ADVICE): the failing task is
+    * retried `spark.task.maxFailures` times (default 4) before the job
+    * dies, and sibling tasks do work that is then thrown away — refusal
+    * LATENCY scales with the retry policy even though the refusal itself
+    * is certain (the guard is deterministic per group, so every retry
+    * fails identically). Acceptable here because the cap is a
+    * misconfiguration guard, not a data-dependent branch; jobs that need
+    * fast-fail semantics at scale should validate the span up front and
+    * pay the extra aggregate deliberately. */
   private def hourlyGrid(events: DataFrame, typeCol: String, tsCol: String,
       maxGridRows: Int)
       : org.apache.spark.sql.Dataset[(String, Long, Long)] = {

@@ -41,6 +41,57 @@ object JoinAudit extends PredicateHelper {
     j.hint.leftHint.exists(_.strategy.contains(BROADCAST)) ||
       j.hint.rightHint.exists(_.strategy.contains(BROADCAST))
 
+  /** Default bound on a broadcast-hinted side of a non-equi join: far
+    * above every legitimate probe/baseline set in the gate (the largest
+    * is tens of thousands of rows at sf1) and far below data-sized — a
+    * hinted side beyond it is either a mis-hinted fact relation (the
+    * silent quadratic wearing a hint) or a driver-OOM risk at scale. */
+  val MaxHintedRowsDefault: Long = 1000000L
+
+  /** The hinted side subplans of every non-equi join that is accepted
+    * ONLY because of its broadcast hint (no equi key, neither side
+    * reduction-frontier-bounded). These are the joins where the hint is
+    * load-bearing — [[assertBroadcastBounds]] counts them. */
+  def hintedNonEquiSides(df: DataFrame): Seq[(String, LogicalPlan)] = {
+    val plan = df.queryExecution.optimizedPlan
+    plan.collect {
+      case j: Join if !hasEquiKey(j) && declaredBroadcast(j) &&
+          !reduced(j.left) && !reduced(j.right) =>
+        Seq(
+          if (j.hint.leftHint.exists(_.strategy.contains(BROADCAST)))
+            Some(("left", j.left)) else None,
+          if (j.hint.rightHint.exists(_.strategy.contains(BROADCAST)))
+            Some(("right", j.right)) else None).flatten
+    }.flatten
+  }
+
+  /** Execution-context companion to [[assertEquiJoins]] (r16 verdict #3):
+    * a `broadcast()` hint waives the equi-key requirement but must NOT be
+    * an unbounded waiver — a future query could hint a data-sized side
+    * and ship the quadratic anyway (plus a driver OOM at scale). This
+    * COUNTS each load-bearing hinted side (executes the subplan — cheap
+    * for genuine probe sets, and bounded by one scan even when the check
+    * is about to fail) and refuses above `maxHintedRows`. Runs in
+    * [[graft.Verify]] where an execution context exists; the plan-only
+    * sweep ([[graft.PlanSweep]]) stays count-free by default. */
+  def assertBroadcastBounds(df: DataFrame, queryName: String,
+      maxHintedRows: Long = MaxHintedRowsDefault): Unit = {
+    val sides = hintedNonEquiSides(df)
+    if (sides.isEmpty) return
+    sides.foreach { case (which, side) =>
+      val n = org.apache.spark.sql.graftbridge.PlanExec
+        .ofPlan(df.sparkSession, side).count()
+      if (n > maxHintedRows)
+        throw new IllegalStateException(
+          s"$queryName: broadcast()-hinted $which side of a non-equi join " +
+            s"has $n rows > $maxHintedRows — the hint declared it " +
+            "memory-resident but it is data-sized (a silent quadratic " +
+            "plus a driver-OOM risk at scale); key the join on a " +
+            "bucket/band or genuinely reduce the hinted side:\n" +
+            side.simpleString(160))
+    }
+  }
+
   /** Loud variant for [[graft.Verify]]: names the query and the offending
     * join node unless the query is on the documented allowlist. */
   def assertEquiJoins(df: DataFrame, queryName: String,

@@ -787,6 +787,33 @@ class PlanSpec extends SparkSuite {
     assert(graft.plans.JoinAudit.quadraticJoins(red).isEmpty)
   }
 
+  test("JoinAudit: a broadcast hint is not an unbounded waiver — hinted sides are counted") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val other = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("id2"), col("n_chars").as("nc2"))
+    // a hinted DATA-SIZED side: plan-only audit passes (the hint waives
+    // the equi-key rule), the execution-context bound refuses it
+    val hinted = docs.join(broadcast(other), col("n_chars") < col("nc2"))
+    assert(graft.plans.JoinAudit.quadraticJoins(hinted).isEmpty)
+    val ex = intercept[IllegalStateException](
+      graft.plans.JoinAudit.assertBroadcastBounds(hinted, "bad_hint",
+        maxHintedRows = 10L))
+    assert(ex.getMessage.contains("broadcast()-hinted") &&
+      ex.getMessage.contains("bad_hint"))
+    // a genuine probe set under the cap passes (filter is NOT a reducer,
+    // so the hint is load-bearing and the count path actually runs)
+    val probe = docs.filter(col("doc_id") < 5).select(col("doc_id").as("id2"),
+      col("n_chars").as("nc2"))
+    graft.plans.JoinAudit.assertBroadcastBounds(
+      docs.join(broadcast(probe), col("n_chars") < col("nc2")), "probe",
+      maxHintedRows = 10L)
+    // a join already clean via an equi key never pays a count: the hint
+    // is not load-bearing there
+    assert(graft.plans.JoinAudit.hintedNonEquiSides(
+      docs.join(broadcast(other), col("doc_id") === col("id2"))).isEmpty)
+  }
+
   test("compactionPlan window is metadata-only: one manifest gather, zero data reads") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
