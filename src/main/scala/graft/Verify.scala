@@ -34,7 +34,14 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
     var produced = 0
     val failed = Seq.newBuilder[String]
+    // SPARK_GRAFT_RESUME=1: skip queries whose output already has a
+    // parquet _SUCCESS marker — lets a long gate run (the sf1 sweep)
+    // restart after an interrupted session without redoing finished work
+    val resume = sys.env.get("SPARK_GRAFT_RESUME").contains("1")
     selected.foreach { case (name, fn) =>
+      if (resume && Files.exists(Paths.get(s"$outDir/$name/_SUCCESS"))) {
+        produced += 1
+      } else
       try {
         val df = fn(spark, sfDir)
         // scale guards, each swept against the FULL query set before being
