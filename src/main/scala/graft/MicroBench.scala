@@ -19,10 +19,38 @@ object MicroBench {
       // overflow contracts across operators assume ANSI raises loudly —
       // pinned, not inherited from the build default (r14 ADVICE)
       .config("spark.sql.ansi.enabled", "true")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // experiment knob (default matches Bench): parallelismFirst=false lets
+      // AQE size post-shuffle partitions by advisory bytes instead of core
+      // count — the production-efficiency setting Spark's tuning guide
+      // recommends; exposed here so A/B runs can measure it per query
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PF", "true"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // SPARK_GRAFT_JOBSTATS=1: per-sample job/stage/task counts — the
+    // round-overhead dissector for iterative operators (a fixpoint loop's
+    // wall time at small SF is job-count x scheduling cost, invisible in
+    // plans; this listener makes the job count a measured number)
+    val stats =
+      if (!sys.env.get("SPARK_GRAFT_JOBSTATS").contains("1")) None
+      else {
+        val l = new org.apache.spark.scheduler.SparkListener {
+          val jobs = new java.util.concurrent.atomic.AtomicLong
+          val stages = new java.util.concurrent.atomic.AtomicLong
+          val tasks = new java.util.concurrent.atomic.AtomicLong
+          override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobs.incrementAndGet()
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            stages.incrementAndGet()
+            tasks.addAndGet(s.stageInfo.numTasks.toLong)
+          }
+        }
+        spark.sparkContext.addSparkListener(l)
+        Some(l)
+      }
     for (q <- args) {
       // bpe_deep<N>: realistic-merge-count tokenizer training (not a gated
       // query — 200 unrolled CTE rounds have no sane oracle); times the
@@ -46,9 +74,16 @@ object MicroBench {
           SparkEntry.queries(q)(spark, sfDir).write.format("noop").mode(SaveMode.Overwrite).save()
         }
       val secs = (1 to 3).map { _ =>
+        val (j0, s0, t0n) = stats.map(l =>
+          (l.jobs.get(), l.stages.get(), l.tasks.get())).getOrElse((0L, 0L, 0L))
         val t0 = System.nanoTime()
         run()
         val s = (System.nanoTime() - t0) / 1e9
+        stats.foreach { l =>
+          Thread.sleep(300) // listener bus is async; drain before reading
+          println(f"  STATS $q jobs=${l.jobs.get() - j0} stages=${l.stages.get() - s0} " +
+            f"tasks=${l.tasks.get() - t0n} secs=$s%.2f")
+        }
         graft.operators.Residuals.release() // outside the timed window
         s
       }

@@ -52,17 +52,24 @@ object Graph {
       checkpointEvery: Int = 8): DataFrame = {
     require(iters >= 1, "pagerank needs at least one iteration")
     require(checkpointEvery >= 1, "checkpointEvery must be positive")
-    // Persist the edge list WITH degrees attached: every iteration re-reads
-    // it, and without the persist each of the k iterations replays the whole
-    // upstream lineage (source scan + distinct) — measured 3x the scan cost
-    // at 3 iterations. One degree join here instead of one per iteration.
-    // Stays cached for the caller's lifetime like connectedComponents'
-    // labels (documented residual; metadata-sized relative to the input).
+    // Persist the edge list NARROW — (src, dst) only — and PRE-PARTITIONED
+    // on src, the key every iteration's contribution join probes (r17):
+    // previously the cache carried deg per edge row (wider shuffle bytes,
+    // guide §2.3) and held the distinct's hash(src, dst) partitioning
+    // because the deg attach was a broadcast join, so EVERY iteration
+    // re-exchanged the full edge relation by src (seen in the r17 plan
+    // dump). Now the per-rank degree divide happens on the NODE-sized rank
+    // vector before the edge join, the cached edge side enters every
+    // iteration's join exchange-free (guide §2.4), and the only edge-domain
+    // movement per iteration is the inflow aggregation. Partition count
+    // comes from spark.sql.shuffle.partitions (session-scoped,
+    // scale-adaptive), not a literal. Stays cached for the caller's
+    // lifetime like connectedComponents' labels (documented residual).
     val e0 = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
-    val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val e = e0.repartition(col("src"))
       .transform(Residuals.persist)
-    val e = e0.join(deg, "src")
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .transform(Residuals.persist)
     // every node appears as a src (no dangling): nodes == distinct srcs
     val n = deg.count()
@@ -73,8 +80,10 @@ object Graph {
     var lastCk: Option[DataFrame] = None
     for (i <- 1 to iters) {
       val contrib = e
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .select(col("dst"), expr("rank div deg").as("c"))
+        .join(ranks.withColumnRenamed("node", "src")
+          .join(deg, "src")
+          .select(col("src"), expr("rank div deg").as("c")), "src")
+        .select(col("dst"), col("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("inflow"))
       // left join from the node universe: a node with out-edges but no
@@ -108,11 +117,13 @@ object Graph {
       seeds: DataFrame, seedCol: String, iters: Int,
       checkpointEvery: Int = 8): DataFrame = {
     require(iters >= 1, "needs at least one iteration")
+    // narrow (src, dst) cache pre-partitioned on the per-iteration join
+    // key; degree divide rides the node-sized rank vector — see [[pagerank]]
     val e0 = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
-    val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val e = e0.repartition(col("src"))
       .transform(Residuals.persist)
-    val e = e0.join(deg, "src")
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .transform(Residuals.persist)
     val s = seeds.select(col(seedCol).cast("long").as("node")).distinct()
     val nSeeds = s.count()
@@ -128,8 +139,10 @@ object Graph {
     var lastCk: Option[DataFrame] = None
     for (i <- 1 to iters) {
       val contrib = e
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .select(col("dst"), expr("rank div deg").as("c"))
+        .join(ranks.withColumnRenamed("node", "src")
+          .join(deg, "src")
+          .select(col("src"), expr("rank div deg").as("c")), "src")
+        .select(col("dst"), col("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("inflow"))
       ranks = nodes
@@ -228,7 +241,12 @@ object Graph {
     val e0 = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
+    // loop relation kept partitioned on a (r17): the degree aggregation and
+    // the first semi-join both key on a, so each round's only edge-domain
+    // exchanges are the b-side semi-join and the re-partition — down from
+    // three (groupBy + both semi-joins) on an unaligned cache
     var cur = e0.union(e0.select(col("b").as("a"), col("a").as("b"))).distinct()
+      .repartition(col("a"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var lastCk: Option[DataFrame] = None
     for (i <- 1 to rounds) {
@@ -238,6 +256,7 @@ object Graph {
         .join(keep, Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("a", "b"), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
+        .repartition(col("a"))
       val nextP =
         if (i % checkpointEvery == 0 && i < rounds) {
           val ck = Checkpoints.truncate(next)
@@ -275,8 +294,10 @@ object Graph {
     val e0 = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
+    // cached pre-partitioned on x — the label join key every round (r17)
     val adj = e0.union(e0.select(col("b").as("a"), col("a").as("b"))).distinct()
       .select(col("a").as("v"), col("b").as("x"))
+      .repartition(col("x"))
       .transform(Residuals.persist)
     var labels = adj.select(col("v").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
@@ -308,9 +329,14 @@ object Graph {
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int = 2): DataFrame = {
     require(rounds >= 1, "need at least one round")
+    // cached pre-partitioned on src (r17): the auth half-step joins on src
+    // every round — partitioned persist makes that side exchange-free
+    // (guide §2.4); the hub half-step's dst join still exchanges (one key
+    // per cache; src is chosen as it is probed first each round)
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
+      .repartition(col("src"))
       .transform(Residuals.persist)
     var hub = e.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1000000L).as("h"))
@@ -381,11 +407,19 @@ object Graph {
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
       .distinct()
       .transform(Residuals.persist)
+    // cached pre-partitioned on w — shared by the degree agg and both wedge
+    // legs, all keyed on w (r17; the jaccardSimilarity shape)
     val adj = und.union(und.select(col("b").as("a"), col("a").as("b")))
       .select(col("a").as("w"), col("b").as("x"))
+      .repartition(col("w"))
+      .transform(Residuals.persist)
     val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("deg"))
-    // per-intermediate Adamic–Adar term, hub-capped before the self-join
-    val mids = adj.join(deg.filter(col("deg") <= maxDeg), "w")
+    // per-intermediate Adamic–Adar term, hub-capped before the self-join.
+    // deg >= 2: a degree-1 node can never be a COMMON neighbor (its single
+    // wedge is killed by the na < nb filter), and excluding it here also
+    // keeps qln > 0 — ANSI would otherwise raise on `div qln(1) = 0` now
+    // that the cached-adj plan evaluates the term once per degree row
+    val mids = adj.join(deg.filter(col("deg") >= 2 && col("deg") <= maxDeg), "w")
       .withColumn("qln", floor(log(col("deg").cast("double")) * 1e6 + lit(0.5)).cast("long"))
       .withColumn("aa_term", expr("1000000000000 div qln"))
       .select(col("w"), col("x"), col("aa_term"))
@@ -428,8 +462,12 @@ object Graph {
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
       .distinct()
       .transform(Residuals.persist)
+    // cached pre-partitioned on w: the degree join, BOTH wedge self-join
+    // legs and the degree aggregation all key on w, so everything from here
+    // to the pair aggregation is exchange-free on the edge side (r17)
     val adj = und.union(und.select(col("b").as("a"), col("a").as("b")))
       .select(col("a").as("w"), col("b").as("x"))
+      .repartition(col("w"))
       .transform(Residuals.persist)
     val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("deg"))
       .transform(Residuals.persist)
@@ -578,8 +616,10 @@ object Graph {
     val und = e0
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
       .distinct()
+    // cached pre-partitioned on x — the frontier join key every round (r17)
     val adj = und.union(und.select(col("b").as("a"), col("a").as("b")))
       .select(col("a").as("v"), col("b").as("x"))
+      .repartition(col("x"))
       .transform(Residuals.persist)
     var dist = seeds.select(col(seedCol).cast("long").as("node")).distinct()
       .withColumn("dist", lit(0L))
@@ -620,6 +660,14 @@ object Graph {
       .filter(col("a") =!= col("b"))
       .distinct()
       .transform(Residuals.persist)
+    // each direction gets its OWN cache pre-partitioned on its frontier
+    // join key (r17): the two expansions probe opposite keys, so one cache
+    // cannot serve both exchange-free; derived from the persisted e, the
+    // distinct is evaluated once
+    val adjFw = e.select(col("a").as("x"), col("b").as("v"))
+      .repartition(col("x")).transform(Residuals.persist)
+    val adjBw = e.select(col("b").as("x"), col("a").as("v"))
+      .repartition(col("x")).transform(Residuals.persist)
     val pivotRow = e.agg(least(min(col("a")), min(col("b"))).as("p")).head()
     require(!pivotRow.isNullAt(0),
       "sccPivot: no non-self-loop edges — the graph has no pivot to expand from")
@@ -642,8 +690,8 @@ object Graph {
       }
       dist
     }
-    val fw = reach(e.select(col("a").as("x"), col("b").as("v")))
-    val bw = reach(e.select(col("b").as("x"), col("a").as("v")))
+    val fw = reach(adjFw)
+    val bw = reach(adjBw)
     fw.select(col("node"), col("dist").as("fw_dist"))
       .join(bw.select(col("node"), col("dist").as("bw_dist")), "node")
   }
@@ -703,13 +751,8 @@ object Graph {
     // OOM at any data size — measured). Checkpoint truncates the plan to
     // the cached blocks; the old generation is released only after the new
     // one is materialized.
-    def advance(old: DataFrame, next: DataFrame): DataFrame = {
-      val n = Checkpoints.truncate(next) // eager
-      Dedup.releaseCheckpoint(old)
-      n
-    }
-    // lazy twin: truncation materializes inside the caller's probe action,
-    // so a fixpoint round costs ONE job (advance + convergence probe fused)
+    // truncation materializes inside the caller's probe action, so a
+    // fixpoint round costs ONE job (advance + convergence probe fused)
     def advanceWith[T](old: DataFrame, next: DataFrame)(probe: DataFrame => T): (DataFrame, T) = {
       val n = Checkpoints.truncate(next, eager = false)
       // a probe failure must not strand the half-materialized generation
@@ -719,15 +762,31 @@ object Graph {
       Dedup.releaseCheckpoint(old)
       (n, r)
     }
+    // checkpointed pre-partitioned on a (r17): every trim round's a-side
+    // semi-join and subE's build probe a — partitioned truncation makes the
+    // edge side of those joins exchange-free every round (guide §2.4; the
+    // LogicalRDD a checkpoint produces preserves outputPartitioning)
     val e = Checkpoints.truncate(edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct())
+      .distinct().repartition(col("a")))
     Residuals.register(() => Dedup.releaseCheckpoint(e))
+    // b-partitioned twin (one cache-to-cache reshuffle): together with e's
+    // a-partitioning it makes every trim round's edge joins exchange-free
+    // on the edge side — trim rounds then move ONLY node-sized relations,
+    // at any scale (r17)
+    val eB = Checkpoints.truncate(e.repartition(col("b")))
+    Residuals.register(() => Dedup.releaseCheckpoint(eB))
     var remaining = Checkpoints.truncate(e.select(col("a").as("node"))
       .union(e.select(col("b").as("node"))).distinct(), eager = false)
     var nRemaining = remaining.count() // materializes + probes in one job
-    var labels = spark.range(0).select(col("id").as("node"), col("id").as("scc"))
+    // labeled components accumulate as LIVE checkpoints and union ONCE at
+    // the end (r17): re-truncating a growing labels relation every time a
+    // component landed cost one eager job per append and re-copied all
+    // prior labels; the deferred union is a flat plan over ≤ 2·outer
+    // LogicalRDD leaves, and the generations stay alive exactly as long as
+    // the result needs them (released via Residuals / the failure path)
+    val comps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     // live checkpoint handles for the failure path: any throw (including
     // the non-convergence requires) must release them or a long-lived
     // session strands their storage (Dedup.componentsCore's contract)
@@ -743,17 +802,35 @@ object Graph {
         require(outer <= maxOuterRounds,
           s"sccDecompose: $nRemaining nodes unlabeled after $maxOuterRounds pivot " +
             "rounds — raise maxOuterRounds (bound ~ the graph's SCC-DAG depth)")
-        // current subgraph = e filtered to the LATEST remaining: remaining
-        // shrinks monotonically, so one semi-join pair against the latest
-        // generation is equivalent to the full trim cascade — constant plan
-        // depth with NO per-round edge checkpoint
-        def subNow: DataFrame = e
-          .join(remaining.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
-          .join(remaining.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        // current subgraph = e filtered to the given remaining generation:
+        // remaining shrinks monotonically, so one semi-join pair against
+        // the latest generation is equivalent to the full trim cascade —
+        // constant plan depth with NO per-round edge checkpoint
+        def subOf(rem: DataFrame): DataFrame = e
+          .join(rem.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+          .join(rem.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        // cyclic (nodes with BOTH an out-edge to a remaining node and an
+        // in-edge from one) ⊆ rem by construction, so it IS the next
+        // remaining. Reformulated EDGE-EXCHANGE-FREE (r17): instead of
+        // materializing the induced subgraph (whose b-side semi-join
+        // re-shuffled the edge relation every round), probe each
+        // pre-partitioned edge cache with the node-sized rem once —
+        // n ∈ rem is cyclic iff n→x exists with x ∈ rem (eB probed by b)
+        // and y→n exists with y ∈ rem (e probed by a). Equivalent to
+        // srcs(sub) ∩ dsts(sub): an edge endpoint inside rem with its
+        // other endpoint inside rem is exactly a subgraph edge. Every
+        // exchange in a trim round is now node-sized, at any scale.
+        def cyclicOf(rem: DataFrame): DataFrame = {
+          val hasOut = eB.join(rem.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+            .select(col("a").as("node")).distinct()
+          val hasIn = e.join(rem.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+            .select(col("b").as("node")).distinct()
+          rem.join(hasOut, Seq("node"), "left_semi")
+            .join(hasIn, Seq("node"), "left_semi")
+        }
         // ---- 1. trim to fixpoint ----------------------------------------
         // ONE job per round (lazy cyclic + count); singleton labels are
-        // derived once after the fixpoint as trimStart \ remaining instead
-        // of growing the labels checkpoint every round
+        // derived once after the fixpoint as trimStart \ remaining
         trimStart = remaining
         val nTrimStart = nRemaining
         var trimming = true
@@ -762,13 +839,7 @@ object Graph {
           it += 1
           require(it <= maxPropRounds,
             s"sccDecompose: trim did not converge in $maxPropRounds rounds")
-          // cyclic (nodes with BOTH in- and out-edges in the subgraph) ⊆
-          // remaining by construction, so it IS the next remaining
-          val se = subNow
-          val cyclic = Checkpoints.truncate(
-            se.select(col("a").as("node")).distinct()
-              .join(se.select(col("b").as("node")).distinct(), Seq("node"), "left_semi"),
-            eager = false)
+          val cyclic = Checkpoints.truncate(cyclicOf(remaining), eager = false)
           val nCyclic = cyclic.count()
           if (nCyclic == nRemaining) {
             Dedup.releaseCheckpoint(cyclic)
@@ -780,16 +851,19 @@ object Graph {
           }
         }
         if (nRemaining < nTrimStart) {
-          val singles = trimStart.join(remaining, Seq("node"), "left_anti")
-            .select(col("node"), col("node").as("scc"))
-          labels = advance(labels, labels.union(singles))
+          // eager: its parents (trimStart, this remaining generation) are
+          // released before the final union is consumed
+          val singles = Checkpoints.truncate(
+            trimStart.join(remaining, Seq("node"), "left_anti")
+              .select(col("node"), col("node").as("scc")))
+          comps += singles
         }
         if (trimStart ne remaining) Dedup.releaseCheckpoint(trimStart)
         trimStart = null
         if (nRemaining > 0) {
-          // materialize the trimmed edge set once — the two fixpoints below
-          // each touch it every round
-          subE = Checkpoints.truncate(subNow)
+          // materialize the trimmed edge set once, PRE-PARTITIONED on a —
+          // the color propagation's probe key every round (r17)
+          subE = Checkpoints.truncate(subOf(remaining).repartition(col("a")))
           // ---- 2. forward min-color propagation to fixpoint --------------
           // Σcolor as decimal(38,0), NOT long: with hash-derived 63-bit ids
           // a long sum overflows, and what happens then is MODE-dependent —
@@ -835,11 +909,14 @@ object Graph {
           // (measured r16: the folded backward pass cost ~15% suite-cell
           // time on the gate fixture; the forward loop keeps its jump
           // because the forward horizon is the whole remaining subgraph).
+          // class-edge relation pre-partitioned on b — the mark join's probe
+          // key every round (r17)
           ce = Checkpoints.truncate(subE
             .join(color.select(col("node").as("a"), col("color").as("ca")), "a")
             .join(color.select(col("node").as("b"), col("color").as("cb")), "b")
             .filter(col("ca") === col("cb"))
-            .select(col("a"), col("b")))
+            .select(col("a"), col("b"))
+            .repartition(col("b")))
           mark = Checkpoints.truncate(color.filter(col("node") === col("color"))
             .select(col("node"), col("color").as("scc")), eager = false)
           var nMark = mark.count()
@@ -860,12 +937,12 @@ object Graph {
             converged = n2 == nMark // the mark set only grows
             nMark = n2
           }
-          labels = advance(labels, labels.union(mark))
           val (nr, nRem) = advanceWith(remaining,
             remaining.join(mark, Seq("node"), "left_anti"))(_.count())
           remaining = nr
           nRemaining = nRem
-          Dedup.releaseCheckpoint(mark); mark = null
+          comps += mark // stays a live checkpoint until the result is consumed
+          mark = null
           Dedup.releaseCheckpoint(ce); ce = null
           Dedup.releaseCheckpoint(color); color = null
           Dedup.releaseCheckpoint(subE); subE = null
@@ -873,14 +950,16 @@ object Graph {
       }
     } catch {
       case t: Throwable =>
-        Seq(subE, color, ce, mark, trimStart, remaining, labels)
-          .filter(_ ne null).foreach(Dedup.releaseCheckpoint)
+        (Seq(subE, color, ce, mark, trimStart, remaining).filter(_ ne null)
+          ++ comps).foreach(Dedup.releaseCheckpoint)
         throw t
     }
     Dedup.releaseCheckpoint(remaining)
-    val fin = labels
-    Residuals.register(() => Dedup.releaseCheckpoint(fin))
-    labels
+    val fin =
+      if (comps.isEmpty) spark.range(0).select(col("id").as("node"), col("id").as("scc"))
+      else comps.reduce(_ union _)
+    comps.foreach(c => Residuals.register(() => Dedup.releaseCheckpoint(c)))
+    fin
   }
 
   /** Hierarchy flattening by POINTER DOUBLING: every node of a parent-child
@@ -970,8 +1049,10 @@ object Graph {
     require(rounds >= 1, "need at least one h-index round")
     val und = normalizedUnd(edges, srcCol, dstCol)
       .transform(Residuals.persist)
+    // cached pre-partitioned on x — the score join key every round (r17)
     val adj = und.select(col("a").as("w"), col("b").as("x"))
       .union(und.select(col("b").as("w"), col("a").as("x")))
+      .repartition(col("x"))
       .transform(Residuals.persist)
     var c = undDegrees(und).select(col("n").as("node"), col("deg").as("c"))
       .transform(Residuals.persist)
@@ -1041,8 +1122,10 @@ object Graph {
     val und = e0
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
       .distinct()
+    // cached pre-partitioned on x — the frontier join key every round (r17)
     val adj = und.union(und.select(col("b").as("a"), col("a").as("b")))
       .select(col("a").as("v"), col("b").as("x"))
+      .repartition(col("x"))
       .transform(Residuals.persist)
     var dist = seeds.select(col(seedCol).cast("long").as("seed")).distinct()
       .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))

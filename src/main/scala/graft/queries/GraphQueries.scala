@@ -67,9 +67,12 @@ private[graft] trait GraphQueries extends QueryHelpers {
       // an iterative "ML-ish" graph computation exactly oracle-checkable
       val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
       val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      // persisted: the fact join feeds BOTH union branches — without the
+      // cache the 600k x 150k join evaluates twice inside the edge build
       val pairs = li.join(o, li("l_orderkey") === o("o_orderkey"))
         .select((col("o_custkey") * 2).as("cust_node"),
           (col("l_suppkey") * 2 + 1).as("supp_node"))
+        .transform(graft.operators.Residuals.persist)
       val edges = pairs.select(col("cust_node").as("src"), col("supp_node").as("dst"))
         .union(pairs.select(col("supp_node").as("src"), col("cust_node").as("dst")))
       graft.operators.Graph.pagerank(edges, "src", "dst", iters = 3)
@@ -83,9 +86,11 @@ private[graft] trait GraphQueries extends QueryHelpers {
       // curation; same integer fixed point as graph_pagerank
       val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
       val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      // persisted: the fact join feeds both union branches AND the seed set
       val pairs = li.join(o, li("l_orderkey") === o("o_orderkey"))
         .select((col("o_custkey") * 2).as("cust_node"),
           (col("l_suppkey") * 2 + 1).as("supp_node"))
+        .transform(graft.operators.Residuals.persist)
       val edges = pairs.select(col("cust_node").as("src"), col("supp_node").as("dst"))
         .union(pairs.select(col("supp_node").as("src"), col("cust_node").as("dst")))
       val seeds = pairs.select(col("cust_node").as("node"))

@@ -389,7 +389,7 @@ class PlanSpec extends SparkSuite {
   /** The persisted edges⋈degrees relation (src, dst, deg). */
   private def isEdgeScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
     case t: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-      t.output.map(_.name) == Seq("src", "dst", "deg")
+      t.output.map(_.name) == Seq("src", "dst")
     case _ => false
   }
 
