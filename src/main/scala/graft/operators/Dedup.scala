@@ -72,8 +72,16 @@ object Dedup {
   def winnowPairs(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4, maxDf: Long = 20L, minShared: Long = 8L): DataFrame = {
+    // posting list persisted PARTITIONED ON fp (r17): without it the
+    // winnowing kernel re-evaluated once per plan branch (df aggregation +
+    // BOTH self-join legs = 3 full corpus fingerprint passes), and each
+    // branch re-shuffled the postings by fp. The cache is (id, fp) rows —
+    // the guide §8 lightweight proxy, never the text — and the fp
+    // partitioning feeds the df aggregation and both join legs exchange-free.
     val p = winnowFingerprints(docs, idCol, textCol, k, w)
       .select(col(idCol), explode(col("fps")).as("fp"))
+      .repartition(col("fp"))
+      .transform(graft.operators.Residuals.persist)
     val banded = p.groupBy(col("fp"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
@@ -120,8 +128,11 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4, maxDf: Long = 20L,
       minContainment: Double = 0.5): DataFrame = {
+    // persisted fp-partitioned posting list — see [[winnowPairs]] (r17)
     val p = winnowFingerprints(docs, idCol, textCol, k, w)
       .select(col(idCol), explode(col("fps")).as("fp"))
+      .repartition(col("fp"))
+      .transform(graft.operators.Residuals.persist)
     val banded = p.groupBy(col("fp"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)

@@ -140,25 +140,33 @@ object Embeddings {
     * matrix bit-portable AND mergeable: all three sums add component-wise
     * across shards, the [[Features.powerSums]] pattern lifted to matrices).
     *
-    * Shape: one posexplode, one self equi-join ON THE VECTOR ID (unique key
-    * — skew-free) with d² fanout per row, two aggregations. The d² blowup
-    * is inherent to a covariance, not the plan: at d=64 it is 2,080 pair
-    * terms per vector, output d(d+1)/2 rows total regardless of corpus
-    * size. Overflow: |q| ≤ Q ⇒ |cov_num| ≤ 2n²Q² — safe in BIGINT while
-    * n·Q < ~2·10⁹ (Q=10⁶ ⇒ n up to ~2000 per shard; merge shard numerators
-    * via their component sums beyond that). */
+    * Shape (r17): ONE corpus pass — `Kernels.covMomentTerms` emits every
+    * pair product (i, j, x_i·x_j) plus a (i, -1, x_i) first-moment sentinel
+    * row-locally, and a single map-side-combined aggregation over the
+    * (i, j) key domain (d(d+1)/2 + d rows of metadata) produces both
+    * moments. The previous formulation posexploded the corpus three times
+    * (per-dim sums + both legs of an id-keyed self-join) and shuffled it by
+    * id; every Σ here is the same order-free integer sum, so the output is
+    * bit-identical. The d² blowup is inherent to a covariance, not the
+    * plan: at d=64 it is 2,144 terms per vector. Overflow: |q| ≤ Q ⇒
+    * |cov_num| ≤ 2n²Q² — safe in BIGINT while n·Q < ~2·10⁹ (Q=10⁶ ⇒ n up
+    * to ~2000 per shard; merge shard numerators via their component sums
+    * beyond that). */
   def covarianceNum(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val el = embs.select(col(idCol).as("id"),
-      posexplode(VectorFns.quantize(col(vecCol))).as(Seq("i", "x")))
     val n = embs.count()
-    val dims = el.groupBy(col("i")).agg(sum(col("x")).as("s"))
-    val p = el
-      .join(el.select(col("id"), col("i").as("j"), col("x").as("y")), Seq("id"))
-      .filter(col("i") <= col("j"))
-      .groupBy(col("i"), col("j")).agg(sum(col("x") * col("y")).as("s_ij"))
+    // metadata-sized after the aggregation; persisted because dims + pair
+    // sums + the final projection all read it
+    val moments = embs
+      .select(inline(graft.functions.Kernels.covMomentTermsCol(
+        VectorFns.quantize(col(vecCol)))))
+      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("s"))
+      .transform(Residuals.persist)
+    val dims = moments.filter(col("j") === -1L).select(col("i"), col("s"))
+    val p = moments.filter(col("j") >= 0L)
+      .select(col("i"), col("j"), col("s").as("s_ij"))
     p.join(broadcast(dims.select(col("i"), col("s").as("si"))), "i")
       .join(broadcast(dims.select(col("i").as("j"), col("s").as("sj"))), "j")
-      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+      .select(col("i"), col("j"),
         lit(n).as("n"), col("s_ij"),
         (lit(n) * col("s_ij") - col("si") * col("sj")).as("cov_num"))
   }

@@ -596,13 +596,15 @@ object Sampling {
     val toks = docs.select(col(idCol).cast("long").as("id"),
         explode(array_distinct(graft.functions.TextFns.tokens(col(textCol)))).as("tok"))
       .transform(Residuals.persist)
-    def ck(df: DataFrame): DataFrame = {
-      val c = Checkpoints.truncate(df)
-      Residuals.register(() => Dedup.releaseCheckpoint(c))
-      c
-    }
-    var covered = spark.range(0).select(col("id").cast("string").as("tok"))
+    // covered set DERIVED from the picked-id literals against the cached
+    // token relation (r17): it was previously a checkpoint-truncated
+    // union chain — one extra materialization job per pick; deriving it
+    // keeps the round at ONE job (the argmax collect) with a
+    // constant-depth plan, k is <= 64 by contract so the isin literal
+    // stays trivially bounded
     val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def covered: DataFrame =
+      toks.filter(col("id").isin(picked.toSeq: _*)).select(col("tok")).distinct()
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
     var total = 0L
     var r = 1
@@ -619,8 +621,6 @@ object Sampling {
         total += gain
         out += ((r.toLong, id, gain, total))
         picked += id
-        covered = ck(covered
-          .union(toks.filter(col("id") === id).select(col("tok"))).distinct())
         r += 1
       }
     }

@@ -130,12 +130,25 @@ object Sketches {
     * sketches add bucket-wise, the same layered-rollup shape as
     * [[kmvRollup]]. */
   def cmsBuild(df: DataFrame, valueCol: String, depth: Int, width: Int): DataFrame =
-    df.select(explode(array((0 until depth).map(i =>
-        struct(lit(i).as("family"),
-          (graft.functions.TextFns.md5Long(col(valueCol), i) % width).as("bucket"))): _*))
-      .as("fb"))
+    cmsBuildWeighted(df.select(col(valueCol), lit(1L).as("__w")),
+      valueCol, "__w", depth, width)
+
+  /** [[cmsBuild]] over an already-aggregated (value, weight) relation:
+    * `cnt` per counter is Σ weight — identical to counting the expanded
+    * occurrence stream (integer sums reorder freely), so building from a
+    * pre-aggregated vocabulary yields the SAME sketch while hashing each
+    * distinct value once instead of once per occurrence (r17: the md5
+    * family is 4 digests per row — per-token it dominated the gate cell;
+    * per-word it is vocabulary-sized work at any corpus scale). */
+  def cmsBuildWeighted(df: DataFrame, valueCol: String, weightCol: String,
+      depth: Int, width: Int): DataFrame =
+    df.select(col(weightCol).as("__cms_w"),
+        explode(array((0 until depth).map(i =>
+          struct(lit(i).as("family"),
+            (graft.functions.TextFns.md5Long(col(valueCol), i) % width).as("bucket"))): _*))
+        .as("fb"))
       .groupBy(col("fb.family").as("family"), col("fb.bucket").as("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("__cms_w")).as("cnt"))
 
   /** Probe a built CMS for `words`: est(w) = min over families of the probed
     * counter — the classic overestimate bound (est >= true count;

@@ -1328,14 +1328,28 @@ object TextAnalysis {
       docs: DataFrame, textCol: String, threshold: Long,
       depth: Int = 4, width: Int = 64): DataFrame = {
     val toks = docs.select(explode(TextFns.tokens(col(textCol))).as("w"))
+    // the sketch hash here is INTERNAL — the gate oracle is the plain
+    // GROUP BY/HAVING, and CMS soundness (est >= true, no false negatives)
+    // holds for any deterministic hash family — so it uses xxhash64
+    // (codegen-native, one 64-bit mix) instead of md5Long (an md5 digest +
+    // hex substring + base conversion per family per token: 8 md5s/token
+    // across build + probe, measured as this cell's dominant cost r17).
+    // Gated sketch VALUES (sketch_cms_freq) keep the md5 family.
+    def bucket(c: Column, i: Int): Column =
+      pmod(xxhash64(lit(i), c), lit(width.toLong)).cast("int")
     val counters = Array.fill(depth, width)(0L)
-    Sketches.cmsBuild(toks, "w", depth, width).collect().foreach { r =>
-      counters(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2)
-    }
+    toks
+      .select(explode(array((0 until depth).map(i =>
+        struct(lit(i).as("family"), bucket(col("w"), i).as("bucket"))): _*)).as("fb"))
+      .groupBy(col("fb.family").as("family"), col("fb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().foreach { r =>
+        counters(r.getInt(0))(r.getInt(1)) = r.getLong(2)
+      }
     val est = least((0 until depth).map { i =>
       element_at(
         array(counters(i).toIndexedSeq.map(lit(_)): _*),
-        (TextFns.md5Long(col("w"), i) % width + 1).cast("int"))
+        bucket(col("w"), i) + 1)
     }: _*)
     toks.filter(est >= threshold)
       .groupBy(col("w"))

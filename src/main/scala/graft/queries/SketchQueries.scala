@@ -35,8 +35,13 @@ private[graft] trait SketchQueries extends QueryHelpers {
       val toks = t(s, dir, "documents")
         .select(explode(graft.functions.TextFns.tokens(col("text"))).as("w"))
       val words = Seq("dup", "scan", "window", "join", "hash")
-      val cms = graft.operators.Sketches.cmsBuild(toks, "w", 4, 64)
+      // exact counts aggregated ONCE (vocabulary-sized, persisted) and the
+      // sketch built from the weighted vocabulary — bit-identical counters
+      // (integer sums reorder freely) with one tokenization pass instead of
+      // two and md5 hashing per distinct word instead of per token (r17)
       val tru = toks.groupBy(col("w").as("word")).agg(count(lit(1)).as("true_cnt"))
+        .transform(graft.operators.Residuals.persist)
+      val cms = graft.operators.Sketches.cmsBuildWeighted(tru, "word", "true_cnt", 4, 64)
       graft.operators.Sketches.cmsEstimate(cms, words, 4, 64)
         .join(tru, Seq("word"), "left")
         .select(col("word"), col("est"), coalesce(col("true_cnt"), lit(0L)).as("true_cnt"))
