@@ -204,9 +204,12 @@ object Dedup {
       val cols = (0 until bandSize).map(i => col(s"mh${b * bandSize + i}"))
       struct(lit(b).as("band"), concat_ws(":", cols: _*).as("key"))
     }
+    // persisted: the signature kernel (numHashes md5s per gram set) feeds
+    // both join legs — one evaluation instead of two (r17)
     val exploded = sigs
       .select(col(idCol), explode(array(bands: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+      .transform(graft.operators.Residuals.persist)
     val a = exploded.as("a")
     val b = (if (broadcastRight) broadcast(exploded) else exploded).as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
@@ -265,8 +268,10 @@ object Dedup {
     val mask = (1L << bandBits) - 1
     val bands = (0 until numBands).map(b =>
       struct(lit(b).as("band"), (shiftright(col("simhash"), b * bandBits) % lit(mask + 1)).as("key")))
+    // persisted: the simhash kernel feeds both join legs (r17)
     val exploded = fp.select(col(idCol), col("simhash"), explode(array(bands: _*)).as("bk"))
       .select(col(idCol), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .transform(graft.operators.Residuals.persist)
     val a = exploded.as("a")
     val b = (if (broadcastRight) broadcast(exploded) else exploded).as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
@@ -314,11 +319,14 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String, langCol: String,
       n: Int = 3, threshold: Double = 0.5, lenBucket: Int = 100,
       broadcastRight: Boolean = false, saltBuckets: Int = 1): DataFrame = {
+    // persisted: the n-gram kernel feeds both join legs (and the shuffle
+    // variant's verify join-back) — one evaluation instead of 2-4 (r17)
     val prepared = docs.select(
       col(idCol), col(langCol).as("lang"),
       floor(length(col(textCol)) / lenBucket).as("len_bucket"),
       Kernels.wordNgramsSortedCol(col(textCol), n).as("grams"))
       .withColumn("n_grams", size(col("grams")))
+      .transform(graft.operators.Residuals.persist)
     // Lossless size prune in every variant, BEFORE the merge kernel:
     // Jaccard >= t forces min(|A|,|B|) >= t * max(|A|,|B|) — cheap long
     // arithmetic that skips the O(|A|+|B|) string merge for most in-block
@@ -387,11 +395,16 @@ object Dedup {
   def ngramJaccardPairsPrefix(
       docs: DataFrame, idCol: String, textCol: String, langCol: String,
       n: Int = 3, threshold: Double = 0.5, lenBucket: Int = 100): DataFrame = {
+    // persisted: the n-gram kernel otherwise re-evaluates once per plan
+    // branch — both prefix-posting legs AND both verify-side gram lookups
+    // (4 full corpus kernel passes, measured r17); the cache carries gram
+    // arrays, not text — the winnowPairs posting-list contract
     val prepared = docs.select(
       col(idCol), col(langCol).as("lang"),
       floor(length(col(textCol)) / lenBucket).as("len_bucket"),
       Kernels.wordNgramsSortedCol(col(textCol), n).as("grams"))
       .withColumn("n_grams", size(col("grams")))
+      .transform(graft.operators.Residuals.persist)
     val pref = prepared.select(
       col(idCol), col("lang"), col("len_bucket"), col("n_grams"),
       explode(Kernels.jaccardPrefixCol(col("grams"), threshold)).as("pg"))
@@ -571,10 +584,12 @@ object Dedup {
   def embeddingNearDupBrute(
       embs: DataFrame, idCol: String, vecCol: String, threshold: Double,
       broadcastRight: Boolean = false): DataFrame = {
+    // persisted: quantize+norm feed both join legs (r17)
     val q = embs.select(
       col(idCol),
       VectorFns.quantize(col(vecCol)).as("qv"))
       .withColumn("n2", VectorFns.norm2Q(col("qv")))
+      .transform(graft.operators.Residuals.persist)
     val a = q.as("a")
     val b = (if (broadcastRight) broadcast(q) else q).as("b")
     a.join(b, col(s"a.$idCol") < col(s"b.$idCol"))
@@ -668,6 +683,7 @@ object Dedup {
       .select(col(idCol), VectorFns.quantize(col(vecCol)).as("qv"))
       .withColumn("n2", VectorFns.norm2Q(col("qv")))
       .withColumn("cell", Similarity.cellOf(col("qv"), cells, seed, dims))
+      .transform(graft.operators.Residuals.persist)
     val a = prep.as("a")
     val b = prep.as("b")
     val dropped = a.join(b, col("a.cell") === col("b.cell")

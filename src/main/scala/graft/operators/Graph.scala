@@ -1220,11 +1220,13 @@ object Graph {
       weightCol: String, seeds: DataFrame, seedCol: String,
       rounds: Int): DataFrame = {
     require(rounds >= 1, "need at least one round")
+    // cached pre-partitioned on x — the relaxation join key every round (r17)
     val adj = edges
       .select(col(srcCol).cast("long").as("x"), col(dstCol).cast("long").as("v"),
         col(weightCol).cast("long").as("w"))
       .filter(col("x") =!= col("v"))
       .groupBy(col("x"), col("v")).agg(min(col("w")).as("w"))
+      .repartition(col("x"))
       .transform(Residuals.persist)
     require(adj.filter(col("w") < 0).isEmpty,
       "shortestPaths: negative edge weights are not supported")
@@ -1272,10 +1274,14 @@ object Graph {
       maxBroadcastRows: Long = 10000000L): DataFrame = {
     require(rounds >= 1 && rounds <= 8,
       "rounds in [1, 8] — plan depth grows linearly per hop")
+    // cached pre-partitioned on u — both the forward expansion and the
+    // dependency back-propagation probe the edge relation on its renamed
+    // u side every round (r17)
     val e = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+      .repartition(col("u"))
       .transform(Residuals.persist)
     val s0 = seeds.select(col(seedCol).cast("long").as("s")).distinct()
     // loop-carried frames are checkpoint-TRUNCATED, not just persisted:
