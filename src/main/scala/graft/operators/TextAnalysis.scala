@@ -262,9 +262,13 @@ object TextAnalysis {
     val pairsArr = zip_with(
       slice(toks, lit(1), n1), slice(toks, lit(2), n1),
       (x, y) => struct(x.as("w1"), y.as("w2")))
+    // persisted: the tokenize+explode feeds the count model AND the scoring
+    // join; the bigram counts feed c1, V and the join (r17)
     val docPairs = docs.select(col(idCol).as("doc"), explode(pairsArr).as("p"))
       .select(col("doc"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .transform(Residuals.persist)
     val c12 = docPairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .transform(Residuals.persist)
     val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val v = c12.agg(countDistinct(col("w2")).as("v"))
     docPairs
@@ -306,7 +310,9 @@ object TextAnalysis {
       df.select(col(idCol).as("doc"), explode(pairsArr).as("p"))
         .select(col("doc"), col("p.w1").as("w1"), col("p.w2").as("w2"))
     }
+    // persisted: the trained bigram counts feed c1, V and the scoring join (r17)
     val c12 = pairsOf(train).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .transform(Residuals.persist)
     val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val v = c12.agg(countDistinct(col("w2")).as("v"))
     val perDoc = pairsOf(score)
@@ -352,15 +358,20 @@ object TextAnalysis {
     val toks = docs.select(col(idCol).as("doc"),
       posexplode(TextFns.tokens(col(textCol))).as(Seq("pos", "tok")))
     val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    // persisted: the tokenize+window island assignment feeds the phrase
+    // aggregation AND the word-score join; phrases feed the word scores AND
+    // the phrase-type counts — without the caches each is evaluated twice (r17)
     val marked = toks
       .withColumn("is_stop", col("tok").isInCollection(EnStopwords))
       .withColumn("island", sum(when(col("is_stop"), 1L).otherwise(0L)).over(w))
       .filter(!col("is_stop"))
+      .transform(Residuals.persist)
     val phrases = marked.groupBy(col("doc"), col("island"))
       .agg(
         array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
           x => x.getField("tok")), " ").as("phrase"),
         count(lit(1)).as("plen"))
+      .transform(Residuals.persist)
     val words = marked.join(phrases, Seq("doc", "island"))
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
@@ -544,11 +555,14 @@ object TextAnalysis {
     val pairsArr = zip_with(
       slice(toks, lit(1), n1), slice(toks, lit(2), n1),
       (x, y) => struct(x.as("w1"), y.as("w2")))
+    // persisted: the corpus-wide explode+distinct feeds both edge-direction
+    // branches AND both vocabulary branches — 4 evaluations without it (r17)
     val und = docs.select(explode(pairsArr).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .filter(col("w1") =!= col("w2"))
       .select(least(col("w1"), col("w2")).as("a"), greatest(col("w1"), col("w2")).as("b"))
       .distinct()
+      .transform(Residuals.persist)
     val edges = und.select(col("a").as("ws"), col("b").as("wd"))
       .union(und.select(col("b").as("ws"), col("a").as("wd")))
       .select(TextFns.md5Long(col("ws"), 0).as("src"),
