@@ -244,6 +244,9 @@ object Behavior {
         x => x.getField("__c")), "").as("j"))
       .withColumn("len", length(col("j")))
       .withColumn("band", expr(s"len div ${maxDist + 1}"))
+      // persisted: the windowed journey aggregate feeds the probe AND the
+      // salted index leg — one evaluation instead of two (r17)
+      .transform(Residuals.persist)
     val probe = j.withColumn("__b",
       explode(array(col("band") - 1, col("band"), col("band") + 1)))
       .withColumn("__s", pmod(hash(col("uid")), lit(salts)))

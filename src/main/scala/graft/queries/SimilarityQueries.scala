@@ -55,10 +55,14 @@ private[graft] trait SimilarityQueries extends QueryHelpers {
       // three gated operators (brute knn, quantizeScalar, kendallTau)
       import graft.operators.{Embeddings, Eval, Similarity}
       val embs = spread(t(s, dir, "embeddings"))
+      // persisted: brute feeds the dot join AND the scored join; the SQ
+      // reconstruction feeds the norm agg and both dot legs (r17)
       val brute = Similarity.bruteForceKnn(
         embs, embs.filter(col("vec_id") < 20), "vec_id", "embedding", 10)
+        .transform(graft.operators.Residuals.persist)
       val recon = Embeddings.quantizeScalar(embs, "vec_id", "embedding")
         .select(col("vec_id"), col("dim"), col("recon"))
+        .transform(graft.operators.Residuals.persist)
       val n2 = recon.groupBy(col("vec_id"))
         .agg(sum(col("recon") * col("recon")).as("n2"))
       val dots = brute.select(col("query_id"), col("neighbor_id"))
@@ -418,9 +422,13 @@ private[graft] trait SimilarityQueries extends QueryHelpers {
       // exactly tau-a's contract); composition of three gated operators
       import graft.operators.{Embeddings, Eval, Similarity}
       val embs = spread(t(s, dir, "embeddings"))
+      // persisted: brute feeds both sides of the scored join; the sign-bit
+      // words feed both lookup legs (r17)
       val brute = Similarity.bruteForceKnn(
         embs, embs.filter(col("vec_id") < 20), "vec_id", "embedding", 10)
+        .transform(graft.operators.Residuals.persist)
       val bq = Embeddings.binaryQuantize(embs, "vec_id", "embedding")
+        .transform(graft.operators.Residuals.persist)
       val scored = brute
         .join(bq.select(col("id").as("query_id"),
           col("word_lo").as("ql"), col("word_hi").as("qh")), "query_id")
