@@ -655,19 +655,19 @@ object Graph {
   def sccPivot(edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int): DataFrame = {
     require(rounds >= 1, "need at least one round")
+    // persisted pre-partitioned on a: the FORWARD expansion probes x = a
+    // every round exchange-free; the backward pass re-exchanges by b (a
+    // second b-partitioned cache was tried r17 and measured SLOWER on the
+    // gate fixture — two extra materialization jobs outweigh the saved
+    // node-tiny exchanges; at larger scale revisit with a b-twin)
     val e = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .repartition(col("a"))
       .transform(Residuals.persist)
-    // each direction gets its OWN cache pre-partitioned on its frontier
-    // join key (r17): the two expansions probe opposite keys, so one cache
-    // cannot serve both exchange-free; derived from the persisted e, the
-    // distinct is evaluated once
     val adjFw = e.select(col("a").as("x"), col("b").as("v"))
-      .repartition(col("x")).transform(Residuals.persist)
     val adjBw = e.select(col("b").as("x"), col("a").as("v"))
-      .repartition(col("x")).transform(Residuals.persist)
     val pivotRow = e.agg(least(min(col("a")), min(col("b"))).as("p")).head()
     require(!pivotRow.isNullAt(0),
       "sccPivot: no non-self-loop edges — the graph has no pivot to expand from")

@@ -55,14 +55,15 @@ private[graft] trait SimilarityQueries extends QueryHelpers {
       // three gated operators (brute knn, quantizeScalar, kendallTau)
       import graft.operators.{Embeddings, Eval, Similarity}
       val embs = spread(t(s, dir, "embeddings"))
-      // persisted: brute feeds the dot join AND the scored join; the SQ
-      // reconstruction feeds the norm agg and both dot legs (r17)
+      // persisted: brute feeds the dot join AND the scored join (the SQ
+      // reconstruction was also tried persisted r17 — slower: forcing the
+      // full per-dim materialization beats re-deriving the pruned columns
+      // each consumer actually needs)
       val brute = Similarity.bruteForceKnn(
         embs, embs.filter(col("vec_id") < 20), "vec_id", "embedding", 10)
         .transform(graft.operators.Residuals.persist)
       val recon = Embeddings.quantizeScalar(embs, "vec_id", "embedding")
         .select(col("vec_id"), col("dim"), col("recon"))
-        .transform(graft.operators.Residuals.persist)
       val n2 = recon.groupBy(col("vec_id"))
         .agg(sum(col("recon") * col("recon")).as("n2"))
       val dots = brute.select(col("query_id"), col("neighbor_id"))
