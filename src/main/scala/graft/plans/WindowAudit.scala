@@ -57,8 +57,71 @@ object WindowAudit {
     case _: Aggregate | _: Deduplicate | _: GlobalLimit => true
     case _: LocalRelation | _: OneRowRelation => true
     case _: Range => true // literal row count, known at plan time
+    case f: Filter if topRowsPerGroup(f) => true // ≤ k rows per group value
     case j: Join => reduced(j.left) && reduced(j.right) // metadata ⋈ metadata only
     case leaf if leaf.children.isEmpty => false // raw relation reached
     case other => other.children.forall(reduced) // unary pass-through; Union = all branches
+  }
+
+  /** `Filter(row_number == k | <= k)` over a PARTITIONED Window keeps at
+    * most k rows per distinct partition-key value — the same domain-sized
+    * reduction class as GROUP BY (one row per group), just computed through
+    * a window instead of an aggregate. This is [[graft.operators.Ranks]]'
+    * rn==1 domain-slice shape (r17): the value-domain relation derives from
+    * the SAME exchange as the data-sized ranking, so the input projection
+    * evaluates once. Only RowNumber qualifies: rank()/dense_rank() ties are
+    * unbounded per group. The Window must be partitioned — an unpartitioned
+    * row_number is itself the cliff this audit exists to catch. */
+  private def topRowsPerGroup(f: Filter): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    // descend through Projects to the Window, collecting alias indirection
+    // (id -> aliased expression) so the filtered attribute traces back to
+    // the window expression it renames
+    def unwrapCast(e: Expression): Expression = e match {
+      case c: Cast => unwrapCast(c.child)
+      case other => other
+    }
+    // collect the exprIds of row_number outputs from PARTITIONED windows in
+    // the chain of Project/Window nodes below the filter (the optimizer
+    // splits differently-framed window expressions of one logical pass into
+    // stacked Window nodes), plus Project alias indirection
+    def collect(p: LogicalPlan, depth: Int,
+        rnIds: Set[ExprId], aliases: Map[ExprId, Expression])
+        : (Set[ExprId], Map[ExprId, Expression]) = p match {
+      case _ if depth > 8 => (rnIds, aliases)
+      case w: Window =>
+        val more =
+          if (w.partitionSpec.isEmpty) Set.empty[ExprId]
+          else w.windowExpressions.collect {
+            case a: Alias if (unwrapCast(a.child) match {
+              case we: WindowExpression => we.windowFunction.isInstanceOf[RowNumber]
+              case _ => false
+            }) => a.exprId
+          }.toSet
+        collect(w.child, depth + 1, rnIds ++ more, aliases)
+      case pr: Project =>
+        val more = pr.projectList.collect { case a: Alias => a.exprId -> a.child }.toMap
+        collect(pr.child, depth + 1, rnIds, aliases ++ more)
+      case _ => (rnIds, aliases)
+    }
+    val (rnIds, aliases) = collect(f.child, 0, Set.empty, Map.empty)
+    if (rnIds.isEmpty) false
+    else {
+      def isRn(e: Expression): Boolean = unwrapCast(e) match {
+        case a: AttributeReference =>
+          rnIds.contains(a.exprId) ||
+            aliases.get(a.exprId).exists(isRn)
+        case _ => false
+      }
+      def pins(e: Expression): Boolean = e match {
+        case And(l, r) => pins(l) || pins(r)
+        case EqualTo(a, _: Literal) => isRn(a)
+        case EqualTo(_: Literal, a) => isRn(a)
+        case LessThanOrEqual(a, _: Literal) => isRn(a)
+        case LessThan(a, _: Literal) => isRn(a)
+        case _ => false
+      }
+      pins(f.condition)
+    }
   }
 }

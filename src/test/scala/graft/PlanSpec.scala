@@ -734,6 +734,25 @@ class PlanSpec extends SparkSuite {
     val pairs = docs.select(col("doc_id"), col("text").as("c"), col("text").as("r"))
     assert(graft.plans.WindowAudit.globalDataWindows(
       graft.operators.Eval.bleuComponents(pairs, "doc_id", "c", "r")).isEmpty)
+    // rn==1 over a PARTITIONED window reduces to one row per partition
+    // value — the Ranks domain-slice shape (r17) is accepted...
+    val slice = docs
+      .withColumn("rn", row_number().over(
+        W.partitionBy(col("lang")).orderBy(col("doc_id"))))
+      .withColumn("cnt", count(lit(1)).over(W.partitionBy(col("lang"))))
+      .filter(col("rn") === 1)
+      .select(col("lang"), col("cnt"))
+      .withColumn("off", sum(col("cnt")).over(W.orderBy(col("lang"))))
+    assert(graft.plans.WindowAudit.globalDataWindows(slice).isEmpty,
+      "rn==1 slice of a partitioned window is domain-sized")
+    // ...but a non-pinning filter over the same window is NOT a reducer
+    val noPin = docs
+      .withColumn("rn", row_number().over(
+        W.partitionBy(col("lang")).orderBy(col("doc_id"))))
+      .filter(col("rn") > 1)
+      .withColumn("off", sum(col("rn")).over(W.orderBy(col("doc_id"))))
+    assert(graft.plans.WindowAudit.globalDataWindows(noPin).nonEmpty,
+      "rn > k keeps the relation data-sized and must be flagged")
   }
 
   test("eval_wer is one scan: row-local DP kernel, no join, no window") {
