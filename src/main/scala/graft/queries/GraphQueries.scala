@@ -178,7 +178,11 @@ private[graft] trait GraphQueries extends QueryHelpers {
       val edges = sk.select(col("k").as("src"), (col("k") + 1).as("dst"))
         .union(sk.select(col("k").as("src"), (col("k") + 2).as("dst")))
         .join(sk.withColumnRenamed("k", "dst"), Seq("dst"), "left_semi")
+      // persisted: modularity consumes the label relation in multiple joins
+      // (degree mass + both intra-edge endpoints) — without the cache the
+      // whole 2-round propagation re-evaluates per consumer (r17)
       val labels = graft.operators.Graph.labelPropagation(edges, "src", "dst", rounds = 2)
+        .transform(graft.operators.Residuals.persist)
       graft.operators.Graph.modularity(edges, "src", "dst", labels)
         .orderBy(col("label"))
     }),
