@@ -655,16 +655,15 @@ object Graph {
   def sccPivot(edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int): DataFrame = {
     require(rounds >= 1, "need at least one round")
-    // persisted pre-partitioned on a: the FORWARD expansion probes x = a
-    // every round exchange-free; the backward pass re-exchanges by b (a
-    // second b-partitioned cache was tried r17 and measured SLOWER on the
-    // gate fixture — two extra materialization jobs outweigh the saved
-    // node-tiny exchanges; at larger scale revisit with a b-twin)
+    // persisted as-built BY MEASUREMENT (r17): both an a-partitioned cache
+    // and a dual a/b-partitioned pair were tried and benched SLOWER on the
+    // gate fixture — the rounds-bounded probe's frontier joins are
+    // node-tiny, so the extra build exchange/materializations never repay;
+    // at 100 TB with deep horizons revisit the partitioned twins
     val e = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .repartition(col("a"))
       .transform(Residuals.persist)
     val adjFw = e.select(col("a").as("x"), col("b").as("v"))
     val adjBw = e.select(col("b").as("x"), col("a").as("v"))

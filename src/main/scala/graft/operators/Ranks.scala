@@ -88,20 +88,17 @@ object Ranks {
       maxDomain: Long = MaxDomainDefault): DataFrame = {
     val checked = df.withColumn(valueCol,
       nullGuard(col(valueCol), valueCol, "globalRank"))
-    // ONE pass over the input (r17, the pairRanks shape): the partitioned
-    // window yields both the within-value row_number and the value counts
-    // over a single exchange, and the value-domain relation is the rn==1
-    // slice of the SAME exchange (ReusedExchange) — the input projection
-    // (often a computed column: interleaved bits, a tokenizer) evaluates
-    // once instead of once for the domain aggregate and once for the join
-    // side.
-    val wVal = Window.partitionBy(col(valueCol))
-    val ranked = checked
-      .withColumn("__rk_rn",
-        row_number().over(wVal.orderBy(tieCols.map(col): _*)).cast("long"))
-      .withColumn("__rk_cnt", count(lit(1)).over(wVal))
-    val dom = ranked.filter(col("__rk_rn") === 1L)
-      .select(col(valueCol).as("__rk_v"), col("__rk_cnt"))
+    // Two passes over the input BY MEASUREMENT (r17): a one-pass variant
+    // (domain = the rn==1 slice of the ranking window's own exchange, the
+    // pairRanks shape) was tried and benched SLOWER here — the slice
+    // re-executes the window SORT once per consumer on top of the reused
+    // exchange, while this domain aggregate is a sort-free hash agg; with
+    // near-data-sized value domains (layout keys) the extra sort dominates
+    // the saved input evaluation. pairRanks keeps the slice shape because
+    // its stacked input doubles the rows AND its projection (a tokenizer)
+    // is the dominant cost there.
+    val dom = checked.groupBy(col(valueCol).as("__rk_v"))
+      .agg(count(lit(1)).as("__rk_cnt"))
     val wAll = Window.partitionBy()
     val offs = dom
       .withColumn("__rk_off", coalesce(
@@ -114,9 +111,10 @@ object Ranks {
         domainGuard(count(lit(1)).over(wAll), maxDomain, "globalRank"),
         col("__rk_off")))
       .select(col("__rk_v"), col("__rk_off"), col(nOut))
-    ranked.join(offs, col(valueCol) === col("__rk_v"))
-      .withColumn(out, col("__rk_off") + col("__rk_rn"))
-      .drop("__rk_v", "__rk_off", "__rk_rn", "__rk_cnt")
+    val wLoc = Window.partitionBy(col(valueCol)).orderBy(tieCols.map(col): _*)
+    checked.join(offs, col(valueCol) === col("__rk_v"))
+      .withColumn(out, col("__rk_off") + row_number().over(wLoc).cast("long"))
+      .drop("__rk_v", "__rk_off")
   }
 
   /** [[globalRank]] + the ntile projection: append the ZERO-based
