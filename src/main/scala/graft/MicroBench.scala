@@ -80,7 +80,10 @@ object MicroBench {
         run()
         val s = (System.nanoTime() - t0) / 1e9
         stats.foreach { l =>
-          Thread.sleep(300) // listener bus is async; drain before reading
+          // drain the async bus deterministically (r17 ADVICE: a fixed
+          // sleep bled a heavy sample's late events into the next delta)
+          org.apache.spark.graft.ListenerDrain.waitUntilEmpty(
+            spark.sparkContext, 10000L)
           println(f"  STATS $q jobs=${l.jobs.get() - j0} stages=${l.stages.get() - s0} " +
             f"tasks=${l.tasks.get() - t0n} secs=$s%.2f")
         }

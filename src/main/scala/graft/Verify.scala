@@ -91,6 +91,11 @@ object Verify {
     val bad = failed.result()
     println(s"[verify] produced $produced of ${selected.size} queries" +
       (if (bad.nonEmpty) s"; FAILED: ${bad.mkString(", ")}" else ""))
+    // machine-readable trailer for the driver's tail capture (r17 verdict
+    // #2a — CORRECTNESS_r14..r17 landed empty driver-side): one SHORT JSON
+    // line, always last on stdout
+    println(s"""{"verify_produced":$produced,"verify_total":${selected.size},"failed":[${
+      bad.map(q).mkString(",")}]}""")
     if (bad.nonEmpty) sys.exit(1)
   }
 }

@@ -68,8 +68,11 @@ object Kernels {
       k += 1
       var j = i
       while (j < d) {
+        // multiplyExact: the SQL sum(x*y) this kernel replaced raised
+        // loudly under ANSI on overflow — raw `*` would wrap silently,
+        // breaking the repo's fail-loud overflow contract (r17 ADVICE)
         out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](i.toLong, j.toLong, xi * q.getLong(j)))
+          Array[Any](i.toLong, j.toLong, Math.multiplyExact(xi, q.getLong(j))))
         k += 1
         j += 1
       }

@@ -113,12 +113,23 @@ object WindowAudit {
             aliases.get(a.exprId).exists(isRn)
         case _ => false
       }
+      // rn == k keeps ≤ 1 row per group for ANY k; rn <= k keeps k rows
+      // per group, so the literal itself must be small or "reduced" means
+      // k·|domain| ~ data-sized (r17 ADVICE — rn <= 10000000 is no
+      // reduction). 1024 covers every top-k shape in the gate with room.
+      def smallK(l: Literal): Boolean = l.value match {
+        case i: Byte => i >= 0
+        case i: Short => i >= 0 && i <= 1024
+        case i: Int => i >= 0 && i <= 1024
+        case i: Long => i >= 0L && i <= 1024L
+        case _ => false
+      }
       def pins(e: Expression): Boolean = e match {
         case And(l, r) => pins(l) || pins(r)
         case EqualTo(a, _: Literal) => isRn(a)
         case EqualTo(_: Literal, a) => isRn(a)
-        case LessThanOrEqual(a, _: Literal) => isRn(a)
-        case LessThan(a, _: Literal) => isRn(a)
+        case LessThanOrEqual(a, l: Literal) => isRn(a) && smallK(l)
+        case LessThan(a, l: Literal) => isRn(a) && smallK(l)
         case _ => false
       }
       pins(f.condition)
