@@ -67,10 +67,18 @@ object Graph {
     // lifetime like connectedComponents' labels (documented residual).
     val e0 = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
-    val e = e0.repartition(col("src"))
+    val eC = e0.repartition(col("src"))
       .transform(Residuals.persist)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val degC = eC.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .transform(Residuals.persist)
+    // Fixpoint-session execution was TRIED AND REVERTED here (r18): AQE
+    // off collapsed 23 stage-jobs to 13, but the per-iteration rank join
+    // statically plans as sort-merge (an aggregate output's size estimate
+    // is its input's), where AQE's runtime stats convert it to broadcast —
+    // measured 3.37 -> 5.12 s min-of-3 at sf0.1 (ppr 3.69 -> 5.28).
+    // Stage-job latency is the smaller cost; AQE stays on for this loop.
+    val e = eC
+    val deg = degC
     // every node appears as a src (no dangling): nodes == distinct srcs
     val n = deg.count()
     val base = (Scale * 15L / 100L) / n // exact: both factors integer literals
@@ -121,10 +129,15 @@ object Graph {
     // key; degree divide rides the node-sized rank vector — see [[pagerank]]
     val e0 = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
-    val e = e0.repartition(col("src"))
+    val eC = e0.repartition(col("src"))
       .transform(Residuals.persist)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val degC = eC.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .transform(Residuals.persist)
+    // fixpoint-session execution tried and reverted — see [[pagerank]]
+    // (AQE's runtime broadcast of the rank join beats the stage-job
+    // savings; measured r18)
+    val e = eC
+    val deg = degC
     val s = seeds.select(col(seedCol).cast("long").as("node")).distinct()
     val nSeeds = s.count()
     require(nSeeds > 0, "seed set must be non-empty")
@@ -294,7 +307,11 @@ object Graph {
     val e0 = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
-    // cached pre-partitioned on x — the label join key every round (r17)
+    // cached pre-partitioned on x — the label join key every round (r17).
+    // Fixpoint-session execution tried and REVERTED (r18): jobs 16 -> 8
+    // but 0.87 -> 2.46 s — the worst case of the static-SMJ effect (the
+    // label vector joins + double aggregation all lose their runtime
+    // broadcasts); AQE stays on for this loop.
     val adj = e0.union(e0.select(col("b").as("a"), col("a").as("b"))).distinct()
       .select(col("a").as("v"), col("b").as("x"))
       .repartition(col("x"))
@@ -330,9 +347,16 @@ object Graph {
       rounds: Int = 2): DataFrame = {
     require(rounds >= 1, "need at least one round")
     // cached pre-partitioned on src (r17): the auth half-step joins on src
-    // every round — partitioned persist makes that side exchange-free
-    // (guide §2.4); the hub half-step's dst join still exchanges (one key
-    // per cache; src is chosen as it is probed first each round)
+    // every round. The dst-partitioned TWIN (sccDecompose eB pattern, r17
+    // verdict #5) was TRIED AND REVERTED r18: 2.73 -> 4.51 s min-of-3 at
+    // sf0.1 (jobs 28 -> 32) — at bench scale AQE broadcasts the NODE-sized
+    // score vector at runtime, so the edge relation never actually
+    // re-exchanges for the dst join and the twin is a pure extra
+    // edge-sized cache build + materialization barrier. (Fixpoint-session
+    // execution also tried, also slower: 4.47 s — same static-SMJ effect
+    // as pagerank.) On a 100 TB graph whose score vector exceeds the
+    // broadcast cap the twin becomes the right shape — revisit with the
+    // recorded numbers if hits ever runs at that scale.
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
@@ -616,7 +640,11 @@ object Graph {
     val und = e0
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
       .distinct()
-    // cached pre-partitioned on x — the frontier join key every round (r17)
+    // cached pre-partitioned on x — the frontier join key every round
+    // (r17). Fixpoint-session execution tried and REVERTED (r18): jobs
+    // 20 -> 9 but 0.99 -> 1.43 s — the frontier joins statically plan as
+    // sort-merge where AQE broadcasts the frontier at runtime (the
+    // pagerank measurement, same shape).
     val adj = und.union(und.select(col("b").as("a"), col("a").as("b")))
       .select(col("a").as("v"), col("b").as("x"))
       .repartition(col("x"))
@@ -659,12 +687,17 @@ object Graph {
     // and a dual a/b-partitioned pair were tried and benched SLOWER on the
     // gate fixture — the rounds-bounded probe's frontier joins are
     // node-tiny, so the extra build exchange/materializations never repay;
-    // at 100 TB with deep horizons revisit the partitioned twins
-    val e = edges
+    // at 100 TB with deep horizons revisit the partitioned twins.
+    // Both reach loops run in the fixpoint session (r18): frontier joins
+    // and min-aggs move node-sized relations only, and with no mid-loop
+    // action the whole forward+backward expansion executes as one job
+    // under AQE-off instead of ~2 stage-jobs per round per direction.
+    val fx = Fixpoint.session(edges.sparkSession)
+    val e = Fixpoint.lift(fx, edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .transform(Residuals.persist)
+      .transform(Residuals.persist))
     val adjFw = e.select(col("a").as("x"), col("b").as("v"))
     val adjBw = e.select(col("b").as("x"), col("a").as("v"))
     val pivotRow = e.agg(least(min(col("a")), min(col("b"))).as("p")).head()
@@ -1048,13 +1081,20 @@ object Graph {
     require(rounds >= 1, "need at least one h-index round")
     val und = normalizedUnd(edges, srcCol, dstCol)
       .transform(Residuals.persist)
-    // cached pre-partitioned on x — the score join key every round (r17)
-    val adj = und.select(col("a").as("w"), col("b").as("x"))
-      .union(und.select(col("b").as("w"), col("a").as("x")))
-      .repartition(col("x"))
-      .transform(Residuals.persist)
-    var c = undDegrees(und).select(col("n").as("node"), col("deg").as("c"))
-      .transform(Residuals.persist)
+    // cached pre-partitioned on x — the score join key every round (r17);
+    // h-index rounds in the fixpoint session (r18): the score relation is
+    // node-sized, no mid-loop action (the per-round window's input is the
+    // edge-sized neighbor join, so this one is borderline — kept on the
+    // measured win, see OPTIMIZATION_r18.md)
+    val fx = Fixpoint.session(edges.sparkSession)
+    val adj = Fixpoint.lift(fx,
+      und.select(col("a").as("w"), col("b").as("x"))
+        .union(und.select(col("b").as("w"), col("a").as("x")))
+        .repartition(col("x"))
+        .transform(Residuals.persist))
+    var c = Fixpoint.lift(fx,
+      undDegrees(und).select(col("n").as("node"), col("deg").as("c"))
+        .transform(Residuals.persist))
     val byScore = org.apache.spark.sql.expressions.Window
       .partitionBy(col("w")).orderBy(col("c").desc, col("x").asc)
     for (_ <- 1 to rounds) {
@@ -1121,14 +1161,19 @@ object Graph {
     val und = e0
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
       .distinct()
-    // cached pre-partitioned on x — the frontier join key every round (r17)
-    val adj = und.union(und.select(col("b").as("a"), col("a").as("b")))
-      .select(col("a").as("v"), col("b").as("x"))
-      .repartition(col("x"))
-      .transform(Residuals.persist)
-    var dist = seeds.select(col(seedCol).cast("long").as("seed")).distinct()
-      .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
-      .transform(Residuals.persist)
+    // cached pre-partitioned on x — the frontier join key every round
+    // (r17); per-seed frontier loop in the fixpoint session (r18):
+    // (seed, node)-sized exchanges only, no mid-loop action
+    val fx = Fixpoint.session(edges.sparkSession)
+    val adj = Fixpoint.lift(fx,
+      und.union(und.select(col("b").as("a"), col("a").as("b")))
+        .select(col("a").as("v"), col("b").as("x"))
+        .repartition(col("x"))
+        .transform(Residuals.persist))
+    var dist = Fixpoint.lift(fx,
+      seeds.select(col(seedCol).cast("long").as("seed")).distinct()
+        .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
+        .transform(Residuals.persist))
     for (_ <- 1 to rounds) {
       val prop = adj
         .join(dist.select(col("seed"), col("node").as("x"), col("dist")), "x")
@@ -1219,7 +1264,9 @@ object Graph {
       weightCol: String, seeds: DataFrame, seedCol: String,
       rounds: Int): DataFrame = {
     require(rounds >= 1, "need at least one round")
-    // cached pre-partitioned on x — the relaxation join key every round (r17)
+    // cached pre-partitioned on x — the relaxation join key every round
+    // (r17). Fixpoint-session execution tried and REVERTED (r18): jobs
+    // 25 -> 11 but 1.16 -> 1.54 s (the bfsHops/pagerank static-SMJ shape).
     val adj = edges
       .select(col(srcCol).cast("long").as("x"), col(dstCol).cast("long").as("v"),
         col(weightCol).cast("long").as("w"))
@@ -1365,12 +1412,27 @@ object Graph {
       .distinct()
     val perSrc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("dst"))
-    val ranked = e
+    // The per-step join keys on (node, idx) BOTH — and co-partitioning
+    // requires ALL join keys as the hash keys
+    // (spark.sql.requireAllClusterKeysForCoPartition, default true), so
+    // the node-partitioned window output was RE-EXCHANGED by (node, idx)
+    // every step: walkLen edge-relation shuffles per query (r17 "not yet
+    // optimized" #3). Persisting the ranked adjacency PRE-PARTITIONED on
+    // (node, idx) makes the edge side of every step join exchange-free;
+    // only the walk frontier (one row per start node) moves per step.
+    val rankedC = e
       .withColumn("idx", row_number().over(perSrc).cast("long"))
       .select(col("src").as("node"), col("idx"), col("dst"))
+      .repartition(col("node"), col("idx"))
       .transform(Residuals.persist)
-    val degs = ranked.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val degsC = rankedC.groupBy(col("node")).agg(count(lit(1)).as("deg"))
       .transform(Residuals.persist)
+    // walk steps in the fixpoint session (r18): the frontier is node-sized,
+    // there is no mid-loop action, and the walkLen-deep join chain
+    // executes as one job with AQE off — see [[Fixpoint]]
+    val fx = Fixpoint.session(edges.sparkSession)
+    val ranked = Fixpoint.lift(fx, rankedC)
+    val degs = Fixpoint.lift(fx, degsC)
     var cur = degs.select(col("node").as("start"), lit(0L).as("step"), col("node"))
     var out = cur
     for (k <- 1 to walkLen) {

@@ -1304,6 +1304,12 @@ object TextAnalysis {
       docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[String]): DataFrame = {
     val mergesCol = array(merges.map(lit(_)): _*)
+    // dw feeds both the vocabulary distinct and the fan-out join (2
+    // tokenize passes); persisting it was TRIED AND REVERTED (r18):
+    // 1.18 -> 1.68 s min-of-3 at sf0.1 — materializing the (doc, word,
+    // count) relation costs more than the column-pruned second tokenize
+    // (the vocabulary branch reads ONLY `word`; the eval_sq_rank_tau
+    // column-pruning-beats-materialization precedent from r17).
     val dw = docs
       .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("word"))
       .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("k"))
@@ -1878,6 +1884,13 @@ object TextAnalysis {
   def dupNgramChars(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
     require(n >= 1, "n must be positive")
+    // Persisting base/toks/grams (3 duplicate corpus subtrees) was TRIED
+    // r18 and measured 1.57 -> 1.96 s min-of-3: materializing the wide
+    // token-array and exploded relations costs more than the codegen'd
+    // recomputation. Kept: ONLY the gram stream persist (the per-token
+    // slice+concat transform feeds both sides of its df semi-join — the
+    // one provably expensive duplicate); base/toks stay recomputed
+    // (column-pruned scans, the eval_sq_rank_tau precedent).
     val base = docs.select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("w"))
     val toks = base.select(col("id"), posexplode(col("w")).as(Seq("p", "t")))
     val totals = toks.groupBy(col("id")).agg(
@@ -1886,6 +1899,7 @@ object TextAnalysis {
     val grams = base.select(col("id"), posexplode(filter(
         transform(col("w"), (_, i) => concat_ws(" ", slice(col("w"), i + 1, lit(n)))),
         (_, i) => i <= size(col("w")) - n)).as(Seq("p", "g")))
+      .transform(Residuals.persist)
     val dupStarts = grams
       .join(grams.groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2), Seq("id", "g"), "left_semi")
