@@ -281,6 +281,39 @@ object EventStream {
     s2
   }
 
+  /** Fresh EPHEMERAL checkpoint dir for one bounded drain, preferring
+    * tmpfs (/dev/shm) when present (r18, guide §6): a bounded gate's
+    * checkpoint — offset/commit WAL fsyncs per micro-batch plus
+    * state-store delta files — is pure disk latency on a disk-backed
+    * /tmp. Spark's default temp checkpoint (java.io.tmpdir) has IDENTICAL
+    * durability (scratch, deleted with the query), so this changes where
+    * the scratch lives, never the semantics; every drain passes a fresh
+    * dir, so no state survives between runs (the no-cross-run-caching
+    * contract). `SPARK_GRAFT_STREAM_CK_DIR` overrides the base (a
+    * cluster's fast scratch volume); durable production pipelines pass a
+    * real fault-tolerant checkpointLocation instead of using these
+    * bounded-drain helpers (CorpusIngest does exactly that). */
+  private def ephemeralCheckpoint(): String = {
+    import java.nio.file.{Files, Paths}
+    val base = sys.env.get("SPARK_GRAFT_STREAM_CK_DIR").map(Paths.get(_))
+      .orElse(Some(Paths.get("/dev/shm"))
+        .filter(p => Files.isDirectory(p) && Files.isWritable(p)))
+      .getOrElse(Paths.get(System.getProperty("java.io.tmpdir")))
+    Files.createTempDirectory(base, "graft_ck_").toString
+  }
+
+  /** Recursive best-effort delete of an [[ephemeralCheckpoint]] dir once
+    * its query stopped (the memory sink holds the rows; bench runs drain
+    * repeatedly, so scratch must not accumulate — on tmpfs it would
+    * otherwise pin RAM). */
+  private def dropCheckpoint(dir: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    } catch { case _: Exception => () }
+
   /** FileStreamSource accepts globs but rejects a bare FILE as basePath
     * (directories only). A naive `path + "*"` glob matches ANY sibling whose
     * name merely starts with the file name (`events.parquet_old`,
@@ -301,13 +334,14 @@ object EventStream {
   }
 
   private def drainToMemory(agg: DataFrame, name: String): DataFrame = {
+    val ck = ephemeralCheckpoint()
     val q = agg.writeStream
       .outputMode(OutputMode.Complete)
+      .option("checkpointLocation", ck)
       .format("memory")
       .queryName(name)
       .start()
-    q.processAllAvailable()
-    q.stop()
+    try { q.processAllAvailable(); q.stop() } finally dropCheckpoint(ck)
     agg.sparkSession.table(name)
   }
 
@@ -341,13 +375,14 @@ object EventStream {
       spark: SparkSession, path: String, name: String): DataFrame = {
     val s2 = statePinnedSession(spark)
     val doubled = rawEventsStream(s2, path).unionByName(rawEventsStream(s2, path))
+    val ck = ephemeralCheckpoint()
     val q = dedupStream(doubled, Seq("event_id"), "1 hour").writeStream
       .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ck)
       .format("memory")
       .queryName(name)
       .start()
-    q.processAllAvailable()
-    q.stop()
+    try { q.processAllAvailable(); q.stop() } finally dropCheckpoint(ck)
     s2.table(name)
   }
 
@@ -380,8 +415,10 @@ object EventStream {
     val cut = lit(cutoffTs).cast("timestamp")
     base.filter(col("ts") >= cut).coalesce(1).write.mode("overwrite").parquet(s"$dir/a")
     val stream = s2.readStream.schema(EventSchema).parquet(s"$dir/*/part-*")
+    val ck = ephemeralCheckpoint()
     val q = hourlyAgg(stream).writeStream
       .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ck)
       .format("memory")
       .queryName(name)
       .start()
@@ -391,6 +428,7 @@ object EventStream {
       q.processAllAvailable() // the late tranche arrives behind the watermark
     } finally {
       q.stop()
+      dropCheckpoint(ck)
       // the feed rewrite is ~2x the events fixture per call — bench runs
       // this repeatedly, so the temp dir must not accumulate. The memory
       // sink holds the result rows, so the files are dead once q stops.
@@ -526,13 +564,14 @@ object EventStream {
       .withColumn("ts_us", unix_micros(col("ts")))
       .select(col("user_id"), col("ts"), col("ts_us"))
       .as[SessionEvent]
+    val ck = ephemeralCheckpoint()
     val q = sessionizeStream(stream, gapMicros, watermark).toDF().writeStream
       .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ck)
       .format("memory")
       .queryName(name)
       .start()
-    q.processAllAvailable()
-    q.stop()
+    try { q.processAllAvailable(); q.stop() } finally dropCheckpoint(ck)
     s2.table(name)
   }
 
@@ -631,13 +670,14 @@ object EventStream {
     val joined =
       if (leftOuter) attributionJoinLeftOuter(p, c, lookbackMin)
       else attributionJoin(p, c, lookbackMin)
+    val ck = ephemeralCheckpoint()
     val q = joined.writeStream
       .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ck)
       .format("memory")
       .queryName(name)
       .start()
-    q.processAllAvailable()
-    q.stop()
+    try { q.processAllAvailable(); q.stop() } finally dropCheckpoint(ck)
     s2.table(name)
   }
 
